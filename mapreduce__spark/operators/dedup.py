@@ -1,0 +1,191 @@
+"""Deduplication operators — exact, exact-Jaccard, MinHash LSH, SimHash.
+
+The scale story (the whole point at 100 TB):
+
+* exact dedup — one hash-aggregate on a fingerprint column; the shuffle
+  key is the fingerprint, uniformly distributed by construction.
+* exact n-gram Jaccard — correct but quadratic in the worst case: the
+  gram self-join blows up on common grams. Usable up to modest corpora
+  and as the ORACLE for the approximate methods.
+* MinHash + LSH — the scale path: per-doc signature (narrow, computed in
+  the scan stage), band → bucket equi-join (only docs sharing a band
+  bucket ever meet), exact-Jaccard verification of the candidates only.
+  Shuffle volume is O(docs × bands), not O(docs²).
+* SimHash — constant-size fingerprint whose hamming distance tracks
+  similarity; pairs by bucketing fingerprint chunks.
+
+All hash functions are deterministic Catalyst expressions (md5 /
+xxhash64) — no RNG, no Python in the distributed path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce__spark.functions.text import tokenize, word_ngrams
+
+NGRAM_N = 3
+
+
+def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup: group by content fingerprint, keep the min doc_id as
+    canonical. md5 over the raw text — byte-identical duplicates only."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def _doc_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram) with distinct word-3-grams, plus per-doc gram counts."""
+    return docs.select(
+        "doc_id", F.explode(word_ngrams(tokenize(F.col("text")), NGRAM_N)).alias("gram")
+    )
+
+
+def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Exact word-3-gram Jaccard over all pairs sharing >=1 gram.
+
+    The classic exact algorithm: explode distinct grams, self-join on the
+    gram, count common grams per pair, |A∪B| = |A|+|B|-common. Correct and
+    oracle-friendly; the gram join is the quadratic hazard that motivates
+    LSH below.
+    """
+    grams = _doc_grams(docs)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    common = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_grams").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_grams").alias("n2"))
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        common.join(s1, "id1")
+        .join(s2, "id2")
+        .where(jac >= threshold)
+        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_signature(docs: DataFrame, num_hashes: int, hash_fn: str = "xxhash64") -> DataFrame:
+    """Per-doc MinHash signature as `num_hashes` columns mh0..mh{k-1}.
+
+    Each hash family member i is `hash(gram || '#' || i)`; the signature
+    element is the array-min over the doc's gram set — computed entirely
+    inside the scan stage (no shuffle, no UDF). ``hash_fn``:
+    * 'xxhash64' — fast 64-bit JVM hash (production path);
+    * 'md5'      — hex-string hash reproducible in DuckDB (oracle path).
+    """
+    grams = word_ngrams(tokenize(F.col("text")), NGRAM_N)
+
+    def h(i: int) -> Column:
+        if hash_fn == "md5":
+            return F.array_min(F.transform(grams, lambda g: F.md5(F.concat(g, F.lit(f"#{i}")))))
+        return F.array_min(
+            F.transform(grams, lambda g: F.xxhash64(g, F.lit(i)))
+        )
+
+    return docs.select("doc_id", *[h(i).alias(f"mh{i}") for i in range(num_hashes)])
+
+
+def lsh_near_duplicate_pairs(
+    docs: DataFrame,
+    threshold: float,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified — the 100 TB dedup plan.
+
+    1. signatures: num_hashes minhashes per doc (scan-stage expressions);
+    2. banding: `bands` buckets of rows_per_band hashes each; docs equal
+       on ANY band meet in an equi-join keyed (band_idx, band_hash) —
+       P(candidate) = 1-(1-j^r)^b; with 16 hashes / 8 bands / r=2, j=0.8
+       → 0.9997, so recall at the threshold is effectively exact;
+    3. candidates are exact-verified with :func:`exact_jaccard_pairs`
+       semantics via a semi-join back to the gram table — false positives
+       die here, so the output EQUALS the exact operator's output and is
+       hash-checkable against the same SQL oracle.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(docs, num_hashes)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_idx"), band_cols[b].alias("band_hash")) for b in range(bands)])
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+    ba = banded.alias("ba")
+    bb = banded.alias("bb")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("ba.band_idx") == F.col("bb.band_idx"))
+            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("id1"), F.col("bb.doc_id").alias("id2"))
+        .distinct()
+    )
+
+    # Exact verification of candidates only (candidate count << n²).
+    grams = _doc_grams(docs)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    g1 = grams.select(F.col("doc_id").alias("gid1"), F.col("gram").alias("gram1"))
+    g2 = grams.select(F.col("doc_id").alias("gid2"), F.col("gram").alias("gram2"))
+    common = (
+        candidates.join(g1, F.col("id1") == F.col("gid1"))
+        .join(g2, (F.col("id2") == F.col("gid2")) & (F.col("gram1") == F.col("gram2")))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_grams").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_grams").alias("n2"))
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        common.join(s1, "id1")
+        .join(s2, "id2")
+        .where(jac >= threshold)
+        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash_fingerprint(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash fingerprint (bit-majority over token hashes).
+
+    Explode tokens → 64-bit xxhash per token → per-bit ±1 votes summed in
+    ONE aggregation (bit tests are shifted-AND expressions, all JVM-side)
+    → reassemble the fingerprint as sum of (vote>0) << b. Near-duplicate
+    docs land at small hamming distance; bucketing fingerprint bytes gives
+    an LSH-style candidate join. Scales like a word count.
+    """
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = hashed.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else (fp + term)
+    return voted.select("doc_id", fp.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two long fingerprints via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,660 @@
+"""Tier 1 — relational algebra over the kernel (SURVEY.md §2b, O-10..O-21).
+
+The reference kernel implements none of these directly, but each is a
+classical MapReduce pattern on its F1-F8 operators (reduce-side join,
+tag-and-group set ops, re-keyed multi-pass rollup...). The engine expresses
+them as the DataFrame operators Catalyst already optimizes — broadcast vs
+sort-merge join selection, partial aggregation, predicate pushdown — rather
+than re-deriving the MR encodings.
+
+Scale notes are per-query in docstrings; the recurring rules:
+* dims (region 5 rows, nation 25 rows) are broadcast — never shuffled;
+* fact-fact joins shuffle on the join key (l_orderkey/o_orderkey is
+  uniform, no salting needed); AQE skew-join stands by for real data;
+* every aggregate is expression-based => map-side partial agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce__spark.plans.registry import query
+from mapreduce__spark.sources import load_table
+
+
+# --------------------------------------------------------------------------
+# aggregation (O-11, O-12)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("tier1", "agg", "bench"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-11 flagship aggregate: TPC-H Q1 shape on lineitem.
+
+    6 aggregates over 2 low-cardinality keys: partial agg collapses each
+    scan partition to ~6 rows before the shuffle, so the shuffle is O(
+    partitions), independent of table size — exactly the plan you want at
+    100 TB. Sums rounded identically on both sides so summation-order
+    drift between engines can't flip the hash.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_multi",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                         AS n_orders,
+           count(DISTINCT o_custkey)        AS n_customers,
+           round(sum(o_totalprice), 2)      AS sum_price,
+           round(avg(o_totalprice), 4)      AS avg_price,
+           round(min(o_totalprice), 2)      AS min_price,
+           round(max(o_totalprice), 2)      AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("tier1", "agg"),
+)
+def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-11: the full aggregate family incl. COUNT(DISTINCT) in one pass.
+
+    countDistinct forces an expand+two-phase agg; Spark keeps the other
+    aggregates partial. Fine at scale because the group count is tiny.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "approx_count_distinct",
+    oracle=None,  # approximate by construction — driver rows-only check;
+    # accuracy vs exact COUNT(DISTINCT) is asserted in tests/test_operators.py
+    tags=("tier1", "agg", "approx"),
+)
+def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-12: HyperLogLog++ distinct estimate per event_type.
+
+    At 100 TB this replaces the exact distinct's expand/shuffle with a
+    fixed-size mergeable sketch per partition — constant memory, one
+    narrow shuffle of sketches.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+# --------------------------------------------------------------------------
+# joins (O-13..O-16)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_totalprice > 4000.0
+    """,
+    tags=("tier1", "join"),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-13: equi inner join (reduce-side-join pattern on the kernel).
+
+    customer is orders/10 in cardinality and filtered — under AQE's
+    runtime size stats this flips to broadcast-hash automatically; on a
+    real cluster co-partitioning orders/customer buckets on custkey would
+    remove the shuffle entirely.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.where(F.col("o_totalprice") > 4000.0)
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "join_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 4900.0
+    """,
+    tags=("tier1", "join"),
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-13: left outer join with a join-side predicate (kept in the ON
+    clause, so non-matching customers survive with NULLs)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 4900.0)
+    return c.join(o, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+    SELECT c_custkey, c_name,
+           TRUE AS has_urgent
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT c_custkey, c_name, FALSE AS has_urgent
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+    tags=("tier1", "join"),
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-14: left-semi and left-anti joins (EXISTS / NOT EXISTS), unioned
+    with a tag so both paths are hash-checked in one query.
+
+    Semi/anti never materialize right-side columns — the build side is
+    just a key set, far cheaper than inner-join-then-distinct at scale.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    semi = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", F.lit(True).alias("has_urgent")
+    )
+    anti = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", F.lit(False).alias("has_urgent")
+    )
+    return semi.unionAll(anti)
+
+
+@query(
+    "join_broadcast_star",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           count(*) AS n_customers, round(sum(c.c_acctbal), 2) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("tier1", "join", "bench"),
+)
+def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-15: star join through two explicitly-broadcast dimensions.
+
+    nation (25 rows) and region (5 rows) are fixed-cardinality: broadcast
+    them and the whole join is map-side — the only shuffle left is the
+    final 125-group aggregate. This is THE pattern for dim joins at 100 TB.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT b.bucket_name, count(*) AS n_parts,
+           round(avg(p.p_retailprice), 4) AS avg_price
+    FROM part p
+    JOIN (VALUES ('small', 1, 10), ('medium', 11, 25), ('large', 26, 50))
+         AS b(bucket_name, lo, hi)
+      ON p.p_size BETWEEN b.lo AND b.hi
+    GROUP BY b.bucket_name
+    """,
+    tags=("tier1", "join"),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-16: non-equi (range/theta) join against a small bucket dim.
+
+    A non-equi join has no hash key; the only sane physical plan is
+    broadcast-nested-loop with the tiny side broadcast — which is what
+    forcing broadcast() here guarantees. Never range-join two large
+    relations without banding one side into an equi key first.
+    """
+    p = load_table(spark, sf_dir, "part")
+    buckets = F.broadcast(
+        spark.createDataFrame(
+            [("small", 1, 10), ("medium", 11, 25), ("large", 26, 50)],
+            "bucket_name string, lo int, hi int",
+        )
+    )
+    return (
+        p.join(buckets, p.p_size.between(F.col("lo"), F.col("hi")))
+        .groupBy("bucket_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("tier1", "join", "bench"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-k — the headline multi-join.
+
+    Filters are applied BEFORE the joins (Catalyst pushes them to the
+    scans), customer⋈orders flips to broadcast under AQE after the
+    segment filter, and the top-10 is TakeOrderedAndProject. The one big
+    shuffle is lineitem on l_orderkey — uniformly distributed.
+    """
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("tier1", "join", "bench"),
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join mixing fact-fact shuffles with broadcast
+    dims, including the customer-nation = supplier-nation theta condition
+    folded into the supplier equi-join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# windows & top-k per key (O-17, O-18)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "topk_per_key",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        FROM customer
+    ) WHERE rn <= 3
+    """,
+    tags=("tier1", "window"),
+)
+def topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-17: top-k per group via row_number window + filter.
+
+    Spark's WindowGroupLimit pushes the rank filter into the shuffle
+    (partial top-k per map task) — each partition contributes at most k
+    rows per key, so this scales like an aggregation, not a sort.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select("c_mktsegment", "c_custkey", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_analytic",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           lag(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+           rank()       OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
+           dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS type_rank
+    FROM events
+    WHERE user_id < 20
+    """,
+    tags=("tier1", "window"),
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-18: analytic window functions — lag/lead/rank/dense_rank.
+
+    All four share the user_id partitioning, so Spark computes them over
+    ONE shuffle+sort (window exchange reuse); ordering keys include a
+    unique tiebreak (event_id) for determinism.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    by_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    by_val = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    by_type = Window.partitionBy("user_id").orderBy("event_type")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("event_type").over(by_ts).alias("prev_type"),
+        F.lead("event_type").over(by_ts).alias("next_type"),
+        F.rank().over(by_val).alias("value_rank"),
+        F.dense_rank().over(by_type).alias("type_rank"),
+    )
+
+
+@query(
+    "window_frames",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_sum,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               AS moving_avg3
+    FROM events
+    WHERE user_id < 20
+    """,
+    tags=("tier1", "window"),
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-18: frame aggregates — running sum and 3-row moving average."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias(
+            "running_sum"
+        ),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+    )
+
+
+# --------------------------------------------------------------------------
+# set operations, distinct, rollup/cube (O-10, O-19, O-20)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "set_ops",
+    oracle="""
+    SELECT 'union' AS op, nk FROM (
+        SELECT c_nationkey AS nk FROM customer UNION ALL SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect' AS op, nk FROM (
+        SELECT c_nationkey AS nk FROM customer WHERE c_acctbal < 0
+        INTERSECT SELECT s_nationkey FROM supplier WHERE s_acctbal < 0)
+    UNION ALL
+    SELECT 'except' AS op, nk FROM (
+        SELECT c_nationkey AS nk FROM customer
+        EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal < 0)
+    """,
+    tags=("tier1", "setop"),
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-19: UNION ALL / INTERSECT / EXCEPT, tagged and stacked so all
+    three set semantics are verified by one hash."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    c_nk = c.select(F.col("c_nationkey").alias("nk"))
+    c_neg = c.where(F.col("c_acctbal") < 0).select(F.col("c_nationkey").alias("nk"))
+    s_nk = s.select(F.col("s_nationkey").alias("nk"))
+    s_neg = s.where(F.col("s_acctbal") < 0).select(F.col("s_nationkey").alias("nk"))
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "nk")  # noqa: E731
+    return (
+        tag(c_nk.unionAll(s_nk), "union")
+        .unionAll(tag(c_neg.intersect(s_neg), "intersect"))
+        .unionAll(tag(c_nk.subtract(s_neg), "except"))
+    )
+
+
+@query(
+    "distinct_dedup",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+    tags=("tier1",),
+)
+def distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-10: DISTINCT = group-by-all-cols with no-op reduce (the kernel
+    pattern); Spark plans it as a hash aggregate with partial dedup."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "rollup_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("tier1", "agg"),
+)
+def rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-20: ROLLUP with grouping_id — multi-level aggregates in one pass
+    (the kernel would need one MR pass per level; Spark expands
+    grouping sets map-side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
+            "gid",
+            "cnt",
+            "sum_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# scalar-function catalog (O-21)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_type)                                   AS type_lower,
+           substr(p_name, 1, 6)                            AS name_prefix,
+           instr(p_brand, '#')                             AS hash_pos,
+           len(string_split(p_name, '_'))                  AS name_tokens,
+           regexp_extract(p_brand, '#(\\d+)', 1)           AS brand_num,
+           round(abs(p_retailprice - 950.0), 2)            AS price_dev,
+           round(ln(p_retailprice), 4)                     AS log_price,
+           CAST(pow(p_size, 2) AS BIGINT)                  AS size_sq
+    FROM part
+    WHERE p_size <= 10
+    """,
+    tags=("tier1", "functions"),
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-21 (strings & math): the scalar-function catalog exercised in one
+    projection — all built-in JVM expressions, zero Python."""
+    p = load_table(spark, sf_dir, "part")
+    return p.where(F.col("p_size") <= 10).select(
+        "p_partkey",
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 6).alias("name_prefix"),
+        F.instr(F.col("p_brand"), "#").alias("hash_pos"),
+        F.size(F.split("p_name", "_")).alias("name_tokens"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.round(F.abs(F.col("p_retailprice") - 950.0), 2).alias("price_dev"),
+        F.round(F.log(F.col("p_retailprice")), 4).alias("log_price"),
+        F.pow("p_size", 2).cast("bigint").alias("size_sq"),
+    )
+
+
+@query(
+    "datetime_functions",
+    oracle="""
+    SELECT year(o_orderdate)  AS order_year,
+           month(o_orderdate) AS order_month,
+           count(*)           AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE date_trunc('year', o_orderdate) >= TIMESTAMP '1997-01-01'
+    GROUP BY year(o_orderdate), month(o_orderdate)
+    """,
+    tags=("tier1", "functions"),
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-21 (dates): year/month extraction + date_trunc predicate,
+    aggregated monthly — the canonical time-rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(F.date_trunc("year", "o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "json_extraction",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')            AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events
+    WHERE event_type = 'error'
+    """,
+    tags=("tier1", "functions"),
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-21 (semi-structured): JSON path extraction from events.props —
+    string and numeric forms (get_json_object stays JVM-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.col("event_type") == "error").select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_num"),
+    )

@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads,
+single JVM). The config block is written for the real target — a large
+multi-executor cluster reading ~100 TB — so every knob is a scale decision,
+not a test convenience:
+
+* AQE on: runtime partition coalescing, skew-join splitting and
+  dynamic join-strategy switching replace any hand-scheduling (the
+  reference's chunked work-stealing cursor, MapReduceFramework.cpp:252-261,
+  is exactly what AQE + the task scheduler already do).
+* ``spark.sql.shuffle.partitions`` sized to the parallelism of the test
+  rig; on a real cluster this should be 2-3x total executor cores and AQE
+  coalesces the rest.
+* Arrow enabled so any pandas-UDF path is columnar-batched, never
+  row-at-a-time pickling.
+* Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle and are cluster-location independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "mapreduce__spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession configured for this engine."""
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply engine runtime confs to an externally-provided session.
+
+    The driver hands us its own SparkSession for ``entry``/``queries``;
+    only runtime-settable confs may be touched here (timezone matters for
+    oracle parity, AQE for plan quality).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass  # static conf on some builds; harmless to skip
+    return spark

@@ -1,0 +1,62 @@
+"""Parquet table sources.
+
+The reference's only "scan" is a non-recursive ``readdir`` over input
+directories (Search.cpp:203-229); the engine generalizes that to parquet
+table scans via ``spark.read.parquet`` so Catalyst gets predicate pushdown,
+column pruning and partition pruning for free (the reference hand-wrote its
+one pushdown by filtering inside the scan loop, Search.cpp:220).
+
+At 100 TB these tables would be directory trees of many files; the same
+``spark.read.parquet(path)`` call handles that — file listing is
+distributed, ``spark.sql.files.maxPartitionBytes`` shapes the scan
+partitions, and nothing here assumes a single file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The driver testdata star schema (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at any realistic scale factor
+# (region=5 rows, nation=25 rows — fixed-cardinality in TPC-H-style data).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame.
+
+    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark has no
+    native type for: read it as long (`nanosAsLong` legacy conf) and
+    convert with INTEGER division — a double-valued ns/1000 would lose
+    microseconds to the ~256ns ULP of doubles at epoch-nanos magnitude.
+    DuckDB truncates ns→µs the same way, so oracle parity holds.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once; all if no names given."""
+    use = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in use}

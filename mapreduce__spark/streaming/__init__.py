@@ -1,0 +1,15 @@
+from mapreduce__spark.streaming.streams import (
+    read_events_stream,
+    stream_tumbling_counts,
+    stream_sessionized,
+    stream_dedup_first,
+    run_stream_to_memory,
+)
+
+__all__ = [
+    "read_events_stream",
+    "stream_tumbling_counts",
+    "stream_sessionized",
+    "stream_dedup_first",
+    "run_stream_to_memory",
+]

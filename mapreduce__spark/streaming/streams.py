@@ -1,0 +1,103 @@
+"""Structured Streaming counterparts of the event-window queries (O-26).
+
+The batch forms in plans/tier2.py are the oracle-checkable semantics; the
+functions here run the SAME logical shapes as true streams:
+
+* file-source `readStream` over the events parquet (in production: Kafka —
+  swap `format`),
+* event-time watermarks bounding state (late rows beyond the watermark are
+  dropped — the reference has no notion of this; its shuffle-termination
+  heuristic, MapReduceFramework.cpp:394-406, is a broken cousin),
+* tumbling window aggregation, session windows, and stateful dedup
+  (`dropDuplicates` under a watermark).
+
+Tests run them with `Trigger.AvailableNow` into a memory sink and compare
+against the batch twins — the Structured Streaming guarantee that a
+windowed agg over a replayed stream equals the batch agg makes that a real
+equivalence check, not a smoke test.
+
+Scale: state lives in the state store keyed by (window/session, keys);
+watermark delay bounds state size; `spark.sql.shuffle.partitions` sets
+state-store parallelism and must be chosen BEFORE the first checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The events parquet stores ts as TIMESTAMP(NANOS); streaming reads declare
+# it as bigint (with the nanosAsLong legacy conf) and convert via integer
+# division, mirroring mapreduce__spark.sources.tables.load_table.
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (schema must be declared
+    for streaming reads; maxFilesPerTrigger shapes micro-batches)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def stream_tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour counts with an event-time watermark — the streaming
+    twin of the `events_tumbling_window` batch query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def stream_sessionized(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows with a 30-minute gap — streaming sessionization.
+
+    Note the contract delta vs the batch lag/cumsum form: session_window's
+    end = last event + gap, so tests compare session_start/user/count.
+    """
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )
+
+
+def stream_dedup_first(events: DataFrame) -> DataFrame:
+    """Stateful streaming dedup: first event per (user_id, event_type)
+    within the watermark horizon."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+def run_stream_to_memory(
+    sdf: DataFrame, name: str, output_mode: str = "append", timeout_sec: int = 120
+) -> None:
+    """Drain a streaming DataFrame into an in-memory table with
+    Trigger.AvailableNow (process everything currently available, then
+    stop) — the batch-equivalence harness used by tests."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
