@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce__spark.functions.text import tokenize, word_ngrams
+from mapreduce__spark.sources.tables import ensure_parallelism
 
 NGRAM_N = 3
 
@@ -39,8 +40,8 @@ def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
 
 
 def _doc_grams(docs: DataFrame) -> DataFrame:
-    """(doc_id, gram) with distinct word-3-grams, plus per-doc gram counts."""
-    return docs.select(
+    """(doc_id, gram) with distinct word-3-grams exploded."""
+    return ensure_parallelism(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(word_ngrams(tokenize(F.col("text")), NGRAM_N)).alias("gram")
     )
 
@@ -74,24 +75,49 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
 
 
 def minhash_signature(docs: DataFrame, num_hashes: int, hash_fn: str = "xxhash64") -> DataFrame:
-    """Per-doc MinHash signature as `num_hashes` columns mh0..mh{k-1}.
+    """Per-doc MinHash signature as one `mh` array column of length
+    `num_hashes` — computed entirely inside the scan stage (no shuffle,
+    no UDF).
 
-    Each hash family member i is `hash(gram || '#' || i)`; the signature
-    element is the array-min over the doc's gram set — computed entirely
-    inside the scan stage (no shuffle, no UDF). ``hash_fn``:
+    Perf-critical structure: the gram set is materialized ONCE per row and
+    ALL hash family members are folded in ONE `aggregate` traversal
+    (running elementwise-min via `zip_with`). Building each minhash as its
+    own `array_min(transform(word_ngrams(...)))` column re-constructs the
+    ~|doc| gram array per hash (lambda ids differ per column, so codegen
+    subexpression elimination cannot share them) — measured 16x slower at
+    sf0.1. ``hash_fn``:
     * 'xxhash64' — fast 64-bit JVM hash (production path);
     * 'md5'      — hex-string hash reproducible in DuckDB (oracle path).
     """
     grams = word_ngrams(tokenize(F.col("text")), NGRAM_N)
+    with_grams = ensure_parallelism(docs.select("doc_id", "text")).select(
+        "doc_id", grams.alias("grams")
+    )
 
-    def h(i: int) -> Column:
-        if hash_fn == "md5":
-            return F.array_min(F.transform(grams, lambda g: F.md5(F.concat(g, F.lit(f"#{i}")))))
-        return F.array_min(
-            F.transform(grams, lambda g: F.xxhash64(g, F.lit(i)))
+    if hash_fn == "md5":
+        # '~' sorts above every hex digit, so empty docs keep the sentinel.
+        init = F.array(*[F.lit("~") for _ in range(num_hashes)])
+        fold = F.aggregate(
+            F.col("grams"),
+            init,
+            lambda acc, g: F.zip_with(
+                acc,
+                F.array(*[F.md5(F.concat(g, F.lit(f"#{i}"))) for i in range(num_hashes)]),
+                lambda a, b: F.least(a, b),
+            ),
         )
-
-    return docs.select("doc_id", *[h(i).alias(f"mh{i}") for i in range(num_hashes)])
+    else:
+        init = F.array(*[F.lit(2**63 - 1).cast("long") for _ in range(num_hashes)])
+        fold = F.aggregate(
+            F.col("grams"),
+            init,
+            lambda acc, g: F.zip_with(
+                acc,
+                F.array(*[F.xxhash64(g, F.lit(i)) for i in range(num_hashes)]),
+                lambda a, b: F.least(a, b),
+            ),
+        )
+    return with_grams.select("doc_id", fold.alias("mh"))
 
 
 def lsh_near_duplicate_pairs(
@@ -116,7 +142,7 @@ def lsh_near_duplicate_pairs(
     r = num_hashes // bands
     sig = minhash_signature(docs, num_hashes)
     band_cols = [
-        F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]).alias(f"band{b}")
+        F.xxhash64(*[F.col("mh")[b * r + i] for i in range(r)]).alias(f"band{b}")
         for b in range(bands)
     ]
     banded = sig.select(
@@ -170,7 +196,9 @@ def simhash_fingerprint(docs: DataFrame, bits: int = 32) -> DataFrame:
     docs land at small hamming distance; bucketing fingerprint bytes gives
     an LSH-style candidate join. Scales like a word count.
     """
-    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    toks = ensure_parallelism(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
     hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
     votes = [
         F.sum(

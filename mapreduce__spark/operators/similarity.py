@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mapreduce__spark.functions.vectors import as_double_vec, cosine_sim
+from mapreduce__spark.sources.tables import ensure_parallelism
 
 LSH_SEED = 42
 
@@ -36,7 +37,9 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, score, rank) — rank is deterministic
     (score desc, neighbor_id asc).
     """
-    vecs = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    vecs = ensure_parallelism(emb).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
     q = vecs.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -66,7 +69,9 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
 
 def lsh_bucket_signature(emb: DataFrame, dim: int = 64, n_planes: int = 8) -> DataFrame:
     """Sign-bit signature: bucket = Σ (dot(v, plane_p) > 0) << p."""
-    vecs = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    vecs = ensure_parallelism(emb).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
     planes = _hyperplanes(dim, n_planes)
     sig = None
     for p, plane in enumerate(planes):
@@ -123,7 +128,9 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     is the same computation restricted to LSH-bucket candidates (swap the
     crossJoin for the bucket equi-join above).
     """
-    vecs = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    vecs = ensure_parallelism(emb).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
     a = vecs.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"))
     b = vecs.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"))
     s = cosine_sim(F.col("v1"), F.col("v2"))

@@ -295,9 +295,10 @@ def dedup_lsh_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature column block (md5 family so the oracle can
     reproduce it bit-for-bit; production uses the xxhash64 family)."""
-    return minhash_signature(
+    sig = minhash_signature(
         load_table(spark, sf_dir, "documents"), num_hashes=4, hash_fn="md5"
     )
+    return sig.select("doc_id", *[F.col("mh")[i].alias(f"mh{i}") for i in range(4)])
 
 
 @query(

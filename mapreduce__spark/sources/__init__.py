@@ -1,3 +1,3 @@
-from mapreduce__spark.sources.tables import TABLES, load_table, load_tables
+from mapreduce__spark.sources.tables import TABLES, ensure_parallelism, load_table, load_tables
 
-__all__ = ["TABLES", "load_table", "load_tables"]
+__all__ = ["TABLES", "ensure_parallelism", "load_table", "load_tables"]

@@ -60,3 +60,21 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     """Load several tables at once; all if no names given."""
     use = names or TABLES
     return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy expression
+    work (minhash folds, vector math).
+
+    The testdata parquet has ONE row group per file, so the scan can never
+    split below one task locally — a single core would compute the whole
+    signature pass. On a properly-laid-out corpus (many files / row
+    groups) scan partitions >= cores and this is a NO-OP; the repartition
+    only fires when the scan is narrower than half the default
+    parallelism, so at 100 TB it never reshuffles the corpus.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
