@@ -90,14 +90,21 @@ def lsh_bucket_signature(emb: DataFrame, dim: int = 64, n_planes: int = 8) -> Da
 
 
 def lsh_topk(
-    emb: DataFrame, query_ids: list[int], k: int = 5, n_planes: int = 8, dim: int = 64
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    multiprobe: bool = True,
 ) -> DataFrame:
-    """ANN top-k: exact re-scoring restricted to same-bucket candidates.
+    """ANN top-k: exact re-scoring restricted to LSH-bucket candidates.
 
     At 100 TB: signatures are scan-stage expressions; the candidate join
-    is an equi-join on `bucket` (≈ n/2^planes candidates per query), and
-    only candidates are scored. Multiprobe (flipping one bit) would raise
-    recall at 2x candidate cost — left as the documented knob.
+    is an equi-join on `bucket` (≈ n/2^planes candidates per query probe),
+    and only candidates are scored. Multiprobe explodes each query into
+    its own bucket PLUS the n_planes hamming-1 neighbors — recall rises
+    steeply for (n_planes+1)x the candidates, still an equi-join (never a
+    hamming-distance theta join, which would be a nested loop).
     """
     sig = lsh_bucket_signature(emb, dim=dim, n_planes=n_planes)
     q = sig.where(F.col("vec_id").isin(query_ids)).select(
@@ -105,7 +112,15 @@ def lsh_topk(
         F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
     )
-    cand = sig.join(F.broadcast(q), F.col("bucket") == F.col("qbucket")).where(
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+    else:
+        probes = F.array(F.col("qbucket"))
+    q_probed = q.select("query_id", "qv", F.explode(probes).alias("pbucket"))
+    cand = sig.join(F.broadcast(q_probed), F.col("bucket") == F.col("pbucket")).where(
         F.col("vec_id") != F.col("query_id")
     )
     scored = cand.select(

@@ -23,6 +23,8 @@ state-store parallelism and must be chosen BEFORE the first checkpoint.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,6 +37,23 @@ EVENTS_RAW_SCHEMA = (
 )
 
 
+def _staged_events_dir(sf_dir: str) -> str:
+    """FileStreamSource requires a DIRECTORY (its file index rejects a bare
+    file as basePath); the testdata ships one file per table, so stage a
+    copy under /tmp once per scale factor. In production the source is a
+    real directory (or Kafka) and this shim disappears."""
+    import shutil
+
+    name = sf_dir.rstrip("/").split("/")[-1]
+    d = f"/tmp/mapreduce__spark_stream/{name}/events"
+    os.makedirs(d, exist_ok=True)
+    dst = f"{d}/events.parquet"
+    src = f"{sf_dir}/events.parquet"
+    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+        shutil.copyfile(src, dst)
+    return d
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (schema must be declared
     for streaming reads; maxFilesPerTrigger shapes micro-batches)."""
@@ -42,7 +61,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{sf_dir}/events.parquet")
+        .parquet(_staged_events_dir(sf_dir))
     )
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 

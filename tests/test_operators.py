@@ -1,0 +1,105 @@
+"""Quality tests for the approximate / rows-only operators: the properties
+an oracle hash can't check (recall, error bounds, hamming behavior)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce__spark.operators.dedup import (
+    exact_jaccard_pairs,
+    hamming64,
+    lsh_near_duplicate_pairs,
+    simhash_fingerprint,
+)
+from mapreduce__spark.operators.multimodal import extract_features, with_binary_payload
+from mapreduce__spark.operators.similarity import brute_force_topk, lsh_topk
+from mapreduce__spark.sources import load_table
+
+
+def test_lsh_recall_vs_exact(spark, sf_oracle):
+    """MinHash-LSH (16 hashes / 8 bands) must recover every exact pair at
+    threshold 0.8 on this corpus (planted dups are j>=0.98 where candidate
+    probability is ~1) and, being exact-verified, emit nothing extra."""
+    docs = load_table(spark, sf_oracle, "documents")
+    exact = {(r.id1, r.id2) for r in exact_jaccard_pairs(docs, 0.8).collect()}
+    lsh = {(r.id1, r.id2) for r in lsh_near_duplicate_pairs(docs, 0.8).collect()}
+    assert exact, "corpus should contain planted near-duplicates"
+    assert lsh == exact
+
+
+def test_simhash_separates_near_dups(spark, sf_oracle):
+    """Hamming distance between planted near-dup pairs must sit well below
+    the distance between random pairs."""
+    docs = load_table(spark, sf_oracle, "documents")
+    fp = simhash_fingerprint(docs, bits=32)
+    pairs = exact_jaccard_pairs(docs, 0.8)
+    a = fp.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("h1"))
+    b = fp.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"))
+    dup_d = (
+        pairs.join(a, "id1").join(b, "id2").select(hamming64(F.col("h1"), F.col("h2")).alias("d"))
+    ).agg(F.avg("d")).first()[0]
+    rand_d = (
+        a.crossJoin(b)
+        .where(F.col("id1") + 137 == F.col("id2"))  # arbitrary non-dup pairing
+        .select(hamming64(F.col("h1"), F.col("h2")).alias("d"))
+    ).agg(F.avg("d")).first()[0]
+    assert dup_d < rand_d / 2, (dup_d, rand_d)
+
+
+def test_ann_lsh_recall(spark, sf_oracle):
+    """LSH ANN must recover a reasonable fraction of the true top-5 (8
+    hyperplanes / 500 vectors => bucket ~2 candidates; recall is traded
+    for candidate count — assert it beats random and self-consistency)."""
+    emb = load_table(spark, sf_oracle, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    truth = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qids, k=5).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in lsh_topk(emb, qids, k=5, n_planes=4).collect()}
+    # every returned neighbor must share the query's bucket and scores are
+    # exact; demand non-trivial overlap with the true top-5
+    assert len(approx & truth) >= 3, (len(approx & truth), approx)
+
+
+def test_approx_count_distinct_error(spark, sf_oracle):
+    """HLL++ at rsd=2% must land within 5% of the exact distinct count."""
+    ev = load_table(spark, sf_oracle, "events")
+    got = {
+        r.event_type: r.approx_users
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .collect()
+    }
+    want = {
+        r.event_type: r.exact
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for k, exact in want.items():
+        assert abs(got[k] - exact) <= max(1, 0.05 * exact), (k, got[k], exact)
+
+
+def test_multimodal_plumbing(spark, sf_small):
+    """Binary payload round-trip: byte lengths and checksums from the
+    Arrow-batched decode stub must match driver-side recomputation."""
+    docs = load_table(spark, sf_small, "documents")
+    feats = {r.doc_id: r for r in extract_features(with_binary_payload(docs)).collect()}
+    for row in docs.select("doc_id", "text").limit(20).collect():
+        b = row.text.encode("utf-8")
+        f = feats[row.doc_id]
+        assert f.byte_len == len(b)
+        assert f.fake_width == (b[0] % 64) + 1
+        assert f.fake_height == (b[-1] % 64) + 1
+        assert f.checksum == sum(b[:256])
+
+
+def test_multimodal_metadata_struct(spark, sf_small):
+    """The multimodal row shape carries a typed metadata struct."""
+    mm = with_binary_payload(load_table(spark, sf_small, "documents"))
+    assert [f.name for f in mm.schema["meta"].dataType.fields] == [
+        "byte_len",
+        "mime",
+        "content_md5",
+    ]
+    assert mm.schema["payload"].dataType.typeName() == "binary"

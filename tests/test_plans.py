@@ -1,0 +1,69 @@
+"""Plan-quality gates: assert the physical plans keep the properties the
+100 TB design depends on — pushdown reaching the scan, column pruning,
+broadcast joins for dims, rank-limit pushdown, no Python in JVM-only
+queries. A regression here is a performance bug even if results match."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce__spark.plans.tier0 import scan_project, search_count
+from mapreduce__spark.plans.tier1 import (
+    join_broadcast_star,
+    pricing_summary,
+    shipping_priority,
+    topk_per_key,
+)
+from mapreduce__spark.sources import load_table
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_pruning(spark, sf_small):
+    plan = physical(scan_project(spark, sf_small))
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity,45.0)" in plan, plan
+    # Scan must read only the referenced columns, not all 11.
+    assert "l_returnflag" not in plan
+    assert "l_shipdate" not in plan
+
+
+def test_search_count_pushes_contains(spark, sf_small):
+    plan = physical(search_count(spark, sf_small))
+    assert "StringContains(source,src1)" in plan, plan
+    assert "text" not in plan  # 'documents.text' never read
+
+
+def test_dim_joins_broadcast(spark, sf_small):
+    plan = physical(join_broadcast_star(spark, sf_small))
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_per_key_rank_pushdown(spark, sf_small):
+    """row_number<=k must become a WindowGroupLimit (partial top-k before
+    the shuffle), not a full sort of every partition's rows."""
+    plan = physical(topk_per_key(spark, sf_small))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_global_topk_avoids_total_sort(spark, sf_small):
+    li = load_table(spark, sf_small, "lineitem")
+    df = li.orderBy(F.col("l_extendedprice").desc()).limit(10)
+    plan = physical(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_agg_is_partial(spark, sf_small):
+    """Wide aggregate must plan two-phase hash aggregation (map-side
+    combine before the shuffle)."""
+    plan = physical(pricing_summary(spark, sf_small))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_no_python_in_jvm_queries(spark, sf_small):
+    """Pure-expression queries must contain no Python evaluation nodes."""
+    for q in (pricing_summary, shipping_priority, search_count):
+        plan = physical(q(spark, sf_small))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q.__name__

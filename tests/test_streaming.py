@@ -1,0 +1,66 @@
+"""Structured Streaming equivalence: replaying the events table through
+readStream (AvailableNow) must reproduce the batch window aggregates —
+Spark's exactly-once guarantee replaces the reference's racy
+shuffle-termination heuristic (MapReduceFramework.cpp:394-406)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mapreduce__spark.plans.tier2 import events_tumbling_window, sessionization
+from mapreduce__spark.sources import load_table
+from mapreduce__spark.streaming import (
+    read_events_stream,
+    run_stream_to_memory,
+    stream_dedup_first,
+    stream_sessionized,
+    stream_tumbling_counts,
+)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_small):
+    sdf = stream_tumbling_counts(read_events_stream(spark, sf_small))
+    run_stream_to_memory(sdf, "t_tumble", output_mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("t_tumble").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in events_tumbling_window(spark, sf_small).collect()
+    }
+    assert got == want
+
+
+def test_stream_sessions_match_batch_starts(spark, sf_small):
+    """session_window sessions must agree with the batch lag/cumsum
+    sessionization on (user, session_start, n_events)."""
+    sdf = stream_sessionized(read_events_stream(spark, sf_small))
+    run_stream_to_memory(sdf, "t_sess", output_mode="complete")
+    got = {
+        (r.user_id, r.session_start, r.n_events) for r in spark.table("t_sess").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in sessionization(spark, sf_small).collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_one_per_key(spark, sf_small):
+    """Streaming dropDuplicates keeps exactly one event per (user, type)
+    present in the batch table."""
+    sdf = stream_dedup_first(read_events_stream(spark, sf_small))
+    run_stream_to_memory(sdf, "t_dedup", output_mode="append")
+    got = spark.table("t_dedup")
+    ev = load_table(spark, sf_small, "events")
+    want_keys = {
+        (r.user_id, r.event_type)
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert got.count() == len(want_keys)
+    assert {
+        (r.user_id, r.event_type) for r in got.select("user_id", "event_type").collect()
+    } == want_keys
