@@ -179,6 +179,42 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_full_outer",
+    oracle="""
+    SELECT big.o_custkey AS custkey, big.n_big, neg.n_neg
+    FROM (SELECT o_custkey, count(*) AS n_big FROM orders
+          WHERE o_totalprice > 4800.0 GROUP BY o_custkey) big
+    FULL JOIN (SELECT c_custkey, count(*) AS n_neg FROM customer
+               WHERE c_acctbal < -500.0 GROUP BY c_custkey) neg
+      ON big.o_custkey = neg.c_custkey
+    """,
+    tags=("tier1", "join"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-13: full outer join of two pre-aggregated sides — NULLs must
+    survive on both sides.
+
+    Quirk the test pins down: the join key itself is NULL on unmatched
+    right rows, so the output key must coalesce both sides' keys.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        o.where(F.col("o_totalprice") > 4800.0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    neg = (
+        c.where(F.col("c_acctbal") < -500.0)
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_neg"))
+    )
+    return big.join(neg, big.o_custkey == neg.c_custkey, "full").select(
+        F.col("o_custkey").alias("custkey"), "n_big", "n_neg"
+    )
+
+
+@query(
     "join_semi_anti",
     oracle="""
     SELECT c_custkey, c_name,
@@ -569,6 +605,39 @@ def rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '<all>')   AS orderstatus,
+           coalesce(o_orderpriority, '<all>') AS orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("tier1", "agg"),
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-20: CUBE — all 2^n grouping-set combinations in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("orderpriority"),
+            "gid",
+            "cnt",
+            "sum_price",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # scalar-function catalog (O-21)
 # --------------------------------------------------------------------------
@@ -657,4 +726,28 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
         F.get_json_object("props", "$.k").cast("bigint").alias("k_num"),
+    )
+
+
+@query(
+    "json_typed_struct",
+    oracle="""
+    SELECT json_extract_string(props, '$.k')::BIGINT % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("tier1", "functions"),
+)
+def json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-21/O-25 (semi-structured, typed): from_json parses props into a
+    typed struct ONCE, then downstream expressions use struct fields —
+    the right pattern when several fields are extracted (one parse,
+    not one get_json_object scan per field)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(F.from_json("props", "k bigint").alias("p"))
+    return (
+        parsed.groupBy((F.col("p.k") % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("p.k").alias("sum_k"))
     )

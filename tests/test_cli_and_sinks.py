@@ -1,0 +1,88 @@
+"""Reference-client parity (the Search CLI on real directories) and sink
+round-trips."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+from collections import Counter
+
+from mapreduce__spark.operators.sinks import formatted_lines, write_parquet, write_text
+from mapreduce__spark.search_cli import format_output, search
+from mapreduce__spark.sources import load_table
+
+
+def make_dirs(tmp_path):
+    """Two directories with overlapping names — exercises the reference's
+    name-collision-across-dirs semantics (key is the base name)."""
+    d1, d2 = tmp_path / "d1", tmp_path / "d2"
+    d1.mkdir(), d2.mkdir()
+    for n in ["alpha.txt", "beta.log", "match_a.txt", "nomatch"]:
+        (d1 / n).touch()
+    for n in ["match_a.txt", "match_b.txt", "gamma"]:
+        (d2 / n).touch()
+    return [str(d1), str(d2)]
+
+
+def reference_search(word, dirs):
+    """Single-threaded model of Search.cpp semantics."""
+    counts = Counter()
+    for d in dirs:
+        for name in os.listdir(d):
+            if name not in (".", "..") and word in name:
+                counts[name] += 1
+    out = []
+    for name in sorted(counts):
+        out.extend([name] * counts[name])
+    return out
+
+
+def test_search_matches_reference_semantics(spark, tmp_path):
+    dirs = make_dirs(tmp_path)
+    got = [r.file for r in search(spark, "match", dirs).collect()]
+    assert got == reference_search("match", dirs)
+    # collision across dirs: match_a.txt must appear twice
+    assert got.count("match_a.txt") == 2
+
+
+def test_search_no_matches(spark, tmp_path):
+    dirs = make_dirs(tmp_path)
+    assert search(spark, "zzz", dirs).collect() == []
+    assert format_output([]) == ""
+
+
+def test_cli_usage_error():
+    res = subprocess.run(
+        [sys.executable, "-m", "mapreduce__spark.search_cli"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert res.returncode == 1
+    assert "usage" in res.stderr.lower()
+
+
+def test_parquet_sink_roundtrip(spark, sf_small, tmp_path):
+    out = str(tmp_path / "out.parquet")
+    df = load_table(spark, sf_small, "nation")
+    write_parquet(df, out, partition_by=["n_regionkey"])
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    assert {r.n_name for r in back.collect()} == {r.n_name for r in df.collect()}
+    # partition pruning: reading one region must scan one directory
+    one = spark.read.parquet(out).where("n_regionkey = 1")
+    assert one.count() == df.where("n_regionkey = 1").count()
+
+
+def test_text_sink(spark, sf_small, tmp_path):
+    out = str(tmp_path / "lines")
+    df = formatted_lines(load_table(spark, sf_small, "region"), "r_regionkey", "r_name")
+    write_text(df, out)
+    lines = set()
+    for f in os.listdir(out):
+        if f.startswith("part-"):
+            with open(os.path.join(out, f)) as fh:
+                lines.update(line.strip() for line in fh if line.strip())
+    assert lines == {f"{r.r_regionkey}|{r.r_name}" for r in
+                     load_table(spark, sf_small, "region").collect()}
