@@ -45,7 +45,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # keep the default 10MB broadcast threshold: dims (region, nation,
+        # supplier, customer) all fit far under it, and a threshold high
+        # enough to broadcast a FACT table locally would teach the wrong
+        # plan shape for scale — AQE upgrades joins at runtime when the
+        # built side is genuinely small.
     )
     return builder.getOrCreate()
 
