@@ -1,0 +1,67 @@
+"""As-of (most-recent-match) join — a time-series operator Spark lacks as
+a primitive.
+
+Semantics: for each left row, attach the columns of the LATEST right row
+with the same key and right.ts <= left.ts (the standard trades⋈quotes /
+events⋈snapshots join).
+
+Spark-first plan — the union-and-carry-forward encoding, NOT a range
+self-join: tag both inputs, union, and run ONE window pass per key ordered
+by (ts, side) where right rows sort before left rows at equal timestamps
+(so `>=` matches inclusively); `last(right_payload, ignorenulls)` carries
+the most recent right row forward; keep left rows.
+
+Scale: one shuffle on the key + a sort within partitions — the same cost
+as a sort-merge join, with no range-explosion. A naive BETWEEN theta join
+is quadratic per key; this is O(n log n) per key and streams through the
+window operator. Skewed keys salt the same way any window would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts: str,
+    right_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Left as-of join; right_cols are carried from the matched right row
+    (NULLs when no right row precedes). `tiebreak` orders rows at equal
+    (ts, side) deterministically — give a unique column when inputs can
+    tie."""
+    carry = F.struct(*[F.col(c) for c in right_cols]).alias("_carry")
+    null_carry = F.lit(None).cast(
+        "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in right_cols) + ">"
+    ).alias("_carry")
+
+    left_cols = [c for c in left.columns]
+    l_tagged = left.select(
+        *on, F.col(ts).alias("_ts"), F.lit(1).alias("_side"), null_carry,
+        F.struct(*[F.col(c) for c in left_cols]).alias("_left"),
+    )
+    r_tagged = right.select(
+        *on, F.col(ts).alias("_ts"), F.lit(0).alias("_side"), carry,
+        F.lit(None).cast(l_tagged.schema["_left"].dataType.simpleString()).alias("_left"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    order = [F.col("_ts"), F.col("_side")]
+    if tiebreak is not None:
+        order.append(F.coalesce(F.col(f"_carry.{tiebreak}"), F.col(f"_left.{tiebreak}")))
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = unioned.withColumn("_match", F.last("_carry", ignorenulls=True).over(w))
+    return matched.where(F.col("_side") == 1).select(
+        *[F.col(f"_left.{c}").alias(c) for c in left_cols],
+        *[F.col(f"_match.{c}").alias(c) for c in right_cols],
+    )

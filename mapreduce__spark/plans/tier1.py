@@ -730,6 +730,67 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pivot_agg",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'view')     AS view,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'error')    AS error
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("tier1", "agg"),
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-20 family: pivot (one column per key value). Explicit value list
+    keeps the schema static — a discovery pivot would need an extra
+    distinct pass and produce a data-dependent schema (never do that in a
+    production pipeline). Missing combinations coalesce to 0 to match SQL
+    FILTER-count semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    pivoted = (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_bucket", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+_SQL_SURFACE = """
+    WITH cust_max AS (
+        SELECT o_custkey, max(o_totalprice) AS mx
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, t.n_top
+    FROM customer c
+    JOIN (
+        SELECT o.o_custkey, count(*) AS n_top
+        FROM orders o JOIN cust_max m ON o.o_custkey = m.o_custkey
+        WHERE o.o_totalprice > 0.9 * m.mx
+        GROUP BY o.o_custkey
+    ) t ON c.c_custkey = t.o_custkey
+    WHERE EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderpriority = '1-URGENT')
+"""
+
+
+@query("sql_cte_exists", oracle=_SQL_SURFACE, tags=("tier1", "sql"))
+def sql_cte_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry surface: the SAME ANSI text runs through spark.sql
+    over registered temp views and through the DuckDB oracle — CTE,
+    derived-table join, and a correlated EXISTS in one statement."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_SURFACE)
+
+
+@query(
     "json_typed_struct",
     oracle="""
     SELECT json_extract_string(props, '$.k')::BIGINT % 10 AS k_bucket,

@@ -552,6 +552,94 @@ def stateful_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                     AS n_dims,
+           round(list_max(embedding::DOUBLE[]), 4)            AS max_val,
+           round(list_min(embedding::DOUBLE[]), 4)            AS min_val,
+           (list_min(embedding::DOUBLE[]) < 0.0)              AS has_negative,
+           round(embedding[1]::DOUBLE, 4)                     AS first_val
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    tags=("tier2", "functions", "multimodal"),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-21/O-25 (arrays): size / min / max / element access over the
+    embedding array column — the array-function catalog on real
+    multimodal data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.where(F.col("vec_id") < 100).select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(F.array_max(v), 4).alias("max_val"),
+        F.round(F.array_min(v), 4).alias("min_val"),
+        (F.array_min(v) < 0.0).alias("has_negative"),
+        F.round(v[0], 4).alias("first_val"),
+    )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT event_id,
+           json_keys(props)                                  AS prop_keys,
+           json_extract_string(props, '$.k')::BIGINT         AS k_value,
+           (json_extract_string(props, '$.missing') IS NULL) AS missing_is_null
+    FROM events
+    WHERE event_id < 500
+    """,
+    tags=("tier2", "functions"),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-21/O-25 (maps): props parsed once into map<string,bigint>;
+    map_keys / element_at / missing-key semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.where(F.col("event_id") < 500).select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.element_at(m, "k").alias("k_value"),
+        F.element_at(m, "missing").isNull().alias("missing_is_null"),
+    )
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+    tags=("tier2", "join", "timeseries"),
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's most recent click at or
+    before it (union + carry-forward window — one shuffle, no range
+    explosion; see operators/asof.py). Oracle is DuckDB's native ASOF."""
+    from mapreduce__spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        purchases.withColumn("_j_ts", F.col("ts")),
+        clicks.withColumn("_j_ts", F.col("click_ts")),
+        on=["user_id"],
+        ts="_j_ts",
+        right_cols=["click_id", "click_ts"],
+    ).select("event_id", "user_id", "ts", "click_id", "click_ts")
+
+
 # --------------------------------------------------------------------------
 # O-1 / O-27: kernel parity + UDF surface
 # --------------------------------------------------------------------------

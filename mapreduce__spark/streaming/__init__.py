@@ -3,6 +3,7 @@ from mapreduce__spark.streaming.streams import (
     stream_tumbling_counts,
     stream_sessionized,
     stream_dedup_first,
+    stream_user_totals_stateful,
     run_stream_to_memory,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "stream_tumbling_counts",
     "stream_sessionized",
     "stream_dedup_first",
+    "stream_user_totals_stateful",
     "run_stream_to_memory",
 ]

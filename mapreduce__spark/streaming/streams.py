@@ -104,6 +104,35 @@ def stream_dedup_first(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (event count, value sum) maintained in the state
+    store across micro-batches — the reference's Reduce-with-memory shape
+    that windowed aggregation can't express (state never expires here;
+    production would set a TTL timeout).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "append", timeout_sec: int = 120
 ) -> None:

@@ -17,6 +17,7 @@ from mapreduce__spark.streaming import (
     stream_dedup_first,
     stream_sessionized,
     stream_tumbling_counts,
+    stream_user_totals_stateful,
 )
 
 
@@ -45,6 +46,33 @@ def test_stream_sessions_match_batch_starts(spark, sf_small):
     want = {
         (r.user_id, r.session_start, r.n_events)
         for r in sessionization(spark, sf_small).collect()
+    }
+    assert got == want
+
+
+def test_stream_stateful_totals(spark, sf_small):
+    """applyInPandasWithState running totals: the LAST update emitted per
+    user must equal the batch aggregate."""
+    sdf = stream_user_totals_stateful(read_events_stream(spark, sf_small))
+    run_stream_to_memory(sdf, "t_state", output_mode="update")
+    # 'update' mode appends one row per user per batch; the final state is
+    # the max-n row per user.
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in spark.table("t_state")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.struct("n_events", "sum_value")).alias("s")
+        )
+        .select("user_id", "s.n_events", "s.sum_value")
+        .collect()
+    }
+    ev = load_table(spark, sf_small, "events")
+    want = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
     }
     assert got == want
 
