@@ -165,24 +165,25 @@ def lsh_near_duplicate_pairs(
         .distinct()
     )
 
-    # Exact verification of candidates only (candidate count << n²).
-    grams = _doc_grams(docs)
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    g1 = grams.select(F.col("doc_id").alias("gid1"), F.col("gram").alias("gram1"))
-    g2 = grams.select(F.col("doc_id").alias("gid2"), F.col("gram").alias("gram2"))
-    common = (
-        candidates.join(g1, F.col("id1") == F.col("gid1"))
-        .join(g2, (F.col("id2") == F.col("gid2")) & (F.col("gram1") == F.col("gram2")))
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("common"))
+    # Exact verification of candidates only (candidate count << n²): join
+    # each pair to the two per-doc GRAM ARRAYS and intersect in-row. This
+    # avoids re-exploding the gram table (the exploded two-sided join is
+    # exact_jaccard_pairs' job — right for all-pairs, wasteful for a small
+    # candidate list). Row width = two gram arrays; candidate counts are
+    # bounded by the banding, so this stays narrow at scale.
+    gram_arrays = ensure_parallelism(docs.select("doc_id", "text")).select(
+        "doc_id", word_ngrams(tokenize(F.col("text")), NGRAM_N).alias("grams")
     )
-    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_grams").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_grams").alias("n2"))
-    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    ga1 = gram_arrays.select(F.col("doc_id").alias("gid1"), F.col("grams").alias("g1"))
+    ga2 = gram_arrays.select(F.col("doc_id").alias("gid2"), F.col("grams").alias("g2"))
+    paired = (
+        candidates.join(ga1, F.col("id1") == F.col("gid1"))
+        .join(ga2, F.col("id2") == F.col("gid2"))
+    )
+    common = F.size(F.array_intersect(F.col("g1"), F.col("g2")))
+    jac = common / (F.size("g1") + F.size("g2") - common)
     return (
-        common.join(s1, "id1")
-        .join(s2, "id2")
-        .where(jac >= threshold)
+        paired.where(jac >= threshold)
         .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
     )
 
