@@ -553,6 +553,63 @@ def stateful_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "train_test_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))::BIGINT % 10 AS b
+        FROM documents
+    )
+    """,
+    tags=("tier2", "pipeline"),
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, reproducible train/val/test assignment (80/10/10)
+    by content-hash bucketing — THE sampling idiom for data pipelines:
+    stable across reruns and cluster layouts (no RNG, no row order
+    dependence), and any engine can recompute membership. Bucket = first
+    8 hex chars of md5(key || salt) mod 10."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#split"))), 1, 8), 16, 10)
+        .cast("bigint") % 10
+    )
+    return docs.select(
+        "doc_id",
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           round(min(o_totalprice), 2)  AS min_price,
+           round(max(o_totalprice), 2)  AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("tier1", "agg"),
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-11: exact interpolated percentiles (median, p90) per group —
+    Spark's `percentile` matches SQL quantile_cont interpolation. The
+    approximate scale path is approx_percentile (a mergeable sketch, no
+    full sort); exact percentile shuffles the group's values."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
     "array_functions",
     oracle="""
     SELECT vec_id,
