@@ -803,6 +803,76 @@ def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "string_agg_per_group",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ';' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("tier1", "agg", "functions"),
+)
+def string_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-21: ordered string aggregation (LISTAGG) — sorted collect_list
+    joined with a separator; sort_array makes the concat deterministic
+    (collect_list order is not, SURVEY §4.3.2)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(";", F.sort_array(F.collect_list("n_name"))).alias("nations")
+    )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT p_partkey,
+           trim(regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS norm_name
+    FROM part WHERE p_partkey < 300
+    """,
+    tags=("tier1", "functions", "text"),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-21/O-24: the standard text-normalization chain (lowercase, strip
+    non-alphanumerics, squeeze whitespace, trim) — the preprocessing step
+    in front of every dedup/tokenize pass, as pure codegen expressions."""
+    p = load_table(spark, sf_dir, "part")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("p_name")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return p.where(F.col("p_partkey") < 300).select("p_partkey", norm.alias("norm_name"))
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM customer
+    WHERE c_custkey <= 400
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("tier1", "window"),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-18: distribution window functions — ntile / percent_rank /
+    cume_dist over a global ordering (unique tiebreak keeps every rank
+    deterministic)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.where(F.col("c_custkey") <= 400).select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
     "json_extraction",
     oracle="""
     SELECT event_id,
