@@ -1,0 +1,50 @@
+"""Layout robustness: the engine must behave identically when a table is
+a DIRECTORY of many parquet part-files (the real 100 TB layout) instead of
+the driver's single file — and the scan must then parallelize naturally
+(ensure_parallelism becoming the documented no-op)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce__spark.plans.registry import REGISTRY
+from mapreduce__spark.sources import load_table
+from mapreduce__spark.sources.tables import _TABLE_CACHE
+
+
+@pytest.fixture(scope="module")
+def sharded_dir(spark, sf_small, tmp_path_factory):
+    """Re-shard every table of sf0.001 into an 8-file directory layout."""
+    out = str(tmp_path_factory.mktemp("sharded"))
+    for t in ("documents", "events", "orders", "lineitem", "customer",
+              "nation", "region", "supplier", "part", "embeddings"):
+        df = load_table(spark, sf_small, t)
+        df.repartition(8).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    return out
+
+
+@pytest.mark.parametrize("name", ["search_count", "events_tumbling_window",
+                                  "pricing_summary", "dedup_lsh_minhash",
+                                  "sessionization", "shipping_priority",
+                                  "local_supplier_volume", "revenue_forecast",
+                                  "word_count", "ann_topk_bruteforce"])
+def test_queries_agree_on_sharded_layout(spark, sf_small, sharded_dir, name):
+    q = REGISTRY[name]
+    single = sorted(map(tuple, q.fn(spark, sf_small).collect()))
+    sharded = sorted(map(tuple, q.fn(spark, sharded_dir).collect()))
+    assert single == sharded
+
+
+def test_sharded_scan_parallelizes(spark, sharded_dir):
+    """8 part-files -> >=8 scan partitions without any repartition."""
+    df = load_table(spark, sharded_dir, "lineitem")
+    assert df.rdd.getNumPartitions() >= 8
+
+
+def test_sharded_events_ts_roundtrip(spark, sf_small, sharded_dir):
+    """Re-written events carry micros timestamps (no nanos branch) and
+    must still load with identical values."""
+    _TABLE_CACHE.clear()
+    a = sorted(r.ts for r in load_table(spark, sf_small, "events").select("ts").collect())
+    b = sorted(r.ts for r in load_table(spark, sharded_dir, "events").select("ts").collect())
+    assert a == b
