@@ -553,6 +553,46 @@ def stateful_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION SELECT id2, id1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT node, component, n_members
+    FROM (
+        SELECT a AS node,
+               least(a, min(b)) AS component,
+               count(DISTINCT b) + 1
+                 - CASE WHEN bool_or(b = a) THEN 1 ELSE 0 END AS n_members
+        FROM reach GROUP BY a
+    )
+    """,
+    tags=("tier2", "dedup", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the LSH pair graph
+    (iterative min-label propagation, operators/graph.py), annotated with
+    component size — the step that turns pair detection into a keep-one-
+    representative dedup policy. Oracle: transitive closure via DuckDB
+    recursive CTE."""
+    from mapreduce__spark.operators.graph import connected_components
+
+    pairs = lsh_near_duplicate_pairs(
+        load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD, num_hashes=16, bands=8
+    )
+    cc = connected_components(pairs, "id1", "id2")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return cc.join(sizes, "component").select("node", "component", "n_members")
+
+
+@query(
     "train_test_split",
     oracle="""
     SELECT doc_id,
@@ -661,6 +701,84 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_keys(m).alias("prop_keys"),
         F.element_at(m, "k").alias("k_value"),
         F.element_at(m, "missing").isNull().alias("missing_is_null"),
+    )
+
+
+@query(
+    "rolling_user_features",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_prev_1h,
+           round(sum(value) OVER w, 2) AS sum_prev_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+    tags=("tier2", "window", "timeseries"),
+)
+def rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-18 (range frames): trailing 1-hour per-user activity features —
+    the feature-engineering window for event streams. Spark's rangeBetween
+    needs a numeric ordering key, so the frame runs over epoch seconds
+    (-3600, 0], identical to RANGE INTERVAL '1 hour' PRECEDING."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_prev_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_prev_1h"),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id < 50)
+        GROUP BY doc_id, tok
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n FROM documents WHERE doc_id < 50)
+    SELECT doc_id, term, rank FROM (
+        SELECT tf.doc_id, tf.term,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * round(ln(n.n / df.df), 6) DESC, tf.term ASC
+               ) AS rank
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+    tags=("tier2", "text"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-24: TF-IDF top-3 terms per document (restricted corpus slice).
+
+    idf is rounded to 6 digits BEFORE the tf*idf product so a last-ulp
+    libm difference between the JVM's and the oracle's ln() cannot flip
+    the ranking; ties break on the term for determinism."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.count()
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.round(F.log(F.lit(float(n)) / F.col("df")), 6)).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank")
     )
 
 

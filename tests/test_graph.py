@@ -1,0 +1,35 @@
+"""Connected-components operator: known graphs, convergence, determinism."""
+
+from __future__ import annotations
+
+from mapreduce__spark.operators.graph import connected_components
+
+
+def cc_dict(spark, edges):
+    df = spark.createDataFrame(edges, "id1 bigint, id2 bigint")
+    return {r.node: r.component for r in connected_components(df).collect()}
+
+
+def test_two_components(spark):
+    got = cc_dict(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_needs_multiple_rounds(spark):
+    """A long path graph exercises >1 propagation round."""
+    chain = [(i, i + 1) for i in range(1, 12)]
+    got = cc_dict(spark, chain)
+    assert set(got.values()) == {1}
+    assert len(got) == 12
+
+
+def test_cycle_and_orientation_invariance(spark):
+    """Cycles converge; flipping edge orientation changes nothing."""
+    a = cc_dict(spark, [(5, 6), (6, 7), (7, 5)])
+    b = cc_dict(spark, [(6, 5), (7, 6), (5, 7)])
+    assert a == b == {5: 5, 6: 5, 7: 5}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "id1 bigint, id2 bigint")
+    assert connected_components(df).collect() == []
