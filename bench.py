@@ -49,12 +49,18 @@ def main() -> None:
     # excluded from per-query numbers.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # min of two runs per query: the first run pays one-time codegen /
+    # footer-read costs and OS noise; the min is the stable per-round
+    # comparison number (both runs execute the full plan end-to-end).
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         q = REGISTRY[name]
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
