@@ -188,6 +188,37 @@ def lsh_near_duplicate_pairs(
     )
 
 
+def ml_minhash_pairs(docs: DataFrame, threshold: float, num_features: int = 1 << 18) -> DataFrame:
+    """Spark ML MinHashLSH variant of near-dup pair finding (API-breadth
+    twin of :func:`lsh_near_duplicate_pairs`; the expression-based one is
+    the engine's default — deterministic hashes, no feature-hashing
+    collisions, oracle-checkable).
+
+    grams → HashingTF sparse set vectors → MinHashLSH(seed) →
+    approxSimilarityJoin at Jaccard distance (1 - threshold). The
+    distance ML reports is the EXACT Jaccard over hashed gram indices, so
+    up to HashingTF collisions this equals the exact operator's output.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    grams = docs.select(
+        "doc_id", word_ngrams(tokenize(F.col("text")), NGRAM_N).alias("grams")
+    ).where(F.size("grams") > 0)
+    tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=num_features, binary=True)
+    feats = tf.transform(grams)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="dist")
+    return (
+        joined.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id1"),
+            F.col("datasetB.doc_id").alias("id2"),
+            F.round(1.0 - F.col("dist"), 4).alias("jaccard"),
+        )
+    )
+
+
 def simhash_fingerprint(docs: DataFrame, bits: int = 32) -> DataFrame:
     """Per-doc SimHash fingerprint (bit-majority over token hashes).
 

@@ -27,6 +27,37 @@ def test_lsh_recall_vs_exact(spark, sf_oracle):
     assert lsh == exact
 
 
+def test_ml_minhash_matches_exact_pairs(spark, sf_oracle):
+    """The Spark ML MinHashLSH variant must recover the exact pair set at
+    threshold 0.8 on this corpus (planted dups are far from the
+    threshold, so LSH recall ~1 and hashing collisions are negligible)."""
+    from mapreduce__spark.operators.dedup import ml_minhash_pairs
+
+    docs = load_table(spark, sf_oracle, "documents")
+    exact = {(r.id1, r.id2) for r in exact_jaccard_pairs(docs, 0.8).collect()}
+    ml = {(r.id1, r.id2) for r in ml_minhash_pairs(docs, 0.8).collect()}
+    assert ml == exact
+
+
+def test_phase_timer():
+    """F11 parity: phase wall-times accumulate and format like the
+    reference's log ('<phase> took <ns> ns')."""
+    import re
+
+    from mapreduce__spark.metrics import PhaseTimer
+
+    t = PhaseTimer()
+    with t.phase("map_shuffle"):
+        sum(range(1000))
+    with t.phase("reduce"):
+        pass
+    with t.phase("reduce"):
+        pass
+    d = t.durations_ns()
+    assert set(d) == {"map_shuffle", "reduce"} and d["map_shuffle"] > 0
+    assert all(re.match(r"\[\d\d\.\d\d\.\d{4} .*\] \w+ took \d+ ns", s) for s in t.log_lines())
+
+
 def test_simhash_separates_near_dups(spark, sf_oracle):
     """Hamming distance between planted near-dup pairs must sit well below
     the distance between random pairs."""
