@@ -77,6 +77,53 @@ def test_stream_stateful_totals(spark, sf_small):
     assert got == want
 
 
+def test_stream_incremental_checkpoint_exactly_once(spark, sf_small, tmp_path):
+    """File-source incremental processing under a checkpoint: replaying
+    with the same checkpoint processes nothing new; newly-arrived files
+    are processed exactly once (the exactly-once story the reference's
+    racy shuffle-termination heuristic lacks)."""
+    src = tmp_path / "incoming"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    ev = load_table(spark, sf_small, "events").select("event_id", "user_id", "value")
+    # stage 4 shards; first drop 2 of them
+    shards = ev.randomSplit([0.25, 0.25, 0.25, 0.25], seed=7)
+    for i, s in enumerate(shards[:2]):
+        s.coalesce(1).write.mode("overwrite").parquet(str(src / f"batch{i}"))
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema("event_id bigint, user_id bigint, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+
+    run_once()
+    first = spark.read.parquet(sink).count()
+    assert first == shards[0].count() + shards[1].count()
+    run_once()  # same checkpoint, no new files -> no new rows
+    assert spark.read.parquet(sink).count() == first
+    for i, s in enumerate(shards[2:], start=2):
+        s.coalesce(1).write.mode("overwrite").parquet(str(src / f"batch{i}"))
+    run_once()  # only the new files are processed
+    total = spark.read.parquet(sink).count()
+    assert total == ev.count()
+    ids = [r.event_id for r in spark.read.parquet(sink).select("event_id").collect()]
+    assert len(ids) == len(set(ids))  # exactly once, no duplicates
+
+
 def test_stream_dedup_one_per_key(spark, sf_small):
     """Streaming dropDuplicates keeps exactly one event per (user, type)
     present in the batch table."""
