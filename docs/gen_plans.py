@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Regenerate docs/PLANS.md — structural physical-plan skeletons of the
+headline queries at sf0.1 (AQE final plans), the evidence artifact behind
+SCALE.md's plan-shape claims."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from mapreduce__spark.plans import REGISTRY  # noqa: E402
+from mapreduce__spark.session import get_spark  # noqa: E402
+
+NAMES = [
+    "search_count",
+    "pricing_summary",
+    "shipping_priority",
+    "dedup_lsh_minhash",
+    "ann_topk_bruteforce",
+]
+KEEP = (
+    "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",
+    "TakeOrdered", "Generate", "Project [", "Filter", "AdaptiveSparkPlan",
+    "WindowGroupLimit", "BroadcastExchange",
+)
+
+
+def main() -> None:
+    spark = get_spark(app_name="gen-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out = [
+        "# Physical plans (sf0.1, local[32], AQE final plans)",
+        "",
+        "Auto-generated evidence for the plan-shape claims in SCALE.md: pushed filters,",
+        "pruned read schemas, broadcast dims, partial aggregation, rank pushdown.",
+        "Regenerate: `python3 docs/gen_plans.py`.",
+        "",
+    ]
+    for n in NAMES:
+        df = REGISTRY[n].fn(spark, sf)
+        df.collect()  # finalize the adaptive plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        keep = [l.rstrip() for l in plan.splitlines() if any(k in l for k in KEEP)]
+        out += [f"## {n}", "", "```", *[l[:160] for l in keep[:40]], "```", ""]
+    path = os.path.join(os.path.dirname(__file__), "PLANS.md")
+    with open(path, "w") as fh:
+        fh.write("\n".join(out))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
