@@ -553,6 +553,86 @@ def stateful_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sequence_packing",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT doc_id, n_tokens, (cum - n_tokens) // 2048 AS bin
+    FROM c
+    """,
+    tags=("tier2", "pipeline"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training pipelines: assign docs to contiguous
+    token-budget bins (2048 approx-BPE tokens) via a running-sum window —
+    bin = floor(tokens-before-this-doc / budget). Deterministic (doc_id
+    order), one sort, no driver loop; the contiguous-fill policy packs to
+    >= budget-minus-max-doc utilization, the standard streaming-pack
+    approximation of bin packing."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        ((F.col("cum") - F.col("n_tokens")) / 2048).cast("bigint").alias("bin"),
+    )
+
+
+@query(
+    "repetition_ratio",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                                     i -> array_to_string(toks[i:i+2], ' '))) AS gram
+        FROM t
+    ), counts AS (
+        SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS total_grams,
+           CAST(max(c) AS BIGINT) AS top_gram_count,
+           round(max(c)::DOUBLE / sum(c), 4) AS repetition_ratio
+    FROM counts GROUP BY doc_id
+    """,
+    tags=("tier2", "text"),
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (quality signal): most-frequent word-3-gram
+    share of all 3-gram occurrences per doc — high values flag boilerplate
+    and degenerate generations. Non-distinct grams by design."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    counts = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("total_grams"),
+        F.max("c").alias("top_gram_count"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("repetition_ratio"),
+    )
+
+
+@query(
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
