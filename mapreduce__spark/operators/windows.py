@@ -1,0 +1,62 @@
+"""Distributed global cumulative sum.
+
+A `Window.orderBy(...)` with no partitionBy funnels the whole relation
+through ONE task — fine at test scale, fatal at 100 TB. The classic
+two-phase fix:
+
+1. range-partition by the order key and sort within partitions (exactly
+   what a global sort does — parallel);
+2. per-partition totals (one row per partition) collect to the driver —
+   O(P), not O(N) — and become broadcast prefix offsets;
+3. each partition computes its local running sum in parallel and adds its
+   offset.
+
+The result is bit-identical to the single-partition window (integer/long
+sums are associative) with full parallelism. This is the building block
+behind `sequence_packing` and any "global position/offset" assignment
+(row numbering works the same way with counts instead of sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running sum of `value_col` in `order_col` order, scalable.
+
+    Output = input columns + `out_col` (inclusive running total).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, F.col(order_col)).sortWithinPartitions(order_col)
+    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+
+    # O(P) driver-side prefix offsets, shipped back as a broadcast map.
+    totals = (
+        with_pid.groupBy("_pid").agg(F.sum(value_col).alias("_total")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r._pid):
+        offsets[row._pid] = acc
+        acc += row._total
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_pid"),
+    ) if offsets else F.lit(0)
+
+    w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        with_pid.withColumn(out_col, F.sum(value_col).over(w) + offset_expr)
+        .drop("_pid")
+    )

@@ -571,17 +571,23 @@ def stateful_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training pipelines: assign docs to contiguous
-    token-budget bins (2048 approx-BPE tokens) via a running-sum window —
-    bin = floor(tokens-before-this-doc / budget). Deterministic (doc_id
-    order), one sort, no driver loop; the contiguous-fill policy packs to
-    >= budget-minus-max-doc utilization, the standard streaming-pack
-    approximation of bin packing."""
+    token-budget bins (2048 approx-BPE tokens) — bin = floor(tokens-
+    before-this-doc / budget). Deterministic (doc_id order); the
+    contiguous-fill policy packs to >= budget-minus-max-doc utilization,
+    the standard streaming-pack approximation of bin packing.
+
+    The running sum is the DISTRIBUTED two-phase cumsum (per-partition
+    sums -> O(P) broadcast prefix offsets, operators/windows.py), not a
+    global Window.orderBy — a partitionBy-less window would funnel the
+    entire corpus through one task at 100 TB.
+    """
+    from mapreduce__spark.operators.windows import distributed_cumsum
+
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    c = distributed_cumsum(t, "doc_id", "n_tokens", "cum")
     return c.select(
         "doc_id",
         "n_tokens",
