@@ -881,7 +881,12 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-18: distribution window functions — ntile / percent_rank /
     cume_dist over a global ordering (unique tiebreak keeps every rank
-    deterministic)."""
+    deterministic).
+
+    Scale note: a partitionBy-less window is single-task; these semantics
+    are inherently global, so at 100 TB compute them with the two-phase
+    offset trick (operators/windows.py distributed_cumsum generalizes to
+    counts) rather than this literal window."""
     c = load_table(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return c.where(F.col("c_custkey") <= 400).select(

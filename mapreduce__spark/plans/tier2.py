@@ -553,6 +553,42 @@ def stateful_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_positions",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id < 5)
+    SELECT doc_id, r.i AS pos, toks[r.i + 1] AS token
+    FROM t CROSS JOIN UNNEST(range(len(toks))) AS r(i)
+    """,
+    tags=("tier2", "text", "functions"),
+)
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-21 (arrays): positional explode — (doc, position, token) triples,
+    the shape sequence models and aligners consume."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 5)
+    return docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "token")
+    )
+
+
+@query(
+    "collect_set_sorted",
+    oracle="""
+    SELECT lang, list_sort(list_distinct(list(source))) AS sources
+    FROM documents GROUP BY lang
+    """,
+    tags=("tier2", "agg"),
+)
+def collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-7 (set form): per-group distinct value sets, sorted for
+    determinism (collect_set order is undefined, like collect_list)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sort_array(F.collect_set("source")).alias("sources")
+    )
+
+
+@query(
     "sequence_packing",
     oracle="""
     WITH t AS (
