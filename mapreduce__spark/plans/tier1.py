@@ -123,6 +123,50 @@ def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_moments",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+               AS mean_price,
+           round((CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                  - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+                 / (count(*) - 1), 4) AS var_price,
+           round(sqrt((CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                  - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+                 / (count(*) - 1)), 4) AS stddev_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("tier1", "agg"),
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-11: variance / stddev per group.
+
+    Built from the explicit sum/sum-of-squares formula over DECIMAL
+    accumulators rather than var_samp()/stddev_samp(): the engines'
+    built-ins use different streaming algorithms (Welford merge orders
+    differ), so their last bits diverge — exact decimal sums feed both
+    sides the IDENTICAL doubles, making the formula cross-engine- and
+    layout-stable. (x and x² of 2-decimal data have ≤4 decimals, so the
+    decimal accumulation is exact.)"""
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    sum_x = F.sum(p.cast("decimal(18,2)")).cast("double")
+    sum_x2 = F.sum((p * p).cast("decimal(28,4)")).cast("double")
+    n = F.count(F.lit(1))
+    var = (sum_x2 - sum_x * sum_x / n) / (n - 1)
+    return o.groupBy("o_orderstatus").agg(
+        n.alias("n"),
+        F.round(sum_x / n, 6).alias("mean_price"),
+        F.round(var, 4).alias("var_price"),
+        F.round(F.sqrt(var), 4).alias("stddev_price"),
+    )
+
+
+@query(
     "approx_count_distinct",
     oracle=None,  # approximate by construction — driver rows-only check;
     # accuracy vs exact COUNT(DISTINCT) is asserted in tests/test_operators.py

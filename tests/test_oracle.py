@@ -32,6 +32,28 @@ def test_rows_only_query_runs(spark, sf_small, name):
     assert rows is not None
 
 
+def test_harness_detects_mismatches(spark, sf_small):
+    """Self-check: the comparison harness must FAIL on wrong row counts,
+    wrong column names, and wrong values — guards against a vacuous gate."""
+    from mapreduce__spark.sources import load_table
+
+    n = load_table(spark, sf_small, "nation")
+    ok, _ = compare_with_oracle(
+        n.limit(5).select("n_nationkey"), "SELECT n_nationkey FROM nation", sf_small
+    )
+    assert not ok  # row count
+    ok, _ = compare_with_oracle(
+        n.select(F := n.n_nationkey.alias("wrong")), "SELECT n_nationkey FROM nation", sf_small
+    )
+    assert not ok  # column name
+    ok, _ = compare_with_oracle(
+        n.select((n.n_nationkey + 1).alias("n_nationkey")),
+        "SELECT n_nationkey FROM nation",
+        sf_small,
+    )
+    assert not ok  # values
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
