@@ -765,6 +765,43 @@ def rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "null_semantics",
+    oracle="""
+    WITH j AS (
+        SELECT o.o_orderstatus, c.c_acctbal
+        FROM orders o LEFT JOIN customer c
+          ON o.o_custkey = c.c_custkey AND c.c_acctbal < -700.0
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           count(c_acctbal) AS n_matched,
+           round(sum(coalesce(c_acctbal, 0.0)), 2) AS sum_bal,
+           sum(CASE WHEN c_acctbal IS NOT DISTINCT FROM NULL
+                    THEN 1 ELSE 0 END) AS n_null_safe
+    FROM j GROUP BY o_orderstatus
+    """,
+    tags=("tier1", "semantics"),
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL NULL semantics pinned down: null-skipping COUNT(col) vs
+    COUNT(*), COALESCE defaults, and null-safe equality (<=>) — over an
+    outer join that manufactures the NULLs."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(
+        c, (o.o_custkey == c.c_custkey) & (c.c_acctbal < -700.0), "left"
+    ).select("o_orderstatus", "c_acctbal")
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_acctbal").alias("n_matched"),
+        F.round(F.sum(F.coalesce(F.col("c_acctbal"), F.lit(0.0))), 2).alias("sum_bal"),
+        F.sum(
+            F.when(F.col("c_acctbal").eqNullSafe(F.lit(None).cast("double")), 1).otherwise(0)
+        ).alias("n_null_safe"),
+    )
+
+
+@query(
     "cube_agg",
     oracle="""
     SELECT coalesce(o_orderstatus, '<all>')   AS orderstatus,
