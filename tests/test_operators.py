@@ -111,6 +111,42 @@ def test_approx_count_distinct_error(spark, sf_oracle):
         assert abs(got[k] - exact) <= max(1, 0.05 * exact), (k, got[k], exact)
 
 
+def test_word_ngrams_short_doc_guard(spark):
+    """Documents with fewer than n tokens must yield EMPTY gram arrays —
+    an unguarded sequence(1, size-n+1) would count DOWN and emit garbage."""
+    from mapreduce__spark.functions.text import tokenize, word_ngrams
+
+    df = spark.createDataFrame(
+        [("",), ("one",), ("one two",), ("one two three",), ("a b c d",)], "text string"
+    )
+    rows = df.select(word_ngrams(tokenize(F.col("text")), 3).alias("g")).collect()
+    assert [len(r.g) for r in rows] == [0, 0, 0, 1, 2]
+    assert rows[3].g == ["one two three"]
+    assert rows[4].g == ["a b c", "b c d"]
+
+
+def test_lang_id_tie_order(spark):
+    """Ties resolve to the earlier language in LANG_ORDER (en > de > fr)."""
+    from mapreduce__spark.functions.text import lang_id_expr, tokenize
+
+    df = spark.createDataFrame(
+        [("the der le",), ("der le x",), ("le la les y",), ("x y z",)], "text string"
+    )
+    got = [r.p for r in df.select(lang_id_expr(tokenize(F.col("text"))).alias("p")).collect()]
+    assert got == ["en", "de", "fr", "en"]  # all-zero hits tie -> 'en'
+
+
+def test_search_cli_on_reference_dir(spark):
+    """Run the Search client against the reference repo's own directory —
+    the exact workload shape of Search.cpp's CLI."""
+    from mapreduce__spark.search_cli import search
+
+    got = [r.file for r in search(spark, "Make", ["/root/reference"]).collect()]
+    assert got == ["Makefile"]  # case-sensitive substring: only Makefile
+    got = [r.file for r in search(spark, ".cpp", ["/root/reference"]).collect()]
+    assert got == ["MapReduceFramework.cpp", "Search.cpp"]
+
+
 def test_multimodal_plumbing(spark, sf_small):
     """Binary payload round-trip: byte lengths and checksums from the
     Arrow-batched decode stub must match driver-side recomputation."""
