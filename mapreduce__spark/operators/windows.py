@@ -34,24 +34,42 @@ def distributed_cumsum(
     """Global running sum of `value_col` in `order_col` order, scalable.
 
     Output = input columns + `out_col` (inclusive running total).
+
+    The range buckets are assigned by an EXPRESSION over percentile
+    boundaries, never by `spark_partition_id()` after a repartitionByRange
+    — physical partition ids are not stable across re-executions (range
+    sampling can pick different boundaries each run), which silently
+    misaligned offsets with partitions when the totals pass and the window
+    pass re-planned independently (caught by the sf0.1 oracle gate).
+    `order_col` must be numeric and unique.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n, F.col(order_col)).sortWithinPartitions(order_col)
-    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+    # Deterministic bucket boundaries: one aggregation, O(n) result.
+    qs = df.select(
+        F.percentile_approx(order_col, [i / n for i in range(1, n)], 10_000).alias("q")
+    ).first()
+    bounds = sorted(set(qs.q)) if qs and qs.q else []
+
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + (F.col(order_col) > F.lit(b)).cast("int")
+    with_pid = df.withColumn("_pid", pid)
 
     # O(P) driver-side prefix offsets, shipped back as a broadcast map.
-    totals = (
-        with_pid.groupBy("_pid").agg(F.sum(value_col).alias("_total")).collect()
-    )
+    totals = with_pid.groupBy("_pid").agg(F.sum(value_col).alias("_total")).collect()
     offsets: dict[int, int] = {}
     acc = 0
     for row in sorted(totals, key=lambda r: r._pid):
         offsets[row._pid] = acc
         acc += row._total
-    offset_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col("_pid"),
-    ) if offsets else F.lit(0)
+    offset_expr = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("_pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
 
     w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, 0

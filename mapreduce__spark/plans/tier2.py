@@ -841,13 +841,15 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-18 (range frames): trailing 1-hour per-user activity features —
     the feature-engineering window for event streams. Spark's rangeBetween
-    needs a numeric ordering key, so the frame runs over epoch seconds
-    (-3600, 0], identical to RANGE INTERVAL '1 hour' PRECEDING."""
+    needs a numeric ordering key; it runs over epoch MICROSECONDS — a
+    second-truncated key shifts events near the exact 1-hour boundary in
+    or out of the frame relative to the µs-precise INTERVAL semantics
+    (caught by the sf0.1 oracle gate)."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "event_id",
