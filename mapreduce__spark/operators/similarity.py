@@ -136,6 +136,108 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame, k: int = 8, iters: int = 3, dim: int = 64
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over DataFrame ops (no RNG: seeds are
+    the k lowest-vec_id vectors; fixed iteration count).
+
+    Each round: broadcast centroids as literals → assign by argmin cosine
+    distance (scan-stage expressions) → groupBy(cluster) mean (one narrow
+    shuffle of k×dim partial sums). Centroids collect O(k·dim) per round.
+    """
+    vecs = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    cents = [r.v for r in vecs.orderBy("vec_id").limit(k).collect()]
+    for _ in range(iters):
+        assigned = vecs.select(
+            "v", _nearest_centroid(F.col("v"), cents).alias("cluster")
+        )
+        sums = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.aggregate(
+                    F.collect_list("v"),
+                    F.array(*[F.lit(0.0) for _ in range(dim)]),
+                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = list(cents)
+        for r in sums:
+            new[r.cluster] = [x / r.n for x in r.s]
+        cents = new
+    return cents
+
+
+def _nearest_centroid(v: Column, cents: list[list[float]]) -> Column:
+    """argmin over centroids of negative cosine — pure expressions."""
+    best_idx = F.lit(0)
+    best_score = cosine_sim(v, F.array(*[F.lit(float(x)) for x in cents[0]]))
+    for i, c in enumerate(cents[1:], start=1):
+        s = cosine_sim(v, F.array(*[F.lit(float(x)) for x in c]))
+        better = s > best_score
+        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
+        best_score = F.when(better, s).otherwise(best_score)
+    return best_idx
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer; queries probe their `nprobe`
+    closest cells; exact re-scoring inside probed cells only.
+
+    The 100 TB shape: the inverted file is the corpus partitioned by
+    cluster id (one equi-join key), centroids are O(k·dim) literals in the
+    plan, and candidate volume is ~ (nprobe/k)·N per query. Higher recall
+    than hyperplane-LSH at equal candidate count when clusters capture
+    real structure; `lsh_topk` needs no training pass.
+    """
+    cents = kmeans_centroids(emb, k=n_clusters, iters=3, dim=dim)
+    vecs = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    assigned = vecs.withColumn("cluster", _nearest_centroid(F.col("v"), cents))
+
+    # nprobe nearest cells per query, driver-side over O(k) centroids
+    import numpy as np
+
+    q_rows = {r.vec_id: r.v for r in vecs.where(F.col("vec_id").isin(query_ids)).collect()}
+    c_arr = np.array(cents)
+    c_norm = c_arr / np.linalg.norm(c_arr, axis=1, keepdims=True)
+    probes = []
+    for qid, qv in q_rows.items():
+        qn = np.array(qv) / np.linalg.norm(qv)
+        order = np.argsort(-(c_norm @ qn))
+        for c in order[:nprobe]:
+            probes.append((qid, int(c)))
+    probe_df = F.broadcast(
+        emb.sparkSession.createDataFrame(probes, "query_id bigint, cluster int")
+    )
+    q = vecs.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = (
+        assigned.join(probe_df, "cluster")
+        .join(F.broadcast(q), "query_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cosine_sim(F.col("qv"), F.col("v")).alias("s")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round(F.col("s"), 4).alias("score"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id1<id2, cosine ≥ threshold).
 

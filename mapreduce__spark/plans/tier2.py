@@ -371,6 +371,19 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5)
 
 
+@query(
+    "ann_topk_ivf",
+    oracle=None,  # approximate by design — recall vs brute force asserted in tests
+    tags=("tier2", "similarity"),
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: deterministic k-means coarse quantizer, nprobe=2
+    cells probed per query, exact re-scoring inside probed cells."""
+    from mapreduce__spark.operators.similarity import ivf_topk
+
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5)
+
+
 # --------------------------------------------------------------------------
 # O-25: multimodal columns
 # --------------------------------------------------------------------------

@@ -1,0 +1,62 @@
+"""Adversarial-input robustness: empty strings, unicode (CJK/emoji),
+whitespace runs, very long docs — the text/dedup operators must not crash
+and must produce sensible values (a 100 TB web corpus contains all of
+these on the first day)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce__spark.functions.text import lang_id_expr, tokenize, word_ngrams
+from mapreduce__spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_signature,
+    simhash_fingerprint,
+)
+
+
+def edge_docs(spark):
+    rows = [
+        (0, ""),                             # empty
+        (1, "   "),                          # whitespace only
+        (2, "一 二 三 四 五"),                 # CJK tokens
+        (3, "😀 😀 😀 🚀"),                    # emoji
+        (4, "word"),                         # single token
+        (5, "a " * 5000 + "b"),              # very long, repetitive
+        (6, "tab\tand\nnewline mixed"),      # other whitespace inside tokens
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_tokenize_and_ngrams_no_crash(spark):
+    docs = edge_docs(spark)
+    out = docs.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).alias("n_toks"),
+        F.size(word_ngrams(tokenize(F.col("text")), 3)).alias("n_grams"),
+    ).collect()
+    by_id = {r.doc_id: (r.n_toks, r.n_grams) for r in out}
+    assert by_id[0] == (1, 0)       # split("") -> [""] — 1 empty token, no grams
+    assert by_id[2] == (5, 3)       # CJK tokens behave like any tokens
+    assert by_id[4] == (1, 0)
+    assert by_id[5][0] == 5001
+    assert by_id[5][1] == 2         # repetitive text collapses to 2 DISTINCT grams
+
+
+def test_minhash_simhash_on_edges(spark):
+    docs = edge_docs(spark)
+    sig = minhash_signature(docs, num_hashes=4).collect()
+    assert len(sig) == 7 and all(len(r.mh) == 4 for r in sig)
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprint(docs, bits=16).collect()}
+    assert set(fp) == set(range(7))
+    # identical unicode docs must collide on exact fingerprint
+    groups = exact_duplicate_groups(
+        spark.createDataFrame([(10, "😀 🚀"), (11, "😀 🚀")], "doc_id bigint, text string")
+    ).collect()
+    assert len(groups) == 1 and groups[0].n_copies == 2 and groups[0].keeper == 10
+
+
+def test_lang_id_on_edges(spark):
+    docs = edge_docs(spark)
+    out = docs.select(lang_id_expr(tokenize(F.col("text"))).alias("p")).collect()
+    assert all(r.p in ("en", "de", "fr") for r in out)

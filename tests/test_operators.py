@@ -92,6 +92,19 @@ def test_ann_lsh_recall(spark, sf_oracle):
     assert len(approx & truth) >= 3, (len(approx & truth), approx)
 
 
+def test_ann_ivf_recall(spark, sf_oracle):
+    """IVF with nprobe=2 of 8 cells must recover a majority of the true
+    top-5 across the 5 query vectors (random data ⇒ clusters are weak,
+    but probed cells still dominate the similarity mass)."""
+    from mapreduce__spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    truth = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qids, k=5).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, qids, k=5).collect()}
+    assert len(ivf & truth) >= 10, (len(ivf & truth), sorted(ivf)[:10])
+
+
 def test_approx_count_distinct_error(spark, sf_oracle):
     """HLL++ at rsd=2% must land within 5% of the exact distinct count."""
     ev = load_table(spark, sf_oracle, "events")
