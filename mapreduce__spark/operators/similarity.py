@@ -143,8 +143,11 @@ def kmeans_centroids(
     the k lowest-vec_id vectors; fixed iteration count).
 
     Each round: broadcast centroids as literals → assign by argmin cosine
-    distance (scan-stage expressions) → groupBy(cluster) mean (one narrow
-    shuffle of k×dim partial sums). Centroids collect O(k·dim) per round.
+    distance (scan-stage expressions) → mean per (cluster, dimension) via
+    posexplode + partial-sum aggregation — NEVER collect_list of member
+    vectors (that materializes a whole cluster in one aggregation buffer:
+    an OOM at real corpus sizes). Shuffle per round is O(partitions·k·dim)
+    partial sums; the driver sees O(k·dim) per round.
     """
     vecs = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
     cents = [r.v for r in vecs.orderBy("vec_id").limit(k).collect()]
@@ -153,34 +156,27 @@ def kmeans_centroids(
             "v", _nearest_centroid(F.col("v"), cents).alias("cluster")
         )
         sums = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.aggregate(
-                    F.collect_list("v"),
-                    F.array(*[F.lit(0.0) for _ in range(dim)]),
-                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-                ).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        new = list(cents)
+        new = [list(c) for c in cents]
         for r in sums:
-            new[r.cluster] = [x / r.n for x in r.s]
+            new[r.cluster][r.pos] = r.s / r.n
         cents = new
     return cents
 
 
 def _nearest_centroid(v: Column, cents: list[list[float]]) -> Column:
-    """argmin over centroids of negative cosine — pure expressions."""
-    best_idx = F.lit(0)
-    best_score = cosine_sim(v, F.array(*[F.lit(float(x)) for x in cents[0]]))
-    for i, c in enumerate(cents[1:], start=1):
-        s = cosine_sim(v, F.array(*[F.lit(float(x)) for x in c]))
-        better = s > best_score
-        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
-        best_score = F.when(better, s).otherwise(best_score)
-    return best_idx
+    """argmax-cosine over centroids as array_position(scores, max) — a
+    chained when(best_score...) would re-reference the running best and
+    blow the expression tree up exponentially in k; the scores array
+    keeps it linear. Ties resolve to the lowest index (first match)."""
+    scores = F.array(
+        *[cosine_sim(v, F.array(*[F.lit(float(x)) for x in c])) for c in cents]
+    )
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
 def ivf_topk(
