@@ -36,3 +36,22 @@ def formatted_lines(df: DataFrame, *cols: str, sep: str = "|") -> DataFrame:
 def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write a single-string-column DataFrame as text files."""
     df.write.mode(mode).text(path)
+
+
+def write_parquet_compacted(
+    df: DataFrame, path: str, target_rows_per_file: int, mode: str = "overwrite"
+) -> int:
+    """Write parquet with a bounded file count (the small-files guard).
+
+    A write inherits the DataFrame's partitioning — after a wide shuffle
+    that is `spark.sql.shuffle.partitions` files regardless of data size,
+    and a 100 TB pipeline that emits millions of KB-sized files breaks
+    every downstream scan's file-listing phase. Count once (cheap relative
+    to the write), coalesce to ceil(rows/target) files, write. Returns
+    the file count used. Production variant: estimate from sampled row
+    width against a target BYTE size.
+    """
+    rows = df.count()
+    n_files = max(1, -(-rows // target_rows_per_file))
+    df.coalesce(n_files).write.mode(mode).parquet(path)
+    return n_files

@@ -75,6 +75,37 @@ def test_parquet_sink_roundtrip(spark, sf_small, tmp_path):
     assert one.count() == df.where("n_regionkey = 1").count()
 
 
+def test_compacted_write_bounds_file_count(spark, sf_small, tmp_path):
+    from mapreduce__spark.operators.sinks import write_parquet_compacted
+
+    out = str(tmp_path / "compacted")
+    li = load_table(spark, sf_small, "lineitem").repartition(16)  # simulate shuffle output
+    n_files = write_parquet_compacted(li, out, target_rows_per_file=2000)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == n_files
+    assert n_files < 16  # compaction actually reduced the file count
+    assert spark.read.parquet(out).count() == li.count()
+
+
+def test_bench_contract(tmp_path):
+    """bench.py must print ONE parseable JSON line with the driver's
+    expected keys, honoring the env overrides."""
+    import json
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001", SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        cwd="/root/repo", env=env, timeout=480,
+    )
+    assert res.returncode == 0, res.stderr[-500:]
+    lines = [l for l in res.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    data = json.loads(lines[0])
+    assert set(data) == {"metric", "value", "unit", "queries", "sf"}
+    assert data["sf"] == 0.001 and data["unit"] == "sec" and data["value"] > 0
+    assert len(data["queries"]) == 10
+
+
 def test_text_sink(spark, sf_small, tmp_path):
     out = str(tmp_path / "lines")
     df = formatted_lines(load_table(spark, sf_small, "region"), "r_regionkey", "r_name")
