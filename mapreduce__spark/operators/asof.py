@@ -54,7 +54,9 @@ def asof_join(
 
     order = [F.col("_ts"), F.col("_side")]
     if tiebreak is not None:
-        order.append(F.coalesce(F.col(f"_carry.{tiebreak}"), F.col(f"_left.{tiebreak}")))
+        # orders equal-(ts) RIGHT rows among themselves; left rows already
+        # sort after right via _side, so their (null) tiebreak is inert
+        order.append(F.col(f"_carry.{tiebreak}"))
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)

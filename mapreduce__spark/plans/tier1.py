@@ -167,6 +167,53 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "correlation",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round((count(*) * CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+                  - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+                 / (count(*) * (count(*) - 1)), 4) AS covar_qty_price,
+           round((count(*) * CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+                  - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+                 / sqrt((count(*) * CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+                         - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                           * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+                        * (count(*) * CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+                           - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                             * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))), 4)
+               AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("tier1", "agg"),
+)
+def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-11: sample covariance + Pearson correlation per group, from the
+    explicit moment sums over DECIMAL accumulators (same cross-engine
+    stability argument as stats_moments — built-in corr()/covar_samp()
+    use engine-specific streaming merges)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    n = F.count(F.lit(1))
+    sq = F.sum(q.cast("decimal(18,2)")).cast("double")
+    sp = F.sum(p.cast("decimal(18,2)")).cast("double")
+    sqp = F.sum((q * p).cast("decimal(28,4)")).cast("double")
+    sqq = F.sum((q * q).cast("decimal(28,4)")).cast("double")
+    spp = F.sum((p * p).cast("decimal(28,4)")).cast("double")
+    num = n * sqp - sq * sp
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.round(num / (n * (n - 1)), 4).alias("covar_qty_price"),
+        F.round(num / F.sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 4).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
+@query(
     "approx_count_distinct",
     oracle=None,  # approximate by construction — driver rows-only check;
     # accuracy vs exact COUNT(DISTINCT) is asserted in tests/test_operators.py

@@ -1,0 +1,66 @@
+"""asof_join unit semantics: inclusive matching, no-match NULLs, equal-ts
+ordering, tiebreak determinism."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from mapreduce__spark.operators.asof import asof_join
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def run(spark, left_rows, right_rows, tiebreak=None):
+    left = spark.createDataFrame(left_rows, "k int, t timestamp, lid int")
+    right = spark.createDataFrame(right_rows, "k int, t timestamp, rid int")
+    out = asof_join(left, right, on=["k"], ts="t", right_cols=["rid"], tiebreak=tiebreak)
+    return {r.lid: r.rid for r in out.collect()}
+
+
+def test_basic_most_recent_and_nulls(spark):
+    got = run(
+        spark,
+        [(1, ts("2024-01-01T10:00"), 100), (1, ts("2024-01-01T08:00"), 101),
+         (2, ts("2024-01-01T10:00"), 102)],
+        [(1, ts("2024-01-01T09:00"), 200), (1, ts("2024-01-01T09:30"), 201),
+         (3, ts("2024-01-01T00:00"), 202)],
+    )
+    assert got == {100: 201, 101: None, 102: None}
+
+
+def test_equal_timestamp_matches_inclusively(spark):
+    """right row at EXACTLY the left ts must match (>= semantics)."""
+    got = run(
+        spark,
+        [(1, ts("2024-01-01T09:00"), 100)],
+        [(1, ts("2024-01-01T09:00"), 200)],
+    )
+    assert got == {100: 200}
+
+
+def test_tiebreak_orders_equal_right_rows(spark):
+    """two right rows at the same ts: the tiebreak column decides (max
+    sorts last -> wins the carry-forward)."""
+    got = run(
+        spark,
+        [(1, ts("2024-01-01T10:00"), 100)],
+        [(1, ts("2024-01-01T09:00"), 201), (1, ts("2024-01-01T09:00"), 205),
+         (1, ts("2024-01-01T09:00"), 203)],
+        tiebreak="rid",
+    )
+    assert got == {100: 205}
+
+
+def test_phase_timer_write(tmp_path):
+    from mapreduce__spark.metrics import PhaseTimer
+
+    t = PhaseTimer()
+    with t.phase("map_shuffle"):
+        pass
+    p = tmp_path / "engine.log"
+    t.write(str(p))
+    t.write(str(p))  # append semantics like the reference log
+    lines = p.read_text().strip().splitlines()
+    assert len(lines) == 2 and all("map_shuffle took" in l for l in lines)
