@@ -140,7 +140,12 @@ def lsh_near_duplicate_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signature(docs, num_hashes)
+    # Signatures are referenced by BOTH sides of the banded self-join;
+    # without materialization each side recomputes the full gram+hash
+    # pass. Signatures are narrow (doc_id + num_hashes longs), so
+    # materializing them is the right call at corpus scale too — this is
+    # the "cache the signatures, never the corpus" rule from SCALE.md.
+    sig = minhash_signature(docs, num_hashes).localCheckpoint(eager=True)
     band_cols = [
         F.xxhash64(*[F.col("mh")[b * r + i] for i in range(r)]).alias(f"band{b}")
         for b in range(bands)
@@ -173,7 +178,7 @@ def lsh_near_duplicate_pairs(
     # bounded by the banding, so this stays narrow at scale.
     gram_arrays = ensure_parallelism(docs.select("doc_id", "text")).select(
         "doc_id", word_ngrams(tokenize(F.col("text")), NGRAM_N).alias("grams")
-    )
+    ).localCheckpoint(eager=True)  # two-sided reuse below, same rationale
     ga1 = gram_arrays.select(F.col("doc_id").alias("gid1"), F.col("grams").alias("g1"))
     ga2 = gram_arrays.select(F.col("doc_id").alias("gid2"), F.col("grams").alias("g2"))
     paired = (

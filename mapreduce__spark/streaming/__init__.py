@@ -4,6 +4,8 @@ from mapreduce__spark.streaming.streams import (
     stream_sessionized,
     stream_dedup_first,
     stream_user_totals_stateful,
+    stream_static_join,
+    stream_stream_interval_join,
     run_stream_to_memory,
 )
 
@@ -13,5 +15,7 @@ __all__ = [
     "stream_sessionized",
     "stream_dedup_first",
     "stream_user_totals_stateful",
+    "stream_static_join",
+    "stream_stream_interval_join",
     "run_stream_to_memory",
 ]

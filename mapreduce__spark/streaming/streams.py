@@ -133,6 +133,39 @@ def stream_user_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_static_join(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (refreshed)
+    static side — the standard dim-enrichment pattern; no state store
+    involved, the static side broadcasts per micro-batch."""
+    return events.join(dim, events.user_id == dim.c_custkey, "inner").select(
+        "event_id", "user_id", "ts", "c_mktsegment"
+    )
+
+
+def stream_stream_interval_join(
+    purchases: DataFrame, clicks: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: purchases matched to the same user's
+    clicks within the preceding hour. Both sides carry watermarks so the
+    state store can expire rows older than the interval + lateness —
+    unbounded state otherwise (THE stream-stream join failure mode)."""
+    p = purchases.select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "2 hours")
+    c = clicks.select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "2 hours")
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("p_id", "c_id", "p_user", "p_ts", "c_ts")
+
+
 def run_stream_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "append", timeout_sec: int = 120
 ) -> None:

@@ -16,6 +16,8 @@ from mapreduce__spark.streaming import (
     run_stream_to_memory,
     stream_dedup_first,
     stream_sessionized,
+    stream_static_join,
+    stream_stream_interval_join,
     stream_tumbling_counts,
     stream_user_totals_stateful,
 )
@@ -75,6 +77,49 @@ def test_stream_stateful_totals(spark, sf_small):
         .collect()
     }
     assert got == want
+
+
+def test_stream_static_join_equals_batch(spark, sf_small):
+    dim = load_table(spark, sf_small, "customer").select("c_custkey", "c_mktsegment")
+    sdf = stream_static_join(read_events_stream(spark, sf_small), dim)
+    run_stream_to_memory(sdf, "t_ssj", output_mode="append")
+    got = spark.table("t_ssj")
+    ev = load_table(spark, sf_small, "events")
+    want = ev.join(dim, ev.user_id == dim.c_custkey, "inner")
+    assert got.count() == want.count()
+    assert {(r.event_id, r.c_mktsegment) for r in got.collect()} == {
+        (r.event_id, r.c_mktsegment) for r in want.collect()
+    }
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_small):
+    """Stream-stream interval join (purchases x clicks within 1h) must
+    reproduce the batch interval join under full replay."""
+    ev_stream = read_events_stream(spark, sf_small)
+    sdf = stream_stream_interval_join(
+        ev_stream.where(F.col("event_type") == "purchase"),
+        ev_stream.where(F.col("event_type") == "click"),
+    )
+    run_stream_to_memory(sdf, "t_ssij", output_mode="append")
+    got = {(r.p_id, r.c_id) for r in spark.table("t_ssij").collect()}
+
+    ev = load_table(spark, sf_small, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    want = {
+        (r.p_id, r.c_id)
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
 
 
 def test_stream_incremental_checkpoint_exactly_once(spark, sf_small, tmp_path):
