@@ -91,3 +91,42 @@ def extract_features(multimodal: DataFrame) -> DataFrame:
     return multimodal.select("doc_id", "payload").mapInPandas(
         decode_stub_features, schema=FEATURE_SCHEMA
     )
+
+
+def decode_stub_features_arrow(batches):
+    """mapInArrow body: same fake decode, but consuming/producing
+    pyarrow RecordBatches directly — skips the Arrow<->pandas conversion
+    that mapInPandas pays on both edges. The faster boundary when the
+    Python work reads raw bytes anyway (decoders do)."""
+    import pyarrow as pa
+
+    for batch in batches:
+        doc_ids = batch.column("doc_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        cols = {
+            "doc_id": doc_ids,
+            "byte_len": [], "fake_width": [], "fake_height": [],
+            "fake_mode": [], "checksum": [],
+        }
+        for b in payloads:
+            b = bytes(b)
+            cols["byte_len"].append(len(b))
+            cols["fake_width"].append((b[0] % 64) + 1 if b else 0)
+            cols["fake_height"].append((b[-1] % 64) + 1 if b else 0)
+            cols["fake_mode"].append("RGB" if len(b) % 2 == 0 else "L")
+            cols["checksum"].append(sum(b[:256]))
+        yield pa.RecordBatch.from_pydict(
+            cols,
+            schema=pa.schema([
+                ("doc_id", pa.int64()), ("byte_len", pa.int32()),
+                ("fake_width", pa.int32()), ("fake_height", pa.int32()),
+                ("fake_mode", pa.string()), ("checksum", pa.int64()),
+            ]),
+        )
+
+
+def extract_features_arrow(multimodal: DataFrame) -> DataFrame:
+    """Arrow-native variant of :func:`extract_features` (mapInArrow)."""
+    return multimodal.select("doc_id", "payload").mapInArrow(
+        decode_stub_features_arrow, schema=FEATURE_SCHEMA
+    )

@@ -174,6 +174,18 @@ def test_multimodal_plumbing(spark, sf_small):
         assert f.checksum == sum(b[:256])
 
 
+def test_multimodal_arrow_variant_matches_pandas(spark, sf_small):
+    """mapInArrow and mapInPandas decode paths must produce identical
+    feature rows."""
+    from mapreduce__spark.operators.multimodal import extract_features_arrow
+
+    docs = load_table(spark, sf_small, "documents")
+    mm = with_binary_payload(docs)
+    a = sorted(map(tuple, extract_features(mm).collect()))
+    b = sorted(map(tuple, extract_features_arrow(mm).collect()))
+    assert a == b
+
+
 def test_multimodal_metadata_struct(spark, sf_small):
     """The multimodal row shape carries a typed metadata struct."""
     mm = with_binary_payload(load_table(spark, sf_small, "documents"))
