@@ -1026,6 +1026,32 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           datediff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_y2k,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           dayofweek(o_orderdate) + 1 AS dow
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    tags=("tier1", "functions"),
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-21 (dates, arithmetic): datediff / interval add / day-of-week.
+    Dialect note pinned by the oracle: Spark's dayofweek is 1-based
+    Sunday, DuckDB's 0-based — the SQL side carries the +1."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") < 1000).select(
+        "o_orderkey",
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
+            "days_to_y2k"
+        ),
+        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("due_date"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    )
+
+
+@query(
     "json_extraction",
     oracle="""
     SELECT event_id,
