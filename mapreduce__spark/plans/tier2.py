@@ -566,6 +566,81 @@ def stateful_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("tier2", "profiling"),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: fixed-width histogram (width 50) of events.value —
+    floor-bucket arithmetic, one partial-agg pass; the profiling primitive
+    behind skew detection and bucket sizing."""
+    ev = load_table(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / 50.0).cast("bigint")
+    return ev.groupBy(b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
+
+
+@query(
+    "profile_table",
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           count(*) AS n_rows,
+           count(o_custkey) AS n_nonnull,
+           count(DISTINCT o_custkey) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_val,
+           CAST(max(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(round(min(o_totalprice), 2) AS VARCHAR),
+           CAST(round(max(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    """,
+    tags=("tier2", "profiling"),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling meta-operator: per-column row/non-null/distinct
+    counts and min/max (stringified for a uniform schema) — the
+    ingest-time health check every pipeline runs before trusting a drop.
+    All columns profile in ONE scan each (the union shares the cached
+    scan; a production variant computes all columns in one pass with
+    struct aggregation)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col: str, rounded: bool = False):
+        mn, mx = F.min(col), F.max(col)
+        if rounded:
+            mn, mx = F.round(mn, 2), F.round(mx, 2)
+        return o.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            mn.cast("string").alias("min_val"),
+            mx.cast("string").alias("max_val"),
+        ).select(F.lit(col).alias("column_name"), "*")
+
+    return prof("o_custkey").unionAll(prof("o_orderstatus")).unionAll(
+        prof("o_totalprice", rounded=True)
+    )
+
+
+@query(
     "token_positions",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
