@@ -566,6 +566,29 @@ def stateful_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "global_row_number",
+    oracle="""
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+    FROM documents
+    """,
+    tags=("tier2", "window", "pipeline"),
+)
+def global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row numbering WITHOUT a single-task global window: the
+    distributed cumsum of 1s (operators/windows.py) — count form of the
+    two-phase offset pattern. The idiom behind stable example ids in
+    training-data exports (monotonically_increasing_id is partition-
+    layout-dependent and non-contiguous; this is neither)."""
+    from mapreduce__spark.operators.windows import distributed_cumsum
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    numbered = distributed_cumsum(
+        docs.withColumn("_one", F.lit(1).cast("bigint")), "doc_id", "_one", "rn"
+    )
+    return numbered.select("doc_id", F.col("rn").cast("bigint").alias("rn"))
+
+
+@query(
     "value_histogram",
     oracle="""
     SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,

@@ -105,6 +105,18 @@ def test_ann_ivf_recall(spark, sf_oracle):
     assert len(ivf & truth) >= 10, (len(ivf & truth), sorted(ivf)[:10])
 
 
+def test_approx_percentile_error(spark, sf_oracle):
+    """The sketch percentile (the 100 TB path) must land within 2% of the
+    exact interpolated percentile."""
+    o = load_table(spark, sf_oracle, "orders")
+    rows = o.agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9], 1000).alias("approx"),
+        F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9))).alias("exact"),
+    ).first()
+    for a, e in zip(rows.approx, rows.exact):
+        assert abs(a - e) <= 0.02 * e, (a, e)
+
+
 def test_approx_count_distinct_error(spark, sf_oracle):
     """HLL++ at rsd=2% must land within 5% of the exact distinct count."""
     ev = load_table(spark, sf_oracle, "events")
