@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "ann_topk_bruteforce", # vector math path
     "events_tumbling_window",  # streaming-twin window agg
     "sessionization",      # window-function chain
+    "training_data_pipeline",  # composed end-to-end pipeline (quality →
+                               # dedup → cluster removal → split → pack)
 ]
 
 

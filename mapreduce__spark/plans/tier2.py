@@ -1050,6 +1050,119 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "click_id", "click_ts")
 
 
+@query(
+    "training_data_pipeline",
+    oracle=f"""
+    WITH RECURSIVE quality AS (
+        SELECT doc_id, text FROM documents
+        WHERE len(string_split(text, ' ')) BETWEEN 20 AND 2000
+          AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+              / length(text) < 0.3
+    ), exact_keep AS (
+        SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+    ), pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION SELECT id2, id1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    removal AS (
+        SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a
+    ),
+    survivors AS (
+        SELECT q.doc_id, q.text
+        FROM quality q
+        JOIN exact_keep k ON q.doc_id = k.doc_id
+        WHERE q.doc_id NOT IN (SELECT doc_id FROM removal)
+    ),
+    with_split AS (
+        SELECT doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))::BIGINT % 10 < 8
+                    THEN 'train' ELSE 'holdout' END AS split
+        FROM survivors
+    ),
+    packed AS (
+        SELECT doc_id, n_tokens, split,
+               sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM with_split
+    )
+    SELECT doc_id, n_tokens, split, (cum - n_tokens) // 2048 AS bin
+    FROM packed
+    """,
+    tags=("tier2", "pipeline", "flagship"),
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM-training-data pipeline as ONE composed DataFrame
+    program — the engine's end-to-end showcase:
+
+    1. quality gate (token count + digit-ratio rules);
+    2. exact dedup (keep min doc_id per content hash);
+    3. near-dup removal (MinHash-LSH pairs → connected components → drop
+       every non-representative cluster member);
+    4. reproducible train/holdout split (content-hash bucketing);
+    5. per-split sequence packing into 2048-token bins.
+
+    Every stage is a previously oracle-verified operator; the composition
+    is hash-checked end-to-end against the same stages composed in SQL
+    (recursive CTE for the cluster closure). At 100 TB each stage keeps
+    its own scaling story (see SCALE.md) and the composition adds no new
+    shuffles beyond the stages' own."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    digit_stripped = F.regexp_replace(F.col("text"), "[0-9]", "")
+    digit_ratio = (F.length("text") - F.length(digit_stripped)) / F.length("text")
+    quality = docs.where(F.size(toks).between(20, 2000) & (digit_ratio < 0.3)).select(
+        "doc_id", "text"
+    )
+
+    exact_keep = quality.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+
+    from mapreduce__spark.operators.graph import connected_components
+
+    pairs = lsh_near_duplicate_pairs(docs, JACCARD_THRESHOLD, num_hashes=16, bands=8)
+    cc = connected_components(pairs, "id1", "id2")
+    removal = cc.where(F.col("component") < F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+
+    survivors = (
+        quality.join(exact_keep, "doc_id", "left_semi")
+        .join(removal, "doc_id", "left_anti")
+    )
+
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#split"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    with_split = survivors.select(
+        "doc_id",
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tokens"),
+        F.when(bucket < 8, "train").otherwise("holdout").alias("split"),
+    )
+
+    w = Window.partitionBy("split").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = with_split.withColumn("cum", F.sum("n_tokens").over(w))
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "split",
+        ((F.col("cum") - F.col("n_tokens")) / 2048).cast("bigint").alias("bin"),
+    )
+
+
 # --------------------------------------------------------------------------
 # O-1 / O-27: kernel parity + UDF surface
 # --------------------------------------------------------------------------
