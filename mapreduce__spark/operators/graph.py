@@ -34,11 +34,44 @@ def connected_components(
     dst: str = "id2",
     max_iter: int = 20,
     checkpoint_every: int = 5,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Return (node, component) where component = min node id reachable.
 
     `edges` is an undirected pair list (each pair once, any orientation).
+
+    Hybrid execution: when the edge list fits comfortably on the driver
+    (≤ `driver_threshold` edges — near-dup graphs are SPARSE even on huge
+    corpora, the pairs already survived an LSH + verify gate), a
+    driver-side union-find finishes in microseconds instead of paying
+    2 Spark jobs per propagation round. Larger graphs run the distributed
+    label-propagation loop below. Same result either way (tested).
     """
+    n_edges = edges.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        pairs = [(r[0], r[1]) for r in edges.select(src, dst).collect()]
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the representative is the smallest node
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        schema = edges.select(
+            edges[src].alias("node"), edges[src].alias("component")
+        ).schema
+        return edges.sparkSession.createDataFrame(rows or [], schema)
+
     sc = edges.sparkSession.sparkContext
     # symmetrize + self-loops so isolated orientation doesn't matter
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

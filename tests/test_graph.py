@@ -33,3 +33,16 @@ def test_cycle_and_orientation_invariance(spark):
 def test_empty_edges(spark):
     df = spark.createDataFrame([], "id1 bigint, id2 bigint")
     assert connected_components(df).collect() == []
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """The union-find fast path and the label-propagation loop must
+    produce identical components (force the loop via driver_threshold=0)."""
+    edges = [(i, i + 1) for i in range(1, 9)] + [(20, 21), (21, 22), (30, 31)]
+    df = spark.createDataFrame(edges, "id1 bigint, id2 bigint")
+    fast = {(r.node, r.component) for r in connected_components(df).collect()}
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert fast == dist and len(fast) == 14  # 9 + 3 + 2 nodes
