@@ -812,6 +812,42 @@ def rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               count(*)::DOUBLE AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'n_orders'  AS metric, n_orders  AS value FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'max_price', max_price FROM wide
+    """,
+    tags=("tier1", "agg"),
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-20 inverse: UNPIVOT/melt — wide per-group metrics to long
+    (group, metric, value) form, the shape metric stores and plotting
+    layers consume. Spark's unpivot is a zero-shuffle Expand."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "sum_price", "max_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
     "null_semantics",
     oracle="""
     WITH j AS (

@@ -87,6 +87,23 @@ def test_compacted_write_bounds_file_count(spark, sf_small, tmp_path):
     assert spark.read.parquet(out).count() == li.count()
 
 
+def test_date_partitioned_timeseries_write(spark, sf_small, tmp_path):
+    """Time-series storage layout: write events partitioned by event DATE;
+    a day-filtered read must prune to that day's directory (PartitionFilters,
+    not a full scan) and round-trip values exactly."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, sf_small, "events").withColumn("day", F.to_date("ts"))
+    write_parquet(ev, out, partition_by=["day"])
+    back = spark.read.parquet(out)
+    one_day = back.where(F.col("day") == "2024-01-05")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan, plan
+    want = ev.where(F.to_date("ts") == "2024-01-05").count()
+    assert one_day.count() == want and want > 0
+
+
 def test_bench_contract(tmp_path):
     """bench.py must print ONE parseable JSON line with the driver's
     expected keys, honoring the env overrides."""
