@@ -17,9 +17,11 @@ Two tiers, per the standard ANN playbook:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -235,12 +237,10 @@ def ivf_topk(
 
 
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id1<id2, cosine ≥ threshold).
-
-    Written as the exact all-pairs form for oracle parity; the scale path
-    is the same computation restricted to LSH-bucket candidates (swap the
-    crossJoin for the bucket equi-join above).
-    """
+    """Embedding-cosine near-duplicate pairs (id1<id2, cosine ≥ threshold),
+    all-pairs form — the ORACLE BASELINE only (O(N²); the declared engine
+    operator is :func:`embedding_near_dup_pairs_pruned`, which produces the
+    identical output through a pruned non-cartesian plan)."""
     vecs = ensure_parallelism(emb).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
     )
@@ -251,5 +251,102 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
         a.crossJoin(b)
         .where(F.col("id1") < F.col("id2"))
         .where(s >= threshold)
+        .select("id1", "id2", F.round(s, 4).alias("cosine"))
+    )
+
+
+def embedding_near_dup_pairs_pruned(
+    emb: DataFrame,
+    threshold: float,
+    n_clusters: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """EXACT embedding-cosine near-dup pairs with IVF + triangle-inequality
+    pruning — the declared scale path (round-1 VERDICT item 6 replaced the
+    all-pairs crossJoin).
+
+    Hyperplane-LSH bucketing cannot promise recall=1 at an arbitrary
+    threshold, so instead of an approximate candidate set this uses a
+    DETERMINISTIC one with a metric guarantee. Angular distance
+    θ(a,b)=arccos(cos(a,b)) is a true metric on the sphere, so for a pair
+    with θ(a,b) ≤ arccos(t) and a assigned to centroid c:
+
+        θ(c, b) ≤ θ(c, a) + θ(a, b) ≤ radius(c) + arccos(t)
+
+    Candidate generation is therefore: every vector probes each cluster
+    whose (radius + arccos(t)) ball reaches it; members × probers meet in
+    an equi-join on the cluster id; exact re-scoring keeps pairs ≥ t.
+    Recall is exactly 1 by the triangle inequality (a tiny epsilon widens
+    the bound against float drift — extra candidates only, never misses),
+    so the output EQUALS the all-pairs operator's and is hash-checkable
+    against the same SQL oracle.
+
+    The 100 TB shape: centroids are O(k·dim) plan literals (deterministic
+    k-means, no RNG); per-vector angles are scan-stage expressions; the
+    candidate join is an equi-join on cluster id (never a theta join);
+    candidate volume is Σ_c |members_c|·|probers_c| — on real embedding
+    corpora (tight clusters, near-dup pairs well above random cosine) the
+    probe lists are short and this collapses toward Σ_c |c|², the IVF
+    ideal. Degenerate isotropic-random data degrades gracefully toward
+    more probes, never toward wrong answers.
+    """
+    cents = kmeans_centroids(emb, k=n_clusters, iters=iters, dim=dim)
+    vecs = ensure_parallelism(emb).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    cos_arr = F.array(
+        *[cosine_sim(F.col("v"), F.array(*[F.lit(float(x)) for x in c])) for c in cents]
+    )
+    ang_arr = F.transform(
+        cos_arr, lambda c: F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), c)))
+    )
+    with_ang = vecs.select("vec_id", "v", ang_arr.alias("angs")).localCheckpoint(
+        eager=True
+    )  # referenced by both the member and prober sides below
+
+    assigned = with_ang.select(
+        "vec_id",
+        "v",
+        (F.array_position(F.col("angs"), F.array_min("angs")) - 1).cast("int").alias("cluster"),
+        F.array_min("angs").alias("ang"),
+    )
+    # O(k) driver-side cluster radii (empty clusters simply never appear).
+    radii = {
+        r.cluster: r.rad
+        for r in assigned.groupBy("cluster").agg(F.max("ang").alias("rad")).collect()
+    }
+    t_ang = math.acos(threshold)
+    eps = 1e-9
+    probe_arr = F.array_compact(
+        F.array(
+            *[
+                F.when(F.col("angs")[c] <= F.lit(radii[c] + t_ang + eps), F.lit(c))
+                for c in sorted(radii)
+            ]
+        )
+    )
+    probers = with_ang.select(
+        F.col("vec_id").alias("pid"),
+        F.col("v").alias("pv"),
+        F.explode(probe_arr).alias("cluster"),
+    )
+    members = assigned.select(
+        "cluster", F.col("vec_id").alias("mid"), F.col("v").alias("mv")
+    )
+    cand = (
+        members.join(probers, "cluster")
+        .where(F.col("mid") < F.col("pid"))
+        .select(
+            F.col("mid").alias("id1"),
+            F.col("pid").alias("id2"),
+            F.col("mv").alias("v1"),
+            F.col("pv").alias("v2"),
+        )
+        .distinct()  # a pair can meet via both endpoints' clusters
+    )
+    s = cosine_sim(F.col("v1"), F.col("v2"))
+    return (
+        cand.where(s >= threshold)
         .select("id1", "id2", F.round(s, 4).alias("cosine"))
     )

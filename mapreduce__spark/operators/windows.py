@@ -61,7 +61,8 @@ def distributed_cumsum(
     acc = 0
     for row in sorted(totals, key=lambda r: r._pid):
         offsets[row._pid] = acc
-        acc += row._total
+        # SUM skips NULLs; an all-NULL bucket totals to NULL => contributes 0.
+        acc += row._total or 0
     offset_expr = (
         F.element_at(
             F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
@@ -72,6 +73,73 @@ def distributed_cumsum(
     )
 
     w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        with_pid.withColumn(out_col, F.sum(value_col).over(w) + offset_expr)
+        .drop("_pid")
+    )
+
+
+def distributed_cumsum_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group running sum of `value_col` in `order_col` order, scalable
+    even when there are only a FEW groups.
+
+    `Window.partitionBy(group).orderBy(order)` funnels each group through
+    one task — with e.g. 2 train/holdout splits that is a 2-task bottleneck
+    over the whole surviving corpus (round-1 VERDICT item 5). Same two-phase
+    scheme as `distributed_cumsum`, with buckets keyed by
+    (group, range-bucket): per-(group, bucket) totals collect to the driver
+    — O(groups × P) rows — and become per-group prefix offsets; the window
+    partitions on (group, bucket) so parallelism is groups × buckets.
+
+    Constraints: `order_col` numeric and unique within each group; group
+    values must not be NULL (they come from a CASE/when here).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    qs = df.select(
+        F.percentile_approx(order_col, [i / n for i in range(1, n)], 10_000).alias("q")
+    ).first()
+    bounds = sorted(set(qs.q)) if qs and qs.q else []
+
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + (F.col(order_col) > F.lit(b)).cast("int")
+    with_pid = df.withColumn("_pid", pid)
+
+    # O(groups × P) driver-side prefix offsets, keyed by (group..., pid).
+    totals = (
+        with_pid.groupBy(*group_cols, "_pid")
+        .agg(F.sum(value_col).alias("_total"))
+        .collect()
+    )
+    sep = "\x1f"  # group values are strings/ids; \x1f never appears in them
+    offsets: dict[str, int] = {}
+    acc_by_group: dict[tuple, int] = {}
+    for row in sorted(totals, key=lambda r: (tuple(str(r[g]) for g in group_cols), r._pid)):
+        gkey = tuple(str(row[g]) for g in group_cols)
+        offsets[sep.join((*gkey, str(row._pid)))] = acc_by_group.get(gkey, 0)
+        acc_by_group[gkey] = acc_by_group.get(gkey, 0) + (row._total or 0)
+
+    key_expr = F.concat_ws(
+        sep, *[F.col(g).cast("string") for g in group_cols], F.col("_pid").cast("string")
+    )
+    offset_expr = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), key_expr
+        )
+        if offsets
+        else F.lit(0)
+    )
+
+    w = Window.partitionBy(*group_cols, "_pid").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
     return (

@@ -138,19 +138,10 @@ def groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-@query(
-    "grouped_collect_sorted",
-    oracle="""
-    SELECT user_id, list(event_id ORDER BY event_id) AS event_ids
-    FROM events
-    WHERE event_type = 'purchase'
-    GROUP BY user_id
-    """,
-    tags=("tier0",),
-)
-def grouped_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O-7: group-by-key with collected value lists — the exact shape of
-    the reference shuffle output (k2 -> V2_VEC, MapReduceFramework.cpp:94).
+def grouped_collect_sorted_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-7 (array form, pytest-gated): group-by-key with collected value
+    lists — the exact shape of the reference shuffle output (k2 -> V2_VEC,
+    MapReduceFramework.cpp:94).
 
     The reference's V2_VEC order is nondeterministic (thread interleaving,
     MapReduceFramework.cpp:425-428) and so is Spark's collect_list; the
@@ -161,6 +152,31 @@ def grouped_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.sort_array(F.collect_list("event_id")).alias("event_ids"))
+    )
+
+
+@query(
+    "grouped_collect_sorted",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list(event_id ORDER BY event_id), ',') AS event_ids
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+    tags=("tier0",),
+)
+def grouped_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-7 in a driver-canonicalizable form: the same sorted per-key value
+    list as `grouped_collect_sorted_array`, serialized to one scalar CSV
+    column so a pandas-based canonicalizer can sort/hash it (arrays are
+    unhashable there). Same plan shape — the serialization is a free
+    projection on top of the agg."""
+    return grouped_collect_sorted_array(spark, sf_dir).select(
+        "user_id",
+        F.concat_ws(
+            ",", F.transform(F.col("event_ids"), lambda x: x.cast("string"))
+        ).alias("event_ids"),
     )
 
 

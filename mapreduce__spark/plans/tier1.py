@@ -560,10 +560,10 @@ def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipmode_priority",
     oracle="""
     SELECT l.l_returnflag,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01'
@@ -859,8 +859,8 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_rows,
            count(c_acctbal) AS n_matched,
            round(sum(coalesce(c_acctbal, 0.0)), 2) AS sum_bal,
-           sum(CASE WHEN c_acctbal IS NOT DISTINCT FROM NULL
-                    THEN 1 ELSE 0 END) AS n_null_safe
+           CAST(sum(CASE WHEN c_acctbal IS NOT DISTINCT FROM NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe
     FROM j GROUP BY o_orderstatus
     """,
     tags=("tier1", "semantics"),

@@ -1,0 +1,61 @@
+"""The driver's CORRECTNESS harness checks only the FIRST 50 registry
+entries (VERDICT.md round 1), so registry ordering is part of the
+verification contract. These tests pin it."""
+
+from __future__ import annotations
+
+from mapreduce__spark.plans import DRIVER_WINDOW, REGISTRY, get_oracle_sql, get_queries
+
+# Round-1 VERDICT item 1: every north-star operator must sit inside the
+# driver-checked window.
+NORTH_STAR = {
+    "kernel_search_count",
+    "dedup_lsh_minhash",
+    "minhash_signatures",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "ann_topk_bruteforce",
+    "multimodal_metadata",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "sessionization",
+    "stateful_dedup_first_event",
+    "asof_join_events",
+    "rolling_user_features",
+    "global_row_number",
+    "sequence_packing",
+    "train_test_split",
+    "tfidf_top_terms",
+    "training_data_pipeline",
+}
+
+
+def test_window_is_first_50():
+    names = list(get_queries())
+    assert len(DRIVER_WINDOW) == 50
+    assert names[:50] == list(DRIVER_WINDOW)
+
+
+def test_window_has_no_duplicates_and_all_registered():
+    assert len(set(DRIVER_WINDOW)) == len(DRIVER_WINDOW)
+    assert set(DRIVER_WINDOW) <= set(REGISTRY)
+
+
+def test_every_window_entry_has_oracle():
+    """No ambiguous rows-only entries inside the driver-checked prefix —
+    every checked query gets the full rows+schema+hash comparison."""
+    oracles = get_oracle_sql()
+    missing = [n for n in DRIVER_WINDOW if n not in oracles]
+    assert not missing, f"window entries without oracle SQL: {missing}"
+
+
+def test_north_star_queries_inside_window():
+    missing = NORTH_STAR - set(DRIVER_WINDOW)
+    assert not missing, f"north-star queries outside driver window: {missing}"
+
+
+def test_oracle_order_matches_query_order():
+    """oracle_sql() iteration order must follow queries() order so the
+    driver's 50-entry cut lands on the same prefix for both."""
+    q_names = [n for n in get_queries() if n in get_oracle_sql()]
+    assert list(get_oracle_sql()) == q_names
