@@ -1028,8 +1028,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asof_join_events",
     oracle="""
     WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-         c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
-               FROM events WHERE event_type = 'click')
+         c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+               FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
     SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
     FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
     """,
@@ -1038,7 +1038,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase gets the user's most recent click at or
     before it (union + carry-forward window — one shuffle, no range
-    explosion; see operators/asof.py). Oracle is DuckDB's native ASOF."""
+    explosion; see operators/asof.py). Oracle is DuckDB's native ASOF.
+
+    Equal-(user_id, ts) click ties resolve to the MAX click_id on both
+    sides: `tiebreak="click_id"` here, a pre-dedup `max(event_id)` per
+    (user_id, ts) in the oracle — DuckDB ASOF picks an arbitrary tied row
+    otherwise, which would flake the value-hash comparison."""
     from mapreduce__spark.operators.asof import asof_join
 
     ev = load_table(spark, sf_dir, "events")
@@ -1054,6 +1059,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=["user_id"],
         ts="_j_ts",
         right_cols=["click_id", "click_ts"],
+        tiebreak="click_id",
     ).select("event_id", "user_id", "ts", "click_id", "click_ts")
 
 

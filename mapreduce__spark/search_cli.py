@@ -1,7 +1,11 @@
 """The reference client, Spark-first: filename-substring search over
 directories (Search.cpp:169-307).
 
-Reference behavior reproduced exactly:
+Reference behavior reproduced (one deliberate deviation: the reference's
+print loop drops the separator between repetitions of the LAST name —
+the `i < size-1` check sits inside the per-name count loop,
+Search.cpp:296-301 — which reads as a bug; format_output space-joins
+uniformly):
 * input is (directory, word) pairs — the same word broadcast across all
   argv directories (initiateList, Search.cpp:169-181);
 * each directory is listed NON-recursively; '.' and '..' are skipped
@@ -35,7 +39,13 @@ def listings_df(spark: SparkSession, dirs: list[str]) -> DataFrame:
     """(dir, name) relation of non-recursive directory entries."""
     rows = []
     for d in dirs:
-        for name in os.listdir(d):  # os.listdir never yields '.'/'..'
+        try:
+            names = os.listdir(d)  # os.listdir never yields '.'/'..'
+        except OSError:
+            # The reference silently skips directories whose opendir
+            # fails (Search.cpp:210) — match that instead of crashing.
+            continue
+        for name in names:
             rows.append((d, name))
     return spark.createDataFrame(rows or [("", "")], "dir string, name string").where(
         F.col("dir") != ""

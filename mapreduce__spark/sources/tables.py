@@ -14,6 +14,8 @@ partitions, and nothing here assumes a single file.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,11 +38,17 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
-# (session, sf_dir, table) -> DataFrame. A DataFrame is an immutable plan,
-# so reuse is safe; memoizing skips the parquet footer read + schema
+# Per-session {(sf_dir, table) -> DataFrame}. A DataFrame is an immutable
+# plan, so reuse is safe; memoizing skips the parquet footer read + schema
 # inference that spark.read.parquet repeats per call (measurable fixed
-# cost when a 60-query registry loads the same 10 tables).
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# cost when a 60-query registry loads the same 10 tables). Keyed WEAKLY on
+# the SparkSession itself (not id(spark)): a stopped session's entries are
+# dropped automatically, so a stop-and-recreate can never hand out plans
+# bound to a dead session via id() reuse, and the cache cannot grow without
+# bound across sessions.
+_TABLE_CACHE: weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]] = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -54,9 +62,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (id(spark), sf_dir.rstrip("/"), name)
-    if key in _TABLE_CACHE:
-        return _TABLE_CACHE[key]
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir.rstrip("/"), name)
+    if key in per_session:
+        return per_session[key]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -64,7 +73,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    _TABLE_CACHE[key] = df
+    per_session[key] = df
     return df
 
 

@@ -1,0 +1,128 @@
+"""Regression tests for the round-1 ADVICE findings: short-doc minhash
+oracle parity, as-of tiebreak determinism, CLI directory-skip behavior,
+NULL-safe distributed cumsum, and the grouped cumsum used by the flagship
+pipeline's per-split packing."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce__spark.operators.asof import asof_join
+from mapreduce__spark.operators.windows import (
+    distributed_cumsum,
+    distributed_cumsum_grouped,
+)
+from mapreduce__spark.plans import REGISTRY
+from mapreduce__spark.search_cli import listings_df
+
+
+def test_minhash_signatures_short_docs_match_oracle(spark, tmp_path):
+    """ADVICE (medium): docs with <3 tokens have NO 3-grams — the Spark
+    fold keeps the '~' sentinel and the oracle's list_min over an empty
+    list is NULL unless coalesced. Pin parity on exactly that corpus."""
+    rows = [
+        (0, ""),                      # empty text -> 1 empty token, 0 grams
+        (1, "one"),                   # 1 token
+        (2, "one two"),               # 2 tokens -> still 0 grams
+        (3, "one two three"),         # exactly 1 gram
+        (4, "one two three four five six seven"),  # normal doc
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    q = REGISTRY["minhash_signatures"]
+    s_rows = {r.doc_id: (r.mh0, r.mh1, r.mh2, r.mh3) for r in q.fn(spark, sf_dir).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    o_rows = {r[0]: tuple(r[1:]) for r in con.execute(q.oracle).fetchall()}
+    con.close()
+
+    assert s_rows == o_rows
+    assert s_rows[0] == ("~", "~", "~", "~")  # sentinel, not NULL
+    assert s_rows[2] == ("~", "~", "~", "~")
+
+
+def test_asof_join_tiebreak_deterministic(spark):
+    """ADVICE (low): two right rows with identical (key, ts) must resolve
+    deterministically — max tiebreak value wins."""
+    left = spark.createDataFrame(
+        [(1, 100, 10)], "event_id bigint, user_id bigint, ts bigint"
+    )
+    right = spark.createDataFrame(
+        [(7, 100, 5), (9, 100, 5), (8, 100, 5)],
+        "click_id bigint, user_id bigint, ts bigint",
+    )
+    out = asof_join(
+        left.withColumn("_j_ts", F.col("ts")),
+        right.withColumn("_j_ts", F.col("ts")).select(
+            "click_id", "user_id", F.col("ts").alias("click_ts"), "_j_ts"
+        ),
+        on=["user_id"],
+        ts="_j_ts",
+        right_cols=["click_id", "click_ts"],
+        tiebreak="click_id",
+    ).collect()
+    assert len(out) == 1 and out[0].click_id == 9
+
+
+def test_listings_df_skips_unreadable_dirs(spark, tmp_path):
+    """ADVICE (low): the reference silently skips directories whose
+    opendir fails (Search.cpp:210); a missing argv dir must not crash."""
+    good = tmp_path / "good"
+    good.mkdir()
+    (good / "hit_a").touch()
+    (good / "hit_b").touch()
+    rows = listings_df(
+        spark, [str(good), str(tmp_path / "does_not_exist"), str(good / "hit_a")]
+    ).collect()
+    assert sorted(r.name for r in rows) == ["hit_a", "hit_b"]
+
+
+def test_distributed_cumsum_null_values(spark):
+    """ADVICE (low): a range bucket whose values are all NULL must
+    contribute 0 to downstream offsets, not crash the driver loop."""
+    rows = [(i, None if i < 50 else 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    out = distributed_cumsum(df, "k", "v", "cum", num_partitions=8).collect()
+    by_k = {r.k: r.cum for r in out}
+    assert by_k[49] is None or by_k[49] == 0  # SUM-over-nulls semantics
+    assert by_k[99] == 50
+
+
+def test_distributed_cumsum_grouped_matches_window(spark):
+    """The grouped two-phase cumsum must equal the single-task
+    Window.partitionBy(group) form bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    rows = [(i, "train" if i % 10 < 8 else "holdout", (i * 37) % 100 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "k bigint, grp string, v bigint")
+    got = {
+        (r.grp, r.k): r.cum
+        for r in distributed_cumsum_grouped(df, ["grp"], "k", "v", "cum", num_partitions=8).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r.grp, r.k): r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_grouped_cumsum_plan_parallelism(spark):
+    """The flagship's packing stage must partition its window by
+    (group, bucket), never by the 2-value split alone."""
+    df = spark.createDataFrame(
+        [(i, "train" if i % 2 == 0 else "holdout", 1) for i in range(100)],
+        "k bigint, grp string, v bigint",
+    )
+    plan = distributed_cumsum_grouped(
+        df, ["grp"], "k", "v", "cum", num_partitions=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "_pid" in plan  # bucket key present in the window partitioning
