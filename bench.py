@@ -15,13 +15,40 @@ excluded framework init — README:101-118 reports phase times only).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
+import sys
 import time
 
 from mapreduce__spark.plans import REGISTRY
 from mapreduce__spark.session import get_spark
+
+REGRESSION_FACTOR = 1.5  # warn loudly on >1.5x per-query slowdown vs last round
+
+
+def _baseline_queries(sf: float) -> tuple[str, dict[str, float]]:
+    """Per-query timings from the newest BENCH_r{N}.json at the same sf
+    (the driver writes one per round), or ({}, '') when none exists."""
+    best: tuple[int, str, dict[str, float]] | None = None
+    for path in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        if parsed.get("sf") != sf or not parsed.get("queries"):
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            best = (rnd, os.path.basename(path), parsed["queries"])
+    if best is None:
+        return "", {}
+    return best[1], best[2]
 
 BENCH_QUERIES = [
     "search_count",        # flagship: filter→count→sort→expand
@@ -65,17 +92,34 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Per-query regression deltas vs the previous round's recorded bench
+    # (round-1 VERDICT item 6). Stderr only for the warnings — stdout must
+    # stay ONE JSON line for the driver.
+    base_file, base = _baseline_queries(sf)
+    if base:
+        deltas = {
+            n: round(timings[n] / base[n], 3)
+            for n in timings
+            if n in base and base[n] > 0
+        }
+        out["baseline"] = base_file
+        out["deltas_vs_baseline"] = deltas
+        regressed = {n: d for n, d in deltas.items() if d > REGRESSION_FACTOR}
+        if regressed:
+            print(
+                f"PERF REGRESSION vs {base_file} (> {REGRESSION_FACTOR}x): {regressed}",
+                file=sys.stderr,
+            )
+
+    print(json.dumps(out))
     spark.stop()
 
 
