@@ -1231,3 +1231,168 @@ def kernel_search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file")
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline extensions: decontamination, PII scrub, quality rules
+# --------------------------------------------------------------------------
+
+# Deterministic "held-out benchmark" slice: every 50th doc plays the role of
+# an eval set (a real pipeline would load the benchmark corpus instead).
+_EVAL_MOD = 50
+
+# PII patterns shared between Spark (Java regex) and DuckDB (RE2) — only
+# syntax both dialects interpret identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d[\d -]{7,}\d"
+
+
+@query(
+    "decontaminate_eval_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(range(1, len(toks) - 3),
+                           i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        FROM t
+    ),
+    e  AS (SELECT doc_id AS eval_id,  gram FROM g WHERE doc_id % {_EVAL_MOD} = 0),
+    tr AS (SELECT doc_id AS train_id, gram FROM g WHERE doc_id % {_EVAL_MOD} <> 0)
+    SELECT tr.train_id, e.eval_id, count(*) AS n_shared_grams
+    FROM tr JOIN e USING (gram)
+    GROUP BY tr.train_id, e.eval_id
+    """,
+    tags=("tier2", "pipeline", "text"),
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find training docs sharing word-5-gram
+    shingles with any eval-set doc (the GPT-3/PaLM-style n-gram overlap
+    check a training pipeline runs before every release).
+
+    Scale shape: distinct shingles explode from ONE scan; the eval side is
+    tiny by construction (a benchmark, not a corpus), so it broadcasts and
+    the contamination check is a broadcast equi-join on the gram — the
+    train corpus is never shuffled. Output is (train_id, eval_id,
+    n_shared_grams) for human triage; dropping contaminated docs is a
+    left_anti join on train_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(tokenize(F.col("text")), 5)).alias("gram")
+    )
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    eval_g = grams.where(is_eval).select(F.col("doc_id").alias("eval_id"), "gram")
+    train_g = grams.where(~is_eval).select(F.col("doc_id").alias("train_id"), "gram")
+    return (
+        train_g.join(F.broadcast(eval_g), "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_IPV4}', '<IP>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}'))
+              + len(regexp_extract_all(text, '{PII_IPV4}'))
+              + len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_pii
+    FROM documents
+    """,
+    tags=("tier2", "pipeline", "text"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: replace emails / IPv4 addresses / phone numbers with
+    typed placeholders and count redactions per doc — the compliance pass
+    every training corpus goes through.
+
+    Pure regexp_replace/regexp_count expressions: zero shuffle, runs in
+    the scan stage at any corpus size. Patterns are restricted to syntax
+    Java regex and RE2 interpret identically so the oracle reproduces the
+    scrub bit-for-bit (the synthetic corpus contains no PII — the planted
+    fixture in tests/test_advice_regressions.py proves real redaction).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    n_pii = (
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL))
+        + F.regexp_count(F.col("text"), F.lit(PII_IPV4))
+        + F.regexp_count(F.col("text"), F.lit(PII_PHONE))
+    ).cast("bigint")
+    return docs.select("doc_id", clean.alias("clean_text"), n_pii.alias("n_pii"))
+
+
+@query(
+    "gopher_quality_rules",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               round(list_aggregate(list_transform(toks, x -> length(x)),
+                                    'sum')::DOUBLE / len(toks), 4) AS mean_word_len,
+               round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS distinct_ratio,
+               CAST(len(list_filter(toks,
+                    x -> x IN ('the','a','of','and','to','is','in'))) AS BIGINT) AS stop_hits
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, distinct_ratio, stop_hits,
+           (n_words BETWEEN 20 AND 2500
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND distinct_ratio >= 0.2
+            AND stop_hits >= 2) AS keep
+    FROM m
+    """,
+    tags=("tier2", "pipeline", "text"),
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rule set: word count bounds, mean
+    word length bounds, distinct-token ratio (repetition guard), and
+    stopword presence — each rule emitted as its own column plus the
+    composite `keep` flag, so a pipeline can both filter and audit which
+    rule fired.
+
+    All rules are scan-stage codegen expressions over ONE tokenization —
+    zero shuffle at any corpus size (same scaling class as word count).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n_words = F.size(toks).cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_word_len = F.round(sum_len.cast("double") / F.size(toks), 4)
+    distinct_ratio = F.round(
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
+    )
+    stop_hits = stopword_hits(toks, LANG_STOPWORDS["en"]).cast("bigint")
+    keep = (
+        n_words.between(20, 2500)
+        & mean_word_len.between(3.0, 10.0)
+        & (distinct_ratio >= 0.2)
+        & (stop_hits >= 2)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        distinct_ratio.alias("distinct_ratio"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )

@@ -115,6 +115,59 @@ def test_distributed_cumsum_grouped_matches_window(spark):
     assert got == want
 
 
+def test_pii_scrub_redacts_planted_pii(spark, tmp_path):
+    """The corpus has no PII, so the registered query is a verified no-op
+    there; this planted fixture proves the redaction actually fires and
+    still matches the DuckDB oracle bit-for-bit."""
+    rows = [
+        (0, "contact bob.smith+spam@example.co.uk for details"),
+        (1, "server at 192.168.10.254 timed out"),
+        (2, "call +1 415 555-0100 now"),
+        (3, "mixed a@b.io and 10.0.0.1 and +44 20 7946 0958 here"),
+        (4, "clean text with no identifiers at all"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    q = REGISTRY["pii_scrub"]
+    got = {r.doc_id: (r.clean_text, r.n_pii) for r in q.fn(spark, sf_dir).collect()}
+    assert got[0] == ("contact <EMAIL> for details", 1)
+    assert got[1] == ("server at <IP> timed out", 1)
+    assert got[2] == ("call <PHONE> now", 1)
+    assert got[3][1] == 3 and "<EMAIL>" in got[3][0] and "<IP>" in got[3][0]
+    assert got[4] == ("clean text with no identifiers at all", 0)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    oracle = {r[0]: (r[1], r[2]) for r in con.execute(q.oracle).fetchall()}
+    con.close()
+    assert got == oracle
+
+
+def test_decontamination_flags_duplicated_eval_doc(spark, tmp_path):
+    """A training doc sharing a 5-gram window with an eval doc must be
+    flagged; unrelated docs must not."""
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, eval_text),                                   # eval (0 % 50 == 0)
+        (1, "prefix words then alpha beta gamma delta epsilon trailing"),
+        (2, "completely different tokens nothing shared here at all"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    out = {
+        (r.train_id, r.eval_id): r.n_shared_grams
+        for r in REGISTRY["decontaminate_eval_overlap"].fn(spark, sf_dir).collect()
+    }
+    assert out == {(1, 0): 1}  # one shared 5-gram window, doc 2 clean
+
+
 def test_grouped_cumsum_plan_parallelism(spark):
     """The flagship's packing stage must partition its window by
     (group, bucket), never by the 2-value split alone."""

@@ -67,3 +67,30 @@ def test_no_python_in_jvm_queries(spark, sf_small):
     for q in (pricing_summary, shipping_priority, search_count):
         plan = physical(q(spark, sf_small))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q.__name__
+
+
+def test_embedding_dedup_never_cartesian(spark, sf_small):
+    """The declared embedding near-dup operator must plan the pruned
+    cluster equi-join, never the all-pairs cartesian (VERDICT item 6)."""
+    from mapreduce__spark.plans.tier2 import dedup_embedding_cosine
+
+    plan = physical(dedup_embedding_cosine(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_flagship_packing_not_split_funneled(spark, sf_small):
+    """The flagship's per-split packing must window on (split, bucket),
+    never on the 2-value split alone (VERDICT item 5): every window spec
+    that partitions on `split` must also carry the `_pid` bucket key."""
+    import re
+
+    from mapreduce__spark.plans.tier2 import training_data_pipeline
+
+    plan = physical(training_data_pipeline(spark, sf_small))
+    split_windows = [
+        w for w in re.findall(r"windowspecdefinition\(([^)]*)\)", plan) if "split" in w
+    ]
+    assert split_windows, "expected a window over split in the packing stage"
+    for spec in split_windows:
+        assert "_pid" in spec, f"split-only window partitioning: {spec}"
