@@ -69,6 +69,27 @@ def test_no_python_in_jvm_queries(spark, sf_small):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q.__name__
 
 
+def test_decontamination_broadcasts_eval_side(spark, sf_small):
+    """The eval side is a benchmark (tiny by construction): the gram join
+    must be a broadcast hash join, never a corpus-shuffling sort-merge."""
+    from mapreduce__spark.plans.tier2 import decontaminate_eval_overlap
+
+    plan = physical(decontaminate_eval_overlap(spark, sf_small))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_scrub_and_quality_rules_zero_shuffle(spark, sf_small):
+    """PII scrub and the quality rule set are scan-stage expression
+    pipelines — no Exchange may appear in their plans."""
+    from mapreduce__spark.plans.tier2 import gopher_quality_rules, pii_scrub
+
+    for fn in (pii_scrub, gopher_quality_rules):
+        plan = physical(fn(spark, sf_small))
+        assert "Exchange" not in plan, f"{fn.__name__}: {plan}"
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, fn.__name__
+
+
 def test_embedding_dedup_never_cartesian(spark, sf_small):
     """The declared embedding near-dup operator must plan the pruned
     cluster equi-join, never the all-pairs cartesian (VERDICT item 6)."""
