@@ -46,10 +46,18 @@ def connected_components(
     driver-side union-find finishes in microseconds instead of paying
     2 Spark jobs per propagation round. Larger graphs run the distributed
     label-propagation loop below. Same result either way (tested).
+
+    The edge list is eagerly materialized FIRST: it is narrow (two ids) but
+    its upstream plan is typically the whole LSH+verify pipeline, and this
+    operator re-reads edges multiple times (threshold probe + collect on
+    the driver path; every propagation round re-derives `sym` on the
+    distributed path). Without materialization the LSH candidate join
+    re-executes per action/round — measured 2x on the flagship pipeline.
     """
-    n_edges = edges.limit(driver_threshold + 1).count()
-    if n_edges <= driver_threshold:
-        pairs = [(r[0], r[1]) for r in edges.select(src, dst).collect()]
+    edges = edges.select(src, dst).localCheckpoint(eager=True)
+    head = edges.limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
+        pairs = [(r[0], r[1]) for r in head]
         parent: dict = {}
 
         def find(x):

@@ -1133,9 +1133,16 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
 
-    exact_keep = quality.groupBy(F.md5("text").alias("fp")).agg(
-        F.min("doc_id").alias("doc_id")
-    ).select("doc_id")
+    # Exact dedup as min-over-window on the content hash: ONE pass over
+    # `quality` and one shuffle (on the uniform md5 key), where the
+    # groupBy + semi-join formulation scans the quality subtree twice and
+    # shuffles twice (Catalyst does not share the common subtree).
+    wfp = Window.partitionBy(F.md5("text"))
+    exact_deduped = (
+        quality.withColumn("_min_id", F.min("doc_id").over(wfp))
+        .where(F.col("doc_id") == F.col("_min_id"))
+        .drop("_min_id")
+    )
 
     from mapreduce__spark.operators.graph import connected_components
 
@@ -1145,10 +1152,7 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id")
     )
 
-    survivors = (
-        quality.join(exact_keep, "doc_id", "left_semi")
-        .join(removal, "doc_id", "left_anti")
-    )
+    survivors = exact_deduped.join(removal, "doc_id", "left_anti")
 
     bucket = (
         F.conv(
