@@ -74,31 +74,24 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def minhash_signature(docs: DataFrame, num_hashes: int, hash_fn: str = "xxhash64") -> DataFrame:
-    """Per-doc MinHash signature as one `mh` array column of length
-    `num_hashes` — computed entirely inside the scan stage (no shuffle,
-    no UDF).
+def minhash_fold_expr(grams_col: Column, num_hashes: int, hash_fn: str = "xxhash64") -> Column:
+    """MinHash signature of a gram-array column as one array expression.
 
-    Perf-critical structure: the gram set is materialized ONCE per row and
-    ALL hash family members are folded in ONE `aggregate` traversal
-    (running elementwise-min via `zip_with`). Building each minhash as its
-    own `array_min(transform(word_ngrams(...)))` column re-constructs the
+    Perf-critical structure: the gram set is traversed ONCE and ALL hash
+    family members are folded in ONE `aggregate` pass (running
+    elementwise-min via `zip_with`). Building each minhash as its own
+    `array_min(transform(word_ngrams(...)))` column re-constructs the
     ~|doc| gram array per hash (lambda ids differ per column, so codegen
     subexpression elimination cannot share them) — measured 16x slower at
     sf0.1. ``hash_fn``:
     * 'xxhash64' — fast 64-bit JVM hash (production path);
     * 'md5'      — hex-string hash reproducible in DuckDB (oracle path).
     """
-    grams = word_ngrams(tokenize(F.col("text")), NGRAM_N)
-    with_grams = ensure_parallelism(docs.select("doc_id", "text")).select(
-        "doc_id", grams.alias("grams")
-    )
-
     if hash_fn == "md5":
         # '~' sorts above every hex digit, so empty docs keep the sentinel.
         init = F.array(*[F.lit("~") for _ in range(num_hashes)])
-        fold = F.aggregate(
-            F.col("grams"),
+        return F.aggregate(
+            grams_col,
             init,
             lambda acc, g: F.zip_with(
                 acc,
@@ -106,18 +99,28 @@ def minhash_signature(docs: DataFrame, num_hashes: int, hash_fn: str = "xxhash64
                 lambda a, b: F.least(a, b),
             ),
         )
-    else:
-        init = F.array(*[F.lit(2**63 - 1).cast("long") for _ in range(num_hashes)])
-        fold = F.aggregate(
-            F.col("grams"),
-            init,
-            lambda acc, g: F.zip_with(
-                acc,
-                F.array(*[F.xxhash64(g, F.lit(i)) for i in range(num_hashes)]),
-                lambda a, b: F.least(a, b),
-            ),
-        )
-    return with_grams.select("doc_id", fold.alias("mh"))
+    init = F.array(*[F.lit(2**63 - 1).cast("long") for _ in range(num_hashes)])
+    return F.aggregate(
+        grams_col,
+        init,
+        lambda acc, g: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(g, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
+def minhash_signature(docs: DataFrame, num_hashes: int, hash_fn: str = "xxhash64") -> DataFrame:
+    """Per-doc MinHash signature as one `mh` array column of length
+    `num_hashes` — computed entirely inside the scan stage (no shuffle,
+    no UDF). See :func:`minhash_fold_expr` for the fold structure."""
+    with_grams = ensure_parallelism(docs.select("doc_id", "text")).select(
+        "doc_id", word_ngrams(tokenize(F.col("text")), NGRAM_N).alias("grams")
+    )
+    return with_grams.select(
+        "doc_id", minhash_fold_expr(F.col("grams"), num_hashes, hash_fn).alias("mh")
+    )
 
 
 def lsh_near_duplicate_pairs(
@@ -140,12 +143,20 @@ def lsh_near_duplicate_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # Signatures are referenced by BOTH sides of the banded self-join;
-    # without materialization each side recomputes the full gram+hash
-    # pass. Signatures are narrow (doc_id + num_hashes longs), so
-    # materializing them is the right call at corpus scale too — this is
-    # the "cache the signatures, never the corpus" rule from SCALE.md.
-    sig = minhash_signature(docs, num_hashes).localCheckpoint(eager=True)
+    # ONE tokenize pass produces BOTH the gram arrays (for exact verify)
+    # and the minhash signatures (for banding), materialized together:
+    # the base is referenced by both sides of the banded self-join AND by
+    # both sides of the verification join — without materialization each
+    # reference recomputes the gram+hash pass. This is the "cache the
+    # signatures, never the corpus" rule from SCALE.md (gram arrays are
+    # a bounded multiple of the text we already shed the rest of).
+    base = (
+        ensure_parallelism(docs.select("doc_id", "text"))
+        .select("doc_id", word_ngrams(tokenize(F.col("text")), NGRAM_N).alias("grams"))
+        .withColumn("mh", minhash_fold_expr(F.col("grams"), num_hashes))
+        .localCheckpoint(eager=True)
+    )
+    sig = base.select("doc_id", "mh")
     band_cols = [
         F.xxhash64(*[F.col("mh")[b * r + i] for i in range(r)]).alias(f"band{b}")
         for b in range(bands)
@@ -176,11 +187,8 @@ def lsh_near_duplicate_pairs(
     # exact_jaccard_pairs' job — right for all-pairs, wasteful for a small
     # candidate list). Row width = two gram arrays; candidate counts are
     # bounded by the banding, so this stays narrow at scale.
-    gram_arrays = ensure_parallelism(docs.select("doc_id", "text")).select(
-        "doc_id", word_ngrams(tokenize(F.col("text")), NGRAM_N).alias("grams")
-    ).localCheckpoint(eager=True)  # two-sided reuse below, same rationale
-    ga1 = gram_arrays.select(F.col("doc_id").alias("gid1"), F.col("grams").alias("g1"))
-    ga2 = gram_arrays.select(F.col("doc_id").alias("gid2"), F.col("grams").alias("g2"))
+    ga1 = base.select(F.col("doc_id").alias("gid1"), F.col("grams").alias("g1"))
+    ga2 = base.select(F.col("doc_id").alias("gid2"), F.col("grams").alias("g2"))
     paired = (
         candidates.join(ga1, F.col("id1") == F.col("gid1"))
         .join(ga2, F.col("id2") == F.col("gid2"))
