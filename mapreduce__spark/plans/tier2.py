@@ -1400,3 +1400,162 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_hits.alias("stop_hits"),
         keep.alias("keep"),
     )
+
+
+@query(
+    "training_data_pipeline_full",
+    oracle=f"""
+    WITH RECURSIVE scrubbed AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_IPV4}', '<IP>', 'g'),
+                   '{PII_PHONE}', '<PHONE>', 'g') AS text
+        FROM documents
+    ), quality AS (
+        SELECT doc_id, text FROM scrubbed
+        WHERE len(string_split(text, ' ')) BETWEEN 20 AND 2000
+          AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+              / length(text) < 0.3
+    ), g5 AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(range(1, len(string_split(text, ' ')) - 3),
+                           i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))) AS gram
+        FROM scrubbed
+    ),
+    contaminated AS (
+        SELECT DISTINCT tr.doc_id
+        FROM (SELECT doc_id, gram FROM g5 WHERE doc_id % {_EVAL_MOD} <> 0) tr
+        JOIN (SELECT doc_id, gram FROM g5 WHERE doc_id % {_EVAL_MOD} = 0) e
+          USING (gram)
+    ),
+    decon AS (
+        SELECT q.doc_id, q.text FROM quality q
+        WHERE q.doc_id % {_EVAL_MOD} <> 0
+          AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    exact_keep AS (
+        SELECT min(doc_id) AS doc_id FROM decon GROUP BY md5(text)
+    ), pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION SELECT id2, id1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    removal AS (
+        SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a
+    ),
+    survivors AS (
+        SELECT d.doc_id, d.text
+        FROM decon d
+        JOIN exact_keep k ON d.doc_id = k.doc_id
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM removal)
+    ),
+    with_split AS (
+        SELECT doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))::BIGINT % 10 < 8
+                    THEN 'train' ELSE 'holdout' END AS split
+        FROM survivors
+    ),
+    packed AS (
+        SELECT doc_id, n_tokens, split,
+               sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM with_split
+    )
+    SELECT doc_id, n_tokens, split, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin
+    FROM packed
+    """,
+    tags=("tier2", "pipeline", "flagship"),
+)
+def training_data_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete modern training-data pipeline as ONE DataFrame program
+    — `training_data_pipeline` (quality → dedup → cluster removal → split
+    → pack) extended with the two compliance stages a production corpus
+    adds in front:
+
+    1. PII scrub (email/IPv4/phone → typed placeholders, scan-stage);
+    2. quality gate on the scrubbed text;
+    3. benchmark decontamination: drop eval-slice docs AND any training
+       doc sharing a word-5-gram with one (broadcast gram join);
+    4. exact dedup (min-over-window on content hash, one pass);
+    5. MinHash-LSH near-dup clusters → drop non-representatives;
+    6. reproducible hash split; per-split distributed-cumsum packing.
+
+    Stage scaling stories are unchanged from the component operators; the
+    composition is hash-checked end-to-end against the same stages in SQL.
+    """
+    from mapreduce__spark.operators.graph import connected_components
+    from mapreduce__spark.operators.windows import distributed_cumsum_grouped
+
+    docs = load_table(spark, sf_dir, "documents")
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    scrubbed = docs.select("doc_id", scrub.alias("text"))
+
+    toks = tokenize(F.col("text"))
+    digit_stripped = F.regexp_replace(F.col("text"), "[0-9]", "")
+    digit_ratio = (F.length("text") - F.length(digit_stripped)) / F.length("text")
+    quality = scrubbed.where(
+        F.size(toks).between(20, 2000) & (digit_ratio < 0.3)
+    ).select("doc_id", "text")
+
+    g5 = scrubbed.select(
+        "doc_id", F.explode(word_ngrams(toks, 5)).alias("gram")
+    )
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    contaminated = (
+        g5.where(~is_eval)
+        .join(F.broadcast(g5.where(is_eval).select("gram")), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    decon = quality.where(~is_eval).join(contaminated, "doc_id", "left_anti")
+
+    wfp = Window.partitionBy(F.md5("text"))
+    exact_deduped = (
+        decon.withColumn("_min_id", F.min("doc_id").over(wfp))
+        .where(F.col("doc_id") == F.col("_min_id"))
+        .drop("_min_id")
+    )
+
+    pairs = lsh_near_duplicate_pairs(docs, JACCARD_THRESHOLD, num_hashes=16, bands=8)
+    cc = connected_components(pairs, "id1", "id2")
+    removal = cc.where(F.col("component") < F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors = exact_deduped.join(removal, "doc_id", "left_anti")
+
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#split"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    with_split = survivors.select(
+        "doc_id",
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tokens"),
+        F.when(bucket < 8, "train").otherwise("holdout").alias("split"),
+    )
+    packed = distributed_cumsum_grouped(
+        with_split, ["split"], "doc_id", "n_tokens", "cum"
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "split",
+        ((F.col("cum") - F.col("n_tokens")) / 2048).cast("bigint").alias("bin"),
+    )
