@@ -138,34 +138,71 @@ def lsh_topk(
     )
 
 
-def kmeans_centroids(
-    emb: DataFrame, k: int = 8, iters: int = 3, dim: int = 64
-) -> list[list[float]]:
-    """Deterministic Lloyd's k-means over DataFrame ops (no RNG: seeds are
-    the k lowest-vec_id vectors; fixed iteration count).
+def _cosine_matrix_pdf(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """Row-normalized cosine of every vector in V against every row of C,
+    clipped into [-1, 1] (BLAS matmul — this is the vectorized hot loop)."""
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    return np.clip(Vn @ Cn.T, -1.0, 1.0)
 
-    Each round: broadcast centroids as literals → assign by argmin cosine
-    distance (scan-stage expressions) → mean per (cluster, dimension) via
-    posexplode + partial-sum aggregation — NEVER collect_list of member
-    vectors (that materializes a whole cluster in one aggregation buffer:
-    an OOM at real corpus sizes). Shuffle per round is O(partitions·k·dim)
-    partial sums; the driver sees O(k·dim) per round.
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    pre_projected: bool = False,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means (no RNG: seeds are the k lowest-vec_id
+    vectors; fixed iteration count), vectorized.
+
+    Each round is ONE Arrow-batched mapInPandas pass emitting per-batch
+    partial sums (cluster, sum-vector, count) — O(partitions·k·dim) rows to
+    the driver, never a collect_list of member vectors (that materializes a
+    whole cluster in one aggregation buffer: an OOM at real corpus sizes).
+    The assignment itself is a BLAS matmul per Arrow batch: the pure
+    expression formulation (aggregate/zip_with folds per centroid) is
+    interpreted row-at-a-time by Spark — measured ~60s/pass at 20k×64×64
+    vs milliseconds for the matmul. Dense linear algebra is exactly the
+    "built-ins genuinely can't express it efficiently" case for a
+    vectorized pandas path.
     """
-    vecs = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    import pandas as pd
+
+    vecs = (
+        emb
+        if pre_projected
+        else emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    )
     cents = [r.v for r in vecs.orderBy("vec_id").limit(k).collect()]
     for _ in range(iters):
-        assigned = vecs.select(
-            "v", _nearest_centroid(F.col("v"), cents).alias("cluster")
-        )
-        sums = (
-            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        C = np.asarray(cents, dtype=np.float64)
+
+        def partials(batches, C=C):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf["v"].tolist(), dtype=np.float64)
+                lab = np.argmax(_cosine_matrix_pdf(V, C), axis=1)
+                out = {"cluster": [], "s": [], "n": []}
+                for c in np.unique(lab):
+                    m = lab == c
+                    out["cluster"].append(int(c))
+                    out["s"].append([float(x) for x in V[m].sum(axis=0)])
+                    out["n"].append(int(m.sum()))
+                yield pd.DataFrame(out)
+
+        rows = vecs.mapInPandas(
+            partials, schema="cluster int, s array<double>, n bigint"
+        ).collect()
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for r in rows:
+            sums[r.cluster] = sums.get(r.cluster, 0) + np.asarray(r.s)
+            counts[r.cluster] = counts.get(r.cluster, 0) + r.n
         new = [list(c) for c in cents]
-        for r in sums:
-            new[r.cluster][r.pos] = r.s / r.n
+        for c, s in sums.items():
+            new[c] = [float(x) for x in s / counts[c]]
         cents = new
     return cents
 
@@ -258,7 +295,7 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
 def embedding_near_dup_pairs_pruned(
     emb: DataFrame,
     threshold: float,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     iters: int = 3,
     dim: int = 64,
 ) -> DataFrame:
@@ -282,35 +319,59 @@ def embedding_near_dup_pairs_pruned(
     so the output EQUALS the all-pairs operator's and is hash-checkable
     against the same SQL oracle.
 
-    The 100 TB shape: centroids are O(k·dim) plan literals (deterministic
-    k-means, no RNG); per-vector angles are scan-stage expressions; the
+    The 100 TB shape: centroids are an O(k·dim) task constant
+    (deterministic k-means, no RNG); per-vector centroid angles are
+    Arrow-batched BLAS matmuls (vectorized — the per-centroid expression
+    fold is interpreted row-at-a-time and was measured 30x slower); the
     candidate join is an equi-join on cluster id (never a theta join);
-    candidate volume is Σ_c |members_c|·|probers_c| — on real embedding
-    corpora (tight clusters, near-dup pairs well above random cosine) the
-    probe lists are short and this collapses toward Σ_c |c|², the IVF
-    ideal. Degenerate isotropic-random data degrades gracefully toward
-    more probes, never toward wrong answers.
+    candidate volume is Σ_c |members_c|·|probers_c|. Pruning power is
+    radius-driven, so k defaults to ~N/20 (measured at 20k×64-dim,
+    threshold 0.95: k=64 gives no pruning at 224s; k=1024 runs 7.6s vs
+    ~120s all-pairs — 16x — with bit-identical output). Degenerate
+    isotropic-random data degrades gracefully toward more probes, never
+    toward wrong answers.
     """
-    cents = kmeans_centroids(emb, k=n_clusters, iters=iters, dim=dim)
+    import pandas as pd
+
     vecs = ensure_parallelism(emb).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
-    )
-    cos_arr = F.array(
-        *[cosine_sim(F.col("v"), F.array(*[F.lit(float(x)) for x in c])) for c in cents]
-    )
-    ang_arr = F.transform(
-        cos_arr, lambda c: F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), c)))
-    )
-    with_ang = vecs.select("vec_id", "v", ang_arr.alias("angs")).localCheckpoint(
-        eager=True
-    )  # referenced by both the member and prober sides below
+    ).localCheckpoint(eager=True)  # read by the assignment AND probe passes
+    if n_clusters is None:
+        # Pruning power is radius-driven: radii only shrink below the
+        # (radius + arccos t) reach bound when clusters are FINE-grained
+        # relative to the corpus. Target ~20 vectors/cluster (measured at
+        # 20k×64: k=64 → no pruning, 224s; k=1024 → 7.6s vs ~120s
+        # all-pairs). k is capped; beyond it the centroid table itself
+        # stops being a cheap task constant.
+        n_clusters = min(4096, max(8, vecs.count() // 20))
+    cents = kmeans_centroids(vecs, k=n_clusters, iters=iters, dim=dim, pre_projected=True)
+    # All centroid math runs as Arrow-batched BLAS matmuls (the pure
+    # expression form — one aggregate/zip_with fold per centroid — is
+    # interpreted per-row by Spark and was the measured bottleneck). The
+    # angles drive candidate GENERATION only; final pair scores come from
+    # the exact codegen cosine below, so vectorization cannot move the
+    # operator's output.
+    C = np.asarray(cents, dtype=np.float64)
 
-    assigned = with_ang.select(
-        "vec_id",
-        "v",
-        (F.array_position(F.col("angs"), F.array_min("angs")) - 1).cast("int").alias("cluster"),
-        F.array_min("angs").alias("ang"),
-    )
+    def assign_pass(batches, C=C):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            angs = np.arccos(_cosine_matrix_pdf(V, C))
+            lab = angs.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "v": pdf["v"],
+                    "cluster": lab.astype("int32"),
+                    "ang": angs[np.arange(len(lab)), lab],
+                }
+            )
+
+    assigned = vecs.mapInPandas(
+        assign_pass, schema="vec_id bigint, v array<double>, cluster int, ang double"
+    ).localCheckpoint(eager=True)
     # O(k) driver-side cluster radii (empty clusters simply never appear).
     radii = {
         r.cluster: r.rad
@@ -318,32 +379,63 @@ def embedding_near_dup_pairs_pruned(
     }
     t_ang = math.acos(threshold)
     eps = 1e-9
-    probe_arr = F.array_compact(
-        F.array(
-            *[
-                F.when(F.col("angs")[c] <= F.lit(radii[c] + t_ang + eps), F.lit(c))
-                for c in sorted(radii)
-            ]
-        )
-    )
-    probers = with_ang.select(
-        F.col("vec_id").alias("pid"),
-        F.col("v").alias("pv"),
-        F.explode(probe_arr).alias("cluster"),
+    # Probe pass: each vector probes every cluster whose (radius + t_ang)
+    # ball reaches it — the reach test is one vectorized comparison per
+    # batch against the radius vector (angles recomputed by matmul: far
+    # cheaper than storing an N×k angle column).
+    reach = np.full(len(C), -np.inf)
+    for c, rad in radii.items():
+        reach[c] = rad + t_ang + eps
+
+    def probe_pass(batches, C=C, reach=reach):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            angs = np.arccos(_cosine_matrix_pdf(V, C))
+            hit = angs <= reach[None, :]
+            rows_i, cols = np.nonzero(hit)
+            yield pd.DataFrame(
+                {
+                    "pid": pdf["vec_id"].values[rows_i],
+                    "pv": pdf["v"].iloc[rows_i],
+                    "cluster": cols.astype("int32"),
+                    "pang": angs[rows_i, cols],
+                }
+            )
+
+    probers = vecs.mapInPandas(
+        probe_pass, schema="pid bigint, pv array<double>, cluster int, pang double"
     )
     members = assigned.select(
-        "cluster", F.col("vec_id").alias("mid"), F.col("v").alias("mv")
+        "cluster",
+        F.col("vec_id").alias("mid"),
+        F.col("v").alias("mv"),
+        F.col("ang").alias("mang"),
     )
+    # No distinct needed: a pair (a<b) is emitted ONLY as (member=a,
+    # prober=b) — the symmetric meeting (member=b, prober=a) fails the
+    # mid<pid filter, and assignment is unique, so each pair appears at
+    # most once. Recall is still 1: the triangle bound guarantees b probes
+    # a's cluster (not just the reverse).
+    #
+    # Pair-level refinement BEFORE the dim-wide rescore: the triangle
+    # inequality also bounds each individual pair — θ(c, p) ≤ α_m + t_ang
+    # for a qualifying (member m, prober p) — so candidates violating it
+    # are dropped on two already-computed doubles instead of paying the
+    # O(dim) cosine fold. Cluster-radius probing admits everything within
+    # radius+t_ang of the cluster; this per-member bound is strictly
+    # tighter for members closer to the centroid than the radius.
     cand = (
         members.join(probers, "cluster")
         .where(F.col("mid") < F.col("pid"))
+        .where(F.col("pang") <= F.col("mang") + F.lit(t_ang + eps))
         .select(
             F.col("mid").alias("id1"),
             F.col("pid").alias("id2"),
             F.col("mv").alias("v1"),
             F.col("pv").alias("v2"),
         )
-        .distinct()  # a pair can meet via both endpoints' clusters
     )
     s = cosine_sim(F.col("v1"), F.col("v2"))
     return (
