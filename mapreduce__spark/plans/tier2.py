@@ -419,7 +419,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_decode",
-    oracle=None,  # decode is a stub (no media libs here); plumbing tested in pytest
+    oracle=None,  # PIXEL decode is a stub (no media libs here); plumbing tested in pytest
     tags=("tier2", "multimodal"),
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,6 +427,36 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads via mapInPandas — the multimodal processing skeleton."""
     mm = with_binary_payload(load_table(spark, sf_dir, "documents"))
     return extract_features(mm)
+
+
+@query(
+    "image_header_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS fmt,
+           CAST((doc_id % 512) + 16 AS BIGINT) AS width,
+           CAST(((doc_id * 7) % 512) + 16 AS BIGINT) AS height
+    FROM documents
+    """,
+    tags=("tier2", "multimodal"),
+)
+def image_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode at the header level, no media libraries: valid
+    PNG / GIF / JPEG container bytes are synthesized per doc (dimensions a
+    pure function of doc_id) and (format, width, height) are parsed BACK
+    from the raw bytes — PNG IHDR big-endian fields, GIF little-endian
+    logical screen, a JPEG SOF marker walk. The oracle recomputes the
+    expected dimensions from doc_id, so it verifies the byte-level parse
+    round-trip exactly. Arrow-batched, partition-preserving; this is the
+    decode stage a 100 TB corpus runs for size/aspect filtering before any
+    pixel work."""
+    from mapreduce__spark.operators.multimodal import (
+        image_header_features,
+        with_image_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_header_features(with_image_payload(docs))
 
 
 # --------------------------------------------------------------------------

@@ -198,6 +198,37 @@ def test_multimodal_arrow_variant_matches_pandas(spark, sf_small):
     assert a == b
 
 
+def test_image_header_parser_real_formats():
+    """Byte-level header parsing of hand-built PNG/GIF/JPEG fixtures —
+    including ones NOT produced by the synthesizer (different field
+    values, extra JPEG segments) — plus garbage rejection."""
+    import struct
+    import zlib
+
+    from mapreduce__spark.operators.multimodal import parse_image_header
+
+    # hand-built PNG 640x480
+    ihdr = struct.pack(">II5B", 640, 480, 8, 6, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + chunk + struct.pack(
+        ">I", zlib.crc32(chunk)
+    )
+    assert parse_image_header(png) == ("png", 640, 480)
+    # GIF87a 320x200
+    assert parse_image_header(b"GIF87a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00") == (
+        "gif",
+        320,
+        200,
+    )
+    # JPEG with an extra APP1 (EXIF-like) segment before SOF2 (progressive)
+    app1 = b"\xff\xe1" + struct.pack(">H", 8) + b"Exif\x00\x00"
+    sof2 = b"\xff\xc2" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 1080, 1920) + b"\x01\x01\x11\x00"
+    assert parse_image_header(b"\xff\xd8" + app1 + sof2) == ("jpeg", 1920, 1080)
+    # rejection
+    assert parse_image_header(b"") == ("unknown", 0, 0)
+    assert parse_image_header(b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09") == ("unknown", 0, 0)
+
+
 def test_multimodal_metadata_struct(spark, sf_small):
     """The multimodal row shape carries a typed metadata struct."""
     mm = with_binary_payload(load_table(spark, sf_small, "documents"))
