@@ -215,6 +215,82 @@ def with_image_payload(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(gen, schema="doc_id bigint, payload binary")
 
 
+def synth_wav_bytes(doc_id: int) -> bytes:
+    """Valid WAV (RIFF) header: channels/sample-rate/frame-count are pure
+    functions of doc_id for oracle round-trip verification."""
+    channels = doc_id % 2 + 1
+    sample_rate = (8000, 16000, 44100, 48000)[doc_id % 4]
+    bits = 16
+    n_frames = doc_id % 1000 + 1
+    block_align = channels * bits // 8
+    data_size = n_frames * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", data_size)
+    return b"RIFF" + struct.pack("<I", len(body) + data_size) + body
+
+
+def parse_wav_header(b: bytes) -> tuple[int, int, int, int]:
+    """(channels, sample_rate, bits, n_frames) from a RIFF/WAVE header via
+    the real chunk walk (fmt then data); zeros when not a WAV."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return 0, 0, 0, 0
+    i, channels, rate, bits, block_align, n_frames = 12, 0, 0, 0, 1, 0
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 8 + 16 <= len(b):
+            _, channels, rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", b[i + 8 : i + 24]
+            )
+        elif cid == b"data":
+            n_frames = size // max(1, block_align)
+            break
+        i += 8 + size
+    return channels, rate, bits, n_frames
+
+
+def synth_mp4_bytes(doc_id: int) -> bytes:
+    """Minimal valid MP4: ftyp box + moov box wrapping an mvhd (version 0)
+    whose timescale/duration derive from doc_id."""
+    timescale = 600
+    duration_s = doc_id % 3600 + 1
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 512)
+    mvhd_payload = (
+        b"\x00\x00\x00\x00"                      # version + flags
+        + struct.pack(">II", 0, 0)                # ctime, mtime
+        + struct.pack(">II", timescale, duration_s * timescale)
+        + bytes(80)                               # rate..next_track_id padding
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_payload)) + b"mvhd" + mvhd_payload
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + moov
+
+
+def parse_mp4_header(b: bytes) -> tuple[str, int, int]:
+    """(major_brand, timescale, duration) from the real top-level box walk
+    (ftyp, then mvhd inside moov); ('', 0, 0) when not an MP4."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return "", 0, 0
+    brand = b[8:12].decode("ascii", "replace")
+    i = 0
+    while i + 8 <= len(b):
+        size = struct.unpack(">I", b[i : i + 4])[0]
+        btype = b[i + 4 : i + 8]
+        if btype == b"moov":
+            j = i + 8
+            end = min(len(b), i + size)
+            while j + 8 <= end:
+                csize = struct.unpack(">I", b[j : j + 4])[0]
+                if b[j + 4 : j + 8] == b"mvhd" and j + 28 <= len(b):
+                    timescale, duration = struct.unpack(">II", b[j + 20 : j + 28])
+                    return brand, timescale, duration
+                j += max(8, csize)
+        i += max(8, size)
+    return brand, 0, 0
+
+
 def image_header_features(multimodal: DataFrame) -> DataFrame:
     """Parse (format, width, height) out of binary payloads — Arrow-batched,
     partition-preserving, byte-level only (no pixel decode)."""

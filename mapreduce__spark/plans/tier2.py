@@ -459,6 +459,63 @@ def image_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_header_features(with_image_payload(docs))
 
 
+@query(
+    "media_header_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                WHEN 2 THEN 44100 ELSE 48000 END AS BIGINT) AS sample_rate,
+           CAST(doc_id % 1000 + 1 AS BIGINT) AS n_frames,
+           'isom' AS brand,
+           CAST(600 AS BIGINT) AS timescale,
+           CAST((doc_id % 3600 + 1) * 600 AS BIGINT) AS duration
+    FROM documents
+    """,
+    tags=("tier2", "multimodal"),
+)
+def media_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio + video header decode, byte-level (no media libraries):
+    per doc, a valid WAV (RIFF chunk walk → channels/rate/frames) and a
+    valid MP4 (top-level box walk → ftyp brand, moov/mvhd timescale +
+    duration) are synthesized with fields derived from doc_id, then parsed
+    back from raw bytes. Oracle recomputes the expected fields from doc_id
+    — an exact round-trip check of both container parsers."""
+    from mapreduce__spark.operators.multimodal import (
+        parse_mp4_header,
+        parse_wav_header,
+        synth_mp4_bytes,
+        synth_wav_bytes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "channels": [], "sample_rate": [], "n_frames": [],
+                "brand": [], "timescale": [], "duration": [],
+            }
+            for i in pdf["doc_id"]:
+                i = int(i)
+                ch, rate, _bits, nf = parse_wav_header(synth_wav_bytes(i))
+                brand, ts, dur = parse_mp4_header(synth_mp4_bytes(i))
+                out["doc_id"].append(i)
+                out["channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(nf)
+                out["brand"].append(brand)
+                out["timescale"].append(ts)
+                out["duration"].append(dur)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema="doc_id bigint, channels bigint, sample_rate bigint, n_frames bigint, "
+        "brand string, timescale bigint, duration bigint",
+    )
+
+
 # --------------------------------------------------------------------------
 # O-26: event-stream windows (batch-equivalent, oracle-checkable forms)
 # --------------------------------------------------------------------------
