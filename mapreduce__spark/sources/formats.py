@@ -1,4 +1,4 @@
-"""Source/sink format breadth beyond parquet: CSV and JSON-lines.
+"""Source/sink format breadth beyond parquet: CSV, JSON-lines, ORC.
 
 The engine's canonical storage is parquet (columnar, splittable,
 predicate-pushdown-capable); CSV/JSON exist for ingest and export edges of
@@ -39,3 +39,13 @@ def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC: columnar like parquet (pushdown + pruning apply); schema comes
+    from the file footer, no inference pass needed."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

@@ -5,7 +5,14 @@ from __future__ import annotations
 import pytest
 
 from mapreduce__spark.sources import load_table
-from mapreduce__spark.sources.formats import read_csv, read_jsonl, write_csv, write_jsonl
+from mapreduce__spark.sources.formats import (
+    read_csv,
+    read_jsonl,
+    read_orc,
+    write_csv,
+    write_jsonl,
+    write_orc,
+)
 
 NATION_SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
 
@@ -38,3 +45,24 @@ def test_csv_failfast_on_malformed(spark, tmp_path):
     bad = read_csv(spark, str(p), NATION_SCHEMA)
     with pytest.raises(Exception):
         bad.collect()
+
+
+def test_orc_roundtrip(spark, sf_small, tmp_path):
+    src = load_table(spark, sf_small, "nation")
+    p = str(tmp_path / "nation_orc")
+    write_orc(src, p)
+    back = read_orc(spark, p)
+    assert back.schema == src.schema  # footer-carried schema, no inference
+    assert rows(back) == rows(src)
+
+
+def test_orc_predicate_pushdown(spark, sf_small, tmp_path):
+    """ORC scans must receive pushed filters like parquet ones do."""
+    src = load_table(spark, sf_small, "orders")
+    p = str(tmp_path / "orders_orc")
+    write_orc(src, p)
+    from pyspark.sql import functions as F
+
+    df = read_orc(spark, p).where(F.col("o_orderkey") < 100).select("o_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "LessThan(o_orderkey,100)" in plan, plan
