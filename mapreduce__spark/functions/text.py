@@ -63,3 +63,57 @@ def lang_id_expr(tokens: Column) -> Column:
             cond = c if cond is None else (cond & c)
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return expr
+
+
+# --------------------------------------------------------------------------
+# PII + quality expressions (shared by the batch queries in plans/tier2 and
+# the streaming twins in mapreduce__spark.streaming — same Column exprs, so
+# stream output is bit-identical to batch by construction).
+# --------------------------------------------------------------------------
+
+# Only syntax Java regex (Spark) and RE2 (DuckDB oracle) interpret
+# identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d[\d -]{7,}\d"
+
+
+def pii_scrub_expr(text: Column) -> Column:
+    """Email/IPv4/phone redaction with typed placeholders (scan-stage)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+
+
+def pii_count_expr(text: Column) -> Column:
+    """Count of PII matches across all three pattern families."""
+    return (
+        F.regexp_count(text, F.lit(PII_EMAIL))
+        + F.regexp_count(text, F.lit(PII_IPV4))
+        + F.regexp_count(text, F.lit(PII_PHONE))
+    ).cast("bigint")
+
+
+def gopher_keep_expr(text: Column) -> Column:
+    """Composite Gopher-style quality keep flag (see gopher_quality_rules
+    for the audited per-rule breakdown — same formulas)."""
+    toks = tokenize(text)
+    n_words = F.size(toks).cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_word_len = F.round(sum_len.cast("double") / F.size(toks), 4)
+    distinct_ratio = F.round(
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
+    )
+    stop_hits = stopword_hits(toks, LANG_STOPWORDS["en"]).cast("bigint")
+    return (
+        n_words.between(20, 2500)
+        & mean_word_len.between(3.0, 10.0)
+        & (distinct_ratio >= 0.2)
+        & (stop_hits >= 2)
+    )

@@ -24,7 +24,12 @@ from pyspark.sql.window import Window
 
 from mapreduce__spark.functions.text import (
     LANG_STOPWORDS,
+    PII_EMAIL,
+    PII_IPV4,
+    PII_PHONE,
     lang_id_expr,
+    pii_count_expr,
+    pii_scrub_expr,
     stopword_hits,
     tokenize,
     word_ngrams,
@@ -1332,11 +1337,8 @@ def kernel_search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # an eval set (a real pipeline would load the benchmark corpus instead).
 _EVAL_MOD = 50
 
-# PII patterns shared between Spark (Java regex) and DuckDB (RE2) — only
-# syntax both dialects interpret identically.
-PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PII_PHONE = r"\+\d[\d -]{7,}\d"
+# PII patterns live in functions.text (shared with the streaming twins);
+# re-exported here because the oracle SQL interpolates them verbatim.
 
 
 @query(
@@ -1411,21 +1413,11 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture in tests/test_advice_regressions.py proves real redaction).
     """
     docs = load_table(spark, sf_dir, "documents")
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
-            PII_IPV4,
-            "<IP>",
-        ),
-        PII_PHONE,
-        "<PHONE>",
+    return docs.select(
+        "doc_id",
+        pii_scrub_expr(F.col("text")).alias("clean_text"),
+        pii_count_expr(F.col("text")).alias("n_pii"),
     )
-    n_pii = (
-        F.regexp_count(F.col("text"), F.lit(PII_EMAIL))
-        + F.regexp_count(F.col("text"), F.lit(PII_IPV4))
-        + F.regexp_count(F.col("text"), F.lit(PII_PHONE))
-    ).cast("bigint")
-    return docs.select("doc_id", clean.alias("clean_text"), n_pii.alias("n_pii"))
 
 
 @query(
@@ -1580,16 +1572,7 @@ def training_data_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce__spark.operators.windows import distributed_cumsum_grouped
 
     docs = load_table(spark, sf_dir, "documents")
-    scrub = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
-            PII_IPV4,
-            "<IP>",
-        ),
-        PII_PHONE,
-        "<PHONE>",
-    )
-    scrubbed = docs.select("doc_id", scrub.alias("text"))
+    scrubbed = docs.select("doc_id", pii_scrub_expr(F.col("text")).alias("text"))
 
     toks = tokenize(F.col("text"))
     digit_stripped = F.regexp_replace(F.col("text"), "[0-9]", "")

@@ -182,3 +182,58 @@ def run_stream_to_memory(
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+
+
+# --------------------------------------------------------------------------
+# Document-pipeline streaming twin: the stateless preprocessing stages
+# (PII scrub + quality gate) run unchanged under readStream — the point is
+# that a training-data pipeline can ingest documents incrementally with the
+# SAME expressions (and therefore bit-identical output) as the batch pass.
+# --------------------------------------------------------------------------
+
+DOCS_RAW_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def _staged_docs_dir(sf_dir: str) -> str:
+    """Stage the single-file documents table into a directory for the
+    FileStreamSource (same shim as _staged_events_dir)."""
+    import shutil
+
+    name = sf_dir.rstrip("/").split("/")[-1]
+    d = f"/tmp/mapreduce__spark_stream/{name}/documents"
+    os.makedirs(d, exist_ok=True)
+    dst = f"{d}/documents.parquet"
+    src = f"{sf_dir}/documents.parquet"
+    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+        shutil.copyfile(src, dst)
+    return d
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table."""
+    return (
+        spark.readStream.schema(DOCS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged_docs_dir(sf_dir))
+    )
+
+
+def stream_quality_scrub(docs: DataFrame) -> DataFrame:
+    """Stateless scrub + quality stage: no state, no watermark, no shuffle —
+    a pure per-row map, so it streams with zero semantic difference from
+    the batch `pii_scrub` / `gopher_quality_rules` expressions it reuses."""
+    from mapreduce__spark.functions.text import (
+        gopher_keep_expr,
+        pii_count_expr,
+        pii_scrub_expr,
+    )
+
+    clean = pii_scrub_expr(F.col("text"))
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        pii_count_expr(F.col("text")).alias("n_pii"),
+        gopher_keep_expr(clean).alias("keep"),
+    ).where(F.col("keep"))

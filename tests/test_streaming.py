@@ -184,3 +184,37 @@ def test_stream_dedup_one_per_key(spark, sf_small):
     assert {
         (r.user_id, r.event_type) for r in got.select("user_id", "event_type").collect()
     } == want_keys
+
+
+def test_stream_document_scrub_equals_batch(spark, sf_small):
+    """The document preprocessing stages (PII scrub + quality gate) must
+    produce bit-identical rows under readStream and batch — they are
+    stateless maps sharing the same Column expressions."""
+    from mapreduce__spark.functions.text import (
+        gopher_keep_expr,
+        pii_count_expr,
+        pii_scrub_expr,
+    )
+    from mapreduce__spark.streaming.streams import (
+        read_documents_stream,
+        run_stream_to_memory,
+        stream_quality_scrub,
+    )
+
+    sdf = stream_quality_scrub(read_documents_stream(spark, sf_small))
+    run_stream_to_memory(sdf, "doc_scrub_stream")
+    got = {
+        (r.doc_id, r.clean_text, r.n_pii, r.keep)
+        for r in spark.table("doc_scrub_stream").collect()
+    }
+
+    docs = load_table(spark, sf_small, "documents")
+    clean = pii_scrub_expr(F.col("text"))
+    batch = docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        pii_count_expr(F.col("text")).alias("n_pii"),
+        gopher_keep_expr(clean).alias("keep"),
+    ).where(F.col("keep"))
+    want = {(r.doc_id, r.clean_text, r.n_pii, r.keep) for r in batch.collect()}
+    assert got == want and len(got) > 0
