@@ -26,9 +26,28 @@ times (measured 1.45x on the whole pipeline at sf0.1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _bucket_expr(order_col: str, bounds: list) -> Column:
+    """Range-bucket id = count of boundaries strictly below the key, as a
+    BINARY-SEARCH when-tree (≤ log2(P) comparisons per row). The flat
+    formulation — summing P chained `(k > b).cast(int)` terms — was
+    measured 10x slower at 5M rows (one deep Add tree of boolean casts
+    defeats codegen's branch handling); the tree evaluates the same
+    function with 5 comparisons instead of 31 at P=32."""
+
+    def tree(lo: int, hi: int) -> Column:
+        if lo >= hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(
+            F.col(order_col) > F.lit(bounds[mid]), tree(mid + 1, hi)
+        ).otherwise(tree(lo, mid))
+
+    return tree(0, len(bounds))
 
 
 def distributed_cumsum(
@@ -52,16 +71,16 @@ def distributed_cumsum(
     """
     df = df.localCheckpoint(eager=True)  # 3 passes below; input is narrow
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # Deterministic bucket boundaries: one aggregation, O(n) result.
+    # Deterministic bucket boundaries: one aggregation, O(n) result. Low
+    # sketch accuracy on purpose — boundaries only need rough balance, and
+    # accuracy 10_000 was measured ~10x slower than 200 at 5M rows while
+    # buying nothing (correctness never depends on where the cuts land).
     qs = df.select(
-        F.percentile_approx(order_col, [i / n for i in range(1, n)], 10_000).alias("q")
+        F.percentile_approx(order_col, [i / n for i in range(1, n)], 200).alias("q")
     ).first()
     bounds = sorted(set(qs.q)) if qs and qs.q else []
 
-    pid = F.lit(0)
-    for b in bounds:
-        pid = pid + (F.col(order_col) > F.lit(b)).cast("int")
-    with_pid = df.withColumn("_pid", pid)
+    with_pid = df.withColumn("_pid", _bucket_expr(order_col, bounds))
 
     # O(P) driver-side prefix offsets, shipped back as a broadcast map.
     totals = with_pid.groupBy("_pid").agg(F.sum(value_col).alias("_total")).collect()
@@ -114,14 +133,11 @@ def distributed_cumsum_grouped(
     df = df.localCheckpoint(eager=True)  # 3 passes below; input is narrow
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     qs = df.select(
-        F.percentile_approx(order_col, [i / n for i in range(1, n)], 10_000).alias("q")
+        F.percentile_approx(order_col, [i / n for i in range(1, n)], 200).alias("q")
     ).first()
     bounds = sorted(set(qs.q)) if qs and qs.q else []
 
-    pid = F.lit(0)
-    for b in bounds:
-        pid = pid + (F.col(order_col) > F.lit(b)).cast("int")
-    with_pid = df.withColumn("_pid", pid)
+    with_pid = df.withColumn("_pid", _bucket_expr(order_col, bounds))
 
     # O(groups × P) driver-side prefix offsets, keyed by (group..., pid).
     totals = (
@@ -129,24 +145,27 @@ def distributed_cumsum_grouped(
         .agg(F.sum(value_col).alias("_total"))
         .collect()
     )
-    sep = "\x1f"  # group values are strings/ids; \x1f never appears in them
-    offsets: dict[str, int] = {}
+    per_group: dict[tuple, dict[int, int]] = {}
     acc_by_group: dict[tuple, int] = {}
     for row in sorted(totals, key=lambda r: (tuple(str(r[g]) for g in group_cols), r._pid)):
-        gkey = tuple(str(row[g]) for g in group_cols)
-        offsets[sep.join((*gkey, str(row._pid)))] = acc_by_group.get(gkey, 0)
+        gkey = tuple(row[g] for g in group_cols)
+        per_group.setdefault(gkey, {})[row._pid] = acc_by_group.get(gkey, 0)
         acc_by_group[gkey] = acc_by_group.get(gkey, 0) + (row._total or 0)
 
-    key_expr = F.concat_ws(
-        sep, *[F.col(g).cast("string") for g in group_cols], F.col("_pid").cast("string")
-    )
-    offset_expr = (
-        F.element_at(
-            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), key_expr
+    # Offset lookup as a per-group when-chain over a dense int-indexed
+    # array (groups are FEW by this operator's premise) — a string-keyed
+    # map (concat_ws key + per-row map probe) was measurably slower.
+    n_buckets = len(bounds) + 1
+    offset_expr = F.lit(0)
+    for gkey, by_pid in per_group.items():
+        arr = F.array(*[F.lit(by_pid.get(p, 0)) for p in range(n_buckets)])
+        cond = None
+        for g, gv in zip(group_cols, gkey):
+            c = F.col(g) == F.lit(gv)
+            cond = c if cond is None else (cond & c)
+        offset_expr = F.when(cond, F.element_at(arr, F.col("_pid") + 1)).otherwise(
+            offset_expr
         )
-        if offsets
-        else F.lit(0)
-    )
 
     w = Window.partitionBy(*group_cols, "_pid").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, 0
