@@ -98,9 +98,12 @@ def pii_count_expr(text: Column) -> Column:
     ).cast("bigint")
 
 
-def gopher_keep_expr(text: Column) -> Column:
-    """Composite Gopher-style quality keep flag (see gopher_quality_rules
-    for the audited per-rule breakdown — same formulas)."""
+def gopher_rule_columns(text: Column) -> dict[str, Column]:
+    """The Gopher-style quality rule metrics + composite keep flag, as ONE
+    source of truth shared by the audited batch query
+    (plans/tier2.gopher_quality_rules) and the streaming twin
+    (streaming.stream_quality_scrub) — batch/stream bit-identity depends
+    on both sides using exactly these expressions."""
     toks = tokenize(text)
     n_words = F.size(toks).cast("bigint")
     sum_len = F.aggregate(
@@ -111,9 +114,21 @@ def gopher_keep_expr(text: Column) -> Column:
         F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
     )
     stop_hits = stopword_hits(toks, LANG_STOPWORDS["en"]).cast("bigint")
-    return (
+    keep = (
         n_words.between(20, 2500)
         & mean_word_len.between(3.0, 10.0)
         & (distinct_ratio >= 0.2)
         & (stop_hits >= 2)
     )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "distinct_ratio": distinct_ratio,
+        "stop_hits": stop_hits,
+        "keep": keep,
+    }
+
+
+def gopher_keep_expr(text: Column) -> Column:
+    """Composite Gopher-style quality keep flag."""
+    return gopher_rule_columns(text)["keep"]

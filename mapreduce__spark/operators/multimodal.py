@@ -185,18 +185,31 @@ def parse_image_header(b: bytes) -> tuple[str, int, int]:
     if b[:2] == b"\xff\xd8":
         i = 2
         sof_markers = set(range(0xC0, 0xC4)) | set(range(0xC5, 0xC8)) | set(range(0xC9, 0xCC))
-        while i + 4 <= len(b):
+        # Standalone markers carry NO length field: TEM (0x01), RST0-7
+        # (0xD0-0xD7), SOI (0xD8), EOI (0xD9). 0xFF is fill/padding.
+        standalone = {0x01, 0xD8} | set(range(0xD0, 0xD8))
+        while i + 2 <= len(b):
             if b[i] != 0xFF:
                 i += 1
                 continue
             marker = b[i + 1]
+            if marker == 0xFF:  # fill byte before the real marker
+                i += 1
+                continue
             if marker in sof_markers:
                 if i + 9 <= len(b):
                     h, w = struct.unpack(">HH", b[i + 5 : i + 9])
                     return "jpeg", w, h
                 break
+            if marker in standalone:
+                i += 2
+                continue
+            if marker in (0xD9, 0xDA):  # EOI / SOS: no SOF before image data
+                break
+            if i + 4 > len(b):
+                break
             seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
-            i += 2 + seg_len
+            i += 2 + max(2, seg_len)
         return "jpeg", 0, 0
     return "unknown", 0, 0
 
@@ -236,7 +249,7 @@ def parse_wav_header(b: bytes) -> tuple[int, int, int, int]:
     the real chunk walk (fmt then data); zeros when not a WAV."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return 0, 0, 0, 0
-    i, channels, rate, bits, block_align, n_frames = 12, 0, 0, 0, 1, 0
+    i, channels, rate, bits, block_align, data_size = 12, 0, 0, 0, 0, -1
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         size = struct.unpack("<I", b[i + 4 : i + 8])[0]
@@ -245,9 +258,11 @@ def parse_wav_header(b: bytes) -> tuple[int, int, int, int]:
                 "<HHIIHH", b[i + 8 : i + 24]
             )
         elif cid == b"data":
-            n_frames = size // max(1, block_align)
-            break
-        i += 8 + size
+            data_size = size  # frames derived AFTER the walk — a data
+            # chunk may legally precede fmt, and block_align comes from fmt
+        # RIFF chunks are word-aligned: odd sizes carry a pad byte.
+        i += 8 + size + (size & 1)
+    n_frames = data_size // block_align if data_size >= 0 and block_align > 0 else 0
     return channels, rate, bits, n_frames
 
 
@@ -274,20 +289,31 @@ def parse_mp4_header(b: bytes) -> tuple[str, int, int]:
     if len(b) < 12 or b[4:8] != b"ftyp":
         return "", 0, 0
     brand = b[8:12].decode("ascii", "replace")
+
+    def box_extent(buf: bytes, i: int) -> tuple[int, int]:
+        """(header_len, total_size) honoring size==1 (64-bit largesize
+        follows the type) and size==0 (box extends to end of buffer)."""
+        size = struct.unpack(">I", buf[i : i + 4])[0]
+        if size == 1 and i + 16 <= len(buf):
+            return 16, struct.unpack(">Q", buf[i + 8 : i + 16])[0]
+        if size == 0:
+            return 8, len(buf) - i
+        return 8, size
+
     i = 0
     while i + 8 <= len(b):
-        size = struct.unpack(">I", b[i : i + 4])[0]
+        hdr, size = box_extent(b, i)
         btype = b[i + 4 : i + 8]
         if btype == b"moov":
-            j = i + 8
+            j = i + hdr
             end = min(len(b), i + size)
             while j + 8 <= end:
-                csize = struct.unpack(">I", b[j : j + 4])[0]
+                chdr, csize = box_extent(b, j)
                 if b[j + 4 : j + 8] == b"mvhd" and j + 28 <= len(b):
                     timescale, duration = struct.unpack(">II", b[j + 20 : j + 28])
                     return brand, timescale, duration
-                j += max(8, csize)
-        i += max(8, size)
+                j += max(chdr, csize)
+        i += max(hdr, size)
     return brand, 0, 0
 
 
@@ -297,7 +323,12 @@ def image_header_features(multimodal: DataFrame) -> DataFrame:
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = [parse_image_header(bytes(b)) for b in pdf["payload"]]
+            # NULL payloads (nullable binary column) parse as unknown, not
+            # as a task-killing TypeError.
+            parsed = [
+                parse_image_header(bytes(b)) if b is not None else ("unknown", 0, 0)
+                for b in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,

@@ -378,7 +378,12 @@ def embedding_near_dup_pairs_pruned(
         for r in assigned.groupBy("cluster").agg(F.max("ang").alias("rad")).collect()
     }
     t_ang = math.acos(threshold)
-    eps = 1e-9
+    # Slack must exceed the arccos CONDITIONING error, not just double ulp:
+    # when a computed cosine rounds/clips at ±1.0 the angle error is
+    # ~sqrt(2*ulp) ≈ 1e-8..1e-7 (d(arccos)/dx → ∞ at the boundary), so a
+    # 1e-9 slack could drop a real pair whose member sits on its centroid.
+    # 1e-6 radians of extra candidates is noise; a miss is an oracle fail.
+    eps = 1e-6
     # Probe pass: each vector probes every cluster whose (radius + t_ang)
     # ball reaches it — the reach test is one vectorized comparison per
     # batch against the radius vector (angles recomputed by matmul: far

@@ -1454,30 +1454,12 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     All rules are scan-stage codegen expressions over ONE tokenization —
     zero shuffle at any corpus size (same scaling class as word count).
     """
+    from mapreduce__spark.functions.text import gopher_rule_columns
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    n_words = F.size(toks).cast("bigint")
-    sum_len = F.aggregate(
-        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
-    )
-    mean_word_len = F.round(sum_len.cast("double") / F.size(toks), 4)
-    distinct_ratio = F.round(
-        F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
-    )
-    stop_hits = stopword_hits(toks, LANG_STOPWORDS["en"]).cast("bigint")
-    keep = (
-        n_words.between(20, 2500)
-        & mean_word_len.between(3.0, 10.0)
-        & (distinct_ratio >= 0.2)
-        & (stop_hits >= 2)
-    )
+    rules = gopher_rule_columns(F.col("text"))
     return docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        distinct_ratio.alias("distinct_ratio"),
-        stop_hits.alias("stop_hits"),
-        keep.alias("keep"),
+        "doc_id", *[expr.alias(name) for name, expr in rules.items()]
     )
 
 

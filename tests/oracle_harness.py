@@ -103,30 +103,40 @@ def _pd_canon(pdf: pd.DataFrame) -> list[tuple]:
 def compare_with_oracle(spark_df, oracle_query: str, sf_dir: str) -> tuple[bool, str]:
     con = duckdb_conn(sf_dir)
     try:
+        # The oracle runs twice on purpose: the exact pass needs cursor
+        # tuples (precise Python types), the driver-mirror pass needs the
+        # pandas conversion's DTYPES (HUGEINT→float64 etc.) — one cannot be
+        # derived from the other without losing what it checks.
         res = con.execute(oracle_query)
         o_cols = [d[0] for d in res.description]
         o_pdf = res.df()
         o_rows = con.execute(oracle_query).fetchall()
     finally:
         con.close()
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    if sorted(s_cols) != sorted(o_cols):
-        return False, f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
-    if len(s_rows) != len(o_rows):
-        return False, f"row count differs: spark={len(s_rows)} oracle={len(o_rows)}"
-    sn = normalize_rows(s_cols, s_rows)
-    on = normalize_rows(o_cols, o_rows)
-    if sn != on:
-        diffs = [(a, b) for a, b in zip(sn, on) if a != b][:3]
-        return False, f"values differ; first diffs: {diffs}"
-    # driver-mirror pass (pandas on both sides)
+    # Spark runs its physical plan ONCE: collect() (exact pass) and
+    # toPandas() (mirror pass) both read the persisted result.
+    spark_df = spark_df.persist()
     try:
-        s_canon = _pd_canon(spark_df.toPandas())
-        o_canon = _pd_canon(o_pdf)
-    except TypeError as e:  # unhashable cell (e.g. array column) — driver ERR
-        return False, f"driver-mirror canonicalizer error: {e}"
-    if s_canon != o_canon:
-        diffs = [(a, b) for a, b in zip(s_canon, o_canon) if a != b][:3]
-        return False, f"driver-mirror (pandas) values differ; first diffs: {diffs}"
-    return True, "ok"
+        s_cols = spark_df.columns
+        s_rows = [tuple(r) for r in spark_df.collect()]
+        if sorted(s_cols) != sorted(o_cols):
+            return False, f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+        if len(s_rows) != len(o_rows):
+            return False, f"row count differs: spark={len(s_rows)} oracle={len(o_rows)}"
+        sn = normalize_rows(s_cols, s_rows)
+        on = normalize_rows(o_cols, o_rows)
+        if sn != on:
+            diffs = [(a, b) for a, b in zip(sn, on) if a != b][:3]
+            return False, f"values differ; first diffs: {diffs}"
+        # driver-mirror pass (pandas on both sides)
+        try:
+            s_canon = _pd_canon(spark_df.toPandas())
+            o_canon = _pd_canon(o_pdf)
+        except TypeError as e:  # unhashable cell (e.g. array column) — driver ERR
+            return False, f"driver-mirror canonicalizer error: {e}"
+        if s_canon != o_canon:
+            diffs = [(a, b) for a, b in zip(s_canon, o_canon) if a != b][:3]
+            return False, f"driver-mirror (pandas) values differ; first diffs: {diffs}"
+        return True, "ok"
+    finally:
+        spark_df.unpersist()

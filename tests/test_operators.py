@@ -229,6 +229,46 @@ def test_image_header_parser_real_formats():
     assert parse_image_header(b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09") == ("unknown", 0, 0)
 
 
+def test_media_header_parsers_spec_edge_cases():
+    """Real-world container quirks: JPEG fill bytes/RST markers/SOS
+    cutoff, WAV odd-chunk padding and data-before-fmt ordering, MP4
+    64-bit largesize boxes."""
+    import struct
+
+    from mapreduce__spark.operators.multimodal import (
+        parse_image_header,
+        parse_mp4_header,
+        parse_wav_header,
+    )
+
+    # JPEG: fill bytes + EXIF APP1 + restart marker before SOF0
+    app1 = b"\xff\xe1" + struct.pack(">H", 8) + b"Exif\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 480, 640) + b"\x01\x01\x11\x00"
+    assert parse_image_header(b"\xff\xd8" + b"\xff\xff\xff" + app1 + b"\xff\xd0" + sof0) == ("jpeg", 640, 480)
+    # SOS before any SOF: stop — never desync into entropy-coded data
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x00\x00"
+    assert parse_image_header(b"\xff\xd8" + sos + b"\xff\xc0GARBAGE") == ("jpeg", 0, 0)
+
+    # WAV: odd-sized LIST chunk (pad byte) before fmt; data before fmt
+    fmtc = b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    odd = b"LIST" + struct.pack("<I", 5) + b"INFOX" + b"\x00"
+    data_hdr = b"data" + struct.pack("<I", 400)
+    wav = b"RIFF" + struct.pack("<I", 0) + b"WAVE" + odd + fmtc + data_hdr
+    assert parse_wav_header(wav) == (2, 44100, 16, 100)
+    wav_data_first = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE" + data_hdr + b"\x00" * 400 + fmtc
+    )
+    assert parse_wav_header(wav_data_first) == (2, 44100, 16, 100)
+
+    # MP4: size==1 largesize mdat before moov
+    mvhd_payload = b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0) + struct.pack(">II", 600, 1200) + bytes(80)
+    mvhd = struct.pack(">I", 8 + len(mvhd_payload)) + b"mvhd" + mvhd_payload
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 512)
+    mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 48) + b"\x00" * 32
+    assert parse_mp4_header(ftyp + mdat + moov) == ("isom", 600, 1200)
+
+
 def test_multimodal_metadata_struct(spark, sf_small):
     """The multimodal row shape carries a typed metadata struct."""
     mm = with_binary_payload(load_table(spark, sf_small, "documents"))
