@@ -952,6 +952,44 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-stratum sampling rates (percent) for the corpus-mixing operator:
+# up-weight purchases, down-weight views — the standard domain-mixing shape.
+_STRATA_RATES = {"purchase": 80, "click": 40, "view": 10, "login": 25, "logout": 25}
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT event_id, event_type
+    FROM (
+        SELECT event_id, event_type,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#strat'), 1, 8))::BIGINT % 100 AS b
+        FROM events
+    )
+    WHERE b < CASE event_type
+        {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())}
+        ELSE 0 END
+    """,
+    tags=("tier2", "pipeline"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — per-stratum rates by content-hash
+    bucketing (same idiom as train_test_split): reproducible across reruns
+    and cluster layouts, no RNG, membership recomputable by any engine.
+    The corpus-mixing primitive for assembling a training set from domains
+    with different target proportions. Pure scan-stage expressions — the
+    filter runs at the reader, zero shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        F.conv(F.substring(F.md5(F.concat(F.col("event_id").cast("string"), F.lit("#strat"))), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    rate = F.lit(0)
+    for k, v in _STRATA_RATES.items():
+        rate = F.when(F.col("event_type") == k, F.lit(v)).otherwise(rate)
+    return ev.where(b < rate).select("event_id", "event_type")
+
+
 @query(
     "percentiles",
     oracle="""
