@@ -237,3 +237,14 @@ def stream_quality_scrub(docs: DataFrame) -> DataFrame:
         pii_count_expr(F.col("text")).alias("n_pii"),
         gopher_keep_expr(clean).alias("keep"),
     ).where(F.col("keep"))
+
+
+def stream_dedup_docs(docs: DataFrame) -> DataFrame:
+    """Incremental exact dedup on ingest: first-seen doc per content hash
+    survives; later byte-identical copies are dropped across micro-batches
+    (dropDuplicates keeps cross-batch state in the state store — bound it
+    with a watermark on an ingest-time column in production; the batch twin
+    is exact_duplicate_groups / the flagship's min-over-window stage)."""
+    return docs.select(
+        "doc_id", F.md5("text").alias("fp")
+    ).dropDuplicates(["fp"])

@@ -218,3 +218,24 @@ def test_stream_document_scrub_equals_batch(spark, sf_small):
     ).where(F.col("keep"))
     want = {(r.doc_id, r.clean_text, r.n_pii, r.keep) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_docs_one_per_fingerprint(spark, sf_small):
+    """Streaming exact dedup must keep exactly one doc per content hash —
+    same fingerprint set as the batch dedup operator."""
+    from mapreduce__spark.operators.dedup import exact_duplicate_groups
+    from mapreduce__spark.streaming.streams import (
+        read_documents_stream,
+        run_stream_to_memory,
+        stream_dedup_docs,
+    )
+
+    sdf = stream_dedup_docs(read_documents_stream(spark, sf_small))
+    run_stream_to_memory(sdf, "doc_dedup_stream", output_mode="update")
+    got = spark.table("doc_dedup_stream").collect()
+    got_fps = {r.fp for r in got}
+    assert len(got) == len(got_fps)  # exactly one survivor per hash
+
+    batch = exact_duplicate_groups(load_table(spark, sf_small, "documents"))
+    want_fps = {r.fp for r in batch.collect()}
+    assert got_fps == want_fps and len(got_fps) > 0
