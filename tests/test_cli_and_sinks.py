@@ -134,3 +134,20 @@ def test_text_sink(spark, sf_small, tmp_path):
                 lines.update(line.strip() for line in fh if line.strip())
     assert lines == {f"{r.r_regionkey}|{r.r_name}" for r in
                      load_table(spark, sf_small, "region").collect()}
+
+
+def test_run_query_cli_list_and_json(spark, capsys):
+    """The query-runner CLI lists the registry and executes a query."""
+    from mapreduce__spark.run_query import main
+
+    assert main(["--list"]) == 0
+    out = capsys.readouterr().out
+    assert "search_count" in out and "training_data_pipeline" in out
+
+    assert main(["groupby_count", "--sf-dir", "/root/testdata/sf0.001", "--format", "json"]) == 0
+    import json
+
+    rows = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert {r["event_type"] for r in rows} == {"purchase", "error", "view", "signup", "click"}
+
+    assert main(["no_such_query"]) == 1
