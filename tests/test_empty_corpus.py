@@ -1,0 +1,46 @@
+"""Degenerate-input robustness: every flagship operator must return an
+empty result (not crash) on a 0-row corpus — the first day of a new
+pipeline, a fully-filtered partition, or a dry-run all look like this."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce__spark.plans import REGISTRY
+
+PROBE = [
+    "dedup_lsh_minhash",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "ann_topk_bruteforce",
+    "sessionization",
+    "sequence_packing",
+    "training_data_pipeline_full",
+    "stratified_sample",
+    "decontaminate_eval_overlap",
+    "media_header_metadata",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("empty_sf"))
+    spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    spark.createDataFrame(
+        [],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    return d
+
+
+@pytest.mark.parametrize("name", PROBE)
+def test_operator_empty_corpus(spark, empty_sf, name):
+    df = REGISTRY[name].fn(spark, empty_sf)
+    assert df.count() == 0
+    assert df.columns  # schema survives even with no rows
