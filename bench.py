@@ -15,6 +15,7 @@ excluded framework init — README:101-118 reports phase times only).
 
 from __future__ import annotations
 
+import gc
 import glob
 import json
 import os
@@ -90,6 +91,13 @@ def main() -> None:
             q.fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
+        # Drop Python refs to the per-run DataFrames so the ContextCleaner
+        # can free their localCheckpoint blocks (the session's periodic GC
+        # does the JVM side). An explicit System.gc() here was tried and
+        # REJECTED: the forced full GC inflated every subsequent query
+        # 10-45% (re-JIT after code-cache flushing), costing more than the
+        # reclaimed blocks bought.
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     out = {

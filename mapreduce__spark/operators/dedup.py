@@ -143,20 +143,25 @@ def lsh_near_duplicate_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # ONE tokenize pass produces BOTH the gram arrays (for exact verify)
-    # and the minhash signatures (for banding), materialized together:
-    # the base is referenced by both sides of the banded self-join AND by
-    # both sides of the verification join — without materialization each
-    # reference recomputes the gram+hash pass. This is the "cache the
-    # signatures, never the corpus" rule from SCALE.md (gram arrays are
-    # a bounded multiple of the text we already shed the rest of).
-    base = (
+    # Materialize ONLY the signatures — num_hashes longs per doc, ~128B/doc
+    # at the default 16 — never the gram arrays. An earlier layout
+    # checkpointed (grams, mh) together so verification could reuse the
+    # gram arrays; that checkpoint is corpus-sized (every 3-gram of every
+    # doc), and several live copies (bench loop, flagship + standalone
+    # query) evicted each other out of executor memory — measured up to 4x
+    # run-to-run noise on the downstream pipeline. Signatures are the only
+    # thing read more than once per scan; grams are recomputed at verify
+    # time for CANDIDATE docs only (see below).
+    sig = (
         ensure_parallelism(docs.select("doc_id", "text"))
-        .select("doc_id", word_ngrams(tokenize(F.col("text")), NGRAM_N).alias("grams"))
-        .withColumn("mh", minhash_fold_expr(F.col("grams"), num_hashes))
+        .select(
+            "doc_id",
+            minhash_fold_expr(
+                word_ngrams(tokenize(F.col("text")), NGRAM_N), num_hashes
+            ).alias("mh"),
+        )
         .localCheckpoint(eager=True)
     )
-    sig = base.select("doc_id", "mh")
     band_cols = [
         F.xxhash64(*[F.col("mh")[b * r + i] for i in range(r)]).alias(f"band{b}")
         for b in range(bands)
@@ -181,14 +186,35 @@ def lsh_near_duplicate_pairs(
         .distinct()
     )
 
-    # Exact verification of candidates only (candidate count << n²): join
-    # each pair to the two per-doc GRAM ARRAYS and intersect in-row. This
-    # avoids re-exploding the gram table (the exploded two-sided join is
-    # exact_jaccard_pairs' job — right for all-pairs, wasteful for a small
-    # candidate list). Row width = two gram arrays; candidate counts are
-    # bounded by the banding, so this stays narrow at scale.
-    ga1 = base.select(F.col("doc_id").alias("gid1"), F.col("grams").alias("g1"))
-    ga2 = base.select(F.col("doc_id").alias("gid2"), F.col("grams").alias("g2"))
+    # Exact verification of candidates only (candidate count << n²), with
+    # every step candidate-sized — the corpus appears exactly once, as a
+    # map-side scan probing a broadcast id set:
+    #   1. distinct candidate doc ids (tiny — bounded by the banding)
+    #      broadcast against the corpus scan → texts of candidate docs
+    #      only; no corpus shuffle, no corpus-sized gram storage;
+    #   2. gram arrays recomputed for THOSE docs, materialized once
+    #      (read by both sides of the pair join);
+    #   3. pair ⋈ grams ⋈ grams + in-row intersect.
+    # An earlier layout materialized the gram arrays of the WHOLE corpus
+    # for this join; several live copies of that corpus-sized checkpoint
+    # evicted each other out of executor memory (up to 4x run-to-run
+    # noise downstream), and letting AQE pick the join order instead
+    # inverted the build side (the checkpointed candidate RDD has no size
+    # stats, so Spark broadcast the TEXT side). Explicit id-broadcast +
+    # candidate-gram materialization pins the right shape at every scale.
+    candidates = candidates.localCheckpoint(eager=True)
+    cand_ids = (
+        candidates.select(F.col("id1").alias("doc_id"))
+        .unionAll(candidates.select(F.col("id2").alias("doc_id")))
+        .distinct()
+    )
+    cand_grams = (
+        docs.join(F.broadcast(cand_ids), "doc_id")
+        .select("doc_id", word_ngrams(tokenize(F.col("text")), NGRAM_N).alias("grams"))
+        .localCheckpoint(eager=True)
+    )
+    ga1 = cand_grams.select(F.col("doc_id").alias("gid1"), F.col("grams").alias("g1"))
+    ga2 = cand_grams.select(F.col("doc_id").alias("gid2"), F.col("grams").alias("g2"))
     paired = (
         candidates.join(ga1, F.col("id1") == F.col("gid1"))
         .join(ga2, F.col("id2") == F.col("gid2"))

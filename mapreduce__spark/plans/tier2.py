@@ -55,6 +55,13 @@ JACCARD_THRESHOLD = 0.8
 
 # DuckDB-side exact word-3-gram Jaccard (shared by the exact and the
 # LSH-verified queries — the LSH output is exact-verified, so both equal it).
+# Parametrized on the source relation so pipeline oracles can compute pairs
+# over an upstream CTE (e.g. the quality-filtered docs) instead of the raw
+# table — the pipelines dedup AFTER filtering, never before.
+def _jaccard_oracle(src: str = "documents") -> str:
+    return _JACCARD_ORACLE.replace("FROM documents", f"FROM {src}")
+
+
 _JACCARD_ORACLE = f"""
     WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -1203,7 +1210,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
               / length(text) < 0.3
     ), exact_keep AS (
         SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
-    ), pairs AS ({_JACCARD_ORACLE}),
+    ), pairs AS ({_jaccard_oracle("quality")}),
     edges AS (
         SELECT id1 AS a, id2 AS b FROM pairs
         UNION SELECT id2, id1 FROM pairs
@@ -1245,8 +1252,8 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. quality gate (token count + digit-ratio rules);
     2. exact dedup (keep min doc_id per content hash);
-    3. near-dup removal (MinHash-LSH pairs → connected components → drop
-       every non-representative cluster member);
+    3. near-dup removal over the quality docs (MinHash-LSH pairs →
+       connected components → drop every non-representative member);
     4. reproducible train/holdout split (content-hash bucketing);
     5. per-split sequence packing into 2048-token bins.
 
@@ -1254,7 +1261,12 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     is hash-checked end-to-end against the same stages composed in SQL
     (recursive CTE for the cluster closure). At 100 TB each stage keeps
     its own scaling story (see SCALE.md) and the composition adds no new
-    shuffles beyond the stages' own."""
+    shuffles beyond the stages' own. Two shapes matter at that scale:
+    the document PAYLOAD never shuffles (the dedup window runs over the
+    narrow (doc_id, fp, len) projection; downstream stages only need the
+    precomputed length), and near-dup detection runs on the quality
+    survivors, not the raw corpus — filter-then-dedup, so signature work
+    is never spent on docs already dropped."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
     digit_stripped = F.regexp_replace(F.col("text"), "[0-9]", "")
@@ -1263,20 +1275,27 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
 
-    # Exact dedup as min-over-window on the content hash: ONE pass over
-    # `quality` and one shuffle (on the uniform md5 key), where the
-    # groupBy + semi-join formulation scans the quality subtree twice and
-    # shuffles twice (Catalyst does not share the common subtree).
-    wfp = Window.partitionBy(F.md5("text"))
+    # Exact dedup as min-over-window on the content hash: ONE pass and one
+    # shuffle (on the uniform md5 key), where the groupBy + semi-join
+    # formulation scans the quality subtree twice and shuffles twice
+    # (Catalyst does not share the common subtree). The window input is
+    # the NARROW projection — shuffling (doc_id, fp, len) instead of the
+    # full text was measured ~1.5x faster on this stage at sf0.1, and at
+    # corpus scale it is the difference between shuffling fingerprints and
+    # shuffling the corpus.
+    narrow = quality.select(
+        "doc_id", F.md5("text").alias("_fp"), F.length("text").alias("_len")
+    )
+    wfp = Window.partitionBy("_fp")
     exact_deduped = (
-        quality.withColumn("_min_id", F.min("doc_id").over(wfp))
+        narrow.withColumn("_min_id", F.min("doc_id").over(wfp))
         .where(F.col("doc_id") == F.col("_min_id"))
-        .drop("_min_id")
+        .select("doc_id", "_len")
     )
 
     from mapreduce__spark.operators.graph import connected_components
 
-    pairs = lsh_near_duplicate_pairs(docs, JACCARD_THRESHOLD, num_hashes=16, bands=8)
+    pairs = lsh_near_duplicate_pairs(quality, JACCARD_THRESHOLD, num_hashes=16, bands=8)
     cc = connected_components(pairs, "id1", "id2")
     removal = cc.where(F.col("component") < F.col("node")).select(
         F.col("node").alias("doc_id")
@@ -1294,7 +1313,7 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_split = survivors.select(
         "doc_id",
-        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tokens"),
+        F.ceil(F.col("_len") / 4.0).cast("bigint").alias("n_tokens"),
         F.when(bucket < 8, "train").otherwise("holdout").alias("split"),
     )
 
@@ -1535,7 +1554,7 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     exact_keep AS (
         SELECT min(doc_id) AS doc_id FROM decon GROUP BY md5(text)
-    ), pairs AS ({_JACCARD_ORACLE}),
+    ), pairs AS ({_jaccard_oracle("decon")}),
     edges AS (
         SELECT id1 AS a, id2 AS b FROM pairs
         UNION SELECT id2, id1 FROM pairs
@@ -1581,8 +1600,10 @@ def training_data_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. quality gate on the scrubbed text;
     3. benchmark decontamination: drop eval-slice docs AND any training
        doc sharing a word-5-gram with one (broadcast gram join);
-    4. exact dedup (min-over-window on content hash, one pass);
-    5. MinHash-LSH near-dup clusters → drop non-representatives;
+    4. exact dedup (min-over-window on content hash, one pass, narrow
+       (doc_id, fp, len) shuffle — the payload never shuffles);
+    5. MinHash-LSH near-dup clusters over the decontaminated quality docs
+       (filter-then-dedup) → drop non-representatives;
     6. reproducible hash split; per-split distributed-cumsum packing.
 
     Stage scaling stories are unchanged from the component operators; the
@@ -1613,14 +1634,17 @@ def training_data_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     decon = quality.where(~is_eval).join(contaminated, "doc_id", "left_anti")
 
-    wfp = Window.partitionBy(F.md5("text"))
+    narrow = decon.select(
+        "doc_id", F.md5("text").alias("_fp"), F.length("text").alias("_len")
+    )
+    wfp = Window.partitionBy("_fp")
     exact_deduped = (
-        decon.withColumn("_min_id", F.min("doc_id").over(wfp))
+        narrow.withColumn("_min_id", F.min("doc_id").over(wfp))
         .where(F.col("doc_id") == F.col("_min_id"))
-        .drop("_min_id")
+        .select("doc_id", "_len")
     )
 
-    pairs = lsh_near_duplicate_pairs(docs, JACCARD_THRESHOLD, num_hashes=16, bands=8)
+    pairs = lsh_near_duplicate_pairs(decon, JACCARD_THRESHOLD, num_hashes=16, bands=8)
     cc = connected_components(pairs, "id1", "id2")
     removal = cc.where(F.col("component") < F.col("node")).select(
         F.col("node").alias("doc_id")
@@ -1637,7 +1661,7 @@ def training_data_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_split = survivors.select(
         "doc_id",
-        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tokens"),
+        F.ceil(F.col("_len") / 4.0).cast("bigint").alias("n_tokens"),
         F.when(bucket < 8, "train").otherwise("holdout").alias("split"),
     )
     packed = distributed_cumsum_grouped(

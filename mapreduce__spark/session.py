@@ -44,6 +44,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Reclaim out-of-scope checkpoint/cache blocks promptly: the
+        # ContextCleaner only drops a materialized RDD's blocks after a
+        # DRIVER GC proves it unreachable, and the default periodic GC is
+        # 30min — in a long-lived session running many queries that
+        # localCheckpoint (LSH signatures, CC edges, cumsum inputs), stale
+        # blocks pile up in executor memory for half an hour and evict
+        # useful ones. 1min bounds the pile at any cluster size.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         # keep the default 10MB broadcast threshold: dims (region, nation,
         # supplier, customer) all fit far under it, and a threshold high
