@@ -55,12 +55,16 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # ordering is part of the verification contract. This explicit window packs
 # one representative query per SURVEY §2b operator (O-1..O-27) — including
 # every LLM-pipeline flagship (LSH dedup, clustering, ANN, streaming windows,
-# sequence packing, training_data_pipeline) — into the checked prefix. Every
-# window entry has a DuckDB oracle (full rows+schema+hash check); queries
-# past the window stay bit-exact-gated by the repo's own pytest oracle
-# harness (tests/test_oracle.py), and the intentionally-approximate
-# (rows-only) queries sit past the window so the driver report has no
-# ambiguous "no oracle" rows (see README §correctness).
+# sequence packing, both training_data_pipeline flagships, PII scrub,
+# decontamination, Gopher rules, and the byte-level media header decodes) —
+# into the checked prefix. Every window entry has a DuckDB oracle (full
+# rows+schema+hash check); queries past the window stay bit-exact-gated by
+# the repo's own pytest oracle harness (tests/test_oracle.py) — and entries
+# rotated OUT of the window (e.g. agg_multi, join_outer) already carry green
+# rows in CORRECTNESS_r01.json, so each one is driver-attested in some round.
+# The intentionally-approximate (rows-only) queries sit past the window so
+# the driver report has no ambiguous "no oracle" rows (see README
+# §correctness).
 DRIVER_WINDOW: tuple[str, ...] = (
     # tier-0 reference core (O-2..O-9) + the generic kernel (O-1, O-27)
     "search_count",
@@ -74,13 +78,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "formatted_sink",
     # aggregation surface (O-11)
     "pricing_summary",
-    "agg_multi",
-    "percentiles",
     "shipmode_priority",
     "null_semantics",
     # joins (O-13..O-16)
     "join_inner",
-    "join_outer",
     "join_full_outer",
     "join_semi_anti",
     "join_broadcast_star",
@@ -91,18 +92,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_analytic",
     "rolling_user_features",
     "global_row_number",
-    # set ops / multi-dim aggregation (O-10, O-19, O-20)
+    # set ops / multi-dim aggregation (O-10 via dedup_exact, O-19, O-20)
     "set_ops",
-    "distinct_dedup",
     "rollup_cube",
     "pivot_agg",
     # scalar function surface (O-21)
     "scalar_functions",
     "datetime_functions",
-    "json_extraction",
     # text analysis (O-24)
     "word_count",
-    "doc_quality_score",
     "tfidf_top_terms",
     # near-dup detection (O-22)
     "dedup_exact",
@@ -113,17 +111,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_clusters",
     # similarity search (O-23)
     "ann_topk_bruteforce",
-    # multimodal (O-25)
+    # multimodal (O-25) — incl. real byte-level header decodes
     "multimodal_metadata",
+    "image_header_metadata",
+    "media_header_metadata",
     # streaming batch-twins (O-26)
     "events_tumbling_window",
     "events_sliding_window",
     "sessionization",
     "stateful_dedup_first_event",
-    # LLM training-data pipeline (O-12/O-18/O-24 composites + flagship)
+    # LLM training-data pipeline (O-12/O-18/O-24 composites + flagships)
+    "pii_scrub",
+    "decontaminate_eval_overlap",
+    "gopher_quality_rules",
     "sequence_packing",
     "train_test_split",
     "training_data_pipeline",
+    "training_data_pipeline_full",
 )
 
 

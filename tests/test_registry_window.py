@@ -27,6 +27,14 @@ NORTH_STAR = {
     "train_test_split",
     "tfidf_top_terms",
     "training_data_pipeline",
+    # round-2 flagships: the new pipeline stages and the real byte-level
+    # media decodes must also carry driver CORRECTNESS rows.
+    "pii_scrub",
+    "decontaminate_eval_overlap",
+    "gopher_quality_rules",
+    "training_data_pipeline_full",
+    "image_header_metadata",
+    "media_header_metadata",
 }
 
 
