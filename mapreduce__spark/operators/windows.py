@@ -174,3 +174,72 @@ def distributed_cumsum_grouped(
         with_pid.withColumn(out_col, F.sum(value_col).over(w) + offset_expr)
         .drop("_pid")
     )
+
+
+def ntile_expr(rn: Column, n: int, k: int) -> Column:
+    """SQL `NTILE(k)` as arithmetic over a 1-based global row number `rn`
+    and the driver-known total count `n`: the first n mod k buckets get
+    ceil(n/k) rows, the rest floor(n/k) — the standard remainder-first
+    rule. Lets rank statistics ride the distributed row number instead of
+    a single-task global window."""
+    q, rem = divmod(n, k)
+    cutoff = rem * (q + 1)  # last row covered by the (q+1)-sized buckets
+    return F.when(
+        rn <= F.lit(cutoff), F.floor((rn - 1) / F.lit(q + 1)) + 1
+    ).otherwise(
+        # max(q,1) keeps the unreached branch well-formed when n < k
+        F.lit(rem) + F.floor((rn - F.lit(cutoff) - 1) / F.lit(max(q, 1))) + 1
+    )
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Global `row_number() OVER (ORDER BY order_cols)` without a
+    single-task window, for a MULTI-column ordering. Returns
+    (numbered_df, total_row_count) — the count falls out of the offset
+    pass for free, and callers computing rank statistics (percent_rank,
+    cume_dist, ntile) need it anyway.
+
+    Range-buckets on the FIRST order column only: `_bucket_expr` sends
+    equal keys to the same bucket, so every tie group of the first column
+    lives in one bucket and within-bucket `row_number(*order_cols)` plus a
+    driver-side count offset (O(P) rows collected) is exactly the global
+    row number. `order_cols` must be a unique composite key; the first
+    column must be numeric (percentile-sketchable).
+
+    Skew caveat: all ties of the first column share a bucket, so a column
+    where one value dominates degrades toward one task — pick a
+    high-cardinality leading column, same rule as any range partitioning.
+    """
+    df = df.localCheckpoint(eager=True)  # 3 passes below; input is narrow
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    first = order_cols[0]
+    qs = df.select(
+        F.percentile_approx(first, [i / n for i in range(1, n)], 200).alias("q")
+    ).first()
+    bounds = sorted(set(qs.q)) if qs and qs.q else []
+
+    with_pid = df.withColumn("_pid", _bucket_expr(first, bounds))
+    counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r._pid):
+        offsets[row._pid] = acc
+        acc += row._cnt
+    offset_expr = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("_pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    numbered = with_pid.withColumn(
+        out_col, (F.row_number().over(w) + offset_expr).cast("bigint")
+    ).drop("_pid")
+    return numbered, acc

@@ -1045,19 +1045,30 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-18: distribution window functions — ntile / percent_rank /
     cume_dist over a global ordering (unique tiebreak keeps every rank
-    deterministic).
+    deterministic) — computed WITHOUT a single-task global window.
 
-    Scale note: a partitionBy-less window is single-task; these semantics
-    are inherently global, so at 100 TB compute them with the two-phase
-    offset trick (operators/windows.py distributed_cumsum generalizes to
-    counts) rather than this literal window."""
+    `ntile/percent_rank/cume_dist OVER (ORDER BY ...)` in the literal form
+    funnels the whole relation through ONE task (WindowExec warns, and at
+    100 TB it simply dies). But all three are pure functions of the global
+    row number r and the total count n once the ordering is unique:
+    percent_rank = (r-1)/(n-1), cume_dist = r/n, and ntile(k) follows the
+    first-(n mod k)-buckets-get-one-extra rule. `distributed_row_number`
+    (operators/windows.py) supplies r via the two-phase range-bucket +
+    driver-offset pattern, fully parallel; n falls out of its offset pass.
+    The arithmetic below matches SQL semantics literal-for-literal, so the
+    DuckDB window-function oracle stays bit-exact."""
+    from mapreduce__spark.operators.windows import distributed_row_number, ntile_expr
+
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.where(F.col("c_custkey") <= 400).select(
+    filtered = c.where(F.col("c_custkey") <= 400).select("c_custkey", "c_acctbal")
+    numbered, n = distributed_row_number(filtered, ["c_acctbal", "c_custkey"])
+    rn = F.col("rn")
+    denom = F.lit(max(n - 1, 1))  # n==1 => percent_rank is defined as 0
+    return numbered.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ntile_expr(rn, n, 4).cast("int").alias("quartile"),
+        F.round((rn - 1).cast("double") / denom, 6).alias("pct_rank"),
+        F.round(rn.cast("double") / F.lit(n), 6).alias("cume"),
     )
 
 

@@ -115,3 +115,18 @@ def test_flagship_packing_not_split_funneled(spark, sf_small):
     assert split_windows, "expected a window over split in the packing stage"
     for spec in split_windows:
         assert "_pid" in spec, f"split-only window partitioning: {spec}"
+
+
+def test_window_distribution_no_partitionless_window(spark, sf_small):
+    """Rank statistics (ntile/percent_rank/cume_dist) must ride the
+    distributed row number — every window spec in the plan must carry the
+    `_pid` range-bucket key, never an empty (single-task) partition spec."""
+    import re
+
+    from mapreduce__spark.plans.tier1 import window_distribution
+
+    plan = physical(window_distribution(spark, sf_small))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected a window in the plan"
+    for spec in specs:
+        assert "_pid" in spec, f"partition-less window spec: {spec}"

@@ -13,6 +13,7 @@ from pyspark.sql.window import Window
 from mapreduce__spark.operators.windows import (
     distributed_cumsum,
     distributed_cumsum_grouped,
+    distributed_row_number,
 )
 from mapreduce__spark.sources import load_table
 
@@ -40,6 +41,69 @@ def test_single_row(spark):
     df = spark.createDataFrame([(5, 7)], "k bigint, v bigint")
     rows = distributed_cumsum(df, "k", "v").collect()
     assert [(r.k, r.v, r.cum) for r in rows] == [(5, 7, 7)]
+
+
+@pytest.mark.parametrize("num_partitions", [1, 3, 8])
+def test_row_number_matches_global_window_with_ties(spark, num_partitions):
+    """Multi-column ordering where the FIRST column is heavily tied: ties
+    must land in one bucket and the composite (a, b) ordering must still
+    produce the exact global row numbers."""
+    rows = [(i % 4, i) for i in range(57)]  # a in {0..3}, b unique
+    df = spark.createDataFrame(rows, "a bigint, b bigint")
+    got_df, n = distributed_row_number(df, ["a", "b"], num_partitions=num_partitions)
+    assert n == 57
+    got = {(r.a, r.b): r.rn for r in got_df.collect()}
+    w = Window.orderBy("a", "b")
+    want = {(r.a, r.b): r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+    assert got == want
+
+
+def test_row_number_empty_and_single(spark):
+    df0 = spark.createDataFrame([], "a bigint, b bigint")
+    got0, n0 = distributed_row_number(df0, ["a", "b"])
+    assert n0 == 0 and got0.collect() == []
+    df1 = spark.createDataFrame([(3, 9)], "a bigint, b bigint")
+    got1, n1 = distributed_row_number(df1, ["a", "b"])
+    assert n1 == 1 and [(r.a, r.b, r.rn) for r in got1.collect()] == [(3, 9, 1)]
+
+
+@pytest.mark.parametrize("n,k", [(1, 4), (3, 4), (4, 4), (5, 4), (57, 4), (57, 7)])
+def test_ntile_expr_matches_sql_ntile(spark, n, k):
+    """ntile_expr == SQL NTILE for n < k, n == k, and every remainder
+    shape (the else-branch must stay well-formed when it is unreachable)."""
+    from mapreduce__spark.operators.windows import ntile_expr
+
+    df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "x bigint")
+    w = Window.orderBy("x")
+    rows = (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("want", F.ntile(k).over(w))
+        .withColumn("got", ntile_expr(F.col("rn"), n, k).cast("int"))
+        .collect()
+    )
+    assert all(r.got == r.want for r in rows), [(r.x, r.want, r.got) for r in rows]
+
+
+def test_window_distribution_matches_literal_window(spark, sf_small):
+    """The distributed rank-statistics form of window_distribution must
+    equal the literal single-task ntile/percent_rank/cume_dist window."""
+    from mapreduce__spark.plans import REGISTRY
+
+    fn = REGISTRY["window_distribution"].fn
+    full = fn(spark, sf_small)
+    c = load_table(spark, sf_small, "customer").where(F.col("c_custkey") <= 400)
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    want = {
+        (r.c_custkey, r.quartile, r.pct_rank, r.cume)
+        for r in c.select(
+            "c_custkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ).collect()
+    }
+    got = {(r.c_custkey, r.quartile, r.pct_rank, r.cume) for r in full.collect()}
+    assert got == want
 
 
 @given(
