@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -228,6 +229,20 @@ def with_image_payload(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(gen, schema="doc_id bigint, payload binary")
 
 
+def with_wav_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with synthesized real RIFF/WAVE header bytes —
+    the corpus-side half of the frame-sampling round-trip."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].values
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [synth_wav_bytes(int(i)) for i in ids]}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema="doc_id bigint, payload binary")
+
+
 def synth_wav_bytes(doc_id: int) -> bytes:
     """Valid WAV (RIFF) header: channels/sample-rate/frame-count are pure
     functions of doc_id for oracle round-trip verification."""
@@ -315,6 +330,106 @@ def parse_mp4_header(b: bytes) -> tuple[str, int, int]:
                 j += max(chdr, csize)
         i += max(hdr, size)
     return brand, 0, 0
+
+
+def resize_image_header(b: bytes, new_w: int, new_h: int) -> bytes:
+    """Rewrite the container header so it declares (new_w, new_h) —
+    the header half of a resize (pixel resampling stays behind the decode
+    stub, same split as parse_image_header). Real byte surgery per format:
+    PNG rewrites IHDR and RECOMPUTES the chunk CRC (a stale CRC is
+    corruption); GIF rewrites the little-endian logical screen descriptor;
+    JPEG walks the marker stream to the SOF frame header and rewrites
+    (height, width) big-endian in place. Unknown formats pass through
+    untouched."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR" and len(b) >= 24:
+        ihdr_len = struct.unpack(">I", b[8:12])[0]
+        payload = struct.pack(">II", new_w, new_h) + b[24 : 16 + ihdr_len]
+        chunk = b"IHDR" + payload
+        crc = struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+        return b[:16] + payload + crc + b[16 + ihdr_len + 4 :]
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return b[:6] + struct.pack("<HH", new_w, new_h) + b[10:]
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        sof_markers = set(range(0xC0, 0xC4)) | set(range(0xC5, 0xC8)) | set(range(0xC9, 0xCC))
+        standalone = {0x01, 0xD8} | set(range(0xD0, 0xD8))
+        while i + 2 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker in sof_markers and i + 9 <= len(b):
+                return b[: i + 5] + struct.pack(">HH", new_h, new_w) + b[i + 9 :]
+            if marker in standalone:
+                i += 2
+                continue
+            if marker in (0xD9, 0xDA):
+                break
+            if i + 4 > len(b):
+                break
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            i += 2 + max(2, seg_len)
+    return b
+
+
+def resize_images(multimodal: DataFrame, w_expr: str, h_expr: str) -> DataFrame:
+    """(doc_id, payload) -> (doc_id, payload) with headers rewritten to the
+    per-row target size. Targets are COLUMN EXPRESSIONS (strings over
+    doc_id etc.), not constants — a real pipeline resizes to per-item
+    budgets. Arrow-batched, partition-preserving, payload never keyed."""
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                resize_image_header(bytes(b), int(w), int(h)) if b is not None else None
+                for b, w, h in zip(pdf["payload"], pdf["_w"], pdf["_h"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": out})
+
+    return multimodal.selectExpr(
+        "doc_id", "payload", f"({w_expr}) AS _w", f"({h_expr}) AS _h"
+    ).mapInPandas(rz, schema="doc_id bigint, payload binary")
+
+
+def sample_frames(media: DataFrame, stride: int) -> DataFrame:
+    """Frame sampling over audio payloads: parse each WAV header and emit
+    ONE ROW PER SAMPLED FRAME (indices 0, stride, 2*stride, ... below the
+    frame count) with its millisecond timestamp — the 1→N row-expanding
+    Arrow UDF shape every video/audio frame-sampler needs (input batch of
+    k rows yields a batch of ~k*frames/stride rows; Spark re-batches, so
+    the expansion never materializes per-doc lists). Frame PAYLOAD
+    extraction stays behind the decode stub; the index/timestamp math is
+    real and oracle-checkable."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ts = [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None:
+                    continue
+                channels, rate, _, n_frames = parse_wav_header(bytes(b))
+                if rate <= 0:
+                    continue
+                for fi in range(0, n_frames, stride):
+                    ids.append(did)
+                    idxs.append(fi)
+                    ts.append(fi * 1000 // rate)
+            # Explicit int64 — an empty batch would otherwise infer float64
+            # and break the Arrow schema contract.
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype="int64"),
+                    "frame_idx": np.asarray(idxs, dtype="int64"),
+                    "ts_ms": np.asarray(ts, dtype="int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        sample, schema="doc_id bigint, frame_idx bigint, ts_ms bigint"
+    )
 
 
 def image_header_features(multimodal: DataFrame) -> DataFrame:

@@ -116,22 +116,35 @@ def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-style pre-tokenizer: letter runs | digit runs | punctuation runs —
+# the (ASCII, lookahead-free) core of the GPT-2 pre-tokenization regex,
+# restricted to syntax Java regex and DuckDB's RE2 interpret identically
+# so the count is oracle-checkable verbatim (same sharing discipline as
+# the PII patterns in functions/text.py).
+_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
 @query(
     "doc_token_stats",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            len(string_split(text, ' '))                               AS n_tokens,
            length(text)                                               AS n_chars_actual,
            round(length(replace(text, ' ', ''))::DOUBLE
                  / len(string_split(text, ' ')), 4)                   AS avg_token_len,
-           CAST(ceil(length(text) / 4.0) AS BIGINT)                   AS approx_bpe_tokens
+           CAST(ceil(length(text) / 4.0) AS BIGINT)                   AS approx_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '{_PRETOKEN_RE}')) AS BIGINT)
+                                                                      AS pretoken_count
     FROM documents
     """,
     tags=("tier2", "text"),
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens plus the standard chars/4 BPE
-    approximation (a real BPE would be a broadcast-vocab pandas UDF)."""
+    """Token counting three ways: whitespace tokens, the standard chars/4
+    BPE budget approximation, and a real BPE-style pre-tokenizer count —
+    letter/digit/punctuation runs via one regexp pass (the pattern is
+    shared verbatim with the RE2 oracle). A full BPE merge would be a
+    broadcast-vocab pandas UDF downstream of exactly this split."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
     return docs.select(
@@ -142,6 +155,9 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / F.size(toks), 4
         ).alias("avg_token_len"),
         F.ceil(F.length("text") / 4.0).cast("bigint").alias("approx_bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_PRETOKEN_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("pretoken_count"),
     )
 
 
@@ -526,6 +542,66 @@ def media_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, channels bigint, sample_rate bigint, n_frames bigint, "
         "brand string, timescale bigint, duration bigint",
     )
+
+
+@query(
+    "image_resize_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS fmt,
+           CAST((doc_id % 64) + 8 AS BIGINT) AS width,
+           CAST(((doc_id * 3) % 64) + 8 AS BIGINT) AS height
+    FROM documents
+    """,
+    tags=("tier2", "multimodal"),
+)
+def image_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE at the header level: synthesize real container bytes,
+    rewrite each header to a per-row target size (PNG IHDR + recomputed
+    CRC, GIF screen descriptor, JPEG SOF walk — resize_image_header), then
+    parse the rewritten bytes back. The oracle recomputes the target
+    dimensions from doc_id, so a hash match proves BOTH byte passes
+    (rewrite and re-parse) agree on every row. Pixel resampling stays
+    behind the decode stub — this is the metadata half a 100 TB resize
+    job runs either side of it."""
+    from mapreduce__spark.operators.multimodal import (
+        image_header_features,
+        resize_images,
+        with_image_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_images(
+        with_image_payload(docs), "doc_id % 64 + 8", "(doc_id * 3) % 64 + 8"
+    )
+    return image_header_features(resized)
+
+
+@query(
+    "audio_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           unnest(generate_series(0, (doc_id % 1000 + 1) - 1, 100)) AS frame_idx,
+           CAST(unnest(generate_series(0, (doc_id % 1000 + 1) - 1, 100)) * 1000
+                // (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                    WHEN 2 THEN 44100 ELSE 48000 END) AS BIGINT) AS ts_ms
+    FROM documents
+    """,
+    tags=("tier2", "multimodal"),
+)
+def audio_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over audio payloads — the 1→N row-expanding Arrow
+    UDF every frame-sampler needs: synthesize a real WAV per doc, parse
+    its header, emit one row per sampled frame (every 100th index below
+    the frame count) with its integer millisecond timestamp. The oracle
+    rebuilds the same index series with generate_series from the doc_id
+    formulas, so the expansion count, indices, and timestamp arithmetic
+    are all hash-checked. Output rows ≈ input rows × frames/stride; Spark
+    re-batches the Arrow stream, so no per-doc list ever materializes."""
+    from mapreduce__spark.operators.multimodal import sample_frames, with_wav_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(with_wav_payload(docs), stride=100)
 
 
 # --------------------------------------------------------------------------

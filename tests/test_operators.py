@@ -314,3 +314,69 @@ def test_media_header_parsers_fuzz_never_crash():
             parse_image_header(prefix + tail)
             parse_wav_header(prefix + tail)
             parse_mp4_header(prefix + tail)
+
+
+def test_resize_image_header_roundtrip_and_passthrough():
+    """resize_image_header must rewrite dimensions for every synthesized
+    format (with a VALID recomputed PNG CRC), preserve hand-built JPEGs
+    with leading segments, and pass unknown bytes through untouched."""
+    import struct
+    import zlib
+
+    from mapreduce__spark.operators.multimodal import (
+        parse_image_header,
+        resize_image_header,
+        synth_image_bytes,
+    )
+
+    for doc_id in (0, 1, 2, 511, 512, 77):  # covers png/gif/jpeg branches
+        b = synth_image_bytes(doc_id)
+        fmt, _, _ = parse_image_header(b)
+        out = resize_image_header(b, 123, 45)
+        assert parse_image_header(out) == (fmt, 123, 45)
+    # PNG CRC must be recomputed, not copied stale
+    png = resize_image_header(synth_image_bytes(0), 99, 33)
+    ihdr_len = struct.unpack(">I", png[8:12])[0]
+    chunk = png[12 : 16 + ihdr_len]
+    crc = struct.unpack(">I", png[16 + ihdr_len : 20 + ihdr_len])[0]
+    assert crc == (zlib.crc32(chunk) & 0xFFFFFFFF)
+    # JPEG with an extra APP1 segment before SOF keeps its prefix intact
+    app1 = b"\xff\xe1" + struct.pack(">H", 8) + b"Exif\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 480, 640) + b"\x01\x01\x11\x00"
+    jpg = b"\xff\xd8" + app1 + sof0
+    out = resize_image_header(jpg, 320, 240)
+    assert out[: len(b"\xff\xd8" + app1)] == b"\xff\xd8" + app1
+    assert parse_image_header(out) == ("jpeg", 320, 240)
+    # unknown bytes: untouched
+    junk = b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09"
+    assert resize_image_header(junk, 10, 10) == junk
+
+
+def test_sample_frames_expansion_and_nulls(spark):
+    """sample_frames: exact 1→N expansion (count = ceil(n_frames/stride)),
+    integer-ms timestamps, NULL and non-WAV payloads dropped, and an
+    all-filtered batch still honors the int64 schema (empty-batch path)."""
+    from mapreduce__spark.operators.multimodal import sample_frames, synth_wav_bytes
+
+    rows = [
+        (7, synth_wav_bytes(7)),        # n_frames=8, rate=48000
+        (250, synth_wav_bytes(250)),    # n_frames=251, rate=44100
+        (3, None),                      # NULL payload: dropped
+        (4, b"not a wav at all"),       # unparseable: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = sorted(
+        (r.doc_id, r.frame_idx, r.ts_ms) for r in sample_frames(df, 100).collect()
+    )
+    want = []
+    for did, nf, rate in ((7, 8, 48000), (250, 251, 44100)):
+        for fi in range(0, nf, 100):
+            want.append((did, fi, fi * 1000 // rate))
+    assert got == sorted(want)
+    # all rows filtered => empty result, schema still int64-typed
+    nulls = spark.createDataFrame([(1, None)], "doc_id bigint, payload binary")
+    empty = sample_frames(nulls, 100)
+    assert empty.collect() == []
+    assert [f.dataType.simpleString() for f in empty.schema.fields] == [
+        "bigint", "bigint", "bigint"
+    ]
