@@ -292,6 +292,8 @@ def test_media_header_parsers_fuzz_never_crash():
         parse_wav_header,
     )
 
+    from mapreduce__spark.operators.multimodal import resize_image_header
+
     @settings(max_examples=300, deadline=None)
     @given(st.binary(max_size=256))
     def check(b):
@@ -301,6 +303,10 @@ def test_media_header_parsers_fuzz_never_crash():
         assert min(ch, rate, bits, nf) >= 0
         brand, ts, dur = parse_mp4_header(b)
         assert isinstance(brand, str) and ts >= 0 and dur >= 0
+        # resize on arbitrary bytes: never raises, output still parseable
+        out = resize_image_header(b, 32, 32)
+        assert isinstance(out, bytes)
+        parse_image_header(out)
 
     check()
 
