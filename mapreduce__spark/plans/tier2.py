@@ -633,6 +633,66 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_rollup_gapfill",
+    oracle="""
+    WITH agg AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+               count(*) AS n, round(sum(value), 2) AS sv
+        FROM events GROUP BY 1, 2
+    ), span AS (SELECT min(h) AS lo, max(h) AS hi FROM agg),
+    hours AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h FROM span
+    ), types AS (SELECT DISTINCT event_type FROM events)
+    SELECT hours.h AS window_start, types.event_type,
+           coalesce(agg.n, 0) AS n_events,
+           coalesce(agg.sv, 0.0) AS sum_value
+    FROM hours CROSS JOIN types
+    LEFT JOIN agg ON agg.h = hours.h AND agg.event_type = types.event_type
+    """,
+    tags=("tier2", "streaming", "timeseries"),
+)
+def events_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-filled rollup: the tumbling 1-hour aggregate
+    DENSIFIED so every (hour, event_type) cell in the observed span exists,
+    zero-filled where no events landed — what downstream charting /
+    anomaly baselines need from a time-series store.
+
+    Scale shape: the dense grid is built WITHOUT a driver collect —
+    the span is a 1-row aggregate whose `sequence(lo, hi, 1 hour)`
+    explodes into the hour spine, cross-joined with the distinct types
+    (both post-agg relations are bounded by hours × types, tiny at any
+    corpus size); the hourly aggregate then broadcast-joins onto the
+    grid. Events are scanned once; nothing grid-sized ever shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(F.col("w.start").alias("h"), "event_type", "n", "sv")
+    )
+    span = agg.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    hours = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "window_start"
+        )
+    )
+    # agg and types share the events lineage — disambiguate by renaming
+    # the grid's type column before the join instead of relying on
+    # dataframe-identity column resolution (ambiguous self-join).
+    types = ev.select(F.col("event_type").alias("grid_type")).distinct()
+    grid = hours.crossJoin(types)
+    return grid.join(
+        F.broadcast(agg),
+        (F.col("h") == F.col("window_start")) & (F.col("event_type") == F.col("grid_type")),
+        "left",
+    ).select(
+        "window_start",
+        F.col("grid_type").alias("event_type"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
+    )
+
+
+@query(
     "events_sliding_window",
     oracle="""
     SELECT time_bucket(INTERVAL '30 minutes', ts)

@@ -19,6 +19,9 @@ PROBE = [
     "stratified_sample",
     "decontaminate_eval_overlap",
     "media_header_metadata",
+    "events_rollup_gapfill",
+    "image_resize_roundtrip",
+    "audio_frame_sample",
 ]
 
 
