@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "sessionization",      # window-function chain
     "training_data_pipeline",  # composed end-to-end pipeline (quality →
                                # dedup → cluster removal → split → pack)
+    "training_data_pipeline_full",  # + PII scrub and decontamination in
+                                    # front — the round-2 flagship; no r1
+                                    # baseline, deltas start at r2
 ]
 
 

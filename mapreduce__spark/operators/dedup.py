@@ -128,6 +128,7 @@ def lsh_near_duplicate_pairs(
     threshold: float,
     num_hashes: int = 16,
     bands: int = 8,
+    text_source: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-verified — the 100 TB dedup plan.
 
@@ -140,6 +141,15 @@ def lsh_near_duplicate_pairs(
        semantics via a semi-join back to the gram table — false positives
        die here, so the output EQUALS the exact operator's output and is
        hash-checkable against the same SQL oracle.
+
+    `text_source` (default: `docs`) is where the verification step fetches
+    candidate TEXTS. When `docs` carries an expensive lineage (the
+    pipelines pass their quality-filtered / decontaminated relation), the
+    verify pass would re-execute that whole pipeline just to read a few
+    texts — pass a cheap superset relation with the SAME (doc_id, text)
+    values (the raw scan, or the scan-stage scrubbed projection) and the
+    verify pass costs one map-side table scan instead. Candidate ids are
+    always a subset of `docs`' ids, so any superset source is equivalent.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -209,7 +219,8 @@ def lsh_near_duplicate_pairs(
         .distinct()
     )
     cand_grams = (
-        docs.join(F.broadcast(cand_ids), "doc_id")
+        (text_source if text_source is not None else docs)
+        .join(F.broadcast(cand_ids), "doc_id")
         .select("doc_id", word_ngrams(tokenize(F.col("text")), NGRAM_N).alias("grams"))
         .localCheckpoint(eager=True)
     )

@@ -172,11 +172,47 @@ def synth_image_bytes(doc_id: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0
 
 
+_SOF_MARKERS = set(range(0xC0, 0xC4)) | set(range(0xC5, 0xC8)) | set(range(0xC9, 0xCC))
+# Standalone markers carry NO length field: TEM (0x01), RST0-7
+# (0xD0-0xD7), SOI (0xD8). EOI (0xD9) / SOS (0xDA) end the header walk.
+_STANDALONE_MARKERS = {0x01, 0xD8} | set(range(0xD0, 0xD8))
+
+
+def _jpeg_sof_offset(b: bytes) -> int | None:
+    """Offset of the first complete SOF0-SOF3/SOF5-SOF7/SOF9-SOF11 marker
+    in a JPEG stream (the marker's 0xFF byte), or None when no complete
+    frame header exists before SOS/EOI/end-of-buffer. ONE marker-walk
+    state machine shared by parse and resize — the two must agree on
+    which bytes are the frame header or the resize/re-parse round-trip
+    breaks."""
+    i = 2
+    while i + 2 <= len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte before the real marker
+            i += 1
+            continue
+        if marker in _SOF_MARKERS:
+            return i if i + 9 <= len(b) else None  # truncated SOF: no header
+        if marker in _STANDALONE_MARKERS:
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS: no SOF before image data
+            return None
+        if i + 4 > len(b):
+            return None
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        i += 2 + max(2, seg_len)
+    return None
+
+
 def parse_image_header(b: bytes) -> tuple[str, int, int]:
     """(format, width, height) from raw container bytes; ('unknown', 0, 0)
     when no known signature matches. Real parsing of real formats:
     PNG IHDR (big-endian), GIF logical screen (little-endian), and a JPEG
-    marker walk to the first SOF0-SOF3/SOF5-SOF7/SOF9-SOF11 frame header."""
+    marker walk to the first SOF frame header (:func:`_jpeg_sof_offset`)."""
     if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR" and len(b) >= 24:
         w, h = struct.unpack(">II", b[16:24])
         return "png", w, h
@@ -184,63 +220,36 @@ def parse_image_header(b: bytes) -> tuple[str, int, int]:
         w, h = struct.unpack("<HH", b[6:10])
         return "gif", w, h
     if b[:2] == b"\xff\xd8":
-        i = 2
-        sof_markers = set(range(0xC0, 0xC4)) | set(range(0xC5, 0xC8)) | set(range(0xC9, 0xCC))
-        # Standalone markers carry NO length field: TEM (0x01), RST0-7
-        # (0xD0-0xD7), SOI (0xD8), EOI (0xD9). 0xFF is fill/padding.
-        standalone = {0x01, 0xD8} | set(range(0xD0, 0xD8))
-        while i + 2 <= len(b):
-            if b[i] != 0xFF:
-                i += 1
-                continue
-            marker = b[i + 1]
-            if marker == 0xFF:  # fill byte before the real marker
-                i += 1
-                continue
-            if marker in sof_markers:
-                if i + 9 <= len(b):
-                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
-                    return "jpeg", w, h
-                break
-            if marker in standalone:
-                i += 2
-                continue
-            if marker in (0xD9, 0xDA):  # EOI / SOS: no SOF before image data
-                break
-            if i + 4 > len(b):
-                break
-            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
-            i += 2 + max(2, seg_len)
+        i = _jpeg_sof_offset(b)
+        if i is not None:
+            h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+            return "jpeg", w, h
         return "jpeg", 0, 0
     return "unknown", 0, 0
 
 
-def with_image_payload(docs: DataFrame) -> DataFrame:
-    """(doc_id, payload) with synthesized real-format image header bytes —
-    the corpus-side half of the round-trip the parser query verifies."""
+def _with_payload(docs: DataFrame, synth_fn) -> DataFrame:
+    """(doc_id, payload) with per-doc synthesized container bytes — the
+    shared corpus-side half of every header round-trip query."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].values
             yield pd.DataFrame(
-                {"doc_id": ids, "payload": [synth_image_bytes(int(i)) for i in ids]}
+                {"doc_id": ids, "payload": [synth_fn(int(i)) for i in ids]}
             )
 
     return docs.select("doc_id").mapInPandas(gen, schema="doc_id bigint, payload binary")
+
+
+def with_image_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with synthesized real-format image header bytes."""
+    return _with_payload(docs, synth_image_bytes)
 
 
 def with_wav_payload(docs: DataFrame) -> DataFrame:
-    """(doc_id, payload) with synthesized real RIFF/WAVE header bytes —
-    the corpus-side half of the frame-sampling round-trip."""
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"].values
-            yield pd.DataFrame(
-                {"doc_id": ids, "payload": [synth_wav_bytes(int(i)) for i in ids]}
-            )
-
-    return docs.select("doc_id").mapInPandas(gen, schema="doc_id bigint, payload binary")
+    """(doc_id, payload) with synthesized real RIFF/WAVE header bytes."""
+    return _with_payload(docs, synth_wav_bytes)
 
 
 def synth_wav_bytes(doc_id: int) -> bytes:
@@ -350,28 +359,9 @@ def resize_image_header(b: bytes, new_w: int, new_h: int) -> bytes:
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
         return b[:6] + struct.pack("<HH", new_w, new_h) + b[10:]
     if b[:2] == b"\xff\xd8":
-        i = 2
-        sof_markers = set(range(0xC0, 0xC4)) | set(range(0xC5, 0xC8)) | set(range(0xC9, 0xCC))
-        standalone = {0x01, 0xD8} | set(range(0xD0, 0xD8))
-        while i + 2 <= len(b):
-            if b[i] != 0xFF:
-                i += 1
-                continue
-            marker = b[i + 1]
-            if marker == 0xFF:
-                i += 1
-                continue
-            if marker in sof_markers and i + 9 <= len(b):
-                return b[: i + 5] + struct.pack(">HH", new_h, new_w) + b[i + 9 :]
-            if marker in standalone:
-                i += 2
-                continue
-            if marker in (0xD9, 0xDA):
-                break
-            if i + 4 > len(b):
-                break
-            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
-            i += 2 + max(2, seg_len)
+        i = _jpeg_sof_offset(b)
+        if i is not None:
+            return b[: i + 5] + struct.pack(">HH", new_h, new_w) + b[i + 9 :]
     return b
 
 
@@ -384,7 +374,16 @@ def resize_images(multimodal: DataFrame, w_expr: str, h_expr: str) -> DataFrame:
     def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = [
-                resize_image_header(bytes(b), int(w), int(h)) if b is not None else None
+                # NULL payload stays NULL; a NULL/NaN target dimension
+                # (nullable expression input) passes the payload through
+                # unresized instead of killing the task on int(None).
+                None
+                if b is None
+                else (
+                    resize_image_header(bytes(b), int(w), int(h))
+                    if w is not None and h is not None and w == w and h == h
+                    else bytes(b)
+                )
                 for b, w, h in zip(pdf["payload"], pdf["_w"], pdf["_h"])
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": out})

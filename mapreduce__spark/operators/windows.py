@@ -16,7 +16,7 @@ sums are associative) with full parallelism. This is the building block
 behind `sequence_packing` and any "global position/offset" assignment
 (row numbering works the same way with counts instead of sums).
 
-Both variants make THREE passes over their input (percentile boundaries,
+Every variant makes THREE passes over its input (percentile boundaries,
 per-bucket totals, the window itself), so they eagerly localCheckpoint it
 first: the input is narrow by contract (order/value/group columns only),
 while its upstream plan can be an arbitrarily expensive pipeline — without
@@ -50,6 +50,42 @@ def _bucket_expr(order_col: str, bounds: list) -> Column:
     return tree(0, len(bounds))
 
 
+def _with_range_bucket(
+    df: DataFrame, order_col: str, num_partitions: int | None
+) -> tuple[DataFrame, int]:
+    """Shared first phase of every two-phase global-window operator:
+    eagerly checkpoint the (narrow, by contract) input, sketch percentile
+    boundaries of `order_col`, and tag each row with its range-bucket id.
+    Returns (df + `_pid` column, bucket count). Sketch accuracy is LOW on
+    purpose (200): boundaries only need rough balance — accuracy 10_000
+    was measured ~10x slower at 5M rows while buying nothing (correctness
+    never depends on where the cuts land)."""
+    df = df.localCheckpoint(eager=True)  # callers make 3 passes over it
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    qs = df.select(
+        F.percentile_approx(order_col, [i / n for i in range(1, n)], 200).alias("q")
+    ).first()
+    bounds = sorted(set(qs.q)) if qs and qs.q else []
+    return df.withColumn("_pid", _bucket_expr(order_col, bounds)), len(bounds) + 1
+
+
+def _prefix_offset_expr(totals: list, value_attr: str) -> Column:
+    """O(P) driver-side prefix offsets from per-bucket totals, shipped
+    back as a literal map lookup on `_pid`. SUM skips NULLs: an all-NULL
+    bucket totals to NULL and contributes 0."""
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r._pid):
+        offsets[row._pid] = acc
+        acc += row[value_attr] or 0
+    if not offsets:
+        return F.lit(0)
+    return F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_pid"),
+    )
+
+
 def distributed_cumsum(
     df: DataFrame,
     order_col: str,
@@ -69,35 +105,9 @@ def distributed_cumsum(
     pass re-planned independently (caught by the sf0.1 oracle gate).
     `order_col` must be numeric and unique.
     """
-    df = df.localCheckpoint(eager=True)  # 3 passes below; input is narrow
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # Deterministic bucket boundaries: one aggregation, O(n) result. Low
-    # sketch accuracy on purpose — boundaries only need rough balance, and
-    # accuracy 10_000 was measured ~10x slower than 200 at 5M rows while
-    # buying nothing (correctness never depends on where the cuts land).
-    qs = df.select(
-        F.percentile_approx(order_col, [i / n for i in range(1, n)], 200).alias("q")
-    ).first()
-    bounds = sorted(set(qs.q)) if qs and qs.q else []
-
-    with_pid = df.withColumn("_pid", _bucket_expr(order_col, bounds))
-
-    # O(P) driver-side prefix offsets, shipped back as a broadcast map.
+    with_pid, _ = _with_range_bucket(df, order_col, num_partitions)
     totals = with_pid.groupBy("_pid").agg(F.sum(value_col).alias("_total")).collect()
-    offsets: dict[int, int] = {}
-    acc = 0
-    for row in sorted(totals, key=lambda r: r._pid):
-        offsets[row._pid] = acc
-        # SUM skips NULLs; an all-NULL bucket totals to NULL => contributes 0.
-        acc += row._total or 0
-    offset_expr = (
-        F.element_at(
-            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-            F.col("_pid"),
-        )
-        if offsets
-        else F.lit(0)
-    )
+    offset_expr = _prefix_offset_expr(totals, "_total")
 
     w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, 0
@@ -130,14 +140,7 @@ def distributed_cumsum_grouped(
     Constraints: `order_col` numeric and unique within each group; group
     values must not be NULL (they come from a CASE/when here).
     """
-    df = df.localCheckpoint(eager=True)  # 3 passes below; input is narrow
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    qs = df.select(
-        F.percentile_approx(order_col, [i / n for i in range(1, n)], 200).alias("q")
-    ).first()
-    bounds = sorted(set(qs.q)) if qs and qs.q else []
-
-    with_pid = df.withColumn("_pid", _bucket_expr(order_col, bounds))
+    with_pid, n_buckets = _with_range_bucket(df, order_col, num_partitions)
 
     # O(groups × P) driver-side prefix offsets, keyed by (group..., pid).
     totals = (
@@ -155,7 +158,6 @@ def distributed_cumsum_grouped(
     # Offset lookup as a per-group when-chain over a dense int-indexed
     # array (groups are FEW by this operator's premise) — a string-keyed
     # map (concat_ws key + per-row map probe) was measurably slower.
-    n_buckets = len(bounds) + 1
     offset_expr = F.lit(0)
     for gkey, by_pid in per_group.items():
         arr = F.array(*[F.lit(by_pid.get(p, 0)) for p in range(n_buckets)])
@@ -215,31 +217,12 @@ def distributed_row_number(
     where one value dominates degrades toward one task — pick a
     high-cardinality leading column, same rule as any range partitioning.
     """
-    df = df.localCheckpoint(eager=True)  # 3 passes below; input is narrow
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    first = order_cols[0]
-    qs = df.select(
-        F.percentile_approx(first, [i / n for i in range(1, n)], 200).alias("q")
-    ).first()
-    bounds = sorted(set(qs.q)) if qs and qs.q else []
-
-    with_pid = df.withColumn("_pid", _bucket_expr(first, bounds))
+    with_pid, _ = _with_range_bucket(df, order_cols[0], num_partitions)
     counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
-    offsets: dict[int, int] = {}
-    acc = 0
-    for row in sorted(counts, key=lambda r: r._pid):
-        offsets[row._pid] = acc
-        acc += row._cnt
-    offset_expr = (
-        F.element_at(
-            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-            F.col("_pid"),
-        )
-        if offsets
-        else F.lit(0)
-    )
+    offset_expr = _prefix_offset_expr(counts, "_cnt")
+    total = sum(r._cnt for r in counts)
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     numbered = with_pid.withColumn(
         out_col, (F.row_number().over(w) + offset_expr).cast("bigint")
     ).drop("_pid")
-    return numbered, acc
+    return numbered, total

@@ -120,8 +120,11 @@ def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the (ASCII, lookahead-free) core of the GPT-2 pre-tokenization regex,
 # restricted to syntax Java regex and DuckDB's RE2 interpret identically
 # so the count is oracle-checkable verbatim (same sharing discipline as
-# the PII patterns in functions/text.py).
-_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+# the PII patterns in functions/text.py). The whitespace class is spelled
+# out instead of \s: Java's \s includes vertical tab (\x0B), RE2's does
+# not, so \s itself is NOT portable — one VT in a document would make the
+# two engines disagree by a token.
+_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]+"
 
 
 @query(
@@ -1431,7 +1434,12 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mapreduce__spark.operators.graph import connected_components
 
-    pairs = lsh_near_duplicate_pairs(quality, JACCARD_THRESHOLD, num_hashes=16, bands=8)
+    # Verification texts come from the raw scan (`docs`): quality filters
+    # but never rewrites text, so the raw table is a cheap equal-valued
+    # superset — without this the verify pass re-runs the quality pipeline.
+    pairs = lsh_near_duplicate_pairs(
+        quality, JACCARD_THRESHOLD, num_hashes=16, bands=8, text_source=docs
+    )
     cc = connected_components(pairs, "id1", "id2")
     removal = cc.where(F.col("component") < F.col("node")).select(
         F.col("node").alias("doc_id")
@@ -1780,7 +1788,13 @@ def training_data_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "_len")
     )
 
-    pairs = lsh_near_duplicate_pairs(decon, JACCARD_THRESHOLD, num_hashes=16, bands=8)
+    # Verification texts come from `scrubbed` (scan-stage regexes only):
+    # decon docs carry SCRUBBED text, so the raw table would be wrong, but
+    # re-running the decontamination joins just to read texts is waste —
+    # scrubbed is the cheapest equal-valued superset.
+    pairs = lsh_near_duplicate_pairs(
+        decon, JACCARD_THRESHOLD, num_hashes=16, bands=8, text_source=scrubbed
+    )
     cc = connected_components(pairs, "id1", "id2")
     removal = cc.where(F.col("component") < F.col("node")).select(
         F.col("node").alias("doc_id")

@@ -60,3 +60,31 @@ def test_lang_id_on_edges(spark):
     docs = edge_docs(spark)
     out = docs.select(lang_id_expr(tokenize(F.col("text"))).alias("p")).collect()
     assert all(r.p in ("en", "de", "fr") for r in out)
+
+
+def test_pretoken_regex_portable_across_java_and_re2(spark):
+    """The pre-tokenizer pattern must count identically under Java regex
+    (Spark) and RE2 (DuckDB) — including vertical tab, where \\s itself
+    DIVERGES between the engines (Java includes \\x0B, RE2 does not); the
+    pattern therefore spells the whitespace class out explicitly."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from mapreduce__spark.plans.tier2 import _PRETOKEN_RE
+
+    samples = ["a\x0bb", "ab1, cd!!e 42", "x\x0b\x0b!y", "a\tb\nc", "...", "", "  "]
+    sdf = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = [
+        r[0]
+        for r in sdf.select(
+            F.size(F.regexp_extract_all("t", F.lit(_PRETOKEN_RE), F.lit(0)))
+        ).collect()
+    ]
+    want = [
+        duckdb.sql(
+            f"SELECT len(regexp_extract_all(?, '{_PRETOKEN_RE}'))", params=[s]
+        ).fetchone()[0]
+        for s in samples
+    ]
+    assert got == want
