@@ -120,7 +120,7 @@ def test_bench_contract(tmp_path):
     data = json.loads(lines[0])
     assert set(data) == {"metric", "value", "unit", "queries", "sf"}
     assert data["sf"] == 0.001 and data["unit"] == "sec" and data["value"] > 0
-    assert len(data["queries"]) == 11
+    assert len(data["queries"]) == 12
 
 
 def test_text_sink(spark, sf_small, tmp_path):
