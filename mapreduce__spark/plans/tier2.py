@@ -397,6 +397,92 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_correlation",
+    oracle="""
+    WITH u AS (
+        SELECT vec_id,
+               unnest(range(1, len(embedding) + 1)) AS i,
+               unnest(list_transform(embedding, v -> v::DOUBLE)) AS x
+        FROM embeddings
+    )
+    SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+           round(corr(a.x, b.x), 6) AS corr_ij
+    FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+    tags=("tier2", "similarity", "stats"),
+)
+def embedding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dimension-correlation matrix of the embedding corpus (upper
+    triangle, 1-based dims) — the one-pass Gram-matrix pattern behind
+    distributed PCA / feature-redundancy checks.
+
+    Scale shape: each Arrow batch folds to ONE row of sufficient
+    statistics via BLAS (count, per-dim sums, d×d gram = Xᵀ·X), so the
+    corpus is scanned once and what shuffles is O(partials × d²) doubles
+    — never rows. The moment tables (d sums, d² gram entries) are tiny
+    and combine with broadcast joins; correlation falls out of the
+    moments by formula, NULL where a dimension is constant (matching SQL
+    corr). The oracle recomputes every pairwise corr from an exploded
+    self-join — quadratic, fine for DuckDB at test scale, exactly what
+    this operator avoids."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [X.shape[0]],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    p = emb.mapInPandas(partials, schema="n bigint, s array<double>, g array<double>")
+    total = p.agg(F.sum("n").alias("nn"))
+    sums = (
+        p.select(F.posexplode("s").alias("i", "sv"))
+        .groupBy("i")
+        .agg(F.sum("sv").alias("sv"))
+    )
+    gram = (
+        p.select(F.size("s").alias("d"), F.posexplode("g").alias("k", "gv"))
+        .groupBy((F.col("k") / F.col("d")).cast("int").alias("gi"),
+                 (F.col("k") % F.col("d")).alias("gj"))
+        .agg(F.sum("gv").alias("gv"))
+        .where(F.col("gi") <= F.col("gj"))
+    )
+    diag = gram.where(F.col("gi") == F.col("gj")).select(
+        F.col("gi").alias("dd"), F.col("gv").alias("gdd")
+    )
+    si = sums.select(F.col("i").alias("i1"), F.col("sv").alias("s1"))
+    sj = sums.select(F.col("i").alias("i2"), F.col("sv").alias("s2"))
+    di = diag.select(F.col("dd").alias("d1"), F.col("gdd").alias("g1"))
+    dj = diag.select(F.col("dd").alias("d2"), F.col("gdd").alias("g2"))
+    joined = (
+        gram.crossJoin(F.broadcast(total))
+        .join(F.broadcast(si), F.col("gi") == F.col("i1"))
+        .join(F.broadcast(sj), F.col("gj") == F.col("i2"))
+        .join(F.broadcast(di), F.col("gi") == F.col("d1"))
+        .join(F.broadcast(dj), F.col("gj") == F.col("d2"))
+    )
+    num = F.col("nn") * F.col("gv") - F.col("s1") * F.col("s2")
+    var1 = F.col("nn") * F.col("g1") - F.col("s1") * F.col("s1")
+    var2 = F.col("nn") * F.col("g2") - F.col("s2") * F.col("s2")
+    corr = F.when(var1 * var2 > 0, num / F.sqrt(var1 * var2))
+    return joined.select(
+        (F.col("gi") + 1).cast("bigint").alias("i"),
+        (F.col("gj") + 1).cast("bigint").alias("j"),
+        F.round(corr, 6).alias("corr_ij"),
+    )
+
+
+@query(
     "ann_topk_lsh",
     oracle=None,  # approximate by design — recall vs brute force asserted in tests
     tags=("tier2", "similarity"),

@@ -22,6 +22,7 @@ PROBE = [
     "events_rollup_gapfill",
     "image_resize_roundtrip",
     "audio_frame_sample",
+    "embedding_correlation",
 ]
 
 
