@@ -1386,6 +1386,130 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_SIZE = 512  # top-V tokens by corpus frequency; id 0 is reserved for OOV
+
+
+@query(
+    "vocab_encode",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tok AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM t
+    ),
+    cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    vocab AS (
+        SELECT tok, id FROM (
+            SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS id
+            FROM cnt
+        ) WHERE id <= {VOCAB_SIZE}
+    )
+    SELECT tok.doc_id,
+           string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR), ' ' ORDER BY pos)
+               AS encoded,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM tok LEFT JOIN vocab v ON tok.tok = v.tok
+    GROUP BY tok.doc_id
+    """,
+    tags=("tier2", "text", "pipeline"),
+)
+def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction + document id-encoding — the step between
+    a text corpus and tokenized training shards: rank tokens by global
+    frequency (count desc, token asc for determinism), keep the top V as
+    ids 1..V, encode every document as its id sequence with 0 for OOV.
+
+    Scale shape: the vocab is SMALL by construction (top-V of a word
+    count), so it collects to the driver O(V) — the same bounded-collect
+    pattern as IVF centroids — and ships to executors as a broadcast
+    dict; encoding is then a zero-shuffle Arrow-batched map over the
+    corpus (dict lookups, no join, no per-token explode on the big
+    side). The oracle instead re-joins every exploded token against the
+    vocab — fine for DuckDB at test scale, exactly the shuffle this
+    operator avoids."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
+    top = (
+        docs.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(VOCAB_SIZE)
+        .collect()  # O(V) rows by construction, never O(corpus)
+    )
+    mapping = {r.tok: i + 1 for i, r in enumerate(top)}
+    bcast = spark.sparkContext.broadcast(mapping)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = bcast.value
+        for pdf in batches:
+            toks_col = pdf["toks"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "encoded": [
+                        " ".join(str(m.get(t, 0)) for t in toks) for toks in toks_col
+                    ],
+                    "n_tokens": [len(toks) for toks in toks_col],
+                    "n_oov": [
+                        sum(1 for t in toks if t not in m) for toks in toks_col
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(
+        encode,
+        schema="doc_id bigint, encoded string, n_tokens bigint, n_oov bigint",
+    )
+
+
+TOKEN_BUDGET_PER_SOURCE = 20_000  # whitespace tokens kept per source slice
+
+
+@query(
+    "token_budget_mixture",
+    oracle=f"""
+    SELECT doc_id, source, n_tok, cum_tok FROM (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(sum(len(string_split(text, ' ')))
+                    OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+                   AS cum_tok
+        FROM documents
+    ) WHERE cum_tok <= {TOKEN_BUDGET_PER_SOURCE}
+    """,
+    tags=("tier2", "pipeline"),
+)
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling to a per-source token budget: walk each source's
+    documents in doc_id order and keep them until the source has
+    contributed TOKEN_BUDGET_PER_SOURCE whitespace tokens — how a
+    training mix caps any one domain's share of the final corpus.
+
+    Scale shape: the running total per source uses the grouped
+    distributed cumsum (range-buckets on doc_id × source), NOT
+    `Window.partitionBy(source)` — with a handful of sources the plain
+    window funnels the whole corpus through that many tasks (the exact
+    bottleneck round-1 flagged in the pipeline's packing stage). The
+    oracle states the same semantics with the plain window, which DuckDB
+    can afford at test scale."""
+    from mapreduce__spark.operators.windows import distributed_cumsum_grouped
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tok")
+    )
+    cum = distributed_cumsum_grouped(
+        docs, group_cols=["source"], order_col="doc_id", value_col="n_tok",
+        out_col="cum_tok",
+    )
+    return cum.where(F.col("cum_tok") <= TOKEN_BUDGET_PER_SOURCE).select(
+        "doc_id", "source", "n_tok", F.col("cum_tok").cast("bigint").alias("cum_tok")
+    )
+
+
 @query(
     "asof_join_events",
     oracle="""

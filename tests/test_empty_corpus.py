@@ -23,6 +23,8 @@ PROBE = [
     "image_resize_roundtrip",
     "audio_frame_sample",
     "embedding_correlation",
+    "vocab_encode",
+    "token_budget_mixture",
 ]
 
 
