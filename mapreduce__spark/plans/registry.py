@@ -60,8 +60,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # into the checked prefix. Every window entry has a DuckDB oracle (full
 # rows+schema+hash check); queries past the window stay bit-exact-gated by
 # the repo's own pytest oracle harness (tests/test_oracle.py) — and entries
-# rotated OUT of the window (e.g. agg_multi, join_outer) already carry green
-# rows in CORRECTNESS_r01.json, so each one is driver-attested in some round.
+# rotated OUT of the window (e.g. agg_multi, join_outer, scan_project,
+# filter_predicates, groupby_count) already carry green rows in
+# CORRECTNESS_r01.json, so each one is driver-attested in some round.
 # The intentionally-approximate (rows-only) queries sit past the window so
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).
@@ -69,9 +70,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # tier-0 reference core (O-2..O-9) + the generic kernel (O-1, O-27)
     "search_count",
     "kernel_search_count",
-    "scan_project",
-    "filter_predicates",
-    "groupby_count",
     "grouped_collect_sorted",
     "global_sort",
     "topk_global",
@@ -109,8 +107,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_lsh_minhash",
     "dedup_embedding_cosine",
     "dedup_clusters",
-    # similarity search (O-23)
+    # similarity search + embedding statistics (O-23)
     "ann_topk_bruteforce",
+    "embedding_correlation",
     # multimodal (O-25) — incl. real byte-level header decodes
     "multimodal_metadata",
     "image_header_metadata",
@@ -126,6 +125,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "gopher_quality_rules",
     "sequence_packing",
     "train_test_split",
+    "vocab_encode",
+    "token_budget_mixture",
     "training_data_pipeline",
     "training_data_pipeline_full",
 )

@@ -35,6 +35,11 @@ NORTH_STAR = {
     "training_data_pipeline_full",
     "image_header_metadata",
     "media_header_metadata",
+    # round-2 additions: one-pass embedding statistics, vocabulary
+    # encoding, and token-budget mixture sampling.
+    "embedding_correlation",
+    "vocab_encode",
+    "token_budget_mixture",
 }
 
 
