@@ -1326,9 +1326,13 @@ def rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     or out of the frame relative to the µs-precise INTERVAL semantics
     (caught by the sf0.1 oracle gate)."""
     ev = load_table(spark, sf_dir, "events")
+    # unix_micros rejects TIMESTAMP_NTZ (how parquet timestamp[us] without
+    # a zone arrives under inferTimestampNTZ); with the session pinned to
+    # UTC the NTZ->LTZ cast is an exact monotone mapping, and it is a
+    # no-op when the column is already zoned.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp_ltz")))
         .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(

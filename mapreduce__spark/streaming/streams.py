@@ -28,13 +28,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# The events parquet stores ts as TIMESTAMP(NANOS); streaming reads declare
-# it as bigint (with the nanosAsLong legacy conf) and convert via integer
-# division, mirroring mapreduce__spark.sources.tables.load_table.
-EVENTS_RAW_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
 
 
 def _staged_events_dir(sf_dir: str) -> str:
@@ -56,14 +49,32 @@ def _staged_events_dir(sf_dir: str) -> str:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (schema must be declared
-    for streaming reads; maxFilesPerTrigger shapes micro-batches)."""
+    for streaming reads; maxFilesPerTrigger shapes micro-batches).
+
+    The declared schema is taken from a batch footer read of the same
+    directory, so the stream sees exactly what `load_table` sees whatever
+    the writer's timestamp physical type was: TIMESTAMP(NANOS) data
+    arrives as bigint (nanosAsLong) and is integer-divided to µs, exactly
+    mirroring mapreduce__spark.sources.tables.load_table; µs data arrives
+    as a native timestamp type and passes through untouched.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    d = _staged_events_dir(sf_dir)
+    schema = spark.read.parquet(d).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(_staged_events_dir(sf_dir))
+        .parquet(d)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # withWatermark rejects TIMESTAMP_NTZ; with the session pinned to
+        # UTC the LTZ cast is exact and collected values still equal the
+        # batch twin's naive datetimes.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    return raw
 
 
 def stream_tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
