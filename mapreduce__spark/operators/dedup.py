@@ -255,6 +255,19 @@ def lsh_near_duplicate_pairs(
         .select("doc_id", word_ngrams(tokenize(F.col("text")), NGRAM_N).alias("grams"))
         .localCheckpoint(eager=True)
     )
+    # Contract guard (round-2 advice): `text_source` must carry every
+    # candidate id exactly once — a non-superset silently DROPS pairs
+    # through the inner joins below and duplicate ids silently MULTIPLY
+    # them, both wrong-results failures with no error. Both counts run
+    # over candidate-sized materialized data, so the check is O(candidates)
+    # against a pipeline that already did the corpus-wide work.
+    n_ids, n_txt = cand_ids.count(), cand_grams.count()
+    if n_ids != n_txt:
+        raise ValueError(
+            f"lsh_near_duplicate_pairs: text_source covers {n_txt} of "
+            f"{n_ids} candidate doc_ids (must be an exact 1:1 superset "
+            "with the same text values as `docs`)"
+        )
     ga1 = cand_grams.select(F.col("doc_id").alias("gid1"), F.col("grams").alias("g1"))
     ga2 = cand_grams.select(F.col("doc_id").alias("gid2"), F.col("grams").alias("g2"))
     paired = (

@@ -186,11 +186,16 @@ def ntile_expr(rn: Column, n: int, k: int) -> Column:
     a single-task global window."""
     q, rem = divmod(n, k)
     cutoff = rem * (q + 1)  # last row covered by the (q+1)-sized buckets
+    # `div` (IntegralDivide) keeps the arithmetic on longs end-to-end:
+    # floor(a / b) routes through doubles, which are exact only below
+    # 2^53 — too close for comfort at the global row counts this module
+    # advertises (round-2 advice).
+    idiv = lambda a, b: F.call_function("div", a, F.lit(b))  # noqa: E731
     return F.when(
-        rn <= F.lit(cutoff), F.floor((rn - 1) / F.lit(q + 1)) + 1
+        rn <= F.lit(cutoff), idiv(rn - 1, q + 1) + 1
     ).otherwise(
         # max(q,1) keeps the unreached branch well-formed when n < k
-        F.lit(rem) + F.floor((rn - F.lit(cutoff) - 1) / F.lit(max(q, 1))) + 1
+        F.lit(rem) + idiv(rn - F.lit(cutoff) - 1, max(q, 1)) + 1
     )
 
 

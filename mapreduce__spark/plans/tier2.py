@@ -430,11 +430,25 @@ def embedding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
 
+    # Numerical stability (round-2 advice): n*Σxy − Σx·Σy over RAW values
+    # cancels catastrophically when a dimension has high mean and low
+    # variance. Shifting every dimension by a constant leaves correlation
+    # unchanged in exact arithmetic but keeps the accumulated moments near
+    # zero, so the subtraction no longer eats the significant digits. Any
+    # constant works; one arbitrary corpus row is a good proxy for the
+    # per-dim location and costs a single O(d) driver fetch.
+    first = emb.head(1)
+    shift = (
+        np.asarray(first[0]["embedding"], dtype=np.float64) if first else None
+    )
+
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            if shift is not None:
+                X = X - shift
             yield pd.DataFrame(
                 {
                     "n": [X.shape[0]],
@@ -474,7 +488,17 @@ def embedding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.col("nn") * F.col("gv") - F.col("s1") * F.col("s2")
     var1 = F.col("nn") * F.col("g1") - F.col("s1") * F.col("s1")
     var2 = F.col("nn") * F.col("g2") - F.col("s2") * F.col("s2")
-    corr = F.when(var1 * var2 > 0, num / F.sqrt(var1 * var2))
+    # Relative-epsilon guard (round-2 advice): `var > 0` alone lets FP
+    # noise on a near-constant dimension produce a tiny positive variance
+    # and a huge spurious corr. A real variance satisfies
+    # var ≈ n·Σ(x-c)² up to the (now small, post-shift) mean correction;
+    # anything below 1e-12 of that scale is cancellation residue → NULL,
+    # matching SQL corr on constant input.
+    tol = F.lit(1e-12)
+    well_cond = (var1 > tol * F.col("nn") * F.col("g1")) & (
+        var2 > tol * F.col("nn") * F.col("g2")
+    )
+    corr = F.when(well_cond, num / F.sqrt(var1 * var2))
     return joined.select(
         (F.col("gi") + 1).cast("bigint").alias("i"),
         (F.col("gj") + 1).cast("bigint").alias("j"),

@@ -67,6 +67,36 @@ def test_north_star_queries_inside_window():
     assert not missing, f"north-star queries outside driver window: {missing}"
 
 
+# Round-2 ADVICE (registry.py rotation note): these core basics were
+# rotated OUT of the 50-entry driver window to make room for the tier-2
+# flagships; their external verification rests on their green
+# CORRECTNESS_r01 rows plus the full-registry parametrization in
+# tests/test_oracle.py, which runs EVERY oracle-carrying registry entry
+# (window or not) against DuckDB. This test pins that arrangement: each
+# rotated-out basic must stay registered WITH an oracle so the pytest
+# differential remains a bit-exact gate for it.
+ROTATED_OUT_CORE = {
+    "scan_project",
+    "filter_predicates",
+    "groupby_count",
+    "agg_multi",
+    "percentiles",
+    "join_outer",
+    "distinct_dedup",
+    "json_extraction",
+    "doc_quality_score",
+}
+
+
+def test_rotated_out_core_stays_oracle_gated():
+    for name in ROTATED_OUT_CORE:
+        assert name in REGISTRY, f"rotated-out basic {name} was dropped"
+        assert REGISTRY[name].oracle is not None, (
+            f"rotated-out basic {name} lost its oracle — test_oracle.py "
+            "would silently downgrade it to a rows-only check"
+        )
+
+
 def test_oracle_order_matches_query_order():
     """oracle_sql() iteration order must follow queries() order so the
     driver's 50-entry cut lands on the same prefix for both."""
