@@ -93,6 +93,13 @@ def main() -> None:
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
+        # Two wildly-disagreeing runs mean one of them caught external
+        # load (this box is shared with the harness itself) — a third run
+        # lets the min shed the spike instead of recording it.
+        if max(runs) > 1.4 * min(runs):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
         # Drop Python refs to the per-run DataFrames so the ContextCleaner
         # can free their localCheckpoint blocks (the session's periodic GC

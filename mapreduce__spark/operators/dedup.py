@@ -258,10 +258,16 @@ def lsh_near_duplicate_pairs(
     # Contract guard (round-2 advice): `text_source` must carry every
     # candidate id exactly once — a non-superset silently DROPS pairs
     # through the inner joins below and duplicate ids silently MULTIPLY
-    # them, both wrong-results failures with no error. Both counts run
-    # over candidate-sized materialized data, so the check is O(candidates)
-    # against a pipeline that already did the corpus-wide work.
-    n_ids, n_txt = cand_ids.count(), cand_grams.count()
+    # them, both wrong-results failures with no error. Both counts read
+    # candidate-sized materialized data and ride ONE action (union of two
+    # scalar aggregates), so the check is a single cheap job against a
+    # pipeline that already did the corpus-wide work.
+    n_ids, n_txt = (
+        r["n"]
+        for r in cand_ids.select(F.count(F.lit(1)).alias("n"))
+        .unionAll(cand_grams.select(F.count(F.lit(1)).alias("n")))
+        .collect()
+    )
     if n_ids != n_txt:
         raise ValueError(
             f"lsh_near_duplicate_pairs: text_source covers {n_txt} of "

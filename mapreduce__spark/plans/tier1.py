@@ -429,6 +429,45 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_skew_salted",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("tier1", "join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-13 under pathological skew: the same inner equi-join computed
+    through :func:`~mapreduce__spark.operators.skew.salted_join` — the
+    build side replicated `salt` ways and the probe side scattered across
+    the replicas, so ONE white-hot key (null flood, celebrity user) lands
+    on `salt` tasks instead of serializing a stage. Results are identical
+    to the plain join by construction (each probe row meets each build row
+    exactly once), which is exactly what the plain-SQL oracle checks; AQE
+    skew-splitting covers the moderate cases at runtime, salting is the
+    explicit fallback it cannot fix (docs/SCALE.md has the measured
+    comparison). Decimal accumulation keeps the revenue sum independent of
+    partition layout."""
+    from mapreduce__spark.operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(o, c, ["c_custkey"], salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@query(
     "shipping_priority",
     oracle="""
     SELECT l.l_orderkey,

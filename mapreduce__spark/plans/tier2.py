@@ -1414,6 +1414,59 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "unigram_lm_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+        SELECT tok, count(*) AS c FROM tok GROUP BY tok
+    ), tot AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(CAST(sum(CAST(round(-ln(f.c / tot.n), 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*), 6) AS nll
+    FROM tok t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    tags=("tier2", "text", "pipeline"),
+)
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality score: train a unigram LM on the
+    corpus itself and score every document by mean negative log-likelihood
+    — the perplexity-proxy filter a training pipeline runs between the
+    heuristic gates and dedup (low nll ≈ ordinary prose, high nll ≈
+    gibberish/rare-token soup).
+
+    Scale shape: one explode → one hash-aggregate builds the LM (vocab
+    rows, map-side combined — word-count scaling); scoring re-joins tokens
+    to the vocab on the token key and per-doc aggregates. The vocab is
+    corpus-vocabulary-sized — usually broadcastable, but the join is left
+    to AQE to decide at runtime rather than forced. Determinism: each
+    token's nll is rounded to 6 digits BEFORE accumulation (a last-ulp
+    libm ln() difference between the JVM and the oracle cannot survive),
+    and the per-doc sum runs in DECIMAL so partition layout cannot reorder
+    float additions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("n"))
+    per_tok = F.round(-F.log(F.col("c") / F.col("n")), 6).cast("decimal(18,6)")
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(per_tok).cast("double") / F.count(F.lit(1)), 6
+            ).alias("nll"),
+        )
+    )
+
+
 VOCAB_SIZE = 512  # top-V tokens by corpus frequency; id 0 is reserved for OOV
 
 
@@ -2027,8 +2080,13 @@ def training_data_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the expensive 5-gram explode runs over the smaller filtered corpus.
     # The eval side must stay over ALL scrubbed docs (the eval slice is
     # defined before quality filtering, matching the oracle's g5 CTE).
-    eval_grams = scrubbed.where(is_eval).select(
-        F.explode(word_ngrams(toks, 5)).alias("gram")
+    # distinct BEFORE the broadcast: contamination only needs gram
+    # existence, and cross-eval-doc duplicate grams would both inflate the
+    # broadcast and multiply probe-side matches ahead of the .distinct().
+    eval_grams = (
+        scrubbed.where(is_eval)
+        .select(F.explode(word_ngrams(toks, 5)).alias("gram"))
+        .distinct()
     )
     contaminated = (
         quality.where(~is_eval)
