@@ -163,6 +163,30 @@ def minhash_signature(docs: DataFrame, num_hashes: int, hash_fn: str = "xxhash64
     )
 
 
+def _band_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — one row per LSH band, the hash
+    folding that band's signature slice. Docs equal on ANY band share a
+    (band_idx, band_hash) bucket key."""
+    r = num_hashes // bands
+    band_cols = [
+        F.xxhash64(*[F.col("mh")[b * r + i] for i in range(r)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), band_cols[b].alias("band_hash")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
 def lsh_near_duplicate_pairs(
     docs: DataFrame,
     threshold: float,
@@ -192,7 +216,6 @@ def lsh_near_duplicate_pairs(
     always a subset of `docs`' ids, so any superset source is equivalent.
     """
     assert num_hashes % bands == 0
-    r = num_hashes // bands
     # Materialize ONLY the signatures — num_hashes longs per doc, ~128B/doc
     # at the default 16 — never the gram arrays. An earlier layout
     # checkpointed (grams, mh) together so verification could reuse the
@@ -203,16 +226,7 @@ def lsh_near_duplicate_pairs(
     # thing read more than once per scan; grams are recomputed at verify
     # time for CANDIDATE docs only (see below).
     sig = minhash_signature(docs, num_hashes).localCheckpoint(eager=True)
-    band_cols = [
-        F.xxhash64(*[F.col("mh")[b * r + i] for i in range(r)]).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band_idx"), band_cols[b].alias("band_hash")) for b in range(bands)])
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_hash")
+    banded = _band_buckets(sig, num_hashes, bands)
 
     ba = banded.alias("ba")
     bb = banded.alias("bb")
@@ -285,6 +299,79 @@ def lsh_near_duplicate_pairs(
     return (
         paired.where(jac >= threshold)
         .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def lsh_incremental_pairs(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    threshold: float,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Incremental near-dup detection: NEW-batch docs against an existing
+    REFERENCE corpus — the shape a production pipeline runs on every
+    crawl increment (dedup the day's documents against everything already
+    ingested, never re-pairing the reference against itself).
+
+    Same banding + exact-verify scheme as :func:`lsh_near_duplicate_pairs`
+    with one structural difference that is the whole point at scale: the
+    candidate join is NEW-bands ⋈ REF-bands, so its cost is
+    O(new × bands) probe rows against the reference's bucket table —
+    reference-side signatures are computed once per increment here, and in
+    a production deployment would be PERSISTED and only appended to (the
+    signature table is num_hashes longs per doc, ~1/1000th of the corpus).
+    Output: (new_id, ref_id, jaccard) for every verified pair ≥ threshold;
+    dropping the contaminated increment is a left_anti on new_id.
+
+    `new_docs` and `ref_docs` must have disjoint doc_ids and (doc_id,
+    text) schemas.
+    """
+    assert num_hashes % bands == 0
+    sig_new = minhash_signature(new_docs, num_hashes).localCheckpoint(eager=True)
+    sig_ref = minhash_signature(ref_docs, num_hashes).localCheckpoint(eager=True)
+    bn = _band_buckets(sig_new, num_hashes, bands).alias("bn")
+    br = _band_buckets(sig_ref, num_hashes, bands).alias("br")
+    candidates = (
+        bn.join(
+            br,
+            (F.col("bn.band_idx") == F.col("br.band_idx"))
+            & (F.col("bn.band_hash") == F.col("br.band_hash")),
+        )
+        .select(
+            F.col("bn.doc_id").alias("new_id"), F.col("br.doc_id").alias("ref_id")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # Exact verification, candidate-sized on BOTH sides (broadcast id
+    # probes into each corpus scan — the corpora never shuffle).
+    gn = (
+        new_docs.join(
+            F.broadcast(candidates.select(F.col("new_id").alias("doc_id")).distinct()),
+            "doc_id",
+        )
+        .select("doc_id", word_ngrams(tokenize(F.col("text")), NGRAM_N).alias("grams"))
+        .localCheckpoint(eager=True)
+    )
+    gr = (
+        ref_docs.join(
+            F.broadcast(candidates.select(F.col("ref_id").alias("doc_id")).distinct()),
+            "doc_id",
+        )
+        .select("doc_id", word_ngrams(tokenize(F.col("text")), NGRAM_N).alias("grams"))
+        .localCheckpoint(eager=True)
+    )
+    paired = candidates.join(
+        gn.select(F.col("doc_id").alias("new_id"), F.col("grams").alias("g1")), "new_id"
+    ).join(
+        gr.select(F.col("doc_id").alias("ref_id"), F.col("grams").alias("g2")), "ref_id"
+    )
+    common = F.size(F.array_intersect(F.col("g1"), F.col("g2")))
+    jac = common / (F.size("g1") + F.size("g2") - common)
+    return paired.where(jac >= threshold).select(
+        "new_id", "ref_id", F.round(jac, 4).alias("jaccard")
     )
 
 

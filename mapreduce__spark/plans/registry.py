@@ -61,8 +61,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # rows+schema+hash check); queries past the window stay bit-exact-gated by
 # the repo's own pytest oracle harness (tests/test_oracle.py) — and entries
 # rotated OUT of the window (e.g. agg_multi, join_outer, scan_project,
-# filter_predicates, groupby_count) already carry green rows in
-# CORRECTNESS_r01.json, so each one is driver-attested in some round.
+# filter_predicates, groupby_count; round 3 adds datetime_functions and
+# pivot_agg) already carry green rows in CORRECTNESS_r01/r02.json, so each
+# one is driver-attested in some round, and
+# tests/test_registry_window.py::test_rotated_out_core_stays_oracle_gated
+# pins that each keeps its oracle for the pytest differential.
 # The intentionally-approximate (rows-only) queries sit past the window so
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).
@@ -72,14 +75,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "kernel_search_count",
     "grouped_collect_sorted",
     "global_sort",
-    "topk_global",
     "formatted_sink",
     # aggregation surface (O-11)
     "pricing_summary",
     "shipmode_priority",
     "null_semantics",
     # joins (O-13..O-16)
-    "join_inner",
     "join_full_outer",
     "join_semi_anti",
     "join_broadcast_star",
@@ -93,18 +94,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # set ops / multi-dim aggregation (O-10 via dedup_exact, O-19, O-20)
     "set_ops",
     "rollup_cube",
-    "pivot_agg",
+    # joins under skew (O-13 + the explicit salting fallback)
+    "join_skew_salted",
     # scalar function surface (O-21)
     "scalar_functions",
-    "datetime_functions",
-    # text analysis (O-24)
+    # text analysis (O-24) incl. the LM-based quality filter and the
+    # BPE-training pair counter
     "word_count",
     "tfidf_top_terms",
+    "unigram_lm_score",
+    "bpe_pair_counts",
     # near-dup detection (O-22)
     "dedup_exact",
     "dedup_jaccard_exact",
     "minhash_signatures",
     "dedup_lsh_minhash",
+    "dedup_incremental",
     "dedup_embedding_cosine",
     "dedup_clusters",
     # similarity search + embedding statistics (O-23)

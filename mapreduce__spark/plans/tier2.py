@@ -35,6 +35,7 @@ from mapreduce__spark.functions.text import (
     word_ngrams,
 )
 from mapreduce__spark.operators.dedup import (
+    lsh_incremental_pairs,
     exact_duplicate_groups,
     exact_jaccard_pairs,
     lsh_near_duplicate_pairs,
@@ -300,6 +301,50 @@ def dedup_lsh_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume is O(docs × bands), not O(docs²)."""
     return lsh_near_duplicate_pairs(
         load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD, num_hashes=16, bands=8
+    )
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(range(1, len(toks) - 1),
+                           i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+        FROM t
+    ), sz AS (
+        SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS new_id, b.doc_id AS ref_id, count(*) AS c
+        FROM g a JOIN g b ON a.gram = b.gram
+        WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT new_id, ref_id,
+           round(c::DOUBLE / (s1.n + s2.n - c), 4) AS jaccard
+    FROM common
+    JOIN sz s1 ON common.new_id = s1.doc_id
+    JOIN sz s2 ON common.ref_id = s2.doc_id
+    WHERE c::DOUBLE / (s1.n + s2.n - c) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("tier2", "dedup", "pipeline"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the docs slice doc_id % 5 == 0 plays the role of
+    a NEW crawl increment, the rest the already-ingested REFERENCE corpus;
+    find every new doc near-duplicating a reference doc (then a left_anti
+    on new_id drops them before append). LSH-banded new×ref candidate
+    join + exact verification — never reference×reference — so the
+    per-increment cost scales with the increment, not the corpus (see
+    operators/dedup.py:lsh_incremental_pairs for the persisted-signature
+    production shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    return lsh_incremental_pairs(
+        docs.where(is_new), docs.where(~is_new), JACCARD_THRESHOLD,
+        num_hashes=16, bands=8,
     )
 
 
@@ -1464,6 +1509,58 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(per_tok).cast("double") / F.count(F.lit(1)), 6
             ).alias("nll"),
         )
+    )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle="""
+    WITH t AS (
+        SELECT string_split(text, ' ') AS toks FROM documents
+    ), p AS (
+        SELECT toks[i] AS left_tok, toks[i + 1] AS right_tok
+        FROM t CROSS JOIN UNNEST(range(1, len(toks))) AS r(i)
+    ), counted AS (
+        SELECT left_tok, right_tok, count(*) AS n_pairs
+        FROM p GROUP BY left_tok, right_tok
+    )
+    SELECT left_tok, right_tok, n_pairs FROM counted
+    ORDER BY n_pairs DESC, left_tok ASC, right_tok ASC
+    LIMIT 50
+    """,
+    tags=("tier2", "text", "pipeline"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of BPE tokenizer training: corpus-wide adjacent
+    token-pair frequencies, top-50 (each BPE merge round picks the argmax
+    pair, merges, and recounts — this op is the round's whole distributed
+    cost). Word-count scaling: one explode of positions, one map-side
+    combined hash-aggregate, TakeOrdered for the top slice; deterministic
+    tie-break on the pair itself so the cut is stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("left_tok"),
+            F.element_at(toks, i + 1).alias("right_tok"),
+        ),
+    )
+    # sequence() COUNTS DOWN when stop < start (same hazard word_ngrams
+    # guards): a 1-token doc must yield no pairs, not garbage.
+    guarded = F.when(F.size(toks) >= 2, make).otherwise(
+        F.array().cast("array<struct<left_tok:string,right_tok:string>>")
+    )
+    pairs = docs.select(F.explode(guarded).alias("p")).select(
+        "p.left_tok", "p.right_tok"
+    )
+    return (
+        pairs.groupBy("left_tok", "right_tok")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(
+            F.col("n_pairs").desc(), F.col("left_tok").asc(), F.col("right_tok").asc()
+        )
+        .limit(50)
     )
 
 

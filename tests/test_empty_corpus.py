@@ -25,6 +25,10 @@ PROBE = [
     "embedding_correlation",
     "vocab_encode",
     "token_budget_mixture",
+    "unigram_lm_score",
+    "bpe_pair_counts",
+    "dedup_incremental",
+    "join_skew_salted",
 ]
 
 
@@ -42,6 +46,16 @@ def empty_sf(spark, tmp_path_factory) -> str:
         "event_id bigint, ts timestamp, user_id bigint, event_type string, "
         "value double, props string",
     ).write.parquet(f"{d}/events.parquet")
+    spark.createDataFrame(
+        [],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [],
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.parquet(f"{d}/customer.parquet")
     return d
 
 

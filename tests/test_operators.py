@@ -27,6 +27,28 @@ def test_lsh_recall_vs_exact(spark, sf_oracle):
     assert lsh == exact
 
 
+def test_incremental_pairs_cross_slice_only(spark, sf_oracle):
+    """lsh_incremental_pairs must (a) recover exactly the exact-Jaccard
+    pairs that straddle the new/ref slices — in either orientation — and
+    (b) emit NO ref×ref or new×new pair, the structural point of the
+    incremental shape."""
+    from mapreduce__spark.operators.dedup import lsh_incremental_pairs
+
+    docs = load_table(spark, sf_oracle, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    new, ref = docs.where(is_new), docs.where(~is_new)
+    got = {(r.new_id, r.ref_id) for r in lsh_incremental_pairs(new, ref, 0.8).collect()}
+    exact = {(r.id1, r.id2) for r in exact_jaccard_pairs(docs, 0.8).collect()}
+    want = {
+        (a, b) if a % 5 == 0 else (b, a)
+        for a, b in exact
+        if (a % 5 == 0) != (b % 5 == 0)
+    }
+    assert want, "corpus should contain planted dups straddling the slices"
+    assert got == want
+    assert all(a % 5 == 0 and b % 5 != 0 for a, b in got)
+
+
 def test_ml_minhash_matches_exact_pairs(spark, sf_oracle):
     """The Spark ML MinHashLSH variant must recover the exact pair set at
     threshold 0.8 on this corpus (planted dups are far from the

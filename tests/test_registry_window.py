@@ -40,6 +40,13 @@ NORTH_STAR = {
     "embedding_correlation",
     "vocab_encode",
     "token_budget_mixture",
+    # round-3 additions: the LM-based quality filter, the explicit
+    # skew-salted join, incremental (new-vs-reference) dedup, and the
+    # BPE pair counter.
+    "unigram_lm_score",
+    "join_skew_salted",
+    "dedup_incremental",
+    "bpe_pair_counts",
 }
 
 
@@ -85,6 +92,14 @@ ROTATED_OUT_CORE = {
     "distinct_dedup",
     "json_extraction",
     "doc_quality_score",
+    # rotated out in round 3 (each green in CORRECTNESS_r01 AND r02) to
+    # attest the new round-3 operators; an in-window sibling still covers
+    # each one's operator family (scalar_functions, rollup_cube,
+    # topk_per_key, join_broadcast_star/join_skew_salted).
+    "datetime_functions",
+    "pivot_agg",
+    "topk_global",
+    "join_inner",
 }
 
 
