@@ -79,6 +79,41 @@ def test_decontamination_broadcasts_eval_side(spark, sf_small):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_bpe_pair_counts_plan_shape(spark, sf_small):
+    """Top-50 cut must be a TakeOrderedAndProject over a two-phase
+    (map-side combined) aggregate — never a total sort of the pair table,
+    and never Python."""
+    from mapreduce__spark.plans.tier2 import bpe_pair_counts
+
+    plan = physical(bpe_pair_counts(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_unigram_lm_no_python_and_partial_agg(spark, sf_small):
+    """LM build + scoring are pure Catalyst: partial aggregation on both
+    hash-aggregates (vocab count, per-doc score), no Python nodes; the
+    corpus-total join is a broadcast (1 row), not a shuffle."""
+    from mapreduce__spark.plans.tier2 import unigram_lm_score
+
+    plan = physical(unigram_lm_score(spark, sf_small))
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row total
+
+
+def test_salted_join_no_single_hot_partition(spark, sf_small):
+    """The salted join must join on (key, salt): the build side carries an
+    explode (replication) and the join keys include the salt column, so no
+    single reducer can own a hot key."""
+    from mapreduce__spark.plans.tier1 import join_skew_salted
+
+    plan = physical(join_skew_salted(spark, sf_small))
+    assert "explode" in plan.lower(), plan
+    assert "_salt" in plan, plan
+
+
 def test_scrub_and_quality_rules_zero_shuffle(spark, sf_small):
     """PII scrub and the quality rule set are scan-stage expression
     pipelines — no Exchange may appear in their plans."""
