@@ -123,10 +123,11 @@ def minhash_signature(docs: DataFrame, num_hashes: int, hash_fn: str = "xxhash64
     interpreted path and allocate a fresh signature array per gram, which
     made the single-pass fold ~1.6x slower than explode+groupBy at sf0.1
     despite touching the same data. The added shuffle is num_hashes longs
-    per doc AFTER map-side partial aggregation — word-count scaling. Both
-    forms are bit-identical (same xxhash64(gram, seed) family; verified
-    corpus-wide), and empty-gram docs keep the MAX_LONG sentinel via an
-    explode_outer NULL guard.
+    per doc AFTER map-side partial aggregation — word-count scaling. The
+    engine family is xxhash64(xxhash64(gram), i) — one string hash, then
+    fixed-width mixes (the fold's per-gram string family costs num_hashes
+    string traversals) — and empty-gram docs keep the MAX_LONG sentinel
+    via an explode_outer NULL guard.
 
     The md5 path keeps the :func:`minhash_fold_expr` fold — it exists for
     DuckDB-oracle reproducibility, where hex-string min semantics (not
@@ -139,16 +140,27 @@ def minhash_signature(docs: DataFrame, num_hashes: int, hash_fn: str = "xxhash64
             "doc_id", minhash_fold_expr(F.col("grams"), num_hashes, hash_fn).alias("mh")
         )
     sentinel = F.lit(2**63 - 1).cast("long")
+    # Hash the VARIABLE-LENGTH gram string ONCE, then derive the whole
+    # hash family from the resulting long: per-gram hashing drops from
+    # num_hashes string traversals to one string traversal + num_hashes
+    # fixed-width mixes. At sf0.1 this is ~6% (the explode, not the
+    # hashing, bounds the stage there); the hashing share grows with gram
+    # length and corpus size, which is when it matters. The family stays
+    # independent enough for banding, and the exact-verify step downstream
+    # makes the operator's OUTPUT equal to the exact operator's under ANY
+    # family (tests pin lsh == exact).
     exploded = ensure_parallelism(docs.select("doc_id", "text")).select(
         "doc_id",
         F.explode_outer(word_ngrams(tokenize(F.col("text")), NGRAM_N)).alias("gram"),
+    ).select(
+        "doc_id",
+        # NULL gram (explode_outer's empty-array marker) stays NULL here,
+        # and the when-guards below keep it out of every min.
+        F.when(F.col("gram").isNotNull(), F.xxhash64("gram")).alias("g64"),
     )
     aggs = [
         F.coalesce(
-            # the when-guard keeps NULL grams (explode_outer's empty-array
-            # marker) out of the min — xxhash64 would otherwise hash the
-            # bare seed and displace the sentinel
-            F.min(F.when(F.col("gram").isNotNull(), F.xxhash64("gram", F.lit(i)))),
+            F.min(F.when(F.col("g64").isNotNull(), F.xxhash64("g64", F.lit(i)))),
             sentinel,
         ).alias(f"_mh{i}")
         for i in range(num_hashes)

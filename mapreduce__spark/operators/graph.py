@@ -47,15 +47,18 @@ def connected_components(
     2 Spark jobs per propagation round. Larger graphs run the distributed
     label-propagation loop below. Same result either way (tested).
 
-    The threshold probe and the driver-path edge fetch are ONE action (a
-    single limit+collect): on the common path (near-dup graphs are small)
-    the upstream plan runs exactly once and no checkpoint job is paid.
-    Only when the probe overflows — the distributed path, which re-reads
-    `sym` every propagation round — are the edges eagerly materialized;
-    without that the LSH candidate join re-executes per round (measured
-    2x on the flagship pipeline).
+    The edge list is eagerly materialized FIRST: it is narrow (two ids) but
+    its upstream plan is typically the whole LSH+verify pipeline, and this
+    operator re-reads edges multiple times (threshold probe + collect on
+    the driver path; every propagation round re-derives `sym` on the
+    distributed path). Without materialization the LSH candidate join
+    re-executes per action/round — measured 2x on the flagship pipeline.
+    (A probe-first variant that skipped this checkpoint was tried and
+    REVERTED: `limit(N).collect()` on the lazy plan executes it through
+    CollectLimit's incremental partition-wave strategy, re-running the
+    candidate join subtree per wave — measured ~1.6x on the flagship.)
     """
-    edges = edges.select(src, dst)
+    edges = edges.select(src, dst).localCheckpoint(eager=True)
     head = edges.limit(driver_threshold + 1).collect()
     if len(head) <= driver_threshold:
         pairs = [(r[0], r[1]) for r in head]
@@ -81,9 +84,6 @@ def connected_components(
         ).schema
         return edges.sparkSession.createDataFrame(rows or [], schema)
 
-    # Distributed path: materialize the (narrow) edge list now — every
-    # propagation round below re-derives `sym` from it.
-    edges = edges.localCheckpoint(eager=True)
     # symmetrize + self-loops so isolated orientation doesn't matter
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = fwd.unionAll(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
