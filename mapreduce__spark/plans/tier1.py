@@ -232,6 +232,31 @@ def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "distinct_users_hll_mergeable",
+    oracle=None,  # approximate by design — ±5% vs exact asserted in tests
+    tags=("tier1", "agg", "sketch"),
+)
+def distinct_users_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-12 extended: PERSISTABLE distinct-count sketches (Datasketches
+    HLL via hll_sketch_agg) — the incremental-analytics shape
+    approx_count_distinct cannot express. Per (event_type, day) sketches
+    are built once, then any window re-aggregates by UNIONING sketches
+    (hll_union_agg) without rescanning events: daily job sketches the
+    day's partition, weekly/monthly/all-time rollups merge bytes. At
+    100 TB the events scan happens once per day instead of once per
+    reporting window. Output: per-event_type all-time estimate computed
+    through the merge path (two-level: day sketches → union), which the
+    pytest gate checks against exact COUNT(DISTINCT) at ±5%."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    )
+
+
 # --------------------------------------------------------------------------
 # joins (O-13..O-16)
 # --------------------------------------------------------------------------

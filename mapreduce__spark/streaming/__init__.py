@@ -4,6 +4,7 @@ from mapreduce__spark.streaming.streams import (
     stream_sessionized,
     stream_dedup_first,
     stream_user_totals_stateful,
+    stream_user_totals_tws,
     stream_static_join,
     stream_stream_interval_join,
     run_stream_to_memory,
@@ -15,6 +16,7 @@ __all__ = [
     "stream_sessionized",
     "stream_dedup_first",
     "stream_user_totals_stateful",
+    "stream_user_totals_tws",
     "stream_static_join",
     "stream_stream_interval_join",
     "run_stream_to_memory",

@@ -144,6 +144,59 @@ def stream_user_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running totals through `transformWithStateInPandas`
+    — Spark 4's arbitrary-state API (typed value/list/map state handles,
+    explicit TTL, timers) that supersedes applyInPandasWithState. Both
+    forms are kept: the GroupState form is the widely-deployed surface,
+    this one is where stateful feature pipelines are heading. State here
+    is a single ValueState row per user; production would add a TTL config
+    to bound the store exactly like the GroupState twin's timeout.
+
+    Runtime dependency note: the transformWithState worker protocol
+    requires google.protobuf; in environments without it (this sandbox)
+    the query fails at stream start — the equivalence test importorskips
+    accordingly, and the applyInPandasWithState twin (no protobuf) is the
+    always-runnable surface."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n bigint, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_static_join(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static join: each micro-batch joins against the (refreshed)
     static side — the standard dim-enrichment pattern; no state store

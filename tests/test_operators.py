@@ -139,6 +139,29 @@ def test_approx_percentile_error(spark, sf_oracle):
         assert abs(a - e) <= 0.02 * e, (a, e)
 
 
+def test_hll_mergeable_matches_exact_within_5pct(spark, sf_oracle):
+    """The two-level sketch path (day sketches -> union) must land within
+    ±5% of exact COUNT(DISTINCT) per event_type — merging sketches is
+    lossless relative to sketching the union, so the error budget is the
+    sketch's own."""
+    from mapreduce__spark.plans import REGISTRY
+
+    got = {
+        r.event_type: r.est_users
+        for r in REGISTRY["distinct_users_hll_mergeable"].fn(spark, sf_oracle).collect()
+    }
+    ev = load_table(spark, sf_oracle, "events")
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for et, exact in want.items():
+        assert abs(got[et] - exact) <= max(1, 0.05 * exact), (et, got[et], exact)
+
+
 def test_approx_count_distinct_error(spark, sf_oracle):
     """HLL++ at rsd=2% must land within 5% of the exact distinct count."""
     ev = load_table(spark, sf_oracle, "events")

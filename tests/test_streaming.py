@@ -20,6 +20,7 @@ from mapreduce__spark.streaming import (
     stream_stream_interval_join,
     stream_tumbling_counts,
     stream_user_totals_stateful,
+    stream_user_totals_tws,
 )
 
 
@@ -66,6 +67,36 @@ def test_stream_stateful_totals(spark, sf_small):
         .agg(
             F.max(F.struct("n_events", "sum_value")).alias("s")
         )
+        .select("user_id", "s.n_events", "s.sum_value")
+        .collect()
+    }
+    ev = load_table(spark, sf_small, "events")
+    want = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_stateful_totals_tws(spark, sf_small):
+    """transformWithStateInPandas running totals must converge to the same
+    per-user batch aggregate as the applyInPandasWithState twin.
+
+    The operator's worker protocol needs google.protobuf, which this
+    sandbox does not ship (no pip installs) — skip there, run anywhere
+    protobuf exists. The GroupState twin's test always runs."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithStateInPandas worker needs protobuf"
+    )
+    sdf = stream_user_totals_tws(read_events_stream(spark, sf_small))
+    run_stream_to_memory(sdf, "t_tws", output_mode="update")
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in spark.table("t_tws")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("s"))
         .select("user_id", "s.n_events", "s.sum_value")
         .collect()
     }
