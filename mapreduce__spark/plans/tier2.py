@@ -42,6 +42,7 @@ from mapreduce__spark.operators.dedup import (
     minhash_signature,
     simhash_fingerprint,
 )
+from mapreduce__spark.functions.vectors import as_double_vec, cosine_sim
 from mapreduce__spark.operators.kernel import run_map_reduce_df
 from mapreduce__spark.operators.multimodal import extract_features, with_binary_payload
 from mapreduce__spark.operators.similarity import (
@@ -552,6 +553,61 @@ def embedding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_outliers",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), d AS (
+        SELECT vec_id, i, e[i] AS x
+        FROM v CROSS JOIN UNNEST(range(1, len(e) + 1)) AS r(i)
+    ), m AS (
+        SELECT i, round(avg(x), 6) AS mv FROM d GROUP BY i
+    ), mu AS (
+        SELECT list(mv ORDER BY i) AS m FROM m
+    )
+    SELECT vec_id, round(list_cosine_similarity(v.e, mu.m), 6) AS cos_centroid
+    FROM v CROSS JOIN mu
+    ORDER BY cos_centroid ASC, vec_id ASC
+    LIMIT 20
+    """,
+    tags=("tier2", "similarity", "curation"),
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection for data curation: the 20 vectors
+    least aligned with the corpus centroid (lowest cosine) — the cheap
+    first pass that flags mis-embedded / off-distribution documents before
+    they pollute similarity search or semantic dedup.
+
+    Scale shape: per-dim means via posexplode + one hash-aggregate (d
+    rows collect to the driver — O(d), the k-means-centroid precedent),
+    then the centroid ships back as an array LITERAL and every vector
+    scores in the scan stage with the same in-row fold ann_topk uses;
+    TakeOrderedAndProject takes the bottom-k. The mean is rounded to 6
+    digits on BOTH sides so summation-order drift between engines cannot
+    move the centroid; scores are rounded before ranking so the cut is
+    identical."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("e")
+    )
+    mu = (
+        emb.select(F.posexplode("e").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .orderBy("i")
+        .collect()
+    )
+    mean_arr = F.array(*[F.lit(r.m) for r in mu])
+    return (
+        emb.select(
+            "vec_id",
+            F.round(cosine_sim(F.col("e"), mean_arr), 6).alias("cos_centroid"),
+        )
+        .orderBy(F.col("cos_centroid").asc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+@query(
     "ann_topk_lsh",
     oracle=None,  # approximate by design — recall vs brute force asserted in tests
     tags=("tier2", "similarity"),
@@ -930,6 +986,123 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "funnel_analysis",
+    oracle="""
+    WITH e AS (
+        SELECT * FROM events WHERE event_id % 7 = 0
+    ), v AS (
+        SELECT user_id, min(ts) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), staged AS (
+        SELECT v.user_id,
+               CASE WHEN p.user_id IS NOT NULL THEN 3
+                    WHEN c.user_id IS NOT NULL THEN 2
+                    ELSE 1 END AS stage
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON v.user_id = p.user_id
+    )
+    SELECT stage, count(*) AS n_users FROM staged GROUP BY stage
+    """,
+    tags=("tier2", "events", "analytics"),
+)
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: users counted by the furthest stage of
+    view → click (after the first view) → purchase (after that click)
+    they reached, with strict event-time ordering between stages (a click
+    BEFORE any view does not advance the funnel — the chained min-ts
+    semantics a flat per-type min would get wrong).
+
+    Scale shape: three per-user aggregates chained by user-keyed joins —
+    every shuffle is on the high-cardinality user key, payloads are
+    (user_id, ts) pairs, and each stage's input is filtered to one event
+    type before it shuffles. (The event_id % 7 thinning keeps the
+    synthetic stream sparse enough that users actually spread across
+    stages — the dense stream saturates everyone to stage 3.)"""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 7 == 0)
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    staged = (
+        v.join(c.select("user_id", F.lit(1).alias("_c")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("_p")), "user_id", "left")
+        .select(
+            F.when(F.col("_p").isNotNull(), 3)
+            .when(F.col("_c").isNotNull(), 2)
+            .otherwise(1)
+            .alias("stage")
+        )
+    )
+    return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+    WITH first_order AS (
+        SELECT o_custkey,
+               min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(f.cohort_m // 12 AS BIGINT) AS cohort_year,
+           CAST(f.cohort_m % 12 AS BIGINT) AS cohort_month0,
+           CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - f.cohort_m
+                AS BIGINT) AS month_offset,
+           count(DISTINCT o.o_custkey) AS n_customers
+    FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2, 3
+    """,
+    tags=("tier2", "analytics"),
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers bucketed by first-order month, counted
+    per months-elapsed offset — the standard retention triangle. Month
+    arithmetic is integer (year*12+month) on both sides, sidestepping
+    months_between/datediff dialect drift.
+
+    Scale shape: one per-customer min aggregate, one customer-keyed join
+    back to orders, one (cohort, offset) count-distinct — all shuffles on
+    uniform keys, no windows."""
+    o = load_table(spark, sf_dir, "orders")
+    m = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first = o.groupBy("o_custkey").agg(F.min(m).alias("cohort_m"))
+    joined = o.join(first, "o_custkey")
+    return (
+        joined.select(
+            (F.col("cohort_m") / 12).cast("bigint").alias("cohort_year"),
+            (F.col("cohort_m") % 12).cast("bigint").alias("cohort_month0"),
+            (m - F.col("cohort_m")).cast("bigint").alias("month_offset"),
+            "o_custkey",
+        )
+        .groupBy("cohort_year", "cohort_month0", "month_offset")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
     )
 
 
