@@ -1314,6 +1314,75 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sequence_packing_chunked",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    ), b AS (
+        SELECT doc_id, n_tokens, cum,
+               cum - n_tokens AS strt,
+               CAST((cum - n_tokens) // 2048 AS BIGINT) AS fb,
+               CAST((cum - 1) // 2048 AS BIGINT) AS lb
+        FROM c WHERE n_tokens > 0
+    )
+    SELECT doc_id, CAST(r.bin AS BIGINT) AS bin,
+           CAST(least(b.cum, (r.bin + 1) * 2048)
+                - greatest(b.strt, r.bin * 2048) AS BIGINT) AS tokens_in_bin
+    FROM b CROSS JOIN UNNEST(range(b.fb, b.lb + 1)) AS r(bin)
+    """,
+    tags=("tier2", "pipeline"),
+)
+def sequence_packing_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing with BOUNDARY SPLITTING — what a pretraining data
+    loader actually materializes: every 2048-token bin is filled exactly,
+    and a document crossing a bin boundary contributes a chunk row to
+    each bin it touches ((doc_id, bin, tokens_in_bin); the plain
+    `sequence_packing` assigns whole docs and leaves bins ragged).
+
+    Scale shape: the distributed two-phase cumsum gives each doc its
+    global token interval [cum - n_tokens, cum); the touched-bin range
+    explodes from an in-row sequence (≤ n_tokens/2048 + 1 rows per doc),
+    and every arithmetic step is integral (`div`, not doubles — exactness
+    above 2^53 positions). Invariant (pinned in tests): every bin's
+    tokens_in_bin sums to exactly 2048 except the final bin."""
+    from mapreduce__spark.operators.windows import distributed_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tokens")
+    )
+    c = distributed_cumsum(t, "doc_id", "n_tokens", "cum").where(F.col("n_tokens") > 0)
+    idiv = lambda a, b: F.call_function("div", a, F.lit(b).cast("bigint"))  # noqa: E731
+    strt = F.col("cum") - F.col("n_tokens")
+    b = c.select(
+        "doc_id",
+        "cum",
+        strt.alias("strt"),
+        idiv(strt, 2048).alias("fb"),
+        idiv(F.col("cum") - 1, 2048).alias("lb"),
+    )
+    return b.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("fb"), F.col("lb"))).alias("bin"),
+        "cum",
+        "strt",
+    ).select(
+        "doc_id",
+        F.col("bin").cast("bigint").alias("bin"),
+        (
+            F.least(F.col("cum"), (F.col("bin") + 1) * 2048)
+            - F.greatest(F.col("strt"), F.col("bin") * 2048)
+        ).cast("bigint").alias("tokens_in_bin"),
+    )
+
+
+@query(
     "repetition_ratio",
     oracle="""
     WITH t AS (

@@ -162,6 +162,34 @@ def test_hll_mergeable_matches_exact_within_5pct(spark, sf_oracle):
         assert abs(got[et] - exact) <= max(1, 0.05 * exact), (et, got[et], exact)
 
 
+def test_chunked_packing_fills_every_bin(spark, sf_oracle):
+    """sequence_packing_chunked's defining invariant: every bin's chunk
+    tokens sum to EXACTLY the 2048 budget except the final bin, and
+    per-doc chunk totals reassemble each doc's token count."""
+    from mapreduce__spark.plans import REGISTRY
+    from mapreduce__spark.sources import load_table
+
+    df = REGISTRY["sequence_packing_chunked"].fn(spark, sf_oracle)
+    totals = (
+        df.groupBy("bin").agg(F.sum("tokens_in_bin").alias("t")).orderBy("bin").collect()
+    )
+    assert all(r.t == 2048 for r in totals[:-1])
+    assert 0 < totals[-1].t <= 2048
+    per_doc = {
+        r.doc_id: r.t
+        for r in df.groupBy("doc_id").agg(F.sum("tokens_in_bin").alias("t")).collect()
+    }
+    docs = load_table(spark, sf_oracle, "documents")
+    want = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.ceil(F.length("text") / 4.0).cast("bigint").alias("n")
+        ).collect()
+        if r.n > 0
+    }
+    assert per_doc == want
+
+
 def test_approx_count_distinct_error(spark, sf_oracle):
     """HLL++ at rsd=2% must land within 5% of the exact distinct count."""
     ev = load_table(spark, sf_oracle, "events")
