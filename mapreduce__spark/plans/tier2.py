@@ -1466,6 +1466,74 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION SELECT id2, id1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+    ),
+    scored AS (
+        SELECT c.node, c.component,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM comp c JOIN documents d ON c.node = d.doc_id
+    )
+    SELECT component, node AS keeper, n_tokens AS keeper_tokens
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY component
+                                     ORDER BY n_tokens DESC, node ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+    tags=("tier2", "dedup", "pipeline"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-aware dedup policy: per near-dup cluster keep the LONGEST
+    member (ties to the smaller id) instead of the min-id — the policy
+    real pipelines want, since near-dups are often truncations of the
+    same source and min-id throws away the fullest copy.
+
+    Scale shape: the cluster labels join to a narrow (doc_id, n_tokens)
+    projection and the argmax window partitions on `component` — cluster
+    count is huge and clusters are tiny, so the window key is as uniform
+    as a key gets; the payload text never moves."""
+    from mapreduce__spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_near_duplicate_pairs(
+        docs, JACCARD_THRESHOLD, num_hashes=16, bands=8
+    )
+    cc = connected_components(pairs, "id1", "id2")
+    scored = cc.join(
+        docs.select(
+            F.col("doc_id").alias("node"),
+            F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens"),
+        ),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_tokens").desc(), F.col("node").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("node").alias("keeper"),
+            F.col("n_tokens").alias("keeper_tokens"),
+        )
+    )
+
+
+@query(
     "train_test_split",
     oracle="""
     SELECT doc_id,

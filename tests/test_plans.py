@@ -114,6 +114,27 @@ def test_salted_join_no_single_hot_partition(spark, sf_small):
     assert "_salt" in plan, plan
 
 
+def test_new_analytics_plan_shapes(spark, sf_small):
+    """funnel: user-keyed hash joins only, no cartesian; cohort: two-phase
+    aggregation; outliers: TakeOrderedAndProject bottom-k, no Python."""
+    from mapreduce__spark.plans.tier2 import (
+        embedding_outliers,
+        funnel_analysis,
+        retention_cohort,
+    )
+
+    plan = physical(funnel_analysis(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    plan = physical(retention_cohort(spark, sf_small))
+    assert plan.count("HashAggregate") >= 2, plan
+
+    plan = physical(embedding_outliers(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_scrub_and_quality_rules_zero_shuffle(spark, sf_small):
     """PII scrub and the quality rule set are scan-stage expression
     pipelines — no Exchange may appear in their plans."""
