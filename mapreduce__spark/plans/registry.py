@@ -61,8 +61,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # rows+schema+hash check); queries past the window stay bit-exact-gated by
 # the repo's own pytest oracle harness (tests/test_oracle.py) — and entries
 # rotated OUT of the window (e.g. agg_multi, join_outer, scan_project,
-# filter_predicates, groupby_count; round 3 adds datetime_functions and
-# pivot_agg) already carry green rows in CORRECTNESS_r01/r02.json, so each
+# filter_predicates, groupby_count; round 3 adds datetime_functions,
+# pivot_agg, topk_global, join_inner, null_semantics, set_ops — each with
+# an in-window family sibling) already carry green rows in
+# CORRECTNESS_r01/r02.json, so each
 # one is driver-attested in some round, and
 # tests/test_registry_window.py::test_rotated_out_core_stays_oracle_gated
 # pins that each keeps its oracle for the pytest differential.
@@ -79,7 +81,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # aggregation surface (O-11)
     "pricing_summary",
     "shipmode_priority",
-    "null_semantics",
     # joins (O-13..O-16)
     "join_full_outer",
     "join_semi_anti",
@@ -92,7 +93,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "rolling_user_features",
     "global_row_number",
     # set ops / multi-dim aggregation (O-10 via dedup_exact, O-19, O-20)
-    "set_ops",
     "rollup_cube",
     # joins under skew (O-13 + the explicit salting fallback)
     "join_skew_salted",
@@ -112,6 +112,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_incremental",
     "dedup_embedding_cosine",
     "dedup_clusters",
+    "dedup_keep_best",
     # similarity search + embedding statistics (O-23)
     "ann_topk_bruteforce",
     "embedding_correlation",
@@ -129,6 +130,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "decontaminate_eval_overlap",
     "gopher_quality_rules",
     "sequence_packing",
+    "sequence_packing_chunked",
     "train_test_split",
     "vocab_encode",
     "token_budget_mixture",

@@ -47,6 +47,8 @@ NORTH_STAR = {
     "join_skew_salted",
     "dedup_incremental",
     "bpe_pair_counts",
+    "dedup_keep_best",
+    "sequence_packing_chunked",
 }
 
 
@@ -100,6 +102,8 @@ ROTATED_OUT_CORE = {
     "pivot_agg",
     "topk_global",
     "join_inner",
+    "null_semantics",
+    "set_ops",
 }
 
 
