@@ -162,6 +162,37 @@ def test_hll_mergeable_matches_exact_within_5pct(spark, sf_oracle):
         assert abs(got[et] - exact) <= max(1, 0.05 * exact), (et, got[et], exact)
 
 
+def test_bpe_pair_counts_matches_naive(spark, tmp_path):
+    """bpe_pair_counts over a tiny synthetic corpus must equal a naive
+    Python pair count — including the 1-token-doc guard (no pairs) and
+    the deterministic (count desc, pair asc) top-cut."""
+    from collections import Counter
+
+    from mapreduce__spark.plans import REGISTRY
+
+    texts = ["a b a b c", "b", "", "a b", "c c c c", "b c b c b c"]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(f"{d}/documents.parquet")
+    got = [
+        (r.left_tok, r.right_tok, r.n_pairs)
+        for r in REGISTRY["bpe_pair_counts"].fn(spark, d).collect()
+    ]
+    naive: Counter = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        if len(toks) >= 2:
+            for a, b in zip(toks, toks[1:]):
+                naive[(a, b)] += 1
+    want = sorted(
+        ((a, b, n) for (a, b), n in naive.items()),
+        key=lambda x: (-x[2], x[0], x[1]),
+    )[:50]
+    assert sorted(got, key=lambda x: (-x[2], x[0], x[1])) == want
+
+
 def test_chunked_packing_fills_every_bin(spark, sf_oracle):
     """sequence_packing_chunked's defining invariant: every bin's chunk
     tokens sum to EXACTLY the 2048 budget except the final bin, and
