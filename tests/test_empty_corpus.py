@@ -29,6 +29,12 @@ PROBE = [
     "bpe_pair_counts",
     "dedup_incremental",
     "join_skew_salted",
+    "dedup_keep_best",
+    "sequence_packing_chunked",
+    "funnel_analysis",
+    "retention_cohort",
+    "embedding_outliers",
+    "distinct_users_hll_mergeable",
 ]
 
 
