@@ -93,10 +93,12 @@ def main() -> None:
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
-        # Two wildly-disagreeing runs mean one of them caught external
+        # A WARM run slower than the cold one means it caught external
         # load (this box is shared with the harness itself) — a third run
-        # lets the min shed the spike instead of recording it.
-        if max(runs) > 1.4 * min(runs):
+        # lets the min shed the spike instead of recording it. A slow
+        # FIRST run is ordinary codegen/cache warmup that min() already
+        # handles, so it does not trigger the extra run.
+        if runs[1] > 1.4 * runs[0]:
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)

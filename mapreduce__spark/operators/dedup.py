@@ -86,7 +86,10 @@ def minhash_fold_expr(grams_col: Column, num_hashes: int, hash_fn: str = "xxhash
     ~|doc| gram array per hash (lambda ids differ per column, so codegen
     subexpression elimination cannot share them) — measured 16x slower at
     sf0.1. ``hash_fn``:
-    * 'xxhash64' — fast 64-bit JVM hash (production path);
+    * 'xxhash64' — the engine family xxhash64(xxhash64(gram), i), kept
+      BIT-IDENTICAL to :func:`minhash_signature`'s aggregate form so fold
+      signatures and aggregate signatures can be joined/compared (e.g. a
+      persisted incremental signature table);
     * 'md5'      — hex-string hash reproducible in DuckDB (oracle path).
     """
     if hash_fn == "md5":
@@ -107,7 +110,9 @@ def minhash_fold_expr(grams_col: Column, num_hashes: int, hash_fn: str = "xxhash
         init,
         lambda acc, g: F.zip_with(
             acc,
-            F.array(*[F.xxhash64(g, F.lit(i)) for i in range(num_hashes)]),
+            F.array(
+                *[F.xxhash64(F.xxhash64(g), F.lit(i)) for i in range(num_hashes)]
+            ),
             lambda a, b: F.least(a, b),
         ),
     )
@@ -178,7 +183,18 @@ def minhash_signature(docs: DataFrame, num_hashes: int, hash_fn: str = "xxhash64
 def _band_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(doc_id, band_idx, band_hash) — one row per LSH band, the hash
     folding that band's signature slice. Docs equal on ANY band share a
-    (band_idx, band_hash) bucket key."""
+    (band_idx, band_hash) bucket key.
+
+    Gramless docs (fewer than NGRAM_N tokens: empty pages, boilerplate
+    stubs) keep the all-sentinel signature and are DROPPED here: they can
+    never reach a positive Jaccard threshold (0 grams → jaccard NULL at
+    verify), but all of them share identical band hashes, so a corpus
+    with many of them would otherwise meet in a single bucket and emit a
+    quadratic candidate cross-product that verification then discards.
+    mh[0] == sentinel ⟺ the whole signature is the sentinel (every
+    member is a min over the same empty gram set)."""
+    sentinel = F.lit(2**63 - 1).cast("long")
+    sig = sig.where(F.col("mh")[0] != sentinel)
     r = num_hashes // bands
     band_cols = [
         F.xxhash64(*[F.col("mh")[b * r + i] for i in range(r)]).alias(f"band{b}")
@@ -284,19 +300,31 @@ def lsh_near_duplicate_pairs(
     # Contract guard (round-2 advice): `text_source` must carry every
     # candidate id exactly once — a non-superset silently DROPS pairs
     # through the inner joins below and duplicate ids silently MULTIPLY
-    # them, both wrong-results failures with no error. Both counts read
-    # candidate-sized materialized data and ride ONE action (union of two
-    # scalar aggregates), so the check is a single cheap job against a
-    # pipeline that already did the corpus-wide work.
-    n_ids, n_txt = (
-        r["n"]
-        for r in cand_ids.select(F.count(F.lit(1)).alias("n"))
-        .unionAll(cand_grams.select(F.count(F.lit(1)).alias("n")))
+    # them, both wrong-results failures with no error. Comparing row AND
+    # distinct-id counts closes the offsetting case (one id duplicated,
+    # another missing, same total); everything reads candidate-sized
+    # materialized data and rides ONE action (union of two aggregates).
+    stats = {
+        r["side"]: r
+        for r in cand_ids.select(
+            F.lit("ids").alias("side"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+        .unionAll(
+            cand_grams.select(
+                F.lit("txt").alias("side"),
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("doc_id").alias("nd"),
+            )
+        )
         .collect()
-    )
-    if n_ids != n_txt:
+    }
+    n_ids = stats["ids"]["n"]
+    if (stats["txt"]["n"], stats["txt"]["nd"]) != (n_ids, n_ids):
         raise ValueError(
-            f"lsh_near_duplicate_pairs: text_source covers {n_txt} of "
+            f"lsh_near_duplicate_pairs: text_source covers "
+            f"{stats['txt']['nd']} distinct / {stats['txt']['n']} rows of "
             f"{n_ids} candidate doc_ids (must be an exact 1:1 superset "
             "with the same text values as `docs`)"
         )

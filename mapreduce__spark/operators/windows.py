@@ -178,6 +178,14 @@ def distributed_cumsum_grouped(
     )
 
 
+def idiv(a: Column, b: int) -> Column:
+    """Integral division of a long column by a Python int via `div`
+    (IntegralDivide) — keeps the arithmetic on longs end-to-end where
+    floor(a / b) would route through doubles, which are exact only below
+    2^53 (round-2 advice). Shared by ntile_expr and the packing queries."""
+    return F.call_function("div", a, F.lit(b).cast("bigint"))
+
+
 def ntile_expr(rn: Column, n: int, k: int) -> Column:
     """SQL `NTILE(k)` as arithmetic over a 1-based global row number `rn`
     and the driver-known total count `n`: the first n mod k buckets get
@@ -186,11 +194,6 @@ def ntile_expr(rn: Column, n: int, k: int) -> Column:
     a single-task global window."""
     q, rem = divmod(n, k)
     cutoff = rem * (q + 1)  # last row covered by the (q+1)-sized buckets
-    # `div` (IntegralDivide) keeps the arithmetic on longs end-to-end:
-    # floor(a / b) routes through doubles, which are exact only below
-    # 2^53 — too close for comfort at the global row counts this module
-    # advertises (round-2 advice).
-    idiv = lambda a, b: F.call_function("div", a, F.lit(b))  # noqa: E731
     return F.when(
         rn <= F.lit(cutoff), idiv(rn - 1, q + 1) + 1
     ).otherwise(

@@ -480,12 +480,18 @@ def embedding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cancels catastrophically when a dimension has high mean and low
     # variance. Shifting every dimension by a constant leaves correlation
     # unchanged in exact arithmetic but keeps the accumulated moments near
-    # zero, so the subtraction no longer eats the significant digits. Any
-    # constant works; one arbitrary corpus row is a good proxy for the
-    # per-dim location and costs a single O(d) driver fetch.
-    first = emb.head(1)
+    # zero, so the subtraction no longer eats the significant digits. The
+    # anchor is the per-dim MEDIAN of a small head sample — robust to a
+    # pathological single row (an outlier anchor would re-introduce the
+    # cancellation it exists to prevent), still one O(sample × d) driver
+    # fetch, no extra corpus pass.
+    sample = emb.head(101)
     shift = (
-        np.asarray(first[0]["embedding"], dtype=np.float64) if first else None
+        np.median(
+            np.asarray([r["embedding"] for r in sample], dtype=np.float64), axis=0
+        )
+        if sample
+        else None
     )
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1351,14 +1357,13 @@ def sequence_packing_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every arithmetic step is integral (`div`, not doubles — exactness
     above 2^53 positions). Invariant (pinned in tests): every bin's
     tokens_in_bin sums to exactly 2048 except the final bin."""
-    from mapreduce__spark.operators.windows import distributed_cumsum
+    from mapreduce__spark.operators.windows import distributed_cumsum, idiv
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tokens")
     )
     c = distributed_cumsum(t, "doc_id", "n_tokens", "cum").where(F.col("n_tokens") > 0)
-    idiv = lambda a, b: F.call_function("div", a, F.lit(b).cast("bigint"))  # noqa: E731
     strt = F.col("cum") - F.col("n_tokens")
     b = c.select(
         "doc_id",

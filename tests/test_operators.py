@@ -27,6 +27,28 @@ def test_lsh_recall_vs_exact(spark, sf_oracle):
     assert lsh == exact
 
 
+def test_minhash_fold_family_matches_aggregate(spark, sf_oracle):
+    """The fold form (minhash_fold_expr, xxhash64 branch) and the
+    aggregate form (minhash_signature) must emit BIT-IDENTICAL signatures
+    — a persisted signature table written by one must join against the
+    other (the incremental-dedup deployment shape)."""
+    from mapreduce__spark.functions.text import tokenize, word_ngrams
+    from mapreduce__spark.operators.dedup import minhash_fold_expr, minhash_signature
+
+    docs = load_table(spark, sf_oracle, "documents").where(F.col("doc_id") < 60)
+    fold = {
+        r.doc_id: tuple(r.mh)
+        for r in docs.select(
+            "doc_id",
+            minhash_fold_expr(
+                word_ngrams(tokenize(F.col("text")), 3), 8, "xxhash64"
+            ).alias("mh"),
+        ).collect()
+    }
+    agg = {r.doc_id: tuple(r.mh) for r in minhash_signature(docs, 8).collect()}
+    assert fold == agg
+
+
 def test_incremental_pairs_cross_slice_only(spark, sf_oracle):
     """lsh_incremental_pairs must (a) recover exactly the exact-Jaccard
     pairs that straddle the new/ref slices — in either orientation — and
