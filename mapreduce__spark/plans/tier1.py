@@ -493,6 +493,45 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_totalprice > 450000)
+    GROUP BY l_returnflag
+    """,
+    tags=("tier1", "join", "bloom"),
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-14 at the scale edge: left-semi join through
+    :func:`~mapreduce__spark.operators.bloom.bloom_pruned_semi_join` — the
+    build side's key set (top-decile orders) is Bloom-sketched with pure
+    expressions (distributed bit_or build, O(words) collect), the fact
+    scan is pruned by the codegen'd might-contain predicate BEFORE any
+    shuffle, and the real semi join runs on survivors only. Results equal
+    the plain semi join exactly (no false negatives; false positives die
+    in the join), which the plain-SQL oracle checks — at 10^8-key build
+    sides this is the difference between shuffling the whole fact table
+    and shuffling the selectivity fraction."""
+    from mapreduce__spark.operators.bloom import bloom_pruned_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    keys = o.where(F.col("o_totalprice") > 450000).select("o_orderkey")
+    semi = bloom_pruned_semi_join(li, keys, "l_orderkey", "o_orderkey")
+    return semi.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@query(
     "shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
