@@ -88,3 +88,19 @@ def test_pretoken_regex_portable_across_java_and_re2(spark):
         for s in samples
     ]
     assert got == want
+
+
+def test_lsh_gramless_flood_yields_no_candidates(spark):
+    """A corpus dominated by gramless (<3-token) docs must produce ZERO
+    LSH pairs — and, structurally, zero candidates: all-sentinel
+    signatures are dropped before banding, so a short-doc flood cannot
+    meet in one bucket and emit a quadratic cross-product (round-3
+    review). The two planted real near-dups must still be found."""
+    from mapreduce__spark.operators.dedup import lsh_near_duplicate_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, "stub") for i in range(1200)]  # gramless flood
+    rows += [(5000, base), (5001, base + " tail")]  # one real near-dup pair
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {(r.id1, r.id2) for r in lsh_near_duplicate_pairs(docs, 0.8).collect()}
+    assert pairs == {(5000, 5001)}
