@@ -114,6 +114,18 @@ def test_salted_join_no_single_hot_partition(spark, sf_small):
     assert "_salt" in plan, plan
 
 
+def test_bloom_prune_is_pre_shuffle_filter(spark, sf_small):
+    """The Bloom might-contain probe must run as a scan-side Filter
+    (xxhash64 predicate BEFORE any exchange), and the final join must be
+    a LeftSemi — the prune-then-join shape the operator promises."""
+    from mapreduce__spark.plans.tier1 import join_bloom_pruned
+
+    plan = physical(join_bloom_pruned(spark, sf_small))
+    assert "xxhash64" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_new_analytics_plan_shapes(spark, sf_small):
     """funnel: user-keyed hash joins only, no cartesian; cohort: two-phase
     aggregation; outliers: TakeOrderedAndProject bottom-k, no Python."""
