@@ -348,6 +348,7 @@ def lsh_incremental_pairs(
     threshold: float,
     num_hashes: int = 16,
     bands: int = 8,
+    ref_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: NEW-batch docs against an existing
     REFERENCE corpus — the shape a production pipeline runs on every
@@ -357,19 +358,27 @@ def lsh_incremental_pairs(
     Same banding + exact-verify scheme as :func:`lsh_near_duplicate_pairs`
     with one structural difference that is the whole point at scale: the
     candidate join is NEW-bands ⋈ REF-bands, so its cost is
-    O(new × bands) probe rows against the reference's bucket table —
-    reference-side signatures are computed once per increment here, and in
-    a production deployment would be PERSISTED and only appended to (the
-    signature table is num_hashes longs per doc, ~1/1000th of the corpus).
-    Output: (new_id, ref_id, jaccard) for every verified pair ≥ threshold;
-    dropping the contaminated increment is a left_anti on new_id.
+    O(new × bands) probe rows against the reference's bucket table.
+    Reference-side signatures are recomputed per call by default; a
+    production deployment PERSISTS them (num_hashes longs per doc,
+    ~1/1000th of the corpus) and appends each increment's — pass that
+    table as `ref_signatures` (schema: doc_id, mh array<bigint> from
+    :func:`minhash_signature` or the bit-identical fold form) and the
+    reference corpus is never re-scanned for signatures, only probed for
+    candidate verify TEXTS. Output: (new_id, ref_id, jaccard) for every
+    verified pair ≥ threshold; dropping the contaminated increment is a
+    left_anti on new_id.
 
     `new_docs` and `ref_docs` must have disjoint doc_ids and (doc_id,
     text) schemas.
     """
     assert num_hashes % bands == 0
     sig_new = minhash_signature(new_docs, num_hashes).localCheckpoint(eager=True)
-    sig_ref = minhash_signature(ref_docs, num_hashes).localCheckpoint(eager=True)
+    sig_ref = (
+        ref_signatures
+        if ref_signatures is not None
+        else minhash_signature(ref_docs, num_hashes).localCheckpoint(eager=True)
+    )
     bn = _band_buckets(sig_new, num_hashes, bands).alias("bn")
     br = _band_buckets(sig_ref, num_hashes, bands).alias("br")
     candidates = (

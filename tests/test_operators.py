@@ -71,6 +71,38 @@ def test_incremental_pairs_cross_slice_only(spark, sf_oracle):
     assert all(a % 5 == 0 and b % 5 != 0 for a, b in got)
 
 
+def test_incremental_pairs_with_persisted_signatures(spark, sf_oracle, tmp_path):
+    """The production deployment shape: reference signatures written to
+    parquet once, read back, and passed to lsh_incremental_pairs — must
+    produce exactly the same pairs as recomputing signatures from text
+    (the hash family is deterministic, so persisted and fresh signatures
+    are bit-identical)."""
+    from mapreduce__spark.operators.dedup import (
+        lsh_incremental_pairs,
+        minhash_signature,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    new, ref = docs.where(is_new), docs.where(~is_new)
+
+    sig_path = str(tmp_path / "ref_signatures.parquet")
+    minhash_signature(ref, 16).write.parquet(sig_path)
+    persisted = spark.read.parquet(sig_path)
+
+    fresh = {
+        (r.new_id, r.ref_id)
+        for r in lsh_incremental_pairs(new, ref, 0.8).collect()
+    }
+    reused = {
+        (r.new_id, r.ref_id)
+        for r in lsh_incremental_pairs(
+            new, ref, 0.8, ref_signatures=persisted
+        ).collect()
+    }
+    assert fresh and reused == fresh
+
+
 def test_ml_minhash_matches_exact_pairs(spark, sf_oracle):
     """The Spark ML MinHashLSH variant must recover the exact pair set at
     threshold 0.8 on this corpus (planted dups are far from the
