@@ -215,6 +215,35 @@ def _band_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     ).select("doc_id", "band.band_idx", "band.band_hash")
 
 
+def _check_text_source_covers(cand_ids: DataFrame, cand_grams: DataFrame) -> None:
+    """Fail loudly if the caller's text_source does not cover the
+    candidate ids exactly 1:1 (row count AND distinct count, one action)."""
+    stats = {
+        r["side"]: r
+        for r in cand_ids.select(
+            F.lit("ids").alias("side"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+        .unionAll(
+            cand_grams.select(
+                F.lit("txt").alias("side"),
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("doc_id").alias("nd"),
+            )
+        )
+        .collect()
+    }
+    n_ids = stats["ids"]["n"]
+    if (stats["txt"]["n"], stats["txt"]["nd"]) != (n_ids, n_ids):
+        raise ValueError(
+            f"lsh_near_duplicate_pairs: text_source covers "
+            f"{stats['txt']['nd']} distinct / {stats['txt']['n']} rows of "
+            f"{n_ids} candidate doc_ids (must be an exact 1:1 superset "
+            "with the same text values as `docs`)"
+        )
+
+
 def lsh_near_duplicate_pairs(
     docs: DataFrame,
     threshold: float,
@@ -297,37 +326,18 @@ def lsh_near_duplicate_pairs(
         .select("doc_id", word_ngrams(tokenize(F.col("text")), NGRAM_N).alias("grams"))
         .localCheckpoint(eager=True)
     )
-    # Contract guard (round-2 advice): `text_source` must carry every
-    # candidate id exactly once — a non-superset silently DROPS pairs
-    # through the inner joins below and duplicate ids silently MULTIPLY
-    # them, both wrong-results failures with no error. Comparing row AND
-    # distinct-id counts closes the offsetting case (one id duplicated,
-    # another missing, same total); everything reads candidate-sized
-    # materialized data and rides ONE action (union of two aggregates).
-    stats = {
-        r["side"]: r
-        for r in cand_ids.select(
-            F.lit("ids").alias("side"),
-            F.count(F.lit(1)).alias("n"),
-            F.count(F.lit(1)).alias("nd"),
-        )
-        .unionAll(
-            cand_grams.select(
-                F.lit("txt").alias("side"),
-                F.count(F.lit(1)).alias("n"),
-                F.countDistinct("doc_id").alias("nd"),
-            )
-        )
-        .collect()
-    }
-    n_ids = stats["ids"]["n"]
-    if (stats["txt"]["n"], stats["txt"]["nd"]) != (n_ids, n_ids):
-        raise ValueError(
-            f"lsh_near_duplicate_pairs: text_source covers "
-            f"{stats['txt']['nd']} distinct / {stats['txt']['n']} rows of "
-            f"{n_ids} candidate doc_ids (must be an exact 1:1 superset "
-            "with the same text values as `docs`)"
-        )
+    # Contract guard (round-2 advice): a CALLER-provided `text_source`
+    # must carry every candidate id exactly once — a non-superset
+    # silently DROPS pairs through the inner joins below and duplicate
+    # ids silently MULTIPLY them, both wrong-results failures with no
+    # error. Comparing row AND distinct-id counts closes the offsetting
+    # case (one id duplicated, another missing, same total); everything
+    # reads candidate-sized materialized data and rides ONE action. When
+    # no text_source is passed, candidate texts come from `docs` itself
+    # and the 1:1 property holds by construction (candidate ids ARE doc
+    # ids) — the guard job is skipped.
+    if text_source is not None:
+        _check_text_source_covers(cand_ids, cand_grams)
     ga1 = cand_grams.select(F.col("doc_id").alias("gid1"), F.col("grams").alias("g1"))
     ga2 = cand_grams.select(F.col("doc_id").alias("gid2"), F.col("grams").alias("g2"))
     paired = (

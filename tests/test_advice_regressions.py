@@ -179,3 +179,21 @@ def test_grouped_cumsum_plan_parallelism(spark):
         df, ["grp"], "k", "v", "cum", num_partitions=8
     )._jdf.queryExecution().executedPlan().toString()
     assert "_pid" in plan  # bucket key present in the window partitioning
+
+
+def test_lsh_text_source_contract_violation_fails_loudly(spark, sf_small):
+    """Round-2 advice: a text_source that is NOT a 1:1 superset of the
+    candidate ids must raise, not silently drop/multiply pairs. A
+    half-missing source violates coverage; the default (no text_source)
+    path must stay guard-free and succeed."""
+    import pytest as _pytest
+
+    from mapreduce__spark.operators.dedup import lsh_near_duplicate_pairs
+    from mapreduce__spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_small, "documents")
+    bad_source = docs.where(F.col("doc_id") % 2 == 0)  # misses odd-id candidates
+    with _pytest.raises(ValueError, match="text_source covers"):
+        lsh_near_duplicate_pairs(docs, 0.8, text_source=bad_source).collect()
+    assert lsh_near_duplicate_pairs(docs, 0.8).collect()
