@@ -352,6 +352,64 @@ def lsh_near_duplicate_pairs(
     )
 
 
+def _check_ref_corpus_covers(candidates: DataFrame, gr: DataFrame) -> None:
+    """Fail loudly if a caller-provided ref_signatures snapshot is out of
+    sync with ref_docs. Two silent wrong-results modes are closed here
+    (round-3 advice — the incremental twin of _check_text_source_covers):
+
+    * ref_signatures carries doc_ids absent from ref_docs (stale snapshot)
+      → those candidates vanish through the inner verify join;
+    * a doc_id appears in BOTH the new batch and the reference (the
+      documented disjointness contract) → its pairs are self-comparisons.
+
+    All inputs are candidate-sized materialized checkpoints; the whole
+    check rides ONE action."""
+    ref_ids = candidates.select(F.col("ref_id").alias("doc_id")).distinct()
+    overlap = (
+        candidates.select("new_id")
+        .distinct()
+        .join(candidates.select(F.col("ref_id").alias("new_id")).distinct(), "new_id")
+    )
+    stats = {
+        r["side"]: r
+        for r in ref_ids.select(
+            F.lit("ids").alias("side"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+        .unionAll(
+            gr.select(
+                F.lit("txt").alias("side"),
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("doc_id").alias("nd"),
+            )
+        )
+        .unionAll(
+            overlap.select(
+                F.lit("ovl").alias("side"),
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.lit(1)).alias("nd"),
+            )
+        )
+        .collect()
+    }
+    n_ids = stats["ids"]["n"]
+    if (stats["txt"]["n"], stats["txt"]["nd"]) != (n_ids, n_ids):
+        raise ValueError(
+            f"lsh_incremental_pairs: ref_docs covers {stats['txt']['nd']} "
+            f"distinct / {stats['txt']['n']} rows of {n_ids} candidate "
+            "ref doc_ids — the caller-provided ref_signatures snapshot is "
+            "stale or mismatched with ref_docs (must be an exact 1:1 "
+            "superset with the same texts the signatures were built from)"
+        )
+    if stats["ovl"]["n"] > 0:
+        raise ValueError(
+            f"lsh_incremental_pairs: {stats['ovl']['n']} doc_ids appear in "
+            "BOTH new_docs and ref_docs candidates — the corpora must have "
+            "disjoint doc_ids"
+        )
+
+
 def lsh_incremental_pairs(
     new_docs: DataFrame,
     ref_docs: DataFrame,
@@ -422,6 +480,12 @@ def lsh_incremental_pairs(
         .select("doc_id", word_ngrams(tokenize(F.col("text")), NGRAM_N).alias("grams"))
         .localCheckpoint(eager=True)
     )
+    # Contract guard (round-3 advice): only a CALLER-provided signature
+    # snapshot can drift out of sync with ref_docs — the default path
+    # derives signatures FROM ref_docs, so coverage holds by construction
+    # and no guard job is spent on it.
+    if ref_signatures is not None:
+        _check_ref_corpus_covers(candidates, gr)
     paired = candidates.join(
         gn.select(F.col("doc_id").alias("new_id"), F.col("grams").alias("g1")), "new_id"
     ).join(

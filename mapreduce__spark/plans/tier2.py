@@ -484,8 +484,17 @@ def embedding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anchor is the per-dim MEDIAN of a small head sample — robust to a
     # pathological single row (an outlier anchor would re-introduce the
     # cancellation it exists to prevent), still one O(sample × d) driver
-    # fetch, no extra corpus pass.
-    sample = emb.head(101)
+    # fetch, no extra corpus pass. The sample is the first 101 rows BY
+    # vec_id (round-3 advice): a bare head() over an unordered relation
+    # samples whatever partition answers first, so the shift — and the
+    # 6th-digit rounding of corr — would depend on scan/partition layout.
+    sample = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(101)
+        .collect()
+    )
     shift = (
         np.median(
             np.asarray([r["embedding"] for r in sample], dtype=np.float64), axis=0
@@ -1096,13 +1105,15 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one per-customer min aggregate, one customer-keyed join
     back to orders, one (cohort, offset) count-distinct — all shuffles on
     uniform keys, no windows."""
+    from mapreduce__spark.operators.windows import idiv
+
     o = load_table(spark, sf_dir, "orders")
     m = F.year("o_orderdate") * 12 + F.month("o_orderdate")
     first = o.groupBy("o_custkey").agg(F.min(m).alias("cohort_m"))
     joined = o.join(first, "o_custkey")
     return (
         joined.select(
-            (F.col("cohort_m") / 12).cast("bigint").alias("cohort_year"),
+            idiv(F.col("cohort_m").cast("bigint"), 12).alias("cohort_year"),
             (F.col("cohort_m") % 12).cast("bigint").alias("cohort_month0"),
             (m - F.col("cohort_m")).cast("bigint").alias("month_offset"),
             "o_custkey",

@@ -197,3 +197,40 @@ def test_lsh_text_source_contract_violation_fails_loudly(spark, sf_small):
     with _pytest.raises(ValueError, match="text_source covers"):
         lsh_near_duplicate_pairs(docs, 0.8, text_source=bad_source).collect()
     assert lsh_near_duplicate_pairs(docs, 0.8).collect()
+
+
+def test_incremental_ref_signatures_contract_violations_fail_loudly(spark, sf_small):
+    """Round-3 advice: with a CALLER-provided ref_signatures snapshot,
+    (a) ref_docs missing a candidate ref id (stale snapshot) must raise,
+    not silently drop pairs through the verify join, and (b) overlapping
+    new/ref doc_ids on the candidate set must raise, not emit
+    self-comparisons. The default (derived-signature) path stays
+    guard-free."""
+    import pytest as _pytest
+
+    from mapreduce__spark.operators.dedup import (
+        lsh_incremental_pairs,
+        minhash_signature,
+    )
+    from mapreduce__spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_small, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    new, ref = docs.where(is_new), docs.where(~is_new)
+    sigs = minhash_signature(ref, 16)
+
+    stale_ref = ref.where(F.col("doc_id") % 2 == 0)  # misses odd-id candidates
+    with _pytest.raises(ValueError, match="stale or mismatched"):
+        lsh_incremental_pairs(
+            new, stale_ref, 0.8, ref_signatures=sigs
+        ).collect()
+
+    # ref side = FULL corpus, so every new doc also sits in ref → its
+    # identical bands meet themselves → overlap on the candidate set.
+    with _pytest.raises(ValueError, match="disjoint doc_ids"):
+        lsh_incremental_pairs(
+            new, docs, 0.8, ref_signatures=minhash_signature(docs, 16)
+        ).collect()
+
+    assert lsh_incremental_pairs(new, ref, 0.8, ref_signatures=sigs).collect()
