@@ -341,6 +341,103 @@ def parse_mp4_header(b: bytes) -> tuple[str, int, int]:
     return brand, 0, 0
 
 
+def synth_webp_bytes(doc_id: int) -> bytes:
+    """Valid WebP container bytes (RIFF/WEBP), rotating the two header
+    layouts a crawler actually meets: VP8X (extended, 24-bit canvas
+    dimensions) for even doc_ids, VP8L (lossless, 14-bit packed
+    dimensions) for odd. Dimensions are the same pure function of doc_id
+    as :func:`synth_image_bytes` so the SQL oracle can verify the parse
+    round-trip."""
+    w = (doc_id % 512) + 16
+    h = ((doc_id * 7) % 512) + 16
+    if doc_id % 2 == 0:  # VP8X: flags + reserved, then (w-1, h-1) 24-bit LE
+        payload = (
+            b"\x00\x00\x00\x00"
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+        )
+        chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+    else:  # VP8L: signature byte, then 14-bit (w-1) | 14-bit (h-1) packed LE
+        packed = (w - 1) | ((h - 1) << 14)
+        chunk = b"VP8L" + struct.pack("<I", 5) + b"\x2f" + struct.pack("<I", packed)
+    body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_webp_header(b: bytes) -> tuple[str, int, int]:
+    """(variant, width, height) from raw WebP bytes via the real RIFF
+    chunk walk: VP8X reads the 24-bit little-endian canvas fields, VP8L
+    unpacks the 14+14-bit dimension word after the 0x2f signature, VP8
+    (lossy) reads the frame-tag dimensions. ('unknown', 0, 0) when the
+    container or chunk layout doesn't match."""
+    if len(b) < 20 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return "unknown", 0, 0
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        p = i + 8
+        if cid == b"VP8X" and p + 10 <= len(b):
+            w = 1 + int.from_bytes(b[p + 4 : p + 7], "little")
+            h = 1 + int.from_bytes(b[p + 7 : p + 10], "little")
+            return "vp8x", w, h
+        if cid == b"VP8L" and p + 5 <= len(b) and b[p] == 0x2F:
+            packed = struct.unpack("<I", b[p + 1 : p + 5])[0]
+            return "vp8l", (packed & 0x3FFF) + 1, ((packed >> 14) & 0x3FFF) + 1
+        if cid == b"VP8 " and p + 10 <= len(b):
+            w, h = struct.unpack("<HH", b[p + 6 : p + 10])
+            return "vp8", w & 0x3FFF, h & 0x3FFF
+        i = p + size + (size & 1)  # RIFF word alignment
+    return "unknown", 0, 0
+
+
+def synth_flac_bytes(doc_id: int) -> bytes:
+    """Valid FLAC stream head: fLaC magic + a last-block STREAMINFO whose
+    sample_rate / channels / bits / total_samples derive from doc_id for
+    oracle round-trip verification."""
+    rate = (8000, 16000, 44100, 48000)[doc_id % 4]
+    channels = doc_id % 2 + 1
+    bits = 16
+    total = doc_id % 100000 + 1
+    s = bytearray(34)
+    s[0:2] = struct.pack(">H", 4096)  # min block size
+    s[2:4] = struct.pack(">H", 4096)  # max block size
+    # min/max frame size (24-bit) left 0 = unknown, legal per spec
+    s[10] = (rate >> 12) & 0xFF
+    s[11] = (rate >> 4) & 0xFF
+    s[12] = ((rate & 0xF) << 4) | ((channels - 1) << 1) | ((bits - 1) >> 4)
+    s[13] = (((bits - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+    s[14:18] = struct.pack(">I", total & 0xFFFFFFFF)
+    # s[18:34]: raw-audio MD5, zeros (legal: "0 = unknown")
+    return b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + bytes(s)
+
+
+def parse_flac_streaminfo(b: bytes) -> tuple[int, int, int, int]:
+    """(sample_rate, channels, bits_per_sample, total_samples) from FLAC
+    bytes via the real metadata-block walk to STREAMINFO (type 0) and its
+    bit-packed layout: 20-bit rate, 3-bit channels-1, 5-bit bps-1, 36-bit
+    total samples. Zeros when not a FLAC stream."""
+    if b[:4] != b"fLaC":
+        return 0, 0, 0, 0
+    i = 4
+    while i + 4 <= len(b):
+        last = b[i] & 0x80
+        btype = b[i] & 0x7F
+        size = int.from_bytes(b[i + 1 : i + 4], "big")
+        p = i + 4
+        if btype == 0 and p + 18 <= len(b):
+            s = b[p : p + 18]
+            rate = (s[10] << 12) | (s[11] << 4) | (s[12] >> 4)
+            channels = ((s[12] >> 1) & 0x7) + 1
+            bits = (((s[12] & 1) << 4) | (s[13] >> 4)) + 1
+            total = ((s[13] & 0xF) << 32) | struct.unpack(">I", s[14:18])[0]
+            return rate, channels, bits, total
+        if last:
+            break
+        i = p + size
+    return 0, 0, 0, 0
+
+
 def resize_image_header(b: bytes, new_w: int, new_h: int) -> bytes:
     """Rewrite the container header so it declares (new_w, new_h) —
     the header half of a resize (pixel resampling stays behind the decode

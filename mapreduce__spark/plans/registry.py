@@ -52,87 +52,90 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The driver's CORRECTNESS harness checks the FIRST 50 registry entries, so
-# ordering is part of the verification contract. This explicit window packs
-# one representative query per SURVEY §2b operator (O-1..O-27) — including
-# every LLM-pipeline flagship (LSH dedup, clustering, ANN, streaming windows,
-# sequence packing, both training_data_pipeline flagships, PII scrub,
-# decontamination, Gopher rules, and the byte-level media header decodes) —
-# into the checked prefix. Every window entry has a DuckDB oracle (full
-# rows+schema+hash check); queries past the window stay bit-exact-gated by
-# the repo's own pytest oracle harness (tests/test_oracle.py) — and entries
-# rotated OUT of the window (e.g. agg_multi, join_outer, scan_project,
-# filter_predicates, groupby_count; round 3 adds datetime_functions,
-# pivot_agg, topk_global, join_inner, null_semantics, set_ops — each with
-# an in-window family sibling) already carry green rows in
-# CORRECTNESS_r01/r02.json, so each
-# one is driver-attested in some round, and
+# ordering is part of the verification contract. Rotation policy (round-3
+# VERDICT item 1): the goal is that EVERY oracle-bearing query holds a green
+# driver CORRECTNESS row in SOME round, so each round swaps multiply-attested
+# stalwarts out for entries the external signal has never seen. Every window
+# entry has a DuckDB oracle (full rows+schema+hash check); queries outside
+# the window stay bit-exact-gated by the repo's own pytest oracle harness
+# (tests/test_oracle.py, all SQL-expressible queries differentially at
+# sf0.001 every run), and
 # tests/test_registry_window.py::test_rotated_out_core_stays_oracle_gated
-# pins that each keeps its oracle for the pytest differential.
+# pins that rotated-out entries keep their oracles.
+#
+# Round-4 rotation: IN — the 16 oracle-bearing queries never attested in
+# r1-r3 (funnel_analysis, retention_cohort, value_histogram,
+# embedding_outliers, join_bloom_pruned, image_resize_roundtrip,
+# audio_frame_sample, events_rollup_gapfill, percentiles, profile_table,
+# stratified_sample, token_positions, collect_set_sorted, repetition_ratio,
+# array_functions, map_functions) plus the two round-4 additions
+# (stream_interval_join_batch, webp_flac_header_metadata). OUT — 18
+# stalwarts, each green in CORRECTNESS_r03.json (most also r1/r2), each
+# still covered by an in-window family sibling.
 # The intentionally-approximate (rows-only) queries sit past the window so
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # tier-0 reference core (O-2..O-9) + the generic kernel (O-1, O-27)
+    # tier-0 reference core + the generic kernel (O-1, O-2, O-27)
     "search_count",
     "kernel_search_count",
-    "grouped_collect_sorted",
-    "global_sort",
-    "formatted_sink",
     # aggregation surface (O-11)
     "pricing_summary",
     "shipmode_priority",
+    "percentiles",
+    "value_histogram",
+    "profile_table",
     # joins (O-13..O-16)
-    "join_full_outer",
-    "join_semi_anti",
     "join_broadcast_star",
     "join_range",
     "asof_join_events",
-    # window functions / top-k (O-17, O-18)
-    "topk_per_key",
-    "window_analytic",
-    "rolling_user_features",
-    "global_row_number",
-    # set ops / multi-dim aggregation (O-10 via dedup_exact, O-19, O-20)
-    "rollup_cube",
-    # joins under skew (O-13 + the explicit salting fallback)
+    "join_bloom_pruned",
     "join_skew_salted",
-    # scalar function surface (O-21)
-    "scalar_functions",
+    # window functions / analytics (O-17, O-18, O-20)
+    "rolling_user_features",
+    "funnel_analysis",
+    "retention_cohort",
+    "events_rollup_gapfill",
+    "stratified_sample",
+    # scalar function surface (O-21) — array/map/string breadth
+    "array_functions",
+    "map_functions",
     # text analysis (O-24) incl. the LM-based quality filter and the
     # BPE-training pair counter
     "word_count",
     "tfidf_top_terms",
     "unigram_lm_score",
     "bpe_pair_counts",
+    "token_positions",
+    "collect_set_sorted",
+    "repetition_ratio",
     # near-dup detection (O-22)
     "dedup_exact",
-    "dedup_jaccard_exact",
-    "minhash_signatures",
     "dedup_lsh_minhash",
     "dedup_incremental",
     "dedup_embedding_cosine",
     "dedup_clusters",
-    "dedup_keep_best",
     # similarity search + embedding statistics (O-23)
     "ann_topk_bruteforce",
     "embedding_correlation",
-    # multimodal (O-25) — incl. real byte-level header decodes
-    "multimodal_metadata",
+    "embedding_outliers",
+    # multimodal (O-25) — real byte-level header decodes + header resize
+    # and frame sampling, incl. the round-4 WebP/FLAC parsers
     "image_header_metadata",
     "media_header_metadata",
-    # streaming batch-twins (O-26)
+    "webp_flac_header_metadata",
+    "image_resize_roundtrip",
+    "audio_frame_sample",
+    # streaming batch-twins (O-26), incl. the stream-stream interval join
     "events_tumbling_window",
-    "events_sliding_window",
     "sessionization",
     "stateful_dedup_first_event",
+    "stream_interval_join_batch",
     # LLM training-data pipeline (O-12/O-18/O-24 composites + flagships)
     "pii_scrub",
     "decontaminate_eval_overlap",
     "gopher_quality_rules",
     "sequence_packing",
-    "sequence_packing_chunked",
-    "train_test_split",
-    "vocab_encode",
     "token_budget_mixture",
     "training_data_pipeline",
     "training_data_pipeline_full",

@@ -774,6 +774,69 @@ def media_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "webp_flac_header_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'vp8x' ELSE 'vp8l' END AS webp_variant,
+           CAST((doc_id % 512) + 16 AS BIGINT) AS width,
+           CAST(((doc_id * 7) % 512) + 16 AS BIGINT) AS height,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                WHEN 2 THEN 44100 ELSE 48000 END AS BIGINT) AS sample_rate,
+           CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+           CAST(16 AS BIGINT) AS bits_per_sample,
+           CAST(doc_id % 100000 + 1 AS BIGINT) AS total_samples
+    FROM documents
+    """,
+    tags=("tier2", "multimodal"),
+)
+def webp_flac_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP + FLAC header decode, byte-level (no media libraries): per doc,
+    a valid WebP container (RIFF chunk walk; VP8X 24-bit canvas fields for
+    even ids, VP8L 14-bit packed dimensions for odd) and a valid FLAC
+    stream head (metadata-block walk to the bit-packed STREAMINFO) are
+    synthesized with fields derived from doc_id, then parsed back from the
+    raw bytes. The oracle recomputes the expected fields from doc_id — an
+    exact round-trip check of both parsers, same pattern as
+    image_header_metadata / media_header_metadata."""
+    from mapreduce__spark.operators.multimodal import (
+        parse_flac_streaminfo,
+        parse_webp_header,
+        synth_flac_bytes,
+        synth_webp_bytes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "webp_variant": [], "width": [], "height": [],
+                "sample_rate": [], "channels": [], "bits_per_sample": [],
+                "total_samples": [],
+            }
+            for i in pdf["doc_id"]:
+                i = int(i)
+                variant, w, h = parse_webp_header(synth_webp_bytes(i))
+                rate, ch, bits, total = parse_flac_streaminfo(synth_flac_bytes(i))
+                out["doc_id"].append(i)
+                out["webp_variant"].append(variant)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["bits_per_sample"].append(bits)
+                out["total_samples"].append(total)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema="doc_id bigint, webp_variant string, width bigint, height bigint, "
+        "sample_rate bigint, channels bigint, bits_per_sample bigint, "
+        "total_samples bigint",
+    )
+
+
+@query(
     "image_resize_roundtrip",
     oracle="""
     SELECT doc_id,
@@ -1150,6 +1213,40 @@ def stateful_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("first_event_id"),
             F.col("ts").alias("first_ts"),
         )
+    )
+
+
+@query(
+    "stream_interval_join_batch",
+    oracle="""
+    SELECT p.event_id AS p_id, c.event_id AS c_id,
+           p.user_id AS p_user, p.ts AS p_ts, c.ts AS c_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    tags=("tier2", "streaming"),
+)
+def stream_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (purchases matched to
+    the same user's clicks within the preceding hour) — and not a
+    re-implementation: it calls streaming.stream_stream_interval_join
+    itself on batch relations (withWatermark is a no-op in batch), so the
+    oracle check attests the EXACT join predicate the readStream form runs
+    (streaming/streams.py:209; batch≡stream replay equivalence is pinned
+    by tests/test_streaming.py::test_stream_stream_interval_join_equals_batch).
+
+    Scale shape: an equi-join on user_id with the time interval as a
+    post-join filter; streaming bounds state by watermark + interval,
+    batch shuffles both sides on the uniform user key."""
+    from mapreduce__spark.streaming.streams import stream_stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return stream_stream_interval_join(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
     )
 
 

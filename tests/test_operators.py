@@ -427,6 +427,67 @@ def test_media_header_parsers_spec_edge_cases():
     assert parse_mp4_header(ftyp + mdat + moov) == ("isom", 600, 1200)
 
 
+def test_webp_flac_header_parsers_spec_edge_cases():
+    """WebP RIFF chunk walk (VP8X canvas fields, VP8L packed dimensions,
+    lossy VP8 frame tag, chunk-skip over metadata) and FLAC metadata-block
+    walk (STREAMINFO after a preceding block, bit-packed fields), plus
+    garbage rejection on both."""
+    import struct
+
+    from mapreduce__spark.operators.multimodal import (
+        parse_flac_streaminfo,
+        parse_webp_header,
+        synth_flac_bytes,
+        synth_webp_bytes,
+    )
+
+    # hand-built VP8X with an ICCP chunk (odd size → pad byte) BEFORE it
+    iccp = b"ICCP" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    vp8x_payload = b"\x20\x00\x00\x00" + (799).to_bytes(3, "little") + (599).to_bytes(3, "little")
+    vp8x = b"VP8X" + struct.pack("<I", 10) + vp8x_payload
+    body = b"WEBP" + iccp + vp8x
+    webp = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert parse_webp_header(webp) == ("vp8x", 800, 600)
+
+    # hand-built VP8L 1000x700
+    packed = (1000 - 1) | ((700 - 1) << 14)
+    vp8l = b"VP8L" + struct.pack("<I", 5) + b"\x2f" + struct.pack("<I", packed)
+    body = b"WEBP" + vp8l
+    assert parse_webp_header(b"RIFF" + struct.pack("<I", len(body)) + body) == (
+        "vp8l", 1000, 700,
+    )
+
+    # hand-built lossy VP8: frame tag then 14-bit dimensions at payload+6
+    vp8 = b"VP8 " + struct.pack("<I", 10) + bytes(6) + struct.pack("<HH", 320, 240)
+    body = b"WEBP" + vp8
+    assert parse_webp_header(b"RIFF" + struct.pack("<I", len(body)) + body) == (
+        "vp8", 320, 240,
+    )
+    assert parse_webp_header(b"") == ("unknown", 0, 0)
+    assert parse_webp_header(b"RIFF\x00\x00\x00\x00WAVEfmt ") == ("unknown", 0, 0)
+
+    # FLAC: a padding block (type 1) before a last STREAMINFO — the walk
+    # must skip it; synthesizer round-trip covers the packed-field math.
+    si = synth_flac_bytes(12345)[4:]  # header+34-byte STREAMINFO
+    pad = b"\x01" + (4).to_bytes(3, "big") + bytes(4)
+    assert parse_flac_streaminfo(b"fLaC" + pad + si) == (16000, 2, 16, 12346)
+    assert parse_flac_streaminfo(b"") == (0, 0, 0, 0)
+    assert parse_flac_streaminfo(b"fLaX" + pad + si) == (0, 0, 0, 0)
+
+    # synthesizer round-trips across the id space, both variants
+    for i in (0, 1, 2, 511, 512, 99999, 123456):
+        variant, w, h = parse_webp_header(synth_webp_bytes(i))
+        assert (variant, w, h) == (
+            "vp8x" if i % 2 == 0 else "vp8l",
+            (i % 512) + 16,
+            ((i * 7) % 512) + 16,
+        )
+        rate, ch, bits, total = parse_flac_streaminfo(synth_flac_bytes(i))
+        assert (rate, ch, bits, total) == (
+            (8000, 16000, 44100, 48000)[i % 4], i % 2 + 1, 16, i % 100000 + 1,
+        )
+
+
 def test_multimodal_metadata_struct(spark, sf_small):
     """The multimodal row shape carries a typed metadata struct."""
     mm = with_binary_payload(load_table(spark, sf_small, "documents"))

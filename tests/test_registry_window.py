@@ -6,49 +6,60 @@ from __future__ import annotations
 
 from mapreduce__spark.plans import DRIVER_WINDOW, REGISTRY, get_oracle_sql, get_queries
 
-# Round-1 VERDICT item 1: every north-star operator must sit inside the
-# driver-checked window.
+# Round-3 VERDICT item 1: the window must carry (a) every oracle-bearing
+# query that has NEVER held a driver CORRECTNESS row in a prior round —
+# converting pytest-only claims into the external signal is the whole
+# point of rotation — and (b) the engine flagships that anchor each
+# operator family.
 NORTH_STAR = {
+    # never driver-attested before round 4 — all 16 must be in-window
+    "funnel_analysis",
+    "retention_cohort",
+    "value_histogram",
+    "embedding_outliers",
+    "join_bloom_pruned",
+    "image_resize_roundtrip",
+    "audio_frame_sample",
+    "events_rollup_gapfill",
+    "percentiles",
+    "profile_table",
+    "stratified_sample",
+    "token_positions",
+    "collect_set_sorted",
+    "repetition_ratio",
+    "array_functions",
+    "map_functions",
+    # round-4 additions: stream-stream interval-join batch twin and the
+    # WebP/FLAC header parsers
+    "stream_interval_join_batch",
+    "webp_flac_header_metadata",
+    # family-anchor flagships that stay in-window every round
+    "search_count",
     "kernel_search_count",
     "dedup_lsh_minhash",
-    "minhash_signatures",
+    "dedup_incremental",
     "dedup_embedding_cosine",
     "dedup_clusters",
     "ann_topk_bruteforce",
-    "multimodal_metadata",
+    "embedding_correlation",
     "events_tumbling_window",
-    "events_sliding_window",
     "sessionization",
     "stateful_dedup_first_event",
     "asof_join_events",
     "rolling_user_features",
-    "global_row_number",
     "sequence_packing",
-    "train_test_split",
     "tfidf_top_terms",
-    "training_data_pipeline",
-    # round-2 flagships: the new pipeline stages and the real byte-level
-    # media decodes must also carry driver CORRECTNESS rows.
+    "unigram_lm_score",
+    "bpe_pair_counts",
     "pii_scrub",
     "decontaminate_eval_overlap",
     "gopher_quality_rules",
+    "token_budget_mixture",
+    "training_data_pipeline",
     "training_data_pipeline_full",
     "image_header_metadata",
     "media_header_metadata",
-    # round-2 additions: one-pass embedding statistics, vocabulary
-    # encoding, and token-budget mixture sampling.
-    "embedding_correlation",
-    "vocab_encode",
-    "token_budget_mixture",
-    # round-3 additions: the LM-based quality filter, the explicit
-    # skew-salted join, incremental (new-vs-reference) dedup, and the
-    # BPE pair counter.
-    "unigram_lm_score",
     "join_skew_salted",
-    "dedup_incremental",
-    "bpe_pair_counts",
-    "dedup_keep_best",
-    "sequence_packing_chunked",
 }
 
 
@@ -89,7 +100,6 @@ ROTATED_OUT_CORE = {
     "filter_predicates",
     "groupby_count",
     "agg_multi",
-    "percentiles",
     "join_outer",
     "distinct_dedup",
     "json_extraction",
@@ -104,6 +114,33 @@ ROTATED_OUT_CORE = {
     "join_inner",
     "null_semantics",
     "set_ops",
+    # rotated out in round 4 (each green in CORRECTNESS_r03, most in
+    # r1/r2 too) to attest the 16 never-checked queries plus the round-4
+    # additions; in-window family siblings: search_count/word_count
+    # (tier-0 scan/sort/sink shapes), join_broadcast_star/join_range
+    # (join family), rolling_user_features/funnel_analysis (windows),
+    # percentiles/profile_table (aggregation), dedup_exact/dedup_lsh_minhash
+    # (dedup family), image_header_metadata (multimodal),
+    # events_tumbling_window (streaming), sequence_packing/
+    # token_budget_mixture (pipeline stages).
+    "grouped_collect_sorted",
+    "global_sort",
+    "formatted_sink",
+    "join_full_outer",
+    "join_semi_anti",
+    "topk_per_key",
+    "window_analytic",
+    "global_row_number",
+    "rollup_cube",
+    "scalar_functions",
+    "dedup_jaccard_exact",
+    "minhash_signatures",
+    "dedup_keep_best",
+    "multimodal_metadata",
+    "events_sliding_window",
+    "train_test_split",
+    "vocab_encode",
+    "sequence_packing_chunked",
 }
 
 
