@@ -82,27 +82,23 @@ def main() -> None:
     # excluded from per-query numbers.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # min of two runs per query: the first run pays one-time codegen /
-    # footer-read costs and OS noise; the min is the stable per-round
-    # comparison number (both runs execute the full plan end-to-end).
+    # Median of 3 warm runs per query (round-3 VERDICT item 2): the
+    # sub-second tier-0 queries moved ±0.2s between rounds on min-of-2,
+    # which is scheduling noise, not signal — no engine commit touched
+    # them. One untimed cold run absorbs codegen/footer-read warmup, then
+    # the median of 3 timed runs sheds a single external-load spike in
+    # EITHER direction (min would hide a real regression that hits 2 of
+    # 3 runs; median doesn't).
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         q = REGISTRY[name]
+        q.fn(spark, sf_dir).collect()  # warmup: codegen + parquet footers
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
-        # A WARM run slower than the cold one means it caught external
-        # load (this box is shared with the harness itself) — a third run
-        # lets the min shed the spike instead of recording it. A slow
-        # FIRST run is ordinary codegen/cache warmup that min() already
-        # handles, so it does not trigger the extra run.
-        if runs[1] > 1.4 * runs[0]:
-            t0 = time.perf_counter()
-            q.fn(spark, sf_dir).collect()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 3)
+        timings[name] = round(sorted(runs)[1], 3)
         # Drop Python refs to the per-run DataFrames so the ContextCleaner
         # can free their localCheckpoint blocks (the session's periodic GC
         # does the JVM side). An explicit System.gc() here was tried and
