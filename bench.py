@@ -70,6 +70,90 @@ BENCH_QUERIES = [
 ]
 
 
+# Scaling probe (round-3 VERDICT item 3): measure the LSH dedup + pipeline
+# flagships across TWO data decades — the shipped sf0.01 → sf0.1 decade,
+# and sf0.1 → a synthesized 10x corpus — so the O(N x bands) claim in
+# docs/SCALE.md carries measured growth numbers, not just plan analysis.
+SCALING_QUERIES = ["dedup_lsh_minhash", "training_data_pipeline"]
+SCALE_FACTOR = 10
+
+
+def _scaled_docs_dir(spark, sf_dir: str, factor: int) -> str:
+    """Synthesize (once, cached in /tmp) a factor-x documents corpus from
+    sf_dir that is FAITHFUL for the scaling queries: each doc is cloned
+    `factor` times (doc_id -> doc_id*factor + k) with every token
+    suffixed `_<replica letter>`, so
+
+    * within a replica, pairwise Jaccard is IDENTICAL to the source corpus
+      (token bijection preserves gram equality) -> duplicate density and
+      cluster structure scale exactly linearly;
+    * across replicas, gram sets are disjoint -> no synthetic near-dup
+      cliques, LSH candidate count grows exactly factor-x;
+    * the pipeline's quality gate (token count + digit ratio) sees the
+      same per-doc decision in every replica (token count unchanged,
+      2 non-digit chars per token only lowers digit ratio marginally).
+
+    Only documents.parquet is written - the scaling queries read nothing
+    else."""
+    from pyspark.sql import functions as F
+
+    name = sf_dir.rstrip("/").split("/")[-1]
+    out_dir = f"/tmp/mapreduce__spark_scale/{name}x{factor}"
+    dst = f"{out_dir}/documents.parquet"
+    src = f"{sf_dir}/documents.parquet"
+    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+        docs = spark.read.parquet(src)
+        reps = spark.range(factor).withColumnRenamed("id", "rep")
+        letter = F.chr(F.lit(97) + F.col("rep"))
+        suffixed = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(t, F.lit("_"), letter),
+            ),
+            " ",
+        )
+        (
+            docs.crossJoin(reps)
+            .select(
+                (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
+                suffixed.alias("text"),
+                "lang",
+                "source",
+                F.length(suffixed).cast("bigint").alias("n_chars"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(dst)
+        )
+    return out_dir
+
+
+def _run_scaling(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
+    """Time the scaling queries one decade below (sibling sf0.01 dir, if
+    present) and one synthesized decade above the bench sf. Single timed
+    run each (the session is already code-warm from the main loop; these
+    are multi-second ratio measurements, not sub-second medians)."""
+    below_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    scaled_dir = _scaled_docs_dir(spark, sf_dir, SCALE_FACTOR)
+    tiers = {}
+    if os.path.isdir(below_dir) and below_dir != sf_dir:
+        tiers["sf_below"] = below_dir
+    tiers["sf_synth10x"] = scaled_dir
+    out: dict[str, dict[str, float]] = {}
+    for name in SCALING_QUERIES:
+        row = {"sf_base": base_timings[name]}
+        for tier, d in tiers.items():
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, d).collect()
+            row[tier] = round(time.perf_counter() - t0, 3)
+        if "sf_below" in row and row["sf_below"] > 0:
+            row["growth_below_to_base"] = round(row["sf_base"] / row["sf_below"], 2)
+        row["growth_base_to_10x"] = round(row["sf_synth10x"] / row["sf_base"], 2)
+        out[name] = row
+        gc.collect()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -115,6 +199,15 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+
+    # Decade-scaling probe; disable with SPARK_GRAFT_SKIP_SCALING=1.
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        out["scaling"] = _run_scaling(spark, sf_dir, timings)
+        out["scaling_note"] = (
+            f"synth10x = {SCALE_FACTOR}x documents cloned from {sf_dir} with "
+            "replica-suffixed tokens (gram-disjoint replicas, identical "
+            "per-replica duplicate density); single warm run per tier"
+        )
 
     # Per-query regression deltas vs the previous round's recorded bench
     # (round-1 VERDICT item 6). Stderr only for the warnings — stdout must
