@@ -244,12 +244,43 @@ def _check_text_source_covers(cand_ids: DataFrame, cand_grams: DataFrame) -> Non
         )
 
 
+def _cap_hot_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop band buckets larger than `max_bucket_size` before the
+    candidate self-join — the skew fallback for boilerplate-heavy corpora.
+
+    A corpus where many docs share a large common slice (license headers,
+    page templates) can hash a constant fraction of its minhashes from
+    the shared grams: buckets then collect docs whose TRUE Jaccard is far
+    below threshold, and the self-join inside one hot bucket emits
+    O(bucket²) candidates that verification must fetch texts for and
+    discard — the quadratic blowup banding exists to avoid. (Salting the
+    band key does NOT fix this: a band bucket is a same-key equi-join
+    with itself, so salt groups would have to be recombined pairwise —
+    the same quadratic, shuffled twice.)
+
+    Capping trades bounded recall for bounded work: a TRUE pair is lost
+    only if EVERY band it collides on is oversized; at the default
+    b=8/r=2 a j≥0.8 pair collides on ~5 of 8 bands in expectation, so
+    only pairs whose similarity IS the boilerplate lose all their
+    buckets. The cap is opt-in (None = exact semantics, the
+    oracle-checked default)."""
+    sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("_bsz")
+    )
+    return (
+        banded.join(sizes, ["band_idx", "band_hash"])
+        .where(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
 def lsh_near_duplicate_pairs(
     docs: DataFrame,
     threshold: float,
     num_hashes: int = 16,
     bands: int = 8,
     text_source: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-verified — the 100 TB dedup plan.
 
@@ -271,6 +302,10 @@ def lsh_near_duplicate_pairs(
     values (the raw scan, or the scan-stage scrubbed projection) and the
     verify pass costs one map-side table scan instead. Candidate ids are
     always a subset of `docs`' ids, so any superset source is equivalent.
+
+    `max_bucket_size` (default None = exact semantics) engages the
+    hot-bucket skew fallback for boilerplate-heavy corpora — see
+    :func:`_cap_hot_buckets` for the recall/work tradeoff.
     """
     assert num_hashes % bands == 0
     # Materialize ONLY the signatures — num_hashes longs per doc, ~128B/doc
@@ -284,6 +319,8 @@ def lsh_near_duplicate_pairs(
     # time for CANDIDATE docs only (see below).
     sig = minhash_signature(docs, num_hashes).localCheckpoint(eager=True)
     banded = _band_buckets(sig, num_hashes, bands)
+    if max_bucket_size is not None:
+        banded = _cap_hot_buckets(banded, max_bucket_size)
 
     ba = banded.alias("ba")
     bb = banded.alias("bb")

@@ -84,12 +84,24 @@ def test_stream_stateful_totals_tws(spark, sf_small):
     """transformWithStateInPandas running totals must converge to the same
     per-user batch aggregate as the applyInPandasWithState twin.
 
-    The operator's worker protocol needs google.protobuf, which this
-    sandbox does not ship (no pip installs) — skip there, run anywhere
-    protobuf exists. The GroupState twin's test always runs."""
-    pytest.importorskip(
-        "google.protobuf", reason="transformWithStateInPandas worker needs protobuf"
-    )
+    The operator's worker protocol needs google.protobuf — PySpark
+    4.1.2's generated StateMessage_pb2 validates the runtime against the
+    protoc it was built with, so the exact constraint is
+    `protobuf>=6.33.0,<7` (runtime_version.ValidateProtobufRuntimeVersion
+    at pyspark/sql/streaming/proto/StateMessage_pb2.py:29). This sandbox
+    ships no protobuf and forbids pip installs, so the missing dependency
+    is an EXPECTED environment failure (xfail), not an optional skip; on
+    any cluster image carrying protobuf>=6.33.0,<7 the test runs and must
+    pass (strict). The GroupState twin's test always runs."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.xfail(
+            "transformWithStateInPandas worker protocol requires "
+            "protobuf>=6.33.0,<7 (StateMessage_pb2 runtime validation); "
+            "not installed in this environment and pip installs are "
+            "forbidden"
+        )
     sdf = stream_user_totals_tws(read_events_stream(spark, sf_small))
     run_stream_to_memory(sdf, "t_tws", output_mode="update")
     got = {
