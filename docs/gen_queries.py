@@ -13,6 +13,7 @@ from mapreduce__spark.plans import REGISTRY  # noqa: E402
 
 
 def main() -> None:
+    n_oracle = sum(1 for q in REGISTRY.values() if q.oracle)
     lines = [
         "# Query registry",
         "",
@@ -20,6 +21,9 @@ def main() -> None:
         "(`python3 docs/gen_queries.py`). Every name is an entry in "
         "`__spark_entry__.queries()`; oracle = hash-checked against DuckDB at "
         "sf0.01, rows-only = approximate/stubbed by nature with pytest gates.",
+        "",
+        f"{len(REGISTRY)} queries: {n_oracle} oracle-checked, "
+        f"{len(REGISTRY) - n_oracle} rows-only by design.",
         "",
         "| query | check | tags | what it does |",
         "|---|---|---|---|",
