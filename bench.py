@@ -128,15 +128,16 @@ def _scaled_docs_dir(spark, sf_dir: str, factor: int) -> str:
     return out_dir
 
 
-def _run_scaling(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
-    """Time the scaling queries one decade below (sibling sf0.01 dir, if
-    present) and one synthesized decade above the bench sf. Single timed
-    run each (the session is already code-warm from the main loop; these
-    are multi-second ratio measurements, not sub-second medians)."""
+def _run_scaling(spark, sf_dir: str, sf: float, base_timings: dict[str, float]) -> dict:
+    """Time the scaling queries one decade below (sibling sf0.01 dir,
+    when the bench sf is actually above it) and one synthesized decade
+    above the bench sf. Single timed run each (the session is already
+    code-warm from the main loop; these are multi-second ratio
+    measurements, not sub-second medians)."""
     below_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
     scaled_dir = _scaled_docs_dir(spark, sf_dir, SCALE_FACTOR)
     tiers = {}
-    if os.path.isdir(below_dir) and below_dir != sf_dir:
+    if os.path.isdir(below_dir) and sf > 0.01:
         tiers["sf_below"] = below_dir
     tiers["sf_synth10x"] = scaled_dir
     out: dict[str, dict[str, float]] = {}
@@ -202,7 +203,7 @@ def main() -> None:
 
     # Decade-scaling probe; disable with SPARK_GRAFT_SKIP_SCALING=1.
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        out["scaling"] = _run_scaling(spark, sf_dir, timings)
+        out["scaling"] = _run_scaling(spark, sf_dir, sf, timings)
         out["scaling_note"] = (
             f"synth10x = {SCALE_FACTOR}x documents cloned from {sf_dir} with "
             "replica-suffixed tokens (gram-disjoint replicas, identical "

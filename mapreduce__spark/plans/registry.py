@@ -97,6 +97,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "retention_cohort",
     "events_rollup_gapfill",
     "stratified_sample",
+    "user_path_transitions",
     # scalar function surface (O-21) — array/map/string breadth
     "array_functions",
     "map_functions",
@@ -110,7 +111,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "collect_set_sorted",
     "repetition_ratio",
     # near-dup detection (O-22)
-    "dedup_exact",
     "dedup_lsh_minhash",
     "dedup_incremental",
     "dedup_embedding_cosine",
@@ -119,6 +119,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_topk_bruteforce",
     "embedding_correlation",
     "embedding_outliers",
+    "embedding_quantize_int8",
     # multimodal (O-25) — real byte-level header decodes + header resize
     # and frame sampling, incl. the round-4 WebP/FLAC parsers
     "image_header_metadata",
@@ -136,7 +137,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "decontaminate_eval_overlap",
     "gopher_quality_rules",
     "sequence_packing",
-    "token_budget_mixture",
     "training_data_pipeline",
     "training_data_pipeline_full",
 )

@@ -623,6 +623,117 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), d AS (
+        SELECT vec_id, i, v[i] AS x
+        FROM e CROSS JOIN UNNEST(range(1, len(v) + 1)) AS r(i)
+    ), stats AS (
+        SELECT i, min(x) AS lo, max(x) AS hi FROM d GROUP BY i
+    ), q AS (
+        SELECT d.vec_id, d.i, d.x, s.lo, s.hi,
+               CASE WHEN s.hi = s.lo THEN 0
+                    ELSE CAST(round((d.x - s.lo) * 255.0 / (s.hi - s.lo)) AS BIGINT)
+               END AS qv
+        FROM d JOIN stats s ON d.i = s.i
+    )
+    SELECT vec_id,
+           string_agg(CAST(qv AS VARCHAR), ',' ORDER BY i) AS q_csv,
+           CAST(sum(CAST(round((x - (lo + qv * ((hi - lo) / 255.0)))
+                    * (x - (lo + qv * ((hi - lo) / 255.0))) * 1e12) AS BIGINT))
+                AS BIGINT) AS err_pico
+    FROM q GROUP BY vec_id
+    """,
+    tags=("tier2", "similarity", "pipeline"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus — the standard 4x
+    vector-store compression before ANN at scale: per-dimension affine
+    [lo, hi] -> [0, 255] codes plus an integer-exact reconstruction-error
+    metric per vector.
+
+    Scale shape: per-dim lo/hi via posexplode + ONE hash aggregate
+    (partial agg means the shuffle is partitions x dims rows, bytes at
+    any corpus size), the d-row stats collect to the driver (O(d), the
+    k-means-centroid precedent) and ship back as array literals, and the
+    quantize pass is pure scan-stage codegen — no second shuffle, no
+    Python. Cross-engine exactness: both sides compute the identical
+    double expression ((x-lo)*255/(hi-lo), round-half-up on non-negative
+    values), and the error metric rounds each per-dim term to an integer
+    picounit BEFORE the order-insensitive integer sum — so no
+    float-summation-order tie can flip the hash (the repo's
+    floats-compare-exactly rule)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("e")
+    )
+    stats = (
+        emb.select(F.posexplode("e").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("i")
+        .collect()
+    )
+    lo = F.array(*[F.lit(r.lo) for r in stats])
+    hi = F.array(*[F.lit(r.hi) for r in stats])
+    idx = F.sequence(F.lit(0), F.lit(len(stats) - 1))
+
+    def qv(i):
+        x, l, h = F.col("e")[i], lo[i], hi[i]
+        return F.when(h == l, F.lit(0).cast("bigint")).otherwise(
+            F.round((x - l) * F.lit(255.0) / (h - l), 0).cast("bigint")
+        )
+
+    def err_term(i):
+        x, l, h = F.col("e")[i], lo[i], hi[i]
+        dequant = l + qv(i).cast("double") * ((h - l) / F.lit(255.0))
+        return F.round((x - dequant) * (x - dequant) * F.lit(1e12), 0).cast("long")
+
+    return emb.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform(F.transform(idx, qv), lambda c: c.cast("string"))
+        ).alias("q_csv"),
+        F.aggregate(
+            F.transform(idx, err_term), F.lit(0).cast("long"), lambda acc, t: acc + t
+        ).alias("err_pico"),
+    )
+
+
+@query(
+    "user_path_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("tier2", "analytics"),
+)
+def user_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event sequences
+    (the funnel/retention sibling: which step follows which, corpus-wide).
+
+    Scale shape: one lag window partitioned by user_id (uniform key), then
+    a hash aggregate on the tiny (prev, next) type-pair key space — the
+    shuffle after the window moves one row per partition per pair."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "ann_topk_lsh",
     oracle=None,  # approximate by design — recall vs brute force asserted in tests
     tags=("tier2", "similarity"),

@@ -29,10 +29,13 @@ NORTH_STAR = {
     "repetition_ratio",
     "array_functions",
     "map_functions",
-    # round-4 additions: stream-stream interval-join batch twin and the
-    # WebP/FLAC header parsers
+    # round-4 additions: stream-stream interval-join batch twin, the
+    # WebP/FLAC header parsers, int8 embedding quantization, and Markov
+    # path transitions
     "stream_interval_join_batch",
     "webp_flac_header_metadata",
+    "embedding_quantize_int8",
+    "user_path_transitions",
     # family-anchor flagships that stay in-window every round
     "search_count",
     "kernel_search_count",
@@ -54,7 +57,6 @@ NORTH_STAR = {
     "pii_scrub",
     "decontaminate_eval_overlap",
     "gopher_quality_rules",
-    "token_budget_mixture",
     "training_data_pipeline",
     "training_data_pipeline_full",
     "image_header_metadata",
@@ -141,6 +143,10 @@ ROTATED_OUT_CORE = {
     "train_test_split",
     "vocab_encode",
     "sequence_packing_chunked",
+    # displaced mid-round-4 by the embedding_quantize_int8 /
+    # user_path_transitions additions (both green r1-r3 / r2-r3)
+    "dedup_exact",
+    "token_budget_mixture",
 }
 
 
