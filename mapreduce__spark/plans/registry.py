@@ -81,16 +81,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "kernel_search_count",
     # aggregation surface (O-11)
     "pricing_summary",
-    "shipmode_priority",
     "percentiles",
     "value_histogram",
     "profile_table",
-    # joins (O-13..O-16)
+    # joins (O-13..O-16) + CDC shapes (round 4)
     "join_broadcast_star",
     "join_range",
-    "asof_join_events",
     "join_bloom_pruned",
     "join_skew_salted",
+    "merge_upsert",
+    "scd2_intervals",
     # window functions / analytics (O-17, O-18, O-20)
     "rolling_user_features",
     "funnel_analysis",

@@ -1306,3 +1306,106 @@ def json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.groupBy((F.col("p.k") % 10).alias("k_bucket"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("p.k").alias("sum_k"))
     )
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 10 != 0
+    ), changes AS (
+        SELECT o_orderkey,
+               o_totalprice + 100.0 AS new_price,
+               CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op
+        FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT b.o_orderkey, b.o_totalprice AS price, b.o_orderstatus AS status,
+           'kept' AS action
+    FROM base b ANTI JOIN changes c ON b.o_orderkey = c.o_orderkey
+    UNION ALL
+    SELECT c.o_orderkey, c.new_price AS price,
+           coalesce(b.o_orderstatus, 'N') AS status,
+           CASE WHEN b.o_orderkey IS NULL THEN 'inserted' ELSE 'updated' END
+             AS action
+    FROM changes c LEFT JOIN base b ON c.o_orderkey = b.o_orderkey
+    WHERE c.op != 'D'
+    """,
+    tags=("tier1", "join", "cdc"),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the CDC apply step) on plain DataFrames — no
+    table format required: a change batch (update / insert / delete ops
+    keyed by o_orderkey, derived deterministically from orders so the
+    oracle can rebuild it) applied to a base snapshot:
+
+    * base rows untouched by any change -> kept (anti join on the key);
+    * 'U' changes -> upserted (left join back to base decides
+      updated-vs-inserted and carries forward unchanged columns);
+    * 'D' changes -> dropped (filtered before the union).
+
+    Scale shape: two key-equi-joins on the same uniform key (one anti,
+    one left) + a union — each side shuffles once on o_orderkey; at
+    warehouse scale both joins share the partitioning, and a real
+    deployment sorts/buckets the base snapshot by key so only the delta
+    shuffles. This is the engine-level core that Delta/Iceberg MERGE
+    compiles to."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    changes = o.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 100.0).alias("new_price"),
+        F.when(F.col("o_orderkey") % 9 == 0, "D").otherwise("U").alias("op"),
+    )
+    kept = base.join(changes, "o_orderkey", "left_anti").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit("kept").alias("action"),
+    )
+    applied = (
+        changes.where(F.col("op") != "D")
+        .join(base, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.col("new_price").alias("price"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("N")).alias("status"),
+            F.when(F.col("o_orderstatus").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("action"),
+        )
+    )
+    return kept.unionAll(applied)
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM events
+    """,
+    tags=("tier1", "window", "cdc"),
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 history build: each per-user event
+    becomes a [valid_from, valid_to) validity interval via one lead()
+    window, open-ended (is_current) on the latest row — the standard
+    dimension-history reconstruction, one window over the uniform user
+    key and nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )

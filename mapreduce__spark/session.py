@@ -70,8 +70,18 @@ def tune_session(spark: SparkSession) -> SparkSession:
     oracle parity, AQE for plan quality).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-    except Exception:
-        pass  # static conf on some builds; harmless to skip
+    for key, val in (
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        # runtime-settable: without it the driver's plain session shuffles
+        # every query at Spark's default 200 partitions — wasteful task
+        # scheduling on the test rig and the wrong starting point for AQE
+        # coalescing at any scale.
+        ("spark.sql.shuffle.partitions", str(DEFAULT_CPUS)),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass  # static conf on some builds; harmless to skip
     return spark

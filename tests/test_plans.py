@@ -198,3 +198,36 @@ def test_window_distribution_no_partitionless_window(spark, sf_small):
     assert specs, "expected a window in the plan"
     for spec in specs:
         assert "_pid" in spec, f"partition-less window spec: {spec}"
+
+
+def test_embedding_quantize_plan_is_shuffle_free_codegen(spark, sf_small):
+    """The quantize pass (round 4) must be a pure scan-stage projection:
+    per-dim stats arrive as array LITERALS (the O(d) driver collect), so
+    the output plan may contain NO shuffle and NO Python eval node."""
+    from mapreduce__spark.plans.tier2 import embedding_quantize_int8
+
+    plan = physical(embedding_quantize_int8(spark, sf_small))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_user_path_transitions_plan_shape(spark, sf_small):
+    """Lag window partitioned by user_id, then a two-phase (map-side
+    combined) aggregate on the tiny type-pair key — no Python, no global
+    (unpartitioned) window."""
+    from mapreduce__spark.plans.tier2 import user_path_transitions
+
+    plan = physical(user_path_transitions(spark, sf_small))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_stream_interval_join_batch_is_equi_join(spark, sf_small):
+    """The interval join must key on user equality with the time bounds as
+    post-join predicates — never a cartesian/nested-loop product."""
+    from mapreduce__spark.plans.tier2 import stream_interval_join_batch
+
+    plan = physical(stream_interval_join_batch(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

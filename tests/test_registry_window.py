@@ -36,6 +36,8 @@ NORTH_STAR = {
     "webp_flac_header_metadata",
     "embedding_quantize_int8",
     "user_path_transitions",
+    "merge_upsert",
+    "scd2_intervals",
     # family-anchor flagships that stay in-window every round
     "search_count",
     "kernel_search_count",
@@ -48,7 +50,6 @@ NORTH_STAR = {
     "events_tumbling_window",
     "sessionization",
     "stateful_dedup_first_event",
-    "asof_join_events",
     "rolling_user_features",
     "sequence_packing",
     "tfidf_top_terms",
@@ -144,9 +145,12 @@ ROTATED_OUT_CORE = {
     "vocab_encode",
     "sequence_packing_chunked",
     # displaced mid-round-4 by the embedding_quantize_int8 /
-    # user_path_transitions additions (both green r1-r3 / r2-r3)
+    # user_path_transitions / merge_upsert / scd2_intervals additions
+    # (each displaced entry green in at least two prior rounds)
     "dedup_exact",
     "token_budget_mixture",
+    "shipmode_priority",
+    "asof_join_events",
 }
 
 
