@@ -48,3 +48,31 @@ def test_sharded_events_ts_roundtrip(spark, sf_small, sharded_dir):
     a = sorted(r.ts for r in load_table(spark, sf_small, "events").select("ts").collect())
     b = sorted(r.ts for r in load_table(spark, sharded_dir, "events").select("ts").collect())
     assert a == b
+
+
+def test_partitioned_write_prunes_at_scan(spark, sf_small, tmp_path):
+    """Hive-partitioned parquet (write_parquet partition_by) must let a
+    reader prune: a filter on the partition column shows up as a
+    PartitionFilter in the scan (not a post-scan Filter over all files),
+    and results round-trip exactly."""
+    from pyspark.sql import functions as F
+
+    from mapreduce__spark.operators.sinks import write_parquet
+
+    ev = load_table(spark, sf_small, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    out = str(tmp_path / "events_by_type")
+    # repartition on the partition column first: one file per value, not
+    # one file per (task, value) — the small-files guard the sinks module
+    # documents.
+    write_parquet(ev.repartition("event_type"), out, partition_by=["event_type"])
+
+    back = spark.read.parquet(out).where(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+
+    want = {r.event_id for r in ev.where(F.col("event_type") == "click").collect()}
+    assert {r.event_id for r in back.collect()} == want and want
