@@ -97,8 +97,14 @@ def _scaled_docs_dir(spark, sf_dir: str, factor: int) -> str:
     else."""
     from pyspark.sql import functions as F
 
-    name = sf_dir.rstrip("/").split("/")[-1]
-    out_dir = f"/tmp/mapreduce__spark_scale/{name}x{factor}"
+    import hashlib
+
+    # cache key carries the RESOLVED source path, not just the basename —
+    # two corpora both named sf0.1 must not share /tmp state.
+    real = os.path.realpath(sf_dir)
+    tag = hashlib.sha256(real.encode()).hexdigest()[:12]
+    name = real.rstrip("/").split("/")[-1]
+    out_dir = f"/tmp/mapreduce__spark_scale/{name}x{factor}-{tag}"
     dst = f"{out_dir}/documents.parquet"
     src = f"{sf_dir}/documents.parquet"
     if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):

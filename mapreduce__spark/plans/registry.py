@@ -68,10 +68,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # embedding_outliers, join_bloom_pruned, image_resize_roundtrip,
 # audio_frame_sample, events_rollup_gapfill, percentiles, profile_table,
 # stratified_sample, token_positions, collect_set_sorted, repetition_ratio,
-# array_functions, map_functions) plus the two round-4 additions
-# (stream_interval_join_batch, webp_flac_header_metadata). OUT — 18
-# stalwarts, each green in CORRECTNESS_r03.json (most also r1/r2), each
-# still covered by an in-window family sibling.
+# array_functions, map_functions) plus the six round-4 additions
+# (stream_interval_join_batch, webp_flac_header_metadata,
+# embedding_quantize_int8, user_path_transitions, merge_upsert,
+# scd2_intervals). OUT — 22 stalwarts, each green in CORRECTNESS_r03.json
+# (most also r1/r2), each still covered by an in-window family sibling.
 # The intentionally-approximate (rows-only) queries sit past the window so
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).

@@ -1365,14 +1365,18 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.lit("kept").alias("action"),
     )
+    # Matched-ness comes from an explicit marker, NOT from a payload
+    # column's null-ness: the oracle tests the JOIN KEY (b.o_orderkey IS
+    # NULL), and a base row with a legitimately-NULL o_orderstatus would
+    # otherwise diverge from it (labelled inserted here, updated there).
     applied = (
         changes.where(F.col("op") != "D")
-        .join(base, "o_orderkey", "left")
+        .join(base.withColumn("_matched", F.lit(1)), "o_orderkey", "left")
         .select(
             "o_orderkey",
             F.col("new_price").alias("price"),
             F.coalesce(F.col("o_orderstatus"), F.lit("N")).alias("status"),
-            F.when(F.col("o_orderstatus").isNull(), "inserted")
+            F.when(F.col("_matched").isNull(), "inserted")
             .otherwise("updated")
             .alias("action"),
         )

@@ -685,15 +685,20 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((x - l) * F.lit(255.0) / (h - l), 0).cast("bigint")
         )
 
+    # The q array is computed ONCE in its own projection; csv and the
+    # error fold both reference it, so the per-dim conditional expression
+    # tree appears once instead of once per consumer.
+    coded = emb.select("vec_id", "e", F.transform(idx, qv).alias("q"))
+
     def err_term(i):
         x, l, h = F.col("e")[i], lo[i], hi[i]
-        dequant = l + qv(i).cast("double") * ((h - l) / F.lit(255.0))
+        dequant = l + F.col("q")[i].cast("double") * ((h - l) / F.lit(255.0))
         return F.round((x - dequant) * (x - dequant) * F.lit(1e12), 0).cast("long")
 
-    return emb.select(
+    return coded.select(
         "vec_id",
         F.concat_ws(
-            ",", F.transform(F.transform(idx, qv), lambda c: c.cast("string"))
+            ",", F.transform(F.col("q"), lambda c: c.cast("string"))
         ).alias("q_csv"),
         F.aggregate(
             F.transform(idx, err_term), F.lit(0).cast("long"), lambda acc, t: acc + t

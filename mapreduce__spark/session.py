@@ -77,8 +77,13 @@ def tune_session(spark: SparkSession) -> SparkSession:
         # runtime-settable: without it the driver's plain session shuffles
         # every query at Spark's default 200 partitions — wasteful task
         # scheduling on the test rig and the wrong starting point for AQE
-        # coalescing at any scale.
-        ("spark.sql.shuffle.partitions", str(DEFAULT_CPUS)),
+        # coalescing at any scale. Sized from the SESSION's real
+        # parallelism, not this module's env constant — tune_session runs
+        # on externally-provided sessions whose core count we don't set.
+        (
+            "spark.sql.shuffle.partitions",
+            str(max(spark.sparkContext.defaultParallelism, 1)),
+        ),
     ):
         try:
             spark.conf.set(key, val)

@@ -93,7 +93,10 @@ def test_lsh_hot_bucket_flood_and_cap(spark):
     corpus emits a large fraction of the all-pairs quadratic as
     candidates (all discarded later by exact verification — pure waste);
     (2) with max_bucket_size, the candidate count collapses to
-    sub-quadratic, bounded by bands * cap^2;
+    sub-quadratic: the general bound is bands * n * (cap-1) / 2 (per
+    band, surviving buckets have size <= cap and sum to <= n — linear in
+    n for fixed cap), and on THIS fixture, where nearly everything sits
+    in the dropped hot bucket, it collapses much further;
     (3) the capped operator still returns EXACTLY the planted true
     pairs — their buckets are small, so the cap costs no recall here —
     and the uncapped operator agrees."""
@@ -131,8 +134,8 @@ def test_lsh_hot_bucket_flood_and_cap(spark):
 
     cap = 32
     capped = candidate_count(_cap_hot_buckets(banded, cap))
-    assert capped <= 8 * cap * cap, f"capped candidates {capped} not bounded"
-    assert capped < 0.02 * quadratic
+    assert capped <= 8 * n * (cap - 1) // 2, f"capped candidates {capped} exceed the general per-band bound"
+    assert capped < 0.02 * quadratic, f"capped candidates {capped} not collapsed on the hot-bucket fixture"
 
     want = {(10_000 + 2 * k, 10_001 + 2 * k) for k in range(5)}
     got_capped = {
