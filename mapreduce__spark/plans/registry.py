@@ -92,6 +92,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_skew_salted",
     "merge_upsert",
     "scd2_intervals",
+    "graph_mass_propagation",
     # window functions / analytics (O-17, O-18, O-20)
     "rolling_user_features",
     "funnel_analysis",
@@ -104,7 +105,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "map_functions",
     # text analysis (O-24) incl. the LM-based quality filter and the
     # BPE-training pair counter
-    "word_count",
     "tfidf_top_terms",
     "unigram_lm_score",
     "bpe_pair_counts",

@@ -1413,3 +1413,75 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@query(
+    "graph_mass_propagation",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), degc AS (
+        SELECT c, count(*) AS d FROM edges GROUP BY c
+    ), m1 AS (
+        SELECT e.s, CAST(sum(1000000 // degc.d) AS BIGINT) AS mass
+        FROM edges e JOIN degc ON e.c = degc.c
+        GROUP BY e.s
+    ), degs AS (
+        SELECT s, count(*) AS d FROM edges GROUP BY s
+    ), m2 AS (
+        SELECT e.c, CAST(sum(m1.mass // degs.d) AS BIGINT) AS mass
+        FROM edges e JOIN m1 ON e.s = m1.s JOIN degs ON e.s = degs.s
+        GROUP BY e.c
+    )
+    SELECT c AS custkey, mass FROM m2
+    ORDER BY mass DESC, custkey ASC LIMIT 25
+    """,
+    tags=("tier1", "graph"),
+)
+def graph_mass_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank's propagation step, two supersteps unrolled, over the
+    customer-supplier bipartite graph (distinct (custkey, suppkey) edges
+    from orders ⋈ lineitem): every customer starts with integer mass 1e6,
+    splits it by integer division across its suppliers, and the suppliers
+    split what they receive back across their customers — top-25 customers
+    by returned mass (the two-hop influence score).
+
+    Integer mass div degree is the whole trick for verifiability: float
+    PageRank sums contributions in nondeterministic order, so a bit-exact
+    cross-engine hash would be luck; integer sums are order-independent
+    and the div truncation is defined identically in both engines.
+
+    Scale shape: each superstep is edges ⋈ masses (uniform keys) + one
+    partial-agged groupBy — the Pregel message-passing shape; a real
+    k-iteration run loops this DataFrame step under localCheckpoint every
+    few supersteps to cut lineage (the connected_components operator in
+    operators/graph.py already demonstrates that loop discipline)."""
+    def coldiv(a, b):  # integral division, column / column (longs end-to-end)
+        return F.call_function("div", a.cast("bigint"), b.cast("bigint"))
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    degc = edges.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
+    m1 = (
+        edges.join(degc, "c")
+        .groupBy("s")
+        .agg(F.sum(coldiv(F.lit(1000000), F.col("dc"))).alias("mass1"))
+    )
+    degs = edges.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+    m2 = (
+        edges.join(m1, "s")
+        .join(degs, "s")
+        .groupBy("c")
+        .agg(F.sum(coldiv(F.col("mass1"), F.col("ds"))).alias("mass"))
+    )
+    return (
+        m2.select(F.col("c").alias("custkey"), F.col("mass").cast("bigint"))
+        .orderBy(F.col("mass").desc(), F.col("custkey").asc())
+        .limit(25)
+    )

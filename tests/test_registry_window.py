@@ -38,6 +38,7 @@ NORTH_STAR = {
     "user_path_transitions",
     "merge_upsert",
     "scd2_intervals",
+    "graph_mass_propagation",
     # family-anchor flagships that stay in-window every round
     "search_count",
     "kernel_search_count",
@@ -151,6 +152,7 @@ ROTATED_OUT_CORE = {
     "token_budget_mixture",
     "shipmode_priority",
     "asof_join_events",
+    "word_count",
 }
 
 
