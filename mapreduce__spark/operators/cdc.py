@@ -1,0 +1,84 @@
+"""Change-data-capture apply: MERGE semantics on plain DataFrames and the
+streaming foreachBatch upsert sink.
+
+The relational core (apply_changes) is what Delta/Iceberg MERGE INTO
+compiles to: delete-and-replace keyed rows, drop 'D' ops. The streaming
+side applies each micro-batch to a VERSIONED parquet snapshot chain with
+an atomically-swapped current-version pointer — the poor man's table
+format, and deliberately so: every real table format is exactly this
+(immutable snapshot files + an atomic pointer), so the pattern carries to
+100 TB by swapping the pointer file for a metastore/catalog commit.
+
+Exactly-once: foreachBatch can re-deliver a batch after recovery; the
+snapshot for batch N is written to a deterministic per-batch path and the
+pointer update is idempotent, so a re-run overwrites the same snapshot
+and re-points to it — no duplication (the checkpointed source offsets
+guarantee no batch is skipped).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def apply_changes(base: DataFrame, changes: DataFrame, key: str, op_col: str = "op") -> DataFrame:
+    """Upsert semantics: rows with op 'U' replace (or insert) the base row
+    with the same key; rows with op 'D' delete it. `changes` must carry
+    the base schema plus `op_col`. One anti join + one union — both sides
+    shuffle once on the uniform key."""
+    keys = changes.select(key).distinct()
+    kept = base.join(keys, key, "left_anti")
+    upserts = changes.where(F.col(op_col) == "U").drop(op_col)
+    return kept.unionByName(upserts)
+
+
+def _pointer_path(state_root: str) -> str:
+    return os.path.join(state_root, "_CURRENT")
+
+
+def current_snapshot_path(state_root: str) -> str | None:
+    """Path of the current snapshot, or None before the first commit."""
+    try:
+        with open(_pointer_path(state_root)) as fh:
+            rel = fh.read().strip()
+    except FileNotFoundError:
+        return None
+    return os.path.join(state_root, rel) if rel else None
+
+
+def _commit_pointer(state_root: str, rel: str) -> None:
+    """Atomic pointer swap (write-tmp + rename) — the commit primitive a
+    real deployment replaces with a catalog/metastore transaction."""
+    tmp = _pointer_path(state_root) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(rel)
+    os.replace(tmp, _pointer_path(state_root))
+
+
+def stream_upsert_sink(changes_sdf: DataFrame, key: str, state_root: str, checkpoint_dir: str):
+    """foreachBatch upsert sink: each micro-batch of change rows merges
+    into the current snapshot and commits a new immutable version.
+    Returns the started StreamingQuery (AvailableNow trigger)."""
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        os.makedirs(state_root, exist_ok=True)
+        cur = current_snapshot_path(state_root)
+        if cur is not None:
+            base = spark.read.parquet(cur)
+        else:
+            base = spark.createDataFrame([], bdf.drop("op").schema)
+        merged = apply_changes(base, bdf, key)
+        rel = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(os.path.join(state_root, rel))
+        _commit_pointer(state_root, rel)
+
+    return (
+        changes_sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -282,3 +282,79 @@ def test_stream_dedup_docs_one_per_fingerprint(spark, sf_small):
     batch = exact_duplicate_groups(load_table(spark, sf_small, "documents"))
     want_fps = {r.fp for r in batch.collect()}
     assert got_fps == want_fps and len(got_fps) > 0
+
+
+def test_stream_upsert_sink_equals_sequential_batch_merge(spark, sf_small, tmp_path):
+    """The foreachBatch upsert sink (versioned snapshots + atomic pointer)
+    must converge to exactly the state of applying the same change batches
+    sequentially in batch mode — and re-running with the same checkpoint
+    must process nothing new (idempotent commit)."""
+    import os as _os
+
+    from mapreduce__spark.operators.cdc import (
+        apply_changes,
+        current_snapshot_path,
+        stream_upsert_sink,
+    )
+
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    # batch 0: upsert every %3 key (price+1); batch 1: delete every %9 key,
+    # upsert every %5 key (price+2) — overlapping keys across batches, so
+    # ordering matters and the test catches out-of-order application.
+    b0 = o.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+    )
+    b1_del = o.where(F.col("o_orderkey") % 9 == 0).select(
+        "o_orderkey", F.col("o_totalprice"), F.lit("D").alias("op")
+    )
+    b1_up = o.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 2.0).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+    )
+    b1 = b1_del.unionByName(b1_up)
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    b0.coalesce(1).write.parquet(str(src / "batch0"))
+    b1.coalesce(1).write.parquet(str(src / "batch1"))
+    # FileStreamSource orders files by modification time — pin it.
+    t0 = 1_700_000_000
+    for i, d in enumerate(("batch0", "batch1")):
+        for f in _os.listdir(src / d):
+            _os.utime(src / d / f, (t0 + i, t0 + i))
+
+    state_root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    sdf = (
+        spark.readStream.schema("o_orderkey bigint, o_totalprice double, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_upsert_sink(sdf, "o_orderkey", state_root, ckpt)
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    got = {
+        (r.o_orderkey, round(r.o_totalprice, 2))
+        for r in spark.read.parquet(current_snapshot_path(state_root)).collect()
+    }
+    # sequential batch-mode application of the same two batches
+    base = spark.createDataFrame([], "o_orderkey bigint, o_totalprice double")
+    base = apply_changes(base, b0, "o_orderkey")
+    base = apply_changes(base, b1, "o_orderkey")
+    want = {(r.o_orderkey, round(r.o_totalprice, 2)) for r in base.collect()}
+    assert got == want and want
+
+    # replay with the same checkpoint: no new batches, same pointer
+    before = current_snapshot_path(state_root)
+    q2 = stream_upsert_sink(sdf, "o_orderkey", state_root, ckpt)
+    q2.awaitTermination(60)
+    if q2.isActive:
+        q2.stop()
+    assert current_snapshot_path(state_root) == before
