@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "training_data_pipeline_full",  # + PII scrub and decontamination in
                                     # front — the round-2 flagship; no r1
                                     # baseline, deltas start at r2
+    "merge_upsert",        # CDC apply: anti+left join merge (round 4; no
+                           # prior baseline, deltas start at r4)
+    "graph_mass_propagation",  # Pregel superstep shape: 2 edge-join +
+                               # agg rounds over orders x lineitem (round 4)
 ]
 
 

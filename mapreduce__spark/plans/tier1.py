@@ -1485,3 +1485,28 @@ def graph_mass_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("mass").desc(), F.col("custkey").asc())
         .limit(25)
     )
+
+
+@query(
+    "heavy_hitters_approx",
+    oracle=None,  # approximate by design — containment of TRUE heavy
+    # hitters is asserted in tests/test_operators.py
+    tags=("tier1", "agg", "sketch", "approx"),
+)
+def heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent items over the order-priority stream:
+    DataFrame.freqItems (Karp/Misra-Gries-style single-pass summary) at
+    support 0.1 — the sketch a 100 TB profiler runs instead of a full
+    groupBy when only the heavy tail matters. One narrow scan, constant
+    memory per partition, mergeable partials; the guarantee is the
+    classic one-sided bound: every value with frequency above the support
+    IS in the result (false positives possible, false negatives not) —
+    the containment gate pytest asserts."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderpriority")
+        .freqItems(["o_orderpriority"], support=0.1)
+        .select(
+            F.explode("o_orderpriority_freqItems").alias("candidate_heavy_hitter")
+        )
+    )

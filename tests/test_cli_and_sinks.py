@@ -130,7 +130,8 @@ def test_bench_contract(tmp_path):
     optional = {"scaling", "scaling_note", "baseline", "deltas_vs_baseline"}
     assert required <= set(data) and set(data) <= required | optional
     assert data["sf"] == 0.001 and data["unit"] == "sec" and data["value"] > 0
-    assert len(data["queries"]) == 12
+    from bench import BENCH_QUERIES
+    assert len(data["queries"]) == len(BENCH_QUERIES)
 
 
 def test_text_sink(spark, sf_small, tmp_path):

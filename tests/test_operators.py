@@ -605,3 +605,26 @@ def test_sample_frames_expansion_and_nulls(spark):
     assert [f.dataType.simpleString() for f in empty.schema.fields] == [
         "bigint", "bigint", "bigint"
     ]
+
+
+def test_heavy_hitters_contains_all_true_heavy_values(spark, sf_oracle):
+    """freqItems' one-sided guarantee: every value with true frequency
+    >= support must appear among the candidates (false positives are
+    allowed and expected at this support)."""
+    from mapreduce__spark.plans import REGISTRY
+
+    got = {
+        r.candidate_heavy_hitter
+        for r in REGISTRY["heavy_hitters_approx"].fn(spark, sf_oracle).collect()
+    }
+    o = load_table(spark, sf_oracle, "orders")
+    total = o.count()
+    true_heavy = {
+        r.o_orderpriority
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 0.1 * total)
+        .collect()
+    }
+    assert true_heavy, "fixture should have at least one heavy value"
+    assert true_heavy <= got
