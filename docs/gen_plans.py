@@ -19,6 +19,9 @@ NAMES = [
     "shipping_priority",
     "dedup_lsh_minhash",
     "ann_topk_bruteforce",
+    "merge_upsert",
+    "graph_mass_propagation",
+    "embedding_quantize_int8",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",
