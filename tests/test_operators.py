@@ -628,3 +628,31 @@ def test_heavy_hitters_contains_all_true_heavy_values(spark, sf_oracle):
     }
     assert true_heavy, "fixture should have at least one heavy value"
     assert true_heavy <= got
+
+
+def test_quantize_int8_codes_in_range_and_error_bounded(spark, sf_oracle):
+    """Quantization invariants the oracle hash can't express directly:
+    every code sits in [0, 255], and dequantizing recovers each raw value
+    to within half a quantization step per dimension."""
+    import numpy as np
+
+    from mapreduce__spark.plans import REGISTRY
+
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_oracle, "embeddings").collect()
+    }
+    X = np.stack(list(emb.values()))
+    lo, hi = X.min(axis=0), X.max(axis=0)
+    scale = (hi - lo) / 255.0
+
+    out = REGISTRY["embedding_quantize_int8"].fn(spark, sf_oracle).collect()
+    assert len(out) == len(emb)
+    for r in out:
+        q = np.asarray([int(v) for v in r.q_csv.split(",")], dtype=np.int64)
+        assert q.min() >= 0 and q.max() <= 255
+        dequant = lo + q * scale
+        err = np.abs(dequant - emb[r.vec_id])
+        # half a step plus fp slack; where a dim is constant, scale==0 and
+        # the code is pinned to 0 with dequant == lo == the value
+        assert (err <= scale / 2 + 1e-9).all()
