@@ -2103,6 +2103,74 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_NUM_MERGES = 32
+BPE_TRAIN_VOCAB = 2000  # train merges on the top-V word head (Zipf: covers
+# nearly all mass; keeps the driver-side trainer O(V) at any corpus size)
+
+
+@query(
+    "bpe_encode",
+    oracle=None,  # iterative argmax training + greedy rank encode are not
+    # SQL-expressible; pytest pins exact equivalence to the pure-Python
+    # reference implementation end-to-end (tests/test_operators.py)
+    tags=("tier2", "text", "pipeline", "tokenizer"),
+)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenization, trained and applied on the corpus: ONE
+    distributed word-frequency pass, Sennrich-style merge training on the
+    driver over the O(V) top-word dict (the production split — 100 TB of
+    text still has a bounded vocabulary head), then an Arrow-batched
+    encode pass with the merge ranks broadcast and per-batch word
+    memoization. Output per doc: token count, BPE piece count, and the
+    first 12 pieces (deterministic, so the driver's rows-only check is
+    stable).
+
+    This completes the BPE story the registry already tells in parts:
+    bpe_pair_counts is one training round's distributed count;
+    vocab_encode is dictionary lookup; this is the real trainer+encoder."""
+    from mapreduce__spark.functions.bpe import encode_tokens, train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    head = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(BPE_TRAIN_VOCAB)
+        .collect()
+    )
+    merges = train_bpe_merges({r.tok: r.n for r in head}, BPE_NUM_MERGES)
+    ranks = {p: i for i, p in enumerate(merges)}
+    bc = spark.sparkContext.broadcast(ranks)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[str]] = {}
+        r = bc.value
+        for pdf in batches:
+            ids, n_toks, n_pieces, heads = [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.split(" ") if text else []
+                pieces = encode_tokens(words, r, memo)
+                ids.append(did)
+                n_toks.append(len(words))
+                n_pieces.append(len(pieces))
+                heads.append(" ".join(pieces[:12]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_tokens": n_toks,
+                    "n_pieces": n_pieces,
+                    "pieces_head": heads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        enc,
+        schema="doc_id bigint, n_tokens bigint, n_pieces bigint, pieces_head string",
+    )
+
+
 VOCAB_SIZE = 512  # top-V tokens by corpus frequency; id 0 is reserved for OOV
 
 

@@ -656,3 +656,38 @@ def test_quantize_int8_codes_in_range_and_error_bounded(spark, sf_oracle):
         # half a step plus fp slack; where a dim is constant, scale==0 and
         # the code is pinned to 0 with dequant == lo == the value
         assert (err <= scale / 2 + 1e-9).all()
+
+
+def test_bpe_encode_matches_pure_python_reference(spark, sf_oracle):
+    """The distributed BPE query must equal a single-threaded pure-Python
+    train+encode over the same corpus EXACTLY (same top-V head, same
+    deterministic argmax, same greedy ranks) — the rows-only gate that
+    stands in for a SQL oracle on this iterative operator."""
+    from collections import Counter
+
+    from mapreduce__spark.functions.bpe import encode_tokens, train_bpe_merges
+    from mapreduce__spark.plans import REGISTRY
+    from mapreduce__spark.plans.tier2 import BPE_NUM_MERGES, BPE_TRAIN_VOCAB
+
+    rows = load_table(spark, sf_oracle, "documents").select("doc_id", "text").collect()
+    freq = Counter()
+    for r in rows:
+        freq.update(r.text.split(" ") if r.text else [])
+    head = dict(
+        sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TRAIN_VOCAB]
+    )
+    ranks = {p: i for i, p in enumerate(train_bpe_merges(head, BPE_NUM_MERGES))}
+    memo: dict = {}
+    want = {}
+    for r in rows:
+        words = r.text.split(" ") if r.text else []
+        pieces = encode_tokens(words, ranks, memo)
+        want[r.doc_id] = (len(words), len(pieces), " ".join(pieces[:12]))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_pieces, r.pieces_head)
+        for r in REGISTRY["bpe_encode"].fn(spark, sf_oracle).collect()
+    }
+    assert got == want
+    # and the encoding actually compresses: pieces < chars, pieces >= words
+    assert all(p >= w for w, p, _ in want.values())
