@@ -9,11 +9,15 @@ format, and deliberately so: every real table format is exactly this
 (immutable snapshot files + an atomic pointer), so the pattern carries to
 100 TB by swapping the pointer file for a metastore/catalog commit.
 
-Exactly-once: foreachBatch can re-deliver a batch after recovery; the
-snapshot for batch N is written to a deterministic per-batch path and the
-pointer update is idempotent, so a re-run overwrites the same snapshot
-and re-points to it — no duplication (the checkpointed source offsets
-guarantee no batch is skipped).
+Exactly-once: foreachBatch can re-deliver a batch after recovery. Two
+crash windows exist: (a) before the pointer commit — the re-run rebuilds
+batch N's snapshot from the still-current N-1 pointer and commits, a
+clean overwrite of a never-referenced path; (b) after the pointer commit
+but before the source-offset commit — the re-run detects the pointer
+already names v{N} and short-circuits (re-applying would read and
+overwrite the same path in one job, which Spark rejects). Either way the
+batch lands exactly once (the checkpointed source offsets guarantee no
+batch is skipped).
 """
 
 from __future__ import annotations
@@ -28,7 +32,22 @@ def apply_changes(base: DataFrame, changes: DataFrame, key: str, op_col: str = "
     """Upsert semantics: rows with op 'U' replace (or insert) the base row
     with the same key; rows with op 'D' delete it. `changes` must carry
     the base schema plus `op_col`. One anti join + one union — both sides
-    shuffle once on the uniform key."""
+    shuffle once on the uniform key.
+
+    Any OTHER op value is rejected loudly: the anti join removes every
+    changed key from the base, so an unrecognized op (producer bug,
+    schema drift — 'u', 'I', null) would otherwise act as a silent
+    DELETE. The check is a limit(1) probe, so it scans until the first
+    offender, not the whole batch."""
+    bad = changes.where(
+        ~F.col(op_col).isin("U", "D") | F.col(op_col).isNull()
+    ).limit(1)
+    offenders = [r[op_col] for r in bad.collect()]
+    if offenders:
+        raise ValueError(
+            f"apply_changes: unrecognized op {offenders[0]!r} in change "
+            "batch (must be 'U' or 'D') — refusing to treat it as a delete"
+        )
     keys = changes.select(key).distinct()
     kept = base.join(keys, key, "left_anti")
     upserts = changes.where(F.col(op_col) == "U").drop(op_col)
@@ -66,13 +85,21 @@ def stream_upsert_sink(changes_sdf: DataFrame, key: str, state_root: str, checkp
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
         os.makedirs(state_root, exist_ok=True)
+        rel = f"v{batch_id}"
         cur = current_snapshot_path(state_root)
+        # Replay short-circuit: if the pointer already names this batch's
+        # snapshot, the previous attempt got through the commit and only
+        # the streaming checkpoint's offset commit was lost — re-applying
+        # would read vN and overwrite vN in the same job (Spark rejects
+        # that), wedging the stream on every restart. The batch is
+        # already fully applied; do nothing.
+        if cur is not None and os.path.basename(cur) == rel:
+            return
         if cur is not None:
             base = spark.read.parquet(cur)
         else:
             base = spark.createDataFrame([], bdf.drop("op").schema)
         merged = apply_changes(base, bdf, key)
-        rel = f"v{batch_id}"
         merged.write.mode("overwrite").parquet(os.path.join(state_root, rel))
         _commit_pointer(state_root, rel)
 

@@ -178,12 +178,14 @@ def distributed_cumsum_grouped(
     )
 
 
-def idiv(a: Column, b: int) -> Column:
-    """Integral division of a long column by a Python int via `div`
-    (IntegralDivide) — keeps the arithmetic on longs end-to-end where
-    floor(a / b) would route through doubles, which are exact only below
-    2^53 (round-2 advice). Shared by ntile_expr and the packing queries."""
-    return F.call_function("div", a, F.lit(b).cast("bigint"))
+def idiv(a: Column, b: int | Column) -> Column:
+    """Integral division of a long column by a Python int or an integral
+    column via `div` (IntegralDivide) — keeps the arithmetic on longs
+    end-to-end where floor(a / b) would route through doubles, which are
+    exact only below 2^53 (round-2 advice). Shared by ntile_expr, the
+    packing queries, and the graph mass-propagation supersteps."""
+    d = F.lit(b) if isinstance(b, int) else b
+    return F.call_function("div", a, d.cast("bigint"))
 
 
 def ntile_expr(rn: Column, n: int, k: int) -> Column:

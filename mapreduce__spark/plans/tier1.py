@@ -1457,28 +1457,33 @@ def graph_mass_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-iteration run loops this DataFrame step under localCheckpoint every
     few supersteps to cut lineage (the connected_components operator in
     operators/graph.py already demonstrates that loop discipline)."""
-    def coldiv(a, b):  # integral division, column / column (longs end-to-end)
-        return F.call_function("div", a.cast("bigint"), b.cast("bigint"))
+    from mapreduce__spark.operators.windows import idiv
 
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # The edge list feeds FOUR consumers (both degree counts and both
+    # superstep joins) and Catalyst does not share the common subtree —
+    # materialize the orders x lineitem distinct once instead of running
+    # the most expensive join three times (the same localCheckpoint
+    # discipline connected_components uses per iteration).
     edges = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     degc = edges.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
     m1 = (
         edges.join(degc, "c")
         .groupBy("s")
-        .agg(F.sum(coldiv(F.lit(1000000), F.col("dc"))).alias("mass1"))
+        .agg(F.sum(idiv(F.lit(1000000).cast("bigint"), F.col("dc"))).alias("mass1"))
     )
     degs = edges.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
     m2 = (
         edges.join(m1, "s")
         .join(degs, "s")
         .groupBy("c")
-        .agg(F.sum(coldiv(F.col("mass1"), F.col("ds"))).alias("mass"))
+        .agg(F.sum(idiv(F.col("mass1"), F.col("ds"))).alias("mass"))
     )
     return (
         m2.select(F.col("c").alias("custkey"), F.col("mass").cast("bigint"))

@@ -2132,8 +2132,14 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
+    # Empty tokens (split artifacts of empty/multi-space texts) are
+    # excluded from training on BOTH sides (the pytest reference filters
+    # identically): the trainer drops '' from its vocab anyway, so an ''
+    # head entry would waste a top-V slot here while the reference spends
+    # it on a real word — different heads, different merges.
     head = (
         docs.select(F.explode(toks).alias("tok"))
+        .where(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("tok").asc())

@@ -619,11 +619,14 @@ def test_heavy_hitters_contains_all_true_heavy_values(spark, sf_oracle):
     }
     o = load_table(spark, sf_oracle, "orders")
     total = o.count()
+    # STRICT >: the freqItems guarantee only covers frequency strictly
+    # above the support; an exactly-at-support value may legitimately be
+    # evicted from the summary.
     true_heavy = {
         r.o_orderpriority
         for r in o.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 0.1 * total)
+        .where(F.col("n") > 0.1 * total)
         .collect()
     }
     assert true_heavy, "fixture should have at least one heavy value"
@@ -672,7 +675,8 @@ def test_bpe_encode_matches_pure_python_reference(spark, sf_oracle):
     rows = load_table(spark, sf_oracle, "documents").select("doc_id", "text").collect()
     freq = Counter()
     for r in rows:
-        freq.update(r.text.split(" ") if r.text else [])
+        # empty split artifacts are excluded from training on both sides
+        freq.update(w for w in (r.text.split(" ") if r.text else []) if w)
     head = dict(
         sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TRAIN_VOCAB]
     )
