@@ -66,3 +66,32 @@ def test_orc_predicate_pushdown(spark, sf_small, tmp_path):
     df = read_orc(spark, p).where(F.col("o_orderkey") < 100).select("o_orderkey")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "LessThan(o_orderkey,100)" in plan, plan
+
+
+def test_parquet_schema_evolution_merge(spark, sf_small, tmp_path):
+    """Schema evolution on a growing lake: a writer adds a column in a
+    later generation; mergeSchema reads both generations with the
+    unified schema and NULLs for the old files' missing column, and the
+    default (no merge) read still works off one footer."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "evolving")
+    docs = load_table(spark, sf_small, "documents")
+    v1 = docs.select("doc_id", "lang")
+    v2 = docs.select("doc_id", "lang", F.length("text").alias("text_len"))
+    v1.write.parquet(f"{out}/gen=1")
+    v2.write.parquet(f"{out}/gen=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"doc_id", "lang", "text_len", "gen"}
+    n = docs.count()
+    assert merged.count() == 2 * n
+    assert merged.where(F.col("gen") == 1).where(F.col("text_len").isNull()).count() == n
+    assert merged.where(F.col("gen") == 2).where(F.col("text_len").isNotNull()).count() == n
+    # evolved rows round-trip values exactly
+    want = {(r.doc_id, r.text_len) for r in v2.collect()}
+    got = {
+        (r.doc_id, r.text_len)
+        for r in merged.where(F.col("gen") == 2).select("doc_id", "text_len").collect()
+    }
+    assert got == want

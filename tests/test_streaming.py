@@ -358,3 +358,80 @@ def test_stream_upsert_sink_equals_sequential_batch_merge(spark, sf_small, tmp_p
     if q2.isActive:
         q2.stop()
     assert current_snapshot_path(state_root) == before
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """TRUE watermark semantics — the one place stream and batch twins
+    legitimately diverge: an event arriving after its window's state was
+    emitted and evicted is DROPPED from the streaming aggregate but
+    present in the batch aggregate.
+
+    The choreography needs THREE micro-batches because watermark effects
+    lag one batch (the watermark computed at batch N's commit governs
+    batch N+1, and eviction happens at N+1's commit): batch 0 fills
+    window 01:00 and pushes event time to 12:00; batch 1 runs under the
+    resulting 10:00 watermark, so its commit EMITS and EVICTS window
+    01:00 with only the on-time row; batch 2's late 01:20 row then finds
+    no state and is discarded (numRowsDroppedByWatermark). A late row
+    delivered one batch earlier — before eviction — would legally still
+    be aggregated; that is watermark semantics, not a bug, and exactly
+    why the test pins the post-eviction case."""
+    import datetime
+    import os as _os
+
+    from mapreduce__spark.streaming.streams import stream_tumbling_counts
+
+    schema = "event_id bigint, ts timestamp, event_type string, value double"
+    base = "2024-03-01 "
+    batches = [
+        [(1, base + "01:10:00", "click", 1.0), (2, base + "12:00:00", "click", 1.0)],
+        [(3, base + "12:10:00", "click", 1.0)],
+        [(4, base + "01:20:00", "click", 99.0)],  # late; must be dropped
+    ]
+    src = tmp_path / "late_events"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(e, datetime.datetime.fromisoformat(t), ty, v) for e, t, ty, v in rows],
+            schema,
+        )
+        df.coalesce(1).write.parquet(str(src / f"b{i}"))
+    t0 = 1_700_000_000
+    for i in range(len(batches)):
+        for f in _os.listdir(src / f"b{i}"):
+            _os.utime(src / f"b{i}" / f, (t0 + i, t0 + i))
+
+    sdf = stream_tumbling_counts(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    dropped = sum(
+        so["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1
+    got = {
+        (r.window_start.isoformat(), r.n_events, r.sum_value)
+        for r in spark.table("t_late").collect()
+    }
+    # window 01:00 closed with ONLY the on-time row; the late 99.0 never
+    # entered it
+    assert ("2024-03-01T01:00:00", 1, 1.0) in got
+    assert not any(n == 2 for _, n, _ in got)
+    # batch over the same files DOES count both rows for that window —
+    # the documented stream/batch divergence under lateness
+    batch = spark.read.parquet(f"{src}/*")
+    n = batch.where(
+        F.col("ts").between("2024-03-01 01:00:00", "2024-03-01 01:59:59")
+    ).count()
+    assert n == 2
