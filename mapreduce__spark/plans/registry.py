@@ -103,9 +103,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # scalar function surface (O-21) — array/map/string breadth
     "array_functions",
     "map_functions",
-    # text analysis (O-24) incl. the LM-based quality filter and the
-    # BPE-training pair counter
-    "tfidf_top_terms",
+    # text analysis (O-24) incl. the LM-based quality filter, the
+    # BPE-training pair counter, and the UDTF API twin
+    "udtf_token_positions",
     "unigram_lm_score",
     "bpe_pair_counts",
     "token_positions",

@@ -1484,6 +1484,47 @@ def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udtf_token_positions",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id < 5)
+    SELECT doc_id, r.i AS pos, toks[r.i + 1] AS token
+    FROM t CROSS JOIN UNNEST(range(len(toks))) AS r(i)
+    """,
+    tags=("tier2", "text", "functions", "udf"),
+)
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same (doc, position, token) triples as `token_positions`, but
+    produced by a Python user-defined TABLE function (Spark 4's `@udtf`,
+    LATERAL-joined per input row) — completing the O-27 UDF-surface
+    matrix: pandas_udf, applyInPandas, mapInPandas, mapInArrow,
+    applyInPandasWithState, transformWithStateInPandas, and now UDTF.
+    Both forms share one oracle, so the API demonstration carries a full
+    hash check rather than a smoke test.
+
+    Scale note: a row-emitting UDTF is the slow path next to posexplode
+    (per-row Python eval vs JVM Generate) — the registry keeps the
+    expression form as the production operator and this as the API twin,
+    the same discipline as kernel_search_count."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos bigint, token string")
+    class TokenPositions:
+        def eval(self, text: str):
+            if text:
+                for i, tok in enumerate(text.split(" ")):
+                    yield i, tok
+
+    spark.udtf.register("token_positions_udtf", TokenPositions)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 5)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM _udtf_docs d, LATERAL token_positions_udtf(d.text) t"
+    )
+
+
+@query(
     "collect_set_sorted",
     oracle="""
     SELECT lang, array_to_string(list_sort(list_distinct(list(source))), ',') AS sources

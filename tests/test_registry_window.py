@@ -39,6 +39,7 @@ NORTH_STAR = {
     "merge_upsert",
     "scd2_intervals",
     "graph_mass_propagation",
+    "udtf_token_positions",
     # family-anchor flagships that stay in-window every round
     "search_count",
     "kernel_search_count",
@@ -53,7 +54,6 @@ NORTH_STAR = {
     "stateful_dedup_first_event",
     "rolling_user_features",
     "sequence_packing",
-    "tfidf_top_terms",
     "unigram_lm_score",
     "bpe_pair_counts",
     "pii_scrub",
@@ -153,6 +153,9 @@ ROTATED_OUT_CORE = {
     "shipmode_priority",
     "asof_join_events",
     "word_count",
+    # displaced late in round 4 by the udtf_token_positions addition
+    # (green r2 and r3; text family keeps five in-window anchors)
+    "tfidf_top_terms",
 }
 
 
