@@ -1,0 +1,72 @@
+"""Z-order layout: per-file min/max spans must shrink on BOTH clustered
+dimensions versus a single-column sort — measured from the actual parquet
+footers (the statistics readers prune on), not from plan text."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+
+from mapreduce__spark.operators.layout import write_zordered
+from mapreduce__spark.sources import load_table
+
+
+def _avg_span_fraction(path: str, col: str) -> float:
+    """Mean over files of (file max - file min) / (global max - global
+    min) for `col` — the fraction of the key range a file covers; the
+    expected fraction of files a point/range predicate must read."""
+    spans, lo, hi = [], None, None
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        fmin = min(
+            md.row_group(i).column(_col_idx(md, col)).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        fmax = max(
+            md.row_group(i).column(_col_idx(md, col)).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        spans.append((fmin, fmax))
+        lo = fmin if lo is None else min(lo, fmin)
+        hi = fmax if hi is None else max(hi, fmax)
+    width = hi - lo
+    return sum((b - a) / width for a, b in spans) / len(spans)
+
+
+def _col_idx(md, name: str) -> int:
+    for i in range(md.row_group(0).num_columns):
+        if md.row_group(0).column(i).path_in_schema == name:
+            return i
+    raise KeyError(name)
+
+
+def test_zorder_shrinks_spans_on_both_dimensions(spark, sf_small, tmp_path):
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_files = 8
+
+    single = str(tmp_path / "single_sort")
+    (
+        o.repartitionByRange(n_files, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(single)
+    )
+    zpath = str(tmp_path / "zorder")
+    write_zordered(o, zpath, ["o_custkey", "o_totalprice"], n_files=n_files)
+
+    # single-column sort: near-perfect on the sort key, near-useless on
+    # the other (each file spans ~the whole price range)
+    assert _avg_span_fraction(single, "o_custkey") < 0.25
+    assert _avg_span_fraction(single, "o_totalprice") > 0.7
+
+    # z-order: BOTH dimensions shrink to a fraction of the space — the
+    # theoretical tile edge for 8 files on a 2-d curve is ~1/sqrt(8)≈0.35
+    zc = _avg_span_fraction(zpath, "o_custkey")
+    zp = _avg_span_fraction(zpath, "o_totalprice")
+    assert zc < 0.6 and zp < 0.6, (zc, zp)
+    # and the clustered write loses no rows
+    assert spark.read.parquet(zpath).count() == o.count()
