@@ -77,6 +77,22 @@ def _commit_pointer(state_root: str, rel: str) -> None:
     os.replace(tmp, _pointer_path(state_root))
 
 
+def read_snapshot(spark, state_root: str, version: int | None = None) -> DataFrame:
+    """Time travel over the snapshot chain: read the current state
+    (version=None, via the pointer) or any retained historical version by
+    its batch id — the AS OF read every table format offers, here a plain
+    parquet read of the immutable per-batch directory."""
+    if version is None:
+        cur = current_snapshot_path(state_root)
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot under {state_root}")
+        return spark.read.parquet(cur)
+    path = os.path.join(state_root, f"v{version}")
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"snapshot v{version} not found under {state_root}")
+    return spark.read.parquet(path)
+
+
 def stream_upsert_sink(changes_sdf: DataFrame, key: str, state_root: str, checkpoint_dir: str):
     """foreachBatch upsert sink: each micro-batch of change rows merges
     into the current snapshot and commits a new immutable version.

@@ -359,6 +359,29 @@ def test_stream_upsert_sink_equals_sequential_batch_merge(spark, sf_small, tmp_p
         q2.stop()
     assert current_snapshot_path(state_root) == before
 
+    # time travel: version 0 is the batch-0-only state (b1's deletes and
+    # upserts absent), and the pointer read equals the newest version
+    from mapreduce__spark.operators.cdc import read_snapshot
+
+    v0 = {
+        (r.o_orderkey, round(r.o_totalprice, 2))
+        for r in read_snapshot(spark, state_root, version=0).collect()
+    }
+    want_v0 = {
+        (r.o_orderkey, round(r.o_totalprice, 2))
+        for r in apply_changes(
+            spark.createDataFrame([], "o_orderkey bigint, o_totalprice double"),
+            b0,
+            "o_orderkey",
+        ).collect()
+    }
+    assert v0 == want_v0 and v0 != got
+    cur = {
+        (r.o_orderkey, round(r.o_totalprice, 2))
+        for r in read_snapshot(spark, state_root).collect()
+    }
+    assert cur == got
+
 
 def test_watermark_drops_late_event(spark, tmp_path):
     """TRUE watermark semantics — the one place stream and batch twins
