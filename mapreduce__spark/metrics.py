@@ -47,3 +47,31 @@ class PhaseTimer:
         with open(path, "a") as fh:
             for line in self.log_lines():
                 fh.write(line + "\n")
+
+
+def observe_counts(df, name: str, **aggs):
+    """Attach named accumulator-backed metrics to a DataFrame without a
+    second scan: `pyspark.sql.Observation` collects the given aggregate
+    expressions as a side effect of whatever action the caller runs —
+    the production way to count quality-gate keeps/drops inside a 100 TB
+    pipeline pass (a separate .count() per stage would re-run the scan
+    per metric).
+
+    Returns (df_with_observation, observation); read `observation.get`
+    AFTER an action has consumed the DataFrame.
+
+    Example::
+
+        flagged = docs.select(..., keep_expr.alias("keep"))
+        flagged, obs = observe_counts(
+            flagged, "quality",
+            n=F.count(F.lit(1)),
+            kept=F.sum(F.col("keep").cast("long")),
+        )
+        flagged.where("keep").write.parquet(out)
+        stats = obs.get  # {'n': ..., 'kept': ...} — no extra scan
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(a) for a, c in aggs.items()]), obs

@@ -695,3 +695,25 @@ def test_bpe_encode_matches_pure_python_reference(spark, sf_oracle):
     assert got == want
     # and the encoding actually compresses: pieces < chars, pieces >= words
     assert all(p >= w for w, p, _ in want.values())
+
+
+def test_observe_counts_single_scan_metrics(spark, sf_oracle):
+    """Observation metrics ride the SAME action as the consumer: the
+    quality gate's kept/dropped counts come out of one pass and match an
+    independent recount."""
+    from mapreduce__spark.functions.text import gopher_keep_expr
+    from mapreduce__spark.metrics import observe_counts
+
+    docs = load_table(spark, sf_oracle, "documents")
+    flagged = docs.select("doc_id", gopher_keep_expr(F.col("text")).alias("keep"))
+    flagged, obs = observe_counts(
+        flagged,
+        "quality",
+        n=F.count(F.lit(1)),
+        kept=F.sum(F.col("keep").cast("long")),
+    )
+    kept_rows = flagged.where(F.col("keep")).count()  # the one action
+    stats = obs.get
+    assert stats["n"] == docs.count()
+    assert stats["kept"] == kept_rows
+    assert 0 < kept_rows < stats["n"] or kept_rows == stats["n"]
