@@ -81,12 +81,25 @@ def read_snapshot(spark, state_root: str, version: int | None = None) -> DataFra
     """Time travel over the snapshot chain: read the current state
     (version=None, via the pointer) or any retained historical version by
     its batch id — the AS OF read every table format offers, here a plain
-    parquet read of the immutable per-batch directory."""
+    parquet read of the immutable per-batch directory.
+
+    Only COMMITTED versions are readable: a v{N} directory can exist
+    without a pointer commit (the crash window between write and
+    _commit_pointer), and reading it would expose uncommitted — possibly
+    torn, possibly being concurrently rebuilt — state. The pointer names
+    the newest committed version; everything at or below it is immutable
+    by construction."""
+    cur = current_snapshot_path(state_root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot under {state_root}")
     if version is None:
-        cur = current_snapshot_path(state_root)
-        if cur is None:
-            raise FileNotFoundError(f"no committed snapshot under {state_root}")
         return spark.read.parquet(cur)
+    committed = int(os.path.basename(cur)[1:])
+    if version > committed:
+        raise FileNotFoundError(
+            f"snapshot v{version} is not committed (newest committed "
+            f"version under {state_root} is v{committed})"
+        )
     path = os.path.join(state_root, f"v{version}")
     if not os.path.isdir(path):
         raise FileNotFoundError(f"snapshot v{version} not found under {state_root}")

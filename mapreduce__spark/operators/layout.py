@@ -41,6 +41,19 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
     key projection — at warehouse scale replace it with approxQuantile
     bucket boundaries broadcast as a literal array; the curve semantics
     are identical, the global window disappears."""
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"zorder_value: bits*len(cols) = {bits * len(cols)} exceeds 63 — "
+            "Java shift amounts mask mod 64, so higher interleaved bits "
+            "would silently wrap onto lower ones (and bit 64 is the bigint "
+            "sign); reduce bits or cluster fewer columns"
+        )
+    clobbered = ({"_z"} | {f"_cell_{c}" for c in cols}) & set(df.columns)
+    if clobbered:
+        raise ValueError(
+            f"zorder_value: input already has column(s) {sorted(clobbered)} — "
+            "the internal names would silently replace and then drop them"
+        )
     out = df
     cells = []
     for c in cols:

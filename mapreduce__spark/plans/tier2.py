@@ -1506,12 +1506,16 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-row Python eval vs JVM Generate) — the registry keeps the
     expression form as the production operator and this as the API twin,
     the same discipline as kernel_search_count."""
-    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.functions import udtf
 
     @udtf(returnType="pos bigint, token string")
     class TokenPositions:
         def eval(self, text: str):
-            if text:
+            # None-guard only: an EMPTY string must still yield its one
+            # ('', pos 0) row — string_split('', ' ') = [''] in both the
+            # oracle and the posexplode twin, and a truthiness check here
+            # would silently diverge on empty documents.
+            if text is not None:
                 for i, tok in enumerate(text.split(" ")):
                     yield i, tok
 

@@ -63,3 +63,28 @@ def test_apply_changes_upsert_idempotent(spark, sf_small):
     a = {(r.o_orderkey, round(r.o_totalprice, 2)) for r in once.collect()}
     b = {(r.o_orderkey, round(r.o_totalprice, 2)) for r in twice.collect()}
     assert a == b and a
+
+
+def test_read_snapshot_refuses_uncommitted_version(spark, tmp_path):
+    """A v{N} directory without a pointer commit (the write/commit crash
+    window) must not be readable as a version — only committed snapshots
+    exist."""
+    import os
+
+    import pytest
+
+    from mapreduce__spark.operators.cdc import _commit_pointer, read_snapshot
+
+    root = str(tmp_path / "state")
+    os.makedirs(root)
+    df = spark.createDataFrame([(1, 10.0)], "k bigint, v double")
+    df.write.parquet(f"{root}/v0")
+    with pytest.raises(FileNotFoundError, match="no committed snapshot"):
+        read_snapshot(spark, root)
+    _commit_pointer(root, "v0")
+    # v1 written but never committed — the crash window
+    df.write.parquet(f"{root}/v1")
+    assert read_snapshot(spark, root).count() == 1
+    assert read_snapshot(spark, root, version=0).count() == 1
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        read_snapshot(spark, root, version=1)

@@ -21,12 +21,13 @@ def _avg_span_fraction(path: str, col: str) -> float:
         if not f.endswith(".parquet"):
             continue
         md = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = _col_idx(md, col)
         fmin = min(
-            md.row_group(i).column(_col_idx(md, col)).statistics.min
+            md.row_group(i).column(idx).statistics.min
             for i in range(md.num_row_groups)
         )
         fmax = max(
-            md.row_group(i).column(_col_idx(md, col)).statistics.max
+            md.row_group(i).column(idx).statistics.max
             for i in range(md.num_row_groups)
         )
         spans.append((fmin, fmax))
@@ -70,3 +71,18 @@ def test_zorder_shrinks_spans_on_both_dimensions(spark, sf_small, tmp_path):
     assert zc < 0.6 and zp < 0.6, (zc, zp)
     # and the clustered write loses no rows
     assert spark.read.parquet(zpath).count() == o.count()
+
+
+def test_zorder_guards_reject_silent_corruption(spark, sf_small):
+    """Over-budget bit interleave (>63 bits) and internal-name collisions
+    must raise loudly instead of silently corrupting the curve or
+    dropping user columns."""
+    import pytest
+
+    from mapreduce__spark.operators.layout import zorder_value
+
+    o = load_table(spark, sf_small, "orders").select("o_orderkey", "o_custkey")
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_value(o, ["o_orderkey", "o_custkey"], bits=32)
+    with pytest.raises(ValueError, match="_z"):
+        zorder_value(o.withColumn("_z", o.o_orderkey), ["o_orderkey"], bits=8)
