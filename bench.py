@@ -160,6 +160,12 @@ def _run_scaling(spark, sf_dir: str, sf: float, base_timings: dict[str, float]) 
         if "sf_below" in row and row["sf_below"] > 0:
             row["growth_below_to_base"] = round(row["sf_base"] / row["sf_below"], 2)
         row["growth_base_to_10x"] = round(row["sf_synth10x"] / row["sf_base"], 2)
+        if row["growth_base_to_10x"] > SCALE_FACTOR:
+            print(
+                f"SCALING REGRESSION: {name} grew {row['growth_base_to_10x']}x "
+                f"on {SCALE_FACTOR}x data — super-linear, investigate",
+                file=sys.stderr,
+            )
         out[name] = row
         gc.collect()
     return out
