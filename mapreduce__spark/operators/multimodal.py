@@ -438,6 +438,99 @@ def parse_flac_streaminfo(b: bytes) -> tuple[int, int, int, int]:
     return 0, 0, 0, 0
 
 
+def synth_tiff_bytes(doc_id: int) -> bytes:
+    """Valid minimal TIFF: byte-order mark (II for even ids, MM for odd),
+    magic 42, one IFD carrying ImageWidth(256)/ImageLength(257) SHORT
+    entries with dimensions derived from doc_id."""
+    w = (doc_id % 512) + 16
+    h = ((doc_id * 7) % 512) + 16
+    le = doc_id % 2 == 0
+    e = "<" if le else ">"
+    header = (b"II" if le else b"MM") + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+    def entry(tag: int, value: int) -> bytes:
+        # type 3 = SHORT, count 1; value left-justified in its 4-byte slot
+        # per spec (for LE that is the low bytes; for BE the HIGH bytes)
+        v = struct.pack(e + "H", value)
+        slot = v + b"\x00\x00" if le else v + b"\x00\x00"
+        return struct.pack(e + "HHI", tag, 3, 1) + slot
+    ifd = struct.pack(e + "H", 2) + entry(256, w) + entry(257, h) + struct.pack(e + "I", 0)
+    return header + ifd
+
+
+def parse_tiff_header(b: bytes) -> tuple[str, int, int]:
+    """(byte_order, width, height) from a real TIFF IFD walk: honor the
+    II/MM byte-order mark, follow the first-IFD offset, scan entries for
+    ImageWidth/ImageLength (SHORT or LONG inline values). ('', 0, 0) when
+    not a TIFF."""
+    if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+        return "", 0, 0
+    le = b[:2] == b"II"
+    e = "<" if le else ">"
+    if struct.unpack(e + "H", b[2:4])[0] != 42:
+        return "", 0, 0
+    off = struct.unpack(e + "I", b[4:8])[0]
+    if off + 2 > len(b):
+        return b[:2].decode(), 0, 0
+    n = struct.unpack(e + "H", b[off : off + 2])[0]
+    w = h = 0
+    for i in range(n):
+        p = off + 2 + 12 * i
+        if p + 12 > len(b):
+            break
+        tag, typ, _cnt = struct.unpack(e + "HHI", b[p : p + 8])
+        if typ == 3:  # SHORT, left-justified in the 4-byte slot
+            val = struct.unpack(e + "H", b[p + 8 : p + 10])[0]
+        elif typ == 4:  # LONG
+            val = struct.unpack(e + "I", b[p + 8 : p + 12])[0]
+        else:
+            continue
+        if tag == 256:
+            w = val
+        elif tag == 257:
+            h = val
+    return b[:2].decode(), w, h
+
+
+def synth_ogg_opus_bytes(doc_id: int) -> bytes:
+    """Valid Ogg page (OggS, BOS flag, one segment) wrapping an OpusHead
+    identification header: channels / pre-skip / input sample rate derive
+    from doc_id."""
+    channels = doc_id % 2 + 1
+    preskip = doc_id % 1000
+    rate = (8000, 16000, 44100, 48000)[doc_id % 4]
+    opus_head = (
+        b"OpusHead" + bytes([1, channels]) + struct.pack("<H", preskip)
+        + struct.pack("<I", rate) + struct.pack("<h", 0) + b"\x00"
+    )
+    page = (
+        b"OggS" + b"\x00" + b"\x02"              # version, header_type BOS
+        + struct.pack("<q", 0)                     # granule position
+        + struct.pack("<I", doc_id % 100000)       # bitstream serial
+        + struct.pack("<I", 0)                     # page sequence
+        + struct.pack("<I", 0)                     # crc (not validated here)
+        + bytes([1, len(opus_head)])               # 1 segment, its length
+        + opus_head
+    )
+    return page
+
+
+def parse_ogg_opus_header(b: bytes) -> tuple[int, int, int, int]:
+    """(serial, channels, pre_skip, sample_rate) via the real Ogg page
+    walk (segment table -> payload) and OpusHead layout; zeros when not
+    an Ogg/Opus stream."""
+    if b[:4] != b"OggS" or len(b) < 28:
+        return 0, 0, 0, 0
+    serial = struct.unpack("<I", b[14:18])[0]
+    nsegs = b[26]
+    payload = 27 + nsegs
+    if len(b) < payload + 19 or b[payload : payload + 8] != b"OpusHead":
+        return serial, 0, 0, 0
+    channels = b[payload + 9]
+    preskip = struct.unpack("<H", b[payload + 10 : payload + 12])[0]
+    rate = struct.unpack("<I", b[payload + 12 : payload + 16])[0]
+    return serial, channels, preskip, rate
+
+
 def resize_image_header(b: bytes, new_w: int, new_h: int) -> bytes:
     """Rewrite the container header so it declares (new_w, new_h) —
     the header half of a resize (pixel resampling stays behind the decode

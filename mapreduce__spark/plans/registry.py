@@ -126,6 +126,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "image_header_metadata",
     "media_header_metadata",
     "webp_flac_header_metadata",
+    "tiff_ogg_header_metadata",
     "image_resize_roundtrip",
     "audio_frame_sample",
     # streaming batch-twins (O-26), incl. the stream-stream interval join
@@ -136,7 +137,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # LLM training-data pipeline (O-12/O-18/O-24 composites + flagships)
     "pii_scrub",
     "decontaminate_eval_overlap",
-    "gopher_quality_rules",
     "sequence_packing",
     "training_data_pipeline",
     "training_data_pipeline_full",

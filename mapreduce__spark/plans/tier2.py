@@ -953,6 +953,72 @@ def webp_flac_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tiff_ogg_header_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST((doc_id % 512) + 16 AS BIGINT) AS width,
+           CAST(((doc_id * 7) % 512) + 16 AS BIGINT) AS height,
+           CAST(doc_id % 100000 AS BIGINT) AS serial,
+           CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+           CAST(doc_id % 1000 AS BIGINT) AS pre_skip,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                WHEN 2 THEN 44100 ELSE 48000 END AS BIGINT)
+             AS sample_rate
+    FROM documents
+    """,
+    tags=("tier2", "multimodal"),
+)
+def tiff_ogg_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF + Ogg/Opus header decode, byte-level (no media libraries): per
+    doc, a valid TIFF (II little-endian for even ids, MM big-endian for
+    odd — the parse honors the byte-order mark through the IFD entry walk
+    to ImageWidth/ImageLength) and a valid Ogg page wrapping an OpusHead
+    identification header (segment-table walk → channels/pre-skip/rate)
+    are synthesized with fields derived from doc_id and parsed back from
+    raw bytes. Same oracle round-trip pattern as image_header_metadata /
+    webp_flac_header_metadata — together the byte-level decode surface
+    now covers PNG/GIF/JPEG/WebP/TIFF images and WAV/MP4/FLAC/Ogg-Opus
+    media containers."""
+    from mapreduce__spark.operators.multimodal import (
+        parse_ogg_opus_header,
+        parse_tiff_header,
+        synth_ogg_opus_bytes,
+        synth_tiff_bytes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "byte_order": [], "width": [], "height": [],
+                "serial": [], "channels": [], "pre_skip": [], "sample_rate": [],
+            }
+            for i in pdf["doc_id"]:
+                i = int(i)
+                order, w, h = parse_tiff_header(synth_tiff_bytes(i))
+                serial, ch, skip, rate = parse_ogg_opus_header(
+                    synth_ogg_opus_bytes(i)
+                )
+                out["doc_id"].append(i)
+                out["byte_order"].append(order)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["serial"].append(serial)
+                out["channels"].append(ch)
+                out["pre_skip"].append(skip)
+                out["sample_rate"].append(rate)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema="doc_id bigint, byte_order string, width bigint, height bigint, "
+        "serial bigint, channels bigint, pre_skip bigint, sample_rate bigint",
+    )
+
+
+@query(
     "image_resize_roundtrip",
     oracle="""
     SELECT doc_id,

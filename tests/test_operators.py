@@ -717,3 +717,60 @@ def test_observe_counts_single_scan_metrics(spark, sf_oracle):
     assert stats["n"] == docs.count()
     assert stats["kept"] == kept_rows
     assert 0 < kept_rows < stats["n"] or kept_rows == stats["n"]
+
+
+def test_tiff_ogg_header_parsers_spec_edge_cases():
+    """TIFF IFD walk on hand-built fixtures the synthesizer never emits
+    (big-endian LONG-typed dimensions, extra leading tags) and Ogg pages
+    with multi-entry segment tables; garbage rejection on both."""
+    import struct
+
+    from mapreduce__spark.operators.multimodal import (
+        parse_ogg_opus_header,
+        parse_tiff_header,
+        synth_ogg_opus_bytes,
+        synth_tiff_bytes,
+    )
+
+    # hand-built big-endian TIFF with LONG (type 4) dims and a leading
+    # unrelated tag the walk must skip
+    e = ">"
+    header = b"MM" + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+    entries = [
+        struct.pack(e + "HHI", 254, 4, 1) + struct.pack(e + "I", 0),      # NewSubfileType
+        struct.pack(e + "HHI", 256, 4, 1) + struct.pack(e + "I", 70000),  # ImageWidth LONG
+        struct.pack(e + "HHI", 257, 4, 1) + struct.pack(e + "I", 50000),  # ImageLength LONG
+    ]
+    ifd = struct.pack(e + "H", len(entries)) + b"".join(entries) + struct.pack(e + "I", 0)
+    assert parse_tiff_header(header + ifd) == ("MM", 70000, 50000)
+    assert parse_tiff_header(b"") == ("", 0, 0)
+    assert parse_tiff_header(b"II" + struct.pack("<H", 43) + bytes(4)) == ("", 0, 0)
+
+    # Ogg page whose segment table has 2 entries (OpusHead split point
+    # irrelevant — payload starts after the table)
+    opus = (
+        b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+        + struct.pack("<I", 48000) + struct.pack("<h", 0) + b"\x00"
+    )
+    page = (
+        b"OggS\x00\x02" + struct.pack("<q", 0) + struct.pack("<I", 777)
+        + struct.pack("<I", 0) + struct.pack("<I", 0)
+        + bytes([2, len(opus), 0]) + opus
+    )
+    assert parse_ogg_opus_header(page) == (777, 2, 312, 48000)
+    assert parse_ogg_opus_header(b"NotOgg") == (0, 0, 0, 0)
+    # an Ogg page that is NOT Opus (e.g. Vorbis) keeps the serial, zeros the rest
+    vorbis_page = page[:27] + bytes([1, 7]) + b"\x01vorbis"
+    assert parse_ogg_opus_header(vorbis_page) == (777, 0, 0, 0)
+
+    # synthesizer round-trips across the id space, both byte orders
+    for i in (0, 1, 2, 511, 512, 99999, 123456):
+        assert parse_tiff_header(synth_tiff_bytes(i)) == (
+            "II" if i % 2 == 0 else "MM",
+            (i % 512) + 16,
+            ((i * 7) % 512) + 16,
+        )
+        assert parse_ogg_opus_header(synth_ogg_opus_bytes(i)) == (
+            i % 100000, i % 2 + 1, i % 1000,
+            (8000, 16000, 44100, 48000)[i % 4],
+        )

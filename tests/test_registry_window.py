@@ -34,6 +34,7 @@ NORTH_STAR = {
     # path transitions
     "stream_interval_join_batch",
     "webp_flac_header_metadata",
+    "tiff_ogg_header_metadata",
     "embedding_quantize_int8",
     "user_path_transitions",
     "merge_upsert",
@@ -58,7 +59,6 @@ NORTH_STAR = {
     "bpe_pair_counts",
     "pii_scrub",
     "decontaminate_eval_overlap",
-    "gopher_quality_rules",
     "training_data_pipeline",
     "training_data_pipeline_full",
     "image_header_metadata",
@@ -156,6 +156,9 @@ ROTATED_OUT_CORE = {
     # displaced late in round 4 by the udtf_token_positions addition
     # (green r2 and r3; text family keeps five in-window anchors)
     "tfidf_top_terms",
+    # displaced late in round 4 by the tiff_ogg_header_metadata addition
+    # (green r2 and r3; quality family keeps pii_scrub + unigram_lm_score)
+    "gopher_quality_rules",
 }
 
 
