@@ -448,11 +448,9 @@ def synth_tiff_bytes(doc_id: int) -> bytes:
     e = "<" if le else ">"
     header = (b"II" if le else b"MM") + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
     def entry(tag: int, value: int) -> bytes:
-        # type 3 = SHORT, count 1; value left-justified in its 4-byte slot
-        # per spec (for LE that is the low bytes; for BE the HIGH bytes)
-        v = struct.pack(e + "H", value)
-        slot = v + b"\x00\x00" if le else v + b"\x00\x00"
-        return struct.pack(e + "HHI", tag, 3, 1) + slot
+        # type 3 = SHORT, count 1; per spec the value is left-justified in
+        # its 4-byte slot in FILE byte order — first two bytes either way
+        return struct.pack(e + "HHI", tag, 3, 1) + struct.pack(e + "H", value) + b"\x00\x00"
     ifd = struct.pack(e + "H", 2) + entry(256, w) + entry(257, h) + struct.pack(e + "I", 0)
     return header + ifd
 
