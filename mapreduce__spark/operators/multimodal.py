@@ -225,6 +225,11 @@ def parse_image_header(b: bytes) -> tuple[str, int, int]:
             h, w = struct.unpack(">HH", b[i + 5 : i + 9])
             return "jpeg", w, h
         return "jpeg", 0, 0
+    if b[:2] == b"BM" and len(b) >= 26:
+        # BITMAPINFOHEADER: signed little-endian dims at offsets 18/22; a
+        # negative height is the legal top-down layout — report magnitude
+        w, h = struct.unpack("<ii", b[18:26])
+        return "bmp", abs(w), abs(h)
     return "unknown", 0, 0
 
 

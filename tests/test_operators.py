@@ -382,6 +382,13 @@ def test_image_header_parser_real_formats():
     app1 = b"\xff\xe1" + struct.pack(">H", 8) + b"Exif\x00\x00"
     sof2 = b"\xff\xc2" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 1080, 1920) + b"\x01\x01\x11\x00"
     assert parse_image_header(b"\xff\xd8" + app1 + sof2) == ("jpeg", 1920, 1080)
+    # BMP: BITMAPINFOHEADER with a NEGATIVE height (legal top-down
+    # layout) — magnitude reported
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 0, 0, 0, 54)
+        + struct.pack("<Iii", 40, 800, -600) + bytes(16)
+    )
+    assert parse_image_header(bmp) == ("bmp", 800, 600)
     # rejection
     assert parse_image_header(b"") == ("unknown", 0, 0)
     assert parse_image_header(b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09") == ("unknown", 0, 0)
