@@ -78,8 +78,13 @@ BENCH_QUERIES = [
 # flagships across TWO data decades — the shipped sf0.01 → sf0.1 decade,
 # and sf0.1 → a synthesized 10x corpus — so the O(N x bands) claim in
 # docs/SCALE.md carries measured growth numbers, not just plan analysis.
+# Round-4 VERDICT item 6 adds a THIRD decade (synth 100x, documents only)
+# for the LSH query alone: two measured decades of sub-quadratic growth
+# pin the 100 TB extrapolation much harder than one.
 SCALING_QUERIES = ["dedup_lsh_minhash", "training_data_pipeline"]
 SCALE_FACTOR = 10
+SCALE_FACTOR_2 = 100
+SCALE_2_QUERIES = ["dedup_lsh_minhash"]
 
 
 def _scaled_docs_dir(spark, sf_dir: str, factor: int) -> str:
@@ -108,13 +113,22 @@ def _scaled_docs_dir(spark, sf_dir: str, factor: int) -> str:
     real = os.path.realpath(sf_dir)
     tag = hashlib.sha256(real.encode()).hexdigest()[:12]
     name = real.rstrip("/").split("/")[-1]
-    out_dir = f"/tmp/mapreduce__spark_scale/{name}x{factor}-{tag}"
+    # v2: two-letter replica tags (cache must not reuse a v1 corpus)
+    out_dir = f"/tmp/mapreduce__spark_scale/{name}x{factor}-v2-{tag}"
     dst = f"{out_dir}/documents.parquet"
     src = f"{sf_dir}/documents.parquet"
     if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
         docs = spark.read.parquet(src)
         reps = spark.range(factor).withColumnRenamed("id", "rep")
-        letter = F.chr(F.lit(97) + F.col("rep"))
+        # Base-26 two-letter replica tag (aa, ab, ...): stays inside
+        # [a-z] for any factor <= 676 — single-char chr(97+rep) walks
+        # into punctuation/control chars past rep=29, which a \w-based
+        # tokenizer would drop, silently collapsing replicas into
+        # synthetic cross-replica near-dup cliques.
+        letter = F.concat(
+            F.chr(F.lit(97) + (F.col("rep") / 26).cast("int")),
+            F.chr(F.lit(97) + F.col("rep") % 26),
+        )
         suffixed = F.array_join(
             F.transform(
                 F.split(F.col("text"), " "),
@@ -151,22 +165,51 @@ def _run_scaling(spark, sf_dir: str, sf: float, base_timings: dict[str, float]) 
         tiers["sf_below"] = below_dir
     tiers["sf_synth10x"] = scaled_dir
     out: dict[str, dict[str, float]] = {}
+
+    def _growth(row: dict, key: str, num: str, den: str) -> None:
+        # Guard BOTH denominators: a median that rounds to 0.000 at a
+        # tiny sf must skip the ratio, not ZeroDivisionError the bench.
+        if row.get(den, 0) > 0 and num in row:
+            row[key] = round(row[num] / row[den], 2)
+
     for name in SCALING_QUERIES:
         row = {"sf_base": base_timings[name]}
         for tier, d in tiers.items():
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, d).collect()
             row[tier] = round(time.perf_counter() - t0, 3)
-        if "sf_below" in row and row["sf_below"] > 0:
-            row["growth_below_to_base"] = round(row["sf_base"] / row["sf_below"], 2)
-        row["growth_base_to_10x"] = round(row["sf_synth10x"] / row["sf_base"], 2)
-        if row["growth_base_to_10x"] > SCALE_FACTOR:
+        _growth(row, "growth_below_to_base", "sf_base", "sf_below")
+        _growth(row, "growth_base_to_10x", "sf_synth10x", "sf_base")
+        if row.get("growth_base_to_10x", 0) > SCALE_FACTOR:
             print(
                 f"SCALING REGRESSION: {name} grew {row['growth_base_to_10x']}x "
                 f"on {SCALE_FACTOR}x data — super-linear, investigate",
                 file=sys.stderr,
             )
         out[name] = row
+        gc.collect()
+
+    # Second decade: 100x documents, LSH only (the pipeline flagship's
+    # 100x corpus would be ~30x the bench budget for one data point; the
+    # LSH query is the one whose all-pairs-vs-bucketed distinction the
+    # extra decade exists to prove).
+    scaled_dir_2 = _scaled_docs_dir(spark, sf_dir, SCALE_FACTOR_2)
+    for name in SCALE_2_QUERIES:
+        row = out[name]
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, scaled_dir_2).collect()
+        row["sf_synth100x"] = round(time.perf_counter() - t0, 3)
+        _growth(row, "growth_base_to_100x", "sf_synth100x", "sf_base")
+        # Sub-quadratic bar on two decades: quadratic work on 100x data
+        # is 10,000x; linear is 100x. The bucketed-LSH plan should land
+        # FAR under linear at this absolute scale (fixed overheads still
+        # amortizing); >linear means candidate blowup — investigate.
+        if row.get("growth_base_to_100x", 0) > SCALE_FACTOR_2:
+            print(
+                f"SCALING REGRESSION: {name} grew {row['growth_base_to_100x']}x "
+                f"on {SCALE_FACTOR_2}x data — super-linear, investigate",
+                file=sys.stderr,
+            )
         gc.collect()
     return out
 
@@ -221,9 +264,10 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         out["scaling"] = _run_scaling(spark, sf_dir, sf, timings)
         out["scaling_note"] = (
-            f"synth10x = {SCALE_FACTOR}x documents cloned from {sf_dir} with "
-            "replica-suffixed tokens (gram-disjoint replicas, identical "
-            "per-replica duplicate density); single warm run per tier"
+            f"synth10x/synth100x = {SCALE_FACTOR}x/{SCALE_FACTOR_2}x documents "
+            f"cloned from {sf_dir} with replica-suffixed tokens (gram-disjoint "
+            "replicas, identical per-replica duplicate density); single warm "
+            "run per tier; 100x tier runs dedup_lsh_minhash only"
         )
 
     # Per-query regression deltas vs the previous round's recorded bench

@@ -3,11 +3,15 @@ streaming foreachBatch upsert sink.
 
 The relational core (apply_changes) is what Delta/Iceberg MERGE INTO
 compiles to: delete-and-replace keyed rows, drop 'D' ops. The streaming
-side applies each micro-batch to a VERSIONED parquet snapshot chain with
-an atomically-swapped current-version pointer — the poor man's table
-format, and deliberately so: every real table format is exactly this
-(immutable snapshot files + an atomic pointer), so the pattern carries to
-100 TB by swapping the pointer file for a metastore/catalog commit.
+side applies each micro-batch to a VERSIONED, hash-BUCKETED parquet
+snapshot with an atomically-swapped current-version pointer — the poor
+man's table format, and deliberately so: every real table format is
+exactly this (immutable data files + a manifest + an atomic commit), so
+the pattern carries to 100 TB by swapping the pointer file for a
+metastore/catalog commit. A batch rewrites only the buckets containing
+changed keys (manifest entries for untouched buckets keep pointing at
+the version that last wrote them), so per-batch I/O is bounded by change
+volume, not table size.
 
 Exactly-once: foreachBatch can re-deliver a batch after recovery. Two
 crash windows exist: (a) before the pointer commit — the re-run rebuilds
@@ -22,17 +26,38 @@ batch is skipped).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def apply_changes(base: DataFrame, changes: DataFrame, key: str, op_col: str = "op") -> DataFrame:
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> DataFrame:
     """Upsert semantics: rows with op 'U' replace (or insert) the base row
     with the same key; rows with op 'D' delete it. `changes` must carry
     the base schema plus `op_col`. One anti join + one union — both sides
     shuffle once on the uniform key.
+
+    CONTRACT: the change batch must be a NET change set — at most one row
+    per key — unless `seq_col` names a monotonically-increasing sequence
+    column (commit LSN, source offset, event time). With `seq_col` the
+    batch is first compacted to the latest row per key (max seq wins;
+    a deterministic op-code tiebreak of 'U' over 'D' guards against
+    producers that emit a D+U pair under one sequence number), so a
+    micro-batch carrying a key's full history applies as its final
+    state. WITHOUT `seq_col`, duplicate keys are rejected loudly rather
+    than guessed at: two 'U' rows for one key would both survive the
+    anti-join+union (a keyed-table invariant violation), and which of a
+    D/U pair "wins" would depend on nothing the data states. The probe
+    is a limit(1) over a count>1 aggregate — one narrow shuffle of the
+    key column, bounded output.
 
     Any OTHER op value is rejected loudly: the anti join removes every
     changed key from the base, so an unrecognized op (producer bug,
@@ -48,6 +73,41 @@ def apply_changes(base: DataFrame, changes: DataFrame, key: str, op_col: str = "
             f"apply_changes: unrecognized op {offenders[0]!r} in change "
             "batch (must be 'U' or 'D') — refusing to treat it as a delete"
         )
+    if seq_col is not None:
+        # Compact to the latest row per key. max_by is a hash aggregate
+        # (no window/sort); the struct comparator orders by (seq, op) so
+        # equal-seq D/U pairs resolve deterministically ('U' > 'D').
+        # seq_col survives only if it's part of the base schema (an
+        # updated_at-style table column); a transport-only LSN is dropped
+        # so the union below stays name-aligned with base.
+        keep = [
+            c for c in changes.columns
+            if c != seq_col or seq_col in base.columns
+        ]
+        changes = (
+            changes.groupBy(key)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in keep]),
+                    F.struct(F.col(seq_col), F.col(op_col)),
+                ).alias("_latest")
+            )
+            .select([F.col(f"_latest.{c}").alias(c) for c in keep])
+        )
+    else:
+        dup = (
+            changes.groupBy(key)
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > 1)
+            .limit(1)
+        )
+        dups = [r[key] for r in dup.collect()]
+        if dups:
+            raise ValueError(
+                f"apply_changes: multiple change rows for key {dups[0]!r} "
+                "in one batch — pass seq_col to compact to the latest row "
+                "per key, or pre-net the batch upstream"
+            )
     keys = changes.select(key).distinct()
     kept = base.join(keys, key, "left_anti")
     upserts = changes.where(F.col(op_col) == "U").drop(op_col)
@@ -77,11 +137,61 @@ def _commit_pointer(state_root: str, rel: str) -> None:
     os.replace(tmp, _pointer_path(state_root))
 
 
+def _manifest_path(version_dir: str) -> str:
+    return os.path.join(version_dir, "_MANIFEST.json")
+
+
+def _load_manifest(version_dir: str) -> dict | None:
+    """The version's bucket manifest, or None for a legacy monolithic
+    snapshot directory (plain parquet files, pre-bucketing layout)."""
+    try:
+        with open(_manifest_path(version_dir)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _write_manifest(version_dir: str, manifest: dict) -> None:
+    # tmp+rename like the pointer: a torn manifest must never be readable
+    # through a committed pointer.
+    tmp = _manifest_path(version_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _manifest_path(version_dir))
+
+
+def _bucket_data_path(state_root: str, owner_rel: str, bucket: int) -> str:
+    return os.path.join(state_root, owner_rel, "data", f"_bucket={bucket}")
+
+
+def _read_version_dir(spark, state_root: str, version_dir: str) -> DataFrame:
+    """Materialize one committed version as a DataFrame — resolving the
+    bucket manifest (each bucket read from the version that last wrote
+    it) or falling back to a plain read for legacy monolithic dirs."""
+    manifest = _load_manifest(version_dir)
+    if manifest is None:
+        return spark.read.parquet(version_dir)
+    paths = [
+        _bucket_data_path(state_root, owner, int(b))
+        for b, owner in manifest["buckets"].items()
+    ]
+    # A manifest entry whose dir is missing is a bucket that became empty
+    # (partitionBy writes no dir for zero rows) — skip, don't fail.
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(json.loads(manifest["schema"])))
+    return spark.read.parquet(*paths)
+
+
 def read_snapshot(spark, state_root: str, version: int | None = None) -> DataFrame:
     """Time travel over the snapshot chain: read the current state
     (version=None, via the pointer) or any retained historical version by
-    its batch id — the AS OF read every table format offers, here a plain
-    parquet read of the immutable per-batch directory.
+    its batch id — the AS OF read every table format offers. A version is
+    a bucket MANIFEST (bucket -> version that last rewrote it), so a read
+    assembles the table from immutable per-bucket parquet dirs across
+    versions; legacy monolithic version dirs read as plain parquet.
 
     Only COMMITTED versions are readable: a v{N} directory can exist
     without a pointer commit (the crash window between write and
@@ -93,7 +203,7 @@ def read_snapshot(spark, state_root: str, version: int | None = None) -> DataFra
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot under {state_root}")
     if version is None:
-        return spark.read.parquet(cur)
+        return _read_version_dir(spark, state_root, cur)
     committed = int(os.path.basename(cur)[1:])
     if version > committed:
         raise FileNotFoundError(
@@ -103,13 +213,47 @@ def read_snapshot(spark, state_root: str, version: int | None = None) -> DataFra
     path = os.path.join(state_root, f"v{version}")
     if not os.path.isdir(path):
         raise FileNotFoundError(f"snapshot v{version} not found under {state_root}")
-    return spark.read.parquet(path)
+    return _read_version_dir(spark, state_root, path)
 
 
-def stream_upsert_sink(changes_sdf: DataFrame, key: str, state_root: str, checkpoint_dir: str):
+def _bucket_expr(key: str, num_buckets: int):
+    """Deterministic key -> bucket assignment. xxhash64 is seed-stable
+    across sessions and executors, so a key lands in the same bucket for
+    the life of the table — the invariant the whole layout rests on."""
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
+
+
+def stream_upsert_sink(
+    changes_sdf: DataFrame,
+    key: str,
+    state_root: str,
+    checkpoint_dir: str,
+    seq_col: str | None = None,
+    num_buckets: int = 16,
+):
     """foreachBatch upsert sink: each micro-batch of change rows merges
     into the current snapshot and commits a new immutable version.
-    Returns the started StreamingQuery (AvailableNow trigger)."""
+    Returns the started StreamingQuery (AvailableNow trigger).
+
+    SCALE: the snapshot is hash-bucketed by key, and a batch rewrites
+    ONLY the buckets containing changed keys — per-batch I/O is bounded
+    by change volume x (table_size / num_buckets), not table size. A
+    version is a manifest mapping each bucket to the version that last
+    rewrote it; untouched buckets' files are shared byte-identical across
+    versions (tests/test_cdc.py pins this). This is exactly the
+    copy-on-write table-format layout (Delta/Iceberg partition rewrite
+    with an atomic metadata commit); at 100 TB you'd raise num_buckets so
+    a bucket is a few GB — the default 16 is sized for the test rig.
+    num_buckets is fixed at table creation; later calls adopt the stored
+    value (a re-bucket is a full rewrite, deliberately not implicit).
+
+    CONTRACT (inherited from apply_changes): each micro-batch must be a
+    net change set — one row per key — unless `seq_col` names the
+    source's sequence column, in which case the batch is compacted to
+    the latest row per key before applying. A real CDC feed routinely
+    delivers a key's full history inside one micro-batch, so production
+    callers should pass seq_col; without it a duplicate key fails the
+    batch loudly instead of silently writing duplicate keyed rows."""
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
@@ -124,12 +268,61 @@ def stream_upsert_sink(changes_sdf: DataFrame, key: str, state_root: str, checkp
         # already fully applied; do nothing.
         if cur is not None and os.path.basename(cur) == rel:
             return
-        if cur is not None:
+        drop_cols = ["op"] + ([seq_col] if seq_col else [])
+        prior = _load_manifest(cur) if cur is not None else None
+        nb = int(prior["num_buckets"]) if prior else num_buckets
+
+        # Changed buckets: one bounded probe (<= nb distinct values).
+        changed = sorted(
+            r.b
+            for r in bdf.select(_bucket_expr(key, nb).alias("b")).distinct().collect()
+        )
+
+        if prior is not None:
+            # Base = ONLY the changed buckets' current data. Rows in
+            # untouched buckets are never read, never rewritten.
+            base_paths = [
+                _bucket_data_path(state_root, prior["buckets"][str(b)], b)
+                for b in changed
+                if str(b) in prior["buckets"]
+            ]
+            base_paths = [p for p in base_paths if os.path.isdir(p)]
+            if base_paths:
+                base = spark.read.parquet(*base_paths)
+            else:
+                base = spark.createDataFrame([], bdf.drop(*drop_cols).schema)
+        elif cur is not None:
+            # Legacy monolithic snapshot below us: migrate by rewriting
+            # the whole table into the bucketed layout once.
             base = spark.read.parquet(cur)
+            changed = list(range(nb))
         else:
-            base = spark.createDataFrame([], bdf.drop("op").schema)
-        merged = apply_changes(base, bdf, key)
-        merged.write.mode("overwrite").parquet(os.path.join(state_root, rel))
+            base = spark.createDataFrame([], bdf.drop(*drop_cols).schema)
+
+        merged = apply_changes(base, bdf, key, seq_col=seq_col)
+        # merged holds exactly the changed buckets' new content (every
+        # batch key hashes into `changed`; base was restricted to it).
+        out = os.path.join(state_root, rel, "data")
+        merged.withColumn("_bucket", _bucket_expr(key, nb)).write.mode(
+            "overwrite"
+        ).partitionBy("_bucket").parquet(out)
+
+        buckets = dict(prior["buckets"]) if prior else {}
+        for b in changed:
+            # partitionBy writes no dir for an empty bucket — a changed
+            # bucket with no dir became empty; drop its manifest entry.
+            if os.path.isdir(_bucket_data_path(state_root, rel, b)):
+                buckets[str(b)] = rel
+            else:
+                buckets.pop(str(b), None)
+        _write_manifest(
+            os.path.join(state_root, rel),
+            {
+                "num_buckets": nb,
+                "buckets": buckets,
+                "schema": merged.schema.json(),
+            },
+        )
         _commit_pointer(state_root, rel)
 
     return (

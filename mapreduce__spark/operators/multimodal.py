@@ -226,10 +226,20 @@ def parse_image_header(b: bytes) -> tuple[str, int, int]:
             return "jpeg", w, h
         return "jpeg", 0, 0
     if b[:2] == b"BM" and len(b) >= 26:
-        # BITMAPINFOHEADER: signed little-endian dims at offsets 18/22; a
-        # negative height is the legal top-down layout — report magnitude
-        w, h = struct.unpack("<ii", b[18:26])
-        return "bmp", abs(w), abs(h)
+        # The DIB header-size field at offset 14 selects the layout:
+        # >=40 is BITMAPINFOHEADER-family (signed 32-bit dims at 18/22;
+        # a negative height is the legal top-down layout — report
+        # magnitude). 12 is the legacy BITMAPCOREHEADER with UNSIGNED
+        # 16-bit dims at 18/20 — reading 32 bits there would splice the
+        # planes/bpp fields into the height.
+        dib = struct.unpack("<I", b[14:18])[0]
+        if dib >= 40:
+            w, h = struct.unpack("<ii", b[18:26])
+            return "bmp", abs(w), abs(h)
+        if dib == 12 and len(b) >= 22:
+            w, h = struct.unpack("<HH", b[18:22])
+            return "bmp", w, h
+        return "unknown", 0, 0
     return "unknown", 0, 0
 
 

@@ -74,19 +74,25 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
-        # runtime-settable: without it the driver's plain session shuffles
-        # every query at Spark's default 200 partitions — wasteful task
-        # scheduling on the test rig and the wrong starting point for AQE
-        # coalescing at any scale. Sized from the SESSION's real
-        # parallelism, not this module's env constant — tune_session runs
-        # on externally-provided sessions whose core count we don't set.
-        (
-            "spark.sql.shuffle.partitions",
-            str(max(spark.sparkContext.defaultParallelism, 1)),
-        ),
     ):
         try:
             spark.conf.set(key, val)
         except Exception:
             pass  # static conf on some builds; harmless to skip
+    # runtime-settable: without it the driver's plain session shuffles
+    # every query at Spark's default 200 partitions — wasteful task
+    # scheduling on the test rig and the wrong starting point for AQE
+    # coalescing at any scale. Sized from the SESSION's real
+    # parallelism, not this module's env constant — tune_session runs
+    # on externally-provided sessions whose core count we don't set.
+    # The defaultParallelism lookup itself sits inside the try: a
+    # session without a live sparkContext (Spark Connect) should skip
+    # this one conf, not crash the whole tune.
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(spark.sparkContext.defaultParallelism, 1)),
+        )
+    except Exception:
+        pass
     return spark

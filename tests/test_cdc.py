@@ -65,6 +65,153 @@ def test_apply_changes_upsert_idempotent(spark, sf_small):
     assert a == b and a
 
 
+def test_apply_changes_rejects_duplicate_keys_without_seq(spark):
+    """Without seq_col, two change rows for one key are an invariant
+    violation (which one wins is undefined) — must fail loudly, not
+    write duplicate keyed rows."""
+    import pytest
+
+    base = spark.createDataFrame([(1, 10)], "k bigint, v bigint")
+    batch = spark.createDataFrame(
+        [(1, 11, "U"), (1, 12, "U")], "k bigint, v bigint, op string"
+    )
+    with pytest.raises(ValueError, match="multiple change rows"):
+        apply_changes(base, batch, "k")
+
+
+def test_apply_changes_seq_compacts_to_latest_per_key(spark):
+    """With seq_col a batch may carry a key's full history: compaction
+    keeps the max-seq row per key (so D+U order is decided by the data,
+    not luck), and an equal-seq D/U pair resolves deterministically to
+    'U'. The transport-only seq column is dropped from the output."""
+    base = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k bigint, v bigint")
+    batch = spark.createDataFrame(
+        [
+            # key 1: U then D (seq order) -> net delete
+            (1, 11, "U", 100),
+            (1, 0, "D", 101),
+            # key 2: D then U -> net upsert 22
+            (2, 0, "D", 200),
+            (2, 22, "U", 201),
+            # key 4: insert history, latest wins
+            (4, 40, "U", 300),
+            (4, 44, "U", 301),
+            # key 5: equal-seq D/U pair -> 'U' wins deterministically
+            (5, 55, "U", 400),
+            (5, 0, "D", 400),
+        ],
+        "k bigint, v bigint, op string, seq bigint",
+    )
+    got = {(r.k, r.v) for r in apply_changes(base, batch, "k", seq_col="seq").collect()}
+    assert got == {(2, 22), (3, 30), (4, 44), (5, 55)}
+
+
+def _dir_file_hashes(root):
+    """{relative parquet path: sha256} for every data file under root."""
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, root)] = hashlib.sha256(fh.read()).hexdigest()
+    return out
+
+
+def test_bucketed_sink_rewrites_only_changed_buckets(spark, tmp_path):
+    """The scale contract of the streaming upsert sink: a micro-batch's
+    I/O is bounded by CHANGE volume, not table size. Batch 1 touches a
+    handful of keys; afterwards (a) v1 holds data dirs only for the
+    buckets those keys hash into, (b) every untouched bucket's manifest
+    entry still points at v0 and its files are byte-identical, and
+    (c) the assembled snapshot equals the sequential batch merge."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce__spark.operators.cdc import (
+        _bucket_data_path,
+        _load_manifest,
+        current_snapshot_path,
+        read_snapshot,
+        stream_upsert_sink,
+    )
+
+    nb = 8
+    # batch 0: seed 2000 keys; batch 1: change 3 keys (2 upserts + 1 del)
+    b0 = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"), F.lit("U").alias("op")
+    )
+    b1 = spark.createDataFrame(
+        [(7, 777, "U"), (1900, 19999, "U"), (42, 0, "D")],
+        "k bigint, v bigint, op string",
+    )
+    src = tmp_path / "changes"
+    src.mkdir()
+    b0.coalesce(1).write.parquet(str(src / "batch0"))
+    b1.coalesce(1).write.parquet(str(src / "batch1"))
+    t0 = 1_700_000_000
+    for i, d in enumerate(("batch0", "batch1")):
+        for f in _os.listdir(src / d):
+            _os.utime(src / d / f, (t0 + i, t0 + i))
+
+    state_root = str(tmp_path / "state")
+    sdf = (
+        spark.readStream.schema("k bigint, v bigint, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_upsert_sink(
+        sdf, "k", state_root, str(tmp_path / "ckpt"), num_buckets=nb
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    assert _os.path.basename(current_snapshot_path(state_root)) == "v1"
+    v0_hashes_after = _dir_file_hashes(_os.path.join(state_root, "v0", "data"))
+    man0 = _load_manifest(_os.path.join(state_root, "v0"))
+    man1 = _load_manifest(_os.path.join(state_root, "v1"))
+    assert man0["num_buckets"] == man1["num_buckets"] == nb
+
+    # buckets of the changed keys, computed the same way the sink does
+    changed = {
+        r.b
+        for r in b1.select(
+            F.pmod(F.xxhash64("k"), F.lit(nb)).cast("int").alias("b")
+        ).collect()
+    }
+    assert changed and len(changed) < nb  # the test needs untouched buckets
+
+    # (a) v1 wrote exactly the changed buckets
+    v1_buckets = {
+        int(d.split("=")[1])
+        for d in _os.listdir(_os.path.join(state_root, "v1", "data"))
+        if d.startswith("_bucket=")
+    }
+    assert v1_buckets == changed
+    # (b) untouched buckets: manifest points at v0, files byte-identical
+    for b in range(nb):
+        if b in changed:
+            assert man1["buckets"][str(b)] == "v1"
+        else:
+            assert man1["buckets"][str(b)] == "v0"
+            assert _os.path.isdir(_bucket_data_path(state_root, "v0", b))
+    assert _dir_file_hashes(_os.path.join(state_root, "v0", "data")) == v0_hashes_after
+
+    # (c) assembled reads are correct, both current and time-travel
+    want = {(k, k * 10) for k in range(2000)} - {(7, 70), (1900, 19000), (42, 420)}
+    want |= {(7, 777), (1900, 19999)}
+    got = {(r.k, r.v) for r in read_snapshot(spark, state_root).collect()}
+    assert got == want
+    v0_read = {(r.k, r.v) for r in read_snapshot(spark, state_root, version=0).collect()}
+    assert v0_read == {(k, k * 10) for k in range(2000)}
+
+
 def test_read_snapshot_refuses_uncommitted_version(spark, tmp_path):
     """A v{N} directory without a pointer commit (the write/commit crash
     window) must not be readable as a version — only committed snapshots

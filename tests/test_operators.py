@@ -389,6 +389,20 @@ def test_image_header_parser_real_formats():
         + struct.pack("<Iii", 40, 800, -600) + bytes(16)
     )
     assert parse_image_header(bmp) == ("bmp", 800, 600)
+    # BMP: legacy BITMAPCOREHEADER (DIB size 12, unsigned 16-bit dims at
+    # 18/20) — must NOT be read through the INFOHEADER layout, which
+    # would splice planes/bpp into the height
+    core = (
+        b"BM" + struct.pack("<IHHI", 0, 0, 0, 26)
+        + struct.pack("<IHHHH", 12, 320, 240, 1, 24)
+    )
+    assert parse_image_header(core) == ("bmp", 320, 240)
+    # BMP with an unrecognized DIB header size: rejected, not garbage
+    weird = (
+        b"BM" + struct.pack("<IHHI", 0, 0, 0, 54)
+        + struct.pack("<Iii", 16, 800, 600) + bytes(16)
+    )
+    assert parse_image_header(weird) == ("unknown", 0, 0)
     # rejection
     assert parse_image_header(b"") == ("unknown", 0, 0)
     assert parse_image_header(b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09") == ("unknown", 0, 0)

@@ -294,27 +294,33 @@ def test_stream_upsert_sink_equals_sequential_batch_merge(spark, sf_small, tmp_p
     from mapreduce__spark.operators.cdc import (
         apply_changes,
         current_snapshot_path,
+        read_snapshot,
         stream_upsert_sink,
     )
 
     o = load_table(spark, sf_small, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    # batch 0: upsert every %3 key (price+1); batch 1: delete every %9 key,
-    # upsert every %5 key (price+2) — overlapping keys across batches, so
-    # ordering matters and the test catches out-of-order application.
+    # batch 0: upsert every %3 key (price+1); batch 1: delete every %9 key
+    # (seq 0), then upsert every %5 key (seq 1) — keys divisible by both
+    # carry a D+U pair inside ONE micro-batch, so the test exercises the
+    # seq_col compaction path (without seq_col such a batch is rejected
+    # as ambiguous), plus overlapping keys ACROSS batches so out-of-order
+    # application is caught too.
     b0 = o.where(F.col("o_orderkey") % 3 == 0).select(
         "o_orderkey",
         (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
         F.lit("U").alias("op"),
+        F.lit(0).alias("seq"),
     )
     b1_del = o.where(F.col("o_orderkey") % 9 == 0).select(
-        "o_orderkey", F.col("o_totalprice"), F.lit("D").alias("op")
+        "o_orderkey", F.col("o_totalprice"), F.lit("D").alias("op"), F.lit(0).alias("seq")
     )
     b1_up = o.where(F.col("o_orderkey") % 5 == 0).select(
         "o_orderkey",
         (F.col("o_totalprice") + 2.0).alias("o_totalprice"),
         F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
     )
     b1 = b1_del.unionByName(b1_up)
 
@@ -331,29 +337,31 @@ def test_stream_upsert_sink_equals_sequential_batch_merge(spark, sf_small, tmp_p
     state_root = str(tmp_path / "state")
     ckpt = str(tmp_path / "ckpt")
     sdf = (
-        spark.readStream.schema("o_orderkey bigint, o_totalprice double, op string")
+        spark.readStream.schema(
+            "o_orderkey bigint, o_totalprice double, op string, seq int"
+        )
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
     )
-    q = stream_upsert_sink(sdf, "o_orderkey", state_root, ckpt)
+    q = stream_upsert_sink(sdf, "o_orderkey", state_root, ckpt, seq_col="seq")
     q.awaitTermination(120)
     if q.isActive:
         q.stop()
 
     got = {
         (r.o_orderkey, round(r.o_totalprice, 2))
-        for r in spark.read.parquet(current_snapshot_path(state_root)).collect()
+        for r in read_snapshot(spark, state_root).collect()
     }
     # sequential batch-mode application of the same two batches
     base = spark.createDataFrame([], "o_orderkey bigint, o_totalprice double")
-    base = apply_changes(base, b0, "o_orderkey")
-    base = apply_changes(base, b1, "o_orderkey")
+    base = apply_changes(base, b0, "o_orderkey", seq_col="seq")
+    base = apply_changes(base, b1, "o_orderkey", seq_col="seq")
     want = {(r.o_orderkey, round(r.o_totalprice, 2)) for r in base.collect()}
     assert got == want and want
 
     # replay with the same checkpoint: no new batches, same pointer
     before = current_snapshot_path(state_root)
-    q2 = stream_upsert_sink(sdf, "o_orderkey", state_root, ckpt)
+    q2 = stream_upsert_sink(sdf, "o_orderkey", state_root, ckpt, seq_col="seq")
     q2.awaitTermination(60)
     if q2.isActive:
         q2.stop()
@@ -373,6 +381,7 @@ def test_stream_upsert_sink_equals_sequential_batch_merge(spark, sf_small, tmp_p
             spark.createDataFrame([], "o_orderkey bigint, o_totalprice double"),
             b0,
             "o_orderkey",
+            seq_col="seq",
         ).collect()
     }
     assert v0 == want_v0 and v0 != got
