@@ -1,4 +1,5 @@
-"""Connected components — duplicate-pair graphs into duplicate CLUSTERS.
+"""Graph analytics: integer mass propagation (PageRank push steps) and
+connected components — duplicate-pair graphs into duplicate CLUSTERS.
 
 Near-dup detection yields PAIRS; dedup policy needs CLUSTERS ("keep one
 representative per group of mutually-similar docs"), i.e. connected
@@ -26,6 +27,62 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def propagate_mass(
+    edges: DataFrame,
+    k: int,
+    initial_mass: int = 1_000_000,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """k supersteps of integer mass propagation over a bipartite edge
+    list (columns ``c``, ``s``) — the PageRank push step, parameterized.
+    Every c-side node starts with ``initial_mass``; each superstep splits
+    a node's mass by integer division across its edges and sums at the
+    receivers, alternating direction (c→s, s→c, ...). Returns the mass
+    table keyed by ``c`` when k is even, ``s`` when odd.
+
+    Integer mass ``//`` degree keeps the result order-independent (float
+    summation order would make cross-engine bit-equality luck), so any k
+    is exactly oracle-checkable by unrolled SQL.
+
+    Scale/loop discipline: the edge list is materialized once with BOTH
+    degree columns attached (narrow: two ids + two ints), so each
+    superstep is exactly one join (static edges ⋈ shrinking mass table)
+    plus one partially-aggregated groupBy — the Pregel message-passing
+    shape. ``checkpoint_every`` truncates lineage the same way
+    :func:`connected_components` does; without it superstep i replays
+    supersteps 0..i-1 and the loop goes quadratic in k."""
+    if k < 1:
+        raise ValueError("propagate_mass: k must be >= 1")
+    # Materialize the (possibly expensive) upstream edge derivation once:
+    # degc/degs/e below would otherwise re-execute it three times.
+    edges = edges.select("c", "s").localCheckpoint(eager=True)
+    degc = edges.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
+    degs = edges.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+    e = edges.join(degc, "c").join(degs, "s").localCheckpoint(eager=True)
+
+    # integer division with truncation toward zero on non-negative mass —
+    # identical semantics to DuckDB's `//` for the positive values here
+    from mapreduce__spark.operators.windows import idiv
+
+    mass = degc.select("c", F.lit(initial_mass).cast("bigint").alias("mass"))
+    for i in range(k):
+        if i % 2 == 0:  # c -> s
+            mass = (
+                e.join(mass, "c")
+                .groupBy("s")
+                .agg(F.sum(idiv(F.col("mass"), F.col("dc"))).alias("mass"))
+            )
+        else:  # s -> c
+            mass = (
+                e.join(mass, "s")
+                .groupBy("c")
+                .agg(F.sum(idiv(F.col("mass"), F.col("ds"))).alias("mass"))
+            )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < k:
+            mass = mass.localCheckpoint(eager=True)
+    return mass
 
 
 def connected_components(

@@ -267,6 +267,118 @@ def with_wav_payload(docs: DataFrame) -> DataFrame:
     return _with_payload(docs, synth_wav_bytes)
 
 
+# --------------------------------------------------------------------------
+# REAL pixel decode: uncompressed 24-bit BMP. The one raster format whose
+# pixel layer is pure byte layout (no entropy coding), so a full decode —
+# not just the header — needs no media library. This closes the honest gap
+# the stub above declares: for BMP the "decode" cell is real and
+# oracle-checked; PNG/JPEG pixel decode stays behind REAL_DECODE_AVAILABLE.
+# --------------------------------------------------------------------------
+
+
+def synth_bmp_bytes(doc_id: int) -> bytes:
+    """Deterministic, spec-valid uncompressed 24-bit BMP. Dimensions and
+    every pixel are pure functions of doc_id so an SQL oracle can verify
+    the full pixel decode:
+
+        width  = doc_id % 13 + 4,  height = (doc_id*7) % 11 + 4
+        B(x,y) = (doc_id   + 3x + 5y) % 256        (y = row from TOP)
+        G(x,y) = (2*doc_id +  x + 7y) % 256
+        R(x,y) = (3*doc_id + 11x + y) % 256
+
+    Deliberate decode hazards baked in: every doc_id % 5 == 0 file uses
+    the top-down layout (negative biHeight), all others bottom-up (rows
+    stored last-to-first), and row-stride padding bytes are 0xAB — a
+    decoder that ignores row order or reads rows as contiguous w*3 bytes
+    produces wrong answers, which the top-left-pixel column catches."""
+    w = doc_id % 13 + 4
+    h = (doc_id * 7) % 11 + 4
+    top_down = doc_id % 5 == 0
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            row += bytes(
+                (
+                    (doc_id + 3 * x + 5 * y) % 256,      # B
+                    (2 * doc_id + x + 7 * y) % 256,      # G
+                    (3 * doc_id + 11 * x + y) % 256,     # R
+                )
+            )
+        row += b"\xab" * (stride - 3 * w)
+        rows.append(bytes(row))
+    pixel_data = b"".join(rows if top_down else rows[::-1])
+    data_offset = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", data_offset + len(pixel_data), 0, 0, data_offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, -h if top_down else h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0,
+    )
+    return header + dib + pixel_data
+
+
+def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """FULL pixel decode of an uncompressed 24-bit BMP from raw bytes:
+    (width, height, n_pixels, sum_r, sum_g, sum_b, topleft_rgb), where
+    topleft_rgb = R+G+B of the pixel at image coordinate (0,0) — the row
+    whose STORAGE position depends on the bottom-up/top-down layout, so
+    it proves row-order handling, not just byte summing. Raises on
+    anything that isn't a 24bpp uncompressed BITMAPINFOHEADER BMP (a real
+    pipeline routes those to the library-backed decoder).
+
+    Vectorized: one np.frombuffer over the pixel array, reshaped by the
+    4-byte-aligned row stride, padding columns sliced off."""
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack("<I", b[10:14])[0]
+    dib = struct.unpack("<I", b[14:18])[0]
+    if dib < 40:
+        raise ValueError("not a BITMAPINFOHEADER BMP")
+    w, h_signed = struct.unpack("<ii", b[18:26])
+    planes, bpp = struct.unpack("<HH", b[26:30])
+    compression = struct.unpack("<I", b[30:34])[0]
+    if bpp != 24 or compression != 0 or planes != 1 or w <= 0 or h_signed == 0:
+        raise ValueError("unsupported BMP variant (need uncompressed 24bpp)")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) // 4 * 4
+    if len(b) < data_offset + stride * h:
+        raise ValueError("truncated BMP pixel array")
+    arr = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_offset)
+    arr = arr.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)  # rows x cols x BGR
+    if h_signed > 0:  # bottom-up storage: first stored row is the BOTTOM
+        arr = arr[::-1]
+    sums = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    topleft = int(arr[0, 0].astype(np.int64).sum())
+    return w, h, w * h, int(sums[2]), int(sums[1]), int(sums[0]), topleft
+
+
+def with_bmp_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with synthesized full 24-bit BMP files."""
+    return _with_payload(docs, synth_bmp_bytes)
+
+
+def bmp_pixel_features(mm: DataFrame) -> DataFrame:
+    """Arrow-batched full pixel decode over BMP payload bytes."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b", "topleft_rgb")
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": []} | {c: [] for c in cols}
+            for i, payload in zip(pdf["doc_id"], pdf["payload"]):
+                vals = decode_bmp_pixels(bytes(payload))
+                out["doc_id"].append(int(i))
+                for c, v in zip(cols, vals):
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        decode,
+        schema="doc_id bigint, width bigint, height bigint, n_pixels bigint, "
+        "sum_r bigint, sum_g bigint, sum_b bigint, topleft_rgb bigint",
+    )
+
+
 def synth_wav_bytes(doc_id: int) -> bytes:
     """Valid WAV (RIFF) header: channels/sample-rate/frame-count are pure
     functions of doc_id for oracle round-trip verification."""

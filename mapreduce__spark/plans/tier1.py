@@ -1415,6 +1415,20 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _custkey_suppkey_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (custkey, suppkey) bipartite edge list from orders ⋈
+    lineitem — shared by both mass-propagation queries. The caller
+    (propagate_mass) materializes it once; Catalyst would otherwise
+    re-run the most expensive join per degree/superstep consumer."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+
+
 @query(
     "graph_mass_propagation",
     oracle="""
@@ -1440,53 +1454,79 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tier1", "graph"),
 )
 def graph_mass_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank's propagation step, two supersteps unrolled, over the
-    customer-supplier bipartite graph (distinct (custkey, suppkey) edges
-    from orders ⋈ lineitem): every customer starts with integer mass 1e6,
-    splits it by integer division across its suppliers, and the suppliers
-    split what they receive back across their customers — top-25 customers
-    by returned mass (the two-hop influence score).
+    """PageRank's propagation step (k=2 supersteps via the parameterized
+    propagate_mass loop) over the customer-supplier bipartite graph
+    (distinct (custkey, suppkey) edges from orders ⋈ lineitem): every
+    customer starts with integer mass 1e6, splits it by integer division
+    across its suppliers, and the suppliers split what they receive back
+    across their customers — top-25 customers by returned mass (the
+    two-hop influence score).
 
     Integer mass div degree is the whole trick for verifiability: float
     PageRank sums contributions in nondeterministic order, so a bit-exact
     cross-engine hash would be luck; integer sums are order-independent
     and the div truncation is defined identically in both engines.
 
-    Scale shape: each superstep is edges ⋈ masses (uniform keys) + one
-    partial-agged groupBy — the Pregel message-passing shape; a real
-    k-iteration run loops this DataFrame step under localCheckpoint every
-    few supersteps to cut lineage (the connected_components operator in
-    operators/graph.py already demonstrates that loop discipline)."""
-    from mapreduce__spark.operators.windows import idiv
+    Scale shape: each superstep is static edges ⋈ shrinking masses
+    (uniform keys) + one partial-agged groupBy — the Pregel
+    message-passing shape, with localCheckpoint lineage truncation every
+    few supersteps (see operators/graph.py propagate_mass)."""
+    from mapreduce__spark.operators.graph import propagate_mass
 
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    # The edge list feeds FOUR consumers (both degree counts and both
-    # superstep joins) and Catalyst does not share the common subtree —
-    # materialize the orders x lineitem distinct once instead of running
-    # the most expensive join three times (the same localCheckpoint
-    # discipline connected_components uses per iteration).
-    edges = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    degc = edges.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
-    m1 = (
-        edges.join(degc, "c")
-        .groupBy("s")
-        .agg(F.sum(idiv(F.lit(1000000).cast("bigint"), F.col("dc"))).alias("mass1"))
-    )
-    degs = edges.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
-    m2 = (
-        edges.join(m1, "s")
-        .join(degs, "s")
-        .groupBy("c")
-        .agg(F.sum(idiv(F.col("mass1"), F.col("ds"))).alias("mass"))
-    )
+    m = propagate_mass(_custkey_suppkey_edges(spark, sf_dir), k=2)
     return (
-        m2.select(F.col("c").alias("custkey"), F.col("mass").cast("bigint"))
+        m.select(F.col("c").alias("custkey"), F.col("mass").cast("bigint"))
+        .orderBy(F.col("mass").desc(), F.col("custkey").asc())
+        .limit(25)
+    )
+
+
+@query(
+    "graph_mass_propagation_k4",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), degc AS (
+        SELECT c, count(*) AS d FROM edges GROUP BY c
+    ), degs AS (
+        SELECT s, count(*) AS d FROM edges GROUP BY s
+    ), m1 AS (
+        SELECT e.s, CAST(sum(1000000 // degc.d) AS BIGINT) AS mass
+        FROM edges e JOIN degc ON e.c = degc.c
+        GROUP BY e.s
+    ), m2 AS (
+        SELECT e.c, CAST(sum(m1.mass // degs.d) AS BIGINT) AS mass
+        FROM edges e JOIN m1 ON e.s = m1.s JOIN degs ON e.s = degs.s
+        GROUP BY e.c
+    ), m3 AS (
+        SELECT e.s, CAST(sum(m2.mass // degc.d) AS BIGINT) AS mass
+        FROM edges e JOIN m2 ON e.c = m2.c JOIN degc ON e.c = degc.c
+        GROUP BY e.s
+    ), m4 AS (
+        SELECT e.c, CAST(sum(m3.mass // degs.d) AS BIGINT) AS mass
+        FROM edges e JOIN m3 ON e.s = m3.s JOIN degs ON e.s = degs.s
+        GROUP BY e.c
+    )
+    SELECT c AS custkey, mass FROM m4
+    ORDER BY mass DESC, custkey ASC LIMIT 25
+    """,
+    tags=("tier1", "graph"),
+)
+def graph_mass_propagation_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four supersteps of the same integer mass propagation — the
+    k-parameterized Pregel loop (operators/graph.py propagate_mass) run
+    long enough to cross the lineage-truncation boundary: with
+    checkpoint_every=2 the loop localCheckpoints mid-run, so this query
+    attests the CHECKPOINTED iteration path, not just two unrolled
+    steps. The oracle unrolls all four supersteps in SQL with the same
+    integer algebra (order-independent sums, defined truncation), so the
+    iterative DataFrame loop is bit-exact-checkable at k=4."""
+    from mapreduce__spark.operators.graph import propagate_mass
+
+    m = propagate_mass(_custkey_suppkey_edges(spark, sf_dir), k=4)
+    return (
+        m.select(F.col("c").alias("custkey"), F.col("mass").cast("bigint"))
         .orderBy(F.col("mass").desc(), F.col("custkey").asc())
         .limit(25)
     )

@@ -797,9 +797,67 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched (stub) decode/feature-extraction over binary
-    payloads via mapInPandas — the multimodal processing skeleton."""
+    payloads via mapInPandas — the multimodal processing skeleton.
+    For a REAL, oracle-checked pixel decode see bmp_pixel_decode."""
     mm = with_binary_payload(load_table(spark, sf_dir, "documents"))
     return extract_features(mm)
+
+
+@query(
+    "bmp_pixel_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id % 13 + 4        AS width,
+             (doc_id * 7) % 11 + 4  AS height
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, width, height,
+             unnest(generate_series(0, width - 1)) AS x
+      FROM dims
+    ),
+    pxy AS (
+      SELECT doc_id, width, height, x,
+             unnest(generate_series(0, height - 1)) AS y
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT)  AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum((3 * doc_id + 11 * x + y) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((2 * doc_id + x + 7 * y) % 256) AS BIGINT)  AS sum_g,
+           CAST(sum((doc_id + 3 * x + 5 * y) % 256) AS BIGINT)  AS sum_b,
+           CAST((3 * doc_id) % 256 + (2 * doc_id) % 256 + doc_id % 256
+                AS BIGINT) AS topleft_rgb
+    FROM pxy
+    GROUP BY doc_id, width, height
+    """,
+    tags=("tier2", "multimodal"),
+)
+def bmp_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode, no media libraries: per doc a spec-valid
+    uncompressed 24-bit BMP is synthesized (every pixel a pure function
+    of doc_id and its (x, y) coordinate) and fully decoded BACK from raw
+    bytes — data-offset and DIB fields read from the header, the pixel
+    array walked by its 4-byte-aligned row stride with padding sliced
+    off, bottom-up vs top-down (negative biHeight) row order normalized.
+    The oracle regenerates every pixel in SQL and aggregates, so channel
+    sums verify the whole pixel array and the top-left-pixel column
+    pins row-order handling (a decoder ignoring layout direction fails
+    it). This upgrades O-25's decode cell from declared stub to checked
+    decode for the one raster format whose pixel layer is pure byte
+    layout; entropy-coded formats (PNG/JPEG) stay behind the
+    REAL_DECODE_AVAILABLE gate. Arrow-batched mapInPandas, partition-
+    preserving, payloads never shuffled."""
+    from mapreduce__spark.operators.multimodal import (
+        bmp_pixel_features,
+        with_bmp_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bmp_pixel_features(with_bmp_payload(docs))
 
 
 @query(

@@ -46,3 +46,46 @@ def test_driver_and_distributed_paths_agree(spark):
         for r in connected_components(df, driver_threshold=0).collect()
     }
     assert fast == dist and len(fast) == 14  # 9 + 3 + 2 nodes
+
+
+def test_propagate_mass_matches_hand_fold(spark):
+    """k-superstep integer mass propagation on a tiny bipartite graph,
+    checked against a single-threaded fold for k=1..4 (odd k ends
+    s-keyed, even k c-keyed; checkpoint_every=2 exercises the
+    mid-loop lineage truncation at k>=3)."""
+    from mapreduce__spark.operators.graph import propagate_mass
+
+    edges = [(1, 10), (1, 11), (2, 10), (3, 12)]
+    df = spark.createDataFrame(edges, "c bigint, s bigint")
+
+    def fold(k, initial=1_000_000):
+        from collections import Counter
+
+        dc = Counter(c for c, _ in edges)
+        ds = Counter(s for _, s in edges)
+        mass = {c: initial for c in dc}
+        for i in range(k):
+            nxt: Counter = Counter()
+            if i % 2 == 0:
+                for c, s in edges:
+                    nxt[s] += mass[c] // dc[c]
+            else:
+                for c, s in edges:
+                    if s in mass:
+                        nxt[c] += mass[s] // ds[s]
+            mass = dict(nxt)
+        return mass
+
+    for k in range(1, 5):
+        got = {tuple(r) for r in propagate_mass(df, k=k).collect()}
+        assert got == set(fold(k).items()), f"k={k}"
+
+
+def test_propagate_mass_rejects_bad_k(spark):
+    import pytest
+
+    from mapreduce__spark.operators.graph import propagate_mass
+
+    df = spark.createDataFrame([(1, 10)], "c bigint, s bigint")
+    with pytest.raises(ValueError, match="k must be"):
+        propagate_mass(df, k=0)
