@@ -53,93 +53,103 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # The driver's CORRECTNESS harness checks the FIRST 50 registry entries, so
 # ordering is part of the verification contract. Rotation policy (round-3
-# VERDICT item 1): the goal is that EVERY oracle-bearing query holds a green
-# driver CORRECTNESS row in SOME round, so each round swaps multiply-attested
-# stalwarts out for entries the external signal has never seen. Every window
-# entry has a DuckDB oracle (full rows+schema+hash check); queries outside
-# the window stay bit-exact-gated by the repo's own pytest oracle harness
+# VERDICT item 1, extended round 5): first make EVERY oracle-bearing query
+# hold a green driver CORRECTNESS row in SOME round (achieved by r4 — the
+# r1∪r2∪r3∪r4 union covers all 107), then rotate so single-attestation
+# queries accumulate a SECOND driver round. Every window entry has a DuckDB
+# oracle (full rows+schema+hash check); queries outside the window stay
+# bit-exact-gated by the repo's own pytest oracle harness
 # (tests/test_oracle.py, all SQL-expressible queries differentially at
 # sf0.001 every run), and
 # tests/test_registry_window.py::test_rotated_out_core_stays_oracle_gated
 # pins that rotated-out entries keep their oracles.
 #
-# Round-4 rotation: IN — the 16 oracle-bearing queries never attested in
-# r1-r3 (funnel_analysis, retention_cohort, value_histogram,
-# embedding_outliers, join_bloom_pruned, image_resize_roundtrip,
-# audio_frame_sample, events_rollup_gapfill, percentiles, profile_table,
-# stratified_sample, token_positions, collect_set_sorted, repetition_ratio,
-# array_functions, map_functions) plus the six round-4 additions
-# (stream_interval_join_batch, webp_flac_header_metadata,
-# embedding_quantize_int8, user_path_transitions, merge_upsert,
-# scd2_intervals). OUT — 22 stalwarts, each green in CORRECTNESS_r03.json
-# (most also r1/r2), each still covered by an in-window family sibling.
+# Round-5 rotation is DERIVED FROM DATA, not hand-listed (round-4 ADVICE:
+# the r4 rotation comments drifted from the code): the audit-trail test
+# tests/test_registry_window.py::test_window_prioritizes_low_attestation
+# recomputes green-attestation counts from the checked-in
+# CORRECTNESS_r0*.json files and asserts the policy below, so the comment
+# cannot silently disagree with the window again.
+#   IN  — the 2 round-5 additions, never driver-attested
+#         (bmp_pixel_decode, graph_mass_propagation_k4), plus 48 of the 54
+#         single-attestation queries: all 29 whose one green row is from
+#         r1/r2/r3 (oldest evidence first) and 19 of the 25 r4 first-timers,
+#         prioritizing the ones whose code changed after the r4 run (the
+#         CDC pair: bucketed snapshot rewrite; the multimodal set: DIB
+#         header-size gate) and the structurally complex ones.
+#   OUT — every query already green in ≥2 rounds (53 of them), plus 6 r4
+#         first-timers deferred to round 6 whose code is untouched since
+#         their green r4 row and whose shape is simple scalar/text
+#         (array_functions, map_functions, collect_set_sorted,
+#         token_positions, repetition_ratio, value_histogram).
 # The intentionally-approximate (rows-only) queries sit past the window so
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # tier-0 reference core + the generic kernel (O-1, O-2, O-27)
-    "search_count",
-    "kernel_search_count",
-    # aggregation surface (O-11)
-    "pricing_summary",
-    "percentiles",
-    "value_histogram",
-    "profile_table",
-    # joins (O-13..O-16) + CDC shapes (round 4)
-    "join_broadcast_star",
-    "join_range",
-    "join_bloom_pruned",
-    "join_skew_salted",
+    # round-5 additions — never driver-attested (O-25 real pixel decode,
+    # O-1/O-16 k-step Pregel loop with mid-run lineage truncation)
+    "bmp_pixel_decode",
+    "graph_mass_propagation_k4",
+    # tier-0 scan/filter/project/group core (O-3..O-6) — single r1 row
+    "scan_project",
+    "filter_predicates",
+    "groupby_count",
+    "distinct_dedup",
+    # aggregation surface (O-11) — single r1 row each
+    "agg_multi",
+    "stats_moments",
+    "correlation",
+    "cube_agg",
+    "unpivot_metrics",
+    # single-attestation joins + TPC-H-shaped composites (O-13, O-2)
+    "join_outer",
+    "large_volume_customers",
+    "local_supplier_volume",
+    "shipping_priority",
+    "revenue_forecast",
+    "sql_cte_exists",
+    # window functions (O-18) — single r1 row each
+    "window_frames",
+    "window_distribution",
+    # scalar function surface (O-21) — single r1/r2 row each
+    "date_arithmetic",
+    "json_extraction",
+    "json_typed_struct",
+    "text_normalize",
+    "string_agg_per_group",
+    "null_semantics",
+    # text analysis / doc pipeline primitives (O-24) — single r1 row each
+    "lang_id",
+    "doc_quality_score",
+    "doc_token_stats",
+    "doc_fingerprint",
+    # r3 first-timers needing a second row (O-22, O-24)
+    "dedup_keep_best",
+    "sequence_packing_chunked",
+    # r4 first-timers whose code CHANGED since their green row: the CDC
+    # pair now runs on the bucketed snapshot store (operators/cdc.py),
+    # the multimodal set on the DIB-size-gated BMP parser
     "merge_upsert",
     "scd2_intervals",
+    "image_resize_roundtrip",
+    "audio_frame_sample",
+    "tiff_ogg_header_metadata",
+    "webp_flac_header_metadata",
+    # r4 first-timers, complex shapes, second attestation (O-11, O-14,
+    # O-16..O-18, O-23, O-26, O-27)
+    "percentiles",
+    "profile_table",
+    "join_bloom_pruned",
     "graph_mass_propagation",
-    # window functions / analytics (O-17, O-18, O-20)
-    "rolling_user_features",
     "funnel_analysis",
     "retention_cohort",
     "events_rollup_gapfill",
     "stratified_sample",
     "user_path_transitions",
-    # scalar function surface (O-21) — array/map/string breadth
-    "array_functions",
-    "map_functions",
-    # text analysis (O-24) incl. the LM-based quality filter, the
-    # BPE-training pair counter, and the UDTF API twin
-    "udtf_token_positions",
-    "unigram_lm_score",
-    "bpe_pair_counts",
-    "token_positions",
-    "collect_set_sorted",
-    "repetition_ratio",
-    # near-dup detection (O-22)
-    "dedup_lsh_minhash",
-    "dedup_incremental",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    # similarity search + embedding statistics (O-23)
-    "ann_topk_bruteforce",
-    "embedding_correlation",
+    "stream_interval_join_batch",
     "embedding_outliers",
     "embedding_quantize_int8",
-    # multimodal (O-25) — real byte-level header decodes + header resize
-    # and frame sampling, incl. the round-4 WebP/FLAC parsers
-    "image_header_metadata",
-    "media_header_metadata",
-    "webp_flac_header_metadata",
-    "tiff_ogg_header_metadata",
-    "image_resize_roundtrip",
-    "audio_frame_sample",
-    # streaming batch-twins (O-26), incl. the stream-stream interval join
-    "events_tumbling_window",
-    "sessionization",
-    "stateful_dedup_first_event",
-    "stream_interval_join_batch",
-    # LLM training-data pipeline (O-12/O-18/O-24 composites + flagships)
-    "pii_scrub",
-    "decontaminate_eval_overlap",
-    "sequence_packing",
-    "training_data_pipeline",
-    "training_data_pipeline_full",
+    "udtf_token_positions",
 )
 
 
