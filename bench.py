@@ -258,6 +258,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Methodology stamp: r1-r3 benches were min-of-2; r4+ are
+        # median-of-3, which reads systematically higher on the heaviest
+        # queries — cross-methodology deltas are NOT comparable (the
+        # round-5 A/B in docs/SCALE.md measured the apparent r4
+        # pipeline-full "regression" at 0.93x under one methodology).
+        "methodology": "median-of-3 warm runs, 1 untimed cold run, shared session",
     }
 
     # Decade-scaling probe; disable with SPARK_GRAFT_SKIP_SCALING=1.
