@@ -417,6 +417,134 @@ def parse_wav_header(b: bytes) -> tuple[int, int, int, int]:
     return channels, rate, bits, n_frames
 
 
+# --------------------------------------------------------------------------
+# REAL sample decode: PCM16 WAV. Like the BMP pixel layer, LPCM audio is
+# pure byte layout (no entropy coding), so a full sample decode — not just
+# the header walk above — needs no media library. Audio twin of the BMP
+# section: closes O-25's decode cell for the one audio container whose
+# payload is raw interleaved samples; compressed codecs (FLAC/Opus) stay
+# header-only behind REAL_DECODE_AVAILABLE.
+# --------------------------------------------------------------------------
+
+
+def synth_wav_pcm_bytes(doc_id: int) -> bytes:
+    """Deterministic, spec-valid PCM16 WAV with REAL sample data. Layout
+    and every sample are pure functions of doc_id so an SQL oracle can
+    verify the full decode:
+
+        channels    = doc_id % 2 + 1
+        sample_rate = (8000, 16000, 44100, 48000)[doc_id % 4]
+        n_frames    = doc_id % 60 + 4
+        sample(n,c) = ((31*doc_id + 7n + 13c) % 65536) - 32768   (int16 LE,
+                       frame n, channel c, channels interleaved per frame)
+
+    Deliberate decode hazards baked in: every even doc_id carries a junk
+    LIST chunk of ODD size before fmt (RIFF word-alignment adds a pad
+    byte a naive walker miscounts), and every doc_id % 7 == 0 file puts
+    the data chunk BEFORE fmt (legal per RIFF — frame math must be
+    deferred until fmt is seen). A decoder that assumes the canonical
+    fmt-then-data layout at fixed offsets produces wrong answers."""
+    channels = doc_id % 2 + 1
+    sample_rate = (8000, 16000, 44100, 48000)[doc_id % 4]
+    bits = 16
+    n_frames = doc_id % 60 + 4
+    block_align = channels * bits // 8
+    samples = np.empty(n_frames * channels, dtype=np.int64)
+    k = np.arange(n_frames * channels)
+    samples[:] = (31 * doc_id + 7 * (k // channels) + 13 * (k % channels)) % 65536 - 32768
+    data = samples.astype("<i2").tobytes()
+    fmt_chunk = b"fmt " + struct.pack(
+        "<IHHIIHH",
+        16, 1, channels, sample_rate, sample_rate * block_align, block_align, bits,
+    )
+    data_chunk = b"data" + struct.pack("<I", len(data)) + data
+    chunks = []
+    if doc_id % 2 == 0:
+        junk = b"J" * (doc_id % 3 * 2 + 1)  # odd size -> pad byte follows
+        chunks.append(b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00")
+    if doc_id % 7 == 0:
+        chunks += [data_chunk, fmt_chunk]
+    else:
+        chunks += [fmt_chunk, data_chunk]
+    body = b"WAVE" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm(b: bytes) -> tuple[int, int, int, int, int, int, int, int]:
+    """FULL sample decode of a PCM16 WAV from raw bytes:
+    (channels, sample_rate, n_frames, sum_samples, min_sample, max_sample,
+    first_sample, sum_ch0). sum_ch0 (channel-0 samples only) pins the
+    interleaving — summing the flat array can't fake it — and
+    first_sample pins the data offset after arbitrary preceding chunks.
+    Raises on anything that isn't an intact PCM16 file (a real pipeline
+    routes those to the library-backed decoder).
+
+    Real RIFF chunk walk (fmt and data in either order, word-aligned odd
+    chunks), then one vectorized np.frombuffer over the sample bytes."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    i = 12
+    fmt = None
+    data_span = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 8 + 16 <= len(b):
+            fmt = struct.unpack("<HHIIHH", b[i + 8 : i + 24])
+        elif cid == b"data":
+            data_span = (i + 8, size)
+        i += 8 + size + (size & 1)
+    if fmt is None or data_span is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, rate, _, block_align, bits = fmt
+    if audio_format != 1 or bits != 16 or channels < 1:
+        raise ValueError("unsupported WAV variant (need PCM16)")
+    off, size = data_span
+    if len(b) < off + size or size % block_align != 0:
+        raise ValueError("truncated WAV data chunk")
+    samples = np.frombuffer(b, dtype="<i2", count=size // 2, offset=off).astype(np.int64)
+    return (
+        channels,
+        rate,
+        size // block_align,
+        int(samples.sum()),
+        int(samples.min()),
+        int(samples.max()),
+        int(samples[0]),
+        int(samples[::channels].sum()),
+    )
+
+
+def with_wav_pcm_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with synthesized full PCM16 WAV files."""
+    return _with_payload(docs, synth_wav_pcm_bytes)
+
+
+def wav_pcm_features(mm: DataFrame) -> DataFrame:
+    """Arrow-batched full sample decode over WAV payload bytes."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "channels", "sample_rate", "n_frames", "sum_samples",
+            "min_sample", "max_sample", "first_sample", "sum_ch0",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": []} | {c: [] for c in cols}
+            for i, payload in zip(pdf["doc_id"], pdf["payload"]):
+                vals = decode_wav_pcm(bytes(payload))
+                out["doc_id"].append(int(i))
+                for c, v in zip(cols, vals):
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        decode,
+        schema="doc_id bigint, channels bigint, sample_rate bigint, "
+        "n_frames bigint, sum_samples bigint, min_sample bigint, "
+        "max_sample bigint, first_sample bigint, sum_ch0 bigint",
+    )
+
+
 def synth_mp4_bytes(doc_id: int) -> bytes:
     """Minimal valid MP4: ftyp box + moov box wrapping an mvhd (version 0)
     whose timescale/duration derive from doc_id."""

@@ -861,6 +861,66 @@ def bmp_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wav_pcm_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id % 2 + 1 AS channels,
+             CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                             WHEN 2 THEN 44100 ELSE 48000 END AS sample_rate,
+             doc_id % 60 + 4 AS n_frames
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, channels, sample_rate, n_frames,
+             unnest(generate_series(0, n_frames * channels - 1)) AS k
+      FROM dims
+    ),
+    v AS (
+      SELECT doc_id, channels, sample_rate, n_frames, k,
+             (31 * doc_id + 7 * (k // channels) + 13 * (k % channels))
+               % 65536 - 32768 AS smp
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(channels AS BIGINT) AS channels,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(sum(smp) AS BIGINT) AS sum_samples,
+           CAST(min(smp) AS BIGINT) AS min_sample,
+           CAST(max(smp) AS BIGINT) AS max_sample,
+           CAST((31 * doc_id) % 65536 - 32768 AS BIGINT) AS first_sample,
+           CAST(sum(CASE WHEN k % channels = 0 THEN smp END) AS BIGINT)
+             AS sum_ch0
+    FROM v
+    GROUP BY doc_id, channels, sample_rate, n_frames
+    """,
+    tags=("tier2", "multimodal"),
+)
+def wav_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio sample decode, no media libraries — the audio twin of
+    bmp_pixel_decode: per doc a spec-valid PCM16 WAV is synthesized
+    (every interleaved sample a pure function of doc_id, frame, channel)
+    and fully decoded BACK from raw bytes via the real RIFF chunk walk —
+    fmt and data located in EITHER order, odd-sized junk chunks skipped
+    with their word-alignment pad byte, then one vectorized int16 read.
+    The oracle regenerates every sample in SQL: sum/min/max verify the
+    whole sample array, first_sample pins the data offset after
+    arbitrary preceding chunks, and sum_ch0 pins channel interleaving
+    (a flat byte-sum can't fake it). LPCM, like the BMP pixel layer, is
+    pure byte layout — compressed codecs (FLAC/Opus) stay header-only
+    behind REAL_DECODE_AVAILABLE. Arrow-batched mapInPandas, partition-
+    preserving, payloads never shuffled."""
+    from mapreduce__spark.operators.multimodal import (
+        wav_pcm_features,
+        with_wav_pcm_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_pcm_features(with_wav_pcm_payload(docs))
+
+
+@query(
     "image_header_metadata",
     oracle="""
     SELECT doc_id,

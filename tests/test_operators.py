@@ -454,6 +454,56 @@ def test_bmp_pixel_decode_layouts_and_rejection():
         decode_bmp_pixels(good[:-4])
 
 
+def test_wav_pcm_decode_hazards_and_rejection():
+    """Full PCM16 WAV sample decode: junk-chunk skipping (odd size + pad
+    byte), data-before-fmt ordering, interleaving via sum_ch0, and
+    rejection of non-PCM variants."""
+    import struct
+
+    import pytest
+
+    from mapreduce__spark.operators.multimodal import (
+        decode_wav_pcm,
+        synth_wav_pcm_bytes,
+    )
+
+    # doc_id 14: even (junk LIST chunk) AND % 7 == 0 (data before fmt) —
+    # both hazards at once; doc_id 13: stereo, canonical layout.
+    for doc_id in (13, 14):
+        ch = doc_id % 2 + 1
+        nf = doc_id % 60 + 4
+        got = decode_wav_pcm(synth_wav_pcm_bytes(doc_id))
+        flat = [
+            ((31 * doc_id + 7 * n + 13 * c) % 65536) - 32768
+            for n in range(nf)
+            for c in range(ch)
+        ]
+        want = (
+            ch,
+            (8000, 16000, 44100, 48000)[doc_id % 4],
+            nf,
+            sum(flat),
+            min(flat),
+            max(flat),
+            flat[0],
+            sum(flat[::ch]),
+        )
+        assert got == want
+
+    good = synth_wav_pcm_bytes(13)
+    with pytest.raises(ValueError, match="not a WAV"):
+        decode_wav_pcm(b"XXXX" + good[4:])
+    # IEEE-float format code (3) must be rejected, not mis-read as PCM
+    bad = bytearray(good)
+    fmt_at = bad.find(b"fmt ")
+    bad[fmt_at + 8 : fmt_at + 10] = struct.pack("<H", 3)
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_wav_pcm(bytes(bad))
+    # data chunk truncated mid-frame
+    with pytest.raises(ValueError, match="missing fmt or data|truncated"):
+        decode_wav_pcm(good[:-3])
+
+
 def test_media_header_parsers_spec_edge_cases():
     """Real-world container quirks: JPEG fill bytes/RST markers/SOS
     cutoff, WAV odd-chunk padding and data-before-fmt ordering, MP4

@@ -35,10 +35,11 @@ ROWS_ONLY = {
 }
 
 # Round-5 rotation: single-attestation queries deferred to round 6 (the
-# window holds 50; there were 54 singles + 2 never-attested additions).
-# Policy for choosing THESE six: their one green row is the most recent
+# window holds 50; there were 54 singles + 3 never-attested additions).
+# Policy for choosing THESE seven: their one green row is the most recent
 # round (r4), their code is untouched since that run, and their shape is
-# simple scalar/text with in-suite differential coverage every pytest run.
+# comparatively simple with in-suite differential coverage every pytest
+# run.
 DEFERRED_TO_R6 = {
     "array_functions",
     "map_functions",
@@ -46,6 +47,7 @@ DEFERRED_TO_R6 = {
     "token_positions",
     "repetition_ratio",
     "value_histogram",
+    "stratified_sample",
 }
 
 
