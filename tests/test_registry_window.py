@@ -51,12 +51,24 @@ DEFERRED_TO_R6 = {
 }
 
 
+# The round whose CORRECTNESS files informed the CURRENT window. The
+# policy tests must count only rounds <= this: the driver appends
+# CORRECTNESS_r{N+1}.json for the window itself at round end, which
+# gives every in-window entry one MORE green row — counting that file
+# would flip test_window_prioritizes_low_attestation red before the
+# next rotation happens. Bump this when rotating the window.
+WINDOW_BASIS_ROUND = 4
+
+
 def _attestations() -> dict[str, int]:
-    """Green driver-attestation count per query across every committed
-    CORRECTNESS_r0*.json (a row counts only if rows+schema+hash all
-    matched with no error)."""
+    """Green driver-attestation count per query across the committed
+    CORRECTNESS_r0*.json files up to WINDOW_BASIS_ROUND (a row counts
+    only if rows+schema+hash all matched with no error)."""
     counts: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        digits = "".join(ch for ch in os.path.basename(path) if ch.isdigit())
+        if int(digits) > WINDOW_BASIS_ROUND:
+            continue
         with open(path) as f:
             data = json.load(f)
         for name, row in data.items():
