@@ -171,6 +171,14 @@ def _read_version_dir(spark, state_root: str, version_dir: str) -> DataFrame:
     manifest = _load_manifest(version_dir)
     if manifest is None:
         return spark.read.parquet(version_dir)
+    if manifest.get("vacuumed"):
+        # The dir may still exist because newer versions reference some
+        # of its buckets, but ITS OWN view of the table was expired — a
+        # plain read here would assemble a wrong/partial snapshot.
+        raise FileNotFoundError(
+            f"snapshot {os.path.basename(version_dir)} was vacuumed "
+            f"(expired by vacuum_snapshots) under {state_root}"
+        )
     paths = [
         _bucket_data_path(state_root, owner, int(b))
         for b, owner in manifest["buckets"].items()
@@ -214,6 +222,94 @@ def read_snapshot(spark, state_root: str, version: int | None = None) -> DataFra
     if not os.path.isdir(path):
         raise FileNotFoundError(f"snapshot v{version} not found under {state_root}")
     return _read_version_dir(spark, state_root, path)
+
+
+def vacuum_snapshots(state_root: str, keep_last: int = 2) -> dict:
+    """Expire old snapshot versions — the retention half every
+    copy-on-write layout needs: without it the version chain grows
+    O(#batches) forever. Keeps the newest `keep_last` committed versions
+    time-travelable; older versions are expired with per-bucket
+    liveness: a bucket data dir inside an expired version survives as
+    long as ANY retained manifest still references it (that is what
+    "rewrite only changed buckets" means — old versions keep owning the
+    buckets nobody rewrote), and an expired version's directory is
+    deleted outright only once nothing references it. Expired versions
+    that still own live buckets get a tombstone manifest so a time-travel
+    read fails loudly instead of assembling a wrong snapshot.
+
+    Safety properties:
+    * the CURRENT snapshot (and every retained version) reads back
+      byte-identically — vacuum never touches a referenced bucket;
+    * versions ABOVE the committed pointer are never touched (that's the
+      in-flight write window of a live stream);
+    * idempotent and crash-safe: every step is a delete of
+      never-again-referenced paths or a tmp+rename manifest swap, so a
+      re-run after a mid-vacuum crash just finishes the job.
+
+    Driver-side metadata walk only — O(#versions + #buckets) small file
+    ops, no table data read — exactly the shape of a table format's
+    expire-snapshots action, which this becomes at 100 TB.
+
+    Returns {"retained": [...], "removed_versions": [...],
+    "pruned_buckets": N}."""
+    import re
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the current version)")
+    cur = current_snapshot_path(state_root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot under {state_root}")
+    committed = int(os.path.basename(cur)[1:])
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(state_root)
+        if re.fullmatch(r"v\d+", d)
+        and os.path.isdir(os.path.join(state_root, d))
+        and int(d[1:]) <= committed
+    )
+    retained = versions[-keep_last:]
+    expired = versions[:-keep_last]
+
+    referenced: set[tuple[str, str]] = set()  # (owner_rel, bucket)
+    for v in retained:
+        manifest = _load_manifest(os.path.join(state_root, f"v{v}"))
+        if manifest is None or manifest.get("vacuumed"):
+            continue  # legacy monolithic (self-contained) or already dead
+        for b, owner in manifest["buckets"].items():
+            referenced.add((owner, b))
+
+    removed_versions: list[str] = []
+    pruned_buckets = 0
+    for v in expired:
+        rel = f"v{v}"
+        vdir = os.path.join(state_root, rel)
+        live = {b for owner, b in referenced if owner == rel}
+        if not live:
+            shutil.rmtree(vdir)
+            removed_versions.append(rel)
+            continue
+        data_dir = os.path.join(vdir, "data")
+        if os.path.isdir(data_dir):
+            for d in os.listdir(data_dir):
+                if d.startswith("_bucket=") and d.split("=")[1] not in live:
+                    shutil.rmtree(os.path.join(data_dir, d))
+                    pruned_buckets += 1
+        manifest = _load_manifest(vdir) or {}
+        if not manifest.get("vacuumed"):
+            _write_manifest(
+                vdir,
+                {
+                    "vacuumed": True,
+                    "num_buckets": manifest.get("num_buckets"),
+                    "buckets": {},
+                },
+            )
+    return {
+        "retained": [f"v{v}" for v in retained],
+        "removed_versions": removed_versions,
+        "pruned_buckets": pruned_buckets,
+    }
 
 
 def _bucket_expr(key: str, num_buckets: int):

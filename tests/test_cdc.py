@@ -235,3 +235,103 @@ def test_read_snapshot_refuses_uncommitted_version(spark, tmp_path):
     assert read_snapshot(spark, root, version=0).count() == 1
     with pytest.raises(FileNotFoundError, match="not committed"):
         read_snapshot(spark, root, version=1)
+
+
+def test_vacuum_expires_versions_but_never_live_buckets(spark, tmp_path):
+    """Retention for the snapshot chain: vacuum deletes exactly the
+    version data nothing retained references — expired versions' own
+    views become unreadable (tombstone or gone), buckets still owned by
+    retained manifests survive byte-identically, and the current read is
+    unchanged. Idempotent on re-run."""
+    import os as _os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce__spark.operators.cdc import (
+        _bucket_data_path,
+        current_snapshot_path,
+        read_snapshot,
+        stream_upsert_sink,
+        vacuum_snapshots,
+    )
+
+    nb = 8
+    b0 = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"), F.lit("U").alias("op")
+    )
+    b1 = spark.createDataFrame(
+        [(7, 777, "U"), (1900, 19999, "U"), (42, 0, "D")],
+        "k bigint, v bigint, op string",
+    )
+    b2 = spark.createDataFrame(
+        [(7, 7777, "U"), (100, 1001, "U")], "k bigint, v bigint, op string"
+    )
+    src = tmp_path / "changes"
+    src.mkdir()
+    t0 = 1_700_000_000
+    for i, b in enumerate((b0, b1, b2)):
+        d = src / f"batch{i}"
+        b.coalesce(1).write.parquet(str(d))
+        for f in _os.listdir(d):
+            _os.utime(d / f, (t0 + i, t0 + i))
+
+    state_root = str(tmp_path / "state")
+    sdf = (
+        spark.readStream.schema("k bigint, v bigint, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_upsert_sink(sdf, "k", state_root, str(tmp_path / "ckpt"), num_buckets=nb)
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    assert _os.path.basename(current_snapshot_path(state_root)) == "v2"
+
+    def bucket_of(keys):
+        return {
+            r.b
+            for r in spark.createDataFrame([(k,) for k in keys], "k bigint")
+            .select(F.pmod(F.xxhash64("k"), F.lit(nb)).cast("int").alias("b"))
+            .collect()
+        }
+
+    # v0 buckets stay live while ANY retained manifest references them:
+    # retained v1 references v0 for every bucket b1 didn't touch (incl.
+    # the bucket only b2 touched), so only buckets(b1) are prunable.
+    prunable = bucket_of([7, 1900, 42])
+    assert len(prunable) < nb  # some v0 buckets must stay live
+    want_cur = {(r.k, r.v) for r in read_snapshot(spark, state_root).collect()}
+    v0_live_hashes = {
+        b: _dir_file_hashes(_bucket_data_path(state_root, "v0", b))
+        for b in range(nb)
+        if b not in prunable
+    }
+
+    stats = vacuum_snapshots(state_root, keep_last=2)
+    assert stats["retained"] == ["v1", "v2"]
+    # v0 still owns the never-rewritten buckets -> tombstoned, not removed
+    assert stats["removed_versions"] == []
+    assert stats["pruned_buckets"] == len(prunable)
+    for b in prunable:
+        assert not _os.path.isdir(_bucket_data_path(state_root, "v0", b))
+    for b, hashes in v0_live_hashes.items():
+        assert _dir_file_hashes(_bucket_data_path(state_root, "v0", b)) == hashes
+
+    # current and retained-version reads unchanged; expired read fails loudly
+    assert {(r.k, r.v) for r in read_snapshot(spark, state_root).collect()} == want_cur
+    assert read_snapshot(spark, state_root, version=1).count() == 1999  # 2000 - del(42)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        read_snapshot(spark, state_root, version=0)
+
+    # idempotent: a second run finds nothing more to do
+    again = vacuum_snapshots(state_root, keep_last=2)
+    assert again["removed_versions"] == [] and again["pruned_buckets"] == 0
+
+    # tighter retention: v1's own view expires too (its bucket for key 7
+    # was rewritten by v2, but keys 42/1900 keep v1 buckets live)
+    stats1 = vacuum_snapshots(state_root, keep_last=1)
+    assert stats1["retained"] == ["v2"]
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        read_snapshot(spark, state_root, version=1)
+    assert {(r.k, r.v) for r in read_snapshot(spark, state_root).collect()} == want_cur
