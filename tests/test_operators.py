@@ -891,3 +891,91 @@ def test_tiff_ogg_header_parsers_spec_edge_cases():
             i % 100000, i % 2 + 1, i % 1000,
             (8000, 16000, 44100, 48000)[i % 4],
         )
+
+
+def test_decode_roundtrips_property():
+    """Property: for ANY doc_id, the byte-level decoders recover exactly
+    the generative formulas' aggregates — the pure-Python ground truth
+    recomputed independently of both the synth and the decode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce__spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_wav_pcm,
+        synth_bmp_bytes,
+        synth_wav_pcm_bytes,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(doc_id=st.integers(min_value=0, max_value=10**12))
+    def roundtrip(doc_id):
+        w, h = doc_id % 13 + 4, (doc_id * 7) % 11 + 4
+        got = decode_bmp_pixels(synth_bmp_bytes(doc_id))
+        px = [
+            (
+                (3 * doc_id + 11 * x + y) % 256,
+                (2 * doc_id + x + 7 * y) % 256,
+                (doc_id + 3 * x + 5 * y) % 256,
+            )
+            for y in range(h)
+            for x in range(w)
+        ]
+        assert got == (
+            w, h, w * h,
+            sum(p[0] for p in px), sum(p[1] for p in px), sum(p[2] for p in px),
+            sum(px[0]),
+        )
+
+        ch, nf = doc_id % 2 + 1, doc_id % 60 + 4
+        flat = [
+            ((31 * doc_id + 7 * n + 13 * c) % 65536) - 32768
+            for n in range(nf)
+            for c in range(ch)
+        ]
+        assert decode_wav_pcm(synth_wav_pcm_bytes(doc_id)) == (
+            ch, (8000, 16000, 44100, 48000)[doc_id % 4], nf,
+            sum(flat), min(flat), max(flat), flat[0], sum(flat[::ch]),
+        )
+
+    roundtrip()
+
+
+def test_decoders_never_misread_corrupt_bytes():
+    """Property: truncating or flipping bytes in a valid file must either
+    still decode (mutation hit pixel/sample data or a dont-care field) or
+    raise ValueError — never crash with an unexpected exception type. The
+    decoders sit in a mapInPandas hot path where an uncaught IndexError
+    or struct.error would kill the whole task set."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce__spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_wav_pcm,
+        synth_bmp_bytes,
+        synth_wav_pcm_bytes,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        doc_id=st.integers(min_value=0, max_value=10**6),
+        cut=st.integers(min_value=0, max_value=200),
+        flip_at=st.integers(min_value=0, max_value=10**4),
+        flip_to=st.integers(min_value=0, max_value=255),
+    )
+    def fuzz(doc_id, cut, flip_at, flip_to):
+        for synth, decode in (
+            (synth_bmp_bytes, decode_bmp_pixels),
+            (synth_wav_pcm_bytes, decode_wav_pcm),
+        ):
+            b = bytearray(synth(doc_id))
+            if flip_at < len(b):
+                b[flip_at] = flip_to
+            mutated = bytes(b[: max(0, len(b) - cut)])
+            try:
+                decode(mutated)
+            except ValueError:
+                pass  # the contract: reject loudly, route to fallback
+
+    fuzz()
