@@ -71,6 +71,10 @@ BENCH_QUERIES = [
                            # prior baseline, deltas start at r4)
     "graph_mass_propagation",  # Pregel superstep shape: 2 edge-join +
                                # agg rounds over orders x lineitem (round 4)
+    "bmp_pixel_decode",    # Arrow-batched mapInPandas path: synth + full
+                           # byte-level pixel decode per doc — the Python
+                           # hot-path representative the JVM-side headline
+                           # set doesn't cover (round 5; deltas start r5)
 ]
 
 
