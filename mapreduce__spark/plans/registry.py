@@ -70,28 +70,30 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # recomputes green-attestation counts from the checked-in
 # CORRECTNESS_r0*.json files and asserts the policy below, so the comment
 # cannot silently disagree with the window again.
-#   IN  — the 3 round-5 additions, never driver-attested
-#         (bmp_pixel_decode, wav_pcm_decode, graph_mass_propagation_k4),
-#         plus 47 of the 54 single-attestation queries: all 29 whose one
-#         green row is from r1/r2/r3 (oldest evidence first) and 18 of the
-#         25 r4 first-timers, prioritizing the ones whose code changed
-#         after the r4 run (the CDC pair: bucketed snapshot rewrite; the
-#         multimodal set: DIB header-size gate) and the structurally
-#         complex ones.
-#   OUT — every query already green in ≥2 rounds (53 of them), plus 7 r4
+#   IN  — the 4 round-5 additions, never driver-attested
+#         (bmp_pixel_decode, wav_pcm_decode, paragraph_dedup,
+#         graph_mass_propagation_k4), plus 46 of the 54 single-attestation
+#         queries: all 29 whose one green row is from r1/r2/r3 (oldest
+#         evidence first) and 17 of the 25 r4 first-timers, prioritizing
+#         the ones whose code changed after the r4 run (the CDC pair:
+#         bucketed snapshot rewrite; the multimodal set: DIB header-size
+#         gate) and the structurally complex ones.
+#   OUT — every query already green in ≥2 rounds (53 of them), plus 8 r4
 #         first-timers deferred to round 6 whose code is untouched since
 #         their green r4 row and whose shape is comparatively simple
 #         (array_functions, map_functions, collect_set_sorted,
 #         token_positions, repetition_ratio, value_histogram,
-#         stratified_sample).
+#         stratified_sample, percentiles).
 # The intentionally-approximate (rows-only) queries sit past the window so
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).
 DRIVER_WINDOW: tuple[str, ...] = (
     # round-5 additions — never driver-attested (O-25 real pixel/sample
-    # decodes, O-1/O-16 k-step Pregel loop with mid-run lineage truncation)
+    # decodes, O-22 paragraph-level dedup, O-1/O-16 k-step Pregel loop
+    # with mid-run lineage truncation)
     "bmp_pixel_decode",
     "wav_pcm_decode",
+    "paragraph_dedup",
     "graph_mass_propagation_k4",
     # tier-0 scan/filter/project/group core (O-3..O-6) — single r1 row
     "scan_project",
@@ -140,7 +142,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "webp_flac_header_metadata",
     # r4 first-timers, complex shapes, second attestation (O-11, O-14,
     # O-16..O-18, O-23, O-26, O-27)
-    "percentiles",
     "profile_table",
     "join_bloom_pruned",
     "graph_mass_propagation",

@@ -1884,6 +1884,107 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "paragraph_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(ceil(len(t) / 20.0) AS INT) - 1))
+               AS idx,
+             t
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, idx,
+             array_to_string(t[(idx*20+1):(idx*20+20)], ' ') AS chunk
+      FROM c
+    ),
+    firsts AS (
+      SELECT chunk, min(doc_id * 1000000 + idx) AS first_pos
+      FROM chunks GROUP BY chunk
+    )
+    SELECT ch.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE ch.doc_id * 1000000 + ch.idx
+                                       = f.first_pos) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(ch.chunk, ' ' ORDER BY ch.idx)
+                      FILTER (WHERE ch.doc_id * 1000000 + ch.idx
+                                    = f.first_pos), '') AS text_kept
+    FROM chunks ch JOIN firsts f ON ch.chunk = f.chunk
+    GROUP BY ch.doc_id
+    """,
+    tags=("tier2", "dedup", "text"),
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup — the CCNet/RefinedWeb line-dedup
+    pipeline stage: boilerplate repeats across documents at sub-document
+    granularity, so each doc is split into fixed 20-token chunks (this
+    corpus is newline-free, so chunks stand in for lines/paragraphs; on
+    newline text, split('\\n') slots in unchanged), every chunk's FIRST
+    global occurrence (lowest (doc_id, idx)) is kept, later repeats are
+    dropped, and each doc is reassembled from its surviving chunks in
+    order. Output per doc: chunk counts before/after and the dedup'd
+    text.
+
+    SCALE: one explode to (doc_id, idx, chunk), a map-side-combinable
+    min per chunk (first occurrence), and an equi-join back on the chunk
+    — two shuffles on the chunk key, both AQE-coalesced; the rebuild
+    groupBy shuffles (doc_id, idx, chunk) once. No driver-side state, no
+    window over an unpartitioned frame. At 100 TB you'd shuffle
+    xxhash64(chunk) instead of the raw string for the first-occurrence
+    pass (collision odds ~n^2/2^64) — kept as the raw string here so
+    the DuckDB oracle is bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    chunks = (
+        docs.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(0), (F.ceil(F.size("t") / 20.0)).cast("int") - 1
+                )
+            ).alias("idx"),
+        )
+        .select(
+            "doc_id",
+            "idx",
+            F.array_join(
+                F.slice("t", F.col("idx") * 20 + 1, F.lit(20)), " "
+            ).alias("chunk"),
+        )
+    )
+    pos = (F.col("doc_id") * 1000000 + F.col("idx")).cast("bigint")
+    firsts = chunks.groupBy("chunk").agg(F.min(pos).alias("first_pos"))
+    kept = F.col("first_pos") == F.col("doc_id") * 1000000 + F.col("idx")
+    return (
+        chunks.join(firsts, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(kept, F.struct("idx", "chunk"))
+                            )
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("text_kept"),
+        )
+    )
+
+
+@query(
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),

@@ -35,8 +35,8 @@ ROWS_ONLY = {
 }
 
 # Round-5 rotation: single-attestation queries deferred to round 6 (the
-# window holds 50; there were 54 singles + 3 never-attested additions).
-# Policy for choosing THESE seven: their one green row is the most recent
+# window holds 50; there were 54 singles + 4 never-attested additions).
+# Policy for choosing THESE eight: their one green row is the most recent
 # round (r4), their code is untouched since that run, and their shape is
 # comparatively simple with in-suite differential coverage every pytest
 # run.
@@ -48,6 +48,7 @@ DEFERRED_TO_R6 = {
     "repetition_ratio",
     "value_histogram",
     "stratified_sample",
+    "percentiles",
 }
 
 
