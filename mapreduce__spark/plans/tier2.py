@@ -1932,10 +1932,17 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min per chunk (first occurrence), and an equi-join back on the chunk
     — two shuffles on the chunk key, both AQE-coalesced; the rebuild
     groupBy shuffles (doc_id, idx, chunk) once. No driver-side state, no
-    window over an unpartitioned frame. At 100 TB you'd shuffle
-    xxhash64(chunk) instead of the raw string for the first-occurrence
-    pass (collision odds ~n^2/2^64) — kept as the raw string here so
-    the DuckDB oracle is bit-exact."""
+    window over an unpartitioned frame. The chunk subtree is computed
+    once per join side (plan audit: scan+split+explode appears twice) —
+    deliberate: re-deriving cheap expressions from a column-pruned
+    columnar scan beats either materializing corpus-scale explode output
+    or the window-function alternative's full shuffle+sort; a hot
+    boilerplate chunk skews the join-back key, which AQE's skew split
+    handles (the downstream groupBy is on doc_id, a different key, so
+    the split isn't vetoed). At 100 TB you'd shuffle xxhash64(chunk)
+    instead of the raw string for the first-occurrence pass (collision
+    odds ~n^2/2^64) — kept as the raw string here so the DuckDB oracle
+    is bit-exact."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     chunks = (
