@@ -295,20 +295,22 @@ def synth_bmp_bytes(doc_id: int) -> bytes:
     h = (doc_id * 7) % 11 + 4
     top_down = doc_id % 5 == 0
     stride = (w * 3 + 3) // 4 * 4
-    rows = []
-    for y in range(h):
-        row = bytearray()
-        for x in range(w):
-            row += bytes(
-                (
-                    (doc_id + 3 * x + 5 * y) % 256,      # B
-                    (2 * doc_id + x + 7 * y) % 256,      # G
-                    (3 * doc_id + 11 * x + y) % 256,     # R
-                )
-            )
-        row += b"\xab" * (stride - 3 * w)
-        rows.append(bytes(row))
-    pixel_data = b"".join(rows if top_down else rows[::-1])
+    # Vectorized pixel grid (byte-identical to the per-pixel loop this
+    # replaces — the synth side showed up as the bench hot spot once
+    # bmp_pixel_decode joined the headline set).
+    y = np.arange(h, dtype=np.int64).reshape(h, 1)
+    x = np.arange(w, dtype=np.int64).reshape(1, w)
+    bgr = np.stack(
+        [
+            (doc_id + 3 * x + 5 * y) % 256,      # B
+            (2 * doc_id + x + 7 * y) % 256,      # G
+            (3 * doc_id + 11 * x + y) % 256,     # R
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    row_bytes = np.full((h, stride), 0xAB, dtype=np.uint8)
+    row_bytes[:, : 3 * w] = bgr.reshape(h, 3 * w)
+    pixel_data = (row_bytes if top_down else row_bytes[::-1]).tobytes()
     data_offset = 14 + 40
     header = b"BM" + struct.pack("<IHHI", data_offset + len(pixel_data), 0, 0, data_offset)
     dib = struct.pack(
