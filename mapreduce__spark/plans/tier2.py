@@ -1902,16 +1902,21 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     ),
     firsts AS (
-      SELECT chunk, min(doc_id * 1000000 + idx) AS first_pos
+      SELECT chunk,
+             min(struct_pack(doc_id := doc_id, idx := idx)) AS first_pos
       FROM chunks GROUP BY chunk
     )
     SELECT ch.doc_id,
            CAST(count(*) AS BIGINT) AS n_chunks,
-           CAST(count(*) FILTER (WHERE ch.doc_id * 1000000 + ch.idx
-                                       = f.first_pos) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (
+               WHERE ch.doc_id = struct_extract(f.first_pos, 'doc_id')
+                 AND ch.idx = struct_extract(f.first_pos, 'idx')
+             ) AS BIGINT) AS n_kept,
            COALESCE(string_agg(ch.chunk, ' ' ORDER BY ch.idx)
-                      FILTER (WHERE ch.doc_id * 1000000 + ch.idx
-                                    = f.first_pos), '') AS text_kept
+                      FILTER (
+               WHERE ch.doc_id = struct_extract(f.first_pos, 'doc_id')
+                 AND ch.idx = struct_extract(f.first_pos, 'idx')
+             ), '') AS text_kept
     FROM chunks ch JOIN firsts f ON ch.chunk = f.chunk
     GROUP BY ch.doc_id
     """,
@@ -1964,9 +1969,16 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk"),
         )
     )
-    pos = (F.col("doc_id") * 1000000 + F.col("idx")).cast("bigint")
-    firsts = chunks.groupBy("chunk").agg(F.min(pos).alias("first_pos"))
-    kept = F.col("first_pos") == F.col("doc_id") * 1000000 + F.col("idx")
+    # First occurrence = lexicographic min of (doc_id, idx) as a struct —
+    # structs compare field-by-field, so this can't collide or misorder
+    # the way arithmetic packing (doc_id*K + idx) would for docs with
+    # >= K chunks. Still a map-side-combinable hash-agg min.
+    firsts = chunks.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "idx")).alias("first_pos")
+    )
+    kept = (F.col("first_pos.doc_id") == F.col("doc_id")) & (
+        F.col("first_pos.idx") == F.col("idx")
+    )
     return (
         chunks.join(firsts, "chunk")
         .groupBy("doc_id")
