@@ -360,24 +360,33 @@ def with_bmp_payload(docs: DataFrame) -> DataFrame:
     return _with_payload(docs, synth_bmp_bytes)
 
 
-def bmp_pixel_features(mm: DataFrame) -> DataFrame:
-    """Arrow-batched full pixel decode over BMP payload bytes."""
+def _int_feature_map(mm: DataFrame, decode_fn, cols: tuple[str, ...]) -> DataFrame:
+    """Shared Arrow-batched mapInPandas wrapper for full-payload decoders:
+    decode_fn(bytes) -> tuple of ints, one output column per name in
+    `cols` (all bigint), keyed by doc_id. One place owns the batching
+    shape, so a fix (error routing, Arrow-native conversion) lands once
+    for every decoder built on it."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b", "topleft_rgb")
         for pdf in batches:
             out: dict[str, list] = {"doc_id": []} | {c: [] for c in cols}
             for i, payload in zip(pdf["doc_id"], pdf["payload"]):
-                vals = decode_bmp_pixels(bytes(payload))
+                vals = decode_fn(bytes(payload))
                 out["doc_id"].append(int(i))
                 for c, v in zip(cols, vals):
                     out[c].append(v)
             yield pd.DataFrame(out)
 
-    return mm.select("doc_id", "payload").mapInPandas(
-        decode,
-        schema="doc_id bigint, width bigint, height bigint, n_pixels bigint, "
-        "sum_r bigint, sum_g bigint, sum_b bigint, topleft_rgb bigint",
+    schema = ", ".join(["doc_id bigint"] + [f"{c} bigint" for c in cols])
+    return mm.select("doc_id", "payload").mapInPandas(decode, schema=schema)
+
+
+def bmp_pixel_features(mm: DataFrame) -> DataFrame:
+    """Arrow-batched full pixel decode over BMP payload bytes."""
+    return _int_feature_map(
+        mm,
+        decode_bmp_pixels,
+        ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b", "topleft_rgb"),
     )
 
 
@@ -501,6 +510,11 @@ def decode_wav_pcm(b: bytes) -> tuple[int, int, int, int, int, int, int, int]:
     audio_format, channels, rate, _, block_align, bits = fmt
     if audio_format != 1 or bits != 16 or channels < 1:
         raise ValueError("unsupported WAV variant (need PCM16)")
+    # PCM16 fixes block_align at channels*2; a corrupt fmt chunk declaring
+    # 0 would otherwise turn the modulo below into a ZeroDivisionError —
+    # the reject contract is ValueError, nothing else.
+    if block_align != channels * 2:
+        raise ValueError("inconsistent WAV block alignment for PCM16")
     off, size = data_span
     if len(b) < off + size or size % block_align != 0:
         raise ValueError("truncated WAV data chunk")
@@ -524,26 +538,13 @@ def with_wav_pcm_payload(docs: DataFrame) -> DataFrame:
 
 def wav_pcm_features(mm: DataFrame) -> DataFrame:
     """Arrow-batched full sample decode over WAV payload bytes."""
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = (
+    return _int_feature_map(
+        mm,
+        decode_wav_pcm,
+        (
             "channels", "sample_rate", "n_frames", "sum_samples",
             "min_sample", "max_sample", "first_sample", "sum_ch0",
-        )
-        for pdf in batches:
-            out: dict[str, list] = {"doc_id": []} | {c: [] for c in cols}
-            for i, payload in zip(pdf["doc_id"], pdf["payload"]):
-                vals = decode_wav_pcm(bytes(payload))
-                out["doc_id"].append(int(i))
-                for c, v in zip(cols, vals):
-                    out[c].append(v)
-            yield pd.DataFrame(out)
-
-    return mm.select("doc_id", "payload").mapInPandas(
-        decode,
-        schema="doc_id bigint, channels bigint, sample_rate bigint, "
-        "n_frames bigint, sum_samples bigint, min_sample bigint, "
-        "max_sample bigint, first_sample bigint, sum_ch0 bigint",
+        ),
     )
 
 

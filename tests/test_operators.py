@@ -499,6 +499,11 @@ def test_wav_pcm_decode_hazards_and_rejection():
     bad[fmt_at + 8 : fmt_at + 10] = struct.pack("<H", 3)
     with pytest.raises(ValueError, match="unsupported"):
         decode_wav_pcm(bytes(bad))
+    # corrupt fmt declaring block_align=0 must reject, not ZeroDivide
+    bad = bytearray(good)
+    bad[fmt_at + 20 : fmt_at + 22] = struct.pack("<H", 0)
+    with pytest.raises(ValueError, match="block alignment"):
+        decode_wav_pcm(bytes(bad))
     # data chunk truncated mid-frame
     with pytest.raises(ValueError, match="missing fmt or data|truncated"):
         decode_wav_pcm(good[:-3])
