@@ -183,9 +183,18 @@ def _read_version_dir(spark, state_root: str, version_dir: str) -> DataFrame:
         _bucket_data_path(state_root, owner, int(b))
         for b, owner in manifest["buckets"].items()
     ]
-    # A manifest entry whose dir is missing is a bucket that became empty
-    # (partitionBy writes no dir for zero rows) — skip, don't fail.
-    paths = [p for p in paths if os.path.isdir(p)]
+    # The writer never commits a manifest entry pointing at a missing dir
+    # (empty changed buckets are popped before the manifest write), and
+    # vacuum tombstones a version BEFORE touching its buckets — so a
+    # missing referenced dir here is corruption (manual deletion, torn
+    # filesystem). Fail loudly rather than assemble a partial table.
+    missing = [p for p in paths if not os.path.isdir(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"snapshot {os.path.basename(version_dir)} references missing "
+            f"bucket data {missing[:3]} under {state_root} — refusing to "
+            "return a partial snapshot"
+        )
     if not paths:
         from pyspark.sql.types import StructType
 
@@ -242,9 +251,14 @@ def vacuum_snapshots(state_root: str, keep_last: int = 2) -> dict:
       byte-identically — vacuum never touches a referenced bucket;
     * versions ABOVE the committed pointer are never touched (that's the
       in-flight write window of a live stream);
-    * idempotent and crash-safe: every step is a delete of
-      never-again-referenced paths or a tmp+rename manifest swap, so a
-      re-run after a mid-vacuum crash just finishes the job.
+    * idempotent and crash-safe: a version's TOMBSTONE manifest is
+      swapped in (tmp+rename) BEFORE any of its paths are deleted, so a
+      crash mid-vacuum can never leave an expired version readable with
+      buckets silently missing — reads fail loudly on the tombstone, and
+      a re-run just finishes the pruning;
+    * `keep_last` counts READABLE versions only — already-tombstoned
+      dirs (kept alive because newer manifests reference their buckets)
+      are neither retained nor reported as such.
 
     Driver-side metadata walk only — O(#versions + #buckets) small file
     ops, no table data read — exactly the shape of a table format's
@@ -268,14 +282,22 @@ def vacuum_snapshots(state_root: str, keep_last: int = 2) -> dict:
         and os.path.isdir(os.path.join(state_root, d))
         and int(d[1:]) <= committed
     )
-    retained = versions[-keep_last:]
-    expired = versions[:-keep_last]
+    manifests = {v: _load_manifest(os.path.join(state_root, f"v{v}")) for v in versions}
+    # keep_last is a promise about TIME-TRAVELABLE versions; tombstoned
+    # dirs (alive only because newer manifests reference their buckets)
+    # raise on read, so counting them would silently shrink the window.
+    readable = [v for v in versions if not (manifests[v] or {}).get("vacuumed")]
+    retained = readable[-keep_last:]
+    # Expire the older readable versions, and re-walk already-tombstoned
+    # dirs: buckets they own may have dropped out of every retained
+    # manifest since the vacuum that tombstoned them.
+    expired = sorted(set(readable[:-keep_last]) | (set(versions) - set(readable)))
 
     referenced: set[tuple[str, str]] = set()  # (owner_rel, bucket)
     for v in retained:
-        manifest = _load_manifest(os.path.join(state_root, f"v{v}"))
-        if manifest is None or manifest.get("vacuumed"):
-            continue  # legacy monolithic (self-contained) or already dead
+        manifest = manifests[v]
+        if manifest is None:
+            continue  # legacy monolithic — self-contained dir
         for b, owner in manifest["buckets"].items():
             referenced.add((owner, b))
 
@@ -285,6 +307,19 @@ def vacuum_snapshots(state_root: str, keep_last: int = 2) -> dict:
         rel = f"v{v}"
         vdir = os.path.join(state_root, rel)
         live = {b for owner, b in referenced if owner == rel}
+        # Tombstone FIRST (atomic swap), delete after: if we crash
+        # mid-prune, the version is already loudly unreadable instead of
+        # readable-but-partial through its original manifest.
+        manifest = manifests[v] or {}
+        if not manifest.get("vacuumed"):
+            _write_manifest(
+                vdir,
+                {
+                    "vacuumed": True,
+                    "num_buckets": manifest.get("num_buckets"),
+                    "buckets": {},
+                },
+            )
         if not live:
             shutil.rmtree(vdir)
             removed_versions.append(rel)
@@ -295,16 +330,6 @@ def vacuum_snapshots(state_root: str, keep_last: int = 2) -> dict:
                 if d.startswith("_bucket=") and d.split("=")[1] not in live:
                     shutil.rmtree(os.path.join(data_dir, d))
                     pruned_buckets += 1
-        manifest = _load_manifest(vdir) or {}
-        if not manifest.get("vacuumed"):
-            _write_manifest(
-                vdir,
-                {
-                    "vacuumed": True,
-                    "num_buckets": manifest.get("num_buckets"),
-                    "buckets": {},
-                },
-            )
     return {
         "retained": [f"v{v}" for v in retained],
         "removed_versions": removed_versions,
@@ -326,6 +351,7 @@ def stream_upsert_sink(
     checkpoint_dir: str,
     seq_col: str | None = None,
     num_buckets: int = 16,
+    seq_in_table: bool = False,
 ):
     """foreachBatch upsert sink: each micro-batch of change rows merges
     into the current snapshot and commits a new immutable version.
@@ -349,7 +375,14 @@ def stream_upsert_sink(
     the latest row per key before applying. A real CDC feed routinely
     delivers a key's full history inside one micro-batch, so production
     callers should pass seq_col; without it a duplicate key fails the
-    batch loudly instead of silently writing duplicate keyed rows."""
+    batch loudly instead of silently writing duplicate keyed rows.
+
+    By default seq_col is TRANSPORT metadata (a commit LSN / source
+    offset) and is dropped from the stored table. Pass seq_in_table=True
+    when it is real table data (an updated_at-style column): the
+    snapshot then stores each key's latest sequence value alongside its
+    row — without the flag the column would be silently absent from
+    every snapshot the sink ever writes."""
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
@@ -364,44 +397,62 @@ def stream_upsert_sink(
         # already fully applied; do nothing.
         if cur is not None and os.path.basename(cur) == rel:
             return
-        drop_cols = ["op"] + ([seq_col] if seq_col else [])
+        drop_cols = ["op"] + ([seq_col] if seq_col and not seq_in_table else [])
         prior = _load_manifest(cur) if cur is not None else None
         nb = int(prior["num_buckets"]) if prior else num_buckets
 
-        # Changed buckets: one bounded probe (<= nb distinct values).
-        changed = sorted(
-            r.b
-            for r in bdf.select(_bucket_expr(key, nb).alias("b")).distinct().collect()
-        )
+        # Every probe below (changed-bucket scan, apply_changes' op/dup
+        # probes) and the final write launches its own Spark job over the
+        # batch source — persist once so the change data is scanned once,
+        # not 3-4x per micro-batch.
+        bdf = bdf.persist()
+        try:
+            # Changed buckets: one bounded probe (<= nb distinct values).
+            changed = sorted(
+                r.b
+                for r in bdf.select(
+                    _bucket_expr(key, nb).alias("b")
+                ).distinct().collect()
+            )
 
-        if prior is not None:
-            # Base = ONLY the changed buckets' current data. Rows in
-            # untouched buckets are never read, never rewritten.
-            base_paths = [
-                _bucket_data_path(state_root, prior["buckets"][str(b)], b)
-                for b in changed
-                if str(b) in prior["buckets"]
-            ]
-            base_paths = [p for p in base_paths if os.path.isdir(p)]
-            if base_paths:
-                base = spark.read.parquet(*base_paths)
+            if prior is not None:
+                # Base = ONLY the changed buckets' current data. Rows in
+                # untouched buckets are never read, never rewritten. A
+                # committed manifest entry always points at an existing
+                # dir, so a missing one is corruption — fail loudly, same
+                # contract as _read_version_dir.
+                base_paths = [
+                    _bucket_data_path(state_root, prior["buckets"][str(b)], b)
+                    for b in changed
+                    if str(b) in prior["buckets"]
+                ]
+                missing = [p for p in base_paths if not os.path.isdir(p)]
+                if missing:
+                    raise FileNotFoundError(
+                        f"current snapshot references missing bucket data "
+                        f"{missing[:3]} under {state_root}"
+                    )
+                if base_paths:
+                    base = spark.read.parquet(*base_paths)
+                else:
+                    base = spark.createDataFrame([], bdf.drop(*drop_cols).schema)
+            elif cur is not None:
+                # Legacy monolithic snapshot below us: migrate by rewriting
+                # the whole table into the bucketed layout once.
+                base = spark.read.parquet(cur)
+                changed = list(range(nb))
             else:
                 base = spark.createDataFrame([], bdf.drop(*drop_cols).schema)
-        elif cur is not None:
-            # Legacy monolithic snapshot below us: migrate by rewriting
-            # the whole table into the bucketed layout once.
-            base = spark.read.parquet(cur)
-            changed = list(range(nb))
-        else:
-            base = spark.createDataFrame([], bdf.drop(*drop_cols).schema)
 
-        merged = apply_changes(base, bdf, key, seq_col=seq_col)
-        # merged holds exactly the changed buckets' new content (every
-        # batch key hashes into `changed`; base was restricted to it).
-        out = os.path.join(state_root, rel, "data")
-        merged.withColumn("_bucket", _bucket_expr(key, nb)).write.mode(
-            "overwrite"
-        ).partitionBy("_bucket").parquet(out)
+            merged = apply_changes(base, bdf, key, seq_col=seq_col)
+            # merged holds exactly the changed buckets' new content (every
+            # batch key hashes into `changed`; base was restricted to it).
+            out = os.path.join(state_root, rel, "data")
+            merged.withColumn("_bucket", _bucket_expr(key, nb)).write.mode(
+                "overwrite"
+            ).partitionBy("_bucket").parquet(out)
+        finally:
+            bdf.unpersist()
 
         buckets = dict(prior["buckets"]) if prior else {}
         for b in changed:

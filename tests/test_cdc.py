@@ -335,3 +335,175 @@ def test_vacuum_expires_versions_but_never_live_buckets(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         read_snapshot(spark, state_root, version=1)
     assert {(r.k, r.v) for r in read_snapshot(spark, state_root).collect()} == want_cur
+
+
+def _run_sink(spark, tmp_path, batch_dfs, schema, tag, **sink_kwargs):
+    """Drive stream_upsert_sink over a file stream delivering one batch
+    per trigger (mtime-ordered), returning the state root."""
+    import os as _os
+
+    from mapreduce__spark.operators.cdc import stream_upsert_sink
+
+    src = tmp_path / f"changes_{tag}"
+    src.mkdir()
+    t0 = 1_700_000_000
+    for i, b in enumerate(batch_dfs):
+        d = src / f"batch{i}"
+        b.coalesce(1).write.parquet(str(d))
+        for f in _os.listdir(d):
+            _os.utime(d / f, (t0 + i, t0 + i))
+    state_root = str(tmp_path / f"state_{tag}")
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_upsert_sink(
+        sdf, "k", state_root, str(tmp_path / f"ckpt_{tag}"), **sink_kwargs
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    return state_root
+
+
+def _three_version_chain(spark, tmp_path, nb=8):
+    """Seed + two small change batches -> a v0/v1/v2 snapshot chain."""
+    from pyspark.sql import functions as F
+
+    b0 = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"), F.lit("U").alias("op")
+    )
+    b1 = spark.createDataFrame(
+        [(7, 777, "U"), (400, 4444, "U"), (42, 0, "D")],
+        "k bigint, v bigint, op string",
+    )
+    b2 = spark.createDataFrame(
+        [(7, 7777, "U"), (100, 1001, "U")], "k bigint, v bigint, op string"
+    )
+    return _run_sink(
+        spark, tmp_path, [b0, b1, b2], "k bigint, v bigint, op string",
+        "chain", num_buckets=nb,
+    )
+
+
+def test_vacuum_tombstones_before_pruning(spark, tmp_path, monkeypatch):
+    """Crash-safety ordering: a version must become loudly unreadable
+    (tombstone committed) BEFORE any of its paths are deleted. Simulated
+    by making the first delete crash mid-vacuum: the half-vacuumed
+    version's read must raise, never assemble a partial snapshot, and a
+    re-run must finish the job."""
+    import shutil
+
+    import pytest
+
+    from mapreduce__spark.operators.cdc import read_snapshot, vacuum_snapshots
+
+    state_root = _three_version_chain(spark, tmp_path)
+    want_cur = {(r.k, r.v) for r in read_snapshot(spark, state_root).collect()}
+
+    real_rmtree = shutil.rmtree
+    calls = {"n": 0}
+
+    def crashing_rmtree(path, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("simulated crash mid-vacuum")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", crashing_rmtree)
+    with pytest.raises(OSError, match="simulated crash"):
+        vacuum_snapshots(state_root, keep_last=2)
+    assert calls["n"] == 1  # it really was mid-prune
+
+    # The victim version is already tombstoned -> loud failure, and the
+    # retained chain is untouched.
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        read_snapshot(spark, state_root, version=0)
+    assert {(r.k, r.v) for r in read_snapshot(spark, state_root).collect()} == want_cur
+
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    vacuum_snapshots(state_root, keep_last=2)  # re-run finishes the prune
+    assert {(r.k, r.v) for r in read_snapshot(spark, state_root).collect()} == want_cur
+
+
+def test_vacuum_retained_counts_readable_versions_only(spark, tmp_path):
+    """keep_last promises time-travelable versions: a tombstoned dir that
+    survives only because newer manifests reference its buckets must not
+    occupy a retention slot nor be reported as retained."""
+    import os as _os
+
+    import pytest
+
+    from mapreduce__spark.operators.cdc import read_snapshot, vacuum_snapshots
+
+    state_root = _three_version_chain(spark, tmp_path)
+    vacuum_snapshots(state_root, keep_last=1)
+    # v0/v1 own live buckets (most keys were never rewritten), so their
+    # tombstoned dirs survive — the trap a dir-count retention would hit.
+    assert _os.path.isdir(_os.path.join(state_root, "v0"))
+    stats = vacuum_snapshots(state_root, keep_last=3)
+    assert stats["retained"] == ["v2"]  # dead versions take no slots
+    for v in (0, 1):
+        with pytest.raises(FileNotFoundError, match="vacuumed"):
+            read_snapshot(spark, state_root, version=v)
+
+
+def test_read_snapshot_fails_loudly_on_missing_bucket_data(spark, tmp_path):
+    """A committed manifest entry always points at an existing dir (empty
+    buckets are popped before the manifest write; vacuum tombstones
+    first) — so a missing referenced dir is corruption and the read must
+    raise, not return a silently partial table."""
+    import os as _os
+    import shutil
+
+    import pytest
+
+    from mapreduce__spark.operators.cdc import (
+        _load_manifest,
+        current_snapshot_path,
+        read_snapshot,
+    )
+
+    state_root = _three_version_chain(spark, tmp_path)
+    cur = current_snapshot_path(state_root)
+    man = _load_manifest(cur)
+    b, owner = sorted(man["buckets"].items())[0]
+    victim = _os.path.join(state_root, owner, "data", f"_bucket={b}")
+    shutil.rmtree(victim)
+    with pytest.raises(FileNotFoundError, match="missing bucket data"):
+        read_snapshot(spark, state_root).count()
+
+
+def test_sink_seq_in_table_stores_sequence_column(spark, tmp_path):
+    """seq_col is transport metadata by default (dropped from the stored
+    table); seq_in_table=True declares it real table data — the snapshot
+    then carries each key's latest sequence value."""
+    from mapreduce__spark.operators.cdc import read_snapshot
+
+    schema = "k bigint, v bigint, op string, updated_at bigint"
+    b0 = spark.createDataFrame(
+        [(1, 10, "U", 100), (2, 20, "U", 100), (3, 30, "U", 100)], schema
+    )
+    # key 1's full history in one batch: compaction keeps the max-seq row
+    b1 = spark.createDataFrame(
+        [(1, 11, "U", 101), (1, 12, "U", 103), (1, 99, "D", 102), (3, 0, "D", 101)],
+        schema,
+    )
+
+    root = _run_sink(
+        spark, tmp_path, [b0, b1], schema, "seqtab",
+        seq_col="updated_at", num_buckets=4, seq_in_table=True,
+    )
+    snap = read_snapshot(spark, root)
+    assert "updated_at" in snap.columns
+    got = {(r.k, r.v, r.updated_at) for r in snap.collect()}
+    assert got == {(1, 12, 103), (2, 20, 100)}
+
+    root2 = _run_sink(
+        spark, tmp_path, [b0, b1], schema, "seqdrop",
+        seq_col="updated_at", num_buckets=4,
+    )
+    snap2 = read_snapshot(spark, root2)
+    assert "updated_at" not in snap2.columns
+    assert {(r.k, r.v) for r in snap2.collect()} == {(1, 12), (2, 20)}
