@@ -484,6 +484,22 @@ def lsh_incremental_pairs(
         if ref_signatures is not None
         else minhash_signature(ref_docs, num_hashes).localCheckpoint(eager=True)
     )
+    if ref_signatures is not None:
+        # A snapshot persisted under a different num_hashes would index
+        # past the array end inside _band_buckets (an unhelpful ANSI
+        # error deep in the band join) or, with ANSI off, fold NULL
+        # slots into constant band hashes — silently gutting banding
+        # recall while _check_ref_corpus_covers still passes. Signatures
+        # are uniform-width by construction, so one bounded probe row
+        # pins the whole snapshot.
+        probe = sig_ref.select(F.size("mh").alias("w")).limit(1).collect()
+        if probe and probe[0].w != num_hashes:
+            raise ValueError(
+                f"lsh_incremental_pairs: ref_signatures width {probe[0].w} "
+                f"!= num_hashes {num_hashes} — the snapshot was built with "
+                "a different signature size; rebuild it (or call with the "
+                "matching num_hashes)"
+            )
     bn = _band_buckets(sig_new, num_hashes, bands).alias("bn")
     br = _band_buckets(sig_ref, num_hashes, bands).alias("br")
     candidates = (

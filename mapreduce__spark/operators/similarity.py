@@ -54,7 +54,18 @@ def brute_force_topk(
             cosine_sim(F.col("qv"), F.col("v")).alias("s"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("neighbor_id").asc())
+    return _topk_per_query(scored, k)
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """The ranking contract every ANN variant shares: top-k by score desc
+    with a deterministic neighbor_id asc tiebreak, score rounded to 4.
+    One place on purpose — the recall gates difference brute/LSH/IVF
+    outputs directly, so a contract change applied to one variant and
+    not the others would silently break comparability."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("neighbor_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -130,12 +141,7 @@ def lsh_topk(
         F.col("vec_id").alias("neighbor_id"),
         cosine_sim(F.col("qv"), F.col("v")).alias("s"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round(F.col("s"), 4).alias("score"), "rank")
-    )
+    return _topk_per_query(scored, k)
 
 
 def _cosine_matrix_pdf(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
@@ -235,13 +241,20 @@ def ivf_topk(
     than hyperplane-LSH at equal candidate count when clusters capture
     real structure; `lsh_topk` needs no training pass.
     """
-    cents = kmeans_centroids(emb, k=n_clusters, iters=3, dim=dim)
-    vecs = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    # The projected vectors are read by k-means (seed collect + `iters`
+    # mapInPandas passes), the assignment, the query collect, and the
+    # candidate join — checkpoint the narrow (vec_id, v) projection once
+    # instead of re-deriving it from the source plan 6-8 times (and fan
+    # the single-row-group testdata out so the BLAS passes parallelize).
+    vecs = (
+        ensure_parallelism(emb)
+        .select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    cents = kmeans_centroids(vecs, k=n_clusters, iters=3, dim=dim, pre_projected=True)
     assigned = vecs.withColumn("cluster", _nearest_centroid(F.col("v"), cents))
 
     # nprobe nearest cells per query, driver-side over O(k) centroids
-    import numpy as np
-
     q_rows = {r.vec_id: r.v for r in vecs.where(F.col("vec_id").isin(query_ids)).collect()}
     c_arr = np.array(cents)
     c_norm = c_arr / np.linalg.norm(c_arr, axis=1, keepdims=True)
@@ -265,12 +278,7 @@ def ivf_topk(
     scored = cand.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), cosine_sim(F.col("qv"), F.col("v")).alias("s")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round(F.col("s"), 4).alias("score"), "rank")
-    )
+    return _topk_per_query(scored, k)
 
 
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 
 
-def _staged_events_dir(sf_dir: str) -> str:
+def _staged_table_dir(sf_dir: str, table: str) -> str:
     """FileStreamSource requires a DIRECTORY (its file index rejects a bare
     file as basePath); the testdata ships one file per table, so stage a
     copy under /tmp once per scale factor. In production the source is a
@@ -38,13 +38,17 @@ def _staged_events_dir(sf_dir: str) -> str:
     import shutil
 
     name = sf_dir.rstrip("/").split("/")[-1]
-    d = f"/tmp/mapreduce__spark_stream/{name}/events"
+    d = f"/tmp/mapreduce__spark_stream/{name}/{table}"
     os.makedirs(d, exist_ok=True)
-    dst = f"{d}/events.parquet"
-    src = f"{sf_dir}/events.parquet"
+    dst = f"{d}/{table}.parquet"
+    src = f"{sf_dir}/{table}.parquet"
     if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
         shutil.copyfile(src, dst)
     return d
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    return _staged_table_dir(sf_dir, "events")
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,11 +110,22 @@ def stream_sessionized(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def stream_dedup_first(events: DataFrame) -> DataFrame:
-    """Stateful streaming dedup: first event per (user_id, event_type)
-    within the watermark horizon."""
+    """Stateful streaming dedup: first observed event per (user_id,
+    event_type) within the watermark horizon.
+
+    dropDuplicatesWithinWatermark — not plain dropDuplicates — because
+    state eviction is the whole scale story: Spark only expires
+    dropDuplicates state when the event-time column is part of the key
+    subset (which would dedup exact (key, ts) pairs, not keys), so the
+    plain form keeps one state row per key FOREVER — the classic
+    unbounded state-store leak on a stream with growing key cardinality.
+    The WithinWatermark form evicts a key once the watermark passes its
+    event time + delay, bounding state to keys active inside the
+    horizon; a duplicate arriving beyond the horizon re-admits, which is
+    exactly the documented contract."""
     return (
         events.withWatermark("ts", "2 hours")
-        .dropDuplicates(["user_id", "event_type"])
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type", "event_id", "ts")
     )
 
@@ -243,9 +258,17 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+    if not finished:
+        # A partially drained memory table is indistinguishable from a
+        # complete one downstream — fail here, not in a confusing
+        # batch/stream diff (or worse, a silently weakened assertion).
+        raise TimeoutError(
+            f"stream '{name}' did not finish draining within {timeout_sec}s; "
+            "the memory table is partial"
+        )
 
 
 # --------------------------------------------------------------------------
@@ -261,18 +284,7 @@ DOCS_RAW_SCHEMA = (
 
 
 def _staged_docs_dir(sf_dir: str) -> str:
-    """Stage the single-file documents table into a directory for the
-    FileStreamSource (same shim as _staged_events_dir)."""
-    import shutil
-
-    name = sf_dir.rstrip("/").split("/")[-1]
-    d = f"/tmp/mapreduce__spark_stream/{name}/documents"
-    os.makedirs(d, exist_ok=True)
-    dst = f"{d}/documents.parquet"
-    src = f"{sf_dir}/documents.parquet"
-    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
-        shutil.copyfile(src, dst)
-    return d
+    return _staged_table_dir(sf_dir, "documents")
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -233,4 +233,14 @@ def test_incremental_ref_signatures_contract_violations_fail_loudly(spark, sf_sm
             new, docs, 0.8, ref_signatures=minhash_signature(docs, 16)
         ).collect()
 
+    # (c) a snapshot persisted under a DIFFERENT num_hashes must raise up
+    # front: mismatched width would either throw an opaque array-index
+    # error mid-join (ANSI) or fold NULL slots into constant band hashes
+    # (silent recall loss) — and the coverage guard can't see either.
+    with _pytest.raises(ValueError, match="ref_signatures width"):
+        lsh_incremental_pairs(
+            new, ref, 0.8, num_hashes=16, bands=8,
+            ref_signatures=minhash_signature(ref, 8),
+        ).collect()
+
     assert lsh_incremental_pairs(new, ref, 0.8, ref_signatures=sigs).collect()
