@@ -132,3 +132,37 @@ def gopher_rule_columns(text: Column) -> dict[str, Column]:
 def gopher_keep_expr(text: Column) -> Column:
     """Composite Gopher-style quality keep flag."""
     return gopher_rule_columns(text)["keep"]
+
+
+def digit_ratio_expr(text: Column) -> Column:
+    """Fraction of characters that are digits (double in [0, 1])."""
+    stripped = F.regexp_replace(text, "[0-9]", "")
+    return (F.length(text) - F.length(stripped)) / F.length(text)
+
+
+def quality_keep_expr(text: Column) -> Column:
+    """The C4-style token-count + digit-ratio keep gate shared by
+    doc_quality_score and both training-pipeline flagships. ONE source on
+    purpose (same rule gopher_rule_columns states): the constants
+    (20, 2000, 0.3) are mirrored verbatim in the DuckDB oracles of all
+    three queries, so a private copy edited in one place would silently
+    desynchronize the flagships from the standalone query and its oracle."""
+    return F.size(tokenize(text)).between(20, 2000) & (
+        digit_ratio_expr(text) < 0.3
+    )
+
+
+def split_bucket_expr(key: Column, n: int = 10, salt: str = "#split") -> Column:
+    """Deterministic content-hash split bucket: first 8 hex chars of
+    md5(key || salt) mod n — stable across reruns, cluster layouts, and
+    engines (any SQL dialect can recompute membership). Shared by
+    train_test_split and the pipeline flagships under the same one-source
+    rule as quality_keep_expr."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % n
+    )

@@ -41,6 +41,17 @@ def asof_join(
         "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in right_cols) + ">"
     ).alias("_carry")
 
+    # Equi-join semantics for NULL keys: a NULL never equals anything, so
+    # a NULL-keyed right row matches NO left row. Window.partitionBy
+    # groups NULLs into one partition — without this filter a NULL-keyed
+    # left row would receive a NULL-keyed right row's payload, a phantom
+    # match no keyed join (or the DuckDB ASOF oracle) would produce.
+    # NULL-keyed LEFT rows stay: they keep their own partition, no right
+    # rows remain in it, and they surface with NULL carried columns —
+    # exactly a left join's treatment of an unmatchable key.
+    for k in on:
+        right = right.where(F.col(k).isNotNull())
+
     left_cols = [c for c in left.columns]
     l_tagged = left.select(
         *on, F.col(ts).alias("_ts"), F.lit(1).alias("_side"), null_carry,

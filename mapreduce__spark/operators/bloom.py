@@ -37,7 +37,15 @@ def _hashes(col: Column, num_hashes: int, bits: int) -> list[Column]:
 def build_bloom(
     keys: DataFrame, key_col: str, bits: int = DEFAULT_BITS, num_hashes: int = 3
 ) -> list[int]:
-    """Distributed Bloom build; returns the word list (len = bits/64)."""
+    """Distributed Bloom build; returns the word list (len = bits/64).
+
+    `bits` is rounded UP to a multiple of 64: the probe side has only the
+    word list and reconstructs the modulus as len(words)*64, so a build
+    modulus that isn't word-aligned would hash probes at different
+    positions than the build — false negatives, breaking the operator's
+    one hard guarantee (and a hash landing in the truncated tail word
+    would IndexError the build)."""
+    bits = (bits + 63) // 64 * 64
     h = F.explode(F.array(*_hashes(F.col(key_col), num_hashes, bits))).alias("h")
     # column-valued shift amounts need call_function (F.shiftleft only
     # accepts a literal int amount)

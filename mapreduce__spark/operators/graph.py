@@ -11,11 +11,14 @@ large-star idea in its simple form):
     repeat: label(v) := min(label(v), min over neighbors' labels)
     until no label changes
 
-Each round is one join + one aggregate (all DataFrame ops); rounds needed
-= graph diameter in hops halved per iteration for star-like dup clusters —
-near-dup clusters are tiny (usually 2-5 docs), so 2-3 rounds converge. The
-driver loop only checks a scalar convergence count per round; labels never
-collect to the driver.
+Each round is one join + one aggregate (all DataFrame ops); the minimum
+label advances ONE hop per round (plain neighbor-min propagation, no
+small-star/large-star pointer doubling), so rounds needed = component
+diameter. Near-dup clusters are tiny (usually 2-5 docs, diameter 1-3),
+which is why the simple form wins here; a component whose diameter
+exceeds `max_iter` fails LOUDLY rather than returning split labels. The
+driver loop only checks a scalar convergence count per round; labels
+never collect to the driver.
 
 Scale: edge table shuffles on node id each round; for N-node graphs of
 small components the work per round is O(E). A 100 TB corpus with billions
@@ -136,9 +139,21 @@ def connected_components(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         rows = [(n, find(n)) for n in parent]
-        schema = edges.select(
-            edges[src].alias("node"), edges[src].alias("component")
-        ).schema
+        # Widen node/component to the COMMON type of src and dst via the
+        # same union coercion the distributed path applies — a schema
+        # built from src alone would reject (or narrow) dst ids of a
+        # wider type, making the two execution paths return different
+        # schemas for the same input.
+        from pyspark.sql.types import StructField, StructType
+
+        node_field = (
+            edges.select(edges[src].alias("node"))
+            .unionAll(edges.select(edges[dst].alias("node")))
+            .schema[0]
+        )
+        schema = StructType(
+            [node_field, StructField("component", node_field.dataType, True)]
+        )
         return edges.sparkSession.createDataFrame(rows or [], schema)
 
     # symmetrize + self-loops so isolated orientation doesn't matter
@@ -147,6 +162,7 @@ def connected_components(
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node"))
 
+    converged = False
     for i in range(max_iter):
         # candidate label for each node: min over its own and neighbors' labels
         nbr = (
@@ -170,5 +186,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # The min label advances one hop per round, so a component whose
+        # diameter exceeds max_iter still has moving labels here —
+        # returning them would report one real cluster as several
+        # components (dedup would keep multiple "representatives" of the
+        # same group). Fail loudly instead of silently under-merging.
+        raise RuntimeError(
+            f"connected_components: labels still changing after max_iter="
+            f"{max_iter} rounds (component diameter exceeds the round "
+            "budget); raise max_iter — propagation needs one round per "
+            "hop of the widest component"
+        )
     return labels

@@ -10,7 +10,7 @@ celebrity user, an empty-string document).
 probe side across the replicas, so a hot key's rows land on `salt` tasks
 instead of one:
 
-    probe:  key, salt_i = pmod(hash(unique_col), salt)
+    probe:  key, salt_i = pmod(xxhash64(unique_col | all columns), salt)
     build:  key × explode(sequence(0, salt-1))
     join on (key, salt_i)
 
@@ -31,21 +31,37 @@ def salted_join(
     on: list[str],
     salt: int = 8,
     how: str = "inner",
+    unique_col: str | None = None,
 ) -> DataFrame:
     """Equi-join with the build side salted `salt` ways.
 
     `how` supports 'inner' and 'left' (probe-preserving); the probe side
     keeps one row per original row in all cases.
+
+    `unique_col` names a (near-)unique probe column to derive the salt
+    from — pass it whenever one exists. The fallback hashes ALL probe
+    columns, which stays deterministic under task retries (a rand()
+    salt is the classic nondeterministic-repartition hazard: a partial
+    stage retry can re-salt rows into different reduce partitions) but
+    CANNOT scatter byte-identical duplicate probe rows — they hash
+    alike, so a hot key whose rows are full duplicates (a null-key
+    flood of empty records) still funnels one task. With a unique id
+    column the scatter is uniform even then.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner'|'left'")
     salt_col = "_salt"
-    # Scatter probe rows deterministically but uniformly: hash ALL probe
-    # columns (monotonically_increasing_id would break retried-task
-    # determinism).
-    probe_s = probe.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(salt))
+    if salt_col in probe.columns or salt_col in build.columns:
+        raise ValueError(
+            "salted_join: '_salt' is reserved; rename the existing column "
+            "(silently clobbering it would corrupt the caller's data)"
+        )
+    src = (
+        [F.col(unique_col)]
+        if unique_col is not None
+        else [F.col(c) for c in probe.columns]
     )
+    probe_s = probe.withColumn(salt_col, F.pmod(F.xxhash64(*src), F.lit(salt)))
     build_s = build.withColumn(
         salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>"))
     )

@@ -27,9 +27,12 @@ from mapreduce__spark.functions.text import (
     PII_EMAIL,
     PII_IPV4,
     PII_PHONE,
+    digit_ratio_expr,
     lang_id_expr,
     pii_count_expr,
     pii_scrub_expr,
+    quality_keep_expr,
+    split_bucket_expr,
     stopword_hits,
     tokenize,
     word_ngrams,
@@ -188,15 +191,13 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     style of C4/Gopher filter rules — all codegen expressions."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
-    digit_stripped = F.regexp_replace(F.col("text"), "[0-9]", "")
-    digit_ratio = (F.length("text") - F.length(digit_stripped)) / F.length("text")
     return docs.select(
         "doc_id",
         F.round(stopword_hits(toks, LANG_STOPWORDS["en"]) / F.size(toks), 4).alias(
             "stopword_ratio"
         ),
-        F.round(digit_ratio, 4).alias("digit_ratio"),
-        F.when(F.size(toks).between(20, 2000) & (digit_ratio < 0.3), 1)
+        F.round(digit_ratio_expr(F.col("text")), 4).alias("digit_ratio"),
+        F.when(quality_keep_expr(F.col("text")), 1)
         .otherwise(0)
         .alias("passes_quality"),
     )
@@ -518,7 +519,15 @@ def embedding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    p = emb.mapInPandas(partials, schema="n bigint, s array<double>, g array<double>")
+    # The partials subtree feeds THREE consumers (total, sums, gram)
+    # under distinct exchanges, so without materialization the embeddings
+    # scan + the Arrow/BLAS gram fold re-execute per consumer (ReuseExchange
+    # only dedups the identical si/sj and di/dj copies). The partials are
+    # one tiny sufficient-statistics row per Arrow batch — checkpoint
+    # them once, same multi-consumer discipline as windows.py/graph.py.
+    p = emb.mapInPandas(
+        partials, schema="n bigint, s array<double>, g array<double>"
+    ).localCheckpoint(eager=True)
     total = p.agg(F.sum("n").alias("nn"))
     sums = (
         p.select(F.posexplode("s").alias("i", "sv"))
@@ -1321,7 +1330,8 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH x AS (
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1340,15 +1350,24 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-minute inactivity gap) via the
     lag → new-session flag → running-sum pattern; the streaming twin is
-    session_window() with a watermark (mapreduce__spark.streaming)."""
+    session_window() with a watermark (mapreduce__spark.streaming).
+
+    The gap compares epoch MICROSECONDS (same discipline as
+    rolling_user_features): unix_timestamp() truncates to whole seconds,
+    so a true gap of e.g. 1800.3s whose second-floors differ by exactly
+    1800 would split sessions differently from the µs-precise oracle —
+    a boundary the testdata happens not to exercise, which is exactly
+    when truncation bugs survive. The NTZ→LTZ cast is exact under the
+    session's pinned UTC zone."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp_ltz"))
     flagged = ev.select(
         "user_id",
         "ts",
         F.when(
-            F.lag("ts").over(w).isNull()
-            | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+            F.lag("ts").over(w).isNull() | ((ts_us - prev_us) > 1_800_000_000),
             1,
         )
         .otherwise(0)
@@ -1564,7 +1583,7 @@ def global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase offset pattern. The idiom behind stable example ids in
     training-data exports (monotonically_increasing_id is partition-
     layout-dependent and non-contiguous; this is neither)."""
-    from mapreduce__spark.operators.windows import distributed_cumsum
+    from mapreduce__spark.operators.windows import distributed_cumsum, idiv
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     numbered = distributed_cumsum(
@@ -1758,7 +1777,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     global Window.orderBy — a partitionBy-less window would funnel the
     entire corpus through one task at 100 TB.
     """
-    from mapreduce__spark.operators.windows import distributed_cumsum
+    from mapreduce__spark.operators.windows import distributed_cumsum, idiv
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
@@ -1768,7 +1787,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "doc_id",
         "n_tokens",
-        ((F.col("cum") - F.col("n_tokens")) / 2048).cast("bigint").alias("bin"),
+        idiv(F.col("cum") - F.col("n_tokens"), 2048).alias("bin"),
     )
 
 
@@ -2131,10 +2150,7 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependence), and any engine can recompute membership. Bucket = first
     8 hex chars of md5(key || salt) mod 10."""
     docs = load_table(spark, sf_dir, "documents")
-    b = (
-        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#split"))), 1, 8), 16, 10)
-        .cast("bigint") % 10
-    )
+    b = split_bucket_expr(F.col("doc_id"))
     return docs.select(
         "doc_id",
         F.when(b < 8, "train").when(b == 8, "val").otherwise("test").alias("split"),
@@ -2757,9 +2773,6 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors, not the raw corpus — filter-then-dedup, so signature work
     is never spent on docs already dropped."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    digit_stripped = F.regexp_replace(F.col("text"), "[0-9]", "")
-    digit_ratio = (F.length("text") - F.length(digit_stripped)) / F.length("text")
     # The quality gate stays LAZY on purpose: it has only two consumers
     # (the exact-dedup fingerprint projection and LSH signatures), and a
     # measured eager checkpoint here was a net LOSS at sf0.1 (4.1-5.0s vs
@@ -2767,9 +2780,7 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan-stage regex pass it saves. Contrast training_data_pipeline_full,
     # where the scrubbed/decon relations feed 3-4 consumers each carrying
     # a gram-join lineage, and the same checkpoint is a 1.8x win.
-    quality = docs.where(F.size(toks).between(20, 2000) & (digit_ratio < 0.3)).select(
-        "doc_id", "text"
-    )
+    quality = docs.where(quality_keep_expr(F.col("text"))).select("doc_id", "text")
 
     # Exact dedup as min-over-window on the content hash: ONE pass and one
     # shuffle (on the uniform md5 key), where the groupBy + semi-join
@@ -2804,14 +2815,7 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     survivors = exact_deduped.join(removal, "doc_id", "left_anti")
 
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#split"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % 10
-    )
+    bucket = split_bucket_expr(F.col("doc_id"))
     with_split = survivors.select(
         "doc_id",
         F.ceil(F.col("_len") / 4.0).cast("bigint").alias("n_tokens"),
@@ -2821,7 +2825,7 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-split running sum via the grouped two-phase cumsum — NOT
     # Window.partitionBy("split"): with 2 split values that window funnels
     # the whole surviving corpus through 2 tasks (round-1 VERDICT item 5).
-    from mapreduce__spark.operators.windows import distributed_cumsum_grouped
+    from mapreduce__spark.operators.windows import distributed_cumsum_grouped, idiv
 
     packed = distributed_cumsum_grouped(
         with_split, ["split"], "doc_id", "n_tokens", "cum"
@@ -2830,7 +2834,7 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "split",
-        ((F.col("cum") - F.col("n_tokens")) / 2048).cast("bigint").alias("bin"),
+        idiv(F.col("cum") - F.col("n_tokens"), 2048).alias("bin"),
     )
 
 
@@ -3111,7 +3115,7 @@ def training_data_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition is hash-checked end-to-end against the same stages in SQL.
     """
     from mapreduce__spark.operators.graph import connected_components
-    from mapreduce__spark.operators.windows import distributed_cumsum_grouped
+    from mapreduce__spark.operators.windows import distributed_cumsum_grouped, idiv
 
     docs = load_table(spark, sf_dir, "documents")
     # The scrubbed corpus feeds FOUR independent consumers (quality gate,
@@ -3126,11 +3130,9 @@ def training_data_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     toks = tokenize(F.col("text"))
-    digit_stripped = F.regexp_replace(F.col("text"), "[0-9]", "")
-    digit_ratio = (F.length("text") - F.length(digit_stripped)) / F.length("text")
-    quality = scrubbed.where(
-        F.size(toks).between(20, 2000) & (digit_ratio < 0.3)
-    ).select("doc_id", "text")
+    quality = scrubbed.where(quality_keep_expr(F.col("text"))).select(
+        "doc_id", "text"
+    )
 
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
     # Train-side grams are computed over QUALITY train docs only: a doc
@@ -3186,14 +3188,7 @@ def training_data_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = exact_deduped.join(removal, "doc_id", "left_anti")
 
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#split"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % 10
-    )
+    bucket = split_bucket_expr(F.col("doc_id"))
     with_split = survivors.select(
         "doc_id",
         F.ceil(F.col("_len") / 4.0).cast("bigint").alias("n_tokens"),
@@ -3206,5 +3201,5 @@ def training_data_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "split",
-        ((F.col("cum") - F.col("n_tokens")) / 2048).cast("bigint").alias("bin"),
+        idiv(F.col("cum") - F.col("n_tokens"), 2048).alias("bin"),
     )

@@ -64,3 +64,22 @@ def test_phase_timer_write(tmp_path):
     t.write(str(p))  # append semantics like the reference log
     lines = p.read_text().strip().splitlines()
     assert len(lines) == 2 and all("map_shuffle took" in l for l in lines)
+
+
+def test_null_keys_never_match(spark):
+    """Equi-join semantics: NULL keys equal nothing. A NULL-keyed left
+    row must surface with NULL carried columns — not receive a
+    NULL-keyed right row's payload through the shared window partition."""
+    from mapreduce__spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 5, "L1"), (1, 5, "L2")], "k int, ts int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(None, 3, 100.0), (1, 3, 200.0)], "k int, ts int, px double"
+    )
+    out = {
+        r.tag: r.px
+        for r in asof_join(left, right, ["k"], "ts", ["px"]).collect()
+    }
+    assert out == {"L1": None, "L2": 200.0}

@@ -41,3 +41,20 @@ def test_semi_join_equivalence(spark, sf_small):
     assert sorted(r.o_orderkey for r in plain.collect()) == sorted(
         r.o_orderkey for r in pruned.collect()
     )
+
+
+def test_unaligned_bits_round_up_no_false_negatives(spark):
+    """bits not divisible by 64 must not desynchronize the build and
+    probe moduli: the probe reconstructs bits as len(words)*64, so the
+    build rounds UP to word alignment — otherwise keys hashing into the
+    truncated tail produce false negatives (or an IndexError at build),
+    breaking the operator's one hard guarantee."""
+    from pyspark.sql import functions as F
+
+    from mapreduce__spark.operators.bloom import bloom_might_contain, build_bloom
+
+    keys = spark.range(5000).select(F.col("id").alias("k"))
+    words = build_bloom(keys, "k", bits=100_000)  # not a multiple of 64
+    assert len(words) * 64 >= 100_000
+    misses = keys.where(~bloom_might_contain(F.col("k"), words)).count()
+    assert misses == 0  # every member must test positive

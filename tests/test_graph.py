@@ -89,3 +89,34 @@ def test_propagate_mass_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, 10)], "c bigint, s bigint")
     with pytest.raises(ValueError, match="k must be"):
         propagate_mass(df, k=0)
+
+
+def test_distributed_cc_raises_when_unconverged(spark):
+    """A component whose diameter exceeds max_iter must fail loudly —
+    returning the still-moving labels would report one real cluster as
+    several components (dedup would keep multiple representatives)."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(10)]
+    edges = spark.createDataFrame(chain, "id1 bigint, id2 bigint")
+    with pytest.raises(RuntimeError, match="still changing"):
+        connected_components(edges, driver_threshold=0, max_iter=2)
+    # the same graph converges with an adequate budget
+    ok = connected_components(edges, driver_threshold=0, max_iter=12)
+    assert {r.component for r in ok.collect()} == {0}
+
+
+def test_driver_path_widens_mixed_key_types(spark):
+    """src INT / dst BIGINT: the driver path must return the same widened
+    schema the distributed unionAll coercion produces, and accept dst
+    ids above 2^31."""
+    from pyspark.sql import functions as F
+
+    big = 5_000_000_000  # > 2^31
+    edges = spark.createDataFrame([(1, big), (2, 3)], "id1 bigint, id2 bigint").select(
+        F.col("id1").cast("int").alias("id1"), F.col("id2").alias("id2")
+    )
+    out = connected_components(edges)
+    assert dict(out.dtypes) == {"node": "bigint", "component": "bigint"}
+    got = {(r.node, r.component) for r in out.collect()}
+    assert got == {(1, 1), (big, 1), (2, 2), (3, 2)}

@@ -147,3 +147,34 @@ def test_lsh_hot_bucket_flood_and_cap(spark):
     }
     assert got_capped == want
     assert got_exact == want
+
+
+def test_salted_join_unique_col_and_reserved_name(spark):
+    """unique_col scatters byte-identical hot rows across salts (the
+    all-columns hash cannot), and a pre-existing _salt column is rejected
+    instead of silently clobbered."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce__spark.operators.skew import salted_join
+
+    # 600 probe rows: 500 byte-identical duplicates of the hot key
+    # (plus a row_id making them distinguishable only via unique_col).
+    probe = spark.range(600).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") < 500, 7).otherwise(F.col("id")).alias("k"),
+    )
+    build = spark.createDataFrame([(7, "hot"), (550, "cold")], "k bigint, v string")
+    got = salted_join(probe, build, ["k"], salt=8, unique_col="row_id")
+    assert got.count() == 501  # 500 hot matches + row 550
+    # scatter check: the salt derived from row_id spreads the hot rows
+    salts = (
+        probe.where(F.col("k") == 7)
+        .select(F.pmod(F.xxhash64("row_id"), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert salts > 1
+
+    with pytest.raises(ValueError, match="reserved"):
+        salted_join(probe.withColumn("_salt", F.lit(1)), build, ["k"])
