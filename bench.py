@@ -31,7 +31,7 @@ REGRESSION_FACTOR = 1.5  # warn loudly on >1.5x per-query slowdown vs last round
 
 def _baseline_queries(sf: float) -> tuple[str, dict[str, float]]:
     """Per-query timings from the newest BENCH_r{N}.json at the same sf
-    (the driver writes one per round), or ({}, '') when none exists."""
+    (the driver writes one per round), or ('', {}) when none exists."""
     best: tuple[int, str, dict[str, float]] | None = None
     for path in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -121,7 +121,14 @@ def _scaled_docs_dir(spark, sf_dir: str, factor: int) -> str:
     out_dir = f"/tmp/mapreduce__spark_scale/{name}x{factor}-v2-{tag}"
     dst = f"{out_dir}/documents.parquet"
     src = f"{sf_dir}/documents.parquet"
-    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+    # Freshness requires the _SUCCESS marker, not just the directory: a
+    # synthesis job killed mid-write leaves dst existing with a fresh
+    # mtime but no committed data — every later bench run would skip
+    # re-synthesis and measure a partial corpus.
+    if (
+        not os.path.exists(os.path.join(dst, "_SUCCESS"))
+        or os.path.getmtime(dst) < os.path.getmtime(src)
+    ):
         docs = spark.read.parquet(src)
         reps = spark.range(factor).withColumnRenamed("id", "rep")
         # Base-26 two-letter replica tag (aa, ab, ...): stays inside

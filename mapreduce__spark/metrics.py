@@ -49,9 +49,10 @@ class PhaseTimer:
                 fh.write(line + "\n")
 
 
-def observe_counts(df, name: str, **aggs):
+def observe_counts(df, name: str, /, **aggs):
     """Attach named accumulator-backed metrics to a DataFrame without a
-    second scan: `pyspark.sql.Observation` collects the given aggregate
+    second scan (df/name are positional-only so a metric legitimately
+    named "name" or "df" can pass through **aggs without a TypeError): `pyspark.sql.Observation` collects the given aggregate
     expressions as a side effect of whatever action the caller runs —
     the production way to count quality-gate keeps/drops inside a 100 TB
     pipeline pass (a separate .count() per stage would re-run the scan

@@ -28,8 +28,15 @@ def write_parquet(
 
 
 def formatted_lines(df: DataFrame, *cols: str, sep: str = "|") -> DataFrame:
-    """Single `line` column — the print-loop sink as a DataFrame."""
-    parts: list[Column] = [F.col(c).cast("string") for c in cols]
+    """Single `line` column — the print-loop sink as a DataFrame.
+
+    Every column keeps its field slot even when NULL (as an empty
+    string): bare concat_ws SKIPS null arguments entirely, which would
+    shift later fields left — silent column misalignment for any reader
+    splitting on the separator."""
+    parts: list[Column] = [
+        F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols
+    ]
     return df.select(F.concat_ws(sep, *parts).alias("line"))
 
 
@@ -46,12 +53,26 @@ def write_parquet_compacted(
     A write inherits the DataFrame's partitioning — after a wide shuffle
     that is `spark.sql.shuffle.partitions` files regardless of data size,
     and a 100 TB pipeline that emits millions of KB-sized files breaks
-    every downstream scan's file-listing phase. Count once (cheap relative
-    to the write), coalesce to ceil(rows/target) files, write. Returns
-    the file count used. Production variant: estimate from sampled row
-    width against a target BYTE size.
+    every downstream scan's file-listing phase. Count once, repartition
+    to ceil(rows/target) partitions, write. Returns the file count used.
+    Production variant: estimate from sampled row width against a target
+    BYTE size.
+
+    repartition, not coalesce: coalesce can only SHRINK a partition count
+    (a larger target was a silent no-op that made the returned count a
+    lie) and it fuses into the upstream stage, so compacting to 1-2
+    files would serialize the whole computation; the round-robin shuffle
+    keeps the upstream parallel and makes n_files the real file count in
+    both directions. The input is persisted across the count + write so
+    the upstream plan executes once, not twice.
     """
-    rows = df.count()
-    n_files = max(1, -(-rows // target_rows_per_file))
-    df.coalesce(n_files).write.mode(mode).parquet(path)
+    if target_rows_per_file <= 0:
+        raise ValueError("target_rows_per_file must be a positive row count")
+    df = df.persist()
+    try:
+        rows = df.count()
+        n_files = max(1, -(-rows // target_rows_per_file))
+        df.repartition(n_files).write.mode(mode).parquet(path)
+    finally:
+        df.unpersist()
     return n_files

@@ -46,7 +46,14 @@ def listings_df(spark: SparkSession, dirs: list[str]) -> DataFrame:
             # fails (Search.cpp:210) — match that instead of crashing.
             continue
         for name in names:
-            rows.append((d, name))
+            # os.listdir surrogate-escapes undecodable filename bytes
+            # (PEP 383); surrogates can't cross the driver->JVM UTF-8
+            # boundary, so createDataFrame would crash the whole search
+            # on one mangled entry. Re-encode with replacement — the
+            # file still lists (the C++ reference strstr's raw bytes;
+            # a replacement char is the closest faithful rendering).
+            safe = name.encode("utf-8", "surrogateescape").decode("utf-8", "replace")
+            rows.append((d, safe))
     return spark.createDataFrame(rows or [("", "")], "dir string, name string").where(
         F.col("dir") != ""
     )

@@ -59,7 +59,27 @@ def get_spark(
         # plan shape for scale — AQE upgrades joins at runtime when the
         # built side is genuinely small.
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate returns any pre-existing session WITHOUT applying static
+    # confs (master, driver memory) — only a buried JVM log line says so.
+    # Surface it: a caller asking for local[8] and silently running on a
+    # different core count is a debugging trap.
+    if cpus is not None:
+        try:
+            actual = spark.sparkContext.master
+        except Exception:
+            actual = None  # e.g. Spark Connect — no sparkContext to probe
+        if actual is not None and actual != f"local[{n}]":
+            import warnings
+
+            warnings.warn(
+                f"get_spark(cpus={cpus}): reusing an existing SparkSession "
+                f"with master={actual}; the requested master local[{n}] and "
+                "other static confs were NOT applied",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    return spark
 
 
 def tune_session(spark: SparkSession) -> SparkSession:

@@ -162,3 +162,34 @@ def test_run_query_cli_list_and_json(spark, capsys):
     assert {r["event_type"] for r in rows} == {"purchase", "error", "view", "signup", "click"}
 
     assert main(["no_such_query"]) == 1
+
+
+def test_formatted_lines_keeps_null_field_slots(spark):
+    """concat_ws skips NULL arguments — a NULL field must still occupy
+    its slot (empty string), or every later field shifts left and any
+    reader splitting on the separator misassigns columns."""
+    df = spark.createDataFrame([("x", None, "z")], "a string, b string, c string")
+    got = [r.line for r in formatted_lines(df, "a", "b", "c").collect()]
+    assert got == ["x||z"]
+
+
+def test_compacted_write_file_count_is_truthful_both_directions(spark, tmp_path):
+    """The returned n_files must equal the files actually written even
+    when the target EXCEEDS the input partition count (coalesce silently
+    no-ops in that direction; repartition does not), and a nonsensical
+    target raises."""
+    import os
+
+    import pytest
+
+    from mapreduce__spark.operators.sinks import write_parquet_compacted
+
+    df = spark.range(100).coalesce(2)  # 2 input partitions, 100 rows
+    out = str(tmp_path / "grown")
+    n_files = write_parquet_compacted(df, out, target_rows_per_file=10)
+    assert n_files == 10
+    actual = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert actual == n_files
+
+    with pytest.raises(ValueError, match="positive"):
+        write_parquet_compacted(df, str(tmp_path / "bad"), target_rows_per_file=0)
