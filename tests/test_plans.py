@@ -231,3 +231,20 @@ def test_stream_interval_join_batch_is_equi_join(spark, sf_small):
     plan = physical(stream_interval_join_batch(spark, sf_small))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_paragraph_dedup_plan_shape(spark, sf_small):
+    """Paragraph dedup must stay a pure hash-agg + equi-join pipeline:
+    no cartesian, no Python in the hot path, no partition-less window
+    (the explode/min/join-back formulation exists precisely to avoid
+    one), and the first-occurrence min must partial-aggregate map-side
+    before the chunk-key shuffle."""
+    from mapreduce__spark.plans.tier2 import paragraph_dedup
+
+    plan = physical(paragraph_dedup(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Window" not in plan, plan
+    # two-phase min: a partial HashAggregate under the exchange and the
+    # final merge above it
+    assert plan.count("HashAggregate") >= 2, plan
