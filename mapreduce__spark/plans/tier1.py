@@ -24,6 +24,16 @@ from mapreduce__spark.plans.registry import query
 from mapreduce__spark.sources import load_table
 
 
+def exact_sum(expr, dec: str, digits: int):
+    """The float-discipline sum idiom (rationale in pricing_summary's
+    docstring): accumulate in DECIMAL — exact and associative, so the
+    result is independent of partition layout — round at the true
+    precision, cast to double for the driver comparison. One definition
+    so the rule cannot drift per call site (the oracles mirror the same
+    CAST/round/CAST chain in SQL)."""
+    return F.round(F.sum(expr.cast(dec)), digits).cast("double")
+
+
 # --------------------------------------------------------------------------
 # aggregation (O-11, O-12)
 # --------------------------------------------------------------------------
@@ -75,12 +85,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price.cast("decimal(18,6)")), 4)
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.round(F.sum(charge.cast("decimal(18,6)")), 6)
-            .cast("double")
-            .alias("sum_charge"),
+            exact_sum(disc_price, "decimal(18,6)", 4).alias("sum_disc_price"),
+            exact_sum(charge, "decimal(18,6)", 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -133,10 +139,10 @@ def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                   - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                     * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
                  / (count(*) - 1), 4) AS var_price,
-           round(sqrt((CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+           round(sqrt(greatest((CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
                   - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                     * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
-                 / (count(*) - 1)), 4) AS stddev_price
+                 / (count(*) - 1), 0)), 4) AS stddev_price
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -162,7 +168,11 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n"),
         F.round(sum_x / n, 6).alias("mean_price"),
         F.round(var, 4).alias("var_price"),
-        F.round(F.sqrt(var), 4).alias("stddev_price"),
+        # Clamp before the sqrt (mirrored in the oracle): a constant
+        # group's variance should be exactly 0 but double cancellation
+        # can land at -1e-10, where Spark's sqrt yields NaN and DuckDB's
+        # RAISES — the gate would hard-error instead of comparing.
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 4).alias("stddev_price"),
     )
 
 
@@ -178,12 +188,12 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((count(*) * CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
                   - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                     * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
-                 / sqrt((count(*) * CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+                 / sqrt(greatest((count(*) * CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE)
                          - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                            * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
                         * (count(*) * CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
                            - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                             * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))), 4)
+                             * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)), 0)), 4)
                AS corr_qty_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -207,9 +217,15 @@ def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         n.alias("n"),
         F.round(num / (n * (n - 1)), 4).alias("covar_qty_price"),
-        F.round(num / F.sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 4).alias(
-            "corr_qty_price"
-        ),
+        # Same clamp as stats_moments' stddev: cancellation on a
+        # constant column must yield sqrt(0) (-> NULL corr via 0-div,
+        # both engines), never sqrt(negative) (NaN in Spark, an ERROR
+        # in DuckDB).
+        F.round(
+            num
+            / F.sqrt(F.greatest((n * sqq - sq * sq) * (n * spp - sp * sp), F.lit(0.0))),
+            4,
+        ).alias("corr_qty_price"),
     )
 
 
@@ -311,7 +327,8 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_full_outer",
     oracle="""
-    SELECT big.o_custkey AS custkey, big.n_big, neg.n_neg
+    SELECT COALESCE(big.o_custkey, neg.c_custkey) AS custkey,
+           big.n_big, neg.n_neg
     FROM (SELECT o_custkey, count(*) AS n_big FROM orders
           WHERE o_totalprice > 4800.0 GROUP BY o_custkey) big
     FULL JOIN (SELECT c_custkey, count(*) AS n_neg FROM customer
@@ -340,7 +357,13 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_neg"))
     )
     return big.join(neg, big.o_custkey == neg.c_custkey, "full").select(
-        F.col("o_custkey").alias("custkey"), "n_big", "n_neg"
+        # coalesce BOTH sides' keys: a right-only row's o_custkey is NULL
+        # and projecting it alone silently drops the key the full-outer
+        # join exists to preserve (the docstring's stated quirk — the
+        # code previously didn't do it).
+        F.coalesce(big.o_custkey, neg.c_custkey).alias("custkey"),
+        "n_big",
+        "n_neg",
     )
 
 
@@ -480,15 +503,17 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce__spark.operators.skew import salted_join
 
     o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice"
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = salted_join(o, c, ["c_custkey"], salt=8)
+    # unique_col is the point: without it the salt hashes all probe
+    # columns, so duplicate (custkey, totalprice) rows share a salt and
+    # a hot key of repeated values still funnels one task — the exact
+    # degraded case the helper documents.
+    joined = salted_join(o, c, ["c_custkey"], salt=8, unique_col="o_orderkey")
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
-        .cast("double")
-        .alias("revenue"),
+        exact_sum(F.col("o_totalprice"), "decimal(18,4)", 2).alias("revenue"),
     )
 
 
@@ -525,9 +550,7 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi = bloom_pruned_semi_join(li, keys, "l_orderkey", "o_orderkey")
     return semi.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
-        .cast("double")
-        .alias("sum_qty"),
+        exact_sum(F.col("l_quantity"), "decimal(18,4)", 2).alias("sum_qty"),
     )
 
 
@@ -655,7 +678,11 @@ def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.03, 0.06)
             & (F.col("l_quantity") < 24.0)
         )
-        .agg(F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")), 4).cast("double").alias("revenue"))
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), "decimal(18,6)", 4
+            ).alias("revenue")
+        )
     )
 
 
@@ -1196,7 +1223,10 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
             "days_to_y2k"
         ),
-        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("due_date"),
+        # interval add, NOT date_add: date_add truncates any time-of-day
+        # to midnight, which matches the oracle's `+ INTERVAL 30 DAY`
+        # only while the fixture's timestamps happen to be midnight-only.
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
         F.dayofweek("o_orderdate").alias("dow"),
     )
 
