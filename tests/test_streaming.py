@@ -468,3 +468,54 @@ def test_watermark_drops_late_event(spark, tmp_path):
         F.col("ts").between("2024-03-01 01:00:00", "2024-03-01 01:59:59")
     ).count()
     assert n == 2
+
+
+def test_stateful_totals_carry_across_micro_batches(spark, sf_small, tmp_path):
+    """State must persist ACROSS micro-batches, not just within one: the
+    staged single-file source yields exactly one batch, so every other
+    stateful test exercises only intra-batch accumulation. Split events
+    into three shards (maxFilesPerTrigger=1 -> three micro-batches) and
+    check the applyInPandasWithState running totals still converge to
+    the batch aggregate — the state-store carry contract itself."""
+    import os as _os
+
+    from mapreduce__spark.streaming.streams import (
+        run_stream_to_memory,
+        stream_user_totals_stateful,
+    )
+
+    ev = load_table(spark, sf_small, "events").select("user_id", "value")
+    src = tmp_path / "shards"
+    src.mkdir()
+    t0 = 1_700_000_000
+    for i, s in enumerate(ev.randomSplit([1.0, 1.0, 1.0], seed=11)):
+        d = src / f"b{i}"
+        s.coalesce(1).write.parquet(str(d))
+        for f in _os.listdir(d):
+            _os.utime(d / f, (t0 + i, t0 + i))
+
+    sdf = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    run_stream_to_memory(
+        stream_user_totals_stateful(sdf), "t_state_multi", output_mode="update"
+    )
+    # update mode emits one row per user per batch it appears in; the
+    # final state is the max-n row per user.
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in spark.table("t_state_multi")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("s"))
+        .select("user_id", "s.n_events", "s.sum_value")
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
