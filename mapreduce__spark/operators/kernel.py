@@ -75,8 +75,11 @@ def run_map_reduce_df(
     (0..n emits per input row = the reference's Emit2 flatMap semantics,
     MapReduceFramework.cpp:268-308). ``reduce_fn`` receives one pandas
     frame per key group (the V2_VEC) and returns the (k3, v3) frame —
-    Emit3 semantics. Output is k3-sorted.
+    Emit3 semantics. Output is k3-sorted, where k3 is the FIRST column of
+    ``reduce_schema``: the reference contract lets k3 differ from k2, so
+    the sort keys on the reduce output's own leading column rather than
+    assuming ``key_col`` survived the reduce.
     """
     mapped = df.mapInPandas(map_fn, schema=map_schema) if map_fn is not None else df
     reduced = mapped.groupBy(key_col).applyInPandas(reduce_fn, schema=reduce_schema)
-    return reduced.orderBy(key_col)
+    return reduced.orderBy(reduced.columns[0])

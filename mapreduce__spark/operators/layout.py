@@ -9,11 +9,16 @@ combined key space, so range predicates on ANY of the clustered columns
 skip most files — the technique behind Delta/Iceberg OPTIMIZE ZORDER BY,
 expressed here as plain Catalyst expressions + repartitionByRange.
 
-Scale notes: the rank normalization is one window per column over the
-narrow key projection (percent_rank keeps the curve balanced under skewed
+Scale notes: the rank normalization here is an unpartitioned
+percent_rank window per clustered column — the whole input funnels
+through one task per column, acceptable only at the test scale this
+repo writes at (percent_rank keeps the curve balanced under skewed
 value distributions — raw-value scaling would squash everything into a
-few cells); the z-value is pure bit arithmetic (whole-stage codegen); the
-write is range-partitioned on z so files tile the curve contiguously.
+few cells). At warehouse scale replace it with approxQuantile bucket
+boundaries broadcast as a literal array (zorder_value's docstring):
+same curve semantics, no global window. The z-value itself is pure bit
+arithmetic (whole-stage codegen); the write is range-partitioned on z
+so files tile the curve contiguously.
 """
 
 from __future__ import annotations
@@ -37,16 +42,18 @@ def _interleave_bits(cells: list[Column], bits: int) -> Column:
 
 def zorder_value(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
     """Add a `_z` Morton code over `cols` (each rank-normalized to a
-    2^bits grid). percent_rank is an unpartitioned window over the NARROW
-    key projection — at warehouse scale replace it with approxQuantile
-    bucket boundaries broadcast as a literal array; the curve semantics
-    are identical, the global window disappears."""
-    if bits * len(cols) > 63:
+    2^bits grid). percent_rank here is an UNPARTITIONED window per column
+    over the full-width rows — a one-task funnel acceptable only at the
+    scale this repo writes at; at warehouse scale replace it with
+    approxQuantile bucket boundaries broadcast as a literal array (same
+    curve semantics, no global window, no wide rows through one task)."""
+    if bits * len(cols) > 63 or bits > 62:
         raise ValueError(
-            f"zorder_value: bits*len(cols) = {bits * len(cols)} exceeds 63 — "
-            "Java shift amounts mask mod 64, so higher interleaved bits "
-            "would silently wrap onto lower ones (and bit 64 is the bigint "
-            "sign); reduce bits or cluster fewer columns"
+            f"zorder_value: bits={bits}, bits*len(cols) = {bits * len(cols)} — "
+            "the interleaved width must stay <= 63 (Java shift amounts mask "
+            "mod 64, so higher bits would silently wrap; bit 64 is the "
+            "bigint sign) and bits itself <= 62 (the 2^bits grid literal "
+            "must be a valid long); reduce bits or cluster fewer columns"
         )
     clobbered = ({"_z"} | {f"_cell_{c}" for c in cols}) & set(df.columns)
     if clobbered:

@@ -69,20 +69,46 @@ def _with_range_bucket(
     return df.withColumn("_pid", _bucket_expr(order_col, bounds)), len(bounds) + 1
 
 
-def _prefix_offset_expr(totals: list, value_attr: str) -> Column:
+def _prefix_offset_expr(
+    totals: list, value_attr: str, cnt_attr: str
+) -> tuple[Column, Column]:
     """O(P) driver-side prefix offsets from per-bucket totals, shipped
-    back as a literal map lookup on `_pid`. SUM skips NULLs: an all-NULL
-    bucket totals to NULL and contributes 0."""
+    back as literal map lookups on `_pid`. SUM skips NULLs: an all-NULL
+    bucket totals to NULL and contributes 0. Returns (offset_expr,
+    prefix_has_values_expr) — the second is needed for exact NULL parity
+    with the single-partition window: SUM over an all-NULL prefix is
+    NULL, not 0, so a row whose LOCAL prefix is all-NULL must stay NULL
+    only when no earlier bucket carried a non-NULL value either."""
     offsets: dict[int, int] = {}
+    has_prefix: dict[int, bool] = {}
     acc = 0
+    cnt = 0
     for row in sorted(totals, key=lambda r: r._pid):
         offsets[row._pid] = acc
+        has_prefix[row._pid] = cnt > 0
         acc += row[value_attr] or 0
+        cnt += row[cnt_attr]
     if not offsets:
-        return F.lit(0)
-    return F.element_at(
+        return F.lit(0), F.lit(False)
+    off = F.element_at(
         F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
         F.col("_pid"),
+    )
+    has = F.element_at(
+        F.create_map(*[F.lit(x) for kv in has_prefix.items() for x in kv]),
+        F.col("_pid"),
+    )
+    return off, has
+
+
+def _null_exact_cum(local: Column, offset: Column, has_prefix: Column) -> Column:
+    """Combine a bucket-local running sum with its prefix offset under
+    the global window's exact NULL semantics: the result is NULL iff NO
+    non-NULL value exists anywhere in the global prefix (local sum NULL
+    and no prior bucket carried values); otherwise NULL local sums count
+    as 0 so the carried prefix survives a bucket-head NULL value."""
+    return F.when(local.isNull() & ~has_prefix, F.lit(None)).otherwise(
+        F.coalesce(local, F.lit(0)) + offset
     )
 
 
@@ -106,14 +132,20 @@ def distributed_cumsum(
     `order_col` must be numeric and unique.
     """
     with_pid, _ = _with_range_bucket(df, order_col, num_partitions)
-    totals = with_pid.groupBy("_pid").agg(F.sum(value_col).alias("_total")).collect()
-    offset_expr = _prefix_offset_expr(totals, "_total")
+    totals = (
+        with_pid.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_total"), F.count(value_col).alias("_cnt"))
+        .collect()
+    )
+    offset_expr, has_prefix = _prefix_offset_expr(totals, "_total", "_cnt")
 
     w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
     return (
-        with_pid.withColumn(out_col, F.sum(value_col).over(w) + offset_expr)
+        with_pid.withColumn(
+            out_col, _null_exact_cum(F.sum(value_col).over(w), offset_expr, has_prefix)
+        )
         .drop("_pid")
     )
 
@@ -145,22 +177,30 @@ def distributed_cumsum_grouped(
     # O(groups × P) driver-side prefix offsets, keyed by (group..., pid).
     totals = (
         with_pid.groupBy(*group_cols, "_pid")
-        .agg(F.sum(value_col).alias("_total"))
+        .agg(F.sum(value_col).alias("_total"), F.count(value_col).alias("_cnt"))
         .collect()
     )
     per_group: dict[tuple, dict[int, int]] = {}
+    per_group_has: dict[tuple, dict[int, bool]] = {}
     acc_by_group: dict[tuple, int] = {}
+    cnt_by_group: dict[tuple, int] = {}
     for row in sorted(totals, key=lambda r: (tuple(str(r[g]) for g in group_cols), r._pid)):
         gkey = tuple(row[g] for g in group_cols)
         per_group.setdefault(gkey, {})[row._pid] = acc_by_group.get(gkey, 0)
+        per_group_has.setdefault(gkey, {})[row._pid] = cnt_by_group.get(gkey, 0) > 0
         acc_by_group[gkey] = acc_by_group.get(gkey, 0) + (row._total or 0)
+        cnt_by_group[gkey] = cnt_by_group.get(gkey, 0) + row._cnt
 
     # Offset lookup as a per-group when-chain over a dense int-indexed
     # array (groups are FEW by this operator's premise) — a string-keyed
     # map (concat_ws key + per-row map probe) was measurably slower.
     offset_expr = F.lit(0)
+    has_prefix = F.lit(False)
     for gkey, by_pid in per_group.items():
         arr = F.array(*[F.lit(by_pid.get(p, 0)) for p in range(n_buckets)])
+        has_arr = F.array(
+            *[F.lit(bool(per_group_has[gkey].get(p, False))) for p in range(n_buckets)]
+        )
         cond = None
         for g, gv in zip(group_cols, gkey):
             c = F.col(g) == F.lit(gv)
@@ -168,12 +208,17 @@ def distributed_cumsum_grouped(
         offset_expr = F.when(cond, F.element_at(arr, F.col("_pid") + 1)).otherwise(
             offset_expr
         )
+        has_prefix = F.when(cond, F.element_at(has_arr, F.col("_pid") + 1)).otherwise(
+            has_prefix
+        )
 
     w = Window.partitionBy(*group_cols, "_pid").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
     return (
-        with_pid.withColumn(out_col, F.sum(value_col).over(w) + offset_expr)
+        with_pid.withColumn(
+            out_col, _null_exact_cum(F.sum(value_col).over(w), offset_expr, has_prefix)
+        )
         .drop("_pid")
     )
 
@@ -229,7 +274,9 @@ def distributed_row_number(
     """
     with_pid, _ = _with_range_bucket(df, order_cols[0], num_partitions)
     counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
-    offset_expr = _prefix_offset_expr(counts, "_cnt")
+    # row_number has no NULL semantics to preserve — only the offset half
+    # of the helper applies (counts are never NULL).
+    offset_expr, _ = _prefix_offset_expr(counts, "_cnt", "_cnt")
     total = sum(r._cnt for r in counts)
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     numbered = with_pid.withColumn(

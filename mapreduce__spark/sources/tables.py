@@ -33,13 +33,12 @@ TABLES = (
     "embeddings",
 )
 
-# Dimensions small enough to broadcast at any realistic scale factor
-# (region=5 rows, nation=25 rows — fixed-cardinality in TPC-H-style data).
-BROADCAST_DIMS = frozenset({"region", "nation"})
-
-
 # Per-session {(sf_dir, table) -> DataFrame}. A DataFrame is an immutable
-# plan, so reuse is safe; memoizing skips the parquet footer read + schema
+# plan, so reuse is safe AS LONG AS the underlying files are immutable
+# too (the testdata contract): rewriting a table's parquet mid-session
+# would leave cached plans over the old file listing — regenerating
+# fixtures requires a new session. Memoizing skips the parquet footer
+# read + schema
 # inference that spark.read.parquet repeats per call (measurable fixed
 # cost when a 60-query registry loads the same 10 tables). Keyed WEAKLY on
 # the SparkSession itself (not id(spark)): a stopped session's entries are
@@ -59,6 +58,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     convert with INTEGER division — a double-valued ns/1000 would lose
     microseconds to the ~256ns ULP of doubles at epoch-nanos magnitude.
     DuckDB truncates ns→µs the same way, so oracle parity holds.
+
+    SIDE EFFECT, deliberate: the nanosAsLong conf stays set on the
+    session. The returned DataFrame is a LAZY plan (and cached for the
+    session), and the parquet reader consults the conf again at each
+    action's planning — a scoped set-and-restore would make the cached
+    events plan fail on its next action. The conf only affects
+    TIMESTAMP(NANOS) columns, which Spark would otherwise refuse to read
+    at all.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")

@@ -99,3 +99,20 @@ def test_kernel_empty_input(spark):
     """Empty input -> empty output (the reference's emptyRun heuristic
     path, MapReduceFramework.cpp:394-401, minus the race)."""
     assert run_map_reduce_rdd(spark, [], wc_map, wc_reduce, num_partitions=2) == []
+
+
+def test_df_kernel_allows_renamed_reduce_key(spark):
+    """The reference contract lets k3 differ from k2: a reduce_fn whose
+    output key column is named differently from key_col must still sort
+    by it (previously an AnalysisException on the vanished key_col)."""
+    import pandas as pd
+
+    from mapreduce__spark.operators.kernel import run_map_reduce_df
+
+    df = spark.createDataFrame([("b", 1), ("a", 2), ("a", 3)], "k string, v long")
+
+    def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"word": [pdf["k"].iloc[0]], "n": [len(pdf)]})
+
+    out = run_map_reduce_df(df, None, reduce_fn, reduce_schema="word string, n long")
+    assert [(r.word, r.n) for r in out.collect()] == [("a", 2), ("b", 1)]

@@ -111,7 +111,9 @@ def test_window_distribution_matches_literal_window(spark, sf_small):
         st.tuples(
             st.integers(min_value=-10_000, max_value=10_000),  # order key (deduped below)
             st.sampled_from(["a", "b", "zz"]),                 # skewed group values
-            st.integers(min_value=-1_000, max_value=1_000),    # incl. negatives
+            st.one_of(                                         # incl. negatives AND NULLs
+                st.none(), st.integers(min_value=-1_000, max_value=1_000)
+            ),
         ),
         min_size=0,
         max_size=60,
@@ -135,3 +137,35 @@ def test_grouped_cumsum_property(spark, rows, n_parts):
         (r.grp, r.k): r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+def test_cumsum_null_at_bucket_head_keeps_prefix(spark):
+    """Exact NULL parity with the global window: SUM skips NULLs, so a
+    NULL value at the HEAD of a range bucket must not erase the carried
+    prefix (local sum NULL + offset was NULL), and a NULL before any
+    non-NULL value anywhere must stay NULL (sum over an all-NULL prefix
+    is NULL, not 0). Repro that previously returned NULL for k=3."""
+    rows = [(0, None), (1, 5), (2, 6), (3, None), (4, 7)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    for n_parts in (1, 2, 3, 5):
+        got = {
+            r.k: r.cum
+            for r in distributed_cumsum(df, "k", "v", num_partitions=n_parts).collect()
+        }
+        assert got == {0: None, 1: 5, 2: 11, 3: 11, 4: 18}, (n_parts, got)
+
+    gdf = spark.createDataFrame(
+        [(k, "g", v) for k, v in rows] + [(10, "h", None), (11, "h", 2)],
+        "k bigint, grp string, v bigint",
+    )
+    for n_parts in (1, 2, 3):
+        got = {
+            (r.grp, r.k): r.cum
+            for r in distributed_cumsum_grouped(
+                gdf, ["grp"], "k", "v", num_partitions=n_parts
+            ).collect()
+        }
+        assert got == {
+            ("g", 0): None, ("g", 1): 5, ("g", 2): 11, ("g", 3): 11, ("g", 4): 18,
+            ("h", 10): None, ("h", 11): 2,
+        }, (n_parts, got)

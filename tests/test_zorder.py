@@ -82,7 +82,24 @@ def test_zorder_guards_reject_silent_corruption(spark, sf_small):
     from mapreduce__spark.operators.layout import zorder_value
 
     o = load_table(spark, sf_small, "orders").select("o_orderkey", "o_custkey")
-    with pytest.raises(ValueError, match="exceeds 63"):
+    with pytest.raises(ValueError, match="interleaved width"):
         zorder_value(o, ["o_orderkey", "o_custkey"], bits=32)
     with pytest.raises(ValueError, match="_z"):
         zorder_value(o.withColumn("_z", o.o_orderkey), ["o_orderkey"], bits=8)
+
+
+def test_zorder_rejects_overwide_grid(spark):
+    """bits=63 on one column passed the old width check but crashed plan
+    construction (2^63 is not a valid long literal); both overwide cases
+    must be a clear ValueError."""
+    import pytest
+
+    from mapreduce__spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame([(1,)], "a bigint")
+    with pytest.raises(ValueError, match="bits"):
+        zorder_value(df, ["a"], bits=63)
+    with pytest.raises(ValueError, match="bits"):
+        zorder_value(df, ["a", "a"], bits=32)
+    # the widest legal single-column grid still builds a plan
+    assert "_z" in zorder_value(df, ["a"], bits=62).columns
