@@ -135,9 +135,16 @@ def gopher_keep_expr(text: Column) -> Column:
 
 
 def digit_ratio_expr(text: Column) -> Column:
-    """Fraction of characters that are digits (double in [0, 1])."""
+    """Fraction of characters that are digits (double in [0, 1]; NULL for
+    empty text). The zero length is nulled out before the divide: DuckDB
+    division by zero yields NULL, but under Spark 4's default ANSI mode
+    it is an ERROR that would abort the whole quality pass on one empty
+    document — NULL-through keeps both engines agreeing (a NULL ratio
+    fails the `< 0.3` gate on both, so empty docs are dropped)."""
     stripped = F.regexp_replace(text, "[0-9]", "")
-    return (F.length(text) - F.length(stripped)) / F.length(text)
+    return (F.length(text) - F.length(stripped)) / F.nullif(
+        F.length(text), F.lit(0)
+    )
 
 
 def quality_keep_expr(text: Column) -> Column:

@@ -26,8 +26,16 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity; NULL-safe only insofar as parquet arrays are
-    non-null in the testdata schema."""
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    non-null in the testdata schema.
+
+    Zero-norm inputs (a failed-embed all-zeros vector) score -1.0 —
+    matching DuckDB's list_cosine_similarity convention so the oracle
+    ranks agree, and ranking such vectors LAST is the behavior a
+    similarity search wants. Without the guard the division is 0/0: an
+    ERROR under Spark's default ANSI mode, NULL otherwise — either way a
+    divergence from the oracle."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0.0, F.lit(-1.0)).otherwise(dot_product(a, b) / denom)
 
 
 def as_double_vec(c: Column) -> Column:

@@ -51,6 +51,13 @@ def asof_join(
     # exactly a left join's treatment of an unmatchable key.
     for k in on:
         right = right.where(F.col(k).isNotNull())
+    # A NULL-timestamped right row can never be anyone's "most recent
+    # match" (right.ts <= left.ts is never true for NULL) — but Spark's
+    # ASC window default puts NULLs FIRST, so it would be carried forward
+    # to EVERY left row in its key as a phantom match. NULL-ts left rows
+    # are fine: they sort before every real right row and surface with
+    # NULL carried columns, the no-match answer the semantics require.
+    right = right.where(F.col(ts).isNotNull())
 
     left_cols = [c for c in left.columns]
     l_tagged = left.select(

@@ -12,7 +12,16 @@ Contract notes (driver compare):
 * the hash is order-insensitive over rows — ORDER BY is kept in both
   sides only where ordering is part of the operator's semantics;
 * float columns are rounded in BOTH sides (same digits) so summation-order
-  drift between Spark and DuckDB cannot flip the hash.
+  drift between Spark and DuckDB cannot flip the hash;
+* round(double, d) itself is a dialect boundary: at exact decimal ties the
+  engines disagree (Spark 4 rounds the shortest decimal representation —
+  round(1.005, 2) = 1.01 — while DuckDB multiplies-then-rounds to 1.0).
+  The fixtures' money/value columns are exactly 2-decimal, so every
+  round(x, 2) of a raw column is tie-free by construction; queries that
+  round DERIVED values round either at the value's true decimal precision
+  (where rounding is a no-op both engines agree on — the decimal-sum
+  idiom) or at 4-6 digits of quantities whose low bits were already made
+  bit-identical. New queries must preserve one of those three shapes.
 """
 
 from __future__ import annotations

@@ -241,7 +241,9 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            md5(text)                                AS content_md5,
-           md5(lower(replace(text, ' ', ''))) AS normalized_md5,
+           md5(translate(replace(text, ' ', ''),
+                         'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                         'abcdefghijklmnopqrstuvwxyz')) AS normalized_md5,
            length(text)                             AS n_bytes
     FROM documents
     """,
@@ -249,14 +251,26 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: content hash + normalization-invariant
-    hash (lowercased, whitespace-stripped) for dedup keying."""
+    hash (case-folded, whitespace-stripped) for dedup keying.
+
+    Case folding is ASCII-ONLY (translate A-Z→a-z), deliberately: full
+    Unicode lower() is engine-specific — DuckDB's utf8proc does simple
+    1:1 mapping while the JVM applies contextual rules (Turkish dotted
+    İ → i + combining dot, Greek final sigma Σ → ς), so the same text
+    would hash to DIFFERENT fingerprints per engine, silently splitting
+    or merging dedup groups. A byte-stable ASCII fold hashes identically
+    everywhere; non-ASCII case variants stay distinct, which a
+    cross-engine dedup key must prefer over divergence."""
     docs = load_table(spark, sf_dir, "documents")
+    fold = F.translate(
+        F.replace(F.col("text"), F.lit(" "), F.lit("")),
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        "abcdefghijklmnopqrstuvwxyz",
+    )
     return docs.select(
         "doc_id",
         F.md5("text").alias("content_md5"),
-        F.md5(F.lower(F.replace(F.col("text"), F.lit(" "), F.lit("")))).alias(
-            "normalized_md5"
-        ),
+        F.md5(fold).alias("normalized_md5"),
         F.length("text").alias("n_bytes"),
     )
 
@@ -470,7 +484,17 @@ def embedding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     — never rows. The moment tables (d sums, d² gram entries) are tiny
     and combine with broadcast joins; correlation falls out of the
     moments by formula, NULL where a dimension is constant (matching SQL
-    corr). The oracle recomputes every pairwise corr from an exploded
+    corr). DECLARED CONTRACT of the conditioning guard: a dimension
+    whose post-shift moments are cancellation-dominated (variance below
+    1e-12 of its raw second moment) reports NULL — an arbitrarily-stable
+    pairwise engine like DuckDB's corr() can return a finite value there
+    on adversarial distributions the fixtures lack (e.g. a dimension
+    that is constant over the first 101 vec_ids, making the median shift
+    unrepresentative). The alternative — exact-mean centering — needs a
+    float sum whose value depends on partition layout, trading a loud,
+    documented NULL for silent run-to-run last-bit instability; the
+    deterministic head-median shift + guard is the chosen side of that
+    trade. The oracle recomputes every pairwise corr from an exploded
     self-join — quadratic, fine for DuckDB at test scale, exactly what
     this operator avoids."""
     import numpy as np
@@ -738,7 +762,12 @@ def user_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hash aggregate on the tiny (prev, next) type-pair key space — the
     shuffle after the window moves one row per partition per pair."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        # asc_nulls_last: Spark ASC defaults NULLS FIRST, DuckDB (the
+        # oracle) NULLS LAST — a NULL ts would take rank 1 here and
+        # rank last there, flipping lag pairs and first-row picks.
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     return (
         ev.withColumn("prev_type", F.lag("event_type").over(w))
         .where(F.col("prev_type").isNotNull())
@@ -1360,7 +1389,12 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     when truncation bugs survive. The NTZ→LTZ cast is exact under the
     session's pinned UTC zone."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        # asc_nulls_last: Spark ASC defaults NULLS FIRST, DuckDB (the
+        # oracle) NULLS LAST — a NULL ts would take rank 1 here and
+        # rank last there, flipping lag pairs and first-row picks.
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp_ltz"))
     flagged = ev.select(
@@ -1522,7 +1556,10 @@ def stateful_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first dedup per (user, event_type) — the deterministic batch
     analogue of streaming dropDuplicatesWithinWatermark."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        # NULLS LAST to match the oracle (see user_path_transitions)
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -2248,7 +2285,10 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max(v), 4).alias("max_val"),
         F.round(F.array_min(v), 4).alias("min_val"),
         (F.array_min(v) < 0.0).alias("has_negative"),
-        F.round(v[0], 4).alias("first_val"),
+        # F.get, not v[0]: out-of-bounds access is NULL in DuckDB
+        # (embedding[1] on an empty list) but an ERROR under Spark's
+        # default ANSI mode — get() is the NULL-returning accessor.
+        F.round(F.get(v, 0), 4).alias("first_val"),
     )
 
 
@@ -2266,7 +2306,14 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-21/O-25 (maps): props parsed once into map<string,bigint>;
-    map_keys / element_at / missing-key semantics."""
+    map_keys / element_at / missing-key semantics.
+
+    CONTRACT: props must be valid JSON with integral values (the fixture
+    generator guarantees it). Outside that, the engines genuinely
+    diverge — Spark's from_json NULLs the whole map for malformed input
+    or a float value, while DuckDB errors on malformed JSON and ROUNDS
+    '1.5'::BIGINT to 2 — so a production surface over untrusted props
+    must pre-validate with a tolerant parser before this projection."""
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     return ev.where(F.col("event_id") < 500).select(

@@ -244,3 +244,44 @@ def test_incremental_ref_signatures_contract_violations_fail_loudly(spark, sf_sm
         ).collect()
 
     assert lsh_incremental_pairs(new, ref, 0.8, ref_signatures=sigs).collect()
+
+
+def test_dialect_boundary_guards(spark):
+    """Cross-engine dialect hazards on data the fixtures lack (empty
+    text, zero-norm embeddings, NULL timestamps, empty arrays): the
+    Spark side must neither crash under default ANSI mode nor diverge
+    from the DuckDB conventions the oracles state."""
+    import pytest as _pytest  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from mapreduce__spark.functions.text import digit_ratio_expr, quality_keep_expr
+    from mapreduce__spark.functions.vectors import as_double_vec, cosine_sim
+    from mapreduce__spark.operators.asof import asof_join
+
+    # empty text: DuckDB division by zero is NULL; ANSI Spark would have
+    # thrown DIVIDE_BY_ZERO and aborted the whole quality pass.
+    df = spark.createDataFrame([("",), ("hello world 123",)], "text string")
+    rows = df.select(
+        digit_ratio_expr(F.col("text")).alias("r"),
+        quality_keep_expr(F.col("text")).alias("keep"),
+    ).collect()
+    assert rows[0].r is None and rows[0].keep in (None, False)
+    assert rows[1].r is not None
+
+    # zero-norm vector: -1.0 (DuckDB list_cosine_similarity convention,
+    # ranks failed-embed vectors last), not an ANSI 0/0 crash.
+    vdf = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>")
+    got = vdf.select(cosine_sim(as_double_vec(F.col("a")), as_double_vec(F.col("b"))).alias("s")).first()
+    assert got.s == -1.0
+
+    # NULL-ts right rows can never be a "most recent match" — without the
+    # filter Spark's NULLS FIRST window carried them to every left row.
+    left = spark.createDataFrame([(1, 5, "L")], "k int, ts int, tag string")
+    right = spark.createDataFrame([(1, None, 9.0)], "k int, ts int, px double")
+    out = asof_join(left, right, ["k"], "ts", ["px"]).collect()
+    assert [(r.tag, r.px) for r in out] == [("L", None)]
+
+    # empty-array element access: NULL (DuckDB embedding[1]), not an
+    # ANSI INVALID_ARRAY_INDEX error.
+    adf = spark.createDataFrame([([],)], "v array<double>")
+    assert adf.select(F.get("v", 0).alias("x")).first().x is None
