@@ -146,10 +146,22 @@ def lsh_topk(
 
 def _cosine_matrix_pdf(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
     """Row-normalized cosine of every vector in V against every row of C,
-    clipped into [-1, 1] (BLAS matmul — this is the vectorized hot loop)."""
-    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    return np.clip(Vn @ Cn.T, -1.0, 1.0)
+    clipped into [-1, 1] (BLAS matmul — this is the vectorized hot loop).
+
+    Zero-norm rows score -1.0 against everything — the same convention
+    as the expression-side cosine_sim (and DuckDB's
+    list_cosine_similarity): without the guard a failed-embed all-zeros
+    vector divides by zero and its NaN row poisons argmax assignment."""
+    vn = np.linalg.norm(V, axis=1, keepdims=True)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    out = np.clip(
+        (V / np.where(vn == 0.0, 1.0, vn)) @ (C / np.where(cn == 0.0, 1.0, cn)).T,
+        -1.0,
+        1.0,
+    )
+    out[vn[:, 0] == 0.0, :] = -1.0
+    out[:, cn[:, 0] == 0.0] = -1.0
+    return out
 
 
 def kmeans_centroids(
@@ -257,10 +269,16 @@ def ivf_topk(
     # nprobe nearest cells per query, driver-side over O(k) centroids
     q_rows = {r.vec_id: r.v for r in vecs.where(F.col("vec_id").isin(query_ids)).collect()}
     c_arr = np.array(cents)
-    c_norm = c_arr / np.linalg.norm(c_arr, axis=1, keepdims=True)
+    # zero-norm guard, same convention as _cosine_matrix_pdf: a zero
+    # centroid (empty cluster seed) or zero query must not NaN-poison
+    # the probe argsort — normalized to the zero vector it simply ties
+    # at score 0 and probes arbitrarily-but-deterministically.
+    cn = np.linalg.norm(c_arr, axis=1, keepdims=True)
+    c_norm = c_arr / np.where(cn == 0.0, 1.0, cn)
     probes = []
     for qid, qv in q_rows.items():
-        qn = np.array(qv) / np.linalg.norm(qv)
+        qn = np.array(qv)
+        qn = qn / (np.linalg.norm(qn) or 1.0)
         order = np.argsort(-(c_norm @ qn))
         for c in order[:nprobe]:
             probes.append((qid, int(c)))

@@ -984,3 +984,30 @@ def test_decoders_never_misread_corrupt_bytes():
                 pass  # the contract: reject loudly, route to fallback
 
     fuzz()
+
+
+def test_ann_paths_survive_zero_norm_vectors(spark):
+    """A failed-embed all-zeros vector must not crash (ANSI 0/0) or
+    NaN-poison any ANN path: brute force ranks it last (score -1.0, the
+    DuckDB list_cosine_similarity convention), and the LSH/IVF paths
+    still run end-to-end over a corpus containing it."""
+    import numpy as np
+
+    from mapreduce__spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(30)]
+    rows.append((30, [0.0] * 8))  # the failed embed
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    out = brute_force_topk(emb, [0], k=30).collect()
+    assert len(out) == 30
+    by_rank = sorted(out, key=lambda r: r.rank)
+    assert by_rank[-1].neighbor_id == 30 and by_rank[-1].score == -1.0
+
+    assert lsh_topk(emb, [0], k=5, dim=8).count() > 0
+    assert ivf_topk(emb, [0, 30], k=5, n_clusters=4, dim=8).count() > 0
