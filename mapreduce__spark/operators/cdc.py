@@ -89,7 +89,17 @@ def apply_changes(
             .agg(
                 F.max_by(
                     F.struct(*[F.col(c) for c in keep]),
-                    F.struct(F.col(seq_col), F.col(op_col)),
+                    # comparator extends past (seq, op) to every kept
+                    # column: max_by is documented NON-deterministic on
+                    # ties, and a producer stamping one transaction's rows
+                    # with one LSN yields exact (seq, op) ties — the full
+                    # lexicographic ordering makes the winner a function
+                    # of the data, not the partitioning.
+                    F.struct(
+                        F.col(seq_col),
+                        F.col(op_col),
+                        *[F.col(c) for c in keep],
+                    ),
                 ).alias("_latest")
             )
             .select([F.col(f"_latest.{c}").alias(c) for c in keep])
@@ -108,8 +118,13 @@ def apply_changes(
                 "in one batch — pass seq_col to compact to the latest row "
                 "per key, or pre-net the batch upstream"
             )
-    keys = changes.select(key).distinct()
-    kept = base.join(keys, key, "left_anti")
+    # NULL-SAFE key match: a plain equi anti-join never matches NULL keys,
+    # so a NULL-key upsert would DUPLICATE an existing NULL-key base row
+    # (and a NULL-key delete would no-op) — the keyed-table invariant this
+    # function loudly defends everywhere else. eqNullSafe treats NULL as a
+    # join value, so NULL-key changes replace/delete like any other key.
+    keys = changes.select(F.col(key).alias("_ck")).distinct()
+    kept = base.join(keys, F.col(key).eqNullSafe(F.col("_ck")), "left_anti")
     upserts = changes.where(F.col(op_col) == "U").drop(op_col)
     return kept.unionByName(upserts)
 
@@ -128,13 +143,29 @@ def current_snapshot_path(state_root: str) -> str | None:
     return os.path.join(state_root, rel) if rel else None
 
 
+def _fsync_replace(tmp: str, dst: str) -> None:
+    """rename + DURABILITY: fsync the temp file before the rename and the
+    parent directory after, so a power loss cannot revert or tear a
+    commit the streaming checkpoint already considers done (rename alone
+    is atomic against crashes of the process, not of the page cache)."""
+    os.replace(tmp, dst)
+    dfd = os.open(os.path.dirname(dst) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 def _commit_pointer(state_root: str, rel: str) -> None:
-    """Atomic pointer swap (write-tmp + rename) — the commit primitive a
-    real deployment replaces with a catalog/metastore transaction."""
+    """Atomic pointer swap (write-tmp + fsync + rename + dir fsync) — the
+    commit primitive a real deployment replaces with a catalog/metastore
+    transaction."""
     tmp = _pointer_path(state_root) + ".tmp"
     with open(tmp, "w") as fh:
         fh.write(rel)
-    os.replace(tmp, _pointer_path(state_root))
+        fh.flush()
+        os.fsync(fh.fileno())
+    _fsync_replace(tmp, _pointer_path(state_root))
 
 
 def _manifest_path(version_dir: str) -> str:
@@ -152,12 +183,14 @@ def _load_manifest(version_dir: str) -> dict | None:
 
 
 def _write_manifest(version_dir: str, manifest: dict) -> None:
-    # tmp+rename like the pointer: a torn manifest must never be readable
-    # through a committed pointer.
+    # tmp+fsync+rename like the pointer: a torn manifest must never be
+    # readable through a committed pointer, even across power loss.
     tmp = _manifest_path(version_dir) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.replace(tmp, _manifest_path(version_dir))
+        fh.flush()
+        os.fsync(fh.fileno())
+    _fsync_replace(tmp, _manifest_path(version_dir))
 
 
 def _bucket_data_path(state_root: str, owner_rel: str, bucket: int) -> str:
@@ -397,6 +430,20 @@ def stream_upsert_sink(
         # already fully applied; do nothing.
         if cur is not None and os.path.basename(cur) == rel:
             return
+        # A batch id BELOW the committed pointer means the stream restarted
+        # against a fresh/lost checkpoint (batch ids restart at 0): writing
+        # would overwrite committed version dirs that newer manifests still
+        # reference — irreversible snapshot corruption. Refuse loudly; the
+        # operator must either restore the checkpoint or start a new
+        # state_root.
+        if cur is not None and batch_id < int(os.path.basename(cur)[1:]):
+            raise RuntimeError(
+                f"stream_upsert_sink: batch {batch_id} is below the committed "
+                f"snapshot {os.path.basename(cur)} under {state_root} — the "
+                "streaming checkpoint was reset or replaced; refusing to "
+                "overwrite committed versions (restore the checkpoint or use "
+                "a fresh state_root)"
+            )
         drop_cols = ["op"] + ([seq_col] if seq_col and not seq_in_table else [])
         prior = _load_manifest(cur) if cur is not None else None
         nb = int(prior["num_buckets"]) if prior else num_buckets

@@ -43,7 +43,14 @@ def _staged_table_dir(sf_dir: str, table: str) -> str:
     dst = f"{d}/{table}.parquet"
     src = f"{sf_dir}/{table}.parquet"
     if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
-        shutil.copyfile(src, dst)
+        # copy2 preserves the SOURCE mtime (copyfile stamps copy time,
+        # which defeats the staleness check for any regenerated fixture
+        # whose mtime is backdated — archives, cp -p, the tests' own
+        # utime calls); staging via tmp + atomic replace keeps a
+        # concurrent session from reading a torn half-copied footer.
+        tmp = f"{dst}.tmp.{os.getpid()}"
+        shutil.copy2(src, tmp)
+        os.replace(tmp, dst)
     return d
 
 
@@ -278,21 +285,23 @@ def run_stream_to_memory(
 # SAME expressions (and therefore bit-identical output) as the batch pass.
 # --------------------------------------------------------------------------
 
-DOCS_RAW_SCHEMA = (
-    "doc_id bigint, text string, lang string, source string, n_chars bigint"
-)
-
-
 def _staged_docs_dir(sf_dir: str) -> str:
     return _staged_table_dir(sf_dir, "documents")
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the documents table."""
+    """File-source stream over the documents table. The declared schema
+    comes from a batch footer read of the staged dir (same pattern as
+    read_events_stream) — a hardcoded schema string would silently yield
+    all-NULL columns by name-matching if the fixture schema ever drifted,
+    while the footer read either matches the batch twin exactly or fails
+    loudly."""
+    d = _staged_docs_dir(sf_dir)
+    schema = spark.read.parquet(d).schema
     return (
-        spark.readStream.schema(DOCS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(_staged_docs_dir(sf_dir))
+        .parquet(d)
     )
 
 

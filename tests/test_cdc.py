@@ -507,3 +507,56 @@ def test_sink_seq_in_table_stores_sequence_column(spark, tmp_path):
     snap2 = read_snapshot(spark, root2)
     assert "updated_at" not in snap2.columns
     assert {(r.k, r.v) for r in snap2.collect()} == {(1, 12), (2, 20)}
+
+
+def test_sink_refuses_checkpoint_reset(spark, tmp_path):
+    """A restart against a fresh/lost checkpoint restarts batch ids at 0;
+    writing would overwrite committed version dirs that newer manifests
+    still reference. The sink must refuse loudly, and the committed
+    snapshot must remain fully readable afterwards."""
+    import pytest
+
+    from mapreduce__spark.operators.cdc import read_snapshot
+
+    state_root = _three_version_chain(spark, tmp_path)
+    want = {(r.k, r.v) for r in read_snapshot(spark, state_root).collect()}
+
+    b = spark.createDataFrame([(7, 1, "U")], "k bigint, v bigint, op string")
+    from pyspark.sql import functions as F  # noqa: F401
+    import os as _os
+
+    src2 = tmp_path / "changes_reset"
+    src2.mkdir()
+    b.coalesce(1).write.parquet(str(src2 / "batch0"))
+    sdf = (
+        spark.readStream.schema("k bigint, v bigint, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src2}/*")
+    )
+    from mapreduce__spark.operators.cdc import stream_upsert_sink
+
+    # FRESH checkpoint dir against the existing state_root -> batch 0
+    q = stream_upsert_sink(sdf, "k", state_root, str(tmp_path / "ckpt_reset"))
+    with pytest.raises(Exception, match="checkpoint was reset|below the committed"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+    if q.isActive:
+        q.stop()
+    # nothing was overwritten
+    assert {(r.k, r.v) for r in read_snapshot(spark, state_root).collect()} == want
+
+
+def test_apply_changes_null_key_replaces_not_duplicates(spark):
+    """NULL keys must upsert/delete like any other key (null-safe match):
+    a plain equi anti-join would keep the old NULL row AND append the new
+    one — a keyed-table invariant violation."""
+    from mapreduce__spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame([(None, 1), (5, 50)], "k bigint, v bigint")
+    batch = spark.createDataFrame([(None, 2, "U")], "k bigint, v bigint, op string")
+    got = {(r.k, r.v) for r in apply_changes(base, batch, "k").collect()}
+    assert got == {(None, 2), (5, 50)}
+
+    batch_d = spark.createDataFrame([(None, 0, "D")], "k bigint, v bigint, op string")
+    got_d = {(r.k, r.v) for r in apply_changes(base, batch_d, "k").collect()}
+    assert got_d == {(5, 50)}
