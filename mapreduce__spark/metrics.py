@@ -52,7 +52,10 @@ class PhaseTimer:
 def observe_counts(df, name: str, /, **aggs):
     """Attach named accumulator-backed metrics to a DataFrame without a
     second scan (df/name are positional-only so a metric legitimately
-    named "name" or "df" can pass through **aggs without a TypeError): `pyspark.sql.Observation` collects the given aggregate
+    named "name" or "df" can pass through **aggs without a TypeError;
+    NOTE this made a keyword call like ``observe_counts(df, name="x")``
+    a TypeError — an intentional API break, no such call site exists
+    in-repo): `pyspark.sql.Observation` collects the given aggregate
     expressions as a side effect of whatever action the caller runs —
     the production way to count quality-gate keeps/drops inside a 100 TB
     pipeline pass (a separate .count() per stage would re-run the scan

@@ -33,6 +33,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _orderable(dt) -> bool:
+    """Whether Spark can ORDER BY a value of this type (struct comparators
+    require every field to be orderable). Maps (and variants) are not;
+    arrays/structs are orderable iff their element/field types are."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if getattr(T, "VariantType", None) is not None and isinstance(
+        dt, T.VariantType
+    ):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def apply_changes(
     base: DataFrame,
     changes: DataFrame,
@@ -84,21 +103,27 @@ def apply_changes(
             c for c in changes.columns
             if c != seq_col or seq_col in base.columns
         ]
+        # comparator extends past (seq, op) to the kept ORDERABLE columns:
+        # max_by is documented NON-deterministic on ties, and a producer
+        # stamping one transaction's rows with one LSN yields exact
+        # (seq, op) ties — the extended lexicographic ordering makes the
+        # winner a function of the data, not the partitioning. Struct
+        # comparison requires every field to be orderable, so map/variant
+        # columns are excluded (a batch carrying one would otherwise fail
+        # AnalysisException); if such a column is the ONLY differing field
+        # at a tie, the winner is that far deterministic but the excluded
+        # column's value is whichever row won — the documented residue.
+        fields = {f.name: f.dataType for f in changes.schema.fields}
+        tie_cols = [c for c in keep if _orderable(fields[c])]
         changes = (
             changes.groupBy(key)
             .agg(
                 F.max_by(
                     F.struct(*[F.col(c) for c in keep]),
-                    # comparator extends past (seq, op) to every kept
-                    # column: max_by is documented NON-deterministic on
-                    # ties, and a producer stamping one transaction's rows
-                    # with one LSN yields exact (seq, op) ties — the full
-                    # lexicographic ordering makes the winner a function
-                    # of the data, not the partitioning.
                     F.struct(
                         F.col(seq_col),
                         F.col(op_col),
-                        *[F.col(c) for c in keep],
+                        *[F.col(c) for c in tie_cols],
                     ),
                 ).alias("_latest")
             )
@@ -147,7 +172,15 @@ def _fsync_replace(tmp: str, dst: str) -> None:
     """rename + DURABILITY: fsync the temp file before the rename and the
     parent directory after, so a power loss cannot revert or tear a
     commit the streaming checkpoint already considers done (rename alone
-    is atomic against crashes of the process, not of the page cache)."""
+    is atomic against crashes of the process, not of the page cache).
+    The source fsync happens HERE, not in the caller — a commit primitive
+    whose durability depends on every caller remembering a step is not a
+    primitive (callers that also fsync their open handle pay a no-op)."""
+    fd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
     os.replace(tmp, dst)
     dfd = os.open(os.path.dirname(dst) or ".", os.O_RDONLY)
     try:
@@ -354,6 +387,15 @@ def vacuum_snapshots(state_root: str, keep_last: int = 2) -> dict:
                 },
             )
         if not live:
+            # Remove data/ BEFORE the rest of the dir: rmtree's scandir
+            # order is arbitrary, so a crash after it removed the
+            # tombstone manifest but before the data files would leave a
+            # manifest-less dir that _read_version_dir's legacy fallback
+            # would plain-read as a partial snapshot. Data-first keeps the
+            # tombstone-or-gone invariant at every intermediate state.
+            data_dir = os.path.join(vdir, "data")
+            if os.path.isdir(data_dir):
+                shutil.rmtree(data_dir)
             shutil.rmtree(vdir)
             removed_versions.append(rel)
             continue

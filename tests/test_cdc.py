@@ -106,6 +106,30 @@ def test_apply_changes_seq_compacts_to_latest_per_key(spark):
     assert got == {(2, 22), (3, 30), (4, 44), (5, 55)}
 
 
+def test_apply_changes_seq_tolerates_unorderable_columns(spark):
+    """A change batch carrying a map<...> column must still compact: the
+    tie-break comparator extends only over ORDERABLE columns, so the map
+    column rides along in the payload without making the struct
+    comparator unorderable (previously an AnalysisException). Distinct
+    seq values keep the winner fully data-determined."""
+    base = spark.createDataFrame(
+        [(1, {"a": 1})], "k bigint, props map<string,bigint>"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, {"b": 2}, "U", 100),
+            (1, {"c": 3}, "U", 101),
+            (2, {"d": 4}, "U", 200),
+        ],
+        "k bigint, props map<string,bigint>, op string, seq bigint",
+    )
+    got = {
+        (r.k, tuple(sorted(r.props.items())))
+        for r in apply_changes(base, batch, "k", seq_col="seq").collect()
+    }
+    assert got == {(1, (("c", 3),)), (2, (("d", 4),))}
+
+
 def _dir_file_hashes(root):
     """{relative parquet path: sha256} for every data file under root."""
     import hashlib
