@@ -73,95 +73,90 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_registry_window.py::test_rotated_out_core_stays_oracle_gated
 # pins that rotated-out entries keep their oracles.
 #
-# Round-5 rotation is DERIVED FROM DATA, not hand-listed (round-4 ADVICE:
+# Round-6 rotation is DERIVED FROM DATA, not hand-listed (round-4 ADVICE:
 # the r4 rotation comments drifted from the code): the audit-trail test
 # tests/test_registry_window.py::test_window_prioritizes_low_attestation
 # recomputes green-attestation counts from the checked-in
 # CORRECTNESS_r0*.json files and asserts the policy below, so the comment
 # cannot silently disagree with the window again.
-#   IN  — the 4 round-5 additions, never driver-attested
-#         (bmp_pixel_decode, wav_pcm_decode, paragraph_dedup,
-#         graph_mass_propagation_k4), plus 46 of the 54 single-attestation
-#         queries: all 29 whose one green row is from r1/r2/r3 (oldest
-#         evidence first) and 17 of the 25 r4 first-timers, prioritizing
-#         the ones whose code changed after the r4 run (the CDC pair:
-#         bucketed snapshot rewrite; the multimodal set: DIB header-size
-#         gate) and the structurally complex ones.
-#   OUT — every query already green in ≥2 rounds (53 of them), plus 8 r4
-#         first-timers deferred to round 6 whose code is untouched since
-#         their green r4 row and whose shape is comparatively simple
-#         (array_functions, map_functions, collect_set_sorted,
-#         token_positions, repetition_ratio, value_histogram,
-#         stratified_sample, percentiles).
+#   IN  — the 3 round-6 additions, never driver-attested
+#         (boilerplate_removal, weighted_sample, per_source_cap); ALL 12
+#         single-attestation queries (the r5 first-timers plus the 8
+#         explicitly deferred from the r5 rotation); and 35 of the 67
+#         double-attestation queries for a THIRD round, prioritizing the
+#         two whose code changed after their last green row (the CDC
+#         pair: apply_changes' tie-break comparator now filters to
+#         orderable columns) and the structurally complex shapes (joins,
+#         windows, multimodal parsers, embedding stats, streaming batch
+#         twins, pipeline-coupled stages).
+#   OUT — every query already green in ≥3 rounds, plus 32
+#         double-attestation queries deferred to round 7 whose shapes are
+#         comparatively simple (scans, scalar functions, plain aggs/joins)
+#         and whose code is untouched since their last green row
+#         (DEFERRED_DOUBLES in tests/test_registry_window.py).
 # The intentionally-approximate (rows-only) queries sit past the window so
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-5 additions — never driver-attested (O-25 real pixel/sample
-    # decodes, O-22 paragraph-level dedup, O-1/O-16 k-step Pregel loop
-    # with mid-run lineage truncation)
+    # round-6 additions — never driver-attested (O-22 corpus-DF
+    # boilerplate strip, O-11/O-24 deterministic weighted sampling and
+    # per-source caps)
+    "boilerplate_removal",
+    "weighted_sample",
+    "per_source_cap",
+    # single-attestation queries — all 12 (r5 first-timers + the 8
+    # deferred from the r5 rotation)
     "bmp_pixel_decode",
     "wav_pcm_decode",
     "paragraph_dedup",
     "graph_mass_propagation_k4",
-    # tier-0 scan/filter/project/group core (O-3..O-6) — single r1 row
-    "scan_project",
-    "filter_predicates",
-    "groupby_count",
-    "distinct_dedup",
-    # aggregation surface (O-11) — single r1 row each
-    "agg_multi",
-    "stats_moments",
-    "correlation",
-    "cube_agg",
-    "unpivot_metrics",
-    # single-attestation joins + TPC-H-shaped composites (O-13, O-2)
-    "join_outer",
-    "large_volume_customers",
-    "local_supplier_volume",
-    "shipping_priority",
-    "revenue_forecast",
-    "sql_cte_exists",
-    # window functions (O-18) — single r1 row each
-    "window_frames",
-    "window_distribution",
-    # scalar function surface (O-21) — single r1/r2 row each
-    "date_arithmetic",
-    "json_extraction",
-    "json_typed_struct",
-    "text_normalize",
-    "string_agg_per_group",
-    "null_semantics",
-    # text analysis / doc pipeline primitives (O-24) — single r1 row each
-    "lang_id",
-    "doc_quality_score",
-    "doc_token_stats",
-    "doc_fingerprint",
-    # r3 first-timers needing a second row (O-22, O-24)
-    "dedup_keep_best",
-    "sequence_packing_chunked",
-    # r4 first-timers whose code CHANGED since their green row: the CDC
-    # pair now runs on the bucketed snapshot store (operators/cdc.py),
-    # the multimodal set on the DIB-size-gated BMP parser
+    "array_functions",
+    "map_functions",
+    "collect_set_sorted",
+    "token_positions",
+    "repetition_ratio",
+    "value_histogram",
+    "stratified_sample",
+    "percentiles",
+    # doubles whose code CHANGED since their last green row: both run
+    # through apply_changes, whose seq tie-break comparator now filters
+    # to orderable column types
     "merge_upsert",
     "scd2_intervals",
-    "image_resize_roundtrip",
+    # doubles, complex shapes, third attestation (O-11..O-27)
+    "asof_join_events",
     "audio_frame_sample",
-    "tiff_ogg_header_metadata",
-    "webp_flac_header_metadata",
-    # r4 first-timers, complex shapes, second attestation (O-11, O-14,
-    # O-16..O-18, O-23, O-26, O-27)
-    "profile_table",
-    "join_bloom_pruned",
-    "graph_mass_propagation",
-    "funnel_analysis",
-    "retention_cohort",
-    "events_rollup_gapfill",
-    "user_path_transitions",
-    "stream_interval_join_batch",
+    "bpe_pair_counts",
+    "dedup_incremental",
+    "dedup_keep_best",
     "embedding_outliers",
     "embedding_quantize_int8",
+    "events_rollup_gapfill",
+    "events_sliding_window",
+    "funnel_analysis",
+    "gopher_quality_rules",
+    "graph_mass_propagation",
+    "grouped_collect_sorted",
+    "image_resize_roundtrip",
+    "join_bloom_pruned",
+    "join_skew_salted",
+    "minhash_signatures",
+    "multimodal_metadata",
+    "profile_table",
+    "retention_cohort",
+    "sequence_packing_chunked",
+    "stream_interval_join_batch",
+    "tfidf_top_terms",
+    "tiff_ogg_header_metadata",
+    "token_budget_mixture",
+    "train_test_split",
     "udtf_token_positions",
+    "unigram_lm_score",
+    "user_path_transitions",
+    "vocab_encode",
+    "webp_flac_header_metadata",
+    "window_distribution",
+    "window_frames",
 )
 
 

@@ -3250,3 +3250,226 @@ def training_data_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         idiv(F.col("cum") - F.col("n_tokens"), 2048).alias("bin"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-6 additions: corpus-frequency boilerplate removal, deterministic
+# weighted sampling, and per-source caps — the three crawl-pipeline stages
+# between dedup and splitting (CCNet strips high-DF lines, quality-weighted
+# downsampling trades corpus size for quality, per-domain caps stop a single
+# host from dominating the mixture).
+# --------------------------------------------------------------------------
+
+BOILER_DF = 2  # chunks present in >= this many DISTINCT docs are boilerplate
+
+
+@query(
+    "boilerplate_removal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(ceil(len(t) / 20.0) AS INT) - 1))
+               AS idx,
+             t
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, idx,
+             array_to_string(t[(idx*20+1):(idx*20+20)], ' ') AS chunk
+      FROM c
+    ),
+    dfreq AS (
+      SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk
+    )
+    SELECT ch.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE f.df >= 2) AS BIGINT) AS n_boiler,
+           COALESCE(string_agg(ch.chunk, ' ' ORDER BY ch.idx)
+                      FILTER (WHERE f.df < 2), '') AS text_kept
+    FROM chunks ch JOIN dfreq f ON ch.chunk = f.chunk
+    GROUP BY ch.doc_id
+    """,
+    tags=("tier2", "dedup", "text"),
+)
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal — the CCNet/RefinedWeb stage
+    that paragraph_dedup does NOT cover: a chunk occurring in >= BOILER_DF
+    DISTINCT documents is navigation/boilerplate and is dropped from
+    EVERY document (paragraph_dedup keeps the first occurrence; a nav bar
+    is junk in its first document too). Chunks are the same fixed
+    20-token windows as paragraph_dedup (the corpus is newline-free; on
+    real text split('\\n') slots in unchanged). Output per doc: chunk
+    counts, boilerplate count, and the text rebuilt from surviving chunks
+    in order.
+
+    SCALE: same audited two-shuffle shape as paragraph_dedup — one
+    map-side-combinable distinct-count per chunk, one equi-join back on
+    the chunk key (AQE-coalesced, skew-split eligible), one (doc_id)
+    groupBy for the rebuild. The DF table is never collected or
+    broadcast by hand: at 100 TB the high-DF chunk set can exceed any
+    broadcast budget, so it stays a distributed join (AQE demotes it to
+    broadcast on its own when it happens to be small). At 100 TB you'd
+    count DF on xxhash64(chunk) instead of the raw string; kept raw here
+    so the DuckDB oracle is bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    chunks = (
+        docs.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(0), (F.ceil(F.size("t") / 20.0)).cast("int") - 1
+                )
+            ).alias("idx"),
+        )
+        .select(
+            "doc_id",
+            "idx",
+            F.array_join(
+                F.slice("t", F.col("idx") * 20 + 1, F.lit(20)), " "
+            ).alias("chunk"),
+        )
+    )
+    dfreq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    boiler = F.col("df") >= BOILER_DF
+    return (
+        chunks.join(dfreq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(boiler.cast("long")).alias("n_boiler"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(~boiler, F.struct("idx", "chunk"))
+                            )
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("text_kept"),
+        )
+    )
+
+
+@query(
+    "weighted_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_words,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wsamp'), 1, 8))::BIGINT AS h
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(least(n_words, 1000) AS BIGINT) AS weight_millis
+    FROM t
+    WHERE h * 1000 < least(n_words, 1000) * 4294967296
+    """,
+    tags=("tier2", "sampling"),
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling — quality-weighted
+    downsampling, the mixture knob between "keep everything" and
+    stratified_sample's fixed per-stratum rates: each doc is kept with
+    probability min(1, n_words/1000), decided by a content hash rather
+    than an RNG so membership is reproducible across reruns, engines,
+    and cluster layouts (same md5 idiom as split_bucket_expr). The
+    comparison is pure integer math — h*1000 < weight_millis * 2^32 —
+    so no float rounding can flip a row between engines.
+
+    SCALE: scan-stage filter, zero shuffles, pushes nothing to the
+    driver; the weight function swaps freely (any bigint-millis
+    expression of the row works)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(tokenize(F.col("text")))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#wsamp"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    weight_millis = F.least(n_words.cast("bigint"), F.lit(1000))
+    return docs.select(
+        "doc_id",
+        "source",
+        n_words.cast("bigint").alias("n_words"),
+        weight_millis.alias("weight_millis"),
+        h.alias("_h"),
+    ).where(
+        F.col("_h") * 1000 < F.col("weight_millis") * F.lit(4294967296)
+    ).drop("_h")
+
+
+# Max docs kept per source: the fixtures carry exactly 25 docs per source
+# at every SF, so the cap must sit BELOW 25 to be a real filter (a vacuous
+# cap would let the oracle pass without exercising the window+cut path).
+PER_SOURCE_CAP = 15
+
+
+@query(
+    "per_source_cap",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#cap'), 1, 8))::BIGINT,
+                        doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 15
+    """,
+    tags=("tier2", "sampling"),
+)
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the per-domain cap every crawl pipeline
+    applies so one host cannot dominate the training mixture: keep at
+    most PER_SOURCE_CAP docs per source, chosen by a deterministic
+    content-hash order (a hash order is an unbiased uniform draw; taking
+    "first by doc_id" would bias toward old documents). doc_id breaks
+    hash ties so the selection is total-order stable.
+
+    SCALE: one hash-partitioned window per source — the partition count
+    is the number of DOMAINS (millions at 100 TB, comfortably parallel),
+    and rows within a source sort locally. A pathologically hot source
+    (one domain = a whole executor's memory) would use the two-phase
+    approx-rank trick in operators/windows.py instead; the cap output
+    itself is bounded at cap x #sources rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#cap"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .where(F.col("rk") <= PER_SOURCE_CAP)
+    )

@@ -1011,3 +1011,52 @@ def test_ann_paths_survive_zero_norm_vectors(spark):
 
     assert lsh_topk(emb, [0], k=5, dim=8).count() > 0
     assert ivf_topk(emb, [0, 30], k=5, n_clusters=4, dim=8).count() > 0
+
+
+def test_boilerplate_removal_drops_cross_doc_chunks(spark, sf_oracle):
+    """The corpus-DF boilerplate filter must be non-vacuous on this corpus
+    (planted near-dups share 20-token chunks across documents) and
+    self-consistent: dropped + surviving chunk counts reconcile, and a doc
+    whose chunks all survive keeps its text verbatim (modulo the chunk
+    rebuild's space join, which is exact on this single-space corpus)."""
+    from mapreduce__spark.plans.tier2 import boilerplate_removal
+
+    out = boilerplate_removal(spark, sf_oracle).collect()
+    assert sum(r.n_boiler for r in out) > 0, "no boilerplate found — vacuous"
+    assert all(0 <= r.n_boiler <= r.n_chunks for r in out)
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_oracle, "documents").collect()
+    }
+    untouched = [r for r in out if r.n_boiler == 0]
+    assert untouched, "every doc flagged as boilerplate — implausible"
+    for r in untouched[:20]:
+        assert r.text_kept == docs[r.doc_id]
+
+
+def test_per_source_cap_caps_every_source(spark, sf_oracle):
+    """Cap semantics: no source exceeds PER_SOURCE_CAP, every source with
+    >= cap docs is cut to exactly the cap (the fixtures carry 25 docs per
+    source, above the cap of 15), and the draw is deterministic."""
+    from mapreduce__spark.plans.tier2 import PER_SOURCE_CAP, per_source_cap
+
+    out = per_source_cap(spark, sf_oracle)
+    per_src = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per_src and all(n == PER_SOURCE_CAP for n in per_src.values())
+    first = {r.doc_id for r in out.collect()}
+    again = {r.doc_id for r in per_source_cap(spark, sf_oracle).collect()}
+    assert first == again
+
+
+def test_weighted_sample_is_deterministic_and_proper_subset(spark, sf_oracle):
+    """The hash-Bernoulli sample must actually sample (neither empty nor
+    everything), repeat identically across runs, and never keep a
+    zero-weight row."""
+    from mapreduce__spark.plans.tier2 import weighted_sample
+
+    docs_n = load_table(spark, sf_oracle, "documents").count()
+    rows = weighted_sample(spark, sf_oracle).collect()
+    assert 0 < len(rows) < docs_n
+    assert all(r.weight_millis > 0 for r in rows)
+    again = {r.doc_id for r in weighted_sample(spark, sf_oracle).collect()}
+    assert {r.doc_id for r in rows} == again
