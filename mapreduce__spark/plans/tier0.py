@@ -243,3 +243,41 @@ def formatted_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.select(
         F.concat_ws("|", F.col("n_name"), F.col("n_nationkey").cast("string")).alias("line")
     ).orderBy("line")
+
+
+@query(
+    "scan_provenance",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (ORDER BY doc_id) - 1 AS row_idx
+      FROM documents
+    )
+    SELECT doc_id, source,
+           'documents.parquet' AS file_name,
+           CAST(row_idx AS BIGINT) AS row_idx
+    FROM p WHERE n_chars >= 100
+    """,
+    tags=("tier0", "source"),
+)
+def scan_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-3 extension: row-level provenance via the hidden `_metadata`
+    columns — which file and which physical row each record came from,
+    the audit trail a training-data pipeline needs ("which shard produced
+    this document"). The metadata columns are scan-time constants stitched
+    in by the reader (no shuffle, no UDF), and they report the PHYSICAL
+    position: the filter below does not renumber rows, which is exactly
+    what makes the ids stable across re-reads with different predicates.
+
+    The oracle recomputes the physical position independently from the
+    fixture's layout (testdata parquet is written in contiguous doc_id
+    order — asserted by tests/test_plans.py::test_testdata_is_doc_id
+    _ordered so fixture drift fails loudly, not as a cryptic hash
+    mismatch) and applies the same post-numbering filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.col("n_chars") >= 100).select(
+        "doc_id",
+        "source",
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("_metadata.row_index").alias("row_idx"),
+    )

@@ -248,3 +248,38 @@ def test_paragraph_dedup_plan_shape(spark, sf_small):
     # two-phase min: a partial HashAggregate under the exchange and the
     # final merge above it
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_testdata_is_doc_id_ordered(sf_small, sf_oracle):
+    """scan_provenance's oracle recomputes the physical row position from
+    the fixture's layout: documents.parquet must store rows in contiguous
+    doc_id order (0..n-1). If the fixtures ever change, this fails with a
+    clear message instead of a cryptic value-hash mismatch."""
+    import duckdb
+
+    for sf in (sf_small, sf_oracle):
+        bad = duckdb.sql(
+            f"""WITH x AS (SELECT doc_id, file_row_number AS r
+                 FROM read_parquet('{sf}/documents.parquet', file_row_number=true))
+               SELECT count(*) FROM x WHERE doc_id != r"""
+        ).fetchone()[0]
+        assert bad == 0, (
+            f"{sf}/documents.parquet is no longer stored in contiguous "
+            "doc_id order — scan_provenance's oracle assumption broke"
+        )
+
+
+def test_scan_provenance_row_index_is_physical(spark, sf_small):
+    """_metadata.row_index must report the PHYSICAL file position, not a
+    post-filter renumbering: filtered output keeps gaps where dropped rows
+    were."""
+    from mapreduce__spark.plans.tier0 import scan_provenance
+
+    rows = scan_provenance(spark, sf_small).collect()
+    assert all(r.row_idx == r.doc_id for r in rows)  # fixture: doc_id == position
+    n_docs = load_table(spark, sf_small, "documents").count()
+    assert len(rows) < n_docs, "filter kept everything — gap check vacuous"
+    kept = sorted(r.row_idx for r in rows)
+    assert kept != list(range(len(kept))), (
+        "filtered row_idx values are gapless 0..k-1 — looks renumbered"
+    )

@@ -74,6 +74,7 @@ DEFERRED_DOUBLES = {
     "text_normalize",
     "topk_global",
     "unpivot_metrics",
+    "window_frames",
 }
 
 
