@@ -79,18 +79,18 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # recomputes green-attestation counts from the checked-in
 # CORRECTNESS_r0*.json files and asserts the policy below, so the comment
 # cannot silently disagree with the window again.
-#   IN  — the 4 round-6 additions, never driver-attested
+#   IN  — the 5 round-6 additions, never driver-attested
 #         (boilerplate_removal, weighted_sample, per_source_cap,
-#         scan_provenance); ALL 12
+#         scan_provenance, json_variant_agg); ALL 12
 #         single-attestation queries (the r5 first-timers plus the 8
-#         explicitly deferred from the r5 rotation); and 34 of the 67
+#         explicitly deferred from the r5 rotation); and 33 of the 67
 #         double-attestation queries for a THIRD round, prioritizing the
 #         two whose code changed after their last green row (the CDC
 #         pair: apply_changes' tie-break comparator now filters to
 #         orderable columns) and the structurally complex shapes (joins,
 #         windows, multimodal parsers, embedding stats, streaming batch
 #         twins, pipeline-coupled stages).
-#   OUT — every query already green in ≥3 rounds, plus 33
+#   OUT — every query already green in ≥3 rounds, plus 34
 #         double-attestation queries deferred to round 7 whose shapes are
 #         comparatively simple (scans, scalar functions, plain aggs/joins)
 #         and whose code is untouched since their last green row
@@ -101,11 +101,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 DRIVER_WINDOW: tuple[str, ...] = (
     # round-6 additions — never driver-attested (O-22 corpus-DF
     # boilerplate strip, O-11/O-24 deterministic weighted sampling and
-    # per-source caps, O-3 row-level provenance)
+    # per-source caps, O-3 row-level provenance, O-21 VARIANT)
     "boilerplate_removal",
     "weighted_sample",
     "per_source_cap",
     "scan_provenance",
+    "json_variant_agg",
     # single-attestation queries — all 12 (r5 first-timers + the 8
     # deferred from the r5 rotation)
     "bmp_pixel_decode",
@@ -138,7 +139,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "funnel_analysis",
     "gopher_quality_rules",
     "graph_mass_propagation",
-    "grouped_collect_sorted",
     "image_resize_roundtrip",
     "join_bloom_pruned",
     "join_skew_salted",

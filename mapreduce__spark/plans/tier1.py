@@ -1585,3 +1585,41 @@ def heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode("o_orderpriority_freqItems").alias("candidate_heavy_hitter")
         )
     )
+
+
+@query(
+    "json_variant_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                                    AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE event_type IN ('error', 'purchase')
+    GROUP BY event_type
+    """,
+    tags=("tier1", "functions"),
+)
+def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-21 (semi-structured, Spark 4 VARIANT path): parse events.props
+    once into a VARIANT and aggregate typed extractions from it. VARIANT
+    is the scale path for semi-structured columns — the value is parsed
+    once into a binary form and every variant_get is a direct typed read,
+    where the get_json_object form (json_extraction) re-parses the JSON
+    string per extraction; same results, different cost model at 100 TB
+    (this query is the agreement proof for the pair). try_variant_get
+    would NULL malformed rows; the fixtures are clean so the strict form
+    documents the contract."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        ev.where(F.col("event_type").isin("error", "purchase"))
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -54,6 +54,7 @@ DEFERRED_DOUBLES = {
     "filter_predicates",
     "global_row_number",
     "groupby_count",
+    "grouped_collect_sorted",
     "join_inner",
     "join_outer",
     "json_extraction",
