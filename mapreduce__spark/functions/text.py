@@ -173,3 +173,24 @@ def split_bucket_expr(key: Column, n: int = 10, salt: str = "#split") -> Column:
         ).cast("bigint")
         % n
     )
+
+
+def weight_millis_expr(text: Column) -> Column:
+    """Sampling weight in integer millis: min(1000, n_words) — i.e. keep
+    probability min(1, n_words/1000) without ever materializing a float."""
+    return F.least(F.size(tokenize(text)).cast("bigint"), F.lit(1000))
+
+
+def weighted_keep_expr(key: Column, weight_millis: Column) -> Column:
+    """Deterministic weighted-Bernoulli keep decision: md5-derived 32-bit
+    uniform compared against the weight in PURE INTEGER math
+    (h*1000 < millis*2^32), so membership is bit-stable across engines,
+    reruns, and cluster layouts. ONE source shared by the batch
+    `weighted_sample` query, its DuckDB oracle's mirrored constants, and
+    the streaming twin — same rule as quality_keep_expr."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit("#wsamp"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return h * 1000 < weight_millis * F.lit(4294967296)

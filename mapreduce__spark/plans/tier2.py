@@ -3388,32 +3388,28 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     than an RNG so membership is reproducible across reruns, engines,
     and cluster layouts (same md5 idiom as split_bucket_expr). The
     comparison is pure integer math — h*1000 < weight_millis * 2^32 —
-    so no float rounding can flip a row between engines.
+    so no float rounding can flip a row between engines. The expressions
+    live in functions/text.py (weight_millis_expr / weighted_keep_expr),
+    shared with the streaming twin under the one-source rule.
 
     SCALE: scan-stage filter, zero shuffles, pushes nothing to the
     driver; the weight function swaps freely (any bigint-millis
     expression of the row works)."""
+    from mapreduce__spark.functions.text import (
+        weight_millis_expr,
+        weighted_keep_expr,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    n_words = F.size(tokenize(F.col("text")))
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#wsamp"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    weight_millis = F.least(n_words.cast("bigint"), F.lit(1000))
-    return docs.select(
-        "doc_id",
-        "source",
-        n_words.cast("bigint").alias("n_words"),
-        weight_millis.alias("weight_millis"),
-        h.alias("_h"),
-    ).where(
-        F.col("_h") * 1000 < F.col("weight_millis") * F.lit(4294967296)
-    ).drop("_h")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(tokenize(F.col("text"))).cast("bigint").alias("n_words"),
+            weight_millis_expr(F.col("text")).alias("weight_millis"),
+        )
+        .where(weighted_keep_expr(F.col("doc_id"), F.col("weight_millis")))
+    )
 
 
 # Max docs kept per source: the fixtures carry exactly 25 docs per source

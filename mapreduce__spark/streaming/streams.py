@@ -333,3 +333,28 @@ def stream_dedup_docs(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.md5("text").alias("fp")
     ).dropDuplicates(["fp"])
+
+
+def stream_weighted_sample(docs: DataFrame) -> DataFrame:
+    """Stateless deterministic weighted sampling on ingest: the keep
+    decision is a pure hash function of the row (functions/text.py
+    weighted_keep_expr — the SAME expression as the batch
+    `weighted_sample` query), so a doc's membership is identical whether
+    it arrives in a stream or a batch scan, across replays, and across
+    engines. No state store, no watermark — the sampling stage a 100 TB
+    ingest pipeline runs at the firehose."""
+    from mapreduce__spark.functions.text import (
+        weight_millis_expr,
+        weighted_keep_expr,
+    )
+
+    wm = weight_millis_expr(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_words"),
+            wm.alias("weight_millis"),
+        )
+        .where(weighted_keep_expr(F.col("doc_id"), F.col("weight_millis")))
+    )

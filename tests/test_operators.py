@@ -1060,3 +1060,34 @@ def test_weighted_sample_is_deterministic_and_proper_subset(spark, sf_oracle):
     assert all(r.weight_millis > 0 for r in rows)
     again = {r.doc_id for r in weighted_sample(spark, sf_oracle).collect()}
     assert {r.doc_id for r in rows} == again
+
+
+def test_kmeans_centroids_match_sequential_reference(spark):
+    """The distributed Lloyd's pass (Arrow-batched partial sums over
+    partitions) must reproduce a sequential numpy twin of the SAME
+    algorithm — cosine assignment, raw-mean update, first-k-by-id init —
+    to float-sum tolerance, regardless of how rows are partitioned."""
+    import numpy as np
+
+    from mapreduce__spark.operators.similarity import (
+        _cosine_matrix_pdf,
+        kmeans_centroids,
+    )
+
+    dim, n, k, iters = 16, 200, 5, 3
+    V = np.array(
+        [[((i * 31 + 7 * j) % 23) - 11.0 for j in range(dim)] for i in range(n)]
+    )
+    rows = [(i, [float(x) for x in V[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id bigint, v array<double>").repartition(8)
+
+    got = np.array(kmeans_centroids(df, k=k, iters=iters, dim=dim, pre_projected=True))
+
+    C = V[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        lab = np.argmax(_cosine_matrix_pdf(V, C), axis=1)
+        C = np.vstack(
+            [V[lab == j].mean(axis=0) if (lab == j).any() else C[j] for j in range(k)]
+        )
+    assert got.shape == (k, dim)
+    assert np.allclose(got, C, atol=1e-9), np.abs(got - C).max()

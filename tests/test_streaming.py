@@ -519,3 +519,27 @@ def test_stateful_totals_carry_across_micro_batches(spark, sf_small, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_weighted_sample_equals_batch(spark, sf_small):
+    """The deterministic weighted sampler is stateless and hash-decided, so
+    a full stream replay must keep EXACTLY the batch query's rows — same
+    ids, same columns (the two sides share one expression source)."""
+    from mapreduce__spark.plans.tier2 import weighted_sample
+    from mapreduce__spark.streaming.streams import (
+        read_documents_stream,
+        run_stream_to_memory,
+        stream_weighted_sample,
+    )
+
+    sdf = stream_weighted_sample(read_documents_stream(spark, sf_small))
+    run_stream_to_memory(sdf, "doc_wsample_stream")
+    got = {
+        (r.doc_id, r.source, r.n_words, r.weight_millis)
+        for r in spark.table("doc_wsample_stream").collect()
+    }
+    want = {
+        (r.doc_id, r.source, r.n_words, r.weight_millis)
+        for r in weighted_sample(spark, sf_small).collect()
+    }
+    assert got == want and len(got) > 0
