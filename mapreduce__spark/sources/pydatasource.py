@@ -122,6 +122,23 @@ class SynthDocsStreamReader(DataSourceStreamReader):
         self.n_parts = int(options.get("partitions", 4))
         self.n_words = int(options.get("words_per_doc", 30))
         self._cursor_file = options.get("cursor_file")
+        if not self._cursor_file:
+            # The docstring's restart contract is unenforceable without a
+            # cursor: a restart that skips last-batch replay regresses
+            # latestOffset past the checkpointed position and re-emits
+            # delivered rows. Spark does not expose the checkpoint dir to
+            # the source, so a safe default path cannot be derived —
+            # surface the hazard instead of silently permitting it.
+            import warnings
+
+            warnings.warn(
+                "synthdocs streamReader built without option 'cursor_file': "
+                "a stream RESTART may re-emit already-delivered rows "
+                "(latestOffset can regress past the checkpointed position). "
+                "Pass .option('cursor_file', <path>) for restart-safe offsets.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         # furthest row position ever planned or committed
         self._cursor = self._load_cursor()
 

@@ -95,3 +95,23 @@ def test_stream_delivers_exactly_once_across_restart(spark, tmp_path):
     )
     assert [a[0] for a in again] == list(range(60))
     assert all(t == _doc_text(i, 30) for i, t in again)
+
+
+def test_stream_reader_warns_without_cursor_file():
+    """ADVICE r6: omitting cursor_file silently permitted a restart to
+    regress latestOffset and re-emit delivered rows. The hazard must be
+    surfaced at construction (Spark hides the checkpoint dir from the
+    source, so no safe default path can be derived)."""
+    import warnings
+
+    from mapreduce__spark.sources.pydatasource import SynthDocsStreamReader
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        SynthDocsStreamReader({"max_rows": "10"})
+    assert any("cursor_file" in str(w.message) for w in caught)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        SynthDocsStreamReader({"max_rows": "10", "cursor_file": "/tmp/_c"})
+    assert not any("cursor_file" in str(w.message) for w in caught)
