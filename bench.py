@@ -75,6 +75,9 @@ BENCH_QUERIES = [
                            # byte-level pixel decode per doc — the Python
                            # hot-path representative the JVM-side headline
                            # set doesn't cover (round 5; deltas start r5)
+    "boilerplate_removal", # corpus-DF chunk strip: distinct-count + join
+                           # back, the heaviest standalone multi-shuffle
+                           # text op (round 7; deltas start r7)
 ]
 
 
@@ -84,11 +87,25 @@ BENCH_QUERIES = [
 # docs/SCALE.md carries measured growth numbers, not just plan analysis.
 # Round-4 VERDICT item 6 adds a THIRD decade (synth 100x, documents only)
 # for the LSH query alone: two measured decades of sub-quadratic growth
-# pin the 100 TB extrapolation much harder than one.
-SCALING_QUERIES = ["dedup_lsh_minhash", "training_data_pipeline"]
+# pin the 100 TB extrapolation much harder than one. Round-6 VERDICT
+# item 4 extends both decades to the two heaviest multi-shuffle
+# pipelines (training_data_pipeline_full, boilerplate_removal), whose
+# scale claims were previously argued, not measured, past 10x —
+# measured once: pipeline_full 100x ~82s (~13x warm base on 100x data),
+# boilerplate 100x ~10s, both far sub-linear.
+SCALING_QUERIES = [
+    "dedup_lsh_minhash",
+    "training_data_pipeline",
+    "training_data_pipeline_full",
+    "boilerplate_removal",
+]
 SCALE_FACTOR = 10
 SCALE_FACTOR_2 = 100
-SCALE_2_QUERIES = ["dedup_lsh_minhash"]
+SCALE_2_QUERIES = [
+    "dedup_lsh_minhash",
+    "training_data_pipeline_full",
+    "boilerplate_removal",
+]
 
 
 def _scaled_docs_dir(spark, sf_dir: str, factor: int) -> str:
@@ -200,10 +217,12 @@ def _run_scaling(spark, sf_dir: str, sf: float, base_timings: dict[str, float]) 
         out[name] = row
         gc.collect()
 
-    # Second decade: 100x documents, LSH only (the pipeline flagship's
-    # 100x corpus would be ~30x the bench budget for one data point; the
-    # LSH query is the one whose all-pairs-vs-bucketed distinction the
-    # extra decade exists to prove).
+    # Second decade: 100x documents for the queries whose sub-quadratic
+    # claims need two measured decades — LSH (all-pairs-vs-bucketed),
+    # pipeline_full and boilerplate_removal (the heaviest multi-shuffle
+    # pipelines, round-6 VERDICT item 4). training_data_pipeline stays
+    # 10x-only: it is pipeline_full minus two stages, so the full
+    # variant's 100x point subsumes its scale claim at lower budget.
     scaled_dir_2 = _scaled_docs_dir(spark, sf_dir, SCALE_FACTOR_2)
     for name in SCALE_2_QUERIES:
         row = out[name]
@@ -277,6 +296,29 @@ def main() -> None:
         "methodology": "median-of-3 warm runs, 1 untimed cold run, shared session",
     }
 
+    # Durable-staging delta (round-6 VERDICT item 3): one warm run of the
+    # flagship with its three corpus-proportional materializations staged
+    # to parquet instead of executor memory — records what the 100 TB
+    # shape costs at this sf (write+readback I/O vs block-manager reads).
+    import shutil
+    import tempfile
+
+    stage_dir = tempfile.mkdtemp(prefix="mapreduce__spark_staging_")
+    try:
+        t0 = time.perf_counter()
+        REGISTRY["training_data_pipeline_full"].fn(
+            spark, sf_dir, staging_dir=stage_dir
+        ).collect()
+        staged_sec = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    mem_sec = timings["training_data_pipeline_full"]
+    out["staging"] = {
+        "training_data_pipeline_full_staged": staged_sec,
+        "vs_memory_checkpoint": round(staged_sec / mem_sec, 2) if mem_sec else None,
+    }
+    gc.collect()
+
     # Decade-scaling probe; disable with SPARK_GRAFT_SKIP_SCALING=1.
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         out["scaling"] = _run_scaling(spark, sf_dir, sf, timings)
@@ -284,7 +326,8 @@ def main() -> None:
             f"synth10x/synth100x = {SCALE_FACTOR}x/{SCALE_FACTOR_2}x documents "
             f"cloned from {sf_dir} with replica-suffixed tokens (gram-disjoint "
             "replicas, identical per-replica duplicate density); single warm "
-            "run per tier; 100x tier runs dedup_lsh_minhash only"
+            "run per tier; 100x tier runs dedup_lsh_minhash, "
+            "training_data_pipeline_full and boilerplate_removal"
         )
 
     # Per-query regression deltas vs the previous round's recorded bench

@@ -281,6 +281,7 @@ def lsh_near_duplicate_pairs(
     bands: int = 8,
     text_source: DataFrame | None = None,
     max_bucket_size: int | None = None,
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-verified — the 100 TB dedup plan.
 
@@ -306,7 +307,16 @@ def lsh_near_duplicate_pairs(
     `max_bucket_size` (default None = exact semantics) engages the
     hot-bucket skew fallback for boilerplate-heavy corpora — see
     :func:`_cap_hot_buckets` for the recall/work tradeoff.
+
+    `staging_dir` (default None = executor-memory checkpoint) durably
+    stages the SIGNATURE table — the one corpus-proportional
+    materialization here (~num_hashes longs per doc; ~12 TB at 100 B
+    docs) — as parquet via :func:`operators.staging.stage`. The
+    candidate-sized materializations below stay in executor memory at
+    every scale (bounded by the banding, not the corpus).
     """
+    from mapreduce__spark.operators.staging import stage
+
     assert num_hashes % bands == 0
     # Materialize ONLY the signatures — num_hashes longs per doc, ~128B/doc
     # at the default 16 — never the gram arrays. An earlier layout
@@ -317,7 +327,7 @@ def lsh_near_duplicate_pairs(
     # run-to-run noise on the downstream pipeline. Signatures are the only
     # thing read more than once per scan; grams are recomputed at verify
     # time for CANDIDATE docs only (see below).
-    sig = minhash_signature(docs, num_hashes).localCheckpoint(eager=True)
+    sig = stage(minhash_signature(docs, num_hashes), staging_dir, "lsh_signatures")
     banded = _band_buckets(sig, num_hashes, bands)
     if max_bucket_size is not None:
         banded = _cap_hot_buckets(banded, max_bucket_size)

@@ -3147,7 +3147,9 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("tier2", "pipeline", "flagship"),
 )
-def training_data_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+def training_data_pipeline_full(
+    spark: SparkSession, sf_dir: str, staging_dir: str | None = None
+) -> DataFrame:
     """The complete modern training-data pipeline as ONE DataFrame program
     — `training_data_pipeline` (quality → dedup → cluster removal → split
     → pack) extended with the two compliance stages a production corpus
@@ -3166,8 +3168,15 @@ def training_data_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Stage scaling stories are unchanged from the component operators; the
     composition is hash-checked end-to-end against the same stages in SQL.
+
+    `staging_dir` (default None) switches the three corpus-proportional
+    materializations (scrubbed corpus, decontaminated corpus, LSH
+    signatures) from executor-memory checkpoints to durable parquet —
+    the 100 TB shape; see :mod:`operators.staging`. Value-identical
+    (tests/test_staging.py).
     """
     from mapreduce__spark.operators.graph import connected_components
+    from mapreduce__spark.operators.staging import stage
     from mapreduce__spark.operators.windows import distributed_cumsum_grouped, idiv
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3175,12 +3184,16 @@ def training_data_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both sides of the decontamination gram join, and LSH verification
     # texts); left lazy, each one re-runs the 3-regex scrub over the full
     # corpus. A production pipeline materializes the scrubbed corpus once
-    # (it is a deliverable in its own right) — the eager checkpoint is
-    # that materialization, measured ~1.9x on the end-to-end flagship at
-    # sf0.1.
-    scrubbed = docs.select(
-        "doc_id", pii_scrub_expr(F.col("text")).alias("text")
-    ).localCheckpoint(eager=True)
+    # (it is a deliverable in its own right) — the materialization is the
+    # executor-memory checkpoint by default (measured ~1.9x on the
+    # end-to-end flagship at sf0.1), or durable parquet under
+    # `staging_dir` — the 100 TB shape, where a corpus-sized relation
+    # does not fit executor storage and must survive executor loss.
+    scrubbed = stage(
+        docs.select("doc_id", pii_scrub_expr(F.col("text")).alias("text")),
+        staging_dir,
+        "scrubbed",
+    )
 
     toks = tokenize(F.col("text"))
     quality = scrubbed.where(quality_keep_expr(F.col("text"))).select(
@@ -3216,10 +3229,10 @@ def training_data_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `decon` is the surviving corpus and feeds THREE consumers (exact
     # dedup, LSH signatures, the survivors join); without materialization
     # each re-runs the contamination gram join above.
-    decon = (
-        quality.where(~is_eval)
-        .join(contaminated, "doc_id", "left_anti")
-        .localCheckpoint(eager=True)
+    decon = stage(
+        quality.where(~is_eval).join(contaminated, "doc_id", "left_anti"),
+        staging_dir,
+        "decontaminated",
     )
 
     narrow = decon.select(
@@ -3237,7 +3250,12 @@ def training_data_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-running the decontamination joins just to read texts is waste —
     # scrubbed is the cheapest equal-valued superset.
     pairs = lsh_near_duplicate_pairs(
-        decon, JACCARD_THRESHOLD, num_hashes=16, bands=8, text_source=scrubbed
+        decon,
+        JACCARD_THRESHOLD,
+        num_hashes=16,
+        bands=8,
+        text_source=scrubbed,
+        staging_dir=staging_dir,
     )
     cc = connected_components(pairs, "id1", "id2")
     removal = cc.where(F.col("component") < F.col("node")).select(
