@@ -3322,7 +3322,9 @@ BOILER_DF = 2  # chunks present in >= this many DISTINCT docs are boilerplate
     """,
     tags=("tier2", "dedup", "text"),
 )
-def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def boilerplate_removal(
+    spark: SparkSession, sf_dir: str, hash_chunks: bool = False
+) -> DataFrame:
     """Corpus-frequency boilerplate removal — the CCNet/RefinedWeb stage
     that paragraph_dedup does NOT cover: a chunk occurring in >= BOILER_DF
     DISTINCT documents is navigation/boilerplate and is dropped from
@@ -3339,9 +3341,16 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy for the rebuild. The DF table is never collected or
     broadcast by hand: at 100 TB the high-DF chunk set can exceed any
     broadcast budget, so it stays a distributed join (AQE demotes it to
-    broadcast on its own when it happens to be small). At 100 TB you'd
-    count DF on xxhash64(chunk) instead of the raw string; kept raw here
-    so the DuckDB oracle is bit-exact."""
+    broadcast on its own when it happens to be small).
+
+    `hash_chunks=True` is the 100 TB variant: the distinct-count and the
+    join back key on `xxhash64(chunk)` — 8 bytes instead of a ~120-byte
+    string — so the count aggregate's map-side combine state, its
+    shuffle, and the join's build side all shrink ~15x. The output is
+    identical unless two distinct chunks collide in 64 bits (~1e-8 at
+    10^9 distinct chunks, the standard fingerprint-dedup risk trade);
+    the default stays raw so the DuckDB oracle is bit-exact, and
+    tests/test_operators.py pins raw == hashed at sf0.001."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     chunks = (
@@ -3363,12 +3372,17 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk"),
         )
     )
-    dfreq = chunks.groupBy("chunk").agg(
+    if hash_chunks:
+        chunks = chunks.withColumn("_ck", F.xxhash64("chunk"))
+        key = "_ck"
+    else:
+        key = "chunk"
+    dfreq = chunks.select(key, "doc_id").groupBy(key).agg(
         F.countDistinct("doc_id").alias("df")
     )
     boiler = F.col("df") >= BOILER_DF
     return (
-        chunks.join(dfreq, "chunk")
+        chunks.join(dfreq, key)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),

@@ -1091,3 +1091,19 @@ def test_kmeans_centroids_match_sequential_reference(spark):
         )
     assert got.shape == (k, dim)
     assert np.allclose(got, C, atol=1e-9), np.abs(got - C).max()
+
+
+def test_boilerplate_hashed_variant_matches_raw(spark, sf_small):
+    """hash_chunks=True is the 100 TB shape — DF counted on
+    xxhash64(chunk), 8-byte shuffle keys — and must produce the exact
+    raw-string result (collision risk at this corpus size is ~0)."""
+    from mapreduce__spark.plans.tier2 import boilerplate_removal
+
+    raw = boilerplate_removal(spark, sf_small)
+    hashed = boilerplate_removal(spark, sf_small, hash_chunks=True)
+    assert sorted(tuple(r) for r in raw.collect()) == sorted(
+        tuple(r) for r in hashed.collect()
+    )
+    # the variant really keys on the hash, and only the variant does
+    assert "xxhash64" in hashed._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" not in raw._jdf.queryExecution().optimizedPlan().toString()
