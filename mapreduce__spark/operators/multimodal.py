@@ -68,8 +68,6 @@ def decode_stub_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     """
 
     def fake_decode(b: bytes) -> tuple[int, int, str, int]:
-        if REAL_DECODE_AVAILABLE:  # pragma: no cover
-            raise NotImplementedError("real decoder path not wired in this build")
         width = (b[0] % 64) + 1 if b else 0
         height = (b[-1] % 64) + 1 if b else 0
         mode = "RGB" if (len(b) % 2 == 0) else "L"
@@ -545,6 +543,69 @@ def wav_pcm_features(mm: DataFrame) -> DataFrame:
             "channels", "sample_rate", "n_frames", "sum_samples",
             "min_sample", "max_sample", "first_sample", "sum_ch0",
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mime-dispatched REAL decode over a mixed-media corpus — the shape a real
+# multimodal pipeline has: one binary column holding different container
+# formats, routed to the right decoder by sniffed magic bytes (never by a
+# trusted sidecar mime column). Built entirely on the real BMP/WAV decoders
+# above; formats needing entropy decoding would route to the
+# REAL_DECODE_AVAILABLE library path from the same dispatch point.
+# --------------------------------------------------------------------------
+
+MIXED_MEDIA_SCHEMA = (
+    "doc_id bigint, mime string, width bigint, height bigint, sum_rgb bigint, "
+    "channels bigint, sample_rate bigint, sum_samples bigint"
+)
+
+
+def synth_mixed_media_bytes(doc_id: int) -> bytes:
+    """Even doc_ids carry a full 24-bit BMP, odd ones a full PCM16 WAV —
+    a deterministic mixed corpus for the dispatch path."""
+    return synth_bmp_bytes(doc_id) if doc_id % 2 == 0 else synth_wav_pcm_bytes(doc_id)
+
+
+def with_mixed_media_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) where the payload FORMAT varies per row."""
+    return _with_payload(docs, synth_mixed_media_bytes)
+
+
+def decode_media_auto(b: bytes) -> tuple:
+    """Sniff the container by magic bytes and run the matching REAL
+    decoder: (mime, width, height, sum_rgb, channels, sample_rate,
+    sum_samples), with the other modality's columns None. Raises on
+    unrecognized containers — a real pipeline routes those rows to an
+    error sink, never silently nulls them."""
+    if b[:2] == b"BM":
+        w, h, _, sr, sg, sb, _ = decode_bmp_pixels(b)
+        return ("image/bmp", w, h, sr + sg + sb, None, None, None)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        ch, rate, _, ssum, _, _, _, _ = decode_wav_pcm(b)
+        return ("audio/wav", None, None, None, ch, rate, ssum)
+    raise ValueError("unrecognized media container")
+
+
+def mixed_media_features(mm: DataFrame) -> DataFrame:
+    """Arrow-batched mime-dispatched decode over mixed payload bytes.
+    Columns that can be absent (a WAV has no width) use pandas' nullable
+    Int64 so Arrow ships real NULLs, not NaN-coerced doubles."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        int_cols = (
+            "width", "height", "sum_rgb", "channels", "sample_rate", "sum_samples"
+        )
+        for pdf in batches:
+            rows = [decode_media_auto(bytes(p)) for p in pdf["payload"]]
+            out = {"doc_id": pdf["doc_id"].values}
+            out["mime"] = [r[0] for r in rows]
+            for j, c in enumerate(int_cols, start=1):
+                out[c] = pd.array([r[j] for r in rows], dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        decode, schema=MIXED_MEDIA_SCHEMA
     )
 
 

@@ -73,91 +73,89 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_registry_window.py::test_rotated_out_core_stays_oracle_gated
 # pins that rotated-out entries keep their oracles.
 #
-# Round-6 rotation is DERIVED FROM DATA, not hand-listed (round-4 ADVICE:
-# the r4 rotation comments drifted from the code): the audit-trail test
+# Round-7 rotation, DERIVED FROM DATA like round 6 (the audit-trail test
 # tests/test_registry_window.py::test_window_prioritizes_low_attestation
 # recomputes green-attestation counts from the checked-in
-# CORRECTNESS_r0*.json files and asserts the policy below, so the comment
-# cannot silently disagree with the window again.
-#   IN  — the 5 round-6 additions, never driver-attested
-#         (boilerplate_removal, weighted_sample, per_source_cap,
-#         scan_provenance, json_variant_agg); ALL 12
-#         single-attestation queries (the r5 first-timers plus the 8
-#         explicitly deferred from the r5 rotation); and 33 of the 67
-#         double-attestation queries for a THIRD round, prioritizing the
-#         two whose code changed after their last green row (the CDC
-#         pair: apply_changes' tie-break comparator now filters to
-#         orderable columns) and the structurally complex shapes (joins,
-#         windows, multimodal parsers, embedding stats, streaming batch
-#         twins, pipeline-coupled stages).
-#   OUT — every query already green in ≥3 rounds, plus 34
-#         double-attestation queries deferred to round 7 whose shapes are
-#         comparatively simple (scans, scalar functions, plain aggs/joins)
-#         and whose code is untouched since their last green row
-#         (DEFERRED_DOUBLES in tests/test_registry_window.py).
+# CORRECTNESS_r0*.json files and asserts the policy below, so this
+# comment cannot silently disagree with the window):
+#   IN  — every query with zero or one green driver row (the round-7
+#         additions substring_dedup_windows / domain_mixture_weights,
+#         the newly oracle-converted multimodal_decode, and the five
+#         round-6 first-timers); the CHANGED_CODE_REATTEST set — the
+#         three queries whose code changed THIS round after already
+#         earning >=3 green rows (decontamination broadcast removal,
+#         staging seam, hashed-chunk variant), whose prior attestations
+#         are therefore stale; and as many double-attestation queries as
+#         the remaining slots hold, earning a third round.
+#   OUT — every untouched query already green in >=3 rounds, plus the
+#         double-attestation queries that did not fit
+#         (DEFERRED_DOUBLES in tests/test_registry_window.py): simple
+#         untouched shapes (scans, scalar predicates, plain aggs/set
+#         ops), each still bit-exact-gated by tests/test_oracle.py on
+#         every pytest run.
 # The intentionally-approximate (rows-only) queries sit past the window so
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-6 additions — never driver-attested (O-22 corpus-DF
-    # boilerplate strip, O-11/O-24 deterministic weighted sampling and
-    # per-source caps, O-3 row-level provenance, O-21 VARIANT)
+    # round-7 additions + the stub->real oracle conversion — never
+    # driver-attested with a full hash check
+    "substring_dedup_windows",
+    "domain_mixture_weights",
+    "multimodal_decode",
+    # single-attestation queries (the round-6 additions)
     "boilerplate_removal",
     "weighted_sample",
     "per_source_cap",
     "scan_provenance",
     "json_variant_agg",
-    # single-attestation queries — all 12 (r5 first-timers + the 8
-    # deferred from the r5 rotation)
-    "bmp_pixel_decode",
-    "wav_pcm_decode",
-    "paragraph_dedup",
-    "graph_mass_propagation_k4",
+    # code CHANGED this round after their last green row: the
+    # decontamination join lost its forced broadcast hint, the pipeline
+    # and LSH grew the durable-staging seam (default path must still
+    # hash-match), boilerplate_removal grew the hashed-key variant
+    # (listed above as a single)
+    "decontaminate_eval_overlap",
+    "training_data_pipeline_full",
+    "dedup_lsh_minhash",
+    # doubles, third attestation — everything that fits
+    "agg_multi",
     "array_functions",
-    "map_functions",
+    "bmp_pixel_decode",
     "collect_set_sorted",
-    "token_positions",
-    "repetition_ratio",
-    "value_histogram",
-    "stratified_sample",
+    "correlation",
+    "cube_agg",
+    "datetime_functions",
+    "distinct_dedup",
+    "doc_fingerprint",
+    "doc_quality_score",
+    "doc_token_stats",
+    "global_row_number",
+    "graph_mass_propagation_k4",
+    "grouped_collect_sorted",
+    "join_inner",
+    "join_outer",
+    "json_extraction",
+    "json_typed_struct",
+    "lang_id",
+    "large_volume_customers",
+    "local_supplier_volume",
+    "map_functions",
+    "paragraph_dedup",
     "percentiles",
-    # doubles whose code CHANGED since their last green row: both run
-    # through apply_changes, whose seq tie-break comparator now filters
-    # to orderable column types
-    "merge_upsert",
-    "scd2_intervals",
-    # doubles, complex shapes, third attestation (O-11..O-27)
-    "asof_join_events",
-    "audio_frame_sample",
-    "bpe_pair_counts",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "embedding_outliers",
-    "embedding_quantize_int8",
-    "events_rollup_gapfill",
-    "events_sliding_window",
-    "funnel_analysis",
-    "gopher_quality_rules",
-    "graph_mass_propagation",
-    "image_resize_roundtrip",
-    "join_bloom_pruned",
-    "join_skew_salted",
-    "minhash_signatures",
-    "multimodal_metadata",
-    "profile_table",
-    "retention_cohort",
-    "sequence_packing_chunked",
-    "stream_interval_join_batch",
-    "tfidf_top_terms",
-    "tiff_ogg_header_metadata",
-    "token_budget_mixture",
-    "train_test_split",
-    "udtf_token_positions",
-    "unigram_lm_score",
-    "user_path_transitions",
-    "vocab_encode",
-    "webp_flac_header_metadata",
-    "window_distribution",
+    "pivot_agg",
+    "repetition_ratio",
+    "revenue_forecast",
+    "shipmode_priority",
+    "shipping_priority",
+    "sql_cte_exists",
+    "stats_moments",
+    "stratified_sample",
+    "string_agg_per_group",
+    "text_normalize",
+    "token_positions",
+    "unpivot_metrics",
+    "value_histogram",
+    "wav_pcm_decode",
+    "window_frames",
 )
 
 

@@ -47,7 +47,7 @@ from mapreduce__spark.operators.dedup import (
 )
 from mapreduce__spark.functions.vectors import as_double_vec, cosine_sim
 from mapreduce__spark.operators.kernel import run_map_reduce_df
-from mapreduce__spark.operators.multimodal import extract_features, with_binary_payload
+from mapreduce__spark.operators.multimodal import with_binary_payload
 from mapreduce__spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs_pruned,
@@ -830,15 +830,85 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_decode",
-    oracle=None,  # PIXEL decode is a stub (no media libs here); plumbing tested in pytest
+    oracle="""
+    WITH bmp AS (
+      SELECT doc_id, doc_id % 13 + 4 AS width, (doc_id * 7) % 11 + 4 AS height
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    px AS (
+      SELECT doc_id, width, height,
+             unnest(generate_series(0, width - 1)) AS x
+      FROM bmp
+    ),
+    pxy AS (
+      SELECT doc_id, width, height, x,
+             unnest(generate_series(0, height - 1)) AS y
+      FROM px
+    ),
+    img AS (
+      SELECT doc_id, 'image/bmp' AS mime,
+             CAST(width AS BIGINT)  AS width,
+             CAST(height AS BIGINT) AS height,
+             CAST(sum((3 * doc_id + 11 * x + y) % 256
+                    + (2 * doc_id + x + 7 * y) % 256
+                    + (doc_id + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_rgb
+      FROM pxy GROUP BY doc_id, width, height
+    ),
+    wavdims AS (
+      SELECT doc_id, doc_id % 2 + 1 AS channels,
+             CASE doc_id % 4 WHEN 1 THEN 16000 ELSE 48000 END AS sample_rate,
+             doc_id % 60 + 4 AS n_frames
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    s AS (
+      SELECT doc_id, channels, sample_rate,
+             unnest(generate_series(0, n_frames * channels - 1)) AS k
+      FROM wavdims
+    ),
+    aud AS (
+      SELECT doc_id, 'audio/wav' AS mime,
+             CAST(channels AS BIGINT)    AS channels,
+             CAST(sample_rate AS BIGINT) AS sample_rate,
+             CAST(sum((31 * doc_id + 7 * (k // channels) + 13 * (k % channels))
+                      % 65536 - 32768) AS BIGINT) AS sum_samples
+      FROM s GROUP BY doc_id, channels, sample_rate
+    )
+    SELECT doc_id, mime, width, height, sum_rgb,
+           CAST(NULL AS BIGINT) AS channels,
+           CAST(NULL AS BIGINT) AS sample_rate,
+           CAST(NULL AS BIGINT) AS sum_samples
+    FROM img
+    UNION ALL
+    SELECT doc_id, mime,
+           CAST(NULL AS BIGINT) AS width,
+           CAST(NULL AS BIGINT) AS height,
+           CAST(NULL AS BIGINT) AS sum_rgb,
+           channels, sample_rate, sum_samples
+    FROM aud
+    """,
     tags=("tier2", "multimodal"),
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched (stub) decode/feature-extraction over binary
-    payloads via mapInPandas — the multimodal processing skeleton.
-    For a REAL, oracle-checked pixel decode see bmp_pixel_decode."""
-    mm = with_binary_payload(load_table(spark, sf_dir, "documents"))
-    return extract_features(mm)
+    """Mime-dispatched REAL decode over a MIXED-media binary column — the
+    shape a production multimodal pipeline has: one `binary` column
+    holding different container formats (here even doc_ids carry a full
+    24-bit BMP, odd ones a full PCM16 WAV), each payload routed to the
+    right decoder by SNIFFED magic bytes, never a trusted sidecar mime
+    column. Reuses the oracle-proven BMP pixel and WAV sample decoders;
+    the other modality's columns are real NULLs (pandas Int64 -> Arrow),
+    and the oracle regenerates both modalities in SQL and unions them.
+
+    This retires the round-1 decode STUB: the dispatch point is where
+    entropy-coded formats (PNG/JPEG/FLAC) would route to the
+    REAL_DECODE_AVAILABLE library path. Arrow-batched mapInPandas,
+    partition-preserving, payloads never shuffled."""
+    from mapreduce__spark.operators.multimodal import (
+        mixed_media_features,
+        with_mixed_media_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixed_media_features(with_mixed_media_payload(docs))
 
 
 @query(
@@ -3510,4 +3580,158 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("bigint").alias("rk"),
         )
         .where(F.col("rk") <= PER_SOURCE_CAP)
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-7 additions: exact substring-window dedup (the token-level
+# duplication metric of "Deduplicating Training Data Makes Language Models
+# Better" — doc-level dedup misses passages copied BETWEEN distinct docs)
+# and static domain mixture weights (the per-source resampling knob a
+# pipeline derives before packing).
+# --------------------------------------------------------------------------
+
+SUBSTR_WIN = 30  # tokens per exact-duplicate window (the paper uses 50 BPE)
+
+
+@query(
+    "substring_dedup_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             unnest(generate_series(0, len(t) - {SUBSTR_WIN})) AS idx,
+             t
+      FROM toks WHERE len(t) >= {SUBSTR_WIN}
+    ),
+    wins AS (
+      SELECT doc_id, idx,
+             array_to_string(t[(idx + 1):(idx + {SUBSTR_WIN})], ' ') AS win
+      FROM w
+    ),
+    wdf AS (
+      SELECT win, count(DISTINCT doc_id) AS ddf FROM wins GROUP BY win
+    )
+    SELECT wi.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(*) FILTER (WHERE f.ddf >= 2) AS BIGINT) AS n_dup_windows,
+           round(count(*) FILTER (WHERE f.ddf >= 2)::DOUBLE / count(*), 4)
+             AS dup_ratio
+    FROM wins wi JOIN wdf f ON wi.win = f.win
+    GROUP BY wi.doc_id
+    """,
+    tags=("tier2", "dedup", "text"),
+)
+def substring_dedup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring duplication metric — the token-level check that
+    doc-level dedup (exact or MinHash) cannot see: a passage copied
+    between two otherwise-different documents. Every stride-1 window of
+    SUBSTR_WIN tokens is keyed across the corpus; a window whose string
+    occurs in >= 2 DISTINCT docs is duplicated text, and each doc reports
+    its duplicated-window ratio (the filter/trim decision input; the
+    paper's remedy drops one copy of each duplicated span).
+
+    SCALE: the same two-shuffle shape as boilerplate_removal — one
+    map-side-combinable distinct-count keyed by window, one equi-join
+    back, one per-doc agg. Stride-1 windows are a ~SUBSTR_WIN-times
+    token blowup, which is the published algorithm's actual working set
+    (the suffix-array formulation holds the same bytes); at 100 TB the
+    window key becomes xxhash64(win) — 8 bytes instead of a ~200-byte
+    string, the hash_chunks trade proven on boilerplate_removal — and
+    the stride widens to SUBSTR_WIN/2 for a 2x-overlap screen. Kept raw
+    stride-1 here so the DuckDB oracle is bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    wins = (
+        docs.select("doc_id", t.alias("t"))
+        .where(F.size("t") >= SUBSTR_WIN)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(0), F.size("t") - SUBSTR_WIN)
+            ).alias("idx"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.slice("t", F.col("idx") + 1, F.lit(SUBSTR_WIN)), " "
+            ).alias("win"),
+        )
+    )
+    wdf = wins.groupBy("win").agg(F.countDistinct("doc_id").alias("ddf"))
+    dup = (F.col("ddf") >= 2).cast("long")
+    return (
+        wins.join(wdf, "win")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(dup).alias("n_dup_windows"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_ratio"),
+        )
+    )
+
+
+MIXTURE_WEIGHT_CAP = 5.0  # max per-source upsampling (epoch cap)
+
+
+@query(
+    "domain_mixture_weights",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS source_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT sum(source_tokens) AS total_tokens,
+             count(*) AS n_sources
+      FROM s
+    )
+    SELECT source, n_docs, source_tokens,
+           round(source_tokens::DOUBLE / total_tokens, 4) AS token_share,
+           round(least({MIXTURE_WEIGHT_CAP},
+                 (total_tokens::DOUBLE / n_sources) / source_tokens), 4) AS weight
+    FROM s, t
+    """,
+    tags=("tier2", "sampling"),
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static domain mixture weights — the per-source resampling factors
+    a pipeline derives before packing, so the training mixture hits a
+    target share per domain (uniform target here; a config table slots
+    in unchanged): weight_s = target_tokens / actual_tokens, capped at
+    MIXTURE_WEIGHT_CAP so a tiny domain is never upsampled past the
+    epoch budget (the Pile/DoReMi-style knob). weighted_sample consumes
+    exactly this weight column downstream.
+
+    SCALE: one map-side-combinable groupBy(source) — output rows =
+    #domains — then a single-row total joined back. The total is a
+    genuine broadcast at ANY corpus size (one row), and the ratios are
+    integer-sourced doubles rounded at 4 digits, the registry's
+    bit-identical idiom."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("source_tokens"),
+    )
+    t = s.agg(
+        F.sum("source_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "source_tokens",
+        F.round(F.col("source_tokens") / F.col("total_tokens"), 4).alias("token_share"),
+        F.round(
+            F.least(
+                F.lit(MIXTURE_WEIGHT_CAP),
+                (F.col("total_tokens") / F.col("n_sources")) / F.col("source_tokens"),
+            ),
+            4,
+        ).alias("weight"),
     )

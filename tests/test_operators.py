@@ -1107,3 +1107,44 @@ def test_boilerplate_hashed_variant_matches_raw(spark, sf_small):
     # the variant really keys on the hash, and only the variant does
     assert "xxhash64" in hashed._jdf.queryExecution().optimizedPlan().toString()
     assert "xxhash64" not in raw._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_mixed_media_dispatch_sniffs_magic_bytes(spark):
+    """decode_media_auto must route by container magic, fill only the
+    matching modality's columns, and reject unknown containers."""
+    import pytest
+
+    from mapreduce__spark.operators.multimodal import (
+        decode_media_auto,
+        synth_bmp_bytes,
+        synth_wav_pcm_bytes,
+    )
+
+    mime, w, h, srgb, ch, rate, ssum = decode_media_auto(synth_bmp_bytes(4))
+    assert mime == "image/bmp" and w == 4 % 13 + 4 and (ch, rate, ssum) == (None,) * 3
+    mime, w, h, srgb, ch, rate, ssum = decode_media_auto(synth_wav_pcm_bytes(7))
+    assert mime == "audio/wav" and ch == 2 and (w, h, srgb) == (None,) * 3
+    with pytest.raises(ValueError):
+        decode_media_auto(b"\x89PNG\r\n\x1a\nnot-actually-routable")
+
+
+def test_mixed_media_features_emit_real_nulls(spark, sf_small):
+    """The absent modality's columns must arrive as SQL NULLs (nullable
+    Int64 through Arrow), not NaN-coerced doubles or zeros."""
+    from pyspark.sql import functions as F
+
+    from mapreduce__spark.operators.multimodal import (
+        mixed_media_features,
+        with_mixed_media_payload,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    out = mixed_media_features(with_mixed_media_payload(docs))
+    assert dict(out.dtypes)["width"] == "bigint"
+    n_img = out.where(F.col("mime") == "image/bmp").count()
+    assert 0 < n_img < out.count()
+    assert out.where((F.col("mime") == "image/bmp") & F.col("width").isNull()).count() == 0
+    assert (
+        out.where((F.col("mime") == "audio/wav") & F.col("width").isNotNull()).count()
+        == 0
+    )

@@ -30,52 +30,37 @@ ROWS_ONLY = {
     "dedup_simhash",
     "ann_topk_lsh",
     "ann_topk_ivf",
-    "multimodal_decode",
     "bpe_encode",
 }
 
-# Round-6 rotation: every query now has >=1 green driver row and all
-# 0/1-attestation queries fit in the window, so the contested resource is
-# THIRD attestations — 67 queries hold exactly two green rows and only 35
-# slots remain. These 32 doubles are deferred to round 7: their shapes
-# are comparatively simple (scans, scalar functions, plain aggs/joins),
-# their code is untouched since their last green row, and every one keeps
-# in-suite differential coverage each pytest run.
+# Round-7 rotation: the contested resource is still third attestations.
+# The doubles below are deferred (their literal count is asserted in
+# test_window_prioritizes_low_attestation, not repeated here — round-6
+# ADVICE flagged hand-written counts drifting from the code): simple
+# untouched shapes, each differentially oracle-checked on every pytest
+# run regardless.
 DEFERRED_DOUBLES = {
-    "agg_multi",
-    "correlation",
-    "cube_agg",
-    "date_arithmetic",
-    "datetime_functions",
-    "distinct_dedup",
-    "doc_fingerprint",
-    "doc_quality_score",
-    "doc_token_stats",
-    "filter_predicates",
-    "global_row_number",
-    "groupby_count",
-    "grouped_collect_sorted",
-    "join_inner",
-    "join_outer",
-    "json_extraction",
-    "json_typed_struct",
-    "lang_id",
-    "large_volume_customers",
-    "local_supplier_volume",
-    "null_semantics",
-    "pivot_agg",
-    "revenue_forecast",
     "scan_project",
+    "filter_predicates",
+    "groupby_count",
     "set_ops",
-    "shipmode_priority",
-    "shipping_priority",
-    "sql_cte_exists",
-    "stats_moments",
-    "string_agg_per_group",
-    "text_normalize",
+    "date_arithmetic",
+    "null_semantics",
     "topk_global",
-    "unpivot_metrics",
-    "window_frames",
+}
+
+# Queries whose CODE changed this round AFTER already earning >=3 green
+# driver rows — their prior attestations describe the old code, so they
+# re-enter the window even though the low-attestation rule alone would
+# exclude them (the same changed-code priority round 6 applied to the
+# CDC pair, which were then doubles). This round: the decontamination
+# join lost its forced broadcast hint and the pipeline/LSH grew the
+# durable-staging seam, both of which must keep the default path
+# hash-identical.
+CHANGED_CODE_REATTEST = {
+    "decontaminate_eval_overlap",
+    "training_data_pipeline_full",
+    "dedup_lsh_minhash",
 }
 
 
@@ -85,7 +70,7 @@ DEFERRED_DOUBLES = {
 # gives every in-window entry one MORE green row — counting that file
 # would flip test_window_prioritizes_low_attestation red before the
 # next rotation happens. Bump this when rotating the window.
-WINDOW_BASIS_ROUND = 5
+WINDOW_BASIS_ROUND = 6
 
 
 def _attestations() -> dict[str, int]:
@@ -145,15 +130,26 @@ def test_never_attested_queries_inside_window():
 
 
 def test_window_prioritizes_low_attestation():
-    """Round-6 policy: every query with at most ONE green driver row is
-    in the window (they all fit now); the remaining slots hold
-    double-attestation queries earning a third round, so no window slot
-    may go to a query already green in >=3 rounds. Doubles that didn't
-    fit must be explicitly deferred (DEFERRED_DOUBLES), not silently
-    dropped."""
+    """Round-7 policy: every query with at most ONE green driver row is
+    in the window (they all fit); queries whose code changed after >=3
+    green rows re-enter via the explicit CHANGED_CODE_REATTEST set; the
+    remaining slots hold double-attestation queries earning a third
+    round. No other >=3-attested query may hold a slot, and doubles that
+    didn't fit must be explicitly deferred (DEFERRED_DOUBLES), not
+    silently dropped."""
     counts = _attestations()
-    over = {n: counts.get(n, 0) for n in DRIVER_WINDOW if counts.get(n, 0) > 2}
+    over = {
+        n: counts.get(n, 0)
+        for n in DRIVER_WINDOW
+        if counts.get(n, 0) > 2 and n not in CHANGED_CODE_REATTEST
+    }
     assert not over, f">=3-attested queries occupying window slots: {over}"
+    # the re-attestation list must itself be in the window and earn its
+    # exemption: each entry really does hold >=3 prior green rows (a
+    # 0/1/2-attestation query never needs the exemption to get a slot)
+    assert CHANGED_CODE_REATTEST <= set(DRIVER_WINDOW)
+    for n in CHANGED_CODE_REATTEST:
+        assert counts.get(n, 0) >= 3, f"{n} does not need the re-attest exemption"
     low = {
         n
         for n in REGISTRY
