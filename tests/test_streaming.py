@@ -543,3 +543,90 @@ def test_stream_weighted_sample_equals_batch(spark, sf_small):
         for r in weighted_sample(spark, sf_small).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_chain_source_transform_cdc_across_restart(spark, tmp_path):
+    """End-to-end composition of the three streaming pieces (round-6
+    VERDICT item 7), previously only tested in isolation: the synthdocs
+    custom streaming source (replayable offsets + cursor file) feeds
+    stream_weighted_sample, which feeds the CDC foreachBatch upsert sink —
+    across a mid-corpus stop and a RESTART on the same checkpoint.
+    Exactly-once is asserted two ways: the final snapshot equals the batch
+    twin over the whole corpus, and every committed version strictly grows
+    the key set (a re-delivered batch would commit a version adding no new
+    keys)."""
+    import json as _json
+    import os as _os
+
+    from mapreduce__spark.operators.cdc import read_snapshot, stream_upsert_sink
+    from mapreduce__spark.sources.pydatasource import _doc_text, register
+    from mapreduce__spark.streaming.streams import stream_weighted_sample
+
+    register(spark)
+    cursor = tmp_path / "cursor"
+    state_root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    N, WORDS = 40, 400  # 400 words -> keep probability 40%: non-vacuous sample
+
+    def transform(docs):
+        # synthdocs has no source column; derive one the way an ingest
+        # job tags its feed, then run the REAL sampling transform
+        tagged = docs.withColumn(
+            "source", F.concat(F.lit("feed-"), (F.col("doc_id") % 4).cast("string"))
+        )
+        return stream_weighted_sample(tagged).withColumn("op", F.lit("U"))
+
+    def run_until_drained(max_rows: int) -> None:
+        sdf = (
+            spark.readStream.format("synthdocs")
+            .option("max_rows", max_rows)
+            .option("rows_per_batch", 10)
+            .option("partitions", 2)
+            .option("words_per_doc", WORDS)
+            .option("cursor_file", str(cursor))
+            .load()
+        )
+        # availableNow snapshots "available" at query start; the source
+        # pages latestOffset by rows_per_batch, so drain with bounded
+        # re-runs exactly like an operator retrying a stopped ingest job
+        for _ in range(max_rows // 10 + 2):
+            q = stream_upsert_sink(transform(sdf), "doc_id", state_root, ckpt)
+            q.awaitTermination(120)
+            if q.isActive:
+                q.stop()
+            if int(cursor.read_text() or 0) >= max_rows:
+                break
+        assert int(cursor.read_text()) >= max_rows
+
+    run_until_drained(20)   # phase 1: half the corpus, then "crash"
+    mid = {r.doc_id for r in read_snapshot(spark, state_root).collect()}
+    run_until_drained(N)    # restart: same checkpoint + cursor
+
+    # batch twin over the full corpus (same transform, batch relation)
+    batch_docs = spark.createDataFrame(
+        [(i, _doc_text(i, WORDS)) for i in range(N)], "doc_id bigint, text string"
+    )
+    want = {
+        (r.doc_id, r.source, r.n_words, r.weight_millis)
+        for r in transform(batch_docs).drop("op").collect()
+    }
+    got = {
+        (r.doc_id, r.source, r.n_words, r.weight_millis)
+        for r in read_snapshot(spark, state_root).collect()
+    }
+    assert got == want and want
+    assert mid < {g[0] for g in got}  # restart added docs, dropped none
+
+    # every committed version strictly grows the key set — a re-delivered
+    # micro-batch would add no new keys and fail here
+    versions = sorted(
+        (d for d in _os.listdir(state_root) if d.startswith("v")),
+        key=lambda d: int(d[1:]),
+    )
+    prev: set = set()
+    for v in versions:
+        keys = {r.doc_id for r in read_snapshot(
+            spark, state_root, version=int(v[1:])
+        ).collect()}
+        assert prev < keys, f"version {v} added no new keys (re-delivery?)"
+        prev = keys
