@@ -127,7 +127,14 @@ def test_bench_contract(tmp_path):
     assert len(lines) == 1
     data = json.loads(lines[0])
     required = {"metric", "value", "unit", "queries", "sf"}
-    optional = {"scaling", "scaling_note", "baseline", "deltas_vs_baseline", "methodology"}
+    optional = {
+        "scaling",
+        "scaling_note",
+        "baseline",
+        "deltas_vs_baseline",
+        "methodology",
+        "staging",
+    }
     assert required <= set(data) and set(data) <= required | optional
     assert data["sf"] == 0.001 and data["unit"] == "sec" and data["value"] > 0
     from bench import BENCH_QUERIES
