@@ -22,6 +22,11 @@ NAMES = [
     "merge_upsert",
     "graph_mass_propagation",
     "embedding_quantize_int8",
+    # round 7: the decontamination join's strategy is now AQE's runtime
+    # call (no hint) and boilerplate_removal is a headline bench query —
+    # both plan skeletons are evidence for SCALE.md's round-7 claims
+    "decontaminate_eval_overlap",
+    "boilerplate_removal",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",
