@@ -274,6 +274,30 @@ def _cap_hot_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
     )
 
 
+# Above this many candidate-id rows the verify stage's id probe must not
+# broadcast: a hashed relation costs ~40-60 bytes/row on every executor
+# (plus the driver collect), so a duplicate-heavy corpus whose candidate
+# set approaches corpus size would OOM exactly like the eval-gram
+# broadcast the round-6 verdict flagged. 5M ids ≈ a few hundred MB —
+# comfortably shippable; beyond it a shuffle equi-join is the right plan
+# anyway (both sides are large).
+BROADCAST_ID_LIMIT = 5_000_000
+
+
+def _probe_ids(corpus: DataFrame, ids: DataFrame, n_ids_bound: int) -> DataFrame:
+    """Join a corpus scan to a candidate id set: broadcast when the ids
+    are provably small (the normal case — candidates are bounded by the
+    banding), shuffle equi-join otherwise. The guard is EXPLICIT because
+    the id relation is a localCheckpoint with no stats: Catalyst once
+    inverted the build side here (broadcast the TEXT table), and an
+    unconditional broadcast hint is a scale hole on duplicate-heavy
+    corpora. `n_ids_bound` is any cheap upper bound on the id count —
+    the callers use 2x the materialized candidate-pair row count."""
+    if n_ids_bound <= BROADCAST_ID_LIMIT:
+        return corpus.join(F.broadcast(ids), "doc_id")
+    return corpus.join(ids, "doc_id")
+
+
 def lsh_near_duplicate_pairs(
     docs: DataFrame,
     threshold: float,
@@ -359,17 +383,26 @@ def lsh_near_duplicate_pairs(
     # evicted each other out of executor memory (up to 4x run-to-run
     # noise downstream), and letting AQE pick the join order instead
     # inverted the build side (the checkpointed candidate RDD has no size
-    # stats, so Spark broadcast the TEXT side). Explicit id-broadcast +
-    # candidate-gram materialization pins the right shape at every scale.
+    # stats, so Spark broadcast the TEXT side). Explicit size-guarded
+    # id-broadcast (_probe_ids) + candidate-gram materialization pins the
+    # right shape at every scale, including the duplicate-heavy corpus
+    # whose candidate set is too big to ship.
     candidates = candidates.localCheckpoint(eager=True)
+    # Bounded count over the materialized pairs: 2x rows is an upper
+    # bound on distinct candidate ids, which decides broadcast-vs-shuffle
+    # for the id probe below (see _probe_ids).
+    n_cand_pairs = candidates.count()
     cand_ids = (
         candidates.select(F.col("id1").alias("doc_id"))
         .unionAll(candidates.select(F.col("id2").alias("doc_id")))
         .distinct()
     )
     cand_grams = (
-        (text_source if text_source is not None else docs)
-        .join(F.broadcast(cand_ids), "doc_id")
+        _probe_ids(
+            text_source if text_source is not None else docs,
+            cand_ids,
+            2 * n_cand_pairs,
+        )
         .select("doc_id", word_ngrams(tokenize(F.col("text")), NGRAM_N).alias("grams"))
         .localCheckpoint(eager=True)
     )
@@ -525,20 +558,24 @@ def lsh_incremental_pairs(
         .localCheckpoint(eager=True)
     )
 
-    # Exact verification, candidate-sized on BOTH sides (broadcast id
-    # probes into each corpus scan — the corpora never shuffle).
+    # Exact verification, candidate-sized on BOTH sides (size-guarded id
+    # probes into each corpus scan — the corpora never shuffle unless
+    # the candidate set itself is too big to ship; see _probe_ids).
+    n_cand_pairs = candidates.count()
     gn = (
-        new_docs.join(
-            F.broadcast(candidates.select(F.col("new_id").alias("doc_id")).distinct()),
-            "doc_id",
+        _probe_ids(
+            new_docs,
+            candidates.select(F.col("new_id").alias("doc_id")).distinct(),
+            n_cand_pairs,
         )
         .select("doc_id", word_ngrams(tokenize(F.col("text")), NGRAM_N).alias("grams"))
         .localCheckpoint(eager=True)
     )
     gr = (
-        ref_docs.join(
-            F.broadcast(candidates.select(F.col("ref_id").alias("doc_id")).distinct()),
-            "doc_id",
+        _probe_ids(
+            ref_docs,
+            candidates.select(F.col("ref_id").alias("doc_id")).distinct(),
+            n_cand_pairs,
         )
         .select("doc_id", word_ngrams(tokenize(F.col("text")), NGRAM_N).alias("grams"))
         .localCheckpoint(eager=True)

@@ -1148,3 +1148,22 @@ def test_mixed_media_features_emit_real_nulls(spark, sf_small):
         out.where((F.col("mime") == "audio/wav") & F.col("width").isNotNull()).count()
         == 0
     )
+
+
+def test_probe_ids_size_guard_drops_hint_when_large(spark):
+    """The LSH verify stage's candidate-id probe must broadcast only when
+    the id set is provably shippable; past BROADCAST_ID_LIMIT the hint
+    disappears so a duplicate-heavy corpus can't OOM the driver (the
+    same failure class as the round-6 eval-gram broadcast). Results are
+    identical either way."""
+    from mapreduce__spark.operators.dedup import BROADCAST_ID_LIMIT, _probe_ids
+
+    corpus = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), "id").alias("text")
+    )
+    ids = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    small = _probe_ids(corpus, ids, 100)
+    large = _probe_ids(corpus, ids, BROADCAST_ID_LIMIT + 1)
+    assert "ResolvedHint" in small._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in large._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, large.collect()))
