@@ -35,6 +35,11 @@ PROBE = [
     "retention_cohort",
     "embedding_outliers",
     "distinct_users_hll_mergeable",
+    # round-7 additions
+    "substring_dedup_windows",
+    "domain_mixture_weights",
+    "boilerplate_removal",
+    "multimodal_decode",
 ]
 
 

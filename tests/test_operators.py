@@ -1167,3 +1167,75 @@ def test_probe_ids_size_guard_drops_hint_when_large(spark):
     assert "ResolvedHint" in small._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in large._jdf.queryExecution().analyzed().toString()
     assert sorted(map(tuple, small.collect())) == sorted(map(tuple, large.collect()))
+
+
+def _docs_dir(spark, tmp_path, rows):
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_substring_dedup_windows_planted_spans(spark, tmp_path):
+    """Semantic check independent of the SQL oracle (a mirrored bug in
+    both engines would pass the hash compare): identical docs score
+    dup_ratio 1.0, a unique doc 0.0, and a doc sharing exactly one
+    30-token span with another reports exactly the windows inside that
+    span as duplicated."""
+    from mapreduce__spark.plans.tier2 import SUBSTR_WIN, substring_dedup_windows
+
+    span = " ".join(f"s{i}" for i in range(SUBSTR_WIN))  # 30 shared tokens
+    uniq_a = " ".join(f"a{i}" for i in range(20))
+    uniq_b = " ".join(f"b{i}" for i in range(20))
+    clone = " ".join(f"c{i}" for i in range(40))
+    rows = [
+        (0, clone, "web"),
+        (1, clone, "web"),                       # exact clone of doc 0
+        (2, " ".join(f"u{i}" for i in range(50)), "web"),  # fully unique
+        (3, f"{uniq_a} {span}", "web"),          # shares ONLY the span
+        (4, f"{span} {uniq_b}", "web"),
+    ]
+    got = {
+        r.doc_id: r
+        for r in substring_dedup_windows(
+            spark, _docs_dir(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert got[0].dup_ratio == 1.0 and got[1].dup_ratio == 1.0
+    assert got[2].dup_ratio == 0.0
+    # doc 3: 50 tokens -> 21 windows; only the LAST window (the span
+    # itself, tokens 21..50) also occurs in doc 4's FIRST window
+    assert got[3].n_windows == 21 and got[3].n_dup_windows == 1
+    assert got[4].n_windows == 21 and got[4].n_dup_windows == 1
+
+
+def test_domain_mixture_weights_planted_sources(spark, tmp_path):
+    """Weights must equal min(cap, uniform_target/actual) on known token
+    counts, and shares must sum to 1."""
+    from mapreduce__spark.plans.tier2 import (
+        MIXTURE_WEIGHT_CAP,
+        domain_mixture_weights,
+    )
+
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    rows = [
+        (0, words(700, "a"), "big"),
+        (1, words(200, "b"), "mid"),
+        (2, words(100, "c"), "mid"),
+        (3, words(10, "d"), "tiny"),   # target/actual = 337.7 -> capped
+    ]
+    got = {
+        r.source: r
+        for r in domain_mixture_weights(
+            spark, _docs_dir(spark, tmp_path, rows)
+        ).collect()
+    }
+    total, n_src = 1010, 3
+    assert got["big"].source_tokens == 700 and got["mid"].source_tokens == 300
+    assert abs(sum(r.token_share for r in got.values()) - 1.0) < 1e-6
+    assert got["big"].weight == round((total / n_src) / 700, 4)
+    assert got["tiny"].weight == MIXTURE_WEIGHT_CAP  # capped upsampling
