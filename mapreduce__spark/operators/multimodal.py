@@ -559,6 +559,7 @@ MIXED_MEDIA_SCHEMA = (
     "doc_id bigint, mime string, width bigint, height bigint, sum_rgb bigint, "
     "channels bigint, sample_rate bigint, sum_samples bigint"
 )
+MIXED_MEDIA_ERROR_SCHEMA = MIXED_MEDIA_SCHEMA + ", error string"
 
 
 def synth_mixed_media_bytes(doc_id: int) -> bytes:
@@ -587,26 +588,52 @@ def decode_media_auto(b: bytes) -> tuple:
     raise ValueError("unrecognized media container")
 
 
-def mixed_media_features(mm: DataFrame) -> DataFrame:
+def mixed_media_features(mm: DataFrame, on_error: str = "raise") -> DataFrame:
     """Arrow-batched mime-dispatched decode over mixed payload bytes.
     Columns that can be absent (a WAV has no width) use pandas' nullable
-    Int64 so Arrow ships real NULLs, not NaN-coerced doubles."""
+    Int64 so Arrow ships real NULLs, not NaN-coerced doubles.
+
+    ``on_error='raise'`` (default, the oracle-checked query path) fails
+    the job on an undecodable payload — right when the corpus is
+    synthesized and a bad byte means a bug. ``on_error='route'`` is the
+    production crawl shape: decode failures become rows with an `error`
+    column and NULL features instead of poisoning the whole job, so the
+    caller splits the stream with one filter (`error IS NULL` → clean
+    sink, else → quarantine sink) and a single corrupt file can never
+    take down a 100 TB pass. Routing never swallows silently: every
+    failure is a visible row, not a dropped one."""
+    if on_error not in ("raise", "route"):
+        raise ValueError(f"on_error must be 'raise' or 'route', got {on_error!r}")
+    route = on_error == "route"
+    schema = MIXED_MEDIA_ERROR_SCHEMA if route else MIXED_MEDIA_SCHEMA
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         int_cols = (
             "width", "height", "sum_rgb", "channels", "sample_rate", "sum_samples"
         )
+        n_int = len(int_cols)
         for pdf in batches:
-            rows = [decode_media_auto(bytes(p)) for p in pdf["payload"]]
+            rows = []
+            errors = []
+            for p in pdf["payload"]:
+                if route:
+                    try:
+                        rows.append(decode_media_auto(bytes(p)))
+                        errors.append(None)
+                    except (ValueError, struct.error) as e:
+                        rows.append((None,) + (None,) * n_int)
+                        errors.append(f"{type(e).__name__}: {e}")
+                else:
+                    rows.append(decode_media_auto(bytes(p)))
             out = {"doc_id": pdf["doc_id"].values}
             out["mime"] = [r[0] for r in rows]
             for j, c in enumerate(int_cols, start=1):
                 out[c] = pd.array([r[j] for r in rows], dtype="Int64")
+            if route:
+                out["error"] = errors
             yield pd.DataFrame(out)
 
-    return mm.select("doc_id", "payload").mapInPandas(
-        decode, schema=MIXED_MEDIA_SCHEMA
-    )
+    return mm.select("doc_id", "payload").mapInPandas(decode, schema=schema)
 
 
 def synth_mp4_bytes(doc_id: int) -> bytes:

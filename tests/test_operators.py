@@ -1239,3 +1239,38 @@ def test_domain_mixture_weights_planted_sources(spark, tmp_path):
     assert abs(sum(r.token_share for r in got.values()) - 1.0) < 1e-6
     assert got["big"].weight == round((total / n_src) / 700, 4)
     assert got["tiny"].weight == MIXTURE_WEIGHT_CAP  # capped upsampling
+
+
+def test_mixed_media_error_routing(spark):
+    """on_error='route' must turn an undecodable payload into a visible
+    quarantine row (error column, NULL features) while clean rows decode
+    identically to raise mode; raise mode must fail the job."""
+    import pytest
+
+    from mapreduce__spark.operators.multimodal import (
+        mixed_media_features,
+        synth_bmp_bytes,
+        synth_wav_pcm_bytes,
+    )
+
+    rows = [
+        (0, bytearray(synth_bmp_bytes(0))),
+        (1, bytearray(synth_wav_pcm_bytes(1))),
+        (2, bytearray(b"\x89PNG\r\n\x1a\ngarbage")),  # unroutable container
+    ]
+    mm = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    routed = {r.doc_id: r for r in mixed_media_features(mm, on_error="route").collect()}
+    assert routed[2].error and routed[2].mime is None and routed[2].width is None
+    assert routed[0].error is None and routed[0].mime == "image/bmp"
+    assert routed[1].error is None and routed[1].sum_samples is not None
+    # clean rows identical to raise mode
+    clean = mm.where(F.col("doc_id") < 2)
+    a = sorted(map(tuple, mixed_media_features(clean).collect()))
+    b = sorted(
+        tuple(r)[:-1] for r in mixed_media_features(clean, on_error="route").collect()
+    )
+    assert a == b
+    with pytest.raises(Exception):
+        mixed_media_features(mm).collect()  # raise mode: corrupt row is fatal
+    with pytest.raises(ValueError):
+        mixed_media_features(mm, on_error="drop")
