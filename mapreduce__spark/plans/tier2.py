@@ -3624,7 +3624,9 @@ SUBSTR_WIN = 30  # tokens per exact-duplicate window (the paper uses 50 BPE)
     """,
     tags=("tier2", "dedup", "text"),
 )
-def substring_dedup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def substring_dedup_windows(
+    spark: SparkSession, sf_dir: str, hash_windows: bool = False
+) -> DataFrame:
     """Exact substring duplication metric — the token-level check that
     doc-level dedup (exact or MinHash) cannot see: a passage copied
     between two otherwise-different documents. Every stride-1 window of
@@ -3637,11 +3639,16 @@ def substring_dedup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable distinct-count keyed by window, one equi-join
     back, one per-doc agg. Stride-1 windows are a ~SUBSTR_WIN-times
     token blowup, which is the published algorithm's actual working set
-    (the suffix-array formulation holds the same bytes); at 100 TB the
-    window key becomes xxhash64(win) — 8 bytes instead of a ~200-byte
-    string, the hash_chunks trade proven on boilerplate_removal — and
-    the stride widens to SUBSTR_WIN/2 for a 2x-overlap screen. Kept raw
-    stride-1 here so the DuckDB oracle is bit-exact."""
+    (the suffix-array formulation holds the same bytes).
+
+    `hash_windows=True` is the 100 TB variant, and it cuts DEEPER than
+    boilerplate_removal's hash_chunks: this metric never rebuilds text,
+    so the window STRING is dropped before any shuffle — both the
+    distinct-count and the join move only (doc_id, xxhash64(win)) 8-byte
+    keys, a ~25x shuffle-byte reduction with the usual 64-bit-collision
+    caveat. The raw default stays the bit-exact oracle path (pinned
+    equal in tests); at 100 TB the stride also widens to SUBSTR_WIN/2
+    for a 2x-overlap screen."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.split(F.col("text"), " ")
     wins = (
@@ -3661,10 +3668,15 @@ def substring_dedup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("win"),
         )
     )
-    wdf = wins.groupBy("win").agg(F.countDistinct("doc_id").alias("ddf"))
+    if hash_windows:
+        wins = wins.select("doc_id", F.xxhash64("win").alias("_wk"))
+        key = "_wk"
+    else:
+        key = "win"
+    wdf = wins.groupBy(key).agg(F.countDistinct("doc_id").alias("ddf"))
     dup = (F.col("ddf") >= 2).cast("long")
     return (
-        wins.join(wdf, "win")
+        wins.join(wdf, key)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),

@@ -1274,3 +1274,16 @@ def test_mixed_media_error_routing(spark):
         mixed_media_features(mm).collect()  # raise mode: corrupt row is fatal
     with pytest.raises(ValueError):
         mixed_media_features(mm, on_error="drop")
+
+
+def test_substring_dedup_hashed_variant_matches_raw(spark, sf_small):
+    """hash_windows=True must produce the exact raw-string result while
+    shuffling only 8-byte keys (the window string never leaves the scan
+    stage — this metric has no rebuild step to carry it for)."""
+    from mapreduce__spark.plans.tier2 import substring_dedup_windows
+
+    raw = substring_dedup_windows(spark, sf_small)
+    hashed = substring_dedup_windows(spark, sf_small, hash_windows=True)
+    assert sorted(map(tuple, raw.collect())) == sorted(map(tuple, hashed.collect()))
+    plan = hashed._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in plan
