@@ -3721,14 +3721,24 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly this weight column downstream.
 
     SCALE: one map-side-combinable groupBy(source) — output rows =
-    #domains — then a single-row total joined back. The total is a
-    genuine broadcast at ANY corpus size (one row), and the ratios are
-    integer-sourced doubles rounded at 4 digits, the registry's
-    bit-identical idiom."""
+    #domains — then a single-row total joined back. The per-source
+    aggregate is MATERIALIZED (#domains rows, trivially small) because
+    it feeds two consumers (the total and the output): left lazy,
+    Catalyst plans TWO full corpus scans (no exchange reuse across the
+    re-aggregation), doubling scan I/O at any scale for a table of a
+    few million rows at most. The total is a genuine broadcast at ANY
+    corpus size (one row), and the ratios are integer-sourced doubles
+    rounded at 4 digits, the registry's bit-identical idiom."""
     docs = load_table(spark, sf_dir, "documents")
-    s = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("source_tokens"),
+    s = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("bigint")
+            .alias("source_tokens"),
+        )
+        .localCheckpoint(eager=True)
     )
     t = s.agg(
         F.sum("source_tokens").alias("total_tokens"),
