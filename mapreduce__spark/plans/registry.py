@@ -112,10 +112,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # decontamination join lost its forced broadcast hint, the pipeline
     # and LSH grew the durable-staging seam (default path must still
     # hash-match), boilerplate_removal grew the hashed-key variant
-    # (listed above as a single)
+    # (listed above as a single), and the gap-fill rollup + profiler
+    # were rewritten to single-scan plans
     "decontaminate_eval_overlap",
     "training_data_pipeline_full",
     "dedup_lsh_minhash",
+    "events_rollup_gapfill",
+    "profile_table",
     # doubles, third attestation — everything that fits
     "agg_multi",
     "array_functions",
@@ -123,7 +126,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "collect_set_sorted",
     "correlation",
     "cube_agg",
-    "datetime_functions",
     "distinct_dedup",
     "doc_fingerprint",
     "doc_quality_score",
@@ -133,7 +135,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "grouped_collect_sorted",
     "join_inner",
     "join_outer",
-    "json_extraction",
     "json_typed_struct",
     "lang_id",
     "large_volume_customers",

@@ -1362,12 +1362,18 @@ def events_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes into the hour spine, cross-joined with the distinct types
     (both post-agg relations are bounded by hours × types, tiny at any
     corpus size); the hourly aggregate then broadcast-joins onto the
-    grid. Events are scanned once; nothing grid-sized ever shuffles."""
+    grid. Events are scanned ONCE — the hourly aggregate is
+    materialized (hours × types rows) because it feeds three consumers
+    (span, type list, and the grid join); left lazy, each re-plans its
+    own full events scan (no exchange reuse across re-aggregations —
+    the same triple-scan domain_mixture_weights had). Nothing
+    grid-sized ever shuffles."""
     ev = load_table(spark, sf_dir, "events")
     agg = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
         .select(F.col("w.start").alias("h"), "event_type", "n", "sv")
+        .localCheckpoint(eager=True)
     )
     span = agg.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     hours = span.select(
@@ -1375,10 +1381,12 @@ def events_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "window_start"
         )
     )
-    # agg and types share the events lineage — disambiguate by renaming
-    # the grid's type column before the join instead of relying on
-    # dataframe-identity column resolution (ambiguous self-join).
-    types = ev.select(F.col("event_type").alias("grid_type")).distinct()
+    # Types come from the MATERIALIZED aggregate, not a fresh events
+    # scan — every observed type appears in agg by construction, and the
+    # rename disambiguates the grid's type column from agg's in the join
+    # below (dataframe-identity column resolution is an ambiguous
+    # self-join trap).
+    types = agg.select(F.col("event_type").alias("grid_type")).distinct()
     grid = hours.crossJoin(types)
     return grid.join(
         F.broadcast(agg),
@@ -1752,25 +1760,38 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data profiling meta-operator: per-column row/non-null/distinct
     counts and min/max (stringified for a uniform schema) — the
     ingest-time health check every pipeline runs before trusting a drop.
-    All columns profile in ONE scan each (the union shares the cached
-    scan; a production variant computes all columns in one pass with
-    struct aggregation)."""
+    ALL columns profile in ONE scan: a single wide aggregate row
+    (5 metrics x 3 columns, multiple COUNT(DISTINCT)s expanded by
+    Spark's grouping-sets rewrite) unpivoted to one row per column with
+    `stack` — at 100 TB the table is read once, not once per profiled
+    column (the pre-round-7 union-of-aggregates shape planned a full
+    scan per column; no exchange reuse across re-aggregations)."""
     o = load_table(spark, sf_dir, "orders")
 
-    def prof(col: str, rounded: bool = False):
+    def metrics(col: str, rounded: bool = False):
         mn, mx = F.min(col), F.max(col)
         if rounded:
             mn, mx = F.round(mn, 2), F.round(mx, 2)
-        return o.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count(col).alias("n_nonnull"),
-            F.countDistinct(col).alias("n_distinct"),
-            mn.cast("string").alias("min_val"),
-            mx.cast("string").alias("max_val"),
-        ).select(F.lit(col).alias("column_name"), "*")
+        return [
+            F.count(F.lit(1)).alias(f"{col}__n_rows"),
+            F.count(col).alias(f"{col}__n_nonnull"),
+            F.countDistinct(col).alias(f"{col}__n_distinct"),
+            mn.cast("string").alias(f"{col}__min_val"),
+            mx.cast("string").alias(f"{col}__max_val"),
+        ]
 
-    return prof("o_custkey").unionAll(prof("o_orderstatus")).unionAll(
-        prof("o_totalprice", rounded=True)
+    cols = [("o_custkey", False), ("o_orderstatus", False), ("o_totalprice", True)]
+    wide = o.agg(*[m for c, r in cols for m in metrics(c, r)])
+    stack_args = ", ".join(
+        f"'{c}', {c}__n_rows, {c}__n_nonnull, {c}__n_distinct, "
+        f"{c}__min_val, {c}__max_val"
+        for c, _ in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) as "
+            "(column_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"
+        )
     )
 
 

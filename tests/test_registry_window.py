@@ -40,6 +40,8 @@ ROWS_ONLY = {
 # untouched shapes, each differentially oracle-checked on every pytest
 # run regardless.
 DEFERRED_DOUBLES = {
+    "datetime_functions",
+    "json_extraction",
     "scan_project",
     "filter_predicates",
     "groupby_count",
@@ -61,6 +63,10 @@ CHANGED_CODE_REATTEST = {
     "decontaminate_eval_overlap",
     "training_data_pipeline_full",
     "dedup_lsh_minhash",
+    # single-scan rewrites (round-7 scan audit): the hourly aggregate /
+    # wide-profile row now materializes so the source is read once
+    "events_rollup_gapfill",
+    "profile_table",
 }
 
 
