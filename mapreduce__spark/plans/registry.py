@@ -119,6 +119,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_lsh_minhash",
     "events_rollup_gapfill",
     "profile_table",
+    "unigram_lm_score",
     # doubles, third attestation — everything that fits
     "agg_multi",
     "array_functions",
@@ -139,7 +140,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lang_id",
     "large_volume_customers",
     "local_supplier_volume",
-    "map_functions",
     "paragraph_dedup",
     "percentiles",
     "pivot_agg",

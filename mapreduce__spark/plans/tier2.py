@@ -2529,16 +2529,25 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one explode → one hash-aggregate builds the LM (vocab
     rows, map-side combined — word-count scaling); scoring re-joins tokens
-    to the vocab on the token key and per-doc aggregates. The vocab is
-    corpus-vocabulary-sized — usually broadcastable, but the join is left
-    to AQE to decide at runtime rather than forced. Determinism: each
-    token's nll is rounded to 6 digits BEFORE accumulation (a last-ulp
-    libm ln() difference between the JVM and the oracle cannot survive),
-    and the per-doc sum runs in DECIMAL so partition layout cannot reorder
-    float additions."""
+    to the vocab on the token key and per-doc aggregates. The vocab table
+    is MATERIALIZED (vocab rows — it already lives through the count
+    shuffle) because it feeds both the total and the scoring join; left
+    lazy, the 1-row total re-plans its own full corpus scan+explode. The
+    corpus itself is read exactly twice — LM build and scoring — which is
+    minimal (materializing the exploded tokens instead would hold a
+    tokens-x-corpus blowup). The vocab is corpus-vocabulary-sized —
+    usually broadcastable, but the join is left to AQE to decide at
+    runtime rather than forced. Determinism: each token's nll is rounded
+    to 6 digits BEFORE accumulation (a last-ulp libm ln() difference
+    between the JVM and the oracle cannot survive), and the per-doc sum
+    runs in DECIMAL so partition layout cannot reorder float additions."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     total = freq.agg(F.sum("c").cast("double").alias("n"))
     per_tok = F.round(-F.log(F.col("c") / F.col("n")), 6).cast("decimal(18,6)")
     return (

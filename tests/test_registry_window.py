@@ -41,6 +41,7 @@ ROWS_ONLY = {
 # run regardless.
 DEFERRED_DOUBLES = {
     "datetime_functions",
+    "map_functions",
     "json_extraction",
     "scan_project",
     "filter_predicates",
@@ -63,10 +64,12 @@ CHANGED_CODE_REATTEST = {
     "decontaminate_eval_overlap",
     "training_data_pipeline_full",
     "dedup_lsh_minhash",
-    # single-scan rewrites (round-7 scan audit): the hourly aggregate /
-    # wide-profile row now materializes so the source is read once
+    # single-scan rewrites (round-7 scan audit): multi-consumer
+    # aggregates now materialize so the source is read the minimal
+    # number of times
     "events_rollup_gapfill",
     "profile_table",
+    "unigram_lm_score",
 }
 
 
