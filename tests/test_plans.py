@@ -283,3 +283,24 @@ def test_scan_provenance_row_index_is_physical(spark, sf_small):
     assert kept != list(range(len(kept))), (
         "filtered row_idx values are gapless 0..k-1 — looks renumbered"
     )
+
+
+def test_multi_consumer_aggregates_scan_source_minimally(spark, sf_small):
+    """Round-7 scan audit: Catalyst does not reuse exchanges across
+    re-aggregations, so a multi-consumer aggregate left lazy re-plans a
+    full source scan per consumer. These queries materialize the shared
+    aggregate; the remaining plan must hold the MINIMAL number of source
+    scans (pre-materialized reads don't appear in the final plan)."""
+    from mapreduce__spark.plans import REGISTRY
+
+    # query -> max FileScans allowed in the post-materialization plan
+    budgets = {
+        "domain_mixture_weights": 0,   # everything derives from the agg
+        "events_rollup_gapfill": 0,    # span/types/grid all from the agg
+        "profile_table": 1,            # one wide-agg pass over orders
+        "unigram_lm_score": 1,         # scoring re-scan only (build is staged)
+    }
+    for name, budget in budgets.items():
+        plan = physical(REGISTRY[name].fn(spark, sf_small))
+        n = plan.count("FileScan parquet")
+        assert n <= budget, f"{name}: {n} scans (budget {budget})\n{plan}"
