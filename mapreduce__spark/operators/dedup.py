@@ -76,6 +76,53 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def exact_containment_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Exact word-3-gram CONTAINMENT over all pairs sharing >=1 gram:
+    C(A in B) = |A ∩ B| / |A|, the asymmetric twin of Jaccard. A short
+    doc quoted inside a long one scores near-zero Jaccard (the union is
+    dominated by the long doc) but containment ~1 — the partial-copy /
+    quote / doc-plus-boilerplate-superset signal a symmetric metric
+    cannot see. Emits every pair where EITHER direction reaches the
+    threshold, with both directions reported for triage.
+
+    Same gram-join shape (and the same quadratic hazard) as
+    :func:`exact_jaccard_pairs` — this is the oracle baseline. The scale
+    path reuses the banded-LSH candidate machinery, with the caveat that
+    MinHash banding recalls high-JACCARD pairs; high-containment,
+    low-Jaccard pairs (tiny A inside huge B) need the sub-document
+    operators instead — paragraph_dedup and boilerplate_removal already
+    catch exactly those at chunk granularity with linear cost.
+    """
+    grams = _doc_grams(docs)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_grams").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_grams").alias("n2"))
+    c12 = F.col("common") / F.col("n1")  # doc1's grams found in doc2
+    c21 = F.col("common") / F.col("n2")
+    return (
+        common.join(s1, "id1")
+        .join(s2, "id2")
+        .where(F.greatest(c12, c21) >= threshold)
+        .select(
+            "id1",
+            "id2",
+            F.round(c12, 4).alias("containment_12"),
+            F.round(c21, 4).alias("containment_21"),
+        )
+    )
+
+
 def minhash_fold_expr(grams_col: Column, num_hashes: int, hash_fn: str = "xxhash64") -> Column:
     """MinHash signature of a gram-array column as one array expression.
 

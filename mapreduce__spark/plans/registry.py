@@ -101,6 +101,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # driver-attested with a full hash check
     "substring_dedup_windows",
     "domain_mixture_weights",
+    "dedup_containment",
     "multimodal_decode",
     # single-attestation queries (the round-6 additions)
     "boilerplate_removal",
@@ -122,7 +123,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "unigram_lm_score",
     # doubles, third attestation — everything that fits
     "agg_multi",
-    "array_functions",
     "bmp_pixel_decode",
     "collect_set_sorted",
     "correlation",

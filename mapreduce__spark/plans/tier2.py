@@ -304,6 +304,51 @@ def dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_pairs(load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
 
 
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(range(1, len(toks) - 1),
+                           i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+        FROM t
+    ), sz AS (
+        SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2,
+           round(c::DOUBLE / s1.n, 4) AS containment_12,
+           round(c::DOUBLE / s2.n, 4) AS containment_21
+    FROM common
+    JOIN sz s1 ON common.id1 = s1.doc_id
+    JOIN sz s2 ON common.id2 = s2.doc_id
+    WHERE greatest(c::DOUBLE / s1.n, c::DOUBLE / s2.n) >= {CONTAINMENT_THRESHOLD}
+    """,
+    tags=("tier2", "dedup"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment pairs: C(A in B) = |A∩B|/|A| over
+    distinct word-3-grams, either direction >= 0.9 — the quote /
+    partial-copy / superset signal symmetric Jaccard cannot see (a short
+    doc embedded in a long one unions away). See
+    :func:`operators.dedup.exact_containment_pairs` for the scale
+    discussion (this is the oracle-baseline form; sub-document chunk
+    operators carry the linear-cost path at 100 TB)."""
+    from mapreduce__spark.operators.dedup import exact_containment_pairs
+
+    return exact_containment_pairs(
+        load_table(spark, sf_dir, "documents"), CONTAINMENT_THRESHOLD
+    )
+
+
 @query(
     "dedup_lsh_minhash",
     oracle=_JACCARD_ORACLE,

@@ -40,6 +40,7 @@ PROBE = [
     "domain_mixture_weights",
     "boilerplate_removal",
     "multimodal_decode",
+    "dedup_containment",
 ]
 
 

@@ -1287,3 +1287,27 @@ def test_substring_dedup_hashed_variant_matches_raw(spark, sf_small):
     assert sorted(map(tuple, raw.collect())) == sorted(map(tuple, hashed.collect()))
     plan = hashed._jdf.queryExecution().optimizedPlan().toString()
     assert "xxhash64" in plan
+
+
+def test_containment_catches_what_jaccard_misses(spark, tmp_path):
+    """The discriminating case: a short doc fully quoted inside a long
+    one must score containment ~1.0 while staying far below the Jaccard
+    threshold — found by dedup_containment, invisible to the symmetric
+    metric."""
+    from mapreduce__spark.operators.dedup import (
+        exact_containment_pairs,
+        exact_jaccard_pairs,
+    )
+    from mapreduce__spark.sources import load_table
+
+    short = " ".join(f"q{i}" for i in range(12))
+    long_ = " ".join(f"w{i}" for i in range(200)) + " " + short
+    rows = [(0, short, "quote"), (1, long_, "host"),
+            (2, " ".join(f"z{i}" for i in range(50)), "other")]
+    d = _docs_dir(spark, tmp_path, rows)
+    docs = load_table(spark, d, "documents")
+    cont = {(r.id1, r.id2): r for r in exact_containment_pairs(docs, 0.9).collect()}
+    assert (0, 1) in cont and cont[(0, 1)].containment_12 == 1.0
+    assert cont[(0, 1)].containment_21 < 0.1   # asymmetric by construction
+    jac = {(r.id1, r.id2) for r in exact_jaccard_pairs(docs, 0.8).collect()}
+    assert (0, 1) not in jac  # the union dominates: Jaccard is blind here

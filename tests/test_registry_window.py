@@ -40,6 +40,7 @@ ROWS_ONLY = {
 # untouched shapes, each differentially oracle-checked on every pytest
 # run regardless.
 DEFERRED_DOUBLES = {
+    "array_functions",
     "datetime_functions",
     "map_functions",
     "json_extraction",
