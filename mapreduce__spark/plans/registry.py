@@ -102,6 +102,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "substring_dedup_windows",
     "domain_mixture_weights",
     "dedup_containment",
+    "events_ewma",
     "multimodal_decode",
     # single-attestation queries (the round-6 additions)
     "boilerplate_removal",
@@ -128,7 +129,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "correlation",
     "cube_agg",
     "distinct_dedup",
-    "doc_fingerprint",
     "doc_quality_score",
     "doc_token_stats",
     "global_row_number",

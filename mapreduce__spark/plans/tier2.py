@@ -3832,3 +3832,82 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("weight"),
     )
+
+
+EWMA_N = 32  # events per user in the smoothing window (newest-first)
+
+
+@query(
+    "events_ewma",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ),
+    recent AS (
+      SELECT user_id, vc, rn,
+             max(rn) OVER (PARTITION BY user_id) AS m
+      FROM (SELECT * FROM ranked WHERE rn <= {EWMA_N})
+    )
+    SELECT user_id,
+           CAST(max(m) AS BIGINT) AS n_events,
+           round(sum(CASE WHEN rn < m THEN CAST(pow(2, m - 1 - rn) AS BIGINT)
+                          ELSE 1 END * vc)
+                 / (100.0 * pow(2, max(m) - 1)), 6) AS ewma_value
+    FROM recent
+    GROUP BY user_id
+    """,
+    tags=("tier2", "streaming", "timeseries"),
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (alpha = 0.5, newest-first over the user's last EWMA_N events,
+    initialized at the oldest value in the window) — the smoothing /
+    anomaly-baseline primitive a time-series store pairs with the
+    gap-filled rollup.
+
+    Determinism is the interesting part: EWMA is a float recurrence, and
+    naive pow-and-sum would make cross-engine equality libm luck. With
+    alpha = 0.5 every weight is a POWER OF TWO, so the whole recurrence
+    is computed in EXACT integer arithmetic — values to cents (the
+    fixtures are 2-decimal), weights 2^(m-1-rn) as exact BIGINTs, one
+    integer dot product (bounded: 2^31 x max-cents x 32 << 2^63) — and
+    floats appear only in the final division of two bit-identical
+    integers (the graph_mass_propagation integer trick applied to
+    smoothing). The window cap both bounds the weights and matches
+    practice (an anomaly baseline over the recent tail).
+
+    SCALE: one hash-partitioned window per user (same shape as
+    sessionization), then a per-user aggregate; nothing global, no
+    driver participation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= EWMA_N)
+    )
+    recent = ranked.withColumn(
+        "m", F.max("rn").over(Window.partitionBy("user_id"))
+    )
+    weight = F.when(
+        F.col("rn") < F.col("m"),
+        F.pow(F.lit(2.0), F.col("m") - 1 - F.col("rn")).cast("bigint"),
+    ).otherwise(F.lit(1).cast("bigint"))
+    return recent.groupBy("user_id").agg(
+        F.max("m").cast("bigint").alias("n_events"),
+        F.round(
+            F.sum(weight * F.col("vc"))
+            / (F.lit(100.0) * F.pow(F.lit(2.0), F.max("m") - 1)),
+            6,
+        ).alias("ewma_value"),
+    )

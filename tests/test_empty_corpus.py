@@ -41,6 +41,7 @@ PROBE = [
     "boilerplate_removal",
     "multimodal_decode",
     "dedup_containment",
+    "events_ewma",
 ]
 
 

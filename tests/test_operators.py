@@ -1311,3 +1311,31 @@ def test_containment_catches_what_jaccard_misses(spark, tmp_path):
     assert cont[(0, 1)].containment_21 < 0.1   # asymmetric by construction
     jac = {(r.id1, r.id2) for r in exact_jaccard_pairs(docs, 0.8).collect()}
     assert (0, 1) not in jac  # the union dominates: Jaccard is blind here
+
+
+def test_events_ewma_hand_computed(spark, tmp_path):
+    """Independent of the mirrored oracle: alpha=0.5 EWMA over a known
+    series, initialized at the oldest value — newest 40, then 20, then
+    10 gives 0.5*40 + 0.25*20 + 0.25*10 = 27.5. A second user with one
+    event returns that value verbatim."""
+    import datetime as dt
+
+    from mapreduce__spark.plans.tier2 import events_ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props) — user 1
+        (1, t0, 1, "view", 10.0, "{}"),
+        (2, t0 + dt.timedelta(hours=1), 1, "view", 20.0, "{}"),
+        (3, t0 + dt.timedelta(hours=2), 1, "view", 40.0, "{}"),
+        (4, t0, 2, "view", 7.25, "{}"),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    got = {r.user_id: r for r in events_ewma(spark, d).collect()}
+    assert got[1].n_events == 3 and got[1].ewma_value == 27.5
+    assert got[2].n_events == 1 and got[2].ewma_value == 7.25
