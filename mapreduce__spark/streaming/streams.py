@@ -166,6 +166,51 @@ def stream_user_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_user_ewma(events: DataFrame) -> DataFrame:
+    """Stateful streaming EWMA (alpha = 0.5): per-user smoothed value
+    maintained in the state store — the true streaming form of the
+    recurrence e := (v + e)/2, applied in (ts, event_id) order within
+    each micro-batch, state carrying across batches. This is the twin of
+    the batch `events_ewma` query with the structural difference
+    streaming forces: a stream cannot replay its tail, so the batch form
+    windows over the newest N events while the stream keeps the running
+    recurrence (same alpha, same initialize-at-first-value semantics).
+
+    Determinism: values go to integer cents BEFORE the recurrence, and
+    the per-step float ops are fixed (add, halve) in a fixed order, so
+    replaying the same batches reproduces bit-identical state — pinned
+    against a sequential reference in tests/test_streaming.py. Emits one
+    row per user per batch (update mode); production would add a state
+    TTL like the totals operator."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        e, n = state.get if state.exists else (0.0, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for v in rows["value"]:
+            vc = float(round(v * 100))
+            e = vc if n == 0 else (vc + e) / 2.0
+            n += 1
+        state.update((e, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ewma_value": [round(e / 100.0, 6)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, ewma_value double",
+        stateStructType="e double, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_user_totals_tws(events: DataFrame) -> DataFrame:
     """The same per-user running totals through `transformWithStateInPandas`
     — Spark 4's arbitrary-state API (typed value/list/map state handles,

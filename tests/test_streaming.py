@@ -630,3 +630,34 @@ def test_streaming_chain_source_transform_cdc_across_restart(spark, tmp_path):
         ).collect()}
         assert prev < keys, f"version {v} added no new keys (re-delivery?)"
         prev = keys
+
+
+def test_stream_ewma_matches_sequential_reference(spark, sf_small):
+    """The stateful streaming EWMA must reproduce a sequential reference
+    applying the identical recurrence (cents, add, halve) in the same
+    (ts, event_id) order — bit-exact, since every float op is fixed."""
+    from mapreduce__spark.streaming.streams import stream_user_ewma
+
+    sdf = stream_user_ewma(read_events_stream(spark, sf_small))
+    run_stream_to_memory(sdf, "t_ewma", output_mode="update")
+    got = {
+        r.user_id: (r.n_events, r.ewma_value)
+        for r in spark.table("t_ewma")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "ewma_value")).alias("s"))
+        .select("user_id", "s.n_events", "s.ewma_value")
+        .collect()
+    }
+    ev = (
+        load_table(spark, sf_small, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    want: dict = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        vc = float(round(r.value * 100))
+        e, n = want.get(r.user_id, (None, 0))
+        e = vc if n == 0 else (vc + e) / 2.0
+        want[r.user_id] = (e, n + 1)
+    want = {u: (n, round(e / 100.0, 6)) for u, (e, n) in want.items()}
+    assert got == want and want
