@@ -103,6 +103,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "domain_mixture_weights",
     "dedup_containment",
     "events_ewma",
+    "binaryfile_ingest",
     "multimodal_decode",
     # single-attestation queries (the round-6 additions)
     "boilerplate_removal",
@@ -151,7 +152,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stats_moments",
     "stratified_sample",
     "string_agg_per_group",
-    "text_normalize",
     "token_positions",
     "unpivot_metrics",
     "value_histogram",

@@ -3911,3 +3911,131 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ewma_value"),
     )
+
+
+# Fixed-size synthetic media directory for the binaryFile source path.
+# sf-independent by design: the oracle SQL is a static string, so the
+# staged path cannot vary with sf_dir; what this query verifies is the
+# SOURCE (directory-of-files ingest), not corpus scaling.
+BINARYFILE_N = 50
+BINARYFILE_DIR = "/tmp/mapreduce__spark_binaryfile/v1"
+
+
+def _stage_binaryfile_corpus() -> str:
+    """Write BINARYFILE_N deterministic BMP files once (tmp+rename, so a
+    concurrent session never reads a torn file; content is a pure
+    function of the id, so re-staging is byte-identical)."""
+    import os
+
+    from mapreduce__spark.operators.multimodal import synth_bmp_bytes
+
+    os.makedirs(BINARYFILE_DIR, exist_ok=True)
+    for i in range(BINARYFILE_N):
+        dst = os.path.join(BINARYFILE_DIR, f"{i:04d}.bmp")
+        if not os.path.exists(dst):
+            tmp = f"{dst}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(synth_bmp_bytes(i))
+            os.replace(tmp, dst)
+    return BINARYFILE_DIR
+
+
+@query(
+    "binaryfile_ingest",
+    oracle=f"""
+    WITH files AS (
+      SELECT CAST(regexp_extract(filename, '([0-9]+)\\.bmp$', 1) AS BIGINT)
+               AS media_id,
+             size AS byte_len
+      FROM read_blob('{BINARYFILE_DIR}/*.bmp')
+    ),
+    dims AS (
+      SELECT media_id, byte_len,
+             media_id % 13 + 4        AS width,
+             (media_id * 7) % 11 + 4  AS height
+      FROM files
+    ),
+    px AS (
+      SELECT media_id, byte_len, width, height,
+             unnest(generate_series(0, width - 1)) AS x
+      FROM dims
+    ),
+    pxy AS (
+      SELECT media_id, byte_len, width, height, x,
+             unnest(generate_series(0, height - 1)) AS y
+      FROM px
+    )
+    SELECT media_id,
+           CAST(byte_len AS BIGINT) AS byte_len,
+           CAST(width AS BIGINT)  AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(sum((3 * media_id + 11 * x + y) % 256
+                  + (2 * media_id + x + 7 * y) % 256
+                  + (media_id + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_rgb
+    FROM pxy
+    GROUP BY media_id, byte_len, width, height
+    """,
+    tags=("tier2", "multimodal", "sources"),
+)
+def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-of-media-files ingest via Spark's built-in `binaryFile`
+    source — the shape a real multimodal corpus arrives in (a bucket of
+    image files, not a parquet column): read (path, length, content),
+    decode the REAL pixel bytes with the proven BMP decoder, key by the
+    id parsed from the file name. The oracle is fully independent — it
+    reads the same directory with DuckDB's read_blob for size/name and
+    regenerates every pixel from the synthesis formulas, so a decoder or
+    ingest bug on either side cannot mirror.
+
+    SCALE: binaryFile splits a directory listing across the cluster and
+    ships file contents as one binary column per file (no shuffle; the
+    decode is scan-stage mapInPandas). For files beyond a few hundred MB
+    one switches to streaming reads per file; for billions of tiny files,
+    to a packed format — this query pins the small-file directory path.
+    The 50-file staging is driver-side and bounded by design (the
+    fixture IS the source here, sf-independent because the oracle string
+    is static)."""
+    from mapreduce__spark.operators.multimodal import decode_bmp_pixels
+
+    d = _stage_binaryfile_corpus()
+    files = spark.read.format("binaryFile").load(f"{d}/*.bmp")
+
+    def decode(batches):
+        import os as _os
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "byte_len": [], "width": [],
+                "height": [], "sum_rgb": [],
+            }
+            for path, length, content in zip(
+                pdf["path"], pdf["length"], pdf["content"]
+            ):
+                w, h, _, sr, sg, sb, _ = decode_bmp_pixels(bytes(content))
+                out["media_id"].append(
+                    int(_os.path.basename(path).split(".")[0])
+                )
+                out["byte_len"].append(int(length))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_rgb"].append(sr + sg + sb)
+            yield pd.DataFrame(out)
+
+    return files.select("path", "length", "content").mapInPandas(
+        decode,
+        schema="media_id bigint, byte_len bigint, width bigint, "
+        "height bigint, sum_rgb bigint",
+    )
+
+
+# Stage the binaryFile corpus at import: the driver harness may run a
+# query's ORACLE before (or without) its Spark half, and read_blob on a
+# missing directory is an error row. Idempotent (50 tiny files, skip if
+# present); a failure here is deferred — binaryfile_ingest re-stages and
+# raises loudly if /tmp is genuinely unwritable.
+try:
+    _stage_binaryfile_corpus()
+except OSError:
+    pass

@@ -41,6 +41,7 @@ ROWS_ONLY = {
 # run regardless.
 DEFERRED_DOUBLES = {
     "array_functions",
+    "text_normalize",
     "doc_fingerprint",
     "datetime_functions",
     "map_functions",
