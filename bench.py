@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "boilerplate_removal", # corpus-DF chunk strip: distinct-count + join
                            # back, the heaviest standalone multi-shuffle
                            # text op (round 7; deltas start r7)
+    "substring_dedup_windows",  # stride-1 token-window duplication: the
+                                # 30x-blowup text shuffle representative
+                                # (round 7; deltas start r7)
 ]
 
 
