@@ -1,0 +1,107 @@
+"""Hypothesis property tests for the round-7 operators — independent
+pure-Python references over random inputs, the non-mirrored verification
+layer the oracle hash-compare cannot provide (a bug mirrored into the
+query AND its SQL passes the driver; a random-corpus reference in a
+third implementation does not)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+# tiny alphabet → dense gram collisions, the interesting regime
+_tok = st.sampled_from(["a", "b", "c", "d"])
+_doc = st.lists(_tok, min_size=3, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=6)
+
+
+def _grams(text: str, n: int = 3) -> set:
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@given(_corpus, st.floats(min_value=0.1, max_value=1.0))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_containment_matches_python_reference(spark, docs, threshold):
+    """exact_containment_pairs == a set-arithmetic reference on random
+    corpora, at an arbitrary threshold (not just the registry's 0.9)."""
+    from mapreduce__spark.operators.dedup import exact_containment_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id bigint, text string"
+    )
+    got = {
+        (r.id1, r.id2): (r.containment_12, r.containment_21)
+        for r in exact_containment_pairs(df, threshold).collect()
+    }
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            gi, gj = _grams(docs[i]), _grams(docs[j])
+            common = len(gi & gj)
+            if not common:
+                continue  # the operator only considers pairs sharing >=1 gram
+            c12, c21 = common / len(gi), common / len(gj)
+            if max(c12, c21) >= threshold:
+                want[(i, j)] = (round(c12, 4), round(c21, 4))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-10_000, max_value=10_000),  # values in cents
+        min_size=1,
+        max_size=40,  # crosses the EWMA_N=32 truncation boundary
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_events_ewma_matches_recurrence_reference(spark, cents):
+    """The batch closed form (integer dot product over the newest
+    EWMA_N) == the textbook recurrence e := (v + e)/2 applied oldest→
+    newest over the same truncated window, for one user with arbitrary
+    2-decimal values — including series longer than the window."""
+    import datetime as dt
+
+    from mapreduce__spark.plans.tier2 import EWMA_N, events_ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 7, "view", c / 100.0, "{}")
+        for i, c in enumerate(cents)
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+        got = events_ewma(spark, d).collect()[0]
+
+    window = cents[-EWMA_N:]  # newest EWMA_N, oldest first
+    e = float(window[0])
+    for v in window[1:]:
+        e = (float(v) + e) / 2.0
+    assert got.n_events == len(window)
+    assert got.ewma_value == round(e / 100.0, 6)
+
+
+@given(st.lists(st.binary(min_size=0, max_size=40), min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_mixed_media_routing_never_drops_rows(spark, payloads):
+    """Fuzz the decoder dispatch with arbitrary bytes: on_error='route'
+    must emit exactly one row per input (never drop, never duplicate),
+    with error XOR mime populated."""
+    from mapreduce__spark.operators.multimodal import mixed_media_features
+
+    mm = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "doc_id bigint, payload binary",
+    )
+    rows = mixed_media_features(mm, on_error="route").collect()
+    assert sorted(r.doc_id for r in rows) == list(range(len(payloads)))
+    for r in rows:
+        assert (r.error is None) != (r.mime is None)
