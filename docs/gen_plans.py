@@ -27,6 +27,8 @@ NAMES = [
     # both plan skeletons are evidence for SCALE.md's round-7 claims
     "decontaminate_eval_overlap",
     "boilerplate_removal",
+    "substring_dedup_windows",
+    "events_ewma",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",
