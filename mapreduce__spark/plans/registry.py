@@ -79,14 +79,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # CORRECTNESS_r0*.json files and asserts the policy below, so this
 # comment cannot silently disagree with the window):
 #   IN  — every query with zero or one green driver row (the round-7
-#         additions substring_dedup_windows / domain_mixture_weights,
-#         the newly oracle-converted multimodal_decode, and the five
-#         round-6 first-timers); the CHANGED_CODE_REATTEST set — the
-#         three queries whose code changed THIS round after already
-#         earning >=3 green rows (decontamination broadcast removal,
-#         staging seam, hashed-chunk variant), whose prior attestations
-#         are therefore stale; and as many double-attestation queries as
-#         the remaining slots hold, earning a third round.
+#         additions and the stub->real oracle conversion listed first
+#         below, and the five round-6 first-timers); the
+#         CHANGED_CODE_REATTEST set (tests/test_registry_window.py) —
+#         queries whose code changed THIS round after already earning
+#         >=3 green rows, whose prior attestations are therefore stale
+#         (membership and the >=3 precondition are assertion-checked, so
+#         no count is repeated here); and as many double-attestation
+#         queries as the remaining slots hold, earning a third round.
 #   OUT — every untouched query already green in >=3 rounds, plus the
 #         double-attestation queries that did not fit
 #         (DEFERRED_DOUBLES in tests/test_registry_window.py): simple
