@@ -123,6 +123,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_rollup_gapfill",
     "profile_table",
     "unigram_lm_score",
+    "funnel_analysis",
     # doubles, third attestation — everything that fits
     "agg_multi",
     "bmp_pixel_decode",
@@ -130,7 +131,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "correlation",
     "cube_agg",
     "distinct_dedup",
-    "doc_quality_score",
     "doc_token_stats",
     "global_row_number",
     "graph_mass_propagation_k4",

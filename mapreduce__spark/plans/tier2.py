@@ -1578,41 +1578,39 @@ def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE any view does not advance the funnel — the chained min-ts
     semantics a flat per-type min would get wrong).
 
-    Scale shape: three per-user aggregates chained by user-keyed joins —
-    every shuffle is on the high-cardinality user key, payloads are
-    (user_id, ts) pairs, and each stage's input is filtered to one event
-    type before it shuffles. (The event_id % 7 thinning keeps the
-    synthetic stream sparse enough that users actually spread across
-    stages — the dense stream saturates everyone to stage 3.)"""
-    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 7 == 0)
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    Scale shape (round-7 single-scan rewrite): ONE events scan (type +
+    thinning filters pushed down) and ONE user-keyed shuffle — each
+    user's per-type timestamps collect into sorted arrays and the
+    chained stage mins are pure array expressions (`array_min` over a
+    higher-order `filter` capturing the previous stage's min), so the
+    funnel logic runs inside whole-stage codegen with no joins at all.
+    The pre-rewrite form chained three per-user aggregates through
+    user-keyed joins: six scans and four shuffles for the same answer
+    (no exchange reuse across re-aggregations). Per-user arrays hold
+    that user's OWN events only — the same per-key memory contract as
+    grouped_collect_sorted; a pathological bot user is capped upstream
+    by per-source/user caps in a real pipeline. (The event_id % 7
+    thinning keeps the synthetic stream sparse enough that users
+    actually spread across stages — the dense stream saturates everyone
+    to stage 3.)"""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_id") % 7 == 0)
+        & F.col("event_type").isin("view", "click", "purchase")
     )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    staged = (
-        v.join(c.select("user_id", F.lit(1).alias("_c")), "user_id", "left")
-        .join(p.select("user_id", F.lit(1).alias("_p")), "user_id", "left")
-        .select(
-            F.when(F.col("_p").isNotNull(), 3)
-            .when(F.col("_c").isNotNull(), 2)
-            .otherwise(1)
-            .alias("stage")
-        )
+
+    def ts_of(kind: str):
+        # collect_list drops NULLs, so each array holds exactly that
+        # type's timestamps; sort_array makes element 1 the minimum
+        return F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == kind, F.col("ts")))
+        ).alias(kind)
+
+    per_user = ev.groupBy("user_id").agg(ts_of("view"), ts_of("click"), ts_of("purchase"))
+    t1 = F.element_at("view", 1)  # NULL when the user never viewed
+    t2 = F.array_min(F.filter("click", lambda c: c > t1))
+    t3 = F.array_min(F.filter("purchase", lambda p: p > t2))
+    staged = per_user.where(F.size("view") > 0).select(
+        F.when(t3.isNotNull(), 3).when(t2.isNotNull(), 2).otherwise(1).alias("stage")
     )
     return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
 

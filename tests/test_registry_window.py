@@ -41,6 +41,7 @@ ROWS_ONLY = {
 # run regardless.
 DEFERRED_DOUBLES = {
     "array_functions",
+    "doc_quality_score",
     "text_normalize",
     "doc_fingerprint",
     "datetime_functions",
@@ -73,6 +74,7 @@ CHANGED_CODE_REATTEST = {
     "events_rollup_gapfill",
     "profile_table",
     "unigram_lm_score",
+    "funnel_analysis",
 }
 
 
