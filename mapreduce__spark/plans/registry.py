@@ -124,6 +124,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "profile_table",
     "unigram_lm_score",
     "funnel_analysis",
+    "retention_cohort",
     # doubles, third attestation — everything that fits
     "agg_multi",
     "bmp_pixel_decode",
@@ -151,7 +152,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sql_cte_exists",
     "stats_moments",
     "stratified_sample",
-    "string_agg_per_group",
     "token_positions",
     "unpivot_metrics",
     "value_histogram",

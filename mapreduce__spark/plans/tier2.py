@@ -1639,20 +1639,24 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is integer (year*12+month) on both sides, sidestepping
     months_between/datediff dialect drift.
 
-    Scale shape: one per-customer min aggregate, one customer-keyed join
-    back to orders, one (cohort, offset) count-distinct — all shuffles on
-    uniform keys, no windows."""
+    Scale shape (round-7 single-scan rewrite): ONE orders scan and ONE
+    customer-keyed shuffle — the per-customer first month is a
+    min-over-window (the pipeline's exact-dedup idiom), replacing the
+    pre-rewrite aggregate-plus-join-back that scanned orders twice and
+    shuffled three times for the same answer; then one (cohort, offset)
+    count-distinct. All shuffles on uniform keys."""
     from mapreduce__spark.operators.windows import idiv
 
     o = load_table(spark, sf_dir, "orders")
     m = F.year("o_orderdate") * 12 + F.month("o_orderdate")
-    first = o.groupBy("o_custkey").agg(F.min(m).alias("cohort_m"))
-    joined = o.join(first, "o_custkey")
+    joined = o.select("o_custkey", m.alias("_m")).withColumn(
+        "cohort_m", F.min("_m").over(Window.partitionBy("o_custkey"))
+    )
     return (
         joined.select(
             idiv(F.col("cohort_m").cast("bigint"), 12).alias("cohort_year"),
             (F.col("cohort_m") % 12).cast("bigint").alias("cohort_month0"),
-            (m - F.col("cohort_m")).cast("bigint").alias("month_offset"),
+            (F.col("_m") - F.col("cohort_m")).cast("bigint").alias("month_offset"),
             "o_custkey",
         )
         .groupBy("cohort_year", "cohort_month0", "month_offset")

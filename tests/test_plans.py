@@ -300,6 +300,7 @@ def test_multi_consumer_aggregates_scan_source_minimally(spark, sf_small):
         "profile_table": 1,            # one wide-agg pass over orders
         "unigram_lm_score": 1,         # scoring re-scan only (build is staged)
         "funnel_analysis": 1,          # array-expression form: no joins at all
+        "retention_cohort": 1,         # min-over-window, no join-back
     }
     for name, budget in budgets.items():
         plan = physical(REGISTRY[name].fn(spark, sf_small))

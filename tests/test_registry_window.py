@@ -41,6 +41,7 @@ ROWS_ONLY = {
 # run regardless.
 DEFERRED_DOUBLES = {
     "array_functions",
+    "string_agg_per_group",
     "doc_quality_score",
     "text_normalize",
     "doc_fingerprint",
@@ -75,6 +76,7 @@ CHANGED_CODE_REATTEST = {
     "profile_table",
     "unigram_lm_score",
     "funnel_analysis",
+    "retention_cohort",
 }
 
 
