@@ -105,6 +105,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_ewma",
     "binaryfile_ingest",
     "multimodal_decode",
+    "collocation_lift",
+    "per_source_zscore",
     # single-attestation queries (the round-6 additions)
     "boilerplate_removal",
     "weighted_sample",
@@ -136,8 +138,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "global_row_number",
     "graph_mass_propagation_k4",
     "grouped_collect_sorted",
-    "join_inner",
-    "join_outer",
     "json_typed_struct",
     "lang_id",
     "large_volume_customers",

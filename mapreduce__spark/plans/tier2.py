@@ -4041,3 +4041,180 @@ try:
     _stage_binaryfile_corpus()
 except OSError:
     pass
+
+
+COLLOC_TOPV = 40  # vocabulary cap: pairs form only among the top-V tokens
+COLLOC_MIN_SUPPORT = 5  # pairs seen in fewer docs are reported as noise
+
+
+@query(
+    "collocation_lift",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      )
+    ),
+    df AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n_docs FROM tok GROUP BY token
+    ),
+    topv AS (
+      SELECT token, n_docs FROM df ORDER BY n_docs DESC, token LIMIT {COLLOC_TOPV}
+    ),
+    t AS (
+      SELECT tok.doc_id, tok.token FROM tok JOIN topv USING (token)
+    ),
+    pairs AS (
+      SELECT a.token AS token_a, b.token AS token_b,
+             CAST(count(*) AS BIGINT) AS n_xy
+      FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents)
+    SELECT token_a, token_b, n_xy,
+           da.n_docs AS n_x, db.n_docs AS n_y,
+           round((n_xy * n_corpus) / (da.n_docs * db.n_docs), 4) AS lift
+    FROM pairs
+    JOIN topv da ON pairs.token_a = da.token
+    JOIN topv db ON pairs.token_b = db.token
+    CROSS JOIN n
+    WHERE n_xy >= {COLLOC_MIN_SUPPORT}
+    """,
+    tags=("tier2", "text", "analysis"),
+)
+def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: document-level co-occurrence lift for every
+    token pair drawn from the top-COLLOC_TOPV tokens by document
+    frequency — lift = P(a,b) / (P(a)·P(b)) as the integer ratio
+    n_xy·N / (n_x·n_y), the log-free monotone twin of PMI (log would put
+    cross-engine equality at libm's mercy; the ratio is one double
+    division of exact BIGINT products). The corpus-analysis primitive
+    behind phrase detection and topic drift monitors.
+
+    SCALE: the vocabulary cap is the whole design. DF is one map-side-
+    combinable aggregate; the top-V slice is TakeOrderedAndProject
+    (per-partition heap, never a full sort); V rows broadcast to prune
+    the token stream; each doc then contributes at most V·(V-1)/2 pairs
+    via an ARRAY self-product (posexplode × tail-slice) computed
+    scan-side — no doc_id self-JOIN shuffle, and pair cardinality is
+    bounded by the constant V², independent of corpus size. The final
+    n_x/n_y lookups broadcast the same V-row table. One wide shuffle
+    total (the pair count), keyed on ≤V² values."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).distinct()
+    dfc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
+    topv = dfc.orderBy(F.col("n_docs").desc(), F.col("token").asc()).limit(
+        COLLOC_TOPV
+    )
+    per_doc = (
+        tok.join(F.broadcast(topv.select("token")), "token")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("token")).alias("toks"))
+    )
+    pairs = per_doc.select(
+        F.posexplode("toks").alias("i", "token_a"), "toks"
+    ).select(
+        "token_a",
+        F.explode(
+            F.slice("toks", F.col("i") + 2, F.size("toks"))
+        ).alias("token_b"),
+    )
+    pc = pairs.groupBy("token_a", "token_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_xy")
+    )
+    n_corpus = docs.count()  # bounded driver scalar (same idiom as tfidf)
+    n_x = F.broadcast(
+        topv.select(
+            F.col("token").alias("token_a"), F.col("n_docs").alias("n_x")
+        )
+    )
+    n_y = F.broadcast(
+        topv.select(
+            F.col("token").alias("token_b"), F.col("n_docs").alias("n_y")
+        )
+    )
+    return (
+        pc.join(n_x, "token_a")
+        .join(n_y, "token_b")
+        .where(F.col("n_xy") >= COLLOC_MIN_SUPPORT)
+        .select(
+            "token_a",
+            "token_b",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.round(
+                (F.col("n_xy") * F.lit(n_corpus))
+                / (F.col("n_x") * F.col("n_y")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "per_source_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(count(*) OVER w AS BIGINT)                 AS n,
+             CAST(sum(n_chars) OVER w AS BIGINT)             AS sx,
+             CAST(sum(n_chars * n_chars) OVER w AS BIGINT)   AS sxx
+      FROM documents
+      WINDOW w AS (PARTITION BY source)
+    )
+    SELECT doc_id, source, n_chars,
+           CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0
+                THEN round((n_chars - sx / n)
+                           / sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6)
+                ELSE 0.0 END AS zscore
+    FROM s
+    """,
+    tags=("tier2", "agg", "normalization"),
+)
+def per_source_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row feature standardization within each source domain —
+    z = (x − mean) / stddev of doc length, the normalization step a
+    quality-scoring pipeline applies before mixing signals with
+    different per-domain scales. Degenerate groups (a single doc, or a
+    constant length where cancellation could land at −ε) pin z to 0.0
+    via the same guarded CASE on both engines — never NaN-vs-error
+    drift (the stats_moments clamp argument, applied per row).
+
+    Bit-exact story: the group moments are EXACT BIGINT sums (order-
+    independent), and every double appears through the identical
+    operation sequence on both engines — sx/n, the n·sxx − sx² integer
+    numerator, one IEEE-exact sqrt — so the final round(·, 6) sees the
+    same bits.
+
+    SCALE: deliberately NOT the window formulation the oracle uses — an
+    unordered PARTITION BY source window would shuffle and buffer the
+    whole corpus per source. Instead: one map-side-combinable
+    groupBy(source) producing #domains rows, broadcast back onto an
+    unshuffled scan. Zero wide exchanges of the corpus at any scale."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sxx"),
+    )
+    j = docs.join(F.broadcast(stats), "source")
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    num = n * sxx - sx * sx
+    z = F.round(
+        (F.col("n_chars") - sx / n)
+        / F.sqrt(num / (n * (n - F.lit(1.0)))),
+        6,
+    )
+    return j.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when((n > F.lit(1)) & (num > F.lit(0)), z)
+        .otherwise(F.lit(0.0))
+        .alias("zscore"),
+    )

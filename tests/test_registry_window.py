@@ -41,6 +41,8 @@ ROWS_ONLY = {
 # run regardless.
 DEFERRED_DOUBLES = {
     "array_functions",
+    "join_inner",
+    "join_outer",
     "string_agg_per_group",
     "doc_quality_score",
     "text_normalize",

@@ -89,6 +89,93 @@ def test_events_ewma_matches_recurrence_reference(spark, cents):
     assert got.ewma_value == round(e / 100.0, 6)
 
 
+@given(st.lists(_doc, min_size=6, max_size=12))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_collocation_lift_matches_python_reference(spark, docs):
+    """collocation_lift == a pure-Python set/count reference on random
+    dense corpora (tiny alphabet -> co-occurrence everywhere, so the
+    min-support filter actually passes pairs through)."""
+    import tempfile
+
+    from mapreduce__spark.plans.tier2 import (
+        COLLOC_MIN_SUPPORT,
+        COLLOC_TOPV,
+        collocation_lift,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {
+            (r.token_a, r.token_b): (r.n_xy, r.n_x, r.n_y, r.lift)
+            for r in collocation_lift(spark, d).collect()
+        }
+
+    toksets = [set(t.split(" ")) for t in docs]
+    df: dict[str, int] = {}
+    for ts in toksets:
+        for t in ts:
+            df[t] = df.get(t, 0) + 1
+    topv = set(sorted(df, key=lambda t: (-df[t], t))[:COLLOC_TOPV])
+    want = {}
+    vocab = sorted(topv)
+    for i, a in enumerate(vocab):
+        for b in vocab[i + 1 :]:
+            n_xy = sum(1 for ts in toksets if a in ts and b in ts)
+            if n_xy >= COLLOC_MIN_SUPPORT:
+                want[(a, b)] = (
+                    n_xy,
+                    df[a],
+                    df[b],
+                    round(n_xy * len(docs) / (df[a] * df[b]), 4),
+                )
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s0", "s1", "s2"]),
+                  st.integers(min_value=0, max_value=1000)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_per_source_zscore_matches_python_reference(spark, rows):
+    """per_source_zscore == the same guarded formula in pure Python —
+    including the degenerate shapes the fixtures lack (single-doc
+    sources, constant-length sources must pin z to exactly 0.0)."""
+    import math
+    import tempfile
+
+    from mapreduce__spark.plans.tier2 import per_source_zscore
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, "t", "en", src, n) for i, (src, n) in enumerate(rows)],
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {r.doc_id: r.zscore for r in per_source_zscore(spark, d).collect()}
+
+    by_src: dict[str, list[int]] = {}
+    for src, n in rows:
+        by_src.setdefault(src, []).append(n)
+    want = {}
+    for i, (src, x) in enumerate(rows):
+        xs = by_src[src]
+        n, sx, sxx = len(xs), sum(xs), sum(v * v for v in xs)
+        num = n * sxx - sx * sx
+        if n > 1 and num > 0:
+            want[i] = round((x - sx / n) / math.sqrt(num / (n * (n - 1.0))), 6)
+        else:
+            want[i] = 0.0
+    assert got == want
+
+
 @given(st.lists(st.binary(min_size=0, max_size=40), min_size=1, max_size=8))
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_mixed_media_routing_never_drops_rows(spark, payloads):
