@@ -154,6 +154,72 @@ def apply_changes(
     return kept.unionByName(upserts)
 
 
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, op_col: str = "op"
+) -> DataFrame:
+    """The INVERSE of apply_changes: derive the NET change batch that
+    transforms `old` into `new` — how a change feed is GENERATED when
+    the source system offers only snapshots (the nightly-full-dump
+    reality most warehouse ingestion starts from; Delta calls the
+    forward direction CDF/table_changes). Law, property-tested in
+    tests/test_cdc.py:
+
+        apply_changes(old, snapshot_diff(old, new, key), key) == new
+
+    Output: one row per key whose state changed — op 'U' carrying the
+    new payload for inserts and value-changes, op 'D' (NULL payload)
+    for disappeared keys. Keys present in both snapshots with ALL
+    payload columns null-safely equal produce NO row: the batch is net,
+    minimal, and directly consumable by apply_changes / the streaming
+    upsert sink.
+
+    Both snapshots must share the schema; comparison is per-column
+    eqNullSafe, so NULL -> value and value -> NULL transitions are
+    detected as changes (a plain equality would silently drop them).
+    Matched-ness comes from join-side MARKER columns, never from
+    payload null-ness (the merge_upsert lesson: a legitimately-NULL
+    payload must not masquerade as row-absence).
+
+    SCALE: one full-outer sort-merge join on the uniform key — both
+    snapshots shuffle once; output is bounded by the true change volume.
+    At warehouse scale, snapshots bucketed on the key (as the streaming
+    sink already writes them) diff with zero exchanges."""
+    cols = [c for c in old.columns if c != key]
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshot_diff: schemas differ — old has {sorted(old.columns)}, "
+            f"new has {sorted(new.columns)}"
+        )
+    # NULL-SAFE key join (same reasoning as apply_changes): a NULL-key
+    # row must diff as ONE key like any other — a plain equi join would
+    # split it into a spurious D + U pair, which apply_changes then
+    # rejects as a duplicate-key batch, breaking the round-trip law.
+    o = old.select(
+        F.col(key).alias("_ok"),
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(key).alias("_nk"),
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+        F.lit(1).alias("_in_new"),
+    )
+    j = o.join(n, F.col("_ok").eqNullSafe(F.col("_nk")), "full_outer")
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    changed = j.where(
+        F.col("_in_old").isNull() | F.col("_in_new").isNull() | ~same
+    )
+    return changed.select(
+        F.coalesce(F.col("_ok"), F.col("_nk")).alias(key),
+        F.when(F.col("_in_new").isNull(), F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias(op_col),
+        *[F.col(f"_n_{c}").alias(c) for c in cols],
+    )
+
+
 def _pointer_path(state_root: str) -> str:
     return os.path.join(state_root, "_CURRENT")
 

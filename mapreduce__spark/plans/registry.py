@@ -107,6 +107,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_decode",
     "collocation_lift",
     "per_source_zscore",
+    "snapshot_diff_cdc",
     # single-attestation queries (the round-6 additions)
     "boilerplate_removal",
     "weighted_sample",
@@ -138,7 +139,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "global_row_number",
     "graph_mass_propagation_k4",
     "grouped_collect_sorted",
-    "json_typed_struct",
     "lang_id",
     "large_volume_customers",
     "local_supplier_volume",

@@ -1445,6 +1445,53 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "snapshot_diff_cdc",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 10 != 0
+    ), new AS (
+        SELECT o_orderkey, o_totalprice + (o_orderkey % 5) AS price,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 7 != 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NULL THEN 'D' ELSE 'U' END AS op,
+           n.price AS price, n.status AS status
+    FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.price  IS DISTINCT FROM n.price
+       OR o.status IS DISTINCT FROM n.status
+    """,
+    tags=("tier1", "join", "cdc"),
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse CDC — derive the net change feed between two table
+    snapshots (the nightly-full-dump ingestion problem: the source gives
+    you only states, you need the delta). Two deterministic snapshot
+    views of orders: `new` drops different rows than `old` (deletes +
+    inserts) and shifts price by o_orderkey % 5 — so keys with % 5 == 0
+    are present in both with IDENTICAL payloads and must emit NO row
+    (the minimality half of the contract a naive join-everything
+    misses). apply_changes(old, result, key) == new is property-tested
+    as the operator's round-trip law."""
+    from mapreduce__spark.operators.cdc import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    new = o.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.col("o_orderkey") % 5).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return snapshot_diff(old, new, "o_orderkey")
+
+
 def _custkey_suppkey_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (custkey, suppkey) bipartite edge list from orders ⋈
     lineitem — shared by both mass-propagation queries. The caller

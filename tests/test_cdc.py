@@ -584,3 +584,33 @@ def test_apply_changes_null_key_replaces_not_duplicates(spark):
     batch_d = spark.createDataFrame([(None, 0, "D")], "k bigint, v bigint, op string")
     got_d = {(r.k, r.v) for r in apply_changes(base, batch_d, "k").collect()}
     assert got_d == {(5, 50)}
+
+
+# one nullable-int payload per key; None key included — the null-safe
+# join path snapshot_diff must treat as ONE key, not a spurious D+U pair
+_snapshot = st.dictionaries(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=12)),
+    st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+    max_size=10,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(old=_snapshot, new=_snapshot)
+def test_snapshot_diff_roundtrip_and_minimality(spark, old, new):
+    """The operator's law: apply_changes(old, snapshot_diff(old, new)) ==
+    new, for arbitrary snapshots including NULL keys and NULL payloads.
+    Minimality: keys whose payload is null-safely unchanged emit no row."""
+    from mapreduce__spark.operators.cdc import snapshot_diff
+
+    old_df = spark.createDataFrame(list(old.items()) or [], "k bigint, v bigint")
+    new_df = spark.createDataFrame(list(new.items()) or [], "k bigint, v bigint")
+    diff = snapshot_diff(old_df, new_df, "k")
+    rows = diff.collect()
+
+    unchanged = {k for k in old.keys() & new.keys() if old[k] == new[k]}
+    assert {r.k for r in rows}.isdisjoint(unchanged)
+    assert len(rows) == len(set(old) | set(new)) - len(unchanged)
+
+    applied = apply_changes(old_df, diff, "k")
+    assert {(r.k, r.v) for r in applied.collect()} == set(new.items())

@@ -43,6 +43,7 @@ DEFERRED_DOUBLES = {
     "array_functions",
     "join_inner",
     "join_outer",
+    "json_typed_struct",
     "string_agg_per_group",
     "doc_quality_score",
     "text_normalize",
