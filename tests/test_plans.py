@@ -306,3 +306,44 @@ def test_multi_consumer_aggregates_scan_source_minimally(spark, sf_small):
         plan = physical(REGISTRY[name].fn(spark, sf_small))
         n = plan.count("FileScan parquet")
         assert n <= budget, f"{name}: {n} scans (budget {budget})\n{plan}"
+
+
+def test_per_source_zscore_no_corpus_shuffle_or_window(spark, sf_small):
+    """The standardization must come from a tiny-stats broadcast join,
+    never from an unordered PARTITION BY source window (which would
+    shuffle AND buffer the whole corpus per source)."""
+    from mapreduce__spark.plans.tier2 import per_source_zscore
+
+    plan = physical(per_source_zscore(spark, sf_small))
+    assert "Window" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    # exactly the two-phase stats aggregate's exchange pair; the docs
+    # scan side must reach the join unshuffled
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_collocation_lift_no_wide_joins(spark, sf_small):
+    """Every join in the collocation plan is against the V-row top
+    vocabulary — broadcast only. A SortMergeJoin here means the doc_id
+    self-join shape snuck back in; a cartesian means the pair
+    generation left the array domain."""
+    from mapreduce__spark.plans.tier2 import collocation_lift
+
+    plan = physical(collocation_lift(spark, sf_small))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 3, plan
+
+
+def test_snapshot_diff_single_full_outer_smj(spark, sf_small):
+    """The diff is ONE full-outer sort-merge join on the key — each
+    snapshot shuffles exactly once, and nothing degenerates to a
+    broadcast-nested-loop or cartesian on the null-safe condition."""
+    from mapreduce__spark.plans.tier1 import snapshot_diff_cdc
+
+    plan = physical(snapshot_diff_cdc(spark, sf_small))
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
