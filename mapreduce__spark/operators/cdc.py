@@ -155,7 +155,11 @@ def apply_changes(
 
 
 def snapshot_diff(
-    old: DataFrame, new: DataFrame, key: str, op_col: str = "op"
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    op_col: str = "op",
+    include_preimage: bool = False,
 ) -> DataFrame:
     """The INVERSE of apply_changes: derive the NET change batch that
     transforms `old` into `new` — how a change feed is GENERATED when
@@ -183,7 +187,16 @@ def snapshot_diff(
     SCALE: one full-outer sort-merge join on the uniform key — both
     snapshots shuffle once; output is bounded by the true change volume.
     At warehouse scale, snapshots bucketed on the key (as the streaming
-    sink already writes them) diff with zero exchanges."""
+    sink already writes them) diff with zero exchanges.
+
+    `include_preimage=True` additionally emits `pre_present` (false
+    exactly for inserts — an explicit marker, because a legitimately
+    all-NULL old payload must not read as row-absence) and one
+    `pre_<col>` per payload column: the Delta-CDF-style pre/post-image
+    feed that downstream incremental aggregate maintenance needs. The
+    apply_changes round-trip law is stated for the DEFAULT shape; drop
+    the pre columns before feeding a preimage diff to apply_changes
+    (its union is name-aligned with the base schema)."""
     cols = [c for c in old.columns if c != key]
     if set(old.columns) != set(new.columns):
         raise ValueError(
@@ -211,12 +224,21 @@ def snapshot_diff(
     changed = j.where(
         F.col("_in_old").isNull() | F.col("_in_new").isNull() | ~same
     )
+    pre = (
+        [
+            F.col("_in_old").isNotNull().alias("pre_present"),
+            *[F.col(f"_o_{c}").alias(f"pre_{c}") for c in cols],
+        ]
+        if include_preimage
+        else []
+    )
     return changed.select(
         F.coalesce(F.col("_ok"), F.col("_nk")).alias(key),
         F.when(F.col("_in_new").isNull(), F.lit("D"))
         .otherwise(F.lit("U"))
         .alias(op_col),
         *[F.col(f"_n_{c}").alias(c) for c in cols],
+        *pre,
     )
 
 

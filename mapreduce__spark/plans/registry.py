@@ -108,6 +108,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "collocation_lift",
     "per_source_zscore",
     "snapshot_diff_cdc",
+    "incremental_agg_cdc",
     # single-attestation queries (the round-6 additions)
     "boilerplate_removal",
     "weighted_sample",
@@ -138,7 +139,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_token_stats",
     "global_row_number",
     "graph_mass_propagation_k4",
-    "grouped_collect_sorted",
     "lang_id",
     "large_volume_customers",
     "local_supplier_volume",

@@ -1492,6 +1492,92 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, "o_orderkey")
 
 
+@query(
+    "incremental_agg_cdc",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice + (o_orderkey % 5)
+                               AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_price
+    FROM orders WHERE o_orderkey % 7 != 0
+    GROUP BY o_orderstatus
+    """,
+    tags=("tier1", "agg", "cdc"),
+)
+def incremental_agg_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: the
+    per-status count/sum over the NEW snapshot is produced WITHOUT ever
+    aggregating the new snapshot — the old aggregate is patched with
+    ±contributions derived from a pre/post-image change feed
+    (snapshot_diff(include_preimage=True) over the same old/new pair as
+    snapshot_diff_cdc). Post-images contribute +1/+price to their
+    group, pre-images −1/−price to THEIRS (a row whose group changed
+    moves between groups through one −/+ pair); groups patched to zero
+    rows drop out. The oracle is the full recompute over the new
+    snapshot — so the driver differentially checks the INCREMENTAL path
+    against the DIRECT one, a structurally non-mirrored comparison.
+    Sums accumulate in DECIMAL(18,2) (exact, order-independent) so
+    incremental == direct to the bit, the registry's decimal-sum idiom.
+
+    SCALE: this is why change feeds exist — the maintained aggregate is
+    updated by scanning only the delta (one narrow groupBy of the
+    change rows + a #groups-row outer merge), while the 100 TB full
+    rescan the oracle performs here stays a correctness check. The old
+    aggregate and the delta are both #groups rows; the merge is a
+    broadcast-size full-outer join."""
+    from mapreduce__spark.operators.cdc import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    new = o.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.col("o_orderkey") % 5).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    old_agg = old.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(dec("price")).alias("s0"),
+    )
+    diff = snapshot_diff(old, new, "o_orderkey", include_preimage=True)
+    post = diff.where(F.col("op") == "U").select(
+        "status", dec("price").alias("p"), F.lit(1).alias("sign")
+    )
+    pre = diff.where(F.col("pre_present")).select(
+        F.col("pre_status").alias("status"),
+        dec("pre_price").alias("p"),
+        F.lit(-1).alias("sign"),
+    )
+    delta = (
+        post.unionByName(pre)
+        .groupBy("status")
+        .agg(
+            F.sum("sign").alias("dn"),
+            F.sum(F.col("sign") * F.col("p")).alias("ds"),
+        )
+    )
+    merged = old_agg.join(delta, "status", "full_outer").select(
+        "status",
+        (F.coalesce(F.col("n0"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_orders"),
+        (
+            F.coalesce(F.col("s0"), F.lit(0).cast("decimal(18,2)"))
+            + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(18,2)"))
+        ).alias("_s"),
+    )
+    return merged.where(F.col("n_orders") > 0).select(
+        "status",
+        "n_orders",
+        F.round(F.col("_s").cast("double"), 2).alias("total_price"),
+    )
+
+
 def _custkey_suppkey_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (custkey, suppkey) bipartite edge list from orders ⋈
     lineitem — shared by both mass-propagation queries. The caller

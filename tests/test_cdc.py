@@ -614,3 +614,14 @@ def test_snapshot_diff_roundtrip_and_minimality(spark, old, new):
 
     applied = apply_changes(old_df, diff, "k")
     assert {(r.k, r.v) for r in applied.collect()} == set(new.items())
+
+    # preimage feed: pre_present marks exactly the keys that existed in
+    # old (NEVER inferred from payload null-ness), pre_v carries old's
+    # value, and the default-shape columns are unchanged
+    pre_rows = snapshot_diff(
+        old_df, new_df, "k", include_preimage=True
+    ).collect()
+    assert {(r.k, r.op) for r in pre_rows} == {(r.k, r.op) for r in rows}
+    for r in pre_rows:
+        assert r.pre_present == (r.k in old)
+        assert r.pre_v == (old[r.k] if r.k in old else None)

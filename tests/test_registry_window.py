@@ -44,6 +44,7 @@ DEFERRED_DOUBLES = {
     "join_inner",
     "join_outer",
     "json_typed_struct",
+    "grouped_collect_sorted",
     "string_agg_per_group",
     "doc_quality_score",
     "text_normalize",
