@@ -109,6 +109,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "per_source_zscore",
     "snapshot_diff_cdc",
     "incremental_agg_cdc",
+    "xml_ingest",
     # single-attestation queries (the round-6 additions)
     "boilerplate_removal",
     "weighted_sample",
@@ -139,7 +140,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_token_stats",
     "global_row_number",
     "graph_mass_propagation_k4",
-    "lang_id",
     "large_volume_customers",
     "local_supplier_volume",
     "paragraph_dedup",

@@ -4043,6 +4043,92 @@ except OSError:
     pass
 
 
+# Fixed-size synthetic XML corpus for the built-in Spark 4 XML source —
+# same sf-independent staging contract as BINARYFILE_DIR (static oracle
+# string, so the staged path and row count cannot vary with sf_dir).
+XML_N = 50
+XML_FILES = 5  # records spread over several files so the listing splits
+XML_DIR = "/tmp/mapreduce__spark_xml/v1"
+
+
+def _stage_xml_corpus() -> str:
+    """Write XML_N deterministic records across XML_FILES documents once
+    (tmp+rename; content is a pure function of the record id, so
+    re-staging is byte-identical)."""
+    import os
+
+    os.makedirs(XML_DIR, exist_ok=True)
+    per = XML_N // XML_FILES
+    for f in range(XML_FILES):
+        dst = os.path.join(XML_DIR, f"part-{f:02d}.xml")
+        if os.path.exists(dst):
+            continue
+        recs = []
+        for i in range(f * per, (f + 1) * per):
+            recs.append(
+                f"<r><id>{i}</id><cat>c{i % 7}</cat>"
+                f"<cents>{(i * 37) % 10000}</cents><txt>t{i}</txt></r>"
+            )
+        tmp = f"{dst}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write("<rows>" + "".join(recs) + "</rows>")
+        os.replace(tmp, dst)
+    return XML_DIR
+
+
+@query(
+    "xml_ingest",
+    oracle=f"""
+    WITH ids AS (SELECT unnest(generate_series(0, {XML_N - 1})) AS id)
+    SELECT CAST(id AS BIGINT) AS id,
+           'c' || CAST(id % 7 AS VARCHAR) AS cat,
+           CAST((id * 37) % 10000 AS BIGINT) AS cents,
+           't' || CAST(id AS VARCHAR) AS txt,
+           CAST(length('t' || CAST(id AS VARCHAR)) AS BIGINT) AS txt_len
+    FROM ids
+    """,
+    tags=("tier2", "sources", "formats"),
+)
+def xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-3 source coverage: Spark 4's BUILT-IN XML reader (rowTag
+    record extraction) over a staged multi-file directory — the
+    feed-ingestion shape (sitemaps, product feeds, legacy exports)
+    that previously needed the external spark-xml package. The schema
+    is pinned explicitly (no inference pass over the files), records
+    are spread across several documents so the file listing splits,
+    and the oracle regenerates every field from the synthesis formulas
+    with generate_series — fully independent of the XML parse.
+
+    SCALE: each XML DOCUMENT is one split (a row-tag scan cannot split
+    inside a file safely), so the parallelism unit is the file — fine
+    for the many-files feed reality; a single multi-GB export gets
+    pre-split upstream. Parsing is JVM-side StaxXmlParser in the scan
+    stage; no shuffle, no Python."""
+    d = _stage_xml_corpus()
+    rows = (
+        spark.read.format("xml")
+        .option("rowTag", "r")
+        .schema("id bigint, cat string, cents bigint, txt string")
+        # the DIRECTORY, not a glob: a glob path makes the datasource's
+        # streaming-metadata probe stat a nonexistent literal path and
+        # log a scary (benign) FileNotFound stack per load
+        .load(d)
+    )
+    return rows.select(
+        "id", "cat", "cents", "txt", F.length("txt").cast("bigint").alias("txt_len")
+    )
+
+
+# Same deferred-staging contract as the binaryFile corpus above: the
+# driver may run the ORACLE half first, but it reads no files — only the
+# Spark half touches XML_DIR — so staging at import is a warm-path
+# convenience, not a correctness requirement.
+try:
+    _stage_xml_corpus()
+except OSError:
+    pass
+
+
 COLLOC_TOPV = 40  # vocabulary cap: pairs form only among the top-V tokens
 COLLOC_MIN_SUPPORT = 5  # pairs seen in fewer docs are reported as noise
 

@@ -45,6 +45,7 @@ DEFERRED_DOUBLES = {
     "join_outer",
     "json_typed_struct",
     "grouped_collect_sorted",
+    "lang_id",
     "string_agg_per_group",
     "doc_quality_score",
     "text_normalize",
