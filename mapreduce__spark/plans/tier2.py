@@ -3857,9 +3857,9 @@ EWMA_N = 32  # events per user in the smoothing window (newest-first)
     )
     SELECT user_id,
            CAST(max(m) AS BIGINT) AS n_events,
-           round(sum(CASE WHEN rn < m THEN CAST(pow(2, m - 1 - rn) AS BIGINT)
-                          ELSE 1 END * vc)
-                 / (100.0 * pow(2, max(m) - 1)), 6) AS ewma_value
+           sum(CASE WHEN rn < m THEN CAST(pow(2, m - 1 - rn) AS BIGINT)
+                    ELSE 1 END * vc)
+             / (100.0 * pow(2, max(m) - 1)) AS ewma_value
     FROM recent
     GROUP BY user_id
     """,
@@ -3907,10 +3907,15 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(1).cast("bigint"))
     return recent.groupBy("user_id").agg(
         F.max("m").cast("bigint").alias("n_events"),
-        F.round(
+        # NO round(): the dot product and the 100·2^(m-1) denominator are
+        # both exact, so the single division is correctly rounded to the
+        # same double on every engine — while round(·, 6) would REINTRODUCE
+        # a cross-engine hazard at exact half-ties (hypothesis found
+        # S/2^(m-1) = 0.09375 cents: Spark HALF_UPs the shortest decimal
+        # to 0.000938, binary-value rounding gives 0.000937).
+        (
             F.sum(weight * F.col("vc"))
-            / (F.lit(100.0) * F.pow(F.lit(2.0), F.max("m") - 1)),
-            6,
+            / (F.lit(100.0) * F.pow(F.lit(2.0), F.max("m") - 1))
         ).alias("ewma_value"),
     )
 

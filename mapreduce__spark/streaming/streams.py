@@ -198,7 +198,10 @@ def stream_user_ewma(events: DataFrame) -> DataFrame:
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "ewma_value": [round(e / 100.0, 6)],
+                # raw division, no round(): e is an exact dyadic in cents,
+                # so e/100.0 is one correctly-rounded op — rounding to 6
+                # digits would sit on half-ties (see events_ewma)
+                "ewma_value": [e / 100.0],
             }
         )
 

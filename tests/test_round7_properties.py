@@ -86,7 +86,12 @@ def test_events_ewma_matches_recurrence_reference(spark, cents):
     for v in window[1:]:
         e = (float(v) + e) / 2.0
     assert got.n_events == len(window)
-    assert got.ewma_value == round(e / 100.0, 6)
+    # bit-exact, NO rounding on either side: the recurrence is exact
+    # dyadic arithmetic in cents, so e/100.0 is a single correctly-
+    # rounded division — identical to the query's integer-dot-product
+    # division. (round(·, 6) here once hid a real cross-engine tie
+    # hazard at S/2^(m-1) = 0.09375: this test found it.)
+    assert got.ewma_value == e / 100.0
 
 
 @given(st.lists(_doc, min_size=6, max_size=12))

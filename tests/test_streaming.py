@@ -659,5 +659,6 @@ def test_stream_ewma_matches_sequential_reference(spark, sf_small):
         e, n = want.get(r.user_id, (None, 0))
         e = vc if n == 0 else (vc + e) / 2.0
         want[r.user_id] = (e, n + 1)
-    want = {u: (n, round(e / 100.0, 6)) for u, (e, n) in want.items()}
+    # raw division on both sides (no round — see events_ewma's tie note)
+    want = {u: (n, e / 100.0) for u, (e, n) in want.items()}
     assert got == want and want
