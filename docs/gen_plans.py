@@ -29,6 +29,13 @@ NAMES = [
     "boilerplate_removal",
     "substring_dedup_windows",
     "events_ewma",
+    # round-7 late additions: the broadcast-not-window standardization,
+    # the broadcast-only collocation plan, and the CDC diff/IVM pair —
+    # plan skeletons back SCALE.md entries 16-19
+    "per_source_zscore",
+    "collocation_lift",
+    "snapshot_diff_cdc",
+    "incremental_agg_cdc",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",

@@ -117,8 +117,11 @@ def exact_containment_pairs(docs: DataFrame, threshold: float) -> DataFrame:
         .select(
             "id1",
             "id2",
-            F.round(c12, 4).alias("containment_12"),
-            F.round(c21, 4).alias("containment_21"),
+            # raw int/int divisions — bit-identical on every engine;
+            # round(·, 4) would sit on decimal half-ties (the
+            # events_ewma lesson, see plans/registry.py header)
+            c12.alias("containment_12"),
+            c21.alias("containment_21"),
         )
     )
 

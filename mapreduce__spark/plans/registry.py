@@ -22,6 +22,17 @@ Contract notes (driver compare):
   (where rounding is a no-op both engines agree on — the decimal-sum
   idiom) or at 4-6 digits of quantities whose low bits were already made
   bit-identical. New queries must preserve one of those three shapes.
+* ROUNDING BIT-IDENTICAL DOUBLES IS NOT ALWAYS SAFE (the round-7
+  events_ewma lesson): when the exact value's shortest decimal lands ON
+  a half-tie at the rounded digit (S/2^(m-1) = 0.0009375 at 6 digits,
+  20001/20000 = 1.00005 at 4), Spark HALF_UPs the shortest-decimal
+  string while DuckDB/Python round the binary value — same input bits,
+  different output. Corollary: a value that is already a single
+  correctly-rounded op over exact integers (int/int division, an
+  IEEE-exact sqrt chain) must be emitted RAW — it is bit-identical by
+  construction and rounding can only break it. round() is for values
+  whose low bits genuinely differ across engines (libm outputs,
+  order-varying float sums), never for exact-arithmetic results.
 """
 
 from __future__ import annotations

@@ -325,8 +325,8 @@ CONTAINMENT_THRESHOLD = 0.9
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT id1, id2,
-           round(c::DOUBLE / s1.n, 4) AS containment_12,
-           round(c::DOUBLE / s2.n, 4) AS containment_21
+           c::DOUBLE / s1.n AS containment_12,
+           c::DOUBLE / s2.n AS containment_21
     FROM common
     JOIN sz s1 ON common.id1 = s1.doc_id
     JOIN sz s2 ON common.id2 = s2.doc_id
@@ -3694,7 +3694,7 @@ SUBSTR_WIN = 30  # tokens per exact-duplicate window (the paper uses 50 BPE)
     SELECT wi.doc_id,
            CAST(count(*) AS BIGINT) AS n_windows,
            CAST(count(*) FILTER (WHERE f.ddf >= 2) AS BIGINT) AS n_dup_windows,
-           round(count(*) FILTER (WHERE f.ddf >= 2)::DOUBLE / count(*), 4)
+           count(*) FILTER (WHERE f.ddf >= 2)::DOUBLE / count(*)
              AS dup_ratio
     FROM wins wi JOIN wdf f ON wi.win = f.win
     GROUP BY wi.doc_id
@@ -3758,7 +3758,9 @@ def substring_dedup_windows(
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
             F.sum(dup).alias("n_dup_windows"),
-            F.round(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_ratio"),
+            # raw int/int division — bit-identical cross-engine; round()
+            # would sit on decimal half-ties (the events_ewma lesson)
+            (F.sum(dup) / F.count(F.lit(1))).alias("dup_ratio"),
         )
     )
 
@@ -3781,9 +3783,9 @@ MIXTURE_WEIGHT_CAP = 5.0  # max per-source upsampling (epoch cap)
       FROM s
     )
     SELECT source, n_docs, source_tokens,
-           round(source_tokens::DOUBLE / total_tokens, 4) AS token_share,
-           round(least({MIXTURE_WEIGHT_CAP},
-                 (total_tokens::DOUBLE / n_sources) / source_tokens), 4) AS weight
+           source_tokens::DOUBLE / total_tokens AS token_share,
+           least({MIXTURE_WEIGHT_CAP},
+                 (total_tokens::DOUBLE / n_sources) / source_tokens) AS weight
     FROM s, t
     """,
     tags=("tier2", "sampling"),
@@ -3804,8 +3806,9 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst plans TWO full corpus scans (no exchange reuse across the
     re-aggregation), doubling scan I/O at any scale for a table of a
     few million rows at most. The total is a genuine broadcast at ANY
-    corpus size (one row), and the ratios are integer-sourced doubles
-    rounded at 4 digits, the registry's bit-identical idiom."""
+    corpus size (one row), and the ratios are RAW divisions of exact
+    BIGINTs — identical doubles on both engines with no rounding step
+    to sit on decimal half-ties."""
     docs = load_table(spark, sf_dir, "documents")
     s = (
         docs.groupBy("source")
@@ -3825,13 +3828,13 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "source_tokens",
-        F.round(F.col("source_tokens") / F.col("total_tokens"), 4).alias("token_share"),
-        F.round(
-            F.least(
-                F.lit(MIXTURE_WEIGHT_CAP),
-                (F.col("total_tokens") / F.col("n_sources")) / F.col("source_tokens"),
-            ),
-            4,
+        # raw divisions of exact BIGINTs — identical doubles on both
+        # engines; round() would sit on decimal half-ties (the
+        # events_ewma lesson)
+        (F.col("source_tokens") / F.col("total_tokens")).alias("token_share"),
+        F.least(
+            F.lit(MIXTURE_WEIGHT_CAP),
+            (F.col("total_tokens") / F.col("n_sources")) / F.col("source_tokens"),
         ).alias("weight"),
     )
 
@@ -4164,7 +4167,7 @@ COLLOC_MIN_SUPPORT = 5  # pairs seen in fewer docs are reported as noise
     n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents)
     SELECT token_a, token_b, n_xy,
            da.n_docs AS n_x, db.n_docs AS n_y,
-           round((n_xy * n_corpus) / (da.n_docs * db.n_docs), 4) AS lift
+           (n_xy * n_corpus) / (da.n_docs * db.n_docs) AS lift
     FROM pairs
     JOIN topv da ON pairs.token_a = da.token
     JOIN topv db ON pairs.token_b = db.token
@@ -4236,10 +4239,14 @@ def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_xy",
             "n_x",
             "n_y",
-            F.round(
+            # raw division of exact BIGINT products — identical double on
+            # every engine, and round() would SIT on half-ties (a ratio
+            # like 20001/20000 = 1.00005 rounds differently under Spark's
+            # shortest-decimal HALF_UP vs binary-value rounding; the
+            # events_ewma lesson)
+            (
                 (F.col("n_xy") * F.lit(n_corpus))
-                / (F.col("n_x") * F.col("n_y")),
-                4,
+                / (F.col("n_x") * F.col("n_y"))
             ).alias("lift"),
         )
     )
@@ -4258,8 +4265,8 @@ def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, source, n_chars,
            CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0
-                THEN round((n_chars - sx / n)
-                           / sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6)
+                THEN (n_chars - sx / n)
+                     / sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
                 ELSE 0.0 END AS zscore
     FROM s
     """,
@@ -4277,8 +4284,8 @@ def per_source_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bit-exact story: the group moments are EXACT BIGINT sums (order-
     independent), and every double appears through the identical
     operation sequence on both engines — sx/n, the n·sxx − sx² integer
-    numerator, one IEEE-exact sqrt — so the final round(·, 6) sees the
-    same bits.
+    numerator, one IEEE-exact sqrt — so the raw output bits already
+    agree, with no rounding step to sit on decimal half-ties.
 
     SCALE: deliberately NOT the window formulation the oracle uses — an
     unordered PARTITION BY source window would shuffle and buffer the
@@ -4296,11 +4303,12 @@ def per_source_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = docs.join(F.broadcast(stats), "source")
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     num = n * sxx - sx * sx
-    z = F.round(
-        (F.col("n_chars") - sx / n)
-        / F.sqrt(num / (n * (n - F.lit(1.0)))),
-        6,
-    )
+    # raw double, no round(): every op in the chain is identical and
+    # correctly rounded on both engines (exact integer inputs, one
+    # division, one IEEE-exact sqrt), so the bits already agree — while
+    # round() would reintroduce the shortest-decimal half-tie hazard on
+    # dyadic z values (z = ±1 family from perfect-square variances)
+    z = (F.col("n_chars") - sx / n) / F.sqrt(num / (n * (n - F.lit(1.0))))
     return j.select(
         "doc_id",
         "source",

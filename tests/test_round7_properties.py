@@ -45,7 +45,7 @@ def test_containment_matches_python_reference(spark, docs, threshold):
                 continue  # the operator only considers pairs sharing >=1 gram
             c12, c21 = common / len(gi), common / len(gj)
             if max(c12, c21) >= threshold:
-                want[(i, j)] = (round(c12, 4), round(c21, 4))
+                want[(i, j)] = (c12, c21)  # raw divisions, no round
     assert got == want
 
 
@@ -135,7 +135,7 @@ def test_collocation_lift_matches_python_reference(spark, docs):
                     n_xy,
                     df[a],
                     df[b],
-                    round(n_xy * len(docs) / (df[a] * df[b]), 4),
+                    n_xy * len(docs) / (df[a] * df[b]),  # raw, no round
                 )
     assert got == want
 
@@ -175,7 +175,8 @@ def test_per_source_zscore_matches_python_reference(spark, rows):
         n, sx, sxx = len(xs), sum(xs), sum(v * v for v in xs)
         num = n * sxx - sx * sx
         if n > 1 and num > 0:
-            want[i] = round((x - sx / n) / math.sqrt(num / (n * (n - 1.0))), 6)
+            # bit-exact raw double, same op order — no rounding anywhere
+            want[i] = (x - sx / n) / math.sqrt(num / (n * (n - 1.0)))
         else:
             want[i] = 0.0
     assert got == want
