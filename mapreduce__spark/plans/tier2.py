@@ -4008,7 +4008,14 @@ def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce__spark.operators.multimodal import decode_bmp_pixels
 
     d = _stage_binaryfile_corpus()
-    files = spark.read.format("binaryFile").load(f"{d}/*.bmp")
+    # pathGlobFilter on the DIRECTORY, not a glob path: a glob makes the
+    # datasource's streaming-metadata probe stat the literal pattern and
+    # log a benign FileNotFound stack per load (same fix as xml_ingest)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(d)
+    )
 
     def decode(batches):
         import os as _os
