@@ -42,6 +42,10 @@ PROBE = [
     "multimodal_decode",
     "dedup_containment",
     "events_ewma",
+    "collocation_lift",
+    "per_source_zscore",
+    "snapshot_diff_cdc",
+    "incremental_agg_cdc",
 ]
 
 
