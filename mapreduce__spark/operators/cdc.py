@@ -203,6 +203,22 @@ def snapshot_diff(
             f"snapshot_diff: schemas differ — old has {sorted(old.columns)}, "
             f"new has {sorted(new.columns)}"
         )
+    # The output adds op_col (and, with preimages, pre_present/pre_<col>)
+    # NEXT TO the payload columns — a payload column with one of those
+    # names would silently duplicate in the output schema, and every
+    # downstream F.col() reference (including apply_changes) would then
+    # raise AMBIGUOUS_REFERENCE far from the cause. Fail loudly here.
+    reserved = {op_col}
+    if include_preimage:
+        reserved.add("pre_present")
+        reserved.update(f"pre_{c}" for c in cols)
+    clashes = reserved & set(old.columns)
+    if clashes:
+        raise ValueError(
+            f"snapshot_diff: column name collision {sorted(clashes)} — the "
+            f"snapshot schema already uses names the diff output generates; "
+            f"pass a different op_col or rename the payload columns"
+        )
     # NULL-SAFE key join (same reasoning as apply_changes): a NULL-key
     # row must diff as ONE key like any other — a plain equi join would
     # split it into a spurious D + U pair, which apply_changes then

@@ -1445,6 +1445,26 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_snapshots(spark: SparkSession, sf_dir: str):
+    """The deterministic old/new snapshot pair both CDC-derivation
+    queries diff (snapshot_diff_cdc and incremental_agg_cdc): `new`
+    drops different rows than `old` (deletes + inserts) and shifts
+    price by o_orderkey % 5, so % 5 == 0 keys are present in both with
+    IDENTICAL payloads and must emit no change row."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    new = o.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.col("o_orderkey") % 5).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return old, new
+
+
 @query(
     "snapshot_diff_cdc",
     oracle="""
@@ -1478,17 +1498,7 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the operator's round-trip law."""
     from mapreduce__spark.operators.cdc import snapshot_diff
 
-    o = load_table(spark, sf_dir, "orders")
-    old = o.where(F.col("o_orderkey") % 10 != 0).select(
-        "o_orderkey",
-        F.col("o_totalprice").alias("price"),
-        F.col("o_orderstatus").alias("status"),
-    )
-    new = o.where(F.col("o_orderkey") % 7 != 0).select(
-        "o_orderkey",
-        (F.col("o_totalprice") + F.col("o_orderkey") % 5).alias("price"),
-        F.col("o_orderstatus").alias("status"),
-    )
+    old, new = _cdc_snapshots(spark, sf_dir)
     return snapshot_diff(old, new, "o_orderkey")
 
 
@@ -1525,20 +1535,18 @@ def incremental_agg_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     change rows + a #groups-row outer merge), while the 100 TB full
     rescan the oracle performs here stays a correctness check. The old
     aggregate and the delta are both #groups rows; the merge is a
-    broadcast-size full-outer join."""
+    broadcast-size full-outer join.
+
+    `old` feeds two consumers (the baseline aggregate AND the diff), so
+    it is materialized once rather than letting Catalyst re-plan a
+    second full orders scan (the round-7 scan-audit pattern). The
+    materialization is an artifact of SYNTHESIZING snapshots from one
+    fixture table: a real IVM consumer reads old/new as already-stored
+    tables, each scanned exactly once by nature."""
     from mapreduce__spark.operators.cdc import snapshot_diff
 
-    o = load_table(spark, sf_dir, "orders")
-    old = o.where(F.col("o_orderkey") % 10 != 0).select(
-        "o_orderkey",
-        F.col("o_totalprice").alias("price"),
-        F.col("o_orderstatus").alias("status"),
-    )
-    new = o.where(F.col("o_orderkey") % 7 != 0).select(
-        "o_orderkey",
-        (F.col("o_totalprice") + F.col("o_orderkey") % 5).alias("price"),
-        F.col("o_orderstatus").alias("status"),
-    )
+    old, new = _cdc_snapshots(spark, sf_dir)
+    old = old.localCheckpoint(eager=True)
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     old_agg = old.groupBy("status").agg(
         F.count(F.lit(1)).alias("n0"),

@@ -4072,6 +4072,10 @@ def _stage_xml_corpus() -> str:
     re-staging is byte-identical)."""
     import os
 
+    # the floor-split below writes per*XML_FILES records; a non-divisible
+    # XML_N would silently stage FEWER records than the static oracle's
+    # generate_series(0, XML_N-1) expects, failing the hash with no hint
+    assert XML_N % XML_FILES == 0, "XML_N must be divisible by XML_FILES"
     os.makedirs(XML_DIR, exist_ok=True)
     per = XML_N // XML_FILES
     for f in range(XML_FILES):
@@ -4264,16 +4268,17 @@ def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
-             CAST(count(*) OVER w AS BIGINT)                 AS n,
-             CAST(sum(n_chars) OVER w AS BIGINT)             AS sx,
-             CAST(sum(n_chars * n_chars) OVER w AS BIGINT)   AS sxx
+             CAST(count(*) OVER w AS HUGEINT)                           AS n,
+             sum(CAST(n_chars AS HUGEINT)) OVER w                       AS sx,
+             sum(CAST(n_chars AS HUGEINT) * n_chars) OVER w             AS sxx
       FROM documents
       WINDOW w AS (PARTITION BY source)
     )
     SELECT doc_id, source, n_chars,
            CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0
-                THEN (n_chars - sx / n)
-                     / sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
+                THEN (n_chars - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
                 ELSE 0.0 END AS zscore
     FROM s
     """,
@@ -4298,24 +4303,38 @@ def per_source_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered PARTITION BY source window would shuffle and buffer the
     whole corpus per source. Instead: one map-side-combinable
     groupBy(source) producing #domains rows, broadcast back onto an
-    unshuffled scan. Zero wide exchanges of the corpus at any scale."""
+    unshuffled scan. Zero wide exchanges of the corpus at any scale.
+    The moments accumulate in DECIMAL(38,0) (mirrored as HUGEINT in the
+    oracle): int64 sums look fine at test scale but n·sxx overflows
+    2^63 around 10M docs × 30k chars per source — exactly the
+    warehouse shape this query claims to serve — where ANSI mode would
+    throw and legacy mode would wrap num negative, silently pinning
+    every z to 0.0. 128-bit accumulation is exact past any conceivable
+    corpus (n·x² ≤ 10^38), and the double casts that follow are
+    correctly rounded identically on both engines."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
     )
+    wide = "decimal(38,0)"
     stats = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("n_chars").cast("bigint").alias("sx"),
-        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sxx"),
+        F.count(F.lit(1)).cast(wide).alias("n"),
+        F.sum(F.col("n_chars").cast(wide)).cast(wide).alias("sx"),
+        F.sum((F.col("n_chars") * F.col("n_chars")).cast(wide))
+        .cast(wide)
+        .alias("sxx"),
     )
     j = docs.join(F.broadcast(stats), "source")
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
-    num = n * sxx - sx * sx
+    num = n * sxx - sx * sx  # exact in decimal(38,0)
+    nd = n.cast("double")
     # raw double, no round(): every op in the chain is identical and
-    # correctly rounded on both engines (exact integer inputs, one
+    # correctly rounded on both engines (exact wide-integer inputs, one
     # division, one IEEE-exact sqrt), so the bits already agree — while
     # round() would reintroduce the shortest-decimal half-tie hazard on
     # dyadic z values (z = ±1 family from perfect-square variances)
-    z = (F.col("n_chars") - sx / n) / F.sqrt(num / (n * (n - F.lit(1.0))))
+    z = (F.col("n_chars") - sx.cast("double") / nd) / F.sqrt(
+        num.cast("double") / (nd * (nd - F.lit(1.0)))
+    )
     return j.select(
         "doc_id",
         "source",

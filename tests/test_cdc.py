@@ -625,3 +625,24 @@ def test_snapshot_diff_roundtrip_and_minimality(spark, old, new):
     for r in pre_rows:
         assert r.pre_present == (r.k in old)
         assert r.pre_v == (old[r.k] if r.k in old else None)
+
+
+def test_snapshot_diff_rejects_reserved_name_collisions(spark):
+    """A payload column named like a generated output column (op,
+    pre_present, pre_<col>) must fail loudly at diff time, not as an
+    AMBIGUOUS_REFERENCE somewhere downstream."""
+    import pytest
+
+    from mapreduce__spark.operators.cdc import snapshot_diff
+
+    df_op = spark.createDataFrame([(1, "U")], "k bigint, op string")
+    with pytest.raises(ValueError, match="collision"):
+        snapshot_diff(df_op, df_op, "k")
+    # a different op_col name makes the same frame diffable
+    assert snapshot_diff(df_op, df_op, "k", op_col="change_op").count() == 0
+
+    df_pre = spark.createDataFrame([(1, 2)], "k bigint, pre_present bigint")
+    with pytest.raises(ValueError, match="collision"):
+        snapshot_diff(df_pre, df_pre, "k", include_preimage=True)
+    # without preimages the pre_* namespace is not generated — fine
+    assert snapshot_diff(df_pre, df_pre, "k").count() == 0
