@@ -258,6 +258,74 @@ def snapshot_diff(
     )
 
 
+def incremental_group_stats(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Incremental view maintenance for a per-group (count, sum)
+    aggregate: equals `new.groupBy(group_col).agg(count, sum)` but is
+    computed WITHOUT aggregating `new` — the old aggregate is patched
+    with ±contributions from snapshot_diff's pre/post-image feed.
+    Post-images contribute +1/+value to their group, pre-images −1/−value
+    to theirs (a row whose group changed moves through one −/+ pair);
+    groups patched to zero rows drop out. Sums accumulate in
+    DECIMAL(18,2) so incremental == direct to the bit for 2-decimal
+    values regardless of partitioning.
+
+    The group merge join is NULL-SAFE: groupBy treats NULL as a real
+    group on both sides, so a name-list (EqualTo) join would split a
+    NULL group's baseline and delta into two wrong rows — the same
+    class of null-key hazard snapshot_diff guards on its row key.
+
+    Output: group_col, n_rows (bigint), sum_value (decimal) — only
+    groups with n_rows > 0. SCALE: the whole point of change feeds —
+    one narrow groupBy of change rows + a #groups-row null-safe outer
+    merge; `new` is never scanned."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    old_agg = old.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n0"),
+        F.sum(dec(value_col)).alias("_s0"),
+    )
+    diff = snapshot_diff(old, new, key, include_preimage=True)
+    post = diff.where(F.col("op") == "U").select(
+        F.col(group_col).alias("_g"),
+        dec(value_col).alias("_p"),
+        F.lit(1).alias("_sign"),
+    )
+    pre = diff.where(F.col("pre_present")).select(
+        F.col(f"pre_{group_col}").alias("_g"),
+        dec(f"pre_{value_col}").alias("_p"),
+        F.lit(-1).alias("_sign"),
+    )
+    delta = (
+        post.unionByName(pre)
+        .groupBy("_g")
+        .agg(
+            F.sum("_sign").alias("_dn"),
+            F.sum(F.col("_sign") * F.col("_p")).alias("_ds"),
+        )
+    )
+    merged = old_agg.join(
+        delta, F.col(group_col).eqNullSafe(F.col("_g")), "full_outer"
+    ).select(
+        F.coalesce(F.col(group_col), F.col("_g")).alias(group_col),
+        (
+            F.coalesce(F.col("_n0"), F.lit(0))
+            + F.coalesce(F.col("_dn"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_rows"),
+        (
+            F.coalesce(F.col("_s0"), F.lit(0).cast("decimal(18,2)"))
+            + F.coalesce(F.col("_ds"), F.lit(0).cast("decimal(18,2)"))
+        ).alias("sum_value"),
+    )
+    return merged.where(F.col("n_rows") > 0)
+
+
 def _pointer_path(state_root: str) -> str:
     return os.path.join(state_root, "_CURRENT")
 

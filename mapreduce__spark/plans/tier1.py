@@ -1542,47 +1542,20 @@ def incremental_agg_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     second full orders scan (the round-7 scan-audit pattern). The
     materialization is an artifact of SYNTHESIZING snapshots from one
     fixture table: a real IVM consumer reads old/new as already-stored
-    tables, each scanned exactly once by nature."""
-    from mapreduce__spark.operators.cdc import snapshot_diff
+    tables, each scanned exactly once by nature. The IVM core —
+    including the NULL-SAFE group merge a fixtures-only view would
+    never exercise — lives in operators/cdc.incremental_group_stats,
+    hypothesis-tested against a direct recompute on random snapshots
+    with NULL groups/keys/values."""
+    from mapreduce__spark.operators.cdc import incremental_group_stats
 
     old, new = _cdc_snapshots(spark, sf_dir)
     old = old.localCheckpoint(eager=True)
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    old_agg = old.groupBy("status").agg(
-        F.count(F.lit(1)).alias("n0"),
-        F.sum(dec("price")).alias("s0"),
-    )
-    diff = snapshot_diff(old, new, "o_orderkey", include_preimage=True)
-    post = diff.where(F.col("op") == "U").select(
-        "status", dec("price").alias("p"), F.lit(1).alias("sign")
-    )
-    pre = diff.where(F.col("pre_present")).select(
-        F.col("pre_status").alias("status"),
-        dec("pre_price").alias("p"),
-        F.lit(-1).alias("sign"),
-    )
-    delta = (
-        post.unionByName(pre)
-        .groupBy("status")
-        .agg(
-            F.sum("sign").alias("dn"),
-            F.sum(F.col("sign") * F.col("p")).alias("ds"),
-        )
-    )
-    merged = old_agg.join(delta, "status", "full_outer").select(
+    stats = incremental_group_stats(old, new, "o_orderkey", "status", "price")
+    return stats.select(
         "status",
-        (F.coalesce(F.col("n0"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
-        .cast("bigint")
-        .alias("n_orders"),
-        (
-            F.coalesce(F.col("s0"), F.lit(0).cast("decimal(18,2)"))
-            + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(18,2)"))
-        ).alias("_s"),
-    )
-    return merged.where(F.col("n_orders") > 0).select(
-        "status",
-        "n_orders",
-        F.round(F.col("_s").cast("double"), 2).alias("total_price"),
+        F.col("n_rows").alias("n_orders"),
+        F.round(F.col("sum_value").cast("double"), 2).alias("total_price"),
     )
 
 

@@ -646,3 +646,43 @@ def test_snapshot_diff_rejects_reserved_name_collisions(spark):
         snapshot_diff(df_pre, df_pre, "k", include_preimage=True)
     # without preimages the pre_* namespace is not generated — fine
     assert snapshot_diff(df_pre, df_pre, "k").count() == 0
+
+
+# keyed snapshots whose payload is (nullable group label, 2-decimal
+# cents value) — NULL groups are the shape the fixtures lack and the
+# null-safe group merge exists for
+_grouped_snapshot = st.dictionaries(
+    st.integers(min_value=0, max_value=15),
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(["g0", "g1", "g2"])),
+        st.integers(min_value=-10_000, max_value=10_000),
+    ),
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(old=_grouped_snapshot, new=_grouped_snapshot)
+def test_incremental_group_stats_equals_direct_recompute(spark, old, new):
+    """The IVM law: patching old's per-group (count, sum) with the
+    pre/post-image delta == aggregating new directly — for arbitrary
+    snapshots, including NULL group labels (split-group hazard of a
+    null-unsafe merge) and group moves between snapshots."""
+    from mapreduce__spark.operators.cdc import incremental_group_stats
+
+    def mk(d):
+        return spark.createDataFrame(
+            [(k, g, c / 100.0) for k, (g, c) in d.items()] or [],
+            "k bigint, g string, v double",
+        )
+
+    got = {
+        r.g: (r.n_rows, float(r.sum_value))
+        for r in incremental_group_stats(mk(old), mk(new), "k", "g", "v").collect()
+    }
+    want: dict = {}
+    for g, c in new.values():
+        n, s = want.get(g, (0, 0))
+        want[g] = (n + 1, s + c)
+    want = {g: (n, s / 100.0) for g, (n, s) in want.items()}
+    assert got == want
