@@ -4323,7 +4323,14 @@ def per_source_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast(wide)
         .alias("sxx"),
     )
-    j = docs.join(F.broadcast(stats), "source")
+    # NULL-SAFE stats lookup: groupBy made a real stats row for a NULL
+    # source, but a name-list join matches on EqualTo — NULL-source docs
+    # would silently drop from the output while the oracle's PARTITION BY
+    # window keeps them (the incremental_group_stats group-merge lesson).
+    stats = stats.withColumnRenamed("source", "_src")
+    j = docs.join(
+        F.broadcast(stats), F.col("source").eqNullSafe(F.col("_src"))
+    )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     num = n * sxx - sx * sx  # exact in decimal(38,0)
     nd = n.cast("double")

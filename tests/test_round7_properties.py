@@ -142,8 +142,12 @@ def test_collocation_lift_matches_python_reference(spark, docs):
 
 @given(
     st.lists(
-        st.tuples(st.sampled_from(["s0", "s1", "s2"]),
-                  st.integers(min_value=0, max_value=1000)),
+        st.tuples(
+            # None included: a NULL source is a real group — the
+            # null-safe stats join must keep (not drop) its docs
+            st.one_of(st.none(), st.sampled_from(["s0", "s1", "s2"])),
+            st.integers(min_value=0, max_value=1000),
+        ),
         min_size=1,
         max_size=30,
     )
