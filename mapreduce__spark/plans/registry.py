@@ -121,6 +121,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "snapshot_diff_cdc",
     "incremental_agg_cdc",
     "xml_ingest",
+    "source_drift_chi2",
     # single-attestation queries (the round-6 additions)
     "boilerplate_removal",
     "weighted_sample",
@@ -142,7 +143,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "funnel_analysis",
     "retention_cohort",
     # doubles, third attestation — everything that fits
-    "agg_multi",
     "bmp_pixel_decode",
     "collect_set_sorted",
     "correlation",

@@ -4350,3 +4350,92 @@ def per_source_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("zscore"),
     )
+
+
+@query(
+    "source_drift_chi2",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n_ref,
+             CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS n_cur
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+             CAST(sum(n_cur) AS BIGINT) AS tc
+      FROM s
+    )
+    SELECT source, n_ref, n_cur,
+           CASE WHEN n_ref > 0 AND tc > 0
+                THEN CAST(CAST(n_ref AS HUGEINT) * tc AS DOUBLE)
+                     / CAST(tr AS DOUBLE) END AS expected_cur,
+           CASE WHEN n_ref > 0 AND tc > 0
+                THEN (n_cur - CAST(CAST(n_ref AS HUGEINT) * tc AS DOUBLE)
+                              / CAST(tr AS DOUBLE))
+                     * (n_cur - CAST(CAST(n_ref AS HUGEINT) * tc AS DOUBLE)
+                                / CAST(tr AS DOUBLE))
+                     / (CAST(CAST(n_ref AS HUGEINT) * tc AS DOUBLE)
+                        / CAST(tr AS DOUBLE)) END AS chi2_contrib,
+           CAST(n_ref = 0 AS BIGINT) AS is_new,
+           CAST(n_cur = 0 AS BIGINT) AS is_gone
+    FROM s, t
+    """,
+    tags=("tier2", "monitoring", "agg"),
+)
+def source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: per-source chi-square contribution between
+    a reference and a current snapshot of the corpus (the fixture's two
+    deterministic doc_id-parity halves stand in for yesterday/today) —
+    the distribution-shift alarm every continuously-crawled training
+    pipeline runs before retraining. expected_cur scales the reference
+    count to the current total; the contribution (o−e)²/e flags the
+    sources driving the shift; is_new / is_gone flag sources that only
+    one snapshot has (their contribution is NULL on both engines via
+    the same guarded CASE — never a division by a zero expectation).
+
+    Bit-exactness: counts are exact; the one scaling product runs in
+    128-bit (DECIMAL(38,0) / HUGEINT — bigint n_ref·tc overflows near
+    10^12·10^12), and every double then appears through the identical
+    correctly-rounded op sequence, emitted RAW (registry rounding
+    rule).
+
+    SCALE: ONE corpus scan — both snapshot counts come from a single
+    map-side-combinable conditional aggregate (#sources rows), totals
+    from re-aggregating those rows, merged back with a one-row
+    broadcast. No second scan, no wide join, no NULL-group hazard (the
+    groupBy output is itself the join-free carrier)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.when(F.col("doc_id") % 2 == 0, 1))
+            .cast("bigint")
+            .alias("n_ref"),
+            F.count(F.when(F.col("doc_id") % 2 == 1, 1))
+            .cast("bigint")
+            .alias("n_cur"),
+        )
+        .localCheckpoint(eager=True)  # #sources rows; feeds totals AND output
+    )
+    t = s.agg(
+        F.sum("n_ref").cast("bigint").alias("tr"),
+        F.sum("n_cur").cast("bigint").alias("tc"),
+    )
+    j = s.crossJoin(F.broadcast(t))
+    e = (F.col("n_ref").cast("decimal(38,0)") * F.col("tc")).cast(
+        "double"
+    ) / F.col("tr").cast("double")
+    guard = (F.col("n_ref") > 0) & (F.col("tc") > 0)
+    return j.select(
+        "source",
+        "n_ref",
+        "n_cur",
+        F.when(guard, e).alias("expected_cur"),
+        F.when(
+            guard,
+            (F.col("n_cur") - e) * (F.col("n_cur") - e) / e,
+        ).alias("chi2_contrib"),
+        (F.col("n_ref") == 0).cast("bigint").alias("is_new"),
+        (F.col("n_cur") == 0).cast("bigint").alias("is_gone"),
+    )

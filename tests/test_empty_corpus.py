@@ -46,6 +46,7 @@ PROBE = [
     "per_source_zscore",
     "snapshot_diff_cdc",
     "incremental_agg_cdc",
+    "source_drift_chi2",
 ]
 
 

@@ -46,6 +46,7 @@ DEFERRED_DOUBLES = {
     "json_typed_struct",
     "grouped_collect_sorted",
     "lang_id",
+    "agg_multi",
     "string_agg_per_group",
     "doc_quality_score",
     "text_normalize",

@@ -202,3 +202,60 @@ def test_mixed_media_routing_never_drops_rows(spark, payloads):
     assert sorted(r.doc_id for r in rows) == list(range(len(payloads)))
     for r in rows:
         assert (r.error is None) != (r.mime is None)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2", "s3"]),
+            st.booleans(),  # half assignment: True -> ref, False -> cur
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_source_drift_chi2_matches_python_reference(spark, rows):
+    """source_drift_chi2 == the textbook (o-e)^2/e computed in pure
+    Python on random half-assignments — including sources present in
+    only one half (is_new / is_gone with NULL contribution), the shape
+    the parity-split fixtures never produce."""
+    import tempfile
+
+    from mapreduce__spark.plans.tier2 import source_drift_chi2
+
+    # doc_id parity encodes the half: even -> ref, odd -> cur
+    data, next_even, next_odd = [], 0, 1
+    for src, in_ref in rows:
+        if in_ref:
+            data.append((next_even, "t", "en", src, 1)); next_even += 2
+        else:
+            data.append((next_odd, "t", "en", src, 1)); next_odd += 2
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            data,
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {
+            r.source: (r.n_ref, r.n_cur, r.expected_cur, r.chi2_contrib,
+                       r.is_new, r.is_gone)
+            for r in source_drift_chi2(spark, d).collect()
+        }
+
+    ref: dict = {}
+    cur: dict = {}
+    for src, in_ref in rows:
+        (ref if in_ref else cur)[src] = (ref if in_ref else cur).get(src, 0) + 1
+    tr, tc = sum(ref.values()), sum(cur.values())
+    want = {}
+    for src in set(ref) | set(cur):
+        n_ref, n_cur = ref.get(src, 0), cur.get(src, 0)
+        if n_ref > 0 and tc > 0:
+            e = float(n_ref * tc) / float(tr)
+            contrib = (n_cur - e) * (n_cur - e) / e
+        else:
+            e = contrib = None
+        want[src] = (n_ref, n_cur, e, contrib,
+                     int(n_ref == 0), int(n_cur == 0))
+    assert got == want
