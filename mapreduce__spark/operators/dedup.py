@@ -437,10 +437,15 @@ def lsh_near_duplicate_pairs(
     # id-broadcast (_probe_ids) + candidate-gram materialization pins the
     # right shape at every scale, including the duplicate-heavy corpus
     # whose candidate set is too big to ship.
-    candidates = candidates.localCheckpoint(eager=True)
-    # Bounded count over the materialized pairs: 2x rows is an upper
-    # bound on distinct candidate ids, which decides broadcast-vs-shuffle
-    # for the id probe below (see _probe_ids).
+    # LAZY checkpoint + count(): the count action IS the materialization
+    # job (localCheckpoint persists the computed partitions on first
+    # execution and truncates lineage), so the size bound for the id
+    # probe below costs zero extra jobs. An eager checkpoint followed by
+    # a separate count() ran TWO jobs over the candidate table — measured
+    # ~0.6s/run at sf0.1, the round-7 bench regression (BENCH_r07
+    # dedup_lsh_minhash 2.22x; bisected to exactly this seam). 2x rows is
+    # an upper bound on distinct candidate ids (see _probe_ids).
+    candidates = candidates.localCheckpoint(eager=False)
     n_cand_pairs = candidates.count()
     cand_ids = (
         candidates.select(F.col("id1").alias("doc_id"))
@@ -605,7 +610,10 @@ def lsh_incremental_pairs(
             F.col("bn.doc_id").alias("new_id"), F.col("br.doc_id").alias("ref_id")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the count() below is the materialization action — one job
+        # for checkpoint + size bound, not two (see the identical seam in
+        # lsh_near_duplicate_pairs).
+        .localCheckpoint(eager=False)
     )
 
     # Exact verification, candidate-sized on BOTH sides (size-guarded id
