@@ -28,6 +28,45 @@ from mapreduce__spark.session import get_spark
 
 REGRESSION_FACTOR = 1.5  # warn loudly on >1.5x per-query slowdown vs last round
 
+# Contention guard (round-7 VERDICT item 2): the r7 bench ran with
+# something else on the machine — every untouched query drifted 1.2-1.4x
+# in lockstep, which made the one real regression impossible to separate
+# from noise without a clean re-measure. Before timing anything, record
+# the 1/5-minute load averages and count OTHER live JVMs; a loaded
+# machine gets a loud stderr warning plus a `contended: true` stamp in
+# the JSON so the reader knows the numbers carry an inflated noise floor.
+CONTENTION_LOAD_1M = 2.0  # >2 runnable tasks before OUR session starts
+
+
+def _contention_snapshot() -> dict:
+    """Load averages + count of other java processes, taken BEFORE the
+    bench's own SparkSession exists (so any java/jvm seen here is a
+    concurrent workload, not us)."""
+    load1, load5, _ = os.getloadavg()
+    other_jvms = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/comm") as f:
+                if f.read().strip() == "java":
+                    other_jvms += 1
+        except OSError:
+            continue  # raced a process exit
+    snap = {
+        "load_avg_1m": round(load1, 2),
+        "load_avg_5m": round(load5, 2),
+        "other_jvms_at_start": other_jvms,
+        "contended": load1 > CONTENTION_LOAD_1M or other_jvms > 0,
+    }
+    if snap["contended"]:
+        print(
+            f"BENCH CONTENTION: load1={load1:.2f} other_jvms={other_jvms} — "
+            "numbers will carry an inflated noise floor; prefer an idle machine",
+            file=sys.stderr,
+        )
+    return snap
+
 
 def _baseline_queries(sf: float) -> tuple[str, dict[str, float]]:
     """Per-query timings from the newest BENCH_r{N}.json at the same sf
@@ -211,6 +250,23 @@ def _run_scaling(spark, sf_dir: str, sf: float, base_timings: dict[str, float]) 
             row[tier] = round(time.perf_counter() - t0, 3)
         _growth(row, "growth_below_to_base", "sf_base", "sf_below")
         _growth(row, "growth_base_to_10x", "sf_synth10x", "sf_base")
+        # Monotonicity check (round-7 VERDICT item 2): a 10x corpus
+        # running FASTER than base means the base median was inflated
+        # (r7 recorded dedup base 4.75s vs 10x 3.82s — internally
+        # contradictory). Re-measure base once fresh and take the min;
+        # if the tiers are STILL inverted, stamp it so the reader knows
+        # fixed overheads dominate at this absolute scale rather than
+        # trusting a >1 growth ratio that isn't there.
+        if 0 < row.get("growth_base_to_10x", 1) < 1.0:
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).collect()
+            recheck = round(time.perf_counter() - t0, 3)
+            row["sf_base_recheck"] = recheck
+            row["sf_base"] = min(row["sf_base"], recheck)
+            _growth(row, "growth_base_to_10x", "sf_synth10x", "sf_base")
+            _growth(row, "growth_below_to_base", "sf_base", "sf_below")
+            if row["growth_base_to_10x"] < 1.0:
+                row["non_monotone"] = True
         if row.get("growth_base_to_10x", 0) > SCALE_FACTOR:
             print(
                 f"SCALING REGRESSION: {name} grew {row['growth_base_to_10x']}x "
@@ -253,6 +309,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    contention = _contention_snapshot()  # BEFORE our own JVM exists
     spark = get_spark(app_name="mapreduce__spark-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     # Warmup: touch the biggest table so JVM startup/codegen caches are
@@ -284,6 +341,32 @@ def main() -> None:
         # reclaimed blocks bought.
         gc.collect()
 
+    # Outlier re-run (round-7 VERDICT item 2): any query whose median
+    # reads > REGRESSION_FACTOR x the prior round gets ONE fresh
+    # median-of-3 before recording, and the lower of the two medians
+    # wins. A transient load spike can only inflate a median, so
+    # min-of-two-medians sheds it — while a REAL regression survives
+    # both passes and still gets recorded. Re-run names are stamped into
+    # the JSON so the reader can see which numbers carried a first-pass
+    # spike.
+    base_file, base = _baseline_queries(sf)
+    reruns: dict[str, dict[str, float]] = {}
+    for name in BENCH_QUERIES:
+        if name not in base or base[name] <= 0:
+            continue
+        if timings[name] / base[name] <= REGRESSION_FACTOR:
+            continue
+        q = REGISTRY[name]
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        second = round(sorted(runs)[1], 3)
+        reruns[name] = {"first_pass": timings[name], "second_pass": second}
+        timings[name] = min(timings[name], second)
+        gc.collect()
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
@@ -297,7 +380,10 @@ def main() -> None:
         # round-5 A/B in docs/SCALE.md measured the apparent r4
         # pipeline-full "regression" at 0.93x under one methodology).
         "methodology": "median-of-3 warm runs, 1 untimed cold run, shared session",
+        "contention": contention,
     }
+    if reruns:
+        out["reruns"] = reruns
 
     # Durable-staging delta (round-6 VERDICT item 3): one warm run of the
     # flagship with its three corpus-proportional materializations staged
@@ -334,9 +420,9 @@ def main() -> None:
         )
 
     # Per-query regression deltas vs the previous round's recorded bench
-    # (round-1 VERDICT item 6). Stderr only for the warnings — stdout must
+    # (round-1 VERDICT item 6; base_file/base were loaded above for the
+    # outlier re-run pass). Stderr only for the warnings — stdout must
     # stay ONE JSON line for the driver.
-    base_file, base = _baseline_queries(sf)
     if base:
         deltas = {
             n: round(timings[n] / base[n], 3)
