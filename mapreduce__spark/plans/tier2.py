@@ -4229,7 +4229,13 @@ def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = pairs.groupBy("token_a", "token_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_xy")
     )
-    n_corpus = docs.count()  # bounded driver scalar (same idiom as tfidf)
+    # Corpus size as a 1-row aggregate crossJoin-broadcast onto the
+    # (≤V²-row) pair table — the domain_mixture_weights idiom — NOT a
+    # separate docs.count() driver action, which was a second complete
+    # corpus scan to fetch one scalar (round-7 verdict finding 1). The
+    # count rides the same job; output doubles are bit-identical
+    # (bigint·bigint products either way).
+    n_total = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus"))
     n_x = F.broadcast(
         topv.select(
             F.col("token").alias("token_a"), F.col("n_docs").alias("n_x")
@@ -4244,6 +4250,7 @@ def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc.join(n_x, "token_a")
         .join(n_y, "token_b")
         .where(F.col("n_xy") >= COLLOC_MIN_SUPPORT)
+        .crossJoin(F.broadcast(n_total))
         .select(
             "token_a",
             "token_b",
@@ -4256,7 +4263,7 @@ def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             # shortest-decimal HALF_UP vs binary-value rounding; the
             # events_ewma lesson)
             (
-                (F.col("n_xy") * F.lit(n_corpus))
+                (F.col("n_xy") * F.col("n_corpus"))
                 / (F.col("n_x") * F.col("n_y"))
             ).alias("lift"),
         )
