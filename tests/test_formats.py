@@ -95,3 +95,55 @@ def test_parquet_schema_evolution_merge(spark, sf_small, tmp_path):
         for r in merged.where(F.col("gen") == 2).select("doc_id", "text_len").collect()
     }
     assert got == want
+
+
+def test_fixture_staging_nondefault_dir_roundtrips(spark, tmp_path, monkeypatch):
+    """Round-7 verdict item 6: the binaryFile/XML fixture corpora must
+    stage under any directory (per-user default, env override), not a
+    fixed world-shared /tmp path, and the skip-if-exists must verify the
+    existing file rather than trust it blindly."""
+    import os
+
+    from mapreduce__spark.plans import tier2
+
+    bdir = str(tmp_path / "bin" / "v1")
+    xdir = str(tmp_path / "xml" / "v1")
+    monkeypatch.setattr(tier2, "BINARYFILE_DIR", bdir)
+    monkeypatch.setattr(tier2, "XML_DIR", xdir)
+
+    assert tier2._stage_binaryfile_corpus() == bdir
+    assert len(os.listdir(bdir)) == tier2.BINARYFILE_N
+    files = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.bmp").load(bdir)
+    )
+    assert files.count() == tier2.BINARYFILE_N
+
+    assert tier2._stage_xml_corpus() == xdir
+    rows = (
+        spark.read.format("xml")
+        .option("rowTag", "r")
+        .schema("id bigint, cat string, cents bigint, txt string")
+        .load(xdir)
+    )
+    assert rows.count() == tier2.XML_N
+
+    # corrupt one staged file: a re-stage must detect the size mismatch
+    # and rewrite it (the old skip-if-exists trusted any bytes there)
+    victim = os.path.join(bdir, "0000.bmp")
+    good = open(victim, "rb").read()
+    with open(victim, "wb") as fh:
+        fh.write(b"junk")
+    tier2._stage_binaryfile_corpus()
+    assert open(victim, "rb").read() == good
+
+
+def test_fixture_root_is_per_user_and_env_overridable(monkeypatch):
+    import os
+
+    from mapreduce__spark.plans import tier2
+
+    monkeypatch.delenv("SPARK_GRAFT_FIXTURE_DIR", raising=False)
+    root = tier2._fixture_root()
+    assert root.endswith(f"-uid{os.getuid()}")
+    monkeypatch.setenv("SPARK_GRAFT_FIXTURE_DIR", "/elsewhere/fixtures")
+    assert tier2._fixture_root() == "/elsewhere/fixtures"
