@@ -280,6 +280,13 @@ def incremental_group_stats(
     NULL group's baseline and delta into two wrong rows — the same
     class of null-key hazard snapshot_diff guards on its row key.
 
+    NULL values follow SQL sum semantics end-to-end: a NULL-valued row
+    counts toward n_rows but not the sum, and a group whose remaining
+    rows are ALL null-valued reports sum_value NULL (not 0.00) — a
+    non-null-value count is maintained alongside n_rows to decide this,
+    since the patched sum alone cannot distinguish "all NULL" from
+    "sums to zero".
+
     Output: group_col, n_rows (bigint), sum_value (decimal) — only
     groups with n_rows > 0. SCALE: the whole point of change feeds —
     one narrow groupBy of change rows + a #groups-row null-safe outer
@@ -288,6 +295,12 @@ def incremental_group_stats(
     old_agg = old.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("_n0"),
         F.sum(dec(value_col)).alias("_s0"),
+        # non-null VALUE count: SQL sum() is NULL when every input is
+        # NULL, so the merge must know whether any non-null contribution
+        # survives — coalesce(_s0,0)+coalesce(_ds,0) alone turns an
+        # all-NULL group's sum into 0.00 where the direct recompute says
+        # NULL (round-7 advice item 1)
+        F.count(dec(value_col)).alias("_v0"),
     )
     diff = snapshot_diff(old, new, key, include_preimage=True)
     post = diff.where(F.col("op") == "U").select(
@@ -306,7 +319,15 @@ def incremental_group_stats(
         .agg(
             F.sum("_sign").alias("_dn"),
             F.sum(F.col("_sign") * F.col("_p")).alias("_ds"),
+            # signed non-null-value count (sum skips NULL _p rows, so a
+            # NULL-valued insert/delete moves _dn but not _dv)
+            F.sum(
+                F.col("_sign") * F.col("_p").isNotNull().cast("int")
+            ).alias("_dv"),
         )
+    )
+    n_nonnull = F.coalesce(F.col("_v0"), F.lit(0)) + F.coalesce(
+        F.col("_dv"), F.lit(0)
     )
     merged = old_agg.join(
         delta, F.col(group_col).eqNullSafe(F.col("_g")), "full_outer"
@@ -318,9 +339,12 @@ def incremental_group_stats(
         )
         .cast("bigint")
         .alias("n_rows"),
-        (
+        # NULL when no non-null value remains in the group — matching
+        # new.groupBy().agg(sum) exactly, where sum over all-NULL is NULL
+        F.when(
+            n_nonnull > 0,
             F.coalesce(F.col("_s0"), F.lit(0).cast("decimal(18,2)"))
-            + F.coalesce(F.col("_ds"), F.lit(0).cast("decimal(18,2)"))
+            + F.coalesce(F.col("_ds"), F.lit(0).cast("decimal(18,2)")),
         ).alias("sum_value"),
     )
     return merged.where(F.col("n_rows") > 0)

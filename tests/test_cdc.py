@@ -648,14 +648,18 @@ def test_snapshot_diff_rejects_reserved_name_collisions(spark):
     assert snapshot_diff(df_pre, df_pre, "k").count() == 0
 
 
-# keyed snapshots whose payload is (nullable group label, 2-decimal
-# cents value) — NULL groups are the shape the fixtures lack and the
-# null-safe group merge exists for
+# keyed snapshots whose payload is (nullable group label, nullable
+# 2-decimal cents value) — NULL groups are the shape the fixtures lack
+# and the null-safe group merge exists for; NULL values exercise the
+# SQL-sum edge where a group's sum must be NULL, not 0.00, when every
+# remaining value is NULL (round-7 advice item 1)
 _grouped_snapshot = st.dictionaries(
     st.integers(min_value=0, max_value=15),
     st.tuples(
         st.one_of(st.none(), st.sampled_from(["g0", "g1", "g2"])),
-        st.integers(min_value=-10_000, max_value=10_000),
+        st.one_of(
+            st.none(), st.integers(min_value=-10_000, max_value=10_000)
+        ),
     ),
     max_size=12,
 )
@@ -672,17 +676,25 @@ def test_incremental_group_stats_equals_direct_recompute(spark, old, new):
 
     def mk(d):
         return spark.createDataFrame(
-            [(k, g, c / 100.0) for k, (g, c) in d.items()] or [],
+            [
+                (k, g, c / 100.0 if c is not None else None)
+                for k, (g, c) in d.items()
+            ]
+            or [],
             "k bigint, g string, v double",
         )
 
     got = {
-        r.g: (r.n_rows, float(r.sum_value))
+        r.g: (r.n_rows, float(r.sum_value) if r.sum_value is not None else None)
         for r in incremental_group_stats(mk(old), mk(new), "k", "g", "v").collect()
     }
+    # pure-Python mirror of new.groupBy(g).agg(count(*), sum(v)) with SQL
+    # sum semantics: NULL values skipped; all-NULL (or empty) sum is NULL
     want: dict = {}
     for g, c in new.values():
-        n, s = want.get(g, (0, 0))
-        want[g] = (n + 1, s + c)
-    want = {g: (n, s / 100.0) for g, (n, s) in want.items()}
+        n, s = want.get(g, (0, None))
+        if c is not None:
+            s = (s or 0) + c
+        want[g] = (n + 1, s)
+    want = {g: (n, s / 100.0 if s is not None else None) for g, (n, s) in want.items()}
     assert got == want
