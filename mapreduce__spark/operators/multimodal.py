@@ -65,6 +65,15 @@ def decode_stub_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     `PIL.Image.open(io.BytesIO(b))` etc.; everything around it (Arrow
     batching, output schema, partition preservation) is the production
     plumbing.
+
+    The REAL_DECODE_AVAILABLE guard that used to raise here on
+    PIL-equipped machines is retired ON PURPOSE (round-7): the queries
+    that need a real decode now route through the format-true decoders
+    (`decode_bmp_pixels`, `decode_wav_pcm`, `decode_media_features`) —
+    this stub's remaining role is exercising the mapInPandas plumbing
+    with a deterministic, library-free body, which is equally valid
+    whether or not an image library is installed. Its outputs stay
+    unmistakable as fakes via the `fake_*` column names.
     """
 
     def fake_decode(b: bytes) -> tuple[int, int, str, int]:

@@ -186,11 +186,25 @@ def stream_user_ewma(events: DataFrame) -> DataFrame:
     import pandas as pd
 
     def update(key, pdfs, state: GroupState):
+        from decimal import ROUND_HALF_UP, Decimal
+
         e, n = state.get if state.exists else (0.0, 0)
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"])
         for v in rows["value"]:
-            vc = float(round(v * 100))
+            # HALF_UP quantization over the SHORTEST-DECIMAL rendering of
+            # v*100 — bit-identical to the batch twin's
+            # F.round(value * 100) (Spark rounds BigDecimal.valueOf(d),
+            # i.e. Double.toString's shortest decimal, HALF_UP; Python's
+            # repr() is the same shortest decimal). The previous Python
+            # round() was half-to-EVEN over the exact binary value — the
+            # two 'same semantics' twins disagreed on exact .5 cents
+            # (round-7 advice item 4).
+            vc = float(
+                Decimal(repr(v * 100.0)).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
             e = vc if n == 0 else (vc + e) / 2.0
             n += 1
         state.update((e, n))

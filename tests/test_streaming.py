@@ -653,9 +653,20 @@ def test_stream_ewma_matches_sequential_reference(spark, sf_small):
         .select("user_id", "ts", "event_id", "value")
         .collect()
     )
+    from decimal import ROUND_HALF_UP, Decimal
+
     want: dict = {}
     for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
-        vc = float(round(r.value * 100))
+        # independent HALF_UP shortest-decimal quantization — the BATCH
+        # twin's F.round convention, asserted here rather than mirroring
+        # whatever the streaming implementation does (round-7 advice 4:
+        # the old reference used Python round(), half-to-even, same as
+        # the then-buggy implementation — a mirrored bug, not a check)
+        vc = float(
+            Decimal(repr(r.value * 100.0)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
         e, n = want.get(r.user_id, (None, 0))
         e = vc if n == 0 else (vc + e) / 2.0
         want[r.user_id] = (e, n + 1)
