@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "substring_dedup_windows",  # stride-1 token-window duplication: the
                                 # 30x-blowup text shuffle representative
                                 # (round 7; deltas start r7)
+    "dedup_containment_chunks",  # chunk ⋈ stride-1-window span join: the
+                                 # linear containment path (round 8;
+                                 # deltas start r8)
 ]
 
 
@@ -140,6 +143,11 @@ SCALING_QUERIES = [
     "training_data_pipeline",
     "training_data_pipeline_full",
     "boilerplate_removal",
+    # round-8: the linear containment path's scale claim is measured,
+    # not argued — span-join volume should track corpus tokens (the
+    # replica-suffixed synth corpus keeps per-replica span structure
+    # identical and replicas span-disjoint, exactly like the LSH tiers)
+    "dedup_containment_chunks",
 ]
 SCALE_FACTOR = 10
 SCALE_FACTOR_2 = 100

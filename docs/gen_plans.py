@@ -36,6 +36,9 @@ NAMES = [
     "collocation_lift",
     "snapshot_diff_cdc",
     "incremental_agg_cdc",
+    # round 8: the linear containment path — plan skeleton backs
+    # SCALE.md entry 21 (span equi-join, no gram self-join)
+    "dedup_containment_chunks",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",

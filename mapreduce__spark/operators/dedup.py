@@ -87,11 +87,11 @@ def exact_containment_pairs(docs: DataFrame, threshold: float) -> DataFrame:
 
     Same gram-join shape (and the same quadratic hazard) as
     :func:`exact_jaccard_pairs` — this is the oracle baseline. The scale
-    path reuses the banded-LSH candidate machinery, with the caveat that
-    MinHash banding recalls high-JACCARD pairs; high-containment,
-    low-Jaccard pairs (tiny A inside huge B) need the sub-document
-    operators instead — paragraph_dedup and boilerplate_removal already
-    catch exactly those at chunk granularity with linear cost.
+    path is :func:`chunk_containment_pairs`: a fixed-chunk ⋈ stride-1-
+    window span join with linear shuffle volume, which recalls exactly
+    the high-containment/low-Jaccard pairs (tiny A inside huge B) that
+    MinHash banding cannot; paragraph_dedup and boilerplate_removal
+    cover the same shape at paragraph/chunk granularity.
     """
     grams = _doc_grams(docs)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
@@ -123,6 +123,112 @@ def exact_containment_pairs(docs: DataFrame, threshold: float) -> DataFrame:
             c12.alias("containment_12"),
             c21.alias("containment_21"),
         )
+    )
+
+
+def chunk_containment_pairs(
+    docs: DataFrame,
+    threshold: float,
+    chunk_tokens: int = 8,
+    hash_keys: bool = False,
+) -> DataFrame:
+    """Chunk-level containment — the LINEAR scale path
+    :func:`exact_containment_pairs` points at (round-7 verdict item 5).
+
+    Score: the fraction of A's non-overlapping `chunk_tokens`-token
+    chunks whose exact text occurs ANYWHERE in B (as a stride-1 window).
+    A doc verbatim-embedded in another scores 1.0 at ANY token offset —
+    the asymmetric B-side is stride-1 precisely so A's fixed chunking
+    never misses an unaligned copy — while MinHash banding cannot recall
+    these pairs at all (a tiny A inside a huge B has near-zero Jaccard).
+
+    SCALE, vs the gram-join baseline: candidate pairs form only between
+    docs sharing a FULL chunk_tokens-token span — a far more selective
+    join key than a single 3-gram, so the pair space tracks real copying
+    instead of vocabulary overlap. Work is O(corpus tokens) rows on the
+    window side (the substring_dedup_windows working set; the published
+    suffix-array formulation holds the same bytes), one
+    map-side-combinable distinct per side, one equi-join on the span
+    key, one bounded per-pair agg. The skew hazard is a boilerplate span
+    shared by many docs — the same hot-key class `_cap_hot_buckets`
+    handles for LSH; corpora with that shape run boilerplate_removal
+    FIRST (the operators compose: strip shared chunks, then contain).
+
+    `hash_keys=True` is the 100 TB variant: both sides shuffle
+    (doc_id, xxhash64(span)) 8-byte keys instead of span STRINGS —
+    ~chunk_tokens*wordlen-fold byte cut with the usual 64-bit collision
+    caveat. The raw default is the bit-exact oracle path (pinned equal
+    in tests).
+
+    Output: (id_a, id_b, n_chunks, n_found, containment) for every
+    ordered pair with containment >= threshold; docs shorter than
+    chunk_tokens tokens have no chunks and never appear as A or B.
+    Containment is a raw int/int division (bit-identical cross-engine;
+    round() would sit on decimal half-ties — the events_ewma lesson).
+    """
+    t = tokenize(F.col("text"))
+    base = docs.select("doc_id", t.alias("t")).where(
+        F.size("t") >= chunk_tokens
+    )
+    # A-side: non-overlapping FULL chunks (the partial tail is dropped —
+    # it can never equal a full-width window), distinct per doc.
+    a_chunks = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    (F.size("t") / chunk_tokens).cast("int") - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice("t", i * chunk_tokens + 1, F.lit(chunk_tokens)),
+                    " ",
+                ),
+            )
+        ).alias("chunk"),
+    ).distinct()
+    # B-side: every stride-1 window, distinct per doc (a chunk of A is
+    # "in B" if it occurs at least once — multiplicity is irrelevant).
+    b_wins = (
+        base.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(0), F.size("t") - chunk_tokens)
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.slice("t", F.col("i") + 1, F.lit(chunk_tokens)), " "
+            ).alias("chunk"),
+        )
+        .distinct()
+    )
+    if hash_keys:
+        a_chunks = a_chunks.select("doc_id", F.xxhash64("chunk").alias("chunk"))
+        b_wins = b_wins.select("doc_id", F.xxhash64("chunk").alias("chunk"))
+    na = a_chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    a = a_chunks.alias("a")
+    b = b_wins.alias("b")
+    m = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+    )
+    score = F.col("n_found") / F.col("n_chunks")
+    return (
+        m.join(na.select(F.col("doc_id").alias("id_a"), "n_chunks"), "id_a")
+        .where(score >= threshold)
+        .select("id_a", "id_b", "n_chunks", "n_found", score.alias("containment"))
     )
 
 

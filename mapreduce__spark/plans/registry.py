@@ -84,32 +84,31 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_registry_window.py::test_rotated_out_core_stays_oracle_gated
 # pins that rotated-out entries keep their oracles.
 #
-# Round-7 rotation, DERIVED FROM DATA like round 6 (the audit-trail test
-# tests/test_registry_window.py::test_window_prioritizes_low_attestation
+# Round-8 rotation, DERIVED FROM DATA like rounds 6-7 (the audit-trail
+# test tests/test_registry_window.py::test_window_prioritizes_low_attestation
 # recomputes green-attestation counts from the checked-in
 # CORRECTNESS_r0*.json files and asserts the policy below, so this
 # comment cannot silently disagree with the window):
-#   IN  — every query with zero or one green driver row (the round-7
-#         additions and the stub->real oracle conversion listed first
-#         below, and the five round-6 first-timers); the
-#         CHANGED_CODE_REATTEST set (tests/test_registry_window.py) —
-#         queries whose code changed THIS round after already earning
-#         >=3 green rows, whose prior attestations are therefore stale
-#         (membership and the >=3 precondition are assertion-checked, so
-#         no count is repeated here); and as many double-attestation
-#         queries as the remaining slots hold, earning a third round.
-#   OUT — every untouched query already green in >=3 rounds, plus the
-#         double-attestation queries that did not fit
-#         (DEFERRED_DOUBLES in tests/test_registry_window.py): simple
-#         untouched shapes (scans, scalar predicates, plain aggs/set
-#         ops), each still bit-exact-gated by tests/test_oracle.py on
-#         every pytest run.
+#   IN  — every query with zero or one green driver row (the round-8
+#         chunk-containment addition and the 12 round-7 first-timers);
+#         EVERY double-attestation query (all 26 fit this round, so
+#         DEFERRED_DOUBLES is empty); the CHANGED_CODE_REATTEST set
+#         (tests/test_registry_window.py) — queries whose code changed
+#         THIS round after already earning >=3 green rows (the LSH
+#         lazy-checkpoint seam), whose prior attestations are therefore
+#         stale; and — new this round — the remaining slots hold
+#         TRIPLE_FILLERS: exactly-3-attested BENCH-HEADLINE queries, so
+#         the externally-timed paths also carry the deepest external
+#         correctness record.
+#   OUT — every other query already green in >=3 rounds, each still
+#         bit-exact-gated by tests/test_oracle.py on every pytest run.
 # The intentionally-approximate (rows-only) queries sit past the window so
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-7 additions + the stub->real oracle conversion — never
-    # driver-attested with a full hash check
+    # round-8 addition — never driver-attested
+    "dedup_containment_chunks",
+    # round-7 first-timers, earning a second row
     "substring_dedup_windows",
     "domain_mixture_weights",
     "dedup_containment",
@@ -122,52 +121,52 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "incremental_agg_cdc",
     "xml_ingest",
     "source_drift_chi2",
-    # single-attestation queries (the round-6 additions)
+    # code CHANGED this round after >=3 green rows: both LSH paths now
+    # materialize candidates via a LAZY checkpoint whose count() is the
+    # materialization job (the round-7 bench-regression fix) — the
+    # default path must still hash-match
+    "dedup_lsh_minhash",
+    "dedup_incremental",
+    # doubles, third attestation — ALL of them fit this round
+    "scan_project",
+    "filter_predicates",
+    "groupby_count",
+    "grouped_collect_sorted",
+    "topk_global",
+    "scan_provenance",
+    "agg_multi",
+    "join_inner",
+    "join_outer",
+    "set_ops",
+    "null_semantics",
+    "datetime_functions",
+    "string_agg_per_group",
+    "text_normalize",
+    "date_arithmetic",
+    "json_extraction",
+    "json_typed_struct",
+    "json_variant_agg",
+    "doc_quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "array_functions",
+    "map_functions",
     "boilerplate_removal",
     "weighted_sample",
     "per_source_cap",
-    "scan_provenance",
-    "json_variant_agg",
-    # code CHANGED this round after their last green row: the
-    # decontamination join lost its forced broadcast hint, the pipeline
-    # and LSH grew the durable-staging seam (default path must still
-    # hash-match), boilerplate_removal grew the hashed-key variant
-    # (listed above as a single), and the gap-fill rollup + profiler
-    # were rewritten to single-scan plans
-    "decontaminate_eval_overlap",
-    "training_data_pipeline_full",
-    "dedup_lsh_minhash",
-    "events_rollup_gapfill",
-    "profile_table",
-    "unigram_lm_score",
-    "funnel_analysis",
-    "retention_cohort",
-    # doubles, third attestation — everything that fits
+    # triple fillers: the bench-headline set still at exactly 3 rows
+    # (plus the as-of join, the flagship custom operator) — external
+    # timing evidence and external correctness evidence should cover
+    # the same paths
+    "training_data_pipeline",
+    "graph_mass_propagation",
+    "merge_upsert",
     "bmp_pixel_decode",
-    "collect_set_sorted",
-    "correlation",
-    "cube_agg",
-    "distinct_dedup",
-    "doc_token_stats",
-    "global_row_number",
-    "graph_mass_propagation_k4",
-    "large_volume_customers",
-    "local_supplier_volume",
-    "paragraph_dedup",
-    "percentiles",
-    "pivot_agg",
-    "repetition_ratio",
-    "revenue_forecast",
-    "shipmode_priority",
-    "shipping_priority",
-    "sql_cte_exists",
-    "stats_moments",
-    "stratified_sample",
-    "token_positions",
-    "unpivot_metrics",
-    "value_histogram",
-    "wav_pcm_decode",
-    "window_frames",
+    "sessionization",
+    "events_tumbling_window",
+    "word_count",
+    "ann_topk_bruteforce",
+    "asof_join_events",
 )
 
 

@@ -1339,3 +1339,89 @@ def test_events_ewma_hand_computed(spark, tmp_path):
     got = {r.user_id: r for r in events_ewma(spark, d).collect()}
     assert got[1].n_events == 3 and got[1].ewma_value == 27.5
     assert got[2].n_events == 1 and got[2].ewma_value == 7.25
+
+
+def test_chunk_containment_unaligned_verbatim_embed(spark, tmp_path):
+    """The linear containment path (round-7 verdict item 5): a doc
+    verbatim-embedded in a host at an offset NOT divisible by the chunk
+    width must still score 1.0 — the stride-1 window side exists exactly
+    for the unaligned copy — while an unrelated doc produces no pair."""
+    from mapreduce__spark.operators.dedup import chunk_containment_pairs
+    from mapreduce__spark.sources import load_table
+
+    inner = " ".join(f"q{i}" for i in range(24))  # 3 full 8-token chunks
+    # 5-token prefix: every chunk of doc 0 is offset by 5 inside doc 1
+    host = " ".join(f"p{i}" for i in range(5)) + " " + inner + " " + " ".join(
+        f"s{i}" for i in range(7)
+    )
+    rows = [(0, inner, "quote"), (1, host, "host"),
+            (2, " ".join(f"z{i}" for i in range(40)), "other")]
+    docs = load_table(spark, _docs_dir(spark, tmp_path, rows), "documents")
+    got = {
+        (r.id_a, r.id_b): r
+        for r in chunk_containment_pairs(docs, 0.8, chunk_tokens=8).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)].containment == 1.0
+    assert got[(0, 1)].n_chunks == 3 and got[(0, 1)].n_found == 3
+    # host-in-quote direction fails the threshold (host has unique spans)
+    assert (1, 0) not in got
+    assert all(2 not in pair for pair in got)
+
+
+def test_chunk_containment_hash_keys_equals_raw(spark, sf_small):
+    """The 8-byte-key 100 TB variant must produce the identical pair set
+    and scores as the raw-string oracle path."""
+    from mapreduce__spark.operators.dedup import chunk_containment_pairs
+    from mapreduce__spark.sources import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    raw = {
+        (r.id_a, r.id_b): (r.n_chunks, r.n_found, r.containment)
+        for r in chunk_containment_pairs(docs, 0.8).collect()
+    }
+    hashed = {
+        (r.id_a, r.id_b): (r.n_chunks, r.n_found, r.containment)
+        for r in chunk_containment_pairs(docs, 0.8, hash_keys=True).collect()
+    }
+    assert raw == hashed and raw
+
+
+def test_chunk_containment_agrees_with_gram_baseline(spark, sf_small):
+    """Agreement with the quadratic oracle baseline at sf0.001: every
+    chunk-containment pair at 0.8 must be confirmed by gram-level
+    containment (the chunk form finds VERBATIM copying, which implies
+    high gram containment in the A-in-B direction), and conversely the
+    baseline's high-containment pairs must be recalled."""
+    from mapreduce__spark.operators.dedup import (
+        chunk_containment_pairs,
+        exact_containment_pairs,
+    )
+    from mapreduce__spark.sources import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    chunk = {
+        (r.id_a, r.id_b) for r in chunk_containment_pairs(docs, 0.8).collect()
+    }
+    assert chunk  # anti-vacuity: sf0.001 has containment structure
+    # gram containment per ordered pair, unthresholded enough to measure
+    gram: dict = {}
+    for r in exact_containment_pairs(docs, 0.5).collect():
+        gram[(r.id1, r.id2)] = r.containment_12
+        gram[(r.id2, r.id1)] = r.containment_21
+    # precision: chunked pairs are real containment, not span collisions
+    confirmed = [p for p in chunk if gram.get(p, 0.0) >= 0.7]
+    assert len(confirmed) == len(chunk), (
+        f"unconfirmed chunk pairs: {[p for p in chunk if p not in confirmed]}"
+    )
+    # recall: VERBATIM full embedding (gram containment 1.0) is the
+    # operator's hard guarantee — every full chunk of A then occurs in
+    # B, at any offset. Near-total-but-partial containment (e.g. A = B
+    # plus one trailing token: gram 0.955) can legitimately fall below
+    # the chunk threshold when a changed token sits in one of only a few
+    # chunks — the documented quantization of chunk granularity — so the
+    # 0.95-band gets a recall FLOOR, not totality.
+    full = {p for p, c in gram.items() if c == 1.0}
+    assert full <= chunk, f"missed fully-contained pairs: {full - chunk}"
+    strong = {p for p, c in gram.items() if c >= 0.95}
+    recall = len(strong & chunk) / len(strong)
+    assert recall >= 0.8, f"recall {recall:.2f} over {len(strong)} strong pairs"

@@ -33,56 +33,39 @@ ROWS_ONLY = {
     "bpe_encode",
 }
 
-# Round-7 rotation: the contested resource is still third attestations.
-# The doubles below are deferred (their literal count is asserted in
-# test_window_prioritizes_low_attestation, not repeated here — round-6
-# ADVICE flagged hand-written counts drifting from the code): simple
-# untouched shapes, each differentially oracle-checked on every pytest
-# run regardless.
-DEFERRED_DOUBLES = {
-    "array_functions",
-    "join_inner",
-    "join_outer",
-    "json_typed_struct",
-    "grouped_collect_sorted",
-    "lang_id",
-    "agg_multi",
-    "string_agg_per_group",
-    "doc_quality_score",
-    "text_normalize",
-    "doc_fingerprint",
-    "datetime_functions",
-    "map_functions",
-    "json_extraction",
-    "scan_project",
-    "filter_predicates",
-    "groupby_count",
-    "set_ops",
-    "date_arithmetic",
-    "null_semantics",
-    "topk_global",
-}
+# Round-8 rotation: every 0/1/2-attestation query fits this round, so
+# nothing is deferred. Kept (empty) because the policy test still
+# enforces "doubles that don't fit must be explicitly deferred".
+DEFERRED_DOUBLES: set[str] = set()
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
 # driver rows — their prior attestations describe the old code, so they
 # re-enter the window even though the low-attestation rule alone would
-# exclude them (the same changed-code priority round 6 applied to the
-# CDC pair, which were then doubles). This round: the decontamination
-# join lost its forced broadcast hint and the pipeline/LSH grew the
-# durable-staging seam, both of which must keep the default path
-# hash-identical.
+# exclude them. This round: both LSH verify paths replaced the eager
+# candidate checkpoint + separate count() with a lazy checkpoint whose
+# count IS the materialization job (the round-7 bench-regression fix);
+# values must be unchanged.
 CHANGED_CODE_REATTEST = {
-    "decontaminate_eval_overlap",
-    "training_data_pipeline_full",
     "dedup_lsh_minhash",
-    # single-scan rewrites (round-7 scan audit): multi-consumer
-    # aggregates now materialize so the source is read the minimal
-    # number of times
-    "events_rollup_gapfill",
-    "profile_table",
-    "unigram_lm_score",
-    "funnel_analysis",
-    "retention_cohort",
+    "dedup_incremental",
+}
+
+# Round-8 slack: after every <=2-attested query and the changed-code
+# set, 9 slots remain. They hold exactly-3-attested BENCH-HEADLINE
+# queries (plus the as-of join, the flagship custom operator): the
+# externally-timed paths should also carry the deepest external
+# correctness record. Counts asserted in
+# test_window_prioritizes_low_attestation.
+TRIPLE_FILLERS = {
+    "training_data_pipeline",
+    "graph_mass_propagation",
+    "merge_upsert",
+    "bmp_pixel_decode",
+    "sessionization",
+    "events_tumbling_window",
+    "word_count",
+    "ann_topk_bruteforce",
+    "asof_join_events",
 }
 
 
@@ -92,7 +75,7 @@ CHANGED_CODE_REATTEST = {
 # gives every in-window entry one MORE green row — counting that file
 # would flip test_window_prioritizes_low_attestation red before the
 # next rotation happens. Bump this when rotating the window.
-WINDOW_BASIS_ROUND = 6
+WINDOW_BASIS_ROUND = 7
 
 
 def _attestations() -> dict[str, int]:
@@ -152,20 +135,30 @@ def test_never_attested_queries_inside_window():
 
 
 def test_window_prioritizes_low_attestation():
-    """Round-7 policy: every query with at most ONE green driver row is
-    in the window (they all fit); queries whose code changed after >=3
-    green rows re-enter via the explicit CHANGED_CODE_REATTEST set; the
-    remaining slots hold double-attestation queries earning a third
-    round. No other >=3-attested query may hold a slot, and doubles that
-    didn't fit must be explicitly deferred (DEFERRED_DOUBLES), not
-    silently dropped."""
+    """Round-8 policy: every query with at most ONE green driver row is
+    in the window; queries whose code changed after >=3 green rows
+    re-enter via the explicit CHANGED_CODE_REATTEST set; ALL
+    double-attestation queries fit this round (DEFERRED_DOUBLES empty);
+    the remaining slots hold TRIPLE_FILLERS — exactly-3-attested
+    bench-headline queries earning a fourth row. No other >=3-attested
+    query may hold a slot, and doubles that don't fit must be
+    explicitly deferred (DEFERRED_DOUBLES), not silently dropped."""
     counts = _attestations()
     over = {
         n: counts.get(n, 0)
         for n in DRIVER_WINDOW
-        if counts.get(n, 0) > 2 and n not in CHANGED_CODE_REATTEST
+        if counts.get(n, 0) > 2
+        and n not in CHANGED_CODE_REATTEST
+        and n not in TRIPLE_FILLERS
     }
     assert not over, f">=3-attested queries occupying window slots: {over}"
+    # the fillers must be real: in-window, oracle-bearing, exactly 3
+    # green rows (a <=2-attested query gets a slot by right, not filler
+    # bookkeeping; a >=4-attested query has no business in the window)
+    assert TRIPLE_FILLERS <= set(DRIVER_WINDOW)
+    for n in TRIPLE_FILLERS:
+        assert REGISTRY[n].oracle is not None
+        assert counts.get(n, 0) == 3, f"{n} is not an exactly-3 filler"
     # the re-attestation list must itself be in the window and earn its
     # exemption: each entry really does hold >=3 prior green rows (a
     # 0/1/2-attestation query never needs the exemption to get a slot)
