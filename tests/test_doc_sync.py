@@ -43,3 +43,21 @@ def test_readme_count_matches_registry():
         "README query counts stale — update the machine-generated-list "
         "sentence to match len(REGISTRY)"
     )
+
+
+def test_survey_newest_count_matches_registry():
+    """Round-7 VERDICT item 7: SURVEY.md's round addenda quote the
+    registry size; the NEWEST mention (last in the file) must track the
+    live registry so the next addendum can't drift. Older mentions are
+    historical narrative and deliberately unpinned."""
+    text = open(os.path.join(ROOT, "SURVEY.md")).read()
+    ms = list(
+        re.finditer(
+            r"(\d+) queries \((\d+) oracle-checked, (\d+) rows-only", text
+        )
+    )
+    assert ms, "SURVEY.md lost its registry-count sentence"
+    assert tuple(int(g) for g in ms[-1].groups()) == _counts(), (
+        "SURVEY.md newest registry count stale — update the latest round"
+        " addendum"
+    )
