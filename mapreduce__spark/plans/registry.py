@@ -90,7 +90,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # CORRECTNESS_r0*.json files and asserts the policy below, so this
 # comment cannot silently disagree with the window):
 #   IN  — every query with zero or one green driver row (the round-8
-#         chunk-containment addition and the 12 round-7 first-timers);
+#         additions and the 12 round-7 first-timers);
 #         EVERY double-attestation query (all 26 fit this round, so
 #         DEFERRED_DOUBLES is empty); the CHANGED_CODE_REATTEST set
 #         (tests/test_registry_window.py) — queries whose code changed
@@ -106,8 +106,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-8 addition — never driver-attested
+    # round-8 additions — never driver-attested
     "dedup_containment_chunks",
+    "fuzzy_join_parts",
     # round-7 first-timers, earning a second row
     "substring_dedup_windows",
     "domain_mixture_weights",
@@ -154,10 +155,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "boilerplate_removal",
     "weighted_sample",
     "per_source_cap",
-    # triple fillers: the bench-headline set still at exactly 3 rows
-    # (plus the as-of join, the flagship custom operator) — external
-    # timing evidence and external correctness evidence should cover
-    # the same paths
+    # triple fillers: the bench-headline set still at exactly 3 rows —
+    # external timing evidence and external correctness evidence should
+    # cover the same paths
     "training_data_pipeline",
     "graph_mass_propagation",
     "merge_upsert",
@@ -166,7 +166,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_tumbling_window",
     "word_count",
     "ann_topk_bruteforce",
-    "asof_join_events",
 )
 
 

@@ -554,6 +554,42 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_MAX_ED = 2  # edit-distance threshold for the fuzzy join
+FUZZY_Q = 2  # q-gram width for the lossless candidate filter
+
+
+@query(
+    "fuzzy_join_parts",
+    oracle=f"""
+    SELECT a.p_partkey AS key1, b.p_partkey AS key2,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE length(a.p_name) >= {FUZZY_Q} AND length(b.p_name) >= {FUZZY_Q}
+      AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_ED}
+    """,
+    tags=("tier1", "join", "fuzzy"),
+)
+def fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance <= 2) self-join on part names — the
+    entity-resolution theta-join the equi family can't express. The
+    ORACLE is the naive quadratic cross join of levenshtein calls; the
+    engine gets the identical answer via two lossless reductions
+    (distinct-domain comparison + q-gram count filtering, then exact
+    verify on candidates only) — see
+    :func:`operators.fuzzy.fuzzy_self_join` for the blocking math and
+    the 100 TB skew story. Extends O-16 beyond the reference (exact
+    substring only, Search.cpp:220)."""
+    from mapreduce__spark.operators.fuzzy import fuzzy_self_join
+
+    return fuzzy_self_join(
+        load_table(spark, sf_dir, "part"),
+        "p_partkey",
+        "p_name",
+        FUZZY_MAX_ED,
+        q=FUZZY_Q,
+    )
+
+
 @query(
     "shipping_priority",
     oracle="""

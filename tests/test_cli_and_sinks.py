@@ -134,6 +134,10 @@ def test_bench_contract(tmp_path):
         "deltas_vs_baseline",
         "methodology",
         "staging",
+        # round-8 noise-discipline fields (always contention; reruns
+        # only when a query breached the regression factor first-pass)
+        "contention",
+        "reruns",
     }
     assert required <= set(data) and set(data) <= required | optional
     assert data["sf"] == 0.001 and data["unit"] == "sec" and data["value"] > 0

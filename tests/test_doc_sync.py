@@ -53,7 +53,10 @@ def test_survey_newest_count_matches_registry():
     text = open(os.path.join(ROOT, "SURVEY.md")).read()
     ms = list(
         re.finditer(
-            r"(\d+) queries \((\d+) oracle-checked, (\d+) rows-only", text
+            # \s+ between tokens: the survey hard-wraps at 79 cols, so
+            # the count sentence may break across lines
+            r"(\d+) queries\s+\((\d+)\s+oracle-checked,\s+(\d+)\s+rows-only",
+            text,
         )
     )
     assert ms, "SURVEY.md lost its registry-count sentence"

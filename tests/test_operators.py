@@ -1425,3 +1425,54 @@ def test_chunk_containment_agrees_with_gram_baseline(spark, sf_small):
     strong = {p for p, c in gram.items() if c >= 0.95}
     recall = len(strong & chunk) / len(strong)
     assert recall >= 0.8, f"recall {recall:.2f} over {len(strong)} strong pairs"
+
+
+def test_fuzzy_self_join_equals_naive_cross_join(spark, sf_small):
+    """The lossless-blocking claim, checked INSIDE Spark (independent of
+    the DuckDB oracle): the distinct-domain + q-gram-filtered join must
+    equal the naive quadratic cross join of levenshtein calls, pair for
+    pair, on the real sf0.001 part names."""
+    from pyspark.sql import functions as F
+
+    from mapreduce__spark.operators.fuzzy import fuzzy_self_join
+    from mapreduce__spark.sources import load_table
+
+    parts = load_table(spark, sf_small, "part")
+    got = {
+        (r.key1, r.key2, r.edit_distance)
+        for r in fuzzy_self_join(parts, "p_partkey", "p_name", 2, q=2).collect()
+    }
+    a = parts.select(F.col("p_partkey").alias("k1"), F.col("p_name").alias("s1"))
+    b = parts.select(F.col("p_partkey").alias("k2"), F.col("p_name").alias("s2"))
+    ed = F.levenshtein("s1", "s2")
+    want = {
+        (r.k1, r.k2, r.ed)
+        for r in a.crossJoin(b)
+        .where((F.col("k1") < F.col("k2")) & (ed <= 2))
+        .select("k1", "k2", ed.cast("bigint").alias("ed"))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_fuzzy_self_join_planted_edits(spark):
+    """Hand-built edits at each distance: substitution (1), insert+sub
+    (2), and a 3-edit pair that must NOT match; equal strings on
+    different keys match at distance 0."""
+    from mapreduce__spark.operators.fuzzy import fuzzy_self_join
+
+    rows = [
+        (1, "warehouse"),
+        (2, "warehoose"),   # 1 substitution
+        (3, "warehousing"), # vs 1: 3 edits -> excluded at k=2
+        (4, "warehouse"),   # duplicate value -> ed 0 vs key 1
+        (5, "wareh0uses"),  # vs 1: sub '0' + append 's' = 2
+    ]
+    df = spark.createDataFrame(rows, "id bigint, nm string")
+    got = {
+        (r.key1, r.key2): r.edit_distance
+        for r in fuzzy_self_join(df, "id", "nm", 2, q=2).collect()
+    }
+    assert got[(1, 2)] == 1 and got[(1, 4)] == 2 * 0 and got[(1, 5)] == 2
+    assert got[(2, 4)] == 1
+    assert (1, 3) not in got

@@ -50,10 +50,9 @@ CHANGED_CODE_REATTEST = {
     "dedup_incremental",
 }
 
-# Round-8 slack: after every <=2-attested query and the changed-code
-# set, 9 slots remain. They hold exactly-3-attested BENCH-HEADLINE
-# queries (plus the as-of join, the flagship custom operator): the
-# externally-timed paths should also carry the deepest external
+# Round-8 slack: after every <=2-attested query, the round-8 additions
+# and the changed-code set, 8 slots remain. They hold exactly-3-attested BENCH-HEADLINE
+# queries: the externally-timed paths should also carry the deepest external
 # correctness record. Counts asserted in
 # test_window_prioritizes_low_attestation.
 TRIPLE_FILLERS = {
@@ -65,7 +64,6 @@ TRIPLE_FILLERS = {
     "events_tumbling_window",
     "word_count",
     "ann_topk_bruteforce",
-    "asof_join_events",
 }
 
 
