@@ -39,6 +39,10 @@ NAMES = [
     # round 8: the linear containment path — plan skeleton backs
     # SCALE.md entry 21 (span equi-join, no gram self-join)
     "dedup_containment_chunks",
+    # round 8: deterministic k-means — the skeleton shows broadcast-
+    # literal centroid assignment inside codegen, no UDF, no corpus
+    # materialization beyond the quantized checkpoint
+    "kmeans_embeddings",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",

@@ -109,6 +109,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # round-8 additions — never driver-attested
     "dedup_containment_chunks",
     "fuzzy_join_parts",
+    "kmeans_embeddings",
     # round-7 first-timers, earning a second row
     "substring_dedup_windows",
     "domain_mixture_weights",
@@ -164,7 +165,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bmp_pixel_decode",
     "sessionization",
     "events_tumbling_window",
-    "word_count",
     "ann_topk_bruteforce",
 )
 

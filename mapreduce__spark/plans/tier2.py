@@ -531,6 +531,100 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Deterministic k-means over embeddings (tier-2 iterative extension)
+# --------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 3
+KMEANS_DIMS = 64  # the embeddings fixture's width; oracle is unrolled per-dim
+
+
+def _kmeans_oracle(k: int, iters: int, dims: int) -> str:
+    """Unrolled-SQL twin of operators/clustering.kmeans_assign: the same
+    integer-quantized Lloyd's iterations as chained CTEs. Centroids live
+    in LONG form (cid, i, v); struct-min breaks argmin ties by centroid
+    id exactly like the Spark side's array_min over (d, cid) structs."""
+    from mapreduce__spark.operators.clustering import QUANT_OFFSET, QUANT_SCALE
+
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)
+                    + {QUANT_OFFSET}) AS eq
+      FROM embeddings
+    ),
+    seed AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, eq
+      FROM q ORDER BY vec_id LIMIT {k}
+    ),
+    c0 AS (
+      SELECT cid, i, eq[i] AS v FROM seed, range(1, {dims + 1}) t(i)
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+    d{t} AS (
+      SELECT q.vec_id, c.cid,
+             CAST(sum((q.eq[c.i] - c.v) * (q.eq[c.i] - c.v)) AS BIGINT) AS d
+      FROM q, c{t - 1} c GROUP BY q.vec_id, c.cid
+    ),
+    a{t} AS (
+      SELECT vec_id, (min(struct_pack(d := d, cid := cid))).cid AS cid
+      FROM d{t} GROUP BY vec_id
+    ),
+    u{t} AS (
+      SELECT a.cid, t.i, CAST(sum(q.eq[t.i]) // count(*) AS BIGINT) AS v
+      FROM a{t} a JOIN q USING (vec_id), range(1, {dims + 1}) t(i)
+      GROUP BY a.cid, t.i
+    ),
+    c{t} AS (
+      SELECT c.cid, c.i, COALESCE(u.v, c.v) AS v
+      FROM c{t - 1} c LEFT JOIN u{t} u ON c.cid = u.cid AND c.i = u.i
+    )"""
+        )
+    parts.append(
+        f""",
+    fin AS (
+      SELECT q.vec_id, c.cid,
+             CAST(sum((q.eq[c.i] - c.v) * (q.eq[c.i] - c.v)) AS BIGINT) AS d
+      FROM q, c{iters} c GROUP BY q.vec_id, c.cid
+    )
+    SELECT vec_id,
+           (min(struct_pack(d := d, cid := cid))).cid AS cluster_id,
+           min(d) AS dist2
+    FROM fin GROUP BY vec_id
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "kmeans_embeddings",
+    oracle=_kmeans_oracle(KMEANS_K, KMEANS_ITERS, KMEANS_DIMS),
+    tags=("tier2", "similarity", "clustering"),
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means (Lloyd's, k=4, 3 iterations) over the
+    embeddings table — the iterative-algorithm class made fully
+    hash-checkable: integer micro-unit quantization (floor, never
+    round), non-negative offset so floor-div == truncating div on every
+    engine, exact int64 distances, struct-min tie-breaks. The oracle is
+    the same iterations unrolled as chained SQL CTEs — a genuinely
+    independent implementation (long-form centroid joins vs broadcast
+    array expressions). See operators/clustering.py for the 100 TB
+    shape (driver-held k x d centroids broadcast into scan-stage
+    codegen; one map-side-combinable aggregate per iteration)."""
+    from mapreduce__spark.operators.clustering import kmeans_assign
+
+    return kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"), KMEANS_K, KMEANS_ITERS
+    )
+
+
+# --------------------------------------------------------------------------
 # O-23: similarity search
 # --------------------------------------------------------------------------
 

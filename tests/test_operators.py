@@ -1476,3 +1476,90 @@ def test_fuzzy_self_join_planted_edits(spark):
     assert got[(1, 2)] == 1 and got[(1, 4)] == 2 * 0 and got[(1, 5)] == 2
     assert got[(2, 4)] == 1
     assert (1, 3) not in got
+
+
+def _kmeans_python(vecs: dict, k: int, iters: int):
+    """Pure-Python Lloyd's twin of operators/clustering.kmeans_assign:
+    same quantization (floor of the double product + offset), same
+    integer arithmetic, same (dist, cid) tie-break, same
+    empty-cluster-keeps-centroid rule."""
+    import math
+
+    OFF = 1 << 21
+    q = {
+        vid: [math.floor(float(x) * 1_000_000) + OFF for x in v]
+        for vid, v in vecs.items()
+    }
+    cents = [list(q[vid]) for vid in sorted(q)[:k]]
+
+    def assign():
+        out = {}
+        for vid, eq in q.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(eq, c)), j)
+                for j, c in enumerate(cents)
+            )
+            out[vid] = best  # (dist2, cid)
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        for j in range(k):
+            members = [q[v] for v, (_, c) in a.items() if c == j]
+            if members:
+                cents[j] = [
+                    sum(col) // len(members) for col in zip(*members)
+                ]
+    return {v: (c, d) for v, (d, c) in assign().items()}
+
+
+def test_kmeans_matches_pure_python_twin(spark, tmp_path):
+    """Bit-exact agreement with an independent pure-Python Lloyd's on a
+    hand-built dataset that exercises the EMPTY-CLUSTER path: seeds 0
+    and 1 are identical vectors, so cluster 1 receives no members (ties
+    go to the lower cid) and must keep its seed centroid."""
+    from mapreduce__spark.operators.clustering import kmeans_assign
+
+    vecs = {
+        0: [0.1, 0.1, 0.9, 0.2],
+        1: [0.1, 0.1, 0.9, 0.2],   # duplicate of seed 0 -> cluster 1 empty
+        2: [0.8, 0.85, 0.05, 0.6],
+        3: [0.82, 0.8, 0.0, 0.65],
+        4: [0.11, 0.12, 0.88, 0.19],
+        5: [0.79, 0.81, 0.02, 0.61],
+        6: [-0.3, 0.4, 0.5, -0.2],
+        7: [0.12, 0.09, 0.91, 0.21],
+    }
+    df = spark.createDataFrame(
+        [(vid, [float(x) for x in v]) for vid, v in vecs.items()],
+        "vec_id bigint, embedding array<float>",
+    )
+    # float32 storage narrows the values exactly like the parquet
+    # fixture; feed the SAME narrowed values to the twin
+    narrowed = {
+        r.vec_id: list(r.embedding) for r in df.collect()
+    }
+    got = {
+        r.vec_id: (r.cluster_id, r.dist2)
+        for r in kmeans_assign(df, 3, 3).collect()
+    }
+    assert got == _kmeans_python(narrowed, 3, 3)
+    # the planted structure: 0/1/4/7 together, 2/3/5 together
+    assert len({got[v][0] for v in (0, 1, 4, 7)}) == 1
+    assert len({got[v][0] for v in (2, 3, 5)}) == 1
+    assert got[0][0] != got[2][0]
+
+
+def test_kmeans_sf_small_matches_twin(spark, sf_small):
+    """Same bit-exact agreement on the real sf0.001 embeddings — the
+    64-dim float32 fixture, no planted structure."""
+    from mapreduce__spark.operators.clustering import kmeans_assign
+    from mapreduce__spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    got = {
+        r.vec_id: (r.cluster_id, r.dist2)
+        for r in kmeans_assign(emb, 4, 3).collect()
+    }
+    assert got == _kmeans_python(vecs, 4, 3) and got
