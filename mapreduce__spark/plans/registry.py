@@ -110,6 +110,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_containment_chunks",
     "fuzzy_join_parts",
     "kmeans_embeddings",
+    "embedding_cluster_outliers",
     # round-7 first-timers, earning a second row
     "substring_dedup_windows",
     "domain_mixture_weights",
@@ -161,7 +162,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # cover the same paths
     "training_data_pipeline",
     "graph_mass_propagation",
-    "merge_upsert",
     "bmp_pixel_decode",
     "sessionization",
     "events_tumbling_window",

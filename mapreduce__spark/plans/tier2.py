@@ -624,6 +624,61 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OUTLIER_DIST_FACTOR = 4.0  # outlier = dist2 > factor x cluster median
+
+
+@query(
+    "embedding_cluster_outliers",
+    oracle=f"""
+    SELECT b.vec_id, b.cluster_id, b.dist2,
+           m.med AS med_dist2,
+           b.dist2 > {OUTLIER_DIST_FACTOR} * m.med AS is_outlier
+    FROM ({_kmeans_oracle(KMEANS_K, KMEANS_ITERS, KMEANS_DIMS)}) b
+    JOIN (
+      SELECT cluster_id,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY dist2) AS med
+      FROM ({_kmeans_oracle(KMEANS_K, KMEANS_ITERS, KMEANS_DIMS)})
+      GROUP BY cluster_id
+    ) m USING (cluster_id)
+    """,
+    tags=("tier2", "similarity", "clustering", "quality"),
+)
+def embedding_cluster_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-local semantic outlier flags — the noise/poisoning filter
+    a global-centroid distance (embedding_outliers) cannot express: a
+    vector is anomalous relative to ITS OWN topic cluster, so a doc far
+    from everything (mislabeled language, binary junk, adversarial
+    insertions) flags even when the global centroid sits nearby. Built
+    on the deterministic k-means: dist2 is an exact int64, the
+    per-cluster median is the exact midpoint average (ints < 2^52, so
+    the interpolated double is identical on both engines), and the
+    4x-median threshold compares exact doubles — fully hash-checkable.
+
+    On the synthetic fixture every ratio sits in [0.78, 1.08]
+    (concentration of measure: random high-dim vectors are nearly
+    equidistant), so is_outlier is all-false here BY THE DATA — the
+    hash compare still pins the entire kmeans + median + threshold
+    computation, and the true branch is pinned by the planted-junk
+    pytest (tests/test_operators.py::test_cluster_outliers_planted)."""
+    from mapreduce__spark.operators.clustering import kmeans_assign
+
+    base = kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"), KMEANS_K, KMEANS_ITERS
+    )
+    med = base.groupBy("cluster_id").agg(
+        F.percentile("dist2", F.lit(0.5)).alias("med_dist2")
+    )
+    return base.join(F.broadcast(med), "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        "dist2",
+        "med_dist2",
+        (F.col("dist2") > OUTLIER_DIST_FACTOR * F.col("med_dist2")).alias(
+            "is_outlier"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # O-23: similarity search
 # --------------------------------------------------------------------------

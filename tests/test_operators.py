@@ -1563,3 +1563,39 @@ def test_kmeans_sf_small_matches_twin(spark, sf_small):
         for r in kmeans_assign(emb, 4, 3).collect()
     }
     assert got == _kmeans_python(vecs, 4, 3) and got
+
+
+def test_cluster_outliers_planted(spark, tmp_path):
+    """The is_outlier TRUE branch (all-false on the uniform fixture —
+    concentration of measure): plant two tight clusters plus one junk
+    vector far from everything; only the junk flags, and its ratio
+    clears the 4x-median threshold decisively."""
+    from mapreduce__spark.plans.tier2 import embedding_cluster_outliers
+
+    # seeds are the k smallest vec_ids, so ids 0..3 place one seed per
+    # natural group; every group then keeps its centroid and the junk
+    # vector is ABSORBED into the nearest group instead of capturing a
+    # singleton centroid (where its dist2 would be 0, not an outlier —
+    # the k-means dynamic the first draft of this test tripped on)
+    centers = [0.1, -0.3, 0.4, -0.05]
+    rows = [(g, [c] * 8) for g, c in enumerate(centers)]
+    vid = 4
+    for g, c in enumerate(centers):
+        for _ in range(7):
+            rows.append(
+                (vid, [c + 0.002 * ((vid * 7 + d) % 5 - 2) for d in range(8)])
+            )
+            vid += 1
+    junk = vid
+    rows.append((junk, [0.23] * 8))  # between groups, nearest to 0.1
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).selectExpr("vec_id", "embedding", "CAST(0 AS INT) AS label").write.parquet(
+        f"{d}/embeddings.parquet"
+    )
+    got = {r.vec_id: r for r in embedding_cluster_outliers(spark, d).collect()}
+    flagged = {v for v, r in got.items() if r.is_outlier}
+    assert flagged == {junk}, flagged
+    # decisive margin (simulated ratio ~62x vs <=1.11x for real members)
+    assert got[junk].dist2 > 10 * got[junk].med_dist2
