@@ -111,6 +111,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fuzzy_join_parts",
     "kmeans_embeddings",
     "embedding_cluster_outliers",
+    "cluster_balanced_sample",
     # round-7 first-timers, earning a second row
     "substring_dedup_windows",
     "domain_mixture_weights",
@@ -163,7 +164,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "training_data_pipeline",
     "graph_mass_propagation",
     "bmp_pixel_decode",
-    "sessionization",
     "events_tumbling_window",
     "ann_topk_bruteforce",
 )

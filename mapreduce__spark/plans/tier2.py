@@ -679,6 +679,65 @@ def embedding_cluster_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLUSTER_SAMPLE_CAP = 25  # per-topic-cluster sample size
+
+
+@query(
+    "cluster_balanced_sample",
+    oracle=f"""
+    WITH r AS (
+      SELECT vec_id, cluster_id,
+             row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#cbal'), 1, 8))::BIGINT,
+                        vec_id
+             ) AS rk
+      FROM ({_kmeans_oracle(KMEANS_K, KMEANS_ITERS, KMEANS_DIMS)})
+    )
+    SELECT vec_id, cluster_id, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {CLUSTER_SAMPLE_CAP}
+    """,
+    tags=("tier2", "similarity", "clustering", "sampling"),
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced sampling: an equal-size uniform draw from each
+    k-means cluster — the SEMANTIC twin of per_source_cap (domains cap
+    by provenance; this caps by content topic, the mixture-balancing
+    knob when provenance lies or is missing). Deterministic end-to-end:
+    cluster assignments from the integer-exact kmeans, the within-
+    cluster draw by content-hash order with vec_id tie-breaks (a hash
+    order is an unbiased uniform draw; 'first by vec_id' would bias
+    toward old vectors).
+
+    SCALE: kmeans cost + one window partitioned on k keys. k is small
+    by construction here; a large-k deployment uses the same two-phase
+    approx-rank trick per_source_cap's docstring routes hot domains
+    to. Output bounded at cap x k rows."""
+    from mapreduce__spark.operators.clustering import kmeans_assign
+
+    assigned = kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"), KMEANS_K, KMEANS_ITERS
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("#cbal"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("cluster_id").orderBy(h.asc(), F.col("vec_id").asc())
+    return (
+        assigned.select(
+            "vec_id",
+            "cluster_id",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .where(F.col("rk") <= CLUSTER_SAMPLE_CAP)
+    )
+
+
 # --------------------------------------------------------------------------
 # O-23: similarity search
 # --------------------------------------------------------------------------

@@ -51,7 +51,7 @@ CHANGED_CODE_REATTEST = {
 }
 
 # Round-8 slack: after every <=2-attested query, the round-8 additions
-# and the changed-code set, 6 slots remain. They hold exactly-3-attested BENCH-HEADLINE
+# and the changed-code set, 5 slots remain. They hold exactly-3-attested BENCH-HEADLINE
 # queries: the externally-timed paths should also carry the deepest external
 # correctness record. Counts asserted in
 # test_window_prioritizes_low_attestation.
@@ -59,7 +59,6 @@ TRIPLE_FILLERS = {
     "training_data_pipeline",
     "graph_mass_propagation",
     "bmp_pixel_decode",
-    "sessionization",
     "events_tumbling_window",
     "ann_topk_bruteforce",
 }
