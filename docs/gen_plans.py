@@ -43,6 +43,9 @@ NAMES = [
     # literal centroid assignment inside codegen, no UDF, no corpus
     # materialization beyond the quantized checkpoint
     "kmeans_embeddings",
+    # round 8: the fuzzy join's skeleton is evidence for the
+    # distinct-domain + gram-filter claim (no corpus cross join)
+    "fuzzy_join_parts",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",
