@@ -50,14 +50,23 @@ def fuzzy_self_join(
     """All unordered row pairs (key1 < key2) whose `text_col` values are
     within `max_distance` edits; output (key1, key2, edit_distance).
 
-    Contract: strings shorter than q characters carry no q-grams and are
-    EXCLUDED from matching (callers — and the differential oracle — must
-    apply the same floor; the registered query's data satisfies it
-    everywhere). Equal-value pairs (distance 0) are included.
+    Contract — minimum string length, ENFORCED: the gram-count filter
+    is complete only when every surviving string has more grams than k
+    edits can destroy, i.e. len - q + 1 > k·q (equal-length strings; the
+    length band extends it to the pair). Below that floor two strings
+    can sit within distance k while sharing ZERO q-grams ("ab" vs "cd"
+    at k=2), and the gram equi-join would silently miss the pair — a
+    wrong-results class, not a perf knob. Strings shorter than
+    k·q + q are therefore EXCLUDED from matching on BOTH sides (callers
+    and the differential oracle apply the same floor; the registered
+    query's data clears it everywhere — part names are >= 7 chars vs a
+    floor of 6 at k=2, q=2). Equal-value pairs (distance 0) are
+    included.
     """
+    min_len = max_distance * q + q  # len - q + 1 > k*q  ⇔  len >= kq + q
     names = rel.select(
         F.col(key_col).alias("_k"), F.col(text_col).alias("_nm")
-    ).where(F.length(text_col) >= q)
+    ).where(F.length(text_col) >= min_len)
     dn = names.select("_nm").distinct()
 
     # distinct q-gram substrings per DISTINCT name

@@ -564,7 +564,8 @@ FUZZY_Q = 2  # q-gram width for the lossless candidate filter
     SELECT a.p_partkey AS key1, b.p_partkey AS key2,
            CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance
     FROM part a JOIN part b ON a.p_partkey < b.p_partkey
-    WHERE length(a.p_name) >= {FUZZY_Q} AND length(b.p_name) >= {FUZZY_Q}
+    WHERE length(a.p_name) >= {FUZZY_MAX_ED * FUZZY_Q + FUZZY_Q}
+      AND length(b.p_name) >= {FUZZY_MAX_ED * FUZZY_Q + FUZZY_Q}
       AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_ED}
     """,
     tags=("tier1", "join", "fuzzy"),

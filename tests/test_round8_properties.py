@@ -1,0 +1,59 @@
+"""Hypothesis property tests for the round-8 operators — independent
+pure-Python references over random inputs (the non-mirrored layer; see
+test_round7_properties.py's header for the rationale)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _lev(a: str, b: str) -> int:
+    """Textbook Wagner–Fischer — the third, independent implementation
+    (Spark uses Commons Lang, DuckDB its own)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+# tiny alphabet + short strings around the completeness floor (6 chars
+# at k=2/q=2) — the regime where the gram filter's losslessness is
+# easiest to break and gram collisions are densest; includes repetitive
+# strings ("aaaaaa") whose DISTINCT gram count is far below their
+# positional gram count, the case the completeness argument must not
+# depend on
+_name = st.text(alphabet="ab", min_size=6, max_size=9)
+_names = st.lists(_name, min_size=2, max_size=8)
+
+
+@given(_names)
+@settings(
+    max_examples=12, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_fuzzy_join_lossless_on_random_strings(spark, names):
+    """fuzzy_self_join == naive all-pairs Wagner–Fischer on random
+    dense-collision strings at the completeness floor: the gram-count
+    filter must drop NO true pair and the verify must add none."""
+    from mapreduce__spark.operators.fuzzy import fuzzy_self_join
+
+    rows = [(i, nm) for i, nm in enumerate(names)]
+    df = spark.createDataFrame(rows, "id bigint, nm string")
+    got = {
+        (r.key1, r.key2, r.edit_distance)
+        for r in fuzzy_self_join(df, "id", "nm", 2, q=2).collect()
+    }
+    want = {
+        (i, j, _lev(a, b))
+        for i, a in rows
+        for j, b in rows
+        if i < j and _lev(a, b) <= 2
+    }
+    assert got == want
