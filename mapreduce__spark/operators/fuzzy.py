@@ -67,7 +67,17 @@ def fuzzy_self_join(
     names = rel.select(
         F.col(key_col).alias("_k"), F.col(text_col).alias("_nm")
     ).where(F.length(text_col) >= min_len)
-    dn = names.select("_nm").distinct()
+    # Materialize the distinct domain ONCE: five plan subtrees consume it
+    # (both gram sides, both size lookups, the equal-value pairs), and
+    # without the checkpoint each re-runs the corpus scan + distinct
+    # shuffle (measured 7 FileScans, 0 reused exchanges). The domain is
+    # small by this operator's premise — that is what makes the
+    # distinct-domain reduction worth doing at all — so the
+    # materialization is |D|-sized, never corpus-sized. The two
+    # key-expansion scans below intentionally stay on `names` (a probe
+    # of the corpus scan by the broadcast name-pair table beats
+    # materializing corpus-sized rows).
+    dn = names.select("_nm").distinct().localCheckpoint(eager=True)
 
     # distinct q-gram substrings per DISTINCT name
     grams = dn.select(
