@@ -88,6 +88,85 @@ def propagate_mass(
     return mass
 
 
+def count_triangles(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge
+    list (each pair once, any orientation, no self-loops). Returns
+    ``(node, n_triangles)`` for every node in at least one triangle;
+    each triangle {x,y,z} contributes 1 to all three nodes.
+
+    Algorithm: degree-ordered edge orientation (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11).
+    Every edge is directed from its lower endpoint to its higher under
+    the total order (degree, id); wedges (pairs of out-neighbors) are
+    generated at their apex and closed against the oriented edge list.
+    A triangle has exactly one vertex with out-edges to the other two
+    under a total order, so each is found exactly once — no /3 or /6
+    correction, which keeps the count exactly oracle-checkable.
+
+    Scale (the reason for DEGREE order, not id order): wedges form at
+    the (degree,id)-LOWEST endpoint of each edge, so a hub of degree d
+    never becomes an apex for its d^2 neighbor pairs unless every
+    neighbor out-ranks it; total wedge count is bounded by O(m^{3/2})
+    on any graph, vs Σ d(v)^2 — quadratic in the hub degree — for the
+    naive apex-at-every-vertex form (the "last reducer" that strands a
+    single task with the celebrity node's pairs). Both the wedge join
+    and the closing join are EQUI-joins: the closing pair (cx, cy) is
+    canonicalized by the same (degree, id) order the orientation uses,
+    so the closing edge can only be stored as cx→cy — a theta/OR join
+    here (measured) is the difference between seconds and hours. The
+    oriented edge list is materialized once (narrow: two ids + one
+    degree) and reused by both joins.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    j = e.join(du, "u").join(dv, "v")
+    u_lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = j.select(
+        F.when(u_lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+        # degree of the HIGHER endpoint rides along so the wedge pair
+        # below canonicalizes without re-joining the degree table
+        F.when(u_lower, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    ).localCheckpoint(eager=True)
+    a, b = o.alias("a"), o.alias("b")
+    t_lower = (F.col("a.dt") < F.col("b.dt")) | (
+        (F.col("a.dt") == F.col("b.dt")) & (F.col("a.t") < F.col("b.t"))
+    )
+    wedges = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.t") < F.col("b.t")))
+        .select(
+            F.col("a.s").alias("apex"),
+            F.when(t_lower, F.col("a.t")).otherwise(F.col("b.t")).alias("cx"),
+            F.when(t_lower, F.col("b.t")).otherwise(F.col("a.t")).alias("cy"),
+        )
+    )
+    tri = wedges.join(
+        o, (wedges["cx"] == o["s"]) & (wedges["cy"] == o["t"])
+    ).select("apex", "cx", "cy")
+    nodes = (
+        tri.select(F.col("apex").alias("node"))
+        .unionAll(tri.select(F.col("cx").alias("node")))
+        .unionAll(tri.select(F.col("cy").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id1",

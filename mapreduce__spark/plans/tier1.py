@@ -1714,6 +1714,143 @@ def graph_mass_propagation_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_triangles",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+        ) GROUP BY node
+    ), o AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dt
+        FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ), w AS (
+        SELECT a.s AS apex,
+               CASE WHEN (a.dt, a.t) < (b.dt, b.t) THEN a.t ELSE b.t END AS cx,
+               CASE WHEN (a.dt, a.t) < (b.dt, b.t) THEN b.t ELSE a.t END AS cy
+        FROM o a JOIN o b ON a.s = b.s AND a.t < b.t
+    ), tri AS (
+        SELECT w.apex, w.cx, w.cy FROM w JOIN o ON o.s = w.cx AND o.t = w.cy
+    ), n AS (
+        SELECT apex AS node FROM tri
+        UNION ALL SELECT cx AS node FROM tri
+        UNION ALL SELECT cy AS node FROM tri
+    )
+    SELECT node AS part_key, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM n GROUP BY node
+    """,
+    tags=("tier1", "graph"),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph (parts
+    are adjacent when some order contains both): the local clustering
+    signal behind "customers who bought X and Y also bought Z", and the
+    classic graph statistic whose naive MapReduce form melts down on hub
+    nodes. Degree-ordered orientation (Suri & Vassilvitskii, WWW'11)
+    finds each triangle exactly once at its (degree,id)-lowest vertex —
+    see operators/graph.py count_triangles for the O(m^{3/2}) wedge
+    bound and why BOTH joins are equi-joins (the closing pair is
+    canonicalized in the same total order the orientation uses; the
+    OR-form closure measured minutes-vs-seconds even at sf0.01). The
+    oracle unrolls the identical orientation in SQL — exact integer
+    counts, no /3 correction to drift."""
+    from mapreduce__spark.operators.graph import count_triangles
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    return count_triangles(edges).select(
+        F.col("node").alias("part_key"), "n_triangles"
+    )
+
+
+@query(
+    "skyline_pareto",
+    oracle="""
+    SELECT y.p_partkey, y.p_retailprice, y.p_size
+    FROM part y
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part x
+        WHERE x.p_retailprice <= y.p_retailprice
+          AND x.p_size <= y.p_size
+          AND (x.p_retailprice < y.p_retailprice OR x.p_size < y.p_size)
+    )
+    """,
+    tags=("tier1", "window", "skyline"),
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts minimizing retail price
+    AND size: a part survives iff no other part is <= on both
+    dimensions and < on at least one. Equal (price, size) twins do not
+    dominate each other — both stay (the standard skyline convention).
+
+    Algorithm: the sort-filter skyline, two-phase. Phase 1 prunes
+    LOCALLY — rows are hash-bucketed and each bucket keeps only its own
+    frontier via one windowed running-min (sorted by (price, size),
+    a row survives iff every earlier row in its bucket has strictly
+    larger size; on distinct pairs, an earlier row with size <= current
+    always dominates). Skylines compose (the global frontier is a
+    subset of the union of any partitioning's local frontiers), so
+    phase 2 re-runs the identical filter UNpartitioned over the
+    surviving sliver. That unpartitioned window is the textbook
+    single-task smell — and here it is the design: phase 1 already cut
+    the corpus to near-frontier rows (sf0.01: 20k parts -> frontier 4),
+    so the global pass sorts thousands of rows, not billions; at 100 TB
+    the bucket count scales with the cluster and the merge input stays
+    tiny for any non-adversarial distribution. The oracle is the
+    NAIVE QUADRATIC dominance anti-join — a genuinely independent
+    algorithm, not the same plan replayed in SQL."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        # distinct (price, size) pairs carry the dominance structure;
+        # rows join back at the end so twins all survive together
+    )
+    pairs = p.select("p_retailprice", "p_size").distinct()
+
+    def frontier(df: DataFrame, part_cols: list[str]) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col("p_retailprice").asc(), F.col("p_size").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        m = F.min("p_size").over(w)
+        return df.withColumn("_m", m).where(
+            F.col("_m").isNull() | (F.col("_m") > F.col("p_size"))
+        )
+
+    local = frontier(
+        pairs.withColumn(
+            "_b", F.pmod(F.hash("p_retailprice", "p_size"), F.lit(32))
+        ),
+        ["_b"],
+    ).select("p_retailprice", "p_size")
+    sky = frontier(local, []).select("p_retailprice", "p_size")
+    return p.join(
+        F.broadcast(sky), ["p_retailprice", "p_size"]
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
+@query(
     "heavy_hitters_approx",
     oracle=None,  # approximate by design — containment of TRUE heavy
     # hitters is asserted in tests/test_operators.py

@@ -4758,3 +4758,185 @@ def source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_ref") == 0).cast("bigint").alias("is_new"),
         (F.col("n_cur") == 0).cast("bigint").alias("is_gone"),
     )
+
+
+INVIDX_DF_MIN = 2  # singleton postings carry no retrieval signal here
+INVIDX_DF_MAX = 40  # stop-gram elision: grams in more docs are noise
+
+
+@query(
+    "inverted_index",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (
+        SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+               toks[r.i + 1] || ' ' || toks[r.i + 2] AS gram
+        FROM t CROSS JOIN UNNEST(range(len(toks) - 1)) AS r(i)
+    ), p AS (
+        SELECT gram, doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+               array_to_string(list(pos ORDER BY pos), ',') AS positions
+        FROM b GROUP BY gram, doc_id
+    ), d AS (
+        SELECT gram, doc_id, n_occ, positions,
+               CAST(count(*) OVER (PARTITION BY gram) AS BIGINT) AS df
+        FROM p
+    )
+    SELECT gram, df, doc_id, n_occ, positions
+    FROM d WHERE df BETWEEN {INVIDX_DF_MIN} AND {INVIDX_DF_MAX}
+    """,
+    tags=("tier2", "text", "index"),
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index over word BIGRAMS — the next-word /
+    phrase index (Manning et al., IIR §2.4): for each kept gram, one
+    posting row per containing doc with its occurrence positions, plus
+    the gram's document frequency. The original MapReduce paper's
+    flagship example (term → sorted postings), built the Spark way.
+
+    Bigrams, not unigrams: the fixture corpus draws from a ~31-token
+    vocabulary, so every unigram is a stopword (df ≈ ndocs) and a
+    unigram index is all noise; the ~900-gram bigram space has a real
+    df distribution. Grams in fewer than INVIDX_DF_MIN docs are
+    dropped (no retrieval signal), grams in more than INVIDX_DF_MAX
+    are elided (stop-posting elision — the classic Zipf guard: a hub
+    gram's posting list is corpus-proportional, and capping df bounds
+    every downstream phrase-intersection at O(cap), the same reason
+    Lucene marks stopwords).
+
+    Plan shape: bigrams form SCAN-SIDE via zip_with over the token
+    array (no self-join, no shuffle to pair adjacent tokens); the only
+    wide exchanges are the (gram, doc) aggregate — partial-combined,
+    positions bounded by doc length — and the window that counts df
+    over the already-collapsed posting rows (|grams x docs| input, not
+    corpus tokens). Postings output flattened one row per (gram, doc)
+    with positions serialized to one CSV scalar (arrays are unhashable
+    in a pandas-based canonicalizer — the grouped_collect_sorted
+    convention): relationally identical to the nested form."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                "         slice(toks, 2, greatest(size(toks) - 1, 0)),"
+                "         (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("pos", "gram"),
+    )
+    postings = grams.groupBy("gram", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.col("pos").cast("bigint"))),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("positions"),
+    )
+    w = Window.partitionBy("gram")
+    return (
+        postings.withColumn(
+            "df", F.count(F.lit(1)).over(w).cast("bigint")
+        )
+        .where(F.col("df").between(INVIDX_DF_MIN, INVIDX_DF_MAX))
+        .select("gram", "df", "doc_id", "n_occ", "positions")
+    )
+
+
+@query(
+    "data_quality_audit",
+    oracle="""
+    WITH ck AS (SELECT DISTINCT c_custkey FROM customer),
+    j AS (
+        SELECT o.*, ck.c_custkey AS ck_present
+        FROM orders o LEFT JOIN ck ON o.o_custkey = ck.c_custkey
+    ), m AS (
+        SELECT
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_unique,
+          CAST(coalesce(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_complete,
+          CAST(coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_range,
+          CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_domain,
+          CAST(coalesce(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_format,
+          CAST(coalesce(sum(CASE WHEN ck_present IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_ri
+        FROM j
+    )
+    SELECT c.constraint_name, m.n_rows AS n_checked, c.n_violations,
+           c.n_violations = 0 AS passed
+    FROM m, LATERAL (VALUES
+        ('uniqueness:o_orderkey',           m.v_unique),
+        ('completeness:o_orderdate',        m.v_complete),
+        ('range:o_totalprice>0',            m.v_range),
+        ('domain:o_orderstatus in (O,F)',   m.v_domain),
+        ('format:o_orderpriority ~ ^[1-5]-', m.v_format),
+        ('ri:o_custkey in customer',        m.v_ri)
+    ) AS c(constraint_name, n_violations)
+    """,
+    tags=("tier2", "quality", "audit"),
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ/AWS
+    "unit tests for data" shape): six constraints — key uniqueness,
+    completeness, numeric range, value domain, regex format, and
+    referential integrity against the customer dimension — verified in
+    ONE pass and reported as one row per constraint with exact checked
+    and violation counts. The declared status domain is {'O','F'}, so
+    the fixture's 'P' (pending) rows exercise the REAL failing branch:
+    the audit output carries a genuine passed=false row, not just a
+    wall of greens.
+
+    Plan shape: every row-level constraint folds into a single
+    conditional aggregate over a single orders scan; referential
+    integrity rides the SAME scan as a left join against the distinct
+    customer keys (dimension-sized, AQE broadcasts it at this scale;
+    at warehouse scale it degrades gracefully to a shuffle join or a
+    bloom pre-filter). The only other exchange is the exact-uniqueness
+    count-distinct — the one constraint that fundamentally needs a
+    shuffle on the key; a 100 TB profile would screen with
+    approx_count_distinct first and pay the exact pass only on
+    suspected-dirty keys. The long-form report is a driver-free
+    stack() over the one aggregate row."""
+    o = load_table(spark, sf_dir, "orders")
+    ck = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"))
+        .distinct()
+        .withColumn("_ck_present", F.lit(1))
+    )
+    j = o.join(ck, "o_custkey", "left")
+    # coalesce: a global aggregate over an EMPTY orders table yields
+    # NULL sums — an empty table passes every check, it doesn't NULL them
+    viol = lambda cond: (  # noqa: E731
+        F.coalesce(F.sum(cond.cast("bigint")), F.lit(0)).cast("bigint")
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("v_unique"),
+        viol(F.col("o_orderdate").isNull()).alias("v_complete"),
+        viol(F.col("o_totalprice") <= 0).alias("v_range"),
+        viol(~F.col("o_orderstatus").isin("O", "F")).alias("v_domain"),
+        viol(~F.col("o_orderpriority").rlike("^[1-5]-")).alias("v_format"),
+        viol(F.col("_ck_present").isNull()).alias("v_ri"),
+    )
+    stacked = m.select(
+        F.col("n_rows").alias("n_checked"),
+        F.expr(
+            "stack(6,"
+            " 'uniqueness:o_orderkey',            v_unique,"
+            " 'completeness:o_orderdate',         v_complete,"
+            " 'range:o_totalprice>0',             v_range,"
+            " 'domain:o_orderstatus in (O,F)',    v_domain,"
+            " 'format:o_orderpriority ~ ^[1-5]-', v_format,"
+            " 'ri:o_custkey in customer',         v_ri"
+            ") AS (constraint_name, n_violations)"
+        ),
+    )
+    return stacked.select(
+        "constraint_name",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -47,6 +47,10 @@ PROBE = [
     "snapshot_diff_cdc",
     "incremental_agg_cdc",
     "source_drift_chi2",
+    # round-8 additions
+    "graph_triangles",
+    "skyline_pareto",
+    "inverted_index",
 ]
 
 
@@ -74,6 +78,18 @@ def empty_sf(spark, tmp_path_factory) -> str:
         "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, "
         "c_mktsegment string",
     ).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [],
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(f"{d}/part.parquet")
     return d
 
 

@@ -120,3 +120,80 @@ def test_driver_path_widens_mixed_key_types(spark):
     assert dict(out.dtypes) == {"node": "bigint", "component": "bigint"}
     got = {(r.node, r.component) for r in out.collect()}
     assert got == {(1, 1), (big, 1), (2, 2), (3, 2)}
+
+
+# ---------------------------------------------------------------- triangles
+
+
+from itertools import combinations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mapreduce__spark.operators.graph import count_triangles
+
+
+def tri_dict(spark, edges):
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    return {r.node: r.n_triangles for r in count_triangles(df).collect()}
+
+
+def brute_triangles(edges):
+    """Per-node triangle counts by enumerating all node triples."""
+    adj = {frozenset(e) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in adj for n in e})
+    counts: dict = {}
+    for a, b, c in combinations(nodes, 3):
+        if (
+            frozenset((a, b)) in adj
+            and frozenset((a, c)) in adj
+            and frozenset((b, c)) in adj
+        ):
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_k4_every_node_in_three_triangles(spark):
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert tri_dict(spark, edges) == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_path_graph_has_no_triangles(spark):
+    assert tri_dict(spark, [(1, 2), (2, 3), (3, 4)]) == {}
+
+
+def test_two_triangles_sharing_an_edge(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    assert tri_dict(spark, edges) == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangle_orientation_invariance(spark):
+    """Undirected semantics: flipping every input pair changes nothing."""
+    a = tri_dict(spark, [(1, 2), (2, 3), (3, 1)])
+    b = tri_dict(spark, [(2, 1), (3, 2), (1, 3)])
+    assert a == b == {1: 1, 2: 1, 3: 1}
+
+
+def test_hub_with_leaf_fan_has_no_triangles(spark):
+    """A star graph is all wedges and no closures — the exact shape the
+    degree orientation exists for (the hub never becomes an apex)."""
+    assert tri_dict(spark, [(0, i) for i in range(1, 9)]) == {}
+
+
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        min_size=0,
+        max_size=16,
+    )
+)
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_triangles_match_bruteforce(spark, edges):
+    """Property: on random <=8-node graphs the degree-oriented count
+    equals brute-force triple enumeration, per node."""
+    assert tri_dict(spark, sorted(edges)) == brute_triangles(edges)
