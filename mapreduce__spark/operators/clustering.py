@@ -80,6 +80,13 @@ def kmeans_assign(
         q.orderBy("vec_id").limit(k), k, "kmeans seed centroids"
     )
     centroids = [list(r.eq) for r in seeds]
+    if not centroids:
+        # 0-row corpus: no seeds, no clusters — empty result, same schema
+        return q.select(
+            "vec_id",
+            F.lit(None).cast("bigint").alias("cluster_id"),
+            F.lit(None).cast("bigint").alias("dist2"),
+        )
     dims = len(centroids[0])
     assert dims <= MAX_KMEANS_DIMS
 

@@ -4940,3 +4940,327 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+@query(
+    "phrase_search",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+        SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+               toks[r.i + 1] || ' ' || toks[r.i + 2] || ' ' || toks[r.i + 3]
+                   AS tri
+        FROM t CROSS JOIN UNNEST(range(len(toks) - 2)) AS r(i)
+    ),
+    top AS (SELECT tri FROM g GROUP BY tri ORDER BY count(*) DESC, tri LIMIT 1)
+    SELECT g.doc_id, g.pos, g.tri AS phrase FROM g JOIN top USING (tri)
+    """,
+    tags=("tier2", "text", "index"),
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query answered FROM THE POSITIONAL INDEX: every
+    occurrence (doc, start position) of a three-word phrase, found by
+    intersecting the positional postings of its two overlapping bigrams
+    on (doc_id, pos+1 == pos) — the classic IR positional-intersection
+    algorithm (Manning et al., IIR §2.4.2), the reason inverted_index
+    stores positions at all. The probe phrase is derived from the data
+    (the corpus's most frequent trigram, ties broken lexicographically)
+    so the query is deterministic at every sf; a deployment would take
+    the phrase as a parameter and probe a MATERIALIZED postings table —
+    an equality lookup on the gram key, partition-prunable when the
+    index is written bucketed/partitioned by gram, so the scan touches
+    two postings lists, never the corpus.
+
+    The oracle is a genuinely independent algorithm: a naive positional
+    trigram scan over every document (no index, no intersection) — the
+    two implementations share nothing but the tokenizer.
+
+    Plan shape: bigram postings form scan-side via zip_with (the
+    inverted_index idiom); the 1-row probe phrase rides a broadcast
+    crossJoin (no driver collect); the intersection is an equi-join on
+    (doc_id, pos). The probe derivation adds one trigram count over the
+    same scan — the price of self-contained determinism, not of the
+    algorithm."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+
+    tri_arr = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    probe = (
+        toks.select(F.explode(tri_arr).alias("tri"))
+        .groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tri")
+        .limit(1)
+        .select(
+            F.col("tri").alias("phrase"),
+            F.concat_ws(" ", F.slice(F.split("tri", " "), 1, 2)).alias("g1"),
+            F.concat_ws(" ", F.slice(F.split("tri", " "), 2, 2)).alias("g2"),
+        )
+    )
+
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                "         slice(toks, 2, greatest(size(toks) - 1, 0)),"
+                "         (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("pos", "gram"),
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "gram")
+
+    p1 = grams.join(F.broadcast(probe), grams["gram"] == probe["g1"]).select(
+        "doc_id", "pos", "phrase"
+    )
+    p2 = grams.join(
+        F.broadcast(probe.select("g2")), grams["gram"] == F.col("g2")
+    ).select(F.col("doc_id").alias("_d2"), F.col("pos").alias("_p2"))
+    return p1.join(
+        p2, (p1["doc_id"] == p2["_d2"]) & (p2["_p2"] == p1["pos"] + 1)
+    ).select("doc_id", "pos", "phrase")
+
+
+ZORDER_BITS = 8  # per-dimension resolution: 256 buckets per axis
+ZORDER_FILES = 64  # target file count; each file = a contiguous z-range
+
+
+def _interleave_sql(bx: str, by: str, bits: int) -> str:
+    """Morton/Z-value bit interleave as portable integer SQL: x takes the
+    even bit positions, y the odd ones."""
+    terms = []
+    for k in range(bits):
+        terms.append(f"((({bx} >> {k}) & 1) << {2 * k})")
+        terms.append(f"((({by} >> {k}) & 1) << {2 * k + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_layout",
+    oracle=f"""
+    WITH lims AS (
+        SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+               min(l_suppkey) AS mins, max(l_suppkey) AS maxs
+        FROM lineitem
+    ),
+    b AS (
+        SELECT ((l_partkey - minp) * {1 << ZORDER_BITS}) // (maxp - minp + 1)
+                   AS bx,
+               ((l_suppkey - mins) * {1 << ZORDER_BITS}) // (maxs - mins + 1)
+                   AS by,
+               l_partkey, l_suppkey
+        FROM lineitem, lims
+    ),
+    z AS (
+        SELECT l_partkey, l_suppkey,
+               ({_interleave_sql('bx', 'by', ZORDER_BITS)}) AS zval
+        FROM b
+    )
+    SELECT CAST((zval * {ZORDER_FILES}) // {1 << (2 * ZORDER_BITS)} AS BIGINT)
+               AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+           min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+    FROM z GROUP BY 1
+    """,
+    tags=("tier2", "layout", "scan"),
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout for multi-dimensional scan
+    pruning — the Delta/Iceberg OPTIMIZE ZORDER primitive: interleave
+    the bits of two clustering columns so that contiguous z-ranges are
+    small RECTANGLES in (l_partkey, l_suppkey) space, then report each
+    target file's zone map (row count + per-dimension min/max). A
+    lexicographic sort clusters only its leading column; the z-curve
+    keeps BOTH selective, so point/range predicates on either dimension
+    prune most files by their min/max stats alone — this query's output
+    IS that zone-map table, making the locality claim externally
+    checkable rather than asserted.
+
+    Everything is exact integer arithmetic: per-axis buckets are
+    ((x - min) * 256) floor-div (span + 1) over a 1-row broadcast
+    min/max aggregate (all values non-negative, so truncating and floor
+    division agree across engines), the z-value is an explicit 16-bit
+    interleave of shift/mask terms (generated once, identical text in
+    both dialects), and file assignment is a contiguous z-range split.
+
+    This is the ORACLE-CHECKED twin of operators/layout.py, which does
+    the real thing: write_zordered range-partitions on the z-value and
+    writes parquet whose per-file footer stats tests/test_zorder.py
+    measures for actual pruning power (that path rank-normalizes with
+    percent_rank for skew robustness — a windowed plan an exact SQL twin
+    can't pin; this query swaps in min/max scaling so the whole layout
+    computation hash-checks cross-engine). At warehouse scale the same
+    z-value feeds repartitionByRange + sortWithinPartitions before the
+    write, and the per-axis min/max come from column statistics instead
+    of a dedicated aggregate — the layout math is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    lims = li.agg(
+        F.min("l_partkey").alias("minp"),
+        F.max("l_partkey").alias("maxp"),
+        F.min("l_suppkey").alias("mins"),
+        F.max("l_suppkey").alias("maxs"),
+    )
+    b = li.crossJoin(F.broadcast(lims)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            f"((l_partkey - minp) * {1 << ZORDER_BITS})"
+            " div (maxp - minp + 1)"
+        ).alias("bx"),
+        F.expr(
+            f"((l_suppkey - mins) * {1 << ZORDER_BITS})"
+            " div (maxs - mins + 1)"
+        ).alias("by"),
+    )
+    # the interleave text is generated ONCE and shared with the oracle —
+    # the same declared-verbatim policy as the PII regexes: the bit
+    # interleave is definitional, so a transcription drift between
+    # dialects would be noise, not independence
+    z = b.select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            f"(({_interleave_sql('bx', 'by', ZORDER_BITS)}) * {ZORDER_FILES})"
+            f" div {1 << (2 * ZORDER_BITS)}"
+        )
+        .cast("bigint")
+        .alias("file_id"),
+    )
+    return z.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("l_partkey").alias("min_part"),
+        F.max("l_partkey").alias("max_part"),
+        F.min("l_suppkey").alias("min_supp"),
+        F.max("l_suppkey").alias("max_supp"),
+    )
+
+
+# tau^2 as an exact rational: cosine threshold 0.4 -> tau^2 = 4/25. The
+# comparison 25*dot^2 >= 4*naa*nbb (with dot > 0) is then pure integer
+# arithmetic — no sqrt, no float, no rounding to diverge cross-engine.
+SEMDEDUP_TAU2_NUM = 4
+SEMDEDUP_TAU2_DEN = 25
+
+
+def _semantic_dedup_oracle() -> str:
+    from mapreduce__spark.operators.clustering import QUANT_SCALE
+
+    dims = KMEANS_DIMS
+    return f"""
+    WITH v AS (
+      SELECT b.vec_id, b.cluster_id, s.sq,
+             CAST(list_sum(list_transform(s.sq, x -> x * x)) AS BIGINT) AS n2
+      FROM ({_kmeans_oracle(KMEANS_K, KMEANS_ITERS, dims)}) b
+      JOIN (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)
+               ) AS sq
+        FROM embeddings
+      ) s USING (vec_id)
+    ),
+    pairs AS (
+      SELECT a.vec_id,
+             CAST(list_sum(list_transform(range(1, {dims + 1}),
+                    i -> a.sq[i] * b.sq[i])) AS BIGINT) AS dot,
+             a.n2 AS na, b.n2 AS nb
+      FROM v a JOIN v b
+        ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+    ),
+    dups AS (
+      SELECT DISTINCT vec_id FROM pairs
+      WHERE dot > 0
+        AND {SEMDEDUP_TAU2_DEN} * (dot::HUGEINT * dot::HUGEINT)
+            >= {SEMDEDUP_TAU2_NUM} * (na::HUGEINT * nb::HUGEINT)
+    )
+    SELECT v.vec_id, v.cluster_id, d.vec_id IS NULL AS is_kept
+    FROM v LEFT JOIN dups d ON v.vec_id = d.vec_id
+    """
+
+
+@query(
+    "semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    tags=("tier2", "dedup", "similarity", "clustering"),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning the
+    way LLM data pipelines actually run it at scale — cluster the
+    embedding space first, then compare pairs ONLY within a cluster, so
+    the pair space is n^2/k instead of n^2 and grows linearly when k
+    scales with the corpus. Declared one-pass keep rule: a vector is
+    removed iff SOME lower-id vector in its cluster sits within cosine
+    tau of it (every removal carries an explicit witness; unlike the
+    connected-components dedup_clusters, no transitive chaining across
+    sub-threshold hops). Output is (vec_id, cluster_id, is_kept) for
+    the whole corpus.
+
+    Everything is exact: clusters come from the deterministic integer
+    k-means (kmeans_embeddings), vectors quantize to int64 micro-units
+    via floor (NO offset here — cosine is not translation-invariant,
+    and dot products of signed micro-units are still exact: |dot| <=
+    64 * 1e12 < 2^63), and the threshold test squares away the sqrt:
+    cos >= tau  <=>  dot > 0 AND den*dot^2 >= num*naa*nbb with
+    tau^2 = num/den — evaluated in DECIMAL(38,0) on the Spark side and
+    HUGEINT in the oracle, both exact at <= 1.1e29.
+
+    Scale shape: one corpus scan for quantization + norms, the k-means
+    assignment's broadcast-centroid scan, then a self-join partitioned
+    by cluster_id — repartitioning both sides on cluster_id co-locates
+    every comparison, and no row ever pairs outside its cluster. The
+    64-element int arrays ride the shuffle once; dots run in codegen
+    via zip_with/aggregate, no UDF."""
+    from mapreduce__spark.operators.clustering import QUANT_SCALE, kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = kmeans_assign(emb, KMEANS_K, KMEANS_ITERS)
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("bigint"),
+        ).alias("sq"),
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.zip_with("sq", "sq", lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    v = base.select("vec_id", "cluster_id").join(q, "vec_id")
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.sq"), F.col("b.sq"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dec = "decimal(38,0)"
+    close = (dot > 0) & (
+        F.lit(SEMDEDUP_TAU2_DEN).cast(dec) * dot.cast(dec) * dot.cast(dec)
+        >= F.lit(SEMDEDUP_TAU2_NUM).cast(dec)
+        * F.col("a.n2").cast(dec)
+        * F.col("b.n2").cast(dec)
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .where(close)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return v.join(dups, "vec_id", "left").select(
+        "vec_id", "cluster_id", F.col("_dup").isNull().alias("is_kept")
+    )

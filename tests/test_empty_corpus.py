@@ -51,6 +51,10 @@ PROBE = [
     "graph_triangles",
     "skyline_pareto",
     "inverted_index",
+    "phrase_search",
+    "zorder_layout",
+    "kmeans_embeddings",
+    "semantic_dedup",
 ]
 
 

@@ -33,10 +33,12 @@ ROWS_ONLY = {
     "bpe_encode",
 }
 
-# Round-8 rotation: every 0/1/2-attestation query fits this round, so
-# nothing is deferred. Kept (empty) because the policy test still
-# enforces "doubles that don't fit must be explicitly deferred".
-DEFERRED_DOUBLES: set[str] = set()
+# Round-8 rotation: the three latest round-8 additions (phrase_search,
+# zorder_layout, semantic_dedup) displaced the last triple filler and
+# two doubles. The two most basic tier-0 paths — untouched since round 1
+# and still bit-exact-gated by test_oracle.py every pytest run — wait
+# for round 9.
+DEFERRED_DOUBLES: set[str] = {"scan_project", "filter_predicates"}
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
 # driver rows — their prior attestations describe the old code, so they
@@ -50,16 +52,12 @@ CHANGED_CODE_REATTEST = {
     "dedup_incremental",
 }
 
-# Round-8 slack: after every <=2-attested query, the round-8 additions
-# and the changed-code set, 1 slot remains (the late round-8 additions —
-# graph_triangles, skyline_pareto, inverted_index, data_quality_audit —
-# claimed four of the original five). It holds an exactly-3-attested
-# BENCH-HEADLINE query: the externally-timed paths should also carry the
-# deepest external correctness record. Counts asserted in
-# test_window_prioritizes_low_attestation.
-TRIPLE_FILLERS = {
-    "training_data_pipeline",
-}
+# Round-8 slack: none left. The late round-8 additions (graph_triangles,
+# skyline_pareto, inverted_index, data_quality_audit, then phrase_search,
+# zorder_layout, semantic_dedup) consumed all five original filler slots
+# and displaced two doubles into DEFERRED_DOUBLES. Kept (empty) because
+# the policy test still enforces the filler bookkeeping shape.
+TRIPLE_FILLERS: set[str] = set()
 
 
 # The round whose CORRECTNESS files informed the CURRENT window. The
