@@ -123,6 +123,15 @@ BENCH_QUERIES = [
     "dedup_containment_chunks",  # chunk ⋈ stride-1-window span join: the
                                  # linear containment path (round 8;
                                  # deltas start r8)
+    "graph_triangles",     # degree-ordered wedge + closure equi-joins:
+                           # the O(m^1.5) graph self-join representative
+                           # (round 8; deltas start r8)
+    "inverted_index",      # scan-side postings build + df window: the
+                           # widest (gram, doc) text shuffle (round 8;
+                           # deltas start r8)
+    "semantic_dedup",      # k-means + cluster-scoped int-exact pair
+                           # join: the embedding-dedup representative
+                           # (round 8; deltas start r8)
 ]
 
 

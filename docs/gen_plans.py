@@ -46,6 +46,19 @@ NAMES = [
     # round 8: the fuzzy join's skeleton is evidence for the
     # distinct-domain + gram-filter claim (no corpus cross join)
     "fuzzy_join_parts",
+    # round 8 late additions: skeletons back SCALE.md entries 25-31 —
+    # the two equi-joins of the oriented triangle count, the bucketed
+    # local skyline + sliver-sized global window, the scan-side postings
+    # build, the single-scan quality audit, the postings-probe phrase
+    # intersection, the zone-map aggregate, and the cluster-scoped
+    # SemDeDup pair join
+    "graph_triangles",
+    "skyline_pareto",
+    "inverted_index",
+    "data_quality_audit",
+    "phrase_search",
+    "zorder_layout",
+    "semantic_dedup",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",

@@ -347,3 +347,85 @@ def test_snapshot_diff_single_full_outer_smj(spark, sf_small):
     assert "FullOuter" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_graph_triangles_joins_are_equi(spark, sf_small):
+    """Both the wedge join and the triangle-closing join must plan as
+    equi-joins (the canonical pair ordering makes the closure an
+    equality probe) — a BroadcastNestedLoopJoin or cartesian here is
+    the OR-form closure that measured minutes-vs-seconds even at
+    sf0.01."""
+    from mapreduce__spark.plans.tier1 import graph_triangles
+
+    plan = physical(graph_triangles(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_skyline_two_phase_window_shape(spark, sf_small):
+    """Phase 1 must be the bucketed (partitioned) window and phase 2
+    the single global re-filter: exactly one unpartitioned-window
+    exchange (the sliver-sized merge), never a quadratic join."""
+    from mapreduce__spark.plans.tier1 import skyline_pareto
+
+    plan = physical(skyline_pareto(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # two Window operators total: per-bucket local, then global
+    assert plan.count("RunningWindowFunction") <= 2, plan
+    assert "SinglePartition" in plan, plan  # the phase-2 merge exists
+
+
+def test_inverted_index_single_scan_no_self_join(spark, sf_small):
+    """Bigrams form scan-side via zip_with: one documents FileScan, no
+    join anywhere in the plan (the naive adjacent-token pairing is a
+    doc_id self-join)."""
+    from mapreduce__spark.plans.tier2 import inverted_index
+
+    plan = physical(inverted_index(spark, sf_small))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_data_quality_audit_single_scan_each_table(spark, sf_small):
+    """All six constraints fold into one conditional aggregate: exactly
+    one orders scan and one customer scan; the report unpivot is a
+    stack() over the single aggregate row, not a per-constraint pass."""
+    from mapreduce__spark.plans.tier2 import data_quality_audit
+
+    plan = physical(data_quality_audit(spark, sf_small))
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_phrase_search_intersection_is_equi_join(spark, sf_small):
+    """The postings intersection must plan as equality joins (gram
+    probe + (doc_id, pos) intersection) — no nested-loop fallback."""
+    from mapreduce__spark.plans.tier2 import phrase_search
+
+    plan = physical(phrase_search(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_zorder_layout_no_window_no_join(spark, sf_small):
+    """The layout math is scan-stage arithmetic over a 1-row broadcast
+    min/max aggregate: no Window operator (the write path's
+    percent_rank funnel is exactly what this query avoids) and no
+    wide join."""
+    from mapreduce__spark.plans.tier2 import zorder_layout
+
+    plan = physical(zorder_layout(spark, sf_small))
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_semantic_dedup_pair_join_is_cluster_equi(spark, sf_small):
+    """The SemDeDup pair join must key on cluster_id (equi) — a
+    cartesian or nested-loop here is the n^2 all-pairs shape the
+    clustering exists to avoid."""
+    from mapreduce__spark.plans.tier2 import semantic_dedup
+
+    plan = physical(semantic_dedup(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
