@@ -87,26 +87,30 @@ def kmeans_assign(
             F.lit(None).cast("bigint").alias("cluster_id"),
             F.lit(None).cast("bigint").alias("dist2"),
         )
+    # fewer vectors than k: every vector seeds its own cluster — the SQL
+    # twin's LIMIT k yields the same truncation, so semantics stay shared
+    k = min(k, len(centroids))
     dims = len(centroids[0])
     assert dims <= MAX_KMEANS_DIMS
 
     def assign(df: DataFrame) -> DataFrame:
-        cands = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            "eq",
-                            F.array(*[F.lit(v) for v in centroids[j]]),
-                            lambda x, y: (x - y) * (x - y),
-                        ),
-                        F.lit(0).cast("bigint"),
-                        lambda acc, v: acc + v,
-                    ).alias("d"),
-                    F.lit(j).cast("bigint").alias("cid"),
-                )
-                for j in range(k)
-            ]
+        # ONE nested array literal + indexed transform, not k expanded
+        # struct branches: the expression tree is constant-size in k and
+        # d, so Catalyst analysis/codegen stops growing with the
+        # centroid table (at k=16, d=64 the expanded-literal form spent
+        # more wall time ANALYZING the 1024-literal plan per iteration
+        # than executing it). Runtime work is identical — the literal is
+        # still a plan constant evaluated in the scan stage.
+        cands = F.transform(
+            F.lit(centroids).cast("array<array<bigint>>"),
+            lambda c, j: F.struct(
+                F.aggregate(
+                    F.zip_with("eq", c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                j.cast("bigint").alias("cid"),
+            ),
         )
         best = F.array_min(cands)
         return df.select(

@@ -839,3 +839,91 @@ def simhash_fingerprint(docs: DataFrame, bits: int = 32) -> DataFrame:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two long fingerprints via bit_count(xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering — the
+    exact counterpart of the LSH scale path (AllPairs, Bayardo et al.
+    WWW'07; prefix principle per PPJoin, Xiao et al. WWW'08): identical
+    output to `exact_jaccard_pairs` at threshold t = t_num/t_den,
+    WITHOUT the full gram self-join.
+
+    Prefix principle: fix any total order over grams; if
+    J(A, B) >= t then their intersection has at least
+    ceil(t/(1+t) * (|A|+|B|)) >= ceil(t*|A|) elements, so the first
+    |A| - ceil(t*|A|) + 1 grams of A (in that order) and the first
+    |B| - ceil(t*|B|) + 1 grams of B cannot both miss it — every
+    qualifying pair shares a PREFIX gram. Ordering by ascending
+    document frequency makes prefixes the RAREST grams of each doc, so
+    prefix postings are short and the candidate join touches pairs that
+    share rare content, not pairs that share stopword grams. Exact
+    intersection counts are then recomputed for candidates only (the
+    incremental-dedup idiom) — losslessness is a theorem, not a recall
+    target, and is property-tested against the quadratic form.
+
+    Scale shape: one gram scan, one V-row document-frequency aggregate,
+    one per-doc (partitioned) window to take prefixes, a candidate
+    equi-join on prefix grams, and a candidate-restricted intersection
+    recount. No global window, no corpus self-join. Skew hazard: a
+    boilerplate gram that is simultaneously FREQUENT and still inside
+    many docs' prefixes (only possible when docs are near-duplicates of
+    each other en masse) — the `_cap_hot_buckets` class; corpora with
+    that shape run exact dedup / boilerplate_removal first.
+
+    Returns (id1, id2, n_common, size_a, size_b) — exact BIGINTs only
+    (the registry's rounding policy: no derived float ratios in hashed
+    output); J >= t_num/t_den is enforced as
+    (t_den + t_num) * n_common >= t_num * (size_a + size_b).
+    """
+    from pyspark.sql.window import Window
+
+    grams = _doc_grams(docs)
+    sizes = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    dfreq = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gram_df")
+    )
+    # ceil(t*n) = (t_num*n + t_den - 1) div t_den — integer, exact
+    ceil_tn = F.expr(f"({t_num} * sz + {t_den} - 1) div {t_den}")
+    w = Window.partitionBy("doc_id").orderBy("gram_df", "gram")
+    prefix = (
+        grams.join(dfreq, "gram")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("sz") - ceil_tn + F.lit(1))
+        .select("doc_id", "gram")
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cands = (
+        pa.join(
+            pb,
+            (F.col("pa.gram") == F.col("pb.gram"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("id1"), F.col("pb.doc_id").alias("id2")
+        )
+        .distinct()
+    )
+    ga = grams.select(F.col("doc_id").alias("id1"), "gram")
+    gb = grams.select(F.col("doc_id").alias("id2"), "gram")
+    common = (
+        cands.join(ga, "id1")
+        .join(gb, ["id2", "gram"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("size_a"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("size_b"))
+    return (
+        common.join(s1, "id1")
+        .join(s2, "id2")
+        .where(
+            F.lit(t_den + t_num) * F.col("n_common")
+            >= F.lit(t_num) * (F.col("size_a") + F.col("size_b"))
+        )
+        .select("id1", "id2", "n_common", "size_a", "size_b")
+    )

@@ -5148,6 +5148,11 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arithmetic — no sqrt, no float, no rounding to diverge cross-engine.
 SEMDEDUP_TAU2_NUM = 4
 SEMDEDUP_TAU2_DEN = 25
+# SemDeDup's own k, larger than the topic-clustering query's 4: the
+# pair space is n^2/k, so k is the scale knob — it grows with the
+# corpus, and the oracle is generated for whatever k says (the unrolled
+# CTEs are k-independent long-form).
+SEMDEDUP_K = 16
 
 
 def _semantic_dedup_oracle() -> str:
@@ -5158,7 +5163,7 @@ def _semantic_dedup_oracle() -> str:
     WITH v AS (
       SELECT b.vec_id, b.cluster_id, s.sq,
              CAST(list_sum(list_transform(s.sq, x -> x * x)) AS BIGINT) AS n2
-      FROM ({_kmeans_oracle(KMEANS_K, KMEANS_ITERS, dims)}) b
+      FROM ({_kmeans_oracle(SEMDEDUP_K, KMEANS_ITERS, dims)}) b
       JOIN (
         SELECT vec_id,
                list_transform(embedding,
@@ -5221,7 +5226,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce__spark.operators.clustering import QUANT_SCALE, kmeans_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base = kmeans_assign(emb, KMEANS_K, KMEANS_ITERS)
+    base = kmeans_assign(emb, SEMDEDUP_K, KMEANS_ITERS)
     q = emb.select(
         "vec_id",
         F.transform(
@@ -5263,4 +5268,58 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return v.join(dups, "vec_id", "left").select(
         "vec_id", "cluster_id", F.col("_dup").isNull().alias("is_kept")
+    )
+
+
+# Jaccard threshold as an exact rational (0.8 = 4/5): the verify
+# comparison (den+num)*common >= num*(size_a+size_b) is pure integers.
+SETSIM_T_NUM = 4
+SETSIM_T_DEN = 5
+
+
+@query(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(range(1, len(toks) - 1),
+                           i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+        FROM t
+    ), sz AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(count(*) AS BIGINT) AS c
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2, c AS n_common, s1.n AS size_a, s2.n AS size_b
+    FROM common
+    JOIN sz s1 ON common.id1 = s1.doc_id
+    JOIN sz s2 ON common.id2 = s2.doc_id
+    WHERE {SETSIM_T_DEN + SETSIM_T_NUM} * c
+          >= {SETSIM_T_NUM} * (s1.n + s2.n)
+    """,
+    tags=("tier2", "dedup", "join"),
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.8 near-dup pairs WITHOUT the quadratic gram
+    self-join: prefix filtering (AllPairs / PPJoin) — the exact scale
+    path that completes the dedup triad (dedup_jaccard_exact = the
+    quadratic oracle baseline, dedup_lsh_minhash = the approximate
+    path, this = exact AND bucketed). Grams are totally ordered by
+    (document frequency, gram); every qualifying pair provably shares a
+    gram in the rarest |d| - ceil(t|d|) + 1 prefix of BOTH docs (the
+    two-sided prefix lemma — losslessness is a theorem, property-tested
+    against the quadratic form in tests), so the candidate join runs on
+    short rare-gram postings and the exact intersection is recounted
+    for candidates only. Output is exact integers (n_common, sizes);
+    J >= 4/5 enforced as 9*n_common >= 4*(size_a+size_b). The oracle is
+    the genuinely different algorithm: the full quadratic gram join."""
+    from mapreduce__spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), SETSIM_T_NUM, SETSIM_T_DEN
     )

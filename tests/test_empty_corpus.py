@@ -55,6 +55,7 @@ PROBE = [
     "zorder_layout",
     "kmeans_embeddings",
     "semantic_dedup",
+    "dedup_jaccard_prefix",
 ]
 
 

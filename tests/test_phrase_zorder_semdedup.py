@@ -5,8 +5,6 @@ vectors removed, orthogonal survivors kept, lowest id always kept)."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from mapreduce__spark.plans import REGISTRY
 from mapreduce__spark.plans.tier2 import _interleave_sql
 
@@ -140,3 +138,25 @@ def test_semantic_dedup_lowest_id_always_kept(spark, tmp_path):
     assert 0 in kept
     assert removed == [1, 2, 3, 4, 5]
     assert set(kept) >= {0, 10, 11}
+
+
+# ---------------------------------------------- prefix-jaccard agreement
+
+
+def test_prefix_jaccard_agrees_with_quadratic(spark, sf_small):
+    """The prefix-filtered exact join must return exactly the pair set
+    of the quadratic baseline at the same threshold on real data."""
+    from mapreduce__spark.plans.tier2 import (
+        dedup_jaccard_exact,
+        dedup_jaccard_prefix,
+    )
+
+    quad = {
+        (r.id1, r.id2) for r in dedup_jaccard_exact(spark, sf_small).collect()
+    }
+    pref = {
+        (r.id1, r.id2)
+        for r in dedup_jaccard_prefix(spark, sf_small).collect()
+    }
+    assert pref == quad
+    assert quad  # non-vacuous: the fixture has near-dup pairs

@@ -429,3 +429,18 @@ def test_semantic_dedup_pair_join_is_cluster_equi(spark, sf_small):
     plan = physical(semantic_dedup(spark, sf_small))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_prefix_jaccard_no_global_window(spark, sf_small):
+    """The prefix take is a per-doc (partitioned) window and every join
+    is an equi-join: no partition-less Window, no cartesian — the two
+    shapes that would reintroduce the quadratic/funnel hazards the
+    prefix filter exists to remove."""
+    from mapreduce__spark.plans.tier2 import dedup_jaccard_prefix
+
+    plan = physical(dedup_jaccard_prefix(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the only SinglePartition exchange allowed is none at all: every
+    # window partitions by doc_id
+    assert "Window" not in plan or "SinglePartition" not in plan, plan

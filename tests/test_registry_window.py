@@ -33,12 +33,16 @@ ROWS_ONLY = {
     "bpe_encode",
 }
 
-# Round-8 rotation: the three latest round-8 additions (phrase_search,
-# zorder_layout, semantic_dedup) displaced the last triple filler and
-# two doubles. The two most basic tier-0 paths — untouched since round 1
-# and still bit-exact-gated by test_oracle.py every pytest run — wait
-# for round 9.
-DEFERRED_DOUBLES: set[str] = {"scan_project", "filter_predicates"}
+# Round-8 rotation: the four latest round-8 additions (phrase_search,
+# zorder_layout, semantic_dedup, dedup_jaccard_prefix) displaced the
+# last triple filler and three doubles. The three most basic tier-0
+# paths — untouched since round 1 and still bit-exact-gated by
+# test_oracle.py every pytest run — wait for round 9.
+DEFERRED_DOUBLES: set[str] = {
+    "scan_project",
+    "filter_predicates",
+    "groupby_count",
+}
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
 # driver rows — their prior attestations describe the old code, so they

@@ -115,3 +115,52 @@ def test_kmeans_matches_python_on_random_grids(spark, vecs, k):
         for r in kmeans_assign(df, k, 2).collect()
     }
     assert got == _kmeans_py(narrowed, k, 2)
+
+
+# -------------------------------------------------- prefix-filter jaccard
+
+# Docs over a tiny vocabulary with lengths just past the 3-gram floor:
+# distinct-gram sets collide densely and prefixes are 1-2 grams long —
+# the regime where an off-by-one in the prefix length formula
+# (|d| - ceil(t|d|) + 1) would actually drop a qualifying pair.
+_doc = st.lists(
+    st.sampled_from(["x", "y", "z"]), min_size=3, max_size=8
+).map(" ".join)
+_docs = st.lists(_doc, min_size=2, max_size=7)
+
+
+def _grams3(text: str) -> frozenset[str]:
+    toks = text.split(" ")
+    return frozenset(
+        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+    )
+
+
+@given(_docs)
+@settings(
+    max_examples=12, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_prefix_filter_jaccard_lossless(spark, texts):
+    """prefix_filter_jaccard_pairs == brute-force set Jaccard on random
+    dense-collision docs: the prefix candidate join must drop NO
+    qualifying pair (the two-sided prefix lemma) and the integer verify
+    must admit none below threshold."""
+    from mapreduce__spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.id1, r.id2, r.n_common, r.size_a, r.size_b)
+        for r in prefix_filter_jaccard_pairs(df, 4, 5).collect()
+    }
+    want = set()
+    for i, a in rows:
+        for j, b in rows:
+            if i >= j:
+                continue
+            ga, gb = _grams3(a), _grams3(b)
+            inter = len(ga & gb)
+            # J >= 4/5 as exact integers: 9*inter >= 4*(|A|+|B|)
+            if ga and gb and 9 * inter >= 4 * (len(ga) + len(gb)):
+                want.add((i, j, inter, len(ga), len(gb)))
+    assert got == want
