@@ -5323,3 +5323,176 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), SETSIM_T_NUM, SETSIM_T_DEN
     )
+
+
+BM25_K1 = "1.2"  # shared literal TEXT: both engines parse the same double
+BM25_B = "0.75"
+
+
+@query(
+    "bm25_rank",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tri AS (
+        SELECT toks[r.i + 1] || ' ' || toks[r.i + 2] || ' ' || toks[r.i + 3]
+                   AS tri
+        FROM t CROSS JOIN UNNEST(range(len(toks) - 2)) AS r(i)
+    ),
+    top AS (SELECT tri FROM tri GROUP BY tri ORDER BY count(*) DESC, tri LIMIT 1),
+    q AS (
+        SELECT string_split(tri, ' ')[1] || ' ' || string_split(tri, ' ')[2]
+                   AS gram
+        FROM top
+        UNION ALL
+        SELECT string_split(tri, ' ')[2] || ' ' || string_split(tri, ' ')[3]
+        FROM top
+    ),
+    b AS (
+        SELECT doc_id, toks[r.i + 1] || ' ' || toks[r.i + 2] AS gram
+        FROM t CROSS JOIN UNNEST(range(len(toks) - 1)) AS r(i)
+    ),
+    tf AS (
+        SELECT gram, doc_id, CAST(count(*) AS DOUBLE) AS tf
+        FROM b GROUP BY gram, doc_id
+    ),
+    dl AS (
+        SELECT doc_id, CAST(greatest(len(toks) - 1, 0) AS DOUBLE) AS dl
+        FROM t
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        FROM dl WHERE dl > 0
+    ),
+    df AS (SELECT gram, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY gram),
+    hit AS (
+        SELECT tf.doc_id,
+               round(
+                 round(ln((stats.n - df.df + 0.5) / (df.df + 0.5)), 6)
+                 * ((tf.tf * ({BM25_K1} + 1.0))
+                    / (tf.tf + {BM25_K1}
+                       * (1.0 - {BM25_B} + {BM25_B} * (dl.dl / stats.avgdl)))),
+                 6)::DECIMAL(18, 6) AS contrib
+        FROM q JOIN tf ON tf.gram = q.gram
+        JOIN df ON df.gram = q.gram
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score
+    FROM hit GROUP BY doc_id
+    """,
+    tags=("tier2", "text", "index"),
+)
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Spärck Jones / Okapi, k1=1.2,
+    b=0.75) for the bigram terms of the corpus's top trigram — the
+    ranking stage that completes the retrieval story (inverted_index
+    builds the postings, phrase_search answers exact matches, this
+    scores relevance): one row per matching doc with its BM25 score
+    over the query terms.
+
+    Determinism across engines: the ONLY libm call (the idf ln) is
+    rounded to 6 digits BEFORE it enters arithmetic (the
+    unigram_lm_score recipe — a last-ulp JVM-vs-DuckDB ln() difference
+    cannot survive); every other factor is IEEE +,*,/ over exact
+    integers written with the SAME literal text and parenthesization in
+    both dialects, so the doubles are bit-identical by construction;
+    per-term contributions round to 6 and accumulate in DECIMAL(18,6)
+    so partition layout cannot reorder float additions; the final
+    decimal-to-double cast is the exact decimal-sum idiom.
+
+    Scale shape: tf is the (gram, doc) map-side-combinable aggregate
+    (the inverted_index working set), df a V-row aggregate on top of
+    it, doc lengths ride the token scan, N/avgdl is a 1-row broadcast,
+    and the 2-row query-term relation broadcasts into the tf join —
+    with a materialized postings index, scoring touches only the query
+    terms' posting rows, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+
+    tri_arr = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top = (
+        toks.select(F.explode(tri_arr).alias("tri"))
+        .groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tri")
+        .limit(1)
+    )
+    q = top.select(
+        F.explode(
+            F.array(
+                F.concat_ws(" ", F.slice(F.split("tri", " "), 1, 2)),
+                F.concat_ws(" ", F.slice(F.split("tri", " "), 2, 2)),
+            )
+        ).alias("gram")
+    )
+
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                "         slice(toks, 2, greatest(size(toks) - 1, 0)),"
+                "         (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("gram"),
+    )
+    tf = grams.groupBy("gram", "doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dl = toks.select(
+        "doc_id",
+        F.greatest(F.size("toks") - 1, F.lit(0)).cast("double").alias("dl"),
+    )
+    stats = dl.where(F.col("dl") > 0).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    dfreq = tf.groupBy("gram").agg(F.count(F.lit(1)).cast("double").alias("df"))
+
+    k1, b = BM25_K1, BM25_B
+    hit = (
+        tf.join(F.broadcast(q), "gram")
+        .join(dfreq, "gram")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.round(
+                    F.log(
+                        (F.col("n") - F.col("df") + F.lit(0.5))
+                        / (F.col("df") + F.lit(0.5))
+                    ),
+                    6,
+                )
+                * (
+                    (F.col("tf") * F.expr(f"{k1} + 1.0"))
+                    / (
+                        F.col("tf")
+                        + F.expr(f"{k1}")
+                        * (
+                            F.expr(f"1.0 - {b}")
+                            + F.expr(f"{b}") * (F.col("dl") / F.col("avgdl"))
+                        )
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("contrib"),
+        )
+    )
+    return hit.groupBy("doc_id").agg(
+        F.sum("contrib").cast("double").alias("score")
+    )

@@ -56,6 +56,7 @@ PROBE = [
     "kmeans_embeddings",
     "semantic_dedup",
     "dedup_jaccard_prefix",
+    "bm25_rank",
 ]
 
 

@@ -444,3 +444,16 @@ def test_prefix_jaccard_no_global_window(spark, sf_small):
     # the only SinglePartition exchange allowed is none at all: every
     # window partitions by doc_id
     assert "Window" not in plan or "SinglePartition" not in plan, plan
+
+
+def test_bm25_joins_broadcast_sized(spark, sf_small):
+    """The scoring join touches posting rows through broadcast-sized
+    relations: the gram/doc joins are broadcast hash joins, and the only
+    nested-loop is the 1-row N/avgdl stats crossJoin (the
+    domain_mixture_weights idiom) — never a real cartesian."""
+    from mapreduce__spark.plans.tier2 import bm25_rank
+
+    plan = physical(bm25_rank(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
