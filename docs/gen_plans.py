@@ -59,6 +59,10 @@ NAMES = [
     "phrase_search",
     "zorder_layout",
     "semantic_dedup",
+    # round 8 final pair: the prefix-filter candidate join (SCALE.md 32)
+    # and the broadcast-sized BM25 scoring join (SCALE.md 33)
+    "dedup_jaccard_prefix",
+    "bm25_rank",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",
