@@ -63,6 +63,8 @@ NAMES = [
     # and the broadcast-sized BM25 scoring join (SCALE.md 33)
     "dedup_jaccard_prefix",
     "bm25_rank",
+    # round 8: the composed golden-record pipeline (SCALE.md 34)
+    "entity_resolution_parts",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",

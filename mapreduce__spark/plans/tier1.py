@@ -592,6 +592,92 @@ def fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "entity_resolution_parts",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.p_partkey AS id1, b.p_partkey AS id2
+        FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        WHERE length(a.p_name) >= {FUZZY_MAX_ED * FUZZY_Q + FUZZY_Q}
+          AND length(b.p_name) >= {FUZZY_MAX_ED * FUZZY_Q + FUZZY_Q}
+          AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_ED}
+    ),
+    edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION SELECT id2, id1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS node, least(a, min(b)) AS component
+        FROM reach GROUP BY a
+    ),
+    ent AS (
+        SELECT p.p_partkey AS node,
+               coalesce(c.component, p.p_partkey) AS entity_id
+        FROM part p LEFT JOIN comp c ON c.node = p.p_partkey
+    )
+    SELECT e.entity_id, CAST(count(*) AS BIGINT) AS n_members,
+           g.p_name AS canonical_name
+    FROM ent e JOIN part g ON g.p_partkey = e.entity_id
+    GROUP BY e.entity_id, g.p_name
+    """,
+    tags=("tier1", "join", "fuzzy", "pipeline", "graph"),
+)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end — the golden-record pipeline every
+    warehouse MDM/dedup project runs, composed from this engine's own
+    operators: (1) BLOCK with the lossless fuzzy self-join (edit
+    distance <= 2 on part names via distinct-domain + q-gram count
+    filtering — operators/fuzzy.py), (2) CLUSTER the match graph with
+    iterative connected components (operators/graph.py), (3) MERGE each
+    cluster to one golden record: entity_id = the min-key member,
+    n_members, and the canonical name read from that member (a
+    deterministic survivorship rule). Rows with no fuzzy neighbor —
+    including names under the gram filter's declared length floor —
+    survive as singleton entities, so the output is a PARTITION of the
+    input: sum(n_members) == |part| (pinned in tests).
+
+    The oracle recomputes all three stages independently: the naive
+    quadratic levenshtein join, a recursive-CTE transitive closure, and
+    a direct group-merge — none of the engine's blocking, propagation,
+    or survivorship code is shared with it.
+
+    Scale: blocking cost tracks the distinct-name domain (never corpus
+    rows); CC is the same min-label propagation dedup_clusters runs at
+    corpus scale; the merge is one groupBy on entity_id plus a
+    dimension-sized join back for the canonical name."""
+    from mapreduce__spark.operators.fuzzy import fuzzy_self_join
+    from mapreduce__spark.operators.graph import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    edges = fuzzy_self_join(
+        part, "p_partkey", "p_name", FUZZY_MAX_ED, q=FUZZY_Q
+    ).select("key1", "key2")
+    cc = connected_components(edges, "key1", "key2")
+    ent = (
+        part.select(F.col("p_partkey").alias("node"))
+        .join(cc, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("entity_id"),
+        )
+    )
+    sizes = ent.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    names = part.select(
+        F.col("p_partkey").alias("entity_id"),
+        F.col("p_name").alias("canonical_name"),
+    )
+    return sizes.join(names, "entity_id").select(
+        "entity_id", "n_members", "canonical_name"
+    )
+
+
+@query(
     "shipping_priority",
     oracle="""
     SELECT l.l_orderkey,

@@ -57,6 +57,7 @@ PROBE = [
     "semantic_dedup",
     "dedup_jaccard_prefix",
     "bm25_rank",
+    "entity_resolution_parts",
 ]
 
 

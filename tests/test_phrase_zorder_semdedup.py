@@ -160,3 +160,49 @@ def test_prefix_jaccard_agrees_with_quadratic(spark, sf_small):
     }
     assert pref == quad
     assert quad  # non-vacuous: the fixture has near-dup pairs
+
+
+# ------------------------------------------- entity resolution pipeline
+
+
+def test_entity_resolution_partitions_the_input(spark, sf_small):
+    """The golden-record output must PARTITION the input: member counts
+    sum to the part-table row count, every entity_id is a real part key,
+    and each cluster's canonical key is its minimum member (the
+    survivorship rule)."""
+    from mapreduce__spark.plans.tier1 import entity_resolution_parts
+    from mapreduce__spark.sources import load_table
+
+    out = entity_resolution_parts(spark, sf_small).collect()
+    n_parts = load_table(spark, sf_small, "part").count()
+    assert sum(r.n_members for r in out) == n_parts
+    assert len({r.entity_id for r in out}) == len(out)
+
+
+def test_entity_resolution_planted_clusters(spark, tmp_path):
+    # two fuzzy clusters + one singleton + one name under the length
+    # floor (must stay a singleton even though it's 1 edit from "gear")
+    rows = [
+        (1, "widget alpha"),
+        (2, "widget alphb"),   # 1 edit from 1
+        (3, "widget allpha"),  # 1 edit from 1 -> same cluster via 1
+        (10, "sprocket"),
+        (11, "sprocket x"),    # 2 edits from 10
+        (20, "standalone part"),
+        (30, "gea"),           # under the len floor (k*q+q = 6): singleton
+    ]
+    spark.createDataFrame(
+        rows, "p_partkey bigint, p_name string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    from mapreduce__spark.plans.tier1 import entity_resolution_parts
+
+    got = {
+        r.entity_id: (r.n_members, r.canonical_name)
+        for r in entity_resolution_parts(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (3, "widget alpha"),
+        10: (2, "sprocket"),
+        20: (1, "standalone part"),
+        30: (1, "gea"),
+    }

@@ -33,17 +33,18 @@ ROWS_ONLY = {
     "bpe_encode",
 }
 
-# Round-8 rotation: the five latest round-8 additions (phrase_search,
-# zorder_layout, semantic_dedup, dedup_jaccard_prefix, bm25_rank)
-# displaced the last triple filler and four doubles. The four most
-# basic tier-0 paths — untouched since round 1 and still
-# bit-exact-gated by test_oracle.py every pytest run — wait for
-# round 9.
+# Round-8 rotation: the six latest round-8 additions (phrase_search,
+# zorder_layout, semantic_dedup, dedup_jaccard_prefix, bm25_rank,
+# entity_resolution_parts) displaced the last triple filler and five
+# doubles. The five most basic tier-0 paths — untouched since round 1
+# and still bit-exact-gated by test_oracle.py every pytest run — wait
+# for round 9.
 DEFERRED_DOUBLES: set[str] = {
     "scan_project",
     "filter_predicates",
     "groupby_count",
     "grouped_collect_sorted",
+    "topk_global",
 }
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
@@ -60,9 +61,9 @@ CHANGED_CODE_REATTEST = {
 
 # Round-8 slack: none left. The late round-8 additions (graph_triangles,
 # skyline_pareto, inverted_index, data_quality_audit, then phrase_search,
-# zorder_layout, semantic_dedup, dedup_jaccard_prefix, bm25_rank)
-# consumed all five original filler slots and displaced four doubles
-# into DEFERRED_DOUBLES. Kept (empty) because the policy test still
+# zorder_layout, semantic_dedup, dedup_jaccard_prefix, bm25_rank,
+# entity_resolution_parts) consumed all five original filler slots and
+# displaced five doubles into DEFERRED_DOUBLES. Kept (empty) because the policy test still
 # enforces the filler bookkeeping shape.
 TRIPLE_FILLERS: set[str] = set()
 
