@@ -5496,3 +5496,348 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.groupBy("doc_id").agg(
         F.sum("contrib").cast("double").alias("score")
     )
+
+
+@query(
+    "robust_outliers_mad",
+    oracle="""
+    WITH hist AS (
+        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    ), totals AS (
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs FROM hist GROUP BY 1
+    ), hc AS (
+        SELECT source, v, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum
+        FROM hist
+    ), med AS (
+        SELECT hc.source,
+               CAST(min(CASE WHEN cum >= (n_docs + 1) // 2 THEN v END)
+                  + min(CASE WHEN cum >= n_docs // 2 + 1 THEN v END) AS BIGINT) AS med2
+        FROM hc JOIN totals ON hc.source = totals.source
+        GROUP BY 1
+    ), dh AS (
+        SELECT h.source, abs(2 * h.v - m.med2) AS d,
+               CAST(sum(h.cnt) AS BIGINT) AS cnt
+        FROM hist h JOIN med m ON h.source = m.source
+        GROUP BY 1, 2
+    ), dc AS (
+        SELECT source, d, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY source ORDER BY d) AS BIGINT) AS cum
+        FROM dh
+    ), mad AS (
+        SELECT dc.source,
+               CAST(min(CASE WHEN cum >= (n_docs + 1) // 2 THEN d END)
+                  + min(CASE WHEN cum >= n_docs // 2 + 1 THEN d END) AS BIGINT) AS mad4
+        FROM dc JOIN totals ON dc.source = totals.source
+        GROUP BY 1
+    ), outl AS (
+        SELECT dh.source,
+               CAST(sum(CASE WHEN 2 * dh.d > 3 * m.mad4 THEN dh.cnt ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dh JOIN mad m ON dh.source = m.source
+        GROUP BY 1
+    )
+    SELECT t.source, t.n_docs, med.med2, mad.mad4, outl.n_outliers
+    FROM totals t
+    JOIN med  ON t.source = med.source
+    JOIN mad  ON t.source = mad.source
+    JOIN outl ON t.source = outl.source
+    """,
+    tags=("tier2", "profiling", "quality"),
+)
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROBUST center/spread + outlier census over document
+    length: exact median and MAD (median absolute deviation), the
+    quality-filter statistics that, unlike mean/stddev (per_source_zscore),
+    are not themselves dragged by the outliers they are hunting — a
+    handful of 100 MB crawl artifacts shifts a source's mean but leaves
+    its median untouched, so the 3-sigma rule quietly under-fires exactly
+    when it matters. Flag rule: |len - median| > 3 * MAD.
+
+    Everything is EXACT INTEGER arithmetic so the oracle hash cannot
+    drift: med2 = x_(ceil(n/2)) + x_(floor(n/2)+1) is TWICE the
+    interpolated median (the sum of the two middle order statistics —
+    integer), per-doc deviations d = |2*len - med2| are twice the true
+    deviation, and mad4 = the same two-middles sum over d is FOUR times
+    the interpolated MAD; the flag |len - med| > 3*MAD becomes
+    2*d > 3*mad4, all in longs.
+
+    Scale shape (the reason this is not just `percentile(0.5)`): exact
+    medians normally need a per-source sort of the whole corpus, but
+    document length has BOUNDED CARDINALITY (~30k distinct values), so
+    the corpus compresses to a (source, length, count) VALUE HISTOGRAM in
+    one map-side-combinable aggregate — the only pass that touches the
+    data. Order statistics come from a running-count window over the
+    histogram (sources x distinct-lengths rows, never the corpus), the
+    deviation histogram derives from the value histogram (d is a function
+    of v), and the outlier census is a conditional sum over it. One
+    corpus scan, two tiny windows, zero corpus-wide sorts — the same
+    compaction trick a 1000-executor exact-percentile job would use."""
+    docs = load_table(spark, sf_dir, "documents")
+    from mapreduce__spark.operators.windows import idiv
+
+    hist = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = hist.groupBy("source").agg(F.sum("cnt").alias("n_docs"))
+    k_lo = idiv(F.col("n_docs") + 1, 2)
+    k_hi = idiv(F.col("n_docs"), 2) + 1
+
+    def two_middles(h: DataFrame, val: str, out: str) -> DataFrame:
+        """source -> sum of the two middle order statistics of `val`,
+        ranks read off a running-count window over the tiny histogram."""
+        w = (
+            Window.partitionBy("source")
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        hc = h.withColumn("cum", F.sum("cnt").over(w)).join(totals, "source")
+        return hc.groupBy("source").agg(
+            (
+                F.min(F.when(F.col("cum") >= k_lo, F.col(val)))
+                + F.min(F.when(F.col("cum") >= k_hi, F.col(val)))
+            ).alias(out)
+        )
+
+    med = two_middles(hist, "v", "med2")
+    dh = (
+        hist.join(med, "source")
+        .groupBy("source", F.abs(2 * F.col("v") - F.col("med2")).alias("d"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = two_middles(dh, "d", "mad4")
+    outl = (
+        dh.join(mad, "source")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.when(2 * F.col("d") > 3 * F.col("mad4"), F.col("cnt")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        totals.join(med, "source").join(mad, "source").join(outl, "source").select(
+            "source", "n_docs", "med2", "mad4", "n_outliers"
+        )
+    )
+
+
+@query(
+    "equidepth_deciles",
+    oracle="""
+    WITH hist AS (
+        SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist
+    ), hc AS (
+        SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+        FROM hist
+    ), thr AS (
+        SELECT min(CASE WHEN cum >= (1 * n + 9) // 10 THEN v END) AS t1,
+               min(CASE WHEN cum >= (2 * n + 9) // 10 THEN v END) AS t2,
+               min(CASE WHEN cum >= (3 * n + 9) // 10 THEN v END) AS t3,
+               min(CASE WHEN cum >= (4 * n + 9) // 10 THEN v END) AS t4,
+               min(CASE WHEN cum >= (5 * n + 9) // 10 THEN v END) AS t5,
+               min(CASE WHEN cum >= (6 * n + 9) // 10 THEN v END) AS t6,
+               min(CASE WHEN cum >= (7 * n + 9) // 10 THEN v END) AS t7,
+               min(CASE WHEN cum >= (8 * n + 9) // 10 THEN v END) AS t8,
+               min(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END) AS t9
+        FROM hc CROSS JOIN tot
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           min(v) AS lo, max(v) AS hi
+    FROM (
+        SELECT v, cnt,
+               1 + (CASE WHEN v > t1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN v > t2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN v > t3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN v > t4 THEN 1 ELSE 0 END)
+                 + (CASE WHEN v > t5 THEN 1 ELSE 0 END)
+                 + (CASE WHEN v > t6 THEN 1 ELSE 0 END)
+                 + (CASE WHEN v > t7 THEN 1 ELSE 0 END)
+                 + (CASE WHEN v > t8 THEN 1 ELSE 0 END)
+                 + (CASE WHEN v > t9 THEN 1 ELSE 0 END) AS bucket
+        FROM hist CROSS JOIN thr
+    )
+    GROUP BY 1
+    """,
+    tags=("tier2", "profiling"),
+)
+def equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH decile histogram of document length (value_histogram is
+    the equi-WIDTH twin): decile boundaries are the exact discrete
+    percentiles t_i = smallest v whose running count reaches ceil(i*n/10)
+    (percentile_disc semantics — a value, never an interpolation), and a
+    row lands in bucket 1 + #(boundaries strictly below its value). Ties
+    never split across buckets, so per-bucket counts equalize only as far
+    as ties allow — the honest equi-depth contract on discrete data (a
+    tie-splitting ntile would put IDENTICAL lengths in different buckets,
+    an arbitrary distinction no boundary can reproduce; empty buckets are
+    simply absent).
+
+    Scale shape: the naive form is ntile over a GLOBAL sort of the
+    corpus; this one compresses to the bounded-cardinality value
+    histogram first (one map-side-combinable aggregate — the
+    robust_outliers_mad compaction), takes a running count over the tiny
+    histogram, reads the 9 boundaries off it as one row, and
+    broadcast-maps them back onto histogram rows. One corpus scan, no
+    global sort, no per-row window."""
+    docs = load_table(spark, sf_dir, "documents")
+    from mapreduce__spark.operators.windows import idiv
+
+    hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    # Running count over the HISTOGRAM (distinct lengths, not rows): a
+    # single-task window here is deliberate and safe at any corpus size.
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    hc = hist.withColumn("cum", F.sum("cnt").over(w)).crossJoin(F.broadcast(tot))
+    thr = hc.groupBy().agg(
+        *[
+            F.min(
+                F.when(F.col("cum") >= idiv(i * F.col("n") + 9, 10), F.col("v"))
+            ).alias(f"t{i}")
+            for i in range(1, 10)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(1, 10):
+        bucket = bucket + F.when(F.col("v") > F.col(f"t{i}"), 1).otherwise(0)
+    return (
+        hist.crossJoin(F.broadcast(thr))
+        .groupBy(bucket.cast("bigint").alias("bucket"))
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )
+
+
+@query(
+    "bigram_lm_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), tok AS (
+        SELECT unnest(toks) AS tok FROM t
+    ), uni AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c2 FROM tok GROUP BY tok
+    ), ntot AS (
+        SELECT CAST(sum(c2) AS DOUBLE) AS n FROM uni
+    ), inst AS (
+        SELECT doc_id, toks[i] AS left_tok, toks[i + 1] AS right_tok
+        FROM t CROSS JOIN UNNEST(range(1, len(toks))) AS r(i)
+    ), big AS (
+        SELECT left_tok, right_tok, CAST(count(*) AS BIGINT) AS c12
+        FROM inst GROUP BY 1, 2
+    ), ctx AS (
+        SELECT left_tok, CAST(sum(c12) AS BIGINT) AS c1x FROM big GROUP BY 1
+    ), stats AS (
+        SELECT b.left_tok, b.right_tok, b.c12, ctx.c1x, u.c2
+        FROM big b
+        JOIN ctx ON b.left_tok = ctx.left_tok
+        JOIN uni u ON b.right_tok = u.tok
+    )
+    SELECT i.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(CAST(round(-ln(
+                     ((s.c12 * n.n) + (CAST(s.c2 AS DOUBLE) * s.c1x))
+                     / ((2.0 * s.c1x) * n.n)
+                 ), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS nll
+    FROM inst i
+    JOIN stats s ON i.left_tok = s.left_tok AND i.right_tok = s.right_tok
+    CROSS JOIN ntot n
+    GROUP BY i.doc_id
+    """,
+    tags=("tier2", "text", "pipeline"),
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated BIGRAM language-model quality score — the next rung
+    above unigram_lm_score on the CCNet/KenLM ladder: per document, the
+    mean negative log-likelihood of its bigrams under a Jelinek-Mercer
+    mixture (lambda = 1/2) of the corpus bigram model and the unigram
+    fallback,
+
+        p(w2 | w1) = (c12/c1x + c2/N) / 2
+                   = (c12*N + c2*c1x) / (2*c1x*N)   -- one exact rational
+
+    which catches the failure unigrams cannot: a document of common words
+    in impossible ORDER (shuffled text, keyword stuffing, boilerplate
+    collage) scores ordinary unigram nll but terrible bigram nll.
+    Single-token documents have no bigrams and drop out (both engines,
+    by construction of the instance relation).
+
+    Cross-engine float discipline (the bm25_rank rules): the mixture is
+    evaluated as ONE shared expression tree of IEEE +,*,/ over exact
+    integers cast to double — bit-identical by construction — and ln(),
+    the only libm call, rounds to 6 digits BEFORE entering the DECIMAL
+    accumulator, so partition layout cannot reorder float additions and a
+    last-ulp ln() divergence cannot survive.
+
+    Scale shape: the LM is two word-count-scaling aggregates (bigram
+    counts + unigram counts, both map-side combined to vocab-sized
+    relations); the context totals c1x derive from the bigram table, NOT
+    another corpus pass. The joined stats relation is bigram-vocab rows,
+    MATERIALIZED so the scoring job replans none of it, and scoring is
+    one equi-join of bigram instances against it (AQE picks broadcast
+    when the vocab head fits). The corpus is read three times (unigram
+    build, bigram build, scoring) and never shuffled whole — only
+    token/gram keys move."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks_col = tokenize(F.col("text"))
+
+    uni = (
+        docs.select(F.explode(toks_col).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    ntot = uni.agg(F.sum("c2").cast("double").alias("n"))
+
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(toks_col) - 1),
+        lambda i: F.struct(
+            F.element_at(toks_col, i).alias("left_tok"),
+            F.element_at(toks_col, i + 1).alias("right_tok"),
+        ),
+    )
+    # sequence() counts DOWN when stop < start (the word_ngrams hazard):
+    # a 1-token doc must yield no bigrams, not garbage.
+    guarded = F.when(F.size(toks_col) >= 2, make).otherwise(
+        F.array().cast("array<struct<left_tok:string,right_tok:string>>")
+    )
+    inst = docs.select("doc_id", F.explode(guarded).alias("p")).select(
+        "doc_id", "p.left_tok", "p.right_tok"
+    )
+    big = inst.groupBy("left_tok", "right_tok").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    ctx = big.groupBy("left_tok").agg(F.sum("c12").alias("c1x"))
+    stats = (
+        big.join(ctx, "left_tok")
+        .join(uni.withColumnRenamed("tok", "right_tok"), "right_tok")
+        .localCheckpoint(eager=True)
+    )
+
+    mix = (
+        (F.col("c12") * F.col("n"))
+        + (F.col("c2").cast("double") * F.col("c1x"))
+    ) / ((F.lit(2.0) * F.col("c1x")) * F.col("n"))
+    per_term = F.round(-F.log(mix), 6).cast("decimal(18,6)")
+    return (
+        inst.join(stats, ["left_tok", "right_tok"])
+        .crossJoin(F.broadcast(ntot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(per_term).cast("double") / F.count(F.lit(1)), 6
+            ).alias("nll"),
+        )
+    )

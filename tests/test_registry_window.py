@@ -33,18 +33,22 @@ ROWS_ONLY = {
     "bpe_encode",
 }
 
-# Round-8 rotation: the six latest round-8 additions (phrase_search,
+# Round-8 rotation: the nine latest round-8 additions (phrase_search,
 # zorder_layout, semantic_dedup, dedup_jaccard_prefix, bm25_rank,
-# entity_resolution_parts) displaced the last triple filler and five
-# doubles. The five most basic tier-0 paths — untouched since round 1
-# and still bit-exact-gated by test_oracle.py every pytest run — wait
-# for round 9.
+# entity_resolution_parts, robust_outliers_mad, equidepth_deciles,
+# bigram_lm_score) displaced the last triple filler and eight doubles.
+# The most basic tier-0/tier-1 paths — untouched since round 1 and
+# still bit-exact-gated by test_oracle.py every pytest run — wait for
+# round 9.
 DEFERRED_DOUBLES: set[str] = {
     "scan_project",
     "filter_predicates",
     "groupby_count",
     "grouped_collect_sorted",
     "topk_global",
+    "agg_multi",
+    "join_inner",
+    "join_outer",
 }
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
@@ -136,12 +140,12 @@ def test_never_attested_queries_inside_window():
 def test_window_prioritizes_low_attestation():
     """Round-8 policy: every query with at most ONE green driver row is
     in the window; queries whose code changed after >=3 green rows
-    re-enter via the explicit CHANGED_CODE_REATTEST set; ALL
-    double-attestation queries fit this round (DEFERRED_DOUBLES empty);
-    the remaining slots hold TRIPLE_FILLERS — exactly-3-attested
-    bench-headline queries earning a fourth row. No other >=3-attested
-    query may hold a slot, and doubles that don't fit must be
-    explicitly deferred (DEFERRED_DOUBLES), not silently dropped."""
+    re-enter via the explicit CHANGED_CODE_REATTEST set; every
+    double-attestation query is either in-window or explicitly deferred
+    (DEFERRED_DOUBLES — never silently dropped); any remaining slots
+    hold TRIPLE_FILLERS — exactly-3-attested bench-headline queries
+    earning a fourth row. No other >=3-attested query may hold a
+    slot."""
     counts = _attestations()
     over = {
         n: counts.get(n, 0)
