@@ -164,3 +164,183 @@ def test_prefix_filter_jaccard_lossless(spark, texts):
             if ga and gb and 9 * inter >= 4 * (len(ga) + len(gb)):
                 want.add((i, j, inter, len(ga), len(gb)))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-8 closers: robust_outliers_mad / equidepth_deciles / bigram_lm_score
+# property-tested against pure-Python references on RANDOM generated
+# documents tables (the queries read {sf_dir}/documents.parquet, so a temp
+# dir with a generated table is a full-fidelity input)
+
+
+def _write_documents(rows) -> str:
+    """rows: (doc_id, text, source, n_chars) -> temp sf_dir with a
+    documents.parquet in the fixture schema."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="mr_spark_prop_docs_")
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "documents.parquet"))
+    return d
+
+
+_mad_rows = st.lists(
+    st.tuples(st.sampled_from("ab"), st.integers(min_value=0, max_value=40)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(_mad_rows)
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_robust_mad_matches_python(spark, pairs):
+    """robust_outliers_mad == a direct pure-Python order-statistics
+    reference (sort, index the two middles, count flags) on random
+    per-source integer lengths — including n=1 sources (mad4=0) and
+    all-equal sources (outlier count 0)."""
+    import shutil
+
+    from mapreduce__spark.plans import REGISTRY
+
+    rows = [
+        (i, "t", src, v) for i, (src, v) in enumerate(pairs)
+    ]
+    sf = _write_documents(rows)
+    try:
+        got = {
+            r.source: (r.n_docs, r.med2, r.mad4, r.n_outliers)
+            for r in REGISTRY["robust_outliers_mad"].fn(spark, sf).collect()
+        }
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+    want = {}
+    by: dict[str, list[int]] = {}
+    for src, v in pairs:
+        by.setdefault(src, []).append(v)
+    for src, vs in by.items():
+        vs.sort()
+        n = len(vs)
+        med2 = vs[(n + 1) // 2 - 1] + vs[n // 2]
+        ds = sorted(abs(2 * v - med2) for v in vs)
+        mad4 = ds[(n + 1) // 2 - 1] + ds[n // 2]
+        n_out = sum(1 for v in vs if 2 * abs(2 * v - med2) > 3 * mad4)
+        want[src] = (n, med2, mad4, n_out)
+    assert got == want
+
+
+_decile_vals = st.lists(
+    st.integers(min_value=0, max_value=25), min_size=1, max_size=40
+)
+
+
+@given(_decile_vals)
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_equidepth_deciles_matches_python(spark, vals):
+    """equidepth_deciles == the direct order-statistics reference:
+    t_i = the ceil(i*n/10)-th smallest value, bucket = 1 + #(t_i < v) —
+    tie-heavy random data exercises the never-split-a-tie contract."""
+    import shutil
+
+    from mapreduce__spark.plans import REGISTRY
+
+    rows = [(i, "t", "a", v) for i, v in enumerate(vals)]
+    sf = _write_documents(rows)
+    try:
+        got = {
+            r.bucket: (r.n_rows, r.lo, r.hi)
+            for r in REGISTRY["equidepth_deciles"].fn(spark, sf).collect()
+        }
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+    vs = sorted(vals)
+    n = len(vs)
+    thr = [vs[(i * n + 9) // 10 - 1] for i in range(1, 10)]
+    buckets: dict[int, list[int]] = {}
+    for v in vals:
+        b = 1 + sum(1 for t in thr if v > t)
+        buckets.setdefault(b, []).append(v)
+    want = {b: (len(bv), min(bv), max(bv)) for b, bv in buckets.items()}
+    assert got == want
+
+
+_bigram_docs = st.lists(
+    st.lists(st.sampled_from(["x", "y", "zz"]), min_size=1, max_size=6),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(_bigram_docs)
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_bigram_lm_matches_python(spark, token_docs):
+    """bigram_lm_score == a pure-Python Jelinek-Mercer reference on random
+    tiny-vocab corpora: counts must agree exactly and per-doc nll within
+    5e-6 (the reference uses Python round(), half-to-even, where the
+    engine uses HALF_UP — a tie at the 6th digit moves a single term by
+    at most 1e-6, and the mean by less; count/coverage disagreements
+    would show up far above the tolerance)."""
+    import math
+    import shutil
+    from collections import Counter
+    from decimal import Decimal
+
+    import pytest
+
+    from mapreduce__spark.plans import REGISTRY
+
+    rows = [
+        (i, " ".join(toks), "a", len(" ".join(toks)))
+        for i, toks in enumerate(token_docs)
+    ]
+    sf = _write_documents(rows)
+    try:
+        got = {
+            r.doc_id: (r.n_bigrams, r.nll)
+            for r in REGISTRY["bigram_lm_score"].fn(spark, sf).collect()
+        }
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    ctx: Counter = Counter()
+    for toks in token_docs:
+        uni.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] += 1
+            ctx[a] += 1
+    n_total = float(sum(uni.values()))
+    want = {}
+    for i, toks in enumerate(token_docs):
+        grams = list(zip(toks, toks[1:]))
+        if not grams:
+            continue
+        acc = Decimal(0)
+        for a, b in grams:
+            p = ((big[(a, b)] * n_total) + (float(uni[b]) * ctx[a])) / (
+                (2.0 * ctx[a]) * n_total
+            )
+            acc += Decimal(str(round(-math.log(p), 6)))
+        want[i] = (len(grams), round(float(acc) / len(grams), 6))
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert got[i][1] == pytest.approx(want[i][1], abs=5e-6)
