@@ -65,6 +65,12 @@ NAMES = [
     "bm25_rank",
     # round 8: the composed golden-record pipeline (SCALE.md 34)
     "entity_resolution_parts",
+    # round 8 closers: the value-histogram compaction pair (SCALE.md
+    # 35-36 — one scan, order statistics off the tiny histogram) and
+    # the bigram LM's vocab-sized scoring join (SCALE.md 37)
+    "robust_outliers_mad",
+    "equidepth_deciles",
+    "bigram_lm_score",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",
