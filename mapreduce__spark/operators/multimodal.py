@@ -998,3 +998,187 @@ def image_header_features(multimodal: DataFrame) -> DataFrame:
     return multimodal.select("doc_id", "payload").mapInPandas(
         parse, schema="doc_id bigint, fmt string, width bigint, height bigint"
     )
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def synth_png_bytes(doc_id: int) -> bytes:
+    """Deterministic, spec-valid 8-bit truecolor PNG (color type 2, no
+    interlace) — the ENTROPY-CODED sibling of synth_bmp_bytes, possible
+    with zero media libraries because PNG's codec is DEFLATE, which the
+    stdlib ships (zlib). Dimensions and every pixel are pure functions of
+    doc_id so an SQL oracle can verify the full decode:
+
+        width  = doc_id % 11 + 4,  height = (doc_id*5) % 9 + 4
+        R(x,y) = (7*doc_id + 5x +  3y) % 256       (y = row from TOP)
+        G(x,y) = (  doc_id + 2x + 11y) % 256
+        B(x,y) = (5*doc_id + 9x +   y) % 256
+
+    Deliberate decode hazards baked in: the scanline FILTER TYPE rotates
+    by row (row y uses filter y % 5 — None/Sub/Up/Average/Paeth), so a
+    decoder that inflates IDAT but skips or botches any of the five
+    unfilter algorithms produces wrong pixels, which the channel sums
+    and the top-left-pixel column catch. The forward filters here are
+    whole-row numpy arithmetic; decode_png_pixels unfilters with the
+    spec's sequential per-byte recurrence — two independent formulations
+    that only agree if both are right."""
+    w = doc_id % 11 + 4
+    h = (doc_id * 5) % 9 + 4
+    ys = np.arange(h, dtype=np.int64).reshape(h, 1)
+    xs = np.arange(w, dtype=np.int64).reshape(1, w)
+    rgb = np.stack(
+        [
+            (7 * doc_id + 5 * xs + 3 * ys) % 256,
+            (doc_id + 2 * xs + 11 * ys) % 256,
+            (5 * doc_id + 9 * xs + ys) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    raw = rgb.reshape(h, w * 3).astype(np.int64)
+    bpp = 3
+    zero = np.zeros(bpp, dtype=np.int64)
+    prev = np.zeros(w * 3, dtype=np.int64)
+    lines = []
+    for yy in range(h):
+        cur = raw[yy]
+        left = np.concatenate([zero, cur[:-bpp]])
+        upleft = np.concatenate([zero, prev[:-bpp]])
+        ft = yy % 5
+        if ft == 0:
+            filt = cur
+        elif ft == 1:  # Sub
+            filt = (cur - left) % 256
+        elif ft == 2:  # Up
+            filt = (cur - prev) % 256
+        elif ft == 3:  # Average (floor division per spec)
+            filt = (cur - (left + prev) // 2) % 256
+        else:  # Paeth predictor
+            p = left + prev - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = (cur - pred) % 256
+        lines.append(bytes([ft]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    # Split IDAT in two when possible: the spec allows any number of IDAT
+    # chunks whose CONCATENATED payload is one zlib stream, and a decoder
+    # that inflates chunks independently breaks here.
+    mid = len(idat) // 2
+    idat_chunks = (
+        chunk(b"IDAT", idat[:mid]) + chunk(b"IDAT", idat[mid:])
+        if mid
+        else chunk(b"IDAT", idat)
+    )
+    return PNG_SIG + chunk(b"IHDR", ihdr) + idat_chunks + chunk(b"IEND", b"")
+
+
+def decode_png_pixels(b: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """FULL pixel decode of an 8-bit truecolor PNG from raw bytes — chunk
+    walk with CRC32 verification, multi-IDAT zlib inflate, and all five
+    scanline unfilters (None/Sub/Up/Average/Paeth) implemented from the
+    spec's sequential recurrence. Returns the same shape as
+    decode_bmp_pixels: (width, height, n_pixels, sum_r, sum_g, sum_b,
+    topleft_rgb). Raises on anything that isn't an 8-bit color-type-2
+    non-interlaced PNG (a real pipeline routes those to a library-backed
+    decoder via the decode-error routing seam)."""
+    if b[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = bytearray()
+    w = h = -1
+    saw_ihdr = False
+    while pos + 12 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC on {typ!r}")
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG variant (need 8-bit truecolor, "
+                    "no interlace)"
+                )
+            saw_ihdr = True
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if not saw_ihdr or w <= 0 or h <= 0:
+        raise ValueError("missing/invalid IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("scanline data does not match dimensions")
+    out = np.zeros((h, stride), dtype=np.int64)
+    for yy in range(h):
+        ft = raw[yy * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=yy * (stride + 1) + 1
+        ).astype(np.int64)
+        up = out[yy - 1] if yy else np.zeros(stride, dtype=np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up vectorizes (no intra-row dependence)
+            cur = (line + up) % 256
+        elif ft in (1, 3, 4):
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                upleft = int(up[i - bpp]) if i >= bpp else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + int(up[i])) // 2
+                else:
+                    p = left + int(up[i]) - upleft
+                    pa, pb, pc = abs(p - left), abs(p - int(up[i])), abs(p - upleft)
+                    pred = (
+                        left
+                        if (pa <= pb and pa <= pc)
+                        else (int(up[i]) if pb <= pc else upleft)
+                    )
+                cur[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[yy] = cur
+    arr = out.reshape(h, w, 3)
+    sums = arr.reshape(-1, 3).sum(axis=0)
+    topleft = int(arr[0, 0].sum())
+    return w, h, w * h, int(sums[0]), int(sums[1]), int(sums[2]), topleft
+
+
+def with_png_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with synthesized full 8-bit truecolor PNG files."""
+    return _with_payload(docs, synth_png_bytes)
+
+
+def png_pixel_features(mm: DataFrame) -> DataFrame:
+    """Arrow-batched full PNG pixel decode over payload bytes."""
+    return _int_feature_map(
+        mm,
+        decode_png_pixels,
+        ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b", "topleft_rgb"),
+    )

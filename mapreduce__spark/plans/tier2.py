@@ -5841,3 +5841,61 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll"),
         )
     )
+
+
+@query(
+    "png_pixel_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id % 11 + 4       AS width,
+             (doc_id * 5) % 9 + 4  AS height
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, width, height,
+             unnest(generate_series(0, width - 1)) AS x
+      FROM dims
+    ),
+    pxy AS (
+      SELECT doc_id, width, height, x,
+             unnest(generate_series(0, height - 1)) AS y
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT)  AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum((7 * doc_id + 5 * x + 3 * y) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id + 2 * x + 11 * y) % 256) AS BIGINT)    AS sum_g,
+           CAST(sum((5 * doc_id + 9 * x + y) % 256) AS BIGINT)     AS sum_b,
+           CAST((7 * doc_id) % 256 + doc_id % 256 + (5 * doc_id) % 256
+                AS BIGINT) AS topleft_rgb
+    FROM pxy
+    GROUP BY doc_id, width, height
+    """,
+    tags=("tier2", "multimodal"),
+)
+def png_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode of an ENTROPY-CODED image format, still zero media
+    libraries: per doc a spec-valid 8-bit truecolor PNG is synthesized
+    (every pixel a pure function of doc_id and (x, y)) and fully decoded
+    back from raw bytes — chunk walk with CRC32 verification, multi-IDAT
+    zlib inflate (DEFLATE is stdlib), and all five scanline unfilters
+    implemented from the spec, exercised hard because the synth side
+    rotates the filter type per row (None/Sub/Up/Average/Paeth). The
+    oracle regenerates every pixel in SQL and aggregates, so the channel
+    sums verify the whole unfiltered pixel array and the top-left-pixel
+    column pins scanline order. bmp_pixel_decode covered the
+    pure-byte-layout raster case; this closes the entropy-coded case the
+    round-7 docstring still deferred ('PNG/JPEG stay behind the gate') —
+    JPEG alone remains library-gated, its codec not being in the stdlib.
+    Arrow-batched mapInPandas, partition-preserving, payloads never
+    shuffled."""
+    from mapreduce__spark.operators.multimodal import (
+        png_pixel_features,
+        with_png_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return png_pixel_features(with_png_payload(docs))

@@ -1599,3 +1599,60 @@ def test_cluster_outliers_planted(spark, tmp_path):
     assert flagged == {junk}, flagged
     # decisive margin (simulated ratio ~62x vs <=1.11x for real members)
     assert got[junk].dist2 > 10 * got[junk].med_dist2
+
+
+def test_png_pixel_decode_filters_and_rejection():
+    """Full PNG pixel decode: every scanline filter type must be
+    exercised and unfiltered correctly (heights >= 5 rotate through
+    None/Sub/Up/Average/Paeth), multi-IDAT streams must inflate as one
+    zlib stream, CRC corruption and unsupported variants are rejected,
+    not mis-decoded."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from mapreduce__spark.operators.multimodal import (
+        decode_png_pixels,
+        synth_png_bytes,
+    )
+
+    # heights cycle (doc_id*5) % 9 + 4 in [4, 12]; any doc with h >= 5
+    # uses all five filters. Sweep a range to cover every (w, h) class.
+    for doc_id in range(24):
+        b = synth_png_bytes(doc_id)
+        w, h, n, sum_r, sum_g, sum_b, topleft = decode_png_pixels(b)
+        assert (w, h, n) == (doc_id % 11 + 4, (doc_id * 5) % 9 + 4, w * h)
+        want_r = sum((7 * doc_id + 5 * x + 3 * y) % 256 for x in range(w) for y in range(h))
+        want_g = sum((doc_id + 2 * x + 11 * y) % 256 for x in range(w) for y in range(h))
+        want_b = sum((5 * doc_id + 9 * x + y) % 256 for x in range(w) for y in range(h))
+        assert (sum_r, sum_g, sum_b) == (want_r, want_g, want_b)
+        assert topleft == (7 * doc_id) % 256 + doc_id % 256 + (5 * doc_id) % 256
+
+    good = synth_png_bytes(3)
+    # signature
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png_pixels(b"XXXXXXXX" + good[8:])
+    # CRC corruption: flip a byte inside the first IDAT's payload
+    idat_at = good.index(b"IDAT")
+    corrupt = bytearray(good)
+    corrupt[idat_at + 4] ^= 0xFF
+    with pytest.raises(ValueError, match="bad CRC"):
+        decode_png_pixels(bytes(corrupt))
+    # 16-bit depth variant: rebuild IHDR with depth=16 and a valid CRC —
+    # must be REJECTED by the variant gate, not mis-decoded.
+    w3, h3 = 3 % 11 + 4, (3 * 5) % 9 + 4
+    bad_ihdr = struct.pack(">IIBBBBB", w3, h3, 16, 2, 0, 0, 0)
+    rebuilt = (
+        good[:8]
+        + struct.pack(">I", len(bad_ihdr))
+        + b"IHDR"
+        + bad_ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + bad_ihdr) & 0xFFFFFFFF)
+        + good[8 + 12 + 13 :]
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png_pixels(rebuilt)
+    # truncated: cut mid-chunk so a declared length overruns the buffer
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_png_pixels(good[: idat_at + 10])

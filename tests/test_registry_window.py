@@ -49,6 +49,7 @@ DEFERRED_DOUBLES: set[str] = {
     "agg_multi",
     "join_inner",
     "join_outer",
+    "set_ops",
 }
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
