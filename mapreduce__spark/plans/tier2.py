@@ -5690,8 +5690,15 @@ def equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from mapreduce__spark.operators.windows import idiv
 
-    hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    # MATERIALIZED: the histogram (distinct lengths — tiny) feeds the
+    # total, the threshold window AND the final bucket mapping; left
+    # lazy, the threshold path replans its own full corpus scan (the
+    # unigram_lm_score vocab lesson, confirmed by the PLANS.md skeleton
+    # showing 2 FileScans before this checkpoint).
+    hist = (
+        docs.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     tot = hist.agg(F.sum("cnt").alias("n"))
     # Running count over the HISTOGRAM (distinct lengths, not rows): a
