@@ -91,12 +91,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # comment cannot silently disagree with the window):
 #   IN  — every query with zero or one green driver row (the round-8
 #         additions and the 12 round-7 first-timers);
-#         every double-attestation query except the nine explicitly
+#         every double-attestation query except the ten explicitly
 #         deferred to round 9 (DEFERRED_DOUBLES in
 #         tests/test_registry_window.py: scan_project,
 #         filter_predicates, groupby_count, grouped_collect_sorted,
-#         topk_global, agg_multi, join_inner, join_outer, set_ops —
-#         displaced by the ten latest round-8 additions);
+#         topk_global, agg_multi, join_inner, join_outer, set_ops,
+#         string_agg_per_group — displaced by the eleven latest
+#         round-8 additions);
 #         and the CHANGED_CODE_REATTEST set — queries whose
 #         code changed THIS round after already earning >=3 green rows
 #         (the LSH lazy-checkpoint seam), whose prior attestations are
@@ -127,6 +128,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "equidepth_deciles",
     "bigram_lm_score",
     "png_pixel_decode",
+    "incremental_percentiles",
     # round-7 first-timers, earning a second row
     "substring_dedup_windows",
     "domain_mixture_weights",
@@ -146,17 +148,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # default path must still hash-match
     "dedup_lsh_minhash",
     "dedup_incremental",
-    # doubles, third attestation — all but nine fit; scan_project,
+    # doubles, third attestation — all but ten fit; scan_project,
     # filter_predicates, groupby_count, grouped_collect_sorted,
-    # topk_global, agg_multi, join_inner, join_outer and set_ops (the
-    # most basic tier-0/tier-1 paths, untouched since round 1) are
-    # explicitly DEFERRED to round 9 (tests/test_registry_window.py
-    # DEFERRED_DOUBLES) to make room for the ten latest round-8
-    # additions
+    # topk_global, agg_multi, join_inner, join_outer, set_ops and
+    # string_agg_per_group (the most basic tier-0/tier-1 paths,
+    # untouched since round 1) are explicitly DEFERRED to round 9
+    # (tests/test_registry_window.py DEFERRED_DOUBLES) to make room
+    # for the eleven latest round-8 additions
     "scan_provenance",
     "null_semantics",
     "datetime_functions",
-    "string_agg_per_group",
     "text_normalize",
     "date_arithmetic",
     "json_extraction",

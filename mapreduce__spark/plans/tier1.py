@@ -273,6 +273,83 @@ def distinct_users_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_percentiles",
+    oracle="""
+    WITH hist AS (
+        SELECT event_type, value AS v, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), totals AS (
+        SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_rows
+        FROM hist GROUP BY 1
+    ), hc AS (
+        SELECT event_type, v, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v)
+                    AS BIGINT) AS cum
+        FROM hist
+    )
+    SELECT t.event_type, t.n_rows,
+           min(CASE WHEN cum >= (n_rows + 1) // 2 THEN v END)        AS p50,
+           min(CASE WHEN cum >= (9 * n_rows + 9) // 10 THEN v END)   AS p90,
+           min(CASE WHEN cum >= (99 * n_rows + 99) // 100 THEN v END) AS p99
+    FROM hc JOIN totals t ON hc.event_type = t.event_type
+    GROUP BY t.event_type, t.n_rows
+    """,
+    tags=("tier1", "agg", "sketch"),
+)
+def incremental_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-11/O-12 extended: MERGEABLE exact percentiles — the quantile
+    twin of distinct_users_hll_mergeable, for the incremental-analytics
+    shape where daily jobs summarize their partition once and any
+    reporting window merges summaries without rescanning events. The
+    summary is the per-(event_type, day) VALUE HISTOGRAM: on
+    bounded-cardinality measures (money at cent grain, latency at ms
+    grain, document lengths) it is bounded-size like a KLL/GK sketch but
+    EXACT — merging is count addition (associative, commutative), so
+    day → window rollups lose nothing, and unlike interpolating sketches
+    the answer is an order statistic actually present in the data
+    (percentile_disc: the smallest value whose running count reaches
+    ceil(p*n)).
+
+    This query runs the whole two-level path — build daily summaries,
+    merge across the full window, read p50/p90/p99 off the merged
+    histogram's running count — and the oracle recomputes the same
+    discrete percentiles directly from raw events, so the merge path is
+    hash-checked against the single-pass truth, exact to the bit (the
+    values are ORIGINAL doubles from the data; no arithmetic touches
+    them).
+
+    Scale shape: one events scan builds the daily summaries
+    (map-side-combinable), the merge shuffles only summary rows
+    (days x distinct-values per event_type), and the percentile window
+    runs over the merged histogram — corpus-independent state, the
+    robust_outliers_mad compaction applied to streaming-style rollups."""
+    from mapreduce__spark.operators.windows import idiv
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day"), F.col("value").alias("v")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    merged = daily.groupBy("event_type", "v").agg(F.sum("cnt").alias("cnt"))
+    totals = merged.groupBy("event_type").agg(F.sum("cnt").alias("n_rows"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hc = merged.withColumn("cum", F.sum("cnt").over(w)).join(totals, "event_type")
+
+    def disc(num: int, den: int):
+        rank = idiv(num * F.col("n_rows") + (den - 1), den)
+        return F.min(F.when(F.col("cum") >= rank, F.col("v")))
+
+    return hc.groupBy("event_type", "n_rows").agg(
+        disc(1, 2).alias("p50"),
+        disc(9, 10).alias("p90"),
+        disc(99, 100).alias("p99"),
+    )
+
+
 # --------------------------------------------------------------------------
 # joins (O-13..O-16)
 # --------------------------------------------------------------------------

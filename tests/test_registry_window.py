@@ -50,6 +50,7 @@ DEFERRED_DOUBLES: set[str] = {
     "join_inner",
     "join_outer",
     "set_ops",
+    "string_agg_per_group",
 }
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
