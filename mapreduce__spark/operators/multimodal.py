@@ -1182,3 +1182,239 @@ def png_pixel_features(mm: DataFrame) -> DataFrame:
         decode_png_pixels,
         ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b", "topleft_rgb"),
     )
+
+
+def _gif_interlace_rows(h: int) -> list[int]:
+    """GIF89a four-pass interlace: the image rows in STORAGE order."""
+    rows = list(range(0, h, 8))
+    rows += list(range(4, h, 8))
+    rows += list(range(2, h, 4))
+    rows += list(range(1, h, 2))
+    return rows
+
+
+def _gif_lzw_compress(indices: list[int], min_code_size: int) -> bytes:
+    """REAL GIF-variant LZW compression (variable code width, early
+    change, clear on table overflow, LSB-first bit packing) — the synth
+    side of the round-trip; decode_gif_pixels unpacks with its own
+    independently-written decompressor."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out: list[tuple[int, int]] = [(clear, width)]
+    buf: tuple[int, ...] = ()
+    for k in indices:
+        cand = buf + (k,)
+        if cand in table:
+            buf = cand
+            continue
+        out.append((table[buf], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:  # early change
+            width += 1
+        elif next_code == 4096:
+            out.append((clear, width))
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        buf = (k,)
+    if buf:
+        out.append((table[buf], width))
+    out.append((eoi, width))
+    acc = nbits = 0
+    data = bytearray()
+    for code, wd in out:
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def synth_gif_bytes(doc_id: int) -> bytes:
+    """Deterministic, spec-valid GIF89a with REAL LZW-compressed pixel
+    data — the third stdlib-only full-decode format after BMP (pure byte
+    layout) and PNG (DEFLATE): GIF's codec is LZW, small enough to
+    implement from the spec. Dimensions, palette and every pixel index
+    are pure functions of doc_id so an SQL oracle can verify the decode:
+
+        width  = doc_id % 9 + 4,   height = (doc_id*3) % 7 + 4
+        idx(x,y) = (doc_id + 3x + 7y) % 8          (y = row from TOP)
+        palette[c] = ((11c + doc_id) % 256,        -- R
+                      (5c + 2*doc_id) % 256,       -- G
+                      (3c + 7*doc_id) % 256)       -- B
+
+    Deliberate decode hazards: doc_id % 3 == 0 files store rows in the
+    four-pass INTERLACED order (a decoder ignoring the flag returns
+    scrambled rows — the top-left column catches it); doc_id % 2 == 1
+    files carry the palette as a LOCAL color table while the GLOBAL one
+    holds garbage (wrong precedence reads garbage colors); a Graphics
+    Control Extension sits before the image (skipping the 0x21 block is
+    mandatory); and the LZW stream is split into <=63-byte sub-blocks so
+    multi-block reassembly is exercised. Pixel-law periodicity makes the
+    LZW dictionary chains deep, so code-width growth and the KwKwK case
+    both occur naturally."""
+    w = doc_id % 9 + 4
+    h = (doc_id * 3) % 7 + 4
+    interlaced = doc_id % 3 == 0
+    use_lct = doc_id % 2 == 1
+    palette = bytearray()
+    for c in range(8):
+        palette += bytes(
+            [(11 * c + doc_id) % 256, (5 * c + 2 * doc_id) % 256, (3 * c + 7 * doc_id) % 256]
+        )
+    garbage = bytes((37 * i + doc_id) % 256 for i in range(24))
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: GCT always present (8 colors)
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x02, 0, 0)
+    out += garbage if use_lct else bytes(palette)
+    # graphics control extension — decoders must SKIP extension blocks
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    # image descriptor
+    packed = (0x80 | 0x02 if use_lct else 0x00) | (0x40 if interlaced else 0x00)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, packed)
+    if use_lct:
+        out += bytes(palette)
+    rows = _gif_interlace_rows(h) if interlaced else list(range(h))
+    indices = [(doc_id + 3 * x + 7 * y) % 8 for y in rows for x in range(w)]
+    lzw = _gif_lzw_compress(indices, min_code_size=3)
+    out += bytes([3])
+    for i in range(0, len(lzw), 63):
+        block = lzw[i : i + 63]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif_pixels(b: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """FULL pixel decode of a GIF from raw bytes — logical-screen parse,
+    extension-block skip, local-vs-global color table precedence,
+    multi-sub-block LZW stream reassembly, an independently-written LZW
+    decompressor (variable code width with early change, clear-code
+    table reset, the KwKwK first-use case), and four-pass de-interlacing.
+    Returns the decode_bmp_pixels shape: (width, height, n_pixels,
+    sum_r, sum_g, sum_b, topleft_rgb). Raises on non-GIF bytes and
+    structurally broken streams."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = b[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise ValueError("no image data before trailer")
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    else:
+        raise ValueError("truncated GIF")
+    _l, _t, w, h, ipacked = struct.unpack("<HHHHB", b[pos + 1 : pos + 10])
+    pos += 10
+    table = gct
+    if ipacked & 0x80:  # local color table wins
+        n = 2 << (ipacked & 0x07)
+        table = b[pos : pos + 3 * n]
+        pos += 3 * n
+    if table is None:
+        raise ValueError("no color table")
+    interlaced = bool(ipacked & 0x40)
+    min_code_size = b[pos]
+    pos += 1
+    stream = bytearray()
+    while pos < len(b) and b[pos]:
+        ln = b[pos]
+        stream += b[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    if pos >= len(b):
+        raise ValueError("truncated GIF image data")
+
+    # LZW decompression (independent of the synth-side compressor)
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = nbits = bit_pos = 0
+    width = min_code_size + 1
+    dictionary: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    out = bytearray()
+    data = bytes(stream)
+    while True:
+        while nbits < width:
+            if bit_pos >= len(data):
+                raise ValueError("LZW stream ended without EOI")
+            acc |= data[bit_pos] << nbits
+            nbits += 8
+            bit_pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            dictionary = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = dictionary[code]
+        elif code < len(dictionary):
+            entry = dictionary[code]
+            dictionary.append(prev + entry[:1])
+        elif code == len(dictionary):  # KwKwK
+            entry = prev + prev[:1]
+            dictionary.append(entry)
+        else:
+            raise ValueError("corrupt LZW code")
+        out += entry
+        # Early change, decoder side: the decoder's table lags the
+        # encoder's by ONE entry (the encoder adds an entry per emitted
+        # code; the decoder adds one per code READ except the first), so
+        # it must widen one code earlier than the symmetric condition —
+        # at 2^width - 1, not 2^width (the classic GIF LZW off-by-one).
+        if len(dictionary) == (1 << width) - 1 and width < 12:
+            width += 1
+        prev = entry
+    if len(out) != w * h:
+        raise ValueError("LZW output does not match dimensions")
+
+    idx = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w)
+    if interlaced:
+        deinterlaced = np.empty_like(idx)
+        deinterlaced[np.array(_gif_interlace_rows(h))] = idx
+        idx = deinterlaced
+    pal = np.frombuffer(bytes(table), dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+    rgb = pal[idx]  # h x w x 3
+    sums = rgb.reshape(-1, 3).sum(axis=0)
+    topleft = int(rgb[0, 0].sum())
+    return w, h, w * h, int(sums[0]), int(sums[1]), int(sums[2]), topleft
+
+
+def with_gif_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with synthesized full LZW-compressed GIF files."""
+    return _with_payload(docs, synth_gif_bytes)
+
+
+def gif_pixel_features(mm: DataFrame) -> DataFrame:
+    """Arrow-batched full GIF pixel decode over payload bytes."""
+    return _int_feature_map(
+        mm,
+        decode_gif_pixels,
+        ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b", "topleft_rgb"),
+    )

@@ -5906,3 +5906,67 @@ def png_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return png_pixel_features(with_png_payload(docs))
+
+
+@query(
+    "gif_pixel_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id % 9 + 4        AS width,
+             (doc_id * 3) % 7 + 4  AS height
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, width, height,
+             unnest(generate_series(0, width - 1)) AS x
+      FROM dims
+    ),
+    pxy AS (
+      SELECT doc_id, width, height, x,
+             unnest(generate_series(0, height - 1)) AS y,
+             (doc_id + 3 * x + 7 * unnest(generate_series(0, height - 1))) % 8
+               AS c
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT)  AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum((11 * c + doc_id) % 256) AS BIGINT)    AS sum_r,
+           CAST(sum((5 * c + 2 * doc_id) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((3 * c + 7 * doc_id) % 256) AS BIGINT) AS sum_b,
+           CAST((11 * (doc_id % 8) + doc_id) % 256
+              + (5 * (doc_id % 8) + 2 * doc_id) % 256
+              + (3 * (doc_id % 8) + 7 * doc_id) % 256 AS BIGINT) AS topleft_rgb
+    FROM pxy
+    GROUP BY doc_id, width, height
+    """,
+    tags=("tier2", "multimodal"),
+)
+def gif_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW decode, zero media libraries: per doc a spec-valid GIF89a
+    is synthesized with REAL LZW-compressed pixel data (GIF's codec is
+    LZW, small enough to implement from the spec — unlike PNG there is
+    no stdlib codec to lean on, so BOTH sides are implemented here:
+    compressor and an independently-written decompressor, with the
+    decoder additionally validated against a canonical hand-verifiable
+    1x1 GIF byte vector produced by neither side). Decode hazards baked
+    into the synth: four-pass interlacing on every third doc, local
+    color table overriding a garbage global one on every odd doc,
+    extension-block skipping, multi-sub-block stream reassembly,
+    variable code width with the early-change off-by-one, and natural
+    KwKwK cases from the periodic pixel law. The oracle regenerates
+    every palette-mapped pixel in SQL; channel sums verify the whole
+    index array through the palette and the top-left pixel pins
+    de-interlacing. With BMP (byte layout), PNG (DEFLATE) and GIF (LZW)
+    all fully decoded, JPEG alone remains library-gated — arithmetic/
+    Huffman entropy coding plus DCT is the one codec with no stdlib
+    leverage. Arrow-batched mapInPandas, payloads never shuffled."""
+    from mapreduce__spark.operators.multimodal import (
+        gif_pixel_features,
+        with_gif_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gif_pixel_features(with_gif_payload(docs))

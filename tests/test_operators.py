@@ -1656,3 +1656,61 @@ def test_png_pixel_decode_filters_and_rejection():
     # truncated: cut mid-chunk so a declared length overruns the buffer
     with pytest.raises(ValueError, match="truncated|missing"):
         decode_png_pixels(good[: idat_at + 10])
+
+
+def test_gif_pixel_decode_hazards_and_canonical_vector():
+    """Full GIF LZW decode: interlaced and non-interlaced files, local
+    color table precedence over a garbage global one, extension-block
+    skipping, multi-sub-block reassembly — and, since BOTH LZW sides are
+    implemented here (no stdlib codec to lean on), the decoder is
+    additionally pinned to a canonical hand-verifiable 1x1 GIF byte
+    vector produced by neither side of our round-trip."""
+    import pytest
+
+    from mapreduce__spark.operators.multimodal import (
+        decode_gif_pixels,
+        synth_gif_bytes,
+    )
+
+    # doc_id 9: interlaced (9%3==0) + local color table (odd);
+    # doc_id 4: neither; doc_id 3: interlaced only; doc_id 5: LCT only —
+    # all four hazard combinations checked against the generative law.
+    for doc_id in (3, 4, 5, 9):
+        b = synth_gif_bytes(doc_id)
+        w, h, n, sum_r, sum_g, sum_b, topleft = decode_gif_pixels(b)
+        assert (w, h, n) == (doc_id % 9 + 4, (doc_id * 3) % 7 + 4, w * h)
+        want = [0, 0, 0]
+        for y in range(h):
+            for x in range(w):
+                c = (doc_id + 3 * x + 7 * y) % 8
+                want[0] += (11 * c + doc_id) % 256
+                want[1] += (5 * c + 2 * doc_id) % 256
+                want[2] += (3 * c + 7 * doc_id) % 256
+        assert [sum_r, sum_g, sum_b] == want
+        c0 = doc_id % 8
+        assert topleft == (
+            (11 * c0 + doc_id) % 256
+            + (5 * c0 + 2 * doc_id) % 256
+            + (3 * c0 + 7 * doc_id) % 256
+        )
+
+    # canonical 1x1 white-pixel GIF89a (the classic minimal GIF): decodes
+    # to one white pixel through GCT + GCE-skip + 2-bit LZW — external
+    # validation that the LZW decoder implements the SPEC, not merely the
+    # inverse of our compressor.
+    canon = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+        b"!\xf9\x04\x01\x00\x00\x00\x00,\x00\x00\x00\x00\x01\x00\x01\x00\x00"
+        b"\x02\x02D\x01\x00;"
+    )
+    assert decode_gif_pixels(canon) == (1, 1, 1, 255, 255, 255, 765)
+
+    good = synth_gif_bytes(7)
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif_pixels(b"XIF89a" + good[6:])
+    # trailer with no image data
+    with pytest.raises(ValueError, match="no image data"):
+        decode_gif_pixels(good[:13] + good[13 : 13 + 24] + b"\x3b")
+    # truncated mid image data (cut before the sub-block terminator)
+    with pytest.raises(ValueError, match="truncated|ended"):
+        decode_gif_pixels(good[:-10])

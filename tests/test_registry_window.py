@@ -51,6 +51,7 @@ DEFERRED_DOUBLES: set[str] = {
     "join_outer",
     "set_ops",
     "string_agg_per_group",
+    "datetime_functions",
 }
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
