@@ -228,6 +228,68 @@ def stream_user_ewma(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_quantile_histogram(events: DataFrame) -> DataFrame:
+    """Stateful streaming EXACT percentiles via the mergeable value
+    histogram — the streaming form of the batch `incremental_percentiles`
+    query, and the state-bounding argument made live: the state per
+    event_type is the (value -> count) histogram, which on
+    bounded-cardinality measures is bounded-size regardless of how many
+    events stream through, so the state store never grows with the
+    stream (the property KLL/GK sketches buy with approximation, bought
+    exactly here). Each micro-batch folds its rows into the histogram
+    (count addition — the same merge the batch query's day->window
+    rollup runs) and emits the discrete p50/p90/p99 read off the merged
+    state: the smallest value whose running count reaches ceil(p*n),
+    values always ORIGINAL doubles from the data, so the final batch's
+    emission is bit-identical to the batch query (pinned in
+    tests/test_streaming.py across multi-file micro-batches)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            vs, cs = state.get
+            hist = dict(zip(list(vs), list(cs)))
+        else:
+            hist = {}
+        for pdf in pdfs:
+            for v, c in pdf["value"].value_counts().items():
+                hist[float(v)] = hist.get(float(v), 0) + int(c)
+        items = sorted(hist.items())
+        state.update(([v for v, _ in items], [c for _, c in items]))
+        n = sum(hist.values())
+
+        def disc(num: int, den: int) -> float:
+            rank = (num * n + den - 1) // den
+            cum = 0
+            for v, c in items:
+                cum += c
+                if cum >= rank:
+                    return v
+            return items[-1][0]
+
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_rows": [n],
+                "p50": [disc(1, 2)],
+                "p90": [disc(9, 10)],
+                "p99": [disc(99, 100)],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, n_rows bigint, p50 double, p90 double, "
+            "p99 double"
+        ),
+        stateStructType="vs array<double>, cs array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_user_totals_tws(events: DataFrame) -> DataFrame:
     """The same per-user running totals through `transformWithStateInPandas`
     — Spark 4's arbitrary-state API (typed value/list/map state handles,

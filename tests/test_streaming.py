@@ -673,3 +673,51 @@ def test_stream_ewma_matches_sequential_reference(spark, sf_small):
     # raw division on both sides (no round — see events_ewma's tie note)
     want = {u: (n, e / 100.0) for u, (e, n) in want.items()}
     assert got == want and want
+
+
+def test_stream_quantile_histogram_equals_batch(spark, sf_small, tmp_path):
+    """The stateful histogram percentiles must converge to the batch
+    incremental_percentiles result across MULTIPLE micro-batches (three
+    file shards, maxFilesPerTrigger=1), since the whole point is that
+    merging per-batch histograms loses nothing: the final emission per
+    event_type (max n_rows) must equal the batch query's row exactly —
+    the percentile values are original doubles, no tolerance needed."""
+    import os as _os
+
+    from mapreduce__spark.plans.tier1 import incremental_percentiles
+    from mapreduce__spark.streaming.streams import (
+        run_stream_to_memory,
+        stream_quantile_histogram,
+    )
+
+    ev = load_table(spark, sf_small, "events").select("event_type", "value")
+    src = tmp_path / "qshards"
+    src.mkdir()
+    t0 = 1_700_000_000
+    for i, s in enumerate(ev.randomSplit([1.0, 1.0, 1.0], seed=23)):
+        d = src / f"b{i}"
+        s.coalesce(1).write.parquet(str(d))
+        for f in _os.listdir(d):
+            _os.utime(d / f, (t0 + i, t0 + i))
+
+    sdf = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    run_stream_to_memory(
+        stream_quantile_histogram(sdf), "t_qhist_stream", output_mode="update"
+    )
+    got = {
+        r.event_type: (r.n_rows, r.p50, r.p90, r.p99)
+        for r in spark.table("t_qhist_stream")
+        .groupBy("event_type")
+        .agg(F.max(F.struct("n_rows", "p50", "p90", "p99")).alias("s"))
+        .select("event_type", "s.n_rows", "s.p50", "s.p90", "s.p99")
+        .collect()
+    }
+    want = {
+        r.event_type: (r.n_rows, r.p50, r.p90, r.p99)
+        for r in incremental_percentiles(spark, sf_small).collect()
+    }
+    assert got == want and len(got) > 0
