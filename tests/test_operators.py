@@ -1714,3 +1714,44 @@ def test_gif_pixel_decode_hazards_and_canonical_vector():
     # truncated mid image data (cut before the sub-block terminator)
     with pytest.raises(ValueError, match="truncated|ended"):
         decode_gif_pixels(good[:-10])
+
+
+def test_gif_lzw_table_overflow_roundtrip():
+    """The LZW clear-on-4096 path is DEAD at fixture image sizes (<=120
+    pixels); exercise it directly: a 120k-symbol random-of-8 stream
+    pushes the code table past 4096 several times, forcing mid-stream
+    clear codes and full-width (12-bit) codes — the round-trip through a
+    minimal GIF container must still reproduce every index."""
+    import random
+    import struct
+
+    from mapreduce__spark.operators.multimodal import (
+        _gif_lzw_compress,
+        decode_gif_pixels,
+    )
+
+    rng = random.Random(7)
+    idx = [rng.randrange(8) for _ in range(120_000)]
+    data = _gif_lzw_compress(idx, 3)
+    w, h = 400, 300
+    palette = bytes(range(24))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x02, 0, 0) + palette
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += bytes([3])
+    for i in range(0, len(data), 255):
+        blk = data[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    res = decode_gif_pixels(bytes(out))
+    pal = [palette[3 * c : 3 * c + 3] for c in range(8)]
+    want = (
+        w,
+        h,
+        w * h,
+        sum(pal[c][0] for c in idx),
+        sum(pal[c][1] for c in idx),
+        sum(pal[c][2] for c in idx),
+        sum(pal[idx[0]]),
+    )
+    assert res == want
