@@ -89,3 +89,55 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 << 20,
+    cluster_by: list[str] | None = None,
+) -> dict:
+    """Small-files compaction — the table-maintenance op behind Delta/
+    Iceberg OPTIMIZE / rewrite_data_files, expressed as plain Spark: a
+    streaming ingest (or an over-parallel write) leaves thousands of
+    KB-scale files whose per-file open/footer cost dominates scans;
+    rewrite them into ~target-byte files, optionally range-clustered on
+    `cluster_by` so the rewrite also buys min/max pruning (pair with
+    write_zordered for multi-dimension clustering).
+
+    Output file count is computed from the ACTUAL input bytes (summed
+    through the Hadoop FileSystem of each input file, so any FS scheme
+    works), not guessed from row counts — compressed parquet bytes are
+    the quantity the target is stated in. The rewrite is one shuffle-
+    free coalesce-style repartition when unclustered, or one range
+    exchange when clustered; at warehouse scale this runs per-partition
+    (compact yesterday's directory), never corpus-wide.
+
+    Returns {"n_input_files", "n_output_files", "input_bytes", "rows"}
+    — and the row count is re-read from the DESTINATION, so the caller's
+    preservation assertion is against what actually landed."""
+    df = spark.read.parquet(src_path)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    inputs = df.inputFiles()
+    total = 0
+    for f in inputs:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(hconf)
+        total += fs.getFileStatus(p).getLen()
+    n_out = max(1, -(-total // target_file_bytes))  # ceil-div
+    if cluster_by:
+        out = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(dst_path)
+    back = spark.read.parquet(dst_path)
+    return {
+        "n_input_files": len(inputs),
+        "n_output_files": len(back.inputFiles()),
+        "input_bytes": total,
+        "rows": back.count(),
+    }

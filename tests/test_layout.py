@@ -76,3 +76,57 @@ def test_partitioned_write_prunes_at_scan(spark, sf_small, tmp_path):
 
     want = {r.event_id for r in ev.where(F.col("event_type") == "click").collect()}
     assert {r.event_id for r in back.collect()} == want and want
+
+
+def test_compact_files_preserves_rows_and_hits_target(spark, sf_small, tmp_path):
+    """Small-files compaction: 64 tiny input files rewrite into the
+    byte-target-derived output count, every row survives (set-identical
+    doc_ids AND texts, not just a count), and the clustered variant's
+    per-file doc_id ranges are disjoint — the min/max pruning the
+    rewrite is buying."""
+    from mapreduce__spark.operators.layout import compact_files
+    from mapreduce__spark.sources import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    src = str(tmp_path / "small_files")
+    docs.repartition(64).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) == 64
+
+    dst = str(tmp_path / "compacted")
+    stats = compact_files(spark, src, dst, target_file_bytes=256 << 10)
+    assert stats["n_input_files"] == 64
+    assert stats["n_output_files"] < 64
+    assert stats["n_output_files"] == max(
+        1, -(-stats["input_bytes"] // (256 << 10))
+    )
+    assert stats["rows"] == docs.count()
+    got = {(r.doc_id, r.text) for r in spark.read.parquet(dst).collect()}
+    want = {(r.doc_id, r.text) for r in docs.collect()}
+    assert got == want
+
+    # clustered compaction: per-file doc_id spans must be disjoint
+    dst2 = str(tmp_path / "compacted_clustered")
+    stats2 = compact_files(
+        spark, src, dst2, target_file_bytes=128 << 10, cluster_by=["doc_id"]
+    )
+    assert stats2["rows"] == docs.count()
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in spark.read.parquet(dst2).inputFiles():
+        md = pq.ParquetFile(f.replace("file:", "")).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "doc_id"
+            )
+            los.append(col.statistics.min)
+            his.append(col.statistics.max)
+        if los:
+            spans.append((min(los), max(his)))
+    spans.sort()
+    assert len(spans) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file spans {(lo1, hi1)} {(lo2, hi2)}"
