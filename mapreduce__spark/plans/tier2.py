@@ -2153,9 +2153,10 @@ def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same (doc, position, token) triples as `token_positions`, but
     produced by a Python user-defined TABLE function (Spark 4's `@udtf`,
-    LATERAL-joined per input row) — completing the O-27 UDF-surface
-    matrix: pandas_udf, applyInPandas, mapInPandas, mapInArrow,
-    applyInPandasWithState, transformWithStateInPandas, and now UDTF.
+    LATERAL-joined per input row) — one more leg of the O-27 UDF-surface
+    matrix: applyInPandas, mapInPandas, mapInArrow,
+    applyInPandasWithState, transformWithStateInPandas, UDTF, and the
+    GROUPED_AGG pandas_udf (pandas_udf_grouped_median).
     Both forms share one oracle, so the API demonstration carries a full
     hash check rather than a smoke test.
 
@@ -5970,3 +5971,54 @@ def gif_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return gif_pixel_features(with_gif_payload(docs))
+
+
+@query(
+    "pandas_udf_grouped_median",
+    oracle="""
+    WITH s AS (
+        SELECT source, n_chars AS v,
+               row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT source,
+           CAST(min(CASE WHEN rn = (n + 1) // 2 THEN v END)
+              + min(CASE WHEN rn = n // 2 + 1 THEN v END) AS BIGINT) AS med2
+    FROM s GROUP BY source
+    """,
+    tags=("tier2", "agg", "udf"),
+)
+def pandas_udf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas_udf GROUPED_AGG leg of the O-27 UDF-surface matrix —
+    the one Python-UDF API the tree exercised nowhere (the
+    udtf_token_positions docstring listed it on the strength of the
+    other six legs; this makes the claim true): a vectorized grouped
+    aggregate (pd.Series -> scalar, Arrow-batched per group) computing
+    the exact two-middles median statistic med2 = x_(ceil(n/2)) +
+    x_(floor(n/2)+1) over document lengths per source. Pure integer
+    arithmetic, so the API demonstration carries a full hash check, and
+    the statistic deliberately matches robust_outliers_mad's center —
+    three independent implementations (numpy sort here, the
+    value-histogram compaction there, the oracle's row_number SQL) must
+    agree on the same number.
+
+    Scale note: GROUPED_AGG ships each group's column through Arrow into
+    Python — the right tool when the aggregate has no Catalyst
+    expression form and groups are plentiful (parallelism = #groups).
+    For THIS statistic the production operator remains the
+    histogram-compaction query (one JVM-side aggregate, no Python on the
+    hot path); this is the API twin, the kernel_search_count
+    discipline."""
+    import pandas as pd
+
+    @F.pandas_udf("bigint")
+    def med2(v: pd.Series) -> int:
+        import numpy as np
+
+        a = np.sort(v.to_numpy(dtype=np.int64))
+        n = len(a)
+        return int(a[(n + 1) // 2 - 1] + a[n // 2])
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(med2(F.col("n_chars")).alias("med2"))

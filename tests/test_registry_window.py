@@ -52,6 +52,7 @@ DEFERRED_DOUBLES: set[str] = {
     "set_ops",
     "string_agg_per_group",
     "datetime_functions",
+    "date_arithmetic",
 }
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
