@@ -330,7 +330,17 @@ def incremental_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day"), F.col("value").alias("v")
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    merged = daily.groupBy("event_type", "v").agg(F.sum("cnt").alias("cnt"))
+    # MATERIALIZED: the merged summary (event_types x distinct values —
+    # tiny) feeds both the totals and the percentile window; left lazy,
+    # the totals path replans its own events scan (the equidepth_deciles
+    # lesson — its plan showed 2 FileScans before the checkpoint). In
+    # the deployed incremental shape this materialization IS the design:
+    # the daily summaries are the persisted artifact.
+    merged = (
+        daily.groupBy("event_type", "v")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     totals = merged.groupBy("event_type").agg(F.sum("cnt").alias("n_rows"))
     w = (
         Window.partitionBy("event_type")
