@@ -1304,6 +1304,8 @@ def decode_gif_pixels(b: bytes) -> tuple[int, int, int, int, int, int, int]:
     structurally broken streams."""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    if len(b) < 13:
+        raise ValueError("truncated GIF header")
     sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
     pos = 13
     gct = None

@@ -1708,6 +1708,9 @@ def test_gif_pixel_decode_hazards_and_canonical_vector():
     good = synth_gif_bytes(7)
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif_pixels(b"XIF89a" + good[6:])
+    # a bare signature must raise cleanly, not struct.error
+    with pytest.raises(ValueError, match="truncated GIF header"):
+        decode_gif_pixels(b"GIF89a")
     # trailer with no image data
     with pytest.raises(ValueError, match="no image data"):
         decode_gif_pixels(good[:13] + good[13 : 13 + 24] + b"\x3b")
