@@ -58,6 +58,13 @@ PROBE = [
     "dedup_jaccard_prefix",
     "bm25_rank",
     "entity_resolution_parts",
+    "robust_outliers_mad",
+    "equidepth_deciles",
+    "bigram_lm_score",
+    "png_pixel_decode",
+    "gif_pixel_decode",
+    "incremental_percentiles",
+    "pandas_udf_grouped_median",
 ]
 
 
