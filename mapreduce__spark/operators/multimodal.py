@@ -1035,6 +1035,16 @@ def synth_png_bytes(doc_id: int) -> bytes:
         ],
         axis=2,
     ).astype(np.uint8)
+    return _png_encode(rgb)
+
+
+def _png_encode(rgb: "np.ndarray") -> bytes:
+    """Encode an (h, w, 3) uint8 array as the PNG shape synth_png_bytes
+    describes (8-bit truecolor, per-row rotating filter, split IDAT) —
+    factored out so property tests can push ARBITRARY pixel content
+    through the round-trip, not just the fixture law (random content
+    exercises Paeth predictor orderings a periodic law may never hit)."""
+    h, w = rgb.shape[0], rgb.shape[1]
     raw = rgb.reshape(h, w * 3).astype(np.int64)
     bpp = 3
     zero = np.zeros(bpp, dtype=np.int64)

@@ -344,3 +344,43 @@ def test_bigram_lm_matches_python(spark, token_docs):
     for i in want:
         assert got[i][0] == want[i][0]
         assert got[i][1] == pytest.approx(want[i][1], abs=5e-6)
+
+
+_rgb_dims = st.tuples(
+    st.integers(min_value=1, max_value=9), st.integers(min_value=1, max_value=9)
+)
+
+
+@given(_rgb_dims, st.integers(min_value=0, max_value=2**32 - 1))
+@settings(
+    max_examples=40, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_png_roundtrip_on_random_pixels(dims, seed):
+    """PNG encode→decode on ARBITRARY pixel content — the fixture law is
+    periodic, so its Paeth predictor comparisons can sit in a narrow
+    ordering regime; random content drives all pa/pb/pc orderings and
+    the 1-pixel-wide / 1-row-tall edge shapes (filters degenerate to
+    left=0 / up=0). Channel sums and the top-left pixel must match the
+    source array exactly."""
+    import numpy as np
+
+    from mapreduce__spark.operators.multimodal import (
+        _png_encode,
+        decode_png_pixels,
+    )
+
+    w, h = dims
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64).astype(np.uint8)
+    got = decode_png_pixels(_png_encode(rgb))
+    arr = rgb.astype(np.int64)
+    want = (
+        w,
+        h,
+        w * h,
+        int(arr[:, :, 0].sum()),
+        int(arr[:, :, 1].sum()),
+        int(arr[:, :, 2].sum()),
+        int(arr[0, 0].sum()),
+    )
+    assert got == want
