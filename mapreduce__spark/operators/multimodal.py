@@ -1233,6 +1233,17 @@ def _gif_lzw_compress(indices: list[int], min_code_size: int) -> bytes:
         buf = (k,)
     if buf:
         out.append((table[buf], width))
+        # Phantom bookkeeping for the final flush: the decoder adds one
+        # table entry per data code READ — including after this flush,
+        # where the encoder has no new phrase to insert. Count the code
+        # anyway (giflib's RunningCode counts EMITTED codes, not table
+        # entries) so a flush landing exactly on a width boundary widens
+        # the EOI on both sides; found by the random-pixel hypothesis
+        # round-trip (w=1, h=6 with six distinct symbols — six data
+        # codes put the decoder table at 2^4 - 1 right before EOI).
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
     out.append((eoi, width))
     acc = nbits = 0
     data = bytearray()

@@ -384,3 +384,60 @@ def test_png_roundtrip_on_random_pixels(dims, seed):
         int(arr[0, 0].sum()),
     )
     assert got == want
+
+
+@given(
+    st.tuples(
+        st.integers(min_value=1, max_value=10), st.integers(min_value=1, max_value=10)
+    ),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.booleans(),
+)
+@settings(
+    max_examples=40, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_gif_roundtrip_on_random_pixels(dims, seed, interlaced):
+    """GIF LZW encode→decode on ARBITRARY index grids and palettes, both
+    row orders — the fixture law is periodic, so its LZW dictionary
+    chains and de-interlace permutations follow one regime; random
+    content plus 1-row/1-column edge shapes must survive exactly."""
+    import struct
+
+    import numpy as np
+
+    from mapreduce__spark.operators.multimodal import (
+        _gif_interlace_rows,
+        _gif_lzw_compress,
+        decode_gif_pixels,
+    )
+
+    w, h = dims
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, 8, size=(h, w), dtype=np.int64)
+    palette = bytes(rng.integers(0, 256, size=24, dtype=np.int64).tolist())
+    rows = _gif_interlace_rows(h) if interlaced else list(range(h))
+    flat = [int(idx[y, x]) for y in rows for x in range(w)]
+    data = _gif_lzw_compress(flat, 3)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x02, 0, 0) + palette
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0x00
+    )
+    out += bytes([3])
+    for i in range(0, len(data), 200):
+        blk = data[i : i + 200]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    got = decode_gif_pixels(bytes(out))
+    pal = np.frombuffer(palette, dtype=np.uint8).reshape(8, 3).astype(np.int64)
+    rgb = pal[idx]
+    want = (
+        w,
+        h,
+        w * h,
+        int(rgb[:, :, 0].sum()),
+        int(rgb[:, :, 1].sum()),
+        int(rgb[:, :, 2].sum()),
+        int(rgb[0, 0].sum()),
+    )
+    assert got == want
