@@ -138,9 +138,17 @@ def test_bench_contract(tmp_path):
         # only when a query breached the regression factor first-pass)
         "contention",
         "reruns",
+        # round-8 line-budget fields: the driver parses the JSON out of
+        # the LAST 2000 chars of stdout, so bench trims optional blocks
+        # (recording them in "trimmed") when the line would outgrow it
+        "deltas_note",
+        "trimmed",
     }
     assert required <= set(data) and set(data) <= required | optional
     assert data["sf"] == 0.001 and data["unit"] == "sec" and data["value"] > 0
+    # the driver's 2000-char stdout window is the hard ceiling; bench
+    # must keep its one line under it (with margin) at EVERY sf
+    assert len(lines[0]) <= 1950, f"bench line {len(lines[0])}B > driver window"
     from bench import BENCH_QUERIES
     assert len(data["queries"]) == len(BENCH_QUERIES)
 
