@@ -71,6 +71,9 @@ NAMES = [
     "robust_outliers_mad",
     "equidepth_deciles",
     "bigram_lm_score",
+    # round 8: the histogram-sized rank map broadcast back onto the
+    # unshuffled corpus (SCALE.md 44)
+    "quantile_rank_normalize",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",

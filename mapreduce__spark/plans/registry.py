@@ -91,13 +91,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # comment cannot silently disagree with the window):
 #   IN  — every query with zero or one green driver row (the round-8
 #         additions and the 12 round-7 first-timers);
-#         every double-attestation query except the twelve explicitly
+#         every double-attestation query except the thirteen explicitly
 #         deferred to round 9 (DEFERRED_DOUBLES in
 #         tests/test_registry_window.py: scan_project,
 #         filter_predicates, groupby_count, grouped_collect_sorted,
 #         topk_global, agg_multi, join_inner, join_outer, set_ops,
-#         string_agg_per_group, datetime_functions, date_arithmetic —
-#         displaced by the thirteen latest round-8 additions);
+#         string_agg_per_group, datetime_functions, date_arithmetic,
+#         json_extraction — displaced by the fourteen latest round-8
+#         additions);
 #         and the CHANGED_CODE_REATTEST set — queries whose
 #         code changed THIS round after already earning >=3 green rows
 #         (the LSH lazy-checkpoint seam), whose prior attestations are
@@ -131,6 +132,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "incremental_percentiles",
     "gif_pixel_decode",
     "pandas_udf_grouped_median",
+    "quantile_rank_normalize",
     # round-7 first-timers, earning a second row
     "substring_dedup_windows",
     "domain_mixture_weights",
@@ -150,18 +152,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # default path must still hash-match
     "dedup_lsh_minhash",
     "dedup_incremental",
-    # doubles, third attestation — all but twelve fit; scan_project,
+    # doubles, third attestation — all but thirteen fit; scan_project,
     # filter_predicates, groupby_count, grouped_collect_sorted,
     # topk_global, agg_multi, join_inner, join_outer, set_ops,
-    # string_agg_per_group, datetime_functions and date_arithmetic
-    # (the most basic tier-0/tier-1 paths, untouched since round 1)
-    # are explicitly DEFERRED to round 9
-    # (tests/test_registry_window.py DEFERRED_DOUBLES) to make room
-    # for the thirteen latest round-8 additions
+    # string_agg_per_group, datetime_functions, date_arithmetic and
+    # json_extraction (the most basic tier-0/tier-1 paths, untouched
+    # since round 1; the JSON family stays attested via
+    # json_typed_struct and json_variant_agg) are explicitly DEFERRED
+    # to round 9 (tests/test_registry_window.py DEFERRED_DOUBLES) to
+    # make room for the fourteen latest round-8 additions
     "scan_provenance",
     "null_semantics",
     "text_normalize",
-    "json_extraction",
     "json_typed_struct",
     "json_variant_agg",
     "doc_quality_score",

@@ -6022,3 +6022,81 @@ def pandas_udf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(med2(F.col("n_chars")).alias("med2"))
+
+
+@query(
+    "quantile_rank_normalize",
+    oracle="""
+    WITH hist AS (
+        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    ), hc AS (
+        SELECT source, v, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v)
+                    AS BIGINT) AS cum
+        FROM hist
+    ), totals AS (
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs
+        FROM hist GROUP BY 1
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           CAST(2 * hc.cum - hc.cnt + 1 AS BIGINT) AS midrank2,
+           totals.n_docs
+    FROM documents d
+    JOIN hc ON d.source = hc.source AND d.n_chars = hc.v
+    JOIN totals ON d.source = totals.source
+    """,
+    tags=("tier2", "profiling", "quality"),
+)
+def quantile_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric per-source score calibration: every document gets
+    its within-source MIDRANK of length — the quantile-normalization
+    step that makes scores comparable ACROSS sources when their raw
+    distributions differ in shape (per_source_zscore assumes the shape
+    away; robust_outliers_mad resists it; this removes it: a doc at
+    midrank 0.9 is "longer than ~90% of its source" regardless of what
+    the source's length distribution looks like). Ties share the
+    averaged rank, kept integral as midrank2 = 2*cum - cnt + 1 (twice
+    the midrank: for a tie-run ending at running count `cum` with `cnt`
+    members, the average of ranks cum-cnt+1..cum is (2*cum - cnt + 1)/2)
+    alongside n_docs, so the consumer's percentile midrank2/(2*n_docs)
+    stays a deferred exact rational and the driver hash sees only longs.
+
+    Scale shape: the per-(source, length) histogram compacts the corpus
+    in the one aggregate pass (robust_outliers_mad's trick), the
+    running count windows over histogram rows only, and the rank map
+    joins BACK to the corpus on (source, length) — histogram-sized, so
+    AQE broadcasts it and the corpus is never shuffled or sorted; the
+    naive form is a per-source rank window over every row. Histogram
+    materialized so the join-back can't replan the aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # rank map under join-local names: hist derives from docs, so
+    # joining back on shared column objects trips the ambiguous-self-join
+    # analyzer — rename the keys instead of qualifying them
+    rank_map = hist.withColumn("cum", F.sum("cnt").over(w)).select(
+        F.col("source").alias("_rm_source"),
+        F.col("v").alias("_rm_v"),
+        (2 * F.col("cum") - F.col("cnt") + 1).alias("midrank2"),
+    )
+    totals = hist.groupBy("source").agg(F.sum("cnt").alias("n_docs"))
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(
+            rank_map,
+            (F.col("source") == F.col("_rm_source"))
+            & (F.col("n_chars") == F.col("_rm_v")),
+        )
+        .drop("_rm_source", "_rm_v")
+        .join(totals, "source")
+        .select("doc_id", "source", "n_chars", "midrank2", "n_docs")
+    )

@@ -65,6 +65,7 @@ PROBE = [
     "gif_pixel_decode",
     "incremental_percentiles",
     "pandas_udf_grouped_median",
+    "quantile_rank_normalize",
 ]
 
 

@@ -53,6 +53,7 @@ DEFERRED_DOUBLES: set[str] = {
     "string_agg_per_group",
     "datetime_functions",
     "date_arithmetic",
+    "json_extraction",
 }
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
