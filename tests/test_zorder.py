@@ -88,6 +88,49 @@ def test_zorder_guards_reject_silent_corruption(spark, sf_small):
         zorder_value(o.withColumn("_z", o.o_orderkey), ["o_orderkey"], bits=8)
 
 
+def test_no_partitionless_window_outside_exemptions():
+    """Source lint (round-8 verdict item 4): `Window.orderBy(...)` with no
+    partitionBy funnels the whole relation through ONE task — forbidden in
+    operator/plan code except where the windowed relation is a BOUNDED
+    histogram/summary (documented at the site). A chained partitionBy
+    always precedes orderBy syntactically, so the literal `Window.orderBy(`
+    in code is exactly the partition-less form."""
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..", "mapreduce__spark")
+    # file -> expected number of partition-less windows, each documented
+    # as histogram/summary-sized at the call site
+    exemptions = {"plans/tier2.py": 1}
+    found: dict[str, int] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, root).replace(os.sep, "/")
+            with open(path) as f:
+                src = f.read()
+            # strings/comments can mention the pattern; count only code
+            # lines (no leading #, not inside a docstring is approximated
+            # by requiring an assignment/usage shape)
+            n = 0
+            for line in src.splitlines():
+                stripped = line.strip()
+                # prose mentions live in comments/docstrings — backticked
+                # or em-dash-adjacent; real call sites are bare
+                if stripped.startswith("#") or "`" in stripped or "—" in stripped:
+                    continue
+                if re.search(r"\bWindow\.orderBy\(", stripped):
+                    n += 1
+            if n:
+                found[rel] = n
+    assert found == exemptions, (
+        f"partition-less Window.orderBy sites changed: {found} != "
+        f"{exemptions} — a new one-task window funnel needs a documented "
+        "bounded-relation justification AND an exemption entry here"
+    )
+
+
 def test_zorder_rejects_overwide_grid(spark):
     """bits=63 on one column passed the old width check but crashed plan
     construction (2^63 is not a valid long literal); both overwide cases
