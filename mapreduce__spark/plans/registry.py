@@ -84,32 +84,28 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_registry_window.py::test_rotated_out_core_stays_oracle_gated
 # pins that rotated-out entries keep their oracles.
 #
-# Round-8 rotation, DERIVED FROM DATA like rounds 6-7 (the audit-trail
+# Round-9 rotation, DERIVED FROM DATA like rounds 6-8 (the audit-trail
 # test tests/test_registry_window.py::test_window_prioritizes_low_attestation
 # recomputes green-attestation counts from the checked-in
 # CORRECTNESS_r0*.json files and asserts the policy below, so this
 # comment cannot silently disagree with the window):
-#   IN  — every query with zero or one green driver row (the round-8
-#         additions and the 12 round-7 first-timers);
-#         every double-attestation query except the thirteen explicitly
-#         deferred to round 9 (DEFERRED_DOUBLES in
-#         tests/test_registry_window.py: scan_project,
-#         filter_predicates, groupby_count, grouped_collect_sorted,
-#         topk_global, agg_multi, join_inner, join_outer, set_ops,
-#         string_agg_per_group, datetime_functions, date_arithmetic,
-#         json_extraction — displaced by the fourteen latest round-8
-#         additions);
-#         and the CHANGED_CODE_REATTEST set — queries whose
-#         code changed THIS round after already earning >=3 green rows
-#         (the LSH lazy-checkpoint seam), whose prior attestations are
-#         therefore stale.
+#   IN  — every query with zero or one green driver row (round-9
+#         additions and the 23 round-8 first-timers earning a second
+#         row); every double-attestation query (the 13 round-8
+#         DEFERRED_DOUBLES now taking their third row, plus the 12
+#         round-7 first-timers that doubled in round 8); and two
+#         exactly-3-attested bench-headline fillers
+#         (graph_mass_propagation, bmp_pixel_decode — precisely the two
+#         queries whose round-8 bench readings were contention-spurious,
+#         so a fresh driver row doubles as re-attestation under a clean
+#         run).
 #   OUT — every other query already green in >=3 rounds, each still
 #         bit-exact-gated by tests/test_oracle.py on every pytest run.
 # The intentionally-approximate (rows-only) queries sit past the window so
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-8 additions — never driver-attested
+    # round-8 additions, earning a second row
     "dedup_containment_chunks",
     "fuzzy_join_parts",
     "kmeans_embeddings",
@@ -133,7 +129,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "gif_pixel_decode",
     "pandas_udf_grouped_median",
     "quantile_rank_normalize",
-    # round-7 first-timers, earning a second row
+    # the round-8 DEFERRED_DOUBLES, taking their third row
+    "scan_project",
+    "filter_predicates",
+    "groupby_count",
+    "grouped_collect_sorted",
+    "topk_global",
+    "agg_multi",
+    "join_inner",
+    "join_outer",
+    "set_ops",
+    "string_agg_per_group",
+    "datetime_functions",
+    "date_arithmetic",
+    "json_extraction",
+    # round-7 first-timers that doubled in round 8, taking their third
     "substring_dedup_windows",
     "domain_mixture_weights",
     "dedup_containment",
@@ -146,34 +156,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "incremental_agg_cdc",
     "xml_ingest",
     "source_drift_chi2",
-    # code CHANGED this round after >=3 green rows: both LSH paths now
-    # materialize candidates via a LAZY checkpoint whose count() is the
-    # materialization job (the round-7 bench-regression fix) — the
-    # default path must still hash-match
-    "dedup_lsh_minhash",
-    "dedup_incremental",
-    # doubles, third attestation — all but thirteen fit; scan_project,
-    # filter_predicates, groupby_count, grouped_collect_sorted,
-    # topk_global, agg_multi, join_inner, join_outer, set_ops,
-    # string_agg_per_group, datetime_functions, date_arithmetic and
-    # json_extraction (the most basic tier-0/tier-1 paths, untouched
-    # since round 1; the JSON family stays attested via
-    # json_typed_struct and json_variant_agg) are explicitly DEFERRED
-    # to round 9 (tests/test_registry_window.py DEFERRED_DOUBLES) to
-    # make room for the fourteen latest round-8 additions
-    "scan_provenance",
-    "null_semantics",
-    "text_normalize",
-    "json_typed_struct",
-    "json_variant_agg",
-    "doc_quality_score",
-    "lang_id",
-    "doc_fingerprint",
-    "array_functions",
-    "map_functions",
-    "boilerplate_removal",
-    "weighted_sample",
-    "per_source_cap",
+    # exactly-3-attested bench-headline fillers (see policy note above)
+    "graph_mass_propagation",
+    "bmp_pixel_decode",
 )
 
 

@@ -33,48 +33,26 @@ ROWS_ONLY = {
     "bpe_encode",
 }
 
-# Round-8 rotation: the nine latest round-8 additions (phrase_search,
-# zorder_layout, semantic_dedup, dedup_jaccard_prefix, bm25_rank,
-# entity_resolution_parts, robust_outliers_mad, equidepth_deciles,
-# bigram_lm_score) displaced the last triple filler and eight doubles.
-# The most basic tier-0/tier-1 paths — untouched since round 1 and
-# still bit-exact-gated by test_oracle.py every pytest run — wait for
-# round 9.
-DEFERRED_DOUBLES: set[str] = {
-    "scan_project",
-    "filter_predicates",
-    "groupby_count",
-    "grouped_collect_sorted",
-    "topk_global",
-    "agg_multi",
-    "join_inner",
-    "join_outer",
-    "set_ops",
-    "string_agg_per_group",
-    "datetime_functions",
-    "date_arithmetic",
-    "json_extraction",
-}
+# Round-9 rotation: the 23 round-8 singles take their second row, ALL
+# 25 doubles fit (including the 13 round-8 DEFERRED_DOUBLES, now on
+# their third row) — 48 slots — and two exactly-3-attested fillers
+# round out the 50. Every new round-9 query displaces a filler first,
+# then defers a double here.
+DEFERRED_DOUBLES: set[str] = set()
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
 # driver rows — their prior attestations describe the old code, so they
 # re-enter the window even though the low-attestation rule alone would
-# exclude them. This round: both LSH verify paths replaced the eager
-# candidate checkpoint + separate count() with a lazy checkpoint whose
-# count IS the materialization job (the round-7 bench-regression fix);
-# values must be unchanged.
-CHANGED_CODE_REATTEST = {
-    "dedup_lsh_minhash",
-    "dedup_incremental",
-}
+# exclude them. Round 9: none (the LSH lazy-checkpoint seam re-attested
+# green in round 8 and is untouched this round).
+CHANGED_CODE_REATTEST: set[str] = set()
 
-# Round-8 slack: none left. The late round-8 additions (graph_triangles,
-# skyline_pareto, inverted_index, data_quality_audit, then phrase_search,
-# zorder_layout, semantic_dedup, dedup_jaccard_prefix, bm25_rank,
-# entity_resolution_parts) consumed all five original filler slots and
-# displaced five doubles into DEFERRED_DOUBLES. Kept (empty) because the policy test still
-# enforces the filler bookkeeping shape.
-TRIPLE_FILLERS: set[str] = set()
+# Exactly-3-attested bench-headline queries earning a fourth row:
+# graph_mass_propagation and bmp_pixel_decode are precisely the two
+# queries whose round-8 bench timings were contention-spurious (>2x
+# readings the judge's idle re-measure read at 1.22x / 0.95x), so the
+# fresh driver row doubles as a clean re-attestation.
+TRIPLE_FILLERS: set[str] = {"graph_mass_propagation", "bmp_pixel_decode"}
 
 
 # The round whose CORRECTNESS files informed the CURRENT window. The
@@ -83,7 +61,7 @@ TRIPLE_FILLERS: set[str] = set()
 # gives every in-window entry one MORE green row — counting that file
 # would flip test_window_prioritizes_low_attestation red before the
 # next rotation happens. Bump this when rotating the window.
-WINDOW_BASIS_ROUND = 7
+WINDOW_BASIS_ROUND = 8
 
 
 def _attestations() -> dict[str, int]:
