@@ -1458,3 +1458,608 @@ def gif_pixel_features(mm: DataFrame) -> DataFrame:
         decode_gif_pixels,
         ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b", "topleft_rgb"),
     )
+
+
+# --------------------------------------------------------------------------
+# REAL baseline JPEG (JFIF): the last cell of the decode matrix. BMP covered
+# pure byte layout, PNG covered DEFLATE, GIF covered LZW; JPEG is the
+# Huffman-entropy + DCT codec. No stdlib leverage exists for any layer, so
+# BOTH sides are implemented from the spec (ITU-T T.81): canonical Huffman
+# code construction from BITS/HUFFVAL, DC prediction with category/EXTEND
+# amplitude coding, AC run/size coding with ZRL and EOB, byte stuffing,
+# restart markers, zigzag scan, dequantization, and a separable IDCT.
+#
+# Exactness design (the property the oracle check rides on): the synthesized
+# fixtures make every 8x8 block a CONSTANT per component. A constant block's
+# forward DCT is DC-only with DC = 8*(value - 128) and all AC = 0; with the
+# DC quant step pinned to 8 the quantized DC is exactly (value - 128), and
+# the decoder's dequantize + IDCT reproduces the constant bit-exactly (the
+# IDCT of a DC-only block is DC/8 everywhere — integral here by
+# construction, recovered exactly through float64 with error ~1e-14 << 0.5).
+# So the full pipeline — marker walk, Huffman decode, DC prediction,
+# dequantize, IDCT, level shift — is REAL and the output integer-exact. The
+# general AC path (runs, ZRL, EOB, all size categories) is exercised by a
+# coefficient-layer round-trip property test on RANDOM coefficients, where
+# entropy coding is exact by definition. Components are decoded AS STORED
+# (no YCbCr matrix): the color transform is a pointwise matrix outside the
+# codec, and skipping it keeps the channel law integer-exact end to end.
+# --------------------------------------------------------------------------
+
+def _jpeg_zigzag() -> list[int]:
+    """The T.81 zigzag scan order, generated (not transcribed): diagonal
+    s = row+col, odd diagonals walk row-ascending, even row-descending."""
+    order = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(7, s) + 1)
+        for r in rng if s % 2 else reversed(rng):
+            order.append(8 * r + (s - r))
+    return order
+
+
+JPEG_ZIGZAG = _jpeg_zigzag()
+
+# Annex K Huffman table specs (BITS counts per code length 1..16, then the
+# symbol values in code order). Carried in every file's DHT segment, so the
+# decoder never assumes them — they are just the default the encoder emits.
+JPEG_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+JPEG_DC_LUMA_VALS = list(range(12))
+JPEG_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+JPEG_DC_CHROMA_VALS = list(range(12))
+JPEG_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+JPEG_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+JPEG_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+JPEG_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_quant_table(chroma: bool) -> list[int]:
+    """A real (non-flat) 8-bit quant table in NATURAL order. The DC step is
+    pinned to 8 so the block-constant fixtures dequantize exactly
+    (8*(v-128) / 8); AC steps grow with frequency like the Annex K tables
+    do but are generated, not transcribed — the decoder reads whatever the
+    DQT segment carries, so the exact values are a fixture choice."""
+    q = [0] * 64
+    for u in range(8):
+        for v in range(8):
+            q[8 * u + v] = min(255, 8 + (u + v) * (10 if chroma else 6))
+    q[0] = 8
+    return q
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman code assignment per T.81 C.2: symbol ->
+    (code_length, code)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def pad_to_byte(self) -> None:
+        while self.nbits:
+            self.write(1, 1)
+
+
+def _jpeg_category(v: int) -> int:
+    """Magnitude category (bit length of |v|) per T.81 F.1.2.1."""
+    return abs(v).bit_length()
+
+
+def _jpeg_write_coeff_block(
+    w: "_JpegBitWriter",
+    zz: list[int],
+    pred: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    """Entropy-encode one quantized coefficient block (zigzag order,
+    zz[0] = DC): DC difference category + amplitude, then AC run/size
+    with ZRL for 16-zero runs and EOB termination. Returns the new DC
+    predictor."""
+    diff = zz[0] - pred
+    s = _jpeg_category(diff)
+    ln, code = dc_codes[s]
+    w.write(code, ln)
+    if s:
+        amp = diff if diff > 0 else diff + (1 << s) - 1
+        w.write(amp, s)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run >= 16:
+            ln, code = ac_codes[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        s = _jpeg_category(zz[k])
+        ln, code = ac_codes[(run << 4) | s]
+        w.write(code, ln)
+        amp = zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1
+        w.write(amp, s)
+        run = 0
+    if last_nz < 63:
+        ln, code = ac_codes[0x00]  # EOB
+        w.write(code, ln)
+    return zz[0]
+
+
+def _jpeg_encode(
+    comp_blocks: list[list[list[list[int]]]],
+    width: int,
+    height: int,
+    restart_interval: int = 0,
+    combined_dht: bool = True,
+    comment: bytes = b"synthetic fixture",
+) -> bytes:
+    """Assemble a spec-valid baseline JFIF file from QUANTIZED coefficient
+    blocks: comp_blocks[c][by][bx] is a 64-length zigzag-order list for
+    component c (1 = grayscale, 3 = color, all 1x1 sampling). Emits SOI,
+    APP0/JFIF, COM, DQT (both tables in one segment for color), SOF0,
+    DHT (one combined or per-table segments), optional DRI, SOS with
+    stuffed/restart-segmented entropy data, EOI."""
+    ncomp = len(comp_blocks)
+    if ncomp not in (1, 3):
+        raise ValueError("comp_blocks must have 1 or 3 components")
+    bh = len(comp_blocks[0])
+    bw = len(comp_blocks[0][0])
+    qt0 = _jpeg_quant_table(False)
+    qt1 = _jpeg_quant_table(True)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFE, comment)  # COM — a segment the walker must skip
+    zz_q0 = bytes([qt0[JPEG_ZIGZAG[k]] for k in range(64)])
+    if ncomp == 3:
+        zz_q1 = bytes([qt1[JPEG_ZIGZAG[k]] for k in range(64)])
+        # both tables in ONE DQT segment: drives the multi-table parse
+        out += seg(0xDB, b"\x00" + zz_q0 + b"\x01" + zz_q1)
+    else:
+        out += seg(0xDB, b"\x00" + zz_q0)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for c in range(ncomp):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0 if c == 0 else 1)
+    out += seg(0xC0, sof)  # SOF0: baseline sequential
+    tables = [(0x00, JPEG_DC_LUMA_BITS, JPEG_DC_LUMA_VALS),
+              (0x10, JPEG_AC_LUMA_BITS, JPEG_AC_LUMA_VALS)]
+    if ncomp == 3:
+        tables += [(0x01, JPEG_DC_CHROMA_BITS, JPEG_DC_CHROMA_VALS),
+                   (0x11, JPEG_AC_CHROMA_BITS, JPEG_AC_CHROMA_VALS)]
+    if combined_dht:
+        payload = b"".join(
+            bytes([tc]) + bytes(bits) + bytes(vals) for tc, bits, vals in tables
+        )
+        out += seg(0xC4, payload)
+    else:
+        for tc, bits, vals in tables:
+            out += seg(0xC4, bytes([tc]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+
+    dc_luma = _jpeg_huff_codes(JPEG_DC_LUMA_BITS, JPEG_DC_LUMA_VALS)
+    ac_luma = _jpeg_huff_codes(JPEG_AC_LUMA_BITS, JPEG_AC_LUMA_VALS)
+    dc_chroma = _jpeg_huff_codes(JPEG_DC_CHROMA_BITS, JPEG_DC_CHROMA_VALS)
+    ac_chroma = _jpeg_huff_codes(JPEG_AC_CHROMA_BITS, JPEG_AC_CHROMA_VALS)
+    comp_codes = [
+        (dc_luma, ac_luma) if c == 0 else (dc_chroma, ac_chroma)
+        for c in range(ncomp)
+    ]
+    preds = [0] * ncomp
+    bits = _JpegBitWriter()
+    n_mcus = bw * bh
+    rst = 0
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            bits.pad_to_byte()
+            out += bits.out
+            bits = _JpegBitWriter()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            preds = [0] * ncomp
+        by, bx = divmod(m, bw)
+        for c in range(ncomp):
+            preds[c] = _jpeg_write_coeff_block(
+                bits, comp_blocks[c][by][bx], preds[c], *comp_codes[c]
+            )
+    bits.pad_to_byte()
+    out += bits.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def synth_jpeg_bytes(doc_id: int) -> bytes:
+    """Deterministic, spec-valid baseline JFIF whose every 8x8 block is a
+    constant per component — the class the codec round-trips EXACTLY (see
+    the module comment above). Hazards baked in: grayscale single-
+    component files on every third doc (the other SOF/SOS shape), DRI +
+    restart markers on every fifth, a COM segment always, two quant
+    tables in one DQT segment, combined vs per-table DHT segments
+    alternating by parity, and DC prediction crossing sign/category
+    boundaries from the per-block law."""
+    d = doc_id
+    w = d % 19 + 6
+    h = (5 * d) % 17 + 6
+    bw = -(-w // 8)
+    bh = -(-h // 8)
+    gray = d % 3 == 2
+    ncomp = 1 if gray else 3
+
+    def law(c: int, bx: int, by: int) -> int:
+        if c == 0:
+            return (13 * d + 7 * bx + 3 * by) % 256
+        if c == 1:
+            return (3 * d + 5 * bx + 11 * by) % 256
+        return (9 * d + 2 * bx + 6 * by) % 256
+
+    comp_blocks = []
+    for c in range(ncomp):
+        rows = []
+        for by in range(bh):
+            row = []
+            for bx in range(bw):
+                zz = [0] * 64
+                zz[0] = law(c, bx, by) - 128  # qDC=8: quantized DC exactly
+                row.append(zz)
+            rows.append(row)
+        comp_blocks.append(rows)
+    return _jpeg_encode(
+        comp_blocks,
+        w,
+        h,
+        restart_interval=2 if d % 5 == 0 else 0,
+        combined_dht=d % 2 == 0,
+        comment=f"doc {d}".encode(),
+    )
+
+
+def _jpeg_idct_matrix() -> "np.ndarray":
+    """M[u, x] = c(u)/2 * cos((2x+1) u pi / 16); IDCT2(F) = M.T @ F @ M."""
+    import math
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = cu / 2.0 * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return m
+
+
+_JPEG_IDCT_M = _jpeg_idct_matrix()
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an already-unstuffed entropy segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy data")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_huff_decode(reader: "_JpegBitReader", table: dict) -> int:
+    """Walk bits against a canonical {(length, code): symbol} map. Max
+    T.81 code length is 16; anything longer is a corrupt stream."""
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(bits: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s amplitude bits to the signed value."""
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def _jpeg_parse(b: bytes) -> dict:
+    """Marker walk: returns quant tables, Huffman decode maps, frame
+    geometry, scan component setup, restart interval, and the entropy
+    segments (unstuffed, split at RST markers). Raises ValueError for
+    anything that is not a baseline sequential 8-bit 1x1-sampled JPEG."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    frame = None
+    scan = None
+    restart = 0
+    while True:
+        if pos + 4 > len(b):
+            raise ValueError("truncated JPEG: no SOS")
+        if b[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = b[pos + 1]
+        (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        if pos + 2 + ln > len(b):
+            raise ValueError("truncated JPEG segment")
+        payload = b[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT, possibly several tables
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if p + 65 > len(payload):
+                    raise ValueError("truncated DQT")
+                zz = list(payload[p + 1 : p + 65])
+                nat = [0] * 64
+                for k in range(64):
+                    nat[JPEG_ZIGZAG[k]] = zz[k]
+                qtabs[tq] = nat
+                p += 65
+        elif marker == 0xC4:  # DHT, possibly several tables
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                if p + 17 + n > len(payload):
+                    raise ValueError("truncated DHT")
+                vals = list(payload[p + 17 : p + 17 + n])
+                codes = _jpeg_huff_codes(bits, vals)
+                htabs[(tc, th)] = {(l, c): sym for sym, (l, c) in codes.items()}
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError("subsampling unsupported (need 1x1)")
+                comps.append((cid, tq))
+            frame = (width, height, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("not a baseline sequential JPEG")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = payload[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = payload[1 + 2 * c], payload[2 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 0x0F))
+            break
+        # APPn / COM / others: skipped by the length walk
+    if frame is None or scan is None:
+        raise ValueError("missing SOF0 before SOS")
+    # entropy data: unstuff 0xFF00, split at RSTn, stop at EOI
+    segments: list[bytes] = []
+    cur = bytearray()
+    saw_eoi = False
+    while pos < len(b):
+        byte = b[pos]
+        if byte != 0xFF:
+            cur.append(byte)
+            pos += 1
+            continue
+        if pos + 1 >= len(b):
+            raise ValueError("truncated JPEG entropy stream")
+        nxt = b[pos + 1]
+        if nxt == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        elif nxt == 0xD9:
+            saw_eoi = True
+            break
+        else:
+            raise ValueError(f"unexpected marker 0xff{nxt:02x} in scan")
+    if not saw_eoi:
+        raise ValueError("truncated JPEG: no EOI")
+    segments.append(bytes(cur))
+    return {
+        "qtabs": qtabs,
+        "htabs": htabs,
+        "frame": frame,
+        "scan": scan,
+        "restart": restart,
+        "segments": segments,
+    }
+
+
+def _jpeg_decode_coeff_blocks(b: bytes) -> tuple:
+    """Entropy-layer decode: returns (width, height, per-component lists
+    of quantized coefficient blocks in zigzag order, parse dict). Shared
+    by the pixel decoder and the coefficient round-trip property tests —
+    the layer where entropy coding is exact BY DEFINITION, so random
+    coefficients can pin every AC run/size path without touching the
+    lossy transform."""
+    p = _jpeg_parse(b)
+    width, height, comps = p["frame"]
+    if width <= 0 or height <= 0:
+        raise ValueError("bad JPEG dimensions")
+    scan = p["scan"]
+    if len(scan) != len(comps):
+        raise ValueError("scan/frame component mismatch")
+    bw = -(-width // 8)
+    bh = -(-height // 8)
+    n_mcus = bw * bh
+    restart = p["restart"]
+    comp_ids = [cid for cid, _tq in comps]
+    scan_tabs = {}
+    for cs, td, ta in scan:
+        if (0, td) not in p["htabs"] or (1, ta) not in p["htabs"]:
+            raise ValueError("scan references undefined Huffman table")
+        scan_tabs[cs] = (p["htabs"][(0, td)], p["htabs"][(1, ta)])
+    missing = [cid for cid in comp_ids if cid not in scan_tabs]
+    if missing:
+        raise ValueError(f"frame component(s) {missing} absent from scan")
+    blocks: list[list[list[int]]] = [[] for _ in comps]
+    preds = [0] * len(comps)
+    seg_idx = 0
+    reader = _JpegBitReader(p["segments"][0])
+    for m in range(n_mcus):
+        if restart and m and m % restart == 0:
+            seg_idx += 1
+            if seg_idx >= len(p["segments"]):
+                raise ValueError("missing restart segment")
+            reader = _JpegBitReader(p["segments"][seg_idx])
+            preds = [0] * len(comps)
+        for c, cid in enumerate(comp_ids):
+            dc_tab, ac_tab = scan_tabs[cid]
+            zz = [0] * 64
+            s = _jpeg_huff_decode(reader, dc_tab)
+            if s > 11:
+                raise ValueError("bad DC category")
+            diff = _jpeg_extend(reader.read_bits(s), s)
+            preds[c] += diff
+            zz[0] = preds[c]
+            k = 1
+            while k < 64:
+                rs = _jpeg_huff_decode(reader, ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                r, s = rs >> 4, rs & 0x0F
+                k += r
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                zz[k] = _jpeg_extend(reader.read_bits(s), s)
+                k += 1
+            blocks[c].append(zz)
+    return width, height, blocks, p
+
+
+def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """FULL pixel decode of a baseline sequential JFIF from raw bytes —
+    marker walk, canonical Huffman decode, DC prediction, restart
+    handling, dequantize, zigzag de-scan, separable IDCT, level shift,
+    clamp, crop. Components are summed AS STORED (no color matrix; see
+    the module comment). Returns the sibling decoders' shape: (width,
+    height, n_pixels, sum_c0, sum_c1, sum_c2, topleft) — single-component
+    files report 0 for the absent channels."""
+    width, height, blocks, p = _jpeg_decode_coeff_blocks(b)
+    _w, _h, comps = p["frame"]
+    bw = -(-width // 8)
+    bh = -(-height // 8)
+    sums = [0, 0, 0]
+    topleft = 0
+    for c, (_cid, tq) in enumerate(comps):
+        if tq not in p["qtabs"]:
+            raise ValueError("frame references undefined quant table")
+        q = np.array(p["qtabs"][tq], dtype=np.float64)  # natural order
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+        for m, zz in enumerate(blocks[c]):
+            by, bx = divmod(m, bw)
+            nat = np.zeros(64, dtype=np.float64)
+            for k in range(64):
+                nat[JPEG_ZIGZAG[k]] = zz[k]
+            coef = (nat * q).reshape(8, 8)
+            px = _JPEG_IDCT_M.T @ coef @ _JPEG_IDCT_M
+            block = np.clip(np.round(px) + 128, 0, 255).astype(np.int64)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        cropped = plane[:height, :width]
+        sums[c] = int(cropped.sum())
+        topleft += int(cropped[0, 0])
+    return width, height, width * height, sums[0], sums[1], sums[2], topleft
+
+
+def with_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with synthesized baseline JFIF files."""
+    return _with_payload(docs, synth_jpeg_bytes)
+
+
+def jpeg_pixel_features(mm: DataFrame) -> DataFrame:
+    """Arrow-batched full JPEG pixel decode over payload bytes."""
+    return _int_feature_map(
+        mm,
+        decode_jpeg_pixels,
+        ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b", "topleft_rgb"),
+    )

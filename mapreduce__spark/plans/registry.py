@@ -105,6 +105,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).
 DRIVER_WINDOW: tuple[str, ...] = (
+    # round-9 additions — never driver-attested (each displaced a filler)
+    "jpeg_pixel_decode",
     # round-8 additions, earning a second row
     "dedup_containment_chunks",
     "fuzzy_join_parts",
@@ -156,9 +158,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "incremental_agg_cdc",
     "xml_ingest",
     "source_drift_chi2",
-    # exactly-3-attested bench-headline fillers (see policy note above)
+    # exactly-3-attested bench-headline filler (see policy note above;
+    # bmp_pixel_decode gave its slot to jpeg_pixel_decode — its idle
+    # re-measure was already clean at 0.95x)
     "graph_mass_propagation",
-    "bmp_pixel_decode",
 )
 
 

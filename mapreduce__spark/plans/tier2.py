@@ -5974,6 +5974,77 @@ def gif_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jpeg_pixel_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id % 19 + 6       AS width,
+             (doc_id * 5) % 17 + 6 AS height,
+             doc_id % 3 = 2        AS gray
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, width, height, gray,
+             unnest(generate_series(0, width - 1)) AS x
+      FROM dims
+    ),
+    pxy AS (
+      SELECT doc_id, width, height, gray, x // 8 AS bx,
+             unnest(generate_series(0, height - 1)) // 8 AS by
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT)  AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum((13 * doc_id + 7 * bx + 3 * by) % 256) AS BIGINT) AS sum_r,
+           CAST(CASE WHEN gray THEN 0
+                ELSE sum((3 * doc_id + 5 * bx + 11 * by) % 256) END
+                AS BIGINT) AS sum_g,
+           CAST(CASE WHEN gray THEN 0
+                ELSE sum((9 * doc_id + 2 * bx + 6 * by) % 256) END
+                AS BIGINT) AS sum_b,
+           CAST((13 * doc_id) % 256
+              + CASE WHEN gray THEN 0
+                ELSE (3 * doc_id) % 256 + (9 * doc_id) % 256 END
+                AS BIGINT) AS topleft_rgb
+    FROM pxy
+    GROUP BY doc_id, width, height, gray
+    """,
+    tags=("tier2", "multimodal"),
+)
+def jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode, zero media libraries — the LAST cell of
+    the decode matrix (BMP = byte layout, PNG = DEFLATE, GIF = LZW, JPEG
+    = Huffman entropy + DCT; T.81 has no stdlib leverage for ANY layer,
+    so both sides are spec-implemented: canonical Huffman codes from
+    BITS/HUFFVAL, DC prediction with category/EXTEND coding, AC run/size
+    with ZRL and EOB, byte stuffing, restart markers, zigzag,
+    dequantization, separable IDCT). Exactness comes from the fixture
+    class, not from skipping the transform: every 8x8 block is constant
+    per component, whose forward DCT is DC-only with DC = 8*(v-128) —
+    quantized exactly by the DC step pinned to 8 — so the decoder's full
+    pipeline reproduces the constants bit-exactly and the channel sums
+    hash-check cross-engine. Decode hazards baked into the synth:
+    grayscale single-component files every third doc, DRI + restart
+    markers every fifth, COM skipping, two quant tables in one DQT
+    segment, combined vs per-table DHT by parity, DC prediction crossing
+    sign/category boundaries. The general AC paths the DC-only fixtures
+    can't reach are pinned by a coefficient-layer round-trip property
+    test on RANDOM coefficients plus a hand-derived canonical entropy
+    vector (tests/test_round9_properties.py). Components are decoded AS
+    STORED (the YCbCr matrix is a pointwise transform outside the codec).
+    Arrow-batched mapInPandas, payloads never shuffled."""
+    from mapreduce__spark.operators.multimodal import (
+        jpeg_pixel_features,
+        with_jpeg_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_pixel_features(with_jpeg_payload(docs))
+
+
+@query(
     "pandas_udf_grouped_median",
     oracle="""
     WITH s AS (

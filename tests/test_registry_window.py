@@ -48,11 +48,11 @@ DEFERRED_DOUBLES: set[str] = set()
 CHANGED_CODE_REATTEST: set[str] = set()
 
 # Exactly-3-attested bench-headline queries earning a fourth row:
-# graph_mass_propagation and bmp_pixel_decode are precisely the two
-# queries whose round-8 bench timings were contention-spurious (>2x
-# readings the judge's idle re-measure read at 1.22x / 0.95x), so the
-# fresh driver row doubles as a clean re-attestation.
-TRIPLE_FILLERS: set[str] = {"graph_mass_propagation", "bmp_pixel_decode"}
+# graph_mass_propagation's round-8 bench timing was contention-spurious
+# (a >2x reading the judge's idle re-measure read at 1.22x), so the
+# fresh driver row doubles as a clean re-attestation. bmp_pixel_decode
+# held the second filler slot until jpeg_pixel_decode displaced it.
+TRIPLE_FILLERS: set[str] = {"graph_mass_propagation"}
 
 
 # The round whose CORRECTNESS files informed the CURRENT window. The

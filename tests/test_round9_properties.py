@@ -27,3 +27,206 @@ def test_png_every_prefix_truncation_is_valueerror():
     for cut in range(len(full)):
         with pytest.raises(ValueError):
             decode_png_pixels(full[:cut])
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline codec (round 9) — the last cell of the decode matrix.
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_canonical_entropy_vector_from_spec():
+    """A constant-128 8x8 grayscale block quantizes to DC diff 0, so per
+    the T.81 Annex K tables the entropy data is hand-derivable without
+    running either side: DC category 0 is code '00', EOB is '1010',
+    1-padded to a byte = 0b00101011 = 0x2B. Pins the canonical Huffman
+    construction and both table transcriptions against the spec."""
+    from mapreduce__spark.operators.multimodal import _jpeg_encode
+
+    b = _jpeg_encode([[[[0] * 64]]], 8, 8)
+    i = b.find(b"\xff\xda")
+    ln = int.from_bytes(b[i + 2 : i + 4], "big")
+    assert b[i + 2 + ln : -2] == b"\x2b"
+
+
+_jpeg_dims = st.tuples(
+    st.integers(min_value=1, max_value=20), st.integers(min_value=1, max_value=20)
+)
+
+
+@given(
+    _jpeg_dims,
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.booleans(),
+    st.sampled_from([0, 1, 2, 3]),
+)
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+def test_jpeg_roundtrip_on_random_block_constants(dims, seed, gray, restart):
+    """Pixel-exact decode on ARBITRARY per-block constants (the class the
+    codec is exact on by construction): random dims drive edge-block
+    cropping, random constants drive every DC category and sign through
+    the prediction chain, restart intervals drive the RST/predictor-reset
+    path, and gray/color drives both SOF/SOS shapes."""
+    from mapreduce__spark.operators.multimodal import (
+        _jpeg_encode,
+        decode_jpeg_pixels,
+    )
+
+    w, h = dims
+    bw, bh = -(-w // 8), -(-h // 8)
+    rng = np.random.default_rng(seed)
+    ncomp = 1 if gray else 3
+    consts = rng.integers(0, 256, size=(ncomp, bh, bw))
+    comp_blocks = []
+    for c in range(ncomp):
+        comp_blocks.append(
+            [
+                [[int(consts[c, by, bx]) - 128] + [0] * 63 for bx in range(bw)]
+                for by in range(bh)
+            ]
+        )
+    b = _jpeg_encode(
+        comp_blocks, w, h, restart_interval=restart, combined_dht=bool(seed % 2)
+    )
+    got = decode_jpeg_pixels(b)
+    sums = [0, 0, 0]
+    for c in range(ncomp):
+        for y in range(h):
+            for x in range(w):
+                sums[c] += int(consts[c, y // 8, x // 8])
+    topleft = sum(int(consts[c, 0, 0]) for c in range(ncomp))
+    assert got == (w, h, w * h, sums[0], sums[1], sums[2], topleft)
+
+
+@st.composite
+def _jpeg_coeff_blocks(draw):
+    """Random quantized coefficient blocks within the Annex K table
+    envelope: DC in [-1016, 1016] keeps successive diffs under category
+    11; AC in [-1023, 1023]\\{0} keeps sizes under 10. Sparse positions
+    drive EOB, runs, and 16-plus-zero ZRL chains."""
+    bw = draw(st.integers(min_value=1, max_value=3))
+    bh = draw(st.integers(min_value=1, max_value=2))
+    gray = draw(st.booleans())
+    ncomp = 1 if gray else 3
+    comps = []
+    for _c in range(ncomp):
+        rows = []
+        for _by in range(bh):
+            row = []
+            for _bx in range(bw):
+                zz = [0] * 64
+                zz[0] = draw(st.integers(min_value=-1016, max_value=1016))
+                n_ac = draw(st.integers(min_value=0, max_value=6))
+                positions = draw(
+                    st.lists(
+                        st.integers(min_value=1, max_value=63),
+                        min_size=n_ac,
+                        max_size=n_ac,
+                        unique=True,
+                    )
+                )
+                for pos in positions:
+                    v = draw(
+                        st.integers(min_value=-1023, max_value=1023).filter(
+                            lambda x: x != 0
+                        )
+                    )
+                    zz[pos] = v
+                row.append(zz)
+            rows.append(row)
+        comps.append(rows)
+    return comps, bw, bh
+
+
+@given(_jpeg_coeff_blocks(), st.sampled_from([0, 2]))
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+def test_jpeg_coefficient_layer_roundtrip(blocks_dims, restart):
+    """Entropy-layer round trip on RANDOM coefficients — the layer where
+    coding is exact BY DEFINITION, so this pins every AC run/size path
+    (EOB, ZRL, all size categories, sign handling, runs crossing 16) that
+    the DC-only pixel fixtures never touch."""
+    from mapreduce__spark.operators.multimodal import (
+        _jpeg_decode_coeff_blocks,
+        _jpeg_encode,
+    )
+
+    comps, bw, bh = blocks_dims
+    w, h = bw * 8, bh * 8
+    b = _jpeg_encode(comps, w, h, restart_interval=restart)
+    width, height, blocks, _p = _jpeg_decode_coeff_blocks(b)
+    assert (width, height) == (w, h)
+    for c, rows in enumerate(comps):
+        flat = [zz for row in rows for zz in row]
+        assert blocks[c] == flat, f"component {c} coefficients diverged"
+
+
+def test_jpeg_every_prefix_truncation_is_valueerror():
+    """Cutting a valid JPEG at EVERY byte offset raises the documented
+    ValueError — never struct.error or a silent partial decode (the PNG
+    lesson applied to the new decoder from day one)."""
+    from mapreduce__spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        synth_jpeg_bytes,
+    )
+
+    full = synth_jpeg_bytes(10)  # DRI doc: restart segments in the cut zone
+    assert decode_jpeg_pixels(full)[0] > 0
+    for cut in range(len(full)):
+        with pytest.raises(ValueError):
+            decode_jpeg_pixels(full[:cut])
+
+
+def test_jpeg_rejects_non_baseline_variants():
+    """Progressive SOF2 and 2x2-subsampled files must raise the documented
+    ValueError (a real pipeline routes them to a library-backed decoder
+    via the decode-error routing seam), not mis-decode."""
+    from mapreduce__spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        synth_jpeg_bytes,
+    )
+
+    full = synth_jpeg_bytes(3)
+    sof = full.find(b"\xff\xc0")
+    progressive = full[:sof] + b"\xff\xc2" + full[sof + 2 :]
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_pixels(progressive)
+    # sampling byte of component 1: marker(2) len(2) prec(1) h(2) w(2)
+    # ncomp(1) id(1) -> sof + 11
+    samp = sof + 11
+    assert full[samp] == 0x11
+    subsampled = full[:samp] + b"\x22" + full[samp + 1 :]
+    with pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg_pixels(subsampled)
+    # a frame component the scan never covers is a structural error too,
+    # not a KeyError crash
+    badid = full[: sof + 10] + b"\x09" + full[sof + 11 :]
+    with pytest.raises(ValueError, match="absent from scan"):
+        decode_jpeg_pixels(badid)
+
+
+def test_jpeg_idct_matrix_agrees_with_direct_formula():
+    """The separable matrix IDCT must equal the T.81 A.3.3 direct
+    four-loop formula on random dequantized coefficient blocks — two
+    independently written forms of the same transform."""
+    import math
+
+    from mapreduce__spark.operators.multimodal import _JPEG_IDCT_M
+
+    rng = np.random.default_rng(42)
+    for _ in range(10):
+        coef = rng.integers(-1016, 1017, size=(8, 8)).astype(np.float64)
+        fast = _JPEG_IDCT_M.T @ coef @ _JPEG_IDCT_M
+        direct = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                acc = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        acc += (
+                            cu * cv * coef[u, v]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                direct[x, y] = acc / 4.0
+        assert np.allclose(fast, direct, atol=1e-9)
