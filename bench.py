@@ -72,6 +72,34 @@ def _contention_snapshot() -> dict:
     return snap
 
 
+# Wait-for-idle (round-8 VERDICT item 1): BENCH_r08 recorded contended
+# numbers whose two >2x outliers the judge's idle re-measure read at
+# 1.22x/0.95x — provenance noise, not regressions. Rather than stamping
+# contention and proceeding, retry the snapshot for up to ~10 minutes
+# until the machine is actually idle; only then start the JVM. The wait
+# itself is stamped (`waited_s`) so the record shows when numbers were
+# taken after a deliberate idle wait vs straight away.
+IDLE_WAIT_BUDGET_S = 600
+IDLE_POLL_S = 30
+
+
+def _wait_for_idle() -> dict:
+    waited = 0
+    snap = _contention_snapshot()
+    while snap["contended"] and waited < IDLE_WAIT_BUDGET_S:
+        print(
+            f"BENCH WAIT: machine busy (load1={snap['load1']} "
+            f"other_jvms={snap['other_jvms']}), retrying in {IDLE_POLL_S}s "
+            f"({waited}/{IDLE_WAIT_BUDGET_S}s waited)",
+            file=sys.stderr,
+        )
+        time.sleep(IDLE_POLL_S)
+        waited += IDLE_POLL_S
+        snap = _contention_snapshot()
+    snap["waited_s"] = waited
+    return snap
+
+
 def _baseline_queries(sf: float) -> tuple[str, dict[str, float]]:
     """Per-query timings from the newest BENCH_r{N}.json at the same sf
     (the driver writes one per round), or ('', {}) when none exists."""
@@ -243,6 +271,165 @@ def _scaled_docs_dir(spark, sf_dir: str, factor: int) -> str:
     return out_dir
 
 
+def _scaled_lineitem_dir(spark, sf_dir: str, factor: int) -> str:
+    """Synthesize (once, cached) a factor-x lineitem corpus faithful for
+    the triangle query: each (l_orderkey, l_partkey) row is cloned with
+    BOTH keys mapped key*factor + rep, so every replica is a NODE-DISJOINT
+    copy of the source co-purchase graph — per-replica degree profile,
+    wedge counts and triangle structure are IDENTICAL to the source, and
+    total edges/triangles grow exactly factor-x. Only the two columns the
+    query reads are written."""
+    import hashlib
+
+    real = os.path.realpath(sf_dir)
+    tag = hashlib.sha256(real.encode()).hexdigest()[:12]
+    name = real.rstrip("/").split("/")[-1]
+    out_dir = f"/tmp/mapreduce__spark_scale/{name}x{factor}-li-{tag}"
+    dst = f"{out_dir}/lineitem.parquet"
+    src = f"{sf_dir}/lineitem.parquet"
+    if (
+        not os.path.exists(os.path.join(dst, "_SUCCESS"))
+        or os.path.getmtime(dst) < os.path.getmtime(src)
+    ):
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(src).select("l_orderkey", "l_partkey")
+        reps = spark.range(factor).withColumnRenamed("id", "rep")
+        (
+            li.crossJoin(reps)
+            .select(
+                (F.col("l_orderkey") * factor + F.col("rep")).alias("l_orderkey"),
+                (F.col("l_partkey") * factor + F.col("rep")).alias("l_partkey"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(dst)
+        )
+    return out_dir
+
+
+def _scaled_embeddings_dir(spark, sf_dir: str, factor: int) -> str:
+    """Synthesize (once, cached) a factor-x embeddings corpus faithful for
+    semantic_dedup WITH k scaled alongside (k = 16*factor): each vector is
+    cloned with vec_id*factor + rep and shifted into a replica-private
+    region of the space (dims 0-1 offset by 32 * base-4 digits of rep —
+    inter-replica distance ~(32e6)^2 in quantized micro-units, two orders
+    beyond any intra-replica spread, and all downstream int64/DECIMAL(38)
+    quadratic forms stay in range). The deterministic k-means seeds (the
+    k*factor smallest vec_ids) then land exactly k per replica and Lloyd
+    iterations cannot migrate centroids across regions, so every replica
+    independently reproduces the source clustering — cluster sizes stay
+    constant and the n^2/k pair space grows exactly factor-x, which is
+    the DESIGN the tier measures (k grows with the corpus; a fixed k
+    would measure an n^2/16 quadratic instead)."""
+    import hashlib
+
+    real = os.path.realpath(sf_dir)
+    tag = hashlib.sha256(real.encode()).hexdigest()[:12]
+    name = real.rstrip("/").split("/")[-1]
+    out_dir = f"/tmp/mapreduce__spark_scale/{name}x{factor}-emb-{tag}"
+    dst = f"{out_dir}/embeddings.parquet"
+    src = f"{sf_dir}/embeddings.parquet"
+    if factor > 256:
+        raise ValueError("replica shift encoding supports factor <= 256")
+    if (
+        not os.path.exists(os.path.join(dst, "_SUCCESS"))
+        or os.path.getmtime(dst) < os.path.getmtime(src)
+    ):
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(src)
+        reps = spark.range(factor).withColumnRenamed("id", "rep")
+        d0 = (F.col("rep") % 4).cast("double") * 32.0
+        d1 = ((F.col("rep") / 4).cast("int") % 4).cast("double") * 32.0
+        d2 = ((F.col("rep") / 16).cast("int") % 4).cast("double") * 32.0
+        d3 = ((F.col("rep") / 64).cast("int") % 4).cast("double") * 32.0
+        shifted = F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x.cast("double")
+                + F.when(i == 0, d0)
+                .when(i == 1, d1)
+                .when(i == 2, d2)
+                .when(i == 3, d3)
+                .otherwise(F.lit(0.0))
+            ).cast("float"),
+        )
+        (
+            emb.crossJoin(reps)
+            .select(
+                (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
+                shifted.alias("embedding"),
+                "label",
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(dst)
+        )
+    return out_dir
+
+
+def _run_graph_emb_scaling(spark, base_timings: dict[str, float]) -> dict:
+    """Round-8 VERDICT item 3: synthetic-growth probes for the two new
+    heavy queries. Both anchor at sf0.01 (the natural below-tier) and
+    grow it 10x with structure-faithful clones — replica-disjoint graphs
+    for graph_triangles (wedge work scales linearly by construction, so
+    measured growth <= the m^1.5 bound confirms the implementation
+    doesn't add super-linear shuffle), and replica-shifted embeddings
+    with k scaled 10x for semantic_dedup (measuring the k-grows-with-
+    corpus design, stamped in the row so the reader knows k moved)."""
+    from mapreduce__spark.plans.tier2 import SEMDEDUP_K, semantic_dedup_df
+
+    below = "/root/testdata/sf0.01"
+    out: dict[str, dict] = {}
+    if not os.path.isdir(below):
+        return out
+
+    # "x10b" = 10x clone of the BELOW tier (sf0.01), not of the bench sf —
+    # keys stay short for the driver's 2000-char stdout window
+    row: dict = {"base": base_timings.get("graph_triangles")}
+    t0 = time.perf_counter()
+    REGISTRY["graph_triangles"].fn(spark, below).collect()
+    row["below"] = round(time.perf_counter() - t0, 3)
+    li10 = _scaled_lineitem_dir(spark, below, SCALE_FACTOR)
+    t0 = time.perf_counter()
+    REGISTRY["graph_triangles"].fn(spark, li10).collect()
+    row["x10b"] = round(time.perf_counter() - t0, 3)
+    if row["below"] > 0:
+        row["g10"] = round(row["x10b"] / row["below"], 2)
+        # the Suri-Vassilvitskii wedge bound allows m^1.5 = 31.6x on 10x
+        # edges; disjoint-replica growth should land near linear
+        if row["g10"] > SCALE_FACTOR ** 1.5:
+            print(
+                f"SCALING REGRESSION: graph_triangles grew {row['g10']}x on "
+                f"{SCALE_FACTOR}x edges — beyond the m^1.5 wedge bound",
+                file=sys.stderr,
+            )
+    out["graph_triangles"] = row
+    gc.collect()
+
+    row = {"base": base_timings.get("semantic_dedup"), "k_scaled": True}
+    t0 = time.perf_counter()
+    semantic_dedup_df(spark, below, SEMDEDUP_K).collect()
+    row["below"] = round(time.perf_counter() - t0, 3)
+    emb10 = _scaled_embeddings_dir(spark, below, SCALE_FACTOR)
+    t0 = time.perf_counter()
+    semantic_dedup_df(spark, emb10, SEMDEDUP_K * SCALE_FACTOR).collect()
+    row["x10b"] = round(time.perf_counter() - t0, 3)
+    if row["below"] > 0:
+        row["g10"] = round(row["x10b"] / row["below"], 2)
+        if row["g10"] > SCALE_FACTOR:
+            print(
+                f"SCALING REGRESSION: semantic_dedup grew {row['g10']}x on "
+                f"{SCALE_FACTOR}x vectors WITH k scaled — pair space is not "
+                "tracking n^2/k, investigate",
+                file=sys.stderr,
+            )
+    out["semantic_dedup"] = row
+    gc.collect()
+    return out
+
+
 def _run_scaling(spark, sf_dir: str, sf: float, base_timings: dict[str, float]) -> dict:
     """Time the scaling queries one decade below (sibling sf0.01 dir,
     when the bench sf is actually above it) and one synthesized decade
@@ -330,7 +517,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    contention = _contention_snapshot()  # BEFORE our own JVM exists
+    contention = _wait_for_idle()  # BEFORE our own JVM exists
     spark = get_spark(app_name="mapreduce__spark-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     # Warmup: touch the biggest table so JVM startup/codegen caches are
@@ -432,9 +619,11 @@ def main() -> None:
     # Decade-scaling probe; disable with SPARK_GRAFT_SKIP_SCALING=1.
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         out["scaling"] = _run_scaling(spark, sf_dir, sf, timings)
+        out["scaling"].update(_run_graph_emb_scaling(spark, timings))
         out["scaling_note"] = (
             f"x10/x100 = {SCALE_FACTOR}x/{SCALE_FACTOR_2}x gram-disjoint doc "
-            "clones; 1 warm run per tier"
+            "clones; 1 warm run per tier; graph/semdedup tiers anchor at "
+            "sf0.01 (x10_of_below), semdedup k scales with the corpus"
         )
 
     # Per-query regression deltas vs the previous round's recorded bench
@@ -471,6 +660,19 @@ def main() -> None:
     # fits with margin; "trimmed" records what was dropped.
     LINE_BUDGET = 1900
     full_line = json.dumps(out)
+    # The COMPLETE record also lands in the repo (round-9: the r9 dry run
+    # showed trimming now reaches deltas_vs_baseline — the judge-read
+    # block — so the untrimmed record needs a durable home the 2000-char
+    # stdout window can't lose).
+    try:
+        with open(
+            os.path.join(os.path.dirname(__file__) or ".", "docs",
+                         "BENCH_FULL_latest.json"), "w"
+        ) as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"BENCH: could not write full record: {exc}", file=sys.stderr)
     if len(full_line) > LINE_BUDGET:
         print(f"BENCH FULL RECORD (stdout line over {LINE_BUDGET}B budget): "
               + full_line, file=sys.stderr)
@@ -484,6 +686,9 @@ def main() -> None:
         if victim in out:
             out.pop(victim)
             out.setdefault("trimmed", []).append(victim)
+    if "trimmed" in out:
+        # pointer to the untrimmed record committed in the repo
+        out["full"] = "docs/BENCH_FULL_latest.json"
     if len(json.dumps(out)) > LINE_BUDGET:
         # all seven victims gone and the REQUIRED blocks (queries/
         # timings) still overflow the driver's 2000-char stdout window —

@@ -52,12 +52,15 @@ def build_bloom(
     mask = F.call_function(
         "shiftleft", F.lit(1).cast("long"), (F.col("h") % 64).cast("int")
     )
-    words = (
+    from mapreduce__spark.operators.staging import bounded_collect
+
+    words = bounded_collect(
         keys.select(h)
         .select((F.col("h") / 64).cast("int").alias("w"), mask.alias("m"))
         .groupBy("w")
-        .agg(F.bit_or("m").alias("word"))
-        .collect()
+        .agg(F.bit_or("m").alias("word")),
+        bits // 64,
+        "bloom filter words",
     )
     out = [0] * (bits // 64)
     for r in words:

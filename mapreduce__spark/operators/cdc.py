@@ -692,12 +692,17 @@ def stream_upsert_sink(
         # not 3-4x per micro-batch.
         bdf = bdf.persist()
         try:
-            # Changed buckets: one bounded probe (<= nb distinct values).
+            # Changed buckets: one bounded probe (<= nb distinct values,
+            # now mechanically capped rather than reviewed).
+            from mapreduce__spark.operators.staging import bounded_collect
+
             changed = sorted(
                 r.b
-                for r in bdf.select(
-                    _bucket_expr(key, nb).alias("b")
-                ).distinct().collect()
+                for r in bounded_collect(
+                    bdf.select(_bucket_expr(key, nb).alias("b")).distinct(),
+                    nb,
+                    "cdc changed buckets",
+                )
             )
 
             if prior is not None:

@@ -192,7 +192,13 @@ def kmeans_centroids(
         if pre_projected
         else emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
     )
+    from mapreduce__spark.operators.staging import bounded_collect
+
     cents = [r.v for r in vecs.orderBy("vec_id").limit(k).collect()]
+    # partial-sum rows are <= partitions x k by construction; pin the
+    # partition count once so the per-iteration collect carries a
+    # mechanical bound instead of a reviewed one
+    n_parts = vecs.rdd.getNumPartitions()
     for _ in range(iters):
         C = np.asarray(cents, dtype=np.float64)
 
@@ -210,9 +216,13 @@ def kmeans_centroids(
                     out["n"].append(int(m.sum()))
                 yield pd.DataFrame(out)
 
-        rows = vecs.mapInPandas(
-            partials, schema="cluster int, s array<double>, n bigint"
-        ).collect()
+        rows = bounded_collect(
+            vecs.mapInPandas(
+                partials, schema="cluster int, s array<double>, n bigint"
+            ),
+            n_parts * k,
+            "kmeans per-partition cluster partials",
+        )
         sums: dict[int, np.ndarray] = {}
         counts: dict[int, int] = {}
         for r in rows:
@@ -399,9 +409,15 @@ def embedding_near_dup_pairs_pruned(
         assign_pass, schema="vec_id bigint, v array<double>, cluster int, ang double"
     ).localCheckpoint(eager=True)
     # O(k) driver-side cluster radii (empty clusters simply never appear).
+    from mapreduce__spark.operators.staging import bounded_collect
+
     radii = {
         r.cluster: r.rad
-        for r in assigned.groupBy("cluster").agg(F.max("ang").alias("rad")).collect()
+        for r in bounded_collect(
+            assigned.groupBy("cluster").agg(F.max("ang").alias("rad")),
+            n_clusters,
+            "ivf cluster radii",
+        )
     }
     t_ang = math.acos(threshold)
     # Slack must exceed the arccos CONDITIONING error, not just double ulp:

@@ -30,6 +30,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# Hard cap on the grouped-cumsum offset table (groups x range buckets):
+# the offsets ship back into the plan as ONE literal create_map, so the
+# driver collect and the plan literal share this bound. 2^16 entries is
+# far past any sane grouping for this operator and still a trivial
+# driver/plan size.
+GROUPED_OFFSET_CAP = 1 << 16
+
 
 def _bucket_expr(order_col: str, bounds: list) -> Column:
     """Range-bucket id = count of boundaries strictly below the key, as a
@@ -131,11 +138,14 @@ def distributed_cumsum(
     pass re-planned independently (caught by the sf0.1 oracle gate).
     `order_col` must be numeric and unique.
     """
-    with_pid, _ = _with_range_bucket(df, order_col, num_partitions)
-    totals = (
+    from mapreduce__spark.operators.staging import bounded_collect
+
+    with_pid, n_buckets = _with_range_bucket(df, order_col, num_partitions)
+    totals = bounded_collect(
         with_pid.groupBy("_pid")
-        .agg(F.sum(value_col).alias("_total"), F.count(value_col).alias("_cnt"))
-        .collect()
+        .agg(F.sum(value_col).alias("_total"), F.count(value_col).alias("_cnt")),
+        n_buckets,
+        "cumsum per-bucket totals",
     )
     offset_expr, has_prefix = _prefix_offset_expr(totals, "_total", "_cnt")
 
@@ -172,13 +182,21 @@ def distributed_cumsum_grouped(
     Constraints: `order_col` numeric and unique within each group; group
     values must not be NULL (they come from a CASE/when here).
     """
+    from mapreduce__spark.operators.staging import bounded_collect
+
     with_pid, n_buckets = _with_range_bucket(df, order_col, num_partitions)
 
     # O(groups × P) driver-side prefix offsets, keyed by (group..., pid).
-    totals = (
+    # Groups are a BOUNDED domain by this operator's contract (they feed
+    # a literal create_map back into the plan, which itself cannot grow
+    # unboundedly) — the cap makes that contract mechanical: a caller
+    # grouping by a high-cardinality key fails loudly here instead of
+    # OOMing the driver or exploding the plan.
+    totals = bounded_collect(
         with_pid.groupBy(*group_cols, "_pid")
-        .agg(F.sum(value_col).alias("_total"), F.count(value_col).alias("_cnt"))
-        .collect()
+        .agg(F.sum(value_col).alias("_total"), F.count(value_col).alias("_cnt")),
+        GROUPED_OFFSET_CAP,
+        "grouped cumsum per-(group,bucket) totals",
     )
     per_group: dict[tuple, dict[int, int]] = {}
     per_group_has: dict[tuple, dict[int, bool]] = {}
@@ -272,8 +290,14 @@ def distributed_row_number(
     where one value dominates degrades toward one task — pick a
     high-cardinality leading column, same rule as any range partitioning.
     """
-    with_pid, _ = _with_range_bucket(df, order_cols[0], num_partitions)
-    counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    from mapreduce__spark.operators.staging import bounded_collect
+
+    with_pid, n_buckets = _with_range_bucket(df, order_cols[0], num_partitions)
+    counts = bounded_collect(
+        with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")),
+        n_buckets,
+        "row-number per-bucket counts",
+    )
     # row_number has no NULL semantics to preserve — only the offset half
     # of the helper applies (counts are never NULL).
     offset_expr, _ = _prefix_offset_expr(counts, "_cnt", "_cnt")

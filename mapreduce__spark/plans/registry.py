@@ -146,6 +146,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "date_arithmetic",
     "json_extraction",
     # round-7 first-timers that doubled in round 8, taking their third
+    # (xml_ingest deferred to round 10 — displaced by the
+    # training_data_pipeline_full re-attestation below)
     "substring_dedup_windows",
     "domain_mixture_weights",
     "dedup_containment",
@@ -156,8 +158,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "per_source_zscore",
     "snapshot_diff_cdc",
     "incremental_agg_cdc",
-    "xml_ingest",
     "source_drift_chi2",
+    # code CHANGED this round after >=3 green rows: the flagship pipeline
+    # gained the PhaseTimer profiling seam (timer=None is the production
+    # path and must stay value-identical) — prior attestations describe
+    # the pre-seam code, so it re-enters for a clean row
+    "training_data_pipeline_full",
     # exactly-3-attested bench-headline filler (see policy note above;
     # bmp_pixel_decode gave its slot to jpeg_pixel_decode — its idle
     # re-measure was already clean at 0.95x)

@@ -33,19 +33,21 @@ ROWS_ONLY = {
     "bpe_encode",
 }
 
-# Round-9 rotation: the 23 round-8 singles take their second row, ALL
-# 25 doubles fit (including the 13 round-8 DEFERRED_DOUBLES, now on
-# their third row) — 48 slots — and two exactly-3-attested fillers
-# round out the 50. Every new round-9 query displaces a filler first,
-# then defers a double here.
-DEFERRED_DOUBLES: set[str] = set()
+# Round-9 rotation: the 23 round-8 singles take their second row, the
+# doubles fit (including the 13 round-8 DEFERRED_DOUBLES, now on their
+# third row), and exactly-3-attested fillers round out the 50. Each new
+# round-9 query displaced a filler first, then a double: xml_ingest
+# (stable format-ingest path, still pytest-oracle-gated every run)
+# yielded its slot to the training_data_pipeline_full re-attestation.
+DEFERRED_DOUBLES: set[str] = {"xml_ingest"}
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
 # driver rows — their prior attestations describe the old code, so they
 # re-enter the window even though the low-attestation rule alone would
-# exclude them. Round 9: none (the LSH lazy-checkpoint seam re-attested
-# green in round 8 and is untouched this round).
-CHANGED_CODE_REATTEST: set[str] = set()
+# exclude them. Round 9: the flagship pipeline gained the PhaseTimer
+# profiling seam (round-8 verdict item 7); timer=None is the production
+# path and must stay value-identical.
+CHANGED_CODE_REATTEST: set[str] = {"training_data_pipeline_full"}
 
 # Exactly-3-attested bench-headline queries earning a fourth row:
 # graph_mass_propagation's round-8 bench timing was contention-spurious

