@@ -107,6 +107,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 DRIVER_WINDOW: tuple[str, ...] = (
     # round-9 additions — never driver-attested (each displaced a filler)
     "jpeg_pixel_decode",
+    "isotonic_calibration",
     # round-8 additions, earning a second row
     "dedup_containment_chunks",
     "fuzzy_join_parts",
@@ -164,10 +165,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # path and must stay value-identical) — prior attestations describe
     # the pre-seam code, so it re-enters for a clean row
     "training_data_pipeline_full",
-    # exactly-3-attested bench-headline filler (see policy note above;
-    # bmp_pixel_decode gave its slot to jpeg_pixel_decode — its idle
-    # re-measure was already clean at 0.95x)
-    "graph_mass_propagation",
+    # (both exactly-3 fillers gave their slots to the round-9 additions:
+    # bmp_pixel_decode -> jpeg_pixel_decode, graph_mass_propagation ->
+    # isotonic_calibration; the clean idle bench re-measured both
+    # contention-flagged queries this round anyway — 2.25s / 0.65s)
 )
 
 

@@ -6209,3 +6209,108 @@ def quantile_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(totals, "source")
         .select("doc_id", "source", "n_chars", "midrank2", "n_docs")
     )
+
+
+ISOTONIC_BIN_WIDTH = 5  # score units per calibration bin
+ISOTONIC_MAX_BINS = 4096  # driver-side histogram guard
+
+
+@query(
+    "isotonic_calibration",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(floor(value / {ISOTONIC_BIN_WIDTH}) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clicks
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, n_events, n_clicks,
+             sum(n_clicks) OVER (ORDER BY bin) AS cp,
+             sum(n_events) OVER (ORDER BY bin) AS ct
+      FROM b
+    ),
+    pairs AS (
+      SELECT j.bin AS jb, k.bin AS kb,
+             (k.cp - j.cp + j.n_clicks) AS pjk,
+             (k.ct - j.ct + j.n_events) AS tjk
+      FROM c j JOIN c k ON j.bin <= k.bin
+    ),
+    inner_min AS (
+      SELECT i.bin AS ib, pr.jb,
+             min_by(struct_pack(p := pr.pjk, t := pr.tjk),
+                    pr.pjk * 1.0 / pr.tjk) AS mn,
+             min(pr.pjk * 1.0 / pr.tjk) AS mnv
+      FROM c i JOIN pairs pr ON pr.jb <= i.bin AND pr.kb >= i.bin
+      GROUP BY 1, 2
+    ),
+    outer_max AS (
+      SELECT ib, max_by(mn, mnv) AS mx FROM inner_min GROUP BY 1
+    )
+    SELECT b.bin, b.n_events, b.n_clicks,
+           CAST(((o.mx).p * 1000000) // (o.mx).t AS BIGINT) AS cal_micro
+    FROM b JOIN outer_max o ON o.ib = b.bin
+    """,
+    tags=("tier2", "pipeline", "agg", "calibration"),
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) score calibration — the standard monotone-regression
+    primitive for turning a raw model score into an empirical rate
+    (Zadrozny & Elkan 2002): bin events by score (`value`), count clicks
+    per bin, and fit the NON-DECREASING click-rate curve. Output is the
+    calibration table (bin, n_events, n_clicks, cal_micro) where
+    cal_micro is the fitted rate in exact integer micro-units.
+
+    Independence of the two sides: Spark runs Pool-Adjacent-Violators on
+    the driver over the bounded histogram (operators/calibration.py —
+    stack pooling, integer cross-multiplication); the oracle unrolls the
+    equivalent MINIMAX characterization f(i) = max_(j<=i) min_(k>=i)
+    rate(j..k) entirely in SQL (O(bins^3) pairs — fine at oracle scale,
+    and the double ordering key is exact here: distinct rationals with
+    denominators <= corpus size differ by >> double epsilon, and equal
+    rationals floor to the same micro-value, so argmin/argmax ties
+    cannot move the output).
+
+    SCALE: one map-side-combinable groupBy(bin) over the corpus — the
+    histogram is bounded by the binning law, PAV is O(bins) driver work,
+    and the fitted curve rides back as ONE literal map probed against
+    the (already tiny, checkpointed) histogram. The corpus never
+    shuffles; same compaction pattern as equidepth_deciles."""
+    from mapreduce__spark.operators.calibration import pav_nondecreasing
+    from mapreduce__spark.operators.staging import bounded_collect
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # MATERIALIZED: the histogram feeds both the driver PAV collect and
+    # the output relation — left lazy, the output would replan a second
+    # corpus scan (the equidepth_deciles lesson).
+    hist = (
+        ev.groupBy(
+            F.floor(F.col("value") / ISOTONIC_BIN_WIDTH)
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clicks"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rows = bounded_collect(
+        hist.orderBy("bin"), ISOTONIC_MAX_BINS, "isotonic score histogram"
+    )
+    fit = pav_nondecreasing([(r.bin, r.n_clicks, r.n_events) for r in rows])
+    cal = F.create_map(
+        *[
+            F.lit(x)
+            for b, (p, t) in fit.items()
+            for x in (b, p * 1_000_000 // t)
+        ]
+    )
+    return hist.withColumn(
+        "cal_micro", F.element_at(cal, F.col("bin")).cast("bigint")
+    )

