@@ -160,6 +160,63 @@ def distributed_cumsum(
     )
 
 
+def distributed_cummin(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cummin",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running MINIMUM of `value_col` in `order_col` order — the
+    same two-phase range-bucket scan as :func:`distributed_cumsum` with a
+    min accumulator: per-bucket local running min, O(P) driver prefix
+    mins shipped back as one literal map, combine via least(). MIN skips
+    NULLs (matching the single-task window): a row whose global prefix is
+    all-NULL gets NULL. `order_col` must be numeric and unique.
+
+    Running-min is the scan half of the CUSUM identity
+    ``S_i = P_i - least(0, min_(j<=i) P_j)`` (operators/changepoint
+    consumers) — pairing it with distributed_cumsum turns the
+    sequential-looking max(0, s + d) recurrence into two embarrassingly
+    bucketable scans."""
+    from mapreduce__spark.operators.staging import bounded_collect
+
+    with_pid, n_buckets = _with_range_bucket(df, order_col, num_partitions)
+    mins = bounded_collect(
+        with_pid.groupBy("_pid")
+        .agg(F.min(value_col).alias("_min"), F.count(value_col).alias("_cnt")),
+        n_buckets,
+        "cummin per-bucket minima",
+    )
+    # prefix MIN over buckets strictly before each pid; pids whose prior
+    # buckets carried no non-NULL value are simply absent from the map —
+    # element_at then yields NULL, which is exactly the no-prefix case
+    # (a typed NULL map value would not even build: create_map rejects
+    # NullType values against the numeric entries)
+    offsets: dict[int, int] = {}
+    acc: int | None = None
+    for row in sorted(mins, key=lambda r: r._pid):
+        if acc is not None:
+            offsets[row._pid] = acc
+        if row._min is not None:
+            acc = row._min if acc is None else min(acc, row._min)
+    if offsets:
+        off = F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("_pid"),
+        )
+    else:
+        off = F.lit(None).cast(dict(df.dtypes)[value_col])
+    w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # least() skips NULLs (NULL only when BOTH sides are NULL) — exactly
+    # the single-task running-min semantics
+    return with_pid.withColumn(
+        out_col, F.least(F.min(value_col).over(w), off)
+    ).drop("_pid")
+
+
 def distributed_cumsum_grouped(
     df: DataFrame,
     group_cols: list[str],

@@ -108,6 +108,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # round-9 additions — never driver-attested (each displaced a filler)
     "jpeg_pixel_decode",
     "isotonic_calibration",
+    "cusum_drift",
     # round-8 additions, earning a second row
     "dedup_containment_chunks",
     "fuzzy_join_parts",
@@ -147,13 +148,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "date_arithmetic",
     "json_extraction",
     # round-7 first-timers that doubled in round 8, taking their third
-    # (xml_ingest deferred to round 10 — displaced by the
-    # training_data_pipeline_full re-attestation below)
+    # (xml_ingest and binaryfile_ingest — the two stable format-ingest
+    # paths, still pytest-oracle-gated every run — deferred to round 10,
+    # displaced by the training_data_pipeline_full re-attestation and
+    # cusum_drift)
     "substring_dedup_windows",
     "domain_mixture_weights",
     "dedup_containment",
     "events_ewma",
-    "binaryfile_ingest",
     "multimodal_decode",
     "collocation_lift",
     "per_source_zscore",

@@ -6314,3 +6314,85 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.withColumn(
         "cal_micro", F.element_at(cal, F.col("bin")).cast("bigint")
     )
+
+
+CUSUM_H_MULT = 5  # alarm threshold = CUSUM_H_MULT * reference rate k
+
+
+@query(
+    "cusum_drift",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    kk AS (
+      SELECT CAST(sum(n_events) // count(*) AS BIGINT) AS k FROM d
+    ),
+    p AS (
+      SELECT day, n_events, k,
+             sum(n_events - k) OVER (ORDER BY day) AS pre
+      FROM d, kk
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_events,
+           CAST(pre - least(0, min(pre) OVER (ORDER BY day)) AS BIGINT)
+               AS cusum,
+           (pre - least(0, min(pre) OVER (ORDER BY day)))
+               > {CUSUM_H_MULT} * k AS alarm
+    FROM p
+    """,
+    tags=("tier2", "window", "quality", "changepoint"),
+)
+def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM (Page 1954) volume-drift detection over the daily event
+    series — the sequential changepoint primitive behind data-quality
+    monitors: the one-sided statistic S_i = max(0, S_(i-1) + (x_i - k))
+    accumulates excess over the reference rate k = floor(mean daily
+    volume) and alarms when it crosses h = {CUSUM_H_MULT}k. Output is the
+    full path (day, n_events, cusum, alarm), not just alarms, so the
+    statistic itself is hash-checked.
+
+    The recurrence LOOKS inherently sequential, but the classic identity
+    S_i = P_i - least(0, min_(j<=i) P_j) (P = running sum of deviations)
+    turns it into TWO scans — and scans distribute: this query runs
+    distributed_cumsum then the new distributed_cummin, both range-bucket
+    two-phase operators (per-bucket window + O(P) driver prefix offsets
+    broadcast back as a literal map), so the same plan that handles 30
+    days here handles per-minute buckets over years without a one-task
+    window. The oracle computes the identity with plain SQL windows —
+    an independent formulation on the same exact integers (k is an
+    integer floor-division; deviations, prefixes and minima stay in
+    int64)."""
+    from mapreduce__spark.operators.windows import (
+        distributed_cummin,
+        distributed_cumsum,
+        idiv,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    kdf = daily.agg(
+        idiv(F.sum("n_events"), F.count(F.lit(1))).cast("bigint").alias("k")
+    )
+    dev = daily.crossJoin(F.broadcast(kdf)).select(
+        "day",
+        "n_events",
+        "k",
+        # numeric, unique scan key for the range-bucket operators
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias("_dn"),
+        (F.col("n_events") - F.col("k")).alias("_dev"),
+    )
+    p = distributed_cumsum(dev, "_dn", "_dev", out_col="_pre")
+    s = distributed_cummin(p, "_dn", "_pre", out_col="_runmin")
+    cusum = F.col("_pre") - F.least(F.lit(0).cast("bigint"), F.col("_runmin"))
+    return s.select(
+        # ISO string, not DATE: the driver mirror reads Spark dates as
+        # objects but DuckDB dates as datetime64 — same value, different
+        # dtype token — so the one date-keyed output serializes the key
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        cusum.cast("bigint").alias("cusum"),
+        (cusum > CUSUM_H_MULT * F.col("k")).alias("alarm"),
+    )

@@ -169,3 +169,29 @@ def test_cumsum_null_at_bucket_head_keeps_prefix(spark):
             ("g", 0): None, ("g", 1): 5, ("g", 2): 11, ("g", 3): 11, ("g", 4): 18,
             ("h", 10): None, ("h", 11): 2,
         }, (n_parts, got)
+
+
+def test_distributed_cummin_matches_single_task_window(spark):
+    """distributed_cummin (range buckets + driver prefix mins) must equal
+    the one-task global window on data with NULLs, duplicates-in-value,
+    and a leading all-NULL prefix — including the NULL-iff-no-prior-value
+    semantics."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mapreduce__spark.operators.windows import distributed_cummin
+
+    rng = random.Random(909)
+    rows = [(i, None if i < 5 or rng.random() < 0.2 else rng.randint(-50, 50))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    got = {
+        r.k: r.m
+        for r in distributed_cummin(df, "k", "v", out_col="m", num_partitions=7)
+        .collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r.k: r.m for r in df.withColumn("m", F.min("v").over(w)).collect()}
+    assert got == want
