@@ -109,6 +109,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "jpeg_pixel_decode",
     "isotonic_calibration",
     "cusum_drift",
+    "content_defined_chunking",
     # round-8 additions, earning a second row
     "dedup_containment_chunks",
     "fuzzy_join_parts",
@@ -148,10 +149,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "date_arithmetic",
     "json_extraction",
     # round-7 first-timers that doubled in round 8, taking their third
-    # (xml_ingest and binaryfile_ingest — the two stable format-ingest
-    # paths, still pytest-oracle-gated every run — deferred to round 10,
-    # displaced by the training_data_pipeline_full re-attestation and
-    # cusum_drift)
+    # (xml_ingest, binaryfile_ingest and snapshot_diff_cdc — stable
+    # ingest/CDC paths, still pytest-oracle-gated every run — deferred
+    # to round 10, displaced by the training_data_pipeline_full
+    # re-attestation, cusum_drift and content_defined_chunking)
     "substring_dedup_windows",
     "domain_mixture_weights",
     "dedup_containment",
@@ -159,7 +160,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_decode",
     "collocation_lift",
     "per_source_zscore",
-    "snapshot_diff_cdc",
     "incremental_agg_cdc",
     "source_drift_chi2",
     # code CHANGED this round after >=3 green rows: the flagship pipeline

@@ -6396,3 +6396,158 @@ def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.cast("bigint").alias("cusum"),
         (cusum > CUSUM_H_MULT * F.col("k")).alias("alarm"),
     )
+
+
+CDC_M = 2147483647  # Mersenne prime 2^31-1: fold products stay < 2^36
+CDC_W = 4  # rolling-hash window, tokens
+CDC_D = 8  # cut when window hash % D == 0 -> expected chunk ~D tokens
+CDC_B = 1000003  # window-fold base
+CDC_B2 = 1000033  # chunk-signature fold base
+
+
+def _cdc_chunks_sql_duck() -> str:
+    """Chunk derivation CTEs shared conceptually with the Spark
+    expressions (independent dialect text, same integer laws)."""
+    return f"""
+    t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), th AS (
+      SELECT doc_id,
+        list_transform(toks, t ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, length(t)+1),
+                           i -> CAST(ord(substr(t, i, 1)) AS BIGINT))),
+            (a,b) -> (a*31+b) % {CDC_M})) AS ths,
+        len(toks) AS n
+      FROM t
+    ), cuts AS (
+      SELECT doc_id, ths, n,
+        list_filter(range({CDC_W}, n), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), ths[i-{CDC_W - 1}:i]),
+                      (a,b) -> (a*{CDC_B}+b) % {CDC_M}) % {CDC_D} = 0) AS cutpos
+      FROM th
+    ), b AS (
+      SELECT doc_id, ths,
+        list_concat(list_concat([CAST(0 AS BIGINT)],
+                    list_transform(cutpos, x -> CAST(x AS BIGINT))),
+                    [CAST(n AS BIGINT)]) AS bounds
+      FROM cuts
+    ), ch AS (
+      SELECT doc_id,
+        unnest(list_transform(range(2, len(bounds)+1), k ->
+          struct_pack(
+            sig := list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       ths[bounds[k-1]+1:bounds[k]]),
+                       (a,b) -> (a*{CDC_B2}+b) % {CDC_M}),
+            ln := bounds[k] - bounds[k-1]))) AS c
+      FROM b
+    ), flat AS (
+      SELECT doc_id, (c).sig AS sig, (c).ln AS ln FROM ch
+    ), nd AS (
+      SELECT sig, count(DISTINCT doc_id) AS nd FROM flat GROUP BY 1
+    )"""
+
+
+@query(
+    "content_defined_chunking",
+    oracle=f"""
+    WITH {_cdc_chunks_sql_duck()}
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_chunks,
+           CAST(sum(CASE WHEN nd.nd >= 2 THEN f.ln ELSE 0 END) AS BIGINT)
+               AS shared_tokens
+    FROM flat f JOIN nd ON f.sig = nd.sig
+    GROUP BY 1
+    """,
+    tags=("tier2", "dedup", "text"),
+)
+def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (Rabin-style rolling hash — the
+    FastCDC/LBFS family): cut each document into VARIABLE-boundary chunks
+    wherever the w-token rolling hash hits 0 mod D, then count chunk-level
+    sharing across documents. Unlike the fixed 8-token chunks of
+    dedup_containment_chunks, content-defined boundaries survive
+    insertions/deletions — an edit reshapes only the chunks it touches,
+    which is why production dedup stores (and 100 TB corpus dedup) cut
+    this way. Output per doc: chunk count, chunks shared with >=2 docs,
+    and tokens inside shared chunks.
+
+    Everything integer-exact mod the Mersenne prime 2^31-1: per-token
+    char fold (a*31+c), window fold (a*{CDC_B}+h) over the trailing
+    {CDC_W} tokens, chunk-signature fold (a*{CDC_B2}+h) — all folds stay
+    under 2^36, and both dialects write their own fold text over the
+    same laws.
+
+    SCALE: the entire chunker is ONE scan-stage expression tree
+    (transform/filter/aggregate — whole-stage codegen, no UDF, payloads
+    never shuffle); only the narrow (doc_id, sig, len) chunk table
+    shuffles, once, for the signature groupBy, and the per-doc rollup
+    rides the same key. Spark-side hazards handled explicitly: sequence()
+    DESCENDS when start > stop (empty-cut guard for docs shorter than
+    w+1 tokens) and sequence(1, 0) on an empty token would walk
+    backwards (length-0 guard pinning the empty-token hash to 0, the
+    value DuckDB's empty fold yields naturally)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ths = f"""
+      transform(split(text, ' '), t -> CASE WHEN length(t) = 0
+        THEN CAST(0 AS BIGINT)
+        ELSE aggregate(transform(sequence(1, length(t)),
+                                 i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)),
+                       CAST(0 AS BIGINT), (a, c) -> (a * 31 + c) % {CDC_M})
+        END)"""
+    chunk_expr = f"""
+      transform(sequence(2, size(_bounds)), k -> struct(
+        aggregate(slice(_ths, CAST(element_at(_bounds, k-1) + 1 AS INT),
+                        CAST(element_at(_bounds, k) - element_at(_bounds, k-1) AS INT)),
+                  CAST(0 AS BIGINT),
+                  (a, h) -> (a * {CDC_B2} + h) % {CDC_M}) AS sig,
+        element_at(_bounds, k) - element_at(_bounds, k-1) AS ln))"""
+    prepared = (
+        docs.select("doc_id", F.expr(ths).alias("_ths"))
+        .withColumn("_n", F.size("_ths"))
+        .withColumn(
+            "_cuts",
+            F.expr(
+                f"""CASE WHEN _n > {CDC_W} THEN
+                  filter(sequence({CDC_W}, _n - 1), i ->
+                    aggregate(slice(_ths, i - {CDC_W - 1}, {CDC_W}),
+                              CAST(0 AS BIGINT),
+                              (a, h) -> (a * {CDC_B} + h) % {CDC_M})
+                    % {CDC_D} = 0)
+                ELSE array() END"""
+            ),
+        )
+        .withColumn(
+            "_bounds",
+            F.expr(
+                "concat(array(CAST(0 AS BIGINT)),"
+                " transform(_cuts, x -> CAST(x AS BIGINT)),"
+                " array(CAST(_n AS BIGINT)))"
+            ),
+        )
+    )
+    chunks = (
+        prepared.select("doc_id", F.explode(F.expr(chunk_expr)).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.sig").alias("sig"),
+            F.col("c.ln").cast("bigint").alias("ln"),
+        )
+    )
+    nd = chunks.groupBy("sig").agg(F.countDistinct("doc_id").alias("_nd"))
+    shared = F.col("_nd") >= 2
+    return (
+        chunks.join(nd, "sig")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(shared, 1).otherwise(0)).cast("bigint").alias(
+                "n_shared_chunks"
+            ),
+            F.sum(F.when(shared, F.col("ln")).otherwise(0))
+            .cast("bigint")
+            .alias("shared_tokens"),
+        )
+    )

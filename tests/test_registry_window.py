@@ -39,7 +39,11 @@ ROWS_ONLY = {
 # round-9 query displaced a filler first, then a double: xml_ingest
 # (stable format-ingest path, still pytest-oracle-gated every run)
 # yielded its slot to the training_data_pipeline_full re-attestation.
-DEFERRED_DOUBLES: set[str] = {"xml_ingest", "binaryfile_ingest"}
+DEFERRED_DOUBLES: set[str] = {
+    "xml_ingest",
+    "binaryfile_ingest",
+    "snapshot_diff_cdc",
+}
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
 # driver rows — their prior attestations describe the old code, so they

@@ -320,3 +320,54 @@ def test_pav_guards():
         pav_nondecreasing([(1, 2, 1)])
     with _pytest.raises(ValueError, match="bad counts"):
         pav_nondecreasing([(1, 0, 0)])
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_edge_docs_and_edit_locality(spark, tmp_path):
+    """Edge shapes the fixtures underconstrain: a doc shorter than the
+    rolling window (one chunk, no cuts), an empty-token doc (double
+    space; the length-0 guard pins its hash to DuckDB's empty-fold 0),
+    and — the property that makes content-defined chunking worth its
+    name — EDIT LOCALITY: prepending one token to a long doc leaves the
+    chunk signatures after the first boundary identical, where fixed
+    8-token chunks would shift every boundary."""
+    import duckdb
+
+    from mapreduce__spark.plans import REGISTRY
+    from mapreduce__spark.plans.tier2 import CDC_W
+
+    base = " ".join(f"tok{i % 37}x{i % 11}" for i in range(120))
+    rows = [
+        (0, "a b", "en", "web", 3),               # < w tokens
+        (1, "x  y z", "en", "web", 6),            # empty token via '  '
+        (2, base, "en", "web", len(base)),
+        (3, "zzz " + base, "en", "web", len(base) + 4),  # one-token prepend
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    q = REGISTRY["content_defined_chunking"]
+    got = {r.doc_id: (r.n_chunks, r.n_shared_chunks, r.shared_tokens)
+           for r in q.fn(spark, sf).collect()}
+    assert got[0][0] == 1  # sub-window doc: exactly one chunk
+    assert set(got) == {0, 1, 2, 3}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(q.oracle).fetchall()}
+    assert got == want
+
+    # edit locality: docs 2 and 3 share most chunks (the prepended token
+    # only reshapes chunks up to the first surviving boundary), so both
+    # report a large shared-token count >= half the doc
+    assert got[2][2] >= 60 and got[3][2] >= 60, got
+    assert CDC_W < 120  # the property above is only meaningful past w
