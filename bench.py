@@ -84,13 +84,18 @@ IDLE_POLL_S = 30
 
 
 def _wait_for_idle() -> dict:
+    # Env override (SPARK_GRAFT_IDLE_WAIT_S): the pytest bench-contract
+    # test runs bench.py from inside a fully loaded test session — waiting
+    # for idle there would only time the subprocess out. The driver's
+    # real bench keeps the default 10-minute budget.
+    budget = int(os.environ.get("SPARK_GRAFT_IDLE_WAIT_S", IDLE_WAIT_BUDGET_S))
     waited = 0
     snap = _contention_snapshot()
-    while snap["contended"] and waited < IDLE_WAIT_BUDGET_S:
+    while snap["contended"] and waited < budget:
         print(
             f"BENCH WAIT: machine busy (load1={snap['load1']} "
             f"other_jvms={snap['other_jvms']}), retrying in {IDLE_POLL_S}s "
-            f"({waited}/{IDLE_WAIT_BUDGET_S}s waited)",
+            f"({waited}/{budget}s waited)",
             file=sys.stderr,
         )
         time.sleep(IDLE_POLL_S)

@@ -89,16 +89,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # recomputes green-attestation counts from the checked-in
 # CORRECTNESS_r0*.json files and asserts the policy below, so this
 # comment cannot silently disagree with the window):
-#   IN  — every query with zero or one green driver row (round-9
+#   IN  — every query with zero or one green driver row (the round-9
 #         additions and the 23 round-8 first-timers earning a second
-#         row); every double-attestation query (the 13 round-8
-#         DEFERRED_DOUBLES now taking their third row, plus the 12
-#         round-7 first-timers that doubled in round 8); and two
-#         exactly-3-attested bench-headline fillers
-#         (graph_mass_propagation, bmp_pixel_decode — precisely the two
-#         queries whose round-8 bench readings were contention-spurious,
-#         so a fresh driver row doubles as re-attestation under a clean
-#         run).
+#         row); every double-attestation query except the four in
+#         tests/test_registry_window.py DEFERRED_DOUBLES (the 13
+#         round-8 deferrals take their third row); and the
+#         CHANGED_CODE_REATTEST pipeline whose profiling seam landed
+#         this round. The two exactly-3 fillers initially held slots
+#         and were displaced one-by-one by the round-9 additions (the
+#         clean idle bench re-measured both directly).
 #   OUT — every other query already green in >=3 rounds, each still
 #         bit-exact-gated by tests/test_oracle.py on every pytest run.
 # The intentionally-approximate (rows-only) queries sit past the window so
@@ -110,6 +109,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "isotonic_calibration",
     "cusum_drift",
     "content_defined_chunking",
+    "random_projection_sketch",
     # round-8 additions, earning a second row
     "dedup_containment_chunks",
     "fuzzy_join_parts",
@@ -149,16 +149,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "date_arithmetic",
     "json_extraction",
     # round-7 first-timers that doubled in round 8, taking their third
-    # (xml_ingest, binaryfile_ingest and snapshot_diff_cdc — stable
-    # ingest/CDC paths, still pytest-oracle-gated every run — deferred
-    # to round 10, displaced by the training_data_pipeline_full
-    # re-attestation, cusum_drift and content_defined_chunking)
+    # (xml_ingest, binaryfile_ingest, snapshot_diff_cdc and
+    # collocation_lift — stable ingest/CDC/text-stat paths, still
+    # pytest-oracle-gated every run — deferred to round 10, displaced by
+    # the training_data_pipeline_full re-attestation and the round-9
+    # additions)
     "substring_dedup_windows",
     "domain_mixture_weights",
     "dedup_containment",
     "events_ewma",
     "multimodal_decode",
-    "collocation_lift",
     "per_source_zscore",
     "incremental_agg_cdc",
     "source_drift_chi2",

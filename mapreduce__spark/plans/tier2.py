@@ -6551,3 +6551,99 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shared_tokens"),
         )
     )
+
+
+RP_K = 8  # projection dimensions
+RP_M = 2147483647  # shared fold modulus (the CDC Mersenne prime)
+
+
+@query(
+    "random_projection_sketch",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      WHERE tok <> '' GROUP BY 1, 2
+    ), th AS (
+      SELECT doc_id, tf,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(tok)+1),
+                         i -> CAST(ord(substr(tok, i, 1)) AS BIGINT))),
+          (a,b) -> (a*31+b) % {RP_M}) AS h
+      FROM tf
+    ), proj AS (
+      SELECT doc_id, j,
+        CAST(sum(CASE WHEN (h * 1000003 + j) % {RP_M} % 2 = 0
+                 THEN tf ELSE -tf END) AS BIGINT) AS v
+      FROM th, (SELECT unnest(range(0, {RP_K})) AS j)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, array_to_string(list(v ORDER BY j), ',') AS sketch
+    FROM proj GROUP BY 1
+    """,
+    tags=("tier2", "similarity", "text"),
+)
+def random_projection_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed random projection (Johnson-Lindenstrauss / signed
+    feature hashing, Weinberger et al. 2009): project each document's
+    term-frequency vector onto {RP_K} pseudo-random +-1 directions —
+    the dimensionality-reduction front end for LSH tables, duplicate
+    sketches, and cheap similarity features at 100 TB. The projection
+    MATRIX never exists: the sign of term t in direction j is
+    (termhash(t) * 1000003 + j) mod 2 computed INLINE, so the operator is
+    explode -> one map-side-combinable (doc, j) aggregate — no join, no
+    broadcast, nothing but the narrow (doc_id, j, +-tf) stream shuffles.
+
+    Everything integer: the term hash is the shared char-fold mod 2^31-1
+    (same law as content_defined_chunking, independently written in each
+    dialect), signs are a parity test, coordinates are signed tf sums.
+    Output serializes the j-ordered coordinate vector to one CSV string
+    per doc (the grouped_collect_sorted convention — the driver
+    canonicalizer cannot sort list cells)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    th = tf.withColumn(
+        "h",
+        F.expr(
+            f"""CASE WHEN length(tok) = 0 THEN CAST(0 AS BIGINT)
+            ELSE aggregate(transform(sequence(1, length(tok)),
+                           i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT)),
+                           CAST(0 AS BIGINT),
+                           (a, c) -> (a * 31 + c) % {RP_M}) END"""
+        ),
+    )
+    proj = (
+        th.select(
+            "doc_id",
+            "tf",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(RP_K - 1))).alias("j"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("h") * 1000003 + F.col("j")) % RP_M % 2 == 0,
+                    F.col("tf"),
+                ).otherwise(-F.col("tf"))
+            )
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    return proj.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "v"))),
+                lambda s: s.getField("v").cast("string"),
+            ),
+            ",",
+        ).alias("sketch")
+    )

@@ -117,6 +117,10 @@ def test_bench_contract(tmp_path):
         # bench time; here it would just synthesize a 10x corpus to prove
         # JSON keys exist
         SPARK_GRAFT_SKIP_SCALING="1",
+        # this subprocess runs INSIDE a loaded pytest session — the
+        # wait-for-idle loop would burn the whole timeout waiting for the
+        # suite around it to finish (caught: round-9 full-suite run)
+        SPARK_GRAFT_IDLE_WAIT_S="0",
     )
     res = subprocess.run(
         [sys.executable, "bench.py"], capture_output=True, text=True,

@@ -43,6 +43,7 @@ DEFERRED_DOUBLES: set[str] = {
     "xml_ingest",
     "binaryfile_ingest",
     "snapshot_diff_cdc",
+    "collocation_lift",
 }
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
