@@ -290,6 +290,64 @@ def stream_quantile_histogram(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_cusum(events: DataFrame, k: int = 10, h_mult: int = 5) -> DataFrame:
+    """Stateful streaming CUSUM drift monitor per event_type — the
+    streaming twin of the batch `cusum_drift` query, with the structural
+    differences streaming forces: the in-control reference rate ``k`` is
+    a CONFIGURED parameter (a stream cannot know its final mean — which
+    is also how production CUSUM monitors run), and the state carries the
+    BOUNDED per-day count histogram (the mergeable-summary pattern of
+    stream_quantile_histogram), so each micro-batch merges its counts and
+    recomputes the whole path — the result converges to the batch answer
+    regardless of how days split across batches, late deliveries
+    included.
+
+    Two independent formulations meet in the tests: this operator folds
+    the textbook recurrence S := max(0, S + (x - k)) day by day, while
+    the batch twin computes the prefix-min identity
+    S_i = P_i - least(0, min_(j<=i) P_j) through distributed scans —
+    equality over random micro-batch splits pins both. All integers."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        days, counts = state.get if state.exists else ([], [])
+        hist = dict(zip(days, counts))
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        by_day = (
+            pd.to_datetime(rows["ts"]).dt.strftime("%Y-%m-%d").value_counts()
+        )
+        for day, cnt in by_day.items():
+            hist[day] = hist.get(day, 0) + int(cnt)
+        ordered = sorted(hist)
+        state.update((ordered, [int(hist[d]) for d in ordered]))
+        s = 0
+        n_alarms = 0
+        for d in ordered:
+            s = max(0, s + (hist[d] - k))
+            if s > h_mult * k:
+                n_alarms += 1
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_days": [len(ordered)],
+                "final_cusum": [s],
+                "n_alarms": [n_alarms],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, n_days bigint, final_cusum bigint, "
+            "n_alarms bigint"
+        ),
+        stateStructType="days array<string>, counts array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_user_totals_tws(events: DataFrame) -> DataFrame:
     """The same per-user running totals through `transformWithStateInPandas`
     — Spark 4's arbitrary-state API (typed value/list/map state handles,

@@ -721,3 +721,65 @@ def test_stream_quantile_histogram_equals_batch(spark, sf_small, tmp_path):
         for r in incremental_percentiles(spark, sf_small).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_cusum_converges_across_batches(spark, sf_small, tmp_path):
+    """The stateful streaming CUSUM (textbook max(0, s + d) fold over the
+    state's per-day histogram, fixed reference k) must converge across
+    THREE micro-batches to the same final statistic as a sequential
+    reference over the complete data — day counts split arbitrarily
+    across batches, so only the merge-then-recompute design makes this
+    hold. The recurrence here and the batch twin's prefix-min identity
+    (cusum_drift) are independent formulations of the same statistic."""
+    import os as _os
+
+    from mapreduce__spark.streaming.streams import (
+        run_stream_to_memory,
+        stream_cusum,
+    )
+
+    K, H = 10, 5
+    ev = load_table(spark, sf_small, "events").select("event_type", "ts")
+    src = tmp_path / "cshards"
+    src.mkdir()
+    t0 = 1_700_000_000
+    for i, s in enumerate(ev.randomSplit([1.0, 1.0, 1.0], seed=31)):
+        d = src / f"b{i}"
+        s.coalesce(1).write.parquet(str(d))
+        for f in _os.listdir(d):
+            _os.utime(d / f, (t0 + i, t0 + i))
+
+    sdf = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    run_stream_to_memory(
+        stream_cusum(sdf, k=K, h_mult=H), "t_cusum_stream", output_mode="update"
+    )
+    got = {
+        r.event_type: (r.n_days, r.final_cusum, r.n_alarms)
+        for r in spark.table("t_cusum_stream")
+        .groupBy("event_type")
+        .agg(F.max(F.struct("n_days", "final_cusum", "n_alarms")).alias("s"))
+        .select("event_type", "s.n_days", "s.final_cusum", "s.n_alarms")
+        .collect()
+    }
+    # sequential reference over the COMPLETE series, same recurrence
+    rows = ev.select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).collect()
+    hist: dict = {}
+    for r in rows:
+        hist.setdefault(r.event_type, {})
+        hist[r.event_type][r.day] = hist[r.event_type].get(r.day, 0) + 1
+    want = {}
+    for et, h in hist.items():
+        s = 0
+        alarms = 0
+        for day in sorted(h):
+            s = max(0, s + (h[day] - K))
+            if s > H * K:
+                alarms += 1
+        want[et] = (len(h), s, alarms)
+    assert got == want and len(got) >= 3
