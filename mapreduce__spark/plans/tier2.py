@@ -6536,20 +6536,24 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.ln").cast("bigint").alias("ln"),
         )
     )
-    nd = chunks.groupBy("sig").agg(F.countDistinct("doc_id").alias("_nd"))
+    # distinct-doc count as a WINDOW over sig, not groupBy + join back:
+    # the join form re-ran the whole per-token chunker expression tree as
+    # the probe side (2 FileScans in the AQE plan) — the window keeps ONE
+    # corpus scan and one sig-keyed shuffle, and per-sig doc sets are
+    # chunk-cardinality-bounded
+    wsig = Window.partitionBy("sig")
+    flagged = chunks.withColumn(
+        "_nd", F.size(F.collect_set("doc_id").over(wsig))
+    )
     shared = F.col("_nd") >= 2
-    return (
-        chunks.join(nd, "sig")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-            F.sum(F.when(shared, 1).otherwise(0)).cast("bigint").alias(
-                "n_shared_chunks"
-            ),
-            F.sum(F.when(shared, F.col("ln")).otherwise(0))
-            .cast("bigint")
-            .alias("shared_tokens"),
-        )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.when(shared, 1).otherwise(0)).cast("bigint").alias(
+            "n_shared_chunks"
+        ),
+        F.sum(F.when(shared, F.col("ln")).otherwise(0))
+        .cast("bigint")
+        .alias("shared_tokens"),
     )
 
 
