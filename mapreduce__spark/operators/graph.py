@@ -302,3 +302,76 @@ def connected_components(
             "hop of the widest component"
         )
     return labels
+
+
+def k_core_layers(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 5,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Fixed-k core peeling with LAYER attribution: iteratively remove
+    every node whose degree among the still-alive nodes is below ``k``,
+    recording the round each node fell (layer 1, 2, ...); survivors form
+    the k-core (layer 0). Returns one row per node:
+    (node, layer, residual_degree) — residual_degree is the alive-degree
+    that decided the node's fate (its degree at removal time; for core
+    members, the degree within the final core). The peel-layer structure
+    is the onion decomposition used for influence ranking and
+    spam/botnet filtering; fixed-k peeling is its one-slice form.
+
+    Exactly ``max_rounds`` rounds of semantics (the SQL oracle unrolls
+    the same count; a converged graph makes later rounds identity, so
+    early-exit below never changes the result) — a graph still peelable
+    after max_rounds yields the declared R-round partial peel on BOTH
+    sides, deterministically. Each round is one degree aggregate over
+    the alive adjacency plus two anti joins to shrink it (all
+    checkpointed — the loop-lineage discipline of connected_components);
+    nothing node-proportional ever reaches the driver, only the scalar
+    removed-count that drives early exit."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    adj = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    nodes = adj.select(F.col("a").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    out: DataFrame | None = None
+    for r in range(1, max_rounds + 1):
+        deg = (
+            nodes.join(adj, nodes["node"] == adj["a"], "left")
+            .groupBy("node")
+            .agg(F.count(F.col("b")).cast("bigint").alias("d"))
+        )
+        removed = deg.where(F.col("d") < k).localCheckpoint(eager=True)
+        if removed.count() == 0:
+            break
+        layer_rows = removed.select(
+            "node",
+            F.lit(r).cast("bigint").alias("layer"),
+            F.col("d").alias("residual_degree"),
+        )
+        out = layer_rows if out is None else out.unionAll(layer_rows)
+        nodes = nodes.join(removed, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        adj = (
+            adj.join(removed.select(F.col("node").alias("a")), "a", "left_anti")
+            .join(removed.select(F.col("node").alias("b")), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    core = (
+        nodes.join(adj, nodes["node"] == adj["a"], "left")
+        .groupBy("node")
+        .agg(F.count(F.col("b")).cast("bigint").alias("residual_degree"))
+        .select(
+            "node",
+            F.lit(0).cast("bigint").alias("layer"),
+            "residual_degree",
+        )
+    )
+    return core if out is None else out.select(
+        "node", "layer", "residual_degree"
+    ).unionAll(core)

@@ -110,6 +110,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cusum_drift",
     "content_defined_chunking",
     "random_projection_sketch",
+    "k_core_peel",
     # round-8 additions, earning a second row
     "dedup_containment_chunks",
     "fuzzy_join_parts",
@@ -159,7 +160,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_containment",
     "events_ewma",
     "multimodal_decode",
-    "per_source_zscore",
     "incremental_agg_cdc",
     "source_drift_chi2",
     # code CHANGED this round after >=3 green rows: the flagship pipeline

@@ -2084,3 +2084,106 @@ def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+KCORE_K = 12  # peel threshold: alive-degree < K removes the node
+KCORE_ROUNDS = 5  # unrolled round count (fixtures converge in <= 2)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled fixed-k peeling in SQL: round r's degree CTE counts only
+    neighbors still alive in n_{r-1} (the full adjacency never shrinks —
+    aliveness rides the join), removal and survivor CTEs chain R times,
+    and a final degree pass supplies the core's residual degrees. A
+    converged graph makes the tail rounds identity, matching the Spark
+    loop's early exit exactly."""
+    parts = [
+        """e AS (
+          SELECT DISTINCT o.o_custkey AS u, -l.l_suppkey - 1 AS v
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        )""",
+        # MATERIALIZED: every n{r} is referenced three times (twice by
+        # the next degree CTE, once by the next EXCEPT) — left to the
+        # default inlining the round chain re-expands exponentially
+        # (measured 130s at sf0.01; materialized, sub-second)
+        "adj AS MATERIALIZED (SELECT u AS a, v AS b FROM e"
+        " UNION ALL SELECT v, u FROM e)",
+        "n0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM adj)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+              SELECT n.node, CAST(count(al.node) AS BIGINT) AS d
+              FROM n{r - 1} n
+              LEFT JOIN adj ON adj.a = n.node
+              LEFT JOIN n{r - 1} al ON al.node = adj.b
+              GROUP BY 1)"""
+        )
+        parts.append(
+            f"r{r} AS MATERIALIZED (SELECT node, d FROM d{r} WHERE d < {k})"
+        )
+        parts.append(
+            f"n{r} AS MATERIALIZED (SELECT node FROM n{r - 1} "
+            f"EXCEPT SELECT node FROM r{r})"
+        )
+    parts.append(
+        f"""dfin AS (
+          SELECT n.node, CAST(count(al.node) AS BIGINT) AS d
+          FROM n{rounds} n
+          LEFT JOIN adj ON adj.a = n.node
+          LEFT JOIN n{rounds} al ON al.node = adj.b
+          GROUP BY 1)"""
+    )
+    unions = "\n      UNION ALL\n".join(
+        f"SELECT node, CAST({r} AS BIGINT) AS layer, d AS residual_degree "
+        f"FROM r{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT node, layer, residual_degree FROM (
+      {unions}
+      UNION ALL
+      SELECT node, CAST(0 AS BIGINT) AS layer, d AS residual_degree FROM dfin
+    )"""
+    )
+
+
+@query(
+    "k_core_peel",
+    oracle=_kcore_oracle(KCORE_K, KCORE_ROUNDS),
+    tags=("tier1", "graph"),
+)
+def k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k core peeling over the customer-supplier trading graph
+    (customers and suppliers adjacent when some order connects them;
+    supplier ids negated into their own key space): iteratively remove
+    nodes with alive-degree < {K}, recording each node's peel LAYER —
+    the onion-decomposition slice behind influence ranking and
+    engagement-core extraction, and the graph-algorithm class (iterative
+    VERTEX deletion, data-dependent rounds) that mass propagation
+    (static structure) and triangles (one-shot joins) don't cover.
+
+    Both sides run the identical declared semantics — exactly
+    KCORE_ROUNDS peel rounds (converged tails are identity; the pytest
+    gate asserts the fixtures converge well inside the unroll) — the
+    Spark loop via per-round degree aggregate + anti-join shrink with
+    checkpointed lineage (operators/graph.py k_core_layers), the oracle
+    via generated round-chained CTEs whose aliveness rides the degree
+    join instead of shrinking the adjacency. Output is one row per node:
+    (node, layer, residual_degree), layer 0 = the k-core."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("u"),
+            (-F.col("l_suppkey") - 1).alias("v"),
+        )
+        .distinct()
+    )
+    from mapreduce__spark.operators.graph import k_core_layers
+
+    return k_core_layers(edges, KCORE_K, KCORE_ROUNDS)

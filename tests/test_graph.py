@@ -197,3 +197,29 @@ def test_triangles_match_bruteforce(spark, edges):
     """Property: on random <=8-node graphs the degree-oriented count
     equals brute-force triple enumeration, per node."""
     assert tri_dict(spark, sorted(edges)) == brute_triangles(edges)
+
+
+def test_kcore_fixtures_converge_inside_the_unroll(spark, sf_small):
+    """The declared semantics are an exactly-KCORE_ROUNDS peel; this gate
+    asserts the fixtures actually converge well inside it (so the query
+    IS the true k-core there), and that the layer structure is sane:
+    one row per node, layers within [0, KCORE_ROUNDS], core members'
+    residual degrees all >= K and peeled members' all < K."""
+    from pyspark.sql import functions as F
+
+    from mapreduce__spark.plans.tier1 import KCORE_K, KCORE_ROUNDS, k_core_peel
+
+    out = k_core_peel(spark, sf_small).localCheckpoint(eager=True)
+    n_nodes = out.count()
+    assert out.select("node").distinct().count() == n_nodes
+    mx = out.agg(F.max("layer")).first()[0]
+    assert mx <= KCORE_ROUNDS - 2, (
+        f"fixture needed {mx} rounds — too close to the {KCORE_ROUNDS} unroll"
+    )
+    bad_core = out.where(
+        (F.col("layer") == 0) & (F.col("residual_degree") < KCORE_K)
+    ).count()
+    bad_peel = out.where(
+        (F.col("layer") > 0) & (F.col("residual_degree") >= KCORE_K)
+    ).count()
+    assert bad_core == 0 and bad_peel == 0

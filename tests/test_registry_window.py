@@ -44,6 +44,7 @@ DEFERRED_DOUBLES: set[str] = {
     "binaryfile_ingest",
     "snapshot_diff_cdc",
     "collocation_lift",
+    "per_source_zscore",
 }
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
