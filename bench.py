@@ -169,6 +169,12 @@ BENCH_QUERIES = [
     "semantic_dedup",      # k-means + cluster-scoped int-exact pair
                            # join: the embedding-dedup representative
                            # (round 8; deltas start r8)
+    "content_defined_chunking",  # rolling-hash variable chunks: the
+                                 # scan-stage fold-heavy text path
+                                 # (round 9; deltas start r9)
+    "k_core_peel",         # iterative vertex deletion: the data-
+                           # dependent-rounds graph loop (round 9;
+                           # deltas start r9)
 ]
 
 
