@@ -111,6 +111,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "content_defined_chunking",
     "random_projection_sketch",
     "k_core_peel",
+    "heavy_hitters_exact",
     # round-8 additions, earning a second row
     "dedup_containment_chunks",
     "fuzzy_join_parts",
@@ -160,7 +161,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_containment",
     "events_ewma",
     "multimodal_decode",
-    "incremental_agg_cdc",
     "source_drift_chi2",
     # code CHANGED this round after >=3 green rows: the flagship pipeline
     # gained the PhaseTimer profiling seam (timer=None is the production

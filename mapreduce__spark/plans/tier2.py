@@ -6651,3 +6651,90 @@ def random_projection_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("sketch")
     )
+
+
+MG_CAP = 63  # Misra-Gries capacity: guarantees every phi=1/(CAP+1) item
+
+
+@query(
+    "heavy_hitters_exact",
+    oracle="""
+    WITH t AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), c AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n
+      FROM t WHERE tok <> '' GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total FROM c
+    )
+    SELECT tok, n FROM c, tot WHERE n * 64 > total
+    """,
+    tags=("tier2", "text", "sketch"),
+)
+def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phi-heavy hitters (phi = 1/64) through a mergeable sketch —
+    the sketch-then-verify pattern (LSH's shape applied to frequency):
+    a per-partition weighted Misra-Gries summary of capacity {MG_CAP}
+    guarantees every token with partition frequency > N_p/64 survives
+    that partition, and pigeonhole lifts the guarantee globally (a token
+    with total count > N/64 must exceed the threshold in SOME
+    partition), so the candidate union is a SUPERSET of the answer; an
+    exact recount of just the candidates then makes the output exact —
+    the MG pass only decides WHICH tokens get recounted, never a count.
+    Output: every token whose exact count n satisfies n*64 > N.
+
+    vs heavy_hitters_approx (rows-only, tolerance-gated): this query is
+    fully oracle-checked because the sketch is confined to candidate
+    GENERATION. SCALE: pass 1 is one Arrow-batched mapInPandas emitting
+    <= {MG_CAP}+1 rows per partition (the +1 row carries the partition's
+    token total, so N costs no extra scan); pass 2 recounts only
+    candidate tokens via a broadcast semi filter — the full token stream
+    never shuffles, the candidate stream is sketch-bounded."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        total = 0
+        for pdf in batches:
+            vc = pdf["tok"].value_counts()
+            total += int(vc.sum())
+            for t, c in vc.items():
+                if t in counters:
+                    counters[t] += int(c)
+                    continue
+                counters[t] = int(c)
+                if len(counters) > MG_CAP:
+                    # weighted MG decrement: subtract the minimum counter
+                    # from everything, drop zeros — classic undercount
+                    # bound sum(d) <= N_p/(CAP+1) holds because each
+                    # decrement event charges CAP+1 live counters
+                    d = min(counters.values())
+                    counters = {
+                        k: v - d for k, v in counters.items() if v - d > 0
+                    }
+        yield pd.DataFrame(
+            {"tok": list(counters) + [None], "pn": [0] * len(counters) + [total]}
+        )
+
+    summary = toks.mapInPandas(mg, "tok string, pn bigint").localCheckpoint(
+        eager=True
+    )
+    n_total = summary.where(F.col("tok").isNull()).agg(
+        F.sum("pn").alias("total")
+    )
+    cands = summary.where(F.col("tok").isNotNull()).select("tok").distinct()
+    counted = (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return counted.crossJoin(F.broadcast(n_total)).where(
+        F.col("n") * 64 > F.col("total")
+    ).select("tok", "n")

@@ -45,6 +45,7 @@ DEFERRED_DOUBLES: set[str] = {
     "snapshot_diff_cdc",
     "collocation_lift",
     "per_source_zscore",
+    "incremental_agg_cdc",
 }
 
 # Queries whose CODE changed this round AFTER already earning >=3 green

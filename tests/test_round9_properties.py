@@ -371,3 +371,36 @@ def test_cdc_edge_docs_and_edit_locality(spark, tmp_path):
     # report a large shared-token count >= half the doc
     assert got[2][2] >= 60 and got[3][2] >= 60, got
     assert CDC_W < 120  # the property above is only meaningful past w
+
+
+def test_heavy_hitters_exact_survives_adversarial_partitioning(spark, tmp_path):
+    """The Misra-Gries guarantee is per PARTITION, lifted globally by
+    pigeonhole — so the hostile case is a corpus shredded across many
+    partitions with token frequencies straddling the phi = 1/64 line.
+    Build exactly that (known counts, 16-way repartition), and pin the
+    output against directly computed truth."""
+    from mapreduce__spark.plans import REGISTRY
+
+    # 3 clearly-heavy tokens, 3 just-below, 200 distinct light tokens
+    words = []
+    words += ["alpha"] * 900 + ["beta"] * 700 + ["gamma"] * 500
+    words += ["near1"] * 120 + ["near2"] * 110 + ["near3"] * 100
+    for i in range(200):
+        words += [f"w{i}"] * 30
+    # total = 8430; threshold n*64 > 8430 -> n >= 132
+    docs = [
+        (i, " ".join(words[i::40]), "en", "web", 10) for i in range(40)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).repartition(16).write.parquet(f"{sf}/documents.parquet")
+
+    got = {r.tok: r.n for r in REGISTRY["heavy_hitters_exact"].fn(spark, sf).collect()}
+    from collections import Counter
+
+    cnt = Counter(words)
+    total = sum(cnt.values())
+    want = {t: c for t, c in cnt.items() if c * 64 > total}
+    assert got == want
+    assert set(want) == {"alpha", "beta", "gamma"}, want
