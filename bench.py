@@ -200,6 +200,11 @@ SCALING_QUERIES = [
     # replica-suffixed synth corpus keeps per-replica span structure
     # identical and replicas span-disjoint, exactly like the LSH tiers)
     "dedup_containment_chunks",
+    # round-9: content-defined chunking reads only documents, so the
+    # same gram-disjoint clone corpus is faithful — replica-suffixed
+    # tokens hash differently per replica, chunk signatures stay
+    # replica-private, and the sig shuffle grows exactly linearly
+    "content_defined_chunking",
 ]
 SCALE_FACTOR = 10
 SCALE_FACTOR_2 = 100
@@ -380,6 +385,57 @@ def _scaled_embeddings_dir(spark, sf_dir: str, factor: int) -> str:
     return out_dir
 
 
+def _scaled_trade_graph_dir(spark, sf_dir: str, factor: int) -> str:
+    """Synthesize (once, cached) a factor-x orders+lineitem pair faithful
+    for k_core_peel: BOTH orderkeys and both endpoint keys map
+    key*factor + rep, so every replica is a node-disjoint copy of the
+    customer-supplier trading graph — per-replica degree profile and
+    peel-layer structure identical, total work exactly factor-x. Only
+    the columns the query reads are written."""
+    import hashlib
+
+    real = os.path.realpath(sf_dir)
+    tag = hashlib.sha256(real.encode()).hexdigest()[:12]
+    name = real.rstrip("/").split("/")[-1]
+    out_dir = f"/tmp/mapreduce__spark_scale/{name}x{factor}-trade-{tag}"
+    src_o = f"{sf_dir}/orders.parquet"
+    dst_o = f"{out_dir}/orders.parquet"
+    dst_l = f"{out_dir}/lineitem.parquet"
+    if (
+        not os.path.exists(os.path.join(dst_l, "_SUCCESS"))
+        or not os.path.exists(os.path.join(dst_o, "_SUCCESS"))
+        or os.path.getmtime(dst_o) < os.path.getmtime(src_o)
+    ):
+        from pyspark.sql import functions as F
+
+        reps = spark.range(factor).withColumnRenamed("id", "rep")
+        o = spark.read.parquet(src_o).select("o_orderkey", "o_custkey")
+        (
+            o.crossJoin(reps)
+            .select(
+                (F.col("o_orderkey") * factor + F.col("rep")).alias("o_orderkey"),
+                (F.col("o_custkey") * factor + F.col("rep")).alias("o_custkey"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(dst_o)
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_suppkey"
+        )
+        (
+            li.crossJoin(reps)
+            .select(
+                (F.col("l_orderkey") * factor + F.col("rep")).alias("l_orderkey"),
+                (F.col("l_suppkey") * factor + F.col("rep")).alias("l_suppkey"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(dst_l)
+        )
+    return out_dir
+
+
 def _run_graph_emb_scaling(spark, base_timings: dict[str, float]) -> dict:
     """Round-8 VERDICT item 3: synthetic-growth probes for the two new
     heavy queries. Both anchor at sf0.01 (the natural below-tier) and
@@ -437,6 +493,28 @@ def _run_graph_emb_scaling(spark, base_timings: dict[str, float]) -> dict:
                 file=sys.stderr,
             )
     out["semantic_dedup"] = row
+    gc.collect()
+
+    # k_core_peel: node-disjoint trading-graph clones; per-round work is
+    # degree aggregate + anti joins over edges, so growth should track
+    # edges (linearly) and rounds stay replica-identical
+    row = {"base": base_timings.get("k_core_peel")}
+    t0 = time.perf_counter()
+    REGISTRY["k_core_peel"].fn(spark, below).collect()
+    row["below"] = round(time.perf_counter() - t0, 3)
+    tg10 = _scaled_trade_graph_dir(spark, below, SCALE_FACTOR)
+    t0 = time.perf_counter()
+    REGISTRY["k_core_peel"].fn(spark, tg10).collect()
+    row["x10b"] = round(time.perf_counter() - t0, 3)
+    if row["below"] > 0:
+        row["g10"] = round(row["x10b"] / row["below"], 2)
+        if row["g10"] > SCALE_FACTOR:
+            print(
+                f"SCALING REGRESSION: k_core_peel grew {row['g10']}x on "
+                f"{SCALE_FACTOR}x edges — super-linear, investigate",
+                file=sys.stderr,
+            )
+    out["k_core_peel"] = row
     gc.collect()
     return out
 
