@@ -112,6 +112,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "random_projection_sketch",
     "k_core_peel",
     "heavy_hitters_exact",
+    "welch_z_test",
     # round-8 additions, earning a second row
     "dedup_containment_chunks",
     "fuzzy_join_parts",
@@ -159,7 +160,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "substring_dedup_windows",
     "domain_mixture_weights",
     "dedup_containment",
-    "events_ewma",
     "multimodal_decode",
     "source_drift_chi2",
     # code CHANGED this round after >=3 green rows: the flagship pipeline

@@ -6738,3 +6738,114 @@ def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.crossJoin(F.broadcast(n_total)).where(
         F.col("n") * 64 > F.col("total")
     ).select("tok", "n")
+
+
+@query(
+    "welch_z_test",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id % 2 AS grp,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sm,
+             CAST(sum(cents * cents) AS BIGINT) AS q
+      FROM c GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+             (CAST(a.sm AS DOUBLE) / a.n - CAST(b.sm AS DOUBLE) / b.n)
+                 AS mean_diff_cents,
+             CAST(CAST(a.n AS HUGEINT) * a.q
+                  - CAST(a.sm AS HUGEINT) * a.sm AS DOUBLE)
+                 / (CAST(a.n AS DOUBLE) * (a.n - 1.0)) AS var_a,
+             CAST(CAST(b.n AS HUGEINT) * b.q
+                  - CAST(b.sm AS HUGEINT) * b.sm AS DOUBLE)
+                 / (CAST(b.n AS DOUBLE) * (b.n - 1.0)) AS var_b
+      FROM s a JOIN s b ON a.event_type = b.event_type
+      WHERE a.grp = 0 AND b.grp = 1 AND a.n > 1 AND b.n > 1
+    )
+    SELECT event_type, n_a, n_b, mean_diff_cents,
+           mean_diff_cents / sqrt(var_a / n_a + var_b / n_b) AS z
+    FROM w
+    """,
+    tags=("tier2", "agg", "stats"),
+)
+def welch_z_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample z statistic per event_type,
+    comparing the even-user cohort (A) against the odd-user cohort (B)
+    on event value — the experiment-analysis primitive beside
+    source_drift_chi2's categorical test: difference of means over the
+    pooled standard error sqrt(var_a/n_a + var_b/n_b).
+
+    Determinism without rounding (the registry's raw-IEEE-chain rule):
+    values go to integer cents exactly (2-decimal money, so v*100 never
+    lands on a rounding tie), per-cohort moments (n, sum, sum-of-
+    squares) are exact int64, the variance numerator n*Q - S^2 is exact
+    in 128-bit integers (DECIMAL(38,0) / HUGEINT), and every double op
+    after that — two casts, divisions, a subtraction, one sqrt — is
+    written with the SAME structure in both dialects, so each step is
+    the identical correctly-rounded IEEE op on identical bits. No
+    round() anywhere: the chain is bit-identical by construction and
+    rounding could only break it (the events_ewma lesson).
+
+    SCALE: one map-side-combinable groupBy(event_type, cohort) over the
+    corpus — a fixed-size moment table; the join and the z arithmetic
+    are constant work. The same shape handles millions of experiment
+    cells: moments are mergeable, so per-day moment tables roll up
+    without rescanning events."""
+    dec = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("grp"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    s = c.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sm"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("q"),
+    )
+    a = s.where((F.col("grp") == 0) & (F.col("n") > 1)).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("sm").alias("sm_a"),
+        F.col("q").alias("q_a"),
+    )
+    b = s.where((F.col("grp") == 1) & (F.col("n") > 1)).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("sm").alias("sm_b"),
+        F.col("q").alias("q_b"),
+    )
+    j = a.join(b, "event_type")
+    mean_diff = (
+        F.col("sm_a").cast("double") / F.col("n_a")
+        - F.col("sm_b").cast("double") / F.col("n_b")
+    )
+    var_a = (
+        (
+            F.col("n_a").cast(dec) * F.col("q_a").cast(dec)
+            - F.col("sm_a").cast(dec) * F.col("sm_a").cast(dec)
+        ).cast("double")
+        / (F.col("n_a").cast("double") * (F.col("n_a") - F.lit(1.0)))
+    )
+    var_b = (
+        (
+            F.col("n_b").cast(dec) * F.col("q_b").cast(dec)
+            - F.col("sm_b").cast(dec) * F.col("sm_b").cast(dec)
+        ).cast("double")
+        / (F.col("n_b").cast("double") * (F.col("n_b") - F.lit(1.0)))
+    )
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        mean_diff.alias("mean_diff_cents"),
+        (
+            mean_diff
+            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+        ).alias("z"),
+    )

@@ -46,6 +46,7 @@ DEFERRED_DOUBLES: set[str] = {
     "collocation_lift",
     "per_source_zscore",
     "incremental_agg_cdc",
+    "events_ewma",
 }
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
