@@ -6803,24 +6803,31 @@ def welch_z_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2).alias("grp"),
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    s = c.groupBy("event_type", "grp").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("cents").cast("bigint").alias("sm"),
-        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("q"),
+    # ONE conditional aggregate, no cohort self-join: the grouped form
+    # fed two filtered consumers and re-scanned events (2 FileScans in
+    # the AQE plan); conditional sums produce both cohorts' moments in a
+    # single pass with identical values
+    az = F.col("grp") == 0
+    j = (
+        c.groupBy("event_type")
+        .agg(
+            F.sum(F.when(az, 1).otherwise(0)).cast("bigint").alias("n_a"),
+            F.sum(F.when(az, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("sm_a"),
+            F.sum(F.when(az, F.col("cents") * F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("q_a"),
+            F.sum(F.when(~az, 1).otherwise(0)).cast("bigint").alias("n_b"),
+            F.sum(F.when(~az, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("sm_b"),
+            F.sum(F.when(~az, F.col("cents") * F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("q_b"),
+        )
+        .where((F.col("n_a") > 1) & (F.col("n_b") > 1))
     )
-    a = s.where((F.col("grp") == 0) & (F.col("n") > 1)).select(
-        "event_type",
-        F.col("n").alias("n_a"),
-        F.col("sm").alias("sm_a"),
-        F.col("q").alias("q_a"),
-    )
-    b = s.where((F.col("grp") == 1) & (F.col("n") > 1)).select(
-        "event_type",
-        F.col("n").alias("n_b"),
-        F.col("sm").alias("sm_b"),
-        F.col("q").alias("q_b"),
-    )
-    j = a.join(b, "event_type")
     mean_diff = (
         F.col("sm_a").cast("double") / F.col("n_a")
         - F.col("sm_b").cast("double") / F.col("n_b")
