@@ -113,6 +113,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "k_core_peel",
     "heavy_hitters_exact",
     "welch_z_test",
+    "simhash_charfold",
     # round-8 additions, earning a second row
     "dedup_containment_chunks",
     "fuzzy_join_parts",
@@ -159,7 +160,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # additions)
     "substring_dedup_windows",
     "domain_mixture_weights",
-    "dedup_containment",
     "multimodal_decode",
     "source_drift_chi2",
     # code CHANGED this round after >=3 green rows: the flagship pipeline

@@ -6856,3 +6856,77 @@ def welch_z_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
         ).alias("z"),
     )
+
+
+SIMHASH_BITS = 24  # bits drawn from the 31-bit shared char-fold hash
+
+
+@query(
+    "simhash_charfold",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(tok)+1),
+                         i -> CAST(ord(substr(tok, i, 1)) AS BIGINT))),
+          (a,b) -> (a*31+b) % {CDC_M}) AS hv
+      FROM t WHERE tok <> ''
+    ), v AS (
+      SELECT doc_id, b.b,
+             sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS b) b
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b)
+                    ELSE 0 END) AS BIGINT) AS simhash
+    FROM v GROUP BY doc_id
+    """,
+    tags=("tier2", "dedup"),
+)
+def simhash_charfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints whose ENTIRE bit-majority pipeline is
+    oracle-checked — the cross-engine twin of dedup_simhash: the
+    production variant hashes tokens with xxhash64 (JVM-only, so it can
+    only be rows-only), while this one draws {SIMHASH_BITS} bits from
+    the shared char-fold hash mod 2^31-1 (the content_defined_chunking
+    law, independently written in each dialect), making every vote and
+    the assembled fingerprint exactly reproducible in SQL. Same
+    Charikar bit-majority semantics: per-token hash, +-1 vote per bit,
+    fingerprint = OR of majority bits.
+
+    SCALE: identical to the production variant — explode, one
+    map-side-combinable groupBy(doc_id) carrying {SIMHASH_BITS}
+    shifted-AND vote sums (all codegen), fingerprint assembly is
+    arithmetic on the aggregate row. Scales like a word count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    hashed = toks.select(
+        "doc_id",
+        F.expr(
+            f"""aggregate(transform(sequence(1, length(tok)),
+                          i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT)),
+                          CAST(0 AS BIGINT),
+                          (a, c) -> (a * 31 + c) % {CDC_M})"""
+        ).alias("hv"),
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    voted = hashed.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"v{b}") > 0, F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else (fp + term)
+    return voted.select("doc_id", fp.cast("bigint").alias("simhash"))

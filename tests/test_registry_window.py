@@ -47,6 +47,7 @@ DEFERRED_DOUBLES: set[str] = {
     "per_source_zscore",
     "incremental_agg_cdc",
     "events_ewma",
+    "dedup_containment",
 }
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
