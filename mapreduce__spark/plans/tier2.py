@@ -501,7 +501,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_simhash",
     oracle=None,  # xxhash64 not reproducible in DuckDB — rows-only; hamming
-    # properties asserted in tests/test_operators.py
+    # properties asserted in tests/test_operators.py. The full bit-majority
+    # pipeline IS oracle-checked via simhash_charfold (round 9), which
+    # swaps xxhash64 for the shared cross-engine char-fold hash.
     tags=("tier2", "dedup"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
