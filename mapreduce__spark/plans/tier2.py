@@ -6932,3 +6932,75 @@ def simhash_charfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else (fp + term)
     return voted.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+@query(
+    "vocab_growth",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tt AS (
+      SELECT doc_id, tok FROM t WHERE tok <> ''
+    ), fd AS (
+      SELECT tok, CAST(min(doc_id) AS BIGINT) AS first_doc FROM tt GROUP BY 1
+    ), nv AS (
+      SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS new_types
+      FROM fd GROUP BY 1
+    ), nt AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tt GROUP BY 1
+    ), j AS (
+      SELECT nt.doc_id, coalesce(nv.new_types, 0) AS new_types, nt.n_tokens
+      FROM nt LEFT JOIN nv ON nv.doc_id = nt.doc_id
+    )
+    SELECT doc_id, new_types,
+           CAST(sum(new_types) OVER (ORDER BY doc_id) AS BIGINT) AS cum_vocab,
+           CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens
+    FROM j
+    """,
+    tags=("tier2", "text", "window"),
+)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps-law measurement): for each doc
+    in corpus order, how many NEVER-SEEN-BEFORE token types it
+    introduces, plus the running vocabulary size and running token count
+    — the curve whose flattening tells a pipeline when more data stops
+    buying new vocabulary (dedup/quality regressions show up as kinks).
+
+    First occurrence is a groupBy(token).min(doc_id) — the same
+    first-occurrence idiom as paragraph dedup — so "new type" needs no
+    ordered scan; the two running totals then ride distributed_cumsum
+    (range-bucket two-phase, no one-task window), while the oracle uses
+    plain SQL windows over the same exact integers. Scale: two
+    combinable aggregates over the token stream + the cumsum's bounded
+    offset pass; the corpus text never shuffles, only (token, doc_id)
+    and the per-doc count table."""
+    from mapreduce__spark.operators.windows import distributed_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    tt = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    nv = (
+        tt.groupBy("tok")
+        .agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_types"))
+    )
+    nt = tt.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    j = nt.join(nv, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("new_types"), F.lit(0).cast("bigint")).alias(
+            "new_types"
+        ),
+        "n_tokens",
+    )
+    c1 = distributed_cumsum(j, "doc_id", "new_types", out_col="cum_vocab")
+    c2 = distributed_cumsum(c1, "doc_id", "n_tokens", out_col="cum_tokens")
+    return c2.select(
+        "doc_id",
+        "new_types",
+        F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+    )

@@ -48,6 +48,7 @@ DEFERRED_DOUBLES: set[str] = {
     "incremental_agg_cdc",
     "events_ewma",
     "dedup_containment",
+    "domain_mixture_weights",
 }
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
