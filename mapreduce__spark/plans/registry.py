@@ -115,6 +115,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "welch_z_test",
     "simhash_charfold",
     "vocab_growth",
+    "rrf_fusion",
     # round-8 additions, earning a second row
     "dedup_containment_chunks",
     "fuzzy_join_parts",
@@ -159,7 +160,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # pytest-oracle-gated every run — deferred to round 10, displaced by
     # the training_data_pipeline_full re-attestation and the round-9
     # additions)
-    "substring_dedup_windows",
     "multimodal_decode",
     "source_drift_chi2",
     # code CHANGED this round after >=3 green rows: the flagship pipeline

@@ -7004,3 +7004,93 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
         F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
     )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_SCALE = 1_000_000_000_000  # contribution = SCALE // (K + rank), exact
+RRF_TOP = 20
+
+
+def _rrf_oracle() -> str:
+    from mapreduce__spark.plans.registry import REGISTRY
+
+    bm = REGISTRY["bm25_rank"].oracle
+    lm = REGISTRY["bigram_lm_score"].oracle
+    return f"""
+    WITH bm AS (SELECT * FROM ({bm})),
+    lm AS (SELECT * FROM ({lm})),
+    rb AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                 AS r
+      FROM bm
+    ),
+    rl AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY nll ASC, doc_id) AS BIGINT)
+                 AS r
+      FROM lm
+    ),
+    f AS (
+      SELECT coalesce(rb.doc_id, rl.doc_id) AS doc_id,
+             CAST(coalesce({RRF_SCALE} // ({RRF_K} + rb.r), 0)
+                + coalesce({RRF_SCALE} // ({RRF_K} + rl.r), 0) AS BIGINT)
+                 AS rrf,
+             rb.r AS rank_bm25, rl.r AS rank_lm
+      FROM rb FULL OUTER JOIN rl ON rb.doc_id = rl.doc_id
+    )
+    SELECT doc_id, rrf, rank_bm25, rank_lm
+    FROM f ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+    """
+
+
+@query(
+    "rrf_fusion",
+    oracle=_rrf_oracle(),
+    tags=("tier2", "text", "index", "retrieval"),
+)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, k={RRF_K}) of two
+    document rankings — BM25 lexical relevance for the corpus's head
+    query and the interpolated bigram-LM fluency prior — the standard
+    hybrid-retrieval combiner (and, in data curation, the standard way
+    to blend quality signals whose scores live on incomparable scales:
+    RRF consumes only RANKS). Output: the fused top-{RRF_TOP} with each
+    doc's per-ranking rank (NULL where a ranking never scored it).
+
+    Exactness: both input scores are already bit-identical cross-engine
+    (the decimal-sum and rounded-libm recipes of their source queries),
+    so ranks with (score, doc_id) tie-breaks are deterministic, and the
+    fused score is pure integer floor-division ({RRF_SCALE} // (k+r)) —
+    no floats ever enter the fusion. Ranking uses
+    distributed_row_number (range-bucket two-phase, no one-task window)
+    over the NEGATED score for the descending order; the oracle
+    composes both source queries' full SQL as subquery CTEs and fuses
+    with plain windows — top-{RRF_TOP} ordering is part of the
+    semantics, kept on both sides with the doc_id tie-break."""
+    from mapreduce__spark.operators.windows import distributed_row_number, idiv
+
+    bm = bm25_rank(spark, sf_dir).select(
+        "doc_id", (-F.col("score")).alias("_neg")
+    )
+    rb, _n1 = distributed_row_number(bm, ["_neg", "doc_id"], out_col="r")
+    rb = rb.select("doc_id", F.col("r").cast("bigint").alias("rank_bm25"))
+    lm = bigram_lm_score(spark, sf_dir).select("doc_id", "nll")
+    rl, _n2 = distributed_row_number(lm, ["nll", "doc_id"], out_col="r")
+    rl = rl.select("doc_id", F.col("r").cast("bigint").alias("rank_lm"))
+    f = rb.join(rl, "doc_id", "full_outer")
+    contrib = lambda r: F.coalesce(  # noqa: E731 — two-use local shape
+        idiv(F.lit(RRF_SCALE), F.lit(RRF_K) + r), F.lit(0)
+    ).cast("bigint")
+    return (
+        f.select(
+            "doc_id",
+            (contrib(F.col("rank_bm25")) + contrib(F.col("rank_lm"))).alias(
+                "rrf"
+            ),
+            "rank_bm25",
+            "rank_lm",
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(RRF_TOP)
+    )

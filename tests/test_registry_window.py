@@ -49,6 +49,7 @@ DEFERRED_DOUBLES: set[str] = {
     "events_ewma",
     "dedup_containment",
     "domain_mixture_weights",
+    "substring_dedup_windows",
 }
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
