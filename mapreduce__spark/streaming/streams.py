@@ -348,6 +348,63 @@ def stream_cusum(events: DataFrame, k: int = 10, h_mult: int = 5) -> DataFrame:
     )
 
 
+def stream_mg_heavy_hitters(events: DataFrame, cap: int = 63) -> DataFrame:
+    """Stateful streaming heavy hitters per event_type via a weighted
+    Misra-Gries summary in the state store — the streaming twin of the
+    batch `heavy_hitters_exact` (which confines the same sketch to
+    candidate generation and recounts exactly; a stream cannot replay
+    for the recount, so it lives with MG's deterministic error bound
+    instead). State per event_type: <= `cap` (user_id, counter) pairs
+    plus the running item total N. Applying weighted MG batch-by-batch
+    IS MG over the concatenated stream, so the classic guarantees hold
+    stream-wide and are exactly testable: every user with true count
+    > N/(cap+1) is present, and every counter underestimates its true
+    count by at most N/(cap+1). Emits the full summary each batch
+    (update mode): (event_type, user_id, est, n_seen)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        users, counts, total = (
+            state.get if state.exists else ([], [], 0)
+        )
+        mg = dict(zip(users, counts))
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        vc = rows["user_id"].value_counts()
+        total += int(vc.sum())
+        for u, c in vc.items():
+            u = int(u)
+            if u in mg:
+                mg[u] += int(c)
+                continue
+            mg[u] = int(c)
+            if len(mg) > cap:
+                d = min(mg.values())
+                mg = {k: v - d for k, v in mg.items() if v - d > 0}
+        users2 = sorted(mg)
+        state.update((users2, [mg[u] for u in users2], total))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(users2),
+                "user_id": users2,
+                "est": [mg[u] for u in users2],
+                "n_seen": [total] * len(users2),
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, user_id bigint, est bigint, n_seen bigint"
+        ),
+        stateStructType=(
+            "users array<bigint>, counts array<bigint>, total bigint"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_user_totals_tws(events: DataFrame) -> DataFrame:
     """The same per-user running totals through `transformWithStateInPandas`
     — Spark 4's arbitrary-state API (typed value/list/map state handles,

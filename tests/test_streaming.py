@@ -783,3 +783,70 @@ def test_stream_cusum_converges_across_batches(spark, sf_small, tmp_path):
                 alarms += 1
         want[et] = (len(h), s, alarms)
     assert got == want and len(got) >= 3
+
+
+def test_stream_mg_heavy_hitters_guarantees(spark, sf_small, tmp_path):
+    """The streaming Misra-Gries summary must satisfy BOTH classic
+    guarantees against exact ground truth after three micro-batches:
+    (a) completeness — every user whose true count exceeds N/(cap+1) per
+    event_type appears in the final summary; (b) bounded undercount —
+    every emitted counter is <= its true count and short by at most
+    N/(cap+1). Batch-by-batch application IS MG over the concatenated
+    stream, so the bounds hold stream-wide."""
+    import os as _os
+
+    from mapreduce__spark.streaming.streams import (
+        run_stream_to_memory,
+        stream_mg_heavy_hitters,
+    )
+
+    CAP = 15  # small cap so the decrement path actually fires
+    ev = load_table(spark, sf_small, "events").select("event_type", "user_id")
+    src = tmp_path / "hhshards"
+    src.mkdir()
+    t0 = 1_700_000_000
+    for i, s in enumerate(ev.randomSplit([1.0, 1.0, 1.0], seed=47)):
+        d = src / f"b{i}"
+        s.coalesce(1).write.parquet(str(d))
+        for f in _os.listdir(d):
+            _os.utime(d / f, (t0 + i, t0 + i))
+
+    sdf = (
+        spark.readStream.schema("event_type string, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    run_stream_to_memory(
+        stream_mg_heavy_hitters(sdf, cap=CAP), "t_hh_stream", output_mode="update"
+    )
+    # final summary = rows carrying each event_type's max n_seen
+    all_rows = spark.table("t_hh_stream").collect()
+    max_seen: dict = {}
+    for r in all_rows:
+        max_seen[r.event_type] = max(max_seen.get(r.event_type, 0), r.n_seen)
+    got: dict = {}
+    for r in all_rows:
+        if r.n_seen == max_seen[r.event_type]:
+            got.setdefault(r.event_type, {})[r.user_id] = (r.est, r.n_seen)
+
+    truth: dict = {}
+    for r in ev.groupBy("event_type", "user_id").count().collect():
+        truth.setdefault(r.event_type, {})[r.user_id] = r["count"]
+
+    assert set(got) == set(truth)
+    checked_any = False
+    for et, users in truth.items():
+        n_total = sum(users.values())
+        bound = n_total / (CAP + 1)
+        summary = got[et]
+        # (a) completeness for true heavy hitters
+        for u, c in users.items():
+            if c > bound:
+                assert u in summary, (et, u, c, bound)
+                checked_any = True
+        # (b) bounded undercount for everything emitted
+        for u, (est, n_seen) in summary.items():
+            assert n_seen == n_total
+            assert est <= users[u]
+            assert users[u] - est <= bound, (et, u, est, users[u], bound)
+    assert checked_any  # the fixture must actually exercise guarantee (a)
