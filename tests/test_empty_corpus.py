@@ -66,6 +66,18 @@ PROBE = [
     "incremental_percentiles",
     "pandas_udf_grouped_median",
     "quantile_rank_normalize",
+    # round-9 additions
+    "jpeg_pixel_decode",
+    "isotonic_calibration",
+    "cusum_drift",
+    "content_defined_chunking",
+    "random_projection_sketch",
+    "k_core_peel",
+    "heavy_hitters_exact",
+    "welch_z_test",
+    "simhash_charfold",
+    "vocab_growth",
+    "rrf_fusion",
 ]
 
 
