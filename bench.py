@@ -752,16 +752,25 @@ def main() -> None:
     # The COMPLETE record also lands in the repo (round-9: the r9 dry run
     # showed trimming now reaches deltas_vs_baseline — the judge-read
     # block — so the untrimmed record needs a durable home the 2000-char
-    # stdout window can't lose).
-    try:
-        with open(
-            os.path.join(os.path.dirname(__file__) or ".", "docs",
-                         "BENCH_FULL_latest.json"), "w"
-        ) as fh:
-            json.dump(out, fh, indent=1)
-            fh.write("\n")
-    except OSError as exc:
-        print(f"BENCH: could not write full record: {exc}", file=sys.stderr)
+    # stdout window can't lose). Only for the real bench scale: the
+    # pytest contract test runs this script at sf0.001 and must not
+    # clobber the committed sf0.1 record.
+    if sf < 0.1:
+        print(
+            f"BENCH: sf={sf} below the record scale — skipping the "
+            "docs/BENCH_FULL_latest.json write",
+            file=sys.stderr,
+        )
+    else:
+        try:
+            with open(
+                os.path.join(os.path.dirname(__file__) or ".", "docs",
+                             "BENCH_FULL_latest.json"), "w"
+            ) as fh:
+                json.dump(out, fh, indent=1)
+                fh.write("\n")
+        except OSError as exc:
+            print(f"BENCH: could not write full record: {exc}", file=sys.stderr)
     if len(full_line) > LINE_BUDGET:
         print(f"BENCH FULL RECORD (stdout line over {LINE_BUDGET}B budget): "
               + full_line, file=sys.stderr)
