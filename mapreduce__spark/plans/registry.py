@@ -84,27 +84,29 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_registry_window.py::test_rotated_out_core_stays_oracle_gated
 # pins that rotated-out entries keep their oracles.
 #
-# Round-9 rotation, DERIVED FROM DATA like rounds 6-8 (the audit-trail
+# Round-10 rotation, DERIVED FROM DATA like rounds 6-9 (the audit-trail
 # test tests/test_registry_window.py::test_window_prioritizes_low_attestation
 # recomputes green-attestation counts from the checked-in
 # CORRECTNESS_r0*.json files and asserts the policy below, so this
 # comment cannot silently disagree with the window):
-#   IN  — every query with zero or one green driver row (the round-9
-#         additions and the 23 round-8 first-timers earning a second
-#         row); every double-attestation query except the four in
-#         tests/test_registry_window.py DEFERRED_DOUBLES (the 13
-#         round-8 deferrals take their third row); and the
-#         CHANGED_CODE_REATTEST pipeline whose profiling seam landed
-#         this round. The two exactly-3 fillers initially held slots
-#         and were displaced one-by-one by the round-9 additions (the
-#         clean idle bench re-measured both directly).
+#   IN  — every query with zero or one green driver row (the 11 round-9
+#         additions earning their second row, plus this round's new
+#         queries); ALL 33 double-attestation queries (they fit —
+#         DEFERRED_DOUBLES is empty for the first time since round 7,
+#         closing the xml_ingest / binaryfile_ingest / snapshot_diff_cdc
+#         / collocation_lift deferrals from rounds 8-9); and exactly-3
+#         bench-headline fillers in the remaining slots, displaced
+#         one-by-one as round-10 queries land.
 #   OUT — every other query already green in >=3 rounds, each still
-#         bit-exact-gated by tests/test_oracle.py on every pytest run.
+#         bit-exact-gated by tests/test_oracle.py on every pytest run
+#         (training_data_pipeline_full re-attested in r9 post-seam and
+#         now holds 5 rows, so its CHANGED_CODE_REATTEST exemption ends).
 # The intentionally-approximate (rows-only) queries sit past the window so
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-9 additions — never driver-attested (each displaced a filler)
+    # round-10 additions — never driver-attested (each displaced a filler)
+    # round-9 additions, earning a second row
     "jpeg_pixel_decode",
     "isotonic_calibration",
     "cusum_drift",
@@ -116,7 +118,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "simhash_charfold",
     "vocab_growth",
     "rrf_fusion",
-    # round-8 additions, earning a second row
+    # the 33 double-attested queries, earning their third row (includes
+    # the four deferrals carried since round 8: xml_ingest,
+    # binaryfile_ingest, snapshot_diff_cdc, collocation_lift)
+    "xml_ingest",
+    "binaryfile_ingest",
+    "snapshot_diff_cdc",
+    "collocation_lift",
+    "per_source_zscore",
+    "incremental_agg_cdc",
+    "events_ewma",
+    "dedup_containment",
+    "domain_mixture_weights",
+    "substring_dedup_windows",
     "dedup_containment_chunks",
     "fuzzy_join_parts",
     "kmeans_embeddings",
@@ -140,37 +154,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "gif_pixel_decode",
     "pandas_udf_grouped_median",
     "quantile_rank_normalize",
-    # the round-8 DEFERRED_DOUBLES, taking their third row
-    "scan_project",
-    "filter_predicates",
-    "groupby_count",
-    "grouped_collect_sorted",
-    "topk_global",
-    "agg_multi",
-    "join_inner",
-    "join_outer",
-    "set_ops",
-    "string_agg_per_group",
-    "datetime_functions",
-    "date_arithmetic",
-    "json_extraction",
-    # round-7 first-timers that doubled in round 8, taking their third
-    # (xml_ingest, binaryfile_ingest, snapshot_diff_cdc and
-    # collocation_lift — stable ingest/CDC/text-stat paths, still
-    # pytest-oracle-gated every run — deferred to round 10, displaced by
-    # the training_data_pipeline_full re-attestation and the round-9
-    # additions)
-    "multimodal_decode",
-    "source_drift_chi2",
-    # code CHANGED this round after >=3 green rows: the flagship pipeline
-    # gained the PhaseTimer profiling seam (timer=None is the production
-    # path and must stay value-identical) — prior attestations describe
-    # the pre-seam code, so it re-enters for a clean row
-    "training_data_pipeline_full",
-    # (both exactly-3 fillers gave their slots to the round-9 additions:
-    # bmp_pixel_decode -> jpeg_pixel_decode, graph_mass_propagation ->
-    # isotonic_calibration; the clean idle bench re-measured both
-    # contention-flagged queries this round anyway — 2.25s / 0.65s)
+    # exactly-3-attested bench-headline fillers (displaced one-by-one by
+    # round-10 additions, newest first)
+    "word_count",
+    "shipping_priority",
+    "local_supplier_volume",
+    "events_tumbling_window",
+    "graph_mass_propagation",
+    "bmp_pixel_decode",
 )
 
 
