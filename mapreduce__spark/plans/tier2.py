@@ -6690,8 +6690,35 @@ def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     GENERATION. SCALE: pass 1 is one Arrow-batched mapInPandas emitting
     <= {MG_CAP}+1 rows per partition (the +1 row carries the partition's
     token total, so N costs no extra scan); pass 2 recounts only
-    candidate tokens via a broadcast semi filter — the full token stream
-    never shuffles, the candidate stream is sketch-bounded."""
+    candidate tokens via a SIZE-GUARDED semi filter — the full token
+    stream never shuffles, and the candidate relation broadcasts only
+    while its probed count (cheap: the summary is checkpointed) stays
+    under HH_BROADCAST_LIMIT. The candidate set is <= {MG_CAP} rows PER
+    PARTITION, so on a 10^5-10^6-partition cluster an unconditional
+    broadcast would ship tens of millions of rows to every executor —
+    past the limit the recount falls back to a shuffle equi-join on the
+    token, the same probe-then-choose discipline as
+    operators/dedup.py::_probe_ids."""
+    return _heavy_hitters_exact(spark, sf_dir)
+
+
+# Above this many candidate tokens the exact-recount stage must not
+# broadcast the Misra-Gries candidate union: candidates are bounded by
+# MG_CAP (63) rows per partition, which is tiny locally but grows
+# LINEARLY WITH THE CLUSTER — at 10^6 input partitions the union can
+# reach ~64M rows, an executor-memory hazard exactly like the eval-gram
+# broadcast the round-6 verdict flagged. Under the limit a broadcast
+# hash semi filter avoids shuffling the token stream; past it both
+# sides are genuinely large and a shuffle equi-join is the right plan.
+HH_BROADCAST_LIMIT = 5_000_000
+
+
+def _heavy_hitters_exact(
+    spark: SparkSession, sf_dir: str, broadcast_limit: int = HH_BROADCAST_LIMIT
+) -> DataFrame:
+    """Body of heavy_hitters_exact with the broadcast guard exposed for
+    tests (tests/test_sketches.py pins the broadcast and shuffle recount
+    paths value-equal by forcing broadcast_limit=0)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -6732,8 +6759,15 @@ def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("total")
     )
     cands = summary.where(F.col("tok").isNotNull()).select("tok").distinct()
+    # probe-then-choose: the summary is already checkpointed, so this
+    # count touches <= (MG_CAP+1) x #partitions materialized rows, never
+    # the corpus. The guard is explicit because cands is a checkpoint
+    # with no stats — an unconditional hint is a scale hole at cluster
+    # partition counts (see HH_BROADCAST_LIMIT).
+    n_cands = cands.count()
+    probe = F.broadcast(cands) if n_cands <= broadcast_limit else cands
     counted = (
-        toks.join(F.broadcast(cands), "tok")
+        toks.join(probe, "tok")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
