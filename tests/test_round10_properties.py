@@ -8,6 +8,7 @@ recount paths must stay value-identical.
 
 from __future__ import annotations
 
+import os
 from collections import Counter
 
 
@@ -62,3 +63,32 @@ def test_heavy_hitters_shuffle_path_carries_no_broadcast_hint(spark, tmp_path):
     # candidate probe adds a SECOND hint only on the under-limit path
     assert str(hinted._jdf.queryExecution().logical()).count("ResolvedHint") == 2
     assert str(guarded._jdf.queryExecution().logical()).count("ResolvedHint") == 1
+
+
+def test_plans_import_touches_no_filesystem(tmp_path):
+    """Round-9 verdict item 6: importing mapreduce__spark.plans must not
+    stage the fixture corpora (import side effects trap embedders); the
+    first get_oracle_sql() call stages them instead, because the
+    binaryfile_ingest ORACLE reads the staged directory."""
+    import subprocess
+    import sys
+
+    code = """
+import os, sys
+root = os.environ["SPARK_GRAFT_FIXTURE_DIR"]
+import mapreduce__spark.plans as plans
+assert not os.path.exists(root), "import staged the fixture corpora"
+plans.get_oracle_sql()
+assert os.path.isdir(os.path.join(root, "binaryfile", "v1"))
+assert os.path.isdir(os.path.join(root, "xml", "v1"))
+print("OK")
+"""
+    env = dict(os.environ, SPARK_GRAFT_FIXTURE_DIR=str(tmp_path / "fx"))
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0 and "OK" in out.stdout, out.stderr[-2000:]
