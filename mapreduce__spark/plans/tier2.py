@@ -7128,3 +7128,163 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
         .limit(RRF_TOP)
     )
+
+
+QSKETCH_ALPHA = 0.01  # DDSketch relative-error target for the query below
+
+
+@query(
+    "quantile_sketch_values",
+    oracle=None,  # approximate by design — the alpha relative-error
+    # guarantee vs exact percentile_disc, the EXACT sketch merge law,
+    # and the fixed-universe state bound are asserted in
+    # tests/test_qsketch.py (the heavy_hitters_approx precedent)
+    tags=("tier2", "agg", "sketch", "approx"),
+)
+def quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles over an unbounded-cardinality
+    DOUBLE measure — the one 100 TB primitive the exact (value -> count)
+    histogram machinery (incremental_percentiles,
+    stream_quantile_histogram) structurally cannot cover, because its
+    state is bounded only by the measure's cardinality. This is the
+    DDSketch construction (Masson/Rim/Lee, PVLDB 2019; see
+    operators/qsketch.py): bucket = ceil(log_gamma(value)) with
+    gamma = (1+a)/(1-a), so the sketch is counts over a FIXED index
+    universe (~3.6e4 buckets at a=0.01 across the entire double range —
+    data-independent), bucket counts are exact, and the bucket picked
+    for quantile q is exactly the one holding the rank-q value, making
+    every estimate within relative error a of the true percentile_disc
+    — a hard guarantee, not a statistical one.
+
+    Output: per event_type, n_rows and the p50/p90/p99 estimates over
+    events.value. SCALE: the build is scan-stage bucketing + one
+    map-side-combined groupBy on (event_type, sgn, idx); the read is a
+    window PARTITIONED BY event_type over the bounded bucket rows; the
+    merge (sketch(A) ++ sketch(B) -> re-sum) is the commutative monoid
+    the streaming twin (streaming/streams.py stream_dd_quantiles) folds
+    in the state store. No UDF, nothing collected, state bounded by the
+    universe, never by row count or value cardinality."""
+    from mapreduce__spark.operators.qsketch import dd_quantiles, dd_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = dd_sketch(ev, "value", ["event_type"], alpha=QSKETCH_ALPHA)
+    q = dd_quantiles(
+        sk, [(1, 2), (9, 10), (99, 100)], ["event_type"], alpha=QSKETCH_ALPHA
+    )
+    return q.select(
+        "event_type",
+        "n_rows",
+        F.col("q_1_2").alias("p50_est"),
+        F.col("q_9_10").alias("p90_est"),
+        F.col("q_99_100").alias("p99_est"),
+    )
+
+
+@query(
+    "quantile_sketch_dyadic",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type,
+             CASE WHEN cents > 0 THEN CAST(length(bin(cents)) AS BIGINT)
+                  ELSE 0 END AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM c GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, bucket, n,
+             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket)
+                  AS BIGINT) AS cum,
+             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      FROM b
+    ),
+    s AS (
+      SELECT event_type, CAST(max(total) AS BIGINT) AS n_rows,
+             min(CASE WHEN cum * 2 >= total THEN bucket END) AS b50,
+             min(CASE WHEN cum * 10 >= 9 * total THEN bucket END) AS b90,
+             min(CASE WHEN cum * 100 >= 99 * total THEN bucket END) AS b99
+      FROM w GROUP BY event_type
+    )
+    SELECT event_type, n_rows,
+           CAST(CASE WHEN b50 > 0 THEN CAST(pow(2, b50 - 1) AS BIGINT)
+                ELSE 0 END AS BIGINT) AS p50_lo_cents,
+           CAST(CASE WHEN b50 > 0 THEN CAST(pow(2, b50) AS BIGINT) - 1
+                ELSE 0 END AS BIGINT) AS p50_hi_cents,
+           CAST(CASE WHEN b90 > 0 THEN CAST(pow(2, b90 - 1) AS BIGINT)
+                ELSE 0 END AS BIGINT) AS p90_lo_cents,
+           CAST(CASE WHEN b90 > 0 THEN CAST(pow(2, b90) AS BIGINT) - 1
+                ELSE 0 END AS BIGINT) AS p90_hi_cents,
+           CAST(CASE WHEN b99 > 0 THEN CAST(pow(2, b99 - 1) AS BIGINT)
+                ELSE 0 END AS BIGINT) AS p99_lo_cents,
+           CAST(CASE WHEN b99 > 0 THEN CAST(pow(2, b99) AS BIGINT) - 1
+                ELSE 0 END AS BIGINT) AS p99_hi_cents
+    FROM s
+    """,
+    tags=("tier2", "agg", "sketch"),
+)
+def quantile_sketch_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLE-ATTESTED face of the mergeable-quantile design (the
+    simhash_charfold precedent applied to sketches): power-of-two
+    bucketing over the integer cents measure — bucket = bit length of
+    the value, <= 64 buckets for ANY bigint — is integer-exact in both
+    engines, so the whole sketch-build + cumulative-rank + bucket-pick
+    pipeline that quantile_sketch_values runs with log-gamma buckets is
+    hash-checked end-to-end here with dyadic ones. Emits exact [lo, hi]
+    cent bounds bracketing each of p50/p90/p99 (factor-2 relative
+    brackets; the declared semantics is the BUCKETING, so the oracle is
+    exact — rank picks use the same integer cum*den >= num*total
+    comparison as the DD read path).
+
+    SCALE: identical shape to quantile_sketch_values — scan-stage
+    bucketing, one map-side-combined groupBy over <= 64 buckets per
+    event_type, a key-partitioned window over the bounded bucket rows.
+    Counts add bucket-wise, so partition/stream merges are the same
+    monoid fold."""
+    from mapreduce__spark.operators.qsketch import dyadic_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    sk = dyadic_sketch(ev.where(F.col("value").isNotNull()), cents, ["event_type"])
+    w = Window.partitionBy("event_type")
+    cum = sk.select(
+        "event_type",
+        "bucket",
+        F.sum("n").over(w.orderBy("bucket")).alias("cum"),
+        F.sum("n").over(w).alias("total"),
+    )
+
+    def pick(num: int, den: int, name: str):
+        return F.min(
+            F.when(F.col("cum") * den >= num * F.col("total"), F.col("bucket"))
+        ).alias(name)
+
+    s = cum.groupBy("event_type").agg(
+        F.max("total").cast("bigint").alias("n_rows"),
+        pick(1, 2, "b50"),
+        pick(9, 10, "b90"),
+        pick(99, 100, "b99"),
+    )
+
+    def lo(b):
+        return F.when(
+            F.col(b) > 0, F.pow(F.lit(2.0), F.col(b) - 1).cast("bigint")
+        ).otherwise(F.lit(0)).cast("bigint")
+
+    def hi(b):
+        return F.when(
+            F.col(b) > 0, F.pow(F.lit(2.0), F.col(b)).cast("bigint") - 1
+        ).otherwise(F.lit(0)).cast("bigint")
+
+    return s.select(
+        "event_type",
+        "n_rows",
+        lo("b50").alias("p50_lo_cents"),
+        hi("b50").alias("p50_hi_cents"),
+        lo("b90").alias("p90_lo_cents"),
+        hi("b90").alias("p90_hi_cents"),
+        lo("b99").alias("p99_lo_cents"),
+        hi("b99").alias("p99_hi_cents"),
+    )

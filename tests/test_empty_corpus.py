@@ -78,6 +78,9 @@ PROBE = [
     "simhash_charfold",
     "vocab_growth",
     "rrf_fusion",
+    # round-10 additions
+    "quantile_sketch_values",
+    "quantile_sketch_dyadic",
 ]
 
 

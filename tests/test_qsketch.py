@@ -1,0 +1,176 @@
+"""Gates for the mergeable quantile sketches (operators/qsketch.py).
+
+quantile_sketch_values is rows-only by design (log-gamma bucketing is
+libm arithmetic, not cross-engine hash-checkable), so these tests carry
+its guarantees instead of a SQL oracle — the heavy_hitters_approx
+precedent:
+
+1. the DDSketch relative-error bound |est - percentile_disc| <= alpha *
+   |percentile_disc| — a HARD guarantee (bucket counts are exact), not a
+   statistical one, checked on the fixture corpus and on an adversarial
+   value set spanning signs and ~16 orders of magnitude;
+2. the merge law: sketch(A ++ B) == merge(sketch(A), sketch(B))
+   row-for-row (the commutative-monoid property the partition-parallel
+   build and the streaming state fold both lean on);
+3. the fixed-universe state bound: duplicating the data must not grow
+   the sketch by a single row.
+
+quantile_sketch_dyadic is fully oracle-checked by the driver and
+tests/test_oracle.py; here we pin the semantic claim its [lo, hi]
+output makes — the true discrete percentile lies INSIDE the bracket.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mapreduce__spark.operators.qsketch import (
+    dd_merge,
+    dd_quantiles,
+    dd_sketch,
+    gamma_for_alpha,
+)
+
+ALPHA = 0.01
+QS = [(1, 2), (9, 10), (99, 100)]
+
+
+def _exact_disc(values: list[float], num: int, den: int) -> float:
+    s = sorted(values)
+    n = len(s)
+    rank = -(-num * n // den)  # ceil(num*n/den)
+    return s[max(rank, 1) - 1]
+
+
+def _check_alpha_bound(spark, values: list[float], alpha: float = ALPHA) -> None:
+    df = spark.createDataFrame([(v,) for v in values], "value double")
+    sk = dd_sketch(df, "value", alpha=alpha)
+    row = dd_quantiles(sk, QS, alpha=alpha).collect()[0]
+    assert row.n_rows == len(values)
+    for num, den in QS:
+        est = row[f"q_{num}_{den}"]
+        true = _exact_disc(values, num, den)
+        if true == 0.0:
+            assert est == 0.0, (num, den, est)
+        else:
+            rel = abs(est - true) / abs(true)
+            assert rel <= alpha + 1e-12, (num, den, est, true, rel)
+
+
+def test_dd_alpha_guarantee_on_fixture(spark, sf_oracle):
+    from mapreduce__spark.plans.tier0 import load_table
+
+    ev = load_table(spark, sf_oracle, "events").where(F.col("value").isNotNull())
+    by_type: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        by_type.setdefault(r.event_type, []).append(r.value)
+
+    from mapreduce__spark.plans import REGISTRY
+
+    got = {
+        r.event_type: r
+        for r in REGISTRY["quantile_sketch_values"].fn(spark, sf_oracle).collect()
+    }
+    assert set(got) == set(by_type)
+    for et, vals in by_type.items():
+        row = got[et]
+        assert row.n_rows == len(vals)
+        for (num, den), col in zip(QS, ("p50_est", "p90_est", "p99_est")):
+            true = _exact_disc(vals, num, den)
+            assert abs(row[col] - true) <= ALPHA * abs(true) + 1e-12, (
+                et,
+                col,
+                row[col],
+                true,
+            )
+
+
+def test_dd_alpha_guarantee_adversarial_values(spark):
+    """Signs, zeros, denormal-ish tiny values, and huge values in one
+    distribution — every section of the sketch (mirrored negative store,
+    zero bucket, positive store) carries quantile mass at some q."""
+    vals = (
+        [-(10.0**k) for k in range(-8, 8)] * 3
+        + [0.0] * 7
+        + [10.0**k for k in range(-8, 8)] * 4
+        + [1.0 + i / 997.0 for i in range(200)]
+        + [-(1.0 + i / 31.0) for i in range(50)]
+    )
+    _check_alpha_bound(spark, vals)
+    # a pure-negative and a pure-tiny distribution as edge regimes
+    _check_alpha_bound(spark, [-(1.0 + i / 13.0) for i in range(97)])
+    _check_alpha_bound(spark, [10.0 ** (-300 + i) for i in range(40)])
+
+
+def test_dd_merge_law_is_exact(spark, sf_oracle):
+    """sketch(A ++ B) == merge(sketch(A), sketch(B)) — exact row-set
+    equality, not tolerance: bucket counts add. Split the fixture by a
+    hash so both halves are nontrivial."""
+    from mapreduce__spark.plans.tier0 import load_table
+
+    ev = load_table(spark, sf_oracle, "events").where(F.col("value").isNotNull())
+    a = ev.where(F.pmod(F.hash("event_id"), F.lit(2)) == 0)
+    b = ev.where(F.pmod(F.hash("event_id"), F.lit(2)) == 1)
+    assert a.count() > 0 and b.count() > 0
+
+    keys = ["event_type"]
+    whole = {
+        tuple(r) for r in dd_sketch(ev, "value", keys, ALPHA).collect()
+    }
+    merged = {
+        tuple(r)
+        for r in dd_merge(
+            dd_sketch(a, "value", keys, ALPHA),
+            dd_sketch(b, "value", keys, ALPHA),
+            keys,
+        ).collect()
+    }
+    assert whole == merged
+    assert len(whole) > 5  # anti-vacuity: a real multi-bucket sketch
+
+
+def test_dd_state_bounded_by_universe_not_rows(spark):
+    """Replicating every row 50x must not add a single sketch row (the
+    fixed-universe property that makes the sketch a 100 TB primitive),
+    and the universe bound itself holds: |idx| <= ceil(ln(DBL_MAX)/ln g)."""
+    vals = [(1.0 + i / 101.0,) for i in range(300)]
+    df = spark.createDataFrame(vals, "value double")
+    big = df.crossJoin(spark.range(50))
+    n_small = dd_sketch(df, "value", alpha=ALPHA).count()
+    n_big = dd_sketch(big, "value", alpha=ALPHA).count()
+    assert n_small == n_big
+    gamma = gamma_for_alpha(ALPHA)
+    idx_cap = math.ceil(math.log(1.7976931348623157e308) / math.log(gamma))
+    rows = dd_sketch(df, "value", alpha=ALPHA).collect()
+    assert all(abs(r.idx) <= idx_cap for r in rows)
+    assert n_small <= 2 * idx_cap + 1
+
+
+def test_dyadic_brackets_contain_true_percentiles(spark, sf_oracle):
+    """The oracle pins the dyadic query's arithmetic; this pins its
+    MEANING: the emitted [lo, hi] cent bounds bracket the true discrete
+    percentile of the cents measure for every event_type."""
+    from mapreduce__spark.plans import REGISTRY
+    from mapreduce__spark.plans.tier0 import load_table
+
+    ev = load_table(spark, sf_oracle, "events").where(F.col("value").isNotNull())
+    cents: dict[str, list[int]] = {}
+    for r in ev.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("c")
+    ).collect():
+        cents.setdefault(r.event_type, []).append(r.c)
+
+    got = {
+        r.event_type: r
+        for r in REGISTRY["quantile_sketch_dyadic"].fn(spark, sf_oracle).collect()
+    }
+    assert set(got) == set(cents)
+    for et, cs in cents.items():
+        row = got[et]
+        for (num, den), p in zip(QS, ("p50", "p90", "p99")):
+            true = _exact_disc([float(c) for c in cs], num, den)
+            lo, hi = row[f"{p}_lo_cents"], row[f"{p}_hi_cents"]
+            assert lo <= true <= hi, (et, p, lo, true, hi)
+            assert hi <= 2 * max(lo, 1)  # factor-2 bracket, as declared

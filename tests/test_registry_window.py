@@ -31,6 +31,7 @@ ROWS_ONLY = {
     "ann_topk_lsh",
     "ann_topk_ivf",
     "bpe_encode",
+    "quantile_sketch_values",
 }
 
 # Round-10 rotation: the 11 round-9 singles take their second row, ALL
@@ -56,7 +57,6 @@ TRIPLE_FILLERS: set[str] = {
     "local_supplier_volume",
     "events_tumbling_window",
     "graph_mass_propagation",
-    "bmp_pixel_decode",
 }
 
 
