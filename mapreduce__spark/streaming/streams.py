@@ -405,6 +405,92 @@ def stream_mg_heavy_hitters(events: DataFrame, cap: int = 63) -> DataFrame:
     )
 
 
+def stream_dd_quantiles(events: DataFrame, alpha: float = 0.01) -> DataFrame:
+    """Stateful streaming DDSketch quantiles per event_type — the
+    streaming twin of the batch `quantile_sketch_values` query, and the
+    payoff of the sketch's monoid merge law: the state per event_type is
+    the (sgn, idx) -> count bucket map, whose size is bounded by the
+    FIXED log-gamma index universe (operators/qsketch.py), never by how
+    many events stream through or how many distinct values they carry —
+    the property the exact stream_quantile_histogram only has on
+    bounded-cardinality measures.
+
+    Bucketing happens BEFORE the stateful op with the exact same Spark
+    expressions the batch sketch uses (qsketch._bucket_cols), so the
+    state fold is pure integer count addition — batch-split-invariant by
+    construction — and the final emission is the same bucket-walk read
+    (integer cum*den >= num*total rank picks, midpoint estimates) the
+    batch query runs; equality over random micro-batch splits is pinned
+    in tests/test_streaming.py."""
+    import math as _math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from mapreduce__spark.operators.qsketch import _bucket_cols, gamma_for_alpha
+
+    gamma = gamma_for_alpha(alpha)
+    sgn, idx = _bucket_cols(F.col("value"), gamma)
+    bucketed = events.where(F.col("value").isNotNull()).select(
+        "event_type", sgn.alias("sgn"), idx.alias("idx")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            sgns, idxs, ns = state.get
+            hist = dict(zip(zip(list(sgns), list(idxs)), list(ns)))
+        else:
+            hist = {}
+        for pdf in pdfs:
+            for (s, i), c in pdf.groupby(["sgn", "idx"]).size().items():
+                hist[(int(s), int(i))] = hist.get((int(s), int(i)), 0) + int(c)
+        # value-order walk: negatives by descending magnitude, zero,
+        # positives ascending — the (sgn, sgn*idx) sort of the batch read
+        items = sorted(hist.items(), key=lambda kv: (kv[0][0], kv[0][0] * kv[0][1]))
+        state.update(
+            (
+                [s for (s, _), _ in items],
+                [i for (_, i), _ in items],
+                [n for _, n in items],
+            )
+        )
+        total = sum(hist.values())
+
+        def est(s: int, i: int) -> float:
+            if s == 0:
+                return 0.0
+            return s * (2.0 * _math.pow(gamma, i) / (gamma + 1.0))
+
+        def disc(num: int, den: int) -> float:
+            cum = 0
+            for (s, i), n in items:
+                cum += n
+                if cum * den >= num * total:
+                    return est(s, i)
+            return est(*items[-1][0])
+
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_rows": [total],
+                "p50_est": [disc(1, 2)],
+                "p90_est": [disc(9, 10)],
+                "p99_est": [disc(99, 100)],
+            }
+        )
+
+    return bucketed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, n_rows bigint, p50_est double, "
+            "p90_est double, p99_est double"
+        ),
+        stateStructType="sgns array<int>, idxs array<bigint>, ns array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_user_totals_tws(events: DataFrame) -> DataFrame:
     """The same per-user running totals through `transformWithStateInPandas`
     — Spark 4's arbitrary-state API (typed value/list/map state handles,

@@ -850,3 +850,55 @@ def test_stream_mg_heavy_hitters_guarantees(spark, sf_small, tmp_path):
             assert est <= users[u]
             assert users[u] - est <= bound, (et, u, est, users[u], bound)
     assert checked_any  # the fixture must actually exercise guarantee (a)
+
+
+def test_stream_dd_quantiles_matches_batch(spark, sf_small, tmp_path):
+    """The DDSketch state fold is a commutative-monoid merge, so the
+    final emission must match the batch quantile_sketch_values output
+    regardless of how rows split across micro-batches. Bucketing runs
+    through the same Spark expressions on both sides, so n_rows and
+    bucket picks are exactly equal; the midpoint estimates go through
+    Python pow (stream) vs JVM pow (batch) — both correctly-rounded on
+    this data in practice, compared at 1e-12 relative to be safe."""
+    import os as _os
+
+    from mapreduce__spark.plans import REGISTRY
+    from mapreduce__spark.streaming.streams import (
+        run_stream_to_memory,
+        stream_dd_quantiles,
+    )
+
+    ev = load_table(spark, sf_small, "events").select("event_type", "value")
+    src = tmp_path / "ddshards"
+    src.mkdir()
+    t0 = 1_700_000_000
+    for i, s in enumerate(ev.randomSplit([1.0, 1.0, 1.0], seed=31)):
+        d = src / f"b{i}"
+        s.coalesce(1).write.parquet(str(d))
+        for f in _os.listdir(d):
+            _os.utime(d / f, (t0 + i, t0 + i))
+
+    sdf = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    run_stream_to_memory(
+        stream_dd_quantiles(sdf), "t_dd_stream", output_mode="update"
+    )
+    rows = spark.table("t_dd_stream").collect()
+    final = {}
+    for r in rows:
+        if r.event_type not in final or r.n_rows > final[r.event_type].n_rows:
+            final[r.event_type] = r
+
+    want = {
+        r.event_type: r
+        for r in REGISTRY["quantile_sketch_values"].fn(spark, sf_small).collect()
+    }
+    assert set(final) == set(want) and len(want) >= 3
+    for et, w in want.items():
+        g = final[et]
+        assert g.n_rows == w.n_rows
+        for col in ("p50_est", "p90_est", "p99_est"):
+            assert abs(g[col] - w[col]) <= 1e-12 * abs(w[col]), (et, col)
