@@ -144,6 +144,90 @@ def lsh_topk(
     return _topk_per_query(scored, k)
 
 
+# Integer-parity hyperplane constants for the ORACLE-CHECKED bucketed
+# ANN (ann_topk_buckets): the +-1 sign of dimension i (1-based) in plane
+# j (0-based) is the parity of (i*A + (j+1)*B) mod M — pure integer
+# arithmetic both engines compute identically, unlike the float-normal
+# hyperplanes of lsh_bucket_signature (whose buckets are rows-only).
+# A is Knuth's multiplicative constant; the mod by the Mersenne prime
+# scrambles the parity (without it the sign would reduce to the parity
+# of i+j — a degenerate checkerboard that correlates all planes).
+ANN_PARITY_M = 2147483647
+ANN_PARITY_A = 2654435761
+ANN_PARITY_B = 907633385
+
+
+def parity_plane_sign(i: int, j: int) -> float:
+    """+1.0/-1.0 sign of 1-based dimension i in 0-based plane j."""
+    return (
+        1.0
+        if (i * ANN_PARITY_A + (j + 1) * ANN_PARITY_B) % ANN_PARITY_M % 2 == 0
+        else -1.0
+    )
+
+
+def parity_bucket_signature(
+    emb: DataFrame, dim: int = 64, n_bits: int = 4
+) -> DataFrame:
+    """Sign-bit bucket from the integer-parity +-1 planes: bucket =
+    sum_j [dot(v, plane_j) > 0] << j. Each dot is a LEFT-FOLD sum in
+    dimension order (F.aggregate over zip_with), so the float chain is
+    bit-identical to DuckDB's list_reduce(list_prepend(0.0, ...)) over
+    the same doubles — the welch_z_test exact-IEEE-chain discipline
+    applied to geometry, which is what makes the bucket assignment (and
+    therefore the whole candidate set) hash-checkable cross-engine."""
+    vecs = ensure_parallelism(emb).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    bucket = F.lit(0)
+    for j in range(n_bits):
+        signs = F.array(
+            *[F.lit(parity_plane_sign(i, j)) for i in range(1, dim + 1)]
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), signs, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return vecs.select("vec_id", "v", bucket.cast("bigint").alias("bucket"))
+
+
+def bucketed_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Bucketed ANN with exact within-bucket re-rank: candidates are the
+    query's OWN parity-plane bucket (no multiprobe — the declared
+    semantics is the bucketing itself, so the result is deterministic
+    and exactly oracle-checkable; recall vs brute force is REPORTED in
+    tests, not asserted as the contract — see lsh_topk for the
+    recall-tuned rows-only variant).
+
+    Scale shape: signatures are scan-stage expressions; the candidate
+    restriction is an equi-join on bucket against the broadcast query
+    set (~n/2^n_bits candidates per query instead of n); only candidates
+    are scored and ranked through the shared _topk_per_query contract."""
+    sig = parity_bucket_signature(emb, dim=dim, n_bits=n_bits)
+    q = sig.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = sig.join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    ).where(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_sim(F.col("qv"), F.col("v")).alias("s"),
+    )
+    return _topk_per_query(scored, k)
+
+
 def _cosine_matrix_pdf(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
     """Row-normalized cosine of every vector in V against every row of C,
     clipped into [-1, 1] (BLAS matmul — this is the vectorized hot loop).

@@ -7288,3 +7288,82 @@ def quantile_sketch_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo("b99").alias("p99_lo_cents"),
         hi("b99").alias("p99_hi_cents"),
     )
+
+
+ANN_BUCKET_BITS = 4  # parity-plane sign bits: 2^4 candidate buckets
+
+
+def _ann_bucket_oracle() -> str:
+    """Generate the DuckDB twin of parity_bucket_signature + bucketed
+    top-k: per plane j, the dot product is list_reduce over the SAME
+    left-fold chain Spark's F.aggregate runs, with +-1 signs from the
+    SAME integer parity formula — the whole candidate set is therefore
+    bit-identical cross-engine, and the re-rank reuses the attested
+    ann_topk_bruteforce scoring contract (list_cosine_similarity,
+    round 4, neighbor_id tiebreak)."""
+    from mapreduce__spark.operators.similarity import (
+        ANN_PARITY_A,
+        ANN_PARITY_B,
+        ANN_PARITY_M,
+    )
+
+    dots = []
+    for j in range(ANN_BUCKET_BITS):
+        signed = (
+            f"list_transform(range(1, 65), i -> e[CAST(i AS INT)] * "
+            f"(CASE WHEN (i * CAST({ANN_PARITY_A} AS BIGINT) "
+            f"+ {j + 1} * CAST({ANN_PARITY_B} AS BIGINT)) "
+            f"% {ANN_PARITY_M} % 2 = 0 THEN 1.0 ELSE -1.0 END))"
+        )
+        fold = f"list_reduce(list_prepend(0.0, {signed}), (a, b) -> a + b)"
+        dots.append(f"(CASE WHEN {fold} > 0 THEN {1 << j} ELSE 0 END)")
+    bucket = " + ".join(dots)
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sg AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v),
+    q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qb
+          FROM sg WHERE vec_id IN (0, 1, 2, 3, 4)),
+    scored AS (
+        SELECT q.query_id, s.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qe, s.e) AS s,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY list_cosine_similarity(q.qe, s.e) DESC,
+                                           s.vec_id ASC) AS rank
+        FROM q JOIN sg s ON s.bucket = q.qb AND s.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, round(s, 4) AS score, rank
+    FROM scored WHERE rank <= 5
+    """
+
+
+@query(
+    "ann_topk_buckets",
+    oracle=_ann_bucket_oracle(),
+    tags=("tier2", "similarity", "sketch"),
+)
+def ann_topk_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED bucketed ANN (round-9 verdict item 4 — the
+    simhash_charfold precedent applied to similarity search): restrict
+    each query's candidates to its own sign-bit bucket under
+    {ANN_BUCKET_BITS} integer-parity +-1 hyperplanes, then exact cosine
+    top-5 re-rank within the bucket. The DECLARED SEMANTICS is the
+    bucketing (deterministic, hash-checkable: parity signs are integer
+    arithmetic, dots are bit-identical left-fold IEEE chains), so the
+    oracle is exact — unlike ann_topk_lsh/ann_topk_ivf, whose float-
+    normal hyperplanes / centroid geometry make them rows-only,
+    recall-gated. Recall vs ann_topk_bruteforce is REPORTED by
+    tests/test_round10_properties.py, not claimed as contract.
+
+    SCALE: the 100 TB story of the rows-only LSH path with a green row —
+    signatures are scan-stage expressions, candidates come from an
+    equi-join on bucket against the broadcast query set (~n/2^bits
+    scored per query instead of n), and the re-rank shares
+    _topk_per_query's rank-pushdown window."""
+    from mapreduce__spark.operators.similarity import bucketed_topk
+
+    return bucketed_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        ANN_QUERY_IDS,
+        k=5,
+        n_bits=ANN_BUCKET_BITS,
+    )

@@ -81,6 +81,7 @@ PROBE = [
     # round-10 additions
     "quantile_sketch_values",
     "quantile_sketch_dyadic",
+    "ann_topk_buckets",
 ]
 
 

@@ -56,7 +56,6 @@ TRIPLE_FILLERS: set[str] = {
     "shipping_priority",
     "local_supplier_volume",
     "events_tumbling_window",
-    "graph_mass_propagation",
 }
 
 

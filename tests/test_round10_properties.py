@@ -129,3 +129,45 @@ def test_k_core_changed_fraction_guard_is_value_neutral(spark):
     # sanity: the clique survives as the 3-core, leaves fall in layer 1
     assert {(i, 0) for i in range(6)} <= {(n, l) for n, l, _ in always}
     assert all(l == 1 for n, l, _ in always if n >= 100)
+
+
+def test_ann_bucketed_recall_report_vs_bruteforce(spark, sf_oracle, capsys):
+    """ann_topk_buckets declares BUCKETING as its contract (exactly
+    oracle-checked); this test carries the recall story: measure top-5
+    recall against the exact brute-force answer, REPORT it, and assert
+    only the sanity floor that same-bucket restriction still finds a
+    nontrivial share of true neighbors on the fixture corpus (each
+    true hit requires the neighbor to share the query's 4-bit bucket)."""
+    from mapreduce__spark.plans import REGISTRY
+
+    truth = {}
+    for r in REGISTRY["ann_topk_bruteforce"].fn(spark, sf_oracle).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in REGISTRY["ann_topk_buckets"].fn(spark, sf_oracle).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    assert set(got) <= set(truth) and len(truth) == 5
+    hits = sum(len(got.get(q, set()) & ns) for q, ns in truth.items())
+    total = sum(len(ns) for ns in truth.values())
+    recall = hits / total
+    print(f"\nann_topk_buckets recall@5 vs brute force: {recall:.2f} ({hits}/{total})")
+    # 4 sign bits ~ P(share bucket) 1/16 at random but >> that for true
+    # near neighbors; the fixture corpus measured ~0.4-0.7. Floor at 0.2
+    # so a broken bucketing (recall ~1/16) fails loudly while the test
+    # stays robust to fixture regeneration.
+    assert recall >= 0.2, recall
+    # every returned neighbor must share the query's bucket (the
+    # declared semantics, checked end-to-end through the public query)
+    from mapreduce__spark.operators.similarity import parity_bucket_signature
+    from mapreduce__spark.plans.tier0 import load_table
+
+    buckets = {
+        r.vec_id: r.bucket
+        for r in parity_bucket_signature(
+            load_table(spark, sf_oracle, "embeddings")
+        ).collect()
+    }
+    for q, ns in got.items():
+        for n in ns:
+            assert buckets[n] == buckets[q], (q, n)
