@@ -200,25 +200,41 @@ def bucketed_topk(
     n_bits: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """Bucketed ANN with exact within-bucket re-rank: candidates are the
-    query's OWN parity-plane bucket (no multiprobe — the declared
-    semantics is the bucketing itself, so the result is deterministic
-    and exactly oracle-checkable; recall vs brute force is REPORTED in
-    tests, not asserted as the contract — see lsh_topk for the
-    recall-tuned rows-only variant).
+    """Bucketed ANN with exact within-candidate re-rank: candidates are
+    the query's OWN parity-plane bucket plus its n_bits hamming-1
+    neighbors (deterministic multiprobe — probe buckets are integer
+    XORs, so the candidate set stays exactly oracle-checkable; recall vs
+    brute force is REPORTED in tests, not asserted as the contract —
+    see lsh_topk for the recall-tuned rows-only variant).
 
     Scale shape: signatures are scan-stage expressions; the candidate
-    restriction is an equi-join on bucket against the broadcast query
-    set (~n/2^n_bits candidates per query instead of n); only candidates
-    are scored and ranked through the shared _topk_per_query contract."""
+    restriction is an equi-join on bucket against the broadcast probe
+    set (~(n_bits+1)*n/2^n_bits candidates per query instead of n);
+    only candidates are scored and ranked through the shared
+    _topk_per_query contract. Widening n_bits cuts candidates
+    geometrically while multiprobe holds recall — the knob pair a real
+    deployment tunes."""
     sig = parity_bucket_signature(emb, dim=dim, n_bits=n_bits)
     q = sig.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
     )
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << p))
+                    for p in range(n_bits)
+                ],
+            )
+        ).alias("pbucket"),
+    )
     cand = sig.join(
-        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+        F.broadcast(probes), F.col("bucket") == F.col("pbucket")
     ).where(F.col("vec_id") != F.col("query_id"))
     scored = cand.select(
         "query_id",

@@ -7318,18 +7318,28 @@ def _ann_bucket_oracle() -> str:
         fold = f"list_reduce(list_prepend(0.0, {signed}), (a, b) -> a + b)"
         dots.append(f"(CASE WHEN {fold} > 0 THEN {1 << j} ELSE 0 END)")
     bucket = " + ".join(dots)
+    probe_list = (
+        "["
+        + ", ".join(
+            ["qb"] + [f"xor(qb, CAST({1 << p} AS BIGINT))" for p in range(ANN_BUCKET_BITS)]
+        )
+        + "]"
+    )
     return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     sg AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v),
     q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qb
           FROM sg WHERE vec_id IN (0, 1, 2, 3, 4)),
+    probes AS (
+        SELECT query_id, qe, unnest({probe_list}) AS pb FROM q
+    ),
     scored AS (
-        SELECT q.query_id, s.vec_id AS neighbor_id,
-               list_cosine_similarity(q.qe, s.e) AS s,
-               row_number() OVER (PARTITION BY q.query_id
-                                  ORDER BY list_cosine_similarity(q.qe, s.e) DESC,
+        SELECT p.query_id, s.vec_id AS neighbor_id,
+               list_cosine_similarity(p.qe, s.e) AS s,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY list_cosine_similarity(p.qe, s.e) DESC,
                                            s.vec_id ASC) AS rank
-        FROM q JOIN sg s ON s.bucket = q.qb AND s.vec_id <> q.query_id
+        FROM probes p JOIN sg s ON s.bucket = p.pb AND s.vec_id <> p.query_id
     )
     SELECT query_id, neighbor_id, round(s, 4) AS score, rank
     FROM scored WHERE rank <= 5
@@ -7344,12 +7354,13 @@ def _ann_bucket_oracle() -> str:
 def ann_topk_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-CHECKED bucketed ANN (round-9 verdict item 4 — the
     simhash_charfold precedent applied to similarity search): restrict
-    each query's candidates to its own sign-bit bucket under
-    {ANN_BUCKET_BITS} integer-parity +-1 hyperplanes, then exact cosine
-    top-5 re-rank within the bucket. The DECLARED SEMANTICS is the
-    bucketing (deterministic, hash-checkable: parity signs are integer
-    arithmetic, dots are bit-identical left-fold IEEE chains), so the
-    oracle is exact — unlike ann_topk_lsh/ann_topk_ivf, whose float-
+    each query's candidates to its own sign-bit bucket plus the
+    hamming-1 multiprobe neighbors under {ANN_BUCKET_BITS}
+    integer-parity +-1 hyperplanes, then exact cosine top-5 re-rank
+    within the candidates. The DECLARED SEMANTICS is the bucketing
+    (deterministic, hash-checkable: parity signs are integer
+    arithmetic, probe buckets are integer XORs, dots are bit-identical
+    left-fold IEEE chains), so the oracle is exact — unlike ann_topk_lsh/ann_topk_ivf, whose float-
     normal hyperplanes / centroid geometry make them rows-only,
     recall-gated. Recall vs ann_topk_bruteforce is REPORTED by
     tests/test_round10_properties.py, not claimed as contract.

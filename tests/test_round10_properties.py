@@ -135,9 +135,9 @@ def test_ann_bucketed_recall_report_vs_bruteforce(spark, sf_oracle, capsys):
     """ann_topk_buckets declares BUCKETING as its contract (exactly
     oracle-checked); this test carries the recall story: measure top-5
     recall against the exact brute-force answer, REPORT it, and assert
-    only the sanity floor that same-bucket restriction still finds a
-    nontrivial share of true neighbors on the fixture corpus (each
-    true hit requires the neighbor to share the query's 4-bit bucket)."""
+    only the sanity floor that hamming-1 multiprobe still finds a
+    nontrivial share of true neighbors on the fixture corpus (each true
+    hit requires the neighbor within one bit of the query's bucket)."""
     from mapreduce__spark.plans import REGISTRY
 
     truth = {}
@@ -152,13 +152,14 @@ def test_ann_bucketed_recall_report_vs_bruteforce(spark, sf_oracle, capsys):
     total = sum(len(ns) for ns in truth.values())
     recall = hits / total
     print(f"\nann_topk_buckets recall@5 vs brute force: {recall:.2f} ({hits}/{total})")
-    # 4 sign bits ~ P(share bucket) 1/16 at random but >> that for true
-    # near neighbors; the fixture corpus measured ~0.4-0.7. Floor at 0.2
-    # so a broken bucketing (recall ~1/16) fails loudly while the test
-    # stays robust to fixture regeneration.
-    assert recall >= 0.2, recall
-    # every returned neighbor must share the query's bucket (the
-    # declared semantics, checked end-to-end through the public query)
+    # hamming-1 multiprobe at 4 bits covers 5/16 of a random corpus and
+    # measured 0.44 recall on the fixture (the near-random synthetic
+    # embeddings are the hard case for hyperplane LSH). Floor at 0.25 so
+    # a broken bucketing (random-coverage recall ~5/16 * 5/499 per
+    # neighbor) fails loudly while staying robust to regeneration.
+    assert recall >= 0.25, recall
+    # every returned neighbor must sit within hamming-1 of the query's
+    # bucket (the declared multiprobe semantics, checked end-to-end)
     from mapreduce__spark.operators.similarity import parity_bucket_signature
     from mapreduce__spark.plans.tier0 import load_table
 
@@ -170,4 +171,4 @@ def test_ann_bucketed_recall_report_vs_bruteforce(spark, sf_oracle, capsys):
     }
     for q, ns in got.items():
         for n in ns:
-            assert buckets[n] == buckets[q], (q, n)
+            assert bin(buckets[n] ^ buckets[q]).count("1") <= 1, (q, n)
