@@ -2063,3 +2063,147 @@ def jpeg_pixel_features(mm: DataFrame) -> DataFrame:
         decode_jpeg_pixels,
         ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b", "topleft_rgb"),
     )
+
+
+# --------------------------------------------------------------------------
+# Nonzero-AC JPEG fixtures (round-9 verdict item 5): the block-constant
+# class above proves the full pipeline on DC-only data; this class plants
+# ONE quantized AC coefficient per block at natural position (4,4) —
+# zigzag index 39, so decoding it must walk TWO ZRL symbols plus a run of
+# 6 — while keeping the output integer-exact: the (4,4) basis function is
+# cos((2x+1)pi/4)cos((2y+1)pi/4), whose value at every sample is
+# (+-sqrt2/2)(+-sqrt2/2) = +-1/2, so with c(4)=1 the pixel contribution
+# of dequantized amplitude A is EXACTLY s(x)s(y) * A/8 with the sign
+# checkerboard s = (+,-,-,+,+,-,-,+). Quant steps at (4,4) are 56 (luma)
+# and 88 (chroma); planting quantized +1/-1/+2 per component gives
+# integral amplitudes 7/-11/22, and the block law is compressed into
+# [23, 232] so no pixel clamps. The channel SUM of the checkerboard over
+# any FULL block is zero — which is exactly why the AC query emits the
+# checker-weighted sums too (sum of s(x)s(y)*pixel): on AC-decode failure
+# they shift by amp * n_pixels, so the oracle check cannot pass vacuously.
+# --------------------------------------------------------------------------
+
+JPEG_AC_K = JPEG_ZIGZAG.index(36)  # zigzag position of natural (4,4)
+JPEG_AC_QUANTIZED = (1, -1, 2)  # planted quantized amplitude per component
+JPEG_AC_AMP = (7, -11, 22)  # dequantized / 8: exact pixel delta per comp
+_JPEG_CHECKER_SIGN = (1, -1, -1, 1, 1, -1, -1, 1)
+
+
+def synth_jpeg_ac_bytes(doc_id: int) -> bytes:
+    """Deterministic baseline JFIF whose every block carries the planted
+    (4,4) AC coefficient on top of the constant law (see the class
+    comment above). Keeps every hazard of synth_jpeg_bytes: grayscale
+    every third doc, DRI + restarts every fifth, COM always, combined vs
+    per-table DHT by parity."""
+    d = doc_id
+    w = d % 19 + 6
+    h = (5 * d) % 17 + 6
+    bw = -(-w // 8)
+    bh = -(-h // 8)
+    gray = d % 3 == 2
+    ncomp = 1 if gray else 3
+
+    comp_blocks = []
+    for c in range(ncomp):
+        rows = []
+        for by in range(bh):
+            row = []
+            for bx in range(bw):
+                zz = [0] * 64
+                zz[0] = _jpeg_ac_law(d, c, bx, by) - 128
+                zz[JPEG_AC_K] = JPEG_AC_QUANTIZED[c]
+                row.append(zz)
+            rows.append(row)
+        comp_blocks.append(rows)
+    return _jpeg_encode(
+        comp_blocks,
+        w,
+        h,
+        restart_interval=2 if d % 5 == 0 else 0,
+        combined_dht=d % 2 == 0,
+        comment=f"ac doc {d}".encode(),
+    )
+
+
+def _jpeg_ac_law(d: int, c: int, bx: int, by: int) -> int:
+    """Block-constant base for the AC fixtures, compressed into [23, 232]
+    so the +-22 checkerboard never clamps (the oracle recomputes pixels
+    from this exact formula)."""
+    if c == 0:
+        base = (13 * d + 7 * bx + 3 * by) % 256
+    elif c == 1:
+        base = (3 * d + 5 * bx + 11 * by) % 256
+    else:
+        base = (9 * d + 2 * bx + 6 * by) % 256
+    return 23 + base % 210
+
+
+def decode_jpeg_checker_pixels(
+    b: bytes,
+) -> tuple[int, int, int, int, int, int, int, int, int]:
+    """Full JPEG pixel decode plus the checkerboard-weighted channel sums
+    (sum of s(x%8)*s(y%8)*pixel over the cropped plane) — the statistic
+    that isolates the (4,4) AC energy the plain sums cancel. Returns
+    (width, height, n_pixels, sum_r, sum_g, sum_b, checker_r, checker_g,
+    checker_b)."""
+    width, height, blocks, p = _jpeg_decode_coeff_blocks(b)
+    _w, _h, comps = p["frame"]
+    bw = -(-width // 8)
+    bh = -(-height // 8)
+    sx = np.tile(np.array(_JPEG_CHECKER_SIGN, dtype=np.int64), bw)[:width]
+    sy = np.tile(np.array(_JPEG_CHECKER_SIGN, dtype=np.int64), bh)[:height]
+    weight = np.outer(sy, sx)
+    sums = [0, 0, 0]
+    checkers = [0, 0, 0]
+    for c, (_cid, tq) in enumerate(comps):
+        if tq not in p["qtabs"]:
+            raise ValueError("frame references undefined quant table")
+        q = np.array(p["qtabs"][tq], dtype=np.float64)
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+        for m, zz in enumerate(blocks[c]):
+            by, bx = divmod(m, bw)
+            nat = np.zeros(64, dtype=np.float64)
+            for k in range(64):
+                nat[JPEG_ZIGZAG[k]] = zz[k]
+            coef = (nat * q).reshape(8, 8)
+            px = _JPEG_IDCT_M.T @ coef @ _JPEG_IDCT_M
+            block = np.clip(np.round(px) + 128, 0, 255).astype(np.int64)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        cropped = plane[:height, :width]
+        sums[c] = int(cropped.sum())
+        checkers[c] = int((cropped * weight).sum())
+    return (
+        width,
+        height,
+        width * height,
+        sums[0],
+        sums[1],
+        sums[2],
+        checkers[0],
+        checkers[1],
+        checkers[2],
+    )
+
+
+def with_jpeg_ac_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with nonzero-AC baseline JFIF files."""
+    return _with_payload(docs, synth_jpeg_ac_bytes)
+
+
+def jpeg_checker_features(mm: DataFrame) -> DataFrame:
+    """Arrow-batched JPEG decode emitting checker-weighted channel sums."""
+    return _int_feature_map(
+        mm,
+        decode_jpeg_checker_pixels,
+        (
+            "width",
+            "height",
+            "n_pixels",
+            "sum_r",
+            "sum_g",
+            "sum_b",
+            "checker_r",
+            "checker_g",
+            "checker_b",
+        ),
+    )

@@ -108,6 +108,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # round-10 additions — never driver-attested (each displaced a filler)
     "quantile_sketch_dyadic",
     "ann_topk_buckets",
+    "jpeg_pixel_decode_ac",
     # round-9 additions, earning a second row
     "jpeg_pixel_decode",
     "isotonic_calibration",
@@ -161,7 +162,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "word_count",
     "shipping_priority",
     "local_supplier_volume",
-    "events_tumbling_window",
 )
 
 

@@ -7378,3 +7378,81 @@ def ann_topk_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_bits=ANN_BUCKET_BITS,
     )
+
+
+@query(
+    "jpeg_pixel_decode_ac",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id % 19 + 6       AS width,
+             (doc_id * 5) % 17 + 6 AS height,
+             doc_id % 3 = 2        AS gray
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, width, height, gray,
+             unnest(generate_series(0, width - 1)) AS x
+      FROM dims
+    ),
+    pxy AS (
+      SELECT doc_id, width, height, gray, x,
+             unnest(generate_series(0, height - 1)) AS y
+      FROM px
+    ),
+    p AS (
+      SELECT doc_id, width, height, gray,
+             (CASE WHEN x % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+           * (CASE WHEN y % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END) AS s,
+             23 + ((13 * doc_id + 7 * (x // 8) + 3 * (y // 8)) % 256) % 210
+                 AS law_r,
+             23 + ((3 * doc_id + 5 * (x // 8) + 11 * (y // 8)) % 256) % 210
+                 AS law_g,
+             23 + ((9 * doc_id + 2 * (x // 8) + 6 * (y // 8)) % 256) % 210
+                 AS law_b
+      FROM pxy
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT)  AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum(law_r + s * 7) AS BIGINT) AS sum_r,
+           CAST(CASE WHEN gray THEN 0
+                ELSE sum(law_g + s * (-11)) END AS BIGINT) AS sum_g,
+           CAST(CASE WHEN gray THEN 0
+                ELSE sum(law_b + s * 22) END AS BIGINT) AS sum_b,
+           CAST(sum(s * (law_r + s * 7)) AS BIGINT) AS checker_r,
+           CAST(CASE WHEN gray THEN 0
+                ELSE sum(s * (law_g + s * (-11))) END AS BIGINT) AS checker_g,
+           CAST(CASE WHEN gray THEN 0
+                ELSE sum(s * (law_b + s * 22)) END AS BIGINT) AS checker_b
+    FROM p
+    GROUP BY doc_id, width, height, gray
+    """,
+    tags=("tier2", "multimodal"),
+)
+def jpeg_pixel_decode_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nonzero-AC JPEG fixture class (round-9 verdict item 5): every
+    block carries a planted quantized coefficient at natural (4,4) —
+    zigzag index 39, so the driver-attested decode path must walk TWO
+    ZRL symbols plus a run-6 AC code per block, the run/size machinery
+    the block-constant jpeg_pixel_decode never touches. Exactness
+    survives because the (4,4) basis is +-1/2 at every sample: the
+    dequantized amplitudes (56, -88, 176) contribute exactly
+    s(x)s(y) * (7, -11, 22) per pixel over the checkerboard
+    s = (+,-,-,+,+,-,-,+), and the block law is compressed into
+    [23, 232] so nothing clamps. The emitted checker-weighted sums
+    (sum of s(x)s(y)*pixel) are the non-vacuity device: a full
+    checkerboard cancels in the plain channel sums, but an AC-decode
+    failure shifts every checker column by amp * n_pixels, so the hash
+    cannot pass with the AC path broken. The oracle recomputes every
+    pixel from the synthesis law per (x, y) — fully independent of the
+    codec. Same Arrow-batched mapInPandas shape as the sibling decoders;
+    payloads never shuffle."""
+    from mapreduce__spark.operators.multimodal import (
+        jpeg_checker_features,
+        with_jpeg_ac_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_checker_features(with_jpeg_ac_payload(docs))

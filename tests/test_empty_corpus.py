@@ -82,6 +82,7 @@ PROBE = [
     "quantile_sketch_values",
     "quantile_sketch_dyadic",
     "ann_topk_buckets",
+    "jpeg_pixel_decode_ac",
 ]
 
 

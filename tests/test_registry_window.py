@@ -55,7 +55,6 @@ TRIPLE_FILLERS: set[str] = {
     "word_count",
     "shipping_priority",
     "local_supplier_volume",
-    "events_tumbling_window",
 }
 
 
