@@ -109,6 +109,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "quantile_sketch_dyadic",
     "ann_topk_buckets",
     "jpeg_pixel_decode_ac",
+    "stream_cusum_fold",
     # round-9 additions, earning a second row
     "jpeg_pixel_decode",
     "isotonic_calibration",
@@ -161,7 +162,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # round-10 additions, newest first)
     "word_count",
     "shipping_priority",
-    "local_supplier_volume",
 )
 
 

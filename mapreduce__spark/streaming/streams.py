@@ -314,23 +314,14 @@ def stream_cusum(events: DataFrame, k: int = 10, h_mult: int = 5) -> DataFrame:
         days, counts = state.get if state.exists else ([], [])
         hist = dict(zip(days, counts))
         rows = pd.concat(list(pdfs), ignore_index=True)
-        by_day = (
-            pd.to_datetime(rows["ts"]).dt.strftime("%Y-%m-%d").value_counts()
-        )
-        for day, cnt in by_day.items():
-            hist[day] = hist.get(day, 0) + int(cnt)
+        _cusum_merge_days(hist, rows)
         ordered = sorted(hist)
         state.update((ordered, [int(hist[d]) for d in ordered]))
-        s = 0
-        n_alarms = 0
-        for d in ordered:
-            s = max(0, s + (hist[d] - k))
-            if s > h_mult * k:
-                n_alarms += 1
+        n_days, s, n_alarms = _cusum_recompute(hist, k, h_mult)
         yield pd.DataFrame(
             {
                 "event_type": [key[0]],
-                "n_days": [len(ordered)],
+                "n_days": [n_days],
                 "final_cusum": [s],
                 "n_alarms": [n_alarms],
             }
@@ -345,6 +336,64 @@ def stream_cusum(events: DataFrame, k: int = 10, h_mult: int = 5) -> DataFrame:
         stateStructType="days array<string>, counts array<bigint>",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _cusum_merge_days(hist: dict, rows: "pd.DataFrame") -> None:
+    """The MERGE half of stream_cusum's merge-then-recompute fold: add a
+    batch of rows' per-day counts into the day histogram (the bounded
+    state). Shared verbatim by the streaming state update and the
+    batch_cusum_fold driver-attested twin."""
+    import pandas as pd
+
+    by_day = pd.to_datetime(rows["ts"]).dt.strftime("%Y-%m-%d").value_counts()
+    for day, cnt in by_day.items():
+        hist[day] = hist.get(day, 0) + int(cnt)
+
+
+def _cusum_recompute(hist: dict, k: int, h_mult: int) -> tuple[int, int, int]:
+    """The RECOMPUTE half: fold the textbook recurrence
+    S := max(0, S + (x - k)) over the merged day histogram in day order,
+    counting alarm days (S > h_mult*k). Returns (n_days, final_cusum,
+    n_alarms)."""
+    s = 0
+    n_alarms = 0
+    ordered = sorted(hist)
+    for d in ordered:
+        s = max(0, s + (hist[d] - k))
+        if s > h_mult * k:
+            n_alarms += 1
+    return len(ordered), s, n_alarms
+
+
+def batch_cusum_fold(events: DataFrame, k: int = 10, h_mult: int = 5) -> DataFrame:
+    """stream_cusum's EXACT fold executed batch-side per event_type — the
+    stream_interval_join_batch discipline applied to a stateful operator:
+    applyInPandasWithState cannot run on a batch relation, so the fold
+    itself (merge day counts, recompute the recurrence — the two shared
+    helpers above) runs under batch applyInPandas over the same grouping,
+    which is exactly what the streaming update does with the whole series
+    in one state. Equality of this output with the stream's final
+    emission over random micro-batch splits is the merge-then-recompute
+    convergence claim, pinned in tests/test_streaming.py."""
+    import pandas as pd
+
+    def fold(key, pdf):
+        hist: dict = {}
+        _cusum_merge_days(hist, pdf)
+        n_days, s, n_alarms = _cusum_recompute(hist, k, h_mult)
+        return pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_days": [n_days],
+                "final_cusum": [s],
+                "n_alarms": [n_alarms],
+            }
+        )
+
+    return events.select("event_type", "ts").groupBy("event_type").applyInPandas(
+        fold,
+        "event_type string, n_days bigint, final_cusum bigint, n_alarms bigint",
     )
 
 

@@ -83,6 +83,7 @@ PROBE = [
     "quantile_sketch_dyadic",
     "ann_topk_buckets",
     "jpeg_pixel_decode_ac",
+    "stream_cusum_fold",
 ]
 
 

@@ -54,7 +54,6 @@ CHANGED_CODE_REATTEST: set[str] = set()
 TRIPLE_FILLERS: set[str] = {
     "word_count",
     "shipping_priority",
-    "local_supplier_volume",
 }
 
 

@@ -902,3 +902,44 @@ def test_stream_dd_quantiles_matches_batch(spark, sf_small, tmp_path):
         assert g.n_rows == w.n_rows
         for col in ("p50_est", "p90_est", "p99_est"):
             assert abs(g[col] - w[col]) <= 1e-12 * abs(w[col]), (et, col)
+
+
+def test_stream_cusum_final_emission_equals_batch_fold(spark, sf_small, tmp_path):
+    """The driver-attested stream_cusum_fold query must equal the actual
+    stream's FINAL emission per event_type over random micro-batch
+    splits — the merge-then-recompute convergence claim, now pinned
+    against the same code path the driver hashes."""
+    import os as _os
+
+    from mapreduce__spark.plans import REGISTRY
+    from mapreduce__spark.streaming.streams import run_stream_to_memory, stream_cusum
+
+    ev = load_table(spark, sf_small, "events").select("event_type", "ts")
+    src = tmp_path / "cfshards"
+    src.mkdir()
+    t0 = 1_700_000_000
+    for i, s in enumerate(ev.randomSplit([1.0, 1.0, 1.0], seed=59)):
+        d = src / f"b{i}"
+        s.coalesce(1).write.parquet(str(d))
+        for f in _os.listdir(d):
+            _os.utime(d / f, (t0 + i, t0 + i))
+
+    sdf = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    run_stream_to_memory(
+        stream_cusum(sdf), "t_cusum_fold_stream", output_mode="update"
+    )
+    rows = spark.table("t_cusum_fold_stream").collect()
+    final = {}
+    for r in rows:
+        if r.event_type not in final or r.n_days > final[r.event_type][0]:
+            final[r.event_type] = (r.n_days, r.final_cusum, r.n_alarms)
+
+    want = {
+        r.event_type: (r.n_days, r.final_cusum, r.n_alarms)
+        for r in REGISTRY["stream_cusum_fold"].fn(spark, sf_small).collect()
+    }
+    assert final == want and len(want) >= 3
