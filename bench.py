@@ -175,6 +175,12 @@ BENCH_QUERIES = [
     "k_core_peel",         # iterative vertex deletion: the data-
                            # dependent-rounds graph loop (round 9;
                            # deltas start r9)
+    "quantile_sketch_values",  # DDSketch build + bounded-window read:
+                               # the mergeable-sketch agg representative
+                               # (round 10; deltas start r10)
+    "ann_topk_buckets",    # parity-bucket multiprobe + exact rerank:
+                           # the bucketed-ANN equi-join path (round 10;
+                           # deltas start r10)
 ]
 
 
