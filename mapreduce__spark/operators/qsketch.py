@@ -167,3 +167,97 @@ def dyadic_sketch(
         .groupBy(*keys, "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005): the
+# point-frequency face of the mergeable-sketch family. CM_DEPTH hash rows
+# of CM_WIDTH counters; cell (j, h_j(x)) accumulates x's count; the
+# estimate min_j CM[j, h_j(x)] NEVER undercounts (every cell holding x
+# holds all of x's occurrences) and overcounts only by colliding mass —
+# the one-sided bound the tests pin exactly. Merging sketches is
+# cell-wise count addition, the same exact monoid as the DD sketch. The
+# row hashes compose the repo's shared char-fold token hash (mod 2^31-1)
+# with per-row integer affine constants, so the whole sketch — and the
+# estimates read off it — are integer-exact cross-engine and fully
+# oracle-checkable, unlike classical implementations whose murmur-style
+# hashing is engine-private.
+# --------------------------------------------------------------------------
+
+CM_MOD = 2147483647  # the shared char-fold modulus (Mersenne prime)
+CM_DEPTH = 3
+CM_WIDTH = 1024
+# per-row affine salts (odd multipliers, arbitrary fixed offsets): row j
+# maps token hash h to column (h * CM_ROW_A[j] + CM_ROW_B[j]) % MOD % W
+CM_ROW_A = (1000003, 2654435761, 40503)
+CM_ROW_B = (907633385, 97, 8191)
+
+
+def countmin_build(tokens: DataFrame, tok_col: str = "tok") -> DataFrame:
+    """Build the sketch from a token relation: reduce to exact per-token
+    counts FIRST (map-side combinable, the heavy shuffle shrinks to the
+    vocabulary), then scatter each token's count into its CM_DEPTH cells
+    and sum per cell. Returns the sketch as a DataFrame of
+    (row, col, n) — <= CM_DEPTH * CM_WIDTH rows, data-independent."""
+    tf = tokens.groupBy(tok_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    h = _charfold(F.col(tok_col))
+    cells = tf.select(
+        F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("row"),
+        h.alias("_h"),
+        "_n",
+    )
+    col = _cm_col(F.col("_h"), F.col("row"))
+    return (
+        cells.select("row", col.alias("col"), "_n")
+        .groupBy("row", "col")
+        .agg(F.sum("_n").cast("bigint").alias("n"))
+    )
+
+
+def _charfold(tok: Column) -> Column:
+    """The repo's shared cross-engine token hash: left-fold
+    (a*31 + ord(char)) % 2^31-1 — same law as content_defined_chunking
+    and random_projection_sketch, written independently per dialect."""
+    return F.when(F.length(tok) == 0, F.lit(0).cast("bigint")).otherwise(
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.length(tok)),
+                lambda i: F.ascii(tok.substr(i, F.lit(1))).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, c: (a * 31 + c) % CM_MOD,
+        )
+    )
+
+
+def _cm_col(h: Column, row: Column) -> Column:
+    """Column index of token hash h in sketch row j: affine-salt then
+    double mod — pure bigint arithmetic, identical in every engine."""
+    a = F.element_at(F.array(*[F.lit(x) for x in CM_ROW_A]), row + 1)
+    b = F.element_at(F.array(*[F.lit(x) for x in CM_ROW_B]), row + 1)
+    return ((h * a + b) % CM_MOD % CM_WIDTH).cast("bigint")
+
+
+def countmin_estimate(
+    sketch: DataFrame, probes: DataFrame, tok_col: str = "tok"
+) -> DataFrame:
+    """Point-frequency estimates for a probe token relation: join each
+    probe's CM_DEPTH cells against the sketch and take the row-min.
+    Missing cells read as 0 (a token whose cell nobody touched has true
+    count 0). The probe side is expected to be small (broadcast); the
+    sketch is bounded at CM_DEPTH*CM_WIDTH rows, so the join never
+    scales with the corpus."""
+    h = _charfold(F.col(tok_col))
+    pcells = probes.select(
+        tok_col,
+        F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("row"),
+        h.alias("_h"),
+    ).select(tok_col, "row", _cm_col(F.col("_h"), F.col("row")).alias("col"))
+    joined = pcells.join(sketch, ["row", "col"], "left").select(
+        tok_col, F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("_cell")
+    )
+    return joined.groupBy(tok_col).agg(
+        F.min("_cell").cast("bigint").alias("n_est")
+    )

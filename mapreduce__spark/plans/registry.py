@@ -110,6 +110,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_topk_buckets",
     "jpeg_pixel_decode_ac",
     "stream_cusum_fold",
+    "countmin_freq_estimate",
     # round-9 additions, earning a second row
     "jpeg_pixel_decode",
     "isotonic_calibration",
@@ -160,7 +161,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "quantile_rank_normalize",
     # exactly-3-attested bench-headline fillers (displaced one-by-one by
     # round-10 additions, newest first)
-    "word_count",
     "shipping_priority",
 )
 

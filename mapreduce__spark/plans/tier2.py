@@ -7517,3 +7517,111 @@ def stream_cusum_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return batch_cusum_fold(ev, k=STREAM_CUSUM_K, h_mult=STREAM_CUSUM_H)
+
+
+CM_PROBES = 20  # estimate the top-N tokens (deterministic n-desc/tok order)
+
+
+def _countmin_oracle() -> str:
+    """DuckDB twin of the count-min pipeline: same char-fold hash, same
+    per-row affine column map, same cell sums, same row-min estimate —
+    every step integer arithmetic, so the sketch AND the estimates are
+    bit-identical cross-engine (what makes a sketch query fully
+    hash-checkable here where murmur-hashed implementations are not)."""
+    from mapreduce__spark.operators.qsketch import (
+        CM_DEPTH,
+        CM_MOD,
+        CM_ROW_A,
+        CM_ROW_B,
+        CM_WIDTH,
+    )
+
+    a_case = " ".join(
+        f"WHEN {j} THEN CAST({CM_ROW_A[j]} AS BIGINT)" for j in range(CM_DEPTH)
+    )
+    b_case = " ".join(
+        f"WHEN {j} THEN CAST({CM_ROW_B[j]} AS BIGINT)" for j in range(CM_DEPTH)
+    )
+    return f"""
+    WITH t AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tf AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n_true
+      FROM t WHERE tok <> '' GROUP BY 1
+    ), th AS (
+      SELECT tok, n_true,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(tok)+1),
+                         i -> CAST(ord(substr(tok, i, 1)) AS BIGINT))),
+          (a,b) -> (a*31+b) % {CM_MOD}) AS h
+      FROM tf
+    ), rows_ AS (
+      SELECT unnest(range(0, {CM_DEPTH})) AS row
+    ), cells AS (
+      SELECT row,
+             (h * (CASE row {a_case} END) + (CASE row {b_case} END))
+                 % {CM_MOD} % {CM_WIDTH} AS col,
+             CAST(sum(n_true) AS BIGINT) AS n
+      FROM th, rows_ GROUP BY 1, 2
+    ), probes AS (
+      SELECT tok, n_true, h FROM th
+      ORDER BY n_true DESC, tok ASC LIMIT {CM_PROBES}
+    ), pcells AS (
+      SELECT p.tok, p.n_true, r.row,
+             (p.h * (CASE r.row {a_case} END) + (CASE r.row {b_case} END))
+                 % {CM_MOD} % {CM_WIDTH} AS col
+      FROM probes p, rows_ r
+    )
+    SELECT pc.tok, CAST(max(pc.n_true) AS BIGINT) AS n_true,
+           CAST(min(coalesce(c.n, 0)) AS BIGINT) AS n_est
+    FROM pcells pc LEFT JOIN cells c ON c.row = pc.row AND c.col = pc.col
+    GROUP BY pc.tok
+    """
+
+
+@query(
+    "countmin_freq_estimate",
+    oracle=_countmin_oracle(),
+    tags=("tier2", "text", "sketch"),
+)
+def countmin_freq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates (Cormode &
+    Muthukrishnan 2005), fully oracle-checked: the third face of the
+    mergeable-sketch family (MG heavy hitters = who is frequent,
+    DDSketch = value quantiles, count-min = how often is THIS item).
+    Builds the CM_DEPTH x CM_WIDTH cell table from exact token counts —
+    the heavy shuffle is the vocabulary groupBy, map-side combinable;
+    cells are a bounded second aggregate — and reads back the row-min
+    estimate for the top-{CM_PROBES} tokens (deterministic count-desc/
+    token order). Estimates NEVER undercount (every cell holding a token
+    holds all its mass; the one-sided guarantee is pytest-pinned on
+    adversarial data alongside the exact merge law), and every step is
+    integer (char-fold hash mod 2^31-1, affine row salts, double mod),
+    so sketch and estimates hash-check cross-engine — the property
+    murmur-hashed sketch libraries cannot offer an external oracle.
+
+    SCALE: the sketch is <= CM_DEPTH*CM_WIDTH rows regardless of corpus
+    or vocabulary size — the bounded summary a 100 TB profiler keeps hot
+    while the corpus stays cold; merging shards is cell-wise addition.
+    The probe read joins a broadcast probe set against the bounded cell
+    table. Two column-pruned scans by design (one feeds the sketch, one
+    ranks the probes); at production scale the probe list is a fixed
+    query set, not a rank over the corpus."""
+    from mapreduce__spark.operators.qsketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    probes = tf.orderBy(F.col("n_true").desc(), F.col("tok").asc()).limit(
+        CM_PROBES
+    )
+    sk = countmin_build(toks)
+    est = countmin_estimate(sk, probes.select("tok"))
+    return probes.join(est, "tok").select("tok", "n_true", "n_est")

@@ -84,6 +84,7 @@ PROBE = [
     "ann_topk_buckets",
     "jpeg_pixel_decode_ac",
     "stream_cusum_fold",
+    "countmin_freq_estimate",
 ]
 
 

@@ -174,3 +174,73 @@ def test_dyadic_brackets_contain_true_percentiles(spark, sf_oracle):
             lo, hi = row[f"{p}_lo_cents"], row[f"{p}_hi_cents"]
             assert lo <= true <= hi, (et, p, lo, true, hi)
             assert hi <= 2 * max(lo, 1)  # factor-2 bracket, as declared
+
+
+def test_countmin_never_undercounts_and_bounds_overcount(spark):
+    """The count-min guarantees on an ADVERSARIAL vocabulary sized to
+    force collisions (vocab 3x the width): (a) est >= true for EVERY
+    token — the deterministic one-sided bound; (b) est <= true + total
+    colliding mass, checked via the classic eps*N bound with eps = e/w
+    holding for the vast majority (the bound is probabilistic per row;
+    with depth 3 the min blows past it only with vanishing frequency —
+    we assert zero violations at 3x slack, a regression tripwire rather
+    than the theorem)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from mapreduce__spark.operators.qsketch import (
+        CM_WIDTH,
+        countmin_build,
+        countmin_estimate,
+    )
+
+    words = []
+    for i in range(3 * CM_WIDTH):
+        words += [f"tok{i}"] * (1 + i % 7)
+    truth = Counter(words)
+    n_total = sum(truth.values())
+    toks = spark.createDataFrame([(w,) for w in words], "tok string").repartition(8)
+    sk = countmin_build(toks)
+    assert sk.count() <= 3 * CM_WIDTH  # bounded cells
+    probes = spark.createDataFrame(
+        [(t,) for t in truth], "tok string"
+    )
+    est = {r.tok: r.n_est for r in countmin_estimate(sk, probes).collect()}
+    assert set(est) == set(truth)
+    under = [t for t in truth if est[t] < truth[t]]
+    assert not under, under[:5]
+    import math
+
+    eps_bound = 3 * math.e / CM_WIDTH * n_total
+    over = [t for t in truth if est[t] > truth[t] + eps_bound]
+    assert not over, over[:5]
+    # collisions must actually occur at 3x width, or the test is vacuous
+    assert any(est[t] > truth[t] for t in truth)
+
+
+def test_countmin_merge_law_is_exact(spark, sf_oracle):
+    """Cell-wise addition is the sketch merge: building from the whole
+    corpus equals summing the sketches of a 2-way split, row-for-row."""
+    from pyspark.sql import functions as F
+
+    from mapreduce__spark.operators.qsketch import countmin_build
+    from mapreduce__spark.plans.tier0 import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    whole = {
+        (r.row, r.col): r.n for r in countmin_build(toks).collect()
+    }
+    a = countmin_build(toks.where(F.pmod(F.hash("doc_id"), F.lit(2)) == 0))
+    b = countmin_build(toks.where(F.pmod(F.hash("doc_id"), F.lit(2)) == 1))
+    merged = {
+        (r.row, r.col): r.n
+        for r in a.unionAll(b)
+        .groupBy("row", "col")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .collect()
+    }
+    assert whole == merged and len(whole) > 10

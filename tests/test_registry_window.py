@@ -52,7 +52,6 @@ CHANGED_CODE_REATTEST: set[str] = set()
 # Exactly-3-attested bench-headline fillers holding the six spare slots
 # until round-10 additions displace them (newest-measured first out).
 TRIPLE_FILLERS: set[str] = {
-    "word_count",
     "shipping_priority",
 }
 
