@@ -74,6 +74,16 @@ NAMES = [
     # round 8: the histogram-sized rank map broadcast back onto the
     # unshuffled corpus (SCALE.md 44)
     "quantile_rank_normalize",
+    # round 10: skeletons back SCALE.md entries 53-58 — the bounded
+    # bucket aggregate + key-partitioned window of the DD sketch, its
+    # integer-exact dyadic twin, the parity-bucket multiprobe equi-join
+    # with exact rerank, the bounded cell table + broadcast probe read
+    # of the count-min sketch, and the guarded heavy-hitter recount
+    "quantile_sketch_values",
+    "quantile_sketch_dyadic",
+    "ann_topk_buckets",
+    "countmin_freq_estimate",
+    "heavy_hitters_exact",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",
