@@ -61,11 +61,26 @@ def _bucket_cols(value: Column, gamma: float) -> tuple[Column, Column]:
     ceil(log_gamma(|x|)) within a section, 0 in the zero section. Rows
     ordered by (sgn, sgn*idx) are in value order: negatives descend in
     magnitude as sgn*idx = -idx ascends, then zero, then positives.
+
+    Infinities clamp into the outermost finite bucket (log(inf) would
+    otherwise ride an inf double into cast-to-long, ANSI-erroring or
+    saturating depending on session mode) — the DDSketch end-bucket
+    convention, which also keeps the universe bound a true invariant.
     """
     lg = math.log(gamma)
+    # ceil(ln(DBL_MAX)/ln(gamma)): every finite double's index fits here
+    idx_cap = math.ceil(math.log(1.7976931348623157e308) / lg)
     sgn = F.when(value > 0, F.lit(1)).when(value < 0, F.lit(-1)).otherwise(F.lit(0))
+    # clamp as DOUBLE, before the long cast — inf must never reach cast
     idx = F.when(
-        value != 0, F.ceil(F.log(F.abs(value)) / F.lit(lg)).cast("long")
+        value != 0,
+        F.least(
+            F.lit(float(idx_cap)),
+            F.greatest(
+                F.lit(float(-idx_cap)),
+                F.ceil(F.log(F.abs(value)) / F.lit(lg)),
+            ),
+        ).cast("long"),
     ).otherwise(F.lit(0).cast("long"))
     return sgn.cast("int"), idx
 
@@ -84,7 +99,9 @@ def dd_sketch(
     v = F.col(value_col)
     sgn, idx = _bucket_cols(v, gamma)
     return (
-        df.where(v.isNotNull())
+        # NaN is dropped like NULL (it has no place on the ordered line;
+        # silently binning it at zero would corrupt every quantile)
+        df.where(v.isNotNull() & ~F.isnan(v))
         .select(*keys, sgn.alias("sgn"), idx.alias("idx"))
         .groupBy(*keys, "sgn", "idx")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))

@@ -480,9 +480,10 @@ def stream_dd_quantiles(events: DataFrame, alpha: float = 0.01) -> DataFrame:
 
     gamma = gamma_for_alpha(alpha)
     sgn, idx = _bucket_cols(F.col("value"), gamma)
-    bucketed = events.where(F.col("value").isNotNull()).select(
-        "event_type", sgn.alias("sgn"), idx.alias("idx")
-    )
+    # same NULL/NaN discipline as the batch dd_sketch (batch==stream)
+    bucketed = events.where(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    ).select("event_type", sgn.alias("sgn"), idx.alias("idx"))
 
     def update(key, pdfs, state: GroupState):
         if state.exists:

@@ -244,3 +244,34 @@ def test_countmin_merge_law_is_exact(spark, sf_oracle):
         .collect()
     }
     assert whole == merged and len(whole) > 10
+
+
+def test_dd_handles_inf_and_nan(spark):
+    """Infinities clamp into the outermost finite buckets (end-bucket
+    convention — the long cast must never see an inf double) and NaN is
+    dropped like NULL; finite quantiles stay within alpha."""
+    vals = (
+        [float("inf")] * 3
+        + [float("-inf")] * 2
+        + [float("nan")] * 4
+        + [None]
+        + [1.0 + i / 53.0 for i in range(90)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    sk = dd_sketch(df, "value", alpha=ALPHA)
+    rows = sk.collect()
+    gamma = gamma_for_alpha(ALPHA)
+    idx_cap = math.ceil(math.log(1.7976931348623157e308) / math.log(gamma))
+    assert all(abs(r.idx) <= idx_cap for r in rows)
+    # 3 +inf at the top bucket, 2 -inf at the mirrored bottom bucket
+    assert {(r.sgn, r.idx): r.n for r in rows}[(1, idx_cap)] == 3
+    assert {(r.sgn, r.idx): r.n for r in rows}[(-1, idx_cap)] == 2
+    # NaN and NULL dropped: total mass = 3 + 2 + 90
+    assert sum(r.n for r in rows) == 95
+    # the median of the finite mass is still alpha-exact: the finite
+    # values dominate the middle ranks
+    row = dd_quantiles(sk, [(1, 2)], alpha=ALPHA).collect()[0]
+    finite = sorted([1.0 + i / 53.0 for i in range(90)])
+    # rank ceil(95/2) = 48 lands inside the finite run (2 -inf below)
+    true = finite[48 - 2 - 1]
+    assert abs(row.q_1_2 - true) <= ALPHA * true
