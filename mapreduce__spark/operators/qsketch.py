@@ -278,3 +278,84 @@ def countmin_estimate(
     return joined.groupBy(tok_col).agg(
         F.min("_cell").cast("bigint").alias("n_est")
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog with a cross-engine-exact hash (Flajolet, Fusy, Gandouet &
+# Meunier, AofA 2007): the distinct-count face of the mergeable-sketch
+# family, and the oracle-checkable twin of Spark's native
+# approx_count_distinct (whose xxhash64 registers are JVM-private, which
+# is why O-12 was rows-only until now). Registers are max-rank per
+# bucket — a max-monoid, merged by MAX — and the emitted summary is all
+# integer except the raw estimator, which is ONE division of a shared
+# float literal by the exact integer register sum: a single correctly-
+# rounded op, bit-identical cross-engine (the welch_z_test discipline).
+# The bias-corrected/linear-counting branch needs ln (libm), so it lives
+# in the TESTS (tolerance-gated vs exact COUNT DISTINCT), not in the
+# hashed row.
+#
+# Hash: the shared char-fold, then multiply / xor-shift / multiply mod
+# the Mersenne prime — measured on the fixture key population to bring
+# HLL bias within the +-1.04/sqrt(m) design error (one multiply alone
+# left the high bits skewed: +25% bias on short numeric strings).
+# --------------------------------------------------------------------------
+
+HLL_M = 256  # registers (b = 8 index bits); rel std err = 1.04/16 = 6.5%
+HLL_RANK_CAP = 24  # w has 31-8 = 23 entropy bits; rank(w=0) caps at 24
+HLL_SCALE = 1 << 50  # integer register sum: sum of 2^(50-rank), exact
+# alpha_256 * m^2 * 2^50 as a shared double literal — both engines parse
+# the same shortest-repr decimal to the same double
+HLL_ALPHA_NUM = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M * float(HLL_SCALE)
+
+
+def hll_mixed_hash(tok: Column) -> Column:
+    """Char-fold then multiply / xor-shift / multiply, all mod 2^31-1."""
+    h = _charfold(tok)
+    a = (h * F.lit(2654435761)) % CM_MOD
+    b = a.bitwiseXOR(F.shiftright(a, 15)) % CM_MOD
+    return (b * F.lit(1000003)) % CM_MOD
+
+
+def hll_registers(
+    df: DataFrame, item: Column, keys: list[str] | None = None
+) -> DataFrame:
+    """Register table (keys..., j, m_rank): bucket j = low 8 hash bits,
+    rank = leading-zero count (+1) of the remaining 23 bits, max per
+    bucket. <= HLL_M rows per key group, data-independent; merging
+    shards is groupBy-MAX — the max monoid."""
+    keys = keys or []
+    h = hll_mixed_hash(item)
+    w = F.floor(h / HLL_M).cast("bigint")
+    rank = F.when(
+        w > 0, F.lit(HLL_RANK_CAP) - F.length(F.bin(w))
+    ).otherwise(F.lit(HLL_RANK_CAP))
+    return (
+        df.select(*keys, (h % HLL_M).cast("bigint").alias("j"), rank.alias("_r"))
+        .groupBy(*keys, "j")
+        .agg(F.max("_r").cast("bigint").alias("m_rank"))
+    )
+
+
+def hll_summary(regs: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Collapse a register table to the deterministic estimator
+    components: v_empty (registers never touched), s_scaled (the exact
+    integer sum of 2^(50-rank), empty registers contributing 2^50), and
+    raw_est = alpha*m^2*2^50 / s_scaled — the raw HLL estimator as one
+    correctly-rounded division. The small-range (linear counting)
+    correction is ln-based and intentionally NOT emitted; consumers
+    apply it from v_empty (see tests/test_qsketch.py)."""
+    keys = keys or []
+    agg = regs.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_npres"),
+        F.sum(F.pow(F.lit(2.0), F.lit(50) - F.col("m_rank")).cast("bigint"))
+        .cast("bigint")
+        .alias("_sp"),
+    )
+    v_empty = (F.lit(HLL_M) - F.col("_npres")).cast("bigint")
+    s_scaled = (F.col("_sp") + v_empty * F.lit(HLL_SCALE)).cast("bigint")
+    return agg.select(
+        *keys,
+        v_empty.alias("v_empty"),
+        s_scaled.alias("s_scaled"),
+        (F.lit(HLL_ALPHA_NUM) / s_scaled).alias("raw_est"),
+    )

@@ -111,6 +111,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "jpeg_pixel_decode_ac",
     "stream_cusum_fold",
     "countmin_freq_estimate",
+    "hll_distinct_charfold",
     # round-9 additions, earning a second row
     "jpeg_pixel_decode",
     "isotonic_calibration",
@@ -159,9 +160,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "gif_pixel_decode",
     "pandas_udf_grouped_median",
     "quantile_rank_normalize",
-    # exactly-3-attested bench-headline fillers (displaced one-by-one by
-    # round-10 additions, newest first)
-    "shipping_priority",
+    # (all six exactly-3 fillers gave their slots to round-10 additions:
+    # bmp_pixel_decode -> quantile_sketch_dyadic, graph_mass_propagation
+    # -> ann_topk_buckets, events_tumbling_window -> jpeg_pixel_decode_ac,
+    # local_supplier_volume -> stream_cusum_fold, word_count ->
+    # countmin_freq_estimate, shipping_priority -> hll_distinct_charfold)
 )
 
 

@@ -7625,3 +7625,101 @@ def countmin_freq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = countmin_build(toks)
     est = countmin_estimate(sk, probes.select("tok"))
     return probes.join(est, "tok").select("tok", "n_true", "n_est")
+
+
+def _hll_oracle() -> str:
+    """DuckDB twin of the char-fold HyperLogLog: same fold, same
+    multiply / xor-shift / multiply mix, same register split, same
+    integer register sum — and the raw estimator as the identical single
+    division of the shared float literal by the exact bigint sum."""
+    from mapreduce__spark.operators.qsketch import (
+        CM_MOD,
+        HLL_ALPHA_NUM,
+        HLL_M,
+        HLL_RANK_CAP,
+        HLL_SCALE,
+    )
+
+    return f"""
+    WITH c AS (
+      SELECT o_orderpriority AS pr, CAST(o_custkey AS VARCHAR) AS it
+      FROM orders
+    ),
+    h0 AS (
+      SELECT pr,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(it)+1),
+                         i -> CAST(ord(substr(it, i, 1)) AS BIGINT))),
+          (a,b) -> (a*31+b) % {CM_MOD}) AS h
+      FROM c
+    ),
+    h1 AS (SELECT pr, (h * CAST(2654435761 AS BIGINT)) % {CM_MOD} AS a FROM h0),
+    h2 AS (SELECT pr, xor(a, a >> 15) % {CM_MOD} AS b FROM h1),
+    h3 AS (SELECT pr, (b * CAST(1000003 AS BIGINT)) % {CM_MOD} AS h FROM h2),
+    reg AS (
+      SELECT pr, h % {HLL_M} AS j,
+             CASE WHEN h // {HLL_M} > 0
+                  THEN {HLL_RANK_CAP} - length(bin(h // {HLL_M}))
+                  ELSE {HLL_RANK_CAP} END AS r
+      FROM h3
+    ),
+    mx AS (
+      SELECT pr, j, CAST(max(r) AS BIGINT) AS m_rank FROM reg GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT pr, CAST(count(*) AS BIGINT) AS npres,
+             CAST(sum(CAST(pow(2, 50 - m_rank) AS BIGINT)) AS BIGINT) AS sp
+      FROM mx GROUP BY 1
+    ),
+    n AS (SELECT pr, CAST(count(*) AS BIGINT) AS n_rows FROM c GROUP BY 1)
+    SELECT n.pr AS o_orderpriority, n.n_rows,
+           CAST({HLL_M} - agg.npres AS BIGINT) AS v_empty,
+           CAST(agg.sp + ({HLL_M} - agg.npres) * {HLL_SCALE} AS BIGINT)
+               AS s_scaled,
+           {HLL_ALPHA_NUM!r}
+               / (agg.sp + ({HLL_M} - agg.npres) * {HLL_SCALE}) AS raw_est
+    FROM n JOIN agg ON n.pr = agg.pr
+    """
+
+
+@query(
+    "hll_distinct_charfold",
+    oracle=_hll_oracle(),
+    tags=("tier2", "agg", "sketch"),
+)
+def hll_distinct_charfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count with a CROSS-ENGINE-EXACT hash — the
+    oracle-attested face of O-12 (the simhash_charfold precedent applied
+    to cardinality): Spark's native approx_count_distinct keeps xxhash64
+    registers the oracle cannot reproduce, so the family was rows-only
+    until now. This twin runs the same FFGM construction over the shared
+    char-fold hash (+ multiply/xor-shift/multiply mixing, chosen by
+    MEASURED bias on the fixture key population): register = low 8 hash
+    bits, rank = leading zeros of the remaining 23, max per register
+    (the max monoid — shard merges are groupBy-MAX), then the summary
+    emits the INTEGER estimator components (v_empty, the exact scaled
+    register sum) plus the raw estimator as one correctly-rounded
+    division of a shared float literal — hash-identical both engines.
+    The ln-based linear-counting correction is applied from v_empty in
+    the tolerance gate (tests/test_qsketch.py: within 15% of exact
+    COUNT(DISTINCT) at both verify SFs — sf0.001 exercises the
+    linear-counting regime, sf0.01 the raw-estimator regime).
+
+    Counts distinct customers per order priority. SCALE: state is
+    <= {256} registers per key group regardless of cardinality; the
+    build is one map-side-combinable max aggregate over scan-stage hash
+    expressions — the profile primitive behind dedup-rate and
+    vocabulary-size monitoring at 100 TB."""
+    from mapreduce__spark.operators.qsketch import hll_registers, hll_summary
+
+    o = load_table(spark, sf_dir, "orders")
+    regs = hll_registers(
+        o, F.col("o_custkey").cast("string"), ["o_orderpriority"]
+    )
+    summary = hll_summary(regs, ["o_orderpriority"])
+    n = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    return n.join(summary, "o_orderpriority").select(
+        "o_orderpriority", "n_rows", "v_empty", "s_scaled", "raw_est"
+    )

@@ -85,6 +85,7 @@ PROBE = [
     "jpeg_pixel_decode_ac",
     "stream_cusum_fold",
     "countmin_freq_estimate",
+    "hll_distinct_charfold",
 ]
 
 

@@ -275,3 +275,67 @@ def test_dd_handles_inf_and_nan(spark):
     # rank ceil(95/2) = 48 lands inside the finite run (2 -inf below)
     true = finite[48 - 2 - 1]
     assert abs(row.q_1_2 - true) <= ALPHA * true
+
+
+def _hll_corrected(v_empty: int, raw_est: float) -> float:
+    """The standard FFGM small-range correction the query intentionally
+    leaves to consumers (ln is libm — it would break the hash check):
+    linear counting when the raw estimate is small and empty registers
+    remain."""
+    from mapreduce__spark.operators.qsketch import HLL_M
+
+    if raw_est <= 2.5 * HLL_M and v_empty > 0:
+        return HLL_M * math.log(HLL_M / v_empty)
+    return raw_est
+
+
+def test_hll_corrected_estimate_within_tolerance(spark, sf_small, sf_oracle):
+    """Accuracy gate at BOTH verify scales: sf0.001 (~130 distinct per
+    group — the linear-counting regime) and sf0.01 (~1300 — the raw
+    estimator regime), each within 15% of exact COUNT(DISTINCT)
+    (design error is 6.5% at m=256; 15% covers population-specific
+    hash variance with margin)."""
+    from mapreduce__spark.plans import REGISTRY
+    from mapreduce__spark.plans.tier0 import load_table
+
+    for sf in (sf_small, sf_oracle):
+        truth = {
+            r.o_orderpriority: r.d
+            for r in load_table(spark, sf, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.countDistinct("o_custkey").alias("d"))
+            .collect()
+        }
+        got = {
+            r.o_orderpriority: _hll_corrected(r.v_empty, r.raw_est)
+            for r in REGISTRY["hll_distinct_charfold"].fn(spark, sf).collect()
+        }
+        assert set(got) == set(truth) and len(truth) == 5
+        for pr, t in truth.items():
+            assert abs(got[pr] - t) <= 0.15 * t, (sf, pr, got[pr], t)
+
+
+def test_hll_register_merge_law_is_max(spark, sf_oracle):
+    """Registers merge by MAX: the register table of the whole relation
+    equals the max-merge of the register tables of a disjoint split —
+    exact row-for-row (the monoid the shard/stream merges rely on)."""
+    from mapreduce__spark.operators.qsketch import hll_registers
+    from mapreduce__spark.plans.tier0 import load_table
+
+    o = load_table(spark, sf_oracle, "orders")
+    item = F.col("o_custkey").cast("string")
+    keys = ["o_orderpriority"]
+    whole = {
+        tuple(r) for r in hll_registers(o, item, keys).collect()
+    }
+    a = o.where(F.pmod(F.hash("o_orderkey"), F.lit(2)) == 0)
+    b = o.where(F.pmod(F.hash("o_orderkey"), F.lit(2)) == 1)
+    merged = {
+        tuple(r)
+        for r in hll_registers(a, item, keys)
+        .unionAll(hll_registers(b, item, keys))
+        .groupBy(*keys, "j")
+        .agg(F.max("m_rank").cast("bigint").alias("m_rank"))
+        .collect()
+    }
+    assert whole == merged and len(whole) > 100

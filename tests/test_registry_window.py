@@ -51,9 +51,7 @@ CHANGED_CODE_REATTEST: set[str] = set()
 
 # Exactly-3-attested bench-headline fillers holding the six spare slots
 # until round-10 additions displace them (newest-measured first out).
-TRIPLE_FILLERS: set[str] = {
-    "shipping_priority",
-}
+TRIPLE_FILLERS: set[str] = set()
 
 
 # The round whose CORRECTNESS files informed the CURRENT window. The
