@@ -7604,9 +7604,11 @@ def countmin_freq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     or vocabulary size — the bounded summary a 100 TB profiler keeps hot
     while the corpus stays cold; merging shards is cell-wise addition.
     The probe read joins a broadcast probe set against the bounded cell
-    table. Two column-pruned scans by design (one feeds the sketch, one
-    ranks the probes); at production scale the probe list is a fixed
-    query set, not a rank over the corpus."""
+    table; the CM_PROBES-row probe relation is materialized once (it
+    has two consumers — estimate keys and the final join — and a lazy
+    rank relation would replan a second corpus scan). At production
+    scale the probe list is a fixed query set, not a rank over the
+    corpus."""
     from mapreduce__spark.operators.qsketch import (
         countmin_build,
         countmin_estimate,
@@ -7619,8 +7621,14 @@ def countmin_freq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_true")
     )
-    probes = tf.orderBy(F.col("n_true").desc(), F.col("tok").asc()).limit(
-        CM_PROBES
+    # the probe relation is consumed twice (estimate keys + final join
+    # back); materialize its CM_PROBES rows once or AQE replans a third
+    # corpus scan for the second consumer (the round-9 lazy-relation
+    # lesson — bounded mechanically by the limit)
+    probes = (
+        tf.orderBy(F.col("n_true").desc(), F.col("tok").asc())
+        .limit(CM_PROBES)
+        .localCheckpoint(eager=True)
     )
     sk = countmin_build(toks)
     est = countmin_estimate(sk, probes.select("tok"))
