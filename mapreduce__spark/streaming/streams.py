@@ -541,6 +541,65 @@ def stream_dd_quantiles(events: DataFrame, alpha: float = 0.01) -> DataFrame:
     )
 
 
+def stream_countmin(events: DataFrame, item_col: str = "user_id") -> DataFrame:
+    """Stateful streaming count-min sketch per event_type — the streaming
+    twin of the batch countmin_freq_estimate build: state is the
+    (row, col) -> count cell map (<= CM_DEPTH*CM_WIDTH entries, bounded
+    at ANY cardinality), and because cell counts are an additive monoid,
+    folding micro-batches into the state IS the batch sketch of the
+    concatenated stream — the final emission equals the batch build
+    exactly (pinned over random micro-batch splits in
+    tests/test_streaming.py). Items are hashed to cells BEFORE the
+    stateful op with the same Spark expressions the batch build uses, so
+    the fold is pure integer addition. Emits the full live sketch
+    (event_type, row, col, n) each update — downstream estimate reads
+    are the same row-min join the batch query runs."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from mapreduce__spark.operators.qsketch import CM_DEPTH, _charfold, _cm_col
+
+    h = _charfold(F.col(item_col).cast("string"))
+    cells = events.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("row"),
+        h.alias("_h"),
+    ).select(
+        "event_type", "row", _cm_col(F.col("_h"), F.col("row")).alias("col")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        rows, cols, ns = state.get if state.exists else ([], [], [])
+        cellmap = dict(zip(zip(list(rows), list(cols)), list(ns)))
+        for pdf in pdfs:
+            for (r, c), cnt in pdf.groupby(["row", "col"]).size().items():
+                cellmap[(int(r), int(c))] = cellmap.get((int(r), int(c)), 0) + int(cnt)
+        items = sorted(cellmap.items())
+        state.update(
+            (
+                [r for (r, _), _ in items],
+                [c for (_, c), _ in items],
+                [n for _, n in items],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(items),
+                "row": [r for (r, _), _ in items],
+                "col": [c for (_, c), _ in items],
+                "n": [n for _, n in items],
+            }
+        )
+
+    return cells.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, row bigint, col bigint, n bigint",
+        stateStructType="rows array<bigint>, cols array<bigint>, ns array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_user_totals_tws(events: DataFrame) -> DataFrame:
     """The same per-user running totals through `transformWithStateInPandas`
     — Spark 4's arbitrary-state API (typed value/list/map state handles,

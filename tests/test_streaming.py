@@ -943,3 +943,60 @@ def test_stream_cusum_final_emission_equals_batch_fold(spark, sf_small, tmp_path
         for r in REGISTRY["stream_cusum_fold"].fn(spark, sf_small).collect()
     }
     assert final == want and len(want) >= 3
+
+
+def test_stream_countmin_final_state_equals_batch_sketch(spark, sf_small, tmp_path):
+    """Cell counts are an additive monoid, so the stream's final sketch
+    per event_type must equal the batch count-min build of the whole
+    series — exact cell-for-cell, over random micro-batch splits."""
+    import os as _os
+
+    from mapreduce__spark.operators.qsketch import countmin_build
+    from mapreduce__spark.streaming.streams import (
+        run_stream_to_memory,
+        stream_countmin,
+    )
+
+    ev = load_table(spark, sf_small, "events").select("event_type", "user_id")
+    src = tmp_path / "cmshards"
+    src.mkdir()
+    t0 = 1_700_000_000
+    for i, s in enumerate(ev.randomSplit([1.0, 1.0, 1.0], seed=83)):
+        d = src / f"b{i}"
+        s.coalesce(1).write.parquet(str(d))
+        for f in _os.listdir(d):
+            _os.utime(d / f, (t0 + i, t0 + i))
+
+    sdf = (
+        spark.readStream.schema("event_type string, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    run_stream_to_memory(
+        stream_countmin(sdf), "t_cm_stream", output_mode="update"
+    )
+    rows = spark.table("t_cm_stream").collect()
+    # final state per event_type = the emission with the largest total
+    totals: dict = {}
+    for r in rows:
+        totals[r.event_type] = max(
+            totals.get(r.event_type, 0),
+            sum(x.n for x in rows if x.event_type == r.event_type),
+        )
+    # the per-update emission carries the WHOLE live sketch, so the
+    # final state is the last (largest-mass) emission; reconstruct it
+    # as the max n per (event_type, row, col) — counts only grow
+    final: dict = {}
+    for r in rows:
+        k = (r.event_type, r.row, r.col)
+        final[k] = max(final.get(k, 0), r.n)
+
+    want: dict = {}
+    for et_row in ev.select("event_type").distinct().collect():
+        et = et_row.event_type
+        sub = ev.where(F.col("event_type") == et).select(
+            F.col("user_id").cast("string").alias("tok")
+        )
+        for r in countmin_build(sub).collect():
+            want[(et, r.row, r.col)] = r.n
+    assert final == want and len(want) > 20
