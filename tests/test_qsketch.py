@@ -339,3 +339,49 @@ def test_hll_register_merge_law_is_max(spark, sf_oracle):
         .collect()
     }
     assert whole == merged and len(whole) > 100
+
+
+def test_dd_alpha_guarantee_random_content(spark):
+    """Hypothesis-style randomized gate (fixed seeds, multiple draws):
+    the alpha bound must hold on arbitrary float populations, not just
+    the fixture laws — mixtures of scales, signs, duplicates, and
+    near-boundary values."""
+    import random
+
+    for seed in (11, 29, 47):
+        rng = random.Random(seed)
+        vals = []
+        for _ in range(rng.randrange(50, 400)):
+            kind = rng.randrange(5)
+            if kind == 0:
+                vals.append(rng.uniform(-1e6, 1e6))
+            elif kind == 1:
+                vals.append(rng.uniform(-1e-6, 1e-6))
+            elif kind == 2:
+                vals.append(float(rng.randrange(-100, 100)))
+            elif kind == 3:
+                vals.append(rng.choice([0.0, 1.0, -1.0]) * 10 ** rng.randrange(-30, 30))
+            else:
+                vals.append(rng.gauss(0, 1))
+        _check_alpha_bound(spark, vals)
+
+
+def test_countmin_never_undercounts_random_content(spark):
+    """Randomized never-undercount gate: arbitrary token multisets over
+    an alphabet sized to collide, shredded across partitions."""
+    import random
+    from collections import Counter
+
+    from mapreduce__spark.operators.qsketch import countmin_build, countmin_estimate
+
+    rng = random.Random(97)
+    words = []
+    for i in range(1200):
+        words += [f"w{rng.randrange(3000)}"] * rng.randrange(1, 6)
+    truth = Counter(words)
+    toks = spark.createDataFrame([(w,) for w in words], "tok string").repartition(16)
+    sk = countmin_build(toks)
+    probes = spark.createDataFrame([(t,) for t in truth], "tok string")
+    est = {r.tok: r.n_est for r in countmin_estimate(sk, probes).collect()}
+    under = [t for t in truth if est[t] < truth[t]]
+    assert not under, under[:5]
