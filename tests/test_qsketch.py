@@ -385,3 +385,16 @@ def test_countmin_never_undercounts_random_content(spark):
     est = {r.tok: r.n_est for r in countmin_estimate(sk, probes).collect()}
     under = [t for t in truth if est[t] < truth[t]]
     assert not under, under[:5]
+
+
+def test_dd_heavy_point_mass_and_boundary_values(spark):
+    """A single value carrying most of the mass (every quantile lands on
+    it) and values sitting exactly on gamma-power bucket boundaries —
+    the rank-tie and ceil-edge regime. The alpha bound must hold at
+    every probed quantile."""
+    gamma = gamma_for_alpha(ALPHA)
+    boundary = gamma ** 50  # representable, lands on a bucket edge
+    vals = [5.0] * 900 + [0.5, 7.5, boundary, boundary, 2.0 * boundary] * 4
+    _check_alpha_bound(spark, vals)
+    # all-identical distribution: every quantile is the value itself
+    _check_alpha_bound(spark, [42.0] * 257)

@@ -254,3 +254,73 @@ def test_jpeg_ac_checker_statistic_detects_ac_loss():
         )
         assert ac[col] == law_term + JPEG_AC_AMP[c] * n, (c, ac[col])
     assert dc[2] == n  # the DC twin decodes the same geometry
+
+
+def test_ann_bucketed_contract_on_random_embeddings(spark):
+    """Random-content contract check for bucketed ANN (the oracle pins
+    the fixture; this pins the SEMANTICS on arbitrary vectors): every
+    returned neighbor lies within hamming-1 of the query bucket, ranks
+    follow (score desc, neighbor_id asc) within the candidate set, and
+    the result equals a direct Python recomputation of the declared
+    bucketing + rerank."""
+    import math
+    import random
+
+    from mapreduce__spark.operators.similarity import (
+        bucketed_topk,
+        parity_bucket_signature,
+        parity_plane_sign,
+    )
+
+    rng = random.Random(4242)
+    dim, nvec, bits, k = 16, 120, 3, 4
+    vecs = {
+        i: [rng.gauss(0, 1) for _ in range(dim)] for i in range(nvec)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id bigint, embedding array<double>"
+    )
+    qids = [0, 1, 2]
+    got = {}
+    for r in bucketed_topk(df, qids, k=k, n_bits=bits, dim=dim).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.score))
+
+    # Python recomputation of the declared semantics
+    def bucket(v):
+        b = 0
+        for j in range(bits):
+            d = 0.0
+            for i, x in enumerate(v):
+                d += x * parity_plane_sign(i + 1, j)
+            if d > 0:
+                b |= 1 << j
+        return b
+
+    buckets = {i: bucket(v) for i, v in vecs.items()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return -1.0 if da == 0 or db == 0 else num / (da * db)
+
+    for q in qids:
+        cands = [
+            i
+            for i in vecs
+            if i != q and bin(buckets[i] ^ buckets[q]).count("1") <= 1
+        ]
+        # order by RAW score (the operator ranks before rounding); the
+        # emitted score is compared with tolerance because Spark rounds
+        # HALF_UP on the decimal repr while Python round() is banker's
+        scored = sorted(
+            ((cos(vecs[q], vecs[i]), i) for i in cands),
+            key=lambda t: (-t[0], t[1]),
+        )
+        want = [(rank + 1, i, s) for rank, (s, i) in enumerate(scored[:k])]
+        rows = sorted(got.get(q, []))
+        assert [(r, i) for r, i, _ in rows] == [(r, i) for r, i, _ in want], (
+            q, rows, want,
+        )
+        for (_, _, got_s), (_, _, raw_s) in zip(rows, want):
+            assert abs(got_s - raw_s) <= 5.1e-5, (q, got_s, raw_s)
