@@ -359,3 +359,22 @@ def hll_summary(regs: DataFrame, keys: list[str] | None = None) -> DataFrame:
         s_scaled.alias("s_scaled"),
         (F.lit(HLL_ALPHA_NUM) / s_scaled).alias("raw_est"),
     )
+
+
+def hll_union(a: DataFrame, b: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Union of two HLL register tables: per-register MAX — the max
+    monoid, so |A ∪ B| falls out of the merged summary with the same
+    accuracy as a sketch built on the concatenated data (they are
+    IDENTICAL tables, property-pinned in tests). Intersection has no
+    register-level merge; consumers estimate it by inclusion-exclusion
+    over the three summaries (|A| + |B| - |A ∪ B|), whose error
+    compounds — fine for overlap-rate profiling, not for small
+    intersections of huge sets (the classic caveat). Promotion of this
+    algebra to a registry query is deferred until the round-11 window
+    has capacity (memory: round-11 window plan)."""
+    keys = keys or []
+    return (
+        a.unionAll(b)
+        .groupBy(*keys, "j")
+        .agg(F.max("m_rank").cast("bigint").alias("m_rank"))
+    )

@@ -398,3 +398,45 @@ def test_dd_heavy_point_mass_and_boundary_values(spark):
     _check_alpha_bound(spark, vals)
     # all-identical distribution: every quantile is the value itself
     _check_alpha_bound(spark, [42.0] * 257)
+
+
+def test_hll_union_equals_sketch_of_concatenation(spark, sf_oracle):
+    """|A ∪ B| via register max must be EXACTLY the sketch of A ++ B
+    (not merely close): identical register tables, identical summaries —
+    and the inclusion-exclusion intersection estimate lands within
+    3x the design error of the true overlap on the fixture cohorts."""
+    from mapreduce__spark.operators.qsketch import (
+        HLL_M,
+        hll_registers,
+        hll_summary,
+        hll_union,
+    )
+    from mapreduce__spark.plans.tier0 import load_table
+
+    o = load_table(spark, sf_oracle, "orders")
+    item = F.col("o_custkey").cast("string")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT")
+    b = o.where(F.col("o_orderpriority") == "5-LOW")
+
+    ra = hll_registers(a, item)
+    rb = hll_registers(b, item)
+    union_regs = {tuple(r) for r in hll_union(ra, rb).collect()}
+    concat_regs = {
+        tuple(r) for r in hll_registers(a.unionAll(b), item).collect()
+    }
+    assert union_regs == concat_regs and len(union_regs) > 50
+
+    def est(regs):
+        row = hll_summary(regs).collect()[0]
+        return _hll_corrected(row.v_empty, row.raw_est)
+
+    na, nb = est(ra), est(rb)
+    nu = est(hll_union(ra, rb))
+    inter_est = na + nb - nu
+    true_a = {r.o_custkey for r in a.select("o_custkey").distinct().collect()}
+    true_b = {r.o_custkey for r in b.select("o_custkey").distinct().collect()}
+    true_inter = len(true_a & true_b)
+    # 3 summaries x 6.5% design error on cohorts of ~1300 -> generous
+    # absolute band of 3 * 0.065 * |A ∪ B|
+    band = 3 * (1.04 / (HLL_M ** 0.5)) * len(true_a | true_b)
+    assert abs(inter_est - true_inter) <= band, (inter_est, true_inter, band)
