@@ -112,6 +112,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_cusum_fold",
     "countmin_freq_estimate",
     "hll_distinct_charfold",
+    "hll_set_overlap",
     # round-9 additions, earning a second row
     "jpeg_pixel_decode",
     "isotonic_calibration",
@@ -124,14 +125,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "simhash_charfold",
     "vocab_growth",
     "rrf_fusion",
-    # the 33 double-attested queries, earning their third row (includes
-    # the four deferrals carried since round 8: xml_ingest,
-    # binaryfile_ingest, snapshot_diff_cdc, collocation_lift)
+    # 32 of the 33 double-attested queries, earning their third row
+    # (includes the four deferrals carried since round 8: xml_ingest,
+    # binaryfile_ingest, snapshot_diff_cdc, collocation_lift;
+    # per_source_zscore is this round's sole deferral — its slot went to
+    # hll_set_overlap, the 7th round-10 addition, once all six fillers
+    # were spent)
     "xml_ingest",
     "binaryfile_ingest",
     "snapshot_diff_cdc",
     "collocation_lift",
-    "per_source_zscore",
     "incremental_agg_cdc",
     "events_ewma",
     "dedup_containment",

@@ -7731,3 +7731,153 @@ def hll_distinct_charfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.join(summary, "o_orderpriority").select(
         "o_orderpriority", "n_rows", "v_empty", "s_scaled", "raw_est"
     )
+
+
+HLL_COHORT_A = "1-URGENT"
+HLL_COHORT_B = "5-LOW"
+
+
+def _hll_overlap_oracle() -> str:
+    """DuckDB twin of the HLL set-overlap algebra. The Spark side builds
+    the union summary by MAX-MERGING the two cohort register tables
+    (hll_union — the operator under attestation); the oracle builds it
+    from the CONCATENATED cohort rows. The two are exactly equal by the
+    max-monoid law (sketch(A ++ B) == merge(sketch(A), sketch(B)),
+    property-pinned in tests/test_qsketch.py), so the check attests the
+    merge itself. All components integer except the three raw estimates
+    (one correctly-rounded division each) and the inclusion-exclusion
+    sum (left-to-right over the same three doubles both engines)."""
+    from mapreduce__spark.operators.qsketch import (
+        CM_MOD,
+        HLL_ALPHA_NUM,
+        HLL_M,
+        HLL_RANK_CAP,
+        HLL_SCALE,
+    )
+
+    def regs(where: str, name: str) -> str:
+        return f"""
+    c_{name} AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS it FROM orders WHERE {where}
+    ),
+    h0_{name} AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(it)+1),
+                         i -> CAST(ord(substr(it, i, 1)) AS BIGINT))),
+          (a,b) -> (a*31+b) % {CM_MOD}) AS h
+      FROM c_{name}
+    ),
+    h1_{name} AS (SELECT (h * CAST(2654435761 AS BIGINT)) % {CM_MOD} AS a FROM h0_{name}),
+    h2_{name} AS (SELECT xor(a, a >> 15) % {CM_MOD} AS b FROM h1_{name}),
+    h3_{name} AS (SELECT (b * CAST(1000003 AS BIGINT)) % {CM_MOD} AS h FROM h2_{name}),
+    mx_{name} AS (
+      SELECT h % {HLL_M} AS j,
+             CAST(max(CASE WHEN h // {HLL_M} > 0
+                  THEN {HLL_RANK_CAP} - length(bin(h // {HLL_M}))
+                  ELSE {HLL_RANK_CAP} END) AS BIGINT) AS m_rank
+      FROM h3_{name} GROUP BY 1
+    ),
+    s_{name} AS (
+      SELECT CAST({HLL_M} - count(*) AS BIGINT) AS v_empty,
+             CAST(sum(CAST(pow(2, 50 - m_rank) AS BIGINT))
+                  + ({HLL_M} - count(*)) * {HLL_SCALE} AS BIGINT) AS s_scaled
+      FROM mx_{name}
+    )"""
+
+    a = f"o_orderpriority = '{HLL_COHORT_A}'"
+    b = f"o_orderpriority = '{HLL_COHORT_B}'"
+    u = f"o_orderpriority IN ('{HLL_COHORT_A}', '{HLL_COHORT_B}')"
+    return f"""
+    WITH {regs(a, 'a').lstrip()},
+    {regs(b, 'b').lstrip().lstrip(',').lstrip()}
+    ,
+    {regs(u, 'u').lstrip().lstrip(',').lstrip()}
+    SELECT
+      s_a.v_empty AS v_a, s_a.s_scaled AS s_a,
+      {HLL_ALPHA_NUM!r} / s_a.s_scaled AS raw_a,
+      s_b.v_empty AS v_b, s_b.s_scaled AS s_b,
+      {HLL_ALPHA_NUM!r} / s_b.s_scaled AS raw_b,
+      s_u.v_empty AS v_u, s_u.s_scaled AS s_u,
+      {HLL_ALPHA_NUM!r} / s_u.s_scaled AS raw_u,
+      {HLL_ALPHA_NUM!r} / s_a.s_scaled + {HLL_ALPHA_NUM!r} / s_b.s_scaled
+        - {HLL_ALPHA_NUM!r} / s_u.s_scaled AS inter_raw_est
+    FROM s_a, s_b, s_u
+    """
+
+
+@query(
+    "hll_set_overlap",
+    oracle=_hll_overlap_oracle(),
+    tags=("tier2", "agg", "sketch"),
+)
+def hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA with the merge operator itself under driver
+    attestation: union cardinality via per-register MAX (the max monoid
+    — the merge every shard/stream combination runs), intersection via
+    inclusion-exclusion over the three raw estimators. The Spark half
+    MERGES the two cohort register tables with hll_union; the oracle
+    rebuilds the union from concatenated rows — equal exactly by the
+    monoid law (sketch(A ++ B) == merge(sketch(A), sketch(B)),
+    property-pinned), so a green row here attests the merge, not just
+    two builds. Cohorts: distinct customers of '{HLL_COHORT_A}' vs
+    '{HLL_COHORT_B}' orders. Emits the deterministic estimator
+    components (v/s per cohort, raw estimates, the inclusion-exclusion
+    intersection estimate — left-to-right double arithmetic, identical
+    both engines); accuracy vs exact overlap is tolerance-gated in
+    tests/test_qsketch.py with the documented error-compounding caveat
+    (fine for overlap-rate profiling, not small intersections of huge
+    sets).
+
+    100 TB use: audience overlap, cross-corpus contamination rate,
+    dedup-rate-between-snapshots — WITHOUT a distinct-join over either
+    corpus: state is <= 3 x 256 register rows end to end."""
+    from mapreduce__spark.operators.qsketch import (
+        HLL_ALPHA_NUM,
+        HLL_SCALE,
+        HLL_M,
+        hll_registers,
+        hll_union,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    item = F.col("o_custkey").cast("string")
+    ra = hll_registers(o.where(F.col("o_orderpriority") == HLL_COHORT_A), item)
+    rb = hll_registers(o.where(F.col("o_orderpriority") == HLL_COHORT_B), item)
+    ru = hll_union(ra, rb)
+
+    def summary(regs: DataFrame, suffix: str) -> DataFrame:
+        agg = regs.groupBy().agg(
+            F.count(F.lit(1)).cast("bigint").alias("_npres"),
+            F.sum(
+                F.pow(F.lit(2.0), F.lit(50) - F.col("m_rank")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("_sp"),
+        )
+        v = (F.lit(HLL_M) - F.col("_npres")).cast("bigint")
+        s = (F.col("_sp") + v * F.lit(HLL_SCALE)).cast("bigint")
+        return agg.select(
+            v.alias(f"v_{suffix}"),
+            s.alias(f"s_{suffix}"),
+            (F.lit(HLL_ALPHA_NUM) / s).alias(f"raw_{suffix}"),
+        )
+
+    joined = (
+        summary(ra, "a")
+        .crossJoin(F.broadcast(summary(rb, "b")))
+        .crossJoin(F.broadcast(summary(ru, "u")))
+    )
+    return joined.select(
+        "v_a",
+        "s_a",
+        "raw_a",
+        "v_b",
+        "s_b",
+        "raw_b",
+        "v_u",
+        "s_u",
+        "raw_u",
+        (F.col("raw_a") + F.col("raw_b") - F.col("raw_u")).alias(
+            "inter_raw_est"
+        ),
+    )

@@ -86,6 +86,10 @@ PROBE = [
     "stream_cusum_fold",
     "countmin_freq_estimate",
     "hll_distinct_charfold",
+    # (hll_set_overlap is a GLOBAL summary — like welch_z_test it emits
+    # its one summary row even on an empty corpus, which is the correct
+    # sketch of an empty cohort: v_empty=256, raw_est near zero — so it
+    # does not belong in this zero-rows probe)
 ]
 
 
