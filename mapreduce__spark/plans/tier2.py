@@ -7784,14 +7784,16 @@ def _hll_overlap_oracle() -> str:
       FROM mx_{name}
     )"""
 
-    a = f"o_orderpriority = '{HLL_COHORT_A}'"
-    b = f"o_orderpriority = '{HLL_COHORT_B}'"
-    u = f"o_orderpriority IN ('{HLL_COHORT_A}', '{HLL_COHORT_B}')"
+    blocks = ",\n".join(
+        regs(where, name).strip()
+        for where, name in (
+            (f"o_orderpriority = '{HLL_COHORT_A}'", "a"),
+            (f"o_orderpriority = '{HLL_COHORT_B}'", "b"),
+            (f"o_orderpriority IN ('{HLL_COHORT_A}', '{HLL_COHORT_B}')", "u"),
+        )
+    )
     return f"""
-    WITH {regs(a, 'a').lstrip()},
-    {regs(b, 'b').lstrip().lstrip(',').lstrip()}
-    ,
-    {regs(u, 'u').lstrip().lstrip(',').lstrip()}
+    WITH {blocks}
     SELECT
       s_a.v_empty AS v_a, s_a.s_scaled AS s_a,
       {HLL_ALPHA_NUM!r} / s_a.s_scaled AS raw_a,
