@@ -16,8 +16,10 @@ both pure DataFrame expressions (JVM-side, one bounded shuffle, no UDF):
    chosen for quantile q is exactly the one containing the rank-q value,
    and the bucket's midpoint estimate 2*g^i/(g+1) is within relative
    error alpha of it — a hard guarantee, not a statistical one. The
-   bucket-index universe is FIXED by the double range (|idx| <=
-   ceil(ln(DBL_MAX)/ln(g)) ~ 3.6e4 at alpha=0.01), so sketch size is
+   bucket-index universe is FIXED by the double range (idx in
+   [ceil(ln(5e-324)/ln(g)), ceil(ln(DBL_MAX)/ln(g))] ~ [-3.8e4, 3.6e4]
+   at alpha=0.01 — asymmetric because subnormals reach further below 1
+   than DBL_MAX reaches above it), so sketch size is
    data-independent: counts per (sign-section, index), mergeable by
    plain addition — sketch(A ++ B) EQUALS merge(sketch(A), sketch(B))
    row-for-row, the monoid law the streaming twin and partition-parallel
@@ -66,10 +68,24 @@ def _bucket_cols(value: Column, gamma: float) -> tuple[Column, Column]:
     otherwise ride an inf double into cast-to-long, ANSI-erroring or
     saturating depending on session mode) — the DDSketch end-bucket
     convention, which also keeps the universe bound a true invariant.
+
+    The clamps are asymmetric because the double range is: the upper cap
+    comes from DBL_MAX (~1.8e308) but the lower floor from the smallest
+    positive SUBNORMAL (~5e-324), whose index is ~5% more negative than
+    -cap. Clamping at -cap would bin every |x| < ~1e-308 into one bucket
+    and silently break the alpha relative-error guarantee there (round-10
+    ADVICE); with the floor at the true minimum index, EVERY positive
+    finite double's exact index is representable and no magnitude is
+    ever mis-binned.
     """
     lg = math.log(gamma)
-    # ceil(ln(DBL_MAX)/ln(gamma)): every finite double's index fits here
+    # ceil(ln(DBL_MAX)/ln(gamma)): the largest index any finite double
+    # maps to
     idx_cap = math.ceil(math.log(1.7976931348623157e308) / lg)
+    # ceil(ln(DBL_TRUE_MIN)/ln(gamma)) with DBL_TRUE_MIN = 5e-324 (the
+    # smallest positive subnormal): the most negative index any positive
+    # double maps to
+    idx_floor = math.ceil(math.log(5e-324) / lg)
     sgn = F.when(value > 0, F.lit(1)).when(value < 0, F.lit(-1)).otherwise(F.lit(0))
     # clamp as DOUBLE, before the long cast — inf must never reach cast
     idx = F.when(
@@ -77,7 +93,7 @@ def _bucket_cols(value: Column, gamma: float) -> tuple[Column, Column]:
         F.least(
             F.lit(float(idx_cap)),
             F.greatest(
-                F.lit(float(-idx_cap)),
+                F.lit(float(idx_floor)),
                 F.ceil(F.log(F.abs(value)) / F.lit(lg)),
             ),
         ).cast("long"),
@@ -345,9 +361,18 @@ def hll_summary(regs: DataFrame, keys: list[str] | None = None) -> DataFrame:
     correction is ln-based and intentionally NOT emitted; consumers
     apply it from v_empty (see tests/test_qsketch.py)."""
     keys = keys or []
+    # coalesce: a keyless summary over an EMPTY register table emits one
+    # row with count 0 and a NULL sum; the correct sketch of an empty
+    # set is all-empty registers (v_empty = HLL_M, s_scaled =
+    # HLL_M * HLL_SCALE), not NULLs (round-10 ADVICE)
     agg = regs.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("bigint").alias("_npres"),
-        F.sum(F.pow(F.lit(2.0), F.lit(50) - F.col("m_rank")).cast("bigint"))
+        F.coalesce(
+            F.sum(
+                F.pow(F.lit(2.0), F.lit(50) - F.col("m_rank")).cast("bigint")
+            ),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("_sp"),
     )
@@ -369,9 +394,9 @@ def hll_union(a: DataFrame, b: DataFrame, keys: list[str] | None = None) -> Data
     register-level merge; consumers estimate it by inclusion-exclusion
     over the three summaries (|A| + |B| - |A ∪ B|), whose error
     compounds — fine for overlap-rate profiling, not for small
-    intersections of huge sets (the classic caveat). Promotion of this
-    algebra to a registry query is deferred until the round-11 window
-    has capacity (memory: round-11 window plan)."""
+    intersections of huge sets (the classic caveat). The registry face
+    of this algebra is hll_set_overlap (plans/tier2.py), driver-attested
+    since round 10."""
     keys = keys or []
     return (
         a.unionAll(b)

@@ -6717,8 +6717,10 @@ def _heavy_hitters_exact(
     spark: SparkSession, sf_dir: str, broadcast_limit: int = HH_BROADCAST_LIMIT
 ) -> DataFrame:
     """Body of heavy_hitters_exact with the broadcast guard exposed for
-    tests (tests/test_sketches.py pins the broadcast and shuffle recount
-    paths value-equal by forcing broadcast_limit=0)."""
+    tests (tests/test_round10_properties.py::
+    test_heavy_hitters_broadcast_and_shuffle_paths_value_equal pins the
+    broadcast and shuffle recount paths value-equal by forcing
+    broadcast_limit=0)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -7185,7 +7187,7 @@ def quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
     ),
     b AS (
       SELECT event_type,
@@ -7247,7 +7249,14 @@ def quantile_sketch_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
-    sk = dyadic_sketch(ev.where(F.col("value").isNotNull()), cents, ["event_type"])
+    # NaN shares dd_sketch's drop-like-NULL discipline (round-10 ADVICE:
+    # a NaN would non-ANSI-cast to bucket 0 on the Spark side while the
+    # oracle's CAST(round(NaN) AS BIGINT) errors — filter it in BOTH)
+    sk = dyadic_sketch(
+        ev.where(F.col("value").isNotNull() & ~F.isnan("value")),
+        cents,
+        ["event_type"],
+    )
     w = Window.partitionBy("event_type")
     cum = sk.select(
         "event_type",
@@ -7778,8 +7787,11 @@ def _hll_overlap_oracle() -> str:
       FROM h3_{name} GROUP BY 1
     ),
     s_{name} AS (
+      -- coalesce: an EMPTY cohort has zero register rows, so the SUM is
+      -- NULL; the correct sketch of an empty set is all-empty registers,
+      -- i.e. s_scaled = {HLL_M} * {HLL_SCALE} (round-10 ADVICE)
       SELECT CAST({HLL_M} - count(*) AS BIGINT) AS v_empty,
-             CAST(sum(CAST(pow(2, 50 - m_rank) AS BIGINT))
+             CAST(coalesce(sum(CAST(pow(2, 50 - m_rank) AS BIGINT)), 0)
                   + ({HLL_M} - count(*)) * {HLL_SCALE} AS BIGINT) AS s_scaled
       FROM mx_{name}
     )"""
@@ -7848,10 +7860,18 @@ def hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ru = hll_union(ra, rb)
 
     def summary(regs: DataFrame, suffix: str) -> DataFrame:
+        # coalesce: an EMPTY cohort has zero register rows, so the SUM is
+        # NULL; the correct empty-set sketch is all-empty registers —
+        # v_empty = HLL_M, s_scaled = HLL_M * HLL_SCALE (round-10 ADVICE)
         agg = regs.groupBy().agg(
             F.count(F.lit(1)).cast("bigint").alias("_npres"),
-            F.sum(
-                F.pow(F.lit(2.0), F.lit(50) - F.col("m_rank")).cast("bigint")
+            F.coalesce(
+                F.sum(
+                    F.pow(F.lit(2.0), F.lit(50) - F.col("m_rank")).cast(
+                        "bigint"
+                    )
+                ),
+                F.lit(0),
             )
             .cast("bigint")
             .alias("_sp"),

@@ -440,3 +440,42 @@ def test_hll_union_equals_sketch_of_concatenation(spark, sf_oracle):
     # absolute band of 3 * 0.065 * |A ∪ B|
     band = 3 * (1.04 / (HLL_M ** 0.5)) * len(true_a | true_b)
     assert abs(inter_est - true_inter) <= band, (inter_est, true_inter, band)
+
+
+def test_dd_subnormal_values_keep_alpha_guarantee(spark):
+    """Round-10 ADVICE: the bucket-index clamp was derived from DBL_MAX
+    only, so |x| < DBL_MIN (subnormals, indexes below -idx_cap) used to
+    collapse into one bucket with estimate ~1e-309 — violating the hard
+    alpha guarantee. The floor now comes from the smallest positive
+    subnormal (5e-324): every positive double's exact index is
+    representable, so subnormal magnitudes estimate within alpha too."""
+    vals = [1e-310, 5e-320, 1e-315, 2.5e-312, 4.9e-324, 2.2e-308]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    sk = dd_sketch(df, "value", alpha=ALPHA)
+    n = len(vals)
+    svals = sorted(vals)
+    for num, den in [(1, 4), (1, 2), (3, 4), (1, 1)]:
+        row = dd_quantiles(sk, [(num, den)], alpha=ALPHA).collect()[0]
+        true = svals[-(-num * n // den) - 1]  # percentile_disc rank
+        est = row[f"q_{num}_{den}"]
+        assert abs(est - true) <= ALPHA * true, (num, den, est, true)
+
+
+def test_hll_summary_of_empty_set_is_empty_sketch(spark):
+    """Round-10 ADVICE: the register SUM over zero rows is NULL; the
+    summary must coalesce it so an empty cohort reads as the CORRECT
+    sketch of the empty set — all registers empty, v_empty = HLL_M,
+    s_scaled = HLL_M * 2^50 — rather than NULL estimator components."""
+    from mapreduce__spark.operators.qsketch import (
+        HLL_ALPHA_NUM,
+        HLL_M,
+        HLL_SCALE,
+        hll_registers,
+        hll_summary,
+    )
+
+    empty = spark.createDataFrame([], "it string")
+    row = hll_summary(hll_registers(empty, F.col("it"))).collect()[0]
+    assert row.v_empty == HLL_M
+    assert row.s_scaled == HLL_M * HLL_SCALE
+    assert row.raw_est == HLL_ALPHA_NUM / (HLL_M * HLL_SCALE)  # near zero
