@@ -84,28 +84,35 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_registry_window.py::test_rotated_out_core_stays_oracle_gated
 # pins that rotated-out entries keep their oracles.
 #
-# Round-10 rotation, DERIVED FROM DATA like rounds 6-9 (the audit-trail
+# Round-11 rotation, DERIVED FROM DATA like rounds 6-10 (the audit-trail
 # test tests/test_registry_window.py::test_window_prioritizes_low_attestation
 # recomputes green-attestation counts from the checked-in
 # CORRECTNESS_r0*.json files and asserts the policy below, so this
 # comment cannot silently disagree with the window):
-#   IN  — every query with zero or one green driver row (the 11 round-9
+#   IN  — every query with zero or one green driver row (the 7 round-10
 #         additions earning their second row, plus this round's new
-#         queries); ALL 33 double-attestation queries (they fit —
-#         DEFERRED_DOUBLES is empty for the first time since round 7,
-#         closing the xml_ingest / binaryfile_ingest / snapshot_diff_cdc
-#         / collocation_lift deferrals from rounds 8-9); and exactly-3
-#         bench-headline fillers in the remaining slots, displaced
-#         one-by-one as round-10 queries land.
-#   OUT — every other query already green in >=3 rounds, each still
-#         bit-exact-gated by tests/test_oracle.py on every pytest run
-#         (training_data_pipeline_full re-attested in r9 post-seam and
-#         now holds 5 rows, so its CHANGED_CODE_REATTEST exemption ends).
+#         queries); ALL 12 double-attestation queries (the 11 round-9
+#         additions plus per_source_zscore, round 10's sole deferral —
+#         DEFERRED_DOUBLES empties again); and 31 exactly-3 fillers.
+#   FILLER POLICY (new, round-10 VERDICT item 8): with 137 queries now
+#         holding exactly 3 green rows, fillers are chosen
+#         LEAST-RECENTLY-ATTESTED FIRST (oldest most-recent green round,
+#         registration order as tie-break) — the r11 fillers' last rows
+#         date from rounds 3-6. Queries reaching SATURATED_AT (4) green
+#         rows RETIRE from rotation eligibility: they re-enter only via
+#         CHANGED_CODE_REATTEST, so driver attestation keeps cycling
+#         fresh code instead of re-attesting saturated queries
+#         (asserted by tests/test_registry_window.py::
+#         test_saturated_queries_are_retired and
+#         test_fillers_are_least_recently_attested).
+#   OUT — everything else (>=3 green rows, attested more recently), each
+#         still bit-exact-gated by tests/test_oracle.py on every pytest
+#         run.
 # The intentionally-approximate (rows-only) queries sit past the window so
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-10 additions — never driver-attested (each displaced a filler)
+    # round-10 additions, earning a second row
     "quantile_sketch_dyadic",
     "ann_topk_buckets",
     "jpeg_pixel_decode_ac",
@@ -113,7 +120,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "countmin_freq_estimate",
     "hll_distinct_charfold",
     "hll_set_overlap",
-    # round-9 additions, earning a second row
+    # round-9 additions + per_source_zscore (round 10's sole deferral),
+    # earning their third row
     "jpeg_pixel_decode",
     "isotonic_calibration",
     "cusum_drift",
@@ -125,49 +133,41 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "simhash_charfold",
     "vocab_growth",
     "rrf_fusion",
-    # 32 of the 33 double-attested queries, earning their third row
-    # (includes the four deferrals carried since round 8: xml_ingest,
-    # binaryfile_ingest, snapshot_diff_cdc, collocation_lift;
-    # per_source_zscore is this round's sole deferral — its slot went to
-    # hll_set_overlap, the 7th round-10 addition, once all six fillers
-    # were spent)
-    "xml_ingest",
-    "binaryfile_ingest",
-    "snapshot_diff_cdc",
-    "collocation_lift",
-    "incremental_agg_cdc",
-    "events_ewma",
-    "dedup_containment",
-    "domain_mixture_weights",
-    "substring_dedup_windows",
-    "dedup_containment_chunks",
-    "fuzzy_join_parts",
-    "kmeans_embeddings",
-    "embedding_cluster_outliers",
-    "cluster_balanced_sample",
-    "graph_triangles",
-    "skyline_pareto",
-    "inverted_index",
-    "data_quality_audit",
-    "phrase_search",
-    "zorder_layout",
-    "semantic_dedup",
-    "dedup_jaccard_prefix",
-    "bm25_rank",
-    "entity_resolution_parts",
-    "robust_outliers_mad",
-    "equidepth_deciles",
-    "bigram_lm_score",
-    "png_pixel_decode",
-    "incremental_percentiles",
-    "gif_pixel_decode",
-    "pandas_udf_grouped_median",
-    "quantile_rank_normalize",
-    # (all six exactly-3 fillers gave their slots to round-10 additions:
-    # bmp_pixel_decode -> quantile_sketch_dyadic, graph_mass_propagation
-    # -> ann_topk_buckets, events_tumbling_window -> jpeg_pixel_decode_ac,
-    # local_supplier_volume -> stream_cusum_fold, word_count ->
-    # countmin_freq_estimate, shipping_priority -> hll_distinct_charfold)
+    "per_source_zscore",
+    # 31 least-recently-attested exactly-3 fillers (last green rows from
+    # rounds 3-6), displaced newest-last-green-first as round-11 queries
+    # land
+    "global_sort",
+    "formatted_sink",
+    "join_full_outer",
+    "join_semi_anti",
+    "topk_per_key",
+    "window_analytic",
+    "rollup_cube",
+    "scalar_functions",
+    "word_count",
+    "dedup_exact",
+    "dedup_jaccard_exact",
+    "dedup_embedding_cosine",
+    "ann_topk_bruteforce",
+    "embedding_correlation",
+    "image_header_metadata",
+    "media_header_metadata",
+    "events_tumbling_window",
+    "sessionization",
+    "stateful_dedup_first_event",
+    "sequence_packing",
+    "dedup_clusters",
+    "rolling_user_features",
+    "training_data_pipeline",
+    "kernel_search_count",
+    "pii_scrub",
+    "join_skew_salted",
+    "join_bloom_pruned",
+    "window_distribution",
+    "merge_upsert",
+    "scd2_intervals",
+    "graph_mass_propagation",
 )
 
 

@@ -34,30 +34,66 @@ ROWS_ONLY = {
     "quantile_sketch_values",
 }
 
-# Round-10 rotation: the 11 round-9 singles take their second row, ALL
-# 33 doubles fit (the first empty deferral list since round 7 — the
-# xml_ingest / binaryfile_ingest / snapshot_diff_cdc / collocation_lift
-# deferrals carried from rounds 8-9 finally take their third row), and
-# exactly-3-attested bench-headline fillers round out the 50, displaced
-# one-by-one as round-10 additions land.
-DEFERRED_DOUBLES: set[str] = {
-    # the 7th round-10 addition (hll_set_overlap) landed after all six
-    # exactly-3 fillers were displaced; per_source_zscore (stable
-    # broadcast-not-window stats path, still pytest-oracle-gated every
-    # run) waits one round for its third row
-    "per_source_zscore",
-}
+# Round-11 rotation: the 7 round-10 singles take their second row, all
+# 12 doubles fit (the 11 round-9 additions plus per_source_zscore —
+# round 10's sole deferral — so DEFERRED_DOUBLES empties again), and 31
+# exactly-3 fillers round out the 50, displaced one-by-one as round-11
+# additions land.
+DEFERRED_DOUBLES: set[str] = set()
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
 # driver rows — their prior attestations describe the old code, so they
 # re-enter the window even though the low-attestation rule alone would
-# exclude them. Round 10: none (training_data_pipeline_full's round-9
-# re-attestation landed green, ending its exemption at 5 rows).
+# exclude them. Round 11: none so far.
 CHANGED_CODE_REATTEST: set[str] = set()
 
-# Exactly-3-attested bench-headline fillers holding the six spare slots
-# until round-10 additions displace them (newest-measured first out).
-TRIPLE_FILLERS: set[str] = set()
+# Saturation retirement (round-10 VERDICT item 8): a query holding
+# SATURATED_AT green driver rows retires from rotation eligibility — it
+# may re-enter the window only via CHANGED_CODE_REATTEST. With the
+# registry at 177 queries and climbing, re-attesting 4-green queries
+# would starve fresh code of driver rows.
+SATURATED_AT = 4
+
+# Exactly-3-attested fillers holding the spare slots until round-11
+# additions displace them. Selection policy (new this round): the 31
+# LEAST-RECENTLY-ATTESTED exactly-3 queries — oldest most-recent green
+# round first, registration order as tie-break; displacement pops the
+# NEWEST-last-green filler first, which preserves the least-recent
+# invariant test_fillers_are_least_recently_attested asserts. The r11
+# fillers' last green rows all date from rounds 3-6.
+TRIPLE_FILLERS: set[str] = {
+    "global_sort",
+    "formatted_sink",
+    "join_full_outer",
+    "join_semi_anti",
+    "topk_per_key",
+    "window_analytic",
+    "rollup_cube",
+    "scalar_functions",
+    "word_count",
+    "dedup_exact",
+    "dedup_jaccard_exact",
+    "dedup_embedding_cosine",
+    "ann_topk_bruteforce",
+    "embedding_correlation",
+    "image_header_metadata",
+    "media_header_metadata",
+    "events_tumbling_window",
+    "sessionization",
+    "stateful_dedup_first_event",
+    "sequence_packing",
+    "dedup_clusters",
+    "rolling_user_features",
+    "training_data_pipeline",
+    "kernel_search_count",
+    "pii_scrub",
+    "join_skew_salted",
+    "join_bloom_pruned",
+    "window_distribution",
+    "merge_upsert",
+    "scd2_intervals",
+    "graph_mass_propagation",
+}
 
 
 # The round whose CORRECTNESS files informed the CURRENT window. The
@@ -66,7 +102,7 @@ TRIPLE_FILLERS: set[str] = set()
 # gives every in-window entry one MORE green row — counting that file
 # would flip test_window_prioritizes_low_attestation red before the
 # next rotation happens. Bump this when rotating the window.
-WINDOW_BASIS_ROUND = 9
+WINDOW_BASIS_ROUND = 10
 
 
 def _attestations() -> dict[str, int]:
@@ -74,9 +110,19 @@ def _attestations() -> dict[str, int]:
     CORRECTNESS_r0*.json files up to WINDOW_BASIS_ROUND (a row counts
     only if rows+schema+hash all matched with no error)."""
     counts: dict[str, int] = {}
+    for name, rnd in _green_rows():
+        counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
+def _green_rows() -> list[tuple[str, int]]:
+    """(query, round) for every green driver row up to
+    WINDOW_BASIS_ROUND."""
+    rows: list[tuple[str, int]] = []
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         digits = "".join(ch for ch in os.path.basename(path) if ch.isdigit())
-        if int(digits) > WINDOW_BASIS_ROUND:
+        rnd = int(digits)
+        if rnd > WINDOW_BASIS_ROUND:
             continue
         with open(path) as f:
             data = json.load(f)
@@ -88,8 +134,8 @@ def _attestations() -> dict[str, int]:
                 and not row.get("err")
             )
             if ok:
-                counts[name] = counts.get(name, 0) + 1
-    return counts
+                rows.append((name, rnd))
+    return rows
 
 
 def test_window_is_first_50():
@@ -205,3 +251,47 @@ def test_oracle_order_matches_query_order():
     driver's 50-entry cut lands on the same prefix for both."""
     q_names = [n for n in get_queries() if n in get_oracle_sql()]
     assert list(get_oracle_sql()) == q_names
+
+
+def test_saturated_queries_are_retired():
+    """Round-10 VERDICT item 8: a query with >= SATURATED_AT green driver
+    rows has retired from rotation — it holds a window slot only via the
+    explicit CHANGED_CODE_REATTEST exemption. This keeps the growing
+    registry cycling fresh code through driver attestation instead of
+    re-attesting saturated queries."""
+    counts = _attestations()
+    saturated_in_window = {
+        n: counts[n]
+        for n in DRIVER_WINDOW
+        if counts.get(n, 0) >= SATURATED_AT and n not in CHANGED_CODE_REATTEST
+    }
+    assert not saturated_in_window, (
+        f"retired (>= {SATURATED_AT} green rows) queries holding window "
+        f"slots: {saturated_in_window}"
+    )
+
+
+def test_fillers_are_least_recently_attested():
+    """Round-11 filler policy: among exactly-3-attested queries, slots go
+    to the LEAST recently attested first — every chosen filler's
+    most-recent green round is <= every unchosen exactly-3 query's.
+    Displacing fillers newest-last-green-first as new queries land
+    preserves this invariant, so the assert holds mid-round too."""
+    counts = _attestations()
+    last: dict[str, int] = {}
+    for name, rnd in _green_rows():
+        last[name] = max(rnd, last.get(name, 0))
+    pool = {
+        n
+        for n in REGISTRY
+        if REGISTRY[n].oracle is not None and counts.get(n, 0) == 3
+    }
+    unchosen = pool - TRIPLE_FILLERS
+    if not TRIPLE_FILLERS or not unchosen:
+        return
+    newest_chosen = max(last[n] for n in TRIPLE_FILLERS)
+    oldest_unchosen = min(last[n] for n in unchosen)
+    assert newest_chosen <= oldest_unchosen, (
+        f"filler set skips a less-recently-attested query: newest chosen "
+        f"last-green r{newest_chosen} > oldest unchosen r{oldest_unchosen}"
+    )
