@@ -100,8 +100,9 @@ def test_stream_stateful_totals_tws(spark, sf_small):
             "transformWithStateInPandas worker protocol requires "
             "protobuf>=6.33.0,<7 (StateMessage_pb2 runtime validation); "
             "not installed in this environment and pip installs are "
-            "forbidden — declared as the 'streaming-tws' extra in "
-            "pyproject.toml; install it and this test must pass"
+            "forbidden — a CORE dependency in pyproject.toml since round "
+            "11, so any pip-installed environment has it and this test "
+            "must pass there"
         )
     sdf = stream_user_totals_tws(read_events_stream(spark, sf_small))
     run_stream_to_memory(sdf, "t_tws", output_mode="update")
