@@ -160,9 +160,10 @@ BENCH_QUERIES = [
     "dedup_containment_chunks",  # chunk ⋈ stride-1-window span join: the
                                  # linear containment path (round 8;
                                  # deltas start r8)
-    "graph_triangles",     # degree-ordered wedge + closure equi-joins:
-                           # the O(m^1.5) graph self-join representative
-                           # (round 8; deltas start r8)
+    "graph_triangles",     # degree-ordered orientation + adjacency-array
+                           # intersection: the O(m^1.5) graph
+                           # representative (round 8; restructured r11 —
+                           # expect a step DOWN vs r10, not drift)
     "inverted_index",      # scan-side postings build + df window: the
                            # widest (gram, doc) text shuffle (round 8;
                            # deltas start r8)

@@ -88,9 +88,10 @@ def propagate_mass(
     return mass
 
 
-# Broadcast guard for count_triangles: 4M oriented edges x 3 bigints is
-# ~100MB serialized — comfortably broadcastable; past this the closure
-# join falls back to sort-merge (see the function docstring).
+# Broadcast guard for count_triangles: the adjacency-list table carries
+# one array entry per oriented edge, so 4M edges x 3 bigints is ~100MB
+# serialized — comfortably broadcastable; past this the two adjacency
+# joins fall back to sort-merge (see the function docstring).
 TRIANGLES_BROADCAST_MAX_EDGES = 4_000_000
 
 
@@ -107,37 +108,45 @@ def count_triangles(
     Algorithm: degree-ordered edge orientation (Suri & Vassilvitskii,
     "Counting Triangles and the Curse of the Last Reducer", WWW'11).
     Every edge is directed from its lower endpoint to its higher under
-    the total order (degree, id); wedges (pairs of out-neighbors) are
-    generated at their apex and closed against the oriented edge list.
-    A triangle has exactly one vertex with out-edges to the other two
-    under a total order, so each is found exactly once — no /3 or /6
-    correction, which keeps the count exactly oracle-checkable.
+    the total order (degree, id); a triangle has exactly one vertex with
+    out-edges to the other two under a total order, so each is found
+    exactly once — no /3 or /6 correction, which keeps the count exactly
+    oracle-checkable.
 
-    Scale (the reason for DEGREE order, not id order): wedges form at
-    the (degree,id)-LOWEST endpoint of each edge, so a hub of degree d
-    never becomes an apex for its d^2 neighbor pairs unless every
-    neighbor out-ranks it; total wedge count is bounded by O(m^{3/2})
-    on any graph, vs Σ d(v)^2 — quadratic in the hub degree — for the
-    naive apex-at-every-vertex form (the "last reducer" that strands a
-    single task with the celebrity node's pairs). Both the wedge join
-    and the closing join are EQUI-joins: the closing pair (cx, cy) is
-    canonicalized by the same (degree, id) order the orientation uses,
-    so the closing edge can only be stored as cx→cy — a theta/OR join
-    here (measured) is the difference between seconds and hours. The
-    oriented edge list is materialized once (narrow: two ids + one
-    degree) and reused by both joins.
+    Execution (round 11): the per-edge INTERSECTION form, not the wedge
+    join. Out-neighbor sets are packed into one sorted array per source
+    (collect_list over the oriented edges — a single m-row shuffle);
+    each oriented edge (s, t) then closes its triangles as
+    array_intersect(N+(s), N+(t)) — every common out-neighbor w yields
+    the triangle {s, t, w}, found only at its apex edge because s→t,
+    s→w, t→w is the unique orientation. Per-node participation falls
+    out without materializing the wedge stream: s and t each gain
+    |intersection| and each w gains 1 (one explode bounded by the
+    TRIANGLE count, not the wedge count).
 
-    Size-guarded broadcast (round 9): wedges outnumber oriented edges
-    ~34:1 on the fixture graph (41M wedges / 1.2M edges at sf0.1), so
-    shuffling the WEDGE side for a sort-merge closure join is the
-    dominant cost. When the oriented edge list fits comfortably in a
-    broadcast (row-count guard below — the checkpointed table is three
-    bigints wide), both the wedge self-join and the closure join hash
-    against broadcast edges and the wedge stream never shuffles at all:
-    measured 35s -> 15s cold at sf0.1 in one controlled session. Past
-    the guard the sort-merge path stands — broadcasting an edge-sized
-    relation is exactly the non-scalable shape the guard exists to
-    prevent (the _probe_ids pattern)."""
+    Scale. Degree ordering bounds BOTH forms' work at O(m^{3/2}) total
+    (Σ per-edge |N+(s)|+|N+(t)| counts each wedge at most twice), and —
+    the property the array form leans on — bounds every out-degree by
+    O(sqrt(m)) (a node's out-neighbors all out-rank it in degree, and
+    more than 2*sqrt(m) nodes of degree >= sqrt(m) would need more than
+    m edge endpoints), so no adjacency array can blow a row: ~2e5
+    entries per row even at 10^10 edges. The win over the former
+    wedge-join body (round-9..10 shape) is constant-factor but large:
+    the 41M-wedge stream at sf0.1 (34:1 wedges:edges) was materialized
+    through a join and re-probed by the closure join; the array form
+    does the same element comparisons INSIDE one codegen stage over the
+    1.2M edge rows and allocates rows only for actual triangles.
+    A/B'd like the k-core guard, same session, identical results
+    (sum 5,653,464 over 20,000 nodes at sf0.1): warm-vs-warm 29.4s ->
+    10.4s, cold-vs-cold 42.5s -> 22.3s.
+
+    Size-guarded broadcast: the adjacency table carries one array entry
+    per oriented edge, so the round-9 edge-count guard transfers — under
+    TRIANGLES_BROADCAST_MAX_EDGES oriented edges both adjacency lookups
+    hash against a broadcast and the edge list never shuffles; past it
+    the two joins fall back to sort-merge on s / t — broadcasting an
+    edge-sized relation at true graph scale is exactly the non-scalable
+    shape the guard exists to prevent (the _probe_ids pattern)."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.localCheckpoint(eager=True)
     deg = (
@@ -155,37 +164,35 @@ def count_triangles(
     o = j.select(
         F.when(u_lower, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_lower, F.col("v")).otherwise(F.col("u")).alias("t"),
-        # degree of the HIGHER endpoint rides along so the wedge pair
-        # below canonicalizes without re-joining the degree table
-        F.when(u_lower, F.col("dv")).otherwise(F.col("du")).alias("dt"),
     ).localCheckpoint(eager=True)
-    # row-count guard: 3 bigints/row -> 4M rows is ~100MB broadcast,
-    # comfortable on any executor; the count reads checkpoint stats
+    # guard on oriented-edge count (reads checkpoint stats): the
+    # adjacency payload below is exactly one array entry per edge
     small = o.count() <= TRIANGLES_BROADCAST_MAX_EDGES
-    a = o.alias("a")
-    b = (F.broadcast(o) if small else o).alias("b")
-    t_lower = (F.col("a.dt") < F.col("b.dt")) | (
-        (F.col("a.dt") == F.col("b.dt")) & (F.col("a.t") < F.col("b.t"))
+    adj = o.groupBy("s").agg(F.sort_array(F.collect_list("t")).alias("nbrs"))
+    adj = F.broadcast(adj) if small else adj
+    adj_s = adj.select(F.col("s").alias("_as"), F.col("nbrs").alias("ns"))
+    adj_t = adj.select(F.col("s").alias("_at"), F.col("nbrs").alias("nt"))
+    # inner joins are exact: every edge's s has an out-list (at least
+    # this edge); an edge whose t has NO out-list closes no triangle
+    per_edge = (
+        o.join(adj_s, o["s"] == adj_s["_as"])
+        .join(adj_t, o["t"] == adj_t["_at"])
+        .select("s", "t", F.array_intersect("ns", "nt").alias("ws"))
+        .where(F.size("ws") > 0)
+        .select("s", "t", F.size("ws").cast("bigint").alias("c"), "ws")
     )
-    wedges = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.t") < F.col("b.t")))
-        .select(
-            F.col("a.s").alias("apex"),
-            F.when(t_lower, F.col("a.t")).otherwise(F.col("b.t")).alias("cx"),
-            F.when(t_lower, F.col("b.t")).otherwise(F.col("a.t")).alias("cy"),
+    nodes = (
+        per_edge.select(F.col("s").alias("node"), "c")
+        .unionAll(per_edge.select(F.col("t").alias("node"), "c"))
+        .unionAll(
+            per_edge.select(
+                F.explode("ws").alias("node"),
+                F.lit(1).cast("bigint").alias("c"),
+            )
         )
     )
-    oc = F.broadcast(o) if small else o
-    tri = wedges.join(
-        oc, (wedges["cx"] == oc["s"]) & (wedges["cy"] == oc["t"])
-    ).select("apex", "cx", "cy")
-    nodes = (
-        tri.select(F.col("apex").alias("node"))
-        .unionAll(tri.select(F.col("cx").alias("node")))
-        .unionAll(tri.select(F.col("cy").alias("node")))
-    )
     return nodes.groupBy("node").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+        F.sum("c").cast("bigint").alias("n_triangles")
     )
 
 

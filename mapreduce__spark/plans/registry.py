@@ -167,7 +167,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_distribution",
     "merge_upsert",
     "scd2_intervals",
-    "graph_mass_propagation",
+    # graph_triangles re-enters via CHANGED_CODE_REATTEST (round-11
+    # adjacency-array restructure after 3 green rows), displacing the
+    # newest-last-green filler (graph_mass_propagation, last green r6)
+    "graph_triangles",
 )
 
 

@@ -44,8 +44,11 @@ DEFERRED_DOUBLES: set[str] = set()
 # Queries whose CODE changed this round AFTER already earning >=3 green
 # driver rows — their prior attestations describe the old code, so they
 # re-enter the window even though the low-attestation rule alone would
-# exclude them. Round 11: none so far.
-CHANGED_CODE_REATTEST: set[str] = set()
+# exclude them. Round 11: graph_triangles — count_triangles was
+# restructured from the wedge join to the adjacency-array intersection
+# form (operators/graph.py) after 3 green rows, so those rows describe
+# the old execution; it re-enters for a fresh attestation.
+CHANGED_CODE_REATTEST: set[str] = {"graph_triangles"}
 
 # Saturation retirement (round-10 VERDICT item 8): a query holding
 # SATURATED_AT green driver rows retires from rotation eligibility — it
@@ -92,7 +95,8 @@ TRIPLE_FILLERS: set[str] = {
     "window_distribution",
     "merge_upsert",
     "scd2_intervals",
-    "graph_mass_propagation",
+    # (graph_mass_propagation gave its slot to graph_triangles'
+    # CHANGED_CODE_REATTEST re-entry)
 }
 
 
