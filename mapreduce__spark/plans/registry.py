@@ -163,14 +163,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "kernel_search_count",
     "pii_scrub",
     "join_skew_salted",
-    "join_bloom_pruned",
-    "window_distribution",
-    "merge_upsert",
-    "scd2_intervals",
-    # graph_triangles re-enters via CHANGED_CODE_REATTEST (round-11
-    # adjacency-array restructure after 3 green rows), displacing the
-    # newest-last-green filler (graph_mass_propagation, last green r6)
+    # CHANGED_CODE_REATTEST re-entries, displacing the five newest
+    # fillers (graph_mass_propagation, scd2_intervals, merge_upsert,
+    # window_distribution, join_bloom_pruned — all last green r6):
+    # graph_triangles' adjacency-array restructure and the four k-means
+    # riders of the centroid-broadcast seam (operators/clustering.py)
     "graph_triangles",
+    "kmeans_embeddings",
+    "embedding_cluster_outliers",
+    "cluster_balanced_sample",
+    "semantic_dedup",
 )
 
 

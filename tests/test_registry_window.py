@@ -44,11 +44,19 @@ DEFERRED_DOUBLES: set[str] = set()
 # Queries whose CODE changed this round AFTER already earning >=3 green
 # driver rows — their prior attestations describe the old code, so they
 # re-enter the window even though the low-attestation rule alone would
-# exclude them. Round 11: graph_triangles — count_triangles was
-# restructured from the wedge join to the adjacency-array intersection
-# form (operators/graph.py) after 3 green rows, so those rows describe
-# the old execution; it re-enters for a fresh attestation.
-CHANGED_CODE_REATTEST: set[str] = {"graph_triangles"}
+# exclude them. Round 11: graph_triangles (count_triangles restructured
+# from the wedge join to the adjacency-array intersection form,
+# operators/graph.py) and the four kmeans_assign riders (the centroid
+# table moved from a k*d-node plan literal to a 1-row broadcast column,
+# operators/clustering.py) — each holds 3 green rows describing the old
+# execution, so each re-enters for a fresh attestation.
+CHANGED_CODE_REATTEST: set[str] = {
+    "graph_triangles",
+    "kmeans_embeddings",
+    "embedding_cluster_outliers",
+    "cluster_balanced_sample",
+    "semantic_dedup",
+}
 
 # Saturation retirement (round-10 VERDICT item 8): a query holding
 # SATURATED_AT green driver rows retires from rotation eligibility — it
@@ -91,12 +99,9 @@ TRIPLE_FILLERS: set[str] = {
     "kernel_search_count",
     "pii_scrub",
     "join_skew_salted",
-    "join_bloom_pruned",
-    "window_distribution",
-    "merge_upsert",
-    "scd2_intervals",
-    # (graph_mass_propagation gave its slot to graph_triangles'
-    # CHANGED_CODE_REATTEST re-entry)
+    # (graph_mass_propagation, scd2_intervals, merge_upsert,
+    # window_distribution and join_bloom_pruned gave their slots to the
+    # five CHANGED_CODE_REATTEST re-entries)
 }
 
 
