@@ -1650,18 +1650,34 @@ def _jpeg_encode(
     restart_interval: int = 0,
     combined_dht: bool = True,
     comment: bytes = b"synthetic fixture",
+    sampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Assemble a spec-valid baseline JFIF file from QUANTIZED coefficient
     blocks: comp_blocks[c][by][bx] is a 64-length zigzag-order list for
-    component c (1 = grayscale, 3 = color, all 1x1 sampling). Emits SOI,
-    APP0/JFIF, COM, DQT (both tables in one segment for color), SOF0,
-    DHT (one combined or per-table segments), optional DRI, SOS with
-    stuffed/restart-segmented entropy data, EOI."""
+    component c (1 = grayscale, 3 = color). ``sampling`` gives the (h, v)
+    factor pair per component — default all (1, 1); pass
+    [(2, 2), (1, 1), (1, 1)] for 4:2:0, where comp_blocks[0] must carry
+    2x the block grid of each chroma plane and each MCU interleaves four
+    luma blocks (left-to-right, top-to-bottom per T.81 A.2.3) before the
+    two chroma blocks. Emits SOI, APP0/JFIF, COM, DQT (both tables in
+    one segment for color), SOF0, DHT (one combined or per-table
+    segments), optional DRI, SOS with stuffed/restart-segmented entropy
+    data, EOI."""
     ncomp = len(comp_blocks)
     if ncomp not in (1, 3):
         raise ValueError("comp_blocks must have 1 or 3 components")
-    bh = len(comp_blocks[0])
-    bw = len(comp_blocks[0][0])
+    sampling = sampling or [(1, 1)] * ncomp
+    if len(sampling) != ncomp:
+        raise ValueError("sampling must match comp_blocks")
+    hmax = max(h for h, _v in sampling)
+    vmax = max(v for _h, v in sampling)
+    mcw = -(-width // (8 * hmax))
+    mch = -(-height // (8 * vmax))
+    for c, (hc, vc) in enumerate(sampling):
+        if len(comp_blocks[c]) != mch * vc or len(comp_blocks[c][0]) != mcw * hc:
+            raise ValueError(
+                f"comp {c} block grid must be {mch * vc} x {mcw * hc}"
+            )
     qt0 = _jpeg_quant_table(False)
     qt1 = _jpeg_quant_table(True)
 
@@ -1680,7 +1696,10 @@ def _jpeg_encode(
         out += seg(0xDB, b"\x00" + zz_q0)
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     for c in range(ncomp):
-        sof += struct.pack(">BBB", c + 1, 0x11, 0 if c == 0 else 1)
+        hc, vc = sampling[c]
+        sof += struct.pack(
+            ">BBB", c + 1, (hc << 4) | vc, 0 if c == 0 else 1
+        )
     out += seg(0xC0, sof)  # SOF0: baseline sequential
     tables = [(0x00, JPEG_DC_LUMA_BITS, JPEG_DC_LUMA_VALS),
               (0x10, JPEG_AC_LUMA_BITS, JPEG_AC_LUMA_VALS)]
@@ -1713,7 +1732,7 @@ def _jpeg_encode(
     ]
     preds = [0] * ncomp
     bits = _JpegBitWriter()
-    n_mcus = bw * bh
+    n_mcus = mcw * mch
     rst = 0
     for m in range(n_mcus):
         if restart_interval and m and m % restart_interval == 0:
@@ -1723,11 +1742,17 @@ def _jpeg_encode(
             out += bytes([0xFF, 0xD0 + (rst % 8)])
             rst += 1
             preds = [0] * ncomp
-        by, bx = divmod(m, bw)
+        my, mx = divmod(m, mcw)
         for c in range(ncomp):
-            preds[c] = _jpeg_write_coeff_block(
-                bits, comp_blocks[c][by][bx], preds[c], *comp_codes[c]
-            )
+            hc, vc = sampling[c]
+            for v in range(vc):
+                for h in range(hc):
+                    preds[c] = _jpeg_write_coeff_block(
+                        bits,
+                        comp_blocks[c][my * vc + v][mx * hc + h],
+                        preds[c],
+                        *comp_codes[c],
+                    )
     bits.pad_to_byte()
     out += bits.out
     out += b"\xff\xd9"  # EOI
@@ -1849,6 +1874,7 @@ def _jpeg_parse(b: bytes) -> dict:
     qtabs: dict[int, list[int]] = {}
     htabs: dict[tuple[int, int], dict] = {}
     frame = None
+    samps: list[tuple[int, int]] = []
     scan = None
     restart = 0
     while True:
@@ -1893,11 +1919,20 @@ def _jpeg_parse(b: bytes) -> dict:
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
             comps = []
+            samps = []
             for c in range(ncomp):
                 cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError("subsampling unsupported (need 1x1)")
                 comps.append((cid, tq))
+                samps.append((samp >> 4, samp & 0x0F))
+            # supported sampling shapes: all 1x1, or 4:2:0 (first
+            # component 2x2, every other 1x1 — the dominant real-corpus
+            # JPEG shape). Other factor combinations stay rejected.
+            if samps != [(1, 1)] * ncomp and not (
+                ncomp == 3 and samps == [(2, 2), (1, 1), (1, 1)]
+            ):
+                raise ValueError(
+                    "unsupported sampling (need all 1x1 or 4:2:0)"
+                )
             frame = (width, height, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -1949,6 +1984,7 @@ def _jpeg_parse(b: bytes) -> dict:
         "scan": scan,
         "restart": restart,
         "segments": segments,
+        "samp": samps,
     }
 
 
@@ -1966,9 +2002,12 @@ def _jpeg_decode_coeff_blocks(b: bytes) -> tuple:
     scan = p["scan"]
     if len(scan) != len(comps):
         raise ValueError("scan/frame component mismatch")
-    bw = -(-width // 8)
-    bh = -(-height // 8)
-    n_mcus = bw * bh
+    samp = p["samp"]
+    hmax = max(h for h, _v in samp)
+    vmax = max(v for _h, v in samp)
+    mcw = -(-width // (8 * hmax))
+    mch = -(-height // (8 * vmax))
+    n_mcus = mcw * mch
     restart = p["restart"]
     comp_ids = [cid for cid, _tq in comps]
     scan_tabs = {}
@@ -1992,28 +2031,32 @@ def _jpeg_decode_coeff_blocks(b: bytes) -> tuple:
             preds = [0] * len(comps)
         for c, cid in enumerate(comp_ids):
             dc_tab, ac_tab = scan_tabs[cid]
-            zz = [0] * 64
-            s = _jpeg_huff_decode(reader, dc_tab)
-            if s > 11:
-                raise ValueError("bad DC category")
-            diff = _jpeg_extend(reader.read_bits(s), s)
-            preds[c] += diff
-            zz[0] = preds[c]
-            k = 1
-            while k < 64:
-                rs = _jpeg_huff_decode(reader, ac_tab)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                r, s = rs >> 4, rs & 0x0F
-                k += r
-                if k > 63:
-                    raise ValueError("AC run overflows block")
-                zz[k] = _jpeg_extend(reader.read_bits(s), s)
-                k += 1
-            blocks[c].append(zz)
+            hc, vc = samp[c]
+            # T.81 A.2.3 MCU interleave: h*v data units per component
+            # per MCU, left-to-right then top-to-bottom
+            for _unit in range(hc * vc):
+                zz = [0] * 64
+                s = _jpeg_huff_decode(reader, dc_tab)
+                if s > 11:
+                    raise ValueError("bad DC category")
+                diff = _jpeg_extend(reader.read_bits(s), s)
+                preds[c] += diff
+                zz[0] = preds[c]
+                k = 1
+                while k < 64:
+                    rs = _jpeg_huff_decode(reader, ac_tab)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    r, s = rs >> 4, rs & 0x0F
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run overflows block")
+                    zz[k] = _jpeg_extend(reader.read_bits(s), s)
+                    k += 1
+                blocks[c].append(zz)
     return width, height, blocks, p
 
 
@@ -2021,23 +2064,36 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, int, int, int, int]:
     """FULL pixel decode of a baseline sequential JFIF from raw bytes —
     marker walk, canonical Huffman decode, DC prediction, restart
     handling, dequantize, zigzag de-scan, separable IDCT, level shift,
-    clamp, crop. Components are summed AS STORED (no color matrix; see
-    the module comment). Returns the sibling decoders' shape: (width,
-    height, n_pixels, sum_c0, sum_c1, sum_c2, topleft) — single-component
-    files report 0 for the absent channels."""
+    clamp, chroma upsampling, crop. Components are summed AS STORED (no
+    color matrix; see the module comment). 4:2:0 files (luma 2x2, chroma
+    1x1 — the dominant real-corpus shape) place each MCU's four luma
+    blocks per the T.81 interleave and upsample the quarter-resolution
+    chroma planes by SAMPLE REPLICATION (the declared semantics — the
+    JFIF nearest-neighbor convention; pixel (x, y) reads chroma sample
+    (x//2, y//2)), so per-MCU-constant fixtures stay integer-exact end
+    to end. Returns the sibling decoders' shape: (width, height,
+    n_pixels, sum_c0, sum_c1, sum_c2, topleft) — single-component files
+    report 0 for the absent channels."""
     width, height, blocks, p = _jpeg_decode_coeff_blocks(b)
     _w, _h, comps = p["frame"]
-    bw = -(-width // 8)
-    bh = -(-height // 8)
+    samp = p["samp"]
+    hmax = max(h for h, _v in samp)
+    vmax = max(v for _h, v in samp)
+    mcw = -(-width // (8 * hmax))
+    mch = -(-height // (8 * vmax))
     sums = [0, 0, 0]
     topleft = 0
     for c, (_cid, tq) in enumerate(comps):
         if tq not in p["qtabs"]:
             raise ValueError("frame references undefined quant table")
+        hc, vc = samp[c]
         q = np.array(p["qtabs"][tq], dtype=np.float64)  # natural order
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+        plane = np.zeros((mch * vc * 8, mcw * hc * 8), dtype=np.int64)
         for m, zz in enumerate(blocks[c]):
-            by, bx = divmod(m, bw)
+            mcu, unit = divmod(m, hc * vc)
+            v, h = divmod(unit, hc)
+            my, mx = divmod(mcu, mcw)
+            by, bx = my * vc + v, mx * hc + h
             nat = np.zeros(64, dtype=np.float64)
             for k in range(64):
                 nat[JPEG_ZIGZAG[k]] = zz[k]
@@ -2045,7 +2101,16 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, int, int, int, int, int]:
             px = _JPEG_IDCT_M.T @ coef @ _JPEG_IDCT_M
             block = np.clip(np.round(px) + 128, 0, 255).astype(np.int64)
             plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-        cropped = plane[:height, :width]
+        # crop to the component's sample grid (T.81 A.1.1 ceil dims),
+        # then replicate up to full resolution and crop to the frame
+        cw = -(-width * hc // hmax)
+        ch = -(-height * vc // vmax)
+        comp_plane = plane[:ch, :cw]
+        if hc != hmax or vc != vmax:
+            comp_plane = np.repeat(
+                np.repeat(comp_plane, vmax // vc, axis=0), hmax // hc, axis=1
+            )
+        cropped = comp_plane[:height, :width]
         sums[c] = int(cropped.sum())
         topleft += int(cropped[0, 0])
     return width, height, width * height, sums[0], sums[1], sums[2], topleft
@@ -2148,6 +2213,10 @@ def decode_jpeg_checker_pixels(
     checker_b)."""
     width, height, blocks, p = _jpeg_decode_coeff_blocks(b)
     _w, _h, comps = p["frame"]
+    if any(s != (1, 1) for s in p["samp"]):
+        # the checker statistic is defined on the full-resolution block
+        # grid; the AC fixture class is always 1x1-sampled
+        raise ValueError("checker decode requires 1x1 sampling")
     bw = -(-width // 8)
     bh = -(-height // 8)
     sx = np.tile(np.array(_JPEG_CHECKER_SIGN, dtype=np.int64), bw)[:width]
@@ -2188,6 +2257,68 @@ def decode_jpeg_checker_pixels(
 def with_jpeg_ac_payload(docs: DataFrame) -> DataFrame:
     """(doc_id, payload) with nonzero-AC baseline JFIF files."""
     return _with_payload(docs, synth_jpeg_ac_bytes)
+
+
+# --------------------------------------------------------------------------
+# 4:2:0 chroma-subsampled JPEG fixtures (round-10 verdict item 6): the
+# dominant real-corpus JPEG shape. Each MCU is a 16x16 macroblock — four
+# luma blocks interleaved per T.81 A.2.3 plus one Cb and one Cr block at
+# quarter resolution. The fixture law is constant PER MCU (all four luma
+# blocks of an MCU share one DC), so sample-replication upsampling is
+# exact: pixel (x, y) reads chroma sample (x//2, y//2), which sits in the
+# same macroblock, so every channel of every pixel is the law value at
+# (x//16, y//16) — integer-exact end to end and SQL-expressible for the
+# oracle. Hazards kept from the 1x1 class: DRI + restart markers every
+# fifth doc (restart intervals now count MCUs, i.e. 6 blocks each), a COM
+# segment always, two quant tables in one DQT segment, combined vs
+# per-table DHT by parity; plus the new ones this class exists for —
+# MCU-interleaved DC prediction per component across the 6-block MCU and
+# ceil-division chroma dims on odd widths/heights.
+# --------------------------------------------------------------------------
+
+
+def synth_jpeg_420_bytes(doc_id: int) -> bytes:
+    """Deterministic spec-valid 4:2:0 baseline JFIF whose channels are
+    constant per 16x16 macroblock (see the class comment above)."""
+    d = doc_id
+    w = d % 21 + 10
+    h = (3 * d) % 19 + 10
+    mcw = -(-w // 16)
+    mch = -(-h // 16)
+
+    def law(c: int, mx: int, my: int) -> int:
+        if c == 0:
+            return (13 * d + 7 * mx + 3 * my) % 256
+        if c == 1:
+            return (3 * d + 5 * mx + 11 * my) % 256
+        return (9 * d + 2 * mx + 6 * my) % 256
+
+    comp_blocks = []
+    for c in range(3):
+        f = 2 if c == 0 else 1
+        rows = []
+        for by in range(mch * f):
+            row = []
+            for bx in range(mcw * f):
+                zz = [0] * 64
+                zz[0] = law(c, bx // f, by // f) - 128  # qDC=8: exact
+                row.append(zz)
+            rows.append(row)
+        comp_blocks.append(rows)
+    return _jpeg_encode(
+        comp_blocks,
+        w,
+        h,
+        restart_interval=2 if d % 5 == 0 else 0,
+        combined_dht=d % 2 == 0,
+        comment=f"420 doc {d}".encode(),
+        sampling=[(2, 2), (1, 1), (1, 1)],
+    )
+
+
+def with_jpeg_420_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with synthesized 4:2:0 baseline JFIF files."""
+    return _with_payload(docs, synth_jpeg_420_bytes)
 
 
 def jpeg_checker_features(mm: DataFrame) -> DataFrame:

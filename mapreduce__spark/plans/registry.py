@@ -112,6 +112,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).
 DRIVER_WINDOW: tuple[str, ...] = (
+    # round-11 additions — never driver-attested (each displaced a filler)
+    "jpeg_pixel_decode_420",
     # round-10 additions, earning a second row
     "quantile_sketch_dyadic",
     "ann_topk_buckets",
@@ -162,7 +164,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "training_data_pipeline",
     "kernel_search_count",
     "pii_scrub",
-    "join_skew_salted",
+    # (join_skew_salted, the next-newest filler, gave its slot to
+    # jpeg_pixel_decode_420)
     # CHANGED_CODE_REATTEST re-entries, displacing the five newest
     # fillers (graph_mass_propagation, scd2_intervals, merge_upsert,
     # window_distribution, join_bloom_pruned — all last green r6):

@@ -7467,6 +7467,66 @@ def jpeg_pixel_decode_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_checker_features(with_jpeg_ac_payload(docs))
 
 
+@query(
+    "jpeg_pixel_decode_420",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id % 21 + 10       AS width,
+             (doc_id * 3) % 19 + 10 AS height
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, width, height,
+             unnest(generate_series(0, width - 1)) // 16 AS mx
+      FROM dims
+    ),
+    pxy AS (
+      SELECT doc_id, width, height, mx,
+             unnest(generate_series(0, height - 1)) // 16 AS my
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT)  AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum((13 * doc_id + 7 * mx + 3 * my) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((3 * doc_id + 5 * mx + 11 * my) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((9 * doc_id + 2 * mx + 6 * my) % 256) AS BIGINT) AS sum_b,
+           CAST((13 * doc_id) % 256 + (3 * doc_id) % 256
+              + (9 * doc_id) % 256 AS BIGINT) AS topleft_rgb
+    FROM pxy
+    GROUP BY doc_id, width, height
+    """,
+    tags=("tier2", "multimodal"),
+)
+def jpeg_pixel_decode_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma-subsampled JPEG decode (round-10 verdict item 6) —
+    the dominant real-corpus JPEG shape, which the 1x1-sampled fixture
+    classes never exercise: each 16x16 MCU interleaves FOUR luma blocks
+    (T.81 A.2.3 order) before one Cb and one Cr block at quarter
+    resolution, DC prediction runs per component across the 6-block MCU,
+    and the decoder upsamples the chroma planes by sample replication
+    (pixel (x,y) reads chroma sample (x//2, y//2) — the declared JFIF
+    nearest-neighbor semantics). Exactness comes from the fixture law
+    being constant PER MACROBLOCK: all four luma blocks of an MCU share
+    one DC, so replication reproduces the law exactly and every channel
+    of every pixel is the law value at (x//16, y//16) — the oracle
+    recomputes that per pixel, fully independent of the codec. Odd
+    widths/heights exercise the ceil-division chroma sample grid; DRI +
+    restart markers every fifth doc now count 6-block MCUs. Same
+    Arrow-batched mapInPandas shape as the sibling decoders (and the
+    same decode_jpeg_pixels entry point — sampling is read from SOF0);
+    payloads never shuffle."""
+    from mapreduce__spark.operators.multimodal import (
+        jpeg_pixel_features,
+        with_jpeg_420_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_pixel_features(with_jpeg_420_payload(docs))
+
+
 STREAM_CUSUM_K = 10  # configured in-control daily rate (stream_cusum's k)
 STREAM_CUSUM_H = 5  # alarm threshold multiple
 

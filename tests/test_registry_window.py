@@ -98,10 +98,10 @@ TRIPLE_FILLERS: set[str] = {
     "training_data_pipeline",
     "kernel_search_count",
     "pii_scrub",
-    "join_skew_salted",
     # (graph_mass_propagation, scd2_intervals, merge_upsert,
     # window_distribution and join_bloom_pruned gave their slots to the
-    # five CHANGED_CODE_REATTEST re-entries)
+    # five CHANGED_CODE_REATTEST re-entries; join_skew_salted to
+    # jpeg_pixel_decode_420)
 }
 
 

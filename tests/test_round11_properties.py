@@ -1,0 +1,154 @@
+"""Round-11 property gates: the 4:2:0 chroma-subsampled JPEG class.
+
+The 1x1 fixture classes (block-constant + planted-AC) left subsampling
+unexercised — the dominant real-corpus JPEG shape. These tests pin the
+three new moving parts independently of the registry oracle:
+interleaved-MCU entropy coding on RANDOM coefficients (exact by
+definition at that layer), the sample-replication upsampling law on the
+per-macroblock-constant fixtures, and the truncation discipline.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _jpeg_420_coeff_blocks(draw):
+    """Random quantized coefficient blocks shaped for a 4:2:0 frame:
+    luma grid (2*mch x 2*mcw), each chroma (mch x mcw)."""
+    mcw = draw(st.integers(min_value=1, max_value=3))
+    mch = draw(st.integers(min_value=1, max_value=3))
+    comps = []
+    for c in range(3):
+        f = 2 if c == 0 else 1
+        rows = []
+        for _by in range(mch * f):
+            row = []
+            for _bx in range(mcw * f):
+                zz = [0] * 64
+                zz[0] = draw(st.integers(min_value=-128, max_value=127))
+                n_ac = draw(st.integers(min_value=0, max_value=5))
+                positions = draw(
+                    st.lists(
+                        st.integers(min_value=1, max_value=63),
+                        min_size=n_ac,
+                        max_size=n_ac,
+                        unique=True,
+                    )
+                )
+                for pos in positions:
+                    v = draw(
+                        st.integers(min_value=-1023, max_value=1023).filter(
+                            lambda x: x != 0
+                        )
+                    )
+                    zz[pos] = v
+                row.append(zz)
+            rows.append(row)
+        comps.append(rows)
+    return comps, mcw, mch
+
+
+@given(_jpeg_420_coeff_blocks(), st.sampled_from([0, 2]))
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+def test_jpeg_420_coefficient_layer_roundtrip(blocks_dims, restart):
+    """Entropy-layer round trip on RANDOM coefficients through the 4:2:0
+    MCU interleave: four luma blocks (T.81 A.2.3 left-to-right,
+    top-to-bottom) then Cb then Cr per MCU, DC prediction per component
+    across the 6-block MCU, restart resets included."""
+    from mapreduce__spark.operators.multimodal import (
+        _jpeg_decode_coeff_blocks,
+        _jpeg_encode,
+    )
+
+    comps, mcw, mch = blocks_dims
+    w, h = mcw * 16, mch * 16
+    b = _jpeg_encode(
+        comps, w, h, restart_interval=restart,
+        sampling=[(2, 2), (1, 1), (1, 1)],
+    )
+    width, height, blocks, p = _jpeg_decode_coeff_blocks(b)
+    assert (width, height) == (w, h)
+    assert p["samp"] == [(2, 2), (1, 1), (1, 1)]
+    for c, rows in enumerate(comps):
+        f = 2 if c == 0 else 1
+        expect = []
+        for m in range(mcw * mch):
+            my, mx = divmod(m, mcw)
+            for v in range(f):
+                for hh in range(f):
+                    expect.append(rows[my * f + v][mx * f + hh])
+        assert blocks[c] == expect, f"component {c} coefficients diverged"
+
+
+def test_jpeg_420_fixture_decodes_to_macroblock_law():
+    """Full pixel decode of the 4:2:0 fixtures equals the synthesis law
+    at (x//16, y//16) for every channel — the replication-upsampling
+    semantics computed independently here, covering odd dims (ceil
+    chroma grids), restart docs, and DHT parity."""
+    from mapreduce__spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        synth_jpeg_420_bytes,
+    )
+
+    for d in (0, 1, 2, 5, 7, 10, 15, 16, 21, 33):
+        w, h, n, s0, s1, s2, tl = decode_jpeg_pixels(synth_jpeg_420_bytes(d))
+        assert (w, h, n) == (d % 21 + 10, (3 * d) % 19 + 10, w * h)
+
+        def law(c: int, mx: int, my: int) -> int:
+            if c == 0:
+                return (13 * d + 7 * mx + 3 * my) % 256
+            if c == 1:
+                return (3 * d + 5 * mx + 11 * my) % 256
+            return (9 * d + 2 * mx + 6 * my) % 256
+
+        exp = [0, 0, 0]
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    exp[c] += law(c, x // 16, y // 16)
+        assert (s0, s1, s2) == tuple(exp), d
+        assert tl == sum(law(c, 0, 0) for c in range(3))
+
+
+def test_jpeg_420_every_prefix_truncation_is_valueerror():
+    """Cutting a valid 4:2:0 JPEG at EVERY byte offset raises the
+    documented ValueError — never struct.error or a silent partial
+    decode (the PNG lesson, applied to the subsampled path too)."""
+    from mapreduce__spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        synth_jpeg_420_bytes,
+    )
+
+    full = synth_jpeg_420_bytes(5)  # DRI doc: restart segments in the cut zone
+    assert decode_jpeg_pixels(full)[0] > 0
+    for cut in range(len(full)):
+        with pytest.raises(ValueError):
+            decode_jpeg_pixels(full[:cut])
+
+
+def test_non_420_subsampling_still_rejected():
+    """Only all-1x1 and 4:2:0 are supported frames: 4:2:2 (luma 2x1) and
+    chroma-supersampled shapes must keep raising the documented error,
+    and the checker decoder refuses subsampled input outright."""
+    from mapreduce__spark.operators.multimodal import (
+        _jpeg_encode,
+        decode_jpeg_checker_pixels,
+        decode_jpeg_pixels,
+        synth_jpeg_420_bytes,
+    )
+
+    def blocks(grid_w, grid_h):
+        return [[[0] * 64 for _ in range(grid_w)] for _ in range(grid_h)]
+
+    b422 = _jpeg_encode(
+        [blocks(2, 1), blocks(1, 1), blocks(1, 1)], 16, 8,
+        sampling=[(2, 1), (1, 1), (1, 1)],
+    )
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg_pixels(b422)
+    with pytest.raises(ValueError, match="1x1"):
+        decode_jpeg_checker_pixels(synth_jpeg_420_bytes(0))

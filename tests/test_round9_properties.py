@@ -176,9 +176,12 @@ def test_jpeg_every_prefix_truncation_is_valueerror():
 
 
 def test_jpeg_rejects_non_baseline_variants():
-    """Progressive SOF2 and 2x2-subsampled files must raise the documented
-    ValueError (a real pipeline routes them to a library-backed decoder
-    via the decode-error routing seam), not mis-decode."""
+    """Progressive SOF2 and unsupported-sampling files must raise the
+    documented ValueError (a real pipeline routes them to a
+    library-backed decoder via the decode-error routing seam), not
+    mis-decode. Since round 11 a 2x2 luma factor is the SUPPORTED 4:2:0
+    shape (tests/test_round11_properties.py), so the rejection probe
+    plants 4:2:2 (0x21) instead."""
     from mapreduce__spark.operators.multimodal import (
         decode_jpeg_pixels,
         synth_jpeg_bytes,
@@ -193,8 +196,8 @@ def test_jpeg_rejects_non_baseline_variants():
     # ncomp(1) id(1) -> sof + 11
     samp = sof + 11
     assert full[samp] == 0x11
-    subsampled = full[:samp] + b"\x22" + full[samp + 1 :]
-    with pytest.raises(ValueError, match="subsampling"):
+    subsampled = full[:samp] + b"\x21" + full[samp + 1 :]
+    with pytest.raises(ValueError, match="sampling"):
         decode_jpeg_pixels(subsampled)
     # a frame component the scan never covers is a structural error too,
     # not a KeyError crash
