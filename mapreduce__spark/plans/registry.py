@@ -114,6 +114,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 DRIVER_WINDOW: tuple[str, ...] = (
     # round-11 additions — never driver-attested (each displaced a filler)
     "jpeg_pixel_decode_420",
+    "warc_ingest",
+    "zip_member_extract",
+    "embedding_pq_codes",
+    "mmr_diverse_select",
     # round-10 additions, earning a second row
     "quantile_sketch_dyadic",
     "ann_topk_buckets",
@@ -160,12 +164,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stateful_dedup_first_event",
     "sequence_packing",
     "dedup_clusters",
-    "rolling_user_features",
-    "training_data_pipeline",
-    "kernel_search_count",
-    "pii_scrub",
-    # (join_skew_salted, the next-newest filler, gave its slot to
-    # jpeg_pixel_decode_420)
+    # (join_skew_salted, pii_scrub, kernel_search_count,
+    # training_data_pipeline and rolling_user_features gave their slots
+    # to the round-11 additions jpeg_pixel_decode_420, warc_ingest,
+    # zip_member_extract, embedding_pq_codes and mmr_diverse_select)
     # CHANGED_CODE_REATTEST re-entries, displacing the five newest
     # fillers (graph_mass_propagation, scd2_intervals, merge_upsert,
     # window_distribution, join_bloom_pruned — all last green r6):

@@ -541,18 +541,21 @@ KMEANS_ITERS = 3
 KMEANS_DIMS = 64  # the embeddings fixture's width; oracle is unrolled per-dim
 
 
-def _kmeans_oracle(k: int, iters: int, dims: int) -> str:
+def _kmeans_oracle(k: int, iters: int, dims: int, dim_lo: int = 1) -> str:
     """Unrolled-SQL twin of operators/clustering.kmeans_assign: the same
     integer-quantized Lloyd's iterations as chained CTEs. Centroids live
     in LONG form (cid, i, v); struct-min breaks argmin ties by centroid
-    id exactly like the Spark side's array_min over (d, cid) structs."""
+    id exactly like the Spark side's array_min over (d, cid) structs.
+    ``dim_lo`` clusters on the 1-based dim window [dim_lo, dim_lo+dims)
+    of the embedding — the product-quantization subspace twin; the
+    default full window reproduces kmeans_embeddings' oracle."""
     from mapreduce__spark.operators.clustering import QUANT_OFFSET, QUANT_SCALE
 
     parts = [
         f"""
     WITH q AS (
       SELECT vec_id,
-             list_transform(embedding,
+             list_transform(embedding[{dim_lo}:{dim_lo + dims - 1}],
                x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)
                     + {QUANT_OFFSET}) AS eq
       FROM embeddings
@@ -601,6 +604,250 @@ def _kmeans_oracle(k: int, iters: int, dims: int) -> str:
     """
     )
     return "".join(parts)
+
+
+MMR_K = 6  # greedy selection steps
+
+
+def _mmr_oracle(k_sel: int = MMR_K, dims: int = KMEANS_DIMS) -> str:
+    """Unrolled greedy-MMR twin: centroid + relevance distances once,
+    then one MATERIALIZED (the k-core inlining lesson) candidate-scoring
+    CTE per step. Selection rule shared with the Spark side: step 0
+    takes min dist-to-centroid (tie: min vec_id); step t maximizes
+    min_dist_to_selected - dist_to_centroid (tie: min vec_id)."""
+    from mapreduce__spark.operators.clustering import QUANT_OFFSET, QUANT_SCALE
+
+    parts = [
+        f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)
+                    + {QUANT_OFFSET}) AS eq
+      FROM embeddings
+    ),
+    cb AS MATERIALIZED (
+      SELECT ti.i, CAST(sum(eq[ti.i]) // count(*) AS BIGINT) AS v
+      FROM q, range(1, {dims + 1}) ti(i) GROUP BY ti.i
+    ),
+    dc AS MATERIALIZED (
+      SELECT q.vec_id,
+             CAST(sum((q.eq[c.i] - c.v) * (q.eq[c.i] - c.v)) AS BIGINT) AS d
+      FROM q, cb c GROUP BY q.vec_id
+    ),
+    pick0 AS MATERIALIZED (
+      SELECT 0 AS step, vec_id, d AS dc, CAST(NULL AS BIGINT) AS min_prior
+      FROM dc ORDER BY d, vec_id LIMIT 1
+    ),
+    sel0 AS MATERIALIZED (SELECT vec_id FROM pick0)"""
+    ]
+    for t in range(1, k_sel):
+        parts.append(
+            f""",
+    p{t} AS MATERIALIZED (
+      SELECT va, CAST(min(d2) AS BIGINT) AS md FROM (
+        SELECT a.vec_id AS va,
+               CAST(sum((a.eq[ti.i] - b.eq[ti.i])
+                        * (a.eq[ti.i] - b.eq[ti.i])) AS BIGINT) AS d2
+        FROM q a
+        JOIN sel{t - 1} s ON TRUE
+        JOIN q b ON b.vec_id = s.vec_id, range(1, {dims + 1}) ti(i)
+        GROUP BY a.vec_id, b.vec_id
+      ) GROUP BY va
+    ),
+    pick{t} AS MATERIALIZED (
+      SELECT {t} AS step, p.va AS vec_id, dc.d AS dc, p.md AS min_prior
+      FROM p{t} p JOIN dc ON dc.vec_id = p.va
+      WHERE p.va NOT IN (SELECT vec_id FROM sel{t - 1})
+      ORDER BY (p.md - dc.d) DESC, p.va ASC
+      LIMIT 1
+    ),
+    sel{t} AS MATERIALIZED (
+      SELECT vec_id FROM sel{t - 1}
+      UNION ALL SELECT vec_id FROM pick{t}
+    )"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST(step AS BIGINT) AS step, vec_id, dc, min_prior "
+        f"FROM pick{t}"
+        for t in range(k_sel)
+    )
+    parts.append(f"\n    {union}\n    ")
+    return "".join(parts)
+
+
+@query(
+    "mmr_diverse_select",
+    oracle=_mmr_oracle(),
+    tags=("tier2", "similarity", "sampling"),
+)
+def mmr_diverse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein,
+    SIGIR'98) over the embedding corpus — the diversity-aware pick a
+    training-data curator runs to seed a balanced subset (and the
+    classic reranker shape): greedily take MMR_K vectors, step 0 the
+    most central (min exact dist2 to the integer centroid, the
+    relevance proxy), each later step the candidate maximizing
+    min_dist_to_selected - dist_to_centroid (lambda = 1/2 MMR with both
+    terms in the same squared-distance units; ties break on min vec_id).
+    All arithmetic integer-exact: micro-unit quantized vectors, the
+    centroid as per-dim sum // n (non-negative by the quantization
+    offset, so floor == truncate cross-engine), int64 squared
+    distances. Emits (step, vec_id, dc, min_prior) — the full greedy
+    trace, so the oracle attests every step's argmax, not just the
+    final set.
+
+    SCALE: the greedy loop is inherently sequential in k but each step
+    is ONE scan with the selected set as a 1-row broadcast (the k-means
+    centroid idiom — constant-size expression tree); nothing
+    corpus-sized moves. k is bounded (a curator takes dozens, not
+    millions); for corpus-scale diverse SAMPLING the cluster_balanced_
+    sample / stratified_sample family is the declared path."""
+    from mapreduce__spark.operators.clustering import _quantized
+    from mapreduce__spark.operators.staging import bounded_collect
+    from mapreduce__spark.operators.windows import idiv
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _quantized(emb, "embedding").localCheckpoint(eager=False)
+    dims = KMEANS_DIMS
+    cbr = bounded_collect(
+        q.select(F.posexplode("eq").alias("i", "v"))
+        .groupBy("i")
+        .agg(idiv(F.sum("v"), F.count(F.lit(1))).alias("v"))
+        .orderBy("i"),
+        dims,
+        "mmr centroid",
+    )
+    cb = [int(r.v) for r in cbr]
+
+    def dist_to(vecs_col: str, const_arrays: list[list[int]]):
+        cdf = spark.createDataFrame(
+            [(const_arrays,)], "cands: array<array<bigint>>"
+        )
+        return cdf, F.array_min(
+            F.transform(
+                F.col("cands"),
+                lambda c: F.aggregate(
+                    F.zip_with(vecs_col, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v,
+                ),
+            )
+        )
+
+    cdf, dc_expr = dist_to("eq", [cb])
+    scored = (
+        q.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "eq", dc_expr.alias("dc"))
+        .localCheckpoint(eager=False)
+    )
+    first = bounded_collect(
+        scored.select("vec_id", "eq", "dc").orderBy("dc", "vec_id").limit(1),
+        1,
+        "mmr first pick",
+    )[0]
+    picks = [(0, int(first.vec_id), int(first.dc), None)]
+    sel_eqs = [list(first.eq)]
+    sel_ids = {int(first.vec_id)}
+    for t in range(1, MMR_K):
+        sdf, md_expr = dist_to("eq", sel_eqs)
+        cand = (
+            scored.where(~F.col("vec_id").isin(*sel_ids))
+            .crossJoin(F.broadcast(sdf))
+            .select("vec_id", "eq", "dc", md_expr.alias("md"))
+        )
+        row = bounded_collect(
+            cand.orderBy(
+                (F.col("md") - F.col("dc")).desc(), F.col("vec_id").asc()
+            ).limit(1),
+            1,
+            "mmr step pick",
+        )[0]
+        picks.append((t, int(row.vec_id), int(row.dc), int(row.md)))
+        sel_eqs.append(list(row.eq))
+        sel_ids.add(int(row.vec_id))
+    return spark.createDataFrame(
+        picks, "step bigint, vec_id bigint, dc bigint, min_prior bigint"
+    )
+
+
+PQ_M = 4        # subspaces
+PQ_SUBDIMS = 16  # dims per subspace (PQ_M * PQ_SUBDIMS = KMEANS_DIMS)
+PQ_K = 8         # codewords per subspace
+PQ_ITERS = 2     # Lloyd iterations per subspace codebook
+
+
+def _pq_oracle() -> str:
+    """Product-quantization twin: one unrolled k-means oracle per
+    subspace (each a self-contained WITH scope), joined on vec_id."""
+    subs = [
+        f"({_kmeans_oracle(PQ_K, PQ_ITERS, PQ_SUBDIMS, dim_lo=1 + s * PQ_SUBDIMS)}) t{s}"
+        for s in range(PQ_M)
+    ]
+    joins = subs[0] + "".join(
+        f" JOIN {sq} USING (vec_id)" for sq in subs[1:]
+    )
+    codes = ", ".join(
+        f"CAST(t{s}.cluster_id AS BIGINT) AS c{s}" for s in range(PQ_M)
+    )
+    err = " + ".join(f"t{s}.dist2" for s in range(PQ_M))
+    return f"""
+    SELECT vec_id, {codes}, CAST({err} AS BIGINT) AS recon_err
+    FROM {joins}
+    """
+
+
+@query(
+    "embedding_pq_codes",
+    oracle=_pq_oracle(),
+    tags=("tier2", "similarity", "clustering"),
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou, Douze & Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+    embedding-compression workhorse behind billion-scale ANN indexes:
+    split each vector into PQ_M subspaces, learn a PQ_K-codeword
+    codebook per subspace with the SAME deterministic integer k-means
+    the clustering family rides (kmeans_assign over F.slice'd
+    subvectors — quantized micro-units, exact int64 distances,
+    struct-min tie-breaks), and emit each vector's code tuple plus the
+    exact integer reconstruction error (sum of per-subspace squared
+    distances to the chosen codewords). 64 floats compress to PQ_M
+    bytes; asymmetric distance scans against the code table are then
+    table lookups. Fully oracle-checked: the twin runs one unrolled
+    Lloyd's chain per subspace on the same 1-based dim windows and
+    joins them on vec_id — codes AND reconstruction error are
+    hash-exact cross-engine, extending the kmeans_embeddings precedent
+    to the multi-codebook case.
+
+    SCALE: codebooks are PQ_M broadcast-sized (k x d/M) tables learned
+    by the centroid-broadcast k-means (one scan + one bounded shuffle
+    per iteration per subspace); encoding is scan-stage codegen; the
+    corpus never shuffles. At 100 TB the code table (PQ_M bytes/vector)
+    is what ships to the ANN index, not the vectors."""
+    from mapreduce__spark.operators.clustering import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = None
+    for m in range(PQ_M):
+        sub = emb.select(
+            "vec_id",
+            F.slice("embedding", 1 + m * PQ_SUBDIMS, PQ_SUBDIMS).alias(
+                "embedding"
+            ),
+        )
+        a = kmeans_assign(sub, PQ_K, PQ_ITERS).select(
+            "vec_id",
+            F.col("cluster_id").alias(f"c{m}"),
+            F.col("dist2").alias(f"_e{m}"),
+        )
+        out = a if out is None else out.join(a, "vec_id")
+    err = sum(F.col(f"_e{m}") for m in range(1, PQ_M)) + F.col("_e0")
+    return out.select(
+        "vec_id",
+        *[f"c{m}" for m in range(PQ_M)],
+        err.cast("bigint").alias("recon_err"),
+    )
 
 
 @query(
@@ -4395,6 +4642,129 @@ def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id bigint, byte_len bigint, width bigint, "
         "height bigint, sum_rgb bigint",
     )
+
+
+# char-fold hash of a DuckDB VARCHAR expression — the shared cross-engine
+# token hash (CM_MOD 2^31-1), as a reusable SQL fragment for the archive
+# ingest oracles below
+def _sql_charfold(expr: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({expr}) + 1), "
+        f"i -> CAST(ord(substr({expr}, i, 1)) AS BIGINT))), "
+        "(a, b) -> (a * 31 + b) % 2147483647)"
+    )
+
+
+@query(
+    "warc_ingest",
+    oracle=f"""
+    WITH recs AS (
+      SELECT doc_id,
+             unnest(generate_series(0, doc_id % 3 + 1)) AS rec
+      FROM documents
+    ),
+    law AS (
+      SELECT doc_id, rec,
+             'http://site-' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example/doc/' || CAST(doc_id AS VARCHAR)
+               || '/' || CAST(rec AS VARCHAR) AS uri,
+             CASE WHEN (doc_id + rec) % 5 = 0 THEN 404 ELSE 200 END
+                 AS status,
+             'doc ' || CAST(doc_id AS VARCHAR) || ' rec '
+               || CAST(rec AS VARCHAR) || ' '
+               || repeat('tok' || CAST((doc_id * 7 + rec) % 13 AS VARCHAR)
+                         || ' ', (doc_id + rec) % 4 + 1)
+               || CASE WHEN (doc_id + rec) % 3 = 0
+                       THEN 'WARC/1.0 lookalike' ELSE '' END AS body
+      FROM recs
+    )
+    SELECT doc_id, CAST(rec AS BIGINT) AS rec, uri,
+           CAST(status AS BIGINT) AS status,
+           CAST(length(body) AS BIGINT) AS body_chars,
+           CAST({{fold}} AS BIGINT) AS body_hash
+    FROM law
+    """.format(fold=_sql_charfold("body")),
+    tags=("tier2", "source", "multimodal"),
+)
+def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC web-crawl ingest (ISO 28500) — the container Common Crawl
+    ships in, i.e. the shape an LLM web-text corpus actually arrives
+    in. Parses WARC/1.0 records from raw bytes with Content-Length
+    framing (the ONLY correct framing: fixture payloads embed literal
+    'WARC/1.0' version lines, so split-based parsing dies), filters to
+    response records past interleaved warcinfo/request records, splits
+    the HTTP payload at its header terminator, and emits per response:
+    (rec, uri, status, body_chars, body_hash) with the body text pinned
+    cross-engine by the shared char-fold hash. Header case and order
+    vary by record parity; every malformed byte stream raises the
+    documented ValueError (truncation-gated in
+    tests/test_round11_properties.py). The oracle regenerates URI,
+    status, body length and body HASH from the synthesis law — fully
+    independent of the parser. SCALE: one corpus scan, Arrow-batched
+    mapInPandas, payload bytes never shuffle; real WARC directories ride
+    the binaryFile source exactly like binaryfile_ingest and parse with
+    this same record walker per file. Reference parity: generalizes the
+    reference's directory-scan ingest (Search.cpp:183-205) to the
+    container format its corpus would ship in at 100 TB."""
+    from mapreduce__spark.sources.archives import (
+        warc_response_records,
+        with_warc_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return warc_response_records(with_warc_payload(docs))
+
+
+@query(
+    "zip_member_extract",
+    oracle=f"""
+    WITH mem AS (
+      SELECT doc_id,
+             unnest(generate_series(0, doc_id % 3 + 1)) AS i
+      FROM documents
+    ),
+    law AS (
+      SELECT doc_id, i,
+             'part-' || CAST(doc_id AS VARCHAR) || '-'
+               || CAST(i AS VARCHAR) || '.txt' AS member,
+             CASE WHEN (doc_id + i) % 2 = 0 THEN 0 ELSE 8 END AS method,
+             'zip ' || CAST(doc_id AS VARCHAR) || ' member '
+               || CAST(i AS VARCHAR) || ' '
+               || repeat('ab ', (doc_id + i) % 5 + 1) AS text
+      FROM mem
+    )
+    SELECT doc_id, member, CAST(method AS BIGINT) AS method,
+           CAST(length(text) AS BIGINT) AS usize,
+           TRUE AS crc_ok,
+           CAST({{fold}} AS BIGINT) AS text_hash
+    FROM law
+    """.format(fold=_sql_charfold("text")),
+    tags=("tier2", "source", "multimodal"),
+)
+def zip_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP archive extraction from raw bytes — the other container a
+    document corpus arrives in. Walks the central directory (EOCD found
+    by BACKWARDS signature scan past a non-empty archive comment — the
+    fixed-offset shortcut dies on the fixtures), locates each member
+    through its LOCAL header's own name/extra lengths (local extra
+    fields deliberately differ from the central directory's), inflates
+    raw-DEFLATE members (stdlib zlib, wbits=-15 — the PNG convention),
+    verifies CRC32 over the inflated bytes, and emits (member, method,
+    usize, crc_ok, text_hash) with the extracted TEXT pinned
+    cross-engine by the shared char-fold hash — so a wrong inflate, a
+    wrong member offset, or a swallowed CRC failure all flip the hash.
+    Stored and DEFLATE members interleave by law. The oracle regenerates
+    names, methods, sizes and content hashes from the synthesis law,
+    independent of the extractor. SCALE: identical shape to warc_ingest
+    — one scan, Arrow-batched mapInPandas, archives never shuffle."""
+    from mapreduce__spark.sources.archives import (
+        with_zip_payload,
+        zip_member_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zip_member_features(with_zip_payload(docs))
 
 
 # Fixed-size synthetic XML corpus for the built-in Spark 4 XML source —

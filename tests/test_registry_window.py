@@ -94,14 +94,13 @@ TRIPLE_FILLERS: set[str] = {
     "stateful_dedup_first_event",
     "sequence_packing",
     "dedup_clusters",
-    "rolling_user_features",
-    "training_data_pipeline",
-    "kernel_search_count",
-    "pii_scrub",
     # (graph_mass_propagation, scd2_intervals, merge_upsert,
     # window_distribution and join_bloom_pruned gave their slots to the
-    # five CHANGED_CODE_REATTEST re-entries; join_skew_salted to
-    # jpeg_pixel_decode_420)
+    # five CHANGED_CODE_REATTEST re-entries; join_skew_salted, pii_scrub,
+    # kernel_search_count, training_data_pipeline and
+    # rolling_user_features to the round-11 additions
+    # jpeg_pixel_decode_420, warc_ingest, zip_member_extract,
+    # embedding_pq_codes and mmr_diverse_select)
 }
 
 

@@ -152,3 +152,94 @@ def test_non_420_subsampling_still_rejected():
         decode_jpeg_pixels(b422)
     with pytest.raises(ValueError, match="1x1"):
         decode_jpeg_checker_pixels(synth_jpeg_420_bytes(0))
+
+
+# ---------------------------------------------------------------------------
+# Archive-container ingest (sources/archives.py): WARC + ZIP parsers.
+# ---------------------------------------------------------------------------
+
+
+def test_warc_parser_matches_law_and_hazards():
+    """Every response record's (uri, status, chars, hash) equals the
+    synthesis law across docs covering all parities: warcinfo payload
+    embedding a fake record header, interleaved request records, bodies
+    containing literal 'WARC/1.0', header case/order variation."""
+    from mapreduce__spark.sources.archives import (
+        _warc_body_law,
+        charfold_hash,
+        parse_warc_records,
+        synth_warc_bytes,
+    )
+
+    for d in range(30):
+        rows = parse_warc_records(synth_warc_bytes(d))
+        assert len(rows) == d % 3 + 2
+        for i, (rec, uri, status, nch, h) in enumerate(rows):
+            assert rec == i
+            assert uri == f"http://site-{d % 7}.example/doc/{d}/{i}"
+            assert status == (200 if (d + i) % 5 else 404)
+            body = _warc_body_law(d, i)
+            assert (nch, h) == (len(body), charfold_hash(body))
+
+
+def test_zip_parser_matches_law_and_verifies_crc():
+    """Member names, methods, sizes, and extracted-text hashes equal the
+    law; a flipped payload byte in a DEFLATE member must surface as a
+    ValueError or a CRC failure, never a silently wrong text."""
+    from mapreduce__spark.sources.archives import (
+        _zip_member_law,
+        charfold_hash,
+        parse_zip_members,
+        synth_zip_bytes,
+    )
+
+    for d in range(30):
+        rows = parse_zip_members(synth_zip_bytes(d))
+        assert len(rows) == d % 3 + 2
+        for i, (name, method, usize, crc_ok, th) in enumerate(rows):
+            lname, text, lmethod = _zip_member_law(d, i)
+            assert (name, method, usize, crc_ok) == (
+                lname, lmethod, len(text), True,
+            )
+            assert th == charfold_hash(text)
+    # corrupt one byte inside the FIRST member's data region (after the
+    # 30-byte local header + name) and require a loud failure
+    b = bytearray(synth_zip_bytes(1))  # member 0 of doc 1 is DEFLATE
+    name_len = len("part-1-0.txt")
+    b[30 + name_len + 2] ^= 0xFF
+    try:
+        rows = parse_zip_members(bytes(b))
+        assert not rows[0][3], "corrupted member passed CRC"
+    except ValueError:
+        pass
+
+
+def test_archive_truncation_discipline():
+    """Cutting either container at every byte offset yields ValueError
+    or a clean shorter parse (WARC prefixes ending exactly on a record
+    boundary are themselves valid files) — never another exception or a
+    wrong row."""
+    from mapreduce__spark.sources.archives import (
+        parse_warc_records,
+        parse_zip_members,
+        synth_warc_bytes,
+        synth_zip_bytes,
+    )
+
+    w = synth_warc_bytes(7)
+    whole = parse_warc_records(w)
+    for cut in range(len(w)):
+        try:
+            rows = parse_warc_records(w[:cut])
+        except ValueError:
+            continue
+        assert rows == whole[: len(rows)]
+    z = synth_zip_bytes(7)
+    zw = parse_zip_members(z)
+    for cut in range(len(z)):
+        try:
+            rows = parse_zip_members(z[:cut])
+        except ValueError:
+            continue
+        # only an EOCD-comment truncation parses; members are intact
+        assert rows == zw
