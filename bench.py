@@ -182,6 +182,9 @@ BENCH_QUERIES = [
     "ann_topk_buckets",    # parity-bucket multiprobe + exact rerank:
                            # the bucketed-ANN equi-join path (round 10;
                            # deltas start r10)
+    "warc_ingest",         # WARC record parse over synthesized archives:
+                           # the container-ingest mapInPandas
+                           # representative (round 11; deltas start r11)
 ]
 
 

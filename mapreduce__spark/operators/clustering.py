@@ -74,6 +74,19 @@ def kmeans_assign(
     vec_ids; returns (vec_id, cluster_id, dist2) under the final
     centroids. dist2 is the exact integer squared distance in quantized
     micro-units."""
+    return kmeans_fit(embeddings, k, iterations, vec_col)[0]
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int,
+    iterations: int,
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[int]]]:
+    """kmeans_assign plus the fitted CODEBOOK: returns (assignments,
+    final centroids) where centroids[cid] is the k x d integer table the
+    final assignment ran against — the piece product-quantization search
+    (ann_topk_pq_adc) needs to build its asymmetric-distance lookup."""
     q = _quantized(embeddings, vec_col).localCheckpoint(eager=False)
 
     seeds = bounded_collect(
@@ -82,10 +95,13 @@ def kmeans_assign(
     centroids = [list(r.eq) for r in seeds]
     if not centroids:
         # 0-row corpus: no seeds, no clusters — empty result, same schema
-        return q.select(
-            "vec_id",
-            F.lit(None).cast("bigint").alias("cluster_id"),
-            F.lit(None).cast("bigint").alias("dist2"),
+        return (
+            q.select(
+                "vec_id",
+                F.lit(None).cast("bigint").alias("cluster_id"),
+                F.lit(None).cast("bigint").alias("dist2"),
+            ),
+            [],
         )
     # fewer vectors than k: every vector seeds its own cluster — the SQL
     # twin's LIMIT k yields the same truncation, so semantics stay shared
@@ -151,4 +167,4 @@ def kmeans_assign(
             nxt[r.cluster_id][r.i] = r.s // r.n
         centroids = nxt
 
-    return assign(q).select("vec_id", "cluster_id", "dist2")
+    return assign(q).select("vec_id", "cluster_id", "dist2"), centroids

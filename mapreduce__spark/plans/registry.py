@@ -118,6 +118,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "zip_member_extract",
     "embedding_pq_codes",
     "mmr_diverse_select",
+    "ann_topk_pq_adc",
     # round-10 additions, earning a second row
     "quantile_sketch_dyadic",
     "ann_topk_buckets",
@@ -163,11 +164,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sessionization",
     "stateful_dedup_first_event",
     "sequence_packing",
-    "dedup_clusters",
     # (join_skew_salted, pii_scrub, kernel_search_count,
-    # training_data_pipeline and rolling_user_features gave their slots
-    # to the round-11 additions jpeg_pixel_decode_420, warc_ingest,
-    # zip_member_extract, embedding_pq_codes and mmr_diverse_select)
+    # training_data_pipeline, rolling_user_features and dedup_clusters
+    # gave their slots to the round-11 additions jpeg_pixel_decode_420,
+    # warc_ingest, zip_member_extract, embedding_pq_codes,
+    # mmr_diverse_select and ann_topk_pq_adc)
     # CHANGED_CODE_REATTEST re-entries, displacing the five newest
     # fillers (graph_mass_propagation, scd2_intervals, merge_upsert,
     # window_distribution, join_bloom_pruned — all last green r6):

@@ -541,14 +541,19 @@ KMEANS_ITERS = 3
 KMEANS_DIMS = 64  # the embeddings fixture's width; oracle is unrolled per-dim
 
 
-def _kmeans_oracle(k: int, iters: int, dims: int, dim_lo: int = 1) -> str:
+def _kmeans_oracle(
+    k: int, iters: int, dims: int, dim_lo: int = 1, emit: str = "assign"
+) -> str:
     """Unrolled-SQL twin of operators/clustering.kmeans_assign: the same
     integer-quantized Lloyd's iterations as chained CTEs. Centroids live
     in LONG form (cid, i, v); struct-min breaks argmin ties by centroid
     id exactly like the Spark side's array_min over (d, cid) structs.
     ``dim_lo`` clusters on the 1-based dim window [dim_lo, dim_lo+dims)
     of the embedding — the product-quantization subspace twin; the
-    default full window reproduces kmeans_embeddings' oracle."""
+    default full window reproduces kmeans_embeddings' oracle.
+    ``emit="centroids"`` returns the fitted codebook (cid, i, v) — the
+    table the final assignment ran against — instead of assignments
+    (the ADC search twin's lookup side)."""
     from mapreduce__spark.operators.clustering import QUANT_OFFSET, QUANT_SCALE
 
     parts = [
@@ -590,6 +595,13 @@ def _kmeans_oracle(k: int, iters: int, dims: int, dim_lo: int = 1) -> str:
       FROM c{t - 1} c LEFT JOIN u{t} u ON c.cid = u.cid AND c.i = u.i
     )"""
         )
+    if emit == "centroids":
+        parts.append(
+            f"""
+    SELECT cid, i, v FROM c{iters}
+    """
+        )
+        return "".join(parts)
     parts.append(
         f""",
     fin AS (
@@ -847,6 +859,173 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[f"c{m}" for m in range(PQ_M)],
         err.cast("bigint").alias("recon_err"),
+    )
+
+
+PQ_NQ = 5       # ADC query vectors (vec_ids 0..4, the bruteforce set)
+PQ_TOPK = 5
+
+
+def _pq_adc_oracle() -> str:
+    """ADC search twin: per subspace, one codes chain and one centroids
+    chain (self-contained WITH scopes); query subvectors quantize
+    inline; the asymmetric distance is the sum over subspaces of the
+    exact integer distance from the query subvector to the neighbor's
+    ASSIGNED codeword."""
+    from mapreduce__spark.operators.clustering import QUANT_OFFSET, QUANT_SCALE
+
+    co = [
+        f"({_kmeans_oracle(PQ_K, PQ_ITERS, PQ_SUBDIMS, dim_lo=1 + m * PQ_SUBDIMS)})"
+        for m in range(PQ_M)
+    ]
+    cb = [
+        f"({_kmeans_oracle(PQ_K, PQ_ITERS, PQ_SUBDIMS, dim_lo=1 + m * PQ_SUBDIMS, emit='centroids')})"
+        for m in range(PQ_M)
+    ]
+    qd = ",\n".join(
+        f"""
+    qd{m} AS (
+      SELECT qv.vec_id AS query_id, c.cid,
+             CAST(sum((qv.eq[c.i] - c.v) * (qv.eq[c.i] - c.v)) AS BIGINT)
+                 AS d
+      FROM (
+        SELECT vec_id,
+               list_transform(
+                 embedding[{1 + m * PQ_SUBDIMS}:{(m + 1) * PQ_SUBDIMS}],
+                 x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)
+                      + {QUANT_OFFSET}) AS eq
+        FROM embeddings WHERE vec_id < {PQ_NQ}
+      ) qv, {cb[m]} c
+      GROUP BY qv.vec_id, c.cid
+    )"""
+        for m in range(PQ_M)
+    )
+    code_joins = f"{co[0]} t0" + "".join(
+        f" JOIN {co[m]} t{m} USING (vec_id)" for m in range(1, PQ_M)
+    )
+    qd_joins = " ".join(
+        f"JOIN qd{m} ON qd{m}.query_id = q.query_id "
+        f"AND qd{m}.cid = codes.c{m}"
+        for m in range(PQ_M)
+    )
+    code_cols = ", ".join(
+        f"t{m}.cluster_id AS c{m}" for m in range(PQ_M)
+    )
+    adc = " + ".join(f"qd{m}.d" for m in range(PQ_M))
+    return f"""
+    WITH codes AS (
+      SELECT vec_id, {code_cols} FROM {code_joins}
+    ),
+    {qd},
+    q AS (SELECT DISTINCT query_id FROM qd0),
+    scored AS (
+      SELECT q.query_id, codes.vec_id AS neighbor_id,
+             CAST({adc} AS BIGINT) AS adc
+      FROM q JOIN codes ON codes.vec_id <> q.query_id
+      {qd_joins}
+    )
+    SELECT query_id, neighbor_id, adc,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, neighbor_id) AS BIGINT)
+               AS rank
+    FROM scored
+    QUALIFY rank <= {PQ_TOPK}
+    """
+
+
+@query(
+    "ann_topk_pq_adc",
+    oracle=_pq_adc_oracle(),
+    tags=("tier2", "similarity"),
+)
+def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k search (Jegou et al. TPAMI'11 §IV) —
+    the scan that makes product quantization an ANN index: distances to
+    all PQ_K codewords per subspace are precomputed per query (a
+    PQ_M x PQ_K integer lookup table, built DRIVER-SIDE from the fitted
+    codebooks — k*d ints, no corpus access), and each database vector's
+    asymmetric distance is then PQ_M table lookups + adds over its code
+    tuple, evaluated scan-stage via element_at on broadcast-literal
+    lookup arrays. Declared semantics is PQ-ADC itself (like
+    ann_topk_buckets' declared bucketing), so the oracle is EXACT: the
+    twin re-derives codes and codebooks with unrolled Lloyd's chains per
+    subspace and ranks by the same integer ADC with the same
+    (adc, neighbor_id) tie-break — the whole quantize -> encode ->
+    lookup -> rank path hash-checks cross-engine. Accuracy vs the true
+    neighbors is the documented PQ trade (recall-gated expectations
+    belong to the rows-only LSH/IVF family; here the SEARCH is the
+    attested operator). Query set and output shape follow
+    ann_topk_bruteforce (query_id 0..4, self excluded, top-5).
+
+    SCALE: encode once (embedding_pq_codes), then every query costs one
+    scan of the CODE table — PQ_M bytes per vector, not the vectors —
+    with partial top-k per partition via the rank window; at 100 TB the
+    codes for 10^9 vectors are ~4 GB, the part that stays hot while raw
+    embeddings stay cold."""
+    from mapreduce__spark.operators.clustering import kmeans_fit
+    from mapreduce__spark.operators.staging import bounded_collect
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = None
+    books: list[list[list[int]]] = []
+    for m in range(PQ_M):
+        sub = emb.select(
+            "vec_id",
+            F.slice("embedding", 1 + m * PQ_SUBDIMS, PQ_SUBDIMS).alias(
+                "embedding"
+            ),
+        )
+        a, cents = kmeans_fit(sub, PQ_K, PQ_ITERS)
+        books.append(cents)
+        a = a.select("vec_id", F.col("cluster_id").alias(f"c{m}"))
+        codes = a if codes is None else codes.join(a, "vec_id")
+    # per-query subvectors, quantized exactly like the codebooks were
+    from mapreduce__spark.operators.clustering import _quantized
+
+    qrows = bounded_collect(
+        _quantized(emb.where(F.col("vec_id") < PQ_NQ), "embedding").orderBy(
+            "vec_id"
+        ),
+        PQ_NQ,
+        "pq adc query vectors",
+    )
+    per_query = []
+    for r in qrows:
+        qeq = list(r.eq)
+        # the ADC lookup table: dist from this query's m-th subvector to
+        # every codeword of codebook m — PQ_M * PQ_K ints on the driver
+        luts = [
+            [
+                sum(
+                    (qeq[m * PQ_SUBDIMS + i] - books[m][cid][i]) ** 2
+                    for i in range(PQ_SUBDIMS)
+                )
+                for cid in range(len(books[m]))
+            ]
+            for m in range(PQ_M)
+        ]
+        adc = None
+        for m in range(PQ_M):
+            term = F.element_at(
+                F.lit(luts[m]).cast("array<bigint>"),
+                (F.col(f"c{m}") + 1).cast("int"),
+            )
+            adc = term if adc is None else adc + term
+        per_query.append(
+            codes.where(F.col("vec_id") != int(r.vec_id)).select(
+                F.lit(int(r.vec_id)).cast("bigint").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                adc.cast("bigint").alias("adc"),
+            )
+        )
+    scored = per_query[0]
+    for df in per_query[1:]:
+        scored = scored.unionAll(df)
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        ).where(F.col("rank") <= PQ_TOPK)
     )
 
 
