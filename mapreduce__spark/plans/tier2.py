@@ -730,6 +730,11 @@ def mmr_diverse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims,
         "mmr centroid",
     )
+    if not cbr:
+        # 0-row corpus: nothing to select — empty trace, same schema
+        return spark.createDataFrame(
+            [], "step bigint, vec_id bigint, dc bigint, min_prior bigint"
+        )
     cb = [int(r.v) for r in cbr]
 
     def dist_to(vecs_col: str, const_arrays: list[list[int]]):
@@ -989,6 +994,12 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         PQ_NQ,
         "pq adc query vectors",
     )
+    if not qrows:
+        # 0-row corpus: no queries, no neighbors — empty, same schema
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, adc bigint, rank bigint",
+        )
     per_query = []
     for r in qrows:
         qeq = list(r.eq)

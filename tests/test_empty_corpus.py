@@ -90,6 +90,13 @@ PROBE = [
     # its one summary row even on an empty corpus, which is the correct
     # sketch of an empty cohort: v_empty=256, raw_est near zero — so it
     # does not belong in this zero-rows probe)
+    # round-11 additions
+    "jpeg_pixel_decode_420",
+    "warc_ingest",
+    "zip_member_extract",
+    "embedding_pq_codes",
+    "mmr_diverse_select",
+    "ann_topk_pq_adc",
 ]
 
 
