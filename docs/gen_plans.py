@@ -84,6 +84,16 @@ NAMES = [
     "ann_topk_buckets",
     "countmin_freq_estimate",
     "heavy_hitters_exact",
+    # round 11: skeletons back SCALE.md entries 62-66 — the adjacency-
+    # array triangle intersection (one groupBy, no wedge stream), the
+    # single-scan mapInPandas archive parsers, the subsampled JPEG
+    # decode, the PQ encode joins over broadcast-centroid assignments,
+    # and the ADC search's code-table scan + rank window
+    "jpeg_pixel_decode_420",
+    "warc_ingest",
+    "zip_member_extract",
+    "embedding_pq_codes",
+    "ann_topk_pq_adc",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",
