@@ -314,3 +314,138 @@ def test_pq_adc_equals_distance_to_reconstruction(spark, sf_oracle):
             if v != int(r.query_id)
         )
         assert int(r.adc) == best, r.query_id
+
+
+@st.composite
+def _warc_files(draw):
+    """Random WARC files built independently of synth_warc_bytes: random
+    record-type sequences, random header order/case, bodies that may
+    embed 'WARC/1.0', varying status codes."""
+    recs = []
+    n = draw(st.integers(min_value=1, max_value=6))
+    for j in range(n):
+        rtype = draw(st.sampled_from(["warcinfo", "request", "response"]))
+        uri = f"http://h{draw(st.integers(0, 9))}.test/p/{j}"
+        if rtype == "response":
+            status = draw(st.sampled_from([200, 301, 404, 500]))
+            body = draw(
+                st.text(
+                    alphabet="abc WARC/1.0\t", min_size=0, max_size=40
+                ).filter(lambda t: "\r" not in t and "\n" not in t)
+            )
+            payload = (
+                f"HTTP/1.1 {status} X\r\nServer: s\r\n\r\n".encode()
+                + body.encode()
+            )
+            recs.append(("response", uri, status, body, payload, j))
+        else:
+            filler = draw(st.binary(min_size=0, max_size=30))
+            # hazard: embed a fake record header inside the payload
+            payload = filler + b"\r\n\r\nWARC/1.0\r\n"
+            recs.append((rtype, uri, None, None, payload, j))
+    out = bytearray()
+    for rtype, uri, _status, _body, payload, j in recs:
+        heads = [
+            ("WARC-Type", rtype),
+            ("WARC-Target-URI", uri),
+            ("Content-Length", str(len(payload))),
+        ]
+        order = draw(st.permutations(range(3)))
+        out.extend(b"WARC/1.0\r\n")
+        for ix in order:
+            name, val = heads[ix]
+            if draw(st.booleans()):
+                name = name.lower()
+            out.extend(f"{name}: {val}\r\n".encode())
+        out.extend(b"\r\n")
+        out.extend(payload)
+        out.extend(b"\r\n\r\n")
+    expect = [
+        (uri, status, body)
+        for rtype, uri, status, body, _p, _j in recs
+        if rtype == "response"
+    ]
+    return bytes(out), expect
+
+
+@given(_warc_files())
+@settings(max_examples=80, deadline=None, suppress_health_check=list(HealthCheck))
+def test_warc_parser_on_random_structures(file_expect):
+    """Content-Length framing must survive ARBITRARY record sequences,
+    header orders/cases, and payloads embedding fake record headers —
+    parse output equals the independently tracked response list."""
+    from mapreduce__spark.sources.archives import (
+        charfold_hash,
+        parse_warc_records,
+    )
+
+    data, expect = file_expect
+    rows = parse_warc_records(data)
+    assert len(rows) == len(expect)
+    for (rec, uri, status, nch, h), (euri, estatus, ebody) in zip(
+        rows, expect
+    ):
+        assert (uri, status) == (euri, estatus)
+        assert (nch, h) == (len(ebody), charfold_hash(ebody))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcxyz", min_size=1, max_size=10),
+            st.sampled_from([0, 8]),
+            st.booleans(),  # local-only extra field
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+def test_zip_parser_on_random_members(members):
+    """ZIP extraction must reproduce arbitrary member texts through both
+    methods, divergent local extra fields, and duplicate names — built
+    here with an independent mini-writer, not synth_zip_bytes."""
+    import struct
+    import zlib
+
+    from mapreduce__spark.sources.archives import (
+        charfold_hash,
+        parse_zip_members,
+    )
+
+    out = bytearray()
+    central = bytearray()
+    for i, (text, method, local_extra) in enumerate(members):
+        name = f"m{i}.txt"
+        raw = text.encode()
+        crc = zlib.crc32(raw) & 0xFFFFFFFF
+        if method == 8:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            data = co.compress(raw) + co.flush()
+        else:
+            data = raw
+        extra = b"\x01\x02\x04\x00zzzz" if local_extra else b""
+        off = len(out)
+        out += struct.pack(
+            "<IHHHHHIIIHH", 0x04034B50, 20, 0, method, 0, 0,
+            crc, len(data), len(raw), len(name), len(extra),
+        )
+        out += name.encode() + extra + data
+        central += struct.pack(
+            "<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0, method, 0, 0,
+            crc, len(data), len(raw), len(name), 0, 0, 0, 0, 0, off,
+        )
+        central += name.encode()
+    cd = len(out)
+    out += central
+    out += struct.pack(
+        "<IHHHHIIH", 0x06054B50, 0, 0, len(members), len(members),
+        len(central), cd, 3,
+    ) + b"abc"
+    rows = parse_zip_members(bytes(out))
+    assert len(rows) == len(members)
+    for (name, method, usize, crc_ok, th), (text, emethod, _x) in zip(
+        rows, members
+    ):
+        assert (method, usize, crc_ok) == (emethod, len(text.encode()), True)
+        assert th == charfold_hash(text)
