@@ -119,6 +119,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_pq_codes",
     "mmr_diverse_select",
     "ann_topk_pq_adc",
+    "wordpiece_pair_scores",
     # round-10 additions, earning a second row
     "quantile_sketch_dyadic",
     "ann_topk_buckets",
@@ -163,12 +164,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_tumbling_window",
     "sessionization",
     "stateful_dedup_first_event",
-    "sequence_packing",
     # (join_skew_salted, pii_scrub, kernel_search_count,
-    # training_data_pipeline, rolling_user_features and dedup_clusters
-    # gave their slots to the round-11 additions jpeg_pixel_decode_420,
-    # warc_ingest, zip_member_extract, embedding_pq_codes,
-    # mmr_diverse_select and ann_topk_pq_adc)
+    # training_data_pipeline, rolling_user_features, dedup_clusters and
+    # sequence_packing gave their slots to the round-11 additions
+    # jpeg_pixel_decode_420, warc_ingest, zip_member_extract,
+    # embedding_pq_codes, mmr_diverse_select, ann_topk_pq_adc and
+    # wordpiece_pair_scores)
     # CHANGED_CODE_REATTEST re-entries, displacing the five newest
     # fillers (graph_mass_propagation, scd2_intervals, merge_upsert,
     # window_distribution, join_bloom_pruned — all last green r6):

@@ -3381,6 +3381,99 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "wordpiece_pair_scores",
+    oracle="""
+    WITH t AS (
+        SELECT string_split(text, ' ') AS toks FROM documents
+    ), p AS (
+        SELECT toks[i] AS left_tok, toks[i + 1] AS right_tok
+        FROM t CROSS JOIN UNNEST(range(1, len(toks))) AS r(i)
+    ), counted AS (
+        SELECT left_tok, right_tok, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM p GROUP BY left_tok, right_tok
+    ), vocab AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n_tok FROM (
+            SELECT unnest(toks) AS tok FROM t
+        ) GROUP BY tok
+    )
+    SELECT c.left_tok, c.right_tok, c.n_pairs,
+           lv.n_tok AS n_left, rv.n_tok AS n_right,
+           CAST(c.n_pairs AS DOUBLE)
+               / CAST(lv.n_tok * rv.n_tok AS DOUBLE) AS score
+    FROM counted c
+    JOIN vocab lv ON lv.tok = c.left_tok
+    JOIN vocab rv ON rv.tok = c.right_tok
+    ORDER BY score DESC, c.left_tok ASC, c.right_tok ASC
+    LIMIT 50
+    """,
+    tags=("tier2", "text", "pipeline"),
+)
+def wordpiece_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WordPiece merge-scoring step (Schuster & Nakajima, ICASSP'12;
+    the tokenizer-training objective behind BERT vocabularies): rank
+    candidate merges by the likelihood ratio n_pair / (n_left * n_right)
+    rather than BPE's raw pair count — the pair that gains the most
+    per-occurrence likelihood wins, not the most frequent one. Emits the
+    top-50 with the exact integer evidence (n_pairs, n_left, n_right)
+    plus the score. Cross-engine exactness: the score is ONE
+    correctly-rounded double division of exact int64s (the product is
+    far below 2^53), so it is bit-identical in both engines and emitted
+    RAW per the registry rounding policy; ties break on the pair itself.
+
+    SCALE: same shape as bpe_pair_counts plus one broadcast-sized vocab
+    join probed twice — pair counting is one explode + map-side-combined
+    aggregate, the vocab table is token-cardinality-sized, and
+    TakeOrdered cuts the top slice without a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("left_tok"),
+            F.element_at(toks, i + 1).alias("right_tok"),
+        ),
+    )
+    guarded = F.when(F.size(toks) >= 2, make).otherwise(
+        F.array().cast("array<struct<left_tok:string,right_tok:string>>")
+    )
+    pairs = (
+        docs.select(F.explode(guarded).alias("p"))
+        .select("p.left_tok", "p.right_tok")
+        .groupBy("left_tok", "right_tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    vocab = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
+    )
+    lv = F.broadcast(vocab.select(F.col("tok").alias("left_tok"),
+                                  F.col("n_tok").alias("n_left")))
+    rv = F.broadcast(vocab.select(F.col("tok").alias("right_tok"),
+                                  F.col("n_tok").alias("n_right")))
+    scored = (
+        pairs.join(lv, "left_tok")
+        .join(rv, "right_tok")
+        .withColumn(
+            "score",
+            F.col("n_pairs").cast("double")
+            / (F.col("n_left") * F.col("n_right")).cast("double"),
+        )
+    )
+    return (
+        scored.select(
+            "left_tok", "right_tok", "n_pairs", "n_left", "n_right", "score"
+        )
+        .orderBy(
+            F.col("score").desc(),
+            F.col("left_tok").asc(),
+            F.col("right_tok").asc(),
+        )
+        .limit(50)
+    )
+
+
 BPE_NUM_MERGES = 32
 BPE_TRAIN_VOCAB = 2000  # train merges on the top-V word head (Zipf: covers
 # nearly all mass; keeps the driver-side trainer O(V) at any corpus size)
