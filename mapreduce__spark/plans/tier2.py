@@ -3474,6 +3474,183 @@ def wordpiece_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_LEARN_ROUNDS = 3
+
+
+def _bpe_learn_oracle(rounds: int = BPE_LEARN_ROUNDS) -> str:
+    """Unrolled BPE-training twin: per round, a pair-count CTE, a
+    deterministic argmax, and a greedy left-to-right merge APPLY
+    expressed positionally — match islands (consecutive adjacent-pair
+    matches, only possible when left == right) claim even offsets, which
+    is exactly the greedy fold the Spark side runs. All CTEs
+    MATERIALIZED (the k-core inlining lesson — each round references the
+    previous twice)."""
+    parts = [
+        """
+    WITH w AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE length(word) > 0 GROUP BY word
+    ),
+    s0 AS MATERIALIZED (
+      SELECT word, n,
+             list_transform(range(1, length(word) + 1),
+                            i -> substr(word, i, 1)) AS s
+      FROM w
+    )"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+    p{t} AS MATERIALIZED (
+      SELECT s[i] AS x, s[i + 1] AS y, CAST(sum(n) AS BIGINT) AS pn
+      FROM s{t - 1}, UNNEST(range(1, len(s))) AS r(i)
+      GROUP BY 1, 2
+    ),
+    best{t} AS MATERIALIZED (
+      SELECT x, y, pn FROM p{t} ORDER BY pn DESC, x ASC, y ASC LIMIT 1
+    ),
+    e{t} AS MATERIALIZED (
+      SELECT word, n, i, s[i] AS tok,
+             (i < len(s) AND s[i] = b.x AND s[i + 1] = b.y) AS mt
+      FROM s{t - 1}, best{t} b, UNNEST(range(1, len(s) + 1)) AS r(i)
+    ),
+    isl{t} AS MATERIALIZED (
+      SELECT word, n, i, tok, mt,
+             CASE WHEN mt THEN i - row_number()
+                 OVER (PARTITION BY word, mt ORDER BY i) END AS island
+      FROM e{t}
+    ),
+    cl{t} AS MATERIALIZED (
+      SELECT word, n, i, tok,
+             mt AND ((i - min(i) OVER (PARTITION BY word, island)) % 2 = 0)
+                 AS claim
+      FROM isl{t}
+    ),
+    r{t} AS MATERIALIZED (
+      SELECT word, n, i,
+             CASE WHEN claim THEN (SELECT x || y FROM best{t})
+                  ELSE tok END AS tok,
+             lag(claim, 1, FALSE) OVER (PARTITION BY word ORDER BY i)
+                 AS prev_claim
+      FROM cl{t}
+    ),
+    s{t} AS MATERIALIZED (
+      SELECT word, n, list(tok ORDER BY i) AS s
+      FROM r{t} WHERE NOT prev_claim GROUP BY word, n
+    ),
+    tot{t} AS MATERIALIZED (
+      SELECT CAST(sum(n * len(s)) AS BIGINT) AS after FROM s{t}
+    )"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS round, b.x AS left_sym, "
+        f"b.y AS right_sym, b.pn AS pair_n, tot{t}.after AS symbols_after "
+        f"FROM best{t} b, tot{t}"
+        for t in range(1, rounds + 1)
+    )
+    parts.append(f"\n    {unions}\n    ")
+    return "".join(parts)
+
+
+@query(
+    "bpe_learn_merges",
+    oracle=_bpe_learn_oracle(),
+    tags=("tier2", "text", "pipeline"),
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE TRAINING LOOP itself (Sennrich, Haddow & Birch, ACL'16),
+    driver-attested round by round — not just one counting step: start
+    from character symbols of every corpus word (weighted by word
+    count), then per round count adjacent symbol pairs, take the argmax
+    (ties: lexicographic pair), and apply the merge GREEDILY
+    left-to-right to every word ("aaa" + (a,a) -> ["aa","a"], never
+    overlapping claims). Emits per round (left_sym, right_sym, pair_n,
+    symbols_after) — the merge table a tokenizer trainer would persist,
+    plus the corpus symbol count that the merge must shrink by exactly
+    pair_n. The Spark apply is one scan-stage F.aggregate fold per round
+    (merge iff the accumulator's last symbol == x and the next == y);
+    the oracle applies the same greedy positionally — consecutive-match
+    islands (possible only when x == y) claim even offsets — and the two
+    are equal by construction, hash-checked end to end.
+
+    SCALE: the training corpus is the DISTINCT-WORD table (Zipf: vocab
+    grows ~sqrt of corpus), not the token stream; each round is one
+    explode + map-side-combined pair count, a 1-row argmax, and a fold
+    over vocab-sized symbol arrays. Rounds are sequential by definition
+    (each merge depends on the last), the same bounded-driver-loop shape
+    as k-means; BPE_NUM_MERGES-scale production runs ride the identical
+    machinery (bpe_encode's trainer), with this query pinning the loop's
+    exact semantics cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    from mapreduce__spark.operators.staging import bounded_collect
+
+    toks = tokenize(F.col("text"))
+    words = (
+        docs.select(F.explode(toks).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    syms = words.select(
+        "word",
+        "n",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("s"),
+    ).localCheckpoint(eager=False)
+
+    out_rows = []
+    cur = syms
+    for t in range(1, BPE_LEARN_ROUNDS + 1):
+        pair_structs = F.expr(
+            "transform(sequence(1, size(s) - 1), "
+            "i -> struct(s[i - 1] AS x, s[i] AS y))"
+        )
+        guarded = F.when(F.size("s") >= 2, pair_structs).otherwise(
+            F.array().cast("array<struct<x:string,y:string>>")
+        )
+        best = bounded_collect(
+            cur.select(F.explode(guarded).alias("p"), "n")
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("n").cast("bigint").alias("pn"))
+            .orderBy(F.col("pn").desc(), F.col("x").asc(), F.col("y").asc())
+            .limit(1),
+            1,
+            "bpe best pair",
+        )
+        if not best:
+            break
+        x, y, pn = best[0].x, best[0].y, int(best[0].pn)
+        merged = x + y
+        # greedy left-to-right apply: merge iff the accumulator's last
+        # symbol is x and the incoming one is y (the merged symbol can
+        # never re-merge this round — it is strictly longer than x)
+        apply_expr = F.expr(
+            "aggregate(s, cast(array() as array<string>), (acc, t) -> "
+            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {x!r} "
+            f"AND t = {y!r} "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array({merged!r})) "
+            "ELSE concat(acc, array(t)) END)"
+        )
+        cur = cur.select("word", "n", apply_expr.alias("s")).localCheckpoint(
+            eager=False
+        )
+        after = bounded_collect(
+            cur.select(
+                F.sum(F.col("n") * F.size("s")).cast("bigint").alias("a")
+            ),
+            1,
+            "bpe symbol total",
+        )[0].a
+        out_rows.append((t, x, y, pn, int(after)))
+    return spark.createDataFrame(
+        out_rows,
+        "round bigint, left_sym string, right_sym string, "
+        "pair_n bigint, symbols_after bigint",
+    )
+
+
 BPE_NUM_MERGES = 32
 BPE_TRAIN_VOCAB = 2000  # train merges on the top-V word head (Zipf: covers
 # nearly all mass; keeps the driver-side trainer O(V) at any corpus size)

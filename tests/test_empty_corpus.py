@@ -97,6 +97,8 @@ PROBE = [
     "embedding_pq_codes",
     "mmr_diverse_select",
     "ann_topk_pq_adc",
+    "wordpiece_pair_scores",
+    "bpe_learn_merges",
 ]
 
 

@@ -91,15 +91,14 @@ TRIPLE_FILLERS: set[str] = {
     "media_header_metadata",
     "events_tumbling_window",
     "sessionization",
-    "stateful_dedup_first_event",
     # (graph_mass_propagation, scd2_intervals, merge_upsert,
     # window_distribution and join_bloom_pruned gave their slots to the
     # five CHANGED_CODE_REATTEST re-entries; join_skew_salted, pii_scrub,
     # kernel_search_count, training_data_pipeline, rolling_user_features,
-    # dedup_clusters and sequence_packing to the round-11 additions
-    # jpeg_pixel_decode_420, warc_ingest, zip_member_extract,
-    # embedding_pq_codes, mmr_diverse_select, ann_topk_pq_adc and
-    # wordpiece_pair_scores)
+    # dedup_clusters, sequence_packing and stateful_dedup_first_event to
+    # the round-11 additions jpeg_pixel_decode_420, warc_ingest,
+    # zip_member_extract, embedding_pq_codes, mmr_diverse_select,
+    # ann_topk_pq_adc, wordpiece_pair_scores and bpe_learn_merges)
 }
 
 

@@ -449,3 +449,56 @@ def test_zip_parser_on_random_members(members):
     ):
         assert (method, usize, crc_ok) == (emethod, len(text.encode()), True)
         assert th == charfold_hash(text)
+
+
+def test_bpe_learn_matches_pure_python_trainer(spark, tmp_path):
+    """Third implementation check: a 6-line reference BPE trainer (dict
+    counts + greedy list merge) run on a tiny corpus must produce the
+    same merge table and symbol totals as the distributed query — the
+    semantics pin that is independent of BOTH the Spark fold and the
+    SQL island arithmetic."""
+    from mapreduce__spark.plans.tier2 import BPE_LEARN_ROUNDS, bpe_learn_merges
+
+    texts = ["aaa bb aaa", "abab aaa bb", "bb bb abab a"]
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    words: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                words[w] = words.get(w, 0) + 1
+    symbols = {w: list(w) for w in words}
+    expect = []
+    for rnd in range(1, BPE_LEARN_ROUNDS + 1):
+        counts: dict[tuple, int] = {}
+        for w, syms in symbols.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + words[w]
+                )
+        (x, y), pn = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w, syms in symbols.items():
+            out: list[str] = []
+            for tok in syms:
+                if out and out[-1] == x and tok == y:
+                    out[-1] = x + y
+                else:
+                    out.append(tok)
+            symbols[w] = out
+        after = sum(words[w] * len(syms) for w, syms in symbols.items())
+        expect.append((rnd, x, y, pn, after))
+
+    got = [
+        (r.round, r.left_sym, r.right_sym, r.pair_n, r.symbols_after)
+        for r in bpe_learn_merges(spark, d).orderBy("round").collect()
+    ]
+    assert got == expect
