@@ -85,3 +85,87 @@ def asof_join(
         *[F.col(f"_left.{c}").alias(c) for c in left_cols],
         *[F.col(f"_match.{c}").alias(c) for c in right_cols],
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts: str,
+    right_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Nearest-match as-of join (pandas merge_asof direction='nearest'):
+    each left row gets the right row minimizing |right.ts - left.ts|
+    within its key, ties toward the EARLIER (backward) candidate — the
+    sensor-alignment / snapshot-reconciliation mode where "most recent"
+    is the wrong default because the closest reading may be just ahead.
+
+    Same union-and-carry idiom as :func:`asof_join`, run in BOTH
+    directions over the one shuffled partition: the ascending pass
+    carries the latest right row at-or-before each left row, a second
+    window over the SAME partitioning sorted descending carries the
+    earliest right row at-or-after it (right rows order before left rows
+    at equal ts in both passes, so an equal-ts right is the backward
+    match with distance zero), and a scan-stage pick compares the two
+    integer-microsecond distances. Cost: one shuffle on the key + two
+    in-partition sorts — still no range explosion, still O(n log n) per
+    key. NULL keys and NULL right timestamps follow asof_join's
+    equi-join discipline (filtered from the right, unmatched on the
+    left)."""
+    carry = F.struct(
+        *[F.col(c) for c in right_cols], F.col(ts).alias("_rts")
+    ).alias("_carry")
+    null_carry = F.lit(None).cast(
+        "struct<"
+        + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in right_cols)
+        + f",_rts:{dict(right.dtypes)[ts]}>"
+    ).alias("_carry")
+    for k in on:
+        right = right.where(F.col(k).isNotNull())
+    right = right.where(F.col(ts).isNotNull())
+
+    left_cols = [c for c in left.columns]
+    l_tagged = left.select(
+        *on, F.col(ts).alias("_ts"), F.lit(1).alias("_side"), null_carry,
+        F.struct(*[F.col(c) for c in left_cols]).alias("_left"),
+    )
+    r_tagged = right.select(
+        *on, F.col(ts).alias("_ts"), F.lit(0).alias("_side"), carry,
+        F.lit(None)
+        .cast(l_tagged.schema["_left"].dataType.simpleString())
+        .alias("_left"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    back_order = [F.col("_ts").asc(), F.col("_side").asc()]
+    fwd_order = [F.col("_ts").desc(), F.col("_side").asc()]
+    if tiebreak is not None:
+        # ASC in BOTH passes: `last` carries the latest row in walk
+        # order, so among equal-ts right rows both directions resolve to
+        # the MAX tiebreak — the same convention asof_join pins
+        back_order.append(F.col(f"_carry.{tiebreak}").asc())
+        fwd_order.append(F.col(f"_carry.{tiebreak}").asc())
+    frame = (Window.unboundedPreceding, 0)
+    wb = Window.partitionBy(*on).orderBy(*back_order).rowsBetween(*frame)
+    wf = Window.partitionBy(*on).orderBy(*fwd_order).rowsBetween(*frame)
+    matched = unioned.withColumn(
+        "_back", F.last("_carry", ignorenulls=True).over(wb)
+    ).withColumn("_fwd", F.last("_carry", ignorenulls=True).over(wf))
+    # timestamp subtraction yields a DayTimeInterval — directly
+    # comparable and timezone-free, so this works for TIMESTAMP and
+    # TIMESTAMP_NTZ alike (unix_micros rejects NTZ)
+    db = F.col("_ts") - F.col("_back._rts")
+    df_ = F.col("_fwd._rts") - F.col("_ts")
+    pick_back = F.col("_back").isNotNull() & (
+        F.col("_fwd").isNull() | (db <= df_)
+    )
+    best = F.when(pick_back, F.col("_back")).otherwise(F.col("_fwd"))
+    return (
+        matched.where(F.col("_side") == 1)
+        .withColumn("_best", best)
+        .select(
+            *[F.col(f"_left.{c}").alias(c) for c in left_cols],
+            *[F.col(f"_best.{c}").alias(c) for c in right_cols],
+        )
+    )

@@ -3850,6 +3850,64 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_nearest_events",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+               FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+         j AS (
+           SELECT p.event_id, p.user_id, p.ts,
+                  min(CASE WHEN c.click_ts IS NULL THEN NULL
+                      ELSE struct_pack(
+                        ad := abs(epoch_us(p.ts) - epoch_us(c.click_ts)),
+                        fwd := CASE WHEN c.click_ts <= p.ts THEN 0 ELSE 1 END,
+                        cts := c.click_ts, cid := c.click_id)
+                      END) AS pick
+           FROM p LEFT JOIN c ON p.user_id = c.user_id
+           GROUP BY p.event_id, p.user_id, p.ts
+         )
+    SELECT event_id, user_id, ts,
+           pick.cid AS click_id, pick.cts AS click_ts
+    FROM j
+    """,
+    tags=("tier2", "join", "timeseries"),
+)
+def asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-match as-of join (pandas merge_asof direction='nearest'):
+    each purchase gets the user's click CLOSEST in time — before or
+    after — with |delta| ties resolving backward (the earlier click) and
+    equal-(user, ts) click ties to the max click_id, the same dedup
+    convention asof_join_events pins. Runs operators/asof.py's
+    asof_join_nearest: ONE shuffle on the key, the ascending carry pass
+    for the latest click at-or-before and a descending pass over the
+    same partition for the earliest click at-or-after, then a scan-stage
+    integer-microsecond distance pick — no range explosion at any key
+    cardinality. The oracle is deliberately the OTHER formulation: a
+    per-key quadratic argmin over struct_pack(|delta|, direction, ...)
+    lexicographic min (affordable at oracle scale), so the two sides
+    share no plan shape."""
+    from mapreduce__spark.operators.asof import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    return asof_join_nearest(
+        purchases.withColumn("_j_ts", F.col("ts")),
+        clicks.withColumn("_j_ts", F.col("click_ts")),
+        on=["user_id"],
+        ts="_j_ts",
+        right_cols=["click_id", "click_ts"],
+    ).select("event_id", "user_id", "ts", "click_id", "click_ts")
+
+
+@query(
     "asof_join_events",
     oracle="""
     WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

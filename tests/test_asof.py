@@ -83,3 +83,62 @@ def test_null_keys_never_match(spark):
         for r in asof_join(left, right, ["k"], "ts", ["px"]).collect()
     }
     assert out == {"L1": None, "L2": 200.0}
+
+
+def run_nearest(spark, left_rows, right_rows, tiebreak=None):
+    from mapreduce__spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(left_rows, "k int, t timestamp, lid int")
+    right = spark.createDataFrame(right_rows, "k int, t timestamp, rid int")
+    out = asof_join_nearest(
+        left, right, on=["k"], ts="t", right_cols=["rid"], tiebreak=tiebreak
+    )
+    return {r.lid: r.rid for r in out.collect()}
+
+
+def test_nearest_picks_closest_in_either_direction(spark):
+    got = run_nearest(
+        spark,
+        [(1, ts("2024-01-01T10:00"), 100),   # 9:58 is closer than 10:05
+         (1, ts("2024-01-01T10:04"), 101),   # 10:05 is closer than 9:58
+         (2, ts("2024-01-01T10:00"), 102)],  # only a FUTURE right exists
+        [(1, ts("2024-01-01T09:58"), 200), (1, ts("2024-01-01T10:05"), 201),
+         (2, ts("2024-01-01T12:00"), 202)],
+    )
+    assert got == {100: 200, 101: 201, 102: 202}
+
+
+def test_nearest_tie_resolves_backward(spark):
+    """Equal |delta| before and after -> the EARLIER right row wins (the
+    merge_asof 'nearest' convention this operator declares)."""
+    got = run_nearest(
+        spark,
+        [(1, ts("2024-01-01T10:00"), 100)],
+        [(1, ts("2024-01-01T09:55"), 200), (1, ts("2024-01-01T10:05"), 201)],
+    )
+    assert got == {100: 200}
+
+
+def test_nearest_equal_ts_and_no_match_nulls(spark):
+    got = run_nearest(
+        spark,
+        [(1, ts("2024-01-01T10:00"), 100), (3, ts("2024-01-01T10:00"), 103),
+         (None, ts("2024-01-01T10:00"), 104)],
+        [(1, ts("2024-01-01T10:00"), 200),   # exact hit, distance zero
+         (None, ts("2024-01-01T09:59"), 201),  # NULL key: matches nobody
+         (1, None, 202)],                      # NULL ts: matches nobody
+    )
+    assert got == {100: 200, 103: None, 104: None}
+
+
+def test_nearest_tiebreak_on_equal_right_rows(spark):
+    """Duplicate right rows at one ts resolve to the MAX tiebreak in
+    both directions — asof_join's convention."""
+    got = run_nearest(
+        spark,
+        [(1, ts("2024-01-01T10:00"), 100), (1, ts("2024-01-01T09:00"), 101)],
+        [(1, ts("2024-01-01T09:30"), 200), (1, ts("2024-01-01T09:30"), 205)],
+        tiebreak="rid",
+    )
+    # 10:00 -> backward to 09:30; 09:00 -> forward to 09:30; both pick 205
+    assert got == {100: 205, 101: 205}

@@ -99,6 +99,7 @@ PROBE = [
     "ann_topk_pq_adc",
     "wordpiece_pair_scores",
     "bpe_learn_merges",
+    "asof_nearest_events",
 ]
 
 

@@ -90,15 +90,15 @@ TRIPLE_FILLERS: set[str] = {
     "image_header_metadata",
     "media_header_metadata",
     "events_tumbling_window",
-    "sessionization",
     # (graph_mass_propagation, scd2_intervals, merge_upsert,
     # window_distribution and join_bloom_pruned gave their slots to the
     # five CHANGED_CODE_REATTEST re-entries; join_skew_salted, pii_scrub,
     # kernel_search_count, training_data_pipeline, rolling_user_features,
-    # dedup_clusters, sequence_packing and stateful_dedup_first_event to
-    # the round-11 additions jpeg_pixel_decode_420, warc_ingest,
-    # zip_member_extract, embedding_pq_codes, mmr_diverse_select,
-    # ann_topk_pq_adc, wordpiece_pair_scores and bpe_learn_merges)
+    # dedup_clusters, sequence_packing, stateful_dedup_first_event and
+    # sessionization to the round-11 additions jpeg_pixel_decode_420,
+    # warc_ingest, zip_member_extract, embedding_pq_codes,
+    # mmr_diverse_select, ann_topk_pq_adc, wordpiece_pair_scores,
+    # bpe_learn_merges and asof_nearest_events)
 }
 
 
