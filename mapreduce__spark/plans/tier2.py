@@ -3443,11 +3443,15 @@ def wordpiece_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("left_tok", "right_tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+    # checkpoint the vocab-sized count table: it feeds BOTH broadcast
+    # probes, and a lazy aggregate feeding two consumers replans a
+    # second corpus FileScan (the round-9 duplicate-scan lesson —
+    # audited 3 scans -> 2)
     vocab = (
         docs.select(F.explode(toks).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
-    )
+    ).localCheckpoint(eager=False)
     lv = F.broadcast(vocab.select(F.col("tok").alias("left_tok"),
                                   F.col("n_tok").alias("n_left")))
     rv = F.broadcast(vocab.select(F.col("tok").alias("right_tok"),
