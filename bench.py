@@ -526,6 +526,31 @@ def _run_graph_emb_scaling(spark, base_timings: dict[str, float]) -> dict:
             )
     out["k_core_peel"] = row
     gc.collect()
+
+    # embedding_pq_codes (round 11): PQ encode over the replica-shifted
+    # embedding clone with the codebook size FIXED (unlike semantic_dedup
+    # there is no pair space — encoding is one assignment scan per
+    # subspace), so growth should be ~linear in vectors, floored by the
+    # per-iteration job overhead at these corpus sizes
+    row = {"base": None}
+    t0 = time.perf_counter()
+    REGISTRY["embedding_pq_codes"].fn(spark, below).collect()
+    row["below"] = round(time.perf_counter() - t0, 3)
+    emb10 = _scaled_embeddings_dir(spark, below, SCALE_FACTOR)
+    t0 = time.perf_counter()
+    REGISTRY["embedding_pq_codes"].fn(spark, emb10).collect()
+    row["x10b"] = round(time.perf_counter() - t0, 3)
+    if row["below"] > 0:
+        row["g10"] = round(row["x10b"] / row["below"], 2)
+        if row["g10"] > SCALE_FACTOR:
+            print(
+                f"SCALING REGRESSION: embedding_pq_codes grew "
+                f"{row['g10']}x on {SCALE_FACTOR}x vectors with a fixed "
+                "codebook — encoding is not scanning linearly, investigate",
+                file=sys.stderr,
+            )
+    out["embedding_pq_codes"] = row
+    gc.collect()
     return out
 
 
