@@ -792,3 +792,65 @@ def stream_weighted_sample(docs: DataFrame) -> DataFrame:
         )
         .where(weighted_keep_expr(F.col("doc_id"), F.col("weight_millis")))
     )
+
+
+# --------------------------------------------------------------------------
+# Archive-ingest streaming twin (round 11): a WARC drop-directory is the
+# incremental face of warc_ingest — crawlers append .warc files, the
+# stream picks each file up ONCE (file-source exactly-once tracking) and
+# parses it with the SAME record walker as the batch query, so the two
+# surfaces cannot drift. binaryFile is a supported streaming file source;
+# the parse is stateless scan-stage mapInPandas, so no watermark or state
+# store is involved — output is append-mode rows per response record.
+# --------------------------------------------------------------------------
+
+
+def stream_warc_records(spark: SparkSession, warc_dir: str) -> DataFrame:
+    """Streaming WARC response records from a drop directory of
+    ``<doc_id>.warc`` files: one output row per response record, parsed
+    by sources/archives.parse_warc_records — byte-for-byte the batch
+    parser."""
+    import os as _os
+
+    from mapreduce__spark.sources.archives import parse_warc_records
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        # streaming sources need a declared schema; binaryFile's is fixed
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length bigint, content binary"
+        )
+        .option("pathGlobFilter", "*.warc")
+        .option("maxFilesPerTrigger", 8)
+        .load(warc_dir)
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "rec": [], "uri": [],
+                "status": [], "body_chars": [], "body_hash": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                doc_id = int(_os.path.basename(path).split(".")[0])
+                for rec, uri, status, nch, h in parse_warc_records(
+                    bytes(content)
+                ):
+                    out["doc_id"].append(doc_id)
+                    out["rec"].append(rec)
+                    out["uri"].append(uri)
+                    out["status"].append(status)
+                    out["body_chars"].append(nch)
+                    out["body_hash"].append(h)
+            yield pd.DataFrame(out)
+
+    return raw.select("path", "content").mapInPandas(
+        gen,
+        schema=(
+            "doc_id bigint, rec bigint, uri string, status bigint, "
+            "body_chars bigint, body_hash bigint"
+        ),
+    )

@@ -142,3 +142,45 @@ def test_nearest_tiebreak_on_equal_right_rows(spark):
     )
     # 10:00 -> backward to 09:30; 09:00 -> forward to 09:30; both pick 205
     assert got == {100: 205, 101: 205}
+
+
+def test_nearest_matches_bruteforce_on_random_rows(spark):
+    """Property gate: on random (key, ts) layouts — duplicate
+    timestamps, keys with only-before / only-after / no right rows —
+    the two-pass window operator must equal a Python argmin reference
+    implementing the declared rule (min |delta|, ties backward, right
+    rows pre-deduped to max tiebreak per ts)."""
+    import random
+
+    rng = random.Random(1107)
+    for trial in range(4):
+        left_rows, right_rows = [], []
+        lid = iter(range(10_000))
+        rid = iter(range(10_000, 20_000))
+        for k in range(1, 6):
+            for _ in range(rng.randint(1, 8)):
+                left_rows.append(
+                    (k, ts("2024-01-01T00:00") + dt.timedelta(
+                        minutes=rng.randint(0, 120)), next(lid))
+                )
+            for _ in range(rng.randint(0, 6)):
+                right_rows.append(
+                    (k, ts("2024-01-01T00:00") + dt.timedelta(
+                        minutes=rng.randint(0, 120)), next(rid))
+                )
+        # pre-dedup rights: max rid per (k, ts) — the query convention
+        dedup: dict = {}
+        for k, t, r in right_rows:
+            key = (k, t)
+            dedup[key] = max(dedup.get(key, -1), r)
+        rdedup = [(k, t, r) for (k, t), r in dedup.items()]
+
+        def ref(k, t):
+            cands = [(abs((rt - t).total_seconds()),
+                      0 if rt <= t else 1, rt, r)
+                     for (rk, rt, r) in rdedup if rk == k]
+            return min(cands)[3] if cands else None
+
+        expect = {l: ref(k, t) for (k, t, l) in left_rows}
+        got = run_nearest(spark, left_rows, rdedup)
+        assert got == expect, f"trial {trial}"

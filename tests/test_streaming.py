@@ -1001,3 +1001,35 @@ def test_stream_countmin_final_state_equals_batch_sketch(spark, sf_small, tmp_pa
         for r in countmin_build(sub).collect():
             want[(et, r.row, r.col)] = r.n
     assert final == want and len(want) > 20
+
+
+def test_stream_warc_ingest_equals_batch(spark, tmp_path):
+    """The WARC drop-directory stream must produce exactly the batch
+    parser's rows: stage one .warc file per doc, drain with AvailableNow,
+    and compare against parse_warc_records run directly — the
+    batch/stream seam for archive ingest (round 11)."""
+    from mapreduce__spark.sources.archives import (
+        parse_warc_records,
+        synth_warc_bytes,
+    )
+    from mapreduce__spark.streaming.streams import (
+        run_stream_to_memory,
+        stream_warc_records,
+    )
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    expect = set()
+    for doc_id in range(24):
+        payload = synth_warc_bytes(doc_id)
+        (d / f"{doc_id}.warc").write_bytes(payload)
+        for rec, uri, status, nch, h in parse_warc_records(payload):
+            expect.add((doc_id, rec, uri, status, nch, h))
+
+    sdf = stream_warc_records(spark, str(d))
+    run_stream_to_memory(sdf, "t_warc", output_mode="append")
+    got = {
+        (r.doc_id, r.rec, r.uri, r.status, r.body_chars, r.body_hash)
+        for r in spark.table("t_warc").collect()
+    }
+    assert got == expect and len(got) >= 48
