@@ -122,6 +122,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "wordpiece_pair_scores",
     "bpe_learn_merges",
     "asof_nearest_events",
+    "jpeg_pixel_decode_progressive",
     # round-10 additions, earning a second row
     "quantile_sketch_dyadic",
     "ann_topk_buckets",
@@ -163,14 +164,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_correlation",
     "image_header_metadata",
     "media_header_metadata",
-    "events_tumbling_window",
     # (join_skew_salted, pii_scrub, kernel_search_count,
     # training_data_pipeline, rolling_user_features, dedup_clusters,
-    # sequence_packing, stateful_dedup_first_event and sessionization
-    # gave their slots to the round-11 additions jpeg_pixel_decode_420,
-    # warc_ingest, zip_member_extract, embedding_pq_codes,
-    # mmr_diverse_select, ann_topk_pq_adc, wordpiece_pair_scores,
-    # bpe_learn_merges and asof_nearest_events)
+    # sequence_packing, stateful_dedup_first_event, sessionization and
+    # events_tumbling_window gave their slots to the round-11 additions
+    # jpeg_pixel_decode_420, warc_ingest, zip_member_extract,
+    # embedding_pq_codes, mmr_diverse_select, ann_topk_pq_adc,
+    # wordpiece_pair_scores, bpe_learn_merges, asof_nearest_events and
+    # jpeg_pixel_decode_progressive)
     # CHANGED_CODE_REATTEST re-entries, displacing the five newest
     # fillers (graph_mass_propagation, scd2_intervals, merge_upsert,
     # window_distribution, join_bloom_pruned — all last green r6):

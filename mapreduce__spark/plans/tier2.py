@@ -8419,6 +8419,80 @@ def jpeg_pixel_decode_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_pixel_features(with_jpeg_420_payload(docs))
 
 
+@query(
+    "jpeg_pixel_decode_progressive",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id % 17 + 8       AS width,
+             (doc_id * 3) % 13 + 8 AS height,
+             doc_id % 3 = 2        AS gray
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, width, height, gray,
+             unnest(generate_series(0, width - 1)) AS x
+      FROM dims
+    ),
+    pxy AS (
+      SELECT doc_id, width, height, gray, x,
+             unnest(generate_series(0, height - 1)) AS y
+      FROM px
+    ),
+    p AS (
+      SELECT doc_id, width, height, gray,
+             (CASE WHEN x % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+           * (CASE WHEN y % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END) AS s,
+             23 + ((13 * doc_id + 7 * (x // 8) + 3 * (y // 8)) % 256) % 210
+                 AS law_r,
+             23 + ((3 * doc_id + 5 * (x // 8) + 11 * (y // 8)) % 256) % 210
+                 AS law_g,
+             23 + ((9 * doc_id + 2 * (x // 8) + 6 * (y // 8)) % 256) % 210
+                 AS law_b
+      FROM pxy
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT)  AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum(law_r + s * 7) AS BIGINT) AS sum_r,
+           CAST(CASE WHEN gray THEN 0 ELSE sum(law_g) END AS BIGINT) AS sum_g,
+           CAST(CASE WHEN gray THEN 0 ELSE sum(law_b) END AS BIGINT) AS sum_b,
+           CAST(sum(s * (law_r + s * 7)) AS BIGINT) AS checker_r,
+           CAST(CASE WHEN gray THEN 0
+                ELSE sum(s * law_g) END AS BIGINT) AS checker_g,
+           CAST(CASE WHEN gray THEN 0
+                ELSE sum(s * law_b) END AS BIGINT) AS checker_b
+    FROM p
+    GROUP BY doc_id, width, height, gray
+    """,
+    tags=("tier2", "multimodal"),
+)
+def jpeg_pixel_decode_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG decode (SOF2, spectral selection) — the last
+    real-corpus JPEG shape after round-11's 4:2:0: a DC scan (interleaved,
+    baseline category coding) followed by one AC scan per component over
+    the 1..63 band, with the progressive-only EOBRUN coding exercised
+    BOTH ways — luma blocks each carry the planted (4,4) coefficient
+    (ZRL+ZRL+run-6, per-block EOB0) while color docs' chroma bands are
+    empty so the encoder emits single EOBn symbols spanning every block
+    of the component, the multi-block path baseline JPEG cannot express.
+    The AC scans ship a custom DHT (the Annex-K tables carry no EOBn
+    symbols — as with real progressive encoders). Successive
+    approximation stays rejected; so do restarts in this decoder. The
+    checker-weighted sums make the planted AC non-vacuous exactly as in
+    jpeg_pixel_decode_ac, and the oracle recomputes every pixel from the
+    synthesis law, independent of the codec. Arrow-batched mapInPandas,
+    payloads never shuffle."""
+    from mapreduce__spark.operators.multimodal import (
+        jpeg_progressive_features,
+        with_jpeg_progressive_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_progressive_features(with_jpeg_progressive_payload(docs))
+
+
 STREAM_CUSUM_K = 10  # configured in-control daily rate (stream_cusum's k)
 STREAM_CUSUM_H = 5  # alarm threshold multiple
 

@@ -100,6 +100,7 @@ PROBE = [
     "wordpiece_pair_scores",
     "bpe_learn_merges",
     "asof_nearest_events",
+    "jpeg_pixel_decode_progressive",
 ]
 
 

@@ -89,16 +89,16 @@ TRIPLE_FILLERS: set[str] = {
     "embedding_correlation",
     "image_header_metadata",
     "media_header_metadata",
-    "events_tumbling_window",
     # (graph_mass_propagation, scd2_intervals, merge_upsert,
     # window_distribution and join_bloom_pruned gave their slots to the
     # five CHANGED_CODE_REATTEST re-entries; join_skew_salted, pii_scrub,
     # kernel_search_count, training_data_pipeline, rolling_user_features,
-    # dedup_clusters, sequence_packing, stateful_dedup_first_event and
-    # sessionization to the round-11 additions jpeg_pixel_decode_420,
-    # warc_ingest, zip_member_extract, embedding_pq_codes,
-    # mmr_diverse_select, ann_topk_pq_adc, wordpiece_pair_scores,
-    # bpe_learn_merges and asof_nearest_events)
+    # dedup_clusters, sequence_packing, stateful_dedup_first_event,
+    # sessionization and events_tumbling_window to the round-11 additions
+    # jpeg_pixel_decode_420, warc_ingest, zip_member_extract,
+    # embedding_pq_codes, mmr_diverse_select, ann_topk_pq_adc,
+    # wordpiece_pair_scores, bpe_learn_merges, asof_nearest_events and
+    # jpeg_pixel_decode_progressive)
 }
 
 

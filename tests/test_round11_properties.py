@@ -502,3 +502,71 @@ def test_bpe_learn_matches_pure_python_trainer(spark, tmp_path):
         for r in bpe_learn_merges(spark, d).orderBy("round").collect()
     ]
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2, spectral selection + EOBRUN).
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_progressive_fixture_exercises_eobrun():
+    """The fixture class must genuinely hit the progressive-only paths:
+    a color doc's chroma AC scans are all-zero bands, so the byte stream
+    must contain an EOBn symbol with run > 1 (decoded as a multi-block
+    skip), and the luma scan still walks ZRL + run-6 + EOB0 per block.
+    Verified via the coefficient planes: chroma ACs all zero, every luma
+    block carries the planted (4,4)."""
+    from mapreduce__spark.operators.multimodal import (
+        _jpeg_decode_progressive,
+        JPEG_AC_K,
+        JPEG_AC_QUANTIZED,
+        synth_jpeg_progressive_bytes,
+    )
+
+    d = 4  # color doc with several blocks -> chroma EOBRUN > 1
+    width, height, coefs, _tqs = _jpeg_decode_progressive(
+        synth_jpeg_progressive_bytes(d)
+    )
+    n_blocks = (-(-width // 8)) * (-(-height // 8))
+    assert n_blocks > 1
+    for zz in coefs[0]:
+        assert zz[JPEG_AC_K] == JPEG_AC_QUANTIZED[0]
+    for c in (1, 2):
+        for zz in coefs[c]:
+            assert all(v == 0 for v in zz[1:])
+
+
+def test_jpeg_progressive_truncation_and_rejections():
+    """Per-byte truncation raises the documented ValueError; the
+    baseline decoder keeps rejecting SOF2 (the routing seam), the
+    progressive decoder rejects baseline frames, subsampling, and
+    successive approximation."""
+    import struct
+
+    import pytest as _pytest
+
+    from mapreduce__spark.operators.multimodal import (
+        _jpeg_decode_progressive,
+        decode_jpeg_pixels,
+        decode_jpeg_progressive_pixels,
+        synth_jpeg_bytes,
+        synth_jpeg_progressive_bytes,
+    )
+
+    full = synth_jpeg_progressive_bytes(4)
+    assert decode_jpeg_progressive_pixels(full)[0] > 0
+    for cut in range(len(full)):
+        with _pytest.raises(ValueError):
+            decode_jpeg_progressive_pixels(full[:cut])
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_pixels(full)
+    with _pytest.raises(ValueError, match="progressive decoder"):
+        _jpeg_decode_progressive(synth_jpeg_bytes(1))
+    # flip the luma AC scan's AhAl byte to successive approximation
+    sos = full.find(b"\xff\xda", full.find(b"\xff\xda") + 2)
+    assert sos > 0
+    (ln,) = struct.unpack(">H", full[sos + 2 : sos + 4])
+    ahal_off = sos + 2 + ln - 1
+    mutated = full[:ahal_off] + b"\x01" + full[ahal_off + 1 :]
+    with _pytest.raises(ValueError, match="successive approximation"):
+        decode_jpeg_progressive_pixels(mutated)
