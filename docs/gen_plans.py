@@ -94,6 +94,12 @@ NAMES = [
     "zip_member_extract",
     "embedding_pq_codes",
     "ann_topk_pq_adc",
+    # round 11 closers: the progressive multi-scan decode (same
+    # single-scan mapInPandas shape), the WordPiece scoring join, and
+    # the nearest-mode as-of two-pass window
+    "jpeg_pixel_decode_progressive",
+    "wordpiece_pair_scores",
+    "asof_nearest_events",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",
