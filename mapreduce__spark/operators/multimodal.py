@@ -2430,7 +2430,15 @@ def synth_jpeg_progressive_bytes(doc_id: int) -> bytes:
         for c in range(ncomp)
     ]
 
-    # scan 1: DC, interleaved, baseline DC category coding
+    # DC scan(s), interleaved, baseline DC category coding. Every other
+    # doc uses DC SUCCESSIVE APPROXIMATION (T.81 G.1.2.1): the first
+    # pass codes diffs of the arithmetically-shifted DC (Al=1) and a
+    # refinement scan (Ah=1, Al=0) appends ONE raw bit per block per
+    # component — no Huffman in DC refinements. Python's arithmetic
+    # shift is floor, so (v >> 1) << 1 | (v & 1) == v for negative DCs
+    # too; the decoder reconstructs bit-exactly.
+    dc_sa = d % 2 == 1
+    al0 = 1 if dc_sa else 0
     dc_codes = [
         _jpeg_huff_codes(JPEG_DC_LUMA_BITS, JPEG_DC_LUMA_VALS)
         if c == 0
@@ -2440,14 +2448,14 @@ def synth_jpeg_progressive_bytes(doc_id: int) -> bytes:
     sos = bytes([ncomp])
     for c in range(ncomp):
         sos += bytes([c + 1, 0x00 if c == 0 else 0x10])
-    sos += bytes([0, 0, 0x00])  # Ss=0 Se=0 AhAl=0
+    sos += bytes([0, 0, al0])  # Ss=0 Se=0 Ah=0 Al=al0
     out += seg(0xDA, sos)
     bits_w = _JpegBitWriter()
     preds = [0] * ncomp
     for m in range(bw * bh):
         by, bx = divmod(m, bw)
         for c in range(ncomp):
-            v = planes[c][by][bx][0]
+            v = planes[c][by][bx][0] >> al0
             diff = v - preds[c]
             preds[c] = v
             s = _jpeg_category(diff)
@@ -2458,6 +2466,19 @@ def synth_jpeg_progressive_bytes(doc_id: int) -> bytes:
                 bits_w.write(amp, s)
     bits_w.pad_to_byte()
     out += bits_w.out
+    if dc_sa:
+        sos = bytes([ncomp])
+        for c in range(ncomp):
+            sos += bytes([c + 1, 0x00])  # Td ignored in DC refinement
+        sos += bytes([0, 0, 0x10])  # Ss=0 Se=0 Ah=1 Al=0
+        out += seg(0xDA, sos)
+        bits_w = _JpegBitWriter()
+        for m in range(bw * bh):
+            by, bx = divmod(m, bw)
+            for c in range(ncomp):
+                bits_w.write(planes[c][by][bx][0] & 1, 1)
+        bits_w.pad_to_byte()
+        out += bits_w.out
 
     # one AC scan per component: Ss=1 Se=63, EOBRUN across empty bands
     for c in range(ncomp):
@@ -2514,8 +2535,10 @@ def synth_jpeg_progressive_bytes(doc_id: int) -> bytes:
 def _jpeg_decode_progressive(b: bytes) -> tuple:
     """Multi-scan spectral-selection decode: marker walk collecting
     tables and scans (entropy data ends at the next marker), DC scans
-    with baseline category coding, AC scans per component with ZRL and
-    EOBRUN handling. Successive approximation is rejected. Returns
+    with baseline category coding (including shifted Al>0 first passes
+    and one-raw-bit DC refinement scans — successive approximation), AC
+    scans per component with ZRL and EOBRUN handling; AC successive
+    approximation is rejected. Returns
     (width, height, per-component coefficient planes in natural block
     raster, qtab id per component)."""
     if b[:2] != b"\xff\xd8":
@@ -2608,8 +2631,9 @@ def _jpeg_decode_progressive(b: bytes) -> tuple:
                 cs, tt = payload[1 + 2 * c], payload[2 + 2 * c]
                 scomps.append((cs, tt >> 4, tt & 0x0F))
             ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
-            if ahal != 0:
-                raise ValueError("successive approximation unsupported")
+            ah, al = ahal >> 4, ahal & 0x0F
+            if ss != 0 and ahal != 0:
+                raise ValueError("AC successive approximation unsupported")
             # entropy data: unstuff to the next marker
             data = bytearray()
             while pos < len(b):
@@ -2631,21 +2655,39 @@ def _jpeg_decode_progressive(b: bytes) -> tuple:
             if ss == 0:  # DC scan (must cover 0..0, interleaved)
                 if se != 0:
                     raise ValueError("mixed DC/AC scan band")
-                order = []
-                for cs, td, _ta in scomps:
-                    if cs not in comp_ids:
-                        raise ValueError("scan references unknown component")
-                    if (0, td) not in htabs:
-                        raise ValueError("scan references undefined DC table")
-                    order.append((comp_ids.index(cs), htabs[(0, td)]))
-                for _m in range(bw * bh):
-                    for ci, tab in order:
-                        s = _jpeg_huff_decode(reader, tab)
-                        if s > 11:
-                            raise ValueError("bad DC category")
-                        diff = _jpeg_extend(reader.read_bits(s), s)
-                        preds[ci] += diff
-                        coefs[ci][_m][0] = preds[ci]
+                if ah > 0:  # DC refinement: one raw bit per block/comp
+                    if al != ah - 1:
+                        raise ValueError("non-contiguous DC refinement")
+                    order = []
+                    for cs, _td, _ta in scomps:
+                        if cs not in comp_ids:
+                            raise ValueError(
+                                "scan references unknown component"
+                            )
+                        order.append(comp_ids.index(cs))
+                    for _m in range(bw * bh):
+                        for ci in order:
+                            coefs[ci][_m][0] |= reader.read_bit() << al
+                else:  # first DC pass (possibly shifted: Al > 0)
+                    order = []
+                    for cs, td, _ta in scomps:
+                        if cs not in comp_ids:
+                            raise ValueError(
+                                "scan references unknown component"
+                            )
+                        if (0, td) not in htabs:
+                            raise ValueError(
+                                "scan references undefined DC table"
+                            )
+                        order.append((comp_ids.index(cs), htabs[(0, td)]))
+                    for _m in range(bw * bh):
+                        for ci, tab in order:
+                            s = _jpeg_huff_decode(reader, tab)
+                            if s > 11:
+                                raise ValueError("bad DC category")
+                            diff = _jpeg_extend(reader.read_bits(s), s)
+                            preds[ci] += diff
+                            coefs[ci][_m][0] = preds[ci] << al
             else:  # AC scan: single component over [ss, se]
                 if ns != 1:
                     raise ValueError("interleaved AC scan unsupported")

@@ -8477,9 +8477,13 @@ def jpeg_pixel_decode_progressive(spark: SparkSession, sf_dir: str) -> DataFrame
     (ZRL+ZRL+run-6, per-block EOB0) while color docs' chroma bands are
     empty so the encoder emits single EOBn symbols spanning every block
     of the component, the multi-block path baseline JPEG cannot express.
-    The AC scans ship a custom DHT (the Annex-K tables carry no EOBn
-    symbols — as with real progressive encoders). Successive
-    approximation stays rejected; so do restarts in this decoder. The
+    Every other doc additionally splits DC into SUCCESSIVE-
+    APPROXIMATION scans (Al=1 first pass + a one-raw-bit-per-block
+    refinement scan — exact because (v>>1)<<1 | (v&1) == v under
+    arithmetic shifts). The AC scans ship a custom DHT (the Annex-K
+    tables carry no EOBn symbols — as with real progressive encoders).
+    AC successive approximation stays rejected; so do restarts in this
+    decoder. The
     checker-weighted sums make the planted AC non-vacuous exactly as in
     jpeg_pixel_decode_ac, and the oracle recomputes every pixel from the
     synthesis law, independent of the codec. Arrow-batched mapInPandas,

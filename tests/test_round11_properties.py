@@ -570,3 +570,26 @@ def test_jpeg_progressive_truncation_and_rejections():
     mutated = full[:ahal_off] + b"\x01" + full[ahal_off + 1 :]
     with _pytest.raises(ValueError, match="successive approximation"):
         decode_jpeg_progressive_pixels(mutated)
+
+
+def test_jpeg_progressive_dc_successive_approximation_bitexact():
+    """Odd docs split DC into an Al=1 first pass + a refinement scan;
+    the reassembled DC values must be BIT-exact — verified at the
+    coefficient layer against the synthesis law, negative DCs included
+    (arithmetic shift: (v >> 1) << 1 | (v & 1) == v)."""
+    from mapreduce__spark.operators.multimodal import (
+        _jpeg_ac_law,
+        _jpeg_decode_progressive,
+        synth_jpeg_progressive_bytes,
+    )
+
+    for d in (1, 3, 5, 7, 9):  # odd: DC-SA docs (5 is grayscale)
+        b = synth_jpeg_progressive_bytes(d)
+        assert b.count(b"\xff\xda") >= 3  # DC pass + refinement + AC
+        width, height, coefs, _ = _jpeg_decode_progressive(b)
+        bw = -(-width // 8)
+        gray = d % 3 == 2
+        for c in range(1 if gray else 3):
+            for m, zz in enumerate(coefs[c]):
+                by, bx = divmod(m, bw)
+                assert zz[0] == _jpeg_ac_law(d, c, bx, by) - 128, (d, c, m)
