@@ -593,3 +593,169 @@ def test_jpeg_progressive_dc_successive_approximation_bitexact():
             for m, zz in enumerate(coefs[c]):
                 by, bx = divmod(m, bw)
                 assert zz[0] == _jpeg_ac_law(d, c, bx, by) - 128, (d, c, m)
+
+
+def _prog_encode_random(comps_zz, w, h, dc_sa=False):
+    """Minimal in-test progressive encoder for ARBITRARY coefficient
+    planes — independent of the fixture synthesizer: standard DC tables,
+    one custom full-symbol AC table (every run/size up to size 10, all
+    EOBn, ZRL; 176 length-8 canonical codes), one AC scan per component."""
+    import struct
+
+    from mapreduce__spark.operators.multimodal import (
+        JPEG_DC_LUMA_BITS,
+        JPEG_DC_LUMA_VALS,
+        JPEG_ZIGZAG,
+        _jpeg_category,
+        _jpeg_huff_codes,
+        _jpeg_quant_table,
+        _JpegBitWriter,
+    )
+
+    ac_vals = sorted(
+        {(r << 4) | s for r in range(16) for s in range(1, 11)}
+        | {r << 4 for r in range(15)}
+        | {0xF0}
+    )
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)  # all codes length 8
+    ncomp = len(comps_zz)
+    bw = -(-w // 8)
+    bh = -(-h // 8)
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    qt = _jpeg_quant_table(False)
+    out += seg(0xDB, b"\x00" + bytes([qt[JPEG_ZIGZAG[k]] for k in range(64)]))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0)
+    out += seg(0xC2, sof)
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(JPEG_DC_LUMA_BITS) + bytes(JPEG_DC_LUMA_VALS)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals),
+    )
+    dc_codes = _jpeg_huff_codes(JPEG_DC_LUMA_BITS, JPEG_DC_LUMA_VALS)
+    ac_codes = _jpeg_huff_codes(ac_bits, ac_vals)
+
+    al0 = 1 if dc_sa else 0
+    sos = bytes([ncomp]) + b"".join(
+        bytes([c + 1, 0x00]) for c in range(ncomp)
+    ) + bytes([0, 0, al0])
+    out += seg(0xDA, sos)
+    wtr = _JpegBitWriter()
+    preds = [0] * ncomp
+    for m in range(bw * bh):
+        for c in range(ncomp):
+            v = comps_zz[c][m][0] >> al0
+            diff = v - preds[c]
+            preds[c] = v
+            s = _jpeg_category(diff)
+            ln, code = dc_codes[s]
+            wtr.write(code, ln)
+            if s:
+                wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    wtr.pad_to_byte()
+    out += wtr.out
+    if dc_sa:
+        sos = bytes([ncomp]) + b"".join(
+            bytes([c + 1, 0x00]) for c in range(ncomp)
+        ) + bytes([0, 0, 0x10])
+        out += seg(0xDA, sos)
+        wtr = _JpegBitWriter()
+        for m in range(bw * bh):
+            for c in range(ncomp):
+                wtr.write(comps_zz[c][m][0] & 1, 1)
+        wtr.pad_to_byte()
+        out += wtr.out
+    for c in range(ncomp):
+        out += seg(0xDA, bytes([1, c + 1, 0x00, 1, 63, 0x00]))
+        wtr = _JpegBitWriter()
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            while eobrun > 0:
+                take = min(eobrun, (1 << 15) - 1)
+                r = take.bit_length() - 1
+                take = min(take, (1 << (r + 1)) - 1)
+                ln, code = ac_codes[r << 4]
+                wtr.write(code, ln)
+                if r:
+                    wtr.write(take - (1 << r), r)
+                eobrun -= take
+
+        for m in range(bw * bh):
+            zz = comps_zz[c][m]
+            if not any(zz[1:]):
+                eobrun += 1
+                continue
+            flush()
+            run = 0
+            last_nz = max(k for k in range(1, 64) if zz[k])
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    ln, code = ac_codes[0xF0]
+                    wtr.write(code, ln)
+                    run -= 16
+                s = _jpeg_category(zz[k])
+                ln, code = ac_codes[(run << 4) | s]
+                wtr.write(code, ln)
+                wtr.write(zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                eobrun += 1
+        flush()
+        wtr.pad_to_byte()
+        out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@st.composite
+def _prog_coeff_planes(draw):
+    ncomp = draw(st.sampled_from([1, 3]))
+    bw = draw(st.integers(min_value=1, max_value=3))
+    bh = draw(st.integers(min_value=1, max_value=3))
+    comps = []
+    for _c in range(ncomp):
+        blocks = []
+        for _m in range(bw * bh):
+            zz = [0] * 64
+            zz[0] = draw(st.integers(min_value=-128, max_value=127))
+            # some blocks all-zero-band (EOBRUN food), some dense
+            n_ac = draw(st.sampled_from([0, 0, 1, 3, 6]))
+            for pos in draw(
+                st.lists(st.integers(1, 63), min_size=n_ac, max_size=n_ac,
+                         unique=True)
+            ):
+                zz[pos] = draw(
+                    st.integers(-511, 511).filter(lambda x: x != 0)
+                )
+            blocks.append(zz)
+        comps.append(blocks)
+    return comps, bw * 8, bh * 8, draw(st.booleans())
+
+
+@given(_prog_coeff_planes())
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+def test_jpeg_progressive_coefficient_layer_roundtrip(planes_dims):
+    """Entropy-layer round trip on RANDOM coefficients through the
+    progressive decoder: arbitrary run/size codes, mixed EOBRUN spans,
+    optional DC successive approximation — encoded by an INDEPENDENT
+    in-test encoder with a full-symbol AC table, so the paths the
+    fixture laws never reach (dense blocks, interleaved EOB runs,
+    negative DC refinement bits) are pinned exactly."""
+    from mapreduce__spark.operators.multimodal import _jpeg_decode_progressive
+
+    comps, w, h, dc_sa = planes_dims
+    b = _prog_encode_random(comps, w, h, dc_sa=dc_sa)
+    width, height, coefs, _ = _jpeg_decode_progressive(b)
+    assert (width, height) == (w, h)
+    assert coefs == comps
