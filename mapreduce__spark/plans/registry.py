@@ -123,6 +123,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bpe_learn_merges",
     "asof_nearest_events",
     "jpeg_pixel_decode_progressive",
+    "targz_member_extract",
     # round-10 additions, earning a second row
     "quantile_sketch_dyadic",
     "ann_topk_buckets",
@@ -163,8 +164,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_topk_bruteforce",
     "embedding_correlation",
     "image_header_metadata",
-    "media_header_metadata",
-    # (join_skew_salted, pii_scrub, kernel_search_count,
+    # (media_header_metadata — the newest-last-green filler, r4 — gave
+    # its slot to targz_member_extract;
+    # join_skew_salted, pii_scrub, kernel_search_count,
     # training_data_pipeline, rolling_user_features, dedup_clusters,
     # sequence_packing, stateful_dedup_first_event, sessionization and
     # events_tumbling_window gave their slots to the round-11 additions

@@ -5289,6 +5289,62 @@ def zip_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zip_member_features(with_zip_payload(docs))
 
 
+@query(
+    "targz_member_extract",
+    oracle=f"""
+    WITH mem AS (
+      SELECT doc_id,
+             unnest(generate_series(0, doc_id % 3 + 1)) AS i
+      FROM documents
+    ),
+    law AS (
+      SELECT doc_id, i,
+             'corpus/doc-' || CAST(doc_id AS VARCHAR) || '/part-'
+               || CAST(i AS VARCHAR) || '.txt' AS member,
+             'tar ' || CAST(doc_id AS VARCHAR) || ' entry '
+               || CAST(i AS VARCHAR) || ' '
+               || repeat('xy ', (doc_id * 3 + i) % 6 + 1) AS text
+      FROM mem
+    )
+    SELECT doc_id, member,
+           CAST(length(text) AS BIGINT) AS usize,
+           CAST({{fold}} AS BIGINT) AS text_hash
+    FROM law
+    """.format(fold=_sql_charfold("text")),
+    tags=("tier2", "source", "multimodal"),
+)
+def targz_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tar.gz extraction from raw bytes — the third container corpora
+    ship in (research datasets are tarballs). The gzip layer is parsed
+    by hand per RFC 1952: optional FEXTRA/FNAME/FCOMMENT/FHCRC fields
+    walked (present on law cadences, so fixed-offset skipping dies),
+    header CRC16 verified where present, trailer CRC32 + ISIZE verified
+    per member, and MULTI-MEMBER streams handled (every d%4==0 fixture
+    splits the tar across two concatenated gzip members — single-shot
+    `zlib.decompress` dies); only the inner DEFLATE bitstream uses
+    stdlib zlib (wbits=-15, the ZIP/PNG convention). The tar walk
+    verifies each ustar magic and HEADER CHECKSUM (spaces-for-checksum
+    summation), parses the octal size fields, skips directory entries
+    and 512-byte padding, and requires both terminating zero blocks.
+    Emits (member, usize, text_hash) per regular file with the text
+    pinned cross-engine by the shared char-fold hash; the oracle
+    regenerates names/sizes/hashes from the synthesis law, fully
+    independent of both decompressor and tar walker. Every malformed
+    byte stream raises the documented ValueError (per-byte
+    truncation-gated in tests/test_round11_properties.py). SCALE: one
+    corpus scan, Arrow-batched mapInPandas, archives never shuffle;
+    real tarball directories ride binaryFile and parse per file with
+    this same walker. Reference parity: generalizes the reference's
+    directory-scan ingest (Search.cpp:183-205) like warc_ingest."""
+    from mapreduce__spark.sources.archives import (
+        targz_member_features,
+        with_targz_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return targz_member_features(with_targz_payload(docs))
+
+
 # Fixed-size synthetic XML corpus for the built-in Spark 4 XML source —
 # same sf-independent staging contract as BINARYFILE_DIR (static oracle
 # string, so the staged path and row count cannot vary with sf_dir).

@@ -322,6 +322,235 @@ def parse_zip_members(b: bytes) -> list[tuple[str, int, int, bool, int]]:
     return rows
 
 
+# --------------------------------------------------------------------------
+# tar.gz (POSIX ustar in RFC 1952 gzip): the third container corpora
+# actually ship in — research datasets and academic corpora are tarballs.
+# The gzip layer is parsed from raw bytes (optional-field walking, header
+# CRC16, trailer CRC32 + ISIZE, multi-member streams); only the DEFLATE
+# bitstream itself uses stdlib zlib (wbits=-15, the ZIP/PNG convention).
+# --------------------------------------------------------------------------
+
+
+def _tgz_member_law(d: int, i: int) -> tuple[str, str]:
+    """(name, text) for regular-file entry i of doc d —
+    SQL-reconstructible (concat/repeat of integer casts only)."""
+    name = f"corpus/doc-{d}/part-{i}.txt"
+    text = f"tar {d} entry {i} " + "xy " * ((d * 3 + i) % 6 + 1)
+    return name, text
+
+
+def _tar_header(name: str, size: int, typeflag: bytes, mtime: int) -> bytes:
+    """One 512-byte ustar header with a verified checksum field."""
+    h = bytearray(512)
+    nb = name.encode("ascii")
+    h[0 : len(nb)] = nb
+    h[100:108] = b"0000644\x00" if typeflag == b"0" else b"0000755\x00"
+    h[108:116] = b"0000000\x00"
+    h[116:124] = b"0000000\x00"
+    h[124:136] = f"{size:011o}".encode() + b"\x00"
+    h[136:148] = f"{mtime:011o}".encode() + b"\x00"
+    h[148:156] = b" " * 8  # checksum field counts as spaces
+    h[156:157] = typeflag
+    h[257:263] = b"ustar\x00"
+    h[263:265] = b"00"
+    chk = sum(h)
+    h[148:156] = f"{chk:06o}".encode() + b"\x00 "
+    return bytes(h)
+
+
+def _gzip_wrap(raw: bytes, d: int, j: int) -> bytes:
+    """One complete gzip member over `raw` with law-driven optional
+    header fields: FEXTRA on odd docs, FNAME always, FCOMMENT on
+    d%3==0, FHCRC on (d+j)%5==2 — so naive fixed-offset header skipping
+    dies and the CRC16 path is exercised."""
+    flg = 0x08  # FNAME
+    extra = b""
+    if d % 2 == 1:
+        xf = b"SY\x04\x00tar!"  # subfield id 'SY', len 4
+        extra = struct.pack("<H", len(xf)) + xf
+        flg |= 0x04
+    comment = f"doc {d} member {j}".encode() if d % 3 == 0 else b""
+    if comment:
+        flg |= 0x10
+    fhcrc = (d + j) % 5 == 2
+    if fhcrc:
+        flg |= 0x02
+    head = bytearray(struct.pack("<BBBBIBB", 0x1F, 0x8B, 8, flg, d, 0, 255))
+    head += extra
+    head += f"doc-{d}-{j}.tar".encode() + b"\x00"
+    if comment:
+        head += comment + b"\x00"
+    if fhcrc:
+        head += struct.pack("<H", zlib.crc32(bytes(head)) & 0xFFFF)
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = co.compress(raw) + co.flush()
+    trailer = struct.pack(
+        "<II", zlib.crc32(raw) & 0xFFFFFFFF, len(raw) & 0xFFFFFFFF
+    )
+    return bytes(head) + body + trailer
+
+
+def synth_targz_bytes(doc_id: int) -> bytes:
+    """Deterministic tarball: one directory entry plus `d%3 + 2` law
+    files, ustar checksums valid, two terminating zero blocks; gzipped
+    with law-varying optional header fields. On d%4==0 the tar is split
+    at a 512 boundary into TWO concatenated gzip members (RFC 1952
+    multi-member hazard — single-shot `zlib.decompress` dies here)."""
+    d = doc_id
+    tar = bytearray()
+    tar += _tar_header(f"corpus/doc-{d}/", 0, b"5", d)
+    for i in range(d % 3 + 2):
+        name, text = _tgz_member_law(d, i)
+        raw = text.encode("ascii")
+        tar += _tar_header(name, len(raw), b"0", d + i)
+        tar += raw
+        if len(raw) % 512:
+            tar += b"\x00" * (512 - len(raw) % 512)
+    tar += b"\x00" * 1024
+    if d % 4 == 0:
+        split = (len(tar) // 1024) * 512  # a mid-archive block boundary
+        return _gzip_wrap(bytes(tar[:split]), d, 0) + _gzip_wrap(
+            bytes(tar[split:]), d, 1
+        )
+    return _gzip_wrap(bytes(tar), d, 0)
+
+
+def _gunzip_members(b: bytes) -> bytes:
+    """Concatenate the decompressed payloads of every gzip member in
+    `b`, walking optional header fields and verifying FHCRC, trailer
+    CRC32 and ISIZE per member. Raises ValueError on any malformation."""
+    out = bytearray()
+    pos = 0
+    while pos < len(b):
+        start = pos
+        if pos + 10 > len(b):
+            raise ValueError("truncated gzip header")
+        magic1, magic2, cm, flg, _mtime, _xfl, _os_ = struct.unpack(
+            "<BBBBIBB", b[pos : pos + 10]
+        )
+        if (magic1, magic2) != (0x1F, 0x8B):
+            raise ValueError("bad gzip magic")
+        if cm != 8:
+            raise ValueError(f"unsupported gzip method {cm}")
+        if flg & 0xE0:
+            raise ValueError("reserved gzip FLG bits set")
+        pos += 10
+        if flg & 0x04:  # FEXTRA
+            if pos + 2 > len(b):
+                raise ValueError("truncated gzip FEXTRA length")
+            (xlen,) = struct.unpack("<H", b[pos : pos + 2])
+            pos += 2
+            if pos + xlen > len(b):
+                raise ValueError("truncated gzip FEXTRA data")
+            pos += xlen
+        for bit in (0x08, 0x10):  # FNAME, FCOMMENT: NUL-terminated
+            if flg & bit:
+                end = b.find(b"\x00", pos)
+                if end < 0:
+                    raise ValueError("unterminated gzip header string")
+                pos = end + 1
+        if flg & 0x02:  # FHCRC
+            if pos + 2 > len(b):
+                raise ValueError("truncated gzip FHCRC")
+            (hc,) = struct.unpack("<H", b[pos : pos + 2])
+            if hc != (zlib.crc32(b[start:pos]) & 0xFFFF):
+                raise ValueError("gzip header CRC16 mismatch")
+            pos += 2
+        do = zlib.decompressobj(-15)
+        try:
+            raw = do.decompress(b[pos:])
+        except zlib.error as e:
+            raise ValueError(f"bad gzip DEFLATE stream: {e}") from e
+        if not do.eof:
+            raise ValueError("truncated gzip DEFLATE stream")
+        tail = do.unused_data
+        if len(tail) < 8:
+            raise ValueError("truncated gzip trailer")
+        crc, isize = struct.unpack("<II", tail[:8])
+        if crc != (zlib.crc32(raw) & 0xFFFFFFFF):
+            raise ValueError("gzip CRC32 mismatch")
+        if isize != (len(raw) & 0xFFFFFFFF):
+            raise ValueError("gzip ISIZE mismatch")
+        out += raw
+        pos = len(b) - len(tail) + 8
+    return bytes(out)
+
+
+def _tar_octal(field: bytes, what: str) -> int:
+    """Parse a NUL/space-terminated octal tar numeric field."""
+    s = field.rstrip(b"\x00 ").lstrip(b" ")
+    if not s or any(c < 0x30 or c > 0x37 for c in s):
+        raise ValueError(f"bad tar octal field: {what}")
+    return int(s, 8)
+
+
+def parse_targz_members(b: bytes) -> list[tuple[str, int, int]]:
+    """Gunzip (multi-member aware) then walk the tar: verify each ustar
+    magic and header checksum, parse octal sizes, skip directory
+    entries and 512-padding, stop at the two terminating zero blocks.
+    Returns (name, usize, text_hash) per regular file. Raises
+    ValueError on any malformed byte stream."""
+    tar = _gunzip_members(b)
+    rows: list[tuple[str, int, int]] = []
+    pos = 0
+    while True:
+        if pos + 512 > len(tar):
+            raise ValueError("truncated tar header block")
+        h = tar[pos : pos + 512]
+        if h == b"\x00" * 512:
+            if tar[pos + 512 : pos + 1024] != b"\x00" * 512:
+                raise ValueError("missing second tar terminator block")
+            break
+        if h[257:263] != b"ustar\x00":
+            raise ValueError("bad ustar magic")
+        stored = _tar_octal(h[148:156], "checksum")
+        if stored != sum(h[:148]) + 8 * 0x20 + sum(h[156:]):
+            raise ValueError("tar header checksum mismatch")
+        end = h.find(b"\x00", 0, 100)
+        name = h[: end if end >= 0 else 100].decode("ascii")
+        size = _tar_octal(h[124:136], "size")
+        typeflag = h[156:157]
+        pos += 512
+        if pos + size > len(tar):
+            raise ValueError("truncated tar member data")
+        data = tar[pos : pos + size]
+        pos += size + ((512 - size % 512) % 512)
+        if typeflag in (b"0", b"\x00"):
+            rows.append((name, size, charfold_hash(data.decode("ascii"))))
+        elif typeflag != b"5":
+            raise ValueError(f"unsupported tar typeflag {typeflag!r}")
+    return rows
+
+
+def with_targz_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with synthesized tar.gz container bytes."""
+    from mapreduce__spark.operators.multimodal import _with_payload
+
+    return _with_payload(docs, synth_targz_bytes)
+
+
+def targz_member_features(mm: DataFrame) -> DataFrame:
+    """Arrow-batched tar.gz extraction: one row per regular-file member."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "member": [], "usize": [], "text_hash": [],
+            }
+            for i, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for name, usize, h in parse_targz_members(bytes(payload)):
+                    out["doc_id"].append(int(i))
+                    out["member"].append(name)
+                    out["usize"].append(usize)
+                    out["text_hash"].append(h)
+            yield pd.DataFrame(out)
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        gen,
+        schema="doc_id bigint, member string, usize bigint, text_hash bigint",
+    )
+
+
 def with_zip_payload(docs: DataFrame) -> DataFrame:
     """(doc_id, payload) with synthesized ZIP container bytes."""
     from mapreduce__spark.operators.multimodal import _with_payload

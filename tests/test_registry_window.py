@@ -88,8 +88,9 @@ TRIPLE_FILLERS: set[str] = {
     "ann_topk_bruteforce",
     "embedding_correlation",
     "image_header_metadata",
-    "media_header_metadata",
-    # (graph_mass_propagation, scd2_intervals, merge_upsert,
+    # (media_header_metadata — the newest-last-green filler, r4 — gave
+    # its slot to targz_member_extract;
+    # graph_mass_propagation, scd2_intervals, merge_upsert,
     # window_distribution and join_bloom_pruned gave their slots to the
     # five CHANGED_CODE_REATTEST re-entries; join_skew_salted, pii_scrub,
     # kernel_search_count, training_data_pipeline, rolling_user_features,

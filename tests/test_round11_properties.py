@@ -245,6 +245,88 @@ def test_archive_truncation_discipline():
         assert rows == zw
 
 
+def test_targz_parser_matches_law_and_hazards():
+    """Every regular-file entry's (name, size, hash) equals the law
+    across docs covering all parities: multi-member gzip streams
+    (d%4==0), FEXTRA/FCOMMENT/FHCRC header-field cadences, directory
+    entries skipped, ustar checksums verified."""
+    from mapreduce__spark.sources.archives import (
+        _tgz_member_law,
+        charfold_hash,
+        parse_targz_members,
+        synth_targz_bytes,
+    )
+
+    for d in range(60):
+        rows = parse_targz_members(synth_targz_bytes(d))
+        assert len(rows) == d % 3 + 2
+        for i, (name, usize, h) in enumerate(rows):
+            lname, text = _tgz_member_law(d, i)
+            assert (name, usize, h) == (lname, len(text), charfold_hash(text))
+
+
+def test_targz_truncation_and_corruption_discipline():
+    """Cutting the container at EVERY byte offset is a ValueError (the
+    gzip trailer makes no prefix self-delimiting, unlike WARC); a bit
+    flipped in the DEFLATE body or trailer is a loud CRC/ISIZE/stream
+    failure, never a silently wrong row."""
+    from mapreduce__spark.sources.archives import (
+        parse_targz_members,
+        synth_targz_bytes,
+    )
+
+    for d in (7, 8):  # single-member and split multi-member
+        b = synth_targz_bytes(d)
+        for cut in range(len(b)):
+            try:
+                parse_targz_members(b[:cut])
+                raise AssertionError(f"doc {d} prefix {cut} parsed")
+            except ValueError:
+                pass
+        bb = bytearray(b)
+        bb[len(bb) - 12] ^= 0xFF  # inside DEFLATE body or CRC trailer
+        try:
+            parse_targz_members(bytes(bb))
+            raise AssertionError(f"doc {d} corrupted stream parsed")
+        except ValueError:
+            pass
+
+
+def test_targz_gzip_layer_rejections():
+    """Each hand-parsed gzip header/trailer check fires on a targeted
+    mutation: bad magic, non-DEFLATE method, reserved FLG bits, header
+    CRC16 flip (on a doc whose law includes FHCRC), ISIZE flip."""
+    from mapreduce__spark.sources.archives import (
+        parse_targz_members,
+        synth_targz_bytes,
+    )
+    import zlib as _z
+
+    def expect(msg_part, mut):
+        try:
+            parse_targz_members(bytes(mut))
+            raise AssertionError(f"expected failure: {msg_part}")
+        except ValueError as e:
+            assert msg_part in str(e), (msg_part, str(e))
+
+    b = bytearray(synth_targz_bytes(1))
+    m = bytearray(b); m[0] = 0x1E
+    expect("bad gzip magic", m)
+    m = bytearray(b); m[2] = 9
+    expect("unsupported gzip method", m)
+    m = bytearray(b); m[3] |= 0x20
+    expect("reserved gzip FLG bits", m)
+    m = bytearray(b); m[-1] ^= 0xFF  # high byte of ISIZE
+    expect("gzip ISIZE mismatch", m)
+    # doc 2 (+member 0) lands on the FHCRC cadence ((2+0)%5==2): flip a
+    # stored header-CRC byte — the offset is right after the FNAME NUL
+    b2 = bytearray(synth_targz_bytes(2))
+    assert b2[3] & 0x02, "law drift: doc 2 should carry FHCRC"
+    name_end = b2.index(b"\x00", 10)
+    m = bytearray(b2); m[name_end + 1] ^= 0xFF
+    expect("gzip header CRC16 mismatch", m)
+
+
 # ---------------------------------------------------------------------------
 # Product quantization + ADC search (embedding_pq_codes / ann_topk_pq_adc).
 # ---------------------------------------------------------------------------
