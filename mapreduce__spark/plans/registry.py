@@ -124,6 +124,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "asof_nearest_events",
     "jpeg_pixel_decode_progressive",
     "targz_member_extract",
+    "url_canonicalize",
     # round-10 additions, earning a second row
     "quantile_sketch_dyadic",
     "ann_topk_buckets",
@@ -163,9 +164,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
     "embedding_correlation",
-    "image_header_metadata",
-    # (media_header_metadata — the newest-last-green filler, r4 — gave
-    # its slot to targz_member_extract;
+    # (media_header_metadata and image_header_metadata — the
+    # newest-last-green fillers, r4 — gave their slots to
+    # targz_member_extract and url_canonicalize;
     # join_skew_salted, pii_scrub, kernel_search_count,
     # training_data_pipeline, rolling_user_features, dedup_clusters,
     # sequence_packing, stateful_dedup_first_event, sessionization and

@@ -5345,6 +5345,171 @@ def targz_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return targz_member_features(with_targz_payload(docs))
 
 
+@query(
+    "url_canonicalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'https'
+                              ELSE 'HTTP' END)
+             || '://'
+             || (CASE
+                   WHEN doc_id % 13 = 7 THEN 'Mirror.Data-Host.NET'
+                   WHEN doc_id % 11 = 5 THEN 'Data.Archive.TEST'
+                   WHEN doc_id % 5 = 0 THEN
+                     'WWW.Site-' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.Example.COM'
+                   WHEN doc_id % 5 = 4 THEN
+                     'cdn.site-' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example.com'
+                   ELSE 'site-' || CAST(doc_id % 7 AS VARCHAR)
+                          || '.example.com'
+                 END)
+             || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':8080'
+                                 ELSE '' END)
+             || '/docs/' || CAST(doc_id AS VARCHAR) || '/page'
+             || (CASE WHEN doc_id % 2 = 0 THEN
+                   '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                     || '&z=9&ref=rss&a=1'
+                 WHEN doc_id % 6 = 3 THEN '?utm_only=1&ref=x'
+                 ELSE '' END)
+             || (CASE WHEN doc_id % 3 = 0 THEN
+                   '#frag' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END)
+             AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+             split_part(split_part(url, '#', 1), '://', 2) AS rest
+      FROM raw
+    ),
+    auth AS (
+      SELECT *, lower(split_part(rest, '/', 1)) AS authority,
+             substring(rest, strpos(rest, '/')) AS pathq
+      FROM parts
+    ),
+    hostport AS (
+      SELECT *,
+             CASE WHEN strpos(authority, ':') > 0
+                  THEN split_part(authority, ':', 1) ELSE authority
+             END AS host0,
+             CASE WHEN strpos(authority, ':') > 0
+                  THEN split_part(authority, ':', 2) END AS port
+      FROM auth
+    ),
+    canon0 AS (
+      SELECT doc_id, url, scheme, pathq, port,
+             CASE WHEN starts_with(host0, 'www.')
+                  THEN substring(host0, 5) ELSE host0 END AS host,
+             (port IS NOT NULL
+              AND NOT ((scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443')))
+                 AS keep_port,
+             split_part(pathq, '?', 1) AS path,
+             CASE WHEN strpos(pathq, '?') > 0 THEN
+               list_filter(string_split(split_part(pathq, '?', 2), '&'),
+                           p -> NOT starts_with(p, 'utm_')
+                                AND NOT starts_with(p, 'ref='))
+             ELSE [] END AS params
+      FROM hostport
+    ),
+    canon1 AS (
+      SELECT *,
+             array_to_string(list_sort(params), '&') AS qs,
+             string_split(host, '.') AS labels,
+             len(string_split(host, '.')) AS n
+      FROM canon0
+    )
+    SELECT doc_id, url,
+           scheme || '://' || host
+             || CASE WHEN keep_port THEN ':' || port ELSE '' END
+             || path
+             || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+             AS canonical_url,
+           host,
+           CASE WHEN labels[n - 1] || '.' || labels[n]
+                     IN ('example.com', 'archive.test') AND n >= 3
+                THEN labels[n - 2] || '.' || labels[n - 1] || '.' || labels[n]
+                ELSE labels[n - 1] || '.' || labels[n]
+           END AS registered_domain,
+           CAST(len(list_filter(string_split(path, '/'), s -> s <> ''))
+                AS BIGINT) AS path_depth,
+           CAST(len(params) AS BIGINT) AS kept_params
+    FROM canon1
+    """,
+    tags=("tier2", "text", "pipeline"),
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered-domain extraction — the first
+    gate of every web-corpus pipeline (per-domain caps, provenance
+    joins and URL dedup all key on the canonical spelling). The law
+    synthesizes crawl-shaped URLs covering every hazard: mixed-case
+    schemes and hosts, `www.` prefixes, default (dropped) vs explicit
+    (kept) ports, `utm_*`/`ref` tracking parameters, queries whose
+    parameters ALL vanish (the `?` must vanish with them), fragments,
+    multi-label public suffixes (example.com / archive.test — the
+    co.uk shape) and a plain two-label domain. The Spark side parses
+    and canonicalizes from the raw STRING with built-in expressions
+    only (functions/urls.py — lower/substring_index/split/filter/
+    array_sort: whole-stage codegen, no UDF, no shuffle); the oracle
+    re-derives everything with DuckDB's independent string/list
+    machinery. SCALE: per-row expressions fused into the scan stage;
+    the public-suffix set becomes a broadcast dim at real size —
+    either way nothing shuffles."""
+    from mapreduce__spark.functions.urls import canonicalize_urls
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.when(d % 3 == 0, F.lit("http"))
+        .when(d % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        F.when(d % 13 == 7, F.lit("Mirror.Data-Host.NET"))
+        .when(d % 11 == 5, F.lit("Data.Archive.TEST"))
+        .when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("WWW.Site-"), (d % 7).cast("string"),
+                F.lit(".Example.COM"),
+            ),
+        )
+        .when(
+            d % 5 == 4,
+            F.concat(
+                F.lit("cdn.site-"), (d % 7).cast("string"),
+                F.lit(".example.com"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("site-"), (d % 7).cast("string"), F.lit(".example.com")
+            )
+        ),
+        F.when(d % 4 == 0, F.lit(":80"))
+        .when(d % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/docs/"), d.cast("string"), F.lit("/page"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="), d.cast("string"),
+                F.lit("&z=9&ref=rss&a=1"),
+            ),
+        )
+        .when(d % 6 == 3, F.lit("?utm_only=1&ref=x"))
+        .otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0, F.concat(F.lit("#frag"), (d % 5).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    return canonicalize_urls(docs.withColumn("url", url)).select(
+        "doc_id", "url", "canonical_url", "host", "registered_domain",
+        "path_depth", "kept_params",
+    )
+
+
 # Fixed-size synthetic XML corpus for the built-in Spark 4 XML source —
 # same sf-independent staging contract as BINARYFILE_DIR (static oracle
 # string, so the staged path and row count cannot vary with sf_dir).

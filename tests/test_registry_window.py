@@ -87,9 +87,9 @@ TRIPLE_FILLERS: set[str] = {
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
     "embedding_correlation",
-    "image_header_metadata",
-    # (media_header_metadata — the newest-last-green filler, r4 — gave
-    # its slot to targz_member_extract;
+    # (media_header_metadata and image_header_metadata — the
+    # newest-last-green fillers, r4 — gave their slots to
+    # targz_member_extract and url_canonicalize;
     # graph_mass_propagation, scd2_intervals, merge_upsert,
     # window_distribution and join_bloom_pruned gave their slots to the
     # five CHANGED_CODE_REATTEST re-entries; join_skew_salted, pii_scrub,

@@ -841,3 +841,40 @@ def test_jpeg_progressive_coefficient_layer_roundtrip(planes_dims):
     width, height, coefs, _ = _jpeg_decode_progressive(b)
     assert (width, height) == (w, h)
     assert coefs == comps
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (url_canonicalize / functions/urls.py).
+# ---------------------------------------------------------------------------
+
+
+def test_url_canonicalize_hazard_branches_and_plan(spark, sf_small):
+    """Every canonicalization hazard the law plants resolves correctly,
+    and the plan stays JVM-side (no Python-eval nodes): default port
+    dropped vs explicit port kept, www./case folding, tracking params
+    stripped with the '?' vanishing when none survive, params sorted,
+    fragments dropped, and all three registered-domain branches
+    (2-label, multi-label suffix, subdomain-of-suffix)."""
+    from mapreduce__spark.plans.tier2 import url_canonicalize
+
+    df = url_canonicalize(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    rows = {r.doc_id: r for r in df.collect()}
+    r0 = rows[0]  # http + :80 dropped, WWW./case folded, utm/ref stripped
+    assert r0.canonical_url == "http://site-0.example.com/docs/0/page?a=1&id=0&z=9"
+    assert (r0.registered_domain, r0.path_depth, r0.kept_params) == (
+        "site-0.example.com", 3, 3,
+    )
+    r3 = rows[3]  # every param stripped -> the '?' vanishes too
+    assert r3.canonical_url == "http://site-3.example.com/docs/3/page"
+    assert r3.kept_params == 0
+    r5 = rows[5]  # explicit :8080 kept; subdomain of archive.test suffix
+    assert r5.canonical_url == "http://data.archive.test:8080/docs/5/page"
+    assert r5.registered_domain == "data.archive.test"
+    r7 = rows[7]  # plain two-label registered domain
+    assert r7.registered_domain == "data-host.net"
+    r9 = rows[9]  # 4-label host under a multi-label suffix
+    assert (r9.host, r9.registered_domain) == (
+        "cdn.site-2.example.com", "site-2.example.com",
+    )
