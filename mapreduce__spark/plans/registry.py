@@ -125,6 +125,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "jpeg_pixel_decode_progressive",
     "targz_member_extract",
     "url_canonicalize",
+    "html_text_extract",
     # round-10 additions, earning a second row
     "quantile_sketch_dyadic",
     "ann_topk_buckets",
@@ -163,10 +164,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_jaccard_exact",
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
-    "embedding_correlation",
-    # (media_header_metadata and image_header_metadata — the
-    # newest-last-green fillers, r4 — gave their slots to
-    # targz_member_extract and url_canonicalize;
+    # (media_header_metadata, image_header_metadata and
+    # embedding_correlation — the newest-last-green fillers, r4 — gave
+    # their slots to targz_member_extract, url_canonicalize and
+    # html_text_extract;
     # join_skew_salted, pii_scrub, kernel_search_count,
     # training_data_pipeline, rolling_user_features, dedup_clusters,
     # sequence_packing, stateful_dedup_first_event, sessionization and

@@ -5510,6 +5510,95 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "html_text_extract",
+    oracle=f"""
+    WITH paras AS (
+      SELECT doc_id,
+             string_agg('para ' || CAST(doc_id AS VARCHAR) || ' '
+                          || CAST(i AS VARCHAR) || ' & more A',
+                        ' ' ORDER BY i) AS ptext
+      FROM (SELECT doc_id,
+                   unnest(generate_series(0, doc_id % 3)) AS i
+            FROM documents)
+      GROUP BY doc_id
+    ),
+    law AS (
+      SELECT doc_id,
+             'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || ptext
+               || CASE WHEN doc_id % 2 = 0
+                       THEN ' link ' || CAST(doc_id AS VARCHAR)
+                       ELSE '' END AS text,
+             CASE WHEN doc_id % 2 = 0
+                  THEN length('link ' || CAST(doc_id AS VARCHAR))
+                  ELSE 0 END AS link_chars
+      FROM paras
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS text_chars,
+           CAST({{fold}} AS BIGINT) AS text_hash,
+           CAST(link_chars AS BIGINT) AS link_chars,
+           CAST((100 * link_chars) // length(text) AS BIGINT)
+               AS link_density_pct,
+           CAST(doc_id % 3 + 1 AS BIGINT) AS n_paragraphs
+    FROM law
+    """.format(fold=_sql_charfold("text")),
+    tags=("tier2", "text", "multimodal"),
+)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML visible-text extraction — the step between WARC ingest and
+    every text-quality operator. A REAL tokenizer (state machine with
+    TAG/RAWTEXT/COMMENT states honoring quoted attribute values), not a
+    regex strip: the law plants the classic killers of `<[^>]*>`
+    extraction — a literal `>` inside a quoted attribute (every d%5==0
+    doc), `<script>`/`<style>` bodies containing tag-shaped text that
+    must vanish entirely, comments hiding markup, entities that decode
+    in text (`&amp;`, `&#65;`) but must NOT decode inside attribute
+    values. Emits per doc the collapsed visible text's length and
+    char-fold hash, the visible chars inside `<a>` elements, the
+    link-density percentage (the Kohlschütter boilerplate signal, exact
+    integer division) and the paragraph count. The oracle rebuilds the
+    expected VISIBLE text from the synthesis law — fully independent of
+    the tokenizer, so a swallowed script body, a mis-decoded entity or
+    a broken attribute scan all flip the hash. SCALE: one corpus scan,
+    Arrow-batched mapInPandas, the raw HTML never shuffles (operators/
+    html.py); downstream operators see only the narrow feature row."""
+    from mapreduce__spark.operators.html import html_text_features
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    paras = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (d % 3).cast("int")),
+            lambda i: F.concat(
+                F.lit('<p class="c'), i.cast("string"), F.lit('">para '),
+                d.cast("string"), F.lit(" "), i.cast("string"),
+                F.lit(" &amp; more &#65;</p>"),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>Doc "), d.cast("string"),
+        F.lit("</title><style>p{color:red}</style>"),
+        F.lit('<script>var s="<p>fake '), d.cast("string"),
+        F.lit('</p>";</script></head><body><!-- hidden <b>x</b> -->'),
+        paras,
+        F.when(d % 5 == 0, F.lit('<img alt="a > b" src="i.png">')).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit('<div><a href="/u?x=1&amp;y='), d.cast("string"),
+                F.lit('">link '), d.cast("string"), F.lit("</a></div>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return html_text_features(docs.withColumn("html", html))
+
+
 # Fixed-size synthetic XML corpus for the built-in Spark 4 XML source —
 # same sf-independent staging contract as BINARYFILE_DIR (static oracle
 # string, so the staged path and row count cannot vary with sf_dir).

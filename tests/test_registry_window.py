@@ -86,10 +86,10 @@ TRIPLE_FILLERS: set[str] = {
     "dedup_jaccard_exact",
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
-    "embedding_correlation",
-    # (media_header_metadata and image_header_metadata — the
-    # newest-last-green fillers, r4 — gave their slots to
-    # targz_member_extract and url_canonicalize;
+    # (media_header_metadata, image_header_metadata and
+    # embedding_correlation — the newest-last-green fillers, r4 — gave
+    # their slots to targz_member_extract, url_canonicalize and
+    # html_text_extract;
     # graph_mass_propagation, scd2_intervals, merge_upsert,
     # window_distribution and join_bloom_pruned gave their slots to the
     # five CHANGED_CODE_REATTEST re-entries; join_skew_salted, pii_scrub,

@@ -878,3 +878,44 @@ def test_url_canonicalize_hazard_branches_and_plan(spark, sf_small):
     assert (r9.host, r9.registered_domain) == (
         "cdn.site-2.example.com", "site-2.example.com",
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML visible-text extraction (html_text_extract / operators/html.py).
+# ---------------------------------------------------------------------------
+
+
+def test_html_tokenizer_hazards():
+    """The state machine survives what regex stripping cannot: quoted
+    '>' in attributes, tag-shaped script/style bodies, comments hiding
+    markup, entity decode in text but never in attributes, nested <a>,
+    case-insensitive rawtext closers, lenient unknown/unterminated
+    entities, and unterminated constructs dropping the tail quietly."""
+    from mapreduce__spark.operators.html import extract_html_text
+
+    t = extract_html_text
+    assert t('<img alt="a > b">after')[0] == "after"
+    assert t("<script>var s=\"<p>fake</p>\";</script>real")[0] == "real"
+    assert t("<style>p>span{}</style>ok")[0] == "ok"
+    assert t("<SCRIPT>x</SCRIPT>tail")[0] == "tail"
+    assert t("<!-- <b>hidden</b> -->shown")[0] == "shown"
+    assert t("a&amp;b &#65; &lt;tag&gt;")[0] == "a&b A <tag>"
+    assert t('<a href="/u?x=1&amp;y=2">L</a>')[0] == "L"  # attr entity inert
+    # unknown / unterminated entities emit the '&' literally
+    assert t("x&unknown;y")[0] == "x&unknown;y"
+    assert t("x&ampy")[0] == "x&ampy"
+    # nested links: all inner text counts once (tags are word
+    # boundaries), depth balanced so 'er' is still link text and '!'
+    # is not
+    text, link_chars, n_para, _ = t("<a>out<a>in</a>er</a>!")
+    assert (text, link_chars) == ("out in er !", 9)
+    # unterminated script/comment swallow the tail, never crash
+    assert t("pre<script>never closed")[0] == "pre"
+    assert t("pre<!-- never closed")[0] == "pre"
+    # paragraph and link accounting on a full document
+    text, link_chars, n_para, n_tags = t(
+        "<html><body><p>one</p><p>two <a>x y</a></p></body></html>"
+    )
+    assert (text, link_chars, n_para) == ("one two x y", 3, 2)
+    # whitespace collapse across tag boundaries
+    assert t("<div>a</div>\n\n  <div>b</div>")[0] == "a b"
