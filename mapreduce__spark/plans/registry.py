@@ -126,6 +126,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "targz_member_extract",
     "url_canonicalize",
     "html_text_extract",
+    "image_dhash",
+    "image_dhash_neardup",
     # round-10 additions, earning a second row
     "quantile_sketch_dyadic",
     "ann_topk_buckets",
@@ -162,12 +164,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "word_count",
     "dedup_exact",
     "dedup_jaccard_exact",
-    "dedup_embedding_cosine",
-    "ann_topk_bruteforce",
-    # (media_header_metadata, image_header_metadata and
-    # embedding_correlation — the newest-last-green fillers, r4 — gave
-    # their slots to targz_member_extract, url_canonicalize and
-    # html_text_extract;
+    # (the five r4 newest-last-green fillers — media_header_metadata,
+    # image_header_metadata, embedding_correlation, ann_topk_bruteforce
+    # and dedup_embedding_cosine — gave their slots to
+    # targz_member_extract, url_canonicalize, html_text_extract,
+    # image_dhash and image_dhash_neardup;
     # join_skew_salted, pii_scrub, kernel_search_count,
     # training_data_pipeline, rolling_user_features, dedup_clusters,
     # sequence_packing, stateful_dedup_first_event, sessionization and

@@ -5599,6 +5599,115 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_text_features(docs.withColumn("html", html))
 
 
+# Law-reconstructed dHash table shared by the two perceptual-hash
+# oracles: nearest-neighbor 9x8 grayscale grid over the BMP pixel law
+# (synth_bmp_bytes), one bit per adjacent-cell comparison, packed into
+# two 32-bit halves so BIGINT arithmetic never touches the sign bit.
+_SQL_DHASH_CTES = """
+    dims AS (
+      SELECT doc_id, doc_id % 13 + 4 AS w, (doc_id * 7) % 11 + 4 AS h
+      FROM documents
+    ),
+    grays AS (
+      SELECT doc_id, r.r, c.c, w, h,
+             (299 * ((3 * doc_id + 11 * ((c.c * w) // 9)
+                      + ((r.r * h) // 8)) % 256)
+              + 587 * ((2 * doc_id + ((c.c * w) // 9)
+                        + 7 * ((r.r * h) // 8)) % 256)
+              + 114 * ((doc_id + 3 * ((c.c * w) // 9)
+                        + 5 * ((r.r * h) // 8)) % 256)) // 1000 AS g
+      FROM dims,
+           (SELECT unnest(generate_series(0, 7)) AS r) r,
+           (SELECT unnest(generate_series(0, 8)) AS c) c
+    ),
+    bits AS (
+      SELECT a.doc_id, a.r, a.c, a.w, a.h,
+             CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+      FROM grays a
+      JOIN grays b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+      WHERE a.c < 8
+    ),
+    hashes AS (
+      SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+             CAST(SUM(CASE WHEN r < 4
+                           THEN bit * (CAST(1 AS BIGINT) << (r * 8 + c))
+                           ELSE 0 END) AS BIGINT) AS dhash_lo,
+             CAST(SUM(CASE WHEN r >= 4
+                           THEN bit * (CAST(1 AS BIGINT) << ((r - 4) * 8 + c))
+                           ELSE 0 END) AS BIGINT) AS dhash_hi
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "image_dhash",
+    oracle=f"""
+    WITH {_SQL_DHASH_CTES}
+    SELECT doc_id, CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height, dhash_hi, dhash_lo
+    FROM hashes
+    """,
+    tags=("tier2", "multimodal", "dedup"),
+)
+def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprints (dHash) over REAL decoded BMP
+    bytes: integer BT.601 grayscale, nearest-neighbor 9x8 grid, one
+    bit per adjacent-cell comparison, packed as two 32-bit halves
+    (operators/phash.py). The oracle reconstructs every bit from the
+    pixel synthesis law through DuckDB arithmetic — a wrong row order
+    (the bottom-up/top-down hazard), a wrong grayscale rounding, or a
+    flipped bit order all diverge. This is the image sibling of
+    minhash_signatures: the narrow fingerprint table that all image
+    near-dup joins downstream consume. SCALE: one corpus scan,
+    Arrow-batched mapInPandas; images never shuffle, only the 5-column
+    hash table leaves the scan stage."""
+    from mapreduce__spark.operators.multimodal import with_bmp_payload
+    from mapreduce__spark.operators.phash import image_dhash_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return image_dhash_features(with_bmp_payload(docs))
+
+
+@query(
+    "image_dhash_neardup",
+    oracle=f"""
+    WITH {_SQL_DHASH_CTES}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+                + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT)
+               AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+          + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
+    """,
+    tags=("tier2", "multimodal", "dedup"),
+)
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs within Hamming radius 3 of the dHash
+    fingerprint — the multimodal entry in the dedup family. The Spark
+    side is the SCALE path: the 64 bits split into four 16-bit bands,
+    candidates meet in an equi-join on (band_index, band_value), and
+    the exact Hamming filter touches only candidates. By pigeonhole,
+    radius 3 < 4 bands means every qualifying pair shares a whole band
+    — so the banded plan is provably COMPLETE, and the DuckDB oracle
+    (quadratic brute force over the law-reconstructed hashes) must
+    agree exactly, pair for pair. The gradient-law fixtures collide
+    heavily on purpose (hundreds of distinct hashes over 500 docs), so
+    the pair set is fat enough to catch a lossy band split. SCALE:
+    shuffle is O(N * 4 bands) 16-bit keys; the N^2 product never forms
+    (candidate count is driven by bucket occupancy, the LSH argument
+    of dedup_lsh_minhash applied to images)."""
+    from mapreduce__spark.operators.multimodal import with_bmp_payload
+    from mapreduce__spark.operators.phash import (
+        dhash_near_dup_pairs,
+        image_dhash_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return dhash_near_dup_pairs(image_dhash_features(with_bmp_payload(docs)))
+
+
 # Fixed-size synthetic XML corpus for the built-in Spark 4 XML source —
 # same sf-independent staging contract as BINARYFILE_DIR (static oracle
 # string, so the staged path and row count cannot vary with sf_dir).

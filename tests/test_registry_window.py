@@ -84,12 +84,11 @@ TRIPLE_FILLERS: set[str] = {
     "word_count",
     "dedup_exact",
     "dedup_jaccard_exact",
-    "dedup_embedding_cosine",
-    "ann_topk_bruteforce",
-    # (media_header_metadata, image_header_metadata and
-    # embedding_correlation — the newest-last-green fillers, r4 — gave
-    # their slots to targz_member_extract, url_canonicalize and
-    # html_text_extract;
+    # (the five r4 newest-last-green fillers — media_header_metadata,
+    # image_header_metadata, embedding_correlation, ann_topk_bruteforce
+    # and dedup_embedding_cosine — gave their slots to
+    # targz_member_extract, url_canonicalize, html_text_extract,
+    # image_dhash and image_dhash_neardup;
     # graph_mass_propagation, scd2_intervals, merge_upsert,
     # window_distribution and join_bloom_pruned gave their slots to the
     # five CHANGED_CODE_REATTEST re-entries; join_skew_salted, pii_scrub,

@@ -919,3 +919,68 @@ def test_html_tokenizer_hazards():
     assert (text, link_chars, n_para) == ("one two x y", 3, 2)
     # whitespace collapse across tag boundaries
     assert t("<div>a</div>\n\n  <div>b</div>")[0] == "a b"
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (image_dhash / image_dhash_neardup, operators/phash.py).
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_rgb_array_matches_pixel_law():
+    """The standalone array decode honors both row layouts: RGB at
+    image coordinate (x, y from top) equals the synthesis law on
+    bottom-up AND top-down (d%5==0) fixtures."""
+    from mapreduce__spark.operators.multimodal import synth_bmp_bytes
+    from mapreduce__spark.operators.phash import _bmp_rgb_array
+
+    for d in (0, 3, 5, 7, 10, 13):
+        arr = _bmp_rgb_array(synth_bmp_bytes(d))
+        h, w, _ = arr.shape
+        assert (w, h) == (d % 13 + 4, (d * 7) % 11 + 4)
+        for y in (0, h - 1):
+            for x in (0, w - 1):
+                r, g, b = (int(v) for v in arr[y, x])
+                assert r == (3 * d + 11 * x + y) % 256
+                assert g == (2 * d + x + 7 * y) % 256
+                assert b == (d + 3 * x + 5 * y) % 256
+
+
+@given(st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=60, deadline=None)
+def test_dhash_matches_scalar_reimplementation(d):
+    """dhash_halves' vectorized packing equals a bit-by-bit scalar
+    recomputation from the same pixel law, for arbitrary doc ids."""
+    from mapreduce__spark.operators.multimodal import synth_bmp_bytes
+    from mapreduce__spark.operators.phash import _bmp_rgb_array, dhash_halves
+
+    rgb = _bmp_rgb_array(synth_bmp_bytes(d))
+    h, w, _ = rgb.shape
+    hi, lo = dhash_halves(rgb)
+
+    def gray(x, y):
+        r, g, b = (int(v) for v in rgb[y, x])
+        return (299 * r + 587 * g + 114 * b) // 1000
+
+    want_hi = want_lo = 0
+    for row in range(8):
+        y = (row * h) // 8
+        for col in range(8):
+            xa, xb = (col * w) // 9, ((col + 1) * w) // 9
+            if gray(xa, y) < gray(xb, y):
+                if row < 4:
+                    want_lo |= 1 << (row * 8 + col)
+                else:
+                    want_hi |= 1 << ((row - 4) * 8 + col)
+    assert (hi, lo) == (want_hi, want_lo)
+    assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+
+
+def test_dhash_band_radius_guard():
+    """Radius >= band count would break the pigeonhole completeness
+    argument — the operator refuses it loudly."""
+    import pytest as _pytest
+
+    from mapreduce__spark.operators.phash import dhash_near_dup_pairs
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dhash_near_dup_pairs(None, radius=4)
