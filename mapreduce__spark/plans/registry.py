@@ -128,6 +128,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "html_text_extract",
     "image_dhash",
     "image_dhash_neardup",
+    "orc_roundtrip",
+    "audio_mulaw_roundtrip",
     # round-10 additions, earning a second row
     "quantile_sketch_dyadic",
     "ann_topk_buckets",
@@ -162,9 +164,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "rollup_cube",
     "scalar_functions",
     "word_count",
-    "dedup_exact",
-    "dedup_jaccard_exact",
-    # (the five r4 newest-last-green fillers — media_header_metadata,
+    # (dedup_jaccard_exact and dedup_exact — r3 last-green, popped in
+    # reverse registration order — gave their slots to orc_roundtrip
+    # and audio_mulaw_roundtrip;
+    # the five r4 newest-last-green fillers — media_header_metadata,
     # image_header_metadata, embedding_correlation, ann_topk_bruteforce
     # and dedup_embedding_cosine — gave their slots to
     # targz_member_extract, url_canonicalize, html_text_extract,

@@ -5708,6 +5708,135 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_near_dup_pairs(image_dhash_features(with_bmp_payload(docs)))
 
 
+@query(
+    "orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           max(o_orderdate) AS max_date
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("tier2", "source", "sink"),
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write -> read -> aggregate roundtrip, completing the
+    columnar-format matrix (parquet native, CSV/JSONL/XML, binaryFile,
+    custom DataSource — ORC is the other columnar format Spark ships a
+    vectorized reader for). The full orders table (ints, strings,
+    2-decimal doubles, timestamps) is written to ORC and read back;
+    the output aggregates over the ROUNDTRIPPED data while the oracle
+    computes the same aggregate from the ORIGINAL parquet — so any
+    loss in the ORC layer (timestamp timezone re-interpretation is the
+    classic one; the session pins UTC on both paths) diverges the
+    hash. Write goes to the per-user staged fixture root, overwritten
+    per run. SCALE: ORC and parquet share the same predicate-pushdown/
+    column-pruning surface in Spark's DataSource V1 path; the write is
+    one narrow pass and the read-back plans identically to any other
+    columnar scan."""
+    import os
+
+    path = (
+        _fixture_root()
+        + "/orc/orders_"
+        + os.path.basename(os.path.normpath(sf_dir))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
+@query(
+    "audio_mulaw_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 2 + 1 AS ch,
+             (doc_id % 60 + 4) * (doc_id % 2 + 1) AS n
+      FROM documents
+    ),
+    ks AS (
+      SELECT doc_id, ch, unnest(generate_series(0, n - 1)) AS k FROM dims
+    ),
+    samp AS (
+      SELECT doc_id, k,
+             ((31 * doc_id + 7 * (k // ch) + 13 * (k % ch)) % 65536)
+               - 32768 AS s
+      FROM ks
+    ),
+    enc0 AS (
+      SELECT doc_id, k, s,
+             CASE WHEN s < 0 THEN 128 ELSE 0 END AS sgn,
+             LEAST(abs(s), 32635) + 132 AS mag
+      FROM samp
+    ),
+    enc1 AS (
+      SELECT *, CASE WHEN mag // 128 >= 128 THEN 7
+                     WHEN mag // 128 >= 64 THEN 6
+                     WHEN mag // 128 >= 32 THEN 5
+                     WHEN mag // 128 >= 16 THEN 4
+                     WHEN mag // 128 >= 8 THEN 3
+                     WHEN mag // 128 >= 4 THEN 2
+                     WHEN mag // 128 >= 2 THEN 1
+                     ELSE 0 END AS e
+      FROM enc0
+    ),
+    enc2 AS (
+      SELECT doc_id, k, s, sgn, e,
+             (mag // (CAST(1 AS BIGINT) << (e + 3))) % 16 AS mant
+      FROM enc1
+    ),
+    enc3 AS (
+      SELECT doc_id, k, s,
+             255 - (sgn + e * 16 + mant) AS code,
+             CASE WHEN sgn = 128
+                  THEN -((((mant * 8) + 132)
+                          * (CAST(1 AS BIGINT) << e)) - 132)
+                  ELSE (((mant * 8) + 132)
+                        * (CAST(1 AS BIGINT) << e)) - 132
+             END AS dec
+      FROM enc2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(list_reduce(
+                  list_prepend(CAST(0 AS BIGINT), list(code ORDER BY k)),
+                  (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT)
+               AS code_hash,
+           CAST(sum(dec) AS BIGINT) AS sum_decoded,
+           CAST(max(abs(s - dec)) AS BIGINT) AS max_abs_err
+    FROM enc3 GROUP BY doc_id
+    """,
+    tags=("tier2", "multimodal",),
+)
+def audio_mulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 mu-law transcode audit over REAL PCM16 WAV bytes — the
+    companding codec telephony/ASR corpora ship in, both directions as
+    exact integer ops (ITU-T G.711: BIAS 0x84, CLIP 32635, sign/
+    segment/mantissa with inverted wire bits). Per doc: the code
+    stream's order-pinned char-fold hash (a single swapped or
+    mis-segmented code flips it), the reconstructed sample sum, and
+    the max absolute reconstruction error (the companding error bound
+    itself — ~2% of magnitude, worst 644 at clip — so a broken decode
+    explodes this column). The oracle replays encode AND decode from
+    the WAV sample law entirely in SQL, term for term. The WAV walk
+    honors the RIFF hazards (odd junk chunks, data-before-fmt).
+    SCALE: one scan, Arrow-batched mapInPandas, audio never shuffles
+    (operators/audio.py)."""
+    from mapreduce__spark.operators.audio import wav_mulaw_features
+    from mapreduce__spark.operators.multimodal import with_wav_pcm_payload
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return wav_mulaw_features(with_wav_pcm_payload(docs))
+
+
 # Fixed-size synthetic XML corpus for the built-in Spark 4 XML source —
 # same sf-independent staging contract as BINARYFILE_DIR (static oracle
 # string, so the staged path and row count cannot vary with sf_dir).

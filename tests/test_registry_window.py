@@ -82,9 +82,10 @@ TRIPLE_FILLERS: set[str] = {
     "rollup_cube",
     "scalar_functions",
     "word_count",
-    "dedup_exact",
-    "dedup_jaccard_exact",
-    # (the five r4 newest-last-green fillers — media_header_metadata,
+    # (dedup_jaccard_exact and dedup_exact — r3 last-green, popped in
+    # reverse registration order — gave their slots to orc_roundtrip
+    # and audio_mulaw_roundtrip;
+    # the five r4 newest-last-green fillers — media_header_metadata,
     # image_header_metadata, embedding_correlation, ann_topk_bruteforce
     # and dedup_embedding_cosine — gave their slots to
     # targz_member_extract, url_canonicalize, html_text_extract,

@@ -984,3 +984,62 @@ def test_dhash_band_radius_guard():
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         dhash_near_dup_pairs(None, radius=4)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law codec (audio_mulaw_roundtrip, operators/audio.py).
+# ---------------------------------------------------------------------------
+
+
+def test_mulaw_codec_matches_scalar_reference_full_range():
+    """The vectorized encode/decode equals the classic scalar G.711
+    formulation for EVERY int16 value; all 256 codes are reachable and
+    the companding error never exceeds the top-segment bound."""
+    import numpy as np
+
+    from mapreduce__spark.operators.audio import mulaw_decode, mulaw_encode
+
+    def enc1(x):
+        sign = 0x80 if x < 0 else 0
+        m = min(abs(x), 32635) + 0x84
+        e = 7
+        for i in range(8):
+            if m >> 7 < (1 << (i + 1)):
+                e = i
+                break
+        mant = (m >> (e + 3)) & 0x0F
+        return ~(sign | (e << 4) | mant) & 0xFF
+
+    def dec1(c):
+        u = ~c & 0xFF
+        sign, e, mant = u & 0x80, (u >> 4) & 7, u & 0x0F
+        m = (((mant << 3) + 0x84) << e) - 0x84
+        return -m if sign else m
+
+    xs = np.arange(-32768, 32768, dtype=np.int64)
+    codes = mulaw_encode(xs)
+    decs = mulaw_decode(codes)
+    # spot-exact on the tricky boundaries + a lattice across the range
+    for x in (-32768, -32636, -32635, -132, -1, 0, 1, 131, 132,
+              32634, 32635, 32767, *range(-4096, 4097, 97)):
+        assert codes[x + 32768] == enc1(x), x
+        assert decs[x + 32768] == dec1(enc1(x)), x
+    assert len(set(codes.tolist())) == 256
+    assert int(np.abs(xs - decs).max()) == 644  # clip-region worst case
+
+
+def test_wav_samples_honors_riff_hazards():
+    """The standalone sample walk returns the interleaved law samples
+    on odd-junk-chunk docs (even ids) and data-before-fmt docs
+    (multiples of 7) alike."""
+    from mapreduce__spark.operators.audio import _wav_samples
+    from mapreduce__spark.operators.multimodal import synth_wav_pcm_bytes
+
+    for d in (0, 1, 2, 6, 7, 14, 15, 21):
+        s = _wav_samples(synth_wav_pcm_bytes(d))
+        ch = d % 2 + 1
+        n = (d % 60 + 4) * ch
+        assert len(s) == n
+        for k in (0, 1, n - 1):
+            want = ((31 * d + 7 * (k // ch) + 13 * (k % ch)) % 65536) - 32768
+            assert int(s[k]) == want, (d, k)
