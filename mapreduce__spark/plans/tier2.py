@@ -5837,6 +5837,103 @@ def audio_mulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_mulaw_features(with_wav_pcm_payload(docs))
 
 
+# Staged parquet corpus for the footer audit. The directory is pinned to
+# the pyarrow version because the writer's byte output (and therefore
+# offsets/sizes in the footer) is version-dependent; the oracle does not
+# care WHAT the bytes are — both engines read the same staged files —
+# but restaging must never mix writer versions within one directory.
+import pyarrow as _pa  # noqa: E402  (baked-in dependency, version pin only)
+
+FOOTER_N_FILES = 4
+FOOTER_DIR = _fixture_root() + "/footerpq/v1-pa" + _pa.__version__
+
+
+def _stage_footer_corpus() -> str:
+    """Write FOOTER_N_FILES small parquet files (3-4 row groups each,
+    SNAPPY and UNCOMPRESSED alternating, nullable strings for real
+    null_count statistics) once per pyarrow version; tmp+rename so a
+    concurrent stager never exposes a torn file."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(FOOTER_DIR, exist_ok=True)
+    for f in range(FOOTER_N_FILES):
+        dest = os.path.join(FOOTER_DIR, f"{f:02d}.parquet")
+        if os.path.exists(dest):
+            continue
+        n = 40 + 10 * f
+        base = 1000 * f
+        t = pa.table(
+            {
+                "id": pa.array(range(base, base + n), type=pa.int64()),
+                "name": pa.array(
+                    [None if i % 7 == 0 else f"n{i}" for i in range(n)]
+                ),
+                "val": pa.array(
+                    [(i * i % 97) / 4 for i in range(n)], type=pa.float64()
+                ),
+            }
+        )
+        tmp = dest + ".tmp"
+        pq.write_table(
+            t, tmp, row_group_size=16,
+            compression="snappy" if f % 2 == 0 else "none",
+        )
+        os.replace(tmp, dest)
+    return FOOTER_DIR
+
+
+@query(
+    "parquet_footer_audit",
+    oracle=f"""
+    SELECT regexp_extract(file_name, '([^/]+)$', 1) AS file_name,
+           row_group_id AS rg,
+           row_group_num_rows AS rg_rows,
+           column_id AS col,
+           path_in_schema AS path,
+           compression AS codec,
+           num_values,
+           total_compressed_size AS comp_bytes,
+           total_uncompressed_size AS uncomp_bytes,
+           data_page_offset AS data_off,
+           stats_null_count AS null_count,
+           CASE WHEN path_in_schema = 'id'
+                THEN CAST(stats_min_value AS BIGINT) END AS id_min,
+           CASE WHEN path_in_schema = 'id'
+                THEN CAST(stats_max_value AS BIGINT) END AS id_max
+    FROM parquet_metadata('{FOOTER_DIR}/*.parquet')
+    """,
+    tags=("tier2", "source",),
+)
+def parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer metadata parsed from RAW BYTES with a from-scratch
+    Thrift compact-protocol reader (sources/parquet_footer.py) — the
+    per-row-group, per-column statistics that row-group pruning rests
+    on at 100 TB (min/max/null_count, page offsets, codec, byte sizes).
+    The differential here is the strongest in the repo: not a synthesis
+    law but DuckDB's OWN parquet reader (`parquet_metadata`) over the
+    same staged files — two independent implementations of the same
+    binary format agreeing field for field. A mis-read varint, a wrong
+    zigzag decode, an unskipped unknown field or an off-by-one in the
+    footer locate all diverge. INT64 min/max statistics are decoded to
+    typed values (little-endian per parquet-format); the staged corpus
+    mixes SNAPPY/UNCOMPRESSED codecs and nullable columns so codec ids
+    and null counts are non-trivial. SCALE: footers are a few KB
+    regardless of file size — a real deployment range-reads the tail;
+    the audit itself is one binaryFile scan, nothing shuffles."""
+    from mapreduce__spark.sources.parquet_footer import parquet_footer_rows
+
+    d = _stage_footer_corpus()
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(d)
+    )
+    return parquet_footer_rows(files)
+
+
 # Fixed-size synthetic XML corpus for the built-in Spark 4 XML source —
 # same sf-independent staging contract as BINARYFILE_DIR (static oracle
 # string, so the staged path and row count cannot vary with sf_dir).
@@ -5924,12 +6021,14 @@ _FIXTURES_STAGED = False
 
 
 def stage_fixture_corpora() -> None:
-    """Stage the binaryFile + XML fixture corpora once per process."""
+    """Stage the binaryFile + XML + parquet-footer fixture corpora once
+    per process."""
     global _FIXTURES_STAGED
     if _FIXTURES_STAGED:
         return
     _stage_binaryfile_corpus()
     _stage_xml_corpus()
+    _stage_footer_corpus()
     _FIXTURES_STAGED = True
 
 

@@ -1,0 +1,285 @@
+"""Parquet footer audit: a from-scratch Thrift compact-protocol parser.
+
+Row-group pruning — the single most important scan optimization at
+100 TB — lives or dies on the footer: per-row-group, per-column
+statistics (min/max/null_count), page offsets and sizes. This module
+parses that footer from RAW BYTES with no parquet or thrift library:
+the Thrift compact protocol (varints, zigzag field ids, typed field
+headers, nested structs/lists) and the parquet.thrift FileMetaData /
+RowGroup / ColumnChunk / ColumnMetaData / Statistics shapes
+(apache/parquet-format, parquet.thrift — public spec).
+
+Why it earns its place: the differential here is NOT a synthesis law —
+it is DuckDB's OWN parquet reader (`parquet_metadata(...)`) reading
+the same staged files. Two independent implementations of the same
+binary format must agree field for field: a mis-read varint, a wrong
+zigzag, a skipped-field bug or an off-by-one in the footer locate all
+diverge immediately.
+
+Footer layout (parquet-format README): file ends with
+`[FileMetaData thrift] [4-byte little-endian length] [b"PAR1"]`.
+
+At scale the parser reads ONLY the tail of the file (footer length +
+8); the fixture files are read whole via binaryFile because they are
+kilobytes. Reference parity: the reference has no binary formats at
+all (Search.cpp reads text lines); this is tier-2 source-surface
+engineering like the rest of O-3.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# --------------------------------------------------------------------------
+# Thrift compact protocol (generic layer).
+# --------------------------------------------------------------------------
+
+_T_STOP = 0
+_T_TRUE = 1
+_T_FALSE = 2
+_T_BYTE = 3
+_T_I16 = 4
+_T_I32 = 5
+_T_I64 = 6
+_T_DOUBLE = 7
+_T_BINARY = 8
+_T_LIST = 9
+_T_SET = 10
+_T_MAP = 11
+_T_STRUCT = 12
+
+
+def _varint(b: bytes, i: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if i >= len(b):
+            raise ValueError("truncated thrift varint")
+        byte = b[i]
+        i += 1
+        result |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return result, i
+        shift += 7
+        if shift > 70:
+            raise ValueError("thrift varint too long")
+
+
+def _zigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _read_value(b: bytes, i: int, typ: int):
+    """Read one compact-protocol value of `typ` at offset i."""
+    if typ == _T_TRUE:
+        return True, i
+    if typ == _T_FALSE:
+        return False, i
+    if typ == _T_BYTE:
+        if i >= len(b):
+            raise ValueError("truncated thrift byte")
+        return struct.unpack("b", b[i : i + 1])[0], i + 1
+    if typ in (_T_I16, _T_I32, _T_I64):
+        raw, i = _varint(b, i)
+        return _zigzag(raw), i
+    if typ == _T_DOUBLE:
+        if i + 8 > len(b):
+            raise ValueError("truncated thrift double")
+        return struct.unpack("<d", b[i : i + 8])[0], i + 8
+    if typ == _T_BINARY:
+        ln, i = _varint(b, i)
+        if i + ln > len(b):
+            raise ValueError("truncated thrift binary")
+        return b[i : i + ln], i + ln
+    if typ in (_T_LIST, _T_SET):
+        if i >= len(b):
+            raise ValueError("truncated thrift list header")
+        head = b[i]
+        i += 1
+        size = head >> 4
+        etype = head & 0x0F
+        if size == 0x0F:
+            size, i = _varint(b, i)
+        out = []
+        for _ in range(size):
+            # bools inside lists are full bytes (1 = true), unlike fields
+            if etype in (_T_TRUE, _T_FALSE):
+                out.append(b[i] == 1)
+                i += 1
+            else:
+                v, i = _read_value(b, i, etype)
+                out.append(v)
+        return out, i
+    if typ == _T_MAP:
+        size, i = _varint(b, i)
+        if size == 0:
+            return {}, i
+        if i >= len(b):
+            raise ValueError("truncated thrift map header")
+        kv = b[i]
+        i += 1
+        ktype, vtype = kv >> 4, kv & 0x0F
+        out = {}
+        for _ in range(size):
+            k, i = _read_value(b, i, ktype)
+            v, i = _read_value(b, i, vtype)
+            out[k] = v
+        return out, i
+    if typ == _T_STRUCT:
+        return _read_struct(b, i)
+    raise ValueError(f"unknown thrift compact type {typ}")
+
+
+def _read_struct(b: bytes, i: int) -> tuple[dict[int, object], int]:
+    """Struct -> {field_id: value}; unknown fields are parsed (and thus
+    skipped) by the same typed reader, so schema evolution is safe."""
+    fields: dict[int, object] = {}
+    last_fid = 0
+    while True:
+        if i >= len(b):
+            raise ValueError("truncated thrift struct")
+        head = b[i]
+        i += 1
+        if head == _T_STOP:
+            return fields, i
+        delta = head >> 4
+        typ = head & 0x0F
+        if delta:
+            fid = last_fid + delta
+        else:
+            raw, i = _varint(b, i)
+            fid = _zigzag(raw)
+        last_fid = fid
+        v, i = _read_value(b, i, typ)
+        fields[fid] = v
+
+
+# --------------------------------------------------------------------------
+# parquet.thrift interpretation (the subset the audit surfaces).
+# --------------------------------------------------------------------------
+
+_CODECS = {
+    0: "UNCOMPRESSED", 1: "SNAPPY", 2: "GZIP", 3: "LZO",
+    4: "BROTLI", 5: "LZ4", 6: "ZSTD", 7: "LZ4_RAW",
+}
+_TYPES = {
+    0: "BOOLEAN", 1: "INT32", 2: "INT64", 3: "INT96",
+    4: "FLOAT", 5: "DOUBLE", 6: "BYTE_ARRAY", 7: "FIXED_LEN_BYTE_ARRAY",
+}
+
+
+def parse_parquet_footer(b: bytes) -> list[dict[str, object]]:
+    """One row per (row_group, column chunk): row-group shape, column
+    path, codec, value/byte counts, data page offset, and statistics
+    (null_count always; min/max decoded for INT64 columns). Raises
+    ValueError on anything that is not an intact parquet file."""
+    if len(b) < 12 or b[:4] != b"PAR1" or b[-4:] != b"PAR1":
+        raise ValueError("not a parquet file (missing PAR1 magic)")
+    (meta_len,) = struct.unpack("<I", b[-8:-4])
+    start = len(b) - 8 - meta_len
+    if start < 4:
+        raise ValueError("parquet footer length out of bounds")
+    meta, _ = _read_struct(b, start)
+    # A corrupt footer can still be VALID thrift of the wrong shape
+    # (the generic layer parses any well-formed bytes) — every shape
+    # assumption below must fail as ValueError, never AttributeError.
+    row_groups = meta.get(4, [])
+    if not isinstance(row_groups, list):
+        raise ValueError("malformed FileMetaData.row_groups")
+    rows: list[dict[str, object]] = []
+    for rg_idx, rg in enumerate(row_groups):
+        if not isinstance(rg, dict):
+            raise ValueError("malformed RowGroup")
+        rg_rows = rg.get(3)
+        chunks = rg.get(1, [])
+        if not isinstance(chunks, list):
+            raise ValueError("malformed RowGroup.columns")
+        for col_idx, chunk in enumerate(chunks):
+            if not isinstance(chunk, dict):
+                raise ValueError("malformed ColumnChunk")
+            md = chunk.get(3)
+            if not isinstance(md, dict):
+                raise ValueError("column chunk without metadata")
+            segs = md.get(3, [])
+            if not isinstance(segs, list) or not all(
+                isinstance(p, bytes) for p in segs
+            ):
+                raise ValueError("malformed path_in_schema")
+            try:
+                path = ".".join(p.decode("utf-8") for p in segs)
+            except UnicodeDecodeError as e:
+                raise ValueError("non-UTF8 path_in_schema") from e
+            if not isinstance(md.get(1), (int, bool, type(None))) or not isinstance(
+                md.get(4), (int, bool, type(None))
+            ):
+                raise ValueError("malformed type/codec enum")
+            ptype = _TYPES.get(md.get(1), "?")
+            stats = md.get(12, {})
+            if not isinstance(stats, dict):
+                raise ValueError("malformed Statistics")
+            null_count = stats.get(3)
+            if null_count is not None and not isinstance(null_count, int):
+                raise ValueError("malformed Statistics.null_count")
+            id_min = id_max = None
+            if ptype == "INT64" and 6 in stats and 5 in stats:
+                if not (
+                    isinstance(stats[5], bytes)
+                    and isinstance(stats[6], bytes)
+                    and len(stats[5]) == 8
+                    and len(stats[6]) == 8
+                ):
+                    raise ValueError("malformed INT64 statistics bounds")
+                id_min = struct.unpack("<q", stats[6])[0]
+                id_max = struct.unpack("<q", stats[5])[0]
+            rows.append(
+                {
+                    "rg": rg_idx,
+                    "rg_rows": rg_rows,
+                    "col": col_idx,
+                    "path": path,
+                    "codec": _CODECS.get(md.get(4), "?"),
+                    "num_values": md.get(5),
+                    "comp_bytes": md.get(7),
+                    "uncomp_bytes": md.get(6),
+                    "data_off": md.get(9),
+                    "null_count": null_count,
+                    "id_min": id_min,
+                    "id_max": id_max,
+                }
+            )
+    return rows
+
+
+def parquet_footer_rows(files: DataFrame) -> DataFrame:
+    """Arrow-batched footer parse over a binaryFile frame (path,
+    content) -> one row per row-group column chunk."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "file_name", "rg", "rg_rows", "col", "path", "codec",
+            "num_values", "comp_bytes", "uncomp_bytes", "data_off",
+            "null_count", "id_min", "id_max",
+        ]
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for r in parse_parquet_footer(bytes(content)):
+                    out["file_name"].append(os.path.basename(str(p)))
+                    for c in cols[1:]:
+                        out[c].append(r[c])
+            yield pd.DataFrame(out)
+
+    return files.select("path", "content").mapInPandas(
+        gen,
+        schema=(
+            "file_name string, rg bigint, rg_rows bigint, col bigint, "
+            "path string, codec string, num_values bigint, "
+            "comp_bytes bigint, uncomp_bytes bigint, data_off bigint, "
+            "null_count bigint, id_min bigint, id_max bigint"
+        ),
+    )

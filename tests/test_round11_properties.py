@@ -1043,3 +1043,117 @@ def test_wav_samples_honors_riff_hazards():
         for k in (0, 1, n - 1):
             want = ((31 * d + 7 * (k // ch) + 13 * (k % ch)) % 65536) - 32768
             assert int(s[k]) == want, (d, k)
+
+
+# ---------------------------------------------------------------------------
+# Parquet footer parser (parquet_footer_audit, sources/parquet_footer.py).
+# ---------------------------------------------------------------------------
+
+
+def test_parquet_footer_matches_duckdb_on_testdata():
+    """The from-scratch thrift parser agrees with DuckDB's own parquet
+    reader on the REAL testdata files (written by a third writer), not
+    just the staged fixtures — three independent implementations."""
+    import duckdb
+
+    from mapreduce__spark.sources.parquet_footer import parse_parquet_footer
+
+    for table in ("documents", "nation", "orders"):
+        path = f"/root/testdata/sf0.001/{table}.parquet"
+        with open(path, "rb") as fh:
+            mine = parse_parquet_footer(fh.read())
+        ducks = duckdb.sql(
+            "SELECT row_group_id, row_group_num_rows, column_id, "
+            "path_in_schema, compression, num_values, "
+            "total_compressed_size, total_uncompressed_size, "
+            "data_page_offset, stats_null_count "
+            f"FROM parquet_metadata('{path}') "
+            "ORDER BY row_group_id, column_id"
+        ).fetchall()
+        assert len(mine) == len(ducks) > 0
+        for m, d in zip(mine, ducks):
+            got = (
+                m["rg"], m["rg_rows"], m["col"], m["path"], m["codec"],
+                m["num_values"], m["comp_bytes"], m["uncomp_bytes"],
+                m["data_off"], m["null_count"],
+            )
+            assert got == d, (table, got, d)
+
+
+def test_parquet_footer_truncation_discipline():
+    """Cutting a parquet file at every byte offset from the tail side
+    (the footer region) raises ValueError — never struct.error or a
+    silent partial parse; byte-flips in the thrift region either raise
+    or change parsed values, never crash with another exception."""
+    from mapreduce__spark.plans.tier2 import _stage_footer_corpus
+    from mapreduce__spark.sources.parquet_footer import parse_parquet_footer
+
+    import os
+
+    d = _stage_footer_corpus()
+    with open(os.path.join(d, "00.parquet"), "rb") as fh:
+        b = fh.read()
+    whole = parse_parquet_footer(b)
+    assert whole, "staged file parsed empty"
+    for cut in range(max(0, len(b) - 2200), len(b)):
+        try:
+            parse_parquet_footer(b[:cut])
+            raise AssertionError(f"prefix {cut} parsed")
+        except ValueError:
+            pass
+    (_len,) = __import__("struct").unpack("<I", b[-8:-4])
+    start = len(b) - 8 - _len
+    for off in range(start, len(b) - 8, 7):
+        bb = bytearray(b)
+        bb[off] ^= 0xFF
+        try:
+            parse_parquet_footer(bytes(bb))
+        except ValueError:
+            pass  # loud is fine; any other exception type fails the test
+
+
+def test_thrift_compact_generic_layer():
+    """Hand-encoded compact-protocol struct with every scalar shape the
+    parser claims: bool fields, zigzag ints (long deltas + explicit
+    field ids), binary, nested struct, list with long-form size, map,
+    double, unknown trailing fields skipped via their type."""
+    import struct as st
+
+    from mapreduce__spark.sources.parquet_footer import _read_struct
+
+    def vint(n):
+        out = b""
+        while True:
+            if n < 0x80:
+                return out + bytes([n])
+            out += bytes([(n & 0x7F) | 0x80])
+            n >>= 7
+
+    def zz(n):
+        return vint((n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1)
+
+    payload = b"".join([
+        bytes([0x11]),                      # fid 1, TRUE
+        bytes([0x12]),                      # fid 2, FALSE
+        bytes([0x15]), zz(-7),              # fid 3, i32 = -7
+        bytes([0x16]), zz(3_000_000_000),   # fid 4, i64
+        bytes([0x18]), vint(3), b"abc",     # fid 5, binary
+        bytes([0x19]),                      # fid 6, list<i32>...
+        bytes([0xF5]), vint(16), *[zz(i) for i in range(16)],  # long form
+        bytes([0x1C]),                      # fid 7, struct
+        bytes([0x16]), zz(42), bytes([0x00]),
+        bytes([0x17]), st.pack("<d", 1.5),  # fid 8, double
+        bytes([0x1B]), vint(1), bytes([0x55]), zz(2), zz(9),  # fid 9 map i32->i32
+        bytes([0x05]), zz(100), zz(5),      # explicit fid 100, i32 = 5
+        bytes([0x00]),                      # STOP
+    ])
+    fields, end = _read_struct(payload, 0)
+    assert end == len(payload)
+    assert fields[1] is True and fields[2] is False
+    assert fields[3] == -7 and fields[4] == 3_000_000_000
+    assert fields[5] == b"abc"
+    assert fields[6] == list(range(16))
+    assert fields[7] == {1: 42}
+    assert fields[8] == 1.5
+    assert fields[9] == {2: 9}
+    assert fields[100] == 5
