@@ -131,6 +131,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "orc_roundtrip",
     "audio_mulaw_roundtrip",
     "parquet_footer_audit",
+    "unigram_lm_tokenize",
     # round-10 additions, earning a second row
     "quantile_sketch_dyadic",
     "ann_topk_buckets",
@@ -163,10 +164,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "topk_per_key",
     "window_analytic",
     "rollup_cube",
-    "scalar_functions",
-    # (word_count, dedup_jaccard_exact and dedup_exact — r3 last-green,
-    # popped in reverse registration order — gave their slots to
-    # parquet_footer_audit, orc_roundtrip and audio_mulaw_roundtrip;
+    # (scalar_functions, word_count, dedup_jaccard_exact and dedup_exact
+    # — r3 last-green, popped in reverse registration order — gave
+    # their slots to unigram_lm_tokenize, parquet_footer_audit,
+    # orc_roundtrip and audio_mulaw_roundtrip;
     # the five r4 newest-last-green fillers — media_header_metadata,
     # image_header_metadata, embedding_correlation, ann_topk_bruteforce
     # and dedup_embedding_cosine — gave their slots to

@@ -5934,6 +5934,116 @@ def parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parquet_footer_rows(files)
 
 
+@query(
+    "unigram_lm_tokenize",
+    oracle="""
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY w
+    ),
+    occ0 AS (
+      SELECT w, freq, unnest(generate_series(1, length(w))) AS i FROM words
+    ),
+    occ AS (
+      SELECT substr(w, i, l.l) AS piece, freq
+      FROM (SELECT w, freq, i,
+                   unnest(generate_series(1, least(4, length(w) - i + 1)))
+                       AS l
+            FROM occ0) AS l(w, freq, i, l)
+    ),
+    counts AS (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS c FROM occ GROUP BY piece
+    ),
+    pscored AS (
+      SELECT piece,
+             ((length(bin(c)) - 1) << 12)
+               + ((c << 12) >> (length(bin(c)) - 1)) - 4096 AS ps
+      FROM counts
+    ),
+    tot AS (
+      SELECT ((length(bin(C)) - 1) << 12)
+               + ((C << 12) >> (length(bin(C)) - 1)) - 4096 AS st
+      FROM (SELECT CAST(sum(c) AS BIGINT) AS C FROM counts)
+    ),
+    masks AS (
+      SELECT w, freq,
+             unnest(generate_series(
+               0, (CAST(1 AS BIGINT) << (length(w) - 1)) - 1)) AS mask
+      FROM words
+    ),
+    segs AS (
+      SELECT w, freq, mask,
+             list_transform(
+               range(1, len(cuts)),
+               j -> substr(w, cuts[j] + 1, cuts[j + 1] - cuts[j])) AS pieces
+      FROM (SELECT w, freq, mask,
+                   list_concat(
+                     list_concat(
+                       [0],
+                       list_filter(range(1, length(w)),
+                                   i -> ((mask >> (i - 1)) & 1) = 1)),
+                     [length(w)]) AS cuts
+            FROM masks)
+    ),
+    valid AS (
+      SELECT * FROM segs
+      WHERE len(list_filter(pieces, p -> length(p) > 4)) = 0
+    ),
+    scored AS (
+      SELECT v.w, v.freq, v.mask, any_value(v.pieces) AS pieces,
+             CAST(count(*) AS BIGINT) AS n_pieces,
+             CAST(sum(p.ps - t.st) AS BIGINT) AS score
+      FROM (SELECT w, freq, mask, pieces, unnest(pieces) AS piece
+            FROM valid) v
+      JOIN pscored p ON v.piece = p.piece
+      CROSS JOIN tot t
+      GROUP BY v.w, v.freq, v.mask
+    ),
+    best AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY w ORDER BY score DESC, mask ASC) AS rn
+      FROM scored
+    )
+    SELECT w AS word, freq, n_pieces,
+           array_to_string(pieces, '|') AS seg, score,
+           CAST(mask AS BIGINT) AS mask
+    FROM best WHERE rn = 1
+    """,
+    tags=("tier2", "text", "tokenizer"),
+)
+def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece) Viterbi tokenization — the third
+    tokenizer-training objective after bpe_learn_merges and
+    wordpiece_pair_scores (Kudo 2018). Vocabulary = every <=4-char
+    substring of the corpus words with frequency-weighted occurrence
+    counts; each distinct word is segmented to maximize the exact
+    fixed-point log-likelihood sum(ilog2(c_piece) - ilog2(C)) (declared
+    integer scoring: msb + 12-bit linear mantissa, monotone, identical
+    in both engines via bin()/bit_length), ties to the smallest cut
+    mask. The Spark side runs the O(L*P) Viterbi DP per word
+    (functions/unigram.py — counts arrive by equi-join, the total is a
+    1-row broadcast); the oracle ENUMERATES all 2^(L-1) segmentations
+    per word and arg-maxes with the same tie-break — dynamic
+    programming differentially proven against brute force. SCALE: the
+    substring vocabulary is Zipf-sublinear in the corpus; one explode +
+    hash aggregate for counts, per-word candidate maps of <=26 pieces;
+    no driver loop. The oracle's enumeration is exponential in word
+    length by design (it is the PROOF, not the plan); the engine side
+    is linear."""
+    from mapreduce__spark.functions.unigram import unigram_viterbi_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return unigram_viterbi_table(words)
+
+
 # Fixed-size synthetic XML corpus for the built-in Spark 4 XML source —
 # same sf-independent staging contract as BINARYFILE_DIR (static oracle
 # string, so the staged path and row count cannot vary with sf_dir).

@@ -1157,3 +1157,66 @@ def test_thrift_compact_generic_layer():
     assert fields[8] == 1.5
     assert fields[9] == {2: 9}
     assert fields[100] == 5
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM Viterbi (unigram_lm_tokenize, functions/unigram.py).
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.text(alphabet="abc", min_size=1, max_size=9),
+    st.integers(min_value=1, max_value=2**30),
+)
+@settings(max_examples=120, deadline=None)
+def test_viterbi_equals_bruteforce_enumeration(word, seed):
+    """The DP (score, mask, pieces) equals exhaustive enumeration of
+    all 2^(L-1) segmentations under the same fixed-point scoring and
+    smallest-mask tie-break, for random words and random piece counts
+    (ties are frequent with a 3-letter alphabet — the tie-break is the
+    part a naive DP gets wrong)."""
+    from mapreduce__spark.functions.unigram import (
+        MAX_PIECE,
+        ilog2,
+        viterbi_segment,
+    )
+
+    # deterministic pseudo-random counts per piece
+    pieces = {
+        word[i:j]
+        for i in range(len(word))
+        for j in range(i + 1, min(i + MAX_PIECE, len(word)) + 1)
+    }
+    pc = {p: (hash((seed, p)) % 997) + 1 for p in sorted(pieces)}
+    total = sum(pc.values())
+
+    best = None
+    n = len(word)
+    for mask in range(1 << (n - 1)):
+        cuts = [0] + [p for p in range(1, n) if mask >> (p - 1) & 1] + [n]
+        segs = [word[a:b] for a, b in zip(cuts, cuts[1:])]
+        if any(len(s) > MAX_PIECE for s in segs):
+            continue
+        score = sum(ilog2(pc[s]) - ilog2(total) for s in segs)
+        key = (score, -mask)
+        if best is None or key > best[0]:
+            best = (key, mask, segs)
+    score, mask, segs = viterbi_segment(word, pc, total)
+    assert (score, mask, segs) == (best[0][0], best[1], best[2])
+
+
+def test_ilog2_is_monotone_and_matches_sql_form():
+    """ilog2 must be monotone non-decreasing (a score inversion would
+    make 'more frequent' score lower) and equal the SQL bin()-length
+    formulation."""
+    from mapreduce__spark.functions.unigram import ilog2
+
+    prev = None
+    for x in list(range(1, 5000)) + [2**k + d for k in range(13, 40) for d in (-1, 0, 1)]:
+        msb = len(bin(x)) - 3  # '0b' prefix
+        want = ((msb) << 12) + ((x << 12) >> msb) - 4096
+        got = ilog2(x)
+        assert got == want
+        if prev is not None and x > prev[0]:
+            assert got >= prev[1], (x, got, prev)
+        prev = (x, got)
