@@ -6044,6 +6044,67 @@ def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_viterbi_table(words)
 
 
+@query(
+    "video_sample_index",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 25 + 5 AS n,
+             (doc_id % 25 + 5) // 2 + 1 AS r1,
+             100 + doc_id % 5 AS dt1, 200 + doc_id % 7 AS dt2
+      FROM documents
+    ),
+    ks AS (
+      SELECT doc_id, r1, dt1, dt2,
+             unnest(generate_series(0, n - 1)) AS k
+      FROM dims
+    ),
+    samp AS (
+      SELECT doc_id, k AS sample,
+             CASE WHEN k < r1 THEN k * dt1
+                  ELSE r1 * dt1 + (k - r1) * dt2 END AS dts,
+             (doc_id + k) % 9 + 2 AS sz,
+             k // 3 + 1 AS chunk,
+             (doc_id * 3 + k) % 256 AS first_byte
+      FROM ks
+    )
+    SELECT doc_id, CAST(sample AS BIGINT) AS sample,
+           CAST(dts AS BIGINT) AS dts,
+           CAST(sz AS BIGINT) AS size,
+           CAST(chunk AS BIGINT) AS chunk,
+           CAST(COALESCE(SUM(sz) OVER (
+                  PARTITION BY doc_id ORDER BY sample
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off_mdat,
+           CAST(first_byte AS BIGINT) AS first_byte
+    FROM samp
+    """,
+    tags=("tier2", "multimodal",),
+)
+def video_sample_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF sample-table walk — the video frame index a
+    frame-sampling pipeline starts from (ISO/IEC 14496-12 stbl family).
+    Parses the box tree from raw bytes: stts time-to-sample RUNS (two
+    per fixture), stsz sizes, stsc sample-to-chunk runs (a partial
+    final chunk expressed as a second run, per spec — not the
+    last-chunk-implied shortcut), stco or co64 (64-bit, every d%4==2
+    doc) chunk offsets, mdat behind size==1+largesize framing
+    (d%6==0), free/uuid junk boxes skipped by size. Each sample's
+    resolved ABSOLUTE offset is proven by reading its first payload
+    byte out of mdat and matching the law — a wrong run
+    interpretation or offset base lands on the wrong byte. The oracle
+    rebuilds (dts, size, chunk, offset-in-mdat, first_byte) per sample
+    from the synthesis laws with a window cumsum. SCALE: one scan,
+    Arrow-batched mapInPandas; at real scale only moov (KBs) plus
+    probed bytes are fetched per file (operators/video.py)."""
+    from mapreduce__spark.operators.video import (
+        mp4_sample_index,
+        with_mp4_sample_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return mp4_sample_index(with_mp4_sample_payload(docs))
+
+
 # Fixed-size synthetic XML corpus for the built-in Spark 4 XML source —
 # same sf-independent staging contract as BINARYFILE_DIR (static oracle
 # string, so the staged path and row count cannot vary with sf_dir).

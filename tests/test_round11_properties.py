@@ -1220,3 +1220,102 @@ def test_ilog2_is_monotone_and_matches_sql_form():
         if prev is not None and x > prev[0]:
             assert got >= prev[1], (x, got, prev)
         prev = (x, got)
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample tables (video_sample_index, operators/video.py).
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_sample_walk_matches_laws_across_variants():
+    """Every sample's (dts, size, chunk, offset, first byte) equals the
+    synthesis laws across docs covering the co64, largesize-mdat,
+    free-box and partial-final-chunk variants; the first-byte check
+    proves absolute offset resolution through stsc/stco."""
+    from mapreduce__spark.operators.video import (
+        SAMPLES_PER_CHUNK,
+        _sample_first_byte,
+        _sample_size,
+        _video_laws,
+        parse_mp4_samples,
+        synth_mp4_sample_bytes,
+    )
+
+    for d in range(48):
+        rows = parse_mp4_samples(synth_mp4_sample_bytes(d))
+        n, r1, dt1, dt2 = _video_laws(d)
+        assert len(rows) == n
+        off = 0
+        for k, (s, dts, size, chunk, om, fb) in enumerate(rows):
+            want_dts = k * dt1 if k < r1 else r1 * dt1 + (k - r1) * dt2
+            assert (s, dts, size, chunk, om, fb) == (
+                k, want_dts, _sample_size(d, k),
+                k // SAMPLES_PER_CHUNK + 1, off, _sample_first_byte(d, k),
+            ), (d, k)
+            off += size
+
+
+def test_mp4_truncation_discipline():
+    """Cutting the container at every byte offset raises ValueError —
+    covering plain, co64, largesize and free-box docs."""
+    from mapreduce__spark.operators.video import (
+        parse_mp4_samples,
+        synth_mp4_sample_bytes,
+    )
+
+    for d in (0, 1, 2, 6):  # largesize, free-box, co64, largesize+co64? cover set
+        b = synth_mp4_sample_bytes(d)
+        for cut in range(len(b)):
+            try:
+                parse_mp4_samples(b[:cut])
+                raise AssertionError(f"doc {d} prefix {cut} parsed")
+            except ValueError:
+                pass
+
+
+def test_mp4_malformed_tables_are_loud():
+    """Targeted table corruption fires the documented checks: stts
+    count drift vs stsz, stsc runs not covering the chunk list, and a
+    sample overrunning the file."""
+    import struct as st
+
+    from mapreduce__spark.operators.video import (
+        parse_mp4_samples,
+        synth_mp4_sample_bytes,
+    )
+
+    b = synth_mp4_sample_bytes(3)
+
+    def mutate(table: bytes, patch) -> bytes:
+        i = b.index(table)
+        bb = bytearray(b)
+        patch(bb, i)
+        return bytes(bb)
+
+    def expect(msg, bb):
+        try:
+            parse_mp4_samples(bb)
+            raise AssertionError(f"expected: {msg}")
+        except ValueError as e:
+            assert msg in str(e), (msg, str(e))
+
+    # stts first-run count +1 -> sample count disagrees with stsz
+    def bump_stts(bb, i):
+        cnt = st.unpack(">I", bb[i + 8 : i + 12])[0]
+        bb[i + 8 : i + 12] = st.pack(">I", cnt + 1)
+
+    expect("stts sample count disagrees", mutate(b"stts", bump_stts))
+
+    # stsc first run's samples-per-chunk 3 -> 5: chunk walk over-assigns
+    # (layout after the 4-byte type: version/flags, entry_count,
+    # first_chunk, samples_per_chunk -> spc sits at type+16)
+    def bump_stsc(bb, i):
+        bb[i + 16 : i + 20] = st.pack(">I", 5)
+
+    expect("more samples than stsz", mutate(b"stsc", bump_stsc))
+
+    # stco first chunk offset beyond EOF -> sample overruns the file
+    def bump_stco(bb, i):
+        bb[i + 12 : i + 16] = st.pack(">I", len(b) + 100)
+
+    expect("sample overruns the file", mutate(b"stco", bump_stco))
