@@ -6105,6 +6105,56 @@ def video_sample_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp4_sample_index(with_mp4_sample_payload(docs))
 
 
+# Blocklist dictionary for the Aho-Corasick query: nested patterns
+# ('a' and 'an' inside 'scan', 'ark' inside 'spark', 'alu' inside
+# 'value') force multi-output positions; the automaton must report all
+# of them at once.
+AC_BLOCKLIST = ("scan", "an", "a", "spark", "ark", "row", "value", "alu", "tab")
+
+
+@query(
+    "blocklist_match_counts",
+    oracle="""
+    WITH pats AS (
+      SELECT unnest(['scan', 'an', 'a', 'spark', 'ark', 'row', 'value',
+                     'alu', 'tab']) AS pattern
+    ),
+    m AS (
+      SELECT d.doc_id, p.pattern,
+             len(list_filter(
+                   range(1, length(d.text) - length(p.pattern) + 2),
+                   i -> substr(d.text, i, length(p.pattern)) = p.pattern))
+                 AS matches
+      FROM documents d CROSS JOIN pats p
+    )
+    SELECT doc_id, pattern, CAST(matches AS BIGINT) AS matches
+    FROM m WHERE matches > 0
+    """,
+    tags=("tier2", "text", "pipeline"),
+)
+def blocklist_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern blocklist matching via a real Aho-Corasick
+    automaton (functions/acmatch.py) — the kill-word/trigger-term stage
+    of corpus filtering, O(N + matches) per document regardless of
+    dictionary size versus O(P*N) for per-pattern scans. The dictionary
+    nests patterns inside each other ('a'/'an' in 'scan', 'ark' in
+    'spark', 'alu' in 'value'), so single text positions must emit
+    MULTIPLE outputs through the merged failure-chain output sets — the
+    part naive trie matching silently drops. Counts include overlapping
+    occurrences. The oracle is the obvious algorithm: every start
+    position probed per pattern with substr equality — automaton proven
+    against exhaustive scan, occurrence for occurrence. SCALE: the
+    automaton builds once from the KB-sized dictionary and ships in the
+    task closure; one corpus scan, narrow (doc, pattern, count) output.
+    Reference parity: the closest tier-2 upgrade of the reference's
+    single-needle search loop (Search.cpp:214-233) — the whole
+    dictionary in one pass."""
+    from mapreduce__spark.functions.acmatch import multi_pattern_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multi_pattern_counts(docs, list(AC_BLOCKLIST))
+
+
 # Fixed-size synthetic XML corpus for the built-in Spark 4 XML source —
 # same sf-independent staging contract as BINARYFILE_DIR (static oracle
 # string, so the staged path and row count cannot vary with sf_dir).

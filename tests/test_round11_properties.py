@@ -1319,3 +1319,50 @@ def test_mp4_malformed_tables_are_loud():
         bb[i + 12 : i + 16] = st.pack(">I", len(b) + 100)
 
     expect("sample overruns the file", mutate(b"stco", bump_stco))
+
+
+# ---------------------------------------------------------------------------
+# Aho-Corasick (blocklist_match_counts, functions/acmatch.py).
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.text(alphabet="ab", min_size=0, max_size=60),
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=4),
+        min_size=1, max_size=6, unique=True,
+    ),
+)
+@settings(max_examples=150, deadline=None)
+def test_aho_corasick_equals_naive_counts(text, patterns):
+    """Automaton counts equal naive every-start-position counts on a
+    2-letter alphabet (maximal pattern nesting/overlap), including
+    overlapping occurrences and patterns that are prefixes/suffixes of
+    each other."""
+    from mapreduce__spark.functions.acmatch import AhoCorasick
+
+    ac = AhoCorasick(patterns)
+    got = ac.count_matches(text)
+    for idx, p in enumerate(patterns):
+        naive = sum(
+            1 for i in range(len(text) - len(p) + 1) if text[i : i + len(p)] == p
+        )
+        assert got.get(idx, 0) == naive, (text, p)
+
+
+def test_aho_corasick_nested_dictionary_multi_output():
+    """One position must emit every nested pattern ending there: 'scan'
+    also ends 'an' and... the dictionary's nesting shape, pinned."""
+    from mapreduce__spark.functions.acmatch import AhoCorasick
+
+    ac = AhoCorasick(["scan", "an", "a", "n"])
+    got = ac.count_matches("scan an")
+    by_pattern = {ac.patterns[i]: c for i, c in got.items()}
+    assert by_pattern == {"scan": 1, "an": 2, "a": 2, "n": 2}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        AhoCorasick(["x", "x"])
+    with _pytest.raises(ValueError, match="empty"):
+        AhoCorasick([""])
