@@ -6155,6 +6155,114 @@ def blocklist_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_pattern_counts(docs, list(AC_BLOCKLIST))
 
 
+@query(
+    "seasonal_decompose",
+    oracle="""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM agg),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h
+      FROM span
+    ),
+    series AS (
+      SELECT spine.h, COALESCE(agg.n, 0) AS n
+      FROM spine LEFT JOIN agg USING (h)
+    ),
+    tr AS (
+      SELECT h, n,
+             CASE WHEN lag(n, 12) OVER w IS NOT NULL
+                       AND lead(n, 12) OVER w IS NOT NULL
+                  THEN 2 * sum(n) OVER (ORDER BY h ROWS BETWEEN 11
+                                        PRECEDING AND 11 FOLLOWING)
+                       + lag(n, 12) OVER w + lead(n, 12) OVER w
+             END AS trend_x48
+      FROM series WINDOW w AS (ORDER BY h)
+    ),
+    det AS (
+      SELECT h, n, trend_x48,
+             CASE WHEN trend_x48 IS NOT NULL
+                  THEN 48 * n - trend_x48 END AS det_x48,
+             EXTRACT(hour FROM h) AS hod
+      FROM tr
+    ),
+    seas AS (
+      SELECT hod, CAST(sum(det_x48) AS BIGINT) AS seas_sum_x48,
+             CAST(count(*) AS BIGINT) AS seas_n
+      FROM det WHERE det_x48 IS NOT NULL GROUP BY hod
+    )
+    SELECT det.h AS window_start, CAST(n AS BIGINT) AS n_events,
+           CAST(trend_x48 AS BIGINT) AS trend_x48,
+           CAST(det_x48 AS BIGINT) AS det_x48,
+           CAST(det.hod AS BIGINT) AS hod,
+           seas.seas_sum_x48, seas.seas_n
+    FROM det LEFT JOIN seas ON det.hod = seas.hod
+    """,
+    tags=("tier2", "timeseries"),
+)
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly event
+    series, exact-integer throughout: the centered 2x24 moving-average
+    trend (the textbook even-period form) is emitted x48 so the
+    half-weights at the +/-12 endpoints stay integers; detrended values
+    are 48*s - trend_x48; the daily seasonal profile ships as exact
+    per-hour-of-day (sum, count) evidence rather than a rounded mean.
+    Gap hours are zero-filled on the spine first (the gapfill shape) so
+    the moving window sees the true calendar. Trend is NULL within 12
+    hours of either edge — exactly where the centered window would be
+    partial. SCALE: events are scanned once into the hourly aggregate;
+    everything after operates on the BOUNDED hour spine (span-sized,
+    corpus-independent) — which is also why the single ordered window
+    below is exempt from the partition-less-window lint (documented
+    there as entry #2). The oracle replays the identical decomposition
+    through DuckDB's window machinery."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n0"))
+        .select(F.col("w.start").alias("window_start"), "n0")
+        .localCheckpoint(eager=True)  # feeds span + spine join
+    )
+    span = agg.agg(
+        F.min("window_start").alias("lo"), F.max("window_start").alias("hi")
+    )
+    spine = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "window_start"
+        )
+    )
+    series = spine.join(F.broadcast(agg), "window_start", "left").select(
+        "window_start", F.coalesce("n0", F.lit(0)).alias("n")
+    )
+    # bounded relation: the hour spine (span-sized, post-aggregation) —
+    # lint exemption documented in tests/test_zorder.py
+    w = Window.orderBy("window_start")
+    lag12 = F.lag("n", 12).over(w)
+    lead12 = F.lead("n", 12).over(w)
+    trend = F.when(
+        lag12.isNotNull() & lead12.isNotNull(),
+        2 * F.sum("n").over(w.rowsBetween(-11, 11)) + lag12 + lead12,
+    )
+    det = series.withColumn("trend_x48", trend.cast("bigint")).withColumn(
+        "det_x48", (48 * F.col("n") - F.col("trend_x48")).cast("bigint")
+    ).withColumn("hod", F.hour("window_start").cast("bigint"))
+    seas = (
+        det.filter(F.col("det_x48").isNotNull())
+        .groupBy("hod")
+        .agg(
+            F.sum("det_x48").alias("seas_sum_x48"),
+            F.count(F.lit(1)).alias("seas_n"),
+        )
+    )
+    return det.join(F.broadcast(seas), "hod", "left").select(
+        "window_start",
+        F.col("n").cast("bigint").alias("n_events"),
+        "trend_x48", "det_x48", "hod", "seas_sum_x48", "seas_n",
+    )
+
+
 # Fixed-size synthetic XML corpus for the built-in Spark 4 XML source —
 # same sf-independent staging contract as BINARYFILE_DIR (static oracle
 # string, so the staged path and row count cannot vary with sf_dir).
