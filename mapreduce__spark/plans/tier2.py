@@ -5648,7 +5648,7 @@ _SQL_DHASH_CTES = """
            CAST(height AS BIGINT) AS height, dhash_hi, dhash_lo
     FROM hashes
     """,
-    tags=("tier2", "multimodal", "dedup"),
+    tags=("tier2", "multimodal", "dedup", "bench"),
 )
 def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image fingerprints (dHash) over REAL decoded BMP
@@ -6011,7 +6011,7 @@ def parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(mask AS BIGINT) AS mask
     FROM best WHERE rn = 1
     """,
-    tags=("tier2", "text", "tokenizer"),
+    tags=("tier2", "text", "tokenizer", "bench"),
 )
 def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece) Viterbi tokenization — the third
@@ -6130,7 +6130,7 @@ AC_BLOCKLIST = ("scan", "an", "a", "spark", "ark", "row", "value", "alu", "tab")
     SELECT doc_id, pattern, CAST(matches AS BIGINT) AS matches
     FROM m WHERE matches > 0
     """,
-    tags=("tier2", "text", "pipeline"),
+    tags=("tier2", "text", "pipeline", "bench"),
 )
 def blocklist_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-pattern blocklist matching via a real Aho-Corasick
