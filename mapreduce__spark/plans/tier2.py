@@ -6263,6 +6263,96 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PLAINPQ_N_FILES = 3
+PLAINPQ_DIR = _fixture_root() + "/plainpq/v1-pa" + _pa.__version__
+
+
+def _stage_plainpq_corpus() -> str:
+    """Parquet files readable by the from-scratch page decoder: a
+    REQUIRED (non-nullable) INT64 column, dictionary encoding off
+    (PLAIN data pages), SNAPPY and UNCOMPRESSED codecs mixed, several
+    row groups per file, ids strictly increasing per file."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(PLAINPQ_DIR, exist_ok=True)
+    for f in range(PLAINPQ_N_FILES):
+        dest = os.path.join(PLAINPQ_DIR, f"{f:02d}.parquet")
+        if os.path.exists(dest):
+            continue
+        n = 50 + 20 * f
+        base = 10_000 * f
+        schema = pa.schema([pa.field("id", pa.int64(), nullable=False)])
+        t = pa.table(
+            {"id": pa.array(range(base, base + n), type=pa.int64())},
+            schema=schema,
+        )
+        tmp = dest + ".tmp"
+        pq.write_table(
+            t, tmp, row_group_size=16, use_dictionary=False,
+            compression="snappy" if f % 2 == 0 else "none",
+        )
+        os.replace(tmp, dest)
+    return PLAINPQ_DIR
+
+
+@query(
+    "parquet_page_decode",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           CAST(row_number() OVER (PARTITION BY filename ORDER BY id) - 1
+                AS BIGINT) AS idx,
+           id
+    FROM read_parquet('{PLAINPQ_DIR}/*.parquet', filename=true)
+    """,
+    tags=("tier2", "source",),
+)
+def parquet_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parquet READ path from raw bytes, end to end and zero
+    libraries: footer (thrift compact) -> column-chunk offsets ->
+    per-page thrift PageHeaders -> a FROM-SCRATCH Snappy block
+    decompressor (google/snappy format_description.txt: varint length,
+    literal/copy tags, overlapping RLE copies) -> PLAIN INT64 values,
+    across multiple row groups and mixed SNAPPY/UNCOMPRESSED files.
+    The oracle is DuckDB's real read of the same staged files — the
+    decoded VALUES must agree row for row, which closes the loop the
+    footer audit opened: not just the metadata, the data. The snappy
+    layer is additionally fuzzed against pyarrow's reference codec in
+    tests/test_round11_properties.py. SCALE: this is the primitive a
+    columnar scan is made of; the point here is byte-level
+    verification, not replacing the vectorized reader — the staged
+    corpus is deliberately KB-sized. One binaryFile scan, Arrow-batched
+    mapInPandas."""
+    import os as _os
+
+    from mapreduce__spark.sources.parquet_footer import read_int64_column
+
+    d = _stage_plainpq_corpus()
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(d)
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"file_name": [], "idx": [], "id": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for idx, v in enumerate(read_int64_column(bytes(content), "id")):
+                    out["file_name"].append(_os.path.basename(str(p)))
+                    out["idx"].append(idx)
+                    out["id"].append(v)
+            yield pd.DataFrame(out)
+
+    return files.select("path", "content").mapInPandas(
+        gen, schema="file_name string, idx bigint, id bigint"
+    )
+
+
 # Fixed-size synthetic XML corpus for the built-in Spark 4 XML source —
 # same sf-independent staging contract as BINARYFILE_DIR (static oracle
 # string, so the staged path and row count cannot vary with sf_dir).
@@ -6350,14 +6440,15 @@ _FIXTURES_STAGED = False
 
 
 def stage_fixture_corpora() -> None:
-    """Stage the binaryFile + XML + parquet-footer fixture corpora once
-    per process."""
+    """Stage the binaryFile + XML + parquet fixture corpora once per
+    process."""
     global _FIXTURES_STAGED
     if _FIXTURES_STAGED:
         return
     _stage_binaryfile_corpus()
     _stage_xml_corpus()
     _stage_footer_corpus()
+    _stage_plainpq_corpus()
     _FIXTURES_STAGED = True
 
 

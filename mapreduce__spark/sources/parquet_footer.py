@@ -255,6 +255,127 @@ def parse_parquet_footer(b: bytes) -> list[dict[str, object]]:
     return rows
 
 
+# --------------------------------------------------------------------------
+# Data-page decode: from-scratch Snappy + PLAIN values. The footer tells
+# us WHERE the values are; this layer reads them — the full raw-bytes
+# read path for a required flat INT64 column, no parquet library.
+# --------------------------------------------------------------------------
+
+
+def snappy_decompress(b: bytes) -> bytes:
+    """Snappy block format (google/snappy format_description.txt):
+    varint uncompressed length, then literal/copy tagged elements.
+    Raises ValueError on any malformed stream."""
+    n, i = _varint(b, 0)
+    out = bytearray()
+    while i < len(b):
+        tag = b[i]
+        i += 1
+        kind = tag & 0x03
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nbytes = ln - 59
+                if i + nbytes > len(b):
+                    raise ValueError("truncated snappy literal length")
+                ln = int.from_bytes(b[i : i + nbytes], "little")
+                i += nbytes
+            ln += 1
+            if i + ln > len(b):
+                raise ValueError("truncated snappy literal")
+            out += b[i : i + ln]
+            i += ln
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            ln = ((tag >> 2) & 0x07) + 4
+            if i >= len(b):
+                raise ValueError("truncated snappy copy-1")
+            off = ((tag >> 5) << 8) | b[i]
+            i += 1
+        elif kind == 2:  # copy, 2-byte offset
+            ln = (tag >> 2) + 1
+            if i + 2 > len(b):
+                raise ValueError("truncated snappy copy-2")
+            off = int.from_bytes(b[i : i + 2], "little")
+            i += 2
+        else:  # copy, 4-byte offset
+            ln = (tag >> 2) + 1
+            if i + 4 > len(b):
+                raise ValueError("truncated snappy copy-4")
+            off = int.from_bytes(b[i : i + 4], "little")
+            i += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy copy offset out of range")
+        # overlapping copies are the RLE idiom: copy byte-by-byte
+        for _ in range(ln):
+            out.append(out[-off])
+    if len(out) != n:
+        raise ValueError("snappy length mismatch")
+    return bytes(out)
+
+
+def read_int64_column(b: bytes, path: str) -> list[int]:
+    """Every value of the REQUIRED flat INT64 column `path`, in row
+    order across row groups, decoded from raw bytes: footer -> chunk
+    offsets -> per-page thrift PageHeader -> (snappy|raw) PLAIN i64s.
+    Raises ValueError on unsupported shapes (nullable columns carry
+    definition levels; dictionary-encoded chunks carry dict pages)."""
+    if len(b) < 12 or b[:4] != b"PAR1" or b[-4:] != b"PAR1":
+        raise ValueError("not a parquet file (missing PAR1 magic)")
+    (meta_len,) = struct.unpack("<I", b[-8:-4])
+    start = len(b) - 8 - meta_len
+    if start < 4:
+        raise ValueError("parquet footer length out of bounds")
+    meta, _ = _read_struct(b, start)
+    values: list[int] = []
+    for rg in meta.get(4, []):
+        for chunk in rg.get(1, []):
+            md = chunk.get(3, {})
+            if ".".join(p.decode() for p in md.get(3, [])) != path:
+                continue
+            if _TYPES.get(md.get(1)) != "INT64":
+                raise ValueError("page decode supports INT64 only")
+            codec = _CODECS.get(md.get(4))
+            if codec not in ("SNAPPY", "UNCOMPRESSED"):
+                raise ValueError(f"unsupported page codec {codec}")
+            need = md.get(5)
+            pos = md.get(9)  # data_page_offset
+            got = 0
+            while got < need:
+                header, data_start = _read_struct(b, pos)
+                ptype = header.get(1)
+                if ptype != 0:
+                    raise ValueError(f"unsupported page type {ptype}")
+                comp_size = header.get(3)
+                dph = header.get(5)
+                if not isinstance(dph, dict):
+                    raise ValueError("missing data page header")
+                n_vals = dph.get(1)
+                if dph.get(2) != 0:  # Encoding.PLAIN
+                    raise ValueError("page decode supports PLAIN only")
+                raw = b[data_start : data_start + comp_size]
+                if len(raw) != comp_size:
+                    raise ValueError("truncated page data")
+                if codec == "SNAPPY":
+                    raw = snappy_decompress(raw)
+                if len(raw) != header.get(2):
+                    raise ValueError("page uncompressed-size mismatch")
+                if len(raw) != 8 * n_vals:
+                    raise ValueError(
+                        "PLAIN INT64 page size disagrees with value count"
+                        " (nullable columns carry definition levels —"
+                        " unsupported here)"
+                    )
+                values.extend(
+                    struct.unpack(f"<{n_vals}q", raw)
+                )
+                got += n_vals
+                pos = data_start + comp_size
+            if got != need:
+                raise ValueError("page walk value count mismatch")
+    return values
+
+
 def parquet_footer_rows(files: DataFrame) -> DataFrame:
     """Arrow-batched footer parse over a binaryFile frame (path,
     content) -> one row per row-group column chunk."""

@@ -1366,3 +1366,72 @@ def test_aho_corasick_nested_dictionary_multi_output():
         AhoCorasick(["x", "x"])
     with _pytest.raises(ValueError, match="empty"):
         AhoCorasick([""])
+
+
+# ---------------------------------------------------------------------------
+# Snappy + PLAIN page decode (parquet_page_decode, sources/parquet_footer.py).
+# ---------------------------------------------------------------------------
+
+
+@given(st.binary(min_size=0, max_size=800), st.integers(0, 2))
+@settings(max_examples=120, deadline=None)
+def test_snappy_decoder_matches_pyarrow_codec(data, shape):
+    """The from-scratch snappy block decoder inverts pyarrow's
+    reference compressor on random, RLE-heavy, and texty buffers (the
+    three shapes that exercise literals, overlapping copies, and
+    2-byte-offset copies)."""
+    import pyarrow as pa
+
+    from mapreduce__spark.sources.parquet_footer import snappy_decompress
+
+    if shape == 1:
+        data = (data[:40] or b"x") * 30  # long repeats -> copy elements
+    elif shape == 2:
+        data = b"the quick " + data + b" lazy dog " + data
+    c = pa.compress(data, codec="snappy", asbytes=True)
+    assert snappy_decompress(c) == data
+
+
+def test_snappy_truncation_discipline():
+    """Every prefix of a valid snappy stream fails loudly (ValueError),
+    never returns silently short output."""
+    import pyarrow as pa
+
+    from mapreduce__spark.sources.parquet_footer import snappy_decompress
+
+    data = b"abcabcabc" * 40 + bytes(range(256))
+    c = pa.compress(data, codec="snappy", asbytes=True)
+    for cut in range(len(c)):
+        try:
+            out = snappy_decompress(c[:cut])
+            raise AssertionError(f"prefix {cut} decoded to {len(out)} bytes")
+        except ValueError:
+            pass
+
+
+def test_page_decode_reads_full_column_and_rejects_unsupported():
+    """read_int64_column returns every value across row groups for the
+    staged PLAIN files, and refuses dictionary-encoded or nullable
+    chunks loudly (the footer-audit corpus is both)."""
+    import os
+
+    from mapreduce__spark.plans.tier2 import (
+        _stage_footer_corpus,
+        _stage_plainpq_corpus,
+    )
+    from mapreduce__spark.sources.parquet_footer import read_int64_column
+
+    d = _stage_plainpq_corpus()
+    for f in range(3):
+        with open(os.path.join(d, f"{f:02d}.parquet"), "rb") as fh:
+            vals = read_int64_column(fh.read(), "id")
+        n = 50 + 20 * f
+        assert vals == list(range(10_000 * f, 10_000 * f + n))
+    fd = _stage_footer_corpus()
+    with open(os.path.join(fd, "00.parquet"), "rb") as fh:
+        b = fh.read()
+    try:
+        read_int64_column(b, "id")
+        raise AssertionError("dictionary-encoded chunk decoded silently")
+    except ValueError:
+        pass
