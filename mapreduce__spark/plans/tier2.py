@@ -6353,6 +6353,71 @@ def parquet_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "parquet_dict_decode",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           CAST(row_number() OVER (PARTITION BY filename ORDER BY id) - 1
+                AS BIGINT) AS idx,
+           id,
+           CASE WHEN name IS NULL THEN NULL
+                ELSE CAST({_sql_charfold("name")} AS BIGINT) END AS name_hash
+    FROM read_parquet('{{dir}}/*.parquet', filename=true)
+    """.replace("{dir}", FOOTER_DIR),
+    tags=("tier2", "source",),
+)
+def parquet_dict_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dictionary-encoded half of the raw-bytes parquet read path
+    (parquet_page_decode covers PLAIN): dictionary pages decoded PLAIN
+    (INT64 and BYTE_ARRAY shapes), data pages as RLE_DICTIONARY index
+    streams through a from-scratch RLE/bit-packed hybrid decoder
+    (Encodings.md: varint headers, LSB-discriminated runs, 8-value
+    LSB-first bit-packed groups), and OPTIONAL columns' definition
+    levels (bit-width-1 hybrid behind the u32 length prefix) rebuilding
+    real NULLs — the staged corpus plants nulls on an i%7 law. Both the
+    non-null INT64 `id` and the nullable BYTE_ARRAY `name` are decoded;
+    the oracle is DuckDB's real read of the same files with the shared
+    char-fold hash over the string column, so a wrong index, a
+    mis-aligned def-level run, or a swapped dictionary slot all
+    diverge row for row. SCALE: same byte-level-verification purpose
+    as parquet_page_decode — the primitive, not the vectorized
+    reader."""
+    import os as _os
+
+    from mapreduce__spark.sources.archives import charfold_hash
+    from mapreduce__spark.sources.parquet_footer import read_dict_column
+
+    d = _stage_footer_corpus()
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(d)
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"file_name": [], "idx": [], "id": [], "name_hash": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                ids = read_dict_column(raw, "id")
+                names = read_dict_column(raw, "name")
+                for idx, (i_, nm) in enumerate(zip(ids, names)):
+                    out["file_name"].append(_os.path.basename(str(p)))
+                    out["idx"].append(idx)
+                    out["id"].append(i_)
+                    out["name_hash"].append(
+                        None if nm is None else charfold_hash(nm)
+                    )
+            yield pd.DataFrame(out)
+
+    return files.select("path", "content").mapInPandas(
+        gen,
+        schema="file_name string, idx bigint, id bigint, name_hash bigint",
+    )
+
+
 # Fixed-size synthetic XML corpus for the built-in Spark 4 XML source —
 # same sf-independent staging contract as BINARYFILE_DIR (static oracle
 # string, so the staged path and row count cannot vary with sf_dir).

@@ -376,6 +376,153 @@ def read_int64_column(b: bytes, path: str) -> list[int]:
     return values
 
 
+def _rle_bp_hybrid(
+    data: bytes, pos: int, bit_width: int, count: int
+) -> tuple[list[int], int]:
+    """Parquet's RLE/bit-packed hybrid (Encodings.md): varint header,
+    LSB even = RLE run (value in ceil(bw/8) LE bytes), odd = bit-packed
+    groups of 8 values, LSB-first. Returns exactly `count` values."""
+    out: list[int] = []
+    mask = (1 << bit_width) - 1
+    while len(out) < count:
+        h, pos = _varint(data, pos)
+        if h & 1:
+            groups = h >> 1
+            nbytes = groups * bit_width
+            if pos + nbytes > len(data):
+                raise ValueError("truncated bit-packed run")
+            bits = int.from_bytes(data[pos : pos + nbytes], "little")
+            out.extend(
+                (bits >> (k * bit_width)) & mask for k in range(groups * 8)
+            )
+            pos += nbytes
+        else:
+            run = h >> 1
+            vb = (bit_width + 7) // 8
+            if pos + vb > len(data):
+                raise ValueError("truncated RLE run value")
+            val = int.from_bytes(data[pos : pos + vb], "little")
+            pos += vb
+            out.extend([val] * run)
+        if h == 0 and not out:
+            raise ValueError("zero-length hybrid run")
+    return out[:count], pos
+
+
+def _schema_optional(meta: dict, path: str) -> bool:
+    """True when the flat column `path` is OPTIONAL (carries definition
+    levels), per the footer's SchemaElement list."""
+    for el in meta.get(2, []):
+        if isinstance(el, dict) and el.get(4) == path.encode():
+            return el.get(3) == 1
+    raise ValueError(f"column {path!r} not in parquet schema")
+
+
+def read_dict_column(b: bytes, path: str) -> list:
+    """Every value of the flat dictionary-encoded column `path`
+    (INT64 or BYTE_ARRAY), in row order across row groups, None for
+    nulls: dictionary page (PLAIN) + RLE_DICTIONARY index pages +
+    RLE/bit-packed definition levels, all decoded from raw bytes."""
+    if len(b) < 12 or b[:4] != b"PAR1" or b[-4:] != b"PAR1":
+        raise ValueError("not a parquet file (missing PAR1 magic)")
+    (meta_len,) = struct.unpack("<I", b[-8:-4])
+    start = len(b) - 8 - meta_len
+    if start < 4:
+        raise ValueError("parquet footer length out of bounds")
+    meta, _ = _read_struct(b, start)
+    optional = _schema_optional(meta, path)
+    values: list = []
+    for rg in meta.get(4, []):
+        for chunk in rg.get(1, []):
+            md = chunk.get(3, {})
+            if ".".join(p.decode() for p in md.get(3, [])) != path:
+                continue
+            ptype = _TYPES.get(md.get(1))
+            if ptype not in ("INT64", "BYTE_ARRAY"):
+                raise ValueError(f"dict decode unsupported for {ptype}")
+            codec = _CODECS.get(md.get(4))
+            if codec not in ("SNAPPY", "UNCOMPRESSED"):
+                raise ValueError(f"unsupported page codec {codec}")
+
+            def _page(pos: int) -> tuple[dict, bytes, int]:
+                header, data_start = _read_struct(b, pos)
+                comp = header.get(3)
+                raw = b[data_start : data_start + comp]
+                if len(raw) != comp:
+                    raise ValueError("truncated page data")
+                if codec == "SNAPPY":
+                    raw = snappy_decompress(raw)
+                if len(raw) != header.get(2):
+                    raise ValueError("page uncompressed-size mismatch")
+                return header, raw, data_start + comp
+
+            dict_off = md.get(11)
+            if dict_off is None:
+                raise ValueError("chunk has no dictionary page")
+            dh, draw, _ = _page(dict_off)
+            if dh.get(1) != 2:
+                raise ValueError("expected a dictionary page")
+            dct_n = dh.get(7, {}).get(1)
+            dictionary: list = []
+            p = 0
+            if ptype == "INT64":
+                if len(draw) != 8 * dct_n:
+                    raise ValueError("dictionary size mismatch")
+                dictionary = list(struct.unpack(f"<{dct_n}q", draw))
+            else:
+                for _ in range(dct_n):
+                    if p + 4 > len(draw):
+                        raise ValueError("truncated BYTE_ARRAY dictionary")
+                    ln = struct.unpack("<I", draw[p : p + 4])[0]
+                    p += 4
+                    if p + ln > len(draw):
+                        raise ValueError("truncated BYTE_ARRAY dictionary")
+                    dictionary.append(draw[p : p + ln].decode("utf-8"))
+                    p += ln
+
+            need = md.get(5)
+            pos = md.get(9)
+            got = 0
+            while got < need:
+                header, raw, nxt = _page(pos)
+                if header.get(1) != 0:
+                    raise ValueError(f"unsupported page type {header.get(1)}")
+                dph = header.get(5)
+                if not isinstance(dph, dict):
+                    raise ValueError("missing data page header")
+                n_vals = dph.get(1)
+                if dph.get(2) not in (2, 8):  # PLAIN_DICTIONARY / RLE_DICT
+                    raise ValueError("expected a dictionary-indexed page")
+                p = 0
+                if optional:
+                    if p + 4 > len(raw):
+                        raise ValueError("truncated definition levels")
+                    dl_len = struct.unpack("<I", raw[:4])[0]
+                    defs, _end = _rle_bp_hybrid(raw[: 4 + dl_len], 4, 1, n_vals)
+                    p = 4 + dl_len
+                else:
+                    defs = [1] * n_vals
+                if p >= len(raw):
+                    raise ValueError("truncated index section")
+                bw = raw[p]
+                n_present = sum(defs)
+                idxs, _ = _rle_bp_hybrid(raw, p + 1, bw, n_present)
+                it = iter(idxs)
+                for dlev in defs:
+                    if dlev:
+                        ix = next(it)
+                        if ix >= len(dictionary):
+                            raise ValueError("dictionary index out of range")
+                        values.append(dictionary[ix])
+                    else:
+                        values.append(None)
+                got += n_vals
+                pos = nxt
+            if got != need:
+                raise ValueError("page walk value count mismatch")
+    return values
+
+
 def parquet_footer_rows(files: DataFrame) -> DataFrame:
     """Arrow-batched footer parse over a binaryFile frame (path,
     content) -> one row per row-group column chunk."""

@@ -1435,3 +1435,46 @@ def test_page_decode_reads_full_column_and_rejects_unsupported():
         raise AssertionError("dictionary-encoded chunk decoded silently")
     except ValueError:
         pass
+
+
+def test_rle_bp_hybrid_known_vectors_and_dict_reader():
+    """Hand-built RLE/bit-packed hybrid vectors (Encodings.md shapes)
+    decode exactly; the dictionary reader reproduces DuckDB's read of
+    the staged nullable corpus including NULL placement."""
+    import os
+
+    import duckdb
+
+    from mapreduce__spark.plans.tier2 import _stage_footer_corpus
+    from mapreduce__spark.sources.parquet_footer import (
+        _rle_bp_hybrid,
+        read_dict_column,
+    )
+
+    # RLE run: header 2*count, value in ceil(bw/8) bytes
+    vals, _ = _rle_bp_hybrid(bytes([2 * 7, 5]), 0, 3, 7)
+    assert vals == [5] * 7
+    # bit-packed: header 2*groups+1, bw=3, one group of 8 values 0..7
+    packed = 0
+    for k, v in enumerate([0, 1, 2, 3, 4, 5, 6, 7]):
+        packed |= v << (3 * k)
+    vals, _ = _rle_bp_hybrid(bytes([3]) + packed.to_bytes(3, "little"), 0, 3, 8)
+    assert vals == [0, 1, 2, 3, 4, 5, 6, 7]
+    # mixed: RLE then bit-packed, count cuts the padding
+    buf = bytes([2 * 3, 1]) + bytes([3]) + packed.to_bytes(3, "little")
+    vals, _ = _rle_bp_hybrid(buf, 0, 3, 9)
+    assert vals == [1, 1, 1, 0, 1, 2, 3, 4, 5]
+    # bw=0 (single-entry dictionary): RLE run with zero value bytes
+    vals, _ = _rle_bp_hybrid(bytes([2 * 4]), 0, 0, 4)
+    assert vals == [0, 0, 0, 0]
+
+    d = _stage_footer_corpus()
+    path = os.path.join(d, "01.parquet")
+    with open(path, "rb") as fh:
+        b = fh.read()
+    want = duckdb.sql(
+        f"select id, name from read_parquet('{path}')"
+    ).fetchall()
+    assert read_dict_column(b, "id") == [r[0] for r in want]
+    assert read_dict_column(b, "name") == [r[1] for r in want]
+    assert any(r[1] is None for r in want), "fixture lost its NULLs"
