@@ -100,6 +100,17 @@ NAMES = [
     "jpeg_pixel_decode_progressive",
     "wordpiece_pair_scores",
     "asof_nearest_events",
+    # round-11 second session: skeletons back the new SCALE.md entries —
+    # the all-codegen URL canonicalization project (no UDF node), the
+    # four-band Hamming equi-join with the lineage-cut hash table (no
+    # cartesian), the bounded-spine seasonal windows behind broadcast
+    # joins, the Viterbi prep's explode + hash agg + 1-row broadcast,
+    # and the single-scan archive/codec mapInPandas representative
+    "url_canonicalize",
+    "image_dhash_neardup",
+    "seasonal_decompose",
+    "unigram_lm_tokenize",
+    "targz_member_extract",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",
