@@ -6418,6 +6418,90 @@ def parquet_dict_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CSV_TORTURE_N = 120
+CSV_TORTURE_DIR = _fixture_root() + "/csvtorture/v1"
+
+
+def _csv_torture_field(i: int) -> str:
+    """The c2 law: rotates through the three RFC 4180 hazards — escaped
+    quotes, embedded delimiter, embedded newline."""
+    if i % 3 == 0:
+        return f'val "q{i}" end'
+    if i % 3 == 1:
+        return f"a,b{i},c"
+    return f"line1 {i}\nline2"
+
+
+def _stage_csv_torture() -> str:
+    """One RFC 4180 file whose every third row embeds a quote, a
+    delimiter, or a newline inside a quoted field (csv module,
+    QUOTE_MINIMAL + doublequote — the interoperable dialect)."""
+    import csv
+    import io
+    import os
+
+    os.makedirs(CSV_TORTURE_DIR, exist_ok=True)
+    dest = os.path.join(CSV_TORTURE_DIR, "torture.csv")
+    if os.path.exists(dest):
+        return CSV_TORTURE_DIR
+    buf = io.StringIO()
+    w = csv.writer(buf, quoting=csv.QUOTE_MINIMAL, doublequote=True)
+    w.writerow(["c1", "c2", "c3"])
+    for i in range(CSV_TORTURE_N):
+        w.writerow([i, _csv_torture_field(i), f"tag-{i % 7}"])
+    tmp = dest + ".tmp"
+    with open(tmp, "w", newline="") as f:
+        f.write(buf.getvalue())
+    os.replace(tmp, dest)
+    return CSV_TORTURE_DIR
+
+
+@query(
+    "csv_dialect_torture",
+    oracle=f"""
+    SELECT CAST(c1 AS BIGINT) AS c1,
+           CAST({_sql_charfold("c2")} AS BIGINT) AS c2_hash,
+           CAST(length(c2) AS BIGINT) AS c2_chars,
+           c3
+    FROM read_csv('{CSV_TORTURE_DIR}/torture.csv', header=true,
+                  quote='"', escape='"', columns={{'c1': 'BIGINT',
+                  'c2': 'VARCHAR', 'c3': 'VARCHAR'}})
+    """,
+    tags=("tier2", "source",),
+)
+def csv_dialect_torture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 4180 CSV dialect torture: every third row embeds an escaped
+    quote, a literal delimiter, or a literal NEWLINE inside a quoted
+    field — the three hazards that break line-split CSV ingestion (the
+    newline one breaks any reader that frames records by line). Spark
+    reads with multiLine + doublequote escape; the oracle is DuckDB's
+    OWN csv reader on the same staged file — two independent RFC 4180
+    implementations agreeing field for field (the parquet_page_decode
+    differential idea applied to the text format). Field content is
+    pinned by the shared char-fold hash plus the raw length (a
+    swallowed quote or a split record changes one of them). SCALE:
+    multiLine CSV is NOT splittable within a file (records cross line
+    boundaries) — a real corpus shards into many files, which is
+    exactly how the directory ingest paths here scale; the per-file
+    parse is one scan-stage pass."""
+    from mapreduce__spark.operators.qsketch import _charfold
+
+    d = _stage_csv_torture()
+    df = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(d + "/torture.csv")
+    )
+    return df.select(
+        F.col("c1").cast("bigint").alias("c1"),
+        _charfold(F.col("c2")).alias("c2_hash"),
+        F.length("c2").cast("bigint").alias("c2_chars"),
+        "c3",
+    )
+
+
 # Fixed-size synthetic XML corpus for the built-in Spark 4 XML source —
 # same sf-independent staging contract as BINARYFILE_DIR (static oracle
 # string, so the staged path and row count cannot vary with sf_dir).

@@ -1478,3 +1478,30 @@ def test_rle_bp_hybrid_known_vectors_and_dict_reader():
     assert read_dict_column(b, "id") == [r[0] for r in want]
     assert read_dict_column(b, "name") == [r[1] for r in want]
     assert any(r[1] is None for r in want), "fixture lost its NULLs"
+
+
+def test_csv_torture_fixture_and_third_reader():
+    """The staged torture CSV parses to exactly the law rows under
+    Python's csv module (a third independent RFC 4180 implementation
+    beside Spark and DuckDB), and the embedded-newline rows do NOT
+    inflate the record count (the line-split failure mode)."""
+    import csv
+    import os
+
+    from mapreduce__spark.plans.tier2 import (
+        CSV_TORTURE_N,
+        _csv_torture_field,
+        _stage_csv_torture,
+    )
+
+    d = _stage_csv_torture()
+    with open(os.path.join(d, "torture.csv"), newline="") as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["c1", "c2", "c3"]
+    body = rows[1:]
+    assert len(body) == CSV_TORTURE_N
+    for i, (c1, c2, c3) in enumerate(body):
+        assert (int(c1), c2, c3) == (i, _csv_torture_field(i), f"tag-{i % 7}")
+    # the raw file has MORE physical lines than records
+    with open(os.path.join(d, "torture.csv")) as f:
+        assert len(f.readlines()) > CSV_TORTURE_N + 1
