@@ -138,6 +138,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "parquet_page_decode",
     "parquet_dict_decode",
     "csv_dialect_torture",
+    "parquet_delta_decode",
     # round-10 additions, earning a second row
     "quantile_sketch_dyadic",
     "ann_topk_buckets",
@@ -163,15 +164,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # 31 least-recently-attested exactly-3 fillers (last green rows from
     # rounds 3-6), displaced newest-last-green-first as round-11 queries
     # land
-    "global_sort",
-    # (formatted_sink, join_full_outer, join_semi_anti, topk_per_key,
-    # window_analytic, rollup_cube, scalar_functions, word_count,
-    # dedup_jaccard_exact
+    # (global_sort, formatted_sink, join_full_outer, join_semi_anti,
+    # topk_per_key, window_analytic, rollup_cube, scalar_functions,
+    # word_count, dedup_jaccard_exact
     # and dedup_exact — r3 last-green, popped in reverse registration
-    # order — gave their slots to csv_dialect_torture,
-    # parquet_dict_decode, parquet_page_decode, seasonal_decompose,
-    # blocklist_match_counts, video_sample_index, unigram_lm_tokenize,
-    # parquet_footer_audit, orc_roundtrip and audio_mulaw_roundtrip;
+    # order — gave their slots to parquet_delta_decode,
+    # csv_dialect_torture, parquet_dict_decode, parquet_page_decode,
+    # seasonal_decompose, blocklist_match_counts, video_sample_index,
+    # unigram_lm_tokenize, parquet_footer_audit, orc_roundtrip and
+    # audio_mulaw_roundtrip;
     # the five r4 newest-last-green fillers — media_header_metadata,
     # image_header_metadata, embedding_correlation, ann_topk_bruteforce
     # and dedup_embedding_cosine — gave their slots to

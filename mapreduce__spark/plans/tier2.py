@@ -6502,6 +6502,96 @@ def csv_dialect_torture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DELTAPQ_N_FILES = 3
+DELTAPQ_DIR = _fixture_root() + "/deltapq/v1-pa" + _pa.__version__
+
+
+def _stage_deltapq_corpus() -> str:
+    """DELTA_BINARY_PACKED v2-page parquet files: a SIGNED random-walk
+    law (deltas in [-100, 100], so min-delta goes negative and
+    miniblock bit widths vary), several row groups, SNAPPY and
+    UNCOMPRESSED mixed."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(DELTAPQ_DIR, exist_ok=True)
+    for f in range(DELTAPQ_N_FILES):
+        dest = os.path.join(DELTAPQ_DIR, f"{f:02d}.parquet")
+        if os.path.exists(dest):
+            continue
+        n = 200 + 50 * f
+        vals, v = [], 1_000_000 * f
+        for i in range(n):
+            v += (i * 37 + 11 * f) % 201 - 100
+            vals.append(v)
+        schema = pa.schema([pa.field("id", pa.int64(), nullable=False)])
+        t = pa.table({"id": pa.array(vals, type=pa.int64())}, schema=schema)
+        tmp = dest + ".tmp"
+        pq.write_table(
+            t, tmp, use_dictionary=False,
+            column_encoding={"id": "DELTA_BINARY_PACKED"},
+            compression="snappy" if f % 2 == 0 else "none",
+            row_group_size=96, data_page_version="2.0",
+        )
+        os.replace(tmp, dest)
+    return DELTAPQ_DIR
+
+
+@query(
+    "parquet_delta_decode",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           CAST(file_row_number AS BIGINT) AS idx,
+           id
+    FROM read_parquet('{DELTAPQ_DIR}/*.parquet', filename=true,
+                      file_row_number=true)
+    """,
+    tags=("tier2", "source",),
+)
+def parquet_delta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third parquet-encoding leg (after PLAIN and RLE_DICTIONARY):
+    DELTA_BINARY_PACKED INT64 on v2 data pages, decoded from raw bytes —
+    varint block headers, zigzag first value and min-deltas, per-
+    miniblock bit widths, LSB-first packed deltas, omitted trailing
+    miniblocks, plus the v2 page shape itself (separate UNcompressed
+    level sections, is_compressed flag). The staged walk is SIGNED
+    (deltas in [-100, 100]) so negative min-deltas and varying bit
+    widths are real, and files mix SNAPPY with UNCOMPRESSED. Oracle is
+    DuckDB's read with file_row_number — row-for-row value agreement
+    between two independent decoder implementations. SCALE: same
+    byte-level-verification purpose as its two siblings."""
+    import os as _os
+
+    from mapreduce__spark.sources.parquet_footer import read_delta_column
+
+    d = _stage_deltapq_corpus()
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(d)
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"file_name": [], "idx": [], "id": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for idx, v in enumerate(
+                    read_delta_column(bytes(content), "id")
+                ):
+                    out["file_name"].append(_os.path.basename(str(p)))
+                    out["idx"].append(idx)
+                    out["id"].append(v)
+            yield pd.DataFrame(out)
+
+    return files.select("path", "content").mapInPandas(
+        gen, schema="file_name string, idx bigint, id bigint"
+    )
+
+
 # Fixed-size synthetic XML corpus for the built-in Spark 4 XML source —
 # same sf-independent staging contract as BINARYFILE_DIR (static oracle
 # string, so the staged path and row count cannot vary with sf_dir).
@@ -6598,6 +6688,7 @@ def stage_fixture_corpora() -> None:
     _stage_xml_corpus()
     _stage_footer_corpus()
     _stage_plainpq_corpus()
+    _stage_deltapq_corpus()
     _FIXTURES_STAGED = True
 
 

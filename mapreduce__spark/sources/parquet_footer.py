@@ -523,6 +523,100 @@ def read_dict_column(b: bytes, path: str) -> list:
     return values
 
 
+def _delta_binary_packed(raw: bytes, pos: int = 0) -> list[int]:
+    """DELTA_BINARY_PACKED (Encodings.md): varint block size /
+    miniblocks-per-block / total count / zigzag first value; per block
+    a zigzag min-delta, one bit-width byte per miniblock, then
+    LSB-first bit-packed deltas (value = min_delta + packed). Trailing
+    miniblocks may be omitted once the count is satisfied."""
+    block_size, pos = _varint(raw, pos)
+    n_mini, pos = _varint(raw, pos)
+    total, pos = _varint(raw, pos)
+    if n_mini == 0 or block_size % n_mini:
+        raise ValueError("malformed delta header")
+    vpm = block_size // n_mini
+    if vpm % 8:
+        raise ValueError("delta miniblock size not a multiple of 8")
+    first_raw, pos = _varint(raw, pos)
+    out = [_zigzag(first_raw)]
+    while len(out) < total:
+        md_raw, pos = _varint(raw, pos)
+        min_delta = _zigzag(md_raw)
+        if pos + n_mini > len(raw):
+            raise ValueError("truncated delta miniblock widths")
+        widths = raw[pos : pos + n_mini]
+        pos += n_mini
+        for w in widths:
+            if len(out) >= total:
+                break
+            nbytes = vpm * w // 8
+            if pos + nbytes > len(raw):
+                raise ValueError("truncated delta miniblock data")
+            bits = int.from_bytes(raw[pos : pos + nbytes], "little")
+            pos += nbytes
+            mask = (1 << w) - 1
+            take = min(vpm, total - len(out))
+            for k in range(take):
+                packed = (bits >> (k * w)) & mask if w else 0
+                out.append(out[-1] + min_delta + packed)
+    return out[:total]
+
+
+def read_delta_column(b: bytes, path: str) -> list[int]:
+    """Every value of the REQUIRED flat INT64 DELTA_BINARY_PACKED
+    column `path` across row groups, from raw bytes — v2 data pages
+    (separate uncompressed level sections, is_compressed flag)."""
+    if len(b) < 12 or b[:4] != b"PAR1" or b[-4:] != b"PAR1":
+        raise ValueError("not a parquet file (missing PAR1 magic)")
+    (meta_len,) = struct.unpack("<I", b[-8:-4])
+    start = len(b) - 8 - meta_len
+    if start < 4:
+        raise ValueError("parquet footer length out of bounds")
+    meta, _ = _read_struct(b, start)
+    values: list[int] = []
+    for rg in meta.get(4, []):
+        for chunk in rg.get(1, []):
+            md = chunk.get(3, {})
+            if ".".join(p.decode() for p in md.get(3, [])) != path:
+                continue
+            if _TYPES.get(md.get(1)) != "INT64":
+                raise ValueError("delta decode supports INT64 only")
+            codec = _CODECS.get(md.get(4))
+            if codec not in ("SNAPPY", "UNCOMPRESSED"):
+                raise ValueError(f"unsupported page codec {codec}")
+            need = md.get(5)
+            pos = md.get(9)
+            got = 0
+            while got < need:
+                header, data_start = _read_struct(b, pos)
+                comp_size = header.get(3)
+                v2 = header.get(8)
+                if header.get(1) != 3 or not isinstance(v2, dict):
+                    raise ValueError("expected a v2 data page")
+                n_vals = v2.get(1)
+                if v2.get(4) != 5:  # Encoding.DELTA_BINARY_PACKED
+                    raise ValueError("expected DELTA_BINARY_PACKED encoding")
+                dl_len = v2.get(5, 0)
+                rl_len = v2.get(6, 0)
+                if v2.get(2):
+                    raise ValueError("nullable delta columns unsupported")
+                levels = rl_len + dl_len  # stored UNcompressed in v2
+                raw = b[data_start + levels : data_start + comp_size]
+                if len(raw) != comp_size - levels:
+                    raise ValueError("truncated page data")
+                if codec == "SNAPPY" and v2.get(7, True):
+                    raw = snappy_decompress(raw)
+                vals = _delta_binary_packed(raw)
+                if len(vals) != n_vals:
+                    raise ValueError("delta value count mismatch")
+                values.extend(vals)
+                got += n_vals
+                pos = data_start + comp_size
+            if got != need:
+                raise ValueError("page walk value count mismatch")
+    return values
+
+
 def parquet_footer_rows(files: DataFrame) -> DataFrame:
     """Arrow-batched footer parse over a binaryFile frame (path,
     content) -> one row per row-group column chunk."""

@@ -72,16 +72,18 @@ SATURATED_AT = 4
 # NEWEST-last-green filler first, which preserves the least-recent
 # invariant test_fillers_are_least_recently_attested asserts. The r11
 # fillers' last green rows all date from rounds 3-6.
-TRIPLE_FILLERS: set[str] = {
-    "global_sort",
-    # (formatted_sink, join_full_outer, join_semi_anti, topk_per_key,
-    # window_analytic, rollup_cube, scalar_functions, word_count,
-    # dedup_jaccard_exact and dedup_exact — r3 last-green, popped in
-    # reverse registration order — gave their slots to
-    # csv_dialect_torture, parquet_dict_decode, parquet_page_decode,
-    # seasonal_decompose, blocklist_match_counts, video_sample_index,
-    # unigram_lm_tokenize, parquet_footer_audit, orc_roundtrip and
-    # audio_mulaw_roundtrip;
+# All sixteen round-11 fillers have been displaced by this session's
+# additions — the filler pool is EMPTY until the next rotation.
+TRIPLE_FILLERS: set[str] = set()
+_DISPLACEMENT_LOG = {
+    # (global_sort, formatted_sink, join_full_outer, join_semi_anti,
+    # topk_per_key, window_analytic, rollup_cube, scalar_functions,
+    # word_count, dedup_jaccard_exact and dedup_exact — r3 last-green,
+    # popped in reverse registration order — gave their slots to
+    # parquet_delta_decode, csv_dialect_torture, parquet_dict_decode,
+    # parquet_page_decode, seasonal_decompose, blocklist_match_counts,
+    # video_sample_index, unigram_lm_tokenize, parquet_footer_audit,
+    # orc_roundtrip and audio_mulaw_roundtrip;
     # the five r4 newest-last-green fillers — media_header_metadata,
     # image_header_metadata, embedding_correlation, ann_topk_bruteforce
     # and dedup_embedding_cosine — gave their slots to

@@ -1505,3 +1505,34 @@ def test_csv_torture_fixture_and_third_reader():
     # the raw file has MORE physical lines than records
     with open(os.path.join(d, "torture.csv")) as f:
         assert len(f.readlines()) > CSV_TORTURE_N + 1
+
+
+@given(st.lists(st.integers(-10**12, 10**12), min_size=1, max_size=400))
+@settings(max_examples=40, deadline=None)
+def test_delta_binary_packed_roundtrip_random_values(xs):
+    """read_delta_column inverts pyarrow's DELTA_BINARY_PACKED writer
+    for arbitrary int64 sequences (huge jumps force wide miniblocks,
+    runs force width-0), both page codecs."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce__spark.sources.parquet_footer import read_delta_column
+
+    schema = pa.schema([pa.field("id", pa.int64(), nullable=False)])
+    t = pa.table({"id": pa.array(xs, type=pa.int64())}, schema=schema)
+    fd, path = tempfile.mkstemp(suffix=".parquet")
+    os.close(fd)
+    try:
+        pq.write_table(
+            t, path, use_dictionary=False,
+            column_encoding={"id": "DELTA_BINARY_PACKED"},
+            compression="snappy" if len(xs) % 2 else "none",
+            row_group_size=128, data_page_version="2.0",
+        )
+        with open(path, "rb") as fh:
+            assert read_delta_column(fh.read(), "id") == xs
+    finally:
+        os.unlink(path)
