@@ -185,6 +185,15 @@ BENCH_QUERIES = [
     "warc_ingest",         # WARC record parse over synthesized archives:
                            # the container-ingest mapInPandas
                            # representative (round 11; deltas start r11)
+    "image_dhash",         # BMP decode + perceptual fingerprint: the
+                           # image-pipeline mapInPandas representative
+                           # (round 11 second session; deltas start r11)
+    "unigram_lm_tokenize", # substring counts + per-word Viterbi DP:
+                           # the tokenizer-training representative
+                           # (round 11 second session; deltas start r11)
+    "blocklist_match_counts",  # Aho-Corasick corpus scan: the
+                               # dictionary-matching text path (round 11
+                               # second session; deltas start r11)
 ]
 
 
