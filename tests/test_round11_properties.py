@@ -1536,3 +1536,63 @@ def test_delta_binary_packed_roundtrip_random_values(xs):
             assert read_delta_column(fh.read(), "id") == xs
     finally:
         os.unlink(path)
+
+
+# ---------------------------------------------------------------------------
+# Fixture spec-validity: the SYNTH side checked by stdlib reference readers.
+# ---------------------------------------------------------------------------
+
+
+def test_synth_containers_readable_by_stdlib_references():
+    """The synthesized containers are spec-valid to THIRD-PARTY readers,
+    not merely round-trip-consistent with our own parsers: tarfile
+    (including multi-member gzip docs), zipfile (CRC-verified via
+    testzip), gzip (member payload concatenation), and wave (on
+    canonical-layout docs; the data-before-fmt fixtures are legal RIFF
+    that wave.py is documented to reject, so those assert the rejection
+    instead of skipping silently)."""
+    import gzip as _gzip
+    import io
+    import tarfile
+    import wave
+    import zipfile
+
+    import pytest as _pytest
+
+    from mapreduce__spark.operators.multimodal import synth_wav_pcm_bytes
+    from mapreduce__spark.sources.archives import (
+        _gunzip_members,
+        _tgz_member_law,
+        _zip_member_law,
+        synth_targz_bytes,
+        synth_zip_bytes,
+    )
+
+    for d in (0, 1, 3, 4, 7, 8, 12):  # covers multi-member and FHCRC docs
+        b = synth_targz_bytes(d)
+        with tarfile.open(fileobj=io.BytesIO(b), mode="r:gz") as tf:
+            files = [m for m in tf.getmembers() if m.isfile()]
+            assert len(files) == d % 3 + 2
+            for i, m in enumerate(files):
+                name, text = _tgz_member_law(d, i)
+                assert m.name == name
+                assert tf.extractfile(m).read().decode("ascii") == text
+        # gzip module agrees with our member-aware gunzip
+        assert _gzip.decompress(b) == _gunzip_members(b)
+
+        z = synth_zip_bytes(d)
+        with zipfile.ZipFile(io.BytesIO(z)) as zf:
+            assert zf.testzip() is None  # every CRC verified
+            for i, name in enumerate(zf.namelist()):
+                lname, text, _method = _zip_member_law(d, i)
+                assert name == lname
+                assert zf.read(name).decode("ascii") == text
+
+    for d in (1, 2, 3, 4, 5, 6, 8):  # canonical fmt-then-data layouts
+        with wave.open(io.BytesIO(synth_wav_pcm_bytes(d))) as wf:
+            assert wf.getnchannels() == d % 2 + 1
+            assert wf.getnframes() == d % 60 + 4
+            assert wf.getsampwidth() == 2
+    for d in (0, 7, 14):  # data-before-fmt: wave.py's documented limit
+        with _pytest.raises(wave.Error):
+            wave.open(io.BytesIO(synth_wav_pcm_bytes(d)))
