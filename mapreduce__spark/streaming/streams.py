@@ -854,3 +854,45 @@ def stream_warc_records(spark: SparkSession, warc_dir: str) -> DataFrame:
             "body_chars bigint, body_hash bigint"
         ),
     )
+
+
+def stream_targz_members(spark: SparkSession, tgz_dir: str) -> DataFrame:
+    """Streaming tar.gz member extraction from a drop directory of
+    ``<doc_id>.tar.gz`` files — byte-for-byte the batch walker
+    (sources/archives.parse_targz_members), the same exactly-once
+    file-source pickup as stream_warc_records. A corrupt tarball fails
+    its micro-batch loudly (the ValueError discipline) instead of
+    emitting a silently short corpus."""
+    import os as _os
+
+    from mapreduce__spark.sources.archives import parse_targz_members
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length bigint, content binary"
+        )
+        .option("pathGlobFilter", "*.tar.gz")
+        .option("maxFilesPerTrigger", 8)
+        .load(tgz_dir)
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "member": [], "usize": [], "text_hash": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                doc_id = int(_os.path.basename(path).split(".")[0])
+                for name, usize, h in parse_targz_members(bytes(content)):
+                    out["doc_id"].append(doc_id)
+                    out["member"].append(name)
+                    out["usize"].append(usize)
+                    out["text_hash"].append(h)
+            yield pd.DataFrame(out)
+
+    return raw.select("path", "content").mapInPandas(
+        gen,
+        schema="doc_id bigint, member string, usize bigint, text_hash bigint",
+    )

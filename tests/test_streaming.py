@@ -1033,3 +1033,35 @@ def test_stream_warc_ingest_equals_batch(spark, tmp_path):
         for r in spark.table("t_warc").collect()
     }
     assert got == expect and len(got) >= 48
+
+
+def test_stream_targz_ingest_equals_batch(spark, tmp_path):
+    """The tar.gz drop-directory stream produces exactly the batch
+    walker's rows across the multi-member-gzip and FHCRC fixture
+    variants — the archive-ingest batch/stream seam extended to the
+    third container format."""
+    from mapreduce__spark.sources.archives import (
+        parse_targz_members,
+        synth_targz_bytes,
+    )
+    from mapreduce__spark.streaming.streams import (
+        run_stream_to_memory,
+        stream_targz_members,
+    )
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    expect = set()
+    for doc_id in range(20):
+        payload = synth_targz_bytes(doc_id)
+        (d / f"{doc_id}.tar.gz").write_bytes(payload)
+        for name, usize, h in parse_targz_members(payload):
+            expect.add((doc_id, name, usize, h))
+
+    sdf = stream_targz_members(spark, str(d))
+    run_stream_to_memory(sdf, "t_targz", output_mode="append")
+    got = {
+        (r.doc_id, r.member, r.usize, r.text_hash)
+        for r in spark.table("t_targz").collect()
+    }
+    assert got == expect and len(got) >= 40
