@@ -465,3 +465,42 @@ def test_bm25_joins_broadcast_sized(spark, sf_small):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_image_dhash_neardup_band_join_is_equi(spark, sf_small):
+    """The Hamming near-dup candidates must meet in an EQUI join on
+    (band_idx, band_val) — a cartesian or nested-loop here is the N^2
+    all-pairs shape the banding exists to avoid. The pigeonhole
+    completeness argument lives in the operator; this pins that the
+    plan actually uses it."""
+    from mapreduce__spark.plans.tier2 import image_dhash_neardup
+
+    plan = physical(image_dhash_neardup(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan, plan
+
+
+def test_unigram_viterbi_prep_shapes(spark, sf_small):
+    """The Viterbi prep must stay distributed: substring counts via hash
+    aggregate, per-word candidate delivery via equi-join, the corpus
+    total as the 1-row broadcast crossJoin (the centroid idiom) — never
+    a real cartesian, never a partition-less window funnel."""
+    from mapreduce__spark.plans.tier2 import unigram_lm_tokenize
+
+    plan = physical(unigram_lm_tokenize(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "HashAggregate" in plan, plan
+    assert "Window" not in plan or "SinglePartition" not in plan, plan
+
+
+def test_url_canonicalize_is_pure_project(spark, sf_small):
+    """URL canonicalization must cost ~nothing at 100 TB: no exchange,
+    no join, no Python eval — one scan with codegen projects."""
+    from mapreduce__spark.plans.tier2 import url_canonicalize
+
+    plan = physical(url_canonicalize(spark, sf_small))
+    for bad in ("Exchange", "Join", "BatchEvalPython", "ArrowEval"):
+        assert bad not in plan, (bad, plan)
+    assert "FileScan parquet" in plan, plan
