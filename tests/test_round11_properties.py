@@ -1596,3 +1596,105 @@ def test_synth_containers_readable_by_stdlib_references():
     for d in (0, 7, 14):  # data-before-fmt: wave.py's documented limit
         with _pytest.raises(wave.Error):
             wave.open(io.BytesIO(synth_wav_pcm_bytes(d)))
+
+
+def test_url_canonicalize_scheme_host_agree_with_urllib(spark, sf_small):
+    """Third-reference check: for every law URL, the canonicalized
+    scheme/host/port agree with urllib.parse (which lowercases schemes
+    and splits authorities per RFC 3986) after applying the declared
+    www-strip and default-port rules."""
+    from urllib.parse import urlsplit
+
+    from mapreduce__spark.plans.tier2 import url_canonicalize
+
+    rows = url_canonicalize(spark, sf_small).collect()
+    assert len(rows) >= 100
+    for r in rows:
+        s = urlsplit(r.url.split("#")[0])
+        scheme = s.scheme.lower()
+        host = (s.hostname or "").lower()
+        if host.startswith("www."):
+            host = host[4:]
+        assert r.host == host, (r.url, r.host, host)
+        want = f"{scheme}://{host}"
+        port = s.port
+        if port is not None and not (
+            (scheme == "http" and port == 80)
+            or (scheme == "https" and port == 443)
+        ):
+            want += f":{port}"
+        assert r.canonical_url.startswith(want + "/"), (r.url, r.canonical_url, want)
+
+
+@st.composite
+def _thrift_struct(draw, depth=0):
+    """(encoded_bytes, expected_dict) for a random compact-protocol
+    struct: bool/i32/i64/double/binary fields, nested structs and
+    lists, random field-id gaps forcing both short and long headers."""
+    import struct as _st
+
+    def vint(n):
+        out = b""
+        while True:
+            if n < 0x80:
+                return out + bytes([n])
+            out += bytes([(n & 0x7F) | 0x80])
+            n >>= 7
+
+    def zz(n):
+        return vint((n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1)
+
+    n_fields = draw(st.integers(1, 5))
+    fid = 0
+    payload = b""
+    expect = {}
+    for _ in range(n_fields):
+        gap = draw(st.integers(1, 31))
+        fid += gap
+        kind = draw(st.integers(0, 5 if depth < 2 else 4))
+        if kind == 0:
+            v = draw(st.booleans())
+            typ = 1 if v else 2
+            head = bytes([(gap << 4) | typ]) if gap <= 15 else bytes([typ]) + zz(fid)
+            payload += head
+            expect[fid] = v
+            continue
+        if kind == 1:
+            typ, v = 5, draw(st.integers(-2**31, 2**31 - 1))
+            body = zz(v)
+        elif kind == 2:
+            typ, v = 6, draw(st.integers(-2**62, 2**62))
+            body = zz(v)
+        elif kind == 3:
+            typ, v = 8, draw(st.binary(max_size=12))
+            body = vint(len(v)) + v
+        elif kind == 4:
+            vals = draw(st.lists(st.integers(-1000, 1000), max_size=20))
+            typ, v = 9, vals
+            if len(vals) < 15:
+                body = bytes([(len(vals) << 4) | 5])
+            else:
+                body = bytes([0xF5]) + vint(len(vals))
+            body += b"".join(zz(x) for x in vals)
+        else:
+            sub_bytes, sub_expect = draw(_thrift_struct(depth=depth + 1))
+            typ, v = 12, sub_expect
+            body = sub_bytes
+        head = bytes([(gap << 4) | typ]) if gap <= 15 else bytes([typ]) + zz(fid)
+        payload += head + body
+        expect[fid] = v
+    return payload + b"\x00", expect
+
+
+@given(_thrift_struct())
+@settings(max_examples=150, deadline=None)
+def test_thrift_reader_on_random_structs(enc_expect):
+    """The generic compact-protocol reader decodes arbitrary hand-
+    encoded structs exactly — field-id gaps both header forms, nested
+    structs, long-form lists — and consumes exactly the encoded span."""
+    from mapreduce__spark.sources.parquet_footer import _read_struct
+
+    enc, expect = enc_expect
+    fields, end = _read_struct(enc, 0)
+    assert end == len(enc)
+    assert fields == expect
