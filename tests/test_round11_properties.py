@@ -1698,3 +1698,83 @@ def test_thrift_reader_on_random_structs(enc_expect):
     fields, end = _read_struct(enc, 0)
     assert end == len(enc)
     assert fields == expect
+
+
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.integers(1, 80), st.integers(1, 70)),
+        min_size=1, max_size=25,
+    ),
+    st.integers(0, 3),
+)
+@settings(max_examples=150, deadline=None)
+def test_snappy_decoder_on_hand_encoded_streams(ops, lit_form):
+    """A hand-rolled snappy ENCODER exercises the element shapes
+    pyarrow's compressor rarely or never emits — all four literal
+    length forms (tag-embedded and 1/2/3-byte), copy-2 and copy-4
+    elements, minimum-length overlapping copies — and the decoder must
+    reproduce the stream exactly."""
+    from mapreduce__spark.sources.parquet_footer import snappy_decompress
+
+    def vint(n):
+        out = b""
+        while True:
+            if n < 0x80:
+                return out + bytes([n])
+            out += bytes([(n & 0x7F) | 0x80])
+            n >>= 7
+
+    data = bytearray()
+    enc = bytearray()
+
+    def emit_literal(chunk: bytes, form: int):
+        ln = len(chunk) - 1
+        if form == 0 and ln < 60:
+            enc.append(ln << 2)
+        else:
+            nbytes = max(1, (ln.bit_length() + 7) // 8)
+            nbytes = min(nbytes, 3)
+            enc.append((59 + nbytes) << 2)
+            enc.extend(ln.to_bytes(nbytes, "little"))
+        enc.extend(chunk)
+        data.extend(chunk)
+
+    for is_copy, a, b_ in ops:
+        if not data or not is_copy:
+            chunk = bytes((7 * a + 13 * i + b_) % 256 for i in range(a))
+            emit_literal(chunk, lit_form % 4 if len(chunk) >= 60 else 0)
+            continue
+        off = (a % len(data)) + 1
+        length = b_ % 60 + 4
+        kind = (a + b_) % 3
+        if kind == 0 and 4 <= length <= 11 and off < 2048:
+            enc.append(0x01 | (((length - 4) & 7) << 2) | ((off >> 8) << 5))
+            enc.append(off & 0xFF)
+        elif kind == 1 and off < 65536:
+            enc.append(0x02 | ((length - 1) << 2))
+            enc.extend(off.to_bytes(2, "little"))
+        else:
+            enc.append(0x03 | ((length - 1) << 2))
+            enc.extend(off.to_bytes(4, "little"))
+        for _ in range(length):
+            data.append(data[-off])
+    stream = vint(len(data)) + bytes(enc)
+    assert snappy_decompress(stream) == bytes(data)
+
+
+def test_snappy_malformed_streams_are_loud():
+    """Offset 0, offset beyond output, and a wrong declared length each
+    raise ValueError, never IndexError or silent garbage."""
+    import pytest as _pytest
+
+    from mapreduce__spark.sources.parquet_footer import snappy_decompress
+
+    # literal 'ab' then copy-1 with offset 0
+    with _pytest.raises(ValueError, match="offset"):
+        snappy_decompress(bytes([6]) + bytes([1 << 2]) + b"ab" + bytes([0x01, 0x00]))
+    # literal 'ab' then copy-1 with offset 5 > output length
+    with _pytest.raises(ValueError, match="offset"):
+        snappy_decompress(bytes([6]) + bytes([1 << 2]) + b"ab" + bytes([0x01, 0x05]))
+    # declared length disagrees with produced bytes
+    with _pytest.raises(ValueError, match="length"):
+        snappy_decompress(bytes([9]) + bytes([1 << 2]) + b"ab")
