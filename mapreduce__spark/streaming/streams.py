@@ -896,3 +896,53 @@ def stream_targz_members(spark: SparkSession, tgz_dir: str) -> DataFrame:
         gen,
         schema="doc_id bigint, member string, usize bigint, text_hash bigint",
     )
+
+
+def stream_zip_members(spark: SparkSession, zip_dir: str) -> DataFrame:
+    """Streaming ZIP member extraction from a drop directory of
+    ``<doc_id>.zip`` files — byte-for-byte the batch central-directory
+    walker (sources/archives.parse_zip_members), completing the
+    archive-stream matrix (WARC, tar.gz, ZIP)."""
+    import os as _os
+
+    from mapreduce__spark.sources.archives import parse_zip_members
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length bigint, content binary"
+        )
+        .option("pathGlobFilter", "*.zip")
+        .option("maxFilesPerTrigger", 8)
+        .load(zip_dir)
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "member": [], "method": [],
+                "usize": [], "crc_ok": [], "text_hash": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                doc_id = int(_os.path.basename(path).split(".")[0])
+                for name, method, usize, crc_ok, h in parse_zip_members(
+                    bytes(content)
+                ):
+                    out["doc_id"].append(doc_id)
+                    out["member"].append(name)
+                    out["method"].append(method)
+                    out["usize"].append(usize)
+                    out["crc_ok"].append(crc_ok)
+                    out["text_hash"].append(h)
+            yield pd.DataFrame(out)
+
+    return raw.select("path", "content").mapInPandas(
+        gen,
+        schema=(
+            "doc_id bigint, member string, method bigint, usize bigint, "
+            "crc_ok boolean, text_hash bigint"
+        ),
+    )

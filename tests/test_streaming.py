@@ -1065,3 +1065,34 @@ def test_stream_targz_ingest_equals_batch(spark, tmp_path):
         for r in spark.table("t_targz").collect()
     }
     assert got == expect and len(got) >= 40
+
+
+def test_stream_zip_ingest_equals_batch(spark, tmp_path):
+    """The ZIP drop-directory stream produces exactly the batch
+    extractor's rows (stored + DEFLATE members, CRC verified) —
+    completing the archive batch/stream matrix."""
+    from mapreduce__spark.sources.archives import (
+        parse_zip_members,
+        synth_zip_bytes,
+    )
+    from mapreduce__spark.streaming.streams import (
+        run_stream_to_memory,
+        stream_zip_members,
+    )
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    expect = set()
+    for doc_id in range(20):
+        payload = synth_zip_bytes(doc_id)
+        (d / f"{doc_id}.zip").write_bytes(payload)
+        for name, method, usize, crc_ok, h in parse_zip_members(payload):
+            expect.add((doc_id, name, method, usize, crc_ok, h))
+
+    sdf = stream_zip_members(spark, str(d))
+    run_stream_to_memory(sdf, "t_zipm", output_mode="append")
+    got = {
+        (r.doc_id, r.member, r.method, r.usize, r.crc_ok, r.text_hash)
+        for r in spark.table("t_zipm").collect()
+    }
+    assert got == expect and len(got) >= 40
