@@ -158,7 +158,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "heavy_hitters_exact",
     "welch_z_test",
     "simhash_charfold",
-    "vocab_growth",
+    # (vocab_growth, a 2-green double, is the round-11 second-session
+    # deferral — its slot funds the bigram_lm_score reattest below)
     "rrf_fusion",
     "per_source_zscore",
     # 31 least-recently-attested exactly-3 fillers (last green rows from
@@ -196,6 +197,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_cluster_outliers",
     "cluster_balanced_sample",
     "semantic_dedup",
+    # second-session reattest: the two-scale gate's decimal-half-tie fix
+    # rewrote bigram_lm_score's scoring to integer micro-NLL (its three
+    # green rows describe the old round()-based hash)
+    "bigram_lm_score",
 )
 
 

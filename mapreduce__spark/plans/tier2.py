@@ -7994,10 +7994,11 @@ def equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT i.doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(CAST(sum(CAST(round(-ln(
+           CAST((2 * sum(CAST(floor(-ln(
                      ((s.c12 * n.n) + (CAST(s.c2 AS DOUBLE) * s.c1x))
                      / ((2.0 * s.c1x) * n.n)
-                 ), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS nll
+                 ) * 1000000 + 0.5) AS BIGINT)) + count(*))
+                // (2 * count(*)) AS DOUBLE) / 1000000 AS nll
     FROM inst i
     JOIN stats s ON i.left_tok = s.left_tok AND i.right_tok = s.right_tok
     CROSS JOIN ntot n
@@ -8021,12 +8022,18 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single-token documents have no bigrams and drop out (both engines,
     by construction of the instance relation).
 
-    Cross-engine float discipline (the bm25_rank rules): the mixture is
-    evaluated as ONE shared expression tree of IEEE +,*,/ over exact
-    integers cast to double — bit-identical by construction — and ln(),
-    the only libm call, rounds to 6 digits BEFORE entering the DECIMAL
-    accumulator, so partition layout cannot reorder float additions and a
-    last-ulp ln() divergence cannot survive.
+    Cross-engine float discipline (hardened by the round-11 two-scale
+    gate): the mixture is evaluated as ONE shared expression tree of
+    IEEE +,*,/ over exact integers cast to double — bit-identical by
+    construction — and ln(), the only libm call, is QUANTIZED to
+    integer micro-NLL via floor(x*1e6 + 0.5), which is rounding-RULE-
+    free: Spark's round() HALF_UPs the shortest-decimal STRING while
+    DuckDB rounds the binary value, and at sf0.1 a per-doc mean landed
+    exactly on a 6-digit half-tie (doc 1714 — see docs/SCALE.md).
+    Integer micro-units sum exactly and order-independently; the mean
+    is the half-up INTEGER division (2s+n) div (2n) and the final /1e6
+    is one IEEE division of the same exact integer in both engines —
+    no round() anywhere, so no tie can ever split them.
 
     Scale shape: the LM is two word-count-scaling aggregates (bigram
     counts + unigram counts, both map-side combined to vocab-sized
@@ -8076,15 +8083,30 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c12") * F.col("n"))
         + (F.col("c2").cast("double") * F.col("c1x"))
     ) / ((F.lit(2.0) * F.col("c1x")) * F.col("n"))
-    per_term = F.round(-F.log(mix), 6).cast("decimal(18,6)")
+    # tie-free quantization (round-11 two-scale-gate fix, the doc-1714
+    # lesson): per-term micro-NLL as floor(x*1e6 + 0.5) — rounding-RULE-
+    # free given identical double bits (Spark's round() HALF_UPs the
+    # shortest-decimal string while DuckDB rounds the binary value, and
+    # at sf0.1 a mean landed exactly on a 6-digit half-tie). Integer
+    # micro-units sum exactly and order-independently; the mean is the
+    # half-up INTEGER division (2s + n) div (2n), and the final /1e6 is
+    # one IEEE division of the same exact integer in both engines.
+    per_term_micro = F.floor(-F.log(mix) * 1000000 + F.lit(0.5)).cast(
+        "bigint"
+    )
     return (
         inst.join(stats, ["left_tok", "right_tok"])
         .crossJoin(F.broadcast(ntot))
+        .withColumn("tm", per_term_micro)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.sum(per_term).cast("double") / F.count(F.lit(1)), 6
+            (
+                F.expr(
+                    "CAST((2 * sum(tm) + count(1)) DIV (2 * count(1)) "
+                    "AS DOUBLE)"
+                )
+                / 1000000
             ).alias("nll"),
         )
     )

@@ -39,7 +39,12 @@ ROWS_ONLY = {
 # round 10's sole deferral — so DEFERRED_DOUBLES empties again), and 31
 # exactly-3 fillers round out the 50, displaced one-by-one as round-11
 # additions land.
-DEFERRED_DOUBLES: set[str] = set()
+# Round-11 second session: vocab_growth (2 green rows) defers to fund
+# the bigram_lm_score CHANGED_CODE_REATTEST slot — the two-scale gate's
+# decimal-half-tie fix rewrote its scoring, so its three green rows
+# describe the old hash and a fresh attestation outranks a third row
+# for an unchanged double.
+DEFERRED_DOUBLES: set[str] = {"vocab_growth"}
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
 # driver rows — their prior attestations describe the old code, so they
@@ -56,6 +61,10 @@ CHANGED_CODE_REATTEST: set[str] = {
     "embedding_cluster_outliers",
     "cluster_balanced_sample",
     "semantic_dedup",
+    # second session: the sf0.1 decimal-half-tie fix rewrote the
+    # scoring to integer micro-NLL (docs/SCALE.md) — 3 prior green
+    # rows describe the old round()-based hash
+    "bigram_lm_score",
 }
 
 # Saturation retirement (round-10 VERDICT item 8): a query holding
