@@ -139,6 +139,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "parquet_dict_decode",
     "csv_dialect_torture",
     "parquet_delta_decode",
+    "schema_evolution_merge",
     # round-10 additions, earning a second row
     "quantile_sketch_dyadic",
     "ann_topk_buckets",
@@ -156,10 +157,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "random_projection_sketch",
     "k_core_peel",
     "heavy_hitters_exact",
-    "welch_z_test",
     "simhash_charfold",
-    # (vocab_growth, a 2-green double, is the round-11 second-session
-    # deferral — its slot funds the bigram_lm_score reattest below)
+    # (vocab_growth and welch_z_test — 2-green doubles — are the
+    # round-11 second-session deferrals: their slots fund the
+    # bigram_lm_score reattest below and schema_evolution_merge above)
     "rrf_fusion",
     "per_source_zscore",
     # 31 least-recently-attested exactly-3 fillers (last green rows from

@@ -6592,6 +6592,90 @@ def parquet_delta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEVO_DIR = _fixture_root() + "/schemaevo/v1-pa" + _pa.__version__
+
+
+def _stage_schema_evolution_corpus() -> str:
+    """Three parquet generations of one logical table, the way schemas
+    actually evolve in a lake: v1 (id, name), v2 adds score and ALSO
+    reorders columns (score before name — union must align by NAME,
+    not position), v3 drops name entirely. Nullable name with planted
+    NULLs in v2 so missing-column nulls and real nulls coexist."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(SEVO_DIR, exist_ok=True)
+    gens = {
+        "gen1.parquet": pa.table(
+            {
+                "id": pa.array(range(0, 40), type=pa.int64()),
+                "name": pa.array([f"a{i}" for i in range(40)]),
+            }
+        ),
+        "gen2.parquet": pa.table(
+            {
+                "id": pa.array(range(100, 150), type=pa.int64()),
+                "score": pa.array(
+                    [(i % 37) / 4 for i in range(50)], type=pa.float64()
+                ),
+                "name": pa.array(
+                    [None if i % 5 == 0 else f"b{i}" for i in range(50)]
+                ),
+            }
+        ),
+        "gen3.parquet": pa.table(
+            {
+                "id": pa.array(range(200, 230), type=pa.int64()),
+                "score": pa.array(
+                    [(i * 3 % 29) / 4 for i in range(30)], type=pa.float64()
+                ),
+            }
+        ),
+    }
+    for fname, t in gens.items():
+        dest = os.path.join(SEVO_DIR, fname)
+        if os.path.exists(dest):
+            continue
+        tmp = dest + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, dest)
+    return SEVO_DIR
+
+
+@query(
+    "schema_evolution_merge",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           id, name, score
+    FROM read_parquet('{SEVO_DIR}/*.parquet',
+                      union_by_name=true, filename=true)
+    """,
+    tags=("tier2", "source",),
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution reads — the lake reality that tables grow (and
+    lose) columns across file generations: Spark's mergeSchema parquet
+    read unions three staged generations where v2 ADDS a column while
+    REORDERING the others (alignment must be by name, not position)
+    and v3 DROPS one; files missing a column yield NULLs that coexist
+    with v2's planted real NULLs. The oracle is DuckDB's own
+    union_by_name read of the same files — two independent
+    schema-union implementations agreeing cell for cell, the
+    two-reader differential of parquet_page_decode applied to the
+    SCHEMA layer. SCALE: mergeSchema's cost is one footer read per
+    file at planning (the footer-audit sizes); at 100 TB one pins the
+    merged schema in a metastore instead of re-deriving it per query —
+    the read semantics this query proves are identical either way."""
+    d = _stage_schema_evolution_corpus()
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    return df.select(
+        F.col("_metadata.file_name").alias("file_name"),
+        "id", "name", "score",
+    )
+
+
 # Fixed-size synthetic XML corpus for the built-in Spark 4 XML source —
 # same sf-independent staging contract as BINARYFILE_DIR (static oracle
 # string, so the staged path and row count cannot vary with sf_dir).
@@ -6689,6 +6773,7 @@ def stage_fixture_corpora() -> None:
     _stage_footer_corpus()
     _stage_plainpq_corpus()
     _stage_deltapq_corpus()
+    _stage_schema_evolution_corpus()
     _FIXTURES_STAGED = True
 
 

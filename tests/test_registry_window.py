@@ -39,12 +39,14 @@ ROWS_ONLY = {
 # round 10's sole deferral — so DEFERRED_DOUBLES empties again), and 31
 # exactly-3 fillers round out the 50, displaced one-by-one as round-11
 # additions land.
-# Round-11 second session: vocab_growth (2 green rows) defers to fund
-# the bigram_lm_score CHANGED_CODE_REATTEST slot — the two-scale gate's
-# decimal-half-tie fix rewrote its scoring, so its three green rows
-# describe the old hash and a fresh attestation outranks a third row
-# for an unchanged double.
-DEFERRED_DOUBLES: set[str] = {"vocab_growth"}
+# Round-11 second session: two 2-green doubles defer — vocab_growth
+# funds the bigram_lm_score CHANGED_CODE_REATTEST slot (the two-scale
+# gate's decimal-half-tie fix rewrote its scoring, so its three green
+# rows describe the old hash) and welch_z_test funds the
+# schema_evolution_merge first attestation. A never-attested query or
+# a fresh attestation of changed code outranks a third row for an
+# unchanged double.
+DEFERRED_DOUBLES: set[str] = {"vocab_growth", "welch_z_test"}
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
 # driver rows — their prior attestations describe the old code, so they
