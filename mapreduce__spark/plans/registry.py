@@ -84,21 +84,21 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_registry_window.py::test_rotated_out_core_stays_oracle_gated
 # pins that rotated-out entries keep their oracles.
 #
-# Round-11 rotation, DERIVED FROM DATA like rounds 6-10 (the audit-trail
+# Round-12 rotation, DERIVED FROM DATA like rounds 6-11 (the audit-trail
 # test tests/test_registry_window.py::test_window_prioritizes_low_attestation
 # recomputes green-attestation counts from the checked-in
 # CORRECTNESS_r0*.json files and asserts the policy below, so this
 # comment cannot silently disagree with the window):
-#   IN  — every query with zero or one green driver row (the 7 round-10
+#   IN  — every query with zero or one green driver row (the 27 round-11
 #         additions earning their second row, plus this round's new
-#         queries); ALL 12 double-attestation queries (the 11 round-9
-#         additions plus per_source_zscore, round 10's sole deferral —
-#         DEFERRED_DOUBLES empties again); and 31 exactly-3 fillers.
-#   FILLER POLICY (new, round-10 VERDICT item 8): with 137 queries now
-#         holding exactly 3 green rows, fillers are chosen
+#         queries); ALL 9 double-attestation queries (the 7 round-10
+#         additions earning their third row plus vocab_growth and
+#         welch_z_test, the round-11 second-session deferrals —
+#         DEFERRED_DOUBLES empties again); and 14 exactly-3 fillers.
+#   FILLER POLICY (round-10 VERDICT item 8): fillers are chosen
 #         LEAST-RECENTLY-ATTESTED FIRST (oldest most-recent green round,
-#         registration order as tie-break) — the r11 fillers' last rows
-#         date from rounds 3-6. Queries reaching SATURATED_AT (4) green
+#         registration order as tie-break) — the r12 fillers' last rows
+#         date from rounds 3-4. Queries reaching SATURATED_AT (4) green
 #         rows RETIRE from rotation eligibility: they re-enter only via
 #         CHANGED_CODE_REATTEST, so driver attestation keeps cycling
 #         fresh code instead of re-attesting saturated queries
@@ -112,7 +112,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-11 additions — never driver-attested (each displaced a filler)
+    # round-11 additions (single-green), earning their second row
     "jpeg_pixel_decode_420",
     "warc_ingest",
     "zip_member_extract",
@@ -140,7 +140,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "csv_dialect_torture",
     "parquet_delta_decode",
     "schema_evolution_merge",
-    # round-10 additions, earning a second row
+    # doubles: the round-11 second-session deferrals seated first
+    # (round-11 VERDICT item 3), then the 7 round-10 additions earning
+    # their third row
+    "vocab_growth",
+    "welch_z_test",
     "quantile_sketch_dyadic",
     "ann_topk_buckets",
     "jpeg_pixel_decode_ac",
@@ -148,60 +152,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "countmin_freq_estimate",
     "hll_distinct_charfold",
     "hll_set_overlap",
-    # round-9 additions + per_source_zscore (round 10's sole deferral),
-    # earning their third row
-    "jpeg_pixel_decode",
-    "isotonic_calibration",
-    "cusum_drift",
-    "content_defined_chunking",
-    "random_projection_sketch",
-    "k_core_peel",
-    "heavy_hitters_exact",
-    "simhash_charfold",
-    # (vocab_growth and welch_z_test — 2-green doubles — are the
-    # round-11 second-session deferrals: their slots fund the
-    # bigram_lm_score reattest below and schema_evolution_merge above)
-    "rrf_fusion",
-    "per_source_zscore",
-    # 31 least-recently-attested exactly-3 fillers (last green rows from
-    # rounds 3-6), displaced newest-last-green-first as round-11 queries
-    # land
-    # (global_sort, formatted_sink, join_full_outer, join_semi_anti,
-    # topk_per_key, window_analytic, rollup_cube, scalar_functions,
-    # word_count, dedup_jaccard_exact
-    # and dedup_exact — r3 last-green, popped in reverse registration
-    # order — gave their slots to parquet_delta_decode,
-    # csv_dialect_torture, parquet_dict_decode, parquet_page_decode,
-    # seasonal_decompose, blocklist_match_counts, video_sample_index,
-    # unigram_lm_tokenize, parquet_footer_audit, orc_roundtrip and
-    # audio_mulaw_roundtrip;
-    # the five r4 newest-last-green fillers — media_header_metadata,
-    # image_header_metadata, embedding_correlation, ann_topk_bruteforce
-    # and dedup_embedding_cosine — gave their slots to
-    # targz_member_extract, url_canonicalize, html_text_extract,
-    # image_dhash and image_dhash_neardup;
-    # join_skew_salted, pii_scrub, kernel_search_count,
-    # training_data_pipeline, rolling_user_features, dedup_clusters,
-    # sequence_packing, stateful_dedup_first_event, sessionization and
-    # events_tumbling_window gave their slots to the round-11 additions
-    # jpeg_pixel_decode_420, warc_ingest, zip_member_extract,
-    # embedding_pq_codes, mmr_diverse_select, ann_topk_pq_adc,
-    # wordpiece_pair_scores, bpe_learn_merges, asof_nearest_events and
-    # jpeg_pixel_decode_progressive)
-    # CHANGED_CODE_REATTEST re-entries, displacing the five newest
-    # fillers (graph_mass_propagation, scd2_intervals, merge_upsert,
-    # window_distribution, join_bloom_pruned — all last green r6):
-    # graph_triangles' adjacency-array restructure and the four k-means
-    # riders of the centroid-broadcast seam (operators/clustering.py)
-    "graph_triangles",
-    "kmeans_embeddings",
-    "embedding_cluster_outliers",
-    "cluster_balanced_sample",
-    "semantic_dedup",
-    # second-session reattest: the two-scale gate's decimal-half-tie fix
-    # rewrote bigram_lm_score's scoring to integer micro-NLL (its three
-    # green rows describe the old round()-based hash)
-    "bigram_lm_score",
+    # 14 least-recently-attested exactly-3 fillers (last green rows from
+    # rounds 3-4: the eleven r3-last-green queries plus the three oldest
+    # r4 ones), displaced newest-last-green-first (reverse registration
+    # order on ties) as round-12 queries land
+    "global_sort",
+    "formatted_sink",
+    "join_full_outer",
+    "join_semi_anti",
+    "topk_per_key",
+    "window_analytic",
+    "rollup_cube",
+    "scalar_functions",
+    "word_count",
+    "dedup_exact",
+    "dedup_jaccard_exact",
+    "dedup_embedding_cosine",
+    "ann_topk_bruteforce",
+    "embedding_correlation",
 )
 
 

@@ -34,40 +34,22 @@ ROWS_ONLY = {
     "quantile_sketch_values",
 }
 
-# Round-11 rotation: the 7 round-10 singles take their second row, all
-# 12 doubles fit (the 11 round-9 additions plus per_source_zscore —
-# round 10's sole deferral — so DEFERRED_DOUBLES empties again), and 31
-# exactly-3 fillers round out the 50, displaced one-by-one as round-11
+# Round-12 rotation: the 27 round-11 singles take their second row, all
+# 9 doubles fit (the 7 round-10 additions plus vocab_growth and
+# welch_z_test — the round-11 second-session deferrals, seated per
+# round-11 VERDICT item 3 — so DEFERRED_DOUBLES empties again), and 14
+# exactly-3 fillers round out the 50, displaced one-by-one as round-12
 # additions land.
-# Round-11 second session: two 2-green doubles defer — vocab_growth
-# funds the bigram_lm_score CHANGED_CODE_REATTEST slot (the two-scale
-# gate's decimal-half-tie fix rewrote its scoring, so its three green
-# rows describe the old hash) and welch_z_test funds the
-# schema_evolution_merge first attestation. A never-attested query or
-# a fresh attestation of changed code outranks a third row for an
-# unchanged double.
-DEFERRED_DOUBLES: set[str] = {"vocab_growth", "welch_z_test"}
+DEFERRED_DOUBLES: set[str] = set()
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
 # driver rows — their prior attestations describe the old code, so they
 # re-enter the window even though the low-attestation rule alone would
-# exclude them. Round 11: graph_triangles (count_triangles restructured
-# from the wedge join to the adjacency-array intersection form,
-# operators/graph.py) and the four kmeans_assign riders (the centroid
-# table moved from a k*d-node plan literal to a 1-row broadcast column,
-# operators/clustering.py) — each holds 3 green rows describing the old
-# execution, so each re-enters for a fresh attestation.
-CHANGED_CODE_REATTEST: set[str] = {
-    "graph_triangles",
-    "kmeans_embeddings",
-    "embedding_cluster_outliers",
-    "cluster_balanced_sample",
-    "semantic_dedup",
-    # second session: the sf0.1 decimal-half-tie fix rewrote the
-    # scoring to integer micro-NLL (docs/SCALE.md) — 3 prior green
-    # rows describe the old round()-based hash
-    "bigram_lm_score",
-}
+# exclude them. Round 12: empty so far — the ADVICE hardening fixes
+# (archives.py, urls.py, parquet_footer.py, html.py) all touch queries
+# that are single-green round-11 additions already holding window slots
+# by right.
+CHANGED_CODE_REATTEST: set[str] = set()
 
 # Saturation retirement (round-10 VERDICT item 8): a query holding
 # SATURATED_AT green driver rows retires from rotation eligibility — it
@@ -76,40 +58,38 @@ CHANGED_CODE_REATTEST: set[str] = {
 # would starve fresh code of driver rows.
 SATURATED_AT = 4
 
-# Exactly-3-attested fillers holding the spare slots until round-11
-# additions displace them. Selection policy (new this round): the 31
+# Exactly-3-attested fillers holding the spare slots until round-12
+# additions displace them. Selection policy (round-11): the 14
 # LEAST-RECENTLY-ATTESTED exactly-3 queries — oldest most-recent green
 # round first, registration order as tie-break; displacement pops the
-# NEWEST-last-green filler first, which preserves the least-recent
-# invariant test_fillers_are_least_recently_attested asserts. The r11
-# fillers' last green rows all date from rounds 3-6.
-# All sixteen round-11 fillers have been displaced by this session's
-# additions — the filler pool is EMPTY until the next rotation.
-TRIPLE_FILLERS: set[str] = set()
+# NEWEST-last-green filler first (reverse registration order on ties),
+# which preserves the least-recent invariant
+# test_fillers_are_least_recently_attested asserts. The r12 fillers'
+# last green rows date from rounds 3-4: eleven r3-last-green queries
+# (which sat out round 11 after funding its additions) plus the three
+# oldest r4 ones.
+TRIPLE_FILLERS: set[str] = {
+    "global_sort",
+    "formatted_sink",
+    "join_full_outer",
+    "join_semi_anti",
+    "topk_per_key",
+    "window_analytic",
+    "rollup_cube",
+    "scalar_functions",
+    "word_count",
+    "dedup_exact",
+    "dedup_jaccard_exact",
+    "dedup_embedding_cosine",
+    "ann_topk_bruteforce",
+    "embedding_correlation",
+}
 _DISPLACEMENT_LOG = {
-    # (global_sort, formatted_sink, join_full_outer, join_semi_anti,
-    # topk_per_key, window_analytic, rollup_cube, scalar_functions,
-    # word_count, dedup_jaccard_exact and dedup_exact — r3 last-green,
-    # popped in reverse registration order — gave their slots to
-    # parquet_delta_decode, csv_dialect_torture, parquet_dict_decode,
-    # parquet_page_decode, seasonal_decompose, blocklist_match_counts,
-    # video_sample_index, unigram_lm_tokenize, parquet_footer_audit,
-    # orc_roundtrip and audio_mulaw_roundtrip;
-    # the five r4 newest-last-green fillers — media_header_metadata,
-    # image_header_metadata, embedding_correlation, ann_topk_bruteforce
-    # and dedup_embedding_cosine — gave their slots to
-    # targz_member_extract, url_canonicalize, html_text_extract,
-    # image_dhash and image_dhash_neardup;
-    # graph_mass_propagation, scd2_intervals, merge_upsert,
-    # window_distribution and join_bloom_pruned gave their slots to the
-    # five CHANGED_CODE_REATTEST re-entries; join_skew_salted, pii_scrub,
-    # kernel_search_count, training_data_pipeline, rolling_user_features,
-    # dedup_clusters, sequence_packing, stateful_dedup_first_event,
-    # sessionization and events_tumbling_window to the round-11 additions
-    # jpeg_pixel_decode_420, warc_ingest, zip_member_extract,
-    # embedding_pq_codes, mmr_diverse_select, ann_topk_pq_adc,
-    # wordpiece_pair_scores, bpe_learn_merges, asof_nearest_events and
-    # jpeg_pixel_decode_progressive)
+    # (no round-12 displacements yet — new queries pop the
+    # newest-last-green filler first: embedding_correlation,
+    # ann_topk_bruteforce, dedup_embedding_cosine — r4 last-green in
+    # reverse registration order — then the r3 group starting from
+    # dedup_jaccard_exact)
 }
 
 
@@ -119,7 +99,7 @@ _DISPLACEMENT_LOG = {
 # gives every in-window entry one MORE green row — counting that file
 # would flip test_window_prioritizes_low_attestation red before the
 # next rotation happens. Bump this when rotating the window.
-WINDOW_BASIS_ROUND = 10
+WINDOW_BASIS_ROUND = 11
 
 
 def _attestations() -> dict[str, int]:
