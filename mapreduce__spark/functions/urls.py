@@ -51,10 +51,36 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     df = (
         df.withColumn("_scheme", F.lower(F.substring_index(no_frag, "://", 1)))
         .withColumn("_rest", F.substring_index(no_frag, "://", -1))
-        .withColumn("_auth", F.lower(F.substring_index(F.col("_rest"), "/", 1)))
-        # everything from the first '/' of the rest: path + query
+        # the authority ends at the first '/' OR '?' (a query can follow
+        # the authority with no path); least() skips the NULLified
+        # zero-positions, so _cut is NULL only for authority-only URLs
         .withColumn(
-            "_pathq", F.expr("substring(_rest, instr(_rest, '/'))")
+            "_cut",
+            F.expr(
+                "least(nullif(instr(_rest, '/'), 0),"
+                " nullif(instr(_rest, '?'), 0))"
+            ),
+        )
+        .withColumn(
+            "_auth",
+            F.lower(
+                F.expr(
+                    "case when _cut is null then _rest"
+                    " else substring(_rest, 1, _cut - 1) end"
+                )
+            ),
+        )
+        # path + query; URLs with no path canonicalize to path '/' —
+        # without the guard, substring(_rest, 0) would echo the whole
+        # rest and double the host into the path
+        .withColumn(
+            "_pathq",
+            F.expr(
+                "case when _cut is null then '/' "
+                "when substring(_rest, _cut, 1) = '?' "
+                "then '/' || substring(_rest, _cut) "
+                "else substring(_rest, _cut) end"
+            ),
         )
         .withColumn(
             "_host0",
@@ -104,13 +130,18 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         )
         .withColumn("_labels", F.split("host", "[.]"))
         .withColumn("_n", F.size("_labels"))
+        # a single-label host (e.g. 'localhost') IS its registered
+        # domain; element_at(_labels, 0) would error under ANSI mode
         .withColumn(
             "_last2",
-            F.concat_ws(
-                ".",
-                F.element_at("_labels", F.col("_n") - 1),
-                F.element_at("_labels", F.col("_n")),
-            ),
+            F.when(
+                F.col("_n") >= 2,
+                F.concat_ws(
+                    ".",
+                    F.element_at("_labels", F.col("_n") - 1),
+                    F.element_at("_labels", F.col("_n")),
+                ),
+            ).otherwise(F.col("host")),
         )
         .withColumn(
             "registered_domain",
@@ -141,6 +172,6 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         )
     )
     return df.drop(
-        "_scheme", "_rest", "_auth", "_pathq", "_host0", "_port",
+        "_scheme", "_rest", "_cut", "_auth", "_pathq", "_host0", "_port",
         "_keep_port", "_path", "_params", "_qs", "_labels", "_n", "_last2",
     )

@@ -61,6 +61,7 @@ def extract_html_text(html: str) -> tuple[str, int, int, int]:
     <p> opens; n_tags counts all open tags (not closers/comments)."""
     out: list[str] = []
     link: list[str] = []
+    low = html.lower()
     i, n = 0, len(html)
     a_depth = 0
     n_para = 0
@@ -102,8 +103,15 @@ def extract_html_text(html: str) -> tuple[str, int, int, int]:
             elif name == "p":
                 n_para += 1
             elif name in _RAWTEXT_TAGS:
-                low = html.lower()
+                # the closer must be a complete tag name — '</scripty>'
+                # does not end a <script> body, so require the char after
+                # the name to terminate the tag (browser rawtext rule)
                 end = low.find("</" + name, i)
+                while end >= 0:
+                    after = end + 2 + len(name)
+                    if after >= n or low[after] in "> \t\n\r\f/":
+                        break
+                    end = low.find("</" + name, end + 1)
                 if end < 0:
                     i = n
                 else:

@@ -5384,10 +5384,20 @@ def targz_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              split_part(split_part(url, '#', 1), '://', 2) AS rest
       FROM raw
     ),
-    auth AS (
-      SELECT *, lower(split_part(rest, '/', 1)) AS authority,
-             substring(rest, strpos(rest, '/')) AS pathq
+    cutpos AS (
+      SELECT *, least(nullif(strpos(rest, '/'), 0),
+                      nullif(strpos(rest, '?'), 0)) AS cut
       FROM parts
+    ),
+    auth AS (
+      SELECT *,
+             lower(CASE WHEN cut IS NULL THEN rest
+                        ELSE substring(rest, 1, cut - 1) END) AS authority,
+             CASE WHEN cut IS NULL THEN '/'
+                  WHEN substring(rest, cut, 1) = '?'
+                  THEN '/' || substring(rest, cut)
+                  ELSE substring(rest, cut) END AS pathq
+      FROM cutpos
     ),
     hostport AS (
       SELECT *,
@@ -5428,7 +5438,8 @@ def targz_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
              AS canonical_url,
            host,
-           CASE WHEN labels[n - 1] || '.' || labels[n]
+           CASE WHEN n < 2 THEN host
+                WHEN labels[n - 1] || '.' || labels[n]
                      IN ('example.com', 'archive.test') AND n >= 3
                 THEN labels[n - 2] || '.' || labels[n - 1] || '.' || labels[n]
                 ELSE labels[n - 1] || '.' || labels[n]

@@ -150,6 +150,11 @@ def parse_warc_records(b: bytes) -> list[tuple[int, str, int, int, int]]:
             )
         if "content-length" not in headers:
             raise ValueError("WARC record without Content-Length")
+        # ASCII digits only: a negative length would rewind the cursor
+        # (re-parsing the same record forever), and int() also accepts
+        # forms like '+5' or '1_2' that no conformant writer emits.
+        if not headers["content-length"].isdigit():
+            raise ValueError("non-numeric WARC Content-Length")
         ln = int(headers["content-length"])
         if pos + ln + 4 > len(b):
             raise ValueError("truncated WARC payload")
@@ -275,8 +280,17 @@ def parse_zip_members(b: bytes) -> list[tuple[str, int, int, bool, int]]:
     scan); for each member extract through its LOCAL header, inflate
     method-8 data, verify CRC32, and return (name, method, usize,
     crc_ok, text_hash). Raises ValueError on any malformed input."""
+    # Scan backwards for an EOCD whose comment-length field accounts for
+    # exactly the bytes that follow it — a bare rfind would lock onto a
+    # PK\x05\x06 byte string sitting inside the archive comment.
     eocd = b.rfind(b"\x50\x4b\x05\x06")
-    if eocd < 0 or eocd + 22 > len(b):
+    while eocd >= 0:
+        if eocd + 22 <= len(b):
+            clen = struct.unpack("<H", b[eocd + 20 : eocd + 22])[0]
+            if eocd + 22 + clen == len(b):
+                break
+        eocd = b.rfind(b"\x50\x4b\x05\x06", 0, eocd)
+    if eocd < 0:
         raise ValueError("no ZIP end-of-central-directory")
     (_sig, _dn, _cdn, _count, total, cd_size, cd_off, _clen) = struct.unpack(
         "<IHHHHIIH", b[eocd : eocd + 22]

@@ -173,6 +173,19 @@ _TYPES = {
 }
 
 
+def _uint_field(
+    container: dict, key: int, what: str, default: int | None = None
+) -> int:
+    """Fetch a thrift field the page walkers do arithmetic on,
+    enforcing the parse_parquet_footer discipline: a structurally-valid
+    thrift footer of the wrong SHAPE (missing/boolean/negative/non-int
+    field) must fail as ValueError, never TypeError."""
+    v = container.get(key, default)
+    if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+        raise ValueError(f"malformed {what}")
+    return v
+
+
 def parse_parquet_footer(b: bytes) -> list[dict[str, object]]:
     """One row per (row_group, column chunk): row-group shape, column
     path, codec, value/byte counts, data page offset, and statistics
@@ -338,19 +351,19 @@ def read_int64_column(b: bytes, path: str) -> list[int]:
             codec = _CODECS.get(md.get(4))
             if codec not in ("SNAPPY", "UNCOMPRESSED"):
                 raise ValueError(f"unsupported page codec {codec}")
-            need = md.get(5)
-            pos = md.get(9)  # data_page_offset
+            need = _uint_field(md, 5, "chunk num_values")
+            pos = _uint_field(md, 9, "data_page_offset")
             got = 0
             while got < need:
                 header, data_start = _read_struct(b, pos)
                 ptype = header.get(1)
                 if ptype != 0:
                     raise ValueError(f"unsupported page type {ptype}")
-                comp_size = header.get(3)
+                comp_size = _uint_field(header, 3, "page compressed size")
                 dph = header.get(5)
                 if not isinstance(dph, dict):
                     raise ValueError("missing data page header")
-                n_vals = dph.get(1)
+                n_vals = _uint_field(dph, 1, "page num_values")
                 if dph.get(2) != 0:  # Encoding.PLAIN
                     raise ValueError("page decode supports PLAIN only")
                 raw = b[data_start : data_start + comp_size]
@@ -446,7 +459,7 @@ def read_dict_column(b: bytes, path: str) -> list:
 
             def _page(pos: int) -> tuple[dict, bytes, int]:
                 header, data_start = _read_struct(b, pos)
-                comp = header.get(3)
+                comp = _uint_field(header, 3, "page compressed size")
                 raw = b[data_start : data_start + comp]
                 if len(raw) != comp:
                     raise ValueError("truncated page data")
@@ -456,13 +469,16 @@ def read_dict_column(b: bytes, path: str) -> list:
                     raise ValueError("page uncompressed-size mismatch")
                 return header, raw, data_start + comp
 
-            dict_off = md.get(11)
-            if dict_off is None:
+            if md.get(11) is None:
                 raise ValueError("chunk has no dictionary page")
+            dict_off = _uint_field(md, 11, "dictionary_page_offset")
             dh, draw, _ = _page(dict_off)
             if dh.get(1) != 2:
                 raise ValueError("expected a dictionary page")
-            dct_n = dh.get(7, {}).get(1)
+            dph0 = dh.get(7)
+            if not isinstance(dph0, dict):
+                raise ValueError("missing dictionary page header")
+            dct_n = _uint_field(dph0, 1, "dictionary num_values")
             dictionary: list = []
             p = 0
             if ptype == "INT64":
@@ -480,8 +496,8 @@ def read_dict_column(b: bytes, path: str) -> list:
                     dictionary.append(draw[p : p + ln].decode("utf-8"))
                     p += ln
 
-            need = md.get(5)
-            pos = md.get(9)
+            need = _uint_field(md, 5, "chunk num_values")
+            pos = _uint_field(md, 9, "data_page_offset")
             got = 0
             while got < need:
                 header, raw, nxt = _page(pos)
@@ -490,7 +506,7 @@ def read_dict_column(b: bytes, path: str) -> list:
                 dph = header.get(5)
                 if not isinstance(dph, dict):
                     raise ValueError("missing data page header")
-                n_vals = dph.get(1)
+                n_vals = _uint_field(dph, 1, "page num_values")
                 if dph.get(2) not in (2, 8):  # PLAIN_DICTIONARY / RLE_DICT
                     raise ValueError("expected a dictionary-indexed page")
                 p = 0
@@ -584,20 +600,20 @@ def read_delta_column(b: bytes, path: str) -> list[int]:
             codec = _CODECS.get(md.get(4))
             if codec not in ("SNAPPY", "UNCOMPRESSED"):
                 raise ValueError(f"unsupported page codec {codec}")
-            need = md.get(5)
-            pos = md.get(9)
+            need = _uint_field(md, 5, "chunk num_values")
+            pos = _uint_field(md, 9, "data_page_offset")
             got = 0
             while got < need:
                 header, data_start = _read_struct(b, pos)
-                comp_size = header.get(3)
+                comp_size = _uint_field(header, 3, "page compressed size")
                 v2 = header.get(8)
                 if header.get(1) != 3 or not isinstance(v2, dict):
                     raise ValueError("expected a v2 data page")
-                n_vals = v2.get(1)
+                n_vals = _uint_field(v2, 1, "page num_values")
                 if v2.get(4) != 5:  # Encoding.DELTA_BINARY_PACKED
                     raise ValueError("expected DELTA_BINARY_PACKED encoding")
-                dl_len = v2.get(5, 0)
-                rl_len = v2.get(6, 0)
+                dl_len = _uint_field(v2, 5, "def-level length", default=0)
+                rl_len = _uint_field(v2, 6, "rep-level length", default=0)
                 if v2.get(2):
                     raise ValueError("nullable delta columns unsupported")
                 levels = rl_len + dl_len  # stored UNcompressed in v2
