@@ -3,13 +3,20 @@
 
 PY ?= python3
 
-.PHONY: test bench plans search smoke
+.PHONY: test bench plans search smoke oracle-sf01
 
 test:
 	$(PY) -m pytest tests/ -q
 
 bench:
 	$(PY) bench.py
+
+# Two-scale oracle gate: the FULL DuckDB differential at sf0.1 (10x the
+# driver compare scale). Round-close gate — it has caught bugs the
+# small scales cannot see (cumsum partition instability, range-frame
+# key truncation, the bigram decimal half-tie). ~30 min on local[8].
+oracle-sf01:
+	$(PY) -m pytest tests/test_oracle_sf01.py -m twoscale -q
 
 plans:
 	$(PY) docs/gen_plans.py
