@@ -45,6 +45,24 @@ def test_readme_count_matches_registry():
     )
 
 
+def test_attestation_md_in_sync():
+    """Round-11 VERDICT item 7: docs/ATTESTATION.md (greens-per-query
+    coverage) must be regenerated whenever the registry or the committed
+    CORRECTNESS files change — the render is a pure function of both, so
+    byte-compare against a fresh render."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_attestation", os.path.join(ROOT, "docs", "gen_attestation.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    on_disk = open(os.path.join(ROOT, "docs", "ATTESTATION.md")).read()
+    assert on_disk == mod.render(), (
+        "docs/ATTESTATION.md stale — run python3 docs/gen_attestation.py"
+    )
+
+
 def test_survey_newest_count_matches_registry():
     """Round-7 VERDICT item 7: SURVEY.md's round addenda quote the
     registry size; the NEWEST mention (last in the file) must track the
