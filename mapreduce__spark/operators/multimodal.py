@@ -2534,13 +2534,16 @@ def synth_jpeg_progressive_bytes(doc_id: int) -> bytes:
 
 def _jpeg_decode_progressive(b: bytes) -> tuple:
     """Multi-scan spectral-selection decode: marker walk collecting
-    tables and scans (entropy data ends at the next marker), DC scans
-    with baseline category coding (including shifted Al>0 first passes
-    and one-raw-bit DC refinement scans — successive approximation), AC
-    scans per component with ZRL and EOBRUN handling; AC successive
-    approximation is rejected. Returns
-    (width, height, per-component coefficient planes in natural block
-    raster, qtab id per component)."""
+    tables and scans (entropy data ends at the next non-RST marker),
+    DC scans with baseline category coding (including shifted Al>0
+    first passes and one-raw-bit DC refinement scans), AC scans per
+    component with ZRL and EOBRUN handling, AC SUCCESSIVE APPROXIMATION
+    (shifted Ah=0/Al>0 first passes and T.81 G.1.2.3 refinement scans
+    with correction bits — round-11 VERDICT item 4), and DRI/restart
+    markers inside progressive scans (byte-aligned segment split, DC
+    predictor + EOBRUN reset per interval — what mozjpeg-class encoders
+    actually emit). Returns (width, height, per-component coefficient
+    planes in natural block raster, qtab id per component)."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -2549,6 +2552,7 @@ def _jpeg_decode_progressive(b: bytes) -> tuple:
     frame = None
     coefs: list[list[list[int]]] | None = None
     preds: list[int] = []
+    restart = 0
     while pos < len(b):
         if pos + 2 > len(b) or b[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -2618,7 +2622,9 @@ def _jpeg_decode_progressive(b: bytes) -> tuple:
                         0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported SOF variant")
         elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported in progressive")
+            if len(payload) != 2:
+                raise ValueError("malformed DRI segment")
+            (restart,) = struct.unpack(">H", payload)
         elif marker == 0xDA:
             if frame is None or coefs is None:
                 raise ValueError("SOS before SOF2")
@@ -2632,10 +2638,11 @@ def _jpeg_decode_progressive(b: bytes) -> tuple:
                 scomps.append((cs, tt >> 4, tt & 0x0F))
             ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
-            if ss != 0 and ahal != 0:
-                raise ValueError("AC successive approximation unsupported")
-            # entropy data: unstuff to the next marker
+            # entropy data: unstuff to the next marker, splitting at
+            # RST0-7 (cyclic check) — restart state resets per segment
+            segments: list[bytes] = []
             data = bytearray()
+            rst_n = 0
             while pos < len(b):
                 byte = b[pos]
                 if byte != 0xFF:
@@ -2648,9 +2655,34 @@ def _jpeg_decode_progressive(b: bytes) -> tuple:
                 if nxt == 0x00:
                     data.append(0xFF)
                     pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    if nxt - 0xD0 != rst_n % 8:
+                        raise ValueError("out-of-order restart marker")
+                    rst_n += 1
+                    segments.append(bytes(data))
+                    data = bytearray()
+                    pos += 2
                 else:
                     break  # next marker — scan ends
-            reader = _JpegBitReader(bytes(data))
+            segments.append(bytes(data))
+            seg_i = 0
+            reader = _JpegBitReader(segments[0])
+
+            def maybe_restart(done: int, total: int) -> None:
+                """Advance to the next restart segment when the
+                interval elapses (no trailing RST after the final
+                unit): new byte-aligned reader, DC predictors reset
+                (EOBRUN is reset by the caller)."""
+                nonlocal seg_i, reader
+                if not restart or done % restart or done >= total:
+                    return
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("missing restart segment")
+                reader = _JpegBitReader(segments[seg_i])
+                for i in range(len(preds)):
+                    preds[i] = 0
+
             comp_ids = [cid for cid, _tq in comps]
             if ss == 0:  # DC scan (must cover 0..0, interleaved)
                 if se != 0:
@@ -2668,6 +2700,7 @@ def _jpeg_decode_progressive(b: bytes) -> tuple:
                     for _m in range(bw * bh):
                         for ci in order:
                             coefs[ci][_m][0] |= reader.read_bit() << al
+                        maybe_restart(_m + 1, bw * bh)
                 else:  # first DC pass (possibly shifted: Al > 0)
                     order = []
                     for cs, td, _ta in scomps:
@@ -2688,6 +2721,7 @@ def _jpeg_decode_progressive(b: bytes) -> tuple:
                             diff = _jpeg_extend(reader.read_bits(s), s)
                             preds[ci] += diff
                             coefs[ci][_m][0] = preds[ci] << al
+                        maybe_restart(_m + 1, bw * bh)
             else:  # AC scan: single component over [ss, se]
                 if ns != 1:
                     raise ValueError("interleaved AC scan unsupported")
@@ -2698,29 +2732,116 @@ def _jpeg_decode_progressive(b: bytes) -> tuple:
                     raise ValueError("scan references undefined AC table")
                 tab = htabs[(1, ta)]
                 ci = comp_ids.index(cs)
-                eobrun = 0
-                for m in range(bw * bh):
-                    if eobrun > 0:
-                        eobrun -= 1
-                        continue
-                    k = ss
-                    while k <= se:
-                        rs = _jpeg_huff_decode(reader, tab)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            # EOBn: ends this and the NEXT eobrun-1 bands
-                            eobrun = (1 << r) + (
-                                reader.read_bits(r) if r else 0
-                            ) - 1
-                            break
-                        k += r
-                        if k > se:
-                            raise ValueError("AC run overflows scan band")
-                        coefs[ci][m][k] = _jpeg_extend(reader.read_bits(s), s)
-                        k += 1
+                if ah == 0:  # first AC pass (possibly shifted: Al > 0)
+                    eobrun = 0
+                    for m in range(bw * bh):
+                        if eobrun > 0:
+                            eobrun -= 1
+                        else:
+                            k = ss
+                            while k <= se:
+                                rs = _jpeg_huff_decode(reader, tab)
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    # EOBn ends this + next eobrun-1 bands
+                                    eobrun = (1 << r) + (
+                                        reader.read_bits(r) if r else 0
+                                    ) - 1
+                                    break
+                                k += r
+                                if k > se:
+                                    raise ValueError(
+                                        "AC run overflows scan band"
+                                    )
+                                coefs[ci][m][k] = (
+                                    _jpeg_extend(reader.read_bits(s), s)
+                                    << al
+                                )
+                                k += 1
+                        at_rst = (
+                            restart and (m + 1) % restart == 0
+                            and m + 1 < bw * bh
+                        )
+                        if at_rst and eobrun:
+                            raise ValueError(
+                                "EOB run crosses a restart interval"
+                            )
+                        maybe_restart(m + 1, bw * bh)
+                else:  # AC refinement scan (T.81 G.1.2.3)
+                    if al != ah - 1:
+                        raise ValueError("non-contiguous AC refinement")
+                    p1 = 1 << al
+                    eobrun = 0
+
+                    def correct(zz: list[int], k: int) -> None:
+                        """Append one correction bit to a coefficient
+                        with nonzero history."""
+                        if reader.read_bit() and not (abs(zz[k]) & p1):
+                            zz[k] += p1 if zz[k] > 0 else -p1
+
+                    for m in range(bw * bh):
+                        zz = coefs[ci][m]
+                        if eobrun > 0:
+                            # inside an EOB run every nonzero-history
+                            # coefficient still takes a correction bit
+                            for k in range(ss, se + 1):
+                                if zz[k]:
+                                    correct(zz, k)
+                            eobrun -= 1
+                        else:
+                            k = ss
+                            while k <= se:
+                                rs = _jpeg_huff_decode(reader, tab)
+                                r, s = rs >> 4, rs & 0x0F
+                                newval = 0
+                                if s == 0:
+                                    if r != 15:  # EOBn
+                                        eobrun = (1 << r) + (
+                                            reader.read_bits(r) if r else 0
+                                        )
+                                        break
+                                    # ZRL: skip 16 zero-history slots
+                                elif s == 1:
+                                    newval = p1 if reader.read_bit() else -p1
+                                else:
+                                    raise ValueError(
+                                        "bad refinement magnitude category"
+                                    )
+                                # advance past r zero-history positions,
+                                # correcting nonzero-history ones en route
+                                while k <= se:
+                                    if zz[k]:
+                                        correct(zz, k)
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if newval:
+                                    if k > se:
+                                        raise ValueError(
+                                            "refinement overflows scan band"
+                                        )
+                                    zz[k] = newval
+                                k += 1
+                            if eobrun > 0:
+                                # the EOBn block itself: correct the rest
+                                for kk in range(k, se + 1):
+                                    if zz[kk]:
+                                        correct(zz, kk)
+                                eobrun -= 1
+                        at_rst = (
+                            restart and (m + 1) % restart == 0
+                            and m + 1 < bw * bh
+                        )
+                        if at_rst and eobrun:
+                            raise ValueError(
+                                "EOB run crosses a restart interval"
+                            )
+                        maybe_restart(m + 1, bw * bh)
         # APPn / COM: skipped by the length walk
     raise ValueError("truncated JPEG: no EOI")
 
@@ -2776,6 +2897,310 @@ def with_jpeg_progressive_payload(docs: DataFrame) -> DataFrame:
 
 def jpeg_progressive_features(mm: DataFrame) -> DataFrame:
     """Arrow-batched progressive JPEG decode with checker sums."""
+    return _int_feature_map(
+        mm,
+        decode_jpeg_progressive_pixels,
+        (
+            "width", "height", "n_pixels",
+            "sum_r", "sum_g", "sum_b",
+            "checker_r", "checker_g", "checker_b",
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# PROGRESSIVE JPEG with AC SUCCESSIVE APPROXIMATION + restarts (round 12,
+# round-11 VERDICT item 4 — the scan shapes mozjpeg-class encoders
+# actually emit): each component's AC band is coded as a SHIFTED first
+# scan (Ss=1 Se=63 Ah=0 Al=1, point transform toward zero per T.81) plus
+# a REFINEMENT scan (Ah=1 Al=0) carrying newly-nonzero coefficients as
+# run/size-1 symbols with sign bits and one CORRECTION BIT per
+# already-nonzero coefficient (G.1.2.3), buffered through ZRL and EOBn
+# exactly as libjpeg's encode_mcu_AC_refine describes. The luma (4,4)
+# amplitude VARIES per block over {1, 2, -1, -2} so every refinement
+# path is exercised: |A|=1 blocks are newly-nonzero in the refinement
+# (38 zero-history positions -> ZRL+ZRL+run-6 with a sign bit), |A|=2
+# blocks carry history whose correction bits ride an EOB run; chroma
+# keeps the class constants (-1: whole-band-empty first scan, per-block
+# refinement; +2: refinement is ONE EOBn over every block with one
+# buffered correction bit each). Every fifth doc adds DRI + restart
+# markers INSIDE the progressive scans (byte-aligned, cyclic RSTn, DC
+# predictor and EOB-run reset per interval). The pixel law stays
+# closed-form (block-constant base +- 7*amp checkerboard), so the class
+# is SQL-oracle-checkable like its siblings.
+# --------------------------------------------------------------------------
+
+JPEG_REFINE_AMPS = (1, 2, -1, -2)
+
+
+def _jpeg_refine_amp(d: int, bx: int, by: int) -> int:
+    """Planted luma (4,4) quantized amplitude for the AC-SA class: the
+    oracle recomputes this exact CASE over block coordinates."""
+    return JPEG_REFINE_AMPS[(bx + 2 * by + d) % 4]
+
+
+def synth_jpeg_ac_refine_bytes(doc_id: int) -> bytes:
+    """Deterministic spec-valid progressive JFIF exercising AC
+    successive approximation and in-scan restart markers (see the class
+    comment above). Grayscale every third doc; DC successive
+    approximation every other doc; DRI=2 every fifth doc."""
+    d = doc_id
+    w = (5 * d) % 15 + 8
+    h = (7 * d) % 11 + 8
+    bw = -(-w // 8)
+    bh = -(-h // 8)
+    gray = d % 3 == 2
+    ncomp = 1 if gray else 3
+    restart = 2 if d % 5 == 0 else 0
+    dc_sa = d % 2 == 1
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    qt0 = _jpeg_quant_table(False)
+    qt1 = _jpeg_quant_table(True)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFE, f"ac-refine doc {d}".encode())
+    zz_q0 = bytes([qt0[JPEG_ZIGZAG[k]] for k in range(64)])
+    if ncomp == 3:
+        zz_q1 = bytes([qt1[JPEG_ZIGZAG[k]] for k in range(64)])
+        out += seg(0xDB, b"\x00" + zz_q0 + b"\x01" + zz_q1)
+    else:
+        out += seg(0xDB, b"\x00" + zz_q0)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0 if c == 0 else 1)
+    out += seg(0xC2, sof)  # SOF2: progressive
+    tables = [(0x00, JPEG_DC_LUMA_BITS, JPEG_DC_LUMA_VALS),
+              (0x10, JPEG_PROG_AC_BITS, JPEG_PROG_AC_VALS)]
+    if ncomp == 3:
+        tables += [(0x01, JPEG_DC_CHROMA_BITS, JPEG_DC_CHROMA_VALS),
+                   (0x11, JPEG_PROG_AC_BITS, JPEG_PROG_AC_VALS)]
+    out += seg(
+        0xC4,
+        b"".join(bytes([tc]) + bytes(bits) + bytes(vals)
+                 for tc, bits, vals in tables),
+    )
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+
+    def block(c: int, bx: int, by: int) -> list[int]:
+        zz = [0] * 64
+        zz[0] = _jpeg_ac_law(d, c, bx, by) - 128
+        zz[JPEG_AC_K] = (
+            _jpeg_refine_amp(d, bx, by) if c == 0 else JPEG_AC_QUANTIZED[c]
+        )
+        return zz
+
+    planes = [
+        [[block(c, bx, by) for bx in range(bw)] for by in range(bh)]
+        for c in range(ncomp)
+    ]
+    ac_codes = _jpeg_huff_codes(JPEG_PROG_AC_BITS, JPEG_PROG_AC_VALS)
+    nblocks = bw * bh
+
+    class _RstWriter:
+        """Entropy writer that byte-aligns and emits cyclic RSTn at
+        restart-interval boundaries (no trailing RST)."""
+
+        def __init__(self) -> None:
+            self.bits = _JpegBitWriter()
+            self.body = bytearray()
+            self.rst_n = 0
+
+        def boundary(self, done: int, flush) -> None:
+            if not restart or done % restart or done >= nblocks:
+                return
+            flush()
+            self.bits.pad_to_byte()
+            self.body += self.bits.out
+            self.body += bytes([0xFF, 0xD0 + self.rst_n % 8])
+            self.rst_n += 1
+            self.bits = _JpegBitWriter()
+
+        def finish(self, flush) -> bytes:
+            flush()
+            self.bits.pad_to_byte()
+            self.body += self.bits.out
+            return bytes(self.body)
+
+    # ---- DC scan(s): interleaved, baseline category coding ----
+    al0 = 1 if dc_sa else 0
+    dc_codes = [
+        _jpeg_huff_codes(JPEG_DC_LUMA_BITS, JPEG_DC_LUMA_VALS)
+        if c == 0
+        else _jpeg_huff_codes(JPEG_DC_CHROMA_BITS, JPEG_DC_CHROMA_VALS)
+        for c in range(ncomp)
+    ]
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x10])
+    sos += bytes([0, 0, al0])
+    out += seg(0xDA, sos)
+    wtr = _RstWriter()
+    preds = [0] * ncomp
+    for m in range(nblocks):
+        by, bx = divmod(m, bw)
+        for c in range(ncomp):
+            v = planes[c][by][bx][0] >> al0  # DC: arithmetic shift
+            diff = v - preds[c]
+            preds[c] = v
+            s = _jpeg_category(diff)
+            ln, code = dc_codes[c][s]
+            wtr.bits.write(code, ln)
+            if s:
+                amp = diff if diff > 0 else diff + (1 << s) - 1
+                wtr.bits.write(amp, s)
+
+        def _reset_preds() -> None:
+            for i in range(ncomp):
+                preds[i] = 0
+
+        wtr.boundary(m + 1, _reset_preds)
+    out += wtr.finish(lambda: None)
+    if dc_sa:
+        sos = bytes([ncomp])
+        for c in range(ncomp):
+            sos += bytes([c + 1, 0x00])
+        sos += bytes([0, 0, 0x10])  # Ss=0 Se=0 Ah=1 Al=0
+        out += seg(0xDA, sos)
+        wtr = _RstWriter()
+        for m in range(nblocks):
+            by, bx = divmod(m, bw)
+            for c in range(ncomp):
+                wtr.bits.write(planes[c][by][bx][0] & 1, 1)
+            wtr.boundary(m + 1, lambda: None)
+        out += wtr.finish(lambda: None)
+
+    # ---- AC first scans: Ss=1 Se=63 Ah=0 Al=1 (toward-zero shift) ----
+    for c in range(ncomp):
+        sos = bytes([1, c + 1, 0x00 if c == 0 else 0x01, 1, 63, 0x01])
+        out += seg(0xDA, sos)
+        wtr = _RstWriter()
+        eobrun = 0
+
+        def flush_eobrun() -> None:
+            nonlocal eobrun
+            while eobrun > 0:
+                r = min(14, eobrun.bit_length() - 1)
+                take = min(eobrun, (1 << (r + 1)) - 1)
+                r = take.bit_length() - 1
+                ln, code = ac_codes[r << 4]
+                wtr.bits.write(code, ln)
+                if r:
+                    wtr.bits.write(take - (1 << r), r)
+                eobrun -= take
+
+        for m in range(nblocks):
+            by, bx = divmod(m, bw)
+            zz = planes[c][by][bx]
+            v1 = [
+                (abs(v) >> 1) * (1 if v > 0 else -1) for v in zz
+            ]  # AC point transform: toward zero
+            if not any(v1[1:]):
+                eobrun += 1
+            else:
+                flush_eobrun()
+                run = 0
+                last_nz = max(k for k in range(1, 64) if v1[k])
+                for k in range(1, last_nz + 1):
+                    if v1[k] == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        ln, code = ac_codes[0xF0]
+                        wtr.bits.write(code, ln)
+                        run -= 16
+                    s = _jpeg_category(v1[k])
+                    ln, code = ac_codes[(run << 4) | s]
+                    wtr.bits.write(code, ln)
+                    amp = v1[k] if v1[k] > 0 else v1[k] + (1 << s) - 1
+                    wtr.bits.write(amp, s)
+                    run = 0
+                if last_nz < 63:
+                    eobrun += 1
+            wtr.boundary(m + 1, flush_eobrun)
+        out += wtr.finish(flush_eobrun)
+
+    # ---- AC refinement scans: Ss=1 Se=63 Ah=1 Al=0 (G.1.2.3) ----
+    for c in range(ncomp):
+        sos = bytes([1, c + 1, 0x00 if c == 0 else 0x01, 1, 63, 0x10])
+        out += seg(0xDA, sos)
+        wtr = _RstWriter()
+        eobrun = 0
+        pending: list[int] = []  # correction bits riding the EOB run
+
+        def flush_refine() -> None:
+            nonlocal eobrun, pending
+            if eobrun:
+                assert eobrun < (1 << 15)
+                r = eobrun.bit_length() - 1
+                ln, code = ac_codes[r << 4]
+                wtr.bits.write(code, ln)
+                if r:
+                    wtr.bits.write(eobrun - (1 << r), r)
+                eobrun = 0
+            for bit in pending:
+                wtr.bits.write(bit, 1)
+            pending = []
+
+        for m in range(nblocks):
+            by, bx = divmod(m, bw)
+            zz = planes[c][by][bx]
+            newpos = [k for k in range(1, 64) if abs(zz[k]) == 1]
+            if not newpos:
+                # history-only block: joins the EOB run, correction
+                # bits buffered in block order
+                eobrun += 1
+                pending += [abs(zz[k]) & 1 for k in range(1, 64) if zz[k]]
+            else:
+                flush_refine()
+                last_new = max(newpos)
+                run = 0
+                br: list[int] = []  # bits buffered behind the next symbol
+                for k in range(1, last_new + 1):
+                    v = zz[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    if abs(v) > 1:
+                        br.append(abs(v) & 1)
+                        continue
+                    while run > 15:
+                        ln, code = ac_codes[0xF0]
+                        wtr.bits.write(code, ln)
+                        for bit in br:
+                            wtr.bits.write(bit, 1)
+                        br = []
+                        run -= 16
+                    ln, code = ac_codes[(run << 4) | 1]
+                    wtr.bits.write(code, ln)
+                    wtr.bits.write(1 if v > 0 else 0, 1)
+                    for bit in br:
+                        wtr.bits.write(bit, 1)
+                    br = []
+                    run = 0
+                if last_new < 63:
+                    eobrun += 1
+                    pending += [
+                        abs(zz[k]) & 1
+                        for k in range(last_new + 1, 64)
+                        if zz[k]
+                    ]
+            wtr.boundary(m + 1, flush_refine)
+        out += wtr.finish(flush_refine)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def with_jpeg_ac_refine_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with synthesized AC-SA progressive JFIFs."""
+    return _with_payload(docs, synth_jpeg_ac_refine_bytes)
+
+
+def jpeg_ac_refine_features(mm: DataFrame) -> DataFrame:
+    """Arrow-batched AC-successive-approximation decode, checker sums."""
     return _int_feature_map(
         mm,
         decode_jpeg_progressive_pixels,

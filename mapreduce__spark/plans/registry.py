@@ -112,6 +112,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).
 DRIVER_WINDOW: tuple[str, ...] = (
+    # round-12 additions — never driver-attested (each displaced a filler)
+    "jpeg_pixel_decode_ac_refine",
     # round-11 additions (single-green), earning their second row
     "jpeg_pixel_decode_420",
     "warc_ingest",
@@ -169,7 +171,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_jaccard_exact",
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
-    "embedding_correlation",
+    # (embedding_correlation — the newest-last-green filler — gave its
+    # slot to jpeg_pixel_decode_ac_refine)
 )
 
 

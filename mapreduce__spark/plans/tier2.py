@@ -9907,8 +9907,9 @@ def jpeg_pixel_decode_progressive(spark: SparkSession, sf_dir: str) -> DataFrame
     refinement scan — exact because (v>>1)<<1 | (v&1) == v under
     arithmetic shifts). The AC scans ship a custom DHT (the Annex-K
     tables carry no EOBn symbols — as with real progressive encoders).
-    AC successive approximation stays rejected; so do restarts in this
-    decoder. The
+    AC successive approximation and in-scan restart markers are
+    exercised by the round-12 sibling class jpeg_pixel_decode_ac_refine
+    (this fixture class stays restart-free by design). The
     checker-weighted sums make the planted AC non-vacuous exactly as in
     jpeg_pixel_decode_ac, and the oracle recomputes every pixel from the
     synthesis law, independent of the codec. Arrow-batched mapInPandas,
@@ -9920,6 +9921,90 @@ def jpeg_pixel_decode_progressive(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents")
     return jpeg_progressive_features(with_jpeg_progressive_payload(docs))
+
+
+@query(
+    "jpeg_pixel_decode_ac_refine",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             (doc_id * 5) % 15 + 8 AS width,
+             (doc_id * 7) % 11 + 8 AS height,
+             doc_id % 3 = 2        AS gray
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, width, height, gray,
+             unnest(generate_series(0, width - 1)) AS x
+      FROM dims
+    ),
+    pxy AS (
+      SELECT doc_id, width, height, gray, x,
+             unnest(generate_series(0, height - 1)) AS y
+      FROM px
+    ),
+    p AS (
+      SELECT doc_id, width, height, gray,
+             (CASE WHEN x % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+           * (CASE WHEN y % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END) AS s,
+             CASE ((x // 8) + 2 * (y // 8) + doc_id) % 4
+                  WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN -1
+                  ELSE -2 END AS amp,
+             23 + ((13 * doc_id + 7 * (x // 8) + 3 * (y // 8)) % 256) % 210
+                 AS law_r,
+             23 + ((3 * doc_id + 5 * (x // 8) + 11 * (y // 8)) % 256) % 210
+                 AS law_g,
+             23 + ((9 * doc_id + 2 * (x // 8) + 6 * (y // 8)) % 256) % 210
+                 AS law_b
+      FROM pxy
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT)  AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum(law_r + s * 7 * amp) AS BIGINT) AS sum_r,
+           CAST(CASE WHEN gray THEN 0
+                ELSE sum(law_g - s * 11) END AS BIGINT) AS sum_g,
+           CAST(CASE WHEN gray THEN 0
+                ELSE sum(law_b + s * 22) END AS BIGINT) AS sum_b,
+           CAST(sum(s * law_r + 7 * amp) AS BIGINT) AS checker_r,
+           CAST(CASE WHEN gray THEN 0
+                ELSE sum(s * law_g - 11) END AS BIGINT) AS checker_g,
+           CAST(CASE WHEN gray THEN 0
+                ELSE sum(s * law_b + 22) END AS BIGINT) AS checker_b
+    FROM p
+    GROUP BY doc_id, width, height, gray
+    """,
+    tags=("tier2", "multimodal"),
+)
+def jpeg_pixel_decode_ac_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive JPEG with AC SUCCESSIVE APPROXIMATION and in-scan
+    RESTART markers (round-11 VERDICT item 4) — the scan script
+    mozjpeg-class encoders actually emit, closing the last non-arithmetic
+    rejection in the progressive decoder: each component's AC band is a
+    shifted first scan (Ah=0 Al=1, toward-zero point transform) plus a
+    T.81 G.1.2.3 refinement scan whose newly-nonzero coefficients are
+    run/size-1 symbols with sign bits and whose already-nonzero ones take
+    buffered CORRECTION BITS — through ZRL, per-block EOB0, and
+    multi-block EOB runs (bits riding the run). The luma (4,4) amplitude
+    varies per block over {1, 2, -1, -2} so all four paths occur; chroma
+    keeps the class constants (-1: empty first scan + per-block
+    refinement; +2: one EOBn spanning every block with one correction bit
+    each). Every other doc also splits DC into successive-approximation
+    scans; every fifth doc adds DRI + cyclic RSTn INSIDE the progressive
+    scans (byte-aligned segments, DC-predictor and EOB-run reset per
+    interval). The pixel law stays closed-form (block-constant base
+    +- 7*amp checkerboard), so the oracle recomputes every pixel
+    independently of the codec. Arrow-batched mapInPandas; payloads
+    never shuffle. Reference parity: tier-2 multimodal extension like
+    its siblings (the reference has no media handling)."""
+    from mapreduce__spark.operators.multimodal import (
+        jpeg_ac_refine_features,
+        with_jpeg_ac_refine_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_ac_refine_features(with_jpeg_ac_refine_payload(docs))
 
 
 STREAM_CUSUM_K = 10  # configured in-control daily rate (stream_cusum's k)

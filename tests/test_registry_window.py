@@ -82,14 +82,13 @@ TRIPLE_FILLERS: set[str] = {
     "dedup_jaccard_exact",
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
-    "embedding_correlation",
 }
 _DISPLACEMENT_LOG = {
-    # (no round-12 displacements yet — new queries pop the
-    # newest-last-green filler first: embedding_correlation,
-    # ann_topk_bruteforce, dedup_embedding_cosine — r4 last-green in
-    # reverse registration order — then the r3 group starting from
-    # dedup_jaccard_exact)
+    # (new queries pop the newest-last-green filler first —
+    # embedding_correlation, ann_topk_bruteforce, dedup_embedding_cosine:
+    # r4 last-green in reverse registration order — then the r3 group
+    # starting from dedup_jaccard_exact.
+    # embedding_correlation gave its slot to jpeg_pixel_decode_ac_refine)
 }
 
 

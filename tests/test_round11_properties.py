@@ -622,7 +622,9 @@ def test_jpeg_progressive_truncation_and_rejections():
     """Per-byte truncation raises the documented ValueError; the
     baseline decoder keeps rejecting SOF2 (the routing seam), the
     progressive decoder rejects baseline frames, subsampling, and
-    successive approximation."""
+    malformed successive-approximation ladders (round 12: AC successive
+    approximation itself is now DECODED — see synth_jpeg_ac_refine_bytes
+    — so the pinned rejection is the non-contiguous Ah/Al ladder)."""
     import struct
 
     import pytest as _pytest
@@ -644,13 +646,14 @@ def test_jpeg_progressive_truncation_and_rejections():
         decode_jpeg_pixels(full)
     with _pytest.raises(ValueError, match="progressive decoder"):
         _jpeg_decode_progressive(synth_jpeg_bytes(1))
-    # flip the luma AC scan's AhAl byte to successive approximation
+    # flip the luma AC scan's AhAl byte to a NON-CONTIGUOUS refinement
+    # ladder (Ah=2, Al=0 — a conformant encoder always emits Al=Ah-1)
     sos = full.find(b"\xff\xda", full.find(b"\xff\xda") + 2)
     assert sos > 0
     (ln,) = struct.unpack(">H", full[sos + 2 : sos + 4])
     ahal_off = sos + 2 + ln - 1
-    mutated = full[:ahal_off] + b"\x01" + full[ahal_off + 1 :]
-    with _pytest.raises(ValueError, match="successive approximation"):
+    mutated = full[:ahal_off] + b"\x20" + full[ahal_off + 1 :]
+    with _pytest.raises(ValueError, match="non-contiguous AC refinement"):
         decode_jpeg_progressive_pixels(mutated)
 
 

@@ -1,0 +1,147 @@
+"""Round-12 property tests: the AC-successive-approximation progressive
+JPEG class (coefficient law, refinement-path coverage, restart markers,
+truncation discipline, targeted corruption) and its decoder seams."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from mapreduce__spark.operators.multimodal import (
+    JPEG_AC_K,
+    JPEG_AC_QUANTIZED,
+    _jpeg_ac_law,
+    _jpeg_decode_progressive,
+    _jpeg_refine_amp,
+    decode_jpeg_progressive_pixels,
+    synth_jpeg_ac_refine_bytes,
+)
+
+
+def test_ac_refine_coefficients_match_law():
+    """Every decoded coefficient plane equals the synthesis law bit-exactly
+    across grayscale/color, DC-SA/plain, restart/no-restart docs — the
+    full AC-SA reassembly (shifted first scan + correction bits) is
+    integer-exact."""
+    for d in range(30):
+        width, height, coefs, _ = _jpeg_decode_progressive(
+            synth_jpeg_ac_refine_bytes(d)
+        )
+        bw = -(-width // 8)
+        gray = d % 3 == 2
+        for c in range(1 if gray else 3):
+            for m, zz in enumerate(coefs[c]):
+                by, bx = divmod(m, bw)
+                assert zz[0] == _jpeg_ac_law(d, c, bx, by) - 128, (d, c, m)
+                want = (
+                    _jpeg_refine_amp(d, bx, by)
+                    if c == 0
+                    else JPEG_AC_QUANTIZED[c]
+                )
+                assert zz[JPEG_AC_K] == want, (d, c, m)
+                assert all(
+                    v == 0 for k, v in enumerate(zz) if k not in (0, JPEG_AC_K)
+                ), (d, c, m)
+
+
+def test_ac_refine_fixture_exercises_all_refinement_paths():
+    """The class must genuinely hit every G.1.2.3 path: a color doc with
+    several blocks has (a) newly-nonzero refinement placements (|A|=1
+    luma blocks and all chroma-1 blocks), (b) history blocks whose
+    correction bits ride an EOB run (|A|=2 luma blocks and the whole
+    chroma-2 band), and (c) ZRL inside the refinement scan (38
+    zero-history positions before zigzag 39). Asserted structurally: the
+    amplitude law covers {1,2,-1,-2} and the stream contains >= 8 scans
+    (DC [+DC refine] + 3 first + 3 refine)."""
+    d = 4  # color, 3x2 blocks, no restarts, no DC-SA
+    b = synth_jpeg_ac_refine_bytes(d)
+    width, height, _, _ = _jpeg_decode_progressive(b)
+    bw, bh = -(-width // 8), -(-height // 8)
+    amps = {_jpeg_refine_amp(d, bx, by) for bx in range(bw) for by in range(bh)}
+    assert len(amps) >= 3 and {1, 2} <= {abs(a) for a in amps}
+    assert b.count(b"\xff\xda") == 7  # DC + 3 first + 3 refine
+    d = 1  # DC-SA doc
+    assert synth_jpeg_ac_refine_bytes(d).count(b"\xff\xda") == 8
+
+
+def test_ac_refine_restart_docs_carry_rst_markers():
+    """Every fifth doc interleaves cyclic RST0-7 inside progressive
+    scans; the decoder resegments, resets DC predictors and EOB runs,
+    and still reproduces the law (covered above). Check the markers are
+    physically present and cyclic from RST0 per scan."""
+    b = synth_jpeg_ac_refine_bytes(10)
+    found = [b[i + 1] - 0xD0 for i in range(len(b) - 1)
+             if b[i] == 0xFF and 0xD0 <= b[i + 1] <= 0xD7]
+    assert found, "restart doc emitted no RST markers"
+    # cyclic within each scan; scans restart the counter at 0
+    assert found[0] == 0
+    b2 = synth_jpeg_ac_refine_bytes(11)
+    assert not any(
+        b2[i] == 0xFF and 0xD0 <= b2[i + 1] <= 0xD7
+        for i in range(len(b2) - 1)
+    )
+
+
+def test_ac_refine_truncation_discipline():
+    """Per-byte truncation raises the documented ValueError — never a
+    hang, never a silent partial decode."""
+    full = synth_jpeg_ac_refine_bytes(5)  # gray + restarts + DC-SA
+    assert decode_jpeg_progressive_pixels(full)[0] > 0
+    for cut in range(len(full)):
+        with pytest.raises(ValueError):
+            decode_jpeg_progressive_pixels(full[:cut])
+
+
+def test_ac_refine_targeted_corruption():
+    """Surgical corruptions hit the new rejection seams: an out-of-order
+    RST marker, a refinement magnitude category > 1, and a
+    non-contiguous Ah/Al ladder."""
+    full = synth_jpeg_ac_refine_bytes(10)  # color + restarts
+    # out-of-order restart: bump the first RSTn byte
+    for i in range(len(full) - 1):
+        if full[i] == 0xFF and 0xD0 <= full[i + 1] <= 0xD7:
+            mutated = full[:i + 1] + bytes([full[i + 1] + 1]) + full[i + 2:]
+            with pytest.raises(ValueError, match="restart"):
+                decode_jpeg_progressive_pixels(mutated)
+            break
+    # non-contiguous refinement ladder on the LAST scan (a refinement):
+    # flip AhAl 0x10 -> 0x20
+    sos = -1
+    for _ in range(full.count(b"\xff\xda")):
+        sos = full.find(b"\xff\xda", sos + 1)
+    (ln,) = struct.unpack(">H", full[sos + 2 : sos + 4])
+    ahal_off = sos + 2 + ln - 1
+    assert full[ahal_off] == 0x10
+    mutated = full[:ahal_off] + b"\x20" + full[ahal_off + 1 :]
+    with pytest.raises(ValueError, match="non-contiguous AC refinement"):
+        decode_jpeg_progressive_pixels(mutated)
+
+
+def test_ac_refine_pixel_sums_match_closed_form():
+    """decode_jpeg_progressive_pixels' 9-tuple equals the closed-form
+    law the oracle uses (block-constant base +- 7*amp / -11 / +22
+    checkerboard), recomputed per pixel in pure Python."""
+    sign = (1, -1, -1, 1, 1, -1, -1, 1)
+    amp_c = (None, -11, 22)
+    for d in (0, 1, 2, 3, 4, 5, 10, 13):
+        w = (5 * d) % 15 + 8
+        h = (7 * d) % 11 + 8
+        gray = d % 3 == 2
+        got = decode_jpeg_progressive_pixels(synth_jpeg_ac_refine_bytes(d))
+        sums = [0, 0, 0]
+        chk = [0, 0, 0]
+        for c in range(1 if gray else 3):
+            for y in range(h):
+                for x in range(w):
+                    s = sign[x % 8] * sign[y % 8]
+                    base = _jpeg_ac_law(d, c, x // 8, y // 8)
+                    a = (
+                        7 * _jpeg_refine_amp(d, x // 8, y // 8)
+                        if c == 0
+                        else amp_c[c]
+                    )
+                    px = base + s * a
+                    sums[c] += px
+                    chk[c] += s * px
+        assert got == (w, h, w * h, *sums, *chk), d
