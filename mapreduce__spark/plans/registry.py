@@ -114,6 +114,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 DRIVER_WINDOW: tuple[str, ...] = (
     # round-12 additions — never driver-attested (each displaced a filler)
     "jpeg_pixel_decode_ac_refine",
+    "lang_id_nb",
     # round-11 additions (single-green), earning their second row
     "jpeg_pixel_decode_420",
     "warc_ingest",
@@ -170,9 +171,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_exact",
     "dedup_jaccard_exact",
     "dedup_embedding_cosine",
-    "ann_topk_bruteforce",
-    # (embedding_correlation — the newest-last-green filler — gave its
-    # slot to jpeg_pixel_decode_ac_refine)
+    # (fillers displaced newest-last-green-first: embedding_correlation
+    # gave its slot to jpeg_pixel_decode_ac_refine, ann_topk_bruteforce
+    # to lang_id_nb)
 )
 
 

@@ -238,6 +238,212 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lang_id_nb",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, lang, text,
+             unnest(generate_series(1, length(text) - 1)) AS i
+      FROM documents WHERE length(text) >= 2
+    ), inst AS (
+      SELECT doc_id, lang AS labeled_lang, substring(text, i, 2) AS gram
+      FROM pos
+    ), gl AS (
+      SELECT gram, labeled_lang AS lang, count(*) AS c
+      FROM inst GROUP BY 1, 2
+    ), tot AS (SELECT lang, sum(c) AS tot FROM gl GROUP BY 1),
+    v AS (SELECT count(DISTINCT gram) AS v FROM gl),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    grams AS (SELECT DISTINCT gram FROM gl),
+    model AS (
+      SELECT g.gram, l.lang,
+             CAST(floor(-ln(CAST(coalesce(gl.c, 0) + 1 AS DOUBLE)
+                            / CAST(t.tot + v.v AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT) AS l_micro
+      FROM grams g CROSS JOIN langs l
+      LEFT JOIN gl ON gl.gram = g.gram AND gl.lang = l.lang
+      JOIN tot t ON t.lang = l.lang CROSS JOIN v
+    ),
+    nd AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+    ndt AS (SELECT count(*) AS ndt FROM documents),
+    pri AS (
+      SELECT sum(CASE WHEN lang = 'de' THEN pm END) AS p_de,
+             sum(CASE WHEN lang = 'en' THEN pm END) AS p_en,
+             sum(CASE WHEN lang = 'es' THEN pm END) AS p_es,
+             sum(CASE WHEN lang = 'fr' THEN pm END) AS p_fr,
+             sum(CASE WHEN lang = 'zh' THEN pm END) AS p_zh
+      FROM (SELECT lang,
+                   CAST(floor(-ln(CAST(nd AS DOUBLE) / CAST(ndt AS DOUBLE))
+                              * 1000000 + 0.5) AS BIGINT) AS pm
+            FROM nd CROSS JOIN ndt)
+    ),
+    dg AS (
+      SELECT doc_id, labeled_lang, gram, count(*) AS k
+      FROM inst GROUP BY 1, 2, 3
+    ),
+    sc AS (
+      SELECT doc_id, labeled_lang,
+             sum(CASE WHEN m.lang = 'de' THEN k * l_micro END) AS s_de,
+             sum(CASE WHEN m.lang = 'en' THEN k * l_micro END) AS s_en,
+             sum(CASE WHEN m.lang = 'es' THEN k * l_micro END) AS s_es,
+             sum(CASE WHEN m.lang = 'fr' THEN k * l_micro END) AS s_fr,
+             sum(CASE WHEN m.lang = 'zh' THEN k * l_micro END) AS s_zh
+      FROM dg JOIN model m USING (gram) GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT doc_id, labeled_lang,
+             s_de + p_de AS t_de, s_en + p_en AS t_en,
+             s_es + p_es AS t_es, s_fr + p_fr AS t_fr,
+             s_zh + p_zh AS t_zh
+      FROM sc CROSS JOIN pri
+    )
+    SELECT labeled_lang,
+           CASE WHEN t_de <= t_en AND t_de <= t_es AND t_de <= t_fr
+                     AND t_de <= t_zh THEN 'de'
+                WHEN t_en <= t_es AND t_en <= t_fr AND t_en <= t_zh THEN 'en'
+                WHEN t_es <= t_fr AND t_es <= t_zh THEN 'es'
+                WHEN t_fr <= t_zh THEN 'fr'
+                ELSE 'zh' END AS predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM t GROUP BY 1, 2
+    """,
+    tags=("tier2", "text", "pipeline"),
+)
+def lang_id_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language ID (round-11 VERDICT item 5) — the CLD-style
+    char-n-gram Naive Bayes rung above the stopword heuristic
+    (`lang_id`): character-bigram counts per labeled language train an
+    add-one-smoothed multinomial model over the corpus-wide gram
+    vocabulary; each document is scored per language as
+    ln-prior + sum over gram instances of -ln p(gram | lang), and the
+    argmin (alphabetical tie order) is the prediction. The emitted
+    (labeled_lang, predicted_lang, n_docs) confusion matrix is the
+    operator's natural integer-exact output. Cross-engine float
+    discipline (the bigram_lm_score recipe): every probability is ONE
+    exact rational of integers cast to double — bit-identical by
+    construction — and the only libm call ln() is quantized to integer
+    micro-NLL via floor(x*1e6 + 0.5); scores are pure BIGINT sums that
+    compare exactly, so the argmin can never split across engines. The
+    synthetic corpus draws text from one shared vocabulary for every
+    label, so the matrix concentrates on the priors' argmax by design —
+    the pytest confusion-matrix law
+    (tests/test_round12_properties.py) trains the same operator on a
+    corpus with genuinely language-distinct character distributions and
+    asserts diagonal dominance. SCALE: two explode+hash-agg passes
+    (word-count scaling, map-side combined) train the model; the model
+    is gram-vocab x n_langs rows (hundreds) and BROADCAST into the
+    scoring join of per-doc gram counts; one shuffle by doc_id
+    aggregates the five scores as conditional sums — no per-row UDF,
+    nothing quadratic. Reference parity: tier-2 text-pipeline extension
+    (SURVEY §2b O-24)."""
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.length(txt) - 1),
+        lambda i: txt.substr(i, F.lit(2)),
+    )
+    guarded = F.when(F.length(txt) >= 2, grams_arr).otherwise(
+        F.array().cast("array<string>")
+    )
+    inst = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.explode(guarded).alias("gram"),
+    )
+    gl = (
+        inst.groupBy("gram", F.col("labeled_lang").alias("lang"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = gl.groupBy("lang").agg(F.sum("c").alias("tot"))
+    v = gl.select(F.countDistinct("gram").alias("v"))
+    langs = docs.select("lang").distinct()
+    grams = gl.select("gram").distinct()
+    l_micro = F.floor(
+        -F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+            / (F.col("tot") + F.col("v")).cast("double")
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    model = (
+        grams.crossJoin(langs)
+        .join(gl, ["gram", "lang"], "left")
+        .join(tot, "lang")
+        .crossJoin(F.broadcast(v))
+        .select("gram", "lang", l_micro.alias("l_micro"))
+    )
+    nd = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    ndt = docs.agg(F.count(F.lit(1)).alias("ndt"))
+    pm = F.floor(
+        -F.log(F.col("nd").cast("double") / F.col("ndt").cast("double"))
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    pri = (
+        nd.crossJoin(F.broadcast(ndt))
+        .select("lang", pm.alias("pm"))
+        .agg(
+            *[
+                F.sum(F.when(F.col("lang") == lg, F.col("pm"))).alias(
+                    f"p_{lg}"
+                )
+                for lg in ("de", "en", "es", "fr", "zh")
+            ]
+        )
+    )
+    dg = inst.groupBy("doc_id", "labeled_lang", "gram").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    sc = (
+        dg.join(F.broadcast(model), "gram")
+        .groupBy("doc_id", "labeled_lang")
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.col("lang") == lg, F.col("k") * F.col("l_micro")
+                    )
+                ).alias(f"s_{lg}")
+                for lg in ("de", "en", "es", "fr", "zh")
+            ]
+        )
+    )
+    t = sc.crossJoin(F.broadcast(pri)).select(
+        "labeled_lang",
+        *[
+            (F.col(f"s_{lg}") + F.col(f"p_{lg}")).alias(f"t_{lg}")
+            for lg in ("de", "en", "es", "fr", "zh")
+        ],
+    )
+    predicted = (
+        F.when(
+            (F.col("t_de") <= F.col("t_en"))
+            & (F.col("t_de") <= F.col("t_es"))
+            & (F.col("t_de") <= F.col("t_fr"))
+            & (F.col("t_de") <= F.col("t_zh")),
+            F.lit("de"),
+        )
+        .when(
+            (F.col("t_en") <= F.col("t_es"))
+            & (F.col("t_en") <= F.col("t_fr"))
+            & (F.col("t_en") <= F.col("t_zh")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("t_es") <= F.col("t_fr"))
+            & (F.col("t_es") <= F.col("t_zh")),
+            F.lit("es"),
+        )
+        .when(F.col("t_fr") <= F.col("t_zh"), F.lit("fr"))
+        .otherwise(F.lit("zh"))
+    )
+    return t.groupBy(
+        "labeled_lang", predicted.alias("predicted_lang")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+
+
+@query(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id,

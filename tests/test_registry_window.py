@@ -81,14 +81,14 @@ TRIPLE_FILLERS: set[str] = {
     "dedup_exact",
     "dedup_jaccard_exact",
     "dedup_embedding_cosine",
-    "ann_topk_bruteforce",
 }
 _DISPLACEMENT_LOG = {
     # (new queries pop the newest-last-green filler first —
     # embedding_correlation, ann_topk_bruteforce, dedup_embedding_cosine:
     # r4 last-green in reverse registration order — then the r3 group
     # starting from dedup_jaccard_exact.
-    # embedding_correlation gave its slot to jpeg_pixel_decode_ac_refine)
+    # embedding_correlation gave its slot to jpeg_pixel_decode_ac_refine;
+    # ann_topk_bruteforce to lang_id_nb)
 }
 
 

@@ -118,6 +118,43 @@ def test_ac_refine_targeted_corruption():
         decode_jpeg_progressive_pixels(mutated)
 
 
+def test_lang_id_nb_confusion_matrix_diagonal(spark, tmp_path):
+    """The trained char-bigram Naive Bayes must actually discriminate:
+    on a corpus whose languages use DISJOINT character alphabets the
+    confusion matrix is exactly diagonal (the shared sf corpora draw all
+    labels from one vocabulary, so the registry run concentrates on the
+    prior by design — this is the discrimination law)."""
+    from mapreduce__spark.plans import REGISTRY
+
+    alphabets = {
+        "de": "abcde",
+        "en": "fghij",
+        "es": "klmno",
+        "fr": "pqrst",
+        "zh": "uvwxy",
+    }
+    rows = []
+    doc_id = 0
+    for lang, ab in alphabets.items():
+        for i in range(8):
+            words = [
+                "".join(ab[(i + j + k) % 5] for k in range(3 + j % 3))
+                for j in range(12)
+            ]
+            rows.append((doc_id, " ".join(words), lang))
+            doc_id += 1
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        (r.labeled_lang, r.predicted_lang): r.n_docs
+        for r in REGISTRY["lang_id_nb"].fn(spark, sf_dir).collect()
+    }
+    assert got == {(lg, lg): 8 for lg in alphabets}, got
+
+
 def test_ac_refine_pixel_sums_match_closed_form():
     """decode_jpeg_progressive_pixels' 9-tuple equals the closed-form
     law the oracle uses (block-constant base +- 7*amp / -11 / +22
