@@ -26,9 +26,11 @@ import os
 import time
 import urllib.request
 
-# The 10 most expensive headliners of the round-10 closing idle bench
+# The most expensive headliners of the closing idle bench
 # (docs/BENCH_FULL_latest.json), the population the audit is defined
-# over. Keep in sync with tests/test_shuffle_audit.py.
+# over; round 12 added embedding_pq_codes (the round-11 PQ/ADC
+# headliner — k-means codebooks + code assignment is the newest
+# shuffle-heavy family). Keep in sync with tests/test_shuffle_audit.py.
 AUDIT_QUERIES = [
     "graph_triangles",
     "training_data_pipeline_full",
@@ -40,6 +42,7 @@ AUDIT_QUERIES = [
     "substring_dedup_windows",
     "inverted_index",
     "sessionization",
+    "embedding_pq_codes",
 ]
 
 OUT = os.path.join(os.path.dirname(__file__), "SHUFFLE_AUDIT.json")
@@ -61,11 +64,18 @@ def _stage_metrics(sc) -> dict[int, tuple[int, int, int]]:
     }
 
 
-def run_audit(spark, sf_dir: str, queries=None) -> dict[str, dict]:
+def run_audit(spark, sf_dir: str, queries=None, warmup: bool = True) -> dict[str, dict]:
     from mapreduce__spark.plans import REGISTRY
 
     sc = spark.sparkContext
     out: dict[str, dict] = {}
+    if warmup:
+        # one unrecorded pass so the recorded `sec` is warm-JVM (codegen
+        # and scan caches hot) — the round-11 audit recorded a 17.9s
+        # graph_triangles that was really ~6s warm + cold-start; shuffle
+        # bytes/records are plan-determined and unaffected either way
+        for name in queries or AUDIT_QUERIES:
+            REGISTRY[name].fn(spark, sf_dir).collect()
     for name in queries or AUDIT_QUERIES:
         before = _stage_metrics(sc)
         t0 = time.perf_counter()

@@ -40,7 +40,7 @@ def _record() -> dict:
 def test_audit_covers_declared_population():
     rec = _record()
     assert set(rec["queries"]) == set(AUDIT_QUERIES)
-    assert len(AUDIT_QUERIES) == 10
+    assert len(AUDIT_QUERIES) == 11
     for name, m in rec["queries"].items():
         for key in ("w_bytes", "w_records", "r_bytes", "stages", "sec"):
             assert key in m, (name, key)
@@ -78,3 +78,6 @@ def test_pipelines_stay_narrow():
                  "dedup_lsh_minhash"):
         assert q[name]["w_bytes"] < 30e6, (name, q[name])
     assert q["semantic_dedup"]["w_bytes"] < 10e6, q["semantic_dedup"]
+    # PQ training + assignment moves only centroid/code rows — the
+    # embedding vectors themselves stay in the scan stage
+    assert q["embedding_pq_codes"]["w_bytes"] < 2e6, q["embedding_pq_codes"]
