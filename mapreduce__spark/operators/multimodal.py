@@ -1197,6 +1197,251 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, int, int, int, int]:
     return w, h, w * h, int(sums[0]), int(sums[1]), int(sums[2]), topleft
 
 
+# --------------------------------------------------------------------------
+# Adam7-INTERLACED PNG (round 12): the progressive-rendering layout real
+# web crawls contain (Photoshop/`pngcrush -i` output). The image is
+# stored as SEVEN sub-images sampling the canonical 8x8 pattern; each
+# pass is filtered INDEPENDENTLY (its own scanline widths, its own
+# zero previous row), and passes whose sub-grid is empty for the image
+# dimensions are absent from the stream entirely — both real-decoder
+# hazards. Channel sums are PLACEMENT-INVARIANT (a transposed pass table
+# yields the same multiset of pixels), so this class additionally emits
+# coordinate-weighted sums sum((x + 2y + 1) * C(x,y)) that any wrong
+# pass-to-grid mapping shifts.
+# --------------------------------------------------------------------------
+
+# (x_start, y_start, x_step, y_step) per pass, transcribed from the PNG
+# spec's 8x8 pattern matrix; tests/test_round12_properties.py re-derives
+# the matrix from these tuples and compares against the spec literal.
+PNG_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def synth_png_adam7_bytes(doc_id: int) -> bytes:
+    """Deterministic spec-valid Adam7-interlaced 8-bit truecolor PNG.
+    Dimensions and pixels are pure functions of doc_id:
+
+        width  = (3*doc_id) % 14 + 3,  height = (7*doc_id) % 13 + 3
+        R(x,y) = (11*doc_id + 3x + 7y) % 256     (y = row from TOP)
+        G(x,y) = ( 3*doc_id + 8x +  y) % 256
+        B(x,y) = ( 9*doc_id +  x + 4y) % 256
+
+    Widths/heights reach down to 3, so passes are genuinely EMPTY for
+    some docs (width <= 4 has no pass-2 columns, height <= 4 no pass-3
+    rows, etc.) — per spec an empty pass contributes no bytes at all,
+    not even filter tags — and each pass's scanlines rotate through all
+    five filters independently."""
+    d = doc_id
+    w = (3 * d) % 14 + 3
+    h = (7 * d) % 13 + 3
+    ys = np.arange(h, dtype=np.int64).reshape(h, 1)
+    xs = np.arange(w, dtype=np.int64).reshape(1, w)
+    rgb = np.stack(
+        [
+            (11 * d + 3 * xs + 7 * ys) % 256,
+            (3 * d + 8 * xs + ys) % 256,
+            (9 * d + xs + 4 * ys) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+    bpp = 3
+    lines = []
+    for x0, y0, dx, dy in PNG_ADAM7:
+        sub = rgb[y0::dy, x0::dx]
+        ph, pw = sub.shape[0], sub.shape[1]
+        if ph == 0 or pw == 0:
+            continue  # empty pass: no bytes at all, not even filter tags
+        raw = sub.reshape(ph, pw * 3).astype(np.int64)
+        zero = np.zeros(bpp, dtype=np.int64)
+        prev = np.zeros(pw * 3, dtype=np.int64)
+        for yy in range(ph):
+            cur = raw[yy]
+            left = np.concatenate([zero, cur[:-bpp]])
+            upleft = np.concatenate([zero, prev[:-bpp]])
+            ft = yy % 5
+            if ft == 0:
+                filt = cur
+            elif ft == 1:  # Sub
+                filt = (cur - left) % 256
+            elif ft == 2:  # Up
+                filt = (cur - prev) % 256
+            elif ft == 3:  # Average
+                filt = (cur - (left + prev) // 2) % 256
+            else:  # Paeth
+                p = left + prev - upleft
+                pa = np.abs(p - left)
+                pb = np.abs(p - prev)
+                pc = np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, prev, upleft),
+                )
+                filt = (cur - pred) % 256
+            lines.append(bytes([ft]) + filt.astype(np.uint8).tobytes())
+            prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    idat = zlib.compress(b"".join(lines), 6)
+    mid = len(idat) // 2
+    idat_chunks = (
+        chunk(b"IDAT", idat[:mid]) + chunk(b"IDAT", idat[mid:])
+        if mid
+        else chunk(b"IDAT", idat)
+    )
+    return PNG_SIG + chunk(b"IHDR", ihdr) + idat_chunks + chunk(b"IEND", b"")
+
+
+def decode_png_adam7_pixels(
+    b: bytes,
+) -> tuple[int, int, int, int, int, int, int, int, int]:
+    """Full pixel decode of an Adam7-interlaced 8-bit truecolor PNG:
+    chunk walk with CRC verification, multi-IDAT inflate, then seven
+    independently-unfiltered passes reassembled onto the pixel grid.
+    Returns (width, height, n_pixels, sum_r, sum_g, sum_b, wsum_r,
+    wsum_g, wsum_b) where wsum_c = sum((x + 2y + 1) * C(x,y)) — the
+    coordinate weighting that catches wrong pass placement the plain
+    sums cannot. Raises ValueError on anything else (including a
+    NON-interlaced file: that routes to decode_png_pixels)."""
+    if b[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = bytearray()
+    w = h = -1
+    saw_ihdr = False
+    saw_iend = False
+    while pos + 12 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(b):
+            raise ValueError("truncated PNG chunk")
+        data = b[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC on {typ!r}")
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 1):
+                raise ValueError(
+                    "unsupported PNG variant (need 8-bit truecolor, "
+                    "Adam7 interlace)"
+                )
+            saw_ihdr = True
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + ln
+    if not saw_ihdr or w <= 0 or h <= 0:
+        raise ValueError("missing/invalid IHDR")
+    if not saw_iend:
+        raise ValueError("truncated PNG: no IEND chunk")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT stream: {e}") from e
+    bpp = 3
+    grid = np.zeros((h, w, 3), dtype=np.int64)
+    off = 0
+    for x0, y0, dx, dy in PNG_ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        stride = pw * 3
+        need = ph * (stride + 1)
+        if off + need > len(raw):
+            raise ValueError("interlaced scanline data exhausted")
+        out = np.zeros((ph, stride), dtype=np.int64)
+        for yy in range(ph):
+            ft = raw[off + yy * (stride + 1)]
+            line = np.frombuffer(
+                raw,
+                dtype=np.uint8,
+                count=stride,
+                offset=off + yy * (stride + 1) + 1,
+            ).astype(np.int64)
+            up = out[yy - 1] if yy else np.zeros(stride, dtype=np.int64)
+            if ft == 0:
+                cur = line
+            elif ft == 2:
+                cur = (line + up) % 256
+            elif ft in (1, 3, 4):
+                cur = np.zeros(stride, dtype=np.int64)
+                for i in range(stride):
+                    left = cur[i - bpp] if i >= bpp else 0
+                    upleft = int(up[i - bpp]) if i >= bpp else 0
+                    if ft == 1:
+                        pred = left
+                    elif ft == 3:
+                        pred = (left + int(up[i])) // 2
+                    else:
+                        p = left + int(up[i]) - upleft
+                        pa = abs(p - left)
+                        pb = abs(p - int(up[i]))
+                        pc = abs(p - upleft)
+                        pred = (
+                            left
+                            if (pa <= pb and pa <= pc)
+                            else (int(up[i]) if pb <= pc else upleft)
+                        )
+                    cur[i] = (line[i] + pred) % 256
+            else:
+                raise ValueError(f"bad filter type {ft}")
+            out[yy] = cur
+        grid[y0::dy, x0::dx] = out.reshape(ph, pw, 3)
+        off += need
+    if off != len(raw):
+        raise ValueError("interlaced scanline data does not match passes")
+    sums = grid.reshape(-1, 3).sum(axis=0)
+    ys = np.arange(h, dtype=np.int64).reshape(h, 1)
+    xs = np.arange(w, dtype=np.int64).reshape(1, w)
+    wgt = (xs + 2 * ys + 1)[:, :, None]
+    wsums = (grid * wgt).reshape(-1, 3).sum(axis=0)
+    return (
+        w, h, w * h,
+        int(sums[0]), int(sums[1]), int(sums[2]),
+        int(wsums[0]), int(wsums[1]), int(wsums[2]),
+    )
+
+
+def with_png_adam7_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with synthesized Adam7-interlaced PNG files."""
+    return _with_payload(docs, synth_png_adam7_bytes)
+
+
+def png_adam7_features(mm: DataFrame) -> DataFrame:
+    """Arrow-batched interlaced-PNG pixel decode with weighted sums."""
+    return _int_feature_map(
+        mm,
+        decode_png_adam7_pixels,
+        (
+            "width", "height", "n_pixels",
+            "sum_r", "sum_g", "sum_b",
+            "wsum_r", "wsum_g", "wsum_b",
+        ),
+    )
+
+
 def with_png_payload(docs: DataFrame) -> DataFrame:
     """(doc_id, payload) with synthesized full 8-bit truecolor PNG files."""
     return _with_payload(docs, synth_png_bytes)

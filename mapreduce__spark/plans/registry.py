@@ -115,6 +115,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # round-12 additions — never driver-attested (each displaced a filler)
     "jpeg_pixel_decode_ac_refine",
     "lang_id_nb",
+    "png_adam7_decode",
     # round-11 additions (single-green), earning their second row
     "jpeg_pixel_decode_420",
     "warc_ingest",
@@ -170,10 +171,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "word_count",
     "dedup_exact",
     "dedup_jaccard_exact",
-    "dedup_embedding_cosine",
     # (fillers displaced newest-last-green-first: embedding_correlation
     # gave its slot to jpeg_pixel_decode_ac_refine, ann_topk_bruteforce
-    # to lang_id_nb)
+    # to lang_id_nb, dedup_embedding_cosine to png_adam7_decode)
 )
 
 

@@ -8473,6 +8473,72 @@ def png_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "png_adam7_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             (doc_id * 3) % 14 + 3 AS width,
+             (doc_id * 7) % 13 + 3 AS height
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, width, height,
+             unnest(generate_series(0, width - 1)) AS x
+      FROM dims
+    ),
+    pxy AS (
+      SELECT doc_id, width, height, x,
+             unnest(generate_series(0, height - 1)) AS y
+      FROM px
+    ),
+    p AS (
+      SELECT doc_id, width, height, x, y,
+             (11 * doc_id + 3 * x + 7 * y) % 256 AS r,
+             (3 * doc_id + 8 * x + y) % 256      AS g,
+             (9 * doc_id + x + 4 * y) % 256      AS b,
+             x + 2 * y + 1                       AS wgt
+      FROM pxy
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT)  AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b,
+           CAST(sum(wgt * r) AS BIGINT) AS wsum_r,
+           CAST(sum(wgt * g) AS BIGINT) AS wsum_g,
+           CAST(sum(wgt * b) AS BIGINT) AS wsum_b
+    FROM p
+    GROUP BY doc_id, width, height
+    """,
+    tags=("tier2", "multimodal"),
+)
+def png_adam7_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAM7-INTERLACED PNG decode (round 12) — the progressive-rendering
+    layout web crawls actually contain, and the png_pixel_decode
+    docstring's last deferred PNG shape: seven sub-image passes sampling
+    the spec's 8x8 pattern, each filtered INDEPENDENTLY (own scanline
+    widths, own zero previous row, per-pass rotating filter types), with
+    dimensions small enough that several passes are genuinely EMPTY for
+    some docs (contributing no bytes at all — a real-decoder hazard).
+    Plain channel sums are placement-INVARIANT (any pass-table transpose
+    yields the same pixel multiset), so the query also emits
+    coordinate-weighted sums sum((x + 2y + 1) * channel) that any wrong
+    pass-to-grid mapping shifts; the oracle recomputes both from the
+    pixel law. The pass table itself is pinned against the spec's
+    pattern-matrix literal in tests/test_round12_properties.py.
+    Arrow-batched mapInPandas, payloads never shuffle."""
+    from mapreduce__spark.operators.multimodal import (
+        png_adam7_features,
+        with_png_adam7_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return png_adam7_features(with_png_adam7_payload(docs))
+
+
+@query(
     "gif_pixel_decode",
     oracle="""
     WITH dims AS (

@@ -80,7 +80,6 @@ TRIPLE_FILLERS: set[str] = {
     "word_count",
     "dedup_exact",
     "dedup_jaccard_exact",
-    "dedup_embedding_cosine",
 }
 _DISPLACEMENT_LOG = {
     # (new queries pop the newest-last-green filler first —
@@ -88,7 +87,8 @@ _DISPLACEMENT_LOG = {
     # r4 last-green in reverse registration order — then the r3 group
     # starting from dedup_jaccard_exact.
     # embedding_correlation gave its slot to jpeg_pixel_decode_ac_refine;
-    # ann_topk_bruteforce to lang_id_nb)
+    # ann_topk_bruteforce to lang_id_nb; dedup_embedding_cosine to
+    # png_adam7_decode)
 }
 
 

@@ -118,6 +118,84 @@ def test_ac_refine_targeted_corruption():
         decode_jpeg_progressive_pixels(mutated)
 
 
+def test_png_adam7_pass_table_matches_spec_matrix():
+    """The pass tuples must tile the spec's 8x8 Adam7 pattern matrix
+    exactly (a transposed or permuted table would still round-trip
+    encoder<->decoder, so this literal is the independent pin)."""
+    from mapreduce__spark.operators.multimodal import PNG_ADAM7
+
+    spec = [
+        [1, 6, 4, 6, 2, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [3, 6, 4, 6, 3, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+    ]
+    derived = [[0] * 8 for _ in range(8)]
+    for p, (x0, y0, dx, dy) in enumerate(PNG_ADAM7, 1):
+        for y in range(y0, 8, dy):
+            for x in range(x0, 8, dx):
+                assert derived[y][x] == 0, "passes overlap"
+                derived[y][x] = p
+    assert derived == spec
+
+
+def test_png_adam7_decode_matches_law_and_hits_empty_passes():
+    """Decoded tuples equal the pixel law for 40 docs, and the dims law
+    genuinely produces docs with EMPTY passes (width or height <= 4)."""
+    import numpy as np
+
+    from mapreduce__spark.operators.multimodal import (
+        PNG_ADAM7,
+        decode_png_adam7_pixels,
+        synth_png_adam7_bytes,
+    )
+
+    empty = 0
+    for d in range(40):
+        w = (3 * d) % 14 + 3
+        h = (7 * d) % 13 + 3
+        empty += sum(1 for x0, y0, _dx, _dy in PNG_ADAM7 if w <= x0 or h <= y0)
+        ys = np.arange(h).reshape(h, 1)
+        xs = np.arange(w).reshape(1, w)
+        r = (11 * d + 3 * xs + 7 * ys) % 256
+        g = (3 * d + 8 * xs + ys) % 256
+        b = (9 * d + xs + 4 * ys) % 256
+        wgt = xs + 2 * ys + 1
+        want = (
+            w, h, w * h,
+            int(r.sum()), int(g.sum()), int(b.sum()),
+            int((wgt * r).sum()), int((wgt * g).sum()), int((wgt * b).sum()),
+        )
+        assert decode_png_adam7_pixels(synth_png_adam7_bytes(d)) == want, d
+    assert empty > 0, "dims law never produced an empty pass"
+
+
+def test_png_adam7_truncation_and_routing():
+    """Per-byte truncation raises ValueError; the interlaced decoder
+    rejects non-interlaced files and vice versa (the routing seam), and
+    trailing garbage in the scanline stream is caught."""
+    from mapreduce__spark.operators.multimodal import (
+        decode_png_adam7_pixels,
+        decode_png_pixels,
+        synth_png_adam7_bytes,
+        synth_png_bytes,
+    )
+
+    full = synth_png_adam7_bytes(7)
+    assert decode_png_adam7_pixels(full)[0] > 0
+    for cut in range(len(full)):
+        with pytest.raises(ValueError):
+            decode_png_adam7_pixels(full[:cut])
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png_adam7_pixels(synth_png_bytes(7))
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png_pixels(full)
+
+
 def test_lang_id_nb_confusion_matrix_diagonal(spark, tmp_path):
     """The trained char-bigram Naive Bayes must actually discriminate:
     on a corpus whose languages use DISJOINT character alphabets the
