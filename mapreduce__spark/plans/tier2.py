@@ -5496,6 +5496,56 @@ def zip_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "avro_ingest",
+    oracle="""
+    WITH recs AS (
+      SELECT doc_id,
+             unnest(generate_series(0, doc_id % 3 + 1)) AS rec
+      FROM documents
+    )
+    SELECT doc_id, CAST(rec AS BIGINT) AS rec,
+           CAST(doc_id * 100 + rec AS BIGINT) AS rec_id,
+           'user-' || CAST((doc_id * 7 + rec) % 19 AS VARCHAR) || '-'
+             || repeat('x', (doc_id + rec) % 3) AS name,
+           CAST((doc_id * 13 + rec * 7) % 1000 - 200 AS BIGINT) AS score
+    FROM recs
+    """,
+    tags=("tier2", "source"),
+)
+def avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro object-container ingest (round 12) — the row-oriented
+    serialization format event pipelines and Kafka archives actually
+    ship, parsed from raw bytes with no format library: magic + file
+    metadata map (including the spec's negative-count skippable map
+    blocks, exercised every fifth doc), schema-JSON-driven field order
+    (rotated every third doc — schema order IS the wire order), zigzag
+    varint longs (scores go NEGATIVE), length-prefixed UTF-8 strings,
+    null vs raw-DEFLATE codecs (the codec key is OMITTED on null docs —
+    absent means null per spec), multi-block files every fourth doc,
+    per-block record counts + byte sizes validated with exact
+    consumption, and every block's sync marker checked against the
+    header's. Every malformed byte stream raises the documented
+    ValueError — the one spec-mandated exception being a cut at an
+    exact block boundary, which is indistinguishable from a complete
+    shorter container (per-byte truncation-gated in
+    tests/test_round12_properties.py, which pins exactly those boundary
+    cuts; fuzzed against an independent in-test writer). The oracle regenerates ids, names and scores from
+    the synthesis law, fully independent of the parser. SCALE: one
+    corpus scan, Arrow-batched mapInPandas, container bytes never
+    shuffle; real .avro directories ride binaryFile and parse per file
+    with this same walker. Reference parity: generalizes the
+    reference's directory-scan ingest (Search.cpp:183-205) like
+    warc_ingest."""
+    from mapreduce__spark.sources.archives import (
+        avro_record_rows,
+        with_avro_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return avro_record_rows(with_avro_payload(docs))
+
+
+@query(
     "targz_member_extract",
     oracle=f"""
     WITH mem AS (

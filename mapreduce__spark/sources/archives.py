@@ -600,3 +600,265 @@ def zip_member_features(mm: DataFrame) -> DataFrame:
             "crc_ok boolean, text_hash bigint"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Avro object-container files (the Avro 1.x spec): magic Obj\x01, a file
+# metadata MAP (avro.schema JSON + optional avro.codec), a 16-byte sync
+# marker, then data blocks of (record count, byte size, records, sync).
+# Longs are zigzag varints; strings are length-prefixed UTF-8; the
+# deflate codec is RAW DEFLATE (no zlib wrapper). Supported schema
+# subset: a record of long/string fields in SCHEMA order — the shape
+# row-oriented ingestion pipelines actually ship; anything else raises
+# the documented ValueError.
+# --------------------------------------------------------------------------
+
+
+def _avro_zigzag_encode(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        if u < 0x80:
+            out.append(u)
+            return bytes(out)
+        out.append((u & 0x7F) | 0x80)
+        u >>= 7
+
+
+def _avro_long(b: bytes, pos: int) -> tuple[int, int]:
+    u = 0
+    shift = 0
+    while True:
+        if pos >= len(b):
+            raise ValueError("truncated avro varint")
+        byte = b[pos]
+        pos += 1
+        u |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return (u >> 1) ^ -(u & 1), pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("avro varint too long")
+
+
+def _avro_bytes(b: bytes, pos: int) -> tuple[bytes, int]:
+    ln, pos = _avro_long(b, pos)
+    if ln < 0:
+        raise ValueError("negative avro bytes length")
+    if pos + ln > len(b):
+        raise ValueError("truncated avro bytes")
+    return b[pos : pos + ln], pos + ln
+
+
+def _avro_map(b: bytes, pos: int) -> tuple[dict[str, bytes], int]:
+    """File-metadata map: repeated blocks of (count, entries...) ending
+    at count 0; a NEGATIVE count is |count| entries preceded by a byte
+    size (the spec's skippable-block form)."""
+    out: dict[str, bytes] = {}
+    while True:
+        n, pos = _avro_long(b, pos)
+        if n == 0:
+            return out, pos
+        if n < 0:
+            n = -n
+            _size, pos = _avro_long(b, pos)  # block byte size (unused)
+        for _ in range(n):
+            k, pos = _avro_bytes(b, pos)
+            v, pos = _avro_bytes(b, pos)
+            out[k.decode("utf-8")] = v
+    return out, pos
+
+
+def _avro_record_fields(schema_json: bytes) -> list[tuple[str, str]]:
+    """(name, type) per field in SCHEMA order; long/string only."""
+    import json
+
+    try:
+        schema = json.loads(schema_json)
+    except ValueError as e:
+        raise ValueError(f"bad avro.schema JSON: {e}") from e
+    if not isinstance(schema, dict) or schema.get("type") != "record":
+        raise ValueError("avro schema is not a record")
+    fields = schema.get("fields")
+    if not isinstance(fields, list) or not fields:
+        raise ValueError("avro record without fields")
+    out: list[tuple[str, str]] = []
+    for f in fields:
+        if not isinstance(f, dict) or not isinstance(f.get("name"), str):
+            raise ValueError("malformed avro field")
+        typ = f.get("type")
+        if typ not in ("long", "string"):
+            raise ValueError(f"unsupported avro field type {typ!r}")
+        out.append((f["name"], typ))
+    return out
+
+
+def parse_avro_records(b: bytes) -> list[tuple[int, dict[str, object]]]:
+    """Walk an Avro object-container file and return (rec, fields-dict)
+    per record in file order across all blocks. Validates the magic,
+    the metadata map, the codec (null/deflate), per-block record counts
+    and byte sizes, exact block consumption, and every block's sync
+    marker against the header's. Raises ValueError on any malformed
+    input."""
+    if b[:4] != b"Obj\x01":
+        raise ValueError("not an avro object container (bad magic)")
+    meta, pos = _avro_map(b, 4)
+    if "avro.schema" not in meta:
+        raise ValueError("avro file without avro.schema")
+    fields = _avro_record_fields(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null")
+    if codec not in (b"null", b"deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
+    if pos + 16 > len(b):
+        raise ValueError("truncated avro sync marker")
+    sync = b[pos : pos + 16]
+    pos += 16
+    rows: list[tuple[int, dict[str, object]]] = []
+    rec = 0
+    while pos < len(b):
+        count, pos = _avro_long(b, pos)
+        if count <= 0:
+            raise ValueError("non-positive avro block count")
+        size, pos = _avro_long(b, pos)
+        if size < 0 or pos + size > len(b):
+            raise ValueError("truncated avro block data")
+        data = b[pos : pos + size]
+        pos += size
+        if codec == b"deflate":
+            try:
+                data = zlib.decompress(data, -15)
+            except zlib.error as e:
+                raise ValueError(f"bad avro deflate block: {e}") from e
+        p = 0
+        for _ in range(count):
+            vals: dict[str, object] = {}
+            for name, typ in fields:
+                if typ == "long":
+                    v, p = _avro_long(data, p)
+                else:
+                    raw, p = _avro_bytes(data, p)
+                    try:
+                        v = raw.decode("utf-8")
+                    except UnicodeDecodeError as e:
+                        raise ValueError(f"bad avro string: {e}") from e
+                vals[name] = v
+            rows.append((rec, vals))
+            rec += 1
+        if p != len(data):
+            raise ValueError("avro block size disagrees with records")
+        if b[pos : pos + 16] != sync:
+            raise ValueError("avro block sync marker mismatch")
+        pos += 16
+    return rows
+
+
+def synth_avro_bytes(doc_id: int) -> bytes:
+    """Deterministic spec-valid Avro container: d%3+2 records of
+    (id long, name string, score long) — score goes NEGATIVE (the
+    zigzag path) — with field order rotated every third doc (schema
+    order IS the wire order), deflate codec on odd docs (the key is
+    OMITTED on null-codec docs — absent means null per spec), records
+    split across TWO blocks every fourth doc, and a negative-count
+    metadata-map block every fifth doc."""
+    import json
+
+    d = doc_id
+    n = d % 3 + 2
+    alt_order = d % 3 == 0
+    field_defs = (
+        [("name", "string"), ("id", "long"), ("score", "long")]
+        if alt_order
+        else [("id", "long"), ("name", "string"), ("score", "long")]
+    )
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "rec",
+            "fields": [{"name": fn, "type": ft} for fn, ft in field_defs],
+        }
+    ).encode()
+    deflate = d % 2 == 1
+    sync = bytes((d * j + j * j + 7) % 256 for j in range(16))
+
+    def rec_bytes(i: int) -> bytes:
+        vals = {
+            "id": d * 100 + i,
+            "name": f"user-{(d * 7 + i) % 19}-" + "x" * ((d + i) % 3),
+            "score": (d * 13 + i * 7) % 1000 - 200,
+        }
+        out = bytearray()
+        for fn, ft in field_defs:
+            if ft == "long":
+                out += _avro_zigzag_encode(vals[fn])
+            else:
+                raw = vals[fn].encode()
+                out += _avro_zigzag_encode(len(raw)) + raw
+        return bytes(out)
+
+    out = bytearray(b"Obj\x01")
+    entries = [(b"avro.schema", schema)]
+    if deflate:
+        entries.append((b"avro.codec", b"deflate"))
+    if d % 5 == 0:
+        # negative-count map block: |count| entries preceded by a size
+        body = b"".join(
+            _avro_zigzag_encode(len(k)) + k + _avro_zigzag_encode(len(v)) + v
+            for k, v in entries
+        )
+        out += _avro_zigzag_encode(-len(entries))
+        out += _avro_zigzag_encode(len(body))
+        out += body
+    else:
+        out += _avro_zigzag_encode(len(entries))
+        for k, v in entries:
+            out += _avro_zigzag_encode(len(k)) + k
+            out += _avro_zigzag_encode(len(v)) + v
+    out += _avro_zigzag_encode(0)
+    out += sync
+    splits = [list(range(n))]
+    if d % 4 == 0:
+        splits = [list(range(n - 1)), [n - 1]]
+    for idxs in splits:
+        body = b"".join(rec_bytes(i) for i in idxs)
+        if deflate:
+            comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+            body = comp.compress(body) + comp.flush()
+        out += _avro_zigzag_encode(len(idxs))
+        out += _avro_zigzag_encode(len(body))
+        out += body
+        out += sync
+    return bytes(out)
+
+
+def with_avro_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with synthesized Avro container bytes."""
+    from mapreduce__spark.operators.multimodal import _with_payload
+
+    return _with_payload(docs, synth_avro_bytes)
+
+
+def avro_record_rows(mm: DataFrame) -> DataFrame:
+    """Arrow-batched Avro parse: one row per record across blocks."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "rec": [], "rec_id": [],
+                "name": [], "score": [],
+            }
+            for i, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for rec, vals in parse_avro_records(bytes(payload)):
+                    out["doc_id"].append(int(i))
+                    out["rec"].append(rec)
+                    out["rec_id"].append(vals["id"])
+                    out["name"].append(vals["name"])
+                    out["score"].append(vals["score"])
+            yield pd.DataFrame(out)
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        gen,
+        schema=(
+            "doc_id bigint, rec bigint, rec_id bigint, name string, "
+            "score bigint"
+        ),
+    )

@@ -79,7 +79,6 @@ TRIPLE_FILLERS: set[str] = {
     "scalar_functions",
     "word_count",
     "dedup_exact",
-    "dedup_jaccard_exact",
 }
 _DISPLACEMENT_LOG = {
     # (new queries pop the newest-last-green filler first —
@@ -88,7 +87,7 @@ _DISPLACEMENT_LOG = {
     # starting from dedup_jaccard_exact.
     # embedding_correlation gave its slot to jpeg_pixel_decode_ac_refine;
     # ann_topk_bruteforce to lang_id_nb; dedup_embedding_cosine to
-    # png_adam7_decode)
+    # png_adam7_decode; dedup_jaccard_exact to avro_ingest)
 }
 
 

@@ -118,6 +118,133 @@ def test_ac_refine_targeted_corruption():
         decode_jpeg_progressive_pixels(mutated)
 
 
+def test_avro_parser_matches_law_and_hazards():
+    """Every law field round-trips across the hazard matrix: rotated
+    schema field order, null/deflate codecs (absent key = null),
+    negative-count metadata map blocks, multi-block files, negative
+    zigzag longs."""
+    from mapreduce__spark.sources.archives import (
+        parse_avro_records,
+        synth_avro_bytes,
+    )
+
+    for d in range(30):
+        rows = parse_avro_records(synth_avro_bytes(d))
+        assert len(rows) == d % 3 + 2
+        for rec, vals in rows:
+            assert vals["id"] == d * 100 + rec
+            assert vals["name"] == (
+                f"user-{(d * 7 + rec) % 19}-" + "x" * ((d + rec) % 3)
+            )
+            assert vals["score"] == (d * 13 + rec * 7) % 1000 - 200
+            assert vals["score"] < 0 or vals["score"] >= 0  # zigzag both
+
+
+def test_avro_truncation_and_corruption():
+    """Per-byte truncation either raises ValueError or — ONLY at a
+    block-boundary cut, where the spec makes a shorter container
+    indistinguishable from a complete one — yields a strict prefix of
+    the records; surgical corruptions hit the named seams (magic,
+    sync mismatch)."""
+    from mapreduce__spark.sources.archives import (
+        parse_avro_records,
+        synth_avro_bytes,
+    )
+
+    for d in (0, 1, 3, 4, 5):  # null+2blocks, deflate, alt-order, negmap
+        full = synth_avro_bytes(d)
+        want = parse_avro_records(full)
+        assert want
+        boundary_cuts = 0
+        for cut in range(len(full)):
+            try:
+                got = parse_avro_records(full[:cut])
+            except ValueError:
+                continue
+            # a parse that survived must be a strict record prefix
+            # (header+sync alone is a legal zero-record container)
+            assert got == want[: len(got)] and len(got) < len(want), cut
+            boundary_cuts += 1
+        # exactly the block boundaries: header end, plus one interior
+        # boundary on multi-block docs
+        assert boundary_cuts == (2 if d % 4 == 0 else 1), (d, boundary_cuts)
+    full = synth_avro_bytes(2)
+    with pytest.raises(ValueError, match="magic"):
+        parse_avro_records(b"Obk\x01" + full[4:])
+    # flip one byte of the trailing sync marker
+    with pytest.raises(ValueError, match="sync"):
+        parse_avro_records(full[:-1] + bytes([full[-1] ^ 0xFF]))
+
+
+def test_avro_parser_against_independent_writer():
+    """Hypothesis fuzz: random record values encoded by an INDEPENDENT
+    mini-writer (its own varint/zigzag code, single block, explicit
+    null codec key) must decode exactly."""
+    import json
+    import zlib as _zlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce__spark.sources.archives import parse_avro_records
+
+    def zz(n):
+        out = bytearray()
+        u = (2 * n) if n >= 0 else (-2 * n - 1)
+        while u >= 0x80:
+            out.append((u & 0x7F) | 0x80)
+            u >>= 7
+        out.append(u)
+        return bytes(out)
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(-(2**62), 2**62),
+                st.text(
+                    st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+                    max_size=12,
+                ),
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        st.booleans(),
+    )
+    @settings(max_examples=40, deadline=None)
+    def run(records, deflate):
+        schema = json.dumps(
+            {
+                "type": "record",
+                "name": "r",
+                "fields": [
+                    {"name": "a", "type": "long"},
+                    {"name": "b", "type": "string"},
+                ],
+            }
+        ).encode()
+        meta = [(b"avro.schema", schema),
+                (b"avro.codec", b"deflate" if deflate else b"null")]
+        out = bytearray(b"Obj\x01")
+        out += zz(len(meta))
+        for k, v in meta:
+            out += zz(len(k)) + k + zz(len(v)) + v
+        out += zz(0)
+        sync = bytes(range(16))
+        out += sync
+        body = b"".join(
+            zz(a) + zz(len(s.encode())) + s.encode() for a, s in records
+        )
+        if deflate:
+            c = _zlib.compressobj(9, _zlib.DEFLATED, -15)
+            body = c.compress(body) + c.flush()
+        out += zz(len(records)) + zz(len(body)) + body + sync
+        rows = parse_avro_records(bytes(out))
+        assert [(v["a"], v["b"]) for _r, v in rows] == records
+
+    run()
+
+
 def test_png_adam7_pass_table_matches_spec_matrix():
     """The pass tuples must tile the spec's 8x8 Adam7 pattern matrix
     exactly (a transposed or permuted table would still round-trip
