@@ -117,6 +117,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lang_id_nb",
     "png_adam7_decode",
     "avro_ingest",
+    "mann_whitney_u",
     # round-11 additions (single-green), earning their second row
     "jpeg_pixel_decode_420",
     "warc_ingest",
@@ -170,12 +171,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "rollup_cube",
     "scalar_functions",
     "word_count",
-    "dedup_exact",
     # (fillers displaced newest-last-green-first: embedding_correlation
     # gave its slot to jpeg_pixel_decode_ac_refine, ann_topk_bruteforce
     # to lang_id_nb, dedup_embedding_cosine to png_adam7_decode,
-    # dedup_jaccard_exact — reverse registration order within the r3
-    # group — to avro_ingest)
+    # dedup_jaccard_exact and dedup_exact — reverse registration order
+    # within the r3 group — to avro_ingest and mann_whitney_u)
 )
 
 

@@ -5496,6 +5496,76 @@ def zip_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mann_whitney_u",
+    oracle="""
+    WITH v AS (
+      SELECT n_chars AS val, count(*) AS c FROM documents GROUP BY 1
+    ),
+    cum AS (
+      SELECT val, c, sum(c) OVER (ORDER BY val) AS cum FROM v
+    ),
+    t AS (SELECT sum(c * c * c - c) AS tie_cubes FROM v),
+    r AS (
+      SELECT d.source,
+             count(*) AS n_docs,
+             sum(2 * cum.cum - cum.c + 1) AS r2
+      FROM (SELECT source, n_chars AS val FROM documents) d
+      JOIN cum ON d.val = cum.val
+      GROUP BY 1
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(r2 AS BIGINT) AS r2,
+           CAST(r2 - n_docs * (n_docs + 1) AS BIGINT) AS u2,
+           CAST(t.tie_cubes AS BIGINT) AS tie_cubes
+    FROM r CROSS JOIN t
+    """,
+    tags=("tier2", "stats"),
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test per source vs the rest of the corpus
+    (round 12) — the NONPARAMETRIC drift detector next to welch_z_test
+    (means) and source_drift_chi2 (categories): does one source's
+    document-length DISTRIBUTION differ from the others', with no
+    normality assumption? Everything stays INTEGER-exact through doubled
+    midranks: for a value with c ties starting after `offset` smaller
+    docs, 2*midrank = 2*(offset + c) - c + 1, so the per-source doubled
+    rank sum r2, the doubled U statistic u2 = r2 - n*(n+1), and the tie
+    correction sum(c^3 - c) are all BIGINTs that compare exactly across
+    engines (the z normalization is one sqrt away and deliberately left
+    to the consumer — emitting it would reintroduce libm). SCALE: one
+    value-histogram aggregate (distinct-length-sized), the proven
+    distributed_cumsum for the global rank offsets (expression-bucketed,
+    no single-partition window), then one broadcast join back and a
+    per-source aggregate — no sort of the corpus, no per-row window.
+    Reference parity: tier-2 stats extension (SURVEY §2b O-11)."""
+    from mapreduce__spark.operators.windows import distributed_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.groupBy(F.col("n_chars").alias("val")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = distributed_cumsum(v, "val", "c", "cum")
+    ties = v.agg(F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie_cubes"))
+    r = (
+        docs.select("source", F.col("n_chars").alias("val"))
+        .join(F.broadcast(cum), "val")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(2 * F.col("cum") - F.col("c") + 1).alias("r2"),
+        )
+    )
+    return r.crossJoin(F.broadcast(ties)).select(
+        "source",
+        "n_docs",
+        "r2",
+        (F.col("r2") - F.col("n_docs") * (F.col("n_docs") + 1)).alias("u2"),
+        "tie_cubes",
+    )
+
+
+@query(
     "avro_ingest",
     oracle="""
     WITH recs AS (

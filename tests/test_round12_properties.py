@@ -118,6 +118,40 @@ def test_ac_refine_targeted_corruption():
         decode_jpeg_progressive_pixels(mutated)
 
 
+def test_mann_whitney_u_matches_bruteforce(spark, tmp_path):
+    """The doubled-midrank U must equal the pairwise definition
+    2U = 2*wins + ties (group value beats / ties a non-group value),
+    computed brute-force on a small corpus with heavy ties."""
+    from mapreduce__spark.plans import REGISTRY
+
+    vals = [3, 7, 7, 7, 12, 12, 20, 20, 20, 20, 31, 3, 7, 12, 45]
+    srcs = ["a", "a", "b", "c", "a", "b", "c", "a", "b", "b", "c",
+            "b", "c", "c", "a"]
+    rows = [(i, "t", "en", s, v) for i, (v, s) in enumerate(zip(vals, srcs))]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r.source: (r.n_docs, r.r2, r.u2, r.tie_cubes)
+        for r in REGISTRY["mann_whitney_u"].fn(spark, sf_dir).collect()
+    }
+    from collections import Counter
+
+    c = Counter(vals)
+    tie_cubes = sum(k**3 - k for k in c.values())
+    for s in set(srcs):
+        grp = [v for v, g in zip(vals, srcs) if g == s]
+        rest = [v for v, g in zip(vals, srcs) if g != s]
+        u2 = sum(
+            2 * (gv > rv) + (gv == rv) for gv in grp for rv in rest
+        )
+        n = len(grp)
+        r2 = u2 + n * (n + 1)
+        assert got[s] == (n, r2, u2, tie_cubes), (s, got[s], (n, r2, u2))
+
+
 def test_avro_parser_matches_law_and_hazards():
     """Every law field round-trips across the hazard matrix: rotated
     schema field order, null/deflate codecs (absent key = null),
