@@ -118,6 +118,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "png_adam7_decode",
     "avro_ingest",
     "mann_whitney_u",
+    "audio_adpcm_decode",
     # round-11 additions (single-green), earning their second row
     "jpeg_pixel_decode_420",
     "warc_ingest",
@@ -170,12 +171,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_analytic",
     "rollup_cube",
     "scalar_functions",
-    "word_count",
     # (fillers displaced newest-last-green-first: embedding_correlation
     # gave its slot to jpeg_pixel_decode_ac_refine, ann_topk_bruteforce
     # to lang_id_nb, dedup_embedding_cosine to png_adam7_decode,
-    # dedup_jaccard_exact and dedup_exact — reverse registration order
-    # within the r3 group — to avro_ingest and mann_whitney_u)
+    # dedup_jaccard_exact, dedup_exact and word_count — reverse
+    # registration order within the r3 group — to avro_ingest,
+    # mann_whitney_u and audio_adpcm_decode)
 )
 
 

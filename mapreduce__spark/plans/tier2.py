@@ -5495,6 +5495,98 @@ def zip_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zip_member_features(with_zip_payload(docs))
 
 
+def _adpcm_oracle() -> str:
+    from mapreduce__spark.operators.adpcm import ADPCM_STEPS
+
+    steps = "[" + ", ".join(str(s) for s in ADPCM_STEPS) + "]"
+    return f"""
+    WITH blocks AS (
+      SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS b
+      FROM documents
+    ),
+    law AS (
+      SELECT doc_id, b,
+             CASE (doc_id + b) % 6
+                  WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 5
+                  WHEN 3 THEN 9 WHEN 4 THEN 11 ELSE 13 END AS v,
+             CASE (doc_id + b) % 6
+                  WHEN 0 THEN 40 WHEN 1 THEN 50 WHEN 2 THEN 8
+                  WHEN 3 THEN 45 WHEN 4 THEN 35 ELSE 6 END AS i0,
+             CASE (doc_id + b) % 6
+                  WHEN 0 THEN 1000 WHEN 1 THEN 2000 WHEN 2 THEN -25000
+                  WHEN 3 THEN 2500 WHEN 4 THEN 2000 ELSE 20000 END
+               + (7 * doc_id + 13 * b) % 97 AS s0
+      FROM blocks
+    ),
+    ks AS (
+      SELECT doc_id, b, v, i0, s0,
+             unnest(generate_series(1, 16)) AS k
+      FROM law
+    ),
+    deltas AS (
+      SELECT doc_id, b, s0, k,
+             (CASE WHEN v & 8 = 8 THEN -1 ELSE 1 END)
+           * ((st // 8)
+              + CASE WHEN v & 4 = 4 THEN st ELSE 0 END
+              + CASE WHEN v & 2 = 2 THEN st // 2 ELSE 0 END
+              + CASE WHEN v & 1 = 1 THEN st // 4 ELSE 0 END) AS dk
+      FROM (
+        SELECT *,
+               ({steps})[i0 + (k - 1) *
+                 (CASE WHEN (v & 7) < 4 THEN -1
+                       WHEN (v & 7) = 4 THEN 2
+                       WHEN (v & 7) = 5 THEN 4
+                       WHEN (v & 7) = 6 THEN 6
+                       ELSE 8 END) + 1] AS st
+        FROM ks
+      )
+    ),
+    per_block AS (
+      SELECT doc_id, b,
+             17 * max(s0) + sum((17 - k) * dk) AS blk_sum,
+             max(s0) + sum(dk) AS blk_last
+      FROM deltas GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(count(*) * 17 AS BIGINT) AS n_samples,
+           CAST(sum(blk_sum) AS BIGINT) AS sum_samples,
+           CAST(arg_max(blk_last, b) AS BIGINT) AS last_sample
+    FROM per_block
+    GROUP BY doc_id
+    """
+
+
+@query(
+    "audio_adpcm_decode",
+    oracle=_adpcm_oracle(),
+    tags=("tier2", "multimodal"),
+)
+def audio_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA ADPCM audio decode (WAV format tag 0x11, round 12) — the
+    4-bit block-structured codec telephony/game corpora ship when not
+    mu-law: per doc a spec-valid mono ADPCM WAV (fmt with
+    samples-per-block + fact chunk, d%3+1 data blocks) is synthesized
+    and decoded with the REAL general state machine — per-nibble step
+    lookup, the standard 4-term delta, int16 sample clamp, 0..88 index
+    clamp, every block restarting state from its own header (the
+    property that makes blocks independent decode units at 100 TB). The
+    fixture law keeps each block's nibble constant and the index walk
+    interior, collapsing the decoded samples to an affine form over
+    step-table lookups the oracle computes with generate_series + a
+    list literal — no recursion — while Spark runs the sequential
+    machine; sample sums and the final sample agree only if the walk is
+    exactly right (clamping paths are exercised by targeted tests, not
+    the law). Arrow-batched mapInPandas; audio bytes never shuffle."""
+    from mapreduce__spark.operators.adpcm import (
+        adpcm_features,
+        with_adpcm_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return adpcm_features(with_adpcm_payload(docs))
+
+
 @query(
     "mann_whitney_u",
     oracle="""

@@ -77,7 +77,6 @@ TRIPLE_FILLERS: set[str] = {
     "window_analytic",
     "rollup_cube",
     "scalar_functions",
-    "word_count",
 }
 _DISPLACEMENT_LOG = {
     # (new queries pop the newest-last-green filler first —
@@ -87,7 +86,7 @@ _DISPLACEMENT_LOG = {
     # embedding_correlation gave its slot to jpeg_pixel_decode_ac_refine;
     # ann_topk_bruteforce to lang_id_nb; dedup_embedding_cosine to
     # png_adam7_decode; dedup_jaccard_exact to avro_ingest;
-    # dedup_exact to mann_whitney_u)
+    # dedup_exact to mann_whitney_u; word_count to audio_adpcm_decode)
 }
 
 

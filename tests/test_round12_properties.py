@@ -118,6 +118,104 @@ def test_ac_refine_targeted_corruption():
         decode_jpeg_progressive_pixels(mutated)
 
 
+def test_adpcm_decoder_matches_affine_law():
+    """The general sequential state machine equals the oracle's affine
+    reconstruction on every law doc (constant nibble, interior index
+    walk), including both sign paths and all law magnitude-bit
+    combinations; no sample ever clamps."""
+    from mapreduce__spark.operators.adpcm import (
+        ADPCM_INDEX_ADJ,
+        ADPCM_SAMPLES_PER_BLOCK,
+        ADPCM_STEPS,
+        _adpcm_law_block,
+        decode_wav_adpcm,
+        synth_wav_adpcm_bytes,
+    )
+
+    for d in range(30):
+        got = decode_wav_adpcm(synth_wav_adpcm_bytes(d))
+        want = []
+        for b in range(d % 3 + 1):
+            v, i0, s0 = _adpcm_law_block(d, b)
+            adj = ADPCM_INDEX_ADJ[v & 7]
+            s = s0
+            want.append(s)
+            for k in range(16):
+                st = ADPCM_STEPS[i0 + k * adj]
+                diff = (
+                    (st >> 3)
+                    + (st if v & 4 else 0)
+                    + ((st >> 1) if v & 2 else 0)
+                    + ((st >> 2) if v & 1 else 0)
+                )
+                s += -diff if v & 8 else diff
+                assert -32768 < s < 32767, (d, b, k)
+                want.append(s)
+        assert got == want, d
+        assert len(got) == (d % 3 + 1) * ADPCM_SAMPLES_PER_BLOCK
+
+
+def test_adpcm_clamp_paths():
+    """Hand-built blocks drive the clamping branches the law avoids:
+    a max-magnitude nibble run from a high predictor clamps samples at
+    32767, and from index 88 the step index clamps instead of walking
+    off the table; a descending run clamps at -32768."""
+    import struct
+
+    from mapreduce__spark.operators.adpcm import decode_wav_adpcm
+
+    def wav(blocks: bytes) -> bytes:
+        fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, 12, 4, 2, 17)
+        fact = struct.pack("<I", (len(blocks) // 12) * 17)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(blocks)) + blocks
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    up = struct.pack("<hBB", 30000, 88, 0) + b"\x77" * 8  # nibble 7 run
+    s = decode_wav_adpcm(wav(up))
+    assert s[0] == 30000 and s[-1] == 32767 and max(s) == 32767
+    down = struct.pack("<hBB", -30000, 88, 0) + b"\xff" * 8  # nibble 15
+    s = decode_wav_adpcm(wav(down))
+    assert s[-1] == -32768
+    # index clamp at the bottom: nibble 0 keeps subtracting 1 from the
+    # index; from index 2 it must stick at 0, not go negative
+    flat = struct.pack("<hBB", 5, 2, 0) + b"\x00" * 8
+    s = decode_wav_adpcm(wav(flat))
+    assert len(s) == 17  # would IndexError on a missing clamp
+
+
+def test_adpcm_truncation_and_corruption():
+    """Per-byte truncation raises ValueError (RIFF length pins the file
+    size, so no cut is silently valid); targeted corruptions hit the
+    named seams."""
+    import struct
+
+    from mapreduce__spark.operators.adpcm import (
+        decode_wav_adpcm,
+        synth_wav_adpcm_bytes,
+    )
+
+    full = synth_wav_adpcm_bytes(7)
+    assert decode_wav_adpcm(full)
+    for cut in range(len(full)):
+        with pytest.raises(ValueError):
+            decode_wav_adpcm(full[:cut])
+    with pytest.raises(ValueError, match="format tag"):
+        # flip the fmt tag to PCM
+        i = full.find(b"fmt ") + 8
+        decode_wav_adpcm(full[:i] + struct.pack("<H", 1) + full[i + 2:])
+    with pytest.raises(ValueError, match="fact sample count"):
+        i = full.find(b"fact") + 8
+        decode_wav_adpcm(full[:i] + struct.pack("<I", 999) + full[i + 4:])
+    with pytest.raises(ValueError, match="step index"):
+        i = full.find(b"data") + 8 + 2  # first block header's index byte
+        decode_wav_adpcm(full[:i] + b"\x60" + full[i + 1:])
+
+
 def test_mann_whitney_u_matches_bruteforce(spark, tmp_path):
     """The doubled-midrank U must equal the pairwise definition
     2U = 2*wins + ties (group value beats / ties a non-group value),
