@@ -194,6 +194,9 @@ BENCH_QUERIES = [
     "blocklist_match_counts",  # Aho-Corasick corpus scan: the
                                # dictionary-matching text path (round 11
                                # second session; deltas start r11)
+    "lang_id_nb",          # char-bigram NB train + broadcast-model
+                           # score + argmin: the trained-model text
+                           # path (round 12; deltas start r12)
 ]
 
 

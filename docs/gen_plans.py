@@ -111,6 +111,13 @@ NAMES = [
     "seasonal_decompose",
     "unigram_lm_tokenize",
     "targz_member_extract",
+    # round 12: the trained-NB scoring join (broadcast gram model +
+    # conditional-sum argmin, no UDF) and the rank-offset broadcast of
+    # the Mann-Whitney U (distributed_cumsum, no corpus sort); the
+    # codec/container additions share the single-scan mapInPandas
+    # skeleton already shown by their round-11 siblings
+    "lang_id_nb",
+    "mann_whitney_u",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",
