@@ -119,6 +119,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "avro_ingest",
     "mann_whitney_u",
     "audio_adpcm_decode",
+    "funnel_conversion",
+    "ols_fit_per_source",
     # round-11 additions (single-green), earning their second row
     "jpeg_pixel_decode_420",
     "warc_ingest",
@@ -169,14 +171,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_semi_anti",
     "topk_per_key",
     "window_analytic",
-    "rollup_cube",
-    "scalar_functions",
     # (fillers displaced newest-last-green-first: embedding_correlation
     # gave its slot to jpeg_pixel_decode_ac_refine, ann_topk_bruteforce
     # to lang_id_nb, dedup_embedding_cosine to png_adam7_decode,
-    # dedup_jaccard_exact, dedup_exact and word_count — reverse
-    # registration order within the r3 group — to avro_ingest,
-    # mann_whitney_u and audio_adpcm_decode)
+    # dedup_jaccard_exact, dedup_exact, word_count, scalar_functions and
+    # rollup_cube — reverse registration order within the r3 group — to
+    # avro_ingest, mann_whitney_u, audio_adpcm_decode,
+    # funnel_conversion and ols_fit_per_source)
 )
 
 

@@ -5588,6 +5588,171 @@ def audio_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, v.t1, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT e.user_id, c.t1, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY 1, 2
+    )
+    SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users,
+           CAST(0 AS BIGINT) AS sum_elapsed_us
+    FROM v
+    UNION ALL
+    SELECT '2_click', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(epoch_us(t2) - epoch_us(t1)), 0) AS BIGINT)
+    FROM c
+    UNION ALL
+    SELECT '3_purchase', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(epoch_us(t3) - epoch_us(t1)), 0) AS BIGINT)
+    FROM p
+    """,
+    tags=("tier2", "events"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (round 12) — the product-analytics
+    staple the window/sessionization family does not cover: per user,
+    the first 'view', then the first 'click' strictly AFTER it, then
+    the first 'purchase' strictly after THAT (order matters — a
+    purchase before the click does not convert). Emits per stage the
+    reached-user count and the exact total view-to-stage latency in
+    MICROSECONDS (unix_micros over the sessionization-precedent
+    timestamp_ltz cast vs DuckDB epoch_us — integer-exact; the constant
+    session-timezone offset cancels in the difference, and the ns->us
+    truncation is shared by the loaders). SCALE: three
+    filtered per-user min-aggregates chained by equi-joins on user_id —
+    each stage's relation only SHRINKS, AQE broadcasts the later
+    stages; no window over the raw event stream, nothing quadratic.
+    Reference parity: tier-2 events extension (SURVEY §2b O-18
+    family)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t3"))
+    )
+    s1 = v.agg(
+        F.count(F.lit(1)).alias("users"),
+    ).select(
+        F.lit("1_view").alias("stage"),
+        "users",
+        F.lit(0).cast("bigint").alias("sum_elapsed_us"),
+    )
+    s2 = c.agg(
+        F.count(F.lit(1)).alias("users"),
+        F.coalesce(
+            F.sum(
+                F.unix_micros(F.col("t2").cast("timestamp_ltz"))
+                - F.unix_micros(F.col("t1").cast("timestamp_ltz"))
+            ),
+            F.lit(0),
+        ).alias("sum_elapsed_us"),
+    ).select(F.lit("2_click").alias("stage"), "users", "sum_elapsed_us")
+    s3 = p.agg(
+        F.count(F.lit(1)).alias("users"),
+        F.coalesce(
+            F.sum(
+                F.unix_micros(F.col("t3").cast("timestamp_ltz"))
+                - F.unix_micros(F.col("t1").cast("timestamp_ltz"))
+            ),
+            F.lit(0),
+        ).alias("sum_elapsed_us"),
+    ).select(F.lit("3_purchase").alias("stage"), "users", "sum_elapsed_us")
+    return s1.unionByName(s2).unionByName(s3)
+
+
+@query(
+    "ols_fit_per_source",
+    oracle="""
+    WITH xy AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS x,
+             n_chars AS y
+      FROM documents
+    ),
+    s AS (
+      SELECT source, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM xy GROUP BY 1
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(sy * sxx - sx * sxy AS BIGINT) AS intercept_num
+    FROM s
+    """,
+    tags=("tier2", "stats"),
+)
+def ols_fit_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source least-squares fit of characters-per-token (round 12):
+    regress n_chars on token count and emit the EXACT RATIONAL
+    slope/intercept — numerators and the shared denominator as BIGINTs
+    (slope = slope_num/slope_den, intercept = intercept_num/slope_den) —
+    instead of float coefficients, so the comparison is integer-exact
+    and the one float division is the consumer's. The moment sums
+    (n, Σx, Σy, Σxy, Σx²) are a single map-side-combined aggregate per
+    source — the classic one-pass OLS at any scale; at true 100 TB the
+    products outgrow int64 and the same plan runs in DECIMAL(38).
+    Reference parity: tier-2 stats extension (SURVEY §2b O-11)."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = F.size(F.split(F.col("text"), " ")).cast("long")
+    y = F.col("n_chars")
+    s = (
+        docs.select("source", x.alias("x"), y.alias("y"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "slope_num"
+        ),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "slope_den"
+        ),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).alias(
+            "intercept_num"
+        ),
+    )
+
+
+@query(
     "mann_whitney_u",
     oracle="""
     WITH v AS (

@@ -75,8 +75,6 @@ TRIPLE_FILLERS: set[str] = {
     "join_semi_anti",
     "topk_per_key",
     "window_analytic",
-    "rollup_cube",
-    "scalar_functions",
 }
 _DISPLACEMENT_LOG = {
     # (new queries pop the newest-last-green filler first —
@@ -86,7 +84,9 @@ _DISPLACEMENT_LOG = {
     # embedding_correlation gave its slot to jpeg_pixel_decode_ac_refine;
     # ann_topk_bruteforce to lang_id_nb; dedup_embedding_cosine to
     # png_adam7_decode; dedup_jaccard_exact to avro_ingest;
-    # dedup_exact to mann_whitney_u; word_count to audio_adpcm_decode)
+    # dedup_exact to mann_whitney_u; word_count to audio_adpcm_decode;
+    # scalar_functions to funnel_conversion; rollup_cube to
+    # ols_fit_per_source)
 }
 
 

@@ -118,7 +118,73 @@ def test_ac_refine_targeted_corruption():
         decode_jpeg_progressive_pixels(mutated)
 
 
-def test_adpcm_decoder_matches_affine_law():
+def test_funnel_order_semantics(spark, tmp_path):
+    """Order matters: a purchase BEFORE the first post-view click must
+    not convert; equal timestamps do not advance the stage (strict >);
+    a user with no view contributes nothing."""
+    from datetime import datetime
+
+    from mapreduce__spark.plans import REGISTRY
+
+    t = lambda m, s: datetime(2024, 1, 1, 0, m, s)  # noqa: E731
+    rows = [
+        # user 1: view -> click -> purchase (full conversion)
+        (1, t(0, 0), 1, "view", 1.0, "{}"),
+        (2, t(1, 0), 1, "click", 1.0, "{}"),
+        (3, t(2, 0), 1, "purchase", 1.0, "{}"),
+        # user 2: purchase BEFORE click -> reaches click only
+        (4, t(0, 0), 2, "view", 1.0, "{}"),
+        (5, t(0, 30), 2, "purchase", 1.0, "{}"),
+        (6, t(1, 0), 2, "click", 1.0, "{}"),
+        # user 3: click at the SAME instant as view -> view only
+        (7, t(0, 0), 3, "view", 1.0, "{}"),
+        (8, t(0, 0), 3, "click", 1.0, "{}"),
+        # user 4: no view at all -> not in the funnel
+        (9, t(0, 0), 4, "click", 1.0, "{}"),
+        (10, t(1, 0), 4, "purchase", 1.0, "{}"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        r.stage: (r.users, r.sum_elapsed_us)
+        for r in REGISTRY["funnel_conversion"].fn(spark, sf_dir).collect()
+    }
+    assert got == {
+        "1_view": (3, 0),
+        "2_click": (2, 120_000_000),  # users 1 (60s) + 2 (60s)
+        "3_purchase": (1, 120_000_000),  # user 1 only (120s)
+    }, got
+
+
+def test_ols_fit_exactness(spark, tmp_path):
+    """The emitted rationals equal the textbook least-squares fit on a
+    corpus with a known exact line: y = 3x + 5 plus a balanced +-1
+    perturbation keeps slope_num/slope_den == 3 exactly when the
+    perturbation is orthogonal to x, and the fractions reduce to the
+    closed form on a hand-checked irregular corpus."""
+    from fractions import Fraction
+
+    from mapreduce__spark.plans import REGISTRY
+
+    # x chosen so a (+1, -1) perturbation at equal-x pairs cancels
+    data = [(x, 3 * x + 5 + e) for x, e in
+            [(2, 1), (2, -1), (5, 1), (5, -1), (9, 0), (13, 0)]]
+    rows = [
+        (i, " ".join("w" * 1 for _ in range(x)), "en", "s0", y)
+        for i, (x, y) in enumerate(data)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    [r] = REGISTRY["ols_fit_per_source"].fn(spark, sf_dir).collect()
+    assert Fraction(r.slope_num, r.slope_den) == 3
+    assert Fraction(r.intercept_num, r.slope_den) == 5
+    assert r.n_docs == 6
     """The general sequential state machine equals the oracle's affine
     reconstruction on every law doc (constant nibble, interior index
     walk), including both sign paths and all law magnitude-bit
