@@ -946,3 +946,51 @@ def stream_zip_members(spark: SparkSession, zip_dir: str) -> DataFrame:
             "crc_ok boolean, text_hash bigint"
         ),
     )
+
+
+def stream_avro_records(spark: SparkSession, avro_dir: str) -> DataFrame:
+    """Streaming Avro-container record ingest from a drop directory of
+    ``<doc_id>.avro`` files — byte-for-byte the batch walker
+    (sources/archives.parse_avro_records), extending the archive-stream
+    matrix (WARC, tar.gz, ZIP, Avro). A malformed container fails its
+    micro-batch loudly (the ValueError discipline)."""
+    import os as _os
+
+    from mapreduce__spark.sources.archives import parse_avro_records
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length bigint, content binary"
+        )
+        .option("pathGlobFilter", "*.avro")
+        .option("maxFilesPerTrigger", 8)
+        .load(avro_dir)
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "rec": [], "rec_id": [],
+                "name": [], "score": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                doc_id = int(_os.path.basename(path).split(".")[0])
+                for rec, vals in parse_avro_records(bytes(content)):
+                    out["doc_id"].append(doc_id)
+                    out["rec"].append(rec)
+                    out["rec_id"].append(vals["id"])
+                    out["name"].append(vals["name"])
+                    out["score"].append(vals["score"])
+            yield pd.DataFrame(out)
+
+    return raw.select("path", "content").mapInPandas(
+        gen,
+        schema=(
+            "doc_id bigint, rec bigint, rec_id bigint, name string, "
+            "score bigint"
+        ),
+    )

@@ -1096,3 +1096,35 @@ def test_stream_zip_ingest_equals_batch(spark, tmp_path):
         for r in spark.table("t_zipm").collect()
     }
     assert got == expect and len(got) >= 40
+
+
+def test_stream_avro_ingest_equals_batch(spark, tmp_path):
+    """The Avro drop-directory stream produces exactly the batch
+    walker's rows across the codec/field-order/multi-block fixture
+    variants — the archive batch/stream matrix extended to the fourth
+    container format (round 12)."""
+    from mapreduce__spark.sources.archives import (
+        parse_avro_records,
+        synth_avro_bytes,
+    )
+    from mapreduce__spark.streaming.streams import (
+        run_stream_to_memory,
+        stream_avro_records,
+    )
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    expect = set()
+    for doc_id in range(20):
+        payload = synth_avro_bytes(doc_id)
+        (d / f"{doc_id}.avro").write_bytes(payload)
+        for rec, vals in parse_avro_records(payload):
+            expect.add((doc_id, rec, vals["id"], vals["name"], vals["score"]))
+
+    sdf = stream_avro_records(spark, str(d))
+    run_stream_to_memory(sdf, "t_avro", output_mode="append")
+    got = {
+        (r.doc_id, r.rec, r.rec_id, r.name, r.score)
+        for r in spark.table("t_avro").collect()
+    }
+    assert got == expect and len(got) >= 40
