@@ -328,12 +328,13 @@ def lang_id_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pytest confusion-matrix law
     (tests/test_round12_properties.py) trains the same operator on a
     corpus with genuinely language-distinct character distributions and
-    asserts diagonal dominance. SCALE: two explode+hash-agg passes
-    (word-count scaling, map-side combined) train the model; the model
-    is gram-vocab x n_langs rows (hundreds) and BROADCAST into the
-    scoring join of per-doc gram counts; one shuffle by doc_id
-    aggregates the five scores as conditional sums — no per-row UDF,
-    nothing quadratic. Reference parity: tier-2 text-pipeline extension
+    asserts diagonal dominance. SCALE: ONE corpus explode into
+    per-doc gram counts (map-side combined, checkpointed) feeds both
+    the scoring join and — re-aggregated to gram x lang — the model,
+    which is gram-vocab x n_langs rows (hundreds) and BROADCAST back;
+    one shuffle by doc_id aggregates the five scores as conditional
+    sums — no per-row UDF, nothing quadratic, the corpus read once for
+    grams plus two trivial lang scans. Reference parity: tier-2 text-pipeline extension
     (SURVEY §2b O-24)."""
     docs = load_table(spark, sf_dir, "documents")
     txt = F.col("text")
@@ -349,10 +350,16 @@ def lang_id_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("labeled_lang"),
         F.explode(guarded).alias("gram"),
     )
-    gl = (
-        inst.groupBy("gram", F.col("labeled_lang").alias("lang"))
-        .agg(F.count(F.lit(1)).alias("c"))
+    # ONE corpus explode: per-doc gram counts feed BOTH the scoring join
+    # and (re-aggregated) the per-lang model — the corpus is never
+    # exploded twice (bench-measured seam, round 12)
+    dg = (
+        inst.groupBy("doc_id", "labeled_lang", "gram")
+        .agg(F.count(F.lit(1)).alias("k"))
         .localCheckpoint(eager=True)
+    )
+    gl = dg.groupBy("gram", F.col("labeled_lang").alias("lang")).agg(
+        F.sum("k").alias("c")
     )
     tot = gl.groupBy("lang").agg(F.sum("c").alias("tot"))
     v = gl.select(F.countDistinct("gram").alias("v"))
@@ -391,9 +398,6 @@ def lang_id_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for lg in ("de", "en", "es", "fr", "zh")
             ]
         )
-    )
-    dg = inst.groupBy("doc_id", "labeled_lang", "gram").agg(
-        F.count(F.lit(1)).alias("k")
     )
     sc = (
         dg.join(F.broadcast(model), "gram")
