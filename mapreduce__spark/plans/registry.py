@@ -121,6 +121,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "audio_adpcm_decode",
     "funnel_conversion",
     "ols_fit_per_source",
+    "winnowing_fingerprints",
     # round-11 additions (single-green), earning their second row
     "jpeg_pixel_decode_420",
     "warc_ingest",
@@ -170,14 +171,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_full_outer",
     "join_semi_anti",
     "topk_per_key",
-    "window_analytic",
     # (fillers displaced newest-last-green-first: embedding_correlation
     # gave its slot to jpeg_pixel_decode_ac_refine, ann_topk_bruteforce
     # to lang_id_nb, dedup_embedding_cosine to png_adam7_decode,
     # dedup_jaccard_exact, dedup_exact, word_count, scalar_functions and
     # rollup_cube — reverse registration order within the r3 group — to
     # avro_ingest, mann_whitney_u, audio_adpcm_decode,
-    # funnel_conversion and ols_fit_per_source)
+    # funnel_conversion and ols_fit_per_source; window_analytic to
+    # winnowing_fingerprints)
 )
 
 

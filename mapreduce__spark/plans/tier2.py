@@ -5592,6 +5592,70 @@ def audio_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "winnowing_fingerprints",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(length(text) - 5 + 1, 0) + 1),
+               i -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(i, i + 5),
+                     j -> CAST(ord(substr(text, j, 1)) AS BIGINT))),
+                 (a, c) -> (a * 31 + c) % 2147483647)) AS hs
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, hs,
+             CASE WHEN len(hs) >= 4 THEN
+               list_distinct(list_transform(
+                 range(1, len(hs) - 4 + 2),
+                 j -> (j + 4
+                       - list_position(list_reverse(hs[j : j + 3]),
+                                       list_min(hs[j : j + 3])))
+                      * 2147483648
+                      + list_min(hs[j : j + 3])))
+             ELSE [] END AS fp
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(len(hs) AS BIGINT) AS n_grams,
+           CAST(greatest(len(hs) - 3, 0) AS BIGINT) AS n_windows,
+           CAST(len(fp) AS BIGINT) AS n_fingerprints,
+           CAST(list_sum(list_transform(fp, c -> c % 2147483648))
+                AS BIGINT) AS fp_hash_sum,
+           CAST(list_sum(list_transform(fp, c -> c // 2147483648))
+                AS BIGINT) AS fp_idx_sum
+    FROM f
+    """,
+    tags=("tier2", "dedup", "text"),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints (round 12; Schleimer-Wilkerson-
+    Aiken 2003, the MOSS scheme) — the dedup family's local,
+    position-robust member beside MinHash/SimHash/CDC: hash every
+    5-char gram with the shared cross-engine char fold, slide a
+    4-hash window, select each window's minimum (RIGHTMOST on ties —
+    the detail naive implementations get wrong), and emit per doc the
+    distinct selected (gram index, hash) pairs' count and sums. Any
+    shared substring of length >= k+w-1 = 8 guarantees a shared
+    fingerprint; the selected set is a ~2/(w+1) fraction of grams. The
+    idx sum makes wrong SELECTION POSITIONS fail the hash even when the
+    chosen hash values coincide; pairs pack into single BIGINTs
+    (idx * 2^31 + hash) so distinctness is portable. SCALE: pure
+    whole-stage-codegen array expressions — the entire operator runs in
+    the scan stage with ZERO shuffle; only five BIGINT aggregates per
+    doc leave the executor. Cross-doc matching joins on the selected
+    hash exactly like the LSH band join. Verified against an
+    independent pure-Python reimplementation plus a planted
+    shared-substring law in tests/test_round12_properties.py."""
+    from mapreduce__spark.operators.winnow import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs)
+
+
+@query(
     "funnel_conversion",
     oracle="""
     WITH v AS (

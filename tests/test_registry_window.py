@@ -74,7 +74,6 @@ TRIPLE_FILLERS: set[str] = {
     "join_full_outer",
     "join_semi_anti",
     "topk_per_key",
-    "window_analytic",
 }
 _DISPLACEMENT_LOG = {
     # (new queries pop the newest-last-green filler first —
@@ -86,7 +85,7 @@ _DISPLACEMENT_LOG = {
     # png_adam7_decode; dedup_jaccard_exact to avro_ingest;
     # dedup_exact to mann_whitney_u; word_count to audio_adpcm_decode;
     # scalar_functions to funnel_conversion; rollup_cube to
-    # ols_fit_per_source)
+    # ols_fit_per_source; window_analytic to winnowing_fingerprints)
 }
 
 

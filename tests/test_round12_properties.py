@@ -118,6 +118,78 @@ def test_ac_refine_targeted_corruption():
         decode_jpeg_progressive_pixels(mutated)
 
 
+def _winnow_py(text: str, k: int = 5, w: int = 4) -> set[tuple[int, int]]:
+    """Independent pure-Python winnowing: k-gram char-fold hashes, per
+    window the RIGHTMOST minimum, distinct (1-based idx, hash) pairs."""
+    hs = []
+    for i in range(len(text) - k + 1):
+        h = 0
+        for ch in text[i : i + k]:
+            h = (h * 31 + ord(ch)) % 2147483647
+        hs.append(h)
+    out: set[tuple[int, int]] = set()
+    for j in range(len(hs) - w + 1):
+        win = hs[j : j + w]
+        m = min(win)
+        # rightmost occurrence
+        idx = j + max(p for p, v in enumerate(win) if v == m)
+        out.add((idx + 1, m))
+    return out
+
+
+def test_winnowing_matches_independent_reimplementation(spark, tmp_path):
+    """The Spark array-expression operator equals the pure-Python
+    winnower on crafted texts with forced hash ties and short docs
+    (fewer grams than the window -> zero fingerprints)."""
+    from mapreduce__spark.plans import REGISTRY
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaaaaa",          # all grams identical: maximal ties
+        "abcabcabcabcabc",          # periodic: repeated window minima
+        "tiny",                     # < k: zero grams
+        "sevench",                  # k..k+w-2: grams but zero windows
+        "abab" * 12,
+    ]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_grams, r.n_windows, r.n_fingerprints,
+                   r.fp_hash_sum, r.fp_idx_sum)
+        for r in REGISTRY["winnowing_fingerprints"].fn(spark, sf_dir).collect()
+    }
+    for i, t in enumerate(texts):
+        fps = _winnow_py(t)
+        ng = max(len(t) - 5 + 1, 0)
+        want = (
+            ng,
+            max(ng - 3, 0),
+            len(fps),
+            sum(h for _i, h in fps),
+            sum(ix for ix, _h in fps),
+        )
+        assert got[i] == want, (i, t, got[i], want)
+
+
+def test_winnowing_shared_substring_guarantee():
+    """The paper's guarantee: two texts sharing any substring of length
+    >= k + w - 1 = 8 share at least one fingerprint HASH."""
+    base = "zqxjkvbnwpfmrtl"
+    shared = "commonrun"  # length 9 >= 8
+    a = base + shared + "ydhgu"
+    b = "eio" + shared + base[::-1]
+    fa = {h for _i, h in _winnow_py(a)}
+    fb = {h for _i, h in _winnow_py(b)}
+    assert fa & fb, "shared 9-char substring produced no shared fingerprint"
+    # and two disjoint-alphabet texts share nothing
+    fc = {h for _i, h in _winnow_py("abcde" * 6)}
+    fd = {h for _i, h in _winnow_py("vwxyz" * 6)}
+    assert not (fc & fd)
+
+
 def test_funnel_order_semantics(spark, tmp_path):
     """Order matters: a purchase BEFORE the first post-view click must
     not convert; equal timestamps do not advance the stage (strict >);
