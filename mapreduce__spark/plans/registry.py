@@ -122,6 +122,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "funnel_conversion",
     "ols_fit_per_source",
     "winnowing_fingerprints",
+    "kendall_concordance",
     # round-11 additions (single-green), earning their second row
     "jpeg_pixel_decode_420",
     "warc_ingest",
@@ -170,15 +171,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "formatted_sink",
     "join_full_outer",
     "join_semi_anti",
-    "topk_per_key",
     # (fillers displaced newest-last-green-first: embedding_correlation
     # gave its slot to jpeg_pixel_decode_ac_refine, ann_topk_bruteforce
     # to lang_id_nb, dedup_embedding_cosine to png_adam7_decode,
     # dedup_jaccard_exact, dedup_exact, word_count, scalar_functions and
     # rollup_cube — reverse registration order within the r3 group — to
     # avro_ingest, mann_whitney_u, audio_adpcm_decode,
-    # funnel_conversion and ols_fit_per_source; window_analytic to
-    # winnowing_fingerprints)
+    # funnel_conversion and ols_fit_per_source; window_analytic and
+    # topk_per_key to winnowing_fingerprints and kendall_concordance)
 )
 
 

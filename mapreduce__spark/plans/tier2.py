@@ -5592,6 +5592,144 @@ def audio_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kendall_concordance",
+    oracle="""
+    WITH xy AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS x,
+             n_chars AS y
+      FROM documents
+    ),
+    cells AS (
+      SELECT source, x, y, count(*) AS n FROM xy GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+      SELECT a.source,
+             sum(CASE WHEN a.y < b.y THEN a.n * b.n ELSE 0 END) AS nc,
+             sum(CASE WHEN a.y > b.y THEN a.n * b.n ELSE 0 END) AS nd
+      FROM cells a JOIN cells b
+        ON a.source = b.source AND a.x < b.x
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT source, sum(n) AS nn,
+             sum(n * (n - 1) / 2) AS n3
+      FROM cells GROUP BY 1
+    ),
+    mx AS (
+      SELECT source, sum(nx * (nx - 1) / 2) AS n1
+      FROM (SELECT source, x, sum(n) AS nx FROM cells GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    my AS (
+      SELECT source, sum(ny * (ny - 1) / 2) AS n2
+      FROM (SELECT source, y, sum(n) AS ny FROM cells GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT m.source,
+           CAST(m.nn AS BIGINT) AS n_docs,
+           CAST(coalesce(p.nc, 0) AS BIGINT) AS nc,
+           CAST(coalesce(p.nd, 0) AS BIGINT) AS nd,
+           CAST(mx.n1 AS BIGINT) AS ties_x,
+           CAST(my.n2 AS BIGINT) AS ties_y,
+           CAST(m.n3 AS BIGINT) AS ties_xy
+    FROM m
+    JOIN mx ON mx.source = m.source
+    JOIN my ON my.source = m.source
+    LEFT JOIN pairs p ON p.source = m.source
+    """,
+    tags=("tier2", "stats"),
+)
+def kendall_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b concordance counts per source (round 12) — the
+    rank-CORRELATION companion to mann_whitney_u's rank-sum: over
+    (token count, n_chars) pairs, the exact concordant/discordant pair
+    counts and the three tie terms (tau-b = (nc - nd) /
+    sqrt((n0 - ties_x)(n0 - ties_y)) is one sqrt away and left to the
+    consumer — emitting it would reintroduce libm). The naive
+    definition is an O(n^2) pair scan; here pairs are counted on the
+    (x, y) CELL HISTOGRAM: one map-side-combined aggregate to cells
+    (value-domain-bounded, NOT corpus-bounded), then a per-source
+    self-join on a.x < b.x whose size is cells^2, independent of
+    document count — the same histogram-compaction trick as
+    equidepth_deciles, made pairwise. All outputs are BIGINTs that
+    compare exactly. Reference parity: tier-2 stats extension
+    (SURVEY §2b O-11)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("x"),
+            F.col("n_chars").alias("y"),
+        )
+        .groupBy("source", "x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    a = cells.select(
+        F.col("source"), F.col("x").alias("ax"),
+        F.col("y").alias("ay"), F.col("n").alias("an"),
+    )
+    b = cells.select(
+        F.col("source"), F.col("x").alias("bx"),
+        F.col("y").alias("by"), F.col("n").alias("bn"),
+    )
+    pairs = (
+        a.join(b, "source")
+        .where(F.col("ax") < F.col("bx"))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.when(F.col("ay") < F.col("by"), F.col("an") * F.col("bn"))
+                .otherwise(F.lit(0))
+            ).alias("nc"),
+            F.sum(
+                F.when(F.col("ay") > F.col("by"), F.col("an") * F.col("bn"))
+                .otherwise(F.lit(0))
+            ).alias("nd"),
+        )
+    )
+    m = cells.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("ties_xy"),
+    )
+    mx = (
+        cells.groupBy("source", "x")
+        .agg(F.sum("n").alias("nx"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("nx") * (F.col("nx") - 1) / 2)
+            .cast("long")
+            .alias("ties_x")
+        )
+    )
+    my = (
+        cells.groupBy("source", "y")
+        .agg(F.sum("n").alias("ny"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("ny") * (F.col("ny") - 1) / 2)
+            .cast("long")
+            .alias("ties_y")
+        )
+    )
+    return (
+        m.join(mx, "source")
+        .join(my, "source")
+        .join(pairs, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("nc"), F.lit(0)).cast("long").alias("nc"),
+            F.coalesce(F.col("nd"), F.lit(0)).cast("long").alias("nd"),
+            "ties_x",
+            "ties_y",
+            "ties_xy",
+        )
+    )
+
+
+@query(
     "winnowing_fingerprints",
     oracle="""
     WITH g AS (

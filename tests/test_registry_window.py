@@ -73,7 +73,6 @@ TRIPLE_FILLERS: set[str] = {
     "formatted_sink",
     "join_full_outer",
     "join_semi_anti",
-    "topk_per_key",
 }
 _DISPLACEMENT_LOG = {
     # (new queries pop the newest-last-green filler first —
@@ -85,7 +84,8 @@ _DISPLACEMENT_LOG = {
     # png_adam7_decode; dedup_jaccard_exact to avro_ingest;
     # dedup_exact to mann_whitney_u; word_count to audio_adpcm_decode;
     # scalar_functions to funnel_conversion; rollup_cube to
-    # ols_fit_per_source; window_analytic to winnowing_fingerprints)
+    # ols_fit_per_source; window_analytic to winnowing_fingerprints;
+    # topk_per_key to kendall_concordance)
 }
 
 

@@ -118,6 +118,45 @@ def test_ac_refine_targeted_corruption():
         decode_jpeg_progressive_pixels(mutated)
 
 
+def test_kendall_concordance_matches_bruteforce(spark, tmp_path):
+    """The histogram-self-join counts equal the O(n^2) pairwise
+    definition on a small heavy-tie corpus: nc/nd over strict orderings,
+    the three tie terms, and the identity nc + nd + n1 + n2 - n3 =
+    C(n,2) (pairs tied in BOTH are inside both tie terms)."""
+    from mapreduce__spark.plans import REGISTRY
+
+    xs = [3, 3, 5, 5, 5, 8, 8, 9, 3, 5]
+    ys = [10, 12, 12, 12, 9, 20, 20, 20, 10, 30]
+    rows = [
+        (i, " ".join("w" for _ in range(x)), "en", "s0", y)
+        for i, (x, y) in enumerate(zip(xs, ys))
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    [r] = REGISTRY["kendall_concordance"].fn(spark, sf_dir).collect()
+    n = len(xs)
+    nc = nd = n1 = n2 = n3 = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = (xs[i] > xs[j]) - (xs[i] < xs[j])
+            dy = (ys[i] > ys[j]) - (ys[i] < ys[j])
+            if dx and dy:
+                nc += dx == dy
+                nd += dx != dy
+            if dx == 0:
+                n1 += 1
+            if dy == 0:
+                n2 += 1
+            if dx == 0 and dy == 0:
+                n3 += 1
+    assert (r.n_docs, r.nc, r.nd, r.ties_x, r.ties_y, r.ties_xy) == (
+        n, nc, nd, n1, n2, n3,
+    ), r
+    assert nc + nd + n1 + n2 - n3 == n * (n - 1) // 2
+
+
 def _winnow_py(text: str, k: int = 5, w: int = 4) -> set[tuple[int, int]]:
     """Independent pure-Python winnowing: k-gram char-fold hashes, per
     window the RIGHTMOST minimum, distinct (1-based idx, hash) pairs."""
