@@ -118,6 +118,12 @@ NAMES = [
     # skeleton already shown by their round-11 siblings
     "lang_id_nb",
     "mann_whitney_u",
+    # round-12 closers: the zero-shuffle winnowing scan (one stage, no
+    # Exchange below the final aggregate), the shrinking funnel join
+    # chain, and the cells^2 histogram self-join of the tau-b counts
+    "winnowing_fingerprints",
+    "funnel_conversion",
+    "kendall_concordance",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",
