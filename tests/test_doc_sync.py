@@ -49,7 +49,14 @@ def test_attestation_md_in_sync():
     """Round-11 VERDICT item 7: docs/ATTESTATION.md (greens-per-query
     coverage) must be regenerated whenever the registry or the committed
     CORRECTNESS files change — the render is a pure function of both, so
-    byte-compare against a fresh render."""
+    byte-compare against a fresh render.
+
+    Round-12 VERDICT item 1: the driver drops CORRECTNESS_r{N}.json into
+    the tree AFTER the builder's close, so a doc whose basis is exactly
+    one round behind the newest file is a driver-drop artifact, not
+    staleness — accept a render at basis max_round-1 too. Anything older
+    (or a registry drift) still fails."""
+    import glob
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -58,7 +65,12 @@ def test_attestation_md_in_sync():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     on_disk = open(os.path.join(ROOT, "docs", "ATTESTATION.md")).read()
-    assert on_disk == mod.render(), (
+    newest = max(
+        int("".join(c for c in os.path.basename(p) if c.isdigit()))
+        for p in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
+    )
+    accepted = {mod.render(), mod.render(max_round=newest - 1)}
+    assert on_disk in accepted, (
         "docs/ATTESTATION.md stale — run python3 docs/gen_attestation.py"
     )
 
