@@ -5613,16 +5613,16 @@ def audio_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
       SELECT source, sum(n) AS nn,
-             sum(n * (n - 1) / 2) AS n3
+             sum(n * (n - 1)) // 2 AS n3
       FROM cells GROUP BY 1
     ),
     mx AS (
-      SELECT source, sum(nx * (nx - 1) / 2) AS n1
+      SELECT source, sum(nx * (nx - 1)) // 2 AS n1
       FROM (SELECT source, x, sum(n) AS nx FROM cells GROUP BY 1, 2)
       GROUP BY 1
     ),
     my AS (
-      SELECT source, sum(ny * (ny - 1) / 2) AS n2
+      SELECT source, sum(ny * (ny - 1)) // 2 AS n2
       FROM (SELECT source, y, sum(n) AS ny FROM cells GROUP BY 1, 2)
       GROUP BY 1
     )
@@ -5689,18 +5689,24 @@ def kendall_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nd"),
         )
     )
+    # Tie terms stay in BIGINT end-to-end (round-12 ADVICE): n*(n-1) is
+    # always even, so summing the products and integer-halving the total
+    # (shiftright = floor-div-2 on non-negatives) is exact at any scale,
+    # unlike float `/ 2` which rounds past 2^53.
     m = cells.groupBy("source").agg(
         F.sum("n").alias("n_docs"),
-        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("ties_xy"),
+        F.shiftright(
+            F.sum(F.col("n") * (F.col("n") - 1)), 1
+        ).alias("ties_xy"),
     )
     mx = (
         cells.groupBy("source", "x")
         .agg(F.sum("n").alias("nx"))
         .groupBy("source")
         .agg(
-            F.sum(F.col("nx") * (F.col("nx") - 1) / 2)
-            .cast("long")
-            .alias("ties_x")
+            F.shiftright(
+                F.sum(F.col("nx") * (F.col("nx") - 1)), 1
+            ).alias("ties_x")
         )
     )
     my = (
@@ -5708,9 +5714,9 @@ def kendall_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("ny"))
         .groupBy("source")
         .agg(
-            F.sum(F.col("ny") * (F.col("ny") - 1) / 2)
-            .cast("long")
-            .alias("ties_y")
+            F.shiftright(
+                F.sum(F.col("ny") * (F.col("ny") - 1)), 1
+            ).alias("ties_y")
         )
     )
     return (
@@ -5760,10 +5766,10 @@ def kendall_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(hs) AS BIGINT) AS n_grams,
            CAST(greatest(len(hs) - 3, 0) AS BIGINT) AS n_windows,
            CAST(len(fp) AS BIGINT) AS n_fingerprints,
-           CAST(list_sum(list_transform(fp, c -> c % 2147483648))
-                AS BIGINT) AS fp_hash_sum,
-           CAST(list_sum(list_transform(fp, c -> c // 2147483648))
-                AS BIGINT) AS fp_idx_sum
+           CAST(coalesce(list_sum(list_transform(fp, c -> c % 2147483648)),
+                         0) AS BIGINT) AS fp_hash_sum,
+           CAST(coalesce(list_sum(list_transform(fp, c -> c // 2147483648)),
+                         0) AS BIGINT) AS fp_idx_sum
     FROM f
     """,
     tags=("tier2", "dedup", "text"),

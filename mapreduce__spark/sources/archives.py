@@ -637,7 +637,10 @@ def _avro_long(b: bytes, pos: int) -> tuple[int, int]:
         if not byte & 0x80:
             return (u >> 1) ^ -(u & 1), pos
         shift += 7
-        if shift > 70:
+        # An Avro long is at most 10 varint bytes (64 bits / 7 per byte);
+        # a continuation bit on the 10th byte is malformed, so reject
+        # BEFORE consuming an 11th byte (round-12 ADVICE).
+        if shift >= 70:
             raise ValueError("avro varint too long")
 
 
@@ -666,7 +669,6 @@ def _avro_map(b: bytes, pos: int) -> tuple[dict[str, bytes], int]:
             k, pos = _avro_bytes(b, pos)
             v, pos = _avro_bytes(b, pos)
             out[k.decode("utf-8")] = v
-    return out, pos
 
 
 def _avro_record_fields(schema_json: bytes) -> list[tuple[str, str]]:
