@@ -84,24 +84,25 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_registry_window.py::test_rotated_out_core_stays_oracle_gated
 # pins that rotated-out entries keep their oracles.
 #
-# Round-12 rotation, DERIVED FROM DATA like rounds 6-11 (the audit-trail
+# Round-13 rotation, DERIVED FROM DATA like rounds 6-12 (the audit-trail
 # test tests/test_registry_window.py::test_window_prioritizes_low_attestation
 # recomputes green-attestation counts from the checked-in
 # CORRECTNESS_r0*.json files and asserts the policy below, so this
 # comment cannot silently disagree with the window):
-#   IN  — every query with zero or one green driver row (the 27 round-11
+#   IN  — every query with zero or one green driver row (the 10 round-12
 #         additions earning their second row, plus this round's new
-#         queries); ALL 9 double-attestation queries (the 7 round-10
-#         additions earning their third row plus vocab_growth and
-#         welch_z_test, the round-11 second-session deferrals —
-#         DEFERRED_DOUBLES empties again); and 14 exactly-3 fillers.
+#         queries); ALL 27 double-attestation queries (the round-11
+#         additions earning their third row — DEFERRED_DOUBLES stays
+#         empty); and 13 exactly-3 fillers.
 #   FILLER POLICY (round-10 VERDICT item 8): fillers are chosen
 #         LEAST-RECENTLY-ATTESTED FIRST (oldest most-recent green round,
-#         registration order as tie-break) — the r12 fillers' last rows
-#         date from rounds 3-4. Queries reaching SATURATED_AT (4) green
-#         rows RETIRE from rotation eligibility: they re-enter only via
-#         CHANGED_CODE_REATTEST, so driver attestation keeps cycling
-#         fresh code instead of re-attesting saturated queries
+#         registration order as tie-break) — the r13 fillers' last rows
+#         date from rounds 3-4: the seven r3-last-green queries that sat
+#         out round 12 after funding its additions, plus the six
+#         oldest-registered r4 ones. Queries reaching SATURATED_AT (4)
+#         green rows RETIRE from rotation eligibility: they re-enter
+#         only via CHANGED_CODE_REATTEST, so driver attestation keeps
+#         cycling fresh code instead of re-attesting saturated queries
 #         (asserted by tests/test_registry_window.py::
 #         test_saturated_queries_are_retired and
 #         test_fillers_are_least_recently_attested).
@@ -112,7 +113,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-12 additions — never driver-attested (each displaced a filler)
+    # round-12 additions (single-green), earning their second row
     "jpeg_pixel_decode_ac_refine",
     "lang_id_nb",
     "png_adam7_decode",
@@ -123,7 +124,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ols_fit_per_source",
     "winnowing_fingerprints",
     "kendall_concordance",
-    # round-11 additions (single-green), earning their second row
+    # round-11 additions (double-green), earning their third row
     "jpeg_pixel_decode_420",
     "warc_ingest",
     "zip_member_extract",
@@ -151,34 +152,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "csv_dialect_torture",
     "parquet_delta_decode",
     "schema_evolution_merge",
-    # doubles: the round-11 second-session deferrals seated first
-    # (round-11 VERDICT item 3), then the 7 round-10 additions earning
-    # their third row
-    "vocab_growth",
-    "welch_z_test",
-    "quantile_sketch_dyadic",
-    "ann_topk_buckets",
-    "jpeg_pixel_decode_ac",
-    "stream_cusum_fold",
-    "countmin_freq_estimate",
-    "hll_distinct_charfold",
-    "hll_set_overlap",
-    # 14 least-recently-attested exactly-3 fillers (last green rows from
-    # rounds 3-4: the eleven r3-last-green queries plus the three oldest
-    # r4 ones), displaced newest-last-green-first (reverse registration
-    # order on ties) as round-12 queries land
-    "global_sort",
-    "formatted_sink",
-    "join_full_outer",
-    "join_semi_anti",
-    # (fillers displaced newest-last-green-first: embedding_correlation
-    # gave its slot to jpeg_pixel_decode_ac_refine, ann_topk_bruteforce
-    # to lang_id_nb, dedup_embedding_cosine to png_adam7_decode,
-    # dedup_jaccard_exact, dedup_exact, word_count, scalar_functions and
-    # rollup_cube — reverse registration order within the r3 group — to
-    # avro_ingest, mann_whitney_u, audio_adpcm_decode,
-    # funnel_conversion and ols_fit_per_source; window_analytic and
-    # topk_per_key to winnowing_fingerprints and kendall_concordance)
+    # 13 least-recently-attested exactly-3 fillers (last green rows from
+    # rounds 3-4: the seven r3-last-green queries plus the six
+    # oldest-registered r4 ones), displaced newest-last-green-first
+    # (reverse registration order on ties) as round-13 queries land
+    "topk_per_key",
+    "window_analytic",
+    "rollup_cube",
+    "scalar_functions",
+    "word_count",
+    "dedup_exact",
+    "dedup_jaccard_exact",
+    "dedup_embedding_cosine",
+    "ann_topk_bruteforce",
+    "embedding_correlation",
+    "image_header_metadata",
+    "media_header_metadata",
+    "events_tumbling_window",
 )
 
 

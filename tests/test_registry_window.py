@@ -34,21 +34,19 @@ ROWS_ONLY = {
     "quantile_sketch_values",
 }
 
-# Round-12 rotation: the 27 round-11 singles take their second row, all
-# 9 doubles fit (the 7 round-10 additions plus vocab_growth and
-# welch_z_test — the round-11 second-session deferrals, seated per
-# round-11 VERDICT item 3 — so DEFERRED_DOUBLES empties again), and 14
-# exactly-3 fillers round out the 50, displaced one-by-one as round-12
-# additions land.
+# Round-13 rotation: the 10 round-12 singles take their second row, all
+# 27 doubles (the round-11 additions) take their third, and 13 exactly-3
+# fillers round out the 50, displaced one-by-one as round-13 additions
+# land. DEFERRED_DOUBLES stays empty.
 DEFERRED_DOUBLES: set[str] = set()
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
 # driver rows — their prior attestations describe the old code, so they
 # re-enter the window even though the low-attestation rule alone would
-# exclude them. Round 12: empty so far — the ADVICE hardening fixes
-# (archives.py, urls.py, parquet_footer.py, html.py) all touch queries
-# that are single-green round-11 additions already holding window slots
-# by right.
+# exclude them. Round 13: empty so far — the round-12 ADVICE fixes
+# (winnowing oracle coalesce, kendall tie-term BIGINT, avro varint
+# bound) all touch queries that are single-green round-12 additions
+# already holding window slots by right.
 CHANGED_CODE_REATTEST: set[str] = set()
 
 # Saturation retirement (round-10 VERDICT item 8): a query holding
@@ -58,34 +56,37 @@ CHANGED_CODE_REATTEST: set[str] = set()
 # would starve fresh code of driver rows.
 SATURATED_AT = 4
 
-# Exactly-3-attested fillers holding the spare slots until round-12
-# additions displace them. Selection policy (round-11): the 14
+# Exactly-3-attested fillers holding the spare slots until round-13
+# additions displace them. Selection policy (round-11): the 13
 # LEAST-RECENTLY-ATTESTED exactly-3 queries — oldest most-recent green
 # round first, registration order as tie-break; displacement pops the
 # NEWEST-last-green filler first (reverse registration order on ties),
 # which preserves the least-recent invariant
-# test_fillers_are_least_recently_attested asserts. The r12 fillers'
-# last green rows date from rounds 3-4: eleven r3-last-green queries
-# (which sat out round 11 after funding its additions) plus the three
-# oldest r4 ones.
+# test_fillers_are_least_recently_attested asserts. The r13 fillers'
+# last green rows date from rounds 3-4: the seven r3-last-green queries
+# (which sat out round 12 after funding its additions) plus the six
+# oldest-registered r4 ones.
 TRIPLE_FILLERS: set[str] = {
-    "global_sort",
-    "formatted_sink",
-    "join_full_outer",
-    "join_semi_anti",
+    "topk_per_key",
+    "window_analytic",
+    "rollup_cube",
+    "scalar_functions",
+    "word_count",
+    "dedup_exact",
+    "dedup_jaccard_exact",
+    "dedup_embedding_cosine",
+    "ann_topk_bruteforce",
+    "embedding_correlation",
+    "image_header_metadata",
+    "media_header_metadata",
+    "events_tumbling_window",
 }
 _DISPLACEMENT_LOG = {
-    # (new queries pop the newest-last-green filler first —
-    # embedding_correlation, ann_topk_bruteforce, dedup_embedding_cosine:
-    # r4 last-green in reverse registration order — then the r3 group
-    # starting from dedup_jaccard_exact.
-    # embedding_correlation gave its slot to jpeg_pixel_decode_ac_refine;
-    # ann_topk_bruteforce to lang_id_nb; dedup_embedding_cosine to
-    # png_adam7_decode; dedup_jaccard_exact to avro_ingest;
-    # dedup_exact to mann_whitney_u; word_count to audio_adpcm_decode;
-    # scalar_functions to funnel_conversion; rollup_cube to
-    # ols_fit_per_source; window_analytic to winnowing_fingerprints;
-    # topk_per_key to kendall_concordance)
+    # (round-13 additions pop the newest-last-green filler first — the
+    # r4 group in reverse registration order: events_tumbling_window,
+    # media_header_metadata, image_header_metadata, embedding_correlation,
+    # ann_topk_bruteforce, dedup_embedding_cosine — then the r3 group
+    # starting from dedup_jaccard_exact.)
 }
 
 
@@ -95,7 +96,7 @@ _DISPLACEMENT_LOG = {
 # gives every in-window entry one MORE green row — counting that file
 # would flip test_window_prioritizes_low_attestation red before the
 # next rotation happens. Bump this when rotating the window.
-WINDOW_BASIS_ROUND = 11
+WINDOW_BASIS_ROUND = 12
 
 
 def _attestations() -> dict[str, int]:
