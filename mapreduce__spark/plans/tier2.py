@@ -266,45 +266,32 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
     ndt AS (SELECT count(*) AS ndt FROM documents),
     pri AS (
-      SELECT sum(CASE WHEN lang = 'de' THEN pm END) AS p_de,
-             sum(CASE WHEN lang = 'en' THEN pm END) AS p_en,
-             sum(CASE WHEN lang = 'es' THEN pm END) AS p_es,
-             sum(CASE WHEN lang = 'fr' THEN pm END) AS p_fr,
-             sum(CASE WHEN lang = 'zh' THEN pm END) AS p_zh
-      FROM (SELECT lang,
-                   CAST(floor(-ln(CAST(nd AS DOUBLE) / CAST(ndt AS DOUBLE))
-                              * 1000000 + 0.5) AS BIGINT) AS pm
-            FROM nd CROSS JOIN ndt)
+      SELECT lang,
+             CAST(floor(-ln(CAST(nd AS DOUBLE) / CAST(ndt AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT) AS pm
+      FROM nd CROSS JOIN ndt
     ),
     dg AS (
       SELECT doc_id, labeled_lang, gram, count(*) AS k
       FROM inst GROUP BY 1, 2, 3
     ),
     sc AS (
-      SELECT doc_id, labeled_lang,
-             sum(CASE WHEN m.lang = 'de' THEN k * l_micro END) AS s_de,
-             sum(CASE WHEN m.lang = 'en' THEN k * l_micro END) AS s_en,
-             sum(CASE WHEN m.lang = 'es' THEN k * l_micro END) AS s_es,
-             sum(CASE WHEN m.lang = 'fr' THEN k * l_micro END) AS s_fr,
-             sum(CASE WHEN m.lang = 'zh' THEN k * l_micro END) AS s_zh
-      FROM dg JOIN model m USING (gram) GROUP BY 1, 2
+      SELECT doc_id, labeled_lang, m.lang, sum(k * l_micro) AS s
+      FROM dg JOIN model m USING (gram) GROUP BY 1, 2, 3
     ),
     t AS (
-      SELECT doc_id, labeled_lang,
-             s_de + p_de AS t_de, s_en + p_en AS t_en,
-             s_es + p_es AS t_es, s_fr + p_fr AS t_fr,
-             s_zh + p_zh AS t_zh
-      FROM sc CROSS JOIN pri
+      SELECT doc_id, labeled_lang, sc.lang, sc.s + pri.pm AS total
+      FROM sc JOIN pri ON pri.lang = sc.lang
+    ),
+    pred AS (
+      SELECT doc_id, labeled_lang, lang AS predicted_lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY total, lang) AS rn
+      FROM t
     )
-    SELECT labeled_lang,
-           CASE WHEN t_de <= t_en AND t_de <= t_es AND t_de <= t_fr
-                     AND t_de <= t_zh THEN 'de'
-                WHEN t_en <= t_es AND t_en <= t_fr AND t_en <= t_zh THEN 'en'
-                WHEN t_es <= t_fr AND t_es <= t_zh THEN 'es'
-                WHEN t_fr <= t_zh THEN 'fr'
-                ELSE 'zh' END AS predicted_lang,
+    SELECT labeled_lang, predicted_lang,
            CAST(count(*) AS BIGINT) AS n_docs
-    FROM t GROUP BY 1, 2
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
     """,
     tags=("tier2", "text", "pipeline"),
 )
@@ -332,9 +319,12 @@ def lang_id_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc gram counts (map-side combined, checkpointed) feeds both
     the scoring join and — re-aggregated to gram x lang — the model,
     which is gram-vocab x n_langs rows (hundreds) and BROADCAST back;
-    one shuffle by doc_id aggregates the five scores as conditional
-    sums — no per-row UDF, nothing quadratic, the corpus read once for
-    grams plus two trivial lang scans. Reference parity: tier-2 text-pipeline extension
+    one shuffle by (doc_id, lang) aggregates the LONG-form scores and a
+    struct-min argmin picks the prediction — the label set is derived
+    from the corpus (round-12 VERDICT item 4), never a hard-coded pivot,
+    so a new language is one more broadcast-model row. No per-row UDF,
+    nothing quadratic, the corpus read once for grams plus two trivial
+    lang scans. Reference parity: tier-2 text-pipeline extension
     (SURVEY §2b O-24)."""
     docs = load_table(spark, sf_dir, "documents")
     txt = F.col("text")
@@ -387,64 +377,31 @@ def lang_id_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000
         + F.lit(0.5)
     ).cast("bigint")
-    pri = (
-        nd.crossJoin(F.broadcast(ndt))
-        .select("lang", pm.alias("pm"))
-        .agg(
-            *[
-                F.sum(F.when(F.col("lang") == lg, F.col("pm"))).alias(
-                    f"p_{lg}"
-                )
-                for lg in ("de", "en", "es", "fr", "zh")
-            ]
-        )
-    )
+    # DYNAMIC label pivot (round-12 VERDICT item 4): scores stay in LONG
+    # (doc, lang) form and the argmin is a struct-min over
+    # (total, lang) — alphabetical tie order for free — so the label set
+    # is derived from the corpus on both engines and an unseen lang is
+    # simply another model row, never a silently-missing CASE branch.
+    pri = nd.crossJoin(F.broadcast(ndt)).select("lang", pm.alias("pm"))
     sc = (
         dg.join(F.broadcast(model), "gram")
-        .groupBy("doc_id", "labeled_lang")
-        .agg(
-            *[
-                F.sum(
-                    F.when(
-                        F.col("lang") == lg, F.col("k") * F.col("l_micro")
-                    )
-                ).alias(f"s_{lg}")
-                for lg in ("de", "en", "es", "fr", "zh")
-            ]
-        )
+        .groupBy("doc_id", "labeled_lang", "lang")
+        .agg(F.sum(F.col("k") * F.col("l_micro")).alias("s"))
     )
-    t = sc.crossJoin(F.broadcast(pri)).select(
+    t = sc.join(F.broadcast(pri), "lang").select(
+        "doc_id",
         "labeled_lang",
-        *[
-            (F.col(f"s_{lg}") + F.col(f"p_{lg}")).alias(f"t_{lg}")
-            for lg in ("de", "en", "es", "fr", "zh")
-        ],
+        "lang",
+        (F.col("s") + F.col("pm")).alias("total"),
     )
-    predicted = (
-        F.when(
-            (F.col("t_de") <= F.col("t_en"))
-            & (F.col("t_de") <= F.col("t_es"))
-            & (F.col("t_de") <= F.col("t_fr"))
-            & (F.col("t_de") <= F.col("t_zh")),
-            F.lit("de"),
+    pred = t.groupBy("doc_id", "labeled_lang").agg(
+        F.min(F.struct("total", "lang")).getField("lang").alias(
+            "predicted_lang"
         )
-        .when(
-            (F.col("t_en") <= F.col("t_es"))
-            & (F.col("t_en") <= F.col("t_fr"))
-            & (F.col("t_en") <= F.col("t_zh")),
-            F.lit("en"),
-        )
-        .when(
-            (F.col("t_es") <= F.col("t_fr"))
-            & (F.col("t_es") <= F.col("t_zh")),
-            F.lit("es"),
-        )
-        .when(F.col("t_fr") <= F.col("t_zh"), F.lit("fr"))
-        .otherwise(F.lit("zh"))
     )
-    return t.groupBy(
-        "labeled_lang", predicted.alias("predicted_lang")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
 
 
 @query(

@@ -195,3 +195,55 @@ def test_avro_long_accepts_exactly_10_bytes():
 def test_avro_long_truncation_still_valueerror():
     with pytest.raises(ValueError, match="truncated"):
         _avro_long(bytes([0x80] * 5), 0)
+
+
+# ---------------------------------------------------------------------------
+# lang_id_nb: dynamic label pivot (round-12 VERDICT item 4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def six_lang_sf(tmp_path_factory) -> str:
+    """Six labels with disjoint character alphabets — one more than the
+    five the old hard-coded pivot knew about. Under the dynamic pivot
+    the sixth is just another model row; under the old CASE ladder it
+    could never be predicted."""
+    d = str(tmp_path_factory.mktemp("six_lang_sf"))
+    alphabets = {
+        "de": "abcde",
+        "en": "fghij",
+        "es": "klmno",
+        "fr": "pqrst",
+        "zh": "uvwxy",
+        "tr": "z0123",  # the sixth, unseen by the old pivot
+    }
+    rows = []
+    doc_id = 0
+    for lang, ab in alphabets.items():
+        for i in range(6):
+            words = [
+                "".join(ab[(i + j + k) % 5] for k in range(3 + j % 3))
+                for j in range(10)
+            ]
+            doc_id += 1
+            text = " ".join(words)
+            rows.append((doc_id, text, lang, "web", len(text)))
+    _write_documents(d, rows)
+    return d
+
+
+def test_lang_id_nb_sixth_label_predicted_and_matches_oracle(spark, six_lang_sf):
+    """VERDICT item 4: the label list is derived from the corpus, so a
+    sixth language must (a) appear on the confusion-matrix diagonal —
+    i.e. actually be PREDICTABLE — and (b) agree with the SQL oracle,
+    which pivots dynamically too."""
+    q = REGISTRY["lang_id_nb"]
+    ok, msg = compare_with_oracle(q.fn(spark, six_lang_sf), q.oracle, six_lang_sf)
+    assert ok, msg
+    got = {
+        (r.labeled_lang, r.predicted_lang): r.n_docs
+        for r in q.fn(spark, six_lang_sf).collect()
+    }
+    assert got == {
+        (lg, lg): 6 for lg in ("de", "en", "es", "fr", "zh", "tr")
+    }, got
