@@ -113,6 +113,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).
 DRIVER_WINDOW: tuple[str, ...] = (
+    # round-13 additions — never driver-attested (each displaced a filler)
+    "stream_mg_fold",
+    "stream_countmin_fold",
+    "stream_quantile_fold",
     # round-12 additions (single-green), earning their second row
     "jpeg_pixel_decode_ac_refine",
     "lang_id_nb",
@@ -166,9 +170,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
     "embedding_correlation",
-    "image_header_metadata",
-    "media_header_metadata",
-    "events_tumbling_window",
+    # (fillers displaced newest-last-green-first, r4 group in reverse
+    # registration order: events_tumbling_window gave its slot to
+    # stream_mg_fold, media_header_metadata to stream_countmin_fold,
+    # image_header_metadata to stream_quantile_fold)
 )
 
 

@@ -397,6 +397,74 @@ def batch_cusum_fold(events: DataFrame, k: int = 10, h_mult: int = 5) -> DataFra
     )
 
 
+def _mg_insert(mg: dict, u: int, c: int, cap: int) -> dict:
+    """ONE weighted Misra-Gries insert — the exact update the
+    stream_mg_heavy_hitters state store applies per (user, batch-count)
+    pair, shared verbatim with the batch_mg_fold driver-attested twin
+    (round-12 VERDICT item 5): add to an existing counter, else admit
+    the newcomer and, on overflow past cap, subtract the minimum counter
+    from everyone and evict the non-positive."""
+    if u in mg:
+        mg[u] += c
+        return mg
+    mg[u] = c
+    if len(mg) > cap:
+        d = min(mg.values())
+        mg = {k: v - d for k, v in mg.items() if v - d > 0}
+    return mg
+
+
+def _mg_batch_order(vc) -> list[tuple[int, int]]:
+    """Deterministic insertion order for one batch's value_counts:
+    count DESC, user ASC. pandas' tie order within equal counts is
+    unspecified, and MG's final summary depends on insertion order —
+    pinning the order makes both the stream's emission and the batch
+    fold reproducible (and the latter SQL-simulable)."""
+    return sorted(
+        ((int(u), int(c)) for u, c in vc.items()),
+        key=lambda t: (-t[1], t[0]),
+    )
+
+
+def batch_mg_fold(events: DataFrame, cap: int = 8) -> DataFrame:
+    """stream_mg_heavy_hitters' EXACT weighted-MG fold executed
+    batch-side per event_type (the batch_cusum_fold discipline,
+    round-12 VERDICT item 5): the whole series arrives as ONE batch —
+    what the stream computes when every event lands in a single
+    micro-batch — and each (user, count) is inserted with the shared
+    _mg_insert/_mg_batch_order helpers the state store calls. Unlike
+    cusum's merge-then-recompute, MG is NOT micro-batch-split-invariant
+    (only its error guarantees are, pinned in tests/test_streaming.py);
+    what this twin attests externally is the fold code itself, against
+    an independent SQL simulation of the same insertion sequence."""
+    import pandas as pd
+
+    def fold(key, pdf):
+        mg: dict = {}
+        vc = pdf["user_id"].value_counts()
+        total = int(vc.sum())
+        for u, c in _mg_batch_order(vc):
+            mg = _mg_insert(mg, u, c, cap)
+        users = sorted(mg)
+        return pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(users),
+                "user_id": users,
+                "est": [mg[u] for u in users],
+                "n_seen": [total] * len(users),
+            }
+        )
+
+    return (
+        events.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandas(
+            fold,
+            "event_type string, user_id bigint, est bigint, n_seen bigint",
+        )
+    )
+
+
 def stream_mg_heavy_hitters(events: DataFrame, cap: int = 63) -> DataFrame:
     """Stateful streaming heavy hitters per event_type via a weighted
     Misra-Gries summary in the state store — the streaming twin of the
@@ -421,15 +489,8 @@ def stream_mg_heavy_hitters(events: DataFrame, cap: int = 63) -> DataFrame:
         rows = pd.concat(list(pdfs), ignore_index=True)
         vc = rows["user_id"].value_counts()
         total += int(vc.sum())
-        for u, c in vc.items():
-            u = int(u)
-            if u in mg:
-                mg[u] += int(c)
-                continue
-            mg[u] = int(c)
-            if len(mg) > cap:
-                d = min(mg.values())
-                mg = {k: v - d for k, v in mg.items() if v - d > 0}
+        for u, c in _mg_batch_order(vc):
+            mg = _mg_insert(mg, u, c, cap)
         users2 = sorted(mg)
         state.update((users2, [mg[u] for u in users2], total))
         yield pd.DataFrame(
@@ -451,6 +512,92 @@ def stream_mg_heavy_hitters(events: DataFrame, cap: int = 63) -> DataFrame:
         ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _hist_merge_counts(hist: dict, items) -> None:
+    """The MERGE half of the sketch-cell state fold: add a batch's
+    ((k1, k2), count) pairs into the cell-count map — the additive
+    monoid both bounded-state sketches ride. Shared verbatim by
+    stream_dd_quantiles ((sgn, idx) buckets) and stream_countmin
+    ((row, col) cells) state updates and by their batch_quantile_fold /
+    batch_cm_fold driver-attested twins (round-12 VERDICT item 5)."""
+    for key, c in items:
+        k = (int(key[0]), int(key[1]))
+        hist[k] = hist.get(k, 0) + int(c)
+
+
+def _hist_value_order(hist: dict) -> list:
+    """Buckets in value order: negatives by descending magnitude, zero,
+    positives ascending — the (sgn, sgn*idx) sort of the batch read."""
+    return sorted(hist.items(), key=lambda kv: (kv[0][0], kv[0][0] * kv[0][1]))
+
+
+def _hist_pick(items: list, total: int, num: int, den: int) -> tuple:
+    """The READ half: percentile_disc bucket pick — the first bucket in
+    value order whose cumulative count reaches rank num/den, via the
+    pure-integer cum*den >= num*total comparison (no float rank)."""
+    cum = 0
+    for key, n in items:
+        cum += n
+        if cum * den >= num * total:
+            return key
+    return items[-1][0]
+
+
+def batch_quantile_fold(events: DataFrame) -> DataFrame:
+    """stream_dd_quantiles' EXACT state fold + bucket walk executed
+    batch-side per event_type (the batch_cusum_fold discipline,
+    round-12 VERDICT item 5), on the ORACLE-SAFE dyadic cents buckets:
+    the gamma (log) bucketing is not cross-engine hash-checkable (libm —
+    why quantile_sketch_values is rows-only), but the FOLD is
+    bucket-scheme-agnostic, so running the same _hist_merge_counts /
+    _hist_value_order / _hist_pick helpers the state store calls over
+    power-of-two integer buckets attests the fold and walk end-to-end
+    against an independent SQL window formulation. Emits the exact
+    [lo, hi] cent bounds of each picked bucket, like
+    quantile_sketch_dyadic — which computes the same answer with a
+    Spark window instead of the state-store fold."""
+    import pandas as pd
+
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    bucket = (
+        F.when(cents > 0, F.length(F.bin(cents)))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    bucketed = events.where(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    ).select(
+        "event_type",
+        F.when(bucket > 0, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("sgn"),
+        bucket.alias("idx"),
+    )
+
+    def lo_hi(key: tuple) -> tuple[int, int]:
+        b = key[1]
+        if b <= 0:
+            return 0, 0
+        return 1 << (b - 1), (1 << b) - 1
+
+    def fold(key, pdf):
+        hist: dict = {}
+        _hist_merge_counts(hist, pdf.groupby(["sgn", "idx"]).size().items())
+        items = _hist_value_order(hist)
+        total = sum(hist.values())
+        out = {"event_type": [key[0]], "n_rows": [total]}
+        for name, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+            lo, hi = lo_hi(_hist_pick(items, total, num, den))
+            out[f"{name}_lo_cents"] = [lo]
+            out[f"{name}_hi_cents"] = [hi]
+        return pd.DataFrame(out)
+
+    return bucketed.groupBy("event_type").applyInPandas(
+        fold,
+        "event_type string, n_rows bigint, "
+        "p50_lo_cents bigint, p50_hi_cents bigint, "
+        "p90_lo_cents bigint, p90_hi_cents bigint, "
+        "p99_lo_cents bigint, p99_hi_cents bigint",
     )
 
 
@@ -492,11 +639,8 @@ def stream_dd_quantiles(events: DataFrame, alpha: float = 0.01) -> DataFrame:
         else:
             hist = {}
         for pdf in pdfs:
-            for (s, i), c in pdf.groupby(["sgn", "idx"]).size().items():
-                hist[(int(s), int(i))] = hist.get((int(s), int(i)), 0) + int(c)
-        # value-order walk: negatives by descending magnitude, zero,
-        # positives ascending — the (sgn, sgn*idx) sort of the batch read
-        items = sorted(hist.items(), key=lambda kv: (kv[0][0], kv[0][0] * kv[0][1]))
+            _hist_merge_counts(hist, pdf.groupby(["sgn", "idx"]).size().items())
+        items = _hist_value_order(hist)
         state.update(
             (
                 [s for (s, _), _ in items],
@@ -512,12 +656,7 @@ def stream_dd_quantiles(events: DataFrame, alpha: float = 0.01) -> DataFrame:
             return s * (2.0 * _math.pow(gamma, i) / (gamma + 1.0))
 
         def disc(num: int, den: int) -> float:
-            cum = 0
-            for (s, i), n in items:
-                cum += n
-                if cum * den >= num * total:
-                    return est(s, i)
-            return est(*items[-1][0])
+            return est(*_hist_pick(items, total, num, den))
 
         yield pd.DataFrame(
             {
@@ -538,6 +677,49 @@ def stream_dd_quantiles(events: DataFrame, alpha: float = 0.01) -> DataFrame:
         stateStructType="sgns array<int>, idxs array<bigint>, ns array<bigint>",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_cm_fold(events: DataFrame, item_col: str = "user_id") -> DataFrame:
+    """stream_countmin's EXACT state fold executed batch-side per
+    event_type (the batch_cusum_fold discipline, round-12 VERDICT
+    item 5): items are hashed to (row, col) cells with the same Spark
+    expressions the stream pre-buckets with, then the whole series
+    arrives as ONE batch and the shared _hist_merge_counts fold — the
+    very code the state store calls — accumulates the cell map, emitted
+    as the full sketch (event_type, row, col, n). Cell counts are an
+    additive monoid, so this equals the stream's final emission over ANY
+    micro-batch split (pinned in tests/test_streaming.py) AND is
+    SQL-expressible as a plain charfold/affine group-by — the
+    independent oracle."""
+    import pandas as pd
+
+    from mapreduce__spark.operators.qsketch import CM_DEPTH, _charfold, _cm_col
+
+    h = _charfold(F.col(item_col).cast("string"))
+    cells = events.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("row"),
+        h.alias("_h"),
+    ).select(
+        "event_type", "row", _cm_col(F.col("_h"), F.col("row")).alias("col")
+    )
+
+    def fold(key, pdf):
+        cellmap: dict = {}
+        _hist_merge_counts(cellmap, pdf.groupby(["row", "col"]).size().items())
+        items = sorted(cellmap.items())
+        return pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(items),
+                "row": [r for (r, _), _ in items],
+                "col": [c for (_, c), _ in items],
+                "n": [n for _, n in items],
+            }
+        )
+
+    return cells.groupBy("event_type").applyInPandas(
+        fold, "event_type string, row bigint, col bigint, n bigint"
     )
 
 
@@ -572,8 +754,7 @@ def stream_countmin(events: DataFrame, item_col: str = "user_id") -> DataFrame:
         rows, cols, ns = state.get if state.exists else ([], [], [])
         cellmap = dict(zip(zip(list(rows), list(cols)), list(ns)))
         for pdf in pdfs:
-            for (r, c), cnt in pdf.groupby(["row", "col"]).size().items():
-                cellmap[(int(r), int(c))] = cellmap.get((int(r), int(c)), 0) + int(cnt)
+            _hist_merge_counts(cellmap, pdf.groupby(["row", "col"]).size().items())
         items = sorted(cellmap.items())
         state.update(
             (

@@ -101,6 +101,10 @@ PROBE = [
     "bpe_learn_merges",
     "asof_nearest_events",
     "jpeg_pixel_decode_progressive",
+    # round-13 additions
+    "stream_mg_fold",
+    "stream_countmin_fold",
+    "stream_quantile_fold",
 ]
 
 

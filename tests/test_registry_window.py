@@ -77,16 +77,13 @@ TRIPLE_FILLERS: set[str] = {
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
     "embedding_correlation",
-    "image_header_metadata",
-    "media_header_metadata",
-    "events_tumbling_window",
 }
 _DISPLACEMENT_LOG = {
     # (round-13 additions pop the newest-last-green filler first — the
-    # r4 group in reverse registration order: events_tumbling_window,
-    # media_header_metadata, image_header_metadata, embedding_correlation,
-    # ann_topk_bruteforce, dedup_embedding_cosine — then the r3 group
-    # starting from dedup_jaccard_exact.)
+    # r4 group in reverse registration order, then the r3 group starting
+    # from dedup_jaccard_exact. events_tumbling_window gave its slot to
+    # stream_mg_fold; media_header_metadata to stream_countmin_fold;
+    # image_header_metadata to stream_quantile_fold.)
 }
 
 
