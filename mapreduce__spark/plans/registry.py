@@ -117,6 +117,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_mg_fold",
     "stream_countmin_fold",
     "stream_quantile_fold",
+    "kn_lm_score",
     # round-12 additions (single-green), earning their second row
     "jpeg_pixel_decode_ac_refine",
     "lang_id_nb",
@@ -169,11 +170,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_jaccard_exact",
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
-    "embedding_correlation",
     # (fillers displaced newest-last-green-first, r4 group in reverse
     # registration order: events_tumbling_window gave its slot to
     # stream_mg_fold, media_header_metadata to stream_countmin_fold,
-    # image_header_metadata to stream_quantile_fold)
+    # image_header_metadata to stream_quantile_fold,
+    # embedding_correlation to kn_lm_score)
 )
 
 

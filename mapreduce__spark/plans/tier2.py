@@ -11501,3 +11501,130 @@ def stream_quantile_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return batch_quantile_fold(ev)
+
+
+@query(
+    "kn_lm_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), inst AS (
+        SELECT doc_id, toks[i] AS left_tok, toks[i + 1] AS right_tok
+        FROM t CROSS JOIN UNNEST(range(1, len(toks))) AS r(i)
+    ), big AS (
+        SELECT left_tok, right_tok, CAST(count(*) AS BIGINT) AS c12
+        FROM inst GROUP BY 1, 2
+    ), ctx AS (
+        SELECT left_tok, CAST(sum(c12) AS BIGINT) AS c1x,
+               CAST(count(*) AS BIGINT) AS a1
+        FROM big GROUP BY 1
+    ), cont AS (
+        SELECT right_tok, CAST(count(*) AS BIGINT) AS b2 FROM big GROUP BY 1
+    ), ttot AS (
+        SELECT CAST(count(*) AS DOUBLE) AS t FROM big
+    ), stats AS (
+        SELECT b.left_tok, b.right_tok, b.c12, c.c1x, c.a1, k.b2
+        FROM big b
+        JOIN ctx c ON b.left_tok = c.left_tok
+        JOIN cont k ON b.right_tok = k.right_tok
+    )
+    SELECT i.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST((2 * sum(CAST(floor(-ln(
+                     ((4 * s.c12 - 3) * n.t + 3.0 * s.a1 * s.b2)
+                     / ((4.0 * s.c1x) * n.t)
+                 ) * 1000000 + 0.5) AS BIGINT)) + count(*))
+                // (2 * count(*)) AS DOUBLE) / 1000000 AS nll
+    FROM inst i
+    JOIN stats s ON i.left_tok = s.left_tok AND i.right_tok = s.right_tok
+    CROSS JOIN ttot n
+    GROUP BY i.doc_id
+    """,
+    tags=("tier2", "text", "pipeline"),
+)
+def kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram score (round-12 VERDICT item 7) —
+    the standard perplexity-filter upgrade over bigram_lm_score's
+    Jelinek-Mercer mixture (Kneser & Ney, ICASSP 1995; Chen & Goodman,
+    CL 1999): absolute discount d = 3/4 off every seen bigram, with the
+    reclaimed mass backing off to the CONTINUATION unigram — how many
+    distinct contexts a word FOLLOWS, not how often it occurs — which is
+    what demotes high-count-but-single-context words ("Francisco") that
+    fool the plain-frequency fallback:
+
+        p_KN(w2 | w1) = (c12 - d)/c1x + d*A1/c1x * B2/T
+                      = ((4*c12 - 3)*T + 3*A1*B2) / (4*c1x*T)
+
+    with A1 = distinct continuation types after w1, B2 = distinct
+    contexts before w2, T = total distinct bigram types. Every scored
+    instance exists in the model (trained on the same corpus), so
+    c12 >= 1 and the max(c12 - d, 0) clamp is identically c12 - d:
+    choosing d = 3/4 makes the whole probability ONE exact rational of
+    integers — the bigram_lm_score float discipline holds verbatim
+    (identical IEEE expression tree both engines, ln quantized to
+    integer micro-NLL via floor(x*1e6 + 0.5), half-up integer mean
+    division, one final /1e6).
+
+    Scale shape: identical to bigram_lm_score — the bigram table is the
+    one word-count-scaling aggregate; A1/c1x ride the same groupBy that
+    builds the context totals, B2 and T are two more aggregates OVER THE
+    BIGRAM TABLE (vocab-sized, not corpus-sized); the stats relation is
+    materialized once and instances equi-join it (AQE broadcasts the
+    vocab head when it fits). Law test vs a pure-Python KN reference in
+    tests/test_round13_properties.py. Reference parity: tier-2
+    text-pipeline extension (SURVEY §2b O-24)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks_col = tokenize(F.col("text"))
+
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(toks_col) - 1),
+        lambda i: F.struct(
+            F.element_at(toks_col, i).alias("left_tok"),
+            F.element_at(toks_col, i + 1).alias("right_tok"),
+        ),
+    )
+    # sequence() counts DOWN when stop < start: 1-token docs must yield
+    # no bigrams (the word_ngrams hazard)
+    guarded = F.when(F.size(toks_col) >= 2, make).otherwise(
+        F.array().cast("array<struct<left_tok:string,right_tok:string>>")
+    )
+    inst = docs.select("doc_id", F.explode(guarded).alias("p")).select(
+        "doc_id", "p.left_tok", "p.right_tok"
+    )
+    big = inst.groupBy("left_tok", "right_tok").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    ctx = big.groupBy("left_tok").agg(
+        F.sum("c12").alias("c1x"), F.count(F.lit(1)).alias("a1")
+    )
+    cont = big.groupBy("right_tok").agg(F.count(F.lit(1)).alias("b2"))
+    ttot = big.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    stats = (
+        big.join(ctx, "left_tok")
+        .join(cont, "right_tok")
+        .localCheckpoint(eager=True)
+    )
+
+    mix = (
+        ((F.lit(4) * F.col("c12") - F.lit(3)) * F.col("t"))
+        + (F.lit(3.0) * F.col("a1") * F.col("b2"))
+    ) / ((F.lit(4.0) * F.col("c1x")) * F.col("t"))
+    per_term_micro = F.floor(-F.log(mix) * 1000000 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return (
+        inst.join(stats, ["left_tok", "right_tok"])
+        .crossJoin(F.broadcast(ttot))
+        .withColumn("tm", per_term_micro)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.expr(
+                    "CAST((2 * sum(tm) + count(1)) DIV (2 * count(1)) "
+                    "AS DOUBLE)"
+                )
+                / 1000000
+            ).alias("nll"),
+        )
+    )

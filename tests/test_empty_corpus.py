@@ -105,6 +105,7 @@ PROBE = [
     "stream_mg_fold",
     "stream_countmin_fold",
     "stream_quantile_fold",
+    "kn_lm_score",
 ]
 
 

@@ -76,14 +76,14 @@ TRIPLE_FILLERS: set[str] = {
     "dedup_jaccard_exact",
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
-    "embedding_correlation",
 }
 _DISPLACEMENT_LOG = {
     # (round-13 additions pop the newest-last-green filler first — the
     # r4 group in reverse registration order, then the r3 group starting
     # from dedup_jaccard_exact. events_tumbling_window gave its slot to
     # stream_mg_fold; media_header_metadata to stream_countmin_fold;
-    # image_header_metadata to stream_quantile_fold.)
+    # image_header_metadata to stream_quantile_fold;
+    # embedding_correlation to kn_lm_score.)
 }
 
 
