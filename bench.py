@@ -36,6 +36,13 @@ REGRESSION_FACTOR = 1.5  # warn loudly on >1.5x per-query slowdown vs last round
 # machine gets a loud stderr warning plus a `contended: true` stamp in
 # the JSON so the reader knows the numbers carry an inflated noise floor.
 CONTENTION_LOAD_1M = 2.0  # >2 runnable tasks before OUR session starts
+# Round-12 VERDICT item 2: the r12 driver bench waited on load1 and still
+# ran hot — load5 was 3.38 and every untouched query drifted 1.05-1.41x in
+# lockstep. load5 decays slowly, so a high load5 with a calm load1 means
+# the machine JUST finished being busy and residual pressure (page cache
+# churn, cgroup throttle windows) is still live: treat it as contended so
+# the idle wait keeps holding.
+CONTENTION_LOAD_5M = 3.0
 
 
 def _contention_snapshot() -> dict:
@@ -61,7 +68,11 @@ def _contention_snapshot() -> dict:
         "load1": round(load1, 2),
         "load5": round(load5, 2),
         "other_jvms": other_jvms,
-        "contended": load1 > CONTENTION_LOAD_1M or other_jvms > 0,
+        "contended": (
+            load1 > CONTENTION_LOAD_1M
+            or load5 > CONTENTION_LOAD_5M
+            or other_jvms > 0
+        ),
     }
     if snap["contended"]:
         print(
@@ -103,6 +114,57 @@ def _wait_for_idle() -> dict:
         snap = _contention_snapshot()
     snap["waited_s"] = waited
     return snap
+
+
+def _drift_adjust(deltas: dict[str, float]) -> tuple[float, dict[str, float]]:
+    """Separate code-attributable deltas from host drift (round-12
+    VERDICT item 2): host contention moves EVERY query in lockstep
+    (r12: untouched queries drifted 1.05-1.41x at load5 3.38), while a
+    code change moves few, so the MEDIAN delta estimates the session-
+    wide drift factor and delta/drift is the code-attributable residual.
+    Returns (drift, {query: adjusted delta})."""
+    if not deltas:
+        return 1.0, {}
+    vals = sorted(deltas.values())
+    n = len(vals)
+    drift = vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2
+    if drift <= 0:
+        return 1.0, dict(deltas)
+    return round(drift, 3), {k: round(v / drift, 2) for k, v in deltas.items()}
+
+
+def _time_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Median of 3 warm runs per query (round-3 VERDICT item 2): the
+    sub-second tier-0 queries moved ±0.2s between rounds on min-of-2,
+    which is scheduling noise, not signal. One untimed cold run absorbs
+    codegen/footer-read warmup, then the median of 3 timed runs sheds a
+    single external-load spike in EITHER direction (min would hide a
+    real regression that hits 2 of 3 runs; median doesn't)."""
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        q = REGISTRY[name]
+        q.fn(spark, sf_dir).collect()  # warmup: codegen + parquet footers
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
+        # Drop Python refs to the per-run DataFrames so the ContextCleaner
+        # can free their localCheckpoint blocks (the session's periodic GC
+        # does the JVM side). An explicit System.gc() here was tried and
+        # REJECTED: the forced full GC inflated every subsequent query
+        # 10-45% (re-JIT after code-cache flushing), costing more than the
+        # reclaimed blocks bought.
+        gc.collect()
+    return timings
+
+
+# A whole-session re-measure fires when the machine was STILL contended
+# after the idle wait AND the first session's median delta vs baseline
+# shows lockstep drift past this factor — one clean(er) second pass, the
+# per-query min of the two medians wins (a real regression survives both).
+SESSION_RERUN_DRIFT = 1.15
 
 
 def _baseline_queries(sf: float) -> tuple[str, dict[str, float]]:
@@ -660,30 +722,32 @@ def main() -> None:
     # excluded from per-query numbers.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # Median of 3 warm runs per query (round-3 VERDICT item 2): the
-    # sub-second tier-0 queries moved ±0.2s between rounds on min-of-2,
-    # which is scheduling noise, not signal — no engine commit touched
-    # them. One untimed cold run absorbs codegen/footer-read warmup, then
-    # the median of 3 timed runs sheds a single external-load spike in
-    # EITHER direction (min would hide a real regression that hits 2 of
-    # 3 runs; median doesn't).
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        q = REGISTRY[name]
-        q.fn(spark, sf_dir).collect()  # warmup: codegen + parquet footers
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            q.fn(spark, sf_dir).collect()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
-        # Drop Python refs to the per-run DataFrames so the ContextCleaner
-        # can free their localCheckpoint blocks (the session's periodic GC
-        # does the JVM side). An explicit System.gc() here was tried and
-        # REJECTED: the forced full GC inflated every subsequent query
-        # 10-45% (re-JIT after code-cache flushing), costing more than the
-        # reclaimed blocks bought.
-        gc.collect()
+    timings = _time_queries(spark, sf_dir)
+
+    # Whole-session re-measure (round-12 VERDICT item 2): if the idle
+    # wait gave up with the machine still contended AND the first
+    # session's deltas show lockstep drift, the whole numbers carry a
+    # session-wide inflation no per-query re-run can shed — re-run the
+    # session once and take the per-query min of the two medians.
+    base_file_early, base_early = _baseline_queries(sf)
+    session_rerun = None
+    if contention.get("contended") and base_early:
+        first_deltas = {
+            n: timings[n] / base_early[n]
+            for n in timings
+            if n in base_early and base_early[n] > 0
+        }
+        drift_first, _ = _drift_adjust(first_deltas)
+        if drift_first >= SESSION_RERUN_DRIFT:
+            print(
+                f"BENCH SESSION RERUN: contended start and lockstep drift "
+                f"{drift_first}x vs {base_file_early} — re-measuring the "
+                "whole session once",
+                file=sys.stderr,
+            )
+            second = _time_queries(spark, sf_dir)
+            timings = {n: min(timings[n], second[n]) for n in timings}
+            session_rerun = {"drift_first": drift_first}
 
     # Outlier re-run (round-7 VERDICT item 2): any query whose median
     # reads > REGRESSION_FACTOR x the prior round gets ONE fresh
@@ -728,6 +792,8 @@ def main() -> None:
     }
     if reruns:
         out["reruns"] = reruns
+    if session_rerun:
+        out["session_rerun"] = session_rerun
 
     # Durable-staging delta (round-6 VERDICT item 3): one warm run of the
     # flagship with its three corpus-proportional materializations staged
@@ -778,13 +844,39 @@ def main() -> None:
         # each of the 2000-char stdout window the driver parses from.
         notable = {n: d for n, d in deltas.items() if abs(d - 1.0) >= 0.05}
         out["deltas_vs_baseline"] = notable
+        # Contention-adjusted deltas (round-12 VERDICT item 2): the
+        # median delta is the session-wide host-drift factor; delta /
+        # drift is the code-attributable residual the regression gate
+        # should read when the host ran hot.
+        drift, adj = _drift_adjust(deltas)
+        out["drift"] = drift
+        out["deltas_adj"] = {
+            n: a for n, a in adj.items() if abs(a - 1.0) >= 0.05
+        }
         out["deltas_note"] = (
-            f"{len(deltas) - len(notable)} more within 5% of 1.0 omitted"
+            f"deltas_adj = delta / median drift {drift} (code-attributable "
+            f"residual); near-1.0 entries omitted from both blocks"
         )
-        regressed = {n: d for n, d in deltas.items() if d > REGRESSION_FACTOR}
-        if regressed:
+        code_regressed = {
+            n: d
+            for n, d in deltas.items()
+            if d > REGRESSION_FACTOR and adj.get(n, d) > REGRESSION_FACTOR
+        }
+        drift_only = {
+            n: d
+            for n, d in deltas.items()
+            if d > REGRESSION_FACTOR and adj.get(n, d) <= REGRESSION_FACTOR
+        }
+        if code_regressed:
             print(
-                f"PERF REGRESSION vs {base_file} (> {REGRESSION_FACTOR}x): {regressed}",
+                f"PERF REGRESSION vs {base_file} (> {REGRESSION_FACTOR}x raw "
+                f"AND drift-adjusted): {code_regressed}",
+                file=sys.stderr,
+            )
+        if drift_only:
+            print(
+                f"HOST DRIFT (raw > {REGRESSION_FACTOR}x but within it after "
+                f"/{drift} drift normalization): {drift_only}",
                 file=sys.stderr,
             )
 
@@ -825,7 +917,7 @@ def main() -> None:
     # the judge reads deltas and scaling tiers, nobody needs the
     # methodology string more than the source comment it duplicates.
     for victim in ("methodology", "scaling_note", "deltas_note", "staging",
-                   "reruns", "deltas_vs_baseline", "scaling"):
+                   "reruns", "deltas_vs_baseline", "deltas_adj", "scaling"):
         if len(json.dumps(out)) <= LINE_BUDGET:
             break
         if victim in out:

@@ -147,6 +147,13 @@ def test_bench_contract(tmp_path):
         # (recording them in "trimmed") when the line would outgrow it
         "deltas_note",
         "trimmed",
+        # round-13 contention hardening: median-drift factor, the
+        # drift-normalized (code-attributable) deltas, and the stamp a
+        # contended start + lockstep drift triggered a whole-session
+        # re-measure
+        "drift",
+        "deltas_adj",
+        "session_rerun",
     }
     assert required <= set(data) and set(data) <= required | optional
     assert data["sf"] == 0.001 and data["unit"] == "sec" and data["value"] > 0
