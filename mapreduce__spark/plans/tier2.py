@@ -14,11617 +14,27 @@ query's exact output through Arrow-batched pandas map/reduce.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
-from mapreduce__spark.functions.text import (
-    LANG_STOPWORDS,
-    PII_EMAIL,
-    PII_IPV4,
-    PII_PHONE,
-    digit_ratio_expr,
-    lang_id_expr,
-    pii_count_expr,
-    pii_scrub_expr,
-    quality_keep_expr,
-    split_bucket_expr,
-    stopword_hits,
-    tokenize,
-    word_ngrams,
-)
-from mapreduce__spark.operators.dedup import (
-    chunk_containment_pairs,
-    lsh_incremental_pairs,
-    exact_duplicate_groups,
-    exact_jaccard_pairs,
-    lsh_near_duplicate_pairs,
-    minhash_signature,
-    simhash_fingerprint,
-)
-from mapreduce__spark.functions.vectors import as_double_vec, cosine_sim
-from mapreduce__spark.operators.kernel import run_map_reduce_df
-from mapreduce__spark.operators.multimodal import with_binary_payload
-from mapreduce__spark.operators.similarity import (
-    brute_force_topk,
-    embedding_near_dup_pairs_pruned,
-    lsh_topk,
-)
-from mapreduce__spark.plans.registry import query
-from mapreduce__spark.sources import load_table
-
-JACCARD_THRESHOLD = 0.8
-
-# DuckDB-side exact word-3-gram Jaccard (shared by the exact and the
-# LSH-verified queries — the LSH output is exact-verified, so both equal it).
-# Parametrized on the source relation so pipeline oracles can compute pairs
-# over an upstream CTE (e.g. the quality-filtered docs) instead of the raw
-# table — the pipelines dedup AFTER filtering, never before.
-def _jaccard_oracle(src: str = "documents") -> str:
-    return _JACCARD_ORACLE.replace("FROM documents", f"FROM {src}")
-
-
-_JACCARD_ORACLE = f"""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ), g AS (
-        SELECT doc_id, unnest(list_distinct(
-            list_transform(range(1, len(toks) - 1),
-                           i -> array_to_string(toks[i:i+2], ' ')))) AS gram
-        FROM t
-    ), sz AS (
-        SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
-    ), common AS (
-        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
-        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT id1, id2,
-           round(c::DOUBLE / (s1.n + s2.n - c), 4) AS jaccard
-    FROM common
-    JOIN sz s1 ON common.id1 = s1.doc_id
-    JOIN sz s2 ON common.id2 = s2.doc_id
-    WHERE c::DOUBLE / (s1.n + s2.n - c) >= {JACCARD_THRESHOLD}
-"""
-
-
-# --------------------------------------------------------------------------
-# O-24: text analysis
-# --------------------------------------------------------------------------
-
-
-@query(
-    "word_count",
-    oracle="""
-    SELECT token, count(*) AS cnt
-    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-    GROUP BY token
-    ORDER BY cnt DESC, token ASC
-    LIMIT 50
-    """,
-    tags=("tier2", "text", "bench"),
-)
-def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The canonical MapReduce demo (the reference kernel's word-count
-    shape) as explode → count → top-k. Partial agg collapses each
-    partition to |vocab| rows pre-shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("token").asc())
-        .limit(50)
-    )
-
-
-# BPE-style pre-tokenizer: letter runs | digit runs | punctuation runs —
-# the (ASCII, lookahead-free) core of the GPT-2 pre-tokenization regex,
-# restricted to syntax Java regex and DuckDB's RE2 interpret identically
-# so the count is oracle-checkable verbatim (same sharing discipline as
-# the PII patterns in functions/text.py). The whitespace class is spelled
-# out instead of \s: Java's \s includes vertical tab (\x0B), RE2's does
-# not, so \s itself is NOT portable — one VT in a document would make the
-# two engines disagree by a token.
-_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]+"
-
-
-@query(
-    "doc_token_stats",
-    oracle=f"""
-    SELECT doc_id,
-           len(string_split(text, ' '))                               AS n_tokens,
-           length(text)                                               AS n_chars_actual,
-           round(length(replace(text, ' ', ''))::DOUBLE
-                 / len(string_split(text, ' ')), 4)                   AS avg_token_len,
-           CAST(ceil(length(text) / 4.0) AS BIGINT)                   AS approx_bpe_tokens,
-           CAST(len(regexp_extract_all(text, '{_PRETOKEN_RE}')) AS BIGINT)
-                                                                      AS pretoken_count
-    FROM documents
-    """,
-    tags=("tier2", "text"),
-)
-def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting three ways: whitespace tokens, the standard chars/4
-    BPE budget approximation, and a real BPE-style pre-tokenizer count —
-    letter/digit/punctuation runs via one regexp pass (the pattern is
-    shared verbatim with the RE2 oracle). A full BPE merge would be a
-    broadcast-vocab pandas UDF downstream of exactly this split."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    return docs.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.length("text").alias("n_chars_actual"),
-        F.round(
-            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / F.size(toks), 4
-        ).alias("avg_token_len"),
-        F.ceil(F.length("text") / 4.0).cast("bigint").alias("approx_bpe_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(_PRETOKEN_RE), F.lit(0)))
-        .cast("bigint")
-        .alias("pretoken_count"),
-    )
-
-
-@query(
-    "doc_quality_score",
-    oracle=f"""
-    SELECT doc_id,
-           round(len(list_filter(string_split(text, ' '),
-                     t -> t IN {tuple(LANG_STOPWORDS["en"])!r}))::DOUBLE
-                 / len(string_split(text, ' ')), 4)                    AS stopword_ratio,
-           round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
-                 / length(text), 4)                                    AS digit_ratio,
-           CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 2000
-                 AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
-                     / length(text) < 0.3
-                THEN 1 ELSE 0 END                                      AS passes_quality
-    FROM documents
-    """,
-    tags=("tier2", "text"),
-)
-def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: stopword ratio, digit ratio, and a gate in the
-    style of C4/Gopher filter rules — all codegen expressions."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    return docs.select(
-        "doc_id",
-        F.round(stopword_hits(toks, LANG_STOPWORDS["en"]) / F.size(toks), 4).alias(
-            "stopword_ratio"
-        ),
-        F.round(digit_ratio_expr(F.col("text")), 4).alias("digit_ratio"),
-        F.when(quality_keep_expr(F.col("text")), 1)
-        .otherwise(0)
-        .alias("passes_quality"),
-    )
-
-
-@query(
-    "lang_id",
-    oracle=f"""
-    WITH h AS (
-        SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS toks
-        FROM documents
-    ), scores AS (
-        SELECT doc_id, labeled_lang,
-               len(list_filter(toks, t -> t IN {tuple(LANG_STOPWORDS["en"])!r})) AS h_en,
-               len(list_filter(toks, t -> t IN {tuple(LANG_STOPWORDS["de"])!r})) AS h_de,
-               len(list_filter(toks, t -> t IN {tuple(LANG_STOPWORDS["fr"])!r})) AS h_fr
-        FROM h
-    )
-    SELECT doc_id, labeled_lang,
-           CASE WHEN h_en >= h_de AND h_en >= h_fr THEN 'en'
-                WHEN h_de >= h_fr THEN 'de'
-                ELSE 'fr' END AS predicted_lang
-    FROM scores
-    """,
-    tags=("tier2", "text"),
-)
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-overlap language ID (n-gram-heuristic family) with a
-    deterministic argmax tie order; emitted next to the labeled lang."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    return docs.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        lang_id_expr(toks).alias("predicted_lang"),
-    )
-
-
-@query(
-    "lang_id_nb",
-    oracle="""
-    WITH pos AS (
-      SELECT doc_id, lang, text,
-             unnest(generate_series(1, length(text) - 1)) AS i
-      FROM documents WHERE length(text) >= 2
-    ), inst AS (
-      SELECT doc_id, lang AS labeled_lang, substring(text, i, 2) AS gram
-      FROM pos
-    ), gl AS (
-      SELECT gram, labeled_lang AS lang, count(*) AS c
-      FROM inst GROUP BY 1, 2
-    ), tot AS (SELECT lang, sum(c) AS tot FROM gl GROUP BY 1),
-    v AS (SELECT count(DISTINCT gram) AS v FROM gl),
-    langs AS (SELECT DISTINCT lang FROM documents),
-    grams AS (SELECT DISTINCT gram FROM gl),
-    model AS (
-      SELECT g.gram, l.lang,
-             CAST(floor(-ln(CAST(coalesce(gl.c, 0) + 1 AS DOUBLE)
-                            / CAST(t.tot + v.v AS DOUBLE))
-                        * 1000000 + 0.5) AS BIGINT) AS l_micro
-      FROM grams g CROSS JOIN langs l
-      LEFT JOIN gl ON gl.gram = g.gram AND gl.lang = l.lang
-      JOIN tot t ON t.lang = l.lang CROSS JOIN v
-    ),
-    nd AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
-    ndt AS (SELECT count(*) AS ndt FROM documents),
-    pri AS (
-      SELECT lang,
-             CAST(floor(-ln(CAST(nd AS DOUBLE) / CAST(ndt AS DOUBLE))
-                        * 1000000 + 0.5) AS BIGINT) AS pm
-      FROM nd CROSS JOIN ndt
-    ),
-    dg AS (
-      SELECT doc_id, labeled_lang, gram, count(*) AS k
-      FROM inst GROUP BY 1, 2, 3
-    ),
-    sc AS (
-      SELECT doc_id, labeled_lang, m.lang, sum(k * l_micro) AS s
-      FROM dg JOIN model m USING (gram) GROUP BY 1, 2, 3
-    ),
-    t AS (
-      SELECT doc_id, labeled_lang, sc.lang, sc.s + pri.pm AS total
-      FROM sc JOIN pri ON pri.lang = sc.lang
-    ),
-    pred AS (
-      SELECT doc_id, labeled_lang, lang AS predicted_lang,
-             row_number() OVER (PARTITION BY doc_id
-                                ORDER BY total, lang) AS rn
-      FROM t
-    )
-    SELECT labeled_lang, predicted_lang,
-           CAST(count(*) AS BIGINT) AS n_docs
-    FROM pred WHERE rn = 1 GROUP BY 1, 2
-    """,
-    tags=("tier2", "text", "pipeline"),
-)
-def lang_id_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRAINED language ID (round-11 VERDICT item 5) — the CLD-style
-    char-n-gram Naive Bayes rung above the stopword heuristic
-    (`lang_id`): character-bigram counts per labeled language train an
-    add-one-smoothed multinomial model over the corpus-wide gram
-    vocabulary; each document is scored per language as
-    ln-prior + sum over gram instances of -ln p(gram | lang), and the
-    argmin (alphabetical tie order) is the prediction. The emitted
-    (labeled_lang, predicted_lang, n_docs) confusion matrix is the
-    operator's natural integer-exact output. Cross-engine float
-    discipline (the bigram_lm_score recipe): every probability is ONE
-    exact rational of integers cast to double — bit-identical by
-    construction — and the only libm call ln() is quantized to integer
-    micro-NLL via floor(x*1e6 + 0.5); scores are pure BIGINT sums that
-    compare exactly, so the argmin can never split across engines. The
-    synthetic corpus draws text from one shared vocabulary for every
-    label, so the matrix concentrates on the priors' argmax by design —
-    the pytest confusion-matrix law
-    (tests/test_round12_properties.py) trains the same operator on a
-    corpus with genuinely language-distinct character distributions and
-    asserts diagonal dominance. SCALE: ONE corpus explode into
-    per-doc gram counts (map-side combined, checkpointed) feeds both
-    the scoring join and — re-aggregated to gram x lang — the model,
-    which is gram-vocab x n_langs rows (hundreds) and BROADCAST back;
-    one shuffle by (doc_id, lang) aggregates the LONG-form scores and a
-    struct-min argmin picks the prediction — the label set is derived
-    from the corpus (round-12 VERDICT item 4), never a hard-coded pivot,
-    so a new language is one more broadcast-model row. No per-row UDF,
-    nothing quadratic, the corpus read once for grams plus two trivial
-    lang scans. Reference parity: tier-2 text-pipeline extension
-    (SURVEY §2b O-24)."""
-    docs = load_table(spark, sf_dir, "documents")
-    txt = F.col("text")
-    grams_arr = F.transform(
-        F.sequence(F.lit(1), F.length(txt) - 1),
-        lambda i: txt.substr(i, F.lit(2)),
-    )
-    guarded = F.when(F.length(txt) >= 2, grams_arr).otherwise(
-        F.array().cast("array<string>")
-    )
-    inst = docs.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        F.explode(guarded).alias("gram"),
-    )
-    # ONE corpus explode: per-doc gram counts feed BOTH the scoring join
-    # and (re-aggregated) the per-lang model — the corpus is never
-    # exploded twice (bench-measured seam, round 12)
-    dg = (
-        inst.groupBy("doc_id", "labeled_lang", "gram")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .localCheckpoint(eager=True)
-    )
-    gl = dg.groupBy("gram", F.col("labeled_lang").alias("lang")).agg(
-        F.sum("k").alias("c")
-    )
-    tot = gl.groupBy("lang").agg(F.sum("c").alias("tot"))
-    v = gl.select(F.countDistinct("gram").alias("v"))
-    langs = docs.select("lang").distinct()
-    grams = gl.select("gram").distinct()
-    l_micro = F.floor(
-        -F.log(
-            (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
-            / (F.col("tot") + F.col("v")).cast("double")
-        )
-        * 1000000
-        + F.lit(0.5)
-    ).cast("bigint")
-    model = (
-        grams.crossJoin(langs)
-        .join(gl, ["gram", "lang"], "left")
-        .join(tot, "lang")
-        .crossJoin(F.broadcast(v))
-        .select("gram", "lang", l_micro.alias("l_micro"))
-    )
-    nd = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
-    ndt = docs.agg(F.count(F.lit(1)).alias("ndt"))
-    pm = F.floor(
-        -F.log(F.col("nd").cast("double") / F.col("ndt").cast("double"))
-        * 1000000
-        + F.lit(0.5)
-    ).cast("bigint")
-    # DYNAMIC label pivot (round-12 VERDICT item 4): scores stay in LONG
-    # (doc, lang) form and the argmin is a struct-min over
-    # (total, lang) — alphabetical tie order for free — so the label set
-    # is derived from the corpus on both engines and an unseen lang is
-    # simply another model row, never a silently-missing CASE branch.
-    pri = nd.crossJoin(F.broadcast(ndt)).select("lang", pm.alias("pm"))
-    sc = (
-        dg.join(F.broadcast(model), "gram")
-        .groupBy("doc_id", "labeled_lang", "lang")
-        .agg(F.sum(F.col("k") * F.col("l_micro")).alias("s"))
-    )
-    t = sc.join(F.broadcast(pri), "lang").select(
-        "doc_id",
-        "labeled_lang",
-        "lang",
-        (F.col("s") + F.col("pm")).alias("total"),
-    )
-    pred = t.groupBy("doc_id", "labeled_lang").agg(
-        F.min(F.struct("total", "lang")).getField("lang").alias(
-            "predicted_lang"
-        )
-    )
-    return pred.groupBy("labeled_lang", "predicted_lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs")
-    )
-
-
-@query(
-    "doc_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           md5(text)                                AS content_md5,
-           md5(translate(replace(text, ' ', ''),
-                         'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
-                         'abcdefghijklmnopqrstuvwxyz')) AS normalized_md5,
-           length(text)                             AS n_bytes
-    FROM documents
-    """,
-    tags=("tier2", "text"),
-)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: content hash + normalization-invariant
-    hash (case-folded, whitespace-stripped) for dedup keying.
-
-    Case folding is ASCII-ONLY (translate A-Z→a-z), deliberately: full
-    Unicode lower() is engine-specific — DuckDB's utf8proc does simple
-    1:1 mapping while the JVM applies contextual rules (Turkish dotted
-    İ → i + combining dot, Greek final sigma Σ → ς), so the same text
-    would hash to DIFFERENT fingerprints per engine, silently splitting
-    or merging dedup groups. A byte-stable ASCII fold hashes identically
-    everywhere; non-ASCII case variants stay distinct, which a
-    cross-engine dedup key must prefer over divergence."""
-    docs = load_table(spark, sf_dir, "documents")
-    fold = F.translate(
-        F.replace(F.col("text"), F.lit(" "), F.lit("")),
-        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
-        "abcdefghijklmnopqrstuvwxyz",
-    )
-    return docs.select(
-        "doc_id",
-        F.md5("text").alias("content_md5"),
-        F.md5(fold).alias("normalized_md5"),
-        F.length("text").alias("n_bytes"),
-    )
-
-
-# --------------------------------------------------------------------------
-# O-22: deduplication
-# --------------------------------------------------------------------------
-
-
-@query(
-    "dedup_exact",
-    oracle="""
-    SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keeper
-    FROM documents GROUP BY md5(text)
-    """,
-    tags=("tier2", "dedup"),
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup via content-hash groupBy (hash key ⇒ uniform shuffle)."""
-    return exact_duplicate_groups(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "dedup_jaccard_exact",
-    oracle=_JACCARD_ORACLE,
-    tags=("tier2", "dedup"),
-)
-def dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.8) — the
-    quadratic-hazard baseline that LSH approximates."""
-    return exact_jaccard_pairs(load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
-
-
-CONTAINMENT_THRESHOLD = 0.9
-
-
-@query(
-    "dedup_containment",
-    oracle=f"""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ), g AS (
-        SELECT doc_id, unnest(list_distinct(
-            list_transform(range(1, len(toks) - 1),
-                           i -> array_to_string(toks[i:i+2], ' ')))) AS gram
-        FROM t
-    ), sz AS (
-        SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
-    ), common AS (
-        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
-        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT id1, id2,
-           c::DOUBLE / s1.n AS containment_12,
-           c::DOUBLE / s2.n AS containment_21
-    FROM common
-    JOIN sz s1 ON common.id1 = s1.doc_id
-    JOIN sz s2 ON common.id2 = s2.doc_id
-    WHERE greatest(c::DOUBLE / s1.n, c::DOUBLE / s2.n) >= {CONTAINMENT_THRESHOLD}
-    """,
-    tags=("tier2", "dedup"),
-)
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric near-containment pairs: C(A in B) = |A∩B|/|A| over
-    distinct word-3-grams, either direction >= 0.9 — the quote /
-    partial-copy / superset signal symmetric Jaccard cannot see (a short
-    doc embedded in a long one unions away). See
-    :func:`operators.dedup.exact_containment_pairs` for the scale
-    discussion (this is the oracle-baseline form; sub-document chunk
-    operators carry the linear-cost path at 100 TB)."""
-    from mapreduce__spark.operators.dedup import exact_containment_pairs
-
-    return exact_containment_pairs(
-        load_table(spark, sf_dir, "documents"), CONTAINMENT_THRESHOLD
-    )
-
-
-CHUNK_TOKENS = 8  # containment chunk width (full chunks only)
-CHUNK_CONTAINMENT_THRESHOLD = 0.8
-
-
-@query(
-    "dedup_containment_chunks",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ), tf AS (
-      SELECT * FROM t WHERE len(t) >= {CHUNK_TOKENS}
-    ),
-    a AS (
-      SELECT doc_id, unnest(list_distinct(list_transform(
-               range(0, len(t) // {CHUNK_TOKENS}),
-               i -> array_to_string(
-                      t[(i*{CHUNK_TOKENS} + 1):(i*{CHUNK_TOKENS} + {CHUNK_TOKENS})],
-                      ' ')))) AS chunk
-      FROM tf
-    ),
-    na AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM a GROUP BY doc_id
-    ),
-    w AS (
-      SELECT doc_id, unnest(list_distinct(list_transform(
-               range(0, len(t) - {CHUNK_TOKENS} + 1),
-               i -> array_to_string(t[(i + 1):(i + {CHUNK_TOKENS})], ' ')))) AS chunk
-      FROM tf
-    ),
-    m AS (
-      SELECT a.doc_id AS id_a, w.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_found
-      FROM a JOIN w ON a.chunk = w.chunk AND a.doc_id <> w.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b, n_chunks, n_found,
-           n_found::DOUBLE / n_chunks AS containment
-    FROM m JOIN na ON m.id_a = na.doc_id
-    WHERE n_found::DOUBLE / n_chunks >= {CHUNK_CONTAINMENT_THRESHOLD}
-    """,
-    tags=("tier2", "dedup", "bench"),
-)
-def dedup_containment_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk-level containment — the LINEAR scale path for the
-    containment signal (round-7 verdict item 5): fraction of A's
-    non-overlapping {CHUNK_TOKENS}-token chunks occurring verbatim
-    anywhere in B (stride-1 window side, so an unaligned verbatim copy
-    still scores 1.0). Candidates form only between docs sharing a full
-    chunk-width span — a span equi-join with O(corpus tokens) shuffle
-    volume, vs the gram join's quadratic pair blowup in
-    `dedup_containment` (kept as the oracle baseline). See
-    :func:`operators.dedup.chunk_containment_pairs` for the skew story
-    and the hash-keyed 100 TB variant."""
-    return chunk_containment_pairs(
-        load_table(spark, sf_dir, "documents"),
-        CHUNK_CONTAINMENT_THRESHOLD,
-        chunk_tokens=CHUNK_TOKENS,
-    )
-
-
-@query(
-    "dedup_lsh_minhash",
-    oracle=_JACCARD_ORACLE,
-    tags=("tier2", "dedup", "bench"),
-)
-def dedup_lsh_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs, exact-verified — hash-checked against
-    the SAME oracle as the exact operator because verification removes
-    false positives and 16 hashes / 8 bands makes misses at j≥0.8
-    negligible (P(candidate) ≥ 0.9997). The judge-facing point: shuffle
-    volume is O(docs × bands), not O(docs²)."""
-    return lsh_near_duplicate_pairs(
-        load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD, num_hashes=16, bands=8
-    )
-
-
-@query(
-    "dedup_incremental",
-    oracle=f"""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ), g AS (
-        SELECT doc_id, unnest(list_distinct(
-            list_transform(range(1, len(toks) - 1),
-                           i -> array_to_string(toks[i:i+2], ' ')))) AS gram
-        FROM t
-    ), sz AS (
-        SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
-    ), common AS (
-        SELECT a.doc_id AS new_id, b.doc_id AS ref_id, count(*) AS c
-        FROM g a JOIN g b ON a.gram = b.gram
-        WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-        GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT new_id, ref_id,
-           round(c::DOUBLE / (s1.n + s2.n - c), 4) AS jaccard
-    FROM common
-    JOIN sz s1 ON common.new_id = s1.doc_id
-    JOIN sz s2 ON common.ref_id = s2.doc_id
-    WHERE c::DOUBLE / (s1.n + s2.n - c) >= {JACCARD_THRESHOLD}
-    """,
-    tags=("tier2", "dedup", "pipeline"),
-)
-def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup: the docs slice doc_id % 5 == 0 plays the role of
-    a NEW crawl increment, the rest the already-ingested REFERENCE corpus;
-    find every new doc near-duplicating a reference doc (then a left_anti
-    on new_id drops them before append). LSH-banded new×ref candidate
-    join + exact verification — never reference×reference — so the
-    per-increment cost scales with the increment, not the corpus (see
-    operators/dedup.py:lsh_incremental_pairs for the persisted-signature
-    production shape)."""
-    docs = load_table(spark, sf_dir, "documents")
-    is_new = F.col("doc_id") % 5 == 0
-    return lsh_incremental_pairs(
-        docs.where(is_new), docs.where(~is_new), JACCARD_THRESHOLD,
-        num_hashes=16, bands=8,
-    )
-
-
-@query(
-    "minhash_signatures",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ), g AS (
-        SELECT doc_id, list_distinct(
-            list_transform(range(1, len(toks) - 1),
-                           i -> array_to_string(toks[i:i+2], ' '))) AS gs
-        FROM t
-    )
-    SELECT doc_id,
-           coalesce(list_min(list_transform(gs, x -> md5(x || '#0'))), '~') AS mh0,
-           coalesce(list_min(list_transform(gs, x -> md5(x || '#1'))), '~') AS mh1,
-           coalesce(list_min(list_transform(gs, x -> md5(x || '#2'))), '~') AS mh2,
-           coalesce(list_min(list_transform(gs, x -> md5(x || '#3'))), '~') AS mh3
-    FROM g
-    """,
-    tags=("tier2", "dedup"),
-)
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature column block (md5 family so the oracle can
-    reproduce it bit-for-bit; production uses the xxhash64 family)."""
-    sig = minhash_signature(
-        load_table(spark, sf_dir, "documents"), num_hashes=4, hash_fn="md5"
-    )
-    return sig.select("doc_id", *[F.col("mh")[i].alias(f"mh{i}") for i in range(4)])
-
-
-@query(
-    "dedup_simhash",
-    oracle=None,  # xxhash64 not reproducible in DuckDB — rows-only; hamming
-    # properties asserted in tests/test_operators.py. The full bit-majority
-    # pipeline IS oracle-checked via simhash_charfold (round 9), which
-    # swaps xxhash64 for the shared cross-engine char-fold hash.
-    tags=("tier2", "dedup"),
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (32-bit, bit-majority over token hashes)."""
-    return simhash_fingerprint(load_table(spark, sf_dir, "documents"), bits=32)
-
-
-@query(
-    "dedup_embedding_cosine",
-    oracle="""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-    SELECT a.vec_id AS id1, b.vec_id AS id2,
-           round(list_cosine_similarity(a.e, b.e), 4) AS cosine
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.e, b.e) >= 0.45
-    """,
-    tags=("tier2", "dedup"),
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.45 on this corpus) via
-    the EXACT pruned plan: IVF clusters + triangle-inequality candidate
-    generation + exact re-score (recall=1 by metric argument, so it
-    hash-matches the all-pairs SQL oracle without a cartesian join)."""
-    return embedding_near_dup_pairs_pruned(
-        load_table(spark, sf_dir, "embeddings"), 0.45
-    )
-
-
-# --------------------------------------------------------------------------
-# Deterministic k-means over embeddings (tier-2 iterative extension)
-# --------------------------------------------------------------------------
-
-KMEANS_K = 4
-KMEANS_ITERS = 3
-KMEANS_DIMS = 64  # the embeddings fixture's width; oracle is unrolled per-dim
-
-
-def _kmeans_oracle(
-    k: int, iters: int, dims: int, dim_lo: int = 1, emit: str = "assign"
-) -> str:
-    """Unrolled-SQL twin of operators/clustering.kmeans_assign: the same
-    integer-quantized Lloyd's iterations as chained CTEs. Centroids live
-    in LONG form (cid, i, v); struct-min breaks argmin ties by centroid
-    id exactly like the Spark side's array_min over (d, cid) structs.
-    ``dim_lo`` clusters on the 1-based dim window [dim_lo, dim_lo+dims)
-    of the embedding — the product-quantization subspace twin; the
-    default full window reproduces kmeans_embeddings' oracle.
-    ``emit="centroids"`` returns the fitted codebook (cid, i, v) — the
-    table the final assignment ran against — instead of assignments
-    (the ADC search twin's lookup side)."""
-    from mapreduce__spark.operators.clustering import QUANT_OFFSET, QUANT_SCALE
-
-    parts = [
-        f"""
-    WITH q AS (
-      SELECT vec_id,
-             list_transform(embedding[{dim_lo}:{dim_lo + dims - 1}],
-               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)
-                    + {QUANT_OFFSET}) AS eq
-      FROM embeddings
-    ),
-    seed AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, eq
-      FROM q ORDER BY vec_id LIMIT {k}
-    ),
-    c0 AS (
-      SELECT cid, i, eq[i] AS v FROM seed, range(1, {dims + 1}) t(i)
-    )"""
-    ]
-    for t in range(1, iters + 1):
-        parts.append(
-            f""",
-    d{t} AS (
-      SELECT q.vec_id, c.cid,
-             CAST(sum((q.eq[c.i] - c.v) * (q.eq[c.i] - c.v)) AS BIGINT) AS d
-      FROM q, c{t - 1} c GROUP BY q.vec_id, c.cid
-    ),
-    a{t} AS (
-      SELECT vec_id, (min(struct_pack(d := d, cid := cid))).cid AS cid
-      FROM d{t} GROUP BY vec_id
-    ),
-    u{t} AS (
-      SELECT a.cid, t.i, CAST(sum(q.eq[t.i]) // count(*) AS BIGINT) AS v
-      FROM a{t} a JOIN q USING (vec_id), range(1, {dims + 1}) t(i)
-      GROUP BY a.cid, t.i
-    ),
-    c{t} AS (
-      SELECT c.cid, c.i, COALESCE(u.v, c.v) AS v
-      FROM c{t - 1} c LEFT JOIN u{t} u ON c.cid = u.cid AND c.i = u.i
-    )"""
-        )
-    if emit == "centroids":
-        parts.append(
-            f"""
-    SELECT cid, i, v FROM c{iters}
-    """
-        )
-        return "".join(parts)
-    parts.append(
-        f""",
-    fin AS (
-      SELECT q.vec_id, c.cid,
-             CAST(sum((q.eq[c.i] - c.v) * (q.eq[c.i] - c.v)) AS BIGINT) AS d
-      FROM q, c{iters} c GROUP BY q.vec_id, c.cid
-    )
-    SELECT vec_id,
-           (min(struct_pack(d := d, cid := cid))).cid AS cluster_id,
-           min(d) AS dist2
-    FROM fin GROUP BY vec_id
-    """
-    )
-    return "".join(parts)
-
-
-MMR_K = 6  # greedy selection steps
-
-
-def _mmr_oracle(k_sel: int = MMR_K, dims: int = KMEANS_DIMS) -> str:
-    """Unrolled greedy-MMR twin: centroid + relevance distances once,
-    then one MATERIALIZED (the k-core inlining lesson) candidate-scoring
-    CTE per step. Selection rule shared with the Spark side: step 0
-    takes min dist-to-centroid (tie: min vec_id); step t maximizes
-    min_dist_to_selected - dist_to_centroid (tie: min vec_id)."""
-    from mapreduce__spark.operators.clustering import QUANT_OFFSET, QUANT_SCALE
-
-    parts = [
-        f"""
-    WITH q AS MATERIALIZED (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)
-                    + {QUANT_OFFSET}) AS eq
-      FROM embeddings
-    ),
-    cb AS MATERIALIZED (
-      SELECT ti.i, CAST(sum(eq[ti.i]) // count(*) AS BIGINT) AS v
-      FROM q, range(1, {dims + 1}) ti(i) GROUP BY ti.i
-    ),
-    dc AS MATERIALIZED (
-      SELECT q.vec_id,
-             CAST(sum((q.eq[c.i] - c.v) * (q.eq[c.i] - c.v)) AS BIGINT) AS d
-      FROM q, cb c GROUP BY q.vec_id
-    ),
-    pick0 AS MATERIALIZED (
-      SELECT 0 AS step, vec_id, d AS dc, CAST(NULL AS BIGINT) AS min_prior
-      FROM dc ORDER BY d, vec_id LIMIT 1
-    ),
-    sel0 AS MATERIALIZED (SELECT vec_id FROM pick0)"""
-    ]
-    for t in range(1, k_sel):
-        parts.append(
-            f""",
-    p{t} AS MATERIALIZED (
-      SELECT va, CAST(min(d2) AS BIGINT) AS md FROM (
-        SELECT a.vec_id AS va,
-               CAST(sum((a.eq[ti.i] - b.eq[ti.i])
-                        * (a.eq[ti.i] - b.eq[ti.i])) AS BIGINT) AS d2
-        FROM q a
-        JOIN sel{t - 1} s ON TRUE
-        JOIN q b ON b.vec_id = s.vec_id, range(1, {dims + 1}) ti(i)
-        GROUP BY a.vec_id, b.vec_id
-      ) GROUP BY va
-    ),
-    pick{t} AS MATERIALIZED (
-      SELECT {t} AS step, p.va AS vec_id, dc.d AS dc, p.md AS min_prior
-      FROM p{t} p JOIN dc ON dc.vec_id = p.va
-      WHERE p.va NOT IN (SELECT vec_id FROM sel{t - 1})
-      ORDER BY (p.md - dc.d) DESC, p.va ASC
-      LIMIT 1
-    ),
-    sel{t} AS MATERIALIZED (
-      SELECT vec_id FROM sel{t - 1}
-      UNION ALL SELECT vec_id FROM pick{t}
-    )"""
-        )
-    union = "\n    UNION ALL ".join(
-        f"SELECT CAST(step AS BIGINT) AS step, vec_id, dc, min_prior "
-        f"FROM pick{t}"
-        for t in range(k_sel)
-    )
-    parts.append(f"\n    {union}\n    ")
-    return "".join(parts)
-
-
-@query(
-    "mmr_diverse_select",
-    oracle=_mmr_oracle(),
-    tags=("tier2", "similarity", "sampling"),
-)
-def mmr_diverse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal-marginal-relevance selection (Carbonell & Goldstein,
-    SIGIR'98) over the embedding corpus — the diversity-aware pick a
-    training-data curator runs to seed a balanced subset (and the
-    classic reranker shape): greedily take MMR_K vectors, step 0 the
-    most central (min exact dist2 to the integer centroid, the
-    relevance proxy), each later step the candidate maximizing
-    min_dist_to_selected - dist_to_centroid (lambda = 1/2 MMR with both
-    terms in the same squared-distance units; ties break on min vec_id).
-    All arithmetic integer-exact: micro-unit quantized vectors, the
-    centroid as per-dim sum // n (non-negative by the quantization
-    offset, so floor == truncate cross-engine), int64 squared
-    distances. Emits (step, vec_id, dc, min_prior) — the full greedy
-    trace, so the oracle attests every step's argmax, not just the
-    final set.
-
-    SCALE: the greedy loop is inherently sequential in k but each step
-    is ONE scan with the selected set as a 1-row broadcast (the k-means
-    centroid idiom — constant-size expression tree); nothing
-    corpus-sized moves. k is bounded (a curator takes dozens, not
-    millions); for corpus-scale diverse SAMPLING the cluster_balanced_
-    sample / stratified_sample family is the declared path."""
-    from mapreduce__spark.operators.clustering import _quantized
-    from mapreduce__spark.operators.staging import bounded_collect
-    from mapreduce__spark.operators.windows import idiv
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = _quantized(emb, "embedding").localCheckpoint(eager=False)
-    dims = KMEANS_DIMS
-    cbr = bounded_collect(
-        q.select(F.posexplode("eq").alias("i", "v"))
-        .groupBy("i")
-        .agg(idiv(F.sum("v"), F.count(F.lit(1))).alias("v"))
-        .orderBy("i"),
-        dims,
-        "mmr centroid",
-    )
-    if not cbr:
-        # 0-row corpus: nothing to select — empty trace, same schema
-        return spark.createDataFrame(
-            [], "step bigint, vec_id bigint, dc bigint, min_prior bigint"
-        )
-    cb = [int(r.v) for r in cbr]
-
-    def dist_to(vecs_col: str, const_arrays: list[list[int]]):
-        cdf = spark.createDataFrame(
-            [(const_arrays,)], "cands: array<array<bigint>>"
-        )
-        return cdf, F.array_min(
-            F.transform(
-                F.col("cands"),
-                lambda c: F.aggregate(
-                    F.zip_with(vecs_col, c, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, v: acc + v,
-                ),
-            )
-        )
-
-    cdf, dc_expr = dist_to("eq", [cb])
-    scored = (
-        q.crossJoin(F.broadcast(cdf))
-        .select("vec_id", "eq", dc_expr.alias("dc"))
-        .localCheckpoint(eager=False)
-    )
-    first = bounded_collect(
-        scored.select("vec_id", "eq", "dc").orderBy("dc", "vec_id").limit(1),
-        1,
-        "mmr first pick",
-    )[0]
-    picks = [(0, int(first.vec_id), int(first.dc), None)]
-    sel_eqs = [list(first.eq)]
-    sel_ids = {int(first.vec_id)}
-    for t in range(1, MMR_K):
-        sdf, md_expr = dist_to("eq", sel_eqs)
-        cand = (
-            scored.where(~F.col("vec_id").isin(*sel_ids))
-            .crossJoin(F.broadcast(sdf))
-            .select("vec_id", "eq", "dc", md_expr.alias("md"))
-        )
-        row = bounded_collect(
-            cand.orderBy(
-                (F.col("md") - F.col("dc")).desc(), F.col("vec_id").asc()
-            ).limit(1),
-            1,
-            "mmr step pick",
-        )[0]
-        picks.append((t, int(row.vec_id), int(row.dc), int(row.md)))
-        sel_eqs.append(list(row.eq))
-        sel_ids.add(int(row.vec_id))
-    return spark.createDataFrame(
-        picks, "step bigint, vec_id bigint, dc bigint, min_prior bigint"
-    )
-
-
-PQ_M = 4        # subspaces
-PQ_SUBDIMS = 16  # dims per subspace (PQ_M * PQ_SUBDIMS = KMEANS_DIMS)
-PQ_K = 8         # codewords per subspace
-PQ_ITERS = 2     # Lloyd iterations per subspace codebook
-
-
-def _pq_oracle() -> str:
-    """Product-quantization twin: one unrolled k-means oracle per
-    subspace (each a self-contained WITH scope), joined on vec_id."""
-    subs = [
-        f"({_kmeans_oracle(PQ_K, PQ_ITERS, PQ_SUBDIMS, dim_lo=1 + s * PQ_SUBDIMS)}) t{s}"
-        for s in range(PQ_M)
-    ]
-    joins = subs[0] + "".join(
-        f" JOIN {sq} USING (vec_id)" for sq in subs[1:]
-    )
-    codes = ", ".join(
-        f"CAST(t{s}.cluster_id AS BIGINT) AS c{s}" for s in range(PQ_M)
-    )
-    err = " + ".join(f"t{s}.dist2" for s in range(PQ_M))
-    return f"""
-    SELECT vec_id, {codes}, CAST({err} AS BIGINT) AS recon_err
-    FROM {joins}
-    """
-
-
-@query(
-    "embedding_pq_codes",
-    oracle=_pq_oracle(),
-    tags=("tier2", "similarity", "clustering"),
-)
-def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization (Jegou, Douze & Schmid, "Product
-    Quantization for Nearest Neighbor Search", TPAMI 2011) — the
-    embedding-compression workhorse behind billion-scale ANN indexes:
-    split each vector into PQ_M subspaces, learn a PQ_K-codeword
-    codebook per subspace with the SAME deterministic integer k-means
-    the clustering family rides (kmeans_assign over F.slice'd
-    subvectors — quantized micro-units, exact int64 distances,
-    struct-min tie-breaks), and emit each vector's code tuple plus the
-    exact integer reconstruction error (sum of per-subspace squared
-    distances to the chosen codewords). 64 floats compress to PQ_M
-    bytes; asymmetric distance scans against the code table are then
-    table lookups. Fully oracle-checked: the twin runs one unrolled
-    Lloyd's chain per subspace on the same 1-based dim windows and
-    joins them on vec_id — codes AND reconstruction error are
-    hash-exact cross-engine, extending the kmeans_embeddings precedent
-    to the multi-codebook case.
-
-    SCALE: codebooks are PQ_M broadcast-sized (k x d/M) tables learned
-    by the centroid-broadcast k-means (one scan + one bounded shuffle
-    per iteration per subspace); encoding is scan-stage codegen; the
-    corpus never shuffles. At 100 TB the code table (PQ_M bytes/vector)
-    is what ships to the ANN index, not the vectors."""
-    from mapreduce__spark.operators.clustering import kmeans_assign
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = None
-    for m in range(PQ_M):
-        sub = emb.select(
-            "vec_id",
-            F.slice("embedding", 1 + m * PQ_SUBDIMS, PQ_SUBDIMS).alias(
-                "embedding"
-            ),
-        )
-        a = kmeans_assign(sub, PQ_K, PQ_ITERS).select(
-            "vec_id",
-            F.col("cluster_id").alias(f"c{m}"),
-            F.col("dist2").alias(f"_e{m}"),
-        )
-        out = a if out is None else out.join(a, "vec_id")
-    err = sum(F.col(f"_e{m}") for m in range(1, PQ_M)) + F.col("_e0")
-    return out.select(
-        "vec_id",
-        *[f"c{m}" for m in range(PQ_M)],
-        err.cast("bigint").alias("recon_err"),
-    )
-
-
-PQ_NQ = 5       # ADC query vectors (vec_ids 0..4, the bruteforce set)
-PQ_TOPK = 5
-
-
-def _pq_adc_oracle() -> str:
-    """ADC search twin: per subspace, one codes chain and one centroids
-    chain (self-contained WITH scopes); query subvectors quantize
-    inline; the asymmetric distance is the sum over subspaces of the
-    exact integer distance from the query subvector to the neighbor's
-    ASSIGNED codeword."""
-    from mapreduce__spark.operators.clustering import QUANT_OFFSET, QUANT_SCALE
-
-    co = [
-        f"({_kmeans_oracle(PQ_K, PQ_ITERS, PQ_SUBDIMS, dim_lo=1 + m * PQ_SUBDIMS)})"
-        for m in range(PQ_M)
-    ]
-    cb = [
-        f"({_kmeans_oracle(PQ_K, PQ_ITERS, PQ_SUBDIMS, dim_lo=1 + m * PQ_SUBDIMS, emit='centroids')})"
-        for m in range(PQ_M)
-    ]
-    qd = ",\n".join(
-        f"""
-    qd{m} AS (
-      SELECT qv.vec_id AS query_id, c.cid,
-             CAST(sum((qv.eq[c.i] - c.v) * (qv.eq[c.i] - c.v)) AS BIGINT)
-                 AS d
-      FROM (
-        SELECT vec_id,
-               list_transform(
-                 embedding[{1 + m * PQ_SUBDIMS}:{(m + 1) * PQ_SUBDIMS}],
-                 x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)
-                      + {QUANT_OFFSET}) AS eq
-        FROM embeddings WHERE vec_id < {PQ_NQ}
-      ) qv, {cb[m]} c
-      GROUP BY qv.vec_id, c.cid
-    )"""
-        for m in range(PQ_M)
-    )
-    code_joins = f"{co[0]} t0" + "".join(
-        f" JOIN {co[m]} t{m} USING (vec_id)" for m in range(1, PQ_M)
-    )
-    qd_joins = " ".join(
-        f"JOIN qd{m} ON qd{m}.query_id = q.query_id "
-        f"AND qd{m}.cid = codes.c{m}"
-        for m in range(PQ_M)
-    )
-    code_cols = ", ".join(
-        f"t{m}.cluster_id AS c{m}" for m in range(PQ_M)
-    )
-    adc = " + ".join(f"qd{m}.d" for m in range(PQ_M))
-    return f"""
-    WITH codes AS (
-      SELECT vec_id, {code_cols} FROM {code_joins}
-    ),
-    {qd},
-    q AS (SELECT DISTINCT query_id FROM qd0),
-    scored AS (
-      SELECT q.query_id, codes.vec_id AS neighbor_id,
-             CAST({adc} AS BIGINT) AS adc
-      FROM q JOIN codes ON codes.vec_id <> q.query_id
-      {qd_joins}
-    )
-    SELECT query_id, neighbor_id, adc,
-           CAST(row_number() OVER (PARTITION BY query_id
-                                   ORDER BY adc, neighbor_id) AS BIGINT)
-               AS rank
-    FROM scored
-    QUALIFY rank <= {PQ_TOPK}
-    """
-
-
-@query(
-    "ann_topk_pq_adc",
-    oracle=_pq_adc_oracle(),
-    tags=("tier2", "similarity"),
-)
-def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ asymmetric-distance top-k search (Jegou et al. TPAMI'11 §IV) —
-    the scan that makes product quantization an ANN index: distances to
-    all PQ_K codewords per subspace are precomputed per query (a
-    PQ_M x PQ_K integer lookup table, built DRIVER-SIDE from the fitted
-    codebooks — k*d ints, no corpus access), and each database vector's
-    asymmetric distance is then PQ_M table lookups + adds over its code
-    tuple, evaluated scan-stage via element_at on broadcast-literal
-    lookup arrays. Declared semantics is PQ-ADC itself (like
-    ann_topk_buckets' declared bucketing), so the oracle is EXACT: the
-    twin re-derives codes and codebooks with unrolled Lloyd's chains per
-    subspace and ranks by the same integer ADC with the same
-    (adc, neighbor_id) tie-break — the whole quantize -> encode ->
-    lookup -> rank path hash-checks cross-engine. Accuracy vs the true
-    neighbors is the documented PQ trade (recall-gated expectations
-    belong to the rows-only LSH/IVF family; here the SEARCH is the
-    attested operator). Query set and output shape follow
-    ann_topk_bruteforce (query_id 0..4, self excluded, top-5).
-
-    SCALE: encode once (embedding_pq_codes), then every query costs one
-    scan of the CODE table — PQ_M bytes per vector, not the vectors —
-    with partial top-k per partition via the rank window; at 100 TB the
-    codes for 10^9 vectors are ~4 GB, the part that stays hot while raw
-    embeddings stay cold."""
-    from mapreduce__spark.operators.clustering import kmeans_fit
-    from mapreduce__spark.operators.staging import bounded_collect
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    codes = None
-    books: list[list[list[int]]] = []
-    for m in range(PQ_M):
-        sub = emb.select(
-            "vec_id",
-            F.slice("embedding", 1 + m * PQ_SUBDIMS, PQ_SUBDIMS).alias(
-                "embedding"
-            ),
-        )
-        a, cents = kmeans_fit(sub, PQ_K, PQ_ITERS)
-        books.append(cents)
-        a = a.select("vec_id", F.col("cluster_id").alias(f"c{m}"))
-        codes = a if codes is None else codes.join(a, "vec_id")
-    # per-query subvectors, quantized exactly like the codebooks were
-    from mapreduce__spark.operators.clustering import _quantized
-
-    qrows = bounded_collect(
-        _quantized(emb.where(F.col("vec_id") < PQ_NQ), "embedding").orderBy(
-            "vec_id"
-        ),
-        PQ_NQ,
-        "pq adc query vectors",
-    )
-    if not qrows:
-        # 0-row corpus: no queries, no neighbors — empty, same schema
-        return spark.createDataFrame(
-            [],
-            "query_id bigint, neighbor_id bigint, adc bigint, rank bigint",
-        )
-    per_query = []
-    for r in qrows:
-        qeq = list(r.eq)
-        # the ADC lookup table: dist from this query's m-th subvector to
-        # every codeword of codebook m — PQ_M * PQ_K ints on the driver
-        luts = [
-            [
-                sum(
-                    (qeq[m * PQ_SUBDIMS + i] - books[m][cid][i]) ** 2
-                    for i in range(PQ_SUBDIMS)
-                )
-                for cid in range(len(books[m]))
-            ]
-            for m in range(PQ_M)
-        ]
-        adc = None
-        for m in range(PQ_M):
-            term = F.element_at(
-                F.lit(luts[m]).cast("array<bigint>"),
-                (F.col(f"c{m}") + 1).cast("int"),
-            )
-            adc = term if adc is None else adc + term
-        per_query.append(
-            codes.where(F.col("vec_id") != int(r.vec_id)).select(
-                F.lit(int(r.vec_id)).cast("bigint").alias("query_id"),
-                F.col("vec_id").alias("neighbor_id"),
-                adc.cast("bigint").alias("adc"),
-            )
-        )
-    scored = per_query[0]
-    for df in per_query[1:]:
-        scored = scored.unionAll(df)
-    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
-    return (
-        scored.withColumn(
-            "rank", F.row_number().over(w).cast("bigint")
-        ).where(F.col("rank") <= PQ_TOPK)
-    )
-
-
-@query(
-    "kmeans_embeddings",
-    oracle=_kmeans_oracle(KMEANS_K, KMEANS_ITERS, KMEANS_DIMS),
-    tags=("tier2", "similarity", "clustering"),
-)
-def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic k-means (Lloyd's, k=4, 3 iterations) over the
-    embeddings table — the iterative-algorithm class made fully
-    hash-checkable: integer micro-unit quantization (floor, never
-    round), non-negative offset so floor-div == truncating div on every
-    engine, exact int64 distances, struct-min tie-breaks. The oracle is
-    the same iterations unrolled as chained SQL CTEs — a genuinely
-    independent implementation (long-form centroid joins vs broadcast
-    array expressions). See operators/clustering.py for the 100 TB
-    shape (driver-held k x d centroids broadcast into scan-stage
-    codegen; one map-side-combinable aggregate per iteration)."""
-    from mapreduce__spark.operators.clustering import kmeans_assign
-
-    return kmeans_assign(
-        load_table(spark, sf_dir, "embeddings"), KMEANS_K, KMEANS_ITERS
-    )
-
-
-OUTLIER_DIST_FACTOR = 4.0  # outlier = dist2 > factor x cluster median
-
-
-@query(
-    "embedding_cluster_outliers",
-    oracle=f"""
-    SELECT b.vec_id, b.cluster_id, b.dist2,
-           m.med AS med_dist2,
-           b.dist2 > {OUTLIER_DIST_FACTOR} * m.med AS is_outlier
-    FROM ({_kmeans_oracle(KMEANS_K, KMEANS_ITERS, KMEANS_DIMS)}) b
-    JOIN (
-      SELECT cluster_id,
-             percentile_cont(0.5) WITHIN GROUP (ORDER BY dist2) AS med
-      FROM ({_kmeans_oracle(KMEANS_K, KMEANS_ITERS, KMEANS_DIMS)})
-      GROUP BY cluster_id
-    ) m USING (cluster_id)
-    """,
-    tags=("tier2", "similarity", "clustering", "quality"),
-)
-def embedding_cluster_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-local semantic outlier flags — the noise/poisoning filter
-    a global-centroid distance (embedding_outliers) cannot express: a
-    vector is anomalous relative to ITS OWN topic cluster, so a doc far
-    from everything (mislabeled language, binary junk, adversarial
-    insertions) flags even when the global centroid sits nearby. Built
-    on the deterministic k-means: dist2 is an exact int64, the
-    per-cluster median is the exact midpoint average (ints < 2^52, so
-    the interpolated double is identical on both engines), and the
-    4x-median threshold compares exact doubles — fully hash-checkable.
-
-    On the synthetic fixture every ratio sits in [0.78, 1.08]
-    (concentration of measure: random high-dim vectors are nearly
-    equidistant), so is_outlier is all-false here BY THE DATA — the
-    hash compare still pins the entire kmeans + median + threshold
-    computation, and the true branch is pinned by the planted-junk
-    pytest (tests/test_operators.py::test_cluster_outliers_planted)."""
-    from mapreduce__spark.operators.clustering import kmeans_assign
-
-    base = kmeans_assign(
-        load_table(spark, sf_dir, "embeddings"), KMEANS_K, KMEANS_ITERS
-    )
-    med = base.groupBy("cluster_id").agg(
-        F.percentile("dist2", F.lit(0.5)).alias("med_dist2")
-    )
-    return base.join(F.broadcast(med), "cluster_id").select(
-        "vec_id",
-        "cluster_id",
-        "dist2",
-        "med_dist2",
-        (F.col("dist2") > OUTLIER_DIST_FACTOR * F.col("med_dist2")).alias(
-            "is_outlier"
-        ),
-    )
-
-
-CLUSTER_SAMPLE_CAP = 25  # per-topic-cluster sample size
-
-
-@query(
-    "cluster_balanced_sample",
-    oracle=f"""
-    WITH r AS (
-      SELECT vec_id, cluster_id,
-             row_number() OVER (
-               PARTITION BY cluster_id
-               ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#cbal'), 1, 8))::BIGINT,
-                        vec_id
-             ) AS rk
-      FROM ({_kmeans_oracle(KMEANS_K, KMEANS_ITERS, KMEANS_DIMS)})
-    )
-    SELECT vec_id, cluster_id, CAST(rk AS BIGINT) AS rk
-    FROM r WHERE rk <= {CLUSTER_SAMPLE_CAP}
-    """,
-    tags=("tier2", "similarity", "clustering", "sampling"),
-)
-def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Topic-balanced sampling: an equal-size uniform draw from each
-    k-means cluster — the SEMANTIC twin of per_source_cap (domains cap
-    by provenance; this caps by content topic, the mixture-balancing
-    knob when provenance lies or is missing). Deterministic end-to-end:
-    cluster assignments from the integer-exact kmeans, the within-
-    cluster draw by content-hash order with vec_id tie-breaks (a hash
-    order is an unbiased uniform draw; 'first by vec_id' would bias
-    toward old vectors).
-
-    SCALE: kmeans cost + one window partitioned on k keys. k is small
-    by construction here; a large-k deployment uses the same two-phase
-    approx-rank trick per_source_cap's docstring routes hot domains
-    to. Output bounded at cap x k rows."""
-    from mapreduce__spark.operators.clustering import kmeans_assign
-
-    assigned = kmeans_assign(
-        load_table(spark, sf_dir, "embeddings"), KMEANS_K, KMEANS_ITERS
-    )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("#cbal"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    w = Window.partitionBy("cluster_id").orderBy(h.asc(), F.col("vec_id").asc())
-    return (
-        assigned.select(
-            "vec_id",
-            "cluster_id",
-            F.row_number().over(w).cast("bigint").alias("rk"),
-        )
-        .where(F.col("rk") <= CLUSTER_SAMPLE_CAP)
-    )
-
-
-# --------------------------------------------------------------------------
-# O-23: similarity search
-# --------------------------------------------------------------------------
-
-ANN_QUERY_IDS = [0, 1, 2, 3, 4]
-
-
-@query(
-    "ann_topk_bruteforce",
-    oracle=f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id IN (0,1,2,3,4)),
-    scored AS (
-        SELECT q.query_id, v.vec_id AS neighbor_id,
-               list_cosine_similarity(q.qe, v.e) AS s,
-               row_number() OVER (PARTITION BY q.query_id
-                                  ORDER BY list_cosine_similarity(q.qe, v.e) DESC,
-                                           v.vec_id ASC) AS rank
-        FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id
-    )
-    SELECT query_id, neighbor_id, round(s, 4) AS score, rank
-    FROM scored WHERE rank <= 5
-    """,
-    tags=("tier2", "similarity", "bench"),
-)
-def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-5 cosine neighbors for 5 query vectors: broadcast the
-    query set, score corpus-side with codegen'd vector math, rank-pushdown
-    window takes the top-k. The corpus is scanned once, never shuffled."""
-    return brute_force_topk(load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5)
-
-
-@query(
-    "embedding_correlation",
-    oracle="""
-    WITH u AS (
-        SELECT vec_id,
-               unnest(range(1, len(embedding) + 1)) AS i,
-               unnest(list_transform(embedding, v -> v::DOUBLE)) AS x
-        FROM embeddings
-    )
-    SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
-           round(corr(a.x, b.x), 6) AS corr_ij
-    FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
-    GROUP BY 1, 2
-    """,
-    tags=("tier2", "similarity", "stats"),
-)
-def embedding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full dimension-correlation matrix of the embedding corpus (upper
-    triangle, 1-based dims) — the one-pass Gram-matrix pattern behind
-    distributed PCA / feature-redundancy checks.
-
-    Scale shape: each Arrow batch folds to ONE row of sufficient
-    statistics via BLAS (count, per-dim sums, d×d gram = Xᵀ·X), so the
-    corpus is scanned once and what shuffles is O(partials × d²) doubles
-    — never rows. The moment tables (d sums, d² gram entries) are tiny
-    and combine with broadcast joins; correlation falls out of the
-    moments by formula, NULL where a dimension is constant (matching SQL
-    corr). DECLARED CONTRACT of the conditioning guard: a dimension
-    whose post-shift moments are cancellation-dominated (variance below
-    1e-12 of its raw second moment) reports NULL — an arbitrarily-stable
-    pairwise engine like DuckDB's corr() can return a finite value there
-    on adversarial distributions the fixtures lack (e.g. a dimension
-    that is constant over the first 101 vec_ids, making the median shift
-    unrepresentative). The alternative — exact-mean centering — needs a
-    float sum whose value depends on partition layout, trading a loud,
-    documented NULL for silent run-to-run last-bit instability; the
-    deterministic head-median shift + guard is the chosen side of that
-    trade. The oracle recomputes every pairwise corr from an exploded
-    self-join — quadratic, fine for DuckDB at test scale, exactly what
-    this operator avoids."""
-    import numpy as np
-
-    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
-
-    # Numerical stability (round-2 advice): n*Σxy − Σx·Σy over RAW values
-    # cancels catastrophically when a dimension has high mean and low
-    # variance. Shifting every dimension by a constant leaves correlation
-    # unchanged in exact arithmetic but keeps the accumulated moments near
-    # zero, so the subtraction no longer eats the significant digits. The
-    # anchor is the per-dim MEDIAN of a small head sample — robust to a
-    # pathological single row (an outlier anchor would re-introduce the
-    # cancellation it exists to prevent), still one O(sample × d) driver
-    # fetch, no extra corpus pass. The sample is the first 101 rows BY
-    # vec_id (round-3 advice): a bare head() over an unordered relation
-    # samples whatever partition answers first, so the shift — and the
-    # 6th-digit rounding of corr — would depend on scan/partition layout.
-    sample = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(101)
-        .collect()
-    )
-    shift = (
-        np.median(
-            np.asarray([r["embedding"] for r in sample], dtype=np.float64), axis=0
-        )
-        if sample
-        else None
-    )
-
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
-            if shift is not None:
-                X = X - shift
-            yield pd.DataFrame(
-                {
-                    "n": [X.shape[0]],
-                    "s": [X.sum(axis=0).tolist()],
-                    "g": [(X.T @ X).ravel().tolist()],
-                }
-            )
-
-    # The partials subtree feeds THREE consumers (total, sums, gram)
-    # under distinct exchanges, so without materialization the embeddings
-    # scan + the Arrow/BLAS gram fold re-execute per consumer (ReuseExchange
-    # only dedups the identical si/sj and di/dj copies). The partials are
-    # one tiny sufficient-statistics row per Arrow batch — checkpoint
-    # them once, same multi-consumer discipline as windows.py/graph.py.
-    p = emb.mapInPandas(
-        partials, schema="n bigint, s array<double>, g array<double>"
-    ).localCheckpoint(eager=True)
-    total = p.agg(F.sum("n").alias("nn"))
-    sums = (
-        p.select(F.posexplode("s").alias("i", "sv"))
-        .groupBy("i")
-        .agg(F.sum("sv").alias("sv"))
-    )
-    gram = (
-        p.select(F.size("s").alias("d"), F.posexplode("g").alias("k", "gv"))
-        .groupBy((F.col("k") / F.col("d")).cast("int").alias("gi"),
-                 (F.col("k") % F.col("d")).alias("gj"))
-        .agg(F.sum("gv").alias("gv"))
-        .where(F.col("gi") <= F.col("gj"))
-    )
-    diag = gram.where(F.col("gi") == F.col("gj")).select(
-        F.col("gi").alias("dd"), F.col("gv").alias("gdd")
-    )
-    si = sums.select(F.col("i").alias("i1"), F.col("sv").alias("s1"))
-    sj = sums.select(F.col("i").alias("i2"), F.col("sv").alias("s2"))
-    di = diag.select(F.col("dd").alias("d1"), F.col("gdd").alias("g1"))
-    dj = diag.select(F.col("dd").alias("d2"), F.col("gdd").alias("g2"))
-    joined = (
-        gram.crossJoin(F.broadcast(total))
-        .join(F.broadcast(si), F.col("gi") == F.col("i1"))
-        .join(F.broadcast(sj), F.col("gj") == F.col("i2"))
-        .join(F.broadcast(di), F.col("gi") == F.col("d1"))
-        .join(F.broadcast(dj), F.col("gj") == F.col("d2"))
-    )
-    num = F.col("nn") * F.col("gv") - F.col("s1") * F.col("s2")
-    var1 = F.col("nn") * F.col("g1") - F.col("s1") * F.col("s1")
-    var2 = F.col("nn") * F.col("g2") - F.col("s2") * F.col("s2")
-    # Relative-epsilon guard (round-2 advice): `var > 0` alone lets FP
-    # noise on a near-constant dimension produce a tiny positive variance
-    # and a huge spurious corr. A real variance satisfies
-    # var ≈ n·Σ(x-c)² up to the (now small, post-shift) mean correction;
-    # anything below 1e-12 of that scale is cancellation residue → NULL,
-    # matching SQL corr on constant input.
-    tol = F.lit(1e-12)
-    well_cond = (var1 > tol * F.col("nn") * F.col("g1")) & (
-        var2 > tol * F.col("nn") * F.col("g2")
-    )
-    corr = F.when(well_cond, num / F.sqrt(var1 * var2))
-    return joined.select(
-        (F.col("gi") + 1).cast("bigint").alias("i"),
-        (F.col("gj") + 1).cast("bigint").alias("j"),
-        F.round(corr, 6).alias("corr_ij"),
-    )
-
-
-@query(
-    "embedding_outliers",
-    oracle="""
-    WITH v AS (
-        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-    ), d AS (
-        SELECT vec_id, i, e[i] AS x
-        FROM v CROSS JOIN UNNEST(range(1, len(e) + 1)) AS r(i)
-    ), m AS (
-        SELECT i, round(avg(x), 6) AS mv FROM d GROUP BY i
-    ), mu AS (
-        SELECT list(mv ORDER BY i) AS m FROM m
-    )
-    SELECT vec_id, round(list_cosine_similarity(v.e, mu.m), 6) AS cos_centroid
-    FROM v CROSS JOIN mu
-    ORDER BY cos_centroid ASC, vec_id ASC
-    LIMIT 20
-    """,
-    tags=("tier2", "similarity", "curation"),
-)
-def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space outlier detection for data curation: the 20 vectors
-    least aligned with the corpus centroid (lowest cosine) — the cheap
-    first pass that flags mis-embedded / off-distribution documents before
-    they pollute similarity search or semantic dedup.
-
-    Scale shape: per-dim means via posexplode + one hash-aggregate (d
-    rows collect to the driver — O(d), the k-means-centroid precedent),
-    then the centroid ships back as an array LITERAL and every vector
-    scores in the scan stage with the same in-row fold ann_topk uses;
-    TakeOrderedAndProject takes the bottom-k. The mean is rounded to 6
-    digits on BOTH sides so summation-order drift between engines cannot
-    move the centroid; scores are rounded before ranking so the cut is
-    identical."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_vec(F.col("embedding")).alias("e")
-    )
-    from mapreduce__spark.operators.staging import bounded_collect
-
-    # one row per embedding DIMENSION (grouped on the posexplode index);
-    # bound-enforced so a future regroup can't silently make this
-    # corpus-sized (round-7 verdict item 8)
-    mu = bounded_collect(
-        emb.select(F.posexplode("e").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.round(F.avg("x"), 6).alias("m"))
-        .orderBy("i"),
-        4096,
-        "per-dimension centroid",
-    )
-    mean_arr = F.array(*[F.lit(r.m) for r in mu])
-    return (
-        emb.select(
-            "vec_id",
-            F.round(cosine_sim(F.col("e"), mean_arr), 6).alias("cos_centroid"),
-        )
-        .orderBy(F.col("cos_centroid").asc(), F.col("vec_id").asc())
-        .limit(20)
-    )
-
-
-@query(
-    "embedding_quantize_int8",
-    oracle="""
-    WITH e AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ), d AS (
-        SELECT vec_id, i, v[i] AS x
-        FROM e CROSS JOIN UNNEST(range(1, len(v) + 1)) AS r(i)
-    ), stats AS (
-        SELECT i, min(x) AS lo, max(x) AS hi FROM d GROUP BY i
-    ), q AS (
-        SELECT d.vec_id, d.i, d.x, s.lo, s.hi,
-               CASE WHEN s.hi = s.lo THEN 0
-                    ELSE CAST(round((d.x - s.lo) * 255.0 / (s.hi - s.lo)) AS BIGINT)
-               END AS qv
-        FROM d JOIN stats s ON d.i = s.i
-    )
-    SELECT vec_id,
-           string_agg(CAST(qv AS VARCHAR), ',' ORDER BY i) AS q_csv,
-           CAST(sum(CAST(round((x - (lo + qv * ((hi - lo) / 255.0)))
-                    * (x - (lo + qv * ((hi - lo) / 255.0))) * 1e12) AS BIGINT))
-                AS BIGINT) AS err_pico
-    FROM q GROUP BY vec_id
-    """,
-    tags=("tier2", "similarity", "pipeline"),
-)
-def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Int8 scalar quantization of the embedding corpus — the standard 4x
-    vector-store compression before ANN at scale: per-dimension affine
-    [lo, hi] -> [0, 255] codes plus an integer-exact reconstruction-error
-    metric per vector.
-
-    Scale shape: per-dim lo/hi via posexplode + ONE hash aggregate
-    (partial agg means the shuffle is partitions x dims rows, bytes at
-    any corpus size), the d-row stats collect to the driver (O(d), the
-    k-means-centroid precedent) and ship back as array literals, and the
-    quantize pass is pure scan-stage codegen — no second shuffle, no
-    Python. Cross-engine exactness: both sides compute the identical
-    double expression ((x-lo)*255/(hi-lo), round-half-up on non-negative
-    values), and the error metric rounds each per-dim term to an integer
-    picounit BEFORE the order-insensitive integer sum — so no
-    float-summation-order tie can flip the hash (the repo's
-    floats-compare-exactly rule)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_vec(F.col("embedding")).alias("e")
-    )
-    from mapreduce__spark.operators.staging import bounded_collect
-
-    # one row per embedding DIMENSION — same enforced bound as the
-    # centroid fetch in embedding_outliers
-    stats = bounded_collect(
-        emb.select(F.posexplode("e").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
-        .orderBy("i"),
-        4096,
-        "per-dimension min/max",
-    )
-    lo = F.array(*[F.lit(r.lo) for r in stats])
-    hi = F.array(*[F.lit(r.hi) for r in stats])
-    idx = F.sequence(F.lit(0), F.lit(len(stats) - 1))
-
-    def qv(i):
-        x, l, h = F.col("e")[i], lo[i], hi[i]
-        return F.when(h == l, F.lit(0).cast("bigint")).otherwise(
-            F.round((x - l) * F.lit(255.0) / (h - l), 0).cast("bigint")
-        )
-
-    # The q array is computed ONCE in its own projection; csv and the
-    # error fold both reference it, so the per-dim conditional expression
-    # tree appears once instead of once per consumer.
-    coded = emb.select("vec_id", "e", F.transform(idx, qv).alias("q"))
-
-    def err_term(i):
-        x, l, h = F.col("e")[i], lo[i], hi[i]
-        dequant = l + F.col("q")[i].cast("double") * ((h - l) / F.lit(255.0))
-        return F.round((x - dequant) * (x - dequant) * F.lit(1e12), 0).cast("long")
-
-    return coded.select(
-        "vec_id",
-        F.concat_ws(
-            ",", F.transform(F.col("q"), lambda c: c.cast("string"))
-        ).alias("q_csv"),
-        F.aggregate(
-            F.transform(idx, err_term), F.lit(0).cast("long"), lambda acc, t: acc + t
-        ).alias("err_pico"),
-    )
-
-
-@query(
-    "user_path_transitions",
-    oracle="""
-    WITH seq AS (
-        SELECT user_id, event_type,
-               lag(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS prev_type
-        FROM events
-    )
-    SELECT prev_type, event_type AS next_type, count(*) AS n
-    FROM seq WHERE prev_type IS NOT NULL
-    GROUP BY 1, 2
-    """,
-    tags=("tier2", "analytics"),
-)
-def user_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition counts over per-user event sequences
-    (the funnel/retention sibling: which step follows which, corpus-wide).
-
-    Scale shape: one lag window partitioned by user_id (uniform key), then
-    a hash aggregate on the tiny (prev, next) type-pair key space — the
-    shuffle after the window moves one row per partition per pair."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        # asc_nulls_last: Spark ASC defaults NULLS FIRST, DuckDB (the
-        # oracle) NULLS LAST — a NULL ts would take rank 1 here and
-        # rank last there, flipping lag pairs and first-row picks.
-        F.col("ts").asc_nulls_last(), "event_id"
-    )
-    return (
-        ev.withColumn("prev_type", F.lag("event_type").over(w))
-        .where(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", F.col("event_type").alias("next_type"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@query(
-    "ann_topk_lsh",
-    oracle=None,  # approximate by design — recall vs brute force asserted in tests
-    tags=("tier2", "similarity"),
-)
-def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-5 (random-hyperplane signatures, candidates
-    restricted to the query's bucket, exact re-score of candidates)."""
-    return lsh_topk(load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5)
-
-
-@query(
-    "ann_topk_ivf",
-    oracle=None,  # approximate by design — recall vs brute force asserted in tests
-    tags=("tier2", "similarity"),
-)
-def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5: deterministic k-means coarse quantizer, nprobe=2
-    cells probed per query, exact re-scoring inside probed cells."""
-    from mapreduce__spark.operators.similarity import ivf_topk
-
-    return ivf_topk(load_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5)
-
-
-# --------------------------------------------------------------------------
-# O-25: multimodal columns
-# --------------------------------------------------------------------------
-
-
-@query(
-    "multimodal_metadata",
-    oracle="""
-    SELECT doc_id,
-           octet_length(encode(text)) AS byte_len,
-           'text/plain'               AS mime,
-           md5(text)                  AS content_md5
-    FROM documents
-    """,
-    tags=("tier2", "multimodal"),
-)
-def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload + typed metadata struct, projected flat: the schema
-    discipline for opaque media columns (payload never keyed on)."""
-    mm = with_binary_payload(load_table(spark, sf_dir, "documents"))
-    return mm.select(
-        "doc_id",
-        F.col("meta.byte_len").alias("byte_len"),
-        F.col("meta.mime").alias("mime"),
-        F.col("meta.content_md5").alias("content_md5"),
-    )
-
-
-@query(
-    "multimodal_decode",
-    oracle="""
-    WITH bmp AS (
-      SELECT doc_id, doc_id % 13 + 4 AS width, (doc_id * 7) % 11 + 4 AS height
-      FROM documents WHERE doc_id % 2 = 0
-    ),
-    px AS (
-      SELECT doc_id, width, height,
-             unnest(generate_series(0, width - 1)) AS x
-      FROM bmp
-    ),
-    pxy AS (
-      SELECT doc_id, width, height, x,
-             unnest(generate_series(0, height - 1)) AS y
-      FROM px
-    ),
-    img AS (
-      SELECT doc_id, 'image/bmp' AS mime,
-             CAST(width AS BIGINT)  AS width,
-             CAST(height AS BIGINT) AS height,
-             CAST(sum((3 * doc_id + 11 * x + y) % 256
-                    + (2 * doc_id + x + 7 * y) % 256
-                    + (doc_id + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_rgb
-      FROM pxy GROUP BY doc_id, width, height
-    ),
-    wavdims AS (
-      SELECT doc_id, doc_id % 2 + 1 AS channels,
-             CASE doc_id % 4 WHEN 1 THEN 16000 ELSE 48000 END AS sample_rate,
-             doc_id % 60 + 4 AS n_frames
-      FROM documents WHERE doc_id % 2 = 1
-    ),
-    s AS (
-      SELECT doc_id, channels, sample_rate,
-             unnest(generate_series(0, n_frames * channels - 1)) AS k
-      FROM wavdims
-    ),
-    aud AS (
-      SELECT doc_id, 'audio/wav' AS mime,
-             CAST(channels AS BIGINT)    AS channels,
-             CAST(sample_rate AS BIGINT) AS sample_rate,
-             CAST(sum((31 * doc_id + 7 * (k // channels) + 13 * (k % channels))
-                      % 65536 - 32768) AS BIGINT) AS sum_samples
-      FROM s GROUP BY doc_id, channels, sample_rate
-    )
-    SELECT doc_id, mime, width, height, sum_rgb,
-           CAST(NULL AS BIGINT) AS channels,
-           CAST(NULL AS BIGINT) AS sample_rate,
-           CAST(NULL AS BIGINT) AS sum_samples
-    FROM img
-    UNION ALL
-    SELECT doc_id, mime,
-           CAST(NULL AS BIGINT) AS width,
-           CAST(NULL AS BIGINT) AS height,
-           CAST(NULL AS BIGINT) AS sum_rgb,
-           channels, sample_rate, sum_samples
-    FROM aud
-    """,
-    tags=("tier2", "multimodal"),
-)
-def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mime-dispatched REAL decode over a MIXED-media binary column — the
-    shape a production multimodal pipeline has: one `binary` column
-    holding different container formats (here even doc_ids carry a full
-    24-bit BMP, odd ones a full PCM16 WAV), each payload routed to the
-    right decoder by SNIFFED magic bytes, never a trusted sidecar mime
-    column. Reuses the oracle-proven BMP pixel and WAV sample decoders;
-    the other modality's columns are real NULLs (pandas Int64 -> Arrow),
-    and the oracle regenerates both modalities in SQL and unions them.
-
-    This retires the round-1 decode STUB: the dispatch point is where
-    entropy-coded formats (PNG/JPEG/FLAC) would route to the
-    REAL_DECODE_AVAILABLE library path. Arrow-batched mapInPandas,
-    partition-preserving, payloads never shuffled."""
-    from mapreduce__spark.operators.multimodal import (
-        mixed_media_features,
-        with_mixed_media_payload,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return mixed_media_features(with_mixed_media_payload(docs))
-
-
-@query(
-    "bmp_pixel_decode",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id,
-             doc_id % 13 + 4        AS width,
-             (doc_id * 7) % 11 + 4  AS height
-      FROM documents
-    ),
-    px AS (
-      SELECT doc_id, width, height,
-             unnest(generate_series(0, width - 1)) AS x
-      FROM dims
-    ),
-    pxy AS (
-      SELECT doc_id, width, height, x,
-             unnest(generate_series(0, height - 1)) AS y
-      FROM px
-    )
-    SELECT doc_id,
-           CAST(width AS BIGINT)  AS width,
-           CAST(height AS BIGINT) AS height,
-           CAST(count(*) AS BIGINT) AS n_pixels,
-           CAST(sum((3 * doc_id + 11 * x + y) % 256) AS BIGINT) AS sum_r,
-           CAST(sum((2 * doc_id + x + 7 * y) % 256) AS BIGINT)  AS sum_g,
-           CAST(sum((doc_id + 3 * x + 5 * y) % 256) AS BIGINT)  AS sum_b,
-           CAST((3 * doc_id) % 256 + (2 * doc_id) % 256 + doc_id % 256
-                AS BIGINT) AS topleft_rgb
-    FROM pxy
-    GROUP BY doc_id, width, height
-    """,
-    tags=("tier2", "multimodal"),
-)
-def bmp_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL pixel decode, no media libraries: per doc a spec-valid
-    uncompressed 24-bit BMP is synthesized (every pixel a pure function
-    of doc_id and its (x, y) coordinate) and fully decoded BACK from raw
-    bytes — data-offset and DIB fields read from the header, the pixel
-    array walked by its 4-byte-aligned row stride with padding sliced
-    off, bottom-up vs top-down (negative biHeight) row order normalized.
-    The oracle regenerates every pixel in SQL and aggregates, so channel
-    sums verify the whole pixel array and the top-left-pixel column
-    pins row-order handling (a decoder ignoring layout direction fails
-    it). This upgrades O-25's decode cell from declared stub to checked
-    decode for the one raster format whose pixel layer is pure byte
-    layout; entropy-coded formats (PNG/JPEG) stay behind the
-    REAL_DECODE_AVAILABLE gate. Arrow-batched mapInPandas, partition-
-    preserving, payloads never shuffled."""
-    from mapreduce__spark.operators.multimodal import (
-        bmp_pixel_features,
-        with_bmp_payload,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return bmp_pixel_features(with_bmp_payload(docs))
-
-
-@query(
-    "wav_pcm_decode",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id,
-             doc_id % 2 + 1 AS channels,
-             CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                             WHEN 2 THEN 44100 ELSE 48000 END AS sample_rate,
-             doc_id % 60 + 4 AS n_frames
-      FROM documents
-    ),
-    s AS (
-      SELECT doc_id, channels, sample_rate, n_frames,
-             unnest(generate_series(0, n_frames * channels - 1)) AS k
-      FROM dims
-    ),
-    v AS (
-      SELECT doc_id, channels, sample_rate, n_frames, k,
-             (31 * doc_id + 7 * (k // channels) + 13 * (k % channels))
-               % 65536 - 32768 AS smp
-      FROM s
-    )
-    SELECT doc_id,
-           CAST(channels AS BIGINT) AS channels,
-           CAST(sample_rate AS BIGINT) AS sample_rate,
-           CAST(n_frames AS BIGINT) AS n_frames,
-           CAST(sum(smp) AS BIGINT) AS sum_samples,
-           CAST(min(smp) AS BIGINT) AS min_sample,
-           CAST(max(smp) AS BIGINT) AS max_sample,
-           CAST((31 * doc_id) % 65536 - 32768 AS BIGINT) AS first_sample,
-           CAST(sum(CASE WHEN k % channels = 0 THEN smp END) AS BIGINT)
-             AS sum_ch0
-    FROM v
-    GROUP BY doc_id, channels, sample_rate, n_frames
-    """,
-    tags=("tier2", "multimodal"),
-)
-def wav_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio sample decode, no media libraries — the audio twin of
-    bmp_pixel_decode: per doc a spec-valid PCM16 WAV is synthesized
-    (every interleaved sample a pure function of doc_id, frame, channel)
-    and fully decoded BACK from raw bytes via the real RIFF chunk walk —
-    fmt and data located in EITHER order, odd-sized junk chunks skipped
-    with their word-alignment pad byte, then one vectorized int16 read.
-    The oracle regenerates every sample in SQL: sum/min/max verify the
-    whole sample array, first_sample pins the data offset after
-    arbitrary preceding chunks, and sum_ch0 pins channel interleaving
-    (a flat byte-sum can't fake it). LPCM, like the BMP pixel layer, is
-    pure byte layout — compressed codecs (FLAC/Opus) stay header-only
-    behind REAL_DECODE_AVAILABLE. Arrow-batched mapInPandas, partition-
-    preserving, payloads never shuffled."""
-    from mapreduce__spark.operators.multimodal import (
-        wav_pcm_features,
-        with_wav_pcm_payload,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return wav_pcm_features(with_wav_pcm_payload(docs))
-
-
-@query(
-    "image_header_metadata",
-    oracle="""
-    SELECT doc_id,
-           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS fmt,
-           CAST((doc_id % 512) + 16 AS BIGINT) AS width,
-           CAST(((doc_id * 7) % 512) + 16 AS BIGINT) AS height
-    FROM documents
-    """,
-    tags=("tier2", "multimodal"),
-)
-def image_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode at the header level, no media libraries: valid
-    PNG / GIF / JPEG container bytes are synthesized per doc (dimensions a
-    pure function of doc_id) and (format, width, height) are parsed BACK
-    from the raw bytes — PNG IHDR big-endian fields, GIF little-endian
-    logical screen, a JPEG SOF marker walk. The oracle recomputes the
-    expected dimensions from doc_id, so it verifies the byte-level parse
-    round-trip exactly. Arrow-batched, partition-preserving; this is the
-    decode stage a 100 TB corpus runs for size/aspect filtering before any
-    pixel work."""
-    from mapreduce__spark.operators.multimodal import (
-        image_header_features,
-        with_image_payload,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return image_header_features(with_image_payload(docs))
-
-
-@query(
-    "media_header_metadata",
-    oracle="""
-    SELECT doc_id,
-           CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
-           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                                WHEN 2 THEN 44100 ELSE 48000 END AS BIGINT) AS sample_rate,
-           CAST(doc_id % 1000 + 1 AS BIGINT) AS n_frames,
-           'isom' AS brand,
-           CAST(600 AS BIGINT) AS timescale,
-           CAST((doc_id % 3600 + 1) * 600 AS BIGINT) AS duration
-    FROM documents
-    """,
-    tags=("tier2", "multimodal"),
-)
-def media_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio + video header decode, byte-level (no media libraries):
-    per doc, a valid WAV (RIFF chunk walk → channels/rate/frames) and a
-    valid MP4 (top-level box walk → ftyp brand, moov/mvhd timescale +
-    duration) are synthesized with fields derived from doc_id, then parsed
-    back from raw bytes. Oracle recomputes the expected fields from doc_id
-    — an exact round-trip check of both container parsers."""
-    from mapreduce__spark.operators.multimodal import (
-        parse_mp4_header,
-        parse_wav_header,
-        synth_mp4_bytes,
-        synth_wav_bytes,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                "doc_id": [], "channels": [], "sample_rate": [], "n_frames": [],
-                "brand": [], "timescale": [], "duration": [],
-            }
-            for i in pdf["doc_id"]:
-                i = int(i)
-                ch, rate, _bits, nf = parse_wav_header(synth_wav_bytes(i))
-                brand, ts, dur = parse_mp4_header(synth_mp4_bytes(i))
-                out["doc_id"].append(i)
-                out["channels"].append(ch)
-                out["sample_rate"].append(rate)
-                out["n_frames"].append(nf)
-                out["brand"].append(brand)
-                out["timescale"].append(ts)
-                out["duration"].append(dur)
-            yield pd.DataFrame(out)
-
-    return docs.mapInPandas(
-        roundtrip,
-        schema="doc_id bigint, channels bigint, sample_rate bigint, n_frames bigint, "
-        "brand string, timescale bigint, duration bigint",
-    )
-
-
-@query(
-    "webp_flac_header_metadata",
-    oracle="""
-    SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'vp8x' ELSE 'vp8l' END AS webp_variant,
-           CAST((doc_id % 512) + 16 AS BIGINT) AS width,
-           CAST(((doc_id * 7) % 512) + 16 AS BIGINT) AS height,
-           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                                WHEN 2 THEN 44100 ELSE 48000 END AS BIGINT) AS sample_rate,
-           CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
-           CAST(16 AS BIGINT) AS bits_per_sample,
-           CAST(doc_id % 100000 + 1 AS BIGINT) AS total_samples
-    FROM documents
-    """,
-    tags=("tier2", "multimodal"),
-)
-def webp_flac_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WebP + FLAC header decode, byte-level (no media libraries): per doc,
-    a valid WebP container (RIFF chunk walk; VP8X 24-bit canvas fields for
-    even ids, VP8L 14-bit packed dimensions for odd) and a valid FLAC
-    stream head (metadata-block walk to the bit-packed STREAMINFO) are
-    synthesized with fields derived from doc_id, then parsed back from the
-    raw bytes. The oracle recomputes the expected fields from doc_id — an
-    exact round-trip check of both parsers, same pattern as
-    image_header_metadata / media_header_metadata."""
-    from mapreduce__spark.operators.multimodal import (
-        parse_flac_streaminfo,
-        parse_webp_header,
-        synth_flac_bytes,
-        synth_webp_bytes,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                "doc_id": [], "webp_variant": [], "width": [], "height": [],
-                "sample_rate": [], "channels": [], "bits_per_sample": [],
-                "total_samples": [],
-            }
-            for i in pdf["doc_id"]:
-                i = int(i)
-                variant, w, h = parse_webp_header(synth_webp_bytes(i))
-                rate, ch, bits, total = parse_flac_streaminfo(synth_flac_bytes(i))
-                out["doc_id"].append(i)
-                out["webp_variant"].append(variant)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["sample_rate"].append(rate)
-                out["channels"].append(ch)
-                out["bits_per_sample"].append(bits)
-                out["total_samples"].append(total)
-            yield pd.DataFrame(out)
-
-    return docs.mapInPandas(
-        roundtrip,
-        schema="doc_id bigint, webp_variant string, width bigint, height bigint, "
-        "sample_rate bigint, channels bigint, bits_per_sample bigint, "
-        "total_samples bigint",
-    )
-
-
-@query(
-    "tiff_ogg_header_metadata",
-    oracle="""
-    SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
-           CAST((doc_id % 512) + 16 AS BIGINT) AS width,
-           CAST(((doc_id * 7) % 512) + 16 AS BIGINT) AS height,
-           CAST(doc_id % 100000 AS BIGINT) AS serial,
-           CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
-           CAST(doc_id % 1000 AS BIGINT) AS pre_skip,
-           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                                WHEN 2 THEN 44100 ELSE 48000 END AS BIGINT)
-             AS sample_rate
-    FROM documents
-    """,
-    tags=("tier2", "multimodal"),
-)
-def tiff_ogg_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TIFF + Ogg/Opus header decode, byte-level (no media libraries): per
-    doc, a valid TIFF (II little-endian for even ids, MM big-endian for
-    odd — the parse honors the byte-order mark through the IFD entry walk
-    to ImageWidth/ImageLength) and a valid Ogg page wrapping an OpusHead
-    identification header (segment-table walk → channels/pre-skip/rate)
-    are synthesized with fields derived from doc_id and parsed back from
-    raw bytes. Same oracle round-trip pattern as image_header_metadata /
-    webp_flac_header_metadata — together the byte-level decode surface
-    now covers PNG/GIF/JPEG/WebP/TIFF images and WAV/MP4/FLAC/Ogg-Opus
-    media containers."""
-    from mapreduce__spark.operators.multimodal import (
-        parse_ogg_opus_header,
-        parse_tiff_header,
-        synth_ogg_opus_bytes,
-        synth_tiff_bytes,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                "doc_id": [], "byte_order": [], "width": [], "height": [],
-                "serial": [], "channels": [], "pre_skip": [], "sample_rate": [],
-            }
-            for i in pdf["doc_id"]:
-                i = int(i)
-                order, w, h = parse_tiff_header(synth_tiff_bytes(i))
-                serial, ch, skip, rate = parse_ogg_opus_header(
-                    synth_ogg_opus_bytes(i)
-                )
-                out["doc_id"].append(i)
-                out["byte_order"].append(order)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["serial"].append(serial)
-                out["channels"].append(ch)
-                out["pre_skip"].append(skip)
-                out["sample_rate"].append(rate)
-            yield pd.DataFrame(out)
-
-    return docs.mapInPandas(
-        roundtrip,
-        schema="doc_id bigint, byte_order string, width bigint, height bigint, "
-        "serial bigint, channels bigint, pre_skip bigint, sample_rate bigint",
-    )
-
-
-@query(
-    "image_resize_roundtrip",
-    oracle="""
-    SELECT doc_id,
-           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS fmt,
-           CAST((doc_id % 64) + 8 AS BIGINT) AS width,
-           CAST(((doc_id * 3) % 64) + 8 AS BIGINT) AS height
-    FROM documents
-    """,
-    tags=("tier2", "multimodal"),
-)
-def image_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image RESIZE at the header level: synthesize real container bytes,
-    rewrite each header to a per-row target size (PNG IHDR + recomputed
-    CRC, GIF screen descriptor, JPEG SOF walk — resize_image_header), then
-    parse the rewritten bytes back. The oracle recomputes the target
-    dimensions from doc_id, so a hash match proves BOTH byte passes
-    (rewrite and re-parse) agree on every row. Pixel resampling stays
-    behind the decode stub — this is the metadata half a 100 TB resize
-    job runs either side of it."""
-    from mapreduce__spark.operators.multimodal import (
-        image_header_features,
-        resize_images,
-        with_image_payload,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    resized = resize_images(
-        with_image_payload(docs), "doc_id % 64 + 8", "(doc_id * 3) % 64 + 8"
-    )
-    return image_header_features(resized)
-
-
-@query(
-    "audio_frame_sample",
-    oracle="""
-    SELECT doc_id,
-           unnest(generate_series(0, (doc_id % 1000 + 1) - 1, 100)) AS frame_idx,
-           CAST(unnest(generate_series(0, (doc_id % 1000 + 1) - 1, 100)) * 1000
-                // (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                                    WHEN 2 THEN 44100 ELSE 48000 END) AS BIGINT) AS ts_ms
-    FROM documents
-    """,
-    tags=("tier2", "multimodal"),
-)
-def audio_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over audio payloads — the 1→N row-expanding Arrow
-    UDF every frame-sampler needs: synthesize a real WAV per doc, parse
-    its header, emit one row per sampled frame (every 100th index below
-    the frame count) with its integer millisecond timestamp. The oracle
-    rebuilds the same index series with generate_series from the doc_id
-    formulas, so the expansion count, indices, and timestamp arithmetic
-    are all hash-checked. Output rows ≈ input rows × frames/stride; Spark
-    re-batches the Arrow stream, so no per-doc list ever materializes."""
-    from mapreduce__spark.operators.multimodal import sample_frames, with_wav_payload
-
-    docs = load_table(spark, sf_dir, "documents")
-    return sample_frames(with_wav_payload(docs), stride=100)
-
-
-# --------------------------------------------------------------------------
-# O-26: event-stream windows (batch-equivalent, oracle-checkable forms)
-# --------------------------------------------------------------------------
-
-
-@query(
-    "events_tumbling_window",
-    oracle="""
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-    tags=("tier2", "streaming"),
-)
-def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour window aggregate — identical code shape under
-    readStream + withWatermark (see mapreduce__spark.streaming)."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
-    )
-
-
-@query(
-    "events_rollup_gapfill",
-    oracle="""
-    WITH agg AS (
-        SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
-               count(*) AS n, round(sum(value), 2) AS sv
-        FROM events GROUP BY 1, 2
-    ), span AS (SELECT min(h) AS lo, max(h) AS hi FROM agg),
-    hours AS (
-        SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h FROM span
-    ), types AS (SELECT DISTINCT event_type FROM events)
-    SELECT hours.h AS window_start, types.event_type,
-           coalesce(agg.n, 0) AS n_events,
-           coalesce(agg.sv, 0.0) AS sum_value
-    FROM hours CROSS JOIN types
-    LEFT JOIN agg ON agg.h = hours.h AND agg.event_type = types.event_type
-    """,
-    tags=("tier2", "streaming", "timeseries"),
-)
-def events_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style gap-filled rollup: the tumbling 1-hour aggregate
-    DENSIFIED so every (hour, event_type) cell in the observed span exists,
-    zero-filled where no events landed — what downstream charting /
-    anomaly baselines need from a time-series store.
-
-    Scale shape: the dense grid is built WITHOUT a driver collect —
-    the span is a 1-row aggregate whose `sequence(lo, hi, 1 hour)`
-    explodes into the hour spine, cross-joined with the distinct types
-    (both post-agg relations are bounded by hours × types, tiny at any
-    corpus size); the hourly aggregate then broadcast-joins onto the
-    grid. Events are scanned ONCE — the hourly aggregate is
-    materialized (hours × types rows) because it feeds three consumers
-    (span, type list, and the grid join); left lazy, each re-plans its
-    own full events scan (no exchange reuse across re-aggregations —
-    the same triple-scan domain_mixture_weights had). Nothing
-    grid-sized ever shuffles."""
-    ev = load_table(spark, sf_dir, "events")
-    agg = (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
-        .select(F.col("w.start").alias("h"), "event_type", "n", "sv")
-        .localCheckpoint(eager=True)
-    )
-    span = agg.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
-    hours = span.select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
-            "window_start"
-        )
-    )
-    # Types come from the MATERIALIZED aggregate, not a fresh events
-    # scan — every observed type appears in agg by construction, and the
-    # rename disambiguates the grid's type column from agg's in the join
-    # below (dataframe-identity column resolution is an ambiguous
-    # self-join trap).
-    types = agg.select(F.col("event_type").alias("grid_type")).distinct()
-    grid = hours.crossJoin(types)
-    return grid.join(
-        F.broadcast(agg),
-        (F.col("h") == F.col("window_start")) & (F.col("event_type") == F.col("grid_type")),
-        "left",
-    ).select(
-        "window_start",
-        F.col("grid_type").alias("event_type"),
-        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
-        F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
-    )
-
-
-@query(
-    "events_sliding_window",
-    oracle="""
-    SELECT time_bucket(INTERVAL '30 minutes', ts)
-             - i.i * INTERVAL '30 minutes' AS window_start,
-           count(*) AS n_events,
-           round(round(sum(value), 2) / count(*), 6) AS avg_value
-    FROM events CROSS JOIN UNNEST(range(2)) AS i(i)
-    GROUP BY 1
-    """,
-    tags=("tier2", "streaming"),
-)
-def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding window (1 hour, 30-minute slide): each event contributes
-    to size/slide = 2 windows; Spark's window() does the row expansion.
-
-    The avg is computed as round(sum,2)/count: an avg of 2-decimal data
-    lands exactly on round() ties (sum/10 → x.xx5) where Spark and the
-    oracle can round apart, while a 2-decimal sum never sits near a
-    boundary — so both engines produce bit-identical doubles."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 6).alias("avg_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
-    )
-
-
-@query(
-    "sessionization",
-    oracle="""
-    WITH x AS (
-        SELECT user_id, ts, event_id,
-               CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                            > 1800000000
-                    THEN 1 ELSE 0 END AS is_new
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), s AS (
-        SELECT user_id, ts,
-               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        FROM x
-    )
-    SELECT user_id, session_id, min(ts) AS session_start,
-           max(ts) AS session_end, count(*) AS n_events
-    FROM s GROUP BY user_id, session_id
-    """,
-    tags=("tier2", "streaming"),
-)
-def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-minute inactivity gap) via the
-    lag → new-session flag → running-sum pattern; the streaming twin is
-    session_window() with a watermark (mapreduce__spark.streaming).
-
-    The gap compares epoch MICROSECONDS (same discipline as
-    rolling_user_features): unix_timestamp() truncates to whole seconds,
-    so a true gap of e.g. 1800.3s whose second-floors differ by exactly
-    1800 would split sessions differently from the µs-precise oracle —
-    a boundary the testdata happens not to exercise, which is exactly
-    when truncation bugs survive. The NTZ→LTZ cast is exact under the
-    session's pinned UTC zone."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        # asc_nulls_last: Spark ASC defaults NULLS FIRST, DuckDB (the
-        # oracle) NULLS LAST — a NULL ts would take rank 1 here and
-        # rank last there, flipping lag pairs and first-row picks.
-        F.col("ts").asc_nulls_last(), "event_id"
-    )
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
-    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp_ltz"))
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        F.when(
-            F.lag("ts").over(w).isNull() | ((ts_us - prev_us) > 1_800_000_000),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_new"),
-        "event_id",
-    )
-    sessions = flagged.select(
-        "user_id",
-        "ts",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
-    )
-    return sessions.groupBy("user_id", "session_id").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-
-
-@query(
-    "funnel_analysis",
-    oracle="""
-    WITH e AS (
-        SELECT * FROM events WHERE event_id % 7 = 0
-    ), v AS (
-        SELECT user_id, min(ts) AS t1 FROM e
-        WHERE event_type = 'view' GROUP BY user_id
-    ), c AS (
-        SELECT e.user_id, min(e.ts) AS t2
-        FROM e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
-        WHERE e.event_type = 'click' GROUP BY e.user_id
-    ), p AS (
-        SELECT e.user_id, min(e.ts) AS t3
-        FROM e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
-        WHERE e.event_type = 'purchase' GROUP BY e.user_id
-    ), staged AS (
-        SELECT v.user_id,
-               CASE WHEN p.user_id IS NOT NULL THEN 3
-                    WHEN c.user_id IS NOT NULL THEN 2
-                    ELSE 1 END AS stage
-        FROM v LEFT JOIN c ON v.user_id = c.user_id
-               LEFT JOIN p ON v.user_id = p.user_id
-    )
-    SELECT stage, count(*) AS n_users FROM staged GROUP BY stage
-    """,
-    tags=("tier2", "events", "analytics"),
-)
-def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered-funnel analysis: users counted by the furthest stage of
-    view → click (after the first view) → purchase (after that click)
-    they reached, with strict event-time ordering between stages (a click
-    BEFORE any view does not advance the funnel — the chained min-ts
-    semantics a flat per-type min would get wrong).
-
-    Scale shape (round-7 single-scan rewrite): ONE events scan (type +
-    thinning filters pushed down) and ONE user-keyed shuffle — each
-    user's per-type timestamps collect into sorted arrays and the
-    chained stage mins are pure array expressions (`array_min` over a
-    higher-order `filter` capturing the previous stage's min), so the
-    funnel logic runs inside whole-stage codegen with no joins at all.
-    The pre-rewrite form chained three per-user aggregates through
-    user-keyed joins: six scans and four shuffles for the same answer
-    (no exchange reuse across re-aggregations). Per-user arrays hold
-    that user's OWN events only — the same per-key memory contract as
-    grouped_collect_sorted; a pathological bot user is capped upstream
-    by per-source/user caps in a real pipeline. (The event_id % 7
-    thinning keeps the synthetic stream sparse enough that users
-    actually spread across stages — the dense stream saturates everyone
-    to stage 3.)"""
-    ev = load_table(spark, sf_dir, "events").where(
-        (F.col("event_id") % 7 == 0)
-        & F.col("event_type").isin("view", "click", "purchase")
-    )
-
-    def ts_of(kind: str):
-        # collect_list drops NULLs, so each array holds exactly that
-        # type's timestamps; sort_array makes element 1 the minimum
-        return F.sort_array(
-            F.collect_list(F.when(F.col("event_type") == kind, F.col("ts")))
-        ).alias(kind)
-
-    per_user = ev.groupBy("user_id").agg(ts_of("view"), ts_of("click"), ts_of("purchase"))
-    t1 = F.element_at("view", 1)  # NULL when the user never viewed
-    t2 = F.array_min(F.filter("click", lambda c: c > t1))
-    t3 = F.array_min(F.filter("purchase", lambda p: p > t2))
-    staged = per_user.where(F.size("view") > 0).select(
-        F.when(t3.isNotNull(), 3).when(t2.isNotNull(), 2).otherwise(1).alias("stage")
-    )
-    return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
-
-
-@query(
-    "retention_cohort",
-    oracle="""
-    WITH first_order AS (
-        SELECT o_custkey,
-               min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
-        FROM orders GROUP BY o_custkey
-    )
-    SELECT CAST(f.cohort_m // 12 AS BIGINT) AS cohort_year,
-           CAST(f.cohort_m % 12 AS BIGINT) AS cohort_month0,
-           CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - f.cohort_m
-                AS BIGINT) AS month_offset,
-           count(DISTINCT o.o_custkey) AS n_customers
-    FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
-    GROUP BY 1, 2, 3
-    """,
-    tags=("tier2", "analytics"),
-)
-def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention: customers bucketed by first-order month, counted
-    per months-elapsed offset — the standard retention triangle. Month
-    arithmetic is integer (year*12+month) on both sides, sidestepping
-    months_between/datediff dialect drift.
-
-    Scale shape (round-7 single-scan rewrite): ONE orders scan and ONE
-    customer-keyed shuffle — the per-customer first month is a
-    min-over-window (the pipeline's exact-dedup idiom), replacing the
-    pre-rewrite aggregate-plus-join-back that scanned orders twice and
-    shuffled three times for the same answer; then one (cohort, offset)
-    count-distinct. All shuffles on uniform keys."""
-    from mapreduce__spark.operators.windows import idiv
-
-    o = load_table(spark, sf_dir, "orders")
-    m = F.year("o_orderdate") * 12 + F.month("o_orderdate")
-    joined = o.select("o_custkey", m.alias("_m")).withColumn(
-        "cohort_m", F.min("_m").over(Window.partitionBy("o_custkey"))
-    )
-    return (
-        joined.select(
-            idiv(F.col("cohort_m").cast("bigint"), 12).alias("cohort_year"),
-            (F.col("cohort_m") % 12).cast("bigint").alias("cohort_month0"),
-            (F.col("_m") - F.col("cohort_m")).cast("bigint").alias("month_offset"),
-            "o_custkey",
-        )
-        .groupBy("cohort_year", "cohort_month0", "month_offset")
-        .agg(F.countDistinct("o_custkey").alias("n_customers"))
-    )
-
-
-@query(
-    "stateful_dedup_first_event",
-    oracle="""
-    SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
-    FROM (
-        SELECT user_id, event_type, event_id, ts,
-               row_number() OVER (PARTITION BY user_id, event_type
-                                  ORDER BY ts, event_id) AS rn
-        FROM events
-    ) WHERE rn = 1
-    """,
-    tags=("tier2", "streaming"),
-)
-def stateful_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep-first dedup per (user, event_type) — the deterministic batch
-    analogue of streaming dropDuplicatesWithinWatermark."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        # NULLS LAST to match the oracle (see user_path_transitions)
-        F.col("ts").asc_nulls_last(), "event_id"
-    )
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "user_id",
-            "event_type",
-            F.col("event_id").alias("first_event_id"),
-            F.col("ts").alias("first_ts"),
-        )
-    )
-
-
-@query(
-    "stream_interval_join_batch",
-    oracle="""
-    SELECT p.event_id AS p_id, c.event_id AS c_id,
-           p.user_id AS p_user, p.ts AS p_ts, c.ts AS c_ts
-    FROM events p JOIN events c
-      ON p.user_id = c.user_id
-     AND c.ts <= p.ts
-     AND c.ts >= p.ts - INTERVAL 1 HOUR
-    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
-    """,
-    tags=("tier2", "streaming"),
-)
-def stream_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch twin of the stream-stream interval join (purchases matched to
-    the same user's clicks within the preceding hour) — and not a
-    re-implementation: it calls streaming.stream_stream_interval_join
-    itself on batch relations (withWatermark is a no-op in batch), so the
-    oracle check attests the EXACT join predicate the readStream form runs
-    (streaming/streams.py:209; batch≡stream replay equivalence is pinned
-    by tests/test_streaming.py::test_stream_stream_interval_join_equals_batch).
-
-    Scale shape: an equi-join on user_id with the time interval as a
-    post-join filter; streaming bounds state by watermark + interval,
-    batch shuffles both sides on the uniform user key."""
-    from mapreduce__spark.streaming.streams import stream_stream_interval_join
-
-    ev = load_table(spark, sf_dir, "events")
-    return stream_stream_interval_join(
-        ev.where(F.col("event_type") == "purchase"),
-        ev.where(F.col("event_type") == "click"),
-    )
-
-
-@query(
-    "global_row_number",
-    oracle="""
-    SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
-    FROM documents
-    """,
-    tags=("tier2", "window", "pipeline"),
-)
-def global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global row numbering WITHOUT a single-task global window: the
-    distributed cumsum of 1s (operators/windows.py) — count form of the
-    two-phase offset pattern. The idiom behind stable example ids in
-    training-data exports (monotonically_increasing_id is partition-
-    layout-dependent and non-contiguous; this is neither)."""
-    from mapreduce__spark.operators.windows import distributed_cumsum, idiv
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    numbered = distributed_cumsum(
-        docs.withColumn("_one", F.lit(1).cast("bigint")), "doc_id", "_one", "rn"
-    )
-    return numbered.select("doc_id", F.col("rn").cast("bigint").alias("rn"))
-
-
-@query(
-    "value_histogram",
-    oracle="""
-    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
-           count(*) AS n,
-           round(min(value), 2) AS lo,
-           round(max(value), 2) AS hi
-    FROM events
-    GROUP BY 1
-    """,
-    tags=("tier2", "profiling"),
-)
-def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data profiling: fixed-width histogram (width 50) of events.value —
-    floor-bucket arithmetic, one partial-agg pass; the profiling primitive
-    behind skew detection and bucket sizing."""
-    ev = load_table(spark, sf_dir, "events")
-    b = F.floor(F.col("value") / 50.0).cast("bigint")
-    return ev.groupBy(b.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.min("value"), 2).alias("lo"),
-        F.round(F.max("value"), 2).alias("hi"),
-    )
-
-
-@query(
-    "profile_table",
-    oracle="""
-    SELECT 'o_custkey' AS column_name,
-           count(*) AS n_rows,
-           count(o_custkey) AS n_nonnull,
-           count(DISTINCT o_custkey) AS n_distinct,
-           CAST(min(o_custkey) AS VARCHAR) AS min_val,
-           CAST(max(o_custkey) AS VARCHAR) AS max_val
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderstatus', count(*), count(o_orderstatus),
-           count(DISTINCT o_orderstatus),
-           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
-    FROM orders
-    UNION ALL
-    SELECT 'o_totalprice', count(*), count(o_totalprice),
-           count(DISTINCT o_totalprice),
-           CAST(round(min(o_totalprice), 2) AS VARCHAR),
-           CAST(round(max(o_totalprice), 2) AS VARCHAR)
-    FROM orders
-    """,
-    tags=("tier2", "profiling"),
-)
-def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data profiling meta-operator: per-column row/non-null/distinct
-    counts and min/max (stringified for a uniform schema) — the
-    ingest-time health check every pipeline runs before trusting a drop.
-    ALL columns profile in ONE scan: a single wide aggregate row
-    (5 metrics x 3 columns, multiple COUNT(DISTINCT)s expanded by
-    Spark's grouping-sets rewrite) unpivoted to one row per column with
-    `stack` — at 100 TB the table is read once, not once per profiled
-    column (the pre-round-7 union-of-aggregates shape planned a full
-    scan per column; no exchange reuse across re-aggregations)."""
-    o = load_table(spark, sf_dir, "orders")
-
-    def metrics(col: str, rounded: bool = False):
-        mn, mx = F.min(col), F.max(col)
-        if rounded:
-            mn, mx = F.round(mn, 2), F.round(mx, 2)
-        return [
-            F.count(F.lit(1)).alias(f"{col}__n_rows"),
-            F.count(col).alias(f"{col}__n_nonnull"),
-            F.countDistinct(col).alias(f"{col}__n_distinct"),
-            mn.cast("string").alias(f"{col}__min_val"),
-            mx.cast("string").alias(f"{col}__max_val"),
-        ]
-
-    cols = [("o_custkey", False), ("o_orderstatus", False), ("o_totalprice", True)]
-    wide = o.agg(*[m for c, r in cols for m in metrics(c, r)])
-    stack_args = ", ".join(
-        f"'{c}', {c}__n_rows, {c}__n_nonnull, {c}__n_distinct, "
-        f"{c}__min_val, {c}__max_val"
-        for c, _ in cols
-    )
-    return wide.select(
-        F.expr(
-            f"stack({len(cols)}, {stack_args}) as "
-            "(column_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"
-        )
-    )
-
-
-@query(
-    "token_positions",
-    oracle="""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-               FROM documents WHERE doc_id < 5)
-    SELECT doc_id, r.i AS pos, toks[r.i + 1] AS token
-    FROM t CROSS JOIN UNNEST(range(len(toks))) AS r(i)
-    """,
-    tags=("tier2", "text", "functions"),
-)
-def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O-21 (arrays): positional explode — (doc, position, token) triples,
-    the shape sequence models and aligners consume."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 5)
-    return docs.select(
-        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "token")
-    )
-
-
-@query(
-    "udtf_token_positions",
-    oracle="""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-               FROM documents WHERE doc_id < 5)
-    SELECT doc_id, r.i AS pos, toks[r.i + 1] AS token
-    FROM t CROSS JOIN UNNEST(range(len(toks))) AS r(i)
-    """,
-    tags=("tier2", "text", "functions", "udf"),
-)
-def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same (doc, position, token) triples as `token_positions`, but
-    produced by a Python user-defined TABLE function (Spark 4's `@udtf`,
-    LATERAL-joined per input row) — one more leg of the O-27 UDF-surface
-    matrix: applyInPandas, mapInPandas, mapInArrow,
-    applyInPandasWithState, transformWithStateInPandas, UDTF, and the
-    GROUPED_AGG pandas_udf (pandas_udf_grouped_median).
-    Both forms share one oracle, so the API demonstration carries a full
-    hash check rather than a smoke test.
-
-    Scale note: a row-emitting UDTF is the slow path next to posexplode
-    (per-row Python eval vs JVM Generate) — the registry keeps the
-    expression form as the production operator and this as the API twin,
-    the same discipline as kernel_search_count."""
-    from pyspark.sql.functions import udtf
-
-    @udtf(returnType="pos bigint, token string")
-    class TokenPositions:
-        def eval(self, text: str):
-            # None-guard only: an EMPTY string must still yield its one
-            # ('', pos 0) row — string_split('', ' ') = [''] in both the
-            # oracle and the posexplode twin, and a truthiness check here
-            # would silently diverge on empty documents.
-            if text is not None:
-                for i, tok in enumerate(text.split(" ")):
-                    yield i, tok
-
-    spark.udtf.register("token_positions_udtf", TokenPositions)
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 5)
-    docs.createOrReplaceTempView("_udtf_docs")
-    return spark.sql(
-        "SELECT d.doc_id, t.pos, t.token "
-        "FROM _udtf_docs d, LATERAL token_positions_udtf(d.text) t"
-    )
-
-
-@query(
-    "collect_set_sorted",
-    oracle="""
-    SELECT lang, array_to_string(list_sort(list_distinct(list(source))), ',') AS sources
-    FROM documents GROUP BY lang
-    """,
-    tags=("tier2", "agg"),
-)
-def collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O-7 (set form): per-group distinct value sets, sorted for
-    determinism (collect_set order is undefined, like collect_list)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
-        F.concat_ws(",", F.sort_array(F.collect_set("source"))).alias("sources")
-    )
-
-
-@query(
-    "sequence_packing",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens
-        FROM documents
-    ), c AS (
-        SELECT doc_id, n_tokens,
-               sum(n_tokens) OVER (ORDER BY doc_id
-                                   ROWS UNBOUNDED PRECEDING) AS cum
-        FROM t
-    )
-    SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin
-    FROM c
-    """,
-    tags=("tier2", "pipeline"),
-)
-def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing for training pipelines: assign docs to contiguous
-    token-budget bins (2048 approx-BPE tokens) — bin = floor(tokens-
-    before-this-doc / budget). Deterministic (doc_id order); the
-    contiguous-fill policy packs to >= budget-minus-max-doc utilization,
-    the standard streaming-pack approximation of bin packing.
-
-    The running sum is the DISTRIBUTED two-phase cumsum (per-partition
-    sums -> O(P) broadcast prefix offsets, operators/windows.py), not a
-    global Window.orderBy — a partitionBy-less window would funnel the
-    entire corpus through one task at 100 TB.
-    """
-    from mapreduce__spark.operators.windows import distributed_cumsum, idiv
-
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tokens")
-    )
-    c = distributed_cumsum(t, "doc_id", "n_tokens", "cum")
-    return c.select(
-        "doc_id",
-        "n_tokens",
-        idiv(F.col("cum") - F.col("n_tokens"), 2048).alias("bin"),
-    )
-
-
-@query(
-    "sequence_packing_chunked",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens
-        FROM documents
-    ), c AS (
-        SELECT doc_id, n_tokens,
-               sum(n_tokens) OVER (ORDER BY doc_id
-                                   ROWS UNBOUNDED PRECEDING) AS cum
-        FROM t
-    ), b AS (
-        SELECT doc_id, n_tokens, cum,
-               cum - n_tokens AS strt,
-               CAST((cum - n_tokens) // 2048 AS BIGINT) AS fb,
-               CAST((cum - 1) // 2048 AS BIGINT) AS lb
-        FROM c WHERE n_tokens > 0
-    )
-    SELECT doc_id, CAST(r.bin AS BIGINT) AS bin,
-           CAST(least(b.cum, (r.bin + 1) * 2048)
-                - greatest(b.strt, r.bin * 2048) AS BIGINT) AS tokens_in_bin
-    FROM b CROSS JOIN UNNEST(range(b.fb, b.lb + 1)) AS r(bin)
-    """,
-    tags=("tier2", "pipeline"),
-)
-def sequence_packing_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing with BOUNDARY SPLITTING — what a pretraining data
-    loader actually materializes: every 2048-token bin is filled exactly,
-    and a document crossing a bin boundary contributes a chunk row to
-    each bin it touches ((doc_id, bin, tokens_in_bin); the plain
-    `sequence_packing` assigns whole docs and leaves bins ragged).
-
-    Scale shape: the distributed two-phase cumsum gives each doc its
-    global token interval [cum - n_tokens, cum); the touched-bin range
-    explodes from an in-row sequence (≤ n_tokens/2048 + 1 rows per doc),
-    and every arithmetic step is integral (`div`, not doubles — exactness
-    above 2^53 positions). Invariant (pinned in tests): every bin's
-    tokens_in_bin sums to exactly 2048 except the final bin."""
-    from mapreduce__spark.operators.windows import distributed_cumsum, idiv
-
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tokens")
-    )
-    c = distributed_cumsum(t, "doc_id", "n_tokens", "cum").where(F.col("n_tokens") > 0)
-    strt = F.col("cum") - F.col("n_tokens")
-    b = c.select(
-        "doc_id",
-        "cum",
-        strt.alias("strt"),
-        idiv(strt, 2048).alias("fb"),
-        idiv(F.col("cum") - 1, 2048).alias("lb"),
-    )
-    return b.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("fb"), F.col("lb"))).alias("bin"),
-        "cum",
-        "strt",
-    ).select(
-        "doc_id",
-        F.col("bin").cast("bigint").alias("bin"),
-        (
-            F.least(F.col("cum"), (F.col("bin") + 1) * 2048)
-            - F.greatest(F.col("strt"), F.col("bin") * 2048)
-        ).cast("bigint").alias("tokens_in_bin"),
-    )
-
-
-@query(
-    "repetition_ratio",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ), g AS (
-        SELECT doc_id,
-               unnest(list_transform(range(1, len(toks) - 1),
-                                     i -> array_to_string(toks[i:i+2], ' '))) AS gram
-        FROM t
-    ), counts AS (
-        SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
-    )
-    SELECT doc_id,
-           CAST(sum(c) AS BIGINT) AS total_grams,
-           CAST(max(c) AS BIGINT) AS top_gram_count,
-           round(max(c)::DOUBLE / sum(c), 4) AS repetition_ratio
-    FROM counts GROUP BY doc_id
-    """,
-    tags=("tier2", "text"),
-)
-def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repetition detection (quality signal): most-frequent word-3-gram
-    share of all 3-gram occurrences per doc — high values flag boilerplate
-    and degenerate generations. Non-distinct grams by design."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    grams = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = docs.select("doc_id", F.explode(grams).alias("gram"))
-    counts = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-    return counts.groupBy("doc_id").agg(
-        F.sum("c").alias("total_grams"),
-        F.max("c").alias("top_gram_count"),
-        F.round(F.max("c") / F.sum("c"), 4).alias("repetition_ratio"),
-    )
-
-
-@query(
-    "paragraph_dedup",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ),
-    c AS (
-      SELECT doc_id,
-             unnest(generate_series(0, CAST(ceil(len(t) / 20.0) AS INT) - 1))
-               AS idx,
-             t
-      FROM toks
-    ),
-    chunks AS (
-      SELECT doc_id, idx,
-             array_to_string(t[(idx*20+1):(idx*20+20)], ' ') AS chunk
-      FROM c
-    ),
-    firsts AS (
-      SELECT chunk,
-             min(struct_pack(doc_id := doc_id, idx := idx)) AS first_pos
-      FROM chunks GROUP BY chunk
-    )
-    SELECT ch.doc_id,
-           CAST(count(*) AS BIGINT) AS n_chunks,
-           CAST(count(*) FILTER (
-               WHERE ch.doc_id = struct_extract(f.first_pos, 'doc_id')
-                 AND ch.idx = struct_extract(f.first_pos, 'idx')
-             ) AS BIGINT) AS n_kept,
-           COALESCE(string_agg(ch.chunk, ' ' ORDER BY ch.idx)
-                      FILTER (
-               WHERE ch.doc_id = struct_extract(f.first_pos, 'doc_id')
-                 AND ch.idx = struct_extract(f.first_pos, 'idx')
-             ), '') AS text_kept
-    FROM chunks ch JOIN firsts f ON ch.chunk = f.chunk
-    GROUP BY ch.doc_id
-    """,
-    tags=("tier2", "dedup", "text"),
-)
-def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Paragraph-level exact dedup — the CCNet/RefinedWeb line-dedup
-    pipeline stage: boilerplate repeats across documents at sub-document
-    granularity, so each doc is split into fixed 20-token chunks (this
-    corpus is newline-free, so chunks stand in for lines/paragraphs; on
-    newline text, split('\\n') slots in unchanged), every chunk's FIRST
-    global occurrence (lowest (doc_id, idx)) is kept, later repeats are
-    dropped, and each doc is reassembled from its surviving chunks in
-    order. Output per doc: chunk counts before/after and the dedup'd
-    text.
-
-    SCALE: one explode to (doc_id, idx, chunk), a map-side-combinable
-    min per chunk (first occurrence), and an equi-join back on the chunk
-    — two shuffles on the chunk key, both AQE-coalesced; the rebuild
-    groupBy shuffles (doc_id, idx, chunk) once. No driver-side state, no
-    window over an unpartitioned frame. The chunk subtree is computed
-    once per join side (plan audit: scan+split+explode appears twice) —
-    deliberate: re-deriving cheap expressions from a column-pruned
-    columnar scan beats either materializing corpus-scale explode output
-    or the window-function alternative's full shuffle+sort; a hot
-    boilerplate chunk skews the join-back key, which AQE's skew split
-    handles (the downstream groupBy is on doc_id, a different key, so
-    the split isn't vetoed). At 100 TB you'd shuffle xxhash64(chunk)
-    instead of the raw string for the first-occurrence pass (collision
-    odds ~n^2/2^64) — kept as the raw string here so the DuckDB oracle
-    is bit-exact."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    chunks = (
-        docs.select("doc_id", toks.alias("t"))
-        .select(
-            "doc_id",
-            "t",
-            F.explode(
-                F.sequence(
-                    F.lit(0), (F.ceil(F.size("t") / 20.0)).cast("int") - 1
-                )
-            ).alias("idx"),
-        )
-        .select(
-            "doc_id",
-            "idx",
-            F.array_join(
-                F.slice("t", F.col("idx") * 20 + 1, F.lit(20)), " "
-            ).alias("chunk"),
-        )
-    )
-    # First occurrence = lexicographic min of (doc_id, idx) as a struct —
-    # structs compare field-by-field, so this can't collide or misorder
-    # the way arithmetic packing (doc_id*K + idx) would for docs with
-    # >= K chunks. Still a map-side-combinable hash-agg min.
-    firsts = chunks.groupBy("chunk").agg(
-        F.min(F.struct("doc_id", "idx")).alias("first_pos")
-    )
-    kept = (F.col("first_pos.doc_id") == F.col("doc_id")) & (
-        F.col("first_pos.idx") == F.col("idx")
-    )
-    return (
-        chunks.join(firsts, "chunk")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(kept.cast("long")).alias("n_kept"),
-            F.coalesce(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(kept, F.struct("idx", "chunk"))
-                            )
-                        ),
-                        lambda s: s["chunk"],
-                    ),
-                    " ",
-                ),
-                F.lit(""),
-            ).alias("text_kept"),
-        )
-    )
-
-
-@query(
-    "dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
-    edges AS (
-        SELECT id1 AS a, id2 AS b FROM pairs
-        UNION SELECT id2, id1 FROM pairs
-    ),
-    reach(a, b) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    )
-    SELECT node, component, n_members
-    FROM (
-        SELECT a AS node,
-               least(a, min(b)) AS component,
-               count(DISTINCT b) + 1
-                 - CASE WHEN bool_or(b = a) THEN 1 ELSE 0 END AS n_members
-        FROM reach GROUP BY a
-    )
-    """,
-    tags=("tier2", "dedup", "graph"),
-)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS: connected components over the LSH pair graph
-    (iterative min-label propagation, operators/graph.py), annotated with
-    component size — the step that turns pair detection into a keep-one-
-    representative dedup policy. Oracle: transitive closure via DuckDB
-    recursive CTE."""
-    from mapreduce__spark.operators.graph import connected_components
-
-    pairs = lsh_near_duplicate_pairs(
-        load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD, num_hashes=16, bands=8
-    )
-    cc = connected_components(pairs, "id1", "id2")
-    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
-    return cc.join(sizes, "component").select("node", "component", "n_members")
-
-
-@query(
-    "dedup_keep_best",
-    oracle=f"""
-    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
-    edges AS (
-        SELECT id1 AS a, id2 AS b FROM pairs
-        UNION SELECT id2, id1 FROM pairs
-    ),
-    reach(a, b) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    ),
-    comp AS (
-        SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
-    ),
-    scored AS (
-        SELECT c.node, c.component,
-               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
-        FROM comp c JOIN documents d ON c.node = d.doc_id
-    )
-    SELECT component, node AS keeper, n_tokens AS keeper_tokens
-    FROM (
-        SELECT *, row_number() OVER (PARTITION BY component
-                                     ORDER BY n_tokens DESC, node ASC) AS rn
-        FROM scored
-    ) WHERE rn = 1
-    """,
-    tags=("tier2", "dedup", "pipeline"),
-)
-def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-aware dedup policy: per near-dup cluster keep the LONGEST
-    member (ties to the smaller id) instead of the min-id — the policy
-    real pipelines want, since near-dups are often truncations of the
-    same source and min-id throws away the fullest copy.
-
-    Scale shape: the cluster labels join to a narrow (doc_id, n_tokens)
-    projection and the argmax window partitions on `component` — cluster
-    count is huge and clusters are tiny, so the window key is as uniform
-    as a key gets; the payload text never moves."""
-    from mapreduce__spark.operators.graph import connected_components
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = lsh_near_duplicate_pairs(
-        docs, JACCARD_THRESHOLD, num_hashes=16, bands=8
-    )
-    cc = connected_components(pairs, "id1", "id2")
-    scored = cc.join(
-        docs.select(
-            F.col("doc_id").alias("node"),
-            F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens"),
-        ),
-        "node",
-    )
-    w = Window.partitionBy("component").orderBy(
-        F.col("n_tokens").desc(), F.col("node").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "component",
-            F.col("node").alias("keeper"),
-            F.col("n_tokens").alias("keeper_tokens"),
-        )
-    )
-
-
-@query(
-    "train_test_split",
-    oracle="""
-    SELECT doc_id,
-           CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
-    FROM (
-        SELECT doc_id,
-               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))::BIGINT % 10 AS b
-        FROM documents
-    )
-    """,
-    tags=("tier2", "pipeline"),
-)
-def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic, reproducible train/val/test assignment (80/10/10)
-    by content-hash bucketing — THE sampling idiom for data pipelines:
-    stable across reruns and cluster layouts (no RNG, no row order
-    dependence), and any engine can recompute membership. Bucket = first
-    8 hex chars of md5(key || salt) mod 10."""
-    docs = load_table(spark, sf_dir, "documents")
-    b = split_bucket_expr(F.col("doc_id"))
-    return docs.select(
-        "doc_id",
-        F.when(b < 8, "train").when(b == 8, "val").otherwise("test").alias("split"),
-    )
-
-
-# Per-stratum sampling rates (percent) for the corpus-mixing operator:
-# up-weight purchases, down-weight views — the standard domain-mixing shape.
-_STRATA_RATES = {"purchase": 80, "click": 40, "view": 10, "login": 25, "logout": 25}
-
-
-@query(
-    "stratified_sample",
-    oracle=f"""
-    SELECT event_id, event_type
-    FROM (
-        SELECT event_id, event_type,
-               ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#strat'), 1, 8))::BIGINT % 100 AS b
-        FROM events
-    )
-    WHERE b < CASE event_type
-        {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())}
-        ELSE 0 END
-    """,
-    tags=("tier2", "pipeline"),
-)
-def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling — per-stratum rates by content-hash
-    bucketing (same idiom as train_test_split): reproducible across reruns
-    and cluster layouts, no RNG, membership recomputable by any engine.
-    The corpus-mixing primitive for assembling a training set from domains
-    with different target proportions. Pure scan-stage expressions — the
-    filter runs at the reader, zero shuffle."""
-    ev = load_table(spark, sf_dir, "events")
-    b = (
-        F.conv(F.substring(F.md5(F.concat(F.col("event_id").cast("string"), F.lit("#strat"))), 1, 8), 16, 10)
-        .cast("bigint") % 100
-    )
-    rate = F.lit(0)
-    for k, v in _STRATA_RATES.items():
-        rate = F.when(F.col("event_type") == k, F.lit(v)).otherwise(rate)
-    return ev.where(b < rate).select("event_id", "event_type")
-
-
-@query(
-    "percentiles",
-    oracle="""
-    SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
-           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
-           round(min(o_totalprice), 2)  AS min_price,
-           round(max(o_totalprice), 2)  AS max_price
-    FROM orders
-    GROUP BY o_orderpriority
-    """,
-    tags=("tier1", "agg"),
-)
-def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O-11: exact interpolated percentiles (median, p90) per group —
-    Spark's `percentile` matches SQL quantile_cont interpolation. The
-    approximate scale path is approx_percentile (a mergeable sketch, no
-    full sort); exact percentile shuffles the group's values."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
-        F.round(F.min("o_totalprice"), 2).alias("min_price"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
-    )
-
-
-@query(
-    "array_functions",
-    oracle="""
-    SELECT vec_id,
-           len(embedding)                                     AS n_dims,
-           round(list_max(embedding::DOUBLE[]), 4)            AS max_val,
-           round(list_min(embedding::DOUBLE[]), 4)            AS min_val,
-           (list_min(embedding::DOUBLE[]) < 0.0)              AS has_negative,
-           round(embedding[1]::DOUBLE, 4)                     AS first_val
-    FROM embeddings
-    WHERE vec_id < 100
-    """,
-    tags=("tier2", "functions", "multimodal"),
-)
-def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O-21/O-25 (arrays): size / min / max / element access over the
-    embedding array column — the array-function catalog on real
-    multimodal data."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    return emb.where(F.col("vec_id") < 100).select(
-        "vec_id",
-        F.size("embedding").alias("n_dims"),
-        F.round(F.array_max(v), 4).alias("max_val"),
-        F.round(F.array_min(v), 4).alias("min_val"),
-        (F.array_min(v) < 0.0).alias("has_negative"),
-        # F.get, not v[0]: out-of-bounds access is NULL in DuckDB
-        # (embedding[1] on an empty list) but an ERROR under Spark's
-        # default ANSI mode — get() is the NULL-returning accessor.
-        F.round(F.get(v, 0), 4).alias("first_val"),
-    )
-
-
-@query(
-    "map_functions",
-    oracle="""
-    SELECT event_id,
-           array_to_string(json_keys(props), ',')            AS prop_keys,
-           json_extract_string(props, '$.k')::BIGINT         AS k_value,
-           (json_extract_string(props, '$.missing') IS NULL) AS missing_is_null
-    FROM events
-    WHERE event_id < 500
-    """,
-    tags=("tier2", "functions"),
-)
-def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O-21/O-25 (maps): props parsed once into map<string,bigint>;
-    map_keys / element_at / missing-key semantics.
-
-    CONTRACT: props must be valid JSON with integral values (the fixture
-    generator guarantees it). Outside that, the engines genuinely
-    diverge — Spark's from_json NULLs the whole map for malformed input
-    or a float value, while DuckDB errors on malformed JSON and ROUNDS
-    '1.5'::BIGINT to 2 — so a production surface over untrusted props
-    must pre-validate with a tolerant parser before this projection."""
-    ev = load_table(spark, sf_dir, "events")
-    m = F.from_json("props", "map<string,bigint>")
-    return ev.where(F.col("event_id") < 500).select(
-        "event_id",
-        # CSV-serialized so the pandas-based driver canonicalizer can
-        # sort/hash the column (raw arrays are unhashable there).
-        F.concat_ws(",", F.map_keys(m)).alias("prop_keys"),
-        F.element_at(m, "k").alias("k_value"),
-        F.element_at(m, "missing").isNull().alias("missing_is_null"),
-    )
-
-
-@query(
-    "rolling_user_features",
-    oracle="""
-    SELECT event_id, user_id, ts,
-           count(*) OVER w AS n_prev_1h,
-           round(sum(value) OVER w, 2) AS sum_prev_1h
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
-    """,
-    tags=("tier2", "window", "timeseries"),
-)
-def rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O-18 (range frames): trailing 1-hour per-user activity features —
-    the feature-engineering window for event streams. Spark's rangeBetween
-    needs a numeric ordering key; it runs over epoch MICROSECONDS — a
-    second-truncated key shifts events near the exact 1-hour boundary in
-    or out of the frame relative to the µs-precise INTERVAL semantics
-    (caught by the sf0.1 oracle gate)."""
-    ev = load_table(spark, sf_dir, "events")
-    # unix_micros rejects TIMESTAMP_NTZ (how parquet timestamp[us] without
-    # a zone arrives under inferTimestampNTZ); with the session pinned to
-    # UTC the NTZ->LTZ cast is an exact monotone mapping, and it is a
-    # no-op when the column is already zoned.
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts").cast("timestamp_ltz")))
-        .rangeBetween(-3_600_000_000, 0)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.count(F.lit(1)).over(w).alias("n_prev_1h"),
-        F.round(F.sum("value").over(w), 2).alias("sum_prev_1h"),
-    )
-
-
-@query(
-    "tfidf_top_terms",
-    oracle="""
-    WITH tf AS (
-        SELECT doc_id, tok AS term, count(*) AS tf
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-              FROM documents WHERE doc_id < 50)
-        GROUP BY doc_id, tok
-    ), df AS (
-        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
-    ), n AS (SELECT count(*) AS n FROM documents WHERE doc_id < 50)
-    SELECT doc_id, term, rank FROM (
-        SELECT tf.doc_id, tf.term,
-               row_number() OVER (
-                   PARTITION BY tf.doc_id
-                   ORDER BY tf.tf * round(ln(n.n / df.df), 6) DESC, tf.term ASC
-               ) AS rank
-        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
-    ) WHERE rank <= 3
-    """,
-    tags=("tier2", "text"),
-)
-def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O-24: TF-IDF top-3 terms per document (restricted corpus slice).
-
-    idf is rounded to 6 digits BEFORE the tf*idf product so a last-ulp
-    libm difference between the JVM's and the oracle's ln() cannot flip
-    the ranking; ties break on the term for determinism."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
-    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = docs.count()
-    scored = tf.join(df, "term").select(
-        "doc_id",
-        "term",
-        (F.col("tf") * F.round(F.log(F.lit(float(n)) / F.col("df")), 6)).alias("score"),
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
-        .select("doc_id", "term", "rank")
-    )
-
-
-@query(
-    "unigram_lm_score",
-    oracle="""
-    WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ), freq AS (
-        SELECT tok, count(*) AS c FROM tok GROUP BY tok
-    ), tot AS (
-        SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq
-    )
-    SELECT t.doc_id,
-           count(*) AS n_tokens,
-           round(CAST(sum(CAST(round(-ln(f.c / tot.n), 6) AS DECIMAL(18,6)))
-                      AS DOUBLE) / count(*), 6) AS nll
-    FROM tok t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
-    GROUP BY t.doc_id
-    """,
-    tags=("tier2", "text", "pipeline"),
-)
-def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style language-model quality score: train a unigram LM on the
-    corpus itself and score every document by mean negative log-likelihood
-    — the perplexity-proxy filter a training pipeline runs between the
-    heuristic gates and dedup (low nll ≈ ordinary prose, high nll ≈
-    gibberish/rare-token soup).
-
-    Scale shape: one explode → one hash-aggregate builds the LM (vocab
-    rows, map-side combined — word-count scaling); scoring re-joins tokens
-    to the vocab on the token key and per-doc aggregates. The vocab table
-    is MATERIALIZED (vocab rows — it already lives through the count
-    shuffle) because it feeds both the total and the scoring join; left
-    lazy, the 1-row total re-plans its own full corpus scan+explode. The
-    corpus itself is read exactly twice — LM build and scoring — which is
-    minimal (materializing the exploded tokens instead would hold a
-    tokens-x-corpus blowup). The vocab is corpus-vocabulary-sized —
-    usually broadcastable, but the join is left to AQE to decide at
-    runtime rather than forced. Determinism: each token's nll is rounded
-    to 6 digits BEFORE accumulation (a last-ulp libm ln() difference
-    between the JVM and the oracle cannot survive), and the per-doc sum
-    runs in DECIMAL so partition layout cannot reorder float additions."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
-    freq = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    total = freq.agg(F.sum("c").cast("double").alias("n"))
-    per_tok = F.round(-F.log(F.col("c") / F.col("n")), 6).cast("decimal(18,6)")
-    return (
-        toks.join(freq, "tok")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum(per_tok).cast("double") / F.count(F.lit(1)), 6
-            ).alias("nll"),
-        )
-    )
-
-
-@query(
-    "bpe_pair_counts",
-    oracle="""
-    WITH t AS (
-        SELECT string_split(text, ' ') AS toks FROM documents
-    ), p AS (
-        SELECT toks[i] AS left_tok, toks[i + 1] AS right_tok
-        FROM t CROSS JOIN UNNEST(range(1, len(toks))) AS r(i)
-    ), counted AS (
-        SELECT left_tok, right_tok, count(*) AS n_pairs
-        FROM p GROUP BY left_tok, right_tok
-    )
-    SELECT left_tok, right_tok, n_pairs FROM counted
-    ORDER BY n_pairs DESC, left_tok ASC, right_tok ASC
-    LIMIT 50
-    """,
-    tags=("tier2", "text", "pipeline"),
-)
-def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The counting step of BPE tokenizer training: corpus-wide adjacent
-    token-pair frequencies, top-50 (each BPE merge round picks the argmax
-    pair, merges, and recounts — this op is the round's whole distributed
-    cost). Word-count scaling: one explode of positions, one map-side
-    combined hash-aggregate, TakeOrdered for the top slice; deterministic
-    tie-break on the pair itself so the cut is stable."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("left_tok"),
-            F.element_at(toks, i + 1).alias("right_tok"),
-        ),
-    )
-    # sequence() COUNTS DOWN when stop < start (same hazard word_ngrams
-    # guards): a 1-token doc must yield no pairs, not garbage.
-    guarded = F.when(F.size(toks) >= 2, make).otherwise(
-        F.array().cast("array<struct<left_tok:string,right_tok:string>>")
-    )
-    pairs = docs.select(F.explode(guarded).alias("p")).select(
-        "p.left_tok", "p.right_tok"
-    )
-    return (
-        pairs.groupBy("left_tok", "right_tok")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .orderBy(
-            F.col("n_pairs").desc(), F.col("left_tok").asc(), F.col("right_tok").asc()
-        )
-        .limit(50)
-    )
-
-
-@query(
-    "wordpiece_pair_scores",
-    oracle="""
-    WITH t AS (
-        SELECT string_split(text, ' ') AS toks FROM documents
-    ), p AS (
-        SELECT toks[i] AS left_tok, toks[i + 1] AS right_tok
-        FROM t CROSS JOIN UNNEST(range(1, len(toks))) AS r(i)
-    ), counted AS (
-        SELECT left_tok, right_tok, CAST(count(*) AS BIGINT) AS n_pairs
-        FROM p GROUP BY left_tok, right_tok
-    ), vocab AS (
-        SELECT tok, CAST(count(*) AS BIGINT) AS n_tok FROM (
-            SELECT unnest(toks) AS tok FROM t
-        ) GROUP BY tok
-    )
-    SELECT c.left_tok, c.right_tok, c.n_pairs,
-           lv.n_tok AS n_left, rv.n_tok AS n_right,
-           CAST(c.n_pairs AS DOUBLE)
-               / CAST(lv.n_tok * rv.n_tok AS DOUBLE) AS score
-    FROM counted c
-    JOIN vocab lv ON lv.tok = c.left_tok
-    JOIN vocab rv ON rv.tok = c.right_tok
-    ORDER BY score DESC, c.left_tok ASC, c.right_tok ASC
-    LIMIT 50
-    """,
-    tags=("tier2", "text", "pipeline"),
-)
-def wordpiece_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The WordPiece merge-scoring step (Schuster & Nakajima, ICASSP'12;
-    the tokenizer-training objective behind BERT vocabularies): rank
-    candidate merges by the likelihood ratio n_pair / (n_left * n_right)
-    rather than BPE's raw pair count — the pair that gains the most
-    per-occurrence likelihood wins, not the most frequent one. Emits the
-    top-50 with the exact integer evidence (n_pairs, n_left, n_right)
-    plus the score. Cross-engine exactness: the score is ONE
-    correctly-rounded double division of exact int64s (the product is
-    far below 2^53), so it is bit-identical in both engines and emitted
-    RAW per the registry rounding policy; ties break on the pair itself.
-
-    SCALE: same shape as bpe_pair_counts plus one broadcast-sized vocab
-    join probed twice — pair counting is one explode + map-side-combined
-    aggregate, the vocab table is token-cardinality-sized, and
-    TakeOrdered cuts the top slice without a global sort."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("left_tok"),
-            F.element_at(toks, i + 1).alias("right_tok"),
-        ),
-    )
-    guarded = F.when(F.size(toks) >= 2, make).otherwise(
-        F.array().cast("array<struct<left_tok:string,right_tok:string>>")
-    )
-    pairs = (
-        docs.select(F.explode(guarded).alias("p"))
-        .select("p.left_tok", "p.right_tok")
-        .groupBy("left_tok", "right_tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
-    )
-    # checkpoint the vocab-sized count table: it feeds BOTH broadcast
-    # probes, and a lazy aggregate feeding two consumers replans a
-    # second corpus FileScan (the round-9 duplicate-scan lesson —
-    # audited 3 scans -> 2)
-    vocab = (
-        docs.select(F.explode(toks).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
-    ).localCheckpoint(eager=False)
-    lv = F.broadcast(vocab.select(F.col("tok").alias("left_tok"),
-                                  F.col("n_tok").alias("n_left")))
-    rv = F.broadcast(vocab.select(F.col("tok").alias("right_tok"),
-                                  F.col("n_tok").alias("n_right")))
-    scored = (
-        pairs.join(lv, "left_tok")
-        .join(rv, "right_tok")
-        .withColumn(
-            "score",
-            F.col("n_pairs").cast("double")
-            / (F.col("n_left") * F.col("n_right")).cast("double"),
-        )
-    )
-    return (
-        scored.select(
-            "left_tok", "right_tok", "n_pairs", "n_left", "n_right", "score"
-        )
-        .orderBy(
-            F.col("score").desc(),
-            F.col("left_tok").asc(),
-            F.col("right_tok").asc(),
-        )
-        .limit(50)
-    )
-
-
-BPE_LEARN_ROUNDS = 3
-
-
-def _bpe_learn_oracle(rounds: int = BPE_LEARN_ROUNDS) -> str:
-    """Unrolled BPE-training twin: per round, a pair-count CTE, a
-    deterministic argmax, and a greedy left-to-right merge APPLY
-    expressed positionally — match islands (consecutive adjacent-pair
-    matches, only possible when left == right) claim even offsets, which
-    is exactly the greedy fold the Spark side runs. All CTEs
-    MATERIALIZED (the k-core inlining lesson — each round references the
-    previous twice)."""
-    parts = [
-        """
-    WITH w AS MATERIALIZED (
-      SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
-        SELECT unnest(string_split(text, ' ')) AS word FROM documents
-      ) WHERE length(word) > 0 GROUP BY word
-    ),
-    s0 AS MATERIALIZED (
-      SELECT word, n,
-             list_transform(range(1, length(word) + 1),
-                            i -> substr(word, i, 1)) AS s
-      FROM w
-    )"""
-    ]
-    for t in range(1, rounds + 1):
-        parts.append(
-            f""",
-    p{t} AS MATERIALIZED (
-      SELECT s[i] AS x, s[i + 1] AS y, CAST(sum(n) AS BIGINT) AS pn
-      FROM s{t - 1}, UNNEST(range(1, len(s))) AS r(i)
-      GROUP BY 1, 2
-    ),
-    best{t} AS MATERIALIZED (
-      SELECT x, y, pn FROM p{t} ORDER BY pn DESC, x ASC, y ASC LIMIT 1
-    ),
-    e{t} AS MATERIALIZED (
-      SELECT word, n, i, s[i] AS tok,
-             (i < len(s) AND s[i] = b.x AND s[i + 1] = b.y) AS mt
-      FROM s{t - 1}, best{t} b, UNNEST(range(1, len(s) + 1)) AS r(i)
-    ),
-    isl{t} AS MATERIALIZED (
-      SELECT word, n, i, tok, mt,
-             CASE WHEN mt THEN i - row_number()
-                 OVER (PARTITION BY word, mt ORDER BY i) END AS island
-      FROM e{t}
-    ),
-    cl{t} AS MATERIALIZED (
-      SELECT word, n, i, tok,
-             mt AND ((i - min(i) OVER (PARTITION BY word, island)) % 2 = 0)
-                 AS claim
-      FROM isl{t}
-    ),
-    r{t} AS MATERIALIZED (
-      SELECT word, n, i,
-             CASE WHEN claim THEN (SELECT x || y FROM best{t})
-                  ELSE tok END AS tok,
-             lag(claim, 1, FALSE) OVER (PARTITION BY word ORDER BY i)
-                 AS prev_claim
-      FROM cl{t}
-    ),
-    s{t} AS MATERIALIZED (
-      SELECT word, n, list(tok ORDER BY i) AS s
-      FROM r{t} WHERE NOT prev_claim GROUP BY word, n
-    ),
-    tot{t} AS MATERIALIZED (
-      SELECT CAST(sum(n * len(s)) AS BIGINT) AS after FROM s{t}
-    )"""
-        )
-    unions = "\n    UNION ALL ".join(
-        f"SELECT CAST({t} AS BIGINT) AS round, b.x AS left_sym, "
-        f"b.y AS right_sym, b.pn AS pair_n, tot{t}.after AS symbols_after "
-        f"FROM best{t} b, tot{t}"
-        for t in range(1, rounds + 1)
-    )
-    parts.append(f"\n    {unions}\n    ")
-    return "".join(parts)
-
-
-@query(
-    "bpe_learn_merges",
-    oracle=_bpe_learn_oracle(),
-    tags=("tier2", "text", "pipeline"),
-)
-def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The BPE TRAINING LOOP itself (Sennrich, Haddow & Birch, ACL'16),
-    driver-attested round by round — not just one counting step: start
-    from character symbols of every corpus word (weighted by word
-    count), then per round count adjacent symbol pairs, take the argmax
-    (ties: lexicographic pair), and apply the merge GREEDILY
-    left-to-right to every word ("aaa" + (a,a) -> ["aa","a"], never
-    overlapping claims). Emits per round (left_sym, right_sym, pair_n,
-    symbols_after) — the merge table a tokenizer trainer would persist,
-    plus the corpus symbol count that the merge must shrink by exactly
-    pair_n. The Spark apply is one scan-stage F.aggregate fold per round
-    (merge iff the accumulator's last symbol == x and the next == y);
-    the oracle applies the same greedy positionally — consecutive-match
-    islands (possible only when x == y) claim even offsets — and the two
-    are equal by construction, hash-checked end to end.
-
-    SCALE: the training corpus is the DISTINCT-WORD table (Zipf: vocab
-    grows ~sqrt of corpus), not the token stream; each round is one
-    explode + map-side-combined pair count, a 1-row argmax, and a fold
-    over vocab-sized symbol arrays. Rounds are sequential by definition
-    (each merge depends on the last), the same bounded-driver-loop shape
-    as k-means; BPE_NUM_MERGES-scale production runs ride the identical
-    machinery (bpe_encode's trainer), with this query pinning the loop's
-    exact semantics cross-engine."""
-    docs = load_table(spark, sf_dir, "documents")
-    from mapreduce__spark.operators.staging import bounded_collect
-
-    toks = tokenize(F.col("text"))
-    words = (
-        docs.select(F.explode(toks).alias("word"))
-        .where(F.length("word") > 0)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
-    syms = words.select(
-        "word",
-        "n",
-        F.expr(
-            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
-        ).alias("s"),
-    ).localCheckpoint(eager=False)
-
-    out_rows = []
-    cur = syms
-    for t in range(1, BPE_LEARN_ROUNDS + 1):
-        pair_structs = F.expr(
-            "transform(sequence(1, size(s) - 1), "
-            "i -> struct(s[i - 1] AS x, s[i] AS y))"
-        )
-        guarded = F.when(F.size("s") >= 2, pair_structs).otherwise(
-            F.array().cast("array<struct<x:string,y:string>>")
-        )
-        best = bounded_collect(
-            cur.select(F.explode(guarded).alias("p"), "n")
-            .groupBy("p.x", "p.y")
-            .agg(F.sum("n").cast("bigint").alias("pn"))
-            .orderBy(F.col("pn").desc(), F.col("x").asc(), F.col("y").asc())
-            .limit(1),
-            1,
-            "bpe best pair",
-        )
-        if not best:
-            break
-        x, y, pn = best[0].x, best[0].y, int(best[0].pn)
-        merged = x + y
-        # greedy left-to-right apply: merge iff the accumulator's last
-        # symbol is x and the incoming one is y (the merged symbol can
-        # never re-merge this round — it is strictly longer than x)
-        apply_expr = F.expr(
-            "aggregate(s, cast(array() as array<string>), (acc, t) -> "
-            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {x!r} "
-            f"AND t = {y!r} "
-            f"THEN concat(slice(acc, 1, size(acc) - 1), array({merged!r})) "
-            "ELSE concat(acc, array(t)) END)"
-        )
-        cur = cur.select("word", "n", apply_expr.alias("s")).localCheckpoint(
-            eager=False
-        )
-        after = bounded_collect(
-            cur.select(
-                F.sum(F.col("n") * F.size("s")).cast("bigint").alias("a")
-            ),
-            1,
-            "bpe symbol total",
-        )[0].a
-        out_rows.append((t, x, y, pn, int(after)))
-    return spark.createDataFrame(
-        out_rows,
-        "round bigint, left_sym string, right_sym string, "
-        "pair_n bigint, symbols_after bigint",
-    )
-
-
-BPE_NUM_MERGES = 32
-BPE_TRAIN_VOCAB = 2000  # train merges on the top-V word head (Zipf: covers
-# nearly all mass; keeps the driver-side trainer O(V) at any corpus size)
-
-
-@query(
-    "bpe_encode",
-    oracle=None,  # iterative argmax training + greedy rank encode are not
-    # SQL-expressible; pytest pins exact equivalence to the pure-Python
-    # reference implementation end-to-end (tests/test_operators.py)
-    tags=("tier2", "text", "pipeline", "tokenizer"),
-)
-def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full BPE tokenization, trained and applied on the corpus: ONE
-    distributed word-frequency pass, Sennrich-style merge training on the
-    driver over the O(V) top-word dict (the production split — 100 TB of
-    text still has a bounded vocabulary head), then an Arrow-batched
-    encode pass with the merge ranks broadcast and per-batch word
-    memoization. Output per doc: token count, BPE piece count, and the
-    first 12 pieces (deterministic, so the driver's rows-only check is
-    stable).
-
-    This completes the BPE story the registry already tells in parts:
-    bpe_pair_counts is one training round's distributed count;
-    vocab_encode is dictionary lookup; this is the real trainer+encoder."""
-    from mapreduce__spark.functions.bpe import encode_tokens, train_bpe_merges
-
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    # Empty tokens (split artifacts of empty/multi-space texts) are
-    # excluded from training on BOTH sides (the pytest reference filters
-    # identically): the trainer drops '' from its vocab anyway, so an ''
-    # head entry would waste a top-V slot here while the reference spends
-    # it on a real word — different heads, different merges.
-    head = (
-        docs.select(F.explode(toks).alias("tok"))
-        .where(F.col("tok") != "")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("tok").asc())
-        .limit(BPE_TRAIN_VOCAB)
-        .collect()
-    )
-    merges = train_bpe_merges({r.tok: r.n for r in head}, BPE_NUM_MERGES)
-    ranks = {p: i for i, p in enumerate(merges)}
-    bc = spark.sparkContext.broadcast(ranks)
-
-    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        memo: dict[str, list[str]] = {}
-        r = bc.value
-        for pdf in batches:
-            ids, n_toks, n_pieces, heads = [], [], [], []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                words = text.split(" ") if text else []
-                pieces = encode_tokens(words, r, memo)
-                ids.append(did)
-                n_toks.append(len(words))
-                n_pieces.append(len(pieces))
-                heads.append(" ".join(pieces[:12]))
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "n_tokens": n_toks,
-                    "n_pieces": n_pieces,
-                    "pieces_head": heads,
-                }
-            )
-
-    return docs.select("doc_id", "text").mapInPandas(
-        enc,
-        schema="doc_id bigint, n_tokens bigint, n_pieces bigint, pieces_head string",
-    )
-
-
-VOCAB_SIZE = 512  # top-V tokens by corpus frequency; id 0 is reserved for OOV
-
-
-@query(
-    "vocab_encode",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    tok AS (
-        SELECT doc_id, unnest(toks) AS tok,
-               unnest(range(1, len(toks) + 1)) AS pos
-        FROM t
-    ),
-    cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
-    vocab AS (
-        SELECT tok, id FROM (
-            SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS id
-            FROM cnt
-        ) WHERE id <= {VOCAB_SIZE}
-    )
-    SELECT tok.doc_id,
-           string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR), ' ' ORDER BY pos)
-               AS encoded,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
-    FROM tok LEFT JOIN vocab v ON tok.tok = v.tok
-    GROUP BY tok.doc_id
-    """,
-    tags=("tier2", "text", "pipeline"),
-)
-def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary construction + document id-encoding — the step between
-    a text corpus and tokenized training shards: rank tokens by global
-    frequency (count desc, token asc for determinism), keep the top V as
-    ids 1..V, encode every document as its id sequence with 0 for OOV.
-
-    Scale shape: the vocab is SMALL by construction (top-V of a word
-    count), so it collects to the driver O(V) — the same bounded-collect
-    pattern as IVF centroids — and ships to executors as a broadcast
-    dict; encoding is then a zero-shuffle Arrow-batched map over the
-    corpus (dict lookups, no join, no per-token explode on the big
-    side). The oracle instead re-joins every exploded token against the
-    vocab — fine for DuckDB at test scale, exactly the shuffle this
-    operator avoids."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokenize(F.col("text")).alias("toks")
-    )
-    top = (
-        docs.select(F.explode("toks").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), F.col("tok").asc())
-        .limit(VOCAB_SIZE)
-        .collect()  # O(V) rows by construction, never O(corpus)
-    )
-    mapping = {r.tok: i + 1 for i, r in enumerate(top)}
-    bcast = spark.sparkContext.broadcast(mapping)
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        m = bcast.value
-        for pdf in batches:
-            toks_col = pdf["toks"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "encoded": [
-                        " ".join(str(m.get(t, 0)) for t in toks) for toks in toks_col
-                    ],
-                    "n_tokens": [len(toks) for toks in toks_col],
-                    "n_oov": [
-                        sum(1 for t in toks if t not in m) for toks in toks_col
-                    ],
-                }
-            )
-
-    return docs.mapInPandas(
-        encode,
-        schema="doc_id bigint, encoded string, n_tokens bigint, n_oov bigint",
-    )
-
-
-TOKEN_BUDGET_PER_SOURCE = 20_000  # whitespace tokens kept per source slice
-
-
-@query(
-    "token_budget_mixture",
-    oracle=f"""
-    SELECT doc_id, source, n_tok, cum_tok FROM (
-        SELECT doc_id, source,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-               CAST(sum(len(string_split(text, ' ')))
-                    OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
-                   AS cum_tok
-        FROM documents
-    ) WHERE cum_tok <= {TOKEN_BUDGET_PER_SOURCE}
-    """,
-    tags=("tier2", "pipeline"),
-)
-def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mixture sampling to a per-source token budget: walk each source's
-    documents in doc_id order and keep them until the source has
-    contributed TOKEN_BUDGET_PER_SOURCE whitespace tokens — how a
-    training mix caps any one domain's share of the final corpus.
-
-    Scale shape: the running total per source uses the grouped
-    distributed cumsum (range-buckets on doc_id × source), NOT
-    `Window.partitionBy(source)` — with a handful of sources the plain
-    window funnels the whole corpus through that many tasks (the exact
-    bottleneck round-1 flagged in the pipeline's packing stage). The
-    oracle states the same semantics with the plain window, which DuckDB
-    can afford at test scale."""
-    from mapreduce__spark.operators.windows import distributed_cumsum_grouped
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tok")
-    )
-    cum = distributed_cumsum_grouped(
-        docs, group_cols=["source"], order_col="doc_id", value_col="n_tok",
-        out_col="cum_tok",
-    )
-    return cum.where(F.col("cum_tok") <= TOKEN_BUDGET_PER_SOURCE).select(
-        "doc_id", "source", "n_tok", F.col("cum_tok").cast("bigint").alias("cum_tok")
-    )
-
-
-@query(
-    "asof_nearest_events",
-    oracle="""
-    WITH p AS (SELECT event_id, user_id, ts FROM events
-               WHERE event_type = 'purchase'),
-         c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id
-               FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
-         j AS (
-           SELECT p.event_id, p.user_id, p.ts,
-                  min(CASE WHEN c.click_ts IS NULL THEN NULL
-                      ELSE struct_pack(
-                        ad := abs(epoch_us(p.ts) - epoch_us(c.click_ts)),
-                        fwd := CASE WHEN c.click_ts <= p.ts THEN 0 ELSE 1 END,
-                        cts := c.click_ts, cid := c.click_id)
-                      END) AS pick
-           FROM p LEFT JOIN c ON p.user_id = c.user_id
-           GROUP BY p.event_id, p.user_id, p.ts
-         )
-    SELECT event_id, user_id, ts,
-           pick.cid AS click_id, pick.cts AS click_ts
-    FROM j
-    """,
-    tags=("tier2", "join", "timeseries"),
-)
-def asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest-match as-of join (pandas merge_asof direction='nearest'):
-    each purchase gets the user's click CLOSEST in time — before or
-    after — with |delta| ties resolving backward (the earlier click) and
-    equal-(user, ts) click ties to the max click_id, the same dedup
-    convention asof_join_events pins. Runs operators/asof.py's
-    asof_join_nearest: ONE shuffle on the key, the ascending carry pass
-    for the latest click at-or-before and a descending pass over the
-    same partition for the earliest click at-or-after, then a scan-stage
-    integer-microsecond distance pick — no range explosion at any key
-    cardinality. The oracle is deliberately the OTHER formulation: a
-    per-key quadratic argmin over struct_pack(|delta|, direction, ...)
-    lexicographic min (affordable at oracle scale), so the two sides
-    share no plan shape."""
-    from mapreduce__spark.operators.asof import asof_join_nearest
-
-    ev = load_table(spark, sf_dir, "events")
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = (
-        ev.where(F.col("event_type") == "click")
-        .groupBy("user_id", F.col("ts").alias("click_ts"))
-        .agg(F.max("event_id").alias("click_id"))
-    )
-    return asof_join_nearest(
-        purchases.withColumn("_j_ts", F.col("ts")),
-        clicks.withColumn("_j_ts", F.col("click_ts")),
-        on=["user_id"],
-        ts="_j_ts",
-        right_cols=["click_id", "click_ts"],
-    ).select("event_id", "user_id", "ts", "click_id", "click_ts")
-
-
-@query(
-    "asof_join_events",
-    oracle="""
-    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-         c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id
-               FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
-    SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
-    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
-    """,
-    tags=("tier2", "join", "timeseries"),
-)
-def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each purchase gets the user's most recent click at or
-    before it (union + carry-forward window — one shuffle, no range
-    explosion; see operators/asof.py). Oracle is DuckDB's native ASOF.
-
-    Equal-(user_id, ts) click ties resolve to the MAX click_id on both
-    sides: `tiebreak="click_id"` here, a pre-dedup `max(event_id)` per
-    (user_id, ts) in the oracle — DuckDB ASOF picks an arbitrary tied row
-    otherwise, which would flake the value-hash comparison."""
-    from mapreduce__spark.operators.asof import asof_join
-
-    ev = load_table(spark, sf_dir, "events")
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = ev.where(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
-    )
-    return asof_join(
-        purchases.withColumn("_j_ts", F.col("ts")),
-        clicks.withColumn("_j_ts", F.col("click_ts")),
-        on=["user_id"],
-        ts="_j_ts",
-        right_cols=["click_id", "click_ts"],
-        tiebreak="click_id",
-    ).select("event_id", "user_id", "ts", "click_id", "click_ts")
-
-
-@query(
-    "training_data_pipeline",
-    oracle=f"""
-    WITH RECURSIVE quality AS (
-        SELECT doc_id, text FROM documents
-        WHERE len(string_split(text, ' ')) BETWEEN 20 AND 2000
-          AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
-              / length(text) < 0.3
-    ), exact_keep AS (
-        SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
-    ), pairs AS ({_jaccard_oracle("quality")}),
-    edges AS (
-        SELECT id1 AS a, id2 AS b FROM pairs
-        UNION SELECT id2, id1 FROM pairs
-    ),
-    reach(a, b) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    ),
-    removal AS (
-        SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a
-    ),
-    survivors AS (
-        SELECT q.doc_id, q.text
-        FROM quality q
-        JOIN exact_keep k ON q.doc_id = k.doc_id
-        WHERE q.doc_id NOT IN (SELECT doc_id FROM removal)
-    ),
-    with_split AS (
-        SELECT doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens,
-               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))::BIGINT % 10 < 8
-                    THEN 'train' ELSE 'holdout' END AS split
-        FROM survivors
-    ),
-    packed AS (
-        SELECT doc_id, n_tokens, split,
-               sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
-                                   ROWS UNBOUNDED PRECEDING) AS cum
-        FROM with_split
-    )
-    SELECT doc_id, n_tokens, split, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin
-    FROM packed
-    """,
-    tags=("tier2", "pipeline", "flagship"),
-)
-def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full LLM-training-data pipeline as ONE composed DataFrame
-    program — the engine's end-to-end showcase:
-
-    1. quality gate (token count + digit-ratio rules);
-    2. exact dedup (keep min doc_id per content hash);
-    3. near-dup removal over the quality docs (MinHash-LSH pairs →
-       connected components → drop every non-representative member);
-    4. reproducible train/holdout split (content-hash bucketing);
-    5. per-split sequence packing into 2048-token bins.
-
-    Every stage is a previously oracle-verified operator; the composition
-    is hash-checked end-to-end against the same stages composed in SQL
-    (recursive CTE for the cluster closure). At 100 TB each stage keeps
-    its own scaling story (see SCALE.md) and the composition adds no new
-    shuffles beyond the stages' own. Two shapes matter at that scale:
-    the document PAYLOAD never shuffles (the dedup window runs over the
-    narrow (doc_id, fp, len) projection; downstream stages only need the
-    precomputed length), and near-dup detection runs on the quality
-    survivors, not the raw corpus — filter-then-dedup, so signature work
-    is never spent on docs already dropped."""
-    docs = load_table(spark, sf_dir, "documents")
-    # The quality gate stays LAZY on purpose: it has only two consumers
-    # (the exact-dedup fingerprint projection and LSH signatures), and a
-    # measured eager checkpoint here was a net LOSS at sf0.1 (4.1-5.0s vs
-    # 3.5s warm) — the materialization barrier costs more than the second
-    # scan-stage regex pass it saves. Contrast training_data_pipeline_full,
-    # where the scrubbed/decon relations feed 3-4 consumers each carrying
-    # a gram-join lineage, and the same checkpoint is a 1.8x win.
-    quality = docs.where(quality_keep_expr(F.col("text"))).select("doc_id", "text")
-
-    # Exact dedup as min-over-window on the content hash: ONE pass and one
-    # shuffle (on the uniform md5 key), where the groupBy + semi-join
-    # formulation scans the quality subtree twice and shuffles twice
-    # (Catalyst does not share the common subtree). The window input is
-    # the NARROW projection — shuffling (doc_id, fp, len) instead of the
-    # full text was measured ~1.5x faster on this stage at sf0.1, and at
-    # corpus scale it is the difference between shuffling fingerprints and
-    # shuffling the corpus.
-    narrow = quality.select(
-        "doc_id", F.md5("text").alias("_fp"), F.length("text").alias("_len")
-    )
-    wfp = Window.partitionBy("_fp")
-    exact_deduped = (
-        narrow.withColumn("_min_id", F.min("doc_id").over(wfp))
-        .where(F.col("doc_id") == F.col("_min_id"))
-        .select("doc_id", "_len")
-    )
-
-    from mapreduce__spark.operators.graph import connected_components
-
-    # Verification texts come from the raw scan (`docs`): quality filters
-    # but never rewrites text, so the raw table is a cheap equal-valued
-    # superset — without this the verify pass re-runs the quality pipeline.
-    pairs = lsh_near_duplicate_pairs(
-        quality, JACCARD_THRESHOLD, num_hashes=16, bands=8, text_source=docs
-    )
-    cc = connected_components(pairs, "id1", "id2")
-    removal = cc.where(F.col("component") < F.col("node")).select(
-        F.col("node").alias("doc_id")
-    )
-
-    survivors = exact_deduped.join(removal, "doc_id", "left_anti")
-
-    bucket = split_bucket_expr(F.col("doc_id"))
-    with_split = survivors.select(
-        "doc_id",
-        F.ceil(F.col("_len") / 4.0).cast("bigint").alias("n_tokens"),
-        F.when(bucket < 8, "train").otherwise("holdout").alias("split"),
-    )
-
-    # Per-split running sum via the grouped two-phase cumsum — NOT
-    # Window.partitionBy("split"): with 2 split values that window funnels
-    # the whole surviving corpus through 2 tasks (round-1 VERDICT item 5).
-    from mapreduce__spark.operators.windows import distributed_cumsum_grouped, idiv
-
-    packed = distributed_cumsum_grouped(
-        with_split, ["split"], "doc_id", "n_tokens", "cum"
-    )
-    return packed.select(
-        "doc_id",
-        "n_tokens",
-        "split",
-        idiv(F.col("cum") - F.col("n_tokens"), 2048).alias("bin"),
-    )
-
-
-# --------------------------------------------------------------------------
-# O-1 / O-27: kernel parity + UDF surface
-# --------------------------------------------------------------------------
-
-
-@query(
-    "kernel_search_count",
-    oracle="""
-    SELECT t.file
-    FROM (
-        SELECT source AS file, count(*) AS cnt
-        FROM documents
-        WHERE contains(source, 'src1')
-        GROUP BY source
-    ) t CROSS JOIN UNNEST(range(t.cnt)) AS r(i)
-    ORDER BY file
-    """,
-    tags=("tier2", "kernel"),
-)
-def kernel_search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O-1 parity: the flagship search query computed through the generic
-    map/reduce kernel (Arrow-batched pandas Map and Reduce — the
-    reference's user-code path, MapReduceFramework.cpp:300,358) instead of
-    native expressions; must hash-match the same oracle as `search_count`.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-
-    def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Emit2 semantics: (source, 1) for each row whose source matches.
-        for pdf in batches:
-            m = pdf[pdf["source"].str.contains("src1", regex=False)]
-            yield pd.DataFrame({"k": m["source"], "v": 1})
-
-    def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Emit3 semantics: (source, count) per key group.
-        return pd.DataFrame({"k": [pdf["k"].iloc[0]], "v": [len(pdf)]})
-
-    counted = run_map_reduce_df(
-        docs.select("source"),
-        map_fn,
-        reduce_fn,
-        map_schema="k string, v long",
-        reduce_schema="k string, v long",
-    )
-    # The reference client's duplicate-expansion print loop (Search.cpp:290-303).
-    return (
-        counted.select(
-            F.explode(F.array_repeat(F.col("k"), F.col("v").cast("int"))).alias("file")
-        )
-        .orderBy("file")
-    )
-
-
-# --------------------------------------------------------------------------
-# Training-data pipeline extensions: decontamination, PII scrub, quality rules
-# --------------------------------------------------------------------------
-
-# Deterministic "held-out benchmark" slice: every 50th doc plays the role of
-# an eval set (a real pipeline would load the benchmark corpus instead).
-_EVAL_MOD = 50
-
-# PII patterns live in functions.text (shared with the streaming twins);
-# re-exported here because the oracle SQL interpolates them verbatim.
-
-
-@query(
-    "decontaminate_eval_overlap",
-    oracle=f"""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ), g AS (
-        SELECT doc_id, unnest(list_distinct(
-            list_transform(range(1, len(toks) - 3),
-                           i -> array_to_string(toks[i:i+4], ' ')))) AS gram
-        FROM t
-    ),
-    e  AS (SELECT doc_id AS eval_id,  gram FROM g WHERE doc_id % {_EVAL_MOD} = 0),
-    tr AS (SELECT doc_id AS train_id, gram FROM g WHERE doc_id % {_EVAL_MOD} <> 0)
-    SELECT tr.train_id, e.eval_id, count(*) AS n_shared_grams
-    FROM tr JOIN e USING (gram)
-    GROUP BY tr.train_id, e.eval_id
-    """,
-    tags=("tier2", "pipeline", "text"),
-)
-def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: find training docs sharing word-5-gram
-    shingles with any eval-set doc (the GPT-3/PaLM-style n-gram overlap
-    check a training pipeline runs before every release).
-
-    Scale shape: distinct shingles explode from ONE scan. The join
-    strategy is deliberately UNHINTED: in the real-world contract the
-    eval side is a benchmark (tiny) and AQE upgrades the gram join to a
-    broadcast at runtime from the measured shuffle size; but as fixtured
-    here the eval slice is ``doc_id % 50 == 0`` — 2% of the corpus — so
-    a forced ``F.broadcast`` would grow linearly with data and OOM the
-    driver at 100× (round-6 VERDICT finding 1). Leaving the choice to
-    AQE keeps the small-eval fast path AND a shuffle equi-join fallback
-    that survives any eval size. Output is (train_id, eval_id,
-    n_shared_grams) for human triage; dropping contaminated docs is a
-    left_anti join on train_id.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(word_ngrams(tokenize(F.col("text")), 5)).alias("gram")
-    )
-    is_eval = F.col("doc_id") % _EVAL_MOD == 0
-    eval_g = grams.where(is_eval).select(F.col("doc_id").alias("eval_id"), "gram")
-    train_g = grams.where(~is_eval).select(F.col("doc_id").alias("train_id"), "gram")
-    return (
-        train_g.join(eval_g, "gram")
-        .groupBy("train_id", "eval_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
-    )
-
-
-@query(
-    "pii_scrub",
-    oracle=f"""
-    SELECT doc_id,
-           regexp_replace(regexp_replace(regexp_replace(text,
-               '{PII_EMAIL}', '<EMAIL>', 'g'),
-               '{PII_IPV4}', '<IP>', 'g'),
-               '{PII_PHONE}', '<PHONE>', 'g') AS clean_text,
-           CAST(len(regexp_extract_all(text, '{PII_EMAIL}'))
-              + len(regexp_extract_all(text, '{PII_IPV4}'))
-              + len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_pii
-    FROM documents
-    """,
-    tags=("tier2", "pipeline", "text"),
-)
-def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction: replace emails / IPv4 addresses / phone numbers with
-    typed placeholders and count redactions per doc — the compliance pass
-    every training corpus goes through.
-
-    Pure regexp_replace/regexp_count expressions: zero shuffle, runs in
-    the scan stage at any corpus size. Patterns are restricted to syntax
-    Java regex and RE2 interpret identically so the oracle reproduces the
-    scrub bit-for-bit (the synthetic corpus contains no PII — the planted
-    fixture in tests/test_advice_regressions.py proves real redaction).
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        pii_scrub_expr(F.col("text")).alias("clean_text"),
-        pii_count_expr(F.col("text")).alias("n_pii"),
-    )
-
-
-@query(
-    "gopher_quality_rules",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ), m AS (
-        SELECT doc_id,
-               CAST(len(toks) AS BIGINT) AS n_words,
-               round(list_aggregate(list_transform(toks, x -> length(x)),
-                                    'sum')::DOUBLE / len(toks), 4) AS mean_word_len,
-               round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS distinct_ratio,
-               CAST(len(list_filter(toks,
-                    x -> x IN ('the','a','of','and','to','is','in'))) AS BIGINT) AS stop_hits
-        FROM t
-    )
-    SELECT doc_id, n_words, mean_word_len, distinct_ratio, stop_hits,
-           (n_words BETWEEN 20 AND 2500
-            AND mean_word_len BETWEEN 3.0 AND 10.0
-            AND distinct_ratio >= 0.2
-            AND stop_hits >= 2) AS keep
-    FROM m
-    """,
-    tags=("tier2", "pipeline", "text"),
-)
-def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style document quality rule set: word count bounds, mean
-    word length bounds, distinct-token ratio (repetition guard), and
-    stopword presence — each rule emitted as its own column plus the
-    composite `keep` flag, so a pipeline can both filter and audit which
-    rule fired.
-
-    All rules are scan-stage codegen expressions over ONE tokenization —
-    zero shuffle at any corpus size (same scaling class as word count).
-    """
-    from mapreduce__spark.functions.text import gopher_rule_columns
-
-    docs = load_table(spark, sf_dir, "documents")
-    rules = gopher_rule_columns(F.col("text"))
-    return docs.select(
-        "doc_id", *[expr.alias(name) for name, expr in rules.items()]
-    )
-
-
-@query(
-    "training_data_pipeline_full",
-    oracle=f"""
-    WITH RECURSIVE scrubbed AS (
-        SELECT doc_id,
-               regexp_replace(regexp_replace(regexp_replace(text,
-                   '{PII_EMAIL}', '<EMAIL>', 'g'),
-                   '{PII_IPV4}', '<IP>', 'g'),
-                   '{PII_PHONE}', '<PHONE>', 'g') AS text
-        FROM documents
-    ), quality AS (
-        SELECT doc_id, text FROM scrubbed
-        WHERE len(string_split(text, ' ')) BETWEEN 20 AND 2000
-          AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
-              / length(text) < 0.3
-    ), g5 AS (
-        SELECT doc_id, unnest(list_distinct(
-            list_transform(range(1, len(string_split(text, ' ')) - 3),
-                           i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))) AS gram
-        FROM scrubbed
-    ),
-    contaminated AS (
-        SELECT DISTINCT tr.doc_id
-        FROM (SELECT doc_id, gram FROM g5 WHERE doc_id % {_EVAL_MOD} <> 0) tr
-        JOIN (SELECT doc_id, gram FROM g5 WHERE doc_id % {_EVAL_MOD} = 0) e
-          USING (gram)
-    ),
-    decon AS (
-        SELECT q.doc_id, q.text FROM quality q
-        WHERE q.doc_id % {_EVAL_MOD} <> 0
-          AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
-    ),
-    exact_keep AS (
-        SELECT min(doc_id) AS doc_id FROM decon GROUP BY md5(text)
-    ), pairs AS ({_jaccard_oracle("decon")}),
-    edges AS (
-        SELECT id1 AS a, id2 AS b FROM pairs
-        UNION SELECT id2, id1 FROM pairs
-    ),
-    reach(a, b) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    ),
-    removal AS (
-        SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a
-    ),
-    survivors AS (
-        SELECT d.doc_id, d.text
-        FROM decon d
-        JOIN exact_keep k ON d.doc_id = k.doc_id
-        WHERE d.doc_id NOT IN (SELECT doc_id FROM removal)
-    ),
-    with_split AS (
-        SELECT doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens,
-               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))::BIGINT % 10 < 8
-                    THEN 'train' ELSE 'holdout' END AS split
-        FROM survivors
-    ),
-    packed AS (
-        SELECT doc_id, n_tokens, split,
-               sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
-                                   ROWS UNBOUNDED PRECEDING) AS cum
-        FROM with_split
-    )
-    SELECT doc_id, n_tokens, split, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin
-    FROM packed
-    """,
-    tags=("tier2", "pipeline", "flagship"),
-)
-def training_data_pipeline_full(
-    spark: SparkSession,
-    sf_dir: str,
-    staging_dir: str | None = None,
-    timer=None,
-) -> DataFrame:
-    """The complete modern training-data pipeline as ONE DataFrame program
-    — `training_data_pipeline` (quality → dedup → cluster removal → split
-    → pack) extended with the two compliance stages a production corpus
-    adds in front:
-
-    1. PII scrub (email/IPv4/phone → typed placeholders, scan-stage);
-    2. quality gate on the scrubbed text;
-    3. benchmark decontamination: drop eval-slice docs AND any training
-       doc sharing a word-5-gram with one (unhinted gram equi-join —
-       AQE broadcasts when the eval side is genuinely small);
-    4. exact dedup (min-over-window on content hash, one pass, narrow
-       (doc_id, fp, len) shuffle — the payload never shuffles);
-    5. MinHash-LSH near-dup clusters over the decontaminated quality docs
-       (filter-then-dedup) → drop non-representatives;
-    6. reproducible hash split; per-split distributed-cumsum packing.
-
-    Stage scaling stories are unchanged from the component operators; the
-    composition is hash-checked end-to-end against the same stages in SQL.
-
-    `staging_dir` (default None) switches the three corpus-proportional
-    materializations (scrubbed corpus, decontaminated corpus, LSH
-    signatures) from executor-memory checkpoints to durable parquet —
-    the 100 TB shape; see :mod:`operators.staging`. Value-identical
-    (tests/test_staging.py).
-
-    `timer` (a metrics.PhaseTimer, default None) is the PROFILING seam:
-    when set, each stage is forced with an extra checkpoint/count inside
-    a named phase so per-stage wall time is attributable (docs/SCALE.md
-    stage table). The forced materializations make the profiled run's
-    plan differ from production — timer=None is byte-identical to the
-    pre-seam code path and is what every declared query runs.
-    """
-    from contextlib import nullcontext
-
-    from mapreduce__spark.operators.graph import connected_components
-    from mapreduce__spark.operators.staging import stage
-    from mapreduce__spark.operators.windows import distributed_cumsum_grouped, idiv
-
-    ph = timer.phase if timer is not None else (lambda _name: nullcontext())
-
-    docs = load_table(spark, sf_dir, "documents")
-    # The scrubbed corpus feeds FOUR independent consumers (quality gate,
-    # both sides of the decontamination gram join, and LSH verification
-    # texts); left lazy, each one re-runs the 3-regex scrub over the full
-    # corpus. A production pipeline materializes the scrubbed corpus once
-    # (it is a deliverable in its own right) — the materialization is the
-    # executor-memory checkpoint by default (measured ~1.9x on the
-    # end-to-end flagship at sf0.1), or durable parquet under
-    # `staging_dir` — the 100 TB shape, where a corpus-sized relation
-    # does not fit executor storage and must survive executor loss.
-    with ph("scrub"):
-        scrubbed = stage(
-            docs.select("doc_id", pii_scrub_expr(F.col("text")).alias("text")),
-            staging_dir,
-            "scrubbed",
-        )
-        if timer is not None:
-            scrubbed.count()
-
-    toks = tokenize(F.col("text"))
-    quality = scrubbed.where(quality_keep_expr(F.col("text"))).select(
-        "doc_id", "text"
-    )
-
-    is_eval = F.col("doc_id") % _EVAL_MOD == 0
-    # Train-side grams are computed over QUALITY train docs only: a doc
-    # that fails the quality gate never reaches `decon`, so whether it is
-    # contaminated is irrelevant — the anti-join result is identical, and
-    # the expensive 5-gram explode runs over the smaller filtered corpus.
-    # The eval side must stay over ALL scrubbed docs (the eval slice is
-    # defined before quality filtering, matching the oracle's g5 CTE).
-    # distinct BEFORE the join: contamination only needs gram existence,
-    # and cross-eval-doc duplicate grams would both inflate the built
-    # side and multiply probe-side matches ahead of the .distinct().
-    # The join is UNHINTED (round-6 VERDICT finding 1): the fixtured eval
-    # slice is 2% of the corpus, so a forced broadcast would scale with
-    # data; AQE broadcasts at runtime when the built side is genuinely
-    # small and otherwise keeps the shuffle equi-join.
-    eval_grams = (
-        scrubbed.where(is_eval)
-        .select(F.explode(word_ngrams(toks, 5)).alias("gram"))
-        .distinct()
-    )
-    contaminated = (
-        quality.where(~is_eval)
-        .select("doc_id", F.explode(word_ngrams(toks, 5)).alias("gram"))
-        .join(eval_grams, "gram")
-        .select("doc_id")
-        .distinct()
-    )
-    # `decon` is the surviving corpus and feeds THREE consumers (exact
-    # dedup, LSH signatures, the survivors join); without materialization
-    # each re-runs the contamination gram join above.
-    with ph("decontaminate"):
-        decon = stage(
-            quality.where(~is_eval).join(contaminated, "doc_id", "left_anti"),
-            staging_dir,
-            "decontaminated",
-        )
-        if timer is not None:
-            decon.count()
-
-    with ph("exact_dedup"):
-        narrow = decon.select(
-            "doc_id", F.md5("text").alias("_fp"), F.length("text").alias("_len")
-        )
-        wfp = Window.partitionBy("_fp")
-        exact_deduped = (
-            narrow.withColumn("_min_id", F.min("doc_id").over(wfp))
-            .where(F.col("doc_id") == F.col("_min_id"))
-            .select("doc_id", "_len")
-        )
-        if timer is not None:
-            exact_deduped = exact_deduped.localCheckpoint(eager=True)
-
-    # Verification texts come from `scrubbed` (scan-stage regexes only):
-    # decon docs carry SCRUBBED text, so the raw table would be wrong, but
-    # re-running the decontamination joins just to read texts is waste —
-    # scrubbed is the cheapest equal-valued superset.
-    with ph("lsh_near_dedup"):
-        pairs = lsh_near_duplicate_pairs(
-            decon,
-            JACCARD_THRESHOLD,
-            num_hashes=16,
-            bands=8,
-            text_source=scrubbed,
-            staging_dir=staging_dir,
-        )
-        cc = connected_components(pairs, "id1", "id2")
-        removal = cc.where(F.col("component") < F.col("node")).select(
-            F.col("node").alias("doc_id")
-        )
-        survivors = exact_deduped.join(removal, "doc_id", "left_anti")
-        if timer is not None:
-            survivors = survivors.localCheckpoint(eager=True)
-
-    with ph("split_pack"):
-        bucket = split_bucket_expr(F.col("doc_id"))
-        with_split = survivors.select(
-            "doc_id",
-            F.ceil(F.col("_len") / 4.0).cast("bigint").alias("n_tokens"),
-            F.when(bucket < 8, "train").otherwise("holdout").alias("split"),
-        )
-        packed = distributed_cumsum_grouped(
-            with_split, ["split"], "doc_id", "n_tokens", "cum"
-        )
-        out = packed.select(
-            "doc_id",
-            "n_tokens",
-            "split",
-            idiv(F.col("cum") - F.col("n_tokens"), 2048).alias("bin"),
-        )
-        if timer is not None:
-            out = out.localCheckpoint(eager=True)
-    return out
-
-
-# --------------------------------------------------------------------------
-# Round-6 additions: corpus-frequency boilerplate removal, deterministic
-# weighted sampling, and per-source caps — the three crawl-pipeline stages
-# between dedup and splitting (CCNet strips high-DF lines, quality-weighted
-# downsampling trades corpus size for quality, per-domain caps stop a single
-# host from dominating the mixture).
-# --------------------------------------------------------------------------
-
-BOILER_DF = 2  # chunks present in >= this many DISTINCT docs are boilerplate
-
-
-@query(
-    "boilerplate_removal",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ),
-    c AS (
-      SELECT doc_id,
-             unnest(generate_series(0, CAST(ceil(len(t) / 20.0) AS INT) - 1))
-               AS idx,
-             t
-      FROM toks
-    ),
-    chunks AS (
-      SELECT doc_id, idx,
-             array_to_string(t[(idx*20+1):(idx*20+20)], ' ') AS chunk
-      FROM c
-    ),
-    dfreq AS (
-      SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk
-    )
-    SELECT ch.doc_id,
-           CAST(count(*) AS BIGINT) AS n_chunks,
-           CAST(count(*) FILTER (WHERE f.df >= 2) AS BIGINT) AS n_boiler,
-           COALESCE(string_agg(ch.chunk, ' ' ORDER BY ch.idx)
-                      FILTER (WHERE f.df < 2), '') AS text_kept
-    FROM chunks ch JOIN dfreq f ON ch.chunk = f.chunk
-    GROUP BY ch.doc_id
-    """,
-    tags=("tier2", "dedup", "text"),
-)
-def boilerplate_removal(
-    spark: SparkSession, sf_dir: str, hash_chunks: bool = False
-) -> DataFrame:
-    """Corpus-frequency boilerplate removal — the CCNet/RefinedWeb stage
-    that paragraph_dedup does NOT cover: a chunk occurring in >= BOILER_DF
-    DISTINCT documents is navigation/boilerplate and is dropped from
-    EVERY document (paragraph_dedup keeps the first occurrence; a nav bar
-    is junk in its first document too). Chunks are the same fixed
-    20-token windows as paragraph_dedup (the corpus is newline-free; on
-    real text split('\\n') slots in unchanged). Output per doc: chunk
-    counts, boilerplate count, and the text rebuilt from surviving chunks
-    in order.
-
-    SCALE: same audited two-shuffle shape as paragraph_dedup — one
-    map-side-combinable distinct-count per chunk, one equi-join back on
-    the chunk key (AQE-coalesced, skew-split eligible), one (doc_id)
-    groupBy for the rebuild. The DF table is never collected or
-    broadcast by hand: at 100 TB the high-DF chunk set can exceed any
-    broadcast budget, so it stays a distributed join (AQE demotes it to
-    broadcast on its own when it happens to be small).
-
-    `hash_chunks=True` is the 100 TB variant: the distinct-count and the
-    join back key on `xxhash64(chunk)` — 8 bytes instead of a ~120-byte
-    string — so the count aggregate's map-side combine state, its
-    shuffle, and the join's build side all shrink ~15x. The output is
-    identical unless two distinct chunks collide in 64 bits (~1e-8 at
-    10^9 distinct chunks, the standard fingerprint-dedup risk trade);
-    the default stays raw so the DuckDB oracle is bit-exact, and
-    tests/test_operators.py pins raw == hashed at sf0.001."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    chunks = (
-        docs.select("doc_id", toks.alias("t"))
-        .select(
-            "doc_id",
-            "t",
-            F.explode(
-                F.sequence(
-                    F.lit(0), (F.ceil(F.size("t") / 20.0)).cast("int") - 1
-                )
-            ).alias("idx"),
-        )
-        .select(
-            "doc_id",
-            "idx",
-            F.array_join(
-                F.slice("t", F.col("idx") * 20 + 1, F.lit(20)), " "
-            ).alias("chunk"),
-        )
-    )
-    if hash_chunks:
-        chunks = chunks.withColumn("_ck", F.xxhash64("chunk"))
-        key = "_ck"
-    else:
-        key = "chunk"
-    dfreq = chunks.select(key, "doc_id").groupBy(key).agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    boiler = F.col("df") >= BOILER_DF
-    return (
-        chunks.join(dfreq, key)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(boiler.cast("long")).alias("n_boiler"),
-            F.coalesce(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(~boiler, F.struct("idx", "chunk"))
-                            )
-                        ),
-                        lambda s: s["chunk"],
-                    ),
-                    " ",
-                ),
-                F.lit(""),
-            ).alias("text_kept"),
-        )
-    )
-
-
-@query(
-    "weighted_sample",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, source,
-             len(string_split(text, ' ')) AS n_words,
-             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wsamp'), 1, 8))::BIGINT AS h
-      FROM documents
-    )
-    SELECT doc_id, source,
-           CAST(n_words AS BIGINT) AS n_words,
-           CAST(least(n_words, 1000) AS BIGINT) AS weight_millis
-    FROM t
-    WHERE h * 1000 < least(n_words, 1000) * 4294967296
-    """,
-    tags=("tier2", "sampling"),
-)
-def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weighted Bernoulli sampling — quality-weighted
-    downsampling, the mixture knob between "keep everything" and
-    stratified_sample's fixed per-stratum rates: each doc is kept with
-    probability min(1, n_words/1000), decided by a content hash rather
-    than an RNG so membership is reproducible across reruns, engines,
-    and cluster layouts (same md5 idiom as split_bucket_expr). The
-    comparison is pure integer math — h*1000 < weight_millis * 2^32 —
-    so no float rounding can flip a row between engines. The expressions
-    live in functions/text.py (weight_millis_expr / weighted_keep_expr),
-    shared with the streaming twin under the one-source rule.
-
-    SCALE: scan-stage filter, zero shuffles, pushes nothing to the
-    driver; the weight function swaps freely (any bigint-millis
-    expression of the row works)."""
-    from mapreduce__spark.functions.text import (
-        weight_millis_expr,
-        weighted_keep_expr,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            "doc_id",
-            "source",
-            F.size(tokenize(F.col("text"))).cast("bigint").alias("n_words"),
-            weight_millis_expr(F.col("text")).alias("weight_millis"),
-        )
-        .where(weighted_keep_expr(F.col("doc_id"), F.col("weight_millis")))
-    )
-
-
-# Max docs kept per source: the fixtures carry exactly 25 docs per source
-# at every SF, so the cap must sit BELOW 25 to be a real filter (a vacuous
-# cap would let the oracle pass without exercising the window+cut path).
-PER_SOURCE_CAP = 15
-
-
-@query(
-    "per_source_cap",
-    oracle="""
-    WITH r AS (
-      SELECT doc_id, source, n_chars,
-             row_number() OVER (
-               PARTITION BY source
-               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#cap'), 1, 8))::BIGINT,
-                        doc_id
-             ) AS rk
-      FROM documents
-    )
-    SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
-    FROM r WHERE rk <= 15
-    """,
-    tags=("tier2", "sampling"),
-)
-def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source document cap — the per-domain cap every crawl pipeline
-    applies so one host cannot dominate the training mixture: keep at
-    most PER_SOURCE_CAP docs per source, chosen by a deterministic
-    content-hash order (a hash order is an unbiased uniform draw; taking
-    "first by doc_id" would bias toward old documents). doc_id breaks
-    hash ties so the selection is total-order stable.
-
-    SCALE: one hash-partitioned window per source — the partition count
-    is the number of DOMAINS (millions at 100 TB, comfortably parallel),
-    and rows within a source sort locally. A pathologically hot source
-    (one domain = a whole executor's memory) would use the two-phase
-    approx-rank trick in operators/windows.py instead; the cap output
-    itself is bounded at cap x #sources rows."""
-    docs = load_table(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#cap"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
-    return (
-        docs.select(
-            "doc_id",
-            "source",
-            "n_chars",
-            F.row_number().over(w).cast("bigint").alias("rk"),
-        )
-        .where(F.col("rk") <= PER_SOURCE_CAP)
-    )
-
-
-# --------------------------------------------------------------------------
-# Round-7 additions: exact substring-window dedup (the token-level
-# duplication metric of "Deduplicating Training Data Makes Language Models
-# Better" — doc-level dedup misses passages copied BETWEEN distinct docs)
-# and static domain mixture weights (the per-source resampling knob a
-# pipeline derives before packing).
-# --------------------------------------------------------------------------
-
-SUBSTR_WIN = 30  # tokens per exact-duplicate window (the paper uses 50 BPE)
-
-
-@query(
-    "substring_dedup_windows",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ),
-    w AS (
-      SELECT doc_id,
-             unnest(generate_series(0, len(t) - {SUBSTR_WIN})) AS idx,
-             t
-      FROM toks WHERE len(t) >= {SUBSTR_WIN}
-    ),
-    wins AS (
-      SELECT doc_id, idx,
-             array_to_string(t[(idx + 1):(idx + {SUBSTR_WIN})], ' ') AS win
-      FROM w
-    ),
-    wdf AS (
-      SELECT win, count(DISTINCT doc_id) AS ddf FROM wins GROUP BY win
-    )
-    SELECT wi.doc_id,
-           CAST(count(*) AS BIGINT) AS n_windows,
-           CAST(count(*) FILTER (WHERE f.ddf >= 2) AS BIGINT) AS n_dup_windows,
-           count(*) FILTER (WHERE f.ddf >= 2)::DOUBLE / count(*)
-             AS dup_ratio
-    FROM wins wi JOIN wdf f ON wi.win = f.win
-    GROUP BY wi.doc_id
-    """,
-    tags=("tier2", "dedup", "text"),
-)
-def substring_dedup_windows(
-    spark: SparkSession, sf_dir: str, hash_windows: bool = False
-) -> DataFrame:
-    """Exact substring duplication metric — the token-level check that
-    doc-level dedup (exact or MinHash) cannot see: a passage copied
-    between two otherwise-different documents. Every stride-1 window of
-    SUBSTR_WIN tokens is keyed across the corpus; a window whose string
-    occurs in >= 2 DISTINCT docs is duplicated text, and each doc reports
-    its duplicated-window ratio (the filter/trim decision input; the
-    paper's remedy drops one copy of each duplicated span).
-
-    SCALE: the same two-shuffle shape as boilerplate_removal — one
-    map-side-combinable distinct-count keyed by window, one equi-join
-    back, one per-doc agg. Stride-1 windows are a ~SUBSTR_WIN-times
-    token blowup, which is the published algorithm's actual working set
-    (the suffix-array formulation holds the same bytes).
-
-    `hash_windows=True` is the 100 TB variant, and it cuts DEEPER than
-    boilerplate_removal's hash_chunks: this metric never rebuilds text,
-    so the window STRING is dropped before any shuffle — both the
-    distinct-count and the join move only (doc_id, xxhash64(win)) 8-byte
-    keys, a ~25x shuffle-byte reduction with the usual 64-bit-collision
-    caveat. The raw default stays the bit-exact oracle path (pinned
-    equal in tests); at 100 TB the stride also widens to SUBSTR_WIN/2
-    for a 2x-overlap screen."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.split(F.col("text"), " ")
-    wins = (
-        docs.select("doc_id", t.alias("t"))
-        .where(F.size("t") >= SUBSTR_WIN)
-        .select(
-            "doc_id",
-            "t",
-            F.explode(
-                F.sequence(F.lit(0), F.size("t") - SUBSTR_WIN)
-            ).alias("idx"),
-        )
-        .select(
-            "doc_id",
-            F.array_join(
-                F.slice("t", F.col("idx") + 1, F.lit(SUBSTR_WIN)), " "
-            ).alias("win"),
-        )
-    )
-    if hash_windows:
-        wins = wins.select("doc_id", F.xxhash64("win").alias("_wk"))
-        key = "_wk"
-    else:
-        key = "win"
-    wdf = wins.groupBy(key).agg(F.countDistinct("doc_id").alias("ddf"))
-    dup = (F.col("ddf") >= 2).cast("long")
-    return (
-        wins.join(wdf, key)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum(dup).alias("n_dup_windows"),
-            # raw int/int division — bit-identical cross-engine; round()
-            # would sit on decimal half-ties (the events_ewma lesson)
-            (F.sum(dup) / F.count(F.lit(1))).alias("dup_ratio"),
-        )
-    )
-
-
-MIXTURE_WEIGHT_CAP = 5.0  # max per-source upsampling (epoch cap)
-
-
-@query(
-    "domain_mixture_weights",
-    oracle=f"""
-    WITH s AS (
-      SELECT source,
-             CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS source_tokens
-      FROM documents GROUP BY source
-    ),
-    t AS (
-      SELECT sum(source_tokens) AS total_tokens,
-             count(*) AS n_sources
-      FROM s
-    )
-    SELECT source, n_docs, source_tokens,
-           source_tokens::DOUBLE / total_tokens AS token_share,
-           least({MIXTURE_WEIGHT_CAP},
-                 (total_tokens::DOUBLE / n_sources) / source_tokens) AS weight
-    FROM s, t
-    """,
-    tags=("tier2", "sampling"),
-)
-def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Static domain mixture weights — the per-source resampling factors
-    a pipeline derives before packing, so the training mixture hits a
-    target share per domain (uniform target here; a config table slots
-    in unchanged): weight_s = target_tokens / actual_tokens, capped at
-    MIXTURE_WEIGHT_CAP so a tiny domain is never upsampled past the
-    epoch budget (the Pile/DoReMi-style knob). weighted_sample consumes
-    exactly this weight column downstream.
-
-    SCALE: one map-side-combinable groupBy(source) — output rows =
-    #domains — then a single-row total joined back. The per-source
-    aggregate is MATERIALIZED (#domains rows, trivially small) because
-    it feeds two consumers (the total and the output): left lazy,
-    Catalyst plans TWO full corpus scans (no exchange reuse across the
-    re-aggregation), doubling scan I/O at any scale for a table of a
-    few million rows at most. The total is a genuine broadcast at ANY
-    corpus size (one row), and the ratios are RAW divisions of exact
-    BIGINTs — identical doubles on both engines with no rounding step
-    to sit on decimal half-ties."""
-    docs = load_table(spark, sf_dir, "documents")
-    s = (
-        docs.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(F.split(F.col("text"), " ")))
-            .cast("bigint")
-            .alias("source_tokens"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    t = s.agg(
-        F.sum("source_tokens").alias("total_tokens"),
-        F.count(F.lit(1)).alias("n_sources"),
-    )
-    return s.crossJoin(F.broadcast(t)).select(
-        "source",
-        "n_docs",
-        "source_tokens",
-        # raw divisions of exact BIGINTs — identical doubles on both
-        # engines; round() would sit on decimal half-ties (the
-        # events_ewma lesson)
-        (F.col("source_tokens") / F.col("total_tokens")).alias("token_share"),
-        F.least(
-            F.lit(MIXTURE_WEIGHT_CAP),
-            (F.col("total_tokens") / F.col("n_sources")) / F.col("source_tokens"),
-        ).alias("weight"),
-    )
-
-
-EWMA_N = 32  # events per user in the smoothing window (newest-first)
-
-
-@query(
-    "events_ewma",
-    oracle=f"""
-    WITH ranked AS (
-      SELECT user_id,
-             CAST(round(value * 100) AS BIGINT) AS vc,
-             row_number() OVER (
-               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
-             ) AS rn
-      FROM events
-    ),
-    recent AS (
-      SELECT user_id, vc, rn,
-             max(rn) OVER (PARTITION BY user_id) AS m
-      FROM (SELECT * FROM ranked WHERE rn <= {EWMA_N})
-    )
-    SELECT user_id,
-           CAST(max(m) AS BIGINT) AS n_events,
-           sum(CASE WHEN rn < m THEN CAST(pow(2, m - 1 - rn) AS BIGINT)
-                    ELSE 1 END * vc)
-             / (100.0 * pow(2, max(m) - 1)) AS ewma_value
-    FROM recent
-    GROUP BY user_id
-    """,
-    tags=("tier2", "streaming", "timeseries"),
-)
-def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user exponentially-weighted moving average of event values
-    (alpha = 0.5, newest-first over the user's last EWMA_N events,
-    initialized at the oldest value in the window) — the smoothing /
-    anomaly-baseline primitive a time-series store pairs with the
-    gap-filled rollup.
-
-    Determinism is the interesting part: EWMA is a float recurrence, and
-    naive pow-and-sum would make cross-engine equality libm luck. With
-    alpha = 0.5 every weight is a POWER OF TWO, so the whole recurrence
-    is computed in EXACT integer arithmetic — values to cents (the
-    fixtures are 2-decimal), weights 2^(m-1-rn) as exact BIGINTs, one
-    integer dot product (bounded: 2^31 x max-cents x 32 << 2^63) — and
-    floats appear only in the final division of two bit-identical
-    integers (the graph_mass_propagation integer trick applied to
-    smoothing). The window cap both bounds the weights and matches
-    practice (an anomaly baseline over the recent tail).
-
-    SCALE: one hash-partitioned window per user (same shape as
-    sessionization), then a per-user aggregate; nothing global, no
-    driver participation."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    ranked = (
-        ev.select(
-            "user_id",
-            "ts",
-            "event_id",
-            F.round(F.col("value") * 100).cast("bigint").alias("vc"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= EWMA_N)
-    )
-    recent = ranked.withColumn(
-        "m", F.max("rn").over(Window.partitionBy("user_id"))
-    )
-    weight = F.when(
-        F.col("rn") < F.col("m"),
-        F.pow(F.lit(2.0), F.col("m") - 1 - F.col("rn")).cast("bigint"),
-    ).otherwise(F.lit(1).cast("bigint"))
-    return recent.groupBy("user_id").agg(
-        F.max("m").cast("bigint").alias("n_events"),
-        # NO round(): the dot product and the 100·2^(m-1) denominator are
-        # both exact, so the single division is correctly rounded to the
-        # same double on every engine — while round(·, 6) would REINTRODUCE
-        # a cross-engine hazard at exact half-ties (hypothesis found
-        # S/2^(m-1) = 0.09375 cents: Spark HALF_UPs the shortest decimal
-        # to 0.000938, binary-value rounding gives 0.000937).
-        (
-            F.sum(weight * F.col("vc"))
-            / (F.lit(100.0) * F.pow(F.lit(2.0), F.max("m") - 1))
-        ).alias("ewma_value"),
-    )
-
-
-def _fixture_root() -> str:
-    """Root for the staged synthetic file corpora (binaryFile + XML).
-
-    Per-user, not a fixed world-shared /tmp path (round-7 verdict item
-    6 / advice item 2): tmp+rename makes staging torn-proof but not
-    permission-proof — a directory created by user A is unwritable to
-    user B, so a fixed path turns a multi-user host into a deferred
-    staging failure for everyone but the first user. gettempdir + uid
-    is deterministic within one driver process, which is what the
-    import-time f-string oracles require (both halves read the same
-    path). SPARK_GRAFT_FIXTURE_DIR overrides for tests/clusters."""
-    import os
-    import tempfile
-
-    env = os.environ.get("SPARK_GRAFT_FIXTURE_DIR")
-    if env:
-        return env
-    uid = os.getuid() if hasattr(os, "getuid") else "na"
-    return os.path.join(
-        tempfile.gettempdir(), f"mapreduce__spark_fixtures-uid{uid}"
-    )
-
-
-def _stage_file(dst: str, content: bytes) -> None:
-    """Write one fixture file via tmp+rename, skipping only when the
-    existing file's SIZE matches the expected content (advice item 2:
-    skip-if-exists used to trust any pre-existing file at the path to be
-    byte-identical — a truncated or foreign file poisoned the fixture
-    forever). Content is a pure function of the file id, so a size match
-    on a same-uid path is byte-identity in every non-adversarial case;
-    a mismatch re-stages atomically."""
-    import os
-
-    if os.path.exists(dst) and os.path.getsize(dst) == len(content):
-        return
-    tmp = f"{dst}.tmp.{os.getpid()}"
-    with open(tmp, "wb") as fh:
-        fh.write(content)
-    os.replace(tmp, dst)
-
-
-# Fixed-size synthetic media directory for the binaryFile source path.
-# sf-independent by design: the oracle SQL is a static string, so the
-# staged path cannot vary with sf_dir; what this query verifies is the
-# SOURCE (directory-of-files ingest), not corpus scaling.
-BINARYFILE_N = 50
-BINARYFILE_DIR = _fixture_root() + "/binaryfile/v1"
-
-
-def _stage_binaryfile_corpus() -> str:
-    """Write BINARYFILE_N deterministic BMP files once (tmp+rename +
-    size check — see _stage_file; content is a pure function of the id,
-    so re-staging is byte-identical)."""
-    import os
-
-    from mapreduce__spark.operators.multimodal import synth_bmp_bytes
-
-    os.makedirs(BINARYFILE_DIR, exist_ok=True)
-    for i in range(BINARYFILE_N):
-        _stage_file(
-            os.path.join(BINARYFILE_DIR, f"{i:04d}.bmp"), synth_bmp_bytes(i)
-        )
-    return BINARYFILE_DIR
-
-
-@query(
-    "binaryfile_ingest",
-    oracle=f"""
-    WITH files AS (
-      SELECT CAST(regexp_extract(filename, '([0-9]+)\\.bmp$', 1) AS BIGINT)
-               AS media_id,
-             size AS byte_len
-      FROM read_blob('{BINARYFILE_DIR}/*.bmp')
-    ),
-    dims AS (
-      SELECT media_id, byte_len,
-             media_id % 13 + 4        AS width,
-             (media_id * 7) % 11 + 4  AS height
-      FROM files
-    ),
-    px AS (
-      SELECT media_id, byte_len, width, height,
-             unnest(generate_series(0, width - 1)) AS x
-      FROM dims
-    ),
-    pxy AS (
-      SELECT media_id, byte_len, width, height, x,
-             unnest(generate_series(0, height - 1)) AS y
-      FROM px
-    )
-    SELECT media_id,
-           CAST(byte_len AS BIGINT) AS byte_len,
-           CAST(width AS BIGINT)  AS width,
-           CAST(height AS BIGINT) AS height,
-           CAST(sum((3 * media_id + 11 * x + y) % 256
-                  + (2 * media_id + x + 7 * y) % 256
-                  + (media_id + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_rgb
-    FROM pxy
-    GROUP BY media_id, byte_len, width, height
-    """,
-    tags=("tier2", "multimodal", "sources"),
-)
-def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directory-of-media-files ingest via Spark's built-in `binaryFile`
-    source — the shape a real multimodal corpus arrives in (a bucket of
-    image files, not a parquet column): read (path, length, content),
-    decode the REAL pixel bytes with the proven BMP decoder, key by the
-    id parsed from the file name. The oracle is fully independent — it
-    reads the same directory with DuckDB's read_blob for size/name and
-    regenerates every pixel from the synthesis formulas, so a decoder or
-    ingest bug on either side cannot mirror.
-
-    SCALE: binaryFile splits a directory listing across the cluster and
-    ships file contents as one binary column per file (no shuffle; the
-    decode is scan-stage mapInPandas). For files beyond a few hundred MB
-    one switches to streaming reads per file; for billions of tiny files,
-    to a packed format — this query pins the small-file directory path.
-    The 50-file staging is driver-side and bounded by design (the
-    fixture IS the source here, sf-independent because the oracle string
-    is static)."""
-    from mapreduce__spark.operators.multimodal import decode_bmp_pixels
-
-    d = _stage_binaryfile_corpus()
-    # pathGlobFilter on the DIRECTORY, not a glob path: a glob makes the
-    # datasource's streaming-metadata probe stat the literal pattern and
-    # log a benign FileNotFound stack per load (same fix as xml_ingest)
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.bmp")
-        .load(d)
-    )
-
-    def decode(batches):
-        import os as _os
-
-        import pandas as pd
-
-        for pdf in batches:
-            out = {
-                "media_id": [], "byte_len": [], "width": [],
-                "height": [], "sum_rgb": [],
-            }
-            for path, length, content in zip(
-                pdf["path"], pdf["length"], pdf["content"]
-            ):
-                w, h, _, sr, sg, sb, _ = decode_bmp_pixels(bytes(content))
-                out["media_id"].append(
-                    int(_os.path.basename(path).split(".")[0])
-                )
-                out["byte_len"].append(int(length))
-                out["width"].append(w)
-                out["height"].append(h)
-                out["sum_rgb"].append(sr + sg + sb)
-            yield pd.DataFrame(out)
-
-    return files.select("path", "length", "content").mapInPandas(
-        decode,
-        schema="media_id bigint, byte_len bigint, width bigint, "
-        "height bigint, sum_rgb bigint",
-    )
-
-
-# char-fold hash of a DuckDB VARCHAR expression — the shared cross-engine
-# token hash (CM_MOD 2^31-1), as a reusable SQL fragment for the archive
-# ingest oracles below
-def _sql_charfold(expr: str) -> str:
-    return (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(range(1, length({expr}) + 1), "
-        f"i -> CAST(ord(substr({expr}, i, 1)) AS BIGINT))), "
-        "(a, b) -> (a * 31 + b) % 2147483647)"
-    )
-
-
-@query(
-    "warc_ingest",
-    oracle=f"""
-    WITH recs AS (
-      SELECT doc_id,
-             unnest(generate_series(0, doc_id % 3 + 1)) AS rec
-      FROM documents
-    ),
-    law AS (
-      SELECT doc_id, rec,
-             'http://site-' || CAST(doc_id % 7 AS VARCHAR)
-               || '.example/doc/' || CAST(doc_id AS VARCHAR)
-               || '/' || CAST(rec AS VARCHAR) AS uri,
-             CASE WHEN (doc_id + rec) % 5 = 0 THEN 404 ELSE 200 END
-                 AS status,
-             'doc ' || CAST(doc_id AS VARCHAR) || ' rec '
-               || CAST(rec AS VARCHAR) || ' '
-               || repeat('tok' || CAST((doc_id * 7 + rec) % 13 AS VARCHAR)
-                         || ' ', (doc_id + rec) % 4 + 1)
-               || CASE WHEN (doc_id + rec) % 3 = 0
-                       THEN 'WARC/1.0 lookalike' ELSE '' END AS body
-      FROM recs
-    )
-    SELECT doc_id, CAST(rec AS BIGINT) AS rec, uri,
-           CAST(status AS BIGINT) AS status,
-           CAST(length(body) AS BIGINT) AS body_chars,
-           CAST({{fold}} AS BIGINT) AS body_hash
-    FROM law
-    """.format(fold=_sql_charfold("body")),
-    tags=("tier2", "source", "multimodal"),
-)
-def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC web-crawl ingest (ISO 28500) — the container Common Crawl
-    ships in, i.e. the shape an LLM web-text corpus actually arrives
-    in. Parses WARC/1.0 records from raw bytes with Content-Length
-    framing (the ONLY correct framing: fixture payloads embed literal
-    'WARC/1.0' version lines, so split-based parsing dies), filters to
-    response records past interleaved warcinfo/request records, splits
-    the HTTP payload at its header terminator, and emits per response:
-    (rec, uri, status, body_chars, body_hash) with the body text pinned
-    cross-engine by the shared char-fold hash. Header case and order
-    vary by record parity; every malformed byte stream raises the
-    documented ValueError (truncation-gated in
-    tests/test_round11_properties.py). The oracle regenerates URI,
-    status, body length and body HASH from the synthesis law — fully
-    independent of the parser. SCALE: one corpus scan, Arrow-batched
-    mapInPandas, payload bytes never shuffle; real WARC directories ride
-    the binaryFile source exactly like binaryfile_ingest and parse with
-    this same record walker per file. Reference parity: generalizes the
-    reference's directory-scan ingest (Search.cpp:183-205) to the
-    container format its corpus would ship in at 100 TB."""
-    from mapreduce__spark.sources.archives import (
-        warc_response_records,
-        with_warc_payload,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return warc_response_records(with_warc_payload(docs))
-
-
-@query(
-    "zip_member_extract",
-    oracle=f"""
-    WITH mem AS (
-      SELECT doc_id,
-             unnest(generate_series(0, doc_id % 3 + 1)) AS i
-      FROM documents
-    ),
-    law AS (
-      SELECT doc_id, i,
-             'part-' || CAST(doc_id AS VARCHAR) || '-'
-               || CAST(i AS VARCHAR) || '.txt' AS member,
-             CASE WHEN (doc_id + i) % 2 = 0 THEN 0 ELSE 8 END AS method,
-             'zip ' || CAST(doc_id AS VARCHAR) || ' member '
-               || CAST(i AS VARCHAR) || ' '
-               || repeat('ab ', (doc_id + i) % 5 + 1) AS text
-      FROM mem
-    )
-    SELECT doc_id, member, CAST(method AS BIGINT) AS method,
-           CAST(length(text) AS BIGINT) AS usize,
-           TRUE AS crc_ok,
-           CAST({{fold}} AS BIGINT) AS text_hash
-    FROM law
-    """.format(fold=_sql_charfold("text")),
-    tags=("tier2", "source", "multimodal"),
-)
-def zip_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ZIP archive extraction from raw bytes — the other container a
-    document corpus arrives in. Walks the central directory (EOCD found
-    by BACKWARDS signature scan past a non-empty archive comment — the
-    fixed-offset shortcut dies on the fixtures), locates each member
-    through its LOCAL header's own name/extra lengths (local extra
-    fields deliberately differ from the central directory's), inflates
-    raw-DEFLATE members (stdlib zlib, wbits=-15 — the PNG convention),
-    verifies CRC32 over the inflated bytes, and emits (member, method,
-    usize, crc_ok, text_hash) with the extracted TEXT pinned
-    cross-engine by the shared char-fold hash — so a wrong inflate, a
-    wrong member offset, or a swallowed CRC failure all flip the hash.
-    Stored and DEFLATE members interleave by law. The oracle regenerates
-    names, methods, sizes and content hashes from the synthesis law,
-    independent of the extractor. SCALE: identical shape to warc_ingest
-    — one scan, Arrow-batched mapInPandas, archives never shuffle."""
-    from mapreduce__spark.sources.archives import (
-        with_zip_payload,
-        zip_member_features,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return zip_member_features(with_zip_payload(docs))
-
-
-def _adpcm_oracle() -> str:
-    from mapreduce__spark.operators.adpcm import ADPCM_STEPS
-
-    steps = "[" + ", ".join(str(s) for s in ADPCM_STEPS) + "]"
-    return f"""
-    WITH blocks AS (
-      SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS b
-      FROM documents
-    ),
-    law AS (
-      SELECT doc_id, b,
-             CASE (doc_id + b) % 6
-                  WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 5
-                  WHEN 3 THEN 9 WHEN 4 THEN 11 ELSE 13 END AS v,
-             CASE (doc_id + b) % 6
-                  WHEN 0 THEN 40 WHEN 1 THEN 50 WHEN 2 THEN 8
-                  WHEN 3 THEN 45 WHEN 4 THEN 35 ELSE 6 END AS i0,
-             CASE (doc_id + b) % 6
-                  WHEN 0 THEN 1000 WHEN 1 THEN 2000 WHEN 2 THEN -25000
-                  WHEN 3 THEN 2500 WHEN 4 THEN 2000 ELSE 20000 END
-               + (7 * doc_id + 13 * b) % 97 AS s0
-      FROM blocks
-    ),
-    ks AS (
-      SELECT doc_id, b, v, i0, s0,
-             unnest(generate_series(1, 16)) AS k
-      FROM law
-    ),
-    deltas AS (
-      SELECT doc_id, b, s0, k,
-             (CASE WHEN v & 8 = 8 THEN -1 ELSE 1 END)
-           * ((st // 8)
-              + CASE WHEN v & 4 = 4 THEN st ELSE 0 END
-              + CASE WHEN v & 2 = 2 THEN st // 2 ELSE 0 END
-              + CASE WHEN v & 1 = 1 THEN st // 4 ELSE 0 END) AS dk
-      FROM (
-        SELECT *,
-               ({steps})[i0 + (k - 1) *
-                 (CASE WHEN (v & 7) < 4 THEN -1
-                       WHEN (v & 7) = 4 THEN 2
-                       WHEN (v & 7) = 5 THEN 4
-                       WHEN (v & 7) = 6 THEN 6
-                       ELSE 8 END) + 1] AS st
-        FROM ks
-      )
-    ),
-    per_block AS (
-      SELECT doc_id, b,
-             17 * max(s0) + sum((17 - k) * dk) AS blk_sum,
-             max(s0) + sum(dk) AS blk_last
-      FROM deltas GROUP BY doc_id, b
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_blocks,
-           CAST(count(*) * 17 AS BIGINT) AS n_samples,
-           CAST(sum(blk_sum) AS BIGINT) AS sum_samples,
-           CAST(arg_max(blk_last, b) AS BIGINT) AS last_sample
-    FROM per_block
-    GROUP BY doc_id
-    """
-
-
-@query(
-    "audio_adpcm_decode",
-    oracle=_adpcm_oracle(),
-    tags=("tier2", "multimodal"),
-)
-def audio_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IMA ADPCM audio decode (WAV format tag 0x11, round 12) — the
-    4-bit block-structured codec telephony/game corpora ship when not
-    mu-law: per doc a spec-valid mono ADPCM WAV (fmt with
-    samples-per-block + fact chunk, d%3+1 data blocks) is synthesized
-    and decoded with the REAL general state machine — per-nibble step
-    lookup, the standard 4-term delta, int16 sample clamp, 0..88 index
-    clamp, every block restarting state from its own header (the
-    property that makes blocks independent decode units at 100 TB). The
-    fixture law keeps each block's nibble constant and the index walk
-    interior, collapsing the decoded samples to an affine form over
-    step-table lookups the oracle computes with generate_series + a
-    list literal — no recursion — while Spark runs the sequential
-    machine; sample sums and the final sample agree only if the walk is
-    exactly right (clamping paths are exercised by targeted tests, not
-    the law). Arrow-batched mapInPandas; audio bytes never shuffle."""
-    from mapreduce__spark.operators.adpcm import (
-        adpcm_features,
-        with_adpcm_payload,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return adpcm_features(with_adpcm_payload(docs))
-
-
-@query(
-    "kendall_concordance",
-    oracle="""
-    WITH xy AS (
-      SELECT source,
-             len(string_split(text, ' ')) AS x,
-             n_chars AS y
-      FROM documents
-    ),
-    cells AS (
-      SELECT source, x, y, count(*) AS n FROM xy GROUP BY 1, 2, 3
-    ),
-    pairs AS (
-      SELECT a.source,
-             sum(CASE WHEN a.y < b.y THEN a.n * b.n ELSE 0 END) AS nc,
-             sum(CASE WHEN a.y > b.y THEN a.n * b.n ELSE 0 END) AS nd
-      FROM cells a JOIN cells b
-        ON a.source = b.source AND a.x < b.x
-      GROUP BY 1
-    ),
-    m AS (
-      SELECT source, sum(n) AS nn,
-             sum(n * (n - 1)) // 2 AS n3
-      FROM cells GROUP BY 1
-    ),
-    mx AS (
-      SELECT source, sum(nx * (nx - 1)) // 2 AS n1
-      FROM (SELECT source, x, sum(n) AS nx FROM cells GROUP BY 1, 2)
-      GROUP BY 1
-    ),
-    my AS (
-      SELECT source, sum(ny * (ny - 1)) // 2 AS n2
-      FROM (SELECT source, y, sum(n) AS ny FROM cells GROUP BY 1, 2)
-      GROUP BY 1
-    )
-    SELECT m.source,
-           CAST(m.nn AS BIGINT) AS n_docs,
-           CAST(coalesce(p.nc, 0) AS BIGINT) AS nc,
-           CAST(coalesce(p.nd, 0) AS BIGINT) AS nd,
-           CAST(mx.n1 AS BIGINT) AS ties_x,
-           CAST(my.n2 AS BIGINT) AS ties_y,
-           CAST(m.n3 AS BIGINT) AS ties_xy
-    FROM m
-    JOIN mx ON mx.source = m.source
-    JOIN my ON my.source = m.source
-    LEFT JOIN pairs p ON p.source = m.source
-    """,
-    tags=("tier2", "stats"),
-)
-def kendall_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kendall tau-b concordance counts per source (round 12) — the
-    rank-CORRELATION companion to mann_whitney_u's rank-sum: over
-    (token count, n_chars) pairs, the exact concordant/discordant pair
-    counts and the three tie terms (tau-b = (nc - nd) /
-    sqrt((n0 - ties_x)(n0 - ties_y)) is one sqrt away and left to the
-    consumer — emitting it would reintroduce libm). The naive
-    definition is an O(n^2) pair scan; here pairs are counted on the
-    (x, y) CELL HISTOGRAM: one map-side-combined aggregate to cells
-    (value-domain-bounded, NOT corpus-bounded), then a per-source
-    self-join on a.x < b.x whose size is cells^2, independent of
-    document count — the same histogram-compaction trick as
-    equidepth_deciles, made pairwise. All outputs are BIGINTs that
-    compare exactly. Reference parity: tier-2 stats extension
-    (SURVEY §2b O-11)."""
-    docs = load_table(spark, sf_dir, "documents")
-    cells = (
-        docs.select(
-            "source",
-            F.size(F.split(F.col("text"), " ")).cast("long").alias("x"),
-            F.col("n_chars").alias("y"),
-        )
-        .groupBy("source", "x", "y")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    a = cells.select(
-        F.col("source"), F.col("x").alias("ax"),
-        F.col("y").alias("ay"), F.col("n").alias("an"),
-    )
-    b = cells.select(
-        F.col("source"), F.col("x").alias("bx"),
-        F.col("y").alias("by"), F.col("n").alias("bn"),
-    )
-    pairs = (
-        a.join(b, "source")
-        .where(F.col("ax") < F.col("bx"))
-        .groupBy("source")
-        .agg(
-            F.sum(
-                F.when(F.col("ay") < F.col("by"), F.col("an") * F.col("bn"))
-                .otherwise(F.lit(0))
-            ).alias("nc"),
-            F.sum(
-                F.when(F.col("ay") > F.col("by"), F.col("an") * F.col("bn"))
-                .otherwise(F.lit(0))
-            ).alias("nd"),
-        )
-    )
-    # Tie terms stay in BIGINT end-to-end (round-12 ADVICE): n*(n-1) is
-    # always even, so summing the products and integer-halving the total
-    # (shiftright = floor-div-2 on non-negatives) is exact at any scale,
-    # unlike float `/ 2` which rounds past 2^53.
-    m = cells.groupBy("source").agg(
-        F.sum("n").alias("n_docs"),
-        F.shiftright(
-            F.sum(F.col("n") * (F.col("n") - 1)), 1
-        ).alias("ties_xy"),
-    )
-    mx = (
-        cells.groupBy("source", "x")
-        .agg(F.sum("n").alias("nx"))
-        .groupBy("source")
-        .agg(
-            F.shiftright(
-                F.sum(F.col("nx") * (F.col("nx") - 1)), 1
-            ).alias("ties_x")
-        )
-    )
-    my = (
-        cells.groupBy("source", "y")
-        .agg(F.sum("n").alias("ny"))
-        .groupBy("source")
-        .agg(
-            F.shiftright(
-                F.sum(F.col("ny") * (F.col("ny") - 1)), 1
-            ).alias("ties_y")
-        )
-    )
-    return (
-        m.join(mx, "source")
-        .join(my, "source")
-        .join(pairs, "source", "left")
-        .select(
-            "source",
-            "n_docs",
-            F.coalesce(F.col("nc"), F.lit(0)).cast("long").alias("nc"),
-            F.coalesce(F.col("nd"), F.lit(0)).cast("long").alias("nd"),
-            "ties_x",
-            "ties_y",
-            "ties_xy",
-        )
-    )
-
-
-@query(
-    "winnowing_fingerprints",
-    oracle="""
-    WITH g AS (
-      SELECT doc_id,
-             list_transform(
-               range(1, greatest(length(text) - 5 + 1, 0) + 1),
-               i -> list_reduce(
-                 list_prepend(CAST(0 AS BIGINT),
-                   list_transform(range(i, i + 5),
-                     j -> CAST(ord(substr(text, j, 1)) AS BIGINT))),
-                 (a, c) -> (a * 31 + c) % 2147483647)) AS hs
-      FROM documents
-    ),
-    f AS (
-      SELECT doc_id, hs,
-             CASE WHEN len(hs) >= 4 THEN
-               list_distinct(list_transform(
-                 range(1, len(hs) - 4 + 2),
-                 j -> (j + 4
-                       - list_position(list_reverse(hs[j : j + 3]),
-                                       list_min(hs[j : j + 3])))
-                      * 2147483648
-                      + list_min(hs[j : j + 3])))
-             ELSE [] END AS fp
-      FROM g
-    )
-    SELECT doc_id,
-           CAST(len(hs) AS BIGINT) AS n_grams,
-           CAST(greatest(len(hs) - 3, 0) AS BIGINT) AS n_windows,
-           CAST(len(fp) AS BIGINT) AS n_fingerprints,
-           CAST(coalesce(list_sum(list_transform(fp, c -> c % 2147483648)),
-                         0) AS BIGINT) AS fp_hash_sum,
-           CAST(coalesce(list_sum(list_transform(fp, c -> c // 2147483648)),
-                         0) AS BIGINT) AS fp_idx_sum
-    FROM f
-    """,
-    tags=("tier2", "dedup", "text"),
-)
-def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WINNOWING document fingerprints (round 12; Schleimer-Wilkerson-
-    Aiken 2003, the MOSS scheme) — the dedup family's local,
-    position-robust member beside MinHash/SimHash/CDC: hash every
-    5-char gram with the shared cross-engine char fold, slide a
-    4-hash window, select each window's minimum (RIGHTMOST on ties —
-    the detail naive implementations get wrong), and emit per doc the
-    distinct selected (gram index, hash) pairs' count and sums. Any
-    shared substring of length >= k+w-1 = 8 guarantees a shared
-    fingerprint; the selected set is a ~2/(w+1) fraction of grams. The
-    idx sum makes wrong SELECTION POSITIONS fail the hash even when the
-    chosen hash values coincide; pairs pack into single BIGINTs
-    (idx * 2^31 + hash) so distinctness is portable. SCALE: pure
-    whole-stage-codegen array expressions — the entire operator runs in
-    the scan stage with ZERO shuffle; only five BIGINT aggregates per
-    doc leave the executor. Cross-doc matching joins on the selected
-    hash exactly like the LSH band join. Verified against an
-    independent pure-Python reimplementation plus a planted
-    shared-substring law in tests/test_round12_properties.py."""
-    from mapreduce__spark.operators.winnow import winnow_fingerprints
-
-    docs = load_table(spark, sf_dir, "documents")
-    return winnow_fingerprints(docs)
-
-
-@query(
-    "funnel_conversion",
-    oracle="""
-    WITH v AS (
-      SELECT user_id, min(ts) AS t1 FROM events
-      WHERE event_type = 'view' GROUP BY 1
-    ),
-    c AS (
-      SELECT e.user_id, v.t1, min(e.ts) AS t2
-      FROM events e JOIN v ON e.user_id = v.user_id
-      WHERE e.event_type = 'click' AND e.ts > v.t1
-      GROUP BY 1, 2
-    ),
-    p AS (
-      SELECT e.user_id, c.t1, min(e.ts) AS t3
-      FROM events e JOIN c ON e.user_id = c.user_id
-      WHERE e.event_type = 'purchase' AND e.ts > c.t2
-      GROUP BY 1, 2
-    )
-    SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users,
-           CAST(0 AS BIGINT) AS sum_elapsed_us
-    FROM v
-    UNION ALL
-    SELECT '2_click', CAST(count(*) AS BIGINT),
-           CAST(coalesce(sum(epoch_us(t2) - epoch_us(t1)), 0) AS BIGINT)
-    FROM c
-    UNION ALL
-    SELECT '3_purchase', CAST(count(*) AS BIGINT),
-           CAST(coalesce(sum(epoch_us(t3) - epoch_us(t1)), 0) AS BIGINT)
-    FROM p
-    """,
-    tags=("tier2", "events"),
-)
-def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel analysis (round 12) — the product-analytics
-    staple the window/sessionization family does not cover: per user,
-    the first 'view', then the first 'click' strictly AFTER it, then
-    the first 'purchase' strictly after THAT (order matters — a
-    purchase before the click does not convert). Emits per stage the
-    reached-user count and the exact total view-to-stage latency in
-    MICROSECONDS (unix_micros over the sessionization-precedent
-    timestamp_ltz cast vs DuckDB epoch_us — integer-exact; the constant
-    session-timezone offset cancels in the difference, and the ns->us
-    truncation is shared by the loaders). SCALE: three
-    filtered per-user min-aggregates chained by equi-joins on user_id —
-    each stage's relation only SHRINKS, AQE broadcasts the later
-    stages; no window over the raw event stream, nothing quadratic.
-    Reference parity: tier-2 events extension (SURVEY §2b O-18
-    family)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts"
-    )
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id", "t1")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id", "t1")
-        .agg(F.min("ts").alias("t3"))
-    )
-    s1 = v.agg(
-        F.count(F.lit(1)).alias("users"),
-    ).select(
-        F.lit("1_view").alias("stage"),
-        "users",
-        F.lit(0).cast("bigint").alias("sum_elapsed_us"),
-    )
-    s2 = c.agg(
-        F.count(F.lit(1)).alias("users"),
-        F.coalesce(
-            F.sum(
-                F.unix_micros(F.col("t2").cast("timestamp_ltz"))
-                - F.unix_micros(F.col("t1").cast("timestamp_ltz"))
-            ),
-            F.lit(0),
-        ).alias("sum_elapsed_us"),
-    ).select(F.lit("2_click").alias("stage"), "users", "sum_elapsed_us")
-    s3 = p.agg(
-        F.count(F.lit(1)).alias("users"),
-        F.coalesce(
-            F.sum(
-                F.unix_micros(F.col("t3").cast("timestamp_ltz"))
-                - F.unix_micros(F.col("t1").cast("timestamp_ltz"))
-            ),
-            F.lit(0),
-        ).alias("sum_elapsed_us"),
-    ).select(F.lit("3_purchase").alias("stage"), "users", "sum_elapsed_us")
-    return s1.unionByName(s2).unionByName(s3)
-
-
-@query(
-    "ols_fit_per_source",
-    oracle="""
-    WITH xy AS (
-      SELECT source,
-             len(string_split(text, ' ')) AS x,
-             n_chars AS y
-      FROM documents
-    ),
-    s AS (
-      SELECT source, count(*) AS n,
-             sum(x) AS sx, sum(y) AS sy,
-             sum(x * y) AS sxy, sum(x * x) AS sxx
-      FROM xy GROUP BY 1
-    )
-    SELECT source,
-           CAST(n AS BIGINT) AS n_docs,
-           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
-           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
-           CAST(sy * sxx - sx * sxy AS BIGINT) AS intercept_num
-    FROM s
-    """,
-    tags=("tier2", "stats"),
-)
-def ols_fit_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source least-squares fit of characters-per-token (round 12):
-    regress n_chars on token count and emit the EXACT RATIONAL
-    slope/intercept — numerators and the shared denominator as BIGINTs
-    (slope = slope_num/slope_den, intercept = intercept_num/slope_den) —
-    instead of float coefficients, so the comparison is integer-exact
-    and the one float division is the consumer's. The moment sums
-    (n, Σx, Σy, Σxy, Σx²) are a single map-side-combined aggregate per
-    source — the classic one-pass OLS at any scale; at true 100 TB the
-    products outgrow int64 and the same plan runs in DECIMAL(38).
-    Reference parity: tier-2 stats extension (SURVEY §2b O-11)."""
-    docs = load_table(spark, sf_dir, "documents")
-    x = F.size(F.split(F.col("text"), " ")).cast("long")
-    y = F.col("n_chars")
-    s = (
-        docs.select("source", x.alias("x"), y.alias("y"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        )
-    )
-    return s.select(
-        "source",
-        F.col("n").alias("n_docs"),
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
-            "slope_num"
-        ),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
-            "slope_den"
-        ),
-        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).alias(
-            "intercept_num"
-        ),
-    )
-
-
-@query(
-    "mann_whitney_u",
-    oracle="""
-    WITH v AS (
-      SELECT n_chars AS val, count(*) AS c FROM documents GROUP BY 1
-    ),
-    cum AS (
-      SELECT val, c, sum(c) OVER (ORDER BY val) AS cum FROM v
-    ),
-    t AS (SELECT sum(c * c * c - c) AS tie_cubes FROM v),
-    r AS (
-      SELECT d.source,
-             count(*) AS n_docs,
-             sum(2 * cum.cum - cum.c + 1) AS r2
-      FROM (SELECT source, n_chars AS val FROM documents) d
-      JOIN cum ON d.val = cum.val
-      GROUP BY 1
-    )
-    SELECT source,
-           CAST(n_docs AS BIGINT) AS n_docs,
-           CAST(r2 AS BIGINT) AS r2,
-           CAST(r2 - n_docs * (n_docs + 1) AS BIGINT) AS u2,
-           CAST(t.tie_cubes AS BIGINT) AS tie_cubes
-    FROM r CROSS JOIN t
-    """,
-    tags=("tier2", "stats"),
-)
-def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mann-Whitney U rank-sum test per source vs the rest of the corpus
-    (round 12) — the NONPARAMETRIC drift detector next to welch_z_test
-    (means) and source_drift_chi2 (categories): does one source's
-    document-length DISTRIBUTION differ from the others', with no
-    normality assumption? Everything stays INTEGER-exact through doubled
-    midranks: for a value with c ties starting after `offset` smaller
-    docs, 2*midrank = 2*(offset + c) - c + 1, so the per-source doubled
-    rank sum r2, the doubled U statistic u2 = r2 - n*(n+1), and the tie
-    correction sum(c^3 - c) are all BIGINTs that compare exactly across
-    engines (the z normalization is one sqrt away and deliberately left
-    to the consumer — emitting it would reintroduce libm). SCALE: one
-    value-histogram aggregate (distinct-length-sized), the proven
-    distributed_cumsum for the global rank offsets (expression-bucketed,
-    no single-partition window), then one broadcast join back and a
-    per-source aggregate — no sort of the corpus, no per-row window.
-    Reference parity: tier-2 stats extension (SURVEY §2b O-11)."""
-    from mapreduce__spark.operators.windows import distributed_cumsum
-
-    docs = load_table(spark, sf_dir, "documents")
-    v = docs.groupBy(F.col("n_chars").alias("val")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    cum = distributed_cumsum(v, "val", "c", "cum")
-    ties = v.agg(F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie_cubes"))
-    r = (
-        docs.select("source", F.col("n_chars").alias("val"))
-        .join(F.broadcast(cum), "val")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(2 * F.col("cum") - F.col("c") + 1).alias("r2"),
-        )
-    )
-    return r.crossJoin(F.broadcast(ties)).select(
-        "source",
-        "n_docs",
-        "r2",
-        (F.col("r2") - F.col("n_docs") * (F.col("n_docs") + 1)).alias("u2"),
-        "tie_cubes",
-    )
-
-
-@query(
-    "avro_ingest",
-    oracle="""
-    WITH recs AS (
-      SELECT doc_id,
-             unnest(generate_series(0, doc_id % 3 + 1)) AS rec
-      FROM documents
-    )
-    SELECT doc_id, CAST(rec AS BIGINT) AS rec,
-           CAST(doc_id * 100 + rec AS BIGINT) AS rec_id,
-           'user-' || CAST((doc_id * 7 + rec) % 19 AS VARCHAR) || '-'
-             || repeat('x', (doc_id + rec) % 3) AS name,
-           CAST((doc_id * 13 + rec * 7) % 1000 - 200 AS BIGINT) AS score
-    FROM recs
-    """,
-    tags=("tier2", "source"),
-)
-def avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Avro object-container ingest (round 12) — the row-oriented
-    serialization format event pipelines and Kafka archives actually
-    ship, parsed from raw bytes with no format library: magic + file
-    metadata map (including the spec's negative-count skippable map
-    blocks, exercised every fifth doc), schema-JSON-driven field order
-    (rotated every third doc — schema order IS the wire order), zigzag
-    varint longs (scores go NEGATIVE), length-prefixed UTF-8 strings,
-    null vs raw-DEFLATE codecs (the codec key is OMITTED on null docs —
-    absent means null per spec), multi-block files every fourth doc,
-    per-block record counts + byte sizes validated with exact
-    consumption, and every block's sync marker checked against the
-    header's. Every malformed byte stream raises the documented
-    ValueError — the one spec-mandated exception being a cut at an
-    exact block boundary, which is indistinguishable from a complete
-    shorter container (per-byte truncation-gated in
-    tests/test_round12_properties.py, which pins exactly those boundary
-    cuts; fuzzed against an independent in-test writer). The oracle regenerates ids, names and scores from
-    the synthesis law, fully independent of the parser. SCALE: one
-    corpus scan, Arrow-batched mapInPandas, container bytes never
-    shuffle; real .avro directories ride binaryFile and parse per file
-    with this same walker. Reference parity: generalizes the
-    reference's directory-scan ingest (Search.cpp:183-205) like
-    warc_ingest."""
-    from mapreduce__spark.sources.archives import (
-        avro_record_rows,
-        with_avro_payload,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return avro_record_rows(with_avro_payload(docs))
-
-
-@query(
-    "targz_member_extract",
-    oracle=f"""
-    WITH mem AS (
-      SELECT doc_id,
-             unnest(generate_series(0, doc_id % 3 + 1)) AS i
-      FROM documents
-    ),
-    law AS (
-      SELECT doc_id, i,
-             'corpus/doc-' || CAST(doc_id AS VARCHAR) || '/part-'
-               || CAST(i AS VARCHAR) || '.txt' AS member,
-             'tar ' || CAST(doc_id AS VARCHAR) || ' entry '
-               || CAST(i AS VARCHAR) || ' '
-               || repeat('xy ', (doc_id * 3 + i) % 6 + 1) AS text
-      FROM mem
-    )
-    SELECT doc_id, member,
-           CAST(length(text) AS BIGINT) AS usize,
-           CAST({{fold}} AS BIGINT) AS text_hash
-    FROM law
-    """.format(fold=_sql_charfold("text")),
-    tags=("tier2", "source", "multimodal"),
-)
-def targz_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """tar.gz extraction from raw bytes — the third container corpora
-    ship in (research datasets are tarballs). The gzip layer is parsed
-    by hand per RFC 1952: optional FEXTRA/FNAME/FCOMMENT/FHCRC fields
-    walked (present on law cadences, so fixed-offset skipping dies),
-    header CRC16 verified where present, trailer CRC32 + ISIZE verified
-    per member, and MULTI-MEMBER streams handled (every d%4==0 fixture
-    splits the tar across two concatenated gzip members — single-shot
-    `zlib.decompress` dies); only the inner DEFLATE bitstream uses
-    stdlib zlib (wbits=-15, the ZIP/PNG convention). The tar walk
-    verifies each ustar magic and HEADER CHECKSUM (spaces-for-checksum
-    summation), parses the octal size fields, skips directory entries
-    and 512-byte padding, and requires both terminating zero blocks.
-    Emits (member, usize, text_hash) per regular file with the text
-    pinned cross-engine by the shared char-fold hash; the oracle
-    regenerates names/sizes/hashes from the synthesis law, fully
-    independent of both decompressor and tar walker. Every malformed
-    byte stream raises the documented ValueError (per-byte
-    truncation-gated in tests/test_round11_properties.py). SCALE: one
-    corpus scan, Arrow-batched mapInPandas, archives never shuffle;
-    real tarball directories ride binaryFile and parse per file with
-    this same walker. Reference parity: generalizes the reference's
-    directory-scan ingest (Search.cpp:183-205) like warc_ingest."""
-    from mapreduce__spark.sources.archives import (
-        targz_member_features,
-        with_targz_payload,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return targz_member_features(with_targz_payload(docs))
-
-
-@query(
-    "url_canonicalize",
-    oracle="""
-    WITH raw AS (
-      SELECT doc_id,
-             (CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'https'
-                              ELSE 'HTTP' END)
-             || '://'
-             || (CASE
-                   WHEN doc_id % 13 = 7 THEN 'Mirror.Data-Host.NET'
-                   WHEN doc_id % 11 = 5 THEN 'Data.Archive.TEST'
-                   WHEN doc_id % 5 = 0 THEN
-                     'WWW.Site-' || CAST(doc_id % 7 AS VARCHAR)
-                       || '.Example.COM'
-                   WHEN doc_id % 5 = 4 THEN
-                     'cdn.site-' || CAST(doc_id % 7 AS VARCHAR)
-                       || '.example.com'
-                   ELSE 'site-' || CAST(doc_id % 7 AS VARCHAR)
-                          || '.example.com'
-                 END)
-             || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':8080'
-                                 ELSE '' END)
-             || '/docs/' || CAST(doc_id AS VARCHAR) || '/page'
-             || (CASE WHEN doc_id % 2 = 0 THEN
-                   '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
-                     || '&z=9&ref=rss&a=1'
-                 WHEN doc_id % 6 = 3 THEN '?utm_only=1&ref=x'
-                 ELSE '' END)
-             || (CASE WHEN doc_id % 3 = 0 THEN
-                   '#frag' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END)
-             AS url
-      FROM documents
-    ),
-    parts AS (
-      SELECT doc_id, url,
-             lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
-             split_part(split_part(url, '#', 1), '://', 2) AS rest
-      FROM raw
-    ),
-    cutpos AS (
-      SELECT *, least(nullif(strpos(rest, '/'), 0),
-                      nullif(strpos(rest, '?'), 0)) AS cut
-      FROM parts
-    ),
-    auth AS (
-      SELECT *,
-             lower(CASE WHEN cut IS NULL THEN rest
-                        ELSE substring(rest, 1, cut - 1) END) AS authority,
-             CASE WHEN cut IS NULL THEN '/'
-                  WHEN substring(rest, cut, 1) = '?'
-                  THEN '/' || substring(rest, cut)
-                  ELSE substring(rest, cut) END AS pathq
-      FROM cutpos
-    ),
-    hostport AS (
-      SELECT *,
-             CASE WHEN strpos(authority, ':') > 0
-                  THEN split_part(authority, ':', 1) ELSE authority
-             END AS host0,
-             CASE WHEN strpos(authority, ':') > 0
-                  THEN split_part(authority, ':', 2) END AS port
-      FROM auth
-    ),
-    canon0 AS (
-      SELECT doc_id, url, scheme, pathq, port,
-             CASE WHEN starts_with(host0, 'www.')
-                  THEN substring(host0, 5) ELSE host0 END AS host,
-             (port IS NOT NULL
-              AND NOT ((scheme = 'http' AND port = '80')
-                       OR (scheme = 'https' AND port = '443')))
-                 AS keep_port,
-             split_part(pathq, '?', 1) AS path,
-             CASE WHEN strpos(pathq, '?') > 0 THEN
-               list_filter(string_split(split_part(pathq, '?', 2), '&'),
-                           p -> NOT starts_with(p, 'utm_')
-                                AND NOT starts_with(p, 'ref='))
-             ELSE [] END AS params
-      FROM hostport
-    ),
-    canon1 AS (
-      SELECT *,
-             array_to_string(list_sort(params), '&') AS qs,
-             string_split(host, '.') AS labels,
-             len(string_split(host, '.')) AS n
-      FROM canon0
-    )
-    SELECT doc_id, url,
-           scheme || '://' || host
-             || CASE WHEN keep_port THEN ':' || port ELSE '' END
-             || path
-             || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
-             AS canonical_url,
-           host,
-           CASE WHEN n < 2 THEN host
-                WHEN labels[n - 1] || '.' || labels[n]
-                     IN ('example.com', 'archive.test') AND n >= 3
-                THEN labels[n - 2] || '.' || labels[n - 1] || '.' || labels[n]
-                ELSE labels[n - 1] || '.' || labels[n]
-           END AS registered_domain,
-           CAST(len(list_filter(string_split(path, '/'), s -> s <> ''))
-                AS BIGINT) AS path_depth,
-           CAST(len(params) AS BIGINT) AS kept_params
-    FROM canon1
-    """,
-    tags=("tier2", "text", "pipeline"),
-)
-def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization + registered-domain extraction — the first
-    gate of every web-corpus pipeline (per-domain caps, provenance
-    joins and URL dedup all key on the canonical spelling). The law
-    synthesizes crawl-shaped URLs covering every hazard: mixed-case
-    schemes and hosts, `www.` prefixes, default (dropped) vs explicit
-    (kept) ports, `utm_*`/`ref` tracking parameters, queries whose
-    parameters ALL vanish (the `?` must vanish with them), fragments,
-    multi-label public suffixes (example.com / archive.test — the
-    co.uk shape) and a plain two-label domain. The Spark side parses
-    and canonicalizes from the raw STRING with built-in expressions
-    only (functions/urls.py — lower/substring_index/split/filter/
-    array_sort: whole-stage codegen, no UDF, no shuffle); the oracle
-    re-derives everything with DuckDB's independent string/list
-    machinery. SCALE: per-row expressions fused into the scan stage;
-    the public-suffix set becomes a broadcast dim at real size —
-    either way nothing shuffles."""
-    from mapreduce__spark.functions.urls import canonicalize_urls
-
-    d = F.col("doc_id")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    url = F.concat(
-        F.when(d % 3 == 0, F.lit("http"))
-        .when(d % 3 == 1, F.lit("https"))
-        .otherwise(F.lit("HTTP")),
-        F.lit("://"),
-        F.when(d % 13 == 7, F.lit("Mirror.Data-Host.NET"))
-        .when(d % 11 == 5, F.lit("Data.Archive.TEST"))
-        .when(
-            d % 5 == 0,
-            F.concat(
-                F.lit("WWW.Site-"), (d % 7).cast("string"),
-                F.lit(".Example.COM"),
-            ),
-        )
-        .when(
-            d % 5 == 4,
-            F.concat(
-                F.lit("cdn.site-"), (d % 7).cast("string"),
-                F.lit(".example.com"),
-            ),
-        )
-        .otherwise(
-            F.concat(
-                F.lit("site-"), (d % 7).cast("string"), F.lit(".example.com")
-            )
-        ),
-        F.when(d % 4 == 0, F.lit(":80"))
-        .when(d % 4 == 1, F.lit(":8080"))
-        .otherwise(F.lit("")),
-        F.lit("/docs/"), d.cast("string"), F.lit("/page"),
-        F.when(
-            d % 2 == 0,
-            F.concat(
-                F.lit("?utm_source=feed&id="), d.cast("string"),
-                F.lit("&z=9&ref=rss&a=1"),
-            ),
-        )
-        .when(d % 6 == 3, F.lit("?utm_only=1&ref=x"))
-        .otherwise(F.lit("")),
-        F.when(
-            d % 3 == 0, F.concat(F.lit("#frag"), (d % 5).cast("string"))
-        ).otherwise(F.lit("")),
-    )
-    return canonicalize_urls(docs.withColumn("url", url)).select(
-        "doc_id", "url", "canonical_url", "host", "registered_domain",
-        "path_depth", "kept_params",
-    )
-
-
-@query(
-    "html_text_extract",
-    oracle=f"""
-    WITH paras AS (
-      SELECT doc_id,
-             string_agg('para ' || CAST(doc_id AS VARCHAR) || ' '
-                          || CAST(i AS VARCHAR) || ' & more A',
-                        ' ' ORDER BY i) AS ptext
-      FROM (SELECT doc_id,
-                   unnest(generate_series(0, doc_id % 3)) AS i
-            FROM documents)
-      GROUP BY doc_id
-    ),
-    law AS (
-      SELECT doc_id,
-             'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || ptext
-               || CASE WHEN doc_id % 2 = 0
-                       THEN ' link ' || CAST(doc_id AS VARCHAR)
-                       ELSE '' END AS text,
-             CASE WHEN doc_id % 2 = 0
-                  THEN length('link ' || CAST(doc_id AS VARCHAR))
-                  ELSE 0 END AS link_chars
-      FROM paras
-    )
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS text_chars,
-           CAST({{fold}} AS BIGINT) AS text_hash,
-           CAST(link_chars AS BIGINT) AS link_chars,
-           CAST((100 * link_chars) // length(text) AS BIGINT)
-               AS link_density_pct,
-           CAST(doc_id % 3 + 1 AS BIGINT) AS n_paragraphs
-    FROM law
-    """.format(fold=_sql_charfold("text")),
-    tags=("tier2", "text", "multimodal"),
-)
-def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTML visible-text extraction — the step between WARC ingest and
-    every text-quality operator. A REAL tokenizer (state machine with
-    TAG/RAWTEXT/COMMENT states honoring quoted attribute values), not a
-    regex strip: the law plants the classic killers of `<[^>]*>`
-    extraction — a literal `>` inside a quoted attribute (every d%5==0
-    doc), `<script>`/`<style>` bodies containing tag-shaped text that
-    must vanish entirely, comments hiding markup, entities that decode
-    in text (`&amp;`, `&#65;`) but must NOT decode inside attribute
-    values. Emits per doc the collapsed visible text's length and
-    char-fold hash, the visible chars inside `<a>` elements, the
-    link-density percentage (the Kohlschütter boilerplate signal, exact
-    integer division) and the paragraph count. The oracle rebuilds the
-    expected VISIBLE text from the synthesis law — fully independent of
-    the tokenizer, so a swallowed script body, a mis-decoded entity or
-    a broken attribute scan all flip the hash. SCALE: one corpus scan,
-    Arrow-batched mapInPandas, the raw HTML never shuffles (operators/
-    html.py); downstream operators see only the narrow feature row."""
-    from mapreduce__spark.operators.html import html_text_features
-
-    d = F.col("doc_id")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    paras = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), (d % 3).cast("int")),
-            lambda i: F.concat(
-                F.lit('<p class="c'), i.cast("string"), F.lit('">para '),
-                d.cast("string"), F.lit(" "), i.cast("string"),
-                F.lit(" &amp; more &#65;</p>"),
-            ),
-        ),
-        "",
-    )
-    html = F.concat(
-        F.lit("<!DOCTYPE html><html><head><title>Doc "), d.cast("string"),
-        F.lit("</title><style>p{color:red}</style>"),
-        F.lit('<script>var s="<p>fake '), d.cast("string"),
-        F.lit('</p>";</script></head><body><!-- hidden <b>x</b> -->'),
-        paras,
-        F.when(d % 5 == 0, F.lit('<img alt="a > b" src="i.png">')).otherwise(
-            F.lit("")
-        ),
-        F.when(
-            d % 2 == 0,
-            F.concat(
-                F.lit('<div><a href="/u?x=1&amp;y='), d.cast("string"),
-                F.lit('">link '), d.cast("string"), F.lit("</a></div>"),
-            ),
-        ).otherwise(F.lit("")),
-        F.lit("</body></html>"),
-    )
-    return html_text_features(docs.withColumn("html", html))
-
-
-# Law-reconstructed dHash table shared by the two perceptual-hash
-# oracles: nearest-neighbor 9x8 grayscale grid over the BMP pixel law
-# (synth_bmp_bytes), one bit per adjacent-cell comparison, packed into
-# two 32-bit halves so BIGINT arithmetic never touches the sign bit.
-_SQL_DHASH_CTES = """
-    dims AS (
-      SELECT doc_id, doc_id % 13 + 4 AS w, (doc_id * 7) % 11 + 4 AS h
-      FROM documents
-    ),
-    grays AS (
-      SELECT doc_id, r.r, c.c, w, h,
-             (299 * ((3 * doc_id + 11 * ((c.c * w) // 9)
-                      + ((r.r * h) // 8)) % 256)
-              + 587 * ((2 * doc_id + ((c.c * w) // 9)
-                        + 7 * ((r.r * h) // 8)) % 256)
-              + 114 * ((doc_id + 3 * ((c.c * w) // 9)
-                        + 5 * ((r.r * h) // 8)) % 256)) // 1000 AS g
-      FROM dims,
-           (SELECT unnest(generate_series(0, 7)) AS r) r,
-           (SELECT unnest(generate_series(0, 8)) AS c) c
-    ),
-    bits AS (
-      SELECT a.doc_id, a.r, a.c, a.w, a.h,
-             CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
-      FROM grays a
-      JOIN grays b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
-      WHERE a.c < 8
-    ),
-    hashes AS (
-      SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
-             CAST(SUM(CASE WHEN r < 4
-                           THEN bit * (CAST(1 AS BIGINT) << (r * 8 + c))
-                           ELSE 0 END) AS BIGINT) AS dhash_lo,
-             CAST(SUM(CASE WHEN r >= 4
-                           THEN bit * (CAST(1 AS BIGINT) << ((r - 4) * 8 + c))
-                           ELSE 0 END) AS BIGINT) AS dhash_hi
-      FROM bits GROUP BY doc_id
-    )
-"""
-
-
-@query(
-    "image_dhash",
-    oracle=f"""
-    WITH {_SQL_DHASH_CTES}
-    SELECT doc_id, CAST(width AS BIGINT) AS width,
-           CAST(height AS BIGINT) AS height, dhash_hi, dhash_lo
-    FROM hashes
-    """,
-    tags=("tier2", "multimodal", "dedup", "bench"),
-)
-def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual image fingerprints (dHash) over REAL decoded BMP
-    bytes: integer BT.601 grayscale, nearest-neighbor 9x8 grid, one
-    bit per adjacent-cell comparison, packed as two 32-bit halves
-    (operators/phash.py). The oracle reconstructs every bit from the
-    pixel synthesis law through DuckDB arithmetic — a wrong row order
-    (the bottom-up/top-down hazard), a wrong grayscale rounding, or a
-    flipped bit order all diverge. This is the image sibling of
-    minhash_signatures: the narrow fingerprint table that all image
-    near-dup joins downstream consume. SCALE: one corpus scan,
-    Arrow-batched mapInPandas; images never shuffle, only the 5-column
-    hash table leaves the scan stage."""
-    from mapreduce__spark.operators.multimodal import with_bmp_payload
-    from mapreduce__spark.operators.phash import image_dhash_features
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return image_dhash_features(with_bmp_payload(docs))
-
-
-@query(
-    "image_dhash_neardup",
-    oracle=f"""
-    WITH {_SQL_DHASH_CTES}
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
-                + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT)
-               AS hamming
-    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
-          + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
-    """,
-    tags=("tier2", "multimodal", "dedup"),
-)
-def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-duplicate pairs within Hamming radius 3 of the dHash
-    fingerprint — the multimodal entry in the dedup family. The Spark
-    side is the SCALE path: the 64 bits split into four 16-bit bands,
-    candidates meet in an equi-join on (band_index, band_value), and
-    the exact Hamming filter touches only candidates. By pigeonhole,
-    radius 3 < 4 bands means every qualifying pair shares a whole band
-    — so the banded plan is provably COMPLETE, and the DuckDB oracle
-    (quadratic brute force over the law-reconstructed hashes) must
-    agree exactly, pair for pair. The gradient-law fixtures collide
-    heavily on purpose (hundreds of distinct hashes over 500 docs), so
-    the pair set is fat enough to catch a lossy band split. SCALE:
-    shuffle is O(N * 4 bands) 16-bit keys; the N^2 product never forms
-    (candidate count is driven by bucket occupancy, the LSH argument
-    of dedup_lsh_minhash applied to images)."""
-    from mapreduce__spark.operators.multimodal import with_bmp_payload
-    from mapreduce__spark.operators.phash import (
-        dhash_near_dup_pairs,
-        image_dhash_features,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return dhash_near_dup_pairs(image_dhash_features(with_bmp_payload(docs)))
-
-
-@query(
-    "orc_roundtrip",
-    oracle="""
-    SELECT o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS sum_price,
-           CAST(min(o_orderkey) AS BIGINT) AS min_key,
-           max(o_orderdate) AS max_date
-    FROM orders
-    GROUP BY o_orderpriority
-    """,
-    tags=("tier2", "source", "sink"),
-)
-def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC write -> read -> aggregate roundtrip, completing the
-    columnar-format matrix (parquet native, CSV/JSONL/XML, binaryFile,
-    custom DataSource — ORC is the other columnar format Spark ships a
-    vectorized reader for). The full orders table (ints, strings,
-    2-decimal doubles, timestamps) is written to ORC and read back;
-    the output aggregates over the ROUNDTRIPPED data while the oracle
-    computes the same aggregate from the ORIGINAL parquet — so any
-    loss in the ORC layer (timestamp timezone re-interpretation is the
-    classic one; the session pins UTC on both paths) diverges the
-    hash. Write goes to the per-user staged fixture root, overwritten
-    per run. SCALE: ORC and parquet share the same predicate-pushdown/
-    column-pruning surface in Spark's DataSource V1 path; the write is
-    one narrow pass and the read-back plans identically to any other
-    columnar scan."""
-    import os
-
-    path = (
-        _fixture_root()
-        + "/orc/orders_"
-        + os.path.basename(os.path.normpath(sf_dir))
-    )
-    orders = load_table(spark, sf_dir, "orders")
-    orders.write.mode("overwrite").orc(path)
-    back = spark.read.orc(path)
-    return back.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-        F.min("o_orderkey").alias("min_key"),
-        F.max("o_orderdate").alias("max_date"),
-    )
-
-
-@query(
-    "audio_mulaw_roundtrip",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id, doc_id % 2 + 1 AS ch,
-             (doc_id % 60 + 4) * (doc_id % 2 + 1) AS n
-      FROM documents
-    ),
-    ks AS (
-      SELECT doc_id, ch, unnest(generate_series(0, n - 1)) AS k FROM dims
-    ),
-    samp AS (
-      SELECT doc_id, k,
-             ((31 * doc_id + 7 * (k // ch) + 13 * (k % ch)) % 65536)
-               - 32768 AS s
-      FROM ks
-    ),
-    enc0 AS (
-      SELECT doc_id, k, s,
-             CASE WHEN s < 0 THEN 128 ELSE 0 END AS sgn,
-             LEAST(abs(s), 32635) + 132 AS mag
-      FROM samp
-    ),
-    enc1 AS (
-      SELECT *, CASE WHEN mag // 128 >= 128 THEN 7
-                     WHEN mag // 128 >= 64 THEN 6
-                     WHEN mag // 128 >= 32 THEN 5
-                     WHEN mag // 128 >= 16 THEN 4
-                     WHEN mag // 128 >= 8 THEN 3
-                     WHEN mag // 128 >= 4 THEN 2
-                     WHEN mag // 128 >= 2 THEN 1
-                     ELSE 0 END AS e
-      FROM enc0
-    ),
-    enc2 AS (
-      SELECT doc_id, k, s, sgn, e,
-             (mag // (CAST(1 AS BIGINT) << (e + 3))) % 16 AS mant
-      FROM enc1
-    ),
-    enc3 AS (
-      SELECT doc_id, k, s,
-             255 - (sgn + e * 16 + mant) AS code,
-             CASE WHEN sgn = 128
-                  THEN -((((mant * 8) + 132)
-                          * (CAST(1 AS BIGINT) << e)) - 132)
-                  ELSE (((mant * 8) + 132)
-                        * (CAST(1 AS BIGINT) << e)) - 132
-             END AS dec
-      FROM enc2
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_samples,
-           CAST(list_reduce(
-                  list_prepend(CAST(0 AS BIGINT), list(code ORDER BY k)),
-                  (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT)
-               AS code_hash,
-           CAST(sum(dec) AS BIGINT) AS sum_decoded,
-           CAST(max(abs(s - dec)) AS BIGINT) AS max_abs_err
-    FROM enc3 GROUP BY doc_id
-    """,
-    tags=("tier2", "multimodal",),
-)
-def audio_mulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G.711 mu-law transcode audit over REAL PCM16 WAV bytes — the
-    companding codec telephony/ASR corpora ship in, both directions as
-    exact integer ops (ITU-T G.711: BIAS 0x84, CLIP 32635, sign/
-    segment/mantissa with inverted wire bits). Per doc: the code
-    stream's order-pinned char-fold hash (a single swapped or
-    mis-segmented code flips it), the reconstructed sample sum, and
-    the max absolute reconstruction error (the companding error bound
-    itself — ~2% of magnitude, worst 644 at clip — so a broken decode
-    explodes this column). The oracle replays encode AND decode from
-    the WAV sample law entirely in SQL, term for term. The WAV walk
-    honors the RIFF hazards (odd junk chunks, data-before-fmt).
-    SCALE: one scan, Arrow-batched mapInPandas, audio never shuffles
-    (operators/audio.py)."""
-    from mapreduce__spark.operators.audio import wav_mulaw_features
-    from mapreduce__spark.operators.multimodal import with_wav_pcm_payload
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return wav_mulaw_features(with_wav_pcm_payload(docs))
-
-
-# Staged parquet corpus for the footer audit. The directory is pinned to
-# the pyarrow version because the writer's byte output (and therefore
-# offsets/sizes in the footer) is version-dependent; the oracle does not
-# care WHAT the bytes are — both engines read the same staged files —
-# but restaging must never mix writer versions within one directory.
-import pyarrow as _pa  # noqa: E402  (baked-in dependency, version pin only)
-
-FOOTER_N_FILES = 4
-FOOTER_DIR = _fixture_root() + "/footerpq/v1-pa" + _pa.__version__
-
-
-def _stage_footer_corpus() -> str:
-    """Write FOOTER_N_FILES small parquet files (3-4 row groups each,
-    SNAPPY and UNCOMPRESSED alternating, nullable strings for real
-    null_count statistics) once per pyarrow version; tmp+rename so a
-    concurrent stager never exposes a torn file."""
-    import os
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    os.makedirs(FOOTER_DIR, exist_ok=True)
-    for f in range(FOOTER_N_FILES):
-        dest = os.path.join(FOOTER_DIR, f"{f:02d}.parquet")
-        if os.path.exists(dest):
-            continue
-        n = 40 + 10 * f
-        base = 1000 * f
-        t = pa.table(
-            {
-                "id": pa.array(range(base, base + n), type=pa.int64()),
-                "name": pa.array(
-                    [None if i % 7 == 0 else f"n{i}" for i in range(n)]
-                ),
-                "val": pa.array(
-                    [(i * i % 97) / 4 for i in range(n)], type=pa.float64()
-                ),
-            }
-        )
-        tmp = dest + ".tmp"
-        pq.write_table(
-            t, tmp, row_group_size=16,
-            compression="snappy" if f % 2 == 0 else "none",
-        )
-        os.replace(tmp, dest)
-    return FOOTER_DIR
-
-
-@query(
-    "parquet_footer_audit",
-    oracle=f"""
-    SELECT regexp_extract(file_name, '([^/]+)$', 1) AS file_name,
-           row_group_id AS rg,
-           row_group_num_rows AS rg_rows,
-           column_id AS col,
-           path_in_schema AS path,
-           compression AS codec,
-           num_values,
-           total_compressed_size AS comp_bytes,
-           total_uncompressed_size AS uncomp_bytes,
-           data_page_offset AS data_off,
-           stats_null_count AS null_count,
-           CASE WHEN path_in_schema = 'id'
-                THEN CAST(stats_min_value AS BIGINT) END AS id_min,
-           CASE WHEN path_in_schema = 'id'
-                THEN CAST(stats_max_value AS BIGINT) END AS id_max
-    FROM parquet_metadata('{FOOTER_DIR}/*.parquet')
-    """,
-    tags=("tier2", "source",),
-)
-def parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parquet footer metadata parsed from RAW BYTES with a from-scratch
-    Thrift compact-protocol reader (sources/parquet_footer.py) — the
-    per-row-group, per-column statistics that row-group pruning rests
-    on at 100 TB (min/max/null_count, page offsets, codec, byte sizes).
-    The differential here is the strongest in the repo: not a synthesis
-    law but DuckDB's OWN parquet reader (`parquet_metadata`) over the
-    same staged files — two independent implementations of the same
-    binary format agreeing field for field. A mis-read varint, a wrong
-    zigzag decode, an unskipped unknown field or an off-by-one in the
-    footer locate all diverge. INT64 min/max statistics are decoded to
-    typed values (little-endian per parquet-format); the staged corpus
-    mixes SNAPPY/UNCOMPRESSED codecs and nullable columns so codec ids
-    and null counts are non-trivial. SCALE: footers are a few KB
-    regardless of file size — a real deployment range-reads the tail;
-    the audit itself is one binaryFile scan, nothing shuffles."""
-    from mapreduce__spark.sources.parquet_footer import parquet_footer_rows
-
-    d = _stage_footer_corpus()
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.parquet")
-        .load(d)
-    )
-    return parquet_footer_rows(files)
-
-
-@query(
-    "unigram_lm_tokenize",
-    oracle="""
-    WITH words AS (
-      SELECT w, CAST(count(*) AS BIGINT) AS freq
-      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-      WHERE w <> ''
-      GROUP BY w
-    ),
-    occ0 AS (
-      SELECT w, freq, unnest(generate_series(1, length(w))) AS i FROM words
-    ),
-    occ AS (
-      SELECT substr(w, i, l.l) AS piece, freq
-      FROM (SELECT w, freq, i,
-                   unnest(generate_series(1, least(4, length(w) - i + 1)))
-                       AS l
-            FROM occ0) AS l(w, freq, i, l)
-    ),
-    counts AS (
-      SELECT piece, CAST(sum(freq) AS BIGINT) AS c FROM occ GROUP BY piece
-    ),
-    pscored AS (
-      SELECT piece,
-             ((length(bin(c)) - 1) << 12)
-               + ((c << 12) >> (length(bin(c)) - 1)) - 4096 AS ps
-      FROM counts
-    ),
-    tot AS (
-      SELECT ((length(bin(C)) - 1) << 12)
-               + ((C << 12) >> (length(bin(C)) - 1)) - 4096 AS st
-      FROM (SELECT CAST(sum(c) AS BIGINT) AS C FROM counts)
-    ),
-    masks AS (
-      SELECT w, freq,
-             unnest(generate_series(
-               0, (CAST(1 AS BIGINT) << (length(w) - 1)) - 1)) AS mask
-      FROM words
-    ),
-    segs AS (
-      SELECT w, freq, mask,
-             list_transform(
-               range(1, len(cuts)),
-               j -> substr(w, cuts[j] + 1, cuts[j + 1] - cuts[j])) AS pieces
-      FROM (SELECT w, freq, mask,
-                   list_concat(
-                     list_concat(
-                       [0],
-                       list_filter(range(1, length(w)),
-                                   i -> ((mask >> (i - 1)) & 1) = 1)),
-                     [length(w)]) AS cuts
-            FROM masks)
-    ),
-    valid AS (
-      SELECT * FROM segs
-      WHERE len(list_filter(pieces, p -> length(p) > 4)) = 0
-    ),
-    scored AS (
-      SELECT v.w, v.freq, v.mask, any_value(v.pieces) AS pieces,
-             CAST(count(*) AS BIGINT) AS n_pieces,
-             CAST(sum(p.ps - t.st) AS BIGINT) AS score
-      FROM (SELECT w, freq, mask, pieces, unnest(pieces) AS piece
-            FROM valid) v
-      JOIN pscored p ON v.piece = p.piece
-      CROSS JOIN tot t
-      GROUP BY v.w, v.freq, v.mask
-    ),
-    best AS (
-      SELECT *, row_number() OVER (
-               PARTITION BY w ORDER BY score DESC, mask ASC) AS rn
-      FROM scored
-    )
-    SELECT w AS word, freq, n_pieces,
-           array_to_string(pieces, '|') AS seg, score,
-           CAST(mask AS BIGINT) AS mask
-    FROM best WHERE rn = 1
-    """,
-    tags=("tier2", "text", "tokenizer", "bench"),
-)
-def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM (SentencePiece) Viterbi tokenization — the third
-    tokenizer-training objective after bpe_learn_merges and
-    wordpiece_pair_scores (Kudo 2018). Vocabulary = every <=4-char
-    substring of the corpus words with frequency-weighted occurrence
-    counts; each distinct word is segmented to maximize the exact
-    fixed-point log-likelihood sum(ilog2(c_piece) - ilog2(C)) (declared
-    integer scoring: msb + 12-bit linear mantissa, monotone, identical
-    in both engines via bin()/bit_length), ties to the smallest cut
-    mask. The Spark side runs the O(L*P) Viterbi DP per word
-    (functions/unigram.py — counts arrive by equi-join, the total is a
-    1-row broadcast); the oracle ENUMERATES all 2^(L-1) segmentations
-    per word and arg-maxes with the same tie-break — dynamic
-    programming differentially proven against brute force. SCALE: the
-    substring vocabulary is Zipf-sublinear in the corpus; one explode +
-    hash aggregate for counts, per-word candidate maps of <=26 pieces;
-    no driver loop. The oracle's enumeration is exponential in word
-    length by design (it is the PROOF, not the plan); the engine side
-    is linear."""
-    from mapreduce__spark.functions.unigram import unigram_viterbi_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    return unigram_viterbi_table(words)
-
-
-@query(
-    "video_sample_index",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id, doc_id % 25 + 5 AS n,
-             (doc_id % 25 + 5) // 2 + 1 AS r1,
-             100 + doc_id % 5 AS dt1, 200 + doc_id % 7 AS dt2
-      FROM documents
-    ),
-    ks AS (
-      SELECT doc_id, r1, dt1, dt2,
-             unnest(generate_series(0, n - 1)) AS k
-      FROM dims
-    ),
-    samp AS (
-      SELECT doc_id, k AS sample,
-             CASE WHEN k < r1 THEN k * dt1
-                  ELSE r1 * dt1 + (k - r1) * dt2 END AS dts,
-             (doc_id + k) % 9 + 2 AS sz,
-             k // 3 + 1 AS chunk,
-             (doc_id * 3 + k) % 256 AS first_byte
-      FROM ks
-    )
-    SELECT doc_id, CAST(sample AS BIGINT) AS sample,
-           CAST(dts AS BIGINT) AS dts,
-           CAST(sz AS BIGINT) AS size,
-           CAST(chunk AS BIGINT) AS chunk,
-           CAST(COALESCE(SUM(sz) OVER (
-                  PARTITION BY doc_id ORDER BY sample
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS BIGINT) AS off_mdat,
-           CAST(first_byte AS BIGINT) AS first_byte
-    FROM samp
-    """,
-    tags=("tier2", "multimodal",),
-)
-def video_sample_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MP4/ISO-BMFF sample-table walk — the video frame index a
-    frame-sampling pipeline starts from (ISO/IEC 14496-12 stbl family).
-    Parses the box tree from raw bytes: stts time-to-sample RUNS (two
-    per fixture), stsz sizes, stsc sample-to-chunk runs (a partial
-    final chunk expressed as a second run, per spec — not the
-    last-chunk-implied shortcut), stco or co64 (64-bit, every d%4==2
-    doc) chunk offsets, mdat behind size==1+largesize framing
-    (d%6==0), free/uuid junk boxes skipped by size. Each sample's
-    resolved ABSOLUTE offset is proven by reading its first payload
-    byte out of mdat and matching the law — a wrong run
-    interpretation or offset base lands on the wrong byte. The oracle
-    rebuilds (dts, size, chunk, offset-in-mdat, first_byte) per sample
-    from the synthesis laws with a window cumsum. SCALE: one scan,
-    Arrow-batched mapInPandas; at real scale only moov (KBs) plus
-    probed bytes are fetched per file (operators/video.py)."""
-    from mapreduce__spark.operators.video import (
-        mp4_sample_index,
-        with_mp4_sample_payload,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return mp4_sample_index(with_mp4_sample_payload(docs))
-
-
-# Blocklist dictionary for the Aho-Corasick query: nested patterns
-# ('a' and 'an' inside 'scan', 'ark' inside 'spark', 'alu' inside
-# 'value') force multi-output positions; the automaton must report all
-# of them at once.
-AC_BLOCKLIST = ("scan", "an", "a", "spark", "ark", "row", "value", "alu", "tab")
-
-
-@query(
-    "blocklist_match_counts",
-    oracle="""
-    WITH pats AS (
-      SELECT unnest(['scan', 'an', 'a', 'spark', 'ark', 'row', 'value',
-                     'alu', 'tab']) AS pattern
-    ),
-    m AS (
-      SELECT d.doc_id, p.pattern,
-             len(list_filter(
-                   range(1, length(d.text) - length(p.pattern) + 2),
-                   i -> substr(d.text, i, length(p.pattern)) = p.pattern))
-                 AS matches
-      FROM documents d CROSS JOIN pats p
-    )
-    SELECT doc_id, pattern, CAST(matches AS BIGINT) AS matches
-    FROM m WHERE matches > 0
-    """,
-    tags=("tier2", "text", "pipeline", "bench"),
-)
-def blocklist_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-pattern blocklist matching via a real Aho-Corasick
-    automaton (functions/acmatch.py) — the kill-word/trigger-term stage
-    of corpus filtering, O(N + matches) per document regardless of
-    dictionary size versus O(P*N) for per-pattern scans. The dictionary
-    nests patterns inside each other ('a'/'an' in 'scan', 'ark' in
-    'spark', 'alu' in 'value'), so single text positions must emit
-    MULTIPLE outputs through the merged failure-chain output sets — the
-    part naive trie matching silently drops. Counts include overlapping
-    occurrences. The oracle is the obvious algorithm: every start
-    position probed per pattern with substr equality — automaton proven
-    against exhaustive scan, occurrence for occurrence. SCALE: the
-    automaton builds once from the KB-sized dictionary and ships in the
-    task closure; one corpus scan, narrow (doc, pattern, count) output.
-    Reference parity: the closest tier-2 upgrade of the reference's
-    single-needle search loop (Search.cpp:214-233) — the whole
-    dictionary in one pass."""
-    from mapreduce__spark.functions.acmatch import multi_pattern_counts
-
-    docs = load_table(spark, sf_dir, "documents")
-    return multi_pattern_counts(docs, list(AC_BLOCKLIST))
-
-
-@query(
-    "seasonal_decompose",
-    oracle="""
-    WITH agg AS (
-      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, count(*) AS n
-      FROM events GROUP BY 1
-    ),
-    span AS (SELECT min(h) AS lo, max(h) AS hi FROM agg),
-    spine AS (
-      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h
-      FROM span
-    ),
-    series AS (
-      SELECT spine.h, COALESCE(agg.n, 0) AS n
-      FROM spine LEFT JOIN agg USING (h)
-    ),
-    tr AS (
-      SELECT h, n,
-             CASE WHEN lag(n, 12) OVER w IS NOT NULL
-                       AND lead(n, 12) OVER w IS NOT NULL
-                  THEN 2 * sum(n) OVER (ORDER BY h ROWS BETWEEN 11
-                                        PRECEDING AND 11 FOLLOWING)
-                       + lag(n, 12) OVER w + lead(n, 12) OVER w
-             END AS trend_x48
-      FROM series WINDOW w AS (ORDER BY h)
-    ),
-    det AS (
-      SELECT h, n, trend_x48,
-             CASE WHEN trend_x48 IS NOT NULL
-                  THEN 48 * n - trend_x48 END AS det_x48,
-             EXTRACT(hour FROM h) AS hod
-      FROM tr
-    ),
-    seas AS (
-      SELECT hod, CAST(sum(det_x48) AS BIGINT) AS seas_sum_x48,
-             CAST(count(*) AS BIGINT) AS seas_n
-      FROM det WHERE det_x48 IS NOT NULL GROUP BY hod
-    )
-    SELECT det.h AS window_start, CAST(n AS BIGINT) AS n_events,
-           CAST(trend_x48 AS BIGINT) AS trend_x48,
-           CAST(det_x48 AS BIGINT) AS det_x48,
-           CAST(det.hod AS BIGINT) AS hod,
-           seas.seas_sum_x48, seas.seas_n
-    FROM det LEFT JOIN seas ON det.hod = seas.hod
-    """,
-    tags=("tier2", "timeseries"),
-)
-def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classical additive seasonal decomposition of the hourly event
-    series, exact-integer throughout: the centered 2x24 moving-average
-    trend (the textbook even-period form) is emitted x48 so the
-    half-weights at the +/-12 endpoints stay integers; detrended values
-    are 48*s - trend_x48; the daily seasonal profile ships as exact
-    per-hour-of-day (sum, count) evidence rather than a rounded mean.
-    Gap hours are zero-filled on the spine first (the gapfill shape) so
-    the moving window sees the true calendar. Trend is NULL within 12
-    hours of either edge — exactly where the centered window would be
-    partial. SCALE: events are scanned once into the hourly aggregate;
-    everything after operates on the BOUNDED hour spine (span-sized,
-    corpus-independent) — which is also why the single ordered window
-    below is exempt from the partition-less-window lint (documented
-    there as entry #2). The oracle replays the identical decomposition
-    through DuckDB's window machinery."""
-    ev = load_table(spark, sf_dir, "events")
-    agg = (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n0"))
-        .select(F.col("w.start").alias("window_start"), "n0")
-        .localCheckpoint(eager=True)  # feeds span + spine join
-    )
-    span = agg.agg(
-        F.min("window_start").alias("lo"), F.max("window_start").alias("hi")
-    )
-    spine = span.select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
-            "window_start"
-        )
-    )
-    series = spine.join(F.broadcast(agg), "window_start", "left").select(
-        "window_start", F.coalesce("n0", F.lit(0)).alias("n")
-    )
-    # bounded relation: the hour spine (span-sized, post-aggregation) —
-    # lint exemption documented in tests/test_zorder.py
-    w = Window.orderBy("window_start")
-    lag12 = F.lag("n", 12).over(w)
-    lead12 = F.lead("n", 12).over(w)
-    trend = F.when(
-        lag12.isNotNull() & lead12.isNotNull(),
-        2 * F.sum("n").over(w.rowsBetween(-11, 11)) + lag12 + lead12,
-    )
-    det = series.withColumn("trend_x48", trend.cast("bigint")).withColumn(
-        "det_x48", (48 * F.col("n") - F.col("trend_x48")).cast("bigint")
-    ).withColumn("hod", F.hour("window_start").cast("bigint"))
-    seas = (
-        det.filter(F.col("det_x48").isNotNull())
-        .groupBy("hod")
-        .agg(
-            F.sum("det_x48").alias("seas_sum_x48"),
-            F.count(F.lit(1)).alias("seas_n"),
-        )
-    )
-    return det.join(F.broadcast(seas), "hod", "left").select(
-        "window_start",
-        F.col("n").cast("bigint").alias("n_events"),
-        "trend_x48", "det_x48", "hod", "seas_sum_x48", "seas_n",
-    )
-
-
-PLAINPQ_N_FILES = 3
-PLAINPQ_DIR = _fixture_root() + "/plainpq/v1-pa" + _pa.__version__
-
-
-def _stage_plainpq_corpus() -> str:
-    """Parquet files readable by the from-scratch page decoder: a
-    REQUIRED (non-nullable) INT64 column, dictionary encoding off
-    (PLAIN data pages), SNAPPY and UNCOMPRESSED codecs mixed, several
-    row groups per file, ids strictly increasing per file."""
-    import os
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    os.makedirs(PLAINPQ_DIR, exist_ok=True)
-    for f in range(PLAINPQ_N_FILES):
-        dest = os.path.join(PLAINPQ_DIR, f"{f:02d}.parquet")
-        if os.path.exists(dest):
-            continue
-        n = 50 + 20 * f
-        base = 10_000 * f
-        schema = pa.schema([pa.field("id", pa.int64(), nullable=False)])
-        t = pa.table(
-            {"id": pa.array(range(base, base + n), type=pa.int64())},
-            schema=schema,
-        )
-        tmp = dest + ".tmp"
-        pq.write_table(
-            t, tmp, row_group_size=16, use_dictionary=False,
-            compression="snappy" if f % 2 == 0 else "none",
-        )
-        os.replace(tmp, dest)
-    return PLAINPQ_DIR
-
-
-@query(
-    "parquet_page_decode",
-    oracle=f"""
-    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
-           CAST(row_number() OVER (PARTITION BY filename ORDER BY id) - 1
-                AS BIGINT) AS idx,
-           id
-    FROM read_parquet('{PLAINPQ_DIR}/*.parquet', filename=true)
-    """,
-    tags=("tier2", "source",),
-)
-def parquet_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The parquet READ path from raw bytes, end to end and zero
-    libraries: footer (thrift compact) -> column-chunk offsets ->
-    per-page thrift PageHeaders -> a FROM-SCRATCH Snappy block
-    decompressor (google/snappy format_description.txt: varint length,
-    literal/copy tags, overlapping RLE copies) -> PLAIN INT64 values,
-    across multiple row groups and mixed SNAPPY/UNCOMPRESSED files.
-    The oracle is DuckDB's real read of the same staged files — the
-    decoded VALUES must agree row for row, which closes the loop the
-    footer audit opened: not just the metadata, the data. The snappy
-    layer is additionally fuzzed against pyarrow's reference codec in
-    tests/test_round11_properties.py. SCALE: this is the primitive a
-    columnar scan is made of; the point here is byte-level
-    verification, not replacing the vectorized reader — the staged
-    corpus is deliberately KB-sized. One binaryFile scan, Arrow-batched
-    mapInPandas."""
-    import os as _os
-
-    from mapreduce__spark.sources.parquet_footer import read_int64_column
-
-    d = _stage_plainpq_corpus()
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.parquet")
-        .load(d)
-    )
-
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            out = {"file_name": [], "idx": [], "id": []}
-            for p, content in zip(pdf["path"], pdf["content"]):
-                for idx, v in enumerate(read_int64_column(bytes(content), "id")):
-                    out["file_name"].append(_os.path.basename(str(p)))
-                    out["idx"].append(idx)
-                    out["id"].append(v)
-            yield pd.DataFrame(out)
-
-    return files.select("path", "content").mapInPandas(
-        gen, schema="file_name string, idx bigint, id bigint"
-    )
-
-
-@query(
-    "parquet_dict_decode",
-    oracle=f"""
-    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
-           CAST(row_number() OVER (PARTITION BY filename ORDER BY id) - 1
-                AS BIGINT) AS idx,
-           id,
-           CASE WHEN name IS NULL THEN NULL
-                ELSE CAST({_sql_charfold("name")} AS BIGINT) END AS name_hash
-    FROM read_parquet('{{dir}}/*.parquet', filename=true)
-    """.replace("{dir}", FOOTER_DIR),
-    tags=("tier2", "source",),
-)
-def parquet_dict_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dictionary-encoded half of the raw-bytes parquet read path
-    (parquet_page_decode covers PLAIN): dictionary pages decoded PLAIN
-    (INT64 and BYTE_ARRAY shapes), data pages as RLE_DICTIONARY index
-    streams through a from-scratch RLE/bit-packed hybrid decoder
-    (Encodings.md: varint headers, LSB-discriminated runs, 8-value
-    LSB-first bit-packed groups), and OPTIONAL columns' definition
-    levels (bit-width-1 hybrid behind the u32 length prefix) rebuilding
-    real NULLs — the staged corpus plants nulls on an i%7 law. Both the
-    non-null INT64 `id` and the nullable BYTE_ARRAY `name` are decoded;
-    the oracle is DuckDB's real read of the same files with the shared
-    char-fold hash over the string column, so a wrong index, a
-    mis-aligned def-level run, or a swapped dictionary slot all
-    diverge row for row. SCALE: same byte-level-verification purpose
-    as parquet_page_decode — the primitive, not the vectorized
-    reader."""
-    import os as _os
-
-    from mapreduce__spark.sources.archives import charfold_hash
-    from mapreduce__spark.sources.parquet_footer import read_dict_column
-
-    d = _stage_footer_corpus()
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.parquet")
-        .load(d)
-    )
-
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            out = {"file_name": [], "idx": [], "id": [], "name_hash": []}
-            for p, content in zip(pdf["path"], pdf["content"]):
-                raw = bytes(content)
-                ids = read_dict_column(raw, "id")
-                names = read_dict_column(raw, "name")
-                for idx, (i_, nm) in enumerate(zip(ids, names)):
-                    out["file_name"].append(_os.path.basename(str(p)))
-                    out["idx"].append(idx)
-                    out["id"].append(i_)
-                    out["name_hash"].append(
-                        None if nm is None else charfold_hash(nm)
-                    )
-            yield pd.DataFrame(out)
-
-    return files.select("path", "content").mapInPandas(
-        gen,
-        schema="file_name string, idx bigint, id bigint, name_hash bigint",
-    )
-
-
-CSV_TORTURE_N = 120
-CSV_TORTURE_DIR = _fixture_root() + "/csvtorture/v1"
-
-
-def _csv_torture_field(i: int) -> str:
-    """The c2 law: rotates through the three RFC 4180 hazards — escaped
-    quotes, embedded delimiter, embedded newline."""
-    if i % 3 == 0:
-        return f'val "q{i}" end'
-    if i % 3 == 1:
-        return f"a,b{i},c"
-    return f"line1 {i}\nline2"
-
-
-def _stage_csv_torture() -> str:
-    """One RFC 4180 file whose every third row embeds a quote, a
-    delimiter, or a newline inside a quoted field (csv module,
-    QUOTE_MINIMAL + doublequote — the interoperable dialect)."""
-    import csv
-    import io
-    import os
-
-    os.makedirs(CSV_TORTURE_DIR, exist_ok=True)
-    dest = os.path.join(CSV_TORTURE_DIR, "torture.csv")
-    if os.path.exists(dest):
-        return CSV_TORTURE_DIR
-    buf = io.StringIO()
-    w = csv.writer(buf, quoting=csv.QUOTE_MINIMAL, doublequote=True)
-    w.writerow(["c1", "c2", "c3"])
-    for i in range(CSV_TORTURE_N):
-        w.writerow([i, _csv_torture_field(i), f"tag-{i % 7}"])
-    tmp = dest + ".tmp"
-    with open(tmp, "w", newline="") as f:
-        f.write(buf.getvalue())
-    os.replace(tmp, dest)
-    return CSV_TORTURE_DIR
-
-
-@query(
-    "csv_dialect_torture",
-    oracle=f"""
-    SELECT CAST(c1 AS BIGINT) AS c1,
-           CAST({_sql_charfold("c2")} AS BIGINT) AS c2_hash,
-           CAST(length(c2) AS BIGINT) AS c2_chars,
-           c3
-    FROM read_csv('{CSV_TORTURE_DIR}/torture.csv', header=true,
-                  quote='"', escape='"', columns={{'c1': 'BIGINT',
-                  'c2': 'VARCHAR', 'c3': 'VARCHAR'}})
-    """,
-    tags=("tier2", "source",),
-)
-def csv_dialect_torture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFC 4180 CSV dialect torture: every third row embeds an escaped
-    quote, a literal delimiter, or a literal NEWLINE inside a quoted
-    field — the three hazards that break line-split CSV ingestion (the
-    newline one breaks any reader that frames records by line). Spark
-    reads with multiLine + doublequote escape; the oracle is DuckDB's
-    OWN csv reader on the same staged file — two independent RFC 4180
-    implementations agreeing field for field (the parquet_page_decode
-    differential idea applied to the text format). Field content is
-    pinned by the shared char-fold hash plus the raw length (a
-    swallowed quote or a split record changes one of them). SCALE:
-    multiLine CSV is NOT splittable within a file (records cross line
-    boundaries) — a real corpus shards into many files, which is
-    exactly how the directory ingest paths here scale; the per-file
-    parse is one scan-stage pass."""
-    from mapreduce__spark.operators.qsketch import _charfold
-
-    d = _stage_csv_torture()
-    df = (
-        spark.read.option("header", "true")
-        .option("multiLine", "true")
-        .option("quote", '"')
-        .option("escape", '"')
-        .csv(d + "/torture.csv")
-    )
-    return df.select(
-        F.col("c1").cast("bigint").alias("c1"),
-        _charfold(F.col("c2")).alias("c2_hash"),
-        F.length("c2").cast("bigint").alias("c2_chars"),
-        "c3",
-    )
-
-
-DELTAPQ_N_FILES = 3
-DELTAPQ_DIR = _fixture_root() + "/deltapq/v1-pa" + _pa.__version__
-
-
-def _stage_deltapq_corpus() -> str:
-    """DELTA_BINARY_PACKED v2-page parquet files: a SIGNED random-walk
-    law (deltas in [-100, 100], so min-delta goes negative and
-    miniblock bit widths vary), several row groups, SNAPPY and
-    UNCOMPRESSED mixed."""
-    import os
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    os.makedirs(DELTAPQ_DIR, exist_ok=True)
-    for f in range(DELTAPQ_N_FILES):
-        dest = os.path.join(DELTAPQ_DIR, f"{f:02d}.parquet")
-        if os.path.exists(dest):
-            continue
-        n = 200 + 50 * f
-        vals, v = [], 1_000_000 * f
-        for i in range(n):
-            v += (i * 37 + 11 * f) % 201 - 100
-            vals.append(v)
-        schema = pa.schema([pa.field("id", pa.int64(), nullable=False)])
-        t = pa.table({"id": pa.array(vals, type=pa.int64())}, schema=schema)
-        tmp = dest + ".tmp"
-        pq.write_table(
-            t, tmp, use_dictionary=False,
-            column_encoding={"id": "DELTA_BINARY_PACKED"},
-            compression="snappy" if f % 2 == 0 else "none",
-            row_group_size=96, data_page_version="2.0",
-        )
-        os.replace(tmp, dest)
-    return DELTAPQ_DIR
-
-
-@query(
-    "parquet_delta_decode",
-    oracle=f"""
-    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
-           CAST(file_row_number AS BIGINT) AS idx,
-           id
-    FROM read_parquet('{DELTAPQ_DIR}/*.parquet', filename=true,
-                      file_row_number=true)
-    """,
-    tags=("tier2", "source",),
-)
-def parquet_delta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The third parquet-encoding leg (after PLAIN and RLE_DICTIONARY):
-    DELTA_BINARY_PACKED INT64 on v2 data pages, decoded from raw bytes —
-    varint block headers, zigzag first value and min-deltas, per-
-    miniblock bit widths, LSB-first packed deltas, omitted trailing
-    miniblocks, plus the v2 page shape itself (separate UNcompressed
-    level sections, is_compressed flag). The staged walk is SIGNED
-    (deltas in [-100, 100]) so negative min-deltas and varying bit
-    widths are real, and files mix SNAPPY with UNCOMPRESSED. Oracle is
-    DuckDB's read with file_row_number — row-for-row value agreement
-    between two independent decoder implementations. SCALE: same
-    byte-level-verification purpose as its two siblings."""
-    import os as _os
-
-    from mapreduce__spark.sources.parquet_footer import read_delta_column
-
-    d = _stage_deltapq_corpus()
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.parquet")
-        .load(d)
-    )
-
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            out = {"file_name": [], "idx": [], "id": []}
-            for p, content in zip(pdf["path"], pdf["content"]):
-                for idx, v in enumerate(
-                    read_delta_column(bytes(content), "id")
-                ):
-                    out["file_name"].append(_os.path.basename(str(p)))
-                    out["idx"].append(idx)
-                    out["id"].append(v)
-            yield pd.DataFrame(out)
-
-    return files.select("path", "content").mapInPandas(
-        gen, schema="file_name string, idx bigint, id bigint"
-    )
-
-
-SEVO_DIR = _fixture_root() + "/schemaevo/v1-pa" + _pa.__version__
-
-
-def _stage_schema_evolution_corpus() -> str:
-    """Three parquet generations of one logical table, the way schemas
-    actually evolve in a lake: v1 (id, name), v2 adds score and ALSO
-    reorders columns (score before name — union must align by NAME,
-    not position), v3 drops name entirely. Nullable name with planted
-    NULLs in v2 so missing-column nulls and real nulls coexist."""
-    import os
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    os.makedirs(SEVO_DIR, exist_ok=True)
-    gens = {
-        "gen1.parquet": pa.table(
-            {
-                "id": pa.array(range(0, 40), type=pa.int64()),
-                "name": pa.array([f"a{i}" for i in range(40)]),
-            }
-        ),
-        "gen2.parquet": pa.table(
-            {
-                "id": pa.array(range(100, 150), type=pa.int64()),
-                "score": pa.array(
-                    [(i % 37) / 4 for i in range(50)], type=pa.float64()
-                ),
-                "name": pa.array(
-                    [None if i % 5 == 0 else f"b{i}" for i in range(50)]
-                ),
-            }
-        ),
-        "gen3.parquet": pa.table(
-            {
-                "id": pa.array(range(200, 230), type=pa.int64()),
-                "score": pa.array(
-                    [(i * 3 % 29) / 4 for i in range(30)], type=pa.float64()
-                ),
-            }
-        ),
-    }
-    for fname, t in gens.items():
-        dest = os.path.join(SEVO_DIR, fname)
-        if os.path.exists(dest):
-            continue
-        tmp = dest + ".tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, dest)
-    return SEVO_DIR
-
-
-@query(
-    "schema_evolution_merge",
-    oracle=f"""
-    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
-           id, name, score
-    FROM read_parquet('{SEVO_DIR}/*.parquet',
-                      union_by_name=true, filename=true)
-    """,
-    tags=("tier2", "source",),
-)
-def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-evolution reads — the lake reality that tables grow (and
-    lose) columns across file generations: Spark's mergeSchema parquet
-    read unions three staged generations where v2 ADDS a column while
-    REORDERING the others (alignment must be by name, not position)
-    and v3 DROPS one; files missing a column yield NULLs that coexist
-    with v2's planted real NULLs. The oracle is DuckDB's own
-    union_by_name read of the same files — two independent
-    schema-union implementations agreeing cell for cell, the
-    two-reader differential of parquet_page_decode applied to the
-    SCHEMA layer. SCALE: mergeSchema's cost is one footer read per
-    file at planning (the footer-audit sizes); at 100 TB one pins the
-    merged schema in a metastore instead of re-deriving it per query —
-    the read semantics this query proves are identical either way."""
-    d = _stage_schema_evolution_corpus()
-    df = spark.read.option("mergeSchema", "true").parquet(d)
-    return df.select(
-        F.col("_metadata.file_name").alias("file_name"),
-        "id", "name", "score",
-    )
-
-
-# Fixed-size synthetic XML corpus for the built-in Spark 4 XML source —
-# same sf-independent staging contract as BINARYFILE_DIR (static oracle
-# string, so the staged path and row count cannot vary with sf_dir).
-XML_N = 50
-XML_FILES = 5  # records spread over several files so the listing splits
-XML_DIR = _fixture_root() + "/xml/v1"
-
-
-def _stage_xml_corpus() -> str:
-    """Write XML_N deterministic records across XML_FILES documents once
-    (tmp+rename + size check — see _stage_file; content is a pure
-    function of the record id, so re-staging is byte-identical)."""
-    import os
-
-    # the floor-split below writes per*XML_FILES records; a non-divisible
-    # XML_N would silently stage FEWER records than the static oracle's
-    # generate_series(0, XML_N-1) expects, failing the hash with no hint
-    assert XML_N % XML_FILES == 0, "XML_N must be divisible by XML_FILES"
-    os.makedirs(XML_DIR, exist_ok=True)
-    per = XML_N // XML_FILES
-    for f in range(XML_FILES):
-        recs = []
-        for i in range(f * per, (f + 1) * per):
-            recs.append(
-                f"<r><id>{i}</id><cat>c{i % 7}</cat>"
-                f"<cents>{(i * 37) % 10000}</cents><txt>t{i}</txt></r>"
-            )
-        content = ("<rows>" + "".join(recs) + "</rows>").encode()
-        _stage_file(os.path.join(XML_DIR, f"part-{f:02d}.xml"), content)
-    return XML_DIR
-
-
-@query(
-    "xml_ingest",
-    oracle=f"""
-    WITH ids AS (SELECT unnest(generate_series(0, {XML_N - 1})) AS id)
-    SELECT CAST(id AS BIGINT) AS id,
-           'c' || CAST(id % 7 AS VARCHAR) AS cat,
-           CAST((id * 37) % 10000 AS BIGINT) AS cents,
-           't' || CAST(id AS VARCHAR) AS txt,
-           CAST(length('t' || CAST(id AS VARCHAR)) AS BIGINT) AS txt_len
-    FROM ids
-    """,
-    tags=("tier2", "sources", "formats"),
-)
-def xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O-3 source coverage: Spark 4's BUILT-IN XML reader (rowTag
-    record extraction) over a staged multi-file directory — the
-    feed-ingestion shape (sitemaps, product feeds, legacy exports)
-    that previously needed the external spark-xml package. The schema
-    is pinned explicitly (no inference pass over the files), records
-    are spread across several documents so the file listing splits,
-    and the oracle regenerates every field from the synthesis formulas
-    with generate_series — fully independent of the XML parse.
-
-    SCALE: each XML DOCUMENT is one split (a row-tag scan cannot split
-    inside a file safely), so the parallelism unit is the file — fine
-    for the many-files feed reality; a single multi-GB export gets
-    pre-split upstream. Parsing is JVM-side StaxXmlParser in the scan
-    stage; no shuffle, no Python."""
-    d = _stage_xml_corpus()
-    rows = (
-        spark.read.format("xml")
-        .option("rowTag", "r")
-        .schema("id bigint, cat string, cents bigint, txt string")
-        # the DIRECTORY, not a glob: a glob path makes the datasource's
-        # streaming-metadata probe stat a nonexistent literal path and
-        # log a scary (benign) FileNotFound stack per load
-        .load(d)
-    )
-    return rows.select(
-        "id", "cat", "cents", "txt", F.length("txt").cast("bigint").alias("txt_len")
-    )
-
-
-# First-use lazy staging (round-9 verdict item 6: importing this module
-# must touch no filesystem — import-time staging with a silent except
-# was a trap for embedders). The Spark halves stage inside their query
-# fns; the ORACLE half of binaryfile_ingest reads the staged directory
-# with read_blob, so registry.get_oracle_sql() calls this before handing
-# the SQL strings out — an explicit request for the oracle surface, not
-# an import side effect. Memoized on SUCCESS only, so a transient
-# staging failure retries on the next call instead of caching the miss.
-_FIXTURES_STAGED = False
-
-
-def stage_fixture_corpora() -> None:
-    """Stage the binaryFile + XML + parquet fixture corpora once per
-    process."""
-    global _FIXTURES_STAGED
-    if _FIXTURES_STAGED:
-        return
-    _stage_binaryfile_corpus()
-    _stage_xml_corpus()
-    _stage_footer_corpus()
-    _stage_plainpq_corpus()
-    _stage_deltapq_corpus()
-    _stage_schema_evolution_corpus()
-    _FIXTURES_STAGED = True
-
-
-COLLOC_TOPV = 40  # vocabulary cap: pairs form only among the top-V tokens
-COLLOC_MIN_SUPPORT = 5  # pairs seen in fewer docs are reported as noise
-
-
-@query(
-    "collocation_lift",
-    oracle=f"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, token FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-      )
-    ),
-    df AS (
-      SELECT token, CAST(count(*) AS BIGINT) AS n_docs FROM tok GROUP BY token
-    ),
-    topv AS (
-      SELECT token, n_docs FROM df ORDER BY n_docs DESC, token LIMIT {COLLOC_TOPV}
-    ),
-    t AS (
-      SELECT tok.doc_id, tok.token FROM tok JOIN topv USING (token)
-    ),
-    pairs AS (
-      SELECT a.token AS token_a, b.token AS token_b,
-             CAST(count(*) AS BIGINT) AS n_xy
-      FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.token < b.token
-      GROUP BY 1, 2
-    ),
-    n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents)
-    SELECT token_a, token_b, n_xy,
-           da.n_docs AS n_x, db.n_docs AS n_y,
-           (n_xy * n_corpus) / (da.n_docs * db.n_docs) AS lift
-    FROM pairs
-    JOIN topv da ON pairs.token_a = da.token
-    JOIN topv db ON pairs.token_b = db.token
-    CROSS JOIN n
-    WHERE n_xy >= {COLLOC_MIN_SUPPORT}
-    """,
-    tags=("tier2", "text", "analysis"),
-)
-def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collocation mining: document-level co-occurrence lift for every
-    token pair drawn from the top-COLLOC_TOPV tokens by document
-    frequency — lift = P(a,b) / (P(a)·P(b)) as the integer ratio
-    n_xy·N / (n_x·n_y), the log-free monotone twin of PMI (log would put
-    cross-engine equality at libm's mercy; the ratio is one double
-    division of exact BIGINT products). The corpus-analysis primitive
-    behind phrase detection and topic drift monitors.
-
-    SCALE: the vocabulary cap is the whole design. DF is one map-side-
-    combinable aggregate; the top-V slice is TakeOrderedAndProject
-    (per-partition heap, never a full sort); V rows broadcast to prune
-    the token stream; each doc then contributes at most V·(V-1)/2 pairs
-    via an ARRAY self-product (posexplode × tail-slice) computed
-    scan-side — no doc_id self-JOIN shuffle, and pair cardinality is
-    bounded by the constant V², independent of corpus size. The final
-    n_x/n_y lookups broadcast the same V-row table. One wide shuffle
-    total (the pair count), keyed on ≤V² values."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
-    ).distinct()
-    dfc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
-    topv = dfc.orderBy(F.col("n_docs").desc(), F.col("token").asc()).limit(
-        COLLOC_TOPV
-    )
-    per_doc = (
-        tok.join(F.broadcast(topv.select("token")), "token")
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("token")).alias("toks"))
-    )
-    pairs = per_doc.select(
-        F.posexplode("toks").alias("i", "token_a"), "toks"
-    ).select(
-        "token_a",
-        F.explode(
-            F.slice("toks", F.col("i") + 2, F.size("toks"))
-        ).alias("token_b"),
-    )
-    pc = pairs.groupBy("token_a", "token_b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_xy")
-    )
-    # Corpus size as a 1-row aggregate crossJoin-broadcast onto the
-    # (≤V²-row) pair table — the domain_mixture_weights idiom — NOT a
-    # separate docs.count() driver action, which was a second complete
-    # corpus scan to fetch one scalar (round-7 verdict finding 1). The
-    # count rides the same job; output doubles are bit-identical
-    # (bigint·bigint products either way).
-    n_total = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus"))
-    n_x = F.broadcast(
-        topv.select(
-            F.col("token").alias("token_a"), F.col("n_docs").alias("n_x")
-        )
-    )
-    n_y = F.broadcast(
-        topv.select(
-            F.col("token").alias("token_b"), F.col("n_docs").alias("n_y")
-        )
-    )
-    return (
-        pc.join(n_x, "token_a")
-        .join(n_y, "token_b")
-        .where(F.col("n_xy") >= COLLOC_MIN_SUPPORT)
-        .crossJoin(F.broadcast(n_total))
-        .select(
-            "token_a",
-            "token_b",
-            "n_xy",
-            "n_x",
-            "n_y",
-            # raw division of exact BIGINT products — identical double on
-            # every engine, and round() would SIT on half-ties (a ratio
-            # like 20001/20000 = 1.00005 rounds differently under Spark's
-            # shortest-decimal HALF_UP vs binary-value rounding; the
-            # events_ewma lesson)
-            (
-                (F.col("n_xy") * F.col("n_corpus"))
-                / (F.col("n_x") * F.col("n_y"))
-            ).alias("lift"),
-        )
-    )
-
-
-@query(
-    "per_source_zscore",
-    oracle="""
-    WITH s AS (
-      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
-             CAST(count(*) OVER w AS HUGEINT)                           AS n,
-             sum(CAST(n_chars AS HUGEINT)) OVER w                       AS sx,
-             sum(CAST(n_chars AS HUGEINT) * n_chars) OVER w             AS sxx
-      FROM documents
-      WINDOW w AS (PARTITION BY source)
-    )
-    SELECT doc_id, source, n_chars,
-           CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0
-                THEN (n_chars - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
-                ELSE 0.0 END AS zscore
-    FROM s
-    """,
-    tags=("tier2", "agg", "normalization"),
-)
-def per_source_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row feature standardization within each source domain —
-    z = (x − mean) / stddev of doc length, the normalization step a
-    quality-scoring pipeline applies before mixing signals with
-    different per-domain scales. Degenerate groups (a single doc, or a
-    constant length where cancellation could land at −ε) pin z to 0.0
-    via the same guarded CASE on both engines — never NaN-vs-error
-    drift (the stats_moments clamp argument, applied per row).
-
-    Bit-exact story: the group moments are EXACT BIGINT sums (order-
-    independent), and every double appears through the identical
-    operation sequence on both engines — sx/n, the n·sxx − sx² integer
-    numerator, one IEEE-exact sqrt — so the raw output bits already
-    agree, with no rounding step to sit on decimal half-ties.
-
-    SCALE: deliberately NOT the window formulation the oracle uses — an
-    unordered PARTITION BY source window would shuffle and buffer the
-    whole corpus per source. Instead: one map-side-combinable
-    groupBy(source) producing #domains rows, broadcast back onto an
-    unshuffled scan. Zero wide exchanges of the corpus at any scale.
-    The moments accumulate in DECIMAL(38,0) (mirrored as HUGEINT in the
-    oracle): int64 sums look fine at test scale but n·sxx overflows
-    2^63 around 10M docs × 30k chars per source — exactly the
-    warehouse shape this query claims to serve — where ANSI mode would
-    throw and legacy mode would wrap num negative, silently pinning
-    every z to 0.0. 128-bit accumulation is exact past any conceivable
-    corpus (n·x² ≤ 10^38), and the double casts that follow are
-    correctly rounded identically on both engines."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
-    )
-    wide = "decimal(38,0)"
-    stats = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast(wide).alias("n"),
-        F.sum(F.col("n_chars").cast(wide)).cast(wide).alias("sx"),
-        F.sum((F.col("n_chars") * F.col("n_chars")).cast(wide))
-        .cast(wide)
-        .alias("sxx"),
-    )
-    # NULL-SAFE stats lookup: groupBy made a real stats row for a NULL
-    # source, but a name-list join matches on EqualTo — NULL-source docs
-    # would silently drop from the output while the oracle's PARTITION BY
-    # window keeps them (the incremental_group_stats group-merge lesson).
-    stats = stats.withColumnRenamed("source", "_src")
-    j = docs.join(
-        F.broadcast(stats), F.col("source").eqNullSafe(F.col("_src"))
-    )
-    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
-    num = n * sxx - sx * sx  # exact in decimal(38,0)
-    nd = n.cast("double")
-    # raw double, no round(): every op in the chain is identical and
-    # correctly rounded on both engines (exact wide-integer inputs, one
-    # division, one IEEE-exact sqrt), so the bits already agree — while
-    # round() would reintroduce the shortest-decimal half-tie hazard on
-    # dyadic z values (z = ±1 family from perfect-square variances)
-    z = (F.col("n_chars") - sx.cast("double") / nd) / F.sqrt(
-        num.cast("double") / (nd * (nd - F.lit(1.0)))
-    )
-    return j.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.when((n > F.lit(1)) & (num > F.lit(0)), z)
-        .otherwise(F.lit(0.0))
-        .alias("zscore"),
-    )
-
-
-@query(
-    "source_drift_chi2",
-    oracle="""
-    WITH s AS (
-      SELECT source,
-             CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n_ref,
-             CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS n_cur
-      FROM documents GROUP BY source
-    ),
-    t AS (
-      SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
-             CAST(sum(n_cur) AS BIGINT) AS tc
-      FROM s
-    )
-    SELECT source, n_ref, n_cur,
-           CASE WHEN n_ref > 0 AND tc > 0
-                THEN CAST(CAST(n_ref AS HUGEINT) * tc AS DOUBLE)
-                     / CAST(tr AS DOUBLE) END AS expected_cur,
-           CASE WHEN n_ref > 0 AND tc > 0
-                THEN (n_cur - CAST(CAST(n_ref AS HUGEINT) * tc AS DOUBLE)
-                              / CAST(tr AS DOUBLE))
-                     * (n_cur - CAST(CAST(n_ref AS HUGEINT) * tc AS DOUBLE)
-                                / CAST(tr AS DOUBLE))
-                     / (CAST(CAST(n_ref AS HUGEINT) * tc AS DOUBLE)
-                        / CAST(tr AS DOUBLE)) END AS chi2_contrib,
-           CAST(n_ref = 0 AS BIGINT) AS is_new,
-           CAST(n_cur = 0 AS BIGINT) AS is_gone
-    FROM s, t
-    """,
-    tags=("tier2", "monitoring", "agg"),
-)
-def source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus drift monitor: per-source chi-square contribution between
-    a reference and a current snapshot of the corpus (the fixture's two
-    deterministic doc_id-parity halves stand in for yesterday/today) —
-    the distribution-shift alarm every continuously-crawled training
-    pipeline runs before retraining. expected_cur scales the reference
-    count to the current total; the contribution (o−e)²/e flags the
-    sources driving the shift; is_new / is_gone flag sources that only
-    one snapshot has (their contribution is NULL on both engines via
-    the same guarded CASE — never a division by a zero expectation).
-
-    Bit-exactness: counts are exact; the one scaling product runs in
-    128-bit (DECIMAL(38,0) / HUGEINT — bigint n_ref·tc overflows near
-    10^12·10^12), and every double then appears through the identical
-    correctly-rounded op sequence, emitted RAW (registry rounding
-    rule).
-
-    SCALE: ONE corpus scan — both snapshot counts come from a single
-    map-side-combinable conditional aggregate (#sources rows), totals
-    from re-aggregating those rows, merged back with a one-row
-    broadcast. No second scan, no wide join, no NULL-group hazard (the
-    groupBy output is itself the join-free carrier)."""
-    docs = load_table(spark, sf_dir, "documents")
-    s = (
-        docs.groupBy("source")
-        .agg(
-            F.count(F.when(F.col("doc_id") % 2 == 0, 1))
-            .cast("bigint")
-            .alias("n_ref"),
-            F.count(F.when(F.col("doc_id") % 2 == 1, 1))
-            .cast("bigint")
-            .alias("n_cur"),
-        )
-        .localCheckpoint(eager=True)  # #sources rows; feeds totals AND output
-    )
-    t = s.agg(
-        F.sum("n_ref").cast("bigint").alias("tr"),
-        F.sum("n_cur").cast("bigint").alias("tc"),
-    )
-    j = s.crossJoin(F.broadcast(t))
-    e = (F.col("n_ref").cast("decimal(38,0)") * F.col("tc")).cast(
-        "double"
-    ) / F.col("tr").cast("double")
-    guard = (F.col("n_ref") > 0) & (F.col("tc") > 0)
-    return j.select(
-        "source",
-        "n_ref",
-        "n_cur",
-        F.when(guard, e).alias("expected_cur"),
-        F.when(
-            guard,
-            (F.col("n_cur") - e) * (F.col("n_cur") - e) / e,
-        ).alias("chi2_contrib"),
-        (F.col("n_ref") == 0).cast("bigint").alias("is_new"),
-        (F.col("n_cur") == 0).cast("bigint").alias("is_gone"),
-    )
-
-
-INVIDX_DF_MIN = 2  # singleton postings carry no retrieval signal here
-INVIDX_DF_MAX = 40  # stop-gram elision: grams in more docs are noise
-
-
-@query(
-    "inverted_index",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    b AS (
-        SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
-               toks[r.i + 1] || ' ' || toks[r.i + 2] AS gram
-        FROM t CROSS JOIN UNNEST(range(len(toks) - 1)) AS r(i)
-    ), p AS (
-        SELECT gram, doc_id, CAST(count(*) AS BIGINT) AS n_occ,
-               array_to_string(list(pos ORDER BY pos), ',') AS positions
-        FROM b GROUP BY gram, doc_id
-    ), d AS (
-        SELECT gram, doc_id, n_occ, positions,
-               CAST(count(*) OVER (PARTITION BY gram) AS BIGINT) AS df
-        FROM p
-    )
-    SELECT gram, df, doc_id, n_occ, positions
-    FROM d WHERE df BETWEEN {INVIDX_DF_MIN} AND {INVIDX_DF_MAX}
-    """,
-    tags=("tier2", "text", "index"),
-)
-def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Positional inverted index over word BIGRAMS — the next-word /
-    phrase index (Manning et al., IIR §2.4): for each kept gram, one
-    posting row per containing doc with its occurrence positions, plus
-    the gram's document frequency. The original MapReduce paper's
-    flagship example (term → sorted postings), built the Spark way.
-
-    Bigrams, not unigrams: the fixture corpus draws from a ~31-token
-    vocabulary, so every unigram is a stopword (df ≈ ndocs) and a
-    unigram index is all noise; the ~900-gram bigram space has a real
-    df distribution. Grams in fewer than INVIDX_DF_MIN docs are
-    dropped (no retrieval signal), grams in more than INVIDX_DF_MAX
-    are elided (stop-posting elision — the classic Zipf guard: a hub
-    gram's posting list is corpus-proportional, and capping df bounds
-    every downstream phrase-intersection at O(cap), the same reason
-    Lucene marks stopwords).
-
-    Plan shape: bigrams form SCAN-SIDE via zip_with over the token
-    array (no self-join, no shuffle to pair adjacent tokens); the only
-    wide exchanges are the (gram, doc) aggregate — partial-combined,
-    positions bounded by doc length — and the window that counts df
-    over the already-collapsed posting rows (|grams x docs| input, not
-    corpus tokens). Postings output flattened one row per (gram, doc)
-    with positions serialized to one CSV scalar (arrays are unhashable
-    in a pandas-based canonicalizer — the grouped_collect_sorted
-    convention): relationally identical to the nested form."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
-                "         slice(toks, 2, greatest(size(toks) - 1, 0)),"
-                "         (a, b) -> concat(a, ' ', b))"
-            )
-        ).alias("pos", "gram"),
-    )
-    postings = grams.groupBy("gram", "doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_occ"),
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.sort_array(F.collect_list(F.col("pos").cast("bigint"))),
-                lambda x: x.cast("string"),
-            ),
-        ).alias("positions"),
-    )
-    w = Window.partitionBy("gram")
-    return (
-        postings.withColumn(
-            "df", F.count(F.lit(1)).over(w).cast("bigint")
-        )
-        .where(F.col("df").between(INVIDX_DF_MIN, INVIDX_DF_MAX))
-        .select("gram", "df", "doc_id", "n_occ", "positions")
-    )
-
-
-@query(
-    "data_quality_audit",
-    oracle="""
-    WITH ck AS (SELECT DISTINCT c_custkey FROM customer),
-    j AS (
-        SELECT o.*, ck.c_custkey AS ck_present
-        FROM orders o LEFT JOIN ck ON o.o_custkey = ck.c_custkey
-    ), m AS (
-        SELECT
-          CAST(count(*) AS BIGINT) AS n_rows,
-          CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_unique,
-          CAST(coalesce(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_complete,
-          CAST(coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_range,
-          CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_domain,
-          CAST(coalesce(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_format,
-          CAST(coalesce(sum(CASE WHEN ck_present IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_ri
-        FROM j
-    )
-    SELECT c.constraint_name, m.n_rows AS n_checked, c.n_violations,
-           c.n_violations = 0 AS passed
-    FROM m, LATERAL (VALUES
-        ('uniqueness:o_orderkey',           m.v_unique),
-        ('completeness:o_orderdate',        m.v_complete),
-        ('range:o_totalprice>0',            m.v_range),
-        ('domain:o_orderstatus in (O,F)',   m.v_domain),
-        ('format:o_orderpriority ~ ^[1-5]-', m.v_format),
-        ('ri:o_custkey in customer',        m.v_ri)
-    ) AS c(constraint_name, n_violations)
-    """,
-    tags=("tier2", "quality", "audit"),
-)
-def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative data-quality constraint suite (the Deequ/AWS
-    "unit tests for data" shape): six constraints — key uniqueness,
-    completeness, numeric range, value domain, regex format, and
-    referential integrity against the customer dimension — verified in
-    ONE pass and reported as one row per constraint with exact checked
-    and violation counts. The declared status domain is {'O','F'}, so
-    the fixture's 'P' (pending) rows exercise the REAL failing branch:
-    the audit output carries a genuine passed=false row, not just a
-    wall of greens.
-
-    Plan shape: every row-level constraint folds into a single
-    conditional aggregate over a single orders scan; referential
-    integrity rides the SAME scan as a left join against the distinct
-    customer keys (dimension-sized, AQE broadcasts it at this scale;
-    at warehouse scale it degrades gracefully to a shuffle join or a
-    bloom pre-filter). The only other exchange is the exact-uniqueness
-    count-distinct — the one constraint that fundamentally needs a
-    shuffle on the key; a 100 TB profile would screen with
-    approx_count_distinct first and pay the exact pass only on
-    suspected-dirty keys. The long-form report is a driver-free
-    stack() over the one aggregate row."""
-    o = load_table(spark, sf_dir, "orders")
-    ck = (
-        load_table(spark, sf_dir, "customer")
-        .select(F.col("c_custkey").alias("o_custkey"))
-        .distinct()
-        .withColumn("_ck_present", F.lit(1))
-    )
-    j = o.join(ck, "o_custkey", "left")
-    # coalesce: a global aggregate over an EMPTY orders table yields
-    # NULL sums — an empty table passes every check, it doesn't NULL them
-    viol = lambda cond: (  # noqa: E731
-        F.coalesce(F.sum(cond.cast("bigint")), F.lit(0)).cast("bigint")
-    )
-    m = j.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
-        .cast("bigint")
-        .alias("v_unique"),
-        viol(F.col("o_orderdate").isNull()).alias("v_complete"),
-        viol(F.col("o_totalprice") <= 0).alias("v_range"),
-        viol(~F.col("o_orderstatus").isin("O", "F")).alias("v_domain"),
-        viol(~F.col("o_orderpriority").rlike("^[1-5]-")).alias("v_format"),
-        viol(F.col("_ck_present").isNull()).alias("v_ri"),
-    )
-    stacked = m.select(
-        F.col("n_rows").alias("n_checked"),
-        F.expr(
-            "stack(6,"
-            " 'uniqueness:o_orderkey',            v_unique,"
-            " 'completeness:o_orderdate',         v_complete,"
-            " 'range:o_totalprice>0',             v_range,"
-            " 'domain:o_orderstatus in (O,F)',    v_domain,"
-            " 'format:o_orderpriority ~ ^[1-5]-', v_format,"
-            " 'ri:o_custkey in customer',         v_ri"
-            ") AS (constraint_name, n_violations)"
-        ),
-    )
-    return stacked.select(
-        "constraint_name",
-        "n_checked",
-        "n_violations",
-        (F.col("n_violations") == 0).alias("passed"),
-    )
-
-
-@query(
-    "phrase_search",
-    oracle="""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    g AS (
-        SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
-               toks[r.i + 1] || ' ' || toks[r.i + 2] || ' ' || toks[r.i + 3]
-                   AS tri
-        FROM t CROSS JOIN UNNEST(range(len(toks) - 2)) AS r(i)
-    ),
-    top AS (SELECT tri FROM g GROUP BY tri ORDER BY count(*) DESC, tri LIMIT 1)
-    SELECT g.doc_id, g.pos, g.tri AS phrase FROM g JOIN top USING (tri)
-    """,
-    tags=("tier2", "text", "index"),
-)
-def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact phrase query answered FROM THE POSITIONAL INDEX: every
-    occurrence (doc, start position) of a three-word phrase, found by
-    intersecting the positional postings of its two overlapping bigrams
-    on (doc_id, pos+1 == pos) — the classic IR positional-intersection
-    algorithm (Manning et al., IIR §2.4.2), the reason inverted_index
-    stores positions at all. The probe phrase is derived from the data
-    (the corpus's most frequent trigram, ties broken lexicographically)
-    so the query is deterministic at every sf; a deployment would take
-    the phrase as a parameter and probe a MATERIALIZED postings table —
-    an equality lookup on the gram key, partition-prunable when the
-    index is written bucketed/partitioned by gram, so the scan touches
-    two postings lists, never the corpus.
-
-    The oracle is a genuinely independent algorithm: a naive positional
-    trigram scan over every document (no index, no intersection) — the
-    two implementations share nothing but the tokenizer.
-
-    Plan shape: bigram postings form scan-side via zip_with (the
-    inverted_index idiom); the 1-row probe phrase rides a broadcast
-    crossJoin (no driver collect); the intersection is an equi-join on
-    (doc_id, pos). The probe derivation adds one trigram count over the
-    same scan — the price of self-contained determinism, not of the
-    algorithm."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", tokenize(F.col("text")).alias("toks")
-    ).localCheckpoint(eager=False)
-
-    tri_arr = F.when(
-        F.size("toks") >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 2),
-            lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    probe = (
-        toks.select(F.explode(tri_arr).alias("tri"))
-        .groupBy("tri")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "tri")
-        .limit(1)
-        .select(
-            F.col("tri").alias("phrase"),
-            F.concat_ws(" ", F.slice(F.split("tri", " "), 1, 2)).alias("g1"),
-            F.concat_ws(" ", F.slice(F.split("tri", " "), 2, 2)).alias("g2"),
-        )
-    )
-
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
-                "         slice(toks, 2, greatest(size(toks) - 1, 0)),"
-                "         (a, b) -> concat(a, ' ', b))"
-            )
-        ).alias("pos", "gram"),
-    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "gram")
-
-    p1 = grams.join(F.broadcast(probe), grams["gram"] == probe["g1"]).select(
-        "doc_id", "pos", "phrase"
-    )
-    p2 = grams.join(
-        F.broadcast(probe.select("g2")), grams["gram"] == F.col("g2")
-    ).select(F.col("doc_id").alias("_d2"), F.col("pos").alias("_p2"))
-    return p1.join(
-        p2, (p1["doc_id"] == p2["_d2"]) & (p2["_p2"] == p1["pos"] + 1)
-    ).select("doc_id", "pos", "phrase")
-
-
-ZORDER_BITS = 8  # per-dimension resolution: 256 buckets per axis
-ZORDER_FILES = 64  # target file count; each file = a contiguous z-range
-
-
-def _interleave_sql(bx: str, by: str, bits: int) -> str:
-    """Morton/Z-value bit interleave as portable integer SQL: x takes the
-    even bit positions, y the odd ones."""
-    terms = []
-    for k in range(bits):
-        terms.append(f"((({bx} >> {k}) & 1) << {2 * k})")
-        terms.append(f"((({by} >> {k}) & 1) << {2 * k + 1})")
-    return " + ".join(terms)
-
-
-@query(
-    "zorder_layout",
-    oracle=f"""
-    WITH lims AS (
-        SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
-               min(l_suppkey) AS mins, max(l_suppkey) AS maxs
-        FROM lineitem
-    ),
-    b AS (
-        SELECT ((l_partkey - minp) * {1 << ZORDER_BITS}) // (maxp - minp + 1)
-                   AS bx,
-               ((l_suppkey - mins) * {1 << ZORDER_BITS}) // (maxs - mins + 1)
-                   AS by,
-               l_partkey, l_suppkey
-        FROM lineitem, lims
-    ),
-    z AS (
-        SELECT l_partkey, l_suppkey,
-               ({_interleave_sql('bx', 'by', ZORDER_BITS)}) AS zval
-        FROM b
-    )
-    SELECT CAST((zval * {ZORDER_FILES}) // {1 << (2 * ZORDER_BITS)} AS BIGINT)
-               AS file_id,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           min(l_partkey) AS min_part, max(l_partkey) AS max_part,
-           min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
-    FROM z GROUP BY 1
-    """,
-    tags=("tier2", "layout", "scan"),
-)
-def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton-curve) data layout for multi-dimensional scan
-    pruning — the Delta/Iceberg OPTIMIZE ZORDER primitive: interleave
-    the bits of two clustering columns so that contiguous z-ranges are
-    small RECTANGLES in (l_partkey, l_suppkey) space, then report each
-    target file's zone map (row count + per-dimension min/max). A
-    lexicographic sort clusters only its leading column; the z-curve
-    keeps BOTH selective, so point/range predicates on either dimension
-    prune most files by their min/max stats alone — this query's output
-    IS that zone-map table, making the locality claim externally
-    checkable rather than asserted.
-
-    Everything is exact integer arithmetic: per-axis buckets are
-    ((x - min) * 256) floor-div (span + 1) over a 1-row broadcast
-    min/max aggregate (all values non-negative, so truncating and floor
-    division agree across engines), the z-value is an explicit 16-bit
-    interleave of shift/mask terms (generated once, identical text in
-    both dialects), and file assignment is a contiguous z-range split.
-
-    This is the ORACLE-CHECKED twin of operators/layout.py, which does
-    the real thing: write_zordered range-partitions on the z-value and
-    writes parquet whose per-file footer stats tests/test_zorder.py
-    measures for actual pruning power (that path rank-normalizes with
-    percent_rank for skew robustness — a windowed plan an exact SQL twin
-    can't pin; this query swaps in min/max scaling so the whole layout
-    computation hash-checks cross-engine). At warehouse scale the same
-    z-value feeds repartitionByRange + sortWithinPartitions before the
-    write, and the per-axis min/max come from column statistics instead
-    of a dedicated aggregate — the layout math is unchanged."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    lims = li.agg(
-        F.min("l_partkey").alias("minp"),
-        F.max("l_partkey").alias("maxp"),
-        F.min("l_suppkey").alias("mins"),
-        F.max("l_suppkey").alias("maxs"),
-    )
-    b = li.crossJoin(F.broadcast(lims)).select(
-        "l_partkey",
-        "l_suppkey",
-        F.expr(
-            f"((l_partkey - minp) * {1 << ZORDER_BITS})"
-            " div (maxp - minp + 1)"
-        ).alias("bx"),
-        F.expr(
-            f"((l_suppkey - mins) * {1 << ZORDER_BITS})"
-            " div (maxs - mins + 1)"
-        ).alias("by"),
-    )
-    # the interleave text is generated ONCE and shared with the oracle —
-    # the same declared-verbatim policy as the PII regexes: the bit
-    # interleave is definitional, so a transcription drift between
-    # dialects would be noise, not independence
-    z = b.select(
-        "l_partkey",
-        "l_suppkey",
-        F.expr(
-            f"(({_interleave_sql('bx', 'by', ZORDER_BITS)}) * {ZORDER_FILES})"
-            f" div {1 << (2 * ZORDER_BITS)}"
-        )
-        .cast("bigint")
-        .alias("file_id"),
-    )
-    return z.groupBy("file_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.min("l_partkey").alias("min_part"),
-        F.max("l_partkey").alias("max_part"),
-        F.min("l_suppkey").alias("min_supp"),
-        F.max("l_suppkey").alias("max_supp"),
-    )
-
-
-# tau^2 as an exact rational: cosine threshold 0.4 -> tau^2 = 4/25. The
-# comparison 25*dot^2 >= 4*naa*nbb (with dot > 0) is then pure integer
-# arithmetic — no sqrt, no float, no rounding to diverge cross-engine.
-SEMDEDUP_TAU2_NUM = 4
-SEMDEDUP_TAU2_DEN = 25
-# SemDeDup's own k, larger than the topic-clustering query's 4: the
-# pair space is n^2/k, so k is the scale knob — it grows with the
-# corpus, and the oracle is generated for whatever k says (the unrolled
-# CTEs are k-independent long-form).
-SEMDEDUP_K = 16
-
-
-def _semantic_dedup_oracle() -> str:
-    from mapreduce__spark.operators.clustering import QUANT_SCALE
-
-    dims = KMEANS_DIMS
-    return f"""
-    WITH v AS (
-      SELECT b.vec_id, b.cluster_id, s.sq,
-             CAST(list_sum(list_transform(s.sq, x -> x * x)) AS BIGINT) AS n2
-      FROM ({_kmeans_oracle(SEMDEDUP_K, KMEANS_ITERS, dims)}) b
-      JOIN (
-        SELECT vec_id,
-               list_transform(embedding,
-                 x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)
-               ) AS sq
-        FROM embeddings
-      ) s USING (vec_id)
-    ),
-    pairs AS (
-      SELECT a.vec_id,
-             CAST(list_sum(list_transform(range(1, {dims + 1}),
-                    i -> a.sq[i] * b.sq[i])) AS BIGINT) AS dot,
-             a.n2 AS na, b.n2 AS nb
-      FROM v a JOIN v b
-        ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
-    ),
-    dups AS (
-      SELECT DISTINCT vec_id FROM pairs
-      WHERE dot > 0
-        AND {SEMDEDUP_TAU2_DEN} * (dot::HUGEINT * dot::HUGEINT)
-            >= {SEMDEDUP_TAU2_NUM} * (na::HUGEINT * nb::HUGEINT)
-    )
-    SELECT v.vec_id, v.cluster_id, d.vec_id IS NULL AS is_kept
-    FROM v LEFT JOIN dups d ON v.vec_id = d.vec_id
-    """
-
-
-@query(
-    "semantic_dedup",
-    oracle=_semantic_dedup_oracle(),
-    tags=("tier2", "dedup", "similarity", "clustering"),
-)
-def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning the
-    way LLM data pipelines actually run it at scale — cluster the
-    embedding space first, then compare pairs ONLY within a cluster, so
-    the pair space is n^2/k instead of n^2 and grows linearly when k
-    scales with the corpus. Declared one-pass keep rule: a vector is
-    removed iff SOME lower-id vector in its cluster sits within cosine
-    tau of it (every removal carries an explicit witness; unlike the
-    connected-components dedup_clusters, no transitive chaining across
-    sub-threshold hops). Output is (vec_id, cluster_id, is_kept) for
-    the whole corpus.
-
-    Everything is exact: clusters come from the deterministic integer
-    k-means (kmeans_embeddings), vectors quantize to int64 micro-units
-    via floor (NO offset here — cosine is not translation-invariant,
-    and dot products of signed micro-units are still exact: |dot| <=
-    64 * 1e12 < 2^63), and the threshold test squares away the sqrt:
-    cos >= tau  <=>  dot > 0 AND den*dot^2 >= num*naa*nbb with
-    tau^2 = num/den — evaluated in DECIMAL(38,0) on the Spark side and
-    HUGEINT in the oracle, both exact at <= 1.1e29.
-
-    Scale shape: one corpus scan for quantization + norms, the k-means
-    assignment's broadcast-centroid scan, then a self-join partitioned
-    by cluster_id — repartitioning both sides on cluster_id co-locates
-    every comparison, and no row ever pairs outside its cluster. The
-    64-element int arrays ride the shuffle once; dots run in codegen
-    via zip_with/aggregate, no UDF."""
-    return semantic_dedup_df(spark, sf_dir, SEMDEDUP_K)
-
-
-def semantic_dedup_df(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
-    """The semantic_dedup plan with k as a parameter — k IS the scale
-    knob (pair space n^2/k stays linear when k grows with the corpus),
-    so the bench's synthetic-growth tier calls this with k scaled
-    alongside the data while the registry query pins k = SEMDEDUP_K."""
-    from mapreduce__spark.operators.clustering import QUANT_SCALE, kmeans_assign
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    base = kmeans_assign(emb, k, KMEANS_ITERS)
-    q = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("bigint"),
-        ).alias("sq"),
-    ).withColumn(
-        "n2",
-        F.aggregate(
-            F.zip_with("sq", "sq", lambda a, b: a * b),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ),
-    )
-    v = base.select("vec_id", "cluster_id").join(q, "vec_id")
-    a, b = v.alias("a"), v.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.sq"), F.col("b.sq"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    dec = "decimal(38,0)"
-    close = (dot > 0) & (
-        F.lit(SEMDEDUP_TAU2_DEN).cast(dec) * dot.cast(dec) * dot.cast(dec)
-        >= F.lit(SEMDEDUP_TAU2_NUM).cast(dec)
-        * F.col("a.n2").cast(dec)
-        * F.col("b.n2").cast(dec)
-    )
-    dups = (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("b.vec_id") < F.col("a.vec_id")),
-        )
-        .where(close)
-        .select(F.col("a.vec_id").alias("vec_id"))
-        .distinct()
-        .withColumn("_dup", F.lit(1))
-    )
-    return v.join(dups, "vec_id", "left").select(
-        "vec_id", "cluster_id", F.col("_dup").isNull().alias("is_kept")
-    )
-
-
-# Jaccard threshold as an exact rational (0.8 = 4/5): the verify
-# comparison (den+num)*common >= num*(size_a+size_b) is pure integers.
-SETSIM_T_NUM = 4
-SETSIM_T_DEN = 5
-
-
-@query(
-    "dedup_jaccard_prefix",
-    oracle=f"""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ), g AS (
-        SELECT doc_id, unnest(list_distinct(
-            list_transform(range(1, len(toks) - 1),
-                           i -> array_to_string(toks[i:i+2], ' ')))) AS gram
-        FROM t
-    ), sz AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id
-    ), common AS (
-        SELECT a.doc_id AS id1, b.doc_id AS id2,
-               CAST(count(*) AS BIGINT) AS c
-        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT id1, id2, c AS n_common, s1.n AS size_a, s2.n AS size_b
-    FROM common
-    JOIN sz s1 ON common.id1 = s1.doc_id
-    JOIN sz s2 ON common.id2 = s2.doc_id
-    WHERE {SETSIM_T_DEN + SETSIM_T_NUM} * c
-          >= {SETSIM_T_NUM} * (s1.n + s2.n)
-    """,
-    tags=("tier2", "dedup", "join"),
-)
-def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT Jaccard >= 0.8 near-dup pairs WITHOUT the quadratic gram
-    self-join: prefix filtering (AllPairs / PPJoin) — the exact scale
-    path that completes the dedup triad (dedup_jaccard_exact = the
-    quadratic oracle baseline, dedup_lsh_minhash = the approximate
-    path, this = exact AND bucketed). Grams are totally ordered by
-    (document frequency, gram); every qualifying pair provably shares a
-    gram in the rarest |d| - ceil(t|d|) + 1 prefix of BOTH docs (the
-    two-sided prefix lemma — losslessness is a theorem, property-tested
-    against the quadratic form in tests), so the candidate join runs on
-    short rare-gram postings and the exact intersection is recounted
-    for candidates only. Output is exact integers (n_common, sizes);
-    J >= 4/5 enforced as 9*n_common >= 4*(size_a+size_b). The oracle is
-    the genuinely different algorithm: the full quadratic gram join."""
-    from mapreduce__spark.operators.dedup import prefix_filter_jaccard_pairs
-
-    return prefix_filter_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), SETSIM_T_NUM, SETSIM_T_DEN
-    )
-
-
-BM25_K1 = "1.2"  # shared literal TEXT: both engines parse the same double
-BM25_B = "0.75"
-
-
-@query(
-    "bm25_rank",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    tri AS (
-        SELECT toks[r.i + 1] || ' ' || toks[r.i + 2] || ' ' || toks[r.i + 3]
-                   AS tri
-        FROM t CROSS JOIN UNNEST(range(len(toks) - 2)) AS r(i)
-    ),
-    top AS (SELECT tri FROM tri GROUP BY tri ORDER BY count(*) DESC, tri LIMIT 1),
-    q AS (
-        SELECT string_split(tri, ' ')[1] || ' ' || string_split(tri, ' ')[2]
-                   AS gram
-        FROM top
-        UNION ALL
-        SELECT string_split(tri, ' ')[2] || ' ' || string_split(tri, ' ')[3]
-        FROM top
-    ),
-    b AS (
-        SELECT doc_id, toks[r.i + 1] || ' ' || toks[r.i + 2] AS gram
-        FROM t CROSS JOIN UNNEST(range(len(toks) - 1)) AS r(i)
-    ),
-    tf AS (
-        SELECT gram, doc_id, CAST(count(*) AS DOUBLE) AS tf
-        FROM b GROUP BY gram, doc_id
-    ),
-    dl AS (
-        SELECT doc_id, CAST(greatest(len(toks) - 1, 0) AS DOUBLE) AS dl
-        FROM t
-    ),
-    stats AS (
-        SELECT CAST(count(*) AS DOUBLE) AS n,
-               CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-        FROM dl WHERE dl > 0
-    ),
-    df AS (SELECT gram, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY gram),
-    hit AS (
-        SELECT tf.doc_id,
-               round(
-                 round(ln((stats.n - df.df + 0.5) / (df.df + 0.5)), 6)
-                 * ((tf.tf * ({BM25_K1} + 1.0))
-                    / (tf.tf + {BM25_K1}
-                       * (1.0 - {BM25_B} + {BM25_B} * (dl.dl / stats.avgdl)))),
-                 6)::DECIMAL(18, 6) AS contrib
-        FROM q JOIN tf ON tf.gram = q.gram
-        JOIN df ON df.gram = q.gram
-        JOIN dl ON dl.doc_id = tf.doc_id
-        CROSS JOIN stats
-    )
-    SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score
-    FROM hit GROUP BY doc_id
-    """,
-    tags=("tier2", "text", "index"),
-)
-def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval (Robertson & Spärck Jones / Okapi, k1=1.2,
-    b=0.75) for the bigram terms of the corpus's top trigram — the
-    ranking stage that completes the retrieval story (inverted_index
-    builds the postings, phrase_search answers exact matches, this
-    scores relevance): one row per matching doc with its BM25 score
-    over the query terms.
-
-    Determinism across engines: the ONLY libm call (the idf ln) is
-    rounded to 6 digits BEFORE it enters arithmetic (the
-    unigram_lm_score recipe — a last-ulp JVM-vs-DuckDB ln() difference
-    cannot survive); every other factor is IEEE +,*,/ over exact
-    integers written with the SAME literal text and parenthesization in
-    both dialects, so the doubles are bit-identical by construction;
-    per-term contributions round to 6 and accumulate in DECIMAL(18,6)
-    so partition layout cannot reorder float additions; the final
-    decimal-to-double cast is the exact decimal-sum idiom.
-
-    Scale shape: tf is the (gram, doc) map-side-combinable aggregate
-    (the inverted_index working set), df a V-row aggregate on top of
-    it, doc lengths ride the token scan, N/avgdl is a 1-row broadcast,
-    and the 2-row query-term relation broadcasts into the tf join —
-    with a materialized postings index, scoring touches only the query
-    terms' posting rows, never the corpus."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", tokenize(F.col("text")).alias("toks")
-    ).localCheckpoint(eager=False)
-
-    tri_arr = F.when(
-        F.size("toks") >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 2),
-            lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    top = (
-        toks.select(F.explode(tri_arr).alias("tri"))
-        .groupBy("tri")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "tri")
-        .limit(1)
-    )
-    q = top.select(
-        F.explode(
-            F.array(
-                F.concat_ws(" ", F.slice(F.split("tri", " "), 1, 2)),
-                F.concat_ws(" ", F.slice(F.split("tri", " "), 2, 2)),
-            )
-        ).alias("gram")
-    )
-
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
-                "         slice(toks, 2, greatest(size(toks) - 1, 0)),"
-                "         (a, b) -> concat(a, ' ', b))"
-            )
-        ).alias("gram"),
-    )
-    tf = grams.groupBy("gram", "doc_id").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
-    )
-    dl = toks.select(
-        "doc_id",
-        F.greatest(F.size("toks") - 1, F.lit(0)).cast("double").alias("dl"),
-    )
-    stats = dl.where(F.col("dl") > 0).agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
-            "avgdl"
-        ),
-    )
-    dfreq = tf.groupBy("gram").agg(F.count(F.lit(1)).cast("double").alias("df"))
-
-    k1, b = BM25_K1, BM25_B
-    hit = (
-        tf.join(F.broadcast(q), "gram")
-        .join(dfreq, "gram")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            F.round(
-                F.round(
-                    F.log(
-                        (F.col("n") - F.col("df") + F.lit(0.5))
-                        / (F.col("df") + F.lit(0.5))
-                    ),
-                    6,
-                )
-                * (
-                    (F.col("tf") * F.expr(f"{k1} + 1.0"))
-                    / (
-                        F.col("tf")
-                        + F.expr(f"{k1}")
-                        * (
-                            F.expr(f"1.0 - {b}")
-                            + F.expr(f"{b}") * (F.col("dl") / F.col("avgdl"))
-                        )
-                    )
-                ),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("contrib"),
-        )
-    )
-    return hit.groupBy("doc_id").agg(
-        F.sum("contrib").cast("double").alias("score")
-    )
-
-
-@query(
-    "robust_outliers_mad",
-    oracle="""
-    WITH hist AS (
-        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
-        FROM documents GROUP BY 1, 2
-    ), totals AS (
-        SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs FROM hist GROUP BY 1
-    ), hc AS (
-        SELECT source, v, cnt,
-               CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum
-        FROM hist
-    ), med AS (
-        SELECT hc.source,
-               CAST(min(CASE WHEN cum >= (n_docs + 1) // 2 THEN v END)
-                  + min(CASE WHEN cum >= n_docs // 2 + 1 THEN v END) AS BIGINT) AS med2
-        FROM hc JOIN totals ON hc.source = totals.source
-        GROUP BY 1
-    ), dh AS (
-        SELECT h.source, abs(2 * h.v - m.med2) AS d,
-               CAST(sum(h.cnt) AS BIGINT) AS cnt
-        FROM hist h JOIN med m ON h.source = m.source
-        GROUP BY 1, 2
-    ), dc AS (
-        SELECT source, d, cnt,
-               CAST(sum(cnt) OVER (PARTITION BY source ORDER BY d) AS BIGINT) AS cum
-        FROM dh
-    ), mad AS (
-        SELECT dc.source,
-               CAST(min(CASE WHEN cum >= (n_docs + 1) // 2 THEN d END)
-                  + min(CASE WHEN cum >= n_docs // 2 + 1 THEN d END) AS BIGINT) AS mad4
-        FROM dc JOIN totals ON dc.source = totals.source
-        GROUP BY 1
-    ), outl AS (
-        SELECT dh.source,
-               CAST(sum(CASE WHEN 2 * dh.d > 3 * m.mad4 THEN dh.cnt ELSE 0 END)
-                    AS BIGINT) AS n_outliers
-        FROM dh JOIN mad m ON dh.source = m.source
-        GROUP BY 1
-    )
-    SELECT t.source, t.n_docs, med.med2, mad.mad4, outl.n_outliers
-    FROM totals t
-    JOIN med  ON t.source = med.source
-    JOIN mad  ON t.source = mad.source
-    JOIN outl ON t.source = outl.source
-    """,
-    tags=("tier2", "profiling", "quality"),
-)
-def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source ROBUST center/spread + outlier census over document
-    length: exact median and MAD (median absolute deviation), the
-    quality-filter statistics that, unlike mean/stddev (per_source_zscore),
-    are not themselves dragged by the outliers they are hunting — a
-    handful of 100 MB crawl artifacts shifts a source's mean but leaves
-    its median untouched, so the 3-sigma rule quietly under-fires exactly
-    when it matters. Flag rule: |len - median| > 3 * MAD.
-
-    Everything is EXACT INTEGER arithmetic so the oracle hash cannot
-    drift: med2 = x_(ceil(n/2)) + x_(floor(n/2)+1) is TWICE the
-    interpolated median (the sum of the two middle order statistics —
-    integer), per-doc deviations d = |2*len - med2| are twice the true
-    deviation, and mad4 = the same two-middles sum over d is FOUR times
-    the interpolated MAD; the flag |len - med| > 3*MAD becomes
-    2*d > 3*mad4, all in longs.
-
-    Scale shape (the reason this is not just `percentile(0.5)`): exact
-    medians normally need a per-source sort of the whole corpus, but
-    document length has BOUNDED CARDINALITY (~30k distinct values), so
-    the corpus compresses to a (source, length, count) VALUE HISTOGRAM in
-    one map-side-combinable aggregate — the only pass that touches the
-    data. Order statistics come from a running-count window over the
-    histogram (sources x distinct-lengths rows, never the corpus), the
-    deviation histogram derives from the value histogram (d is a function
-    of v), and the outlier census is a conditional sum over it. One
-    corpus scan, two tiny windows, zero corpus-wide sorts — the same
-    compaction trick a 1000-executor exact-percentile job would use."""
-    docs = load_table(spark, sf_dir, "documents")
-    from mapreduce__spark.operators.windows import idiv
-
-    hist = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    totals = hist.groupBy("source").agg(F.sum("cnt").alias("n_docs"))
-    k_lo = idiv(F.col("n_docs") + 1, 2)
-    k_hi = idiv(F.col("n_docs"), 2) + 1
-
-    def two_middles(h: DataFrame, val: str, out: str) -> DataFrame:
-        """source -> sum of the two middle order statistics of `val`,
-        ranks read off a running-count window over the tiny histogram."""
-        w = (
-            Window.partitionBy("source")
-            .orderBy(val)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        hc = h.withColumn("cum", F.sum("cnt").over(w)).join(totals, "source")
-        return hc.groupBy("source").agg(
-            (
-                F.min(F.when(F.col("cum") >= k_lo, F.col(val)))
-                + F.min(F.when(F.col("cum") >= k_hi, F.col(val)))
-            ).alias(out)
-        )
-
-    med = two_middles(hist, "v", "med2")
-    dh = (
-        hist.join(med, "source")
-        .groupBy("source", F.abs(2 * F.col("v") - F.col("med2")).alias("d"))
-        .agg(F.sum("cnt").alias("cnt"))
-    )
-    mad = two_middles(dh, "d", "mad4")
-    outl = (
-        dh.join(mad, "source")
-        .groupBy("source")
-        .agg(
-            F.sum(
-                F.when(2 * F.col("d") > 3 * F.col("mad4"), F.col("cnt")).otherwise(
-                    F.lit(0).cast("bigint")
-                )
-            ).alias("n_outliers")
-        )
-    )
-    return (
-        totals.join(med, "source").join(mad, "source").join(outl, "source").select(
-            "source", "n_docs", "med2", "mad4", "n_outliers"
-        )
-    )
-
-
-@query(
-    "equidepth_deciles",
-    oracle="""
-    WITH hist AS (
-        SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
-        FROM documents GROUP BY 1
-    ), tot AS (
-        SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist
-    ), hc AS (
-        SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
-        FROM hist
-    ), thr AS (
-        SELECT min(CASE WHEN cum >= (1 * n + 9) // 10 THEN v END) AS t1,
-               min(CASE WHEN cum >= (2 * n + 9) // 10 THEN v END) AS t2,
-               min(CASE WHEN cum >= (3 * n + 9) // 10 THEN v END) AS t3,
-               min(CASE WHEN cum >= (4 * n + 9) // 10 THEN v END) AS t4,
-               min(CASE WHEN cum >= (5 * n + 9) // 10 THEN v END) AS t5,
-               min(CASE WHEN cum >= (6 * n + 9) // 10 THEN v END) AS t6,
-               min(CASE WHEN cum >= (7 * n + 9) // 10 THEN v END) AS t7,
-               min(CASE WHEN cum >= (8 * n + 9) // 10 THEN v END) AS t8,
-               min(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END) AS t9
-        FROM hc CROSS JOIN tot
-    )
-    SELECT CAST(bucket AS BIGINT) AS bucket,
-           CAST(sum(cnt) AS BIGINT) AS n_rows,
-           min(v) AS lo, max(v) AS hi
-    FROM (
-        SELECT v, cnt,
-               1 + (CASE WHEN v > t1 THEN 1 ELSE 0 END)
-                 + (CASE WHEN v > t2 THEN 1 ELSE 0 END)
-                 + (CASE WHEN v > t3 THEN 1 ELSE 0 END)
-                 + (CASE WHEN v > t4 THEN 1 ELSE 0 END)
-                 + (CASE WHEN v > t5 THEN 1 ELSE 0 END)
-                 + (CASE WHEN v > t6 THEN 1 ELSE 0 END)
-                 + (CASE WHEN v > t7 THEN 1 ELSE 0 END)
-                 + (CASE WHEN v > t8 THEN 1 ELSE 0 END)
-                 + (CASE WHEN v > t9 THEN 1 ELSE 0 END) AS bucket
-        FROM hist CROSS JOIN thr
-    )
-    GROUP BY 1
-    """,
-    tags=("tier2", "profiling"),
-)
-def equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-DEPTH decile histogram of document length (value_histogram is
-    the equi-WIDTH twin): decile boundaries are the exact discrete
-    percentiles t_i = smallest v whose running count reaches ceil(i*n/10)
-    (percentile_disc semantics — a value, never an interpolation), and a
-    row lands in bucket 1 + #(boundaries strictly below its value). Ties
-    never split across buckets, so per-bucket counts equalize only as far
-    as ties allow — the honest equi-depth contract on discrete data (a
-    tie-splitting ntile would put IDENTICAL lengths in different buckets,
-    an arbitrary distinction no boundary can reproduce; empty buckets are
-    simply absent).
-
-    Scale shape: the naive form is ntile over a GLOBAL sort of the
-    corpus; this one compresses to the bounded-cardinality value
-    histogram first (one map-side-combinable aggregate — the
-    robust_outliers_mad compaction), takes a running count over the tiny
-    histogram, reads the 9 boundaries off it as one row, and
-    broadcast-maps them back onto histogram rows. One corpus scan, no
-    global sort, no per-row window."""
-    docs = load_table(spark, sf_dir, "documents")
-    from mapreduce__spark.operators.windows import idiv
-
-    # MATERIALIZED: the histogram (distinct lengths — tiny) feeds the
-    # total, the threshold window AND the final bucket mapping; left
-    # lazy, the threshold path replans its own full corpus scan (the
-    # unigram_lm_score vocab lesson, confirmed by the PLANS.md skeleton
-    # showing 2 FileScans before this checkpoint).
-    hist = (
-        docs.groupBy(F.col("n_chars").alias("v"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
-    tot = hist.agg(F.sum("cnt").alias("n"))
-    # Running count over the HISTOGRAM (distinct lengths, not rows): a
-    # single-task window here is deliberate and safe at any corpus size.
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    hc = hist.withColumn("cum", F.sum("cnt").over(w)).crossJoin(F.broadcast(tot))
-    thr = hc.groupBy().agg(
-        *[
-            F.min(
-                F.when(F.col("cum") >= idiv(i * F.col("n") + 9, 10), F.col("v"))
-            ).alias(f"t{i}")
-            for i in range(1, 10)
-        ]
-    )
-    bucket = F.lit(1)
-    for i in range(1, 10):
-        bucket = bucket + F.when(F.col("v") > F.col(f"t{i}"), 1).otherwise(0)
-    return (
-        hist.crossJoin(F.broadcast(thr))
-        .groupBy(bucket.cast("bigint").alias("bucket"))
-        .agg(
-            F.sum("cnt").alias("n_rows"),
-            F.min("v").alias("lo"),
-            F.max("v").alias("hi"),
-        )
-    )
-
-
-@query(
-    "bigram_lm_score",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ), tok AS (
-        SELECT unnest(toks) AS tok FROM t
-    ), uni AS (
-        SELECT tok, CAST(count(*) AS BIGINT) AS c2 FROM tok GROUP BY tok
-    ), ntot AS (
-        SELECT CAST(sum(c2) AS DOUBLE) AS n FROM uni
-    ), inst AS (
-        SELECT doc_id, toks[i] AS left_tok, toks[i + 1] AS right_tok
-        FROM t CROSS JOIN UNNEST(range(1, len(toks))) AS r(i)
-    ), big AS (
-        SELECT left_tok, right_tok, CAST(count(*) AS BIGINT) AS c12
-        FROM inst GROUP BY 1, 2
-    ), ctx AS (
-        SELECT left_tok, CAST(sum(c12) AS BIGINT) AS c1x FROM big GROUP BY 1
-    ), stats AS (
-        SELECT b.left_tok, b.right_tok, b.c12, ctx.c1x, u.c2
-        FROM big b
-        JOIN ctx ON b.left_tok = ctx.left_tok
-        JOIN uni u ON b.right_tok = u.tok
-    )
-    SELECT i.doc_id,
-           CAST(count(*) AS BIGINT) AS n_bigrams,
-           CAST((2 * sum(CAST(floor(-ln(
-                     ((s.c12 * n.n) + (CAST(s.c2 AS DOUBLE) * s.c1x))
-                     / ((2.0 * s.c1x) * n.n)
-                 ) * 1000000 + 0.5) AS BIGINT)) + count(*))
-                // (2 * count(*)) AS DOUBLE) / 1000000 AS nll
-    FROM inst i
-    JOIN stats s ON i.left_tok = s.left_tok AND i.right_tok = s.right_tok
-    CROSS JOIN ntot n
-    GROUP BY i.doc_id
-    """,
-    tags=("tier2", "text", "pipeline"),
-)
-def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interpolated BIGRAM language-model quality score — the next rung
-    above unigram_lm_score on the CCNet/KenLM ladder: per document, the
-    mean negative log-likelihood of its bigrams under a Jelinek-Mercer
-    mixture (lambda = 1/2) of the corpus bigram model and the unigram
-    fallback,
-
-        p(w2 | w1) = (c12/c1x + c2/N) / 2
-                   = (c12*N + c2*c1x) / (2*c1x*N)   -- one exact rational
-
-    which catches the failure unigrams cannot: a document of common words
-    in impossible ORDER (shuffled text, keyword stuffing, boilerplate
-    collage) scores ordinary unigram nll but terrible bigram nll.
-    Single-token documents have no bigrams and drop out (both engines,
-    by construction of the instance relation).
-
-    Cross-engine float discipline (hardened by the round-11 two-scale
-    gate): the mixture is evaluated as ONE shared expression tree of
-    IEEE +,*,/ over exact integers cast to double — bit-identical by
-    construction — and ln(), the only libm call, is QUANTIZED to
-    integer micro-NLL via floor(x*1e6 + 0.5), which is rounding-RULE-
-    free: Spark's round() HALF_UPs the shortest-decimal STRING while
-    DuckDB rounds the binary value, and at sf0.1 a per-doc mean landed
-    exactly on a 6-digit half-tie (doc 1714 — see docs/SCALE.md).
-    Integer micro-units sum exactly and order-independently; the mean
-    is the half-up INTEGER division (2s+n) div (2n) and the final /1e6
-    is one IEEE division of the same exact integer in both engines —
-    no round() anywhere, so no tie can ever split them.
-
-    Scale shape: the LM is two word-count-scaling aggregates (bigram
-    counts + unigram counts, both map-side combined to vocab-sized
-    relations); the context totals c1x derive from the bigram table, NOT
-    another corpus pass. The joined stats relation is bigram-vocab rows,
-    MATERIALIZED so the scoring job replans none of it, and scoring is
-    one equi-join of bigram instances against it (AQE picks broadcast
-    when the vocab head fits). The corpus is read three times (unigram
-    build, bigram build, scoring) and never shuffled whole — only
-    token/gram keys move."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks_col = tokenize(F.col("text"))
-
-    uni = (
-        docs.select(F.explode(toks_col).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c2"))
-    )
-    ntot = uni.agg(F.sum("c2").cast("double").alias("n"))
-
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(toks_col) - 1),
-        lambda i: F.struct(
-            F.element_at(toks_col, i).alias("left_tok"),
-            F.element_at(toks_col, i + 1).alias("right_tok"),
-        ),
-    )
-    # sequence() counts DOWN when stop < start (the word_ngrams hazard):
-    # a 1-token doc must yield no bigrams, not garbage.
-    guarded = F.when(F.size(toks_col) >= 2, make).otherwise(
-        F.array().cast("array<struct<left_tok:string,right_tok:string>>")
-    )
-    inst = docs.select("doc_id", F.explode(guarded).alias("p")).select(
-        "doc_id", "p.left_tok", "p.right_tok"
-    )
-    big = inst.groupBy("left_tok", "right_tok").agg(
-        F.count(F.lit(1)).alias("c12")
-    )
-    ctx = big.groupBy("left_tok").agg(F.sum("c12").alias("c1x"))
-    stats = (
-        big.join(ctx, "left_tok")
-        .join(uni.withColumnRenamed("tok", "right_tok"), "right_tok")
-        .localCheckpoint(eager=True)
-    )
-
-    mix = (
-        (F.col("c12") * F.col("n"))
-        + (F.col("c2").cast("double") * F.col("c1x"))
-    ) / ((F.lit(2.0) * F.col("c1x")) * F.col("n"))
-    # tie-free quantization (round-11 two-scale-gate fix, the doc-1714
-    # lesson): per-term micro-NLL as floor(x*1e6 + 0.5) — rounding-RULE-
-    # free given identical double bits (Spark's round() HALF_UPs the
-    # shortest-decimal string while DuckDB rounds the binary value, and
-    # at sf0.1 a mean landed exactly on a 6-digit half-tie). Integer
-    # micro-units sum exactly and order-independently; the mean is the
-    # half-up INTEGER division (2s + n) div (2n), and the final /1e6 is
-    # one IEEE division of the same exact integer in both engines.
-    per_term_micro = F.floor(-F.log(mix) * 1000000 + F.lit(0.5)).cast(
-        "bigint"
-    )
-    return (
-        inst.join(stats, ["left_tok", "right_tok"])
-        .crossJoin(F.broadcast(ntot))
-        .withColumn("tm", per_term_micro)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            (
-                F.expr(
-                    "CAST((2 * sum(tm) + count(1)) DIV (2 * count(1)) "
-                    "AS DOUBLE)"
-                )
-                / 1000000
-            ).alias("nll"),
-        )
-    )
-
-
-@query(
-    "png_pixel_decode",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id,
-             doc_id % 11 + 4       AS width,
-             (doc_id * 5) % 9 + 4  AS height
-      FROM documents
-    ),
-    px AS (
-      SELECT doc_id, width, height,
-             unnest(generate_series(0, width - 1)) AS x
-      FROM dims
-    ),
-    pxy AS (
-      SELECT doc_id, width, height, x,
-             unnest(generate_series(0, height - 1)) AS y
-      FROM px
-    )
-    SELECT doc_id,
-           CAST(width AS BIGINT)  AS width,
-           CAST(height AS BIGINT) AS height,
-           CAST(count(*) AS BIGINT) AS n_pixels,
-           CAST(sum((7 * doc_id + 5 * x + 3 * y) % 256) AS BIGINT) AS sum_r,
-           CAST(sum((doc_id + 2 * x + 11 * y) % 256) AS BIGINT)    AS sum_g,
-           CAST(sum((5 * doc_id + 9 * x + y) % 256) AS BIGINT)     AS sum_b,
-           CAST((7 * doc_id) % 256 + doc_id % 256 + (5 * doc_id) % 256
-                AS BIGINT) AS topleft_rgb
-    FROM pxy
-    GROUP BY doc_id, width, height
-    """,
-    tags=("tier2", "multimodal"),
-)
-def png_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL decode of an ENTROPY-CODED image format, still zero media
-    libraries: per doc a spec-valid 8-bit truecolor PNG is synthesized
-    (every pixel a pure function of doc_id and (x, y)) and fully decoded
-    back from raw bytes — chunk walk with CRC32 verification, multi-IDAT
-    zlib inflate (DEFLATE is stdlib), and all five scanline unfilters
-    implemented from the spec, exercised hard because the synth side
-    rotates the filter type per row (None/Sub/Up/Average/Paeth). The
-    oracle regenerates every pixel in SQL and aggregates, so the channel
-    sums verify the whole unfiltered pixel array and the top-left-pixel
-    column pins scanline order. bmp_pixel_decode covered the
-    pure-byte-layout raster case; this closes the entropy-coded case the
-    round-7 docstring still deferred ('PNG/JPEG stay behind the gate') —
-    JPEG alone remains library-gated, its codec not being in the stdlib.
-    Arrow-batched mapInPandas, partition-preserving, payloads never
-    shuffled."""
-    from mapreduce__spark.operators.multimodal import (
-        png_pixel_features,
-        with_png_payload,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return png_pixel_features(with_png_payload(docs))
-
-
-@query(
-    "png_adam7_decode",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id,
-             (doc_id * 3) % 14 + 3 AS width,
-             (doc_id * 7) % 13 + 3 AS height
-      FROM documents
-    ),
-    px AS (
-      SELECT doc_id, width, height,
-             unnest(generate_series(0, width - 1)) AS x
-      FROM dims
-    ),
-    pxy AS (
-      SELECT doc_id, width, height, x,
-             unnest(generate_series(0, height - 1)) AS y
-      FROM px
-    ),
-    p AS (
-      SELECT doc_id, width, height, x, y,
-             (11 * doc_id + 3 * x + 7 * y) % 256 AS r,
-             (3 * doc_id + 8 * x + y) % 256      AS g,
-             (9 * doc_id + x + 4 * y) % 256      AS b,
-             x + 2 * y + 1                       AS wgt
-      FROM pxy
-    )
-    SELECT doc_id,
-           CAST(width AS BIGINT)  AS width,
-           CAST(height AS BIGINT) AS height,
-           CAST(count(*) AS BIGINT) AS n_pixels,
-           CAST(sum(r) AS BIGINT) AS sum_r,
-           CAST(sum(g) AS BIGINT) AS sum_g,
-           CAST(sum(b) AS BIGINT) AS sum_b,
-           CAST(sum(wgt * r) AS BIGINT) AS wsum_r,
-           CAST(sum(wgt * g) AS BIGINT) AS wsum_g,
-           CAST(sum(wgt * b) AS BIGINT) AS wsum_b
-    FROM p
-    GROUP BY doc_id, width, height
-    """,
-    tags=("tier2", "multimodal"),
-)
-def png_adam7_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADAM7-INTERLACED PNG decode (round 12) — the progressive-rendering
-    layout web crawls actually contain, and the png_pixel_decode
-    docstring's last deferred PNG shape: seven sub-image passes sampling
-    the spec's 8x8 pattern, each filtered INDEPENDENTLY (own scanline
-    widths, own zero previous row, per-pass rotating filter types), with
-    dimensions small enough that several passes are genuinely EMPTY for
-    some docs (contributing no bytes at all — a real-decoder hazard).
-    Plain channel sums are placement-INVARIANT (any pass-table transpose
-    yields the same pixel multiset), so the query also emits
-    coordinate-weighted sums sum((x + 2y + 1) * channel) that any wrong
-    pass-to-grid mapping shifts; the oracle recomputes both from the
-    pixel law. The pass table itself is pinned against the spec's
-    pattern-matrix literal in tests/test_round12_properties.py.
-    Arrow-batched mapInPandas, payloads never shuffle."""
-    from mapreduce__spark.operators.multimodal import (
-        png_adam7_features,
-        with_png_adam7_payload,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return png_adam7_features(with_png_adam7_payload(docs))
-
-
-@query(
-    "gif_pixel_decode",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id,
-             doc_id % 9 + 4        AS width,
-             (doc_id * 3) % 7 + 4  AS height
-      FROM documents
-    ),
-    px AS (
-      SELECT doc_id, width, height,
-             unnest(generate_series(0, width - 1)) AS x
-      FROM dims
-    ),
-    pxy AS (
-      SELECT doc_id, width, height, x,
-             unnest(generate_series(0, height - 1)) AS y,
-             (doc_id + 3 * x + 7 * unnest(generate_series(0, height - 1))) % 8
-               AS c
-      FROM px
-    )
-    SELECT doc_id,
-           CAST(width AS BIGINT)  AS width,
-           CAST(height AS BIGINT) AS height,
-           CAST(count(*) AS BIGINT) AS n_pixels,
-           CAST(sum((11 * c + doc_id) % 256) AS BIGINT)    AS sum_r,
-           CAST(sum((5 * c + 2 * doc_id) % 256) AS BIGINT) AS sum_g,
-           CAST(sum((3 * c + 7 * doc_id) % 256) AS BIGINT) AS sum_b,
-           CAST((11 * (doc_id % 8) + doc_id) % 256
-              + (5 * (doc_id % 8) + 2 * doc_id) % 256
-              + (3 * (doc_id % 8) + 7 * doc_id) % 256 AS BIGINT) AS topleft_rgb
-    FROM pxy
-    GROUP BY doc_id, width, height
-    """,
-    tags=("tier2", "multimodal"),
-)
-def gif_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL LZW decode, zero media libraries: per doc a spec-valid GIF89a
-    is synthesized with REAL LZW-compressed pixel data (GIF's codec is
-    LZW, small enough to implement from the spec — unlike PNG there is
-    no stdlib codec to lean on, so BOTH sides are implemented here:
-    compressor and an independently-written decompressor, with the
-    decoder additionally validated against a canonical hand-verifiable
-    1x1 GIF byte vector produced by neither side). Decode hazards baked
-    into the synth: four-pass interlacing on every third doc, local
-    color table overriding a garbage global one on every odd doc,
-    extension-block skipping, multi-sub-block stream reassembly,
-    variable code width with the early-change off-by-one, and natural
-    KwKwK cases from the periodic pixel law. The oracle regenerates
-    every palette-mapped pixel in SQL; channel sums verify the whole
-    index array through the palette and the top-left pixel pins
-    de-interlacing. With BMP (byte layout), PNG (DEFLATE) and GIF (LZW)
-    all fully decoded, JPEG alone remains library-gated — arithmetic/
-    Huffman entropy coding plus DCT is the one codec with no stdlib
-    leverage. Arrow-batched mapInPandas, payloads never shuffled."""
-    from mapreduce__spark.operators.multimodal import (
-        gif_pixel_features,
-        with_gif_payload,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return gif_pixel_features(with_gif_payload(docs))
-
-
-@query(
-    "jpeg_pixel_decode",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id,
-             doc_id % 19 + 6       AS width,
-             (doc_id * 5) % 17 + 6 AS height,
-             doc_id % 3 = 2        AS gray
-      FROM documents
-    ),
-    px AS (
-      SELECT doc_id, width, height, gray,
-             unnest(generate_series(0, width - 1)) AS x
-      FROM dims
-    ),
-    pxy AS (
-      SELECT doc_id, width, height, gray, x // 8 AS bx,
-             unnest(generate_series(0, height - 1)) // 8 AS by
-      FROM px
-    )
-    SELECT doc_id,
-           CAST(width AS BIGINT)  AS width,
-           CAST(height AS BIGINT) AS height,
-           CAST(count(*) AS BIGINT) AS n_pixels,
-           CAST(sum((13 * doc_id + 7 * bx + 3 * by) % 256) AS BIGINT) AS sum_r,
-           CAST(CASE WHEN gray THEN 0
-                ELSE sum((3 * doc_id + 5 * bx + 11 * by) % 256) END
-                AS BIGINT) AS sum_g,
-           CAST(CASE WHEN gray THEN 0
-                ELSE sum((9 * doc_id + 2 * bx + 6 * by) % 256) END
-                AS BIGINT) AS sum_b,
-           CAST((13 * doc_id) % 256
-              + CASE WHEN gray THEN 0
-                ELSE (3 * doc_id) % 256 + (9 * doc_id) % 256 END
-                AS BIGINT) AS topleft_rgb
-    FROM pxy
-    GROUP BY doc_id, width, height, gray
-    """,
-    tags=("tier2", "multimodal"),
-)
-def jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline JPEG decode, zero media libraries — the LAST cell of
-    the decode matrix (BMP = byte layout, PNG = DEFLATE, GIF = LZW, JPEG
-    = Huffman entropy + DCT; T.81 has no stdlib leverage for ANY layer,
-    so both sides are spec-implemented: canonical Huffman codes from
-    BITS/HUFFVAL, DC prediction with category/EXTEND coding, AC run/size
-    with ZRL and EOB, byte stuffing, restart markers, zigzag,
-    dequantization, separable IDCT). Exactness comes from the fixture
-    class, not from skipping the transform: every 8x8 block is constant
-    per component, whose forward DCT is DC-only with DC = 8*(v-128) —
-    quantized exactly by the DC step pinned to 8 — so the decoder's full
-    pipeline reproduces the constants bit-exactly and the channel sums
-    hash-check cross-engine. Decode hazards baked into the synth:
-    grayscale single-component files every third doc, DRI + restart
-    markers every fifth, COM skipping, two quant tables in one DQT
-    segment, combined vs per-table DHT by parity, DC prediction crossing
-    sign/category boundaries. The general AC paths the DC-only fixtures
-    can't reach are pinned by a coefficient-layer round-trip property
-    test on RANDOM coefficients plus a hand-derived canonical entropy
-    vector (tests/test_round9_properties.py). Components are decoded AS
-    STORED (the YCbCr matrix is a pointwise transform outside the codec).
-    Arrow-batched mapInPandas, payloads never shuffled."""
-    from mapreduce__spark.operators.multimodal import (
-        jpeg_pixel_features,
-        with_jpeg_payload,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return jpeg_pixel_features(with_jpeg_payload(docs))
-
-
-@query(
-    "pandas_udf_grouped_median",
-    oracle="""
-    WITH s AS (
-        SELECT source, n_chars AS v,
-               row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
-               count(*) OVER (PARTITION BY source) AS n
-        FROM documents
-    )
-    SELECT source,
-           CAST(min(CASE WHEN rn = (n + 1) // 2 THEN v END)
-              + min(CASE WHEN rn = n // 2 + 1 THEN v END) AS BIGINT) AS med2
-    FROM s GROUP BY source
-    """,
-    tags=("tier2", "agg", "udf"),
-)
-def pandas_udf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pandas_udf GROUPED_AGG leg of the O-27 UDF-surface matrix —
-    the one Python-UDF API the tree exercised nowhere (the
-    udtf_token_positions docstring listed it on the strength of the
-    other six legs; this makes the claim true): a vectorized grouped
-    aggregate (pd.Series -> scalar, Arrow-batched per group) computing
-    the exact two-middles median statistic med2 = x_(ceil(n/2)) +
-    x_(floor(n/2)+1) over document lengths per source. Pure integer
-    arithmetic, so the API demonstration carries a full hash check, and
-    the statistic deliberately matches robust_outliers_mad's center —
-    three independent implementations (numpy sort here, the
-    value-histogram compaction there, the oracle's row_number SQL) must
-    agree on the same number.
-
-    Scale note: GROUPED_AGG ships each group's column through Arrow into
-    Python — the right tool when the aggregate has no Catalyst
-    expression form and groups are plentiful (parallelism = #groups).
-    For THIS statistic the production operator remains the
-    histogram-compaction query (one JVM-side aggregate, no Python on the
-    hot path); this is the API twin, the kernel_search_count
-    discipline."""
-    import pandas as pd
-
-    @F.pandas_udf("bigint")
-    def med2(v: pd.Series) -> int:
-        import numpy as np
-
-        a = np.sort(v.to_numpy(dtype=np.int64))
-        n = len(a)
-        return int(a[(n + 1) // 2 - 1] + a[n // 2])
-
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(med2(F.col("n_chars")).alias("med2"))
-
-
-@query(
-    "quantile_rank_normalize",
-    oracle="""
-    WITH hist AS (
-        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
-        FROM documents GROUP BY 1, 2
-    ), hc AS (
-        SELECT source, v, cnt,
-               CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v)
-                    AS BIGINT) AS cum
-        FROM hist
-    ), totals AS (
-        SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs
-        FROM hist GROUP BY 1
-    )
-    SELECT d.doc_id, d.source, d.n_chars,
-           CAST(2 * hc.cum - hc.cnt + 1 AS BIGINT) AS midrank2,
-           totals.n_docs
-    FROM documents d
-    JOIN hc ON d.source = hc.source AND d.n_chars = hc.v
-    JOIN totals ON d.source = totals.source
-    """,
-    tags=("tier2", "profiling", "quality"),
-)
-def quantile_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nonparametric per-source score calibration: every document gets
-    its within-source MIDRANK of length — the quantile-normalization
-    step that makes scores comparable ACROSS sources when their raw
-    distributions differ in shape (per_source_zscore assumes the shape
-    away; robust_outliers_mad resists it; this removes it: a doc at
-    midrank 0.9 is "longer than ~90% of its source" regardless of what
-    the source's length distribution looks like). Ties share the
-    averaged rank, kept integral as midrank2 = 2*cum - cnt + 1 (twice
-    the midrank: for a tie-run ending at running count `cum` with `cnt`
-    members, the average of ranks cum-cnt+1..cum is (2*cum - cnt + 1)/2)
-    alongside n_docs, so the consumer's percentile midrank2/(2*n_docs)
-    stays a deferred exact rational and the driver hash sees only longs.
-
-    Scale shape: the per-(source, length) histogram compacts the corpus
-    in the one aggregate pass (robust_outliers_mad's trick), the
-    running count windows over histogram rows only, and the rank map
-    joins BACK to the corpus on (source, length) — histogram-sized, so
-    AQE broadcasts it and the corpus is never shuffled or sorted; the
-    naive form is a per-source rank window over every row. Histogram
-    materialized so the join-back can't replan the aggregate."""
-    docs = load_table(spark, sf_dir, "documents")
-    hist = (
-        docs.groupBy("source", F.col("n_chars").alias("v"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    # rank map under join-local names: hist derives from docs, so
-    # joining back on shared column objects trips the ambiguous-self-join
-    # analyzer — rename the keys instead of qualifying them
-    rank_map = hist.withColumn("cum", F.sum("cnt").over(w)).select(
-        F.col("source").alias("_rm_source"),
-        F.col("v").alias("_rm_v"),
-        (2 * F.col("cum") - F.col("cnt") + 1).alias("midrank2"),
-    )
-    totals = hist.groupBy("source").agg(F.sum("cnt").alias("n_docs"))
-    return (
-        docs.select("doc_id", "source", "n_chars")
-        .join(
-            rank_map,
-            (F.col("source") == F.col("_rm_source"))
-            & (F.col("n_chars") == F.col("_rm_v")),
-        )
-        .drop("_rm_source", "_rm_v")
-        .join(totals, "source")
-        .select("doc_id", "source", "n_chars", "midrank2", "n_docs")
-    )
-
-
-ISOTONIC_BIN_WIDTH = 5  # score units per calibration bin
-ISOTONIC_MAX_BINS = 4096  # driver-side histogram guard
-
-
-@query(
-    "isotonic_calibration",
-    oracle=f"""
-    WITH b AS (
-      SELECT CAST(floor(value / {ISOTONIC_BIN_WIDTH}) AS BIGINT) AS bin,
-             CAST(count(*) AS BIGINT) AS n_events,
-             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_clicks
-      FROM events WHERE value IS NOT NULL GROUP BY 1
-    ),
-    c AS (
-      SELECT bin, n_events, n_clicks,
-             sum(n_clicks) OVER (ORDER BY bin) AS cp,
-             sum(n_events) OVER (ORDER BY bin) AS ct
-      FROM b
-    ),
-    pairs AS (
-      SELECT j.bin AS jb, k.bin AS kb,
-             (k.cp - j.cp + j.n_clicks) AS pjk,
-             (k.ct - j.ct + j.n_events) AS tjk
-      FROM c j JOIN c k ON j.bin <= k.bin
-    ),
-    inner_min AS (
-      SELECT i.bin AS ib, pr.jb,
-             min_by(struct_pack(p := pr.pjk, t := pr.tjk),
-                    pr.pjk * 1.0 / pr.tjk) AS mn,
-             min(pr.pjk * 1.0 / pr.tjk) AS mnv
-      FROM c i JOIN pairs pr ON pr.jb <= i.bin AND pr.kb >= i.bin
-      GROUP BY 1, 2
-    ),
-    outer_max AS (
-      SELECT ib, max_by(mn, mnv) AS mx FROM inner_min GROUP BY 1
-    )
-    SELECT b.bin, b.n_events, b.n_clicks,
-           CAST(((o.mx).p * 1000000) // (o.mx).t AS BIGINT) AS cal_micro
-    FROM b JOIN outer_max o ON o.ib = b.bin
-    """,
-    tags=("tier2", "pipeline", "agg", "calibration"),
-)
-def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Isotonic (PAV) score calibration — the standard monotone-regression
-    primitive for turning a raw model score into an empirical rate
-    (Zadrozny & Elkan 2002): bin events by score (`value`), count clicks
-    per bin, and fit the NON-DECREASING click-rate curve. Output is the
-    calibration table (bin, n_events, n_clicks, cal_micro) where
-    cal_micro is the fitted rate in exact integer micro-units.
-
-    Independence of the two sides: Spark runs Pool-Adjacent-Violators on
-    the driver over the bounded histogram (operators/calibration.py —
-    stack pooling, integer cross-multiplication); the oracle unrolls the
-    equivalent MINIMAX characterization f(i) = max_(j<=i) min_(k>=i)
-    rate(j..k) entirely in SQL (O(bins^3) pairs — fine at oracle scale,
-    and the double ordering key is exact here: distinct rationals with
-    denominators <= corpus size differ by >> double epsilon, and equal
-    rationals floor to the same micro-value, so argmin/argmax ties
-    cannot move the output).
-
-    SCALE: one map-side-combinable groupBy(bin) over the corpus — the
-    histogram is bounded by the binning law, PAV is O(bins) driver work,
-    and the fitted curve rides back as ONE literal map probed against
-    the (already tiny, checkpointed) histogram. The corpus never
-    shuffles; same compaction pattern as equidepth_deciles."""
-    from mapreduce__spark.operators.calibration import pav_nondecreasing
-    from mapreduce__spark.operators.staging import bounded_collect
-
-    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    # MATERIALIZED: the histogram feeds both the driver PAV collect and
-    # the output relation — left lazy, the output would replan a second
-    # corpus scan (the equidepth_deciles lesson).
-    hist = (
-        ev.groupBy(
-            F.floor(F.col("value") / ISOTONIC_BIN_WIDTH)
-            .cast("bigint")
-            .alias("bin")
-        )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum(
-                F.when(F.col("event_type") == "click", 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_clicks"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    rows = bounded_collect(
-        hist.orderBy("bin"), ISOTONIC_MAX_BINS, "isotonic score histogram"
-    )
-    fit = pav_nondecreasing([(r.bin, r.n_clicks, r.n_events) for r in rows])
-    cal = F.create_map(
-        *[
-            F.lit(x)
-            for b, (p, t) in fit.items()
-            for x in (b, p * 1_000_000 // t)
-        ]
-    )
-    return hist.withColumn(
-        "cal_micro", F.element_at(cal, F.col("bin")).cast("bigint")
-    )
-
-
-CUSUM_H_MULT = 5  # alarm threshold = CUSUM_H_MULT * reference rate k
-
-
-@query(
-    "cusum_drift",
-    oracle=f"""
-    WITH d AS (
-      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
-      FROM events GROUP BY 1
-    ),
-    kk AS (
-      SELECT CAST(sum(n_events) // count(*) AS BIGINT) AS k FROM d
-    ),
-    p AS (
-      SELECT day, n_events, k,
-             sum(n_events - k) OVER (ORDER BY day) AS pre
-      FROM d, kk
-    )
-    SELECT strftime(day, '%Y-%m-%d') AS day, n_events,
-           CAST(pre - least(0, min(pre) OVER (ORDER BY day)) AS BIGINT)
-               AS cusum,
-           (pre - least(0, min(pre) OVER (ORDER BY day)))
-               > {CUSUM_H_MULT} * k AS alarm
-    FROM p
-    """,
-    tags=("tier2", "window", "quality", "changepoint"),
-)
-def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM (Page 1954) volume-drift detection over the daily event
-    series — the sequential changepoint primitive behind data-quality
-    monitors: the one-sided statistic S_i = max(0, S_(i-1) + (x_i - k))
-    accumulates excess over the reference rate k = floor(mean daily
-    volume) and alarms when it crosses h = {CUSUM_H_MULT}k. Output is the
-    full path (day, n_events, cusum, alarm), not just alarms, so the
-    statistic itself is hash-checked.
-
-    The recurrence LOOKS inherently sequential, but the classic identity
-    S_i = P_i - least(0, min_(j<=i) P_j) (P = running sum of deviations)
-    turns it into TWO scans — and scans distribute: this query runs
-    distributed_cumsum then the new distributed_cummin, both range-bucket
-    two-phase operators (per-bucket window + O(P) driver prefix offsets
-    broadcast back as a literal map), so the same plan that handles 30
-    days here handles per-minute buckets over years without a one-task
-    window. The oracle computes the identity with plain SQL windows —
-    an independent formulation on the same exact integers (k is an
-    integer floor-division; deviations, prefixes and minima stay in
-    int64)."""
-    from mapreduce__spark.operators.windows import (
-        distributed_cummin,
-        distributed_cumsum,
-        idiv,
-    )
-
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events")
-    )
-    kdf = daily.agg(
-        idiv(F.sum("n_events"), F.count(F.lit(1))).cast("bigint").alias("k")
-    )
-    dev = daily.crossJoin(F.broadcast(kdf)).select(
-        "day",
-        "n_events",
-        "k",
-        # numeric, unique scan key for the range-bucket operators
-        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias("_dn"),
-        (F.col("n_events") - F.col("k")).alias("_dev"),
-    )
-    p = distributed_cumsum(dev, "_dn", "_dev", out_col="_pre")
-    s = distributed_cummin(p, "_dn", "_pre", out_col="_runmin")
-    cusum = F.col("_pre") - F.least(F.lit(0).cast("bigint"), F.col("_runmin"))
-    return s.select(
-        # ISO string, not DATE: the driver mirror reads Spark dates as
-        # objects but DuckDB dates as datetime64 — same value, different
-        # dtype token — so the one date-keyed output serializes the key
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
-        "n_events",
-        cusum.cast("bigint").alias("cusum"),
-        (cusum > CUSUM_H_MULT * F.col("k")).alias("alarm"),
-    )
-
-
-CDC_M = 2147483647  # Mersenne prime 2^31-1: fold products stay < 2^36
-CDC_W = 4  # rolling-hash window, tokens
-CDC_D = 8  # cut when window hash % D == 0 -> expected chunk ~D tokens
-CDC_B = 1000003  # window-fold base
-CDC_B2 = 1000033  # chunk-signature fold base
-
-
-def _cdc_chunks_sql_duck() -> str:
-    """Chunk derivation CTEs shared conceptually with the Spark
-    expressions (independent dialect text, same integer laws)."""
-    return f"""
-    t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ), th AS (
-      SELECT doc_id,
-        list_transform(toks, t ->
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(range(1, length(t)+1),
-                           i -> CAST(ord(substr(t, i, 1)) AS BIGINT))),
-            (a,b) -> (a*31+b) % {CDC_M})) AS ths,
-        len(toks) AS n
-      FROM t
-    ), cuts AS (
-      SELECT doc_id, ths, n,
-        list_filter(range({CDC_W}, n), i ->
-          list_reduce(list_prepend(CAST(0 AS BIGINT), ths[i-{CDC_W - 1}:i]),
-                      (a,b) -> (a*{CDC_B}+b) % {CDC_M}) % {CDC_D} = 0) AS cutpos
-      FROM th
-    ), b AS (
-      SELECT doc_id, ths,
-        list_concat(list_concat([CAST(0 AS BIGINT)],
-                    list_transform(cutpos, x -> CAST(x AS BIGINT))),
-                    [CAST(n AS BIGINT)]) AS bounds
-      FROM cuts
-    ), ch AS (
-      SELECT doc_id,
-        unnest(list_transform(range(2, len(bounds)+1), k ->
-          struct_pack(
-            sig := list_reduce(list_prepend(CAST(0 AS BIGINT),
-                       ths[bounds[k-1]+1:bounds[k]]),
-                       (a,b) -> (a*{CDC_B2}+b) % {CDC_M}),
-            ln := bounds[k] - bounds[k-1]))) AS c
-      FROM b
-    ), flat AS (
-      SELECT doc_id, (c).sig AS sig, (c).ln AS ln FROM ch
-    ), nd AS (
-      SELECT sig, count(DISTINCT doc_id) AS nd FROM flat GROUP BY 1
-    )"""
-
-
-@query(
-    "content_defined_chunking",
-    oracle=f"""
-    WITH {_cdc_chunks_sql_duck()}
-    SELECT f.doc_id,
-           CAST(count(*) AS BIGINT) AS n_chunks,
-           CAST(sum(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_shared_chunks,
-           CAST(sum(CASE WHEN nd.nd >= 2 THEN f.ln ELSE 0 END) AS BIGINT)
-               AS shared_tokens
-    FROM flat f JOIN nd ON f.sig = nd.sig
-    GROUP BY 1
-    """,
-    tags=("tier2", "dedup", "text"),
-)
-def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-defined chunking dedup (Rabin-style rolling hash — the
-    FastCDC/LBFS family): cut each document into VARIABLE-boundary chunks
-    wherever the w-token rolling hash hits 0 mod D, then count chunk-level
-    sharing across documents. Unlike the fixed 8-token chunks of
-    dedup_containment_chunks, content-defined boundaries survive
-    insertions/deletions — an edit reshapes only the chunks it touches,
-    which is why production dedup stores (and 100 TB corpus dedup) cut
-    this way. Output per doc: chunk count, chunks shared with >=2 docs,
-    and tokens inside shared chunks.
-
-    Everything integer-exact mod the Mersenne prime 2^31-1: per-token
-    char fold (a*31+c), window fold (a*{CDC_B}+h) over the trailing
-    {CDC_W} tokens, chunk-signature fold (a*{CDC_B2}+h) — all folds stay
-    under 2^36, and both dialects write their own fold text over the
-    same laws.
-
-    SCALE: the entire chunker is ONE scan-stage expression tree
-    (transform/filter/aggregate — whole-stage codegen, no UDF, payloads
-    never shuffle); only the narrow (doc_id, sig, len) chunk table
-    shuffles, once, for the signature groupBy, and the per-doc rollup
-    rides the same key. Spark-side hazards handled explicitly: sequence()
-    DESCENDS when start > stop (empty-cut guard for docs shorter than
-    w+1 tokens) and sequence(1, 0) on an empty token would walk
-    backwards (length-0 guard pinning the empty-token hash to 0, the
-    value DuckDB's empty fold yields naturally)."""
-    docs = load_table(spark, sf_dir, "documents")
-    ths = f"""
-      transform(split(text, ' '), t -> CASE WHEN length(t) = 0
-        THEN CAST(0 AS BIGINT)
-        ELSE aggregate(transform(sequence(1, length(t)),
-                                 i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)),
-                       CAST(0 AS BIGINT), (a, c) -> (a * 31 + c) % {CDC_M})
-        END)"""
-    chunk_expr = f"""
-      transform(sequence(2, size(_bounds)), k -> struct(
-        aggregate(slice(_ths, CAST(element_at(_bounds, k-1) + 1 AS INT),
-                        CAST(element_at(_bounds, k) - element_at(_bounds, k-1) AS INT)),
-                  CAST(0 AS BIGINT),
-                  (a, h) -> (a * {CDC_B2} + h) % {CDC_M}) AS sig,
-        element_at(_bounds, k) - element_at(_bounds, k-1) AS ln))"""
-    prepared = (
-        docs.select("doc_id", F.expr(ths).alias("_ths"))
-        .withColumn("_n", F.size("_ths"))
-        .withColumn(
-            "_cuts",
-            F.expr(
-                f"""CASE WHEN _n > {CDC_W} THEN
-                  filter(sequence({CDC_W}, _n - 1), i ->
-                    aggregate(slice(_ths, i - {CDC_W - 1}, {CDC_W}),
-                              CAST(0 AS BIGINT),
-                              (a, h) -> (a * {CDC_B} + h) % {CDC_M})
-                    % {CDC_D} = 0)
-                ELSE array() END"""
-            ),
-        )
-        .withColumn(
-            "_bounds",
-            F.expr(
-                "concat(array(CAST(0 AS BIGINT)),"
-                " transform(_cuts, x -> CAST(x AS BIGINT)),"
-                " array(CAST(_n AS BIGINT)))"
-            ),
-        )
-    )
-    chunks = (
-        prepared.select("doc_id", F.explode(F.expr(chunk_expr)).alias("c"))
-        .select(
-            "doc_id",
-            F.col("c.sig").alias("sig"),
-            F.col("c.ln").cast("bigint").alias("ln"),
-        )
-    )
-    # distinct-doc count as a WINDOW over sig, not groupBy + join back:
-    # the join form re-ran the whole per-token chunker expression tree as
-    # the probe side (2 FileScans in the AQE plan) — the window keeps ONE
-    # corpus scan and one sig-keyed shuffle, and per-sig doc sets are
-    # chunk-cardinality-bounded
-    wsig = Window.partitionBy("sig")
-    flagged = chunks.withColumn(
-        "_nd", F.size(F.collect_set("doc_id").over(wsig))
-    )
-    shared = F.col("_nd") >= 2
-    return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-        F.sum(F.when(shared, 1).otherwise(0)).cast("bigint").alias(
-            "n_shared_chunks"
-        ),
-        F.sum(F.when(shared, F.col("ln")).otherwise(0))
-        .cast("bigint")
-        .alias("shared_tokens"),
-    )
-
-
-RP_K = 8  # projection dimensions
-RP_M = 2147483647  # shared fold modulus (the CDC Mersenne prime)
-
-
-@query(
-    "random_projection_sketch",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ), tf AS (
-      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
-      WHERE tok <> '' GROUP BY 1, 2
-    ), th AS (
-      SELECT doc_id, tf,
-        list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(range(1, length(tok)+1),
-                         i -> CAST(ord(substr(tok, i, 1)) AS BIGINT))),
-          (a,b) -> (a*31+b) % {RP_M}) AS h
-      FROM tf
-    ), proj AS (
-      SELECT doc_id, j,
-        CAST(sum(CASE WHEN (h * 1000003 + j) % {RP_M} % 2 = 0
-                 THEN tf ELSE -tf END) AS BIGINT) AS v
-      FROM th, (SELECT unnest(range(0, {RP_K})) AS j)
-      GROUP BY 1, 2
-    )
-    SELECT doc_id, array_to_string(list(v ORDER BY j), ',') AS sketch
-    FROM proj GROUP BY 1
-    """,
-    tags=("tier2", "similarity", "text"),
-)
-def random_projection_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-hashed random projection (Johnson-Lindenstrauss / signed
-    feature hashing, Weinberger et al. 2009): project each document's
-    term-frequency vector onto {RP_K} pseudo-random +-1 directions —
-    the dimensionality-reduction front end for LSH tables, duplicate
-    sketches, and cheap similarity features at 100 TB. The projection
-    MATRIX never exists: the sign of term t in direction j is
-    (termhash(t) * 1000003 + j) mod 2 computed INLINE, so the operator is
-    explode -> one map-side-combinable (doc, j) aggregate — no join, no
-    broadcast, nothing but the narrow (doc_id, j, +-tf) stream shuffles.
-
-    Everything integer: the term hash is the shared char-fold mod 2^31-1
-    (same law as content_defined_chunking, independently written in each
-    dialect), signs are a parity test, coordinates are signed tf sums.
-    Output serializes the j-ordered coordinate vector to one CSV string
-    per doc (the grouped_collect_sorted convention — the driver
-    canonicalizer cannot sort list cells)."""
-    docs = load_table(spark, sf_dir, "documents")
-    tf = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .where(F.col("tok") != "")
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
-    th = tf.withColumn(
-        "h",
-        F.expr(
-            f"""CASE WHEN length(tok) = 0 THEN CAST(0 AS BIGINT)
-            ELSE aggregate(transform(sequence(1, length(tok)),
-                           i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT)),
-                           CAST(0 AS BIGINT),
-                           (a, c) -> (a * 31 + c) % {RP_M}) END"""
-        ),
-    )
-    proj = (
-        th.select(
-            "doc_id",
-            "tf",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(RP_K - 1))).alias("j"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("h") * 1000003 + F.col("j")) % RP_M % 2 == 0,
-                    F.col("tf"),
-                ).otherwise(-F.col("tf"))
-            )
-            .cast("bigint")
-            .alias("v")
-        )
-    )
-    return proj.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "v"))),
-                lambda s: s.getField("v").cast("string"),
-            ),
-            ",",
-        ).alias("sketch")
-    )
-
-
-MG_CAP = 63  # Misra-Gries capacity: guarantees every phi=1/(CAP+1) item
-
-
-@query(
-    "heavy_hitters_exact",
-    oracle="""
-    WITH t AS (
-      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
-    ), c AS (
-      SELECT tok, CAST(count(*) AS BIGINT) AS n
-      FROM t WHERE tok <> '' GROUP BY 1
-    ), tot AS (
-      SELECT CAST(sum(n) AS BIGINT) AS total FROM c
-    )
-    SELECT tok, n FROM c, tot WHERE n * 64 > total
-    """,
-    tags=("tier2", "text", "sketch"),
-)
-def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT phi-heavy hitters (phi = 1/64) through a mergeable sketch —
-    the sketch-then-verify pattern (LSH's shape applied to frequency):
-    a per-partition weighted Misra-Gries summary of capacity {MG_CAP}
-    guarantees every token with partition frequency > N_p/64 survives
-    that partition, and pigeonhole lifts the guarantee globally (a token
-    with total count > N/64 must exceed the threshold in SOME
-    partition), so the candidate union is a SUPERSET of the answer; an
-    exact recount of just the candidates then makes the output exact —
-    the MG pass only decides WHICH tokens get recounted, never a count.
-    Output: every token whose exact count n satisfies n*64 > N.
-
-    vs heavy_hitters_approx (rows-only, tolerance-gated): this query is
-    fully oracle-checked because the sketch is confined to candidate
-    GENERATION. SCALE: pass 1 is one Arrow-batched mapInPandas emitting
-    <= {MG_CAP}+1 rows per partition (the +1 row carries the partition's
-    token total, so N costs no extra scan); pass 2 recounts only
-    candidate tokens via a SIZE-GUARDED semi filter — the full token
-    stream never shuffles, and the candidate relation broadcasts only
-    while its probed count (cheap: the summary is checkpointed) stays
-    under HH_BROADCAST_LIMIT. The candidate set is <= {MG_CAP} rows PER
-    PARTITION, so on a 10^5-10^6-partition cluster an unconditional
-    broadcast would ship tens of millions of rows to every executor —
-    past the limit the recount falls back to a shuffle equi-join on the
-    token, the same probe-then-choose discipline as
-    operators/dedup.py::_probe_ids."""
-    return _heavy_hitters_exact(spark, sf_dir)
-
-
-# Above this many candidate tokens the exact-recount stage must not
-# broadcast the Misra-Gries candidate union: candidates are bounded by
-# MG_CAP (63) rows per partition, which is tiny locally but grows
-# LINEARLY WITH THE CLUSTER — at 10^6 input partitions the union can
-# reach ~64M rows, an executor-memory hazard exactly like the eval-gram
-# broadcast the round-6 verdict flagged. Under the limit a broadcast
-# hash semi filter avoids shuffling the token stream; past it both
-# sides are genuinely large and a shuffle equi-join is the right plan.
-HH_BROADCAST_LIMIT = 5_000_000
-
-
-def _heavy_hitters_exact(
-    spark: SparkSession, sf_dir: str, broadcast_limit: int = HH_BROADCAST_LIMIT
-) -> DataFrame:
-    """Body of heavy_hitters_exact with the broadcast guard exposed for
-    tests (tests/test_round10_properties.py::
-    test_heavy_hitters_broadcast_and_shuffle_paths_value_equal pins the
-    broadcast and shuffle recount paths value-equal by forcing
-    broadcast_limit=0)."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(F.split("text", " ")).alias("tok")
-    ).where(F.col("tok") != "")
-
-    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, int] = {}
-        total = 0
-        for pdf in batches:
-            vc = pdf["tok"].value_counts()
-            total += int(vc.sum())
-            for t, c in vc.items():
-                if t in counters:
-                    counters[t] += int(c)
-                    continue
-                counters[t] = int(c)
-                if len(counters) > MG_CAP:
-                    # weighted MG decrement: subtract the minimum counter
-                    # from everything, drop zeros — classic undercount
-                    # bound sum(d) <= N_p/(CAP+1) holds because each
-                    # decrement event charges CAP+1 live counters
-                    d = min(counters.values())
-                    counters = {
-                        k: v - d for k, v in counters.items() if v - d > 0
-                    }
-        yield pd.DataFrame(
-            {"tok": list(counters) + [None], "pn": [0] * len(counters) + [total]}
-        )
-
-    summary = toks.mapInPandas(mg, "tok string, pn bigint").localCheckpoint(
-        eager=True
-    )
-    n_total = summary.where(F.col("tok").isNull()).agg(
-        F.sum("pn").alias("total")
-    )
-    cands = summary.where(F.col("tok").isNotNull()).select("tok").distinct()
-    # probe-then-choose: the summary is already checkpointed, so this
-    # count touches <= (MG_CAP+1) x #partitions materialized rows, never
-    # the corpus. The guard is explicit because cands is a checkpoint
-    # with no stats — an unconditional hint is a scale hole at cluster
-    # partition counts (see HH_BROADCAST_LIMIT).
-    n_cands = cands.count()
-    probe = F.broadcast(cands) if n_cands <= broadcast_limit else cands
-    counted = (
-        toks.join(probe, "tok")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
-    return counted.crossJoin(F.broadcast(n_total)).where(
-        F.col("n") * 64 > F.col("total")
-    ).select("tok", "n")
-
-
-@query(
-    "welch_z_test",
-    oracle="""
-    WITH c AS (
-      SELECT event_type, user_id % 2 AS grp,
-             CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events WHERE value IS NOT NULL
-    ),
-    s AS (
-      SELECT event_type, grp, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(cents) AS BIGINT) AS sm,
-             CAST(sum(cents * cents) AS BIGINT) AS q
-      FROM c GROUP BY 1, 2
-    ),
-    w AS (
-      SELECT a.event_type, a.n AS n_a, b.n AS n_b,
-             (CAST(a.sm AS DOUBLE) / a.n - CAST(b.sm AS DOUBLE) / b.n)
-                 AS mean_diff_cents,
-             CAST(CAST(a.n AS HUGEINT) * a.q
-                  - CAST(a.sm AS HUGEINT) * a.sm AS DOUBLE)
-                 / (CAST(a.n AS DOUBLE) * (a.n - 1.0)) AS var_a,
-             CAST(CAST(b.n AS HUGEINT) * b.q
-                  - CAST(b.sm AS HUGEINT) * b.sm AS DOUBLE)
-                 / (CAST(b.n AS DOUBLE) * (b.n - 1.0)) AS var_b
-      FROM s a JOIN s b ON a.event_type = b.event_type
-      WHERE a.grp = 0 AND b.grp = 1 AND a.n > 1 AND b.n > 1
-    )
-    SELECT event_type, n_a, n_b, mean_diff_cents,
-           mean_diff_cents / sqrt(var_a / n_a + var_b / n_b) AS z
-    FROM w
-    """,
-    tags=("tier2", "agg", "stats"),
-)
-def welch_z_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Welch's unequal-variance two-sample z statistic per event_type,
-    comparing the even-user cohort (A) against the odd-user cohort (B)
-    on event value — the experiment-analysis primitive beside
-    source_drift_chi2's categorical test: difference of means over the
-    pooled standard error sqrt(var_a/n_a + var_b/n_b).
-
-    Determinism without rounding (the registry's raw-IEEE-chain rule):
-    values go to integer cents exactly (2-decimal money, so v*100 never
-    lands on a rounding tie), per-cohort moments (n, sum, sum-of-
-    squares) are exact int64, the variance numerator n*Q - S^2 is exact
-    in 128-bit integers (DECIMAL(38,0) / HUGEINT), and every double op
-    after that — two casts, divisions, a subtraction, one sqrt — is
-    written with the SAME structure in both dialects, so each step is
-    the identical correctly-rounded IEEE op on identical bits. No
-    round() anywhere: the chain is bit-identical by construction and
-    rounding could only break it (the events_ewma lesson).
-
-    SCALE: one map-side-combinable groupBy(event_type, cohort) over the
-    corpus — a fixed-size moment table; the join and the z arithmetic
-    are constant work. The same shape handles millions of experiment
-    cells: moments are mergeable, so per-day moment tables roll up
-    without rescanning events."""
-    dec = "decimal(38,0)"
-    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    c = ev.select(
-        "event_type",
-        (F.col("user_id") % 2).alias("grp"),
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-    )
-    # ONE conditional aggregate, no cohort self-join: the grouped form
-    # fed two filtered consumers and re-scanned events (2 FileScans in
-    # the AQE plan); conditional sums produce both cohorts' moments in a
-    # single pass with identical values
-    az = F.col("grp") == 0
-    j = (
-        c.groupBy("event_type")
-        .agg(
-            F.sum(F.when(az, 1).otherwise(0)).cast("bigint").alias("n_a"),
-            F.sum(F.when(az, F.col("cents")).otherwise(0))
-            .cast("bigint")
-            .alias("sm_a"),
-            F.sum(F.when(az, F.col("cents") * F.col("cents")).otherwise(0))
-            .cast("bigint")
-            .alias("q_a"),
-            F.sum(F.when(~az, 1).otherwise(0)).cast("bigint").alias("n_b"),
-            F.sum(F.when(~az, F.col("cents")).otherwise(0))
-            .cast("bigint")
-            .alias("sm_b"),
-            F.sum(F.when(~az, F.col("cents") * F.col("cents")).otherwise(0))
-            .cast("bigint")
-            .alias("q_b"),
-        )
-        .where((F.col("n_a") > 1) & (F.col("n_b") > 1))
-    )
-    mean_diff = (
-        F.col("sm_a").cast("double") / F.col("n_a")
-        - F.col("sm_b").cast("double") / F.col("n_b")
-    )
-    var_a = (
-        (
-            F.col("n_a").cast(dec) * F.col("q_a").cast(dec)
-            - F.col("sm_a").cast(dec) * F.col("sm_a").cast(dec)
-        ).cast("double")
-        / (F.col("n_a").cast("double") * (F.col("n_a") - F.lit(1.0)))
-    )
-    var_b = (
-        (
-            F.col("n_b").cast(dec) * F.col("q_b").cast(dec)
-            - F.col("sm_b").cast(dec) * F.col("sm_b").cast(dec)
-        ).cast("double")
-        / (F.col("n_b").cast("double") * (F.col("n_b") - F.lit(1.0)))
-    )
-    return j.select(
-        "event_type",
-        "n_a",
-        "n_b",
-        mean_diff.alias("mean_diff_cents"),
-        (
-            mean_diff
-            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
-        ).alias("z"),
-    )
-
-
-SIMHASH_BITS = 24  # bits drawn from the 31-bit shared char-fold hash
-
-
-@query(
-    "simhash_charfold",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ), h AS (
-      SELECT doc_id,
-        list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(range(1, length(tok)+1),
-                         i -> CAST(ord(substr(tok, i, 1)) AS BIGINT))),
-          (a,b) -> (a*31+b) % {CDC_M}) AS hv
-      FROM t WHERE tok <> ''
-    ), v AS (
-      SELECT doc_id, b.b,
-             sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-      FROM h CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS b) b
-      GROUP BY 1, 2
-    )
-    SELECT doc_id,
-           CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b)
-                    ELSE 0 END) AS BIGINT) AS simhash
-    FROM v GROUP BY doc_id
-    """,
-    tags=("tier2", "dedup"),
-)
-def simhash_charfold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints whose ENTIRE bit-majority pipeline is
-    oracle-checked — the cross-engine twin of dedup_simhash: the
-    production variant hashes tokens with xxhash64 (JVM-only, so it can
-    only be rows-only), while this one draws {SIMHASH_BITS} bits from
-    the shared char-fold hash mod 2^31-1 (the content_defined_chunking
-    law, independently written in each dialect), making every vote and
-    the assembled fingerprint exactly reproducible in SQL. Same
-    Charikar bit-majority semantics: per-token hash, +-1 vote per bit,
-    fingerprint = OR of majority bits.
-
-    SCALE: identical to the production variant — explode, one
-    map-side-combinable groupBy(doc_id) carrying {SIMHASH_BITS}
-    shifted-AND vote sums (all codegen), fingerprint assembly is
-    arithmetic on the aggregate row. Scales like a word count."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).where(F.col("tok") != "")
-    hashed = toks.select(
-        "doc_id",
-        F.expr(
-            f"""aggregate(transform(sequence(1, length(tok)),
-                          i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT)),
-                          CAST(0 AS BIGINT),
-                          (a, c) -> (a * 31 + c) % {CDC_M})"""
-        ).alias("hv"),
-    )
-    votes = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    voted = hashed.groupBy("doc_id").agg(*votes)
-    fp = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(
-            F.col(f"v{b}") > 0, F.lit(2**b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else (fp + term)
-    return voted.select("doc_id", fp.cast("bigint").alias("simhash"))
-
-
-@query(
-    "vocab_growth",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ), tt AS (
-      SELECT doc_id, tok FROM t WHERE tok <> ''
-    ), fd AS (
-      SELECT tok, CAST(min(doc_id) AS BIGINT) AS first_doc FROM tt GROUP BY 1
-    ), nv AS (
-      SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS new_types
-      FROM fd GROUP BY 1
-    ), nt AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tt GROUP BY 1
-    ), j AS (
-      SELECT nt.doc_id, coalesce(nv.new_types, 0) AS new_types, nt.n_tokens
-      FROM nt LEFT JOIN nv ON nv.doc_id = nt.doc_id
-    )
-    SELECT doc_id, new_types,
-           CAST(sum(new_types) OVER (ORDER BY doc_id) AS BIGINT) AS cum_vocab,
-           CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens
-    FROM j
-    """,
-    tags=("tier2", "text", "window"),
-)
-def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary growth curve (the Heaps-law measurement): for each doc
-    in corpus order, how many NEVER-SEEN-BEFORE token types it
-    introduces, plus the running vocabulary size and running token count
-    — the curve whose flattening tells a pipeline when more data stops
-    buying new vocabulary (dedup/quality regressions show up as kinks).
-
-    First occurrence is a groupBy(token).min(doc_id) — the same
-    first-occurrence idiom as paragraph dedup — so "new type" needs no
-    ordered scan; the two running totals then ride distributed_cumsum
-    (range-bucket two-phase, no one-task window), while the oracle uses
-    plain SQL windows over the same exact integers. Scale: two
-    combinable aggregates over the token stream + the cumsum's bounded
-    offset pass; the corpus text never shuffles, only (token, doc_id)
-    and the per-doc count table."""
-    from mapreduce__spark.operators.windows import distributed_cumsum
-
-    docs = load_table(spark, sf_dir, "documents")
-    tt = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).where(F.col("tok") != "")
-    nv = (
-        tt.groupBy("tok")
-        .agg(F.min("doc_id").cast("bigint").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("new_types"))
-    )
-    nt = tt.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
-    )
-    j = nt.join(nv, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("new_types"), F.lit(0).cast("bigint")).alias(
-            "new_types"
-        ),
-        "n_tokens",
-    )
-    c1 = distributed_cumsum(j, "doc_id", "new_types", out_col="cum_vocab")
-    c2 = distributed_cumsum(c1, "doc_id", "n_tokens", out_col="cum_tokens")
-    return c2.select(
-        "doc_id",
-        "new_types",
-        F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
-        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
-    )
-
-
-RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
-RRF_SCALE = 1_000_000_000_000  # contribution = SCALE // (K + rank), exact
-RRF_TOP = 20
-
-
-def _rrf_oracle() -> str:
-    from mapreduce__spark.plans.registry import REGISTRY
-
-    bm = REGISTRY["bm25_rank"].oracle
-    lm = REGISTRY["bigram_lm_score"].oracle
-    return f"""
-    WITH bm AS (SELECT * FROM ({bm})),
-    lm AS (SELECT * FROM ({lm})),
-    rb AS (
-      SELECT doc_id,
-             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
-                 AS r
-      FROM bm
-    ),
-    rl AS (
-      SELECT doc_id,
-             CAST(row_number() OVER (ORDER BY nll ASC, doc_id) AS BIGINT)
-                 AS r
-      FROM lm
-    ),
-    f AS (
-      SELECT coalesce(rb.doc_id, rl.doc_id) AS doc_id,
-             CAST(coalesce({RRF_SCALE} // ({RRF_K} + rb.r), 0)
-                + coalesce({RRF_SCALE} // ({RRF_K} + rl.r), 0) AS BIGINT)
-                 AS rrf,
-             rb.r AS rank_bm25, rl.r AS rank_lm
-      FROM rb FULL OUTER JOIN rl ON rb.doc_id = rl.doc_id
-    )
-    SELECT doc_id, rrf, rank_bm25, rank_lm
-    FROM f ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
-    """
-
-
-@query(
-    "rrf_fusion",
-    oracle=_rrf_oracle(),
-    tags=("tier2", "text", "index", "retrieval"),
-)
-def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reciprocal-rank fusion (Cormack et al. 2009, k={RRF_K}) of two
-    document rankings — BM25 lexical relevance for the corpus's head
-    query and the interpolated bigram-LM fluency prior — the standard
-    hybrid-retrieval combiner (and, in data curation, the standard way
-    to blend quality signals whose scores live on incomparable scales:
-    RRF consumes only RANKS). Output: the fused top-{RRF_TOP} with each
-    doc's per-ranking rank (NULL where a ranking never scored it).
-
-    Exactness: both input scores are already bit-identical cross-engine
-    (the decimal-sum and rounded-libm recipes of their source queries),
-    so ranks with (score, doc_id) tie-breaks are deterministic, and the
-    fused score is pure integer floor-division ({RRF_SCALE} // (k+r)) —
-    no floats ever enter the fusion. Ranking uses
-    distributed_row_number (range-bucket two-phase, no one-task window)
-    over the NEGATED score for the descending order; the oracle
-    composes both source queries' full SQL as subquery CTEs and fuses
-    with plain windows — top-{RRF_TOP} ordering is part of the
-    semantics, kept on both sides with the doc_id tie-break."""
-    from mapreduce__spark.operators.windows import distributed_row_number, idiv
-
-    bm = bm25_rank(spark, sf_dir).select(
-        "doc_id", (-F.col("score")).alias("_neg")
-    )
-    rb, _n1 = distributed_row_number(bm, ["_neg", "doc_id"], out_col="r")
-    rb = rb.select("doc_id", F.col("r").cast("bigint").alias("rank_bm25"))
-    lm = bigram_lm_score(spark, sf_dir).select("doc_id", "nll")
-    rl, _n2 = distributed_row_number(lm, ["nll", "doc_id"], out_col="r")
-    rl = rl.select("doc_id", F.col("r").cast("bigint").alias("rank_lm"))
-    f = rb.join(rl, "doc_id", "full_outer")
-    contrib = lambda r: F.coalesce(  # noqa: E731 — two-use local shape
-        idiv(F.lit(RRF_SCALE), F.lit(RRF_K) + r), F.lit(0)
-    ).cast("bigint")
-    return (
-        f.select(
-            "doc_id",
-            (contrib(F.col("rank_bm25")) + contrib(F.col("rank_lm"))).alias(
-                "rrf"
-            ),
-            "rank_bm25",
-            "rank_lm",
-        )
-        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
-        .limit(RRF_TOP)
-    )
-
-
-QSKETCH_ALPHA = 0.01  # DDSketch relative-error target for the query below
-
-
-@query(
-    "quantile_sketch_values",
-    oracle=None,  # approximate by design — the alpha relative-error
-    # guarantee vs exact percentile_disc, the EXACT sketch merge law,
-    # and the fixed-universe state bound are asserted in
-    # tests/test_qsketch.py (the heavy_hitters_approx precedent)
-    tags=("tier2", "agg", "sketch", "approx"),
-)
-def quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable approximate quantiles over an unbounded-cardinality
-    DOUBLE measure — the one 100 TB primitive the exact (value -> count)
-    histogram machinery (incremental_percentiles,
-    stream_quantile_histogram) structurally cannot cover, because its
-    state is bounded only by the measure's cardinality. This is the
-    DDSketch construction (Masson/Rim/Lee, PVLDB 2019; see
-    operators/qsketch.py): bucket = ceil(log_gamma(value)) with
-    gamma = (1+a)/(1-a), so the sketch is counts over a FIXED index
-    universe (~3.6e4 buckets at a=0.01 across the entire double range —
-    data-independent), bucket counts are exact, and the bucket picked
-    for quantile q is exactly the one holding the rank-q value, making
-    every estimate within relative error a of the true percentile_disc
-    — a hard guarantee, not a statistical one.
-
-    Output: per event_type, n_rows and the p50/p90/p99 estimates over
-    events.value. SCALE: the build is scan-stage bucketing + one
-    map-side-combined groupBy on (event_type, sgn, idx); the read is a
-    window PARTITIONED BY event_type over the bounded bucket rows; the
-    merge (sketch(A) ++ sketch(B) -> re-sum) is the commutative monoid
-    the streaming twin (streaming/streams.py stream_dd_quantiles) folds
-    in the state store. No UDF, nothing collected, state bounded by the
-    universe, never by row count or value cardinality."""
-    from mapreduce__spark.operators.qsketch import dd_quantiles, dd_sketch
-
-    ev = load_table(spark, sf_dir, "events")
-    sk = dd_sketch(ev, "value", ["event_type"], alpha=QSKETCH_ALPHA)
-    q = dd_quantiles(
-        sk, [(1, 2), (9, 10), (99, 100)], ["event_type"], alpha=QSKETCH_ALPHA
-    )
-    return q.select(
-        "event_type",
-        "n_rows",
-        F.col("q_1_2").alias("p50_est"),
-        F.col("q_9_10").alias("p90_est"),
-        F.col("q_99_100").alias("p99_est"),
-    )
-
-
-@query(
-    "quantile_sketch_dyadic",
-    oracle="""
-    WITH c AS (
-      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
-    ),
-    b AS (
-      SELECT event_type,
-             CASE WHEN cents > 0 THEN CAST(length(bin(cents)) AS BIGINT)
-                  ELSE 0 END AS bucket,
-             CAST(count(*) AS BIGINT) AS n
-      FROM c GROUP BY 1, 2
-    ),
-    w AS (
-      SELECT event_type, bucket, n,
-             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket)
-                  AS BIGINT) AS cum,
-             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
-      FROM b
-    ),
-    s AS (
-      SELECT event_type, CAST(max(total) AS BIGINT) AS n_rows,
-             min(CASE WHEN cum * 2 >= total THEN bucket END) AS b50,
-             min(CASE WHEN cum * 10 >= 9 * total THEN bucket END) AS b90,
-             min(CASE WHEN cum * 100 >= 99 * total THEN bucket END) AS b99
-      FROM w GROUP BY event_type
-    )
-    SELECT event_type, n_rows,
-           CAST(CASE WHEN b50 > 0 THEN CAST(pow(2, b50 - 1) AS BIGINT)
-                ELSE 0 END AS BIGINT) AS p50_lo_cents,
-           CAST(CASE WHEN b50 > 0 THEN CAST(pow(2, b50) AS BIGINT) - 1
-                ELSE 0 END AS BIGINT) AS p50_hi_cents,
-           CAST(CASE WHEN b90 > 0 THEN CAST(pow(2, b90 - 1) AS BIGINT)
-                ELSE 0 END AS BIGINT) AS p90_lo_cents,
-           CAST(CASE WHEN b90 > 0 THEN CAST(pow(2, b90) AS BIGINT) - 1
-                ELSE 0 END AS BIGINT) AS p90_hi_cents,
-           CAST(CASE WHEN b99 > 0 THEN CAST(pow(2, b99 - 1) AS BIGINT)
-                ELSE 0 END AS BIGINT) AS p99_lo_cents,
-           CAST(CASE WHEN b99 > 0 THEN CAST(pow(2, b99) AS BIGINT) - 1
-                ELSE 0 END AS BIGINT) AS p99_hi_cents
-    FROM s
-    """,
-    tags=("tier2", "agg", "sketch"),
-)
-def quantile_sketch_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ORACLE-ATTESTED face of the mergeable-quantile design (the
-    simhash_charfold precedent applied to sketches): power-of-two
-    bucketing over the integer cents measure — bucket = bit length of
-    the value, <= 64 buckets for ANY bigint — is integer-exact in both
-    engines, so the whole sketch-build + cumulative-rank + bucket-pick
-    pipeline that quantile_sketch_values runs with log-gamma buckets is
-    hash-checked end-to-end here with dyadic ones. Emits exact [lo, hi]
-    cent bounds bracketing each of p50/p90/p99 (factor-2 relative
-    brackets; the declared semantics is the BUCKETING, so the oracle is
-    exact — rank picks use the same integer cum*den >= num*total
-    comparison as the DD read path).
-
-    SCALE: identical shape to quantile_sketch_values — scan-stage
-    bucketing, one map-side-combined groupBy over <= 64 buckets per
-    event_type, a key-partitioned window over the bounded bucket rows.
-    Counts add bucket-wise, so partition/stream merges are the same
-    monoid fold."""
-    from mapreduce__spark.operators.qsketch import dyadic_sketch
-
-    ev = load_table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("bigint")
-    # NaN shares dd_sketch's drop-like-NULL discipline (round-10 ADVICE:
-    # a NaN would non-ANSI-cast to bucket 0 on the Spark side while the
-    # oracle's CAST(round(NaN) AS BIGINT) errors — filter it in BOTH)
-    sk = dyadic_sketch(
-        ev.where(F.col("value").isNotNull() & ~F.isnan("value")),
-        cents,
-        ["event_type"],
-    )
-    w = Window.partitionBy("event_type")
-    cum = sk.select(
-        "event_type",
-        "bucket",
-        F.sum("n").over(w.orderBy("bucket")).alias("cum"),
-        F.sum("n").over(w).alias("total"),
-    )
-
-    def pick(num: int, den: int, name: str):
-        return F.min(
-            F.when(F.col("cum") * den >= num * F.col("total"), F.col("bucket"))
-        ).alias(name)
-
-    s = cum.groupBy("event_type").agg(
-        F.max("total").cast("bigint").alias("n_rows"),
-        pick(1, 2, "b50"),
-        pick(9, 10, "b90"),
-        pick(99, 100, "b99"),
-    )
-
-    def lo(b):
-        return F.when(
-            F.col(b) > 0, F.pow(F.lit(2.0), F.col(b) - 1).cast("bigint")
-        ).otherwise(F.lit(0)).cast("bigint")
-
-    def hi(b):
-        return F.when(
-            F.col(b) > 0, F.pow(F.lit(2.0), F.col(b)).cast("bigint") - 1
-        ).otherwise(F.lit(0)).cast("bigint")
-
-    return s.select(
-        "event_type",
-        "n_rows",
-        lo("b50").alias("p50_lo_cents"),
-        hi("b50").alias("p50_hi_cents"),
-        lo("b90").alias("p90_lo_cents"),
-        hi("b90").alias("p90_hi_cents"),
-        lo("b99").alias("p99_lo_cents"),
-        hi("b99").alias("p99_hi_cents"),
-    )
-
-
-ANN_BUCKET_BITS = 4  # parity-plane sign bits: 2^4 candidate buckets
-
-
-def _ann_bucket_oracle() -> str:
-    """Generate the DuckDB twin of parity_bucket_signature + bucketed
-    top-k: per plane j, the dot product is list_reduce over the SAME
-    left-fold chain Spark's F.aggregate runs, with +-1 signs from the
-    SAME integer parity formula — the whole candidate set is therefore
-    bit-identical cross-engine, and the re-rank reuses the attested
-    ann_topk_bruteforce scoring contract (list_cosine_similarity,
-    round 4, neighbor_id tiebreak)."""
-    from mapreduce__spark.operators.similarity import (
-        ANN_PARITY_A,
-        ANN_PARITY_B,
-        ANN_PARITY_M,
-    )
-
-    dots = []
-    for j in range(ANN_BUCKET_BITS):
-        signed = (
-            f"list_transform(range(1, 65), i -> e[CAST(i AS INT)] * "
-            f"(CASE WHEN (i * CAST({ANN_PARITY_A} AS BIGINT) "
-            f"+ {j + 1} * CAST({ANN_PARITY_B} AS BIGINT)) "
-            f"% {ANN_PARITY_M} % 2 = 0 THEN 1.0 ELSE -1.0 END))"
-        )
-        fold = f"list_reduce(list_prepend(0.0, {signed}), (a, b) -> a + b)"
-        dots.append(f"(CASE WHEN {fold} > 0 THEN {1 << j} ELSE 0 END)")
-    bucket = " + ".join(dots)
-    probe_list = (
-        "["
-        + ", ".join(
-            ["qb"] + [f"xor(qb, CAST({1 << p} AS BIGINT))" for p in range(ANN_BUCKET_BITS)]
-        )
-        + "]"
-    )
-    return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    sg AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v),
-    q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qb
-          FROM sg WHERE vec_id IN (0, 1, 2, 3, 4)),
-    probes AS (
-        SELECT query_id, qe, unnest({probe_list}) AS pb FROM q
-    ),
-    scored AS (
-        SELECT p.query_id, s.vec_id AS neighbor_id,
-               list_cosine_similarity(p.qe, s.e) AS s,
-               row_number() OVER (PARTITION BY p.query_id
-                                  ORDER BY list_cosine_similarity(p.qe, s.e) DESC,
-                                           s.vec_id ASC) AS rank
-        FROM probes p JOIN sg s ON s.bucket = p.pb AND s.vec_id <> p.query_id
-    )
-    SELECT query_id, neighbor_id, round(s, 4) AS score, rank
-    FROM scored WHERE rank <= 5
-    """
-
-
-@query(
-    "ann_topk_buckets",
-    oracle=_ann_bucket_oracle(),
-    tags=("tier2", "similarity", "sketch"),
-)
-def ann_topk_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORACLE-CHECKED bucketed ANN (round-9 verdict item 4 — the
-    simhash_charfold precedent applied to similarity search): restrict
-    each query's candidates to its own sign-bit bucket plus the
-    hamming-1 multiprobe neighbors under {ANN_BUCKET_BITS}
-    integer-parity +-1 hyperplanes, then exact cosine top-5 re-rank
-    within the candidates. The DECLARED SEMANTICS is the bucketing
-    (deterministic, hash-checkable: parity signs are integer
-    arithmetic, probe buckets are integer XORs, dots are bit-identical
-    left-fold IEEE chains), so the oracle is exact — unlike ann_topk_lsh/ann_topk_ivf, whose float-
-    normal hyperplanes / centroid geometry make them rows-only,
-    recall-gated. Recall vs ann_topk_bruteforce is REPORTED by
-    tests/test_round10_properties.py, not claimed as contract.
-
-    SCALE: the 100 TB story of the rows-only LSH path with a green row —
-    signatures are scan-stage expressions, candidates come from an
-    equi-join on bucket against the broadcast query set (~n/2^bits
-    scored per query instead of n), and the re-rank shares
-    _topk_per_query's rank-pushdown window."""
-    from mapreduce__spark.operators.similarity import bucketed_topk
-
-    return bucketed_topk(
-        load_table(spark, sf_dir, "embeddings"),
-        ANN_QUERY_IDS,
-        k=5,
-        n_bits=ANN_BUCKET_BITS,
-    )
-
-
-@query(
-    "jpeg_pixel_decode_ac",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id,
-             doc_id % 19 + 6       AS width,
-             (doc_id * 5) % 17 + 6 AS height,
-             doc_id % 3 = 2        AS gray
-      FROM documents
-    ),
-    px AS (
-      SELECT doc_id, width, height, gray,
-             unnest(generate_series(0, width - 1)) AS x
-      FROM dims
-    ),
-    pxy AS (
-      SELECT doc_id, width, height, gray, x,
-             unnest(generate_series(0, height - 1)) AS y
-      FROM px
-    ),
-    p AS (
-      SELECT doc_id, width, height, gray,
-             (CASE WHEN x % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
-           * (CASE WHEN y % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END) AS s,
-             23 + ((13 * doc_id + 7 * (x // 8) + 3 * (y // 8)) % 256) % 210
-                 AS law_r,
-             23 + ((3 * doc_id + 5 * (x // 8) + 11 * (y // 8)) % 256) % 210
-                 AS law_g,
-             23 + ((9 * doc_id + 2 * (x // 8) + 6 * (y // 8)) % 256) % 210
-                 AS law_b
-      FROM pxy
-    )
-    SELECT doc_id,
-           CAST(width AS BIGINT)  AS width,
-           CAST(height AS BIGINT) AS height,
-           CAST(count(*) AS BIGINT) AS n_pixels,
-           CAST(sum(law_r + s * 7) AS BIGINT) AS sum_r,
-           CAST(CASE WHEN gray THEN 0
-                ELSE sum(law_g + s * (-11)) END AS BIGINT) AS sum_g,
-           CAST(CASE WHEN gray THEN 0
-                ELSE sum(law_b + s * 22) END AS BIGINT) AS sum_b,
-           CAST(sum(s * (law_r + s * 7)) AS BIGINT) AS checker_r,
-           CAST(CASE WHEN gray THEN 0
-                ELSE sum(s * (law_g + s * (-11))) END AS BIGINT) AS checker_g,
-           CAST(CASE WHEN gray THEN 0
-                ELSE sum(s * (law_b + s * 22)) END AS BIGINT) AS checker_b
-    FROM p
-    GROUP BY doc_id, width, height, gray
-    """,
-    tags=("tier2", "multimodal"),
-)
-def jpeg_pixel_decode_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The nonzero-AC JPEG fixture class (round-9 verdict item 5): every
-    block carries a planted quantized coefficient at natural (4,4) —
-    zigzag index 39, so the driver-attested decode path must walk TWO
-    ZRL symbols plus a run-6 AC code per block, the run/size machinery
-    the block-constant jpeg_pixel_decode never touches. Exactness
-    survives because the (4,4) basis is +-1/2 at every sample: the
-    dequantized amplitudes (56, -88, 176) contribute exactly
-    s(x)s(y) * (7, -11, 22) per pixel over the checkerboard
-    s = (+,-,-,+,+,-,-,+), and the block law is compressed into
-    [23, 232] so nothing clamps. The emitted checker-weighted sums
-    (sum of s(x)s(y)*pixel) are the non-vacuity device: a full
-    checkerboard cancels in the plain channel sums, but an AC-decode
-    failure shifts every checker column by amp * n_pixels, so the hash
-    cannot pass with the AC path broken. The oracle recomputes every
-    pixel from the synthesis law per (x, y) — fully independent of the
-    codec. Same Arrow-batched mapInPandas shape as the sibling decoders;
-    payloads never shuffle."""
-    from mapreduce__spark.operators.multimodal import (
-        jpeg_checker_features,
-        with_jpeg_ac_payload,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return jpeg_checker_features(with_jpeg_ac_payload(docs))
-
-
-@query(
-    "jpeg_pixel_decode_420",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id,
-             doc_id % 21 + 10       AS width,
-             (doc_id * 3) % 19 + 10 AS height
-      FROM documents
-    ),
-    px AS (
-      SELECT doc_id, width, height,
-             unnest(generate_series(0, width - 1)) // 16 AS mx
-      FROM dims
-    ),
-    pxy AS (
-      SELECT doc_id, width, height, mx,
-             unnest(generate_series(0, height - 1)) // 16 AS my
-      FROM px
-    )
-    SELECT doc_id,
-           CAST(width AS BIGINT)  AS width,
-           CAST(height AS BIGINT) AS height,
-           CAST(count(*) AS BIGINT) AS n_pixels,
-           CAST(sum((13 * doc_id + 7 * mx + 3 * my) % 256) AS BIGINT) AS sum_r,
-           CAST(sum((3 * doc_id + 5 * mx + 11 * my) % 256) AS BIGINT) AS sum_g,
-           CAST(sum((9 * doc_id + 2 * mx + 6 * my) % 256) AS BIGINT) AS sum_b,
-           CAST((13 * doc_id) % 256 + (3 * doc_id) % 256
-              + (9 * doc_id) % 256 AS BIGINT) AS topleft_rgb
-    FROM pxy
-    GROUP BY doc_id, width, height
-    """,
-    tags=("tier2", "multimodal"),
-)
-def jpeg_pixel_decode_420(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4:2:0 chroma-subsampled JPEG decode (round-10 verdict item 6) —
-    the dominant real-corpus JPEG shape, which the 1x1-sampled fixture
-    classes never exercise: each 16x16 MCU interleaves FOUR luma blocks
-    (T.81 A.2.3 order) before one Cb and one Cr block at quarter
-    resolution, DC prediction runs per component across the 6-block MCU,
-    and the decoder upsamples the chroma planes by sample replication
-    (pixel (x,y) reads chroma sample (x//2, y//2) — the declared JFIF
-    nearest-neighbor semantics). Exactness comes from the fixture law
-    being constant PER MACROBLOCK: all four luma blocks of an MCU share
-    one DC, so replication reproduces the law exactly and every channel
-    of every pixel is the law value at (x//16, y//16) — the oracle
-    recomputes that per pixel, fully independent of the codec. Odd
-    widths/heights exercise the ceil-division chroma sample grid; DRI +
-    restart markers every fifth doc now count 6-block MCUs. Same
-    Arrow-batched mapInPandas shape as the sibling decoders (and the
-    same decode_jpeg_pixels entry point — sampling is read from SOF0);
-    payloads never shuffle."""
-    from mapreduce__spark.operators.multimodal import (
-        jpeg_pixel_features,
-        with_jpeg_420_payload,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return jpeg_pixel_features(with_jpeg_420_payload(docs))
-
-
-@query(
-    "jpeg_pixel_decode_progressive",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id,
-             doc_id % 17 + 8       AS width,
-             (doc_id * 3) % 13 + 8 AS height,
-             doc_id % 3 = 2        AS gray
-      FROM documents
-    ),
-    px AS (
-      SELECT doc_id, width, height, gray,
-             unnest(generate_series(0, width - 1)) AS x
-      FROM dims
-    ),
-    pxy AS (
-      SELECT doc_id, width, height, gray, x,
-             unnest(generate_series(0, height - 1)) AS y
-      FROM px
-    ),
-    p AS (
-      SELECT doc_id, width, height, gray,
-             (CASE WHEN x % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
-           * (CASE WHEN y % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END) AS s,
-             23 + ((13 * doc_id + 7 * (x // 8) + 3 * (y // 8)) % 256) % 210
-                 AS law_r,
-             23 + ((3 * doc_id + 5 * (x // 8) + 11 * (y // 8)) % 256) % 210
-                 AS law_g,
-             23 + ((9 * doc_id + 2 * (x // 8) + 6 * (y // 8)) % 256) % 210
-                 AS law_b
-      FROM pxy
-    )
-    SELECT doc_id,
-           CAST(width AS BIGINT)  AS width,
-           CAST(height AS BIGINT) AS height,
-           CAST(count(*) AS BIGINT) AS n_pixels,
-           CAST(sum(law_r + s * 7) AS BIGINT) AS sum_r,
-           CAST(CASE WHEN gray THEN 0 ELSE sum(law_g) END AS BIGINT) AS sum_g,
-           CAST(CASE WHEN gray THEN 0 ELSE sum(law_b) END AS BIGINT) AS sum_b,
-           CAST(sum(s * (law_r + s * 7)) AS BIGINT) AS checker_r,
-           CAST(CASE WHEN gray THEN 0
-                ELSE sum(s * law_g) END AS BIGINT) AS checker_g,
-           CAST(CASE WHEN gray THEN 0
-                ELSE sum(s * law_b) END AS BIGINT) AS checker_b
-    FROM p
-    GROUP BY doc_id, width, height, gray
-    """,
-    tags=("tier2", "multimodal"),
-)
-def jpeg_pixel_decode_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PROGRESSIVE JPEG decode (SOF2, spectral selection) — the last
-    real-corpus JPEG shape after round-11's 4:2:0: a DC scan (interleaved,
-    baseline category coding) followed by one AC scan per component over
-    the 1..63 band, with the progressive-only EOBRUN coding exercised
-    BOTH ways — luma blocks each carry the planted (4,4) coefficient
-    (ZRL+ZRL+run-6, per-block EOB0) while color docs' chroma bands are
-    empty so the encoder emits single EOBn symbols spanning every block
-    of the component, the multi-block path baseline JPEG cannot express.
-    Every other doc additionally splits DC into SUCCESSIVE-
-    APPROXIMATION scans (Al=1 first pass + a one-raw-bit-per-block
-    refinement scan — exact because (v>>1)<<1 | (v&1) == v under
-    arithmetic shifts). The AC scans ship a custom DHT (the Annex-K
-    tables carry no EOBn symbols — as with real progressive encoders).
-    AC successive approximation and in-scan restart markers are
-    exercised by the round-12 sibling class jpeg_pixel_decode_ac_refine
-    (this fixture class stays restart-free by design). The
-    checker-weighted sums make the planted AC non-vacuous exactly as in
-    jpeg_pixel_decode_ac, and the oracle recomputes every pixel from the
-    synthesis law, independent of the codec. Arrow-batched mapInPandas,
-    payloads never shuffle."""
-    from mapreduce__spark.operators.multimodal import (
-        jpeg_progressive_features,
-        with_jpeg_progressive_payload,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return jpeg_progressive_features(with_jpeg_progressive_payload(docs))
-
-
-@query(
-    "jpeg_pixel_decode_ac_refine",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id,
-             (doc_id * 5) % 15 + 8 AS width,
-             (doc_id * 7) % 11 + 8 AS height,
-             doc_id % 3 = 2        AS gray
-      FROM documents
-    ),
-    px AS (
-      SELECT doc_id, width, height, gray,
-             unnest(generate_series(0, width - 1)) AS x
-      FROM dims
-    ),
-    pxy AS (
-      SELECT doc_id, width, height, gray, x,
-             unnest(generate_series(0, height - 1)) AS y
-      FROM px
-    ),
-    p AS (
-      SELECT doc_id, width, height, gray,
-             (CASE WHEN x % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
-           * (CASE WHEN y % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END) AS s,
-             CASE ((x // 8) + 2 * (y // 8) + doc_id) % 4
-                  WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN -1
-                  ELSE -2 END AS amp,
-             23 + ((13 * doc_id + 7 * (x // 8) + 3 * (y // 8)) % 256) % 210
-                 AS law_r,
-             23 + ((3 * doc_id + 5 * (x // 8) + 11 * (y // 8)) % 256) % 210
-                 AS law_g,
-             23 + ((9 * doc_id + 2 * (x // 8) + 6 * (y // 8)) % 256) % 210
-                 AS law_b
-      FROM pxy
-    )
-    SELECT doc_id,
-           CAST(width AS BIGINT)  AS width,
-           CAST(height AS BIGINT) AS height,
-           CAST(count(*) AS BIGINT) AS n_pixels,
-           CAST(sum(law_r + s * 7 * amp) AS BIGINT) AS sum_r,
-           CAST(CASE WHEN gray THEN 0
-                ELSE sum(law_g - s * 11) END AS BIGINT) AS sum_g,
-           CAST(CASE WHEN gray THEN 0
-                ELSE sum(law_b + s * 22) END AS BIGINT) AS sum_b,
-           CAST(sum(s * law_r + 7 * amp) AS BIGINT) AS checker_r,
-           CAST(CASE WHEN gray THEN 0
-                ELSE sum(s * law_g - 11) END AS BIGINT) AS checker_g,
-           CAST(CASE WHEN gray THEN 0
-                ELSE sum(s * law_b + 22) END AS BIGINT) AS checker_b
-    FROM p
-    GROUP BY doc_id, width, height, gray
-    """,
-    tags=("tier2", "multimodal"),
-)
-def jpeg_pixel_decode_ac_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Progressive JPEG with AC SUCCESSIVE APPROXIMATION and in-scan
-    RESTART markers (round-11 VERDICT item 4) — the scan script
-    mozjpeg-class encoders actually emit, closing the last non-arithmetic
-    rejection in the progressive decoder: each component's AC band is a
-    shifted first scan (Ah=0 Al=1, toward-zero point transform) plus a
-    T.81 G.1.2.3 refinement scan whose newly-nonzero coefficients are
-    run/size-1 symbols with sign bits and whose already-nonzero ones take
-    buffered CORRECTION BITS — through ZRL, per-block EOB0, and
-    multi-block EOB runs (bits riding the run). The luma (4,4) amplitude
-    varies per block over {1, 2, -1, -2} so all four paths occur; chroma
-    keeps the class constants (-1: empty first scan + per-block
-    refinement; +2: one EOBn spanning every block with one correction bit
-    each). Every other doc also splits DC into successive-approximation
-    scans; every fifth doc adds DRI + cyclic RSTn INSIDE the progressive
-    scans (byte-aligned segments, DC-predictor and EOB-run reset per
-    interval). The pixel law stays closed-form (block-constant base
-    +- 7*amp checkerboard), so the oracle recomputes every pixel
-    independently of the codec. Arrow-batched mapInPandas; payloads
-    never shuffle. Reference parity: tier-2 multimodal extension like
-    its siblings (the reference has no media handling)."""
-    from mapreduce__spark.operators.multimodal import (
-        jpeg_ac_refine_features,
-        with_jpeg_ac_refine_payload,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return jpeg_ac_refine_features(with_jpeg_ac_refine_payload(docs))
-
-
-STREAM_CUSUM_K = 10  # configured in-control daily rate (stream_cusum's k)
-STREAM_CUSUM_H = 5  # alarm threshold multiple
-
-
-@query(
-    "stream_cusum_fold",
-    oracle=f"""
-    WITH d AS (
-      SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(count(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2
-    ),
-    p AS (
-      SELECT event_type, day, n,
-             sum(n - {STREAM_CUSUM_K})
-                 OVER (PARTITION BY event_type ORDER BY day) AS pre
-      FROM d
-    ),
-    s AS (
-      SELECT event_type, day,
-             pre - least(0, min(pre)
-                 OVER (PARTITION BY event_type ORDER BY day)) AS cusum,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY day DESC) AS rn
-      FROM p
-    )
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_days,
-           CAST(sum(CASE WHEN rn = 1 THEN cusum END) AS BIGINT)
-               AS final_cusum,
-           CAST(sum(CASE WHEN cusum > {STREAM_CUSUM_H * STREAM_CUSUM_K}
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
-    FROM s GROUP BY event_type
-    """,
-    tags=("tier2", "streaming", "changepoint"),
-)
-def stream_cusum_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver attestation for the streaming CUSUM monitor (round-9
-    verdict item 8 — the stream_interval_join_batch discipline applied
-    to a STATEFUL operator): the Spark half executes stream_cusum's own
-    merge-then-recompute fold (streaming/streams.py batch_cusum_fold,
-    built from the two helpers the state update calls verbatim) over the
-    whole series per event_type — exactly what the stream's final
-    micro-batch emission computes from its merged state. The oracle is
-    an INDEPENDENT formulation: the prefix-min identity
-    S_i = P_i - least(0, min P_j) in plain SQL windows (the cusum_drift
-    identity, partitioned by event_type, with stream_cusum's CONFIGURED
-    k={STREAM_CUSUM_K} instead of the data-derived rate). Equality of
-    the fold with the stream's emission over random micro-batch splits
-    is pinned in tests/test_streaming.py.
-
-    SCALE: the fold ships each event_type's (day, ts) rows through
-    Arrow once — state stays the bounded day histogram; the oracle-side
-    identity is how the BATCH twin (cusum_drift) distributes the same
-    recurrence without a sequential pass."""
-    from mapreduce__spark.streaming.streams import batch_cusum_fold
-
-    ev = load_table(spark, sf_dir, "events")
-    return batch_cusum_fold(ev, k=STREAM_CUSUM_K, h_mult=STREAM_CUSUM_H)
-
-
-CM_PROBES = 20  # estimate the top-N tokens (deterministic n-desc/tok order)
-
-
-def _countmin_oracle() -> str:
-    """DuckDB twin of the count-min pipeline: same char-fold hash, same
-    per-row affine column map, same cell sums, same row-min estimate —
-    every step integer arithmetic, so the sketch AND the estimates are
-    bit-identical cross-engine (what makes a sketch query fully
-    hash-checkable here where murmur-hashed implementations are not)."""
-    from mapreduce__spark.operators.qsketch import (
-        CM_DEPTH,
-        CM_MOD,
-        CM_ROW_A,
-        CM_ROW_B,
-        CM_WIDTH,
-    )
-
-    a_case = " ".join(
-        f"WHEN {j} THEN CAST({CM_ROW_A[j]} AS BIGINT)" for j in range(CM_DEPTH)
-    )
-    b_case = " ".join(
-        f"WHEN {j} THEN CAST({CM_ROW_B[j]} AS BIGINT)" for j in range(CM_DEPTH)
-    )
-    return f"""
-    WITH t AS (
-      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
-    ), tf AS (
-      SELECT tok, CAST(count(*) AS BIGINT) AS n_true
-      FROM t WHERE tok <> '' GROUP BY 1
-    ), th AS (
-      SELECT tok, n_true,
-        list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(range(1, length(tok)+1),
-                         i -> CAST(ord(substr(tok, i, 1)) AS BIGINT))),
-          (a,b) -> (a*31+b) % {CM_MOD}) AS h
-      FROM tf
-    ), rows_ AS (
-      SELECT unnest(range(0, {CM_DEPTH})) AS row
-    ), cells AS (
-      SELECT row,
-             (h * (CASE row {a_case} END) + (CASE row {b_case} END))
-                 % {CM_MOD} % {CM_WIDTH} AS col,
-             CAST(sum(n_true) AS BIGINT) AS n
-      FROM th, rows_ GROUP BY 1, 2
-    ), probes AS (
-      SELECT tok, n_true, h FROM th
-      ORDER BY n_true DESC, tok ASC LIMIT {CM_PROBES}
-    ), pcells AS (
-      SELECT p.tok, p.n_true, r.row,
-             (p.h * (CASE r.row {a_case} END) + (CASE r.row {b_case} END))
-                 % {CM_MOD} % {CM_WIDTH} AS col
-      FROM probes p, rows_ r
-    )
-    SELECT pc.tok, CAST(max(pc.n_true) AS BIGINT) AS n_true,
-           CAST(min(coalesce(c.n, 0)) AS BIGINT) AS n_est
-    FROM pcells pc LEFT JOIN cells c ON c.row = pc.row AND c.col = pc.col
-    GROUP BY pc.tok
-    """
-
-
-@query(
-    "countmin_freq_estimate",
-    oracle=_countmin_oracle(),
-    tags=("tier2", "text", "sketch"),
-)
-def countmin_freq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch point-frequency estimates (Cormode &
-    Muthukrishnan 2005), fully oracle-checked: the third face of the
-    mergeable-sketch family (MG heavy hitters = who is frequent,
-    DDSketch = value quantiles, count-min = how often is THIS item).
-    Builds the CM_DEPTH x CM_WIDTH cell table from exact token counts —
-    the heavy shuffle is the vocabulary groupBy, map-side combinable;
-    cells are a bounded second aggregate — and reads back the row-min
-    estimate for the top-{CM_PROBES} tokens (deterministic count-desc/
-    token order). Estimates NEVER undercount (every cell holding a token
-    holds all its mass; the one-sided guarantee is pytest-pinned on
-    adversarial data alongside the exact merge law), and every step is
-    integer (char-fold hash mod 2^31-1, affine row salts, double mod),
-    so sketch and estimates hash-check cross-engine — the property
-    murmur-hashed sketch libraries cannot offer an external oracle.
-
-    SCALE: the sketch is <= CM_DEPTH*CM_WIDTH rows regardless of corpus
-    or vocabulary size — the bounded summary a 100 TB profiler keeps hot
-    while the corpus stays cold; merging shards is cell-wise addition.
-    The probe read joins a broadcast probe set against the bounded cell
-    table; the CM_PROBES-row probe relation is materialized once (it
-    has two consumers — estimate keys and the final join — and a lazy
-    rank relation would replan a second corpus scan). At production
-    scale the probe list is a fixed query set, not a rank over the
-    corpus."""
-    from mapreduce__spark.operators.qsketch import (
-        countmin_build,
-        countmin_estimate,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(F.split("text", " ")).alias("tok")
-    ).where(F.col("tok") != "")
-    tf = toks.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_true")
-    )
-    # the probe relation is consumed twice (estimate keys + final join
-    # back); materialize its CM_PROBES rows once or AQE replans a third
-    # corpus scan for the second consumer (the round-9 lazy-relation
-    # lesson — bounded mechanically by the limit)
-    probes = (
-        tf.orderBy(F.col("n_true").desc(), F.col("tok").asc())
-        .limit(CM_PROBES)
-        .localCheckpoint(eager=True)
-    )
-    sk = countmin_build(toks)
-    est = countmin_estimate(sk, probes.select("tok"))
-    return probes.join(est, "tok").select("tok", "n_true", "n_est")
-
-
-def _hll_oracle() -> str:
-    """DuckDB twin of the char-fold HyperLogLog: same fold, same
-    multiply / xor-shift / multiply mix, same register split, same
-    integer register sum — and the raw estimator as the identical single
-    division of the shared float literal by the exact bigint sum."""
-    from mapreduce__spark.operators.qsketch import (
-        CM_MOD,
-        HLL_ALPHA_NUM,
-        HLL_M,
-        HLL_RANK_CAP,
-        HLL_SCALE,
-    )
-
-    return f"""
-    WITH c AS (
-      SELECT o_orderpriority AS pr, CAST(o_custkey AS VARCHAR) AS it
-      FROM orders
-    ),
-    h0 AS (
-      SELECT pr,
-        list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(range(1, length(it)+1),
-                         i -> CAST(ord(substr(it, i, 1)) AS BIGINT))),
-          (a,b) -> (a*31+b) % {CM_MOD}) AS h
-      FROM c
-    ),
-    h1 AS (SELECT pr, (h * CAST(2654435761 AS BIGINT)) % {CM_MOD} AS a FROM h0),
-    h2 AS (SELECT pr, xor(a, a >> 15) % {CM_MOD} AS b FROM h1),
-    h3 AS (SELECT pr, (b * CAST(1000003 AS BIGINT)) % {CM_MOD} AS h FROM h2),
-    reg AS (
-      SELECT pr, h % {HLL_M} AS j,
-             CASE WHEN h // {HLL_M} > 0
-                  THEN {HLL_RANK_CAP} - length(bin(h // {HLL_M}))
-                  ELSE {HLL_RANK_CAP} END AS r
-      FROM h3
-    ),
-    mx AS (
-      SELECT pr, j, CAST(max(r) AS BIGINT) AS m_rank FROM reg GROUP BY 1, 2
-    ),
-    agg AS (
-      SELECT pr, CAST(count(*) AS BIGINT) AS npres,
-             CAST(sum(CAST(pow(2, 50 - m_rank) AS BIGINT)) AS BIGINT) AS sp
-      FROM mx GROUP BY 1
-    ),
-    n AS (SELECT pr, CAST(count(*) AS BIGINT) AS n_rows FROM c GROUP BY 1)
-    SELECT n.pr AS o_orderpriority, n.n_rows,
-           CAST({HLL_M} - agg.npres AS BIGINT) AS v_empty,
-           CAST(agg.sp + ({HLL_M} - agg.npres) * {HLL_SCALE} AS BIGINT)
-               AS s_scaled,
-           {HLL_ALPHA_NUM!r}
-               / (agg.sp + ({HLL_M} - agg.npres) * {HLL_SCALE}) AS raw_est
-    FROM n JOIN agg ON n.pr = agg.pr
-    """
-
-
-@query(
-    "hll_distinct_charfold",
-    oracle=_hll_oracle(),
-    tags=("tier2", "agg", "sketch"),
-)
-def hll_distinct_charfold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog distinct-count with a CROSS-ENGINE-EXACT hash — the
-    oracle-attested face of O-12 (the simhash_charfold precedent applied
-    to cardinality): Spark's native approx_count_distinct keeps xxhash64
-    registers the oracle cannot reproduce, so the family was rows-only
-    until now. This twin runs the same FFGM construction over the shared
-    char-fold hash (+ multiply/xor-shift/multiply mixing, chosen by
-    MEASURED bias on the fixture key population): register = low 8 hash
-    bits, rank = leading zeros of the remaining 23, max per register
-    (the max monoid — shard merges are groupBy-MAX), then the summary
-    emits the INTEGER estimator components (v_empty, the exact scaled
-    register sum) plus the raw estimator as one correctly-rounded
-    division of a shared float literal — hash-identical both engines.
-    The ln-based linear-counting correction is applied from v_empty in
-    the tolerance gate (tests/test_qsketch.py: within 15% of exact
-    COUNT(DISTINCT) at both verify SFs — sf0.001 exercises the
-    linear-counting regime, sf0.01 the raw-estimator regime).
-
-    Counts distinct customers per order priority. SCALE: state is
-    <= {256} registers per key group regardless of cardinality; the
-    build is one map-side-combinable max aggregate over scan-stage hash
-    expressions — the profile primitive behind dedup-rate and
-    vocabulary-size monitoring at 100 TB."""
-    from mapreduce__spark.operators.qsketch import hll_registers, hll_summary
-
-    o = load_table(spark, sf_dir, "orders")
-    regs = hll_registers(
-        o, F.col("o_custkey").cast("string"), ["o_orderpriority"]
-    )
-    summary = hll_summary(regs, ["o_orderpriority"])
-    n = o.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows")
-    )
-    return n.join(summary, "o_orderpriority").select(
-        "o_orderpriority", "n_rows", "v_empty", "s_scaled", "raw_est"
-    )
-
-
-HLL_COHORT_A = "1-URGENT"
-HLL_COHORT_B = "5-LOW"
-
-
-def _hll_overlap_oracle() -> str:
-    """DuckDB twin of the HLL set-overlap algebra. The Spark side builds
-    the union summary by MAX-MERGING the two cohort register tables
-    (hll_union — the operator under attestation); the oracle builds it
-    from the CONCATENATED cohort rows. The two are exactly equal by the
-    max-monoid law (sketch(A ++ B) == merge(sketch(A), sketch(B)),
-    property-pinned in tests/test_qsketch.py), so the check attests the
-    merge itself. All components integer except the three raw estimates
-    (one correctly-rounded division each) and the inclusion-exclusion
-    sum (left-to-right over the same three doubles both engines)."""
-    from mapreduce__spark.operators.qsketch import (
-        CM_MOD,
-        HLL_ALPHA_NUM,
-        HLL_M,
-        HLL_RANK_CAP,
-        HLL_SCALE,
-    )
-
-    def regs(where: str, name: str) -> str:
-        return f"""
-    c_{name} AS (
-      SELECT CAST(o_custkey AS VARCHAR) AS it FROM orders WHERE {where}
-    ),
-    h0_{name} AS (
-      SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(range(1, length(it)+1),
-                         i -> CAST(ord(substr(it, i, 1)) AS BIGINT))),
-          (a,b) -> (a*31+b) % {CM_MOD}) AS h
-      FROM c_{name}
-    ),
-    h1_{name} AS (SELECT (h * CAST(2654435761 AS BIGINT)) % {CM_MOD} AS a FROM h0_{name}),
-    h2_{name} AS (SELECT xor(a, a >> 15) % {CM_MOD} AS b FROM h1_{name}),
-    h3_{name} AS (SELECT (b * CAST(1000003 AS BIGINT)) % {CM_MOD} AS h FROM h2_{name}),
-    mx_{name} AS (
-      SELECT h % {HLL_M} AS j,
-             CAST(max(CASE WHEN h // {HLL_M} > 0
-                  THEN {HLL_RANK_CAP} - length(bin(h // {HLL_M}))
-                  ELSE {HLL_RANK_CAP} END) AS BIGINT) AS m_rank
-      FROM h3_{name} GROUP BY 1
-    ),
-    s_{name} AS (
-      -- coalesce: an EMPTY cohort has zero register rows, so the SUM is
-      -- NULL; the correct sketch of an empty set is all-empty registers,
-      -- i.e. s_scaled = {HLL_M} * {HLL_SCALE} (round-10 ADVICE)
-      SELECT CAST({HLL_M} - count(*) AS BIGINT) AS v_empty,
-             CAST(coalesce(sum(CAST(pow(2, 50 - m_rank) AS BIGINT)), 0)
-                  + ({HLL_M} - count(*)) * {HLL_SCALE} AS BIGINT) AS s_scaled
-      FROM mx_{name}
-    )"""
-
-    blocks = ",\n".join(
-        regs(where, name).strip()
-        for where, name in (
-            (f"o_orderpriority = '{HLL_COHORT_A}'", "a"),
-            (f"o_orderpriority = '{HLL_COHORT_B}'", "b"),
-            (f"o_orderpriority IN ('{HLL_COHORT_A}', '{HLL_COHORT_B}')", "u"),
-        )
-    )
-    return f"""
-    WITH {blocks}
-    SELECT
-      s_a.v_empty AS v_a, s_a.s_scaled AS s_a,
-      {HLL_ALPHA_NUM!r} / s_a.s_scaled AS raw_a,
-      s_b.v_empty AS v_b, s_b.s_scaled AS s_b,
-      {HLL_ALPHA_NUM!r} / s_b.s_scaled AS raw_b,
-      s_u.v_empty AS v_u, s_u.s_scaled AS s_u,
-      {HLL_ALPHA_NUM!r} / s_u.s_scaled AS raw_u,
-      {HLL_ALPHA_NUM!r} / s_a.s_scaled + {HLL_ALPHA_NUM!r} / s_b.s_scaled
-        - {HLL_ALPHA_NUM!r} / s_u.s_scaled AS inter_raw_est
-    FROM s_a, s_b, s_u
-    """
-
-
-@query(
-    "hll_set_overlap",
-    oracle=_hll_overlap_oracle(),
-    tags=("tier2", "agg", "sketch"),
-)
-def hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL SET ALGEBRA with the merge operator itself under driver
-    attestation: union cardinality via per-register MAX (the max monoid
-    — the merge every shard/stream combination runs), intersection via
-    inclusion-exclusion over the three raw estimators. The Spark half
-    MERGES the two cohort register tables with hll_union; the oracle
-    rebuilds the union from concatenated rows — equal exactly by the
-    monoid law (sketch(A ++ B) == merge(sketch(A), sketch(B)),
-    property-pinned), so a green row here attests the merge, not just
-    two builds. Cohorts: distinct customers of '{HLL_COHORT_A}' vs
-    '{HLL_COHORT_B}' orders. Emits the deterministic estimator
-    components (v/s per cohort, raw estimates, the inclusion-exclusion
-    intersection estimate — left-to-right double arithmetic, identical
-    both engines); accuracy vs exact overlap is tolerance-gated in
-    tests/test_qsketch.py with the documented error-compounding caveat
-    (fine for overlap-rate profiling, not small intersections of huge
-    sets).
-
-    100 TB use: audience overlap, cross-corpus contamination rate,
-    dedup-rate-between-snapshots — WITHOUT a distinct-join over either
-    corpus: state is <= 3 x 256 register rows end to end."""
-    from mapreduce__spark.operators.qsketch import (
-        HLL_ALPHA_NUM,
-        HLL_SCALE,
-        HLL_M,
-        hll_registers,
-        hll_union,
-    )
-
-    o = load_table(spark, sf_dir, "orders")
-    item = F.col("o_custkey").cast("string")
-    ra = hll_registers(o.where(F.col("o_orderpriority") == HLL_COHORT_A), item)
-    rb = hll_registers(o.where(F.col("o_orderpriority") == HLL_COHORT_B), item)
-    ru = hll_union(ra, rb)
-
-    def summary(regs: DataFrame, suffix: str) -> DataFrame:
-        # coalesce: an EMPTY cohort has zero register rows, so the SUM is
-        # NULL; the correct empty-set sketch is all-empty registers —
-        # v_empty = HLL_M, s_scaled = HLL_M * HLL_SCALE (round-10 ADVICE)
-        agg = regs.groupBy().agg(
-            F.count(F.lit(1)).cast("bigint").alias("_npres"),
-            F.coalesce(
-                F.sum(
-                    F.pow(F.lit(2.0), F.lit(50) - F.col("m_rank")).cast(
-                        "bigint"
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("_sp"),
-        )
-        v = (F.lit(HLL_M) - F.col("_npres")).cast("bigint")
-        s = (F.col("_sp") + v * F.lit(HLL_SCALE)).cast("bigint")
-        return agg.select(
-            v.alias(f"v_{suffix}"),
-            s.alias(f"s_{suffix}"),
-            (F.lit(HLL_ALPHA_NUM) / s).alias(f"raw_{suffix}"),
-        )
-
-    joined = (
-        summary(ra, "a")
-        .crossJoin(F.broadcast(summary(rb, "b")))
-        .crossJoin(F.broadcast(summary(ru, "u")))
-    )
-    return joined.select(
-        "v_a",
-        "s_a",
-        "raw_a",
-        "v_b",
-        "s_b",
-        "raw_b",
-        "v_u",
-        "s_u",
-        "raw_u",
-        (F.col("raw_a") + F.col("raw_b") - F.col("raw_u")).alias(
-            "inter_raw_est"
-        ),
-    )
-
-
-# --------------------------------------------------------------------------
-# Round-13: driver attestation for the remaining stream sketch folds
-# (round-12 VERDICT item 5) — the batch_cusum_fold discipline applied to
-# the Misra-Gries, count-min and quantile-histogram state updates: each
-# query executes the SAME fold helpers the state store calls
-# (streaming/streams.py), against an independent SQL oracle.
-# --------------------------------------------------------------------------
-
-MG_FOLD_CAP = 8  # small enough that decrements fire at every test scale
-
-
-def _mg_fold_oracle(cap: int, k: int = 64) -> str:
-    """Independent DuckDB simulation of the weighted Misra-Gries fold:
-    the insertion sequence (count DESC, user ASC — the deterministic
-    order _mg_batch_order pins) is replayed by a RECURSIVE CTE whose
-    state is the live (user, counter) list. Each recursion step folds a
-    chunk of k items through list_reduce — the accumulator is the MG
-    list itself, each element a singleton list so acc and element types
-    unify — turning O(items) recursion iterations into O(items/k),
-    which keeps the sf0.1 two-scale gate fast (3s, vs 58s unchunked)."""
-    insert = (
-        "list_filter("
-        "list_transform(list_append(acc, x[1]), "
-        "e -> struct_pack(u := e.u, v := e.v - "
-        f"CASE WHEN len(list_append(acc, x[1])) > {cap} "
-        "THEN list_min(list_transform(list_append(acc, x[1]), y -> y.v)) "
-        "ELSE 0 END)), "
-        "e -> e.v > 0)"
-    )
-    return f"""
-    WITH RECURSIVE items AS (
-      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY count(*) DESC, user_id) AS i
-      FROM events GROUP BY 1, 2
-    ),
-    m AS (
-      SELECT event_type, CAST(sum(c) AS BIGINT) AS n_seen,
-             CAST(ceil(count(*) / {k}.0) AS BIGINT) AS nsteps
-      FROM items GROUP BY 1
-    ),
-    chunks AS (
-      SELECT event_type, CAST(floor((i - 1) / {k}) AS BIGINT) AS step,
-             list([struct_pack(u := user_id, v := c)] ORDER BY i) AS chunk
-      FROM items GROUP BY 1, 2
-    ),
-    sim AS (
-      SELECT event_type, CAST(0 AS BIGINT) AS step,
-             CAST([] AS STRUCT(u BIGINT, v BIGINT)[]) AS mg
-      FROM m
-      UNION ALL
-      SELECT s.event_type, s.step + 1,
-             list_reduce(list_prepend(s.mg, c.chunk),
-                         (acc, x) -> {insert}) AS mg
-      FROM sim s
-      JOIN chunks c ON c.event_type = s.event_type AND c.step = s.step
-    ),
-    fin AS (
-      SELECT s.event_type, m.n_seen, unnest(s.mg) AS e
-      FROM sim s JOIN m ON m.event_type = s.event_type AND s.step = m.nsteps
-    )
-    SELECT event_type, e.u AS user_id, CAST(e.v AS BIGINT) AS est,
-           CAST(n_seen AS BIGINT) AS n_seen
-    FROM fin
-    """
-
-
-@query(
-    "stream_mg_fold",
-    oracle=_mg_fold_oracle(MG_FOLD_CAP),
-    tags=("tier2", "streaming", "sketch"),
-)
-def stream_mg_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver attestation for the streaming Misra-Gries heavy-hitters
-    state update (round-12 VERDICT item 5, the stream_cusum_fold
-    discipline): the Spark half runs stream_mg_heavy_hitters' OWN
-    weighted insert (streaming/streams.py _mg_insert, called verbatim by
-    the state store) over the whole series per event_type in the
-    deterministic (count DESC, user ASC) order _mg_batch_order pins for
-    both twins — exactly what the stream emits when every event lands in
-    one micro-batch. The oracle replays the identical insertion sequence
-    in a recursive CTE whose state is the live counter list (chunked
-    through list_reduce so recursion depth is items/64). MG is NOT
-    micro-batch-split-invariant — only its guarantees are (coverage of
-    every item with count > N/(cap+1), underestimation <= N/(cap+1)),
-    pinned per split in tests/test_streaming.py — so the external claim
-    here is the fold code itself, not split invariance.
-
-    SCALE: the fold ships each event_type's user_ids through Arrow once
-    and keeps <= cap+1 counters live — the bounded state that lets a
-    100 TB stream track heavy hitters without replay; the batch twin's
-    shuffle is one map-side-combinable groupBy(event_type). Reference
-    parity: tier-2 streaming extension (SURVEY §2b O-26)."""
-    from mapreduce__spark.streaming.streams import batch_mg_fold
-
-    ev = load_table(spark, sf_dir, "events")
-    return batch_mg_fold(ev, cap=MG_FOLD_CAP)
-
-
-def _cm_fold_oracle() -> str:
-    """DuckDB twin of the per-event_type count-min cell fold: the same
-    char-fold hash over the user_id rendered as a decimal string, the
-    same per-row affine column map, the same cell sums — all integer,
-    so the full live sketch hash-checks cross-engine."""
-    from mapreduce__spark.operators.qsketch import (
-        CM_DEPTH,
-        CM_MOD,
-        CM_ROW_A,
-        CM_ROW_B,
-        CM_WIDTH,
-    )
-
-    a_case = " ".join(
-        f"WHEN {j} THEN CAST({CM_ROW_A[j]} AS BIGINT)" for j in range(CM_DEPTH)
-    )
-    b_case = " ".join(
-        f"WHEN {j} THEN CAST({CM_ROW_B[j]} AS BIGINT)" for j in range(CM_DEPTH)
-    )
-    return f"""
-    WITH items AS (
-      SELECT event_type, CAST(user_id AS VARCHAR) AS s,
-             CAST(count(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2
-    ), th AS (
-      SELECT event_type, n,
-        list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(range(1, length(s)+1),
-                         i -> CAST(ord(substr(s, i, 1)) AS BIGINT))),
-          (a,b) -> (a*31+b) % {CM_MOD}) AS h
-      FROM items
-    ), rows_ AS (
-      SELECT unnest(range(0, {CM_DEPTH})) AS row
-    )
-    SELECT event_type, CAST(row AS BIGINT) AS row,
-           CAST((h * (CASE row {a_case} END) + (CASE row {b_case} END))
-               % {CM_MOD} % {CM_WIDTH} AS BIGINT) AS col,
-           CAST(sum(n) AS BIGINT) AS n
-    FROM th, rows_ GROUP BY 1, 2, 3
-    """
-
-
-@query(
-    "stream_countmin_fold",
-    oracle=_cm_fold_oracle(),
-    tags=("tier2", "streaming", "sketch"),
-)
-def stream_countmin_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver attestation for the streaming count-min state update
-    (round-12 VERDICT item 5): items are hashed to (row, col) cells with
-    the same Spark expressions stream_countmin pre-buckets with
-    (operators/qsketch.py _charfold / _cm_col), then the shared
-    _hist_merge_counts fold — the very code the state store calls —
-    accumulates the cell map batch-side per event_type, emitting the
-    full live sketch (event_type, row, col, n). Cell counts are an
-    additive monoid, so this EQUALS the stream's final emission over any
-    micro-batch split (pinned in tests/test_streaming.py) — unlike MG,
-    the fold here is split-invariant, which is exactly why the oracle
-    can be a plain charfold/affine GROUP BY instead of a sequential
-    simulation.
-
-    SCALE: state is <= CM_DEPTH*CM_WIDTH cells per event_type at ANY
-    cardinality; the batch twin's heavy shuffle is the (event_type,
-    user) pre-count, map-side combinable. Reference parity: tier-2
-    streaming extension (SURVEY §2b O-26)."""
-    from mapreduce__spark.streaming.streams import batch_cm_fold
-
-    ev = load_table(spark, sf_dir, "events")
-    return batch_cm_fold(ev, item_col="user_id")
-
-
-@query(
-    "stream_quantile_fold",
-    oracle="""
-    WITH c AS (
-      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
-    ),
-    b AS (
-      SELECT event_type,
-             CASE WHEN cents > 0 THEN CAST(length(bin(cents)) AS BIGINT)
-                  ELSE 0 END AS bucket,
-             CAST(count(*) AS BIGINT) AS n
-      FROM c GROUP BY 1, 2
-    ),
-    w AS (
-      SELECT event_type, bucket, n,
-             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket)
-                  AS BIGINT) AS cum,
-             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
-      FROM b
-    ),
-    s AS (
-      SELECT event_type, CAST(max(total) AS BIGINT) AS n_rows,
-             min(CASE WHEN cum * 2 >= total THEN bucket END) AS b50,
-             min(CASE WHEN cum * 10 >= 9 * total THEN bucket END) AS b90,
-             min(CASE WHEN cum * 100 >= 99 * total THEN bucket END) AS b99
-      FROM w GROUP BY event_type
-    )
-    SELECT event_type, n_rows,
-           CAST(CASE WHEN b50 > 0 THEN CAST(pow(2, b50 - 1) AS BIGINT)
-                ELSE 0 END AS BIGINT) AS p50_lo_cents,
-           CAST(CASE WHEN b50 > 0 THEN CAST(pow(2, b50) AS BIGINT) - 1
-                ELSE 0 END AS BIGINT) AS p50_hi_cents,
-           CAST(CASE WHEN b90 > 0 THEN CAST(pow(2, b90 - 1) AS BIGINT)
-                ELSE 0 END AS BIGINT) AS p90_lo_cents,
-           CAST(CASE WHEN b90 > 0 THEN CAST(pow(2, b90) AS BIGINT) - 1
-                ELSE 0 END AS BIGINT) AS p90_hi_cents,
-           CAST(CASE WHEN b99 > 0 THEN CAST(pow(2, b99 - 1) AS BIGINT)
-                ELSE 0 END AS BIGINT) AS p99_lo_cents,
-           CAST(CASE WHEN b99 > 0 THEN CAST(pow(2, b99) AS BIGINT) - 1
-                ELSE 0 END AS BIGINT) AS p99_hi_cents
-    FROM s
-    """,
-    tags=("tier2", "streaming", "sketch"),
-)
-def stream_quantile_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver attestation for the streaming quantile-sketch state update
-    (round-12 VERDICT item 5): stream_dd_quantiles' merge + value-order
-    walk + integer rank pick (streaming/streams.py _hist_merge_counts /
-    _hist_value_order / _hist_pick, called verbatim by the state store)
-    executed batch-side per event_type — on the ORACLE-SAFE dyadic cents
-    buckets rather than the gamma (libm-log) ones, the exact split that
-    made quantile_sketch_values rows-only while quantile_sketch_dyadic
-    hash-checks: the FOLD is bucket-scheme-agnostic, so running it over
-    power-of-two integer buckets attests the state-store code end-to-end
-    while the oracle states the same answer as a plain SQL window walk
-    (the quantile_sketch_dyadic formulation — which differs from this
-    query only in WHERE the walk runs: Spark window vs the state fold).
-
-    SCALE: bucketing is scan-stage; the fold ships <= 64 bucket counts
-    per event_type through Arrow — bounded state at any cardinality;
-    counts add bucket-wise so micro-batch splits fold to the same
-    sketch (pinned in tests/test_streaming.py). Reference parity:
-    tier-2 streaming extension (SURVEY §2b O-26)."""
-    from mapreduce__spark.streaming.streams import batch_quantile_fold
-
-    ev = load_table(spark, sf_dir, "events")
-    return batch_quantile_fold(ev)
-
-
-@query(
-    "kn_lm_score",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ), inst AS (
-        SELECT doc_id, toks[i] AS left_tok, toks[i + 1] AS right_tok
-        FROM t CROSS JOIN UNNEST(range(1, len(toks))) AS r(i)
-    ), big AS (
-        SELECT left_tok, right_tok, CAST(count(*) AS BIGINT) AS c12
-        FROM inst GROUP BY 1, 2
-    ), ctx AS (
-        SELECT left_tok, CAST(sum(c12) AS BIGINT) AS c1x,
-               CAST(count(*) AS BIGINT) AS a1
-        FROM big GROUP BY 1
-    ), cont AS (
-        SELECT right_tok, CAST(count(*) AS BIGINT) AS b2 FROM big GROUP BY 1
-    ), ttot AS (
-        SELECT CAST(count(*) AS DOUBLE) AS t FROM big
-    ), stats AS (
-        SELECT b.left_tok, b.right_tok, b.c12, c.c1x, c.a1, k.b2
-        FROM big b
-        JOIN ctx c ON b.left_tok = c.left_tok
-        JOIN cont k ON b.right_tok = k.right_tok
-    )
-    SELECT i.doc_id,
-           CAST(count(*) AS BIGINT) AS n_bigrams,
-           CAST((2 * sum(CAST(floor(-ln(
-                     ((4 * s.c12 - 3) * n.t + 3.0 * s.a1 * s.b2)
-                     / ((4.0 * s.c1x) * n.t)
-                 ) * 1000000 + 0.5) AS BIGINT)) + count(*))
-                // (2 * count(*)) AS DOUBLE) / 1000000 AS nll
-    FROM inst i
-    JOIN stats s ON i.left_tok = s.left_tok AND i.right_tok = s.right_tok
-    CROSS JOIN ttot n
-    GROUP BY i.doc_id
-    """,
-    tags=("tier2", "text", "pipeline"),
-)
-def kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interpolated KNESER-NEY bigram score (round-12 VERDICT item 7) —
-    the standard perplexity-filter upgrade over bigram_lm_score's
-    Jelinek-Mercer mixture (Kneser & Ney, ICASSP 1995; Chen & Goodman,
-    CL 1999): absolute discount d = 3/4 off every seen bigram, with the
-    reclaimed mass backing off to the CONTINUATION unigram — how many
-    distinct contexts a word FOLLOWS, not how often it occurs — which is
-    what demotes high-count-but-single-context words ("Francisco") that
-    fool the plain-frequency fallback:
-
-        p_KN(w2 | w1) = (c12 - d)/c1x + d*A1/c1x * B2/T
-                      = ((4*c12 - 3)*T + 3*A1*B2) / (4*c1x*T)
-
-    with A1 = distinct continuation types after w1, B2 = distinct
-    contexts before w2, T = total distinct bigram types. Every scored
-    instance exists in the model (trained on the same corpus), so
-    c12 >= 1 and the max(c12 - d, 0) clamp is identically c12 - d:
-    choosing d = 3/4 makes the whole probability ONE exact rational of
-    integers — the bigram_lm_score float discipline holds verbatim
-    (identical IEEE expression tree both engines, ln quantized to
-    integer micro-NLL via floor(x*1e6 + 0.5), half-up integer mean
-    division, one final /1e6).
-
-    Scale shape: identical to bigram_lm_score — the bigram table is the
-    one word-count-scaling aggregate; A1/c1x ride the same groupBy that
-    builds the context totals, B2 and T are two more aggregates OVER THE
-    BIGRAM TABLE (vocab-sized, not corpus-sized); the stats relation is
-    materialized once and instances equi-join it (AQE broadcasts the
-    vocab head when it fits). Law test vs a pure-Python KN reference in
-    tests/test_round13_properties.py. Reference parity: tier-2
-    text-pipeline extension (SURVEY §2b O-24)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks_col = tokenize(F.col("text"))
-
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(toks_col) - 1),
-        lambda i: F.struct(
-            F.element_at(toks_col, i).alias("left_tok"),
-            F.element_at(toks_col, i + 1).alias("right_tok"),
-        ),
-    )
-    # sequence() counts DOWN when stop < start: 1-token docs must yield
-    # no bigrams (the word_ngrams hazard)
-    guarded = F.when(F.size(toks_col) >= 2, make).otherwise(
-        F.array().cast("array<struct<left_tok:string,right_tok:string>>")
-    )
-    inst = docs.select("doc_id", F.explode(guarded).alias("p")).select(
-        "doc_id", "p.left_tok", "p.right_tok"
-    )
-    big = inst.groupBy("left_tok", "right_tok").agg(
-        F.count(F.lit(1)).alias("c12")
-    )
-    ctx = big.groupBy("left_tok").agg(
-        F.sum("c12").alias("c1x"), F.count(F.lit(1)).alias("a1")
-    )
-    cont = big.groupBy("right_tok").agg(F.count(F.lit(1)).alias("b2"))
-    ttot = big.agg(F.count(F.lit(1)).cast("double").alias("t"))
-    stats = (
-        big.join(ctx, "left_tok")
-        .join(cont, "right_tok")
-        .localCheckpoint(eager=True)
-    )
-
-    mix = (
-        ((F.lit(4) * F.col("c12") - F.lit(3)) * F.col("t"))
-        + (F.lit(3.0) * F.col("a1") * F.col("b2"))
-    ) / ((F.lit(4.0) * F.col("c1x")) * F.col("t"))
-    per_term_micro = F.floor(-F.log(mix) * 1000000 + F.lit(0.5)).cast(
-        "bigint"
-    )
-    return (
-        inst.join(stats, ["left_tok", "right_tok"])
-        .crossJoin(F.broadcast(ttot))
-        .withColumn("tm", per_term_micro)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            (
-                F.expr(
-                    "CAST((2 * sum(tm) + count(1)) DIV (2 * count(1)) "
-                    "AS DOUBLE)"
-                )
-                / 1000000
-            ).alias("nll"),
-        )
-    )
+# The tier-2 surface was split into per-family modules in round 13
+# (round-12 VERDICT item 6). Importing them here populates REGISTRY via
+# the @query decorator; the hoist below re-exports every name
+# (underscore helpers included) so the long-standing
+# `from mapreduce__spark.plans.tier2 import X` / `tier2.X` call sites
+# keep working unchanged. DRIVER_WINDOW (plans/registry.py) pins the
+# driver-checked prefix explicitly, so cross-module registration order
+# is not part of the window contract.
+from mapreduce__spark.plans import tier2_shared as _m_shared
+from mapreduce__spark.plans import tier2_text as _m_text
+from mapreduce__spark.plans import tier2_pipeline as _m_pipeline
+from mapreduce__spark.plans import tier2_dedup as _m_dedup
+from mapreduce__spark.plans import tier2_embedding as _m_embedding
+from mapreduce__spark.plans import tier2_multimodal as _m_multimodal
+from mapreduce__spark.plans import tier2_sources as _m_sources
+from mapreduce__spark.plans import tier2_events as _m_events
+from mapreduce__spark.plans import tier2_stats as _m_stats
+
+for _mod in (_m_shared, _m_text, _m_pipeline, _m_dedup, _m_embedding,
+             _m_multimodal, _m_sources, _m_events, _m_stats):
+    for _k, _v in vars(_mod).items():
+        if not _k.startswith("__"):
+            globals()[_k] = _v
+del _mod, _k, _v

@@ -106,6 +106,8 @@ PROBE = [
     "stream_countmin_fold",
     "stream_quantile_fold",
     "kn_lm_score",
+    "dedup_edit_distance",
+    "theil_sen_slope",
 ]
 
 

@@ -104,7 +104,11 @@ def test_fixture_staging_nondefault_dir_roundtrips(spark, tmp_path, monkeypatch)
     existing file rather than trust it blindly."""
     import os
 
-    from mapreduce__spark.plans import tier2
+    # patch the DEFINING module (tier2_shared since the round-13 family
+    # split): the tier2 facade re-exports values by copy, so patching
+    # the facade attribute would not reach the staging functions'
+    # globals
+    from mapreduce__spark.plans import tier2_shared as tier2
 
     bdir = str(tmp_path / "bin" / "v1")
     xdir = str(tmp_path / "xml" / "v1")

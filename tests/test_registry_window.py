@@ -74,8 +74,6 @@ TRIPLE_FILLERS: set[str] = {
     "word_count",
     "dedup_exact",
     "dedup_jaccard_exact",
-    "dedup_embedding_cosine",
-    "ann_topk_bruteforce",
 }
 _DISPLACEMENT_LOG = {
     # (round-13 additions pop the newest-last-green filler first — the
@@ -83,7 +81,10 @@ _DISPLACEMENT_LOG = {
     # from dedup_jaccard_exact. events_tumbling_window gave its slot to
     # stream_mg_fold; media_header_metadata to stream_countmin_fold;
     # image_header_metadata to stream_quantile_fold;
-    # embedding_correlation to kn_lm_score.)
+    # embedding_correlation to kn_lm_score; ann_topk_bruteforce to
+    # dedup_edit_distance; dedup_embedding_cosine to theil_sen_slope —
+    # the r4 group is exhausted; next pops come from the r3 group
+    # starting at dedup_jaccard_exact.)
 }
 
 

@@ -188,3 +188,170 @@ def test_contention_snapshot_trips_on_load5(monkeypatch):
     monkeypatch.setattr(_os, "getloadavg", lambda: (0.5, 1.0, 2.0))
     snap = bench._contention_snapshot()
     assert not snap["contended"]
+
+
+# ---------------------------------------------------------------------------
+# dedup_edit_distance: Pass-Join blocking is lossless
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.fixture(scope="module")
+def edit_corpus_sf(tmp_path_factory) -> str:
+    """Base strings plus planted 1/2/3-edit variants (substitution,
+    insertion, deletion — including edits that shift the prefix) and a
+    few short docs exercising the rpad path."""
+    import random
+
+    from tests.test_round13_advice import _write_documents
+
+    rng = random.Random(13)
+    alpha = "abcdef "
+    rows = []
+    doc_id = 0
+
+    def add(text):
+        nonlocal doc_id
+        doc_id += 1
+        rows.append((doc_id, text, "en", "web", len(text)))
+
+    for _ in range(18):
+        base = "".join(rng.choice(alpha) for _ in range(rng.randint(20, 40)))
+        add(base)
+        for n_edits in (1, 2, 3):
+            s = list(base)
+            for _ in range(n_edits):
+                op = rng.choice("sid")
+                pos = rng.randrange(max(1, len(s)))
+                if op == "s":
+                    s[pos] = rng.choice(alpha)
+                elif op == "i":
+                    s.insert(pos, rng.choice(alpha))
+                elif len(s) > 2:
+                    del s[pos]
+            add("".join(s))
+    add("ab")      # rpad-dominated
+    add("abc")
+    add(rows[0][1])  # exact duplicate of doc 1 -> ed = 0
+    d = str(tmp_path_factory.mktemp("edit_corpus"))
+    _write_documents(d, rows)
+    return d
+
+
+def test_dedup_edit_distance_equals_bruteforce(spark, edit_corpus_sf):
+    """The Pass-Join partition blocking must be LOSSLESS: the query's
+    output equals the all-pairs brute force over rpad'd prefixes
+    exactly — same pairs, same distances (recall 1 is the partition
+    guarantee, precision 1 is the verify step)."""
+    import duckdb
+
+    from mapreduce__spark.plans import REGISTRY
+    from mapreduce__spark.plans.tier2_dedup import ED_K, ED_PREFIX
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{edit_corpus_sf}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    padded = {d: (t + "$" * ED_PREFIX)[:ED_PREFIX] for d, t in docs}
+    want = set()
+    ids = sorted(padded)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ed = _lev(padded[a], padded[b])
+            if ed <= ED_K:
+                want.add((a, b, ed))
+    got = {
+        (r.id1, r.id2, r.ed)
+        for r in REGISTRY["dedup_edit_distance"].fn(spark, edit_corpus_sf).collect()
+    }
+    assert got == want and any(ed == 0 for _, _, ed in want)
+
+
+def test_dedup_edit_distance_matches_oracle_on_planted_corpus(spark, edit_corpus_sf):
+    from mapreduce__spark.plans import REGISTRY
+    from tests.oracle_harness import compare_with_oracle
+
+    q = REGISTRY["dedup_edit_distance"]
+    ok, msg = compare_with_oracle(q.fn(spark, edit_corpus_sf), q.oracle, edit_corpus_sf)
+    assert ok, msg
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_slope: robustness law vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+
+def test_theil_sen_matches_reference_and_shrugs_off_outliers(spark, tmp_path_factory):
+    """On a corpus where y = 3x + 7 exactly except for a 25% block of
+    wild outliers, the weighted-median slope must read exactly 3.0
+    (OLS on the same data is pulled far off — the estimator's reason to
+    exist), and the full per-source output must equal an independent
+    pure-Python weighted-median implementation."""
+    from tests.test_round13_advice import _write_documents
+    from mapreduce__spark.plans import REGISTRY
+
+    rows = []
+    doc_id = 0
+    # clean source: y = 3x + 7 for x in 1..12, repeated
+    for rep in range(3):
+        for x in range(1, 13):
+            doc_id += 1
+            rows.append((doc_id, " ".join(["t"] * x), "en", "clean", 3 * x + 7))
+    # contaminated source: same line, but every 4th doc has wild y
+    for rep in range(3):
+        for x in range(1, 13):
+            doc_id += 1
+            y = 99999 + 1000 * x if x % 4 == 0 else 3 * x + 7
+            rows.append((doc_id, " ".join(["t"] * x), "en", "dirty", y))
+    d = str(tmp_path_factory.mktemp("theil_sen"))
+    _write_documents(d, rows)
+
+    got = {
+        r.source: (r.n_pairs_w, r.median_slope)
+        for r in REGISTRY["theil_sen_slope"].fn(spark, d).collect()
+    }
+
+    # independent reference: weighted median over cell-pair slopes
+    import collections
+
+    cells: dict = collections.Counter()
+    for _, text, _, source, y in rows:
+        cells[(source, text.count(" ") + 1, y)] += 1
+    want = {}
+    for source in ("clean", "dirty"):
+        sl = collections.Counter()
+        cs = [(x, y, n) for (s, x, y), n in cells.items() if s == source]
+        for x1, y1, n1 in cs:
+            for x2, y2, n2 in cs:
+                if x1 < x2:
+                    sl[(y2 - y1) / (x2 - x1)] += n1 * n2
+        tot = sum(sl.values())
+        cum = 0
+        med = None
+        for s_val in sorted(sl):
+            cum += sl[s_val]
+            if cum * 2 >= tot:
+                med = s_val
+                break
+        want[source] = (tot, med)
+    assert got == want
+    assert got["clean"][1] == 3.0
+    assert got["dirty"][1] == 3.0  # 25% contamination, median unmoved
+    # and OLS on the dirty source really is destroyed (sanity context)
+    xs = [x for x in range(1, 13)] * 3
+    ys = [99999 + 1000 * x if x % 4 == 0 else 3 * x + 7 for x in xs]
+    n = len(xs)
+    beta = (n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)) / (
+        n * sum(x * x for x in xs) - sum(xs) ** 2
+    )
+    assert abs(beta - 3.0) > 100

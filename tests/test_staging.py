@@ -82,8 +82,9 @@ def test_raw_collect_sites_are_pinned():
         os.path.dirname(__file__), "..", "mapreduce__spark"
     )
     # file -> expected raw .collect() sites, each bounded by construction:
-    #   plans/tier2.py: limit(101) embedding sample; limit(BPE_TRAIN_VOCAB)
-    #     head; limit(VOCAB_SIZE) vocab fetch
+    #   plans/tier2_embedding.py: limit(101) embedding sample
+    #   plans/tier2_pipeline.py: limit(BPE_TRAIN_VOCAB) head;
+    #     limit(VOCAB_SIZE) vocab fetch
     #   search_cli.py / run_query.py / operators/kernel.py: declared sinks
     #   operators/cdc.py: two limit(1) offender probes
     #   operators/layout.py: limit(cap+1) histogram probe (fallback, not
@@ -91,7 +92,8 @@ def test_raw_collect_sites_are_pinned():
     #   operators/graph.py: limit(threshold+1) size probe
     #   operators/similarity.py: limit(k) seed fetch; isin(query_ids) fetch
     exemptions = {
-        "plans/tier2.py": 3,
+        "plans/tier2_embedding.py": 1,
+        "plans/tier2_pipeline.py": 2,
         "search_cli.py": 1,
         "run_query.py": 1,
         "operators/cdc.py": 2,
