@@ -1163,3 +1163,79 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
         .limit(RRF_TOP)
     )
+
+
+@query(
+    "token_entropy",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dg AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS k
+      FROM t GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS types
+      FROM dg GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(max(t.n) AS BIGINT) AS n_tokens,
+           CAST(max(t.types) AS BIGINT) AS n_types,
+           CAST(sum(d.k * CAST(floor(-ln(CAST(d.k AS DOUBLE)
+                                         / CAST(t.n AS DOUBLE))
+                                     * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS entropy_micro,
+           CAST(max(t.types) AS DOUBLE) / CAST(max(t.n) AS DOUBLE) AS ttr
+    FROM dg d JOIN tot t USING (doc_id)
+    GROUP BY 1
+    """,
+    tags=("tier2", "text", "quality"),
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon token entropy + type-token ratio (round
+    13) — the information-theoretic repetition/diversity signal the
+    quality family (stopword/digit ratios, Gopher rules, repetition
+    windows) was missing: keyword-stuffed or template-looped documents
+    score near-zero entropy while natural prose sits near ln(n_types),
+    and TTR is the classic lexical-diversity companion. Emitted as the
+    integer micro-entropy SUM (sum over types of k * micro(-ln(k/n)),
+    the bigram_lm_score quantization discipline: each -ln of one exact
+    rational is bit-identical cross-engine, floor(x*1e6 + 0.5) makes it
+    an exactly-summable integer) plus TTR as ONE raw int/int IEEE
+    division (the registry's exact-arithmetic rule: rounding could only
+    break it). Consumers divide by 1e6*n for the entropy in nats.
+
+    SCALE: explode -> map-side-combined (doc, token) counts -> one
+    doc_id-keyed join and aggregate; the corpus shuffles only its token
+    keys, the same shape as word_count/doc_token_stats. Reference
+    parity: tier-2 text-quality extension (SURVEY §2b O-24)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dg = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    tot = dg.groupBy("doc_id").agg(
+        F.sum("k").alias("n"), F.count(F.lit(1)).alias("types")
+    )
+    term_micro = F.floor(
+        -F.log(F.col("k").cast("double") / F.col("n").cast("double"))
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        dg.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.max("types").cast("bigint").alias("n_types"),
+            F.sum(F.col("k") * term_micro).cast("bigint").alias(
+                "entropy_micro"
+            ),
+            (
+                F.max("types").cast("double") / F.max("n").cast("double")
+            ).alias("ttr"),
+        )
+    )

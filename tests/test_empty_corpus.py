@@ -108,6 +108,7 @@ PROBE = [
     "kn_lm_score",
     "dedup_edit_distance",
     "theil_sen_slope",
+    "token_entropy",
 ]
 
 

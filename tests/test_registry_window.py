@@ -73,7 +73,6 @@ TRIPLE_FILLERS: set[str] = {
     "scalar_functions",
     "word_count",
     "dedup_exact",
-    "dedup_jaccard_exact",
 }
 _DISPLACEMENT_LOG = {
     # (round-13 additions pop the newest-last-green filler first — the
@@ -83,8 +82,8 @@ _DISPLACEMENT_LOG = {
     # image_header_metadata to stream_quantile_fold;
     # embedding_correlation to kn_lm_score; ann_topk_bruteforce to
     # dedup_edit_distance; dedup_embedding_cosine to theil_sen_slope —
-    # the r4 group is exhausted; next pops come from the r3 group
-    # starting at dedup_jaccard_exact.)
+    # exhausting the r4 group; dedup_jaccard_exact, the first r3-group
+    # pop (reverse registration order), to token_entropy.)
 }
 
 

@@ -355,3 +355,48 @@ def test_theil_sen_matches_reference_and_shrugs_off_outliers(spark, tmp_path_fac
         n * sum(x * x for x in xs) - sum(xs) ** 2
     )
     assert abs(beta - 3.0) > 100
+
+
+# ---------------------------------------------------------------------------
+# token_entropy: information-theoretic laws
+# ---------------------------------------------------------------------------
+
+
+def test_token_entropy_laws(spark, tmp_path_factory):
+    """All-distinct tokens -> entropy exactly n * micro(ln n); all-same
+    token -> exactly 0; a half-half mix -> n * micro(ln 2); and the full
+    output equals an independent pure-Python recomputation."""
+    from tests.test_round13_advice import _write_documents
+    from mapreduce__spark.plans import REGISTRY
+
+    rows = [
+        (1, "a b c d e f g h", "en", "web", 15),      # 8 distinct
+        (2, "x x x x x x", "en", "web", 11),          # all same
+        (3, "y y z z", "en", "web", 7),               # half-half
+        (4, "w", "en", "web", 1),                     # single token
+    ]
+    d = str(tmp_path_factory.mktemp("entropy"))
+    _write_documents(d, rows)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_types, r.entropy_micro, r.ttr)
+        for r in REGISTRY["token_entropy"].fn(spark, d).collect()
+    }
+
+    def micro(x: float) -> int:
+        return math.floor(x * 1000000 + 0.5)
+
+    def ref(text: str):
+        toks = text.split(" ")
+        n = len(toks)
+        counts: dict = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        ent = sum(k * micro(-math.log(k / n)) for k in counts.values())
+        return (n, len(counts), ent, len(counts) / n)
+
+    want = {doc_id: ref(text) for doc_id, text, _, _, _ in rows}
+    assert got == want
+    assert got[1][2] == 8 * micro(math.log(8))
+    assert got[2][2] == 0 and got[2][3] == 1 / 6
+    assert got[3][2] == 4 * micro(math.log(2))
+    assert got[4] == (1, 1, 0, 1.0)
