@@ -117,6 +117,8 @@ NAMES = [
     # codec/container additions share the single-scan mapInPandas
     # skeleton already shown by their round-11 siblings
     "lang_id_nb",
+    "kn_lm_score",
+    "dedup_edit_distance",
     "mann_whitney_u",
     # round-12 closers: the zero-shuffle winnowing scan (one stage, no
     # Exchange below the final aggregate), the shrinking funnel join

@@ -121,6 +121,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_edit_distance",
     "theil_sen_slope",
     "token_entropy",
+    "gini_doc_length",
     # round-12 additions (single-green), earning their second row
     "jpeg_pixel_decode_ac_refine",
     "lang_id_nb",
@@ -169,14 +170,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "rollup_cube",
     "scalar_functions",
     "word_count",
-    "dedup_exact",
     # (fillers displaced newest-last-green-first, r4 group in reverse
     # registration order: events_tumbling_window gave its slot to
     # stream_mg_fold, media_header_metadata to stream_countmin_fold,
     # image_header_metadata to stream_quantile_fold,
     # embedding_correlation to kn_lm_score, ann_topk_bruteforce to
     # dedup_edit_distance, dedup_embedding_cosine to theil_sen_slope,
-    # dedup_jaccard_exact — the first r3-group pop — to token_entropy)
+    # dedup_jaccard_exact — the first r3-group pop — to token_entropy,
+    # dedup_exact to gini_doc_length)
 )
 
 

@@ -1898,3 +1898,91 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cum") * 2 >= F.col("tot"), F.col("s"))
         ).alias("median_slope"),
     )
+
+
+@query(
+    "gini_doc_length",
+    oracle="""
+    WITH h AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT source, v, c,
+             CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+      FROM h
+    ),
+    agg AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(sum(v * c) AS BIGINT) AS total_chars,
+             CAST(sum(v * (c * cb + (c * (c + 1)) // 2)) AS BIGINT) AS ranksum
+      FROM w GROUP BY 1
+    )
+    SELECT source, n_docs, total_chars,
+           CAST(2 * ranksum - (n_docs + 1) * total_chars AS BIGINT)
+               AS gini_num,
+           CAST(n_docs * total_chars AS BIGINT) AS gini_den,
+           CAST(2 * ranksum - (n_docs + 1) * total_chars AS DOUBLE)
+               / CAST(n_docs * total_chars AS DOUBLE) AS gini
+    FROM agg
+    """,
+    tags=("tier2", "stats", "quality"),
+)
+def gini_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of document length per source (round 13) — the
+    inequality/balance audit a training-mixture curator runs before
+    setting sampling weights: a source whose token mass concentrates in
+    a few giant documents (gini -> 1) needs per-document caps that a
+    uniform source (gini -> 0) does not. Computed ENTIRELY in integer
+    arithmetic (no libm anywhere): with the corpus compacted to the
+    per-source length histogram (the equidepth_deciles trick), the
+    sorted-rank sum sum(i * x_i) collapses per distinct value v with
+    count c and preceding cumulative count C to
+    v * (c*C + c*(c+1)//2), and Gini's standard sorted form
+    G = (2*ranksum - (n+1)*total) / (n*total) is emitted as its exact
+    BIGINT numerator/denominator plus ONE raw int/int IEEE division
+    (the registry's exact-arithmetic rule).
+
+    SCALE: one map-side-combined aggregate to the bounded value
+    histogram, a source-PARTITIONED running-count window over histogram
+    rows, one final aggregate — nothing scales with document count past
+    the first aggregate, and no global sort ever materializes (the
+    naive Gini needs a per-source full sort). Reference parity: tier-2
+    stats/profiling extension (SURVEY §2b O-11)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        docs.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wh = h.select(
+        "source",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cb"),
+    )
+    ranksum_term = F.col("v") * (
+        F.col("c") * F.col("cb")
+        + F.shiftright(F.col("c") * (F.col("c") + 1), 1)
+    )
+    agg = wh.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.sum(F.col("v") * F.col("c")).cast("bigint").alias("total_chars"),
+        F.sum(ranksum_term).cast("bigint").alias("ranksum"),
+    )
+    num = (F.lit(2) * F.col("ranksum")
+           - (F.col("n_docs") + 1) * F.col("total_chars"))
+    den = F.col("n_docs") * F.col("total_chars")
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        num.cast("bigint").alias("gini_num"),
+        den.cast("bigint").alias("gini_den"),
+        (num.cast("double") / den.cast("double")).alias("gini"),
+    )

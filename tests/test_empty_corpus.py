@@ -109,6 +109,7 @@ PROBE = [
     "dedup_edit_distance",
     "theil_sen_slope",
     "token_entropy",
+    "gini_doc_length",
 ]
 
 

@@ -72,7 +72,6 @@ TRIPLE_FILLERS: set[str] = {
     "rollup_cube",
     "scalar_functions",
     "word_count",
-    "dedup_exact",
 }
 _DISPLACEMENT_LOG = {
     # (round-13 additions pop the newest-last-green filler first — the
@@ -83,7 +82,8 @@ _DISPLACEMENT_LOG = {
     # embedding_correlation to kn_lm_score; ann_topk_bruteforce to
     # dedup_edit_distance; dedup_embedding_cosine to theil_sen_slope —
     # exhausting the r4 group; dedup_jaccard_exact, the first r3-group
-    # pop (reverse registration order), to token_entropy.)
+    # pop (reverse registration order), to token_entropy; dedup_exact
+    # to gini_doc_length.)
 }
 
 

@@ -400,3 +400,43 @@ def test_token_entropy_laws(spark, tmp_path_factory):
     assert got[2][2] == 0 and got[2][3] == 1 / 6
     assert got[3][2] == 4 * micro(math.log(2))
     assert got[4] == (1, 1, 0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# gini_doc_length: exactness laws
+# ---------------------------------------------------------------------------
+
+
+def test_gini_doc_length_laws(spark, tmp_path_factory):
+    """Equal lengths -> gini exactly 0; a known hand case matches; and
+    the histogram-compacted rank sum equals the naive sorted-rank-sum
+    Gini recomputed in pure Python on ties-heavy data."""
+    from tests.test_round13_advice import _write_documents
+    from mapreduce__spark.plans import REGISTRY
+
+    rows = []
+    doc_id = 0
+    for _ in range(9):  # uniform source: all lengths 50
+        doc_id += 1
+        rows.append((doc_id, "t" * 50, "en", "uniform", 50))
+    for v in (10, 10, 20, 20, 20, 90):  # ties-heavy skewed source
+        doc_id += 1
+        rows.append((doc_id, "t" * v, "en", "skewed", v))
+    d = str(tmp_path_factory.mktemp("gini"))
+    _write_documents(d, rows)
+    got = {
+        r.source: (r.n_docs, r.total_chars, r.gini_num, r.gini_den, r.gini)
+        for r in REGISTRY["gini_doc_length"].fn(spark, d).collect()
+    }
+
+    def ref(vals):
+        xs = sorted(vals)
+        n = len(xs)
+        tot = sum(xs)
+        ranksum = sum(i * x for i, x in enumerate(xs, 1))
+        num = 2 * ranksum - (n + 1) * tot
+        return (n, tot, num, n * tot, num / (n * tot))
+
+    assert got["uniform"] == ref([50] * 9)
+    assert got["uniform"][2] == 0 and got["uniform"][4] == 0.0
+    assert got["skewed"] == ref([10, 10, 20, 20, 20, 90])
