@@ -1986,3 +1986,79 @@ def gini_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.cast("bigint").alias("gini_den"),
         (num.cast("double") / den.cast("double")).alias("gini"),
     )
+
+
+@query(
+    "mutual_info_lang_source",
+    oracle="""
+    WITH xy AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    mx AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cx FROM xy GROUP BY 1),
+    my AS (SELECT source, CAST(sum(c) AS BIGINT) AS cy FROM xy GROUP BY 1),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM xy)
+    SELECT CAST(max(n.n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(count(DISTINCT xy.lang) AS BIGINT) AS n_lang,
+           CAST(count(DISTINCT xy.source) AS BIGINT) AS n_source,
+           CAST(sum(xy.c * CAST(floor(ln(CAST(xy.c * n.n AS DOUBLE)
+                                         / CAST(mx.cx * my.cy AS DOUBLE))
+                                     * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS mi_micro_weighted
+    FROM xy
+    JOIN mx ON mx.lang = xy.lang
+    JOIN my ON my.source = xy.source
+    CROSS JOIN n
+    """,
+    tags=("tier2", "stats", "quality"),
+)
+def mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL INFORMATION between the lang and source labels (round
+    13) — the categorical-association audit a curator runs before
+    trusting a split or a mixture: MI near zero means the metadata
+    columns are independent; high MI flags leakage (a "random" split
+    that secretly follows source, a language concentrated in one
+    domain). Exact-arithmetic form of
+    MI = sum_xy p_xy * ln(p_xy / (p_x p_y)): per contingency cell the
+    log's argument is ONE rational of exact BIGINTs (c_xy * N) /
+    (c_x * c_y) — a single IEEE division, bit-identical cross-engine —
+    quantized per cell to integer micro-nats (floor(x*1e6 + 0.5), which
+    handles the legitimately NEGATIVE per-cell terms too) and weighted
+    by the exact cell count, so the emitted weighted sum is a BIGINT
+    that compares exactly; consumers divide by 1e6*N for MI in nats.
+
+    SCALE: one map-side-combined aggregate to the lang x source
+    contingency table (bounded by the label domains, never by corpus
+    size), two marginal re-aggregations OVER that table, broadcast-sized
+    joins. Reference parity: tier-2 stats/profiling extension
+    (SURVEY §2b O-11)."""
+    docs = load_table(spark, sf_dir, "documents")
+    xy = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    mx = xy.groupBy("lang").agg(F.sum("c").alias("cx"))
+    my = xy.groupBy("source").agg(F.sum("c").alias("cy"))
+    n = xy.agg(F.sum("c").alias("n"))
+    term = F.floor(
+        F.log(
+            (F.col("c") * F.col("n")).cast("double")
+            / (F.col("cx") * F.col("cy")).cast("double")
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        xy.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.countDistinct("lang").cast("bigint").alias("n_lang"),
+            F.countDistinct("source").cast("bigint").alias("n_source"),
+            F.sum(F.col("c") * term).cast("bigint").alias(
+                "mi_micro_weighted"
+            ),
+        )
+    )

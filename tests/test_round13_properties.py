@@ -440,3 +440,69 @@ def test_gini_doc_length_laws(spark, tmp_path_factory):
     assert got["uniform"] == ref([50] * 9)
     assert got["uniform"][2] == 0 and got["uniform"][4] == 0.0
     assert got["skewed"] == ref([10, 10, 20, 20, 20, 90])
+
+
+# ---------------------------------------------------------------------------
+# mutual_info_lang_source: information-theoretic laws
+# ---------------------------------------------------------------------------
+
+
+def test_mutual_info_laws(spark, tmp_path_factory):
+    """Independent labels (product contingency) -> MI exactly 0; a
+    perfectly-dependent layout (each lang lives in exactly one source)
+    -> MI = micro(ln n_lang) per doc; both recomputed against a
+    pure-Python reference."""
+    from tests.test_round13_advice import _write_documents
+    from mapreduce__spark.plans import REGISTRY
+
+    def run(rows, tag):
+        d = str(tmp_path_factory.mktemp(tag))
+        _write_documents(d, rows)
+        r = REGISTRY["mutual_info_lang_source"].fn(spark, d).collect()[0]
+        return r
+
+    def micro(x: float) -> int:
+        return math.floor(x * 1000000 + 0.5)
+
+    # independence: every (lang, source) cell has the same count, so
+    # p_xy = p_x * p_y exactly and every per-cell term is micro(ln 1) = 0
+    rows, doc_id = [], 0
+    for lang in ("en", "de", "fr"):
+        for source in ("web", "books"):
+            for _ in range(4):
+                doc_id += 1
+                rows.append((doc_id, "t t t", lang, source, 5))
+    r = run(rows, "mi_indep")
+    assert (r.n_docs, r.n_cells, r.mi_micro_weighted) == (24, 6, 0)
+
+    # perfect dependence: lang determines source; with equal-sized
+    # blocks, each cell term is ln(c*N/(c*c)) = ln(n_lang)
+    rows, doc_id = [], 0
+    for lang, source in (("en", "web"), ("de", "books"), ("fr", "wiki")):
+        for _ in range(5):
+            doc_id += 1
+            rows.append((doc_id, "t t t", lang, source, 5))
+    r = run(rows, "mi_dep")
+    assert r.n_cells == 3
+    assert r.mi_micro_weighted == 15 * micro(math.log(3))
+
+    # general case vs pure-Python reference
+    rows, doc_id = [], 0
+    layout = [("en", "web", 7), ("en", "books", 2), ("de", "web", 1),
+              ("de", "books", 6), ("fr", "wiki", 3)]
+    for lang, source, k in layout:
+        for _ in range(k):
+            doc_id += 1
+            rows.append((doc_id, "t t t", lang, source, 5))
+    r = run(rows, "mi_gen")
+    n = sum(k for _, _, k in layout)
+    cx: dict = {}
+    cy: dict = {}
+    for lang, source, k in layout:
+        cx[lang] = cx.get(lang, 0) + k
+        cy[source] = cy.get(source, 0) + k
+    want = sum(
+        k * micro(math.log((k * n) / (cx[lang] * cy[source])))
+        for lang, source, k in layout
+    )
+    assert r.mi_micro_weighted == want and want > 0
