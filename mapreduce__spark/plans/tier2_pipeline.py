@@ -2092,12 +2092,17 @@ def kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c12").alias("c1x"), F.count(F.lit(1)).alias("a1")
     )
     cont = big.groupBy("right_tok").agg(F.count(F.lit(1)).alias("b2"))
-    ttot = big.agg(F.count(F.lit(1)).cast("double").alias("t"))
     stats = (
         big.join(ctx, "left_tok")
         .join(cont, "right_tok")
         .localCheckpoint(eager=True)
     )
+    # T counted off the CHECKPOINTED stats relation (row-preserving inner
+    # joins keep |stats| == |big| == T by construction): counting `big`
+    # directly replans a second full corpus explode (seen in the round-13
+    # PLANS.md skeleton before this fix) — the unigram_lm_score vocab
+    # lesson again.
+    ttot = stats.agg(F.count(F.lit(1)).cast("double").alias("t"))
 
     mix = (
         ((F.lit(4) * F.col("c12") - F.lit(3)) * F.col("t"))
