@@ -506,3 +506,78 @@ def test_mutual_info_laws(spark, tmp_path_factory):
         for lang, source, k in layout
     )
     assert r.mi_micro_weighted == want and want > 0
+
+
+# ---------------------------------------------------------------------------
+# stream_mg_fold: randomized differential vs an independent Python MG
+# ---------------------------------------------------------------------------
+
+
+def test_batch_mg_fold_matches_python_sim_on_random_skews(spark, tmp_path_factory):
+    """Seeded random event corpora across skew regimes (uniform, zipf-ish,
+    few-heavy-many-light) — the batch MG fold must equal an independent
+    pure-Python weighted-MG simulation in the pinned insertion order,
+    including corpora where the cap binds hard and where it never
+    binds."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce__spark.streaming.streams import batch_mg_fold
+
+    rng = random.Random(1312)
+    rows = []
+    for et, mode, n_ev in (
+        ("uniform", "u", 400), ("zipf", "z", 600), ("spiky", "s", 300),
+        ("tiny", "t", 9),  # fewer users than cap: decrement never fires
+    ):
+        for _ in range(n_ev):
+            if mode == "u":
+                u = rng.randrange(60)
+            elif mode == "z":
+                u = int(60 / (rng.randrange(1, 60) ** 0.7))
+            elif mode == "s":
+                u = 0 if rng.random() < 0.5 else rng.randrange(200)
+            else:
+                u = rng.randrange(3)
+            rows.append((et, u))
+    d = str(tmp_path_factory.mktemp("mg_rand"))
+    pq.write_table(
+        pa.table({
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        }),
+        f"{d}/events.parquet",
+    )
+    CAP = 8
+    ev = spark.read.parquet(f"{d}/events.parquet")
+    got = sorted(
+        (r.event_type, r.user_id, r.est, r.n_seen)
+        for r in batch_mg_fold(ev, cap=CAP).collect()
+    )
+
+    import collections
+
+    per = collections.defaultdict(collections.Counter)
+    for et, u in rows:
+        per[et][u] += 1
+    want = []
+    for et, counts in per.items():
+        mg: dict = {}
+        total = sum(counts.values())
+        for u, c in sorted(counts.items(), key=lambda t: (-t[1], t[0])):
+            if u in mg:
+                mg[u] += c
+                continue
+            mg[u] = c
+            if len(mg) > CAP:
+                dmin = min(mg.values())
+                mg = {k: v - dmin for k, v in mg.items() if v - dmin > 0}
+        want += [(et, u, mg[u], total) for u in sorted(mg)]
+    assert got == sorted(want)
+    # the tiny regime really kept everyone (cap never fired)
+    tiny = [t for t in got if t[0] == "tiny"]
+    assert len(tiny) == 3 and all(est == c for _, _, est, c in [
+        (None, None, t[2], per["tiny"][t[1]]) for t in tiny
+    ])
