@@ -123,6 +123,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "token_entropy",
     "gini_doc_length",
     "mutual_info_lang_source",
+    "hapax_legomena",
     # round-12 additions (single-green), earning their second row
     "jpeg_pixel_decode_ac_refine",
     "lang_id_nb",
@@ -169,7 +170,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "topk_per_key",
     "window_analytic",
     "rollup_cube",
-    "scalar_functions",
     # (fillers displaced newest-last-green-first, r4 group in reverse
     # registration order: events_tumbling_window gave its slot to
     # stream_mg_fold, media_header_metadata to stream_countmin_fold,
@@ -178,7 +178,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dedup_edit_distance, dedup_embedding_cosine to theil_sen_slope,
     # dedup_jaccard_exact — the first r3-group pop — to token_entropy,
     # dedup_exact to gini_doc_length, word_count to
-    # mutual_info_lang_source)
+    # mutual_info_lang_source, scalar_functions to hapax_legomena)
 )
 
 

@@ -1239,3 +1239,63 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ttr"),
         )
     )
+
+
+@query(
+    "hapax_legomena",
+    oracle="""
+    WITH t AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vc AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM t GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax_count,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dis_count,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS hapax_vocab_ratio
+    FROM vc GROUP BY 1
+    """,
+    tags=("tier2", "text", "quality"),
+)
+def hapax_legomena(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAPAX/DIS LEGOMENA profile per source (round 13) — the
+    vocabulary-concentration quality signal beside token_entropy and
+    vocab_growth: in clean natural text, once-occurring types are
+    classically ~half the vocabulary (Zipf's tail), so a source whose
+    hapax share collapses is template/boilerplate-dominated and one
+    whose share explodes is OCR noise or tokenizer breakage — both the
+    exact failure classes a curation pass triages by source. Emits the
+    exact BIGINT counts (total tokens, vocabulary size, hapax and dis
+    counts) plus the hapax/vocab share as ONE raw int/int IEEE division
+    (the registry's exact-arithmetic rule).
+
+    SCALE: explode -> one map-side-combined (source, token) count ->
+    one vocab-sized re-aggregate per source; the corpus shuffles only
+    its token keys (the word_count shape), and the second aggregate is
+    vocabulary-bounded. Reference parity: tier-2 text-quality extension
+    (SURVEY §2b O-24)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vc = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint")
+    return vc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        hapax.alias("hapax_count"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dis_count"),
+        (
+            hapax.cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("hapax_vocab_ratio"),
+    )

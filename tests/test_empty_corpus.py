@@ -110,6 +110,7 @@ PROBE = [
     "theil_sen_slope",
     "token_entropy",
     "gini_doc_length",
+    "hapax_legomena",
 ]
 
 

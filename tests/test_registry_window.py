@@ -70,7 +70,6 @@ TRIPLE_FILLERS: set[str] = {
     "topk_per_key",
     "window_analytic",
     "rollup_cube",
-    "scalar_functions",
 }
 _DISPLACEMENT_LOG = {
     # (round-13 additions pop the newest-last-green filler first — the
@@ -82,7 +81,8 @@ _DISPLACEMENT_LOG = {
     # dedup_edit_distance; dedup_embedding_cosine to theil_sen_slope —
     # exhausting the r4 group; dedup_jaccard_exact, the first r3-group
     # pop (reverse registration order), to token_entropy; dedup_exact
-    # to gini_doc_length; word_count to mutual_info_lang_source.)
+    # to gini_doc_length; word_count to mutual_info_lang_source;
+    # scalar_functions to hapax_legomena.)
 }
 
 
