@@ -84,36 +84,37 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_registry_window.py::test_rotated_out_core_stays_oracle_gated
 # pins that rotated-out entries keep their oracles.
 #
-# Round-13 rotation, DERIVED FROM DATA like rounds 6-12 (the audit-trail
+# Round-14 rotation, DERIVED FROM DATA like rounds 6-13 (the audit-trail
 # test tests/test_registry_window.py::test_window_prioritizes_low_attestation
 # recomputes green-attestation counts from the checked-in
 # CORRECTNESS_r0*.json files and asserts the policy below, so this
 # comment cannot silently disagree with the window):
-#   IN  — every query with zero or one green driver row (the 10 round-12
+#   IN  — every query with zero or one green driver row (the 10 round-13
 #         additions earning their second row, plus this round's new
-#         queries); ALL 27 double-attestation queries (the round-11
+#         queries); ALL 10 double-attestation queries (the round-12
 #         additions earning their third row — DEFERRED_DOUBLES stays
-#         empty); and 13 exactly-3 fillers.
+#         empty); and 30 exactly-3 fillers.
 #   FILLER POLICY (round-10 VERDICT item 8): fillers are chosen
 #         LEAST-RECENTLY-ATTESTED FIRST (oldest most-recent green round,
-#         registration order as tie-break) — the r13 fillers' last rows
-#         date from rounds 3-4: the seven r3-last-green queries that sat
-#         out round 12 after funding its additions, plus the six
-#         oldest-registered r4 ones. Queries reaching SATURATED_AT (4)
-#         green rows RETIRE from rotation eligibility: they re-enter
-#         only via CHANGED_CODE_REATTEST, so driver attestation keeps
-#         cycling fresh code instead of re-attesting saturated queries
-#         (asserted by tests/test_registry_window.py::
+#         registration order as tie-break) — the r14 fillers' last rows
+#         date from rounds 3-6: the four r3-last-green queries and
+#         fourteen r4 ones that funded round-13's additions, plus the
+#         twelve oldest-registered r6-last-green ones. Queries reaching
+#         SATURATED_AT (4) green rows RETIRE from rotation eligibility:
+#         they re-enter only via CHANGED_CODE_REATTEST, so driver
+#         attestation keeps cycling fresh code instead of re-attesting
+#         saturated queries (asserted by tests/test_registry_window.py::
 #         test_saturated_queries_are_retired and
 #         test_fillers_are_least_recently_attested).
-#   OUT — everything else (>=3 green rows, attested more recently), each
-#         still bit-exact-gated by tests/test_oracle.py on every pytest
-#         run.
+#   OUT — everything else (>=3 green rows, attested more recently —
+#         including the 27 round-11 additions, whose third rows landed
+#         in r13), each still bit-exact-gated by tests/test_oracle.py on
+#         every pytest run.
 # The intentionally-approximate (rows-only) queries sit past the window so
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-13 additions — never driver-attested (each displaced a filler)
+    # round-13 additions (single-green), earning their second row
     "stream_mg_fold",
     "stream_countmin_fold",
     "stream_quantile_fold",
@@ -124,7 +125,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "gini_doc_length",
     "mutual_info_lang_source",
     "hapax_legomena",
-    # round-12 additions (single-green), earning their second row
+    # round-12 additions (double-green), earning their third row
     "jpeg_pixel_decode_ac_refine",
     "lang_id_nb",
     "png_adam7_decode",
@@ -135,50 +136,41 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ols_fit_per_source",
     "winnowing_fingerprints",
     "kendall_concordance",
-    # round-11 additions (double-green), earning their third row
-    "jpeg_pixel_decode_420",
-    "warc_ingest",
-    "zip_member_extract",
-    "embedding_pq_codes",
-    "mmr_diverse_select",
-    "ann_topk_pq_adc",
-    "wordpiece_pair_scores",
-    "bpe_learn_merges",
-    "asof_nearest_events",
-    "jpeg_pixel_decode_progressive",
-    "targz_member_extract",
-    "url_canonicalize",
-    "html_text_extract",
-    "image_dhash",
-    "image_dhash_neardup",
-    "orc_roundtrip",
-    "audio_mulaw_roundtrip",
-    "parquet_footer_audit",
-    "unigram_lm_tokenize",
-    "video_sample_index",
-    "blocklist_match_counts",
-    "seasonal_decompose",
-    "parquet_page_decode",
-    "parquet_dict_decode",
-    "csv_dialect_torture",
-    "parquet_delta_decode",
-    "schema_evolution_merge",
-    # 13 least-recently-attested exactly-3 fillers (last green rows from
-    # rounds 3-4: the seven r3-last-green queries plus the six
-    # oldest-registered r4 ones), displaced newest-last-green-first
-    # (reverse registration order on ties) as round-13 queries land
-    "topk_per_key",
-    "window_analytic",
-    "rollup_cube",
-    # (fillers displaced newest-last-green-first, r4 group in reverse
-    # registration order: events_tumbling_window gave its slot to
-    # stream_mg_fold, media_header_metadata to stream_countmin_fold,
-    # image_header_metadata to stream_quantile_fold,
-    # embedding_correlation to kn_lm_score, ann_topk_bruteforce to
-    # dedup_edit_distance, dedup_embedding_cosine to theil_sen_slope,
-    # dedup_jaccard_exact — the first r3-group pop — to token_entropy,
-    # dedup_exact to gini_doc_length, word_count to
-    # mutual_info_lang_source, scalar_functions to hapax_legomena)
+    # 30 least-recently-attested exactly-3 fillers (last green rows from
+    # rounds 3-6: the four r3-last-green + fourteen r4 queries that
+    # funded round-13's additions, plus the twelve oldest-registered
+    # r6-last-green ones), displaced newest-last-green-first (reverse
+    # registration order on ties) as round-14 queries land
+    "scalar_functions",
+    "word_count",
+    "dedup_exact",
+    "dedup_jaccard_exact",
+    "kernel_search_count",
+    "sequence_packing",
+    "training_data_pipeline",
+    "pii_scrub",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "ann_topk_bruteforce",
+    "embedding_correlation",
+    "image_header_metadata",
+    "media_header_metadata",
+    "events_tumbling_window",
+    "sessionization",
+    "stateful_dedup_first_event",
+    "rolling_user_features",
+    "join_skew_salted",
+    "join_bloom_pruned",
+    "window_distribution",
+    "merge_upsert",
+    "scd2_intervals",
+    "graph_mass_propagation",
+    "udtf_token_positions",
+    "tfidf_top_terms",
+    "sequence_packing_chunked",
+    "train_test_split",
+    "bpe_pair_counts",
+    "vocab_encode",
 )
 
 

@@ -34,19 +34,18 @@ ROWS_ONLY = {
     "quantile_sketch_values",
 }
 
-# Round-13 rotation: the 10 round-12 singles take their second row, all
-# 27 doubles (the round-11 additions) take their third, and 13 exactly-3
-# fillers round out the 50, displaced one-by-one as round-13 additions
+# Round-14 rotation: the 10 round-13 singles take their second row, the
+# 10 doubles (the round-12 additions) take their third, and 30 exactly-3
+# fillers round out the 50, displaced one-by-one as round-14 additions
 # land. DEFERRED_DOUBLES stays empty.
 DEFERRED_DOUBLES: set[str] = set()
 
 # Queries whose CODE changed this round AFTER already earning >=3 green
 # driver rows — their prior attestations describe the old code, so they
 # re-enter the window even though the low-attestation rule alone would
-# exclude them. Round 13: empty so far — the round-12 ADVICE fixes
-# (winnowing oracle coalesce, kendall tie-term BIGINT, avro varint
-# bound) all touch queries that are single-green round-12 additions
-# already holding window slots by right.
+# exclude them. Round 14: empty so far — the one planned perf touch
+# (graph_mass_propagation, round-13 VERDICT item 2) is an exactly-3
+# filler already holding a window slot by right.
 CHANGED_CODE_REATTEST: set[str] = set()
 
 # Saturation retirement (round-10 VERDICT item 8): a query holding
@@ -56,33 +55,59 @@ CHANGED_CODE_REATTEST: set[str] = set()
 # would starve fresh code of driver rows.
 SATURATED_AT = 4
 
-# Exactly-3-attested fillers holding the spare slots until round-13
-# additions displace them. Selection policy (round-11): the 13
+# Exactly-3-attested fillers holding the spare slots until round-14
+# additions displace them. Selection policy (round-11): the 30
 # LEAST-RECENTLY-ATTESTED exactly-3 queries — oldest most-recent green
 # round first, registration order as tie-break; displacement pops the
 # NEWEST-last-green filler first (reverse registration order on ties),
 # which preserves the least-recent invariant
-# test_fillers_are_least_recently_attested asserts. The r13 fillers'
-# last green rows date from rounds 3-4: the seven r3-last-green queries
-# (which sat out round 12 after funding its additions) plus the six
-# oldest-registered r4 ones.
+# test_fillers_are_least_recently_attested asserts. The r14 fillers'
+# last green rows date from rounds 3-6: the four r3-last-green and
+# fourteen r4-last-green queries that funded round-13's ten additions,
+# plus the twelve oldest-registered r6-last-green ones (the r6 group
+# ties at round 6, so registration order picks join_skew_salted ..
+# vocab_encode and displacement pops vocab_encode first).
 TRIPLE_FILLERS: set[str] = {
-    "topk_per_key",
-    "window_analytic",
-    "rollup_cube",
+    "scalar_functions",
+    "word_count",
+    "dedup_exact",
+    "dedup_jaccard_exact",
+    "kernel_search_count",
+    "sequence_packing",
+    "training_data_pipeline",
+    "pii_scrub",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "ann_topk_bruteforce",
+    "embedding_correlation",
+    "image_header_metadata",
+    "media_header_metadata",
+    "events_tumbling_window",
+    "sessionization",
+    "stateful_dedup_first_event",
+    "rolling_user_features",
+    "join_skew_salted",
+    "join_bloom_pruned",
+    "window_distribution",
+    "merge_upsert",
+    "scd2_intervals",
+    "graph_mass_propagation",
+    "udtf_token_positions",
+    "tfidf_top_terms",
+    "sequence_packing_chunked",
+    "train_test_split",
+    "bpe_pair_counts",
+    "vocab_encode",
 }
 _DISPLACEMENT_LOG = {
-    # (round-13 additions pop the newest-last-green filler first — the
-    # r4 group in reverse registration order, then the r3 group starting
-    # from dedup_jaccard_exact. events_tumbling_window gave its slot to
-    # stream_mg_fold; media_header_metadata to stream_countmin_fold;
-    # image_header_metadata to stream_quantile_fold;
-    # embedding_correlation to kn_lm_score; ann_topk_bruteforce to
-    # dedup_edit_distance; dedup_embedding_cosine to theil_sen_slope —
-    # exhausting the r4 group; dedup_jaccard_exact, the first r3-group
-    # pop (reverse registration order), to token_entropy; dedup_exact
-    # to gini_doc_length; word_count to mutual_info_lang_source;
-    # scalar_functions to hapax_legomena.)
+    # (round-14 additions pop the newest-last-green filler first — the
+    # r6 group in reverse registration order: vocab_encode, then
+    # bpe_pair_counts, train_test_split, sequence_packing_chunked,
+    # tfidf_top_terms, udtf_token_positions, graph_mass_propagation,
+    # scd2_intervals, merge_upsert, window_distribution,
+    # join_bloom_pruned, join_skew_salted — then the r4 group starting
+    # from rolling_user_features, then the r3 group ending at
+    # scalar_functions.)
 }
 
 
@@ -92,7 +117,7 @@ _DISPLACEMENT_LOG = {
 # gives every in-window entry one MORE green row — counting that file
 # would flip test_window_prioritizes_low_attestation red before the
 # next rotation happens. Bump this when rotating the window.
-WINDOW_BASIS_ROUND = 12
+WINDOW_BASIS_ROUND = 13
 
 
 def _attestations() -> dict[str, int]:
