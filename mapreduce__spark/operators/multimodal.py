@@ -5,15 +5,25 @@ columns plus a typed metadata struct; heavy per-item work (decode, feature
 extraction, resize, frame sampling) runs as Arrow-batched pandas functions
 over ``mapInPandas`` so each Python worker sees whole columnar batches.
 
-PIXEL decode is STUBBED (no image/audio libraries in this environment):
-:func:`decode_stub_features` computes a deterministic fake "decode" from
-the payload bytes, and :data:`REAL_DECODE_AVAILABLE` gates where a real
-`PIL.Image.open` / `soundfile.read` would slot in. HEADER decode is REAL:
-:func:`parse_image_header` parses PNG IHDR / GIF logical-screen / JPEG
-SOF-marker dimensions straight from the container bytes (what size
-filtering and aspect-ratio bucketing need at corpus scale), verified by
-an SQL oracle over synthesized valid headers. The Spark-side plumbing —
-schema, batch iteration, partitioning — is real and tested throughout.
+DECODE IS REAL and implemented from the public format specs — no image
+or audio library is imported anywhere in the engine. The decode matrix:
+BMP is pure byte layout (:func:`decode_bmp_pixels`); PNG is zlib/DEFLATE
+inflate + per-scanline filters, sequential and Adam7 interlaced
+(:func:`decode_png_pixels`, :func:`decode_png_adam7_pixels`); GIF is LZW
+(:func:`decode_gif_pixels`); JPEG is Huffman + dequant + IDCT across
+baseline, 4:2:0 chroma-subsampled, progressive, and successive-
+approximation AC-refine scans (:func:`decode_jpeg_pixels` and variants);
+WAV is LPCM (:func:`decode_wav_pcm`), with µ-law and IMA-ADPCM twins in
+``operators/audio.py`` / ``operators/adpcm.py``. Compressed-codec audio
+(FLAC/Opus) and ISO-BMFF video stay header/metadata-only BY DESIGN
+(:func:`parse_flac_streaminfo`, :func:`parse_ogg_opus_header`,
+:func:`parse_mp4_header`) — corpus curation needs their sample rates and
+dimensions, not their waveforms. Every decoder is verified by an SQL
+oracle over deterministically synthesized spec-valid payloads.
+
+:func:`decode_stub_features` remains as the library-free mapInPandas
+plumbing exercise (deterministic fake outputs, unmistakable via the
+``fake_*`` column names) — see its docstring for why it is kept.
 
 Scale notes: binary payloads dominate row size, so (a) never groupBy/join
 on a payload — project metadata out first and join on ids; (b) size scan
@@ -31,14 +41,6 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-try:  # real decoders would be imported here on a full cluster image
-    import PIL.Image  # noqa: F401
-
-    REAL_DECODE_AVAILABLE = True
-except Exception:  # pragma: no cover - env has no PIL by design
-    REAL_DECODE_AVAILABLE = False
-
 
 FEATURE_SCHEMA = (
     "doc_id bigint, byte_len int, fake_width int, fake_height int, "
@@ -61,19 +63,15 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 def decode_stub_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body: deterministic fake decode of binary payloads.
 
-    A real implementation would replace the body of `fake_decode` with
-    `PIL.Image.open(io.BytesIO(b))` etc.; everything around it (Arrow
-    batching, output schema, partition preservation) is the production
-    plumbing.
-
-    The REAL_DECODE_AVAILABLE guard that used to raise here on
-    PIL-equipped machines is retired ON PURPOSE (round-7): the queries
-    that need a real decode now route through the format-true decoders
-    (`decode_bmp_pixels`, `decode_wav_pcm`, `decode_media_features`) —
-    this stub's remaining role is exercising the mapInPandas plumbing
-    with a deterministic, library-free body, which is equally valid
-    whether or not an image library is installed. Its outputs stay
-    unmistakable as fakes via the `fake_*` column names.
+    Everything around `fake_decode` (Arrow batching, output schema,
+    partition preservation) is the production plumbing, and the queries
+    that need a real decode route through the format-true decoders in
+    this module (`decode_bmp_pixels`, `decode_png_pixels`,
+    `decode_jpeg_pixels`, `decode_wav_pcm`, `decode_media_features`).
+    This stub's remaining role is exercising the mapInPandas plumbing
+    with a body whose outputs an SQL oracle can reproduce byte-for-byte
+    without re-implementing a codec; they stay unmistakable as fakes via
+    the `fake_*` column names.
     """
 
     def fake_decode(b: bytes) -> tuple[int, int, str, int]:
@@ -276,10 +274,9 @@ def with_wav_payload(docs: DataFrame) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # REAL pixel decode: uncompressed 24-bit BMP. The one raster format whose
-# pixel layer is pure byte layout (no entropy coding), so a full decode —
-# not just the header — needs no media library. This closes the honest gap
-# the stub above declares: for BMP the "decode" cell is real and
-# oracle-checked; PNG/JPEG pixel decode stays behind REAL_DECODE_AVAILABLE.
+# pixel layer is pure byte layout (no entropy coding), so this was the
+# first fully-decoded cell in the matrix; the entropy-coded formats (PNG
+# DEFLATE, GIF LZW, JPEG Huffman+DCT) are decoded from spec further down.
 # --------------------------------------------------------------------------
 
 
@@ -440,8 +437,10 @@ def parse_wav_header(b: bytes) -> tuple[int, int, int, int]:
 # pure byte layout (no entropy coding), so a full sample decode — not just
 # the header walk above — needs no media library. Audio twin of the BMP
 # section: closes O-25's decode cell for the one audio container whose
-# payload is raw interleaved samples; compressed codecs (FLAC/Opus) stay
-# header-only behind REAL_DECODE_AVAILABLE.
+# payload is raw interleaved samples; µ-law and IMA-ADPCM twins live in
+# operators/audio.py and operators/adpcm.py, while compressed codecs
+# (FLAC/Opus) stay header-only by design (parse_flac_streaminfo /
+# parse_ogg_opus_header give curation the rates it needs).
 # --------------------------------------------------------------------------
 
 
@@ -560,8 +559,8 @@ def wav_pcm_features(mm: DataFrame) -> DataFrame:
 # multimodal pipeline has: one binary column holding different container
 # formats, routed to the right decoder by sniffed magic bytes (never by a
 # trusted sidecar mime column). Built entirely on the real BMP/WAV decoders
-# above; formats needing entropy decoding would route to the
-# REAL_DECODE_AVAILABLE library path from the same dispatch point.
+# above; the from-spec entropy decoders (PNG/GIF/JPEG) hang off the same
+# dispatch point in their own query plans.
 # --------------------------------------------------------------------------
 
 MIXED_MEDIA_SCHEMA = (

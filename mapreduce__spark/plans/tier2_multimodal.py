@@ -147,9 +147,9 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the other modality's columns are real NULLs (pandas Int64 -> Arrow),
     and the oracle regenerates both modalities in SQL and unions them.
 
-    This retires the round-1 decode STUB: the dispatch point is where
-    entropy-coded formats (PNG/JPEG/FLAC) would route to the
-    REAL_DECODE_AVAILABLE library path. Arrow-batched mapInPandas,
+    This retires the round-1 decode STUB: the from-spec entropy
+    decoders (PNG DEFLATE, GIF LZW, JPEG Huffman+DCT) hang off the same
+    dispatch shape in their own query plans below. Arrow-batched mapInPandas,
     partition-preserving, payloads never shuffled."""
     from mapreduce__spark.operators.multimodal import (
         mixed_media_features,
@@ -205,8 +205,8 @@ def bmp_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins row-order handling (a decoder ignoring layout direction fails
     it). This upgrades O-25's decode cell from declared stub to checked
     decode for the one raster format whose pixel layer is pure byte
-    layout; entropy-coded formats (PNG/JPEG) stay behind the
-    REAL_DECODE_AVAILABLE gate. Arrow-batched mapInPandas, partition-
+    layout; the entropy-coded formats (PNG/GIF/JPEG) have since gained
+    their own from-spec decodes below. Arrow-batched mapInPandas, partition-
     preserving, payloads never shuffled."""
     from mapreduce__spark.operators.multimodal import (
         bmp_pixel_features,
@@ -266,7 +266,8 @@ def wav_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary preceding chunks, and sum_ch0 pins channel interleaving
     (a flat byte-sum can't fake it). LPCM, like the BMP pixel layer, is
     pure byte layout — compressed codecs (FLAC/Opus) stay header-only
-    behind REAL_DECODE_AVAILABLE. Arrow-batched mapInPandas, partition-
+    by design (their STREAMINFO/OpusHead walks cover curation's needs).
+    Arrow-batched mapInPandas, partition-
     preserving, payloads never shuffled."""
     from mapreduce__spark.operators.multimodal import (
         wav_pcm_features,
