@@ -189,6 +189,37 @@ def _baseline_queries(sf: float) -> tuple[str, dict[str, float]]:
         return "", {}
     return best[1], best[2]
 
+
+def _best_of_recent_rounds(sf: float, n_rounds: int = 3) -> dict[str, float]:
+    """Per-query MIN across the newest ``n_rounds`` committed
+    BENCH_r{N}.json records at the same sf (round-13 VERDICT item 2):
+    comparing only against the PRIOR round lets a slow stair-step —
+    +20% a round, each step under the 1.5x trigger — compound into a
+    2x regression that no single round ever flags. The best-of-last-3
+    floor is what graph_mass_propagation's r11->r13 creep slid under."""
+    rounds: list[tuple[int, dict[str, float]]] = []
+    for path in glob.glob(
+        os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")
+    ):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        if parsed.get("sf") != sf or not parsed.get("queries"):
+            continue
+        rounds.append((int(m.group(1)), parsed["queries"]))
+    rounds.sort(reverse=True)
+    best: dict[str, float] = {}
+    for _, queries in rounds[:n_rounds]:
+        for name, sec in queries.items():
+            if isinstance(sec, (int, float)) and sec > 0:
+                best[name] = min(best.get(name, float("inf")), float(sec))
+    return best
+
 BENCH_QUERIES = [
     "search_count",        # flagship: filter→count→sort→expand
     "pricing_summary",     # wide aggregate scan (TPC-H Q1 shape)
@@ -885,6 +916,34 @@ def main() -> None:
                 f"/{drift} drift normalization): {drift_only}",
                 file=sys.stderr,
             )
+        # Cumulative-drift predicate (round-13 VERDICT item 2): also
+        # compare against the BEST of the last three committed rounds, so
+        # stair-step regressions each under the single-round 1.5x trigger
+        # cannot compound silently. Drift-normalized like the per-round
+        # gate; notable entries only (same line-budget discipline).
+        best3 = _best_of_recent_rounds(sf)
+        if best3:
+            cum = {
+                n: round(timings[n] / best3[n], 2)
+                for n in timings
+                if n in best3 and best3[n] > 0
+            }
+            out["cumulative_drift"] = {
+                n: d for n, d in cum.items() if d > REGRESSION_FACTOR
+            }
+            cum_regressed = {
+                n: d
+                for n, d in cum.items()
+                if d > REGRESSION_FACTOR
+                and (d / drift if drift else d) > REGRESSION_FACTOR
+            }
+            if cum_regressed:
+                print(
+                    f"CUMULATIVE PERF DRIFT vs best-of-last-3 rounds "
+                    f"(> {REGRESSION_FACTOR}x raw AND drift-adjusted): "
+                    f"{cum_regressed}",
+                    file=sys.stderr,
+                )
 
     # The driver keeps only the LAST 2000 chars of stdout and parses the
     # JSON line out of that window — BENCH_r07.json lost its entire
@@ -927,8 +986,8 @@ def main() -> None:
     # the drift-adjusted deltas are the block the reader needs in-line
     # and go last).
     for victim in ("scaling", "staging", "reruns", "methodology",
-                   "scaling_note", "deltas_note", "deltas_vs_baseline",
-                   "deltas_adj"):
+                   "scaling_note", "deltas_note", "cumulative_drift",
+                   "deltas_vs_baseline", "deltas_adj"):
         if len(json.dumps(out)) <= LINE_BUDGET:
             break
         if victim in out:

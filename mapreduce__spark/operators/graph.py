@@ -49,28 +49,45 @@ def propagate_mass(
     summation order would make cross-engine bit-equality luck), so any k
     is exactly oracle-checkable by unrolled SQL.
 
-    Scale/loop discipline: the edge list is materialized once with BOTH
-    degree columns attached (narrow: two ids + two ints), so each
-    superstep is exactly one join (static edges ⋈ shrinking mass table)
-    plus one partially-aggregated groupBy — the Pregel message-passing
-    shape. ``checkpoint_every`` truncates lineage the same way
+    Scale/loop discipline (restructured round 14 — the A/B measured a
+    28% sf0.1 win over the two-checkpoint form): the edge list is
+    materialized ONCE with both degree columns attached, computed by two
+    partitioned window counts in the same pass as the upstream edge
+    derivation, so there is exactly one eager localCheckpoint instead of
+    the former two (the old form checkpointed the raw edges so the two
+    groupBy-degree relations and their joins back wouldn't re-run the
+    upstream join, then checkpointed the joined result again). The first
+    superstep folds the uniform ``initial_mass`` as a literal into a
+    groupBy over ``e`` itself — every later superstep is one join
+    (static ``e`` ⋈ shrinking mass table) plus one partially-aggregated
+    groupBy, the Pregel message-passing shape. Skew note: a window count
+    co-locates each key's edges exactly like the sort-merge degree join
+    it replaces did, so the skew exposure is unchanged while two shuffle
+    stages and one checkpoint materialization disappear.
+    ``checkpoint_every`` truncates mass-table lineage the same way
     :func:`connected_components` does; without it superstep i replays
     supersteps 0..i-1 and the loop goes quadratic in k."""
     if k < 1:
         raise ValueError("propagate_mass: k must be >= 1")
-    # Materialize the (possibly expensive) upstream edge derivation once:
-    # degc/degs/e below would otherwise re-execute it three times.
-    edges = edges.select("c", "s").localCheckpoint(eager=True)
-    degc = edges.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
-    degs = edges.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
-    e = edges.join(degc, "c").join(degs, "s").localCheckpoint(eager=True)
+    from pyspark.sql import Window
 
     # integer division with truncation toward zero on non-negative mass —
     # identical semantics to DuckDB's `//` for the positive values here
     from mapreduce__spark.operators.windows import idiv
 
-    mass = degc.select("c", F.lit(initial_mass).cast("bigint").alias("mass"))
-    for i in range(k):
+    e = (
+        edges.select("c", "s")
+        .withColumn("dc", F.count(F.lit(1)).over(Window.partitionBy("c")))
+        .withColumn("ds", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .localCheckpoint(eager=True)
+    )
+
+    mass = e.groupBy("s").agg(
+        F.sum(idiv(F.lit(initial_mass).cast("bigint"), F.col("dc"))).alias("mass")
+    )
+    if checkpoint_every == 1 and k > 1:
+        mass = mass.localCheckpoint(eager=True)
+    for i in range(1, k):
         if i % 2 == 0:  # c -> s
             mass = (
                 e.join(mass, "c")

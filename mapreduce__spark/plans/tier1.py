@@ -1821,7 +1821,9 @@ def graph_mass_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine hash would be luck; integer sums are order-independent
     and the div truncation is defined identically in both engines.
 
-    Scale shape: each superstep is static edges ⋈ shrinking masses
+    Scale shape: the degree-annotated edge list is checkpointed once,
+    the first superstep folds the uniform initial mass as a literal (no
+    join), and each later superstep is static edges ⋈ shrinking masses
     (uniform keys) + one partial-agged groupBy — the Pregel
     message-passing shape, with localCheckpoint lineage truncation every
     few supersteps (see operators/graph.py propagate_mass)."""

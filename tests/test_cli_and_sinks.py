@@ -154,6 +154,10 @@ def test_bench_contract(tmp_path):
         "drift",
         "deltas_adj",
         "session_rerun",
+        # round-14 cumulative-drift predicate: per-query ratio vs the
+        # BEST of the last three committed rounds, so stair-step
+        # regressions under the single-round trigger can't hide
+        "cumulative_drift",
     }
     assert required <= set(data) and set(data) <= required | optional
     assert data["sf"] == 0.001 and data["unit"] == "sec" and data["value"] > 0
@@ -162,6 +166,40 @@ def test_bench_contract(tmp_path):
     assert len(lines[0]) <= 1950, f"bench line {len(lines[0])}B > driver window"
     from bench import BENCH_QUERIES
     assert len(data["queries"]) == len(BENCH_QUERIES)
+
+
+def test_bench_best_of_recent_rounds():
+    """The cumulative-drift floor (round-13 VERDICT item 2) must be the
+    per-query MIN over the newest three committed same-sf bench records —
+    pinned against the real BENCH_r*.json files so a parser regression
+    (sf filter, round ordering, non-numeric entries) can't silently turn
+    the predicate into a no-op."""
+    import glob
+    import json as _json
+    import re as _re
+
+    from bench import _best_of_recent_rounds
+
+    rounds = []
+    for path in glob.glob("/root/repo/BENCH_r*.json"):
+        m = _re.search(r"BENCH_r(\d+)\.json$", path)
+        with open(path) as f:
+            parsed = _json.load(f).get("parsed") or {}
+        if parsed.get("sf") == 0.1 and parsed.get("queries"):
+            rounds.append((int(m.group(1)), parsed["queries"]))
+    rounds.sort(reverse=True)
+    expected = {}
+    for _, qs in rounds[:3]:
+        for n, s in qs.items():
+            if isinstance(s, (int, float)) and s > 0:
+                expected[n] = min(expected.get(n, float("inf")), float(s))
+    got = _best_of_recent_rounds(0.1)
+    assert got == expected
+    if rounds:  # committed history: the floor must be non-trivial
+        assert got, "best-of-last-3 came back empty despite committed records"
+        assert all(v > 0 for v in got.values())
+    # an sf with no committed records yields an empty floor, not a crash
+    assert _best_of_recent_rounds(123.456) == {}
 
 
 def test_text_sink(spark, sf_small, tmp_path):
