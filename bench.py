@@ -558,14 +558,18 @@ def _scaled_trade_graph_dir(spark, sf_dir: str, factor: int) -> str:
 
 
 def _run_graph_emb_scaling(spark, base_timings: dict[str, float]) -> dict:
-    """Round-8 VERDICT item 3: synthetic-growth probes for the two new
-    heavy queries. Both anchor at sf0.01 (the natural below-tier) and
-    grow it 10x with structure-faithful clones — replica-disjoint graphs
-    for graph_triangles (wedge work scales linearly by construction, so
-    measured growth <= the m^1.5 bound confirms the implementation
-    doesn't add super-linear shuffle), and replica-shifted embeddings
-    with k scaled 10x for semantic_dedup (measuring the k-grows-with-
-    corpus design, stamped in the row so the reader knows k moved)."""
+    """Round-8 VERDICT item 3: synthetic-growth probes for the heavy
+    graph/embedding queries. All anchor at sf0.01 (the natural
+    below-tier) and grow it with structure-faithful clones —
+    replica-disjoint graphs for graph_triangles (wedge work scales
+    linearly by construction, so measured growth <= the m^1.5 bound
+    confirms the implementation doesn't add super-linear shuffle), and
+    replica-shifted embeddings with k scaled alongside for
+    semantic_dedup (measuring the k-grows-with-corpus design, stamped
+    in the row so the reader knows k moved). Round-14: graph_triangles
+    and semantic_dedup additionally measure a SECOND decade (x100b/g100,
+    round-13 VERDICT item 6) so their scale claims are proven two
+    decades deep like the LSH/pipeline tiers."""
     from mapreduce__spark.plans.tier2 import SEMDEDUP_K, semantic_dedup_df
 
     below = "/root/testdata/sf0.01"
@@ -593,6 +597,24 @@ def _run_graph_emb_scaling(spark, base_timings: dict[str, float]) -> dict:
                 f"{SCALE_FACTOR}x edges — beyond the m^1.5 wedge bound",
                 file=sys.stderr,
             )
+    # Second decade (round-13 VERDICT item 6): the O(m^1.5) wedge claim
+    # measured two decades deep. ~3 min at this sf; the round-14 probe
+    # read g100 = 47.7 (disjoint replicas grow wedges linearly, and
+    # fixed overheads still amortize at this absolute scale).
+    li100 = _scaled_lineitem_dir(spark, below, SCALE_FACTOR_2)
+    t0 = time.perf_counter()
+    REGISTRY["graph_triangles"].fn(spark, li100).collect()
+    row["x100b"] = round(time.perf_counter() - t0, 3)
+    if row["below"] > 0:
+        row["g100"] = round(row["x100b"] / row["below"], 2)
+        if row["x100b"] < row["x10b"]:
+            row["non_monotone"] = True
+        if row["g100"] > SCALE_FACTOR_2 ** 1.5:
+            print(
+                f"SCALING REGRESSION: graph_triangles grew {row['g100']}x "
+                f"on {SCALE_FACTOR_2}x edges — beyond the m^1.5 wedge bound",
+                file=sys.stderr,
+            )
     out["graph_triangles"] = row
     gc.collect()
 
@@ -611,6 +633,26 @@ def _run_graph_emb_scaling(spark, base_timings: dict[str, float]) -> dict:
                 f"SCALING REGRESSION: semantic_dedup grew {row['g10']}x on "
                 f"{SCALE_FACTOR}x vectors WITH k scaled — pair space is not "
                 "tracking n^2/k, investigate",
+                file=sys.stderr,
+            )
+    # Second decade (round-13 VERDICT item 6): k scales 100x alongside
+    # the vectors, so pair space stays n^2/k-linear while the k-means
+    # assignment pays n*k — the honest price of the k-is-the-scale-knob
+    # design. ~4.5 min at this sf; the round-14 probe read g100 = 73.5
+    # (sublinear end-to-end).
+    emb100 = _scaled_embeddings_dir(spark, below, SCALE_FACTOR_2)
+    t0 = time.perf_counter()
+    semantic_dedup_df(spark, emb100, SEMDEDUP_K * SCALE_FACTOR_2).collect()
+    row["x100b"] = round(time.perf_counter() - t0, 3)
+    if row["below"] > 0:
+        row["g100"] = round(row["x100b"] / row["below"], 2)
+        if row["x100b"] < row["x10b"]:
+            row["non_monotone"] = True
+        if row["g100"] > SCALE_FACTOR_2:
+            print(
+                f"SCALING REGRESSION: semantic_dedup grew {row['g100']}x on "
+                f"{SCALE_FACTOR_2}x vectors WITH k scaled — pair space is "
+                "not tracking n^2/k, investigate",
                 file=sys.stderr,
             )
     out["semantic_dedup"] = row
@@ -862,7 +904,7 @@ def main() -> None:
         out["scaling_note"] = (
             f"x10/x100 = {SCALE_FACTOR}x/{SCALE_FACTOR_2}x gram-disjoint doc "
             "clones; 1 warm run per tier; graph/semdedup tiers anchor at "
-            "sf0.01 (x10_of_below), semdedup k scales with the corpus"
+            "sf0.01 (x10b/x100b of below), semdedup k scales with the corpus"
         )
 
     # Per-query regression deltas vs the previous round's recorded bench
