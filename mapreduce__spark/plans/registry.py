@@ -114,6 +114,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the driver report has no ambiguous "no oracle" rows (see README
 # §correctness).
 DRIVER_WINDOW: tuple[str, ...] = (
+    # round-14 additions — never driver-attested (each displaced a filler)
+    "perplexity_buckets",
     # round-13 additions (single-green), earning their second row
     "stream_mg_fold",
     "stream_countmin_fold",
@@ -170,7 +172,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sequence_packing_chunked",
     "train_test_split",
     "bpe_pair_counts",
-    "vocab_encode",
+    # (fillers displaced newest-last-green-first, r6 group in reverse
+    # registration order: vocab_encode gave its slot to
+    # perplexity_buckets)
 )
 
 

@@ -1997,9 +1997,10 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "kn_lm_score",
-    oracle="""
+# Doc-level Kneser-Ney NLL as a reusable WITH prefix: kn_lm_score selects
+# it directly and perplexity_buckets ranks over it — one SQL text, so the
+# two oracles cannot drift apart.
+_KN_DOC_NLL_ORACLE = """
     WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), inst AS (
@@ -2021,52 +2022,27 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM big b
         JOIN ctx c ON b.left_tok = c.left_tok
         JOIN cont k ON b.right_tok = k.right_tok
+    ), doc_nll AS (
+        SELECT i.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST((2 * sum(CAST(floor(-ln(
+                         ((4 * s.c12 - 3) * n.t + 3.0 * s.a1 * s.b2)
+                         / ((4.0 * s.c1x) * n.t)
+                     ) * 1000000 + 0.5) AS BIGINT)) + count(*))
+                    // (2 * count(*)) AS DOUBLE) / 1000000 AS nll
+        FROM inst i
+        JOIN stats s ON i.left_tok = s.left_tok AND i.right_tok = s.right_tok
+        CROSS JOIN ttot n
+        GROUP BY i.doc_id
     )
-    SELECT i.doc_id,
-           CAST(count(*) AS BIGINT) AS n_bigrams,
-           CAST((2 * sum(CAST(floor(-ln(
-                     ((4 * s.c12 - 3) * n.t + 3.0 * s.a1 * s.b2)
-                     / ((4.0 * s.c1x) * n.t)
-                 ) * 1000000 + 0.5) AS BIGINT)) + count(*))
-                // (2 * count(*)) AS DOUBLE) / 1000000 AS nll
-    FROM inst i
-    JOIN stats s ON i.left_tok = s.left_tok AND i.right_tok = s.right_tok
-    CROSS JOIN ttot n
-    GROUP BY i.doc_id
-    """,
-    tags=("tier2", "text", "pipeline"),
-)
-def kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interpolated KNESER-NEY bigram score (round-12 VERDICT item 7) —
-    the standard perplexity-filter upgrade over bigram_lm_score's
-    Jelinek-Mercer mixture (Kneser & Ney, ICASSP 1995; Chen & Goodman,
-    CL 1999): absolute discount d = 3/4 off every seen bigram, with the
-    reclaimed mass backing off to the CONTINUATION unigram — how many
-    distinct contexts a word FOLLOWS, not how often it occurs — which is
-    what demotes high-count-but-single-context words ("Francisco") that
-    fool the plain-frequency fallback:
+"""
 
-        p_KN(w2 | w1) = (c12 - d)/c1x + d*A1/c1x * B2/T
-                      = ((4*c12 - 3)*T + 3*A1*B2) / (4*c1x*T)
 
-    with A1 = distinct continuation types after w1, B2 = distinct
-    contexts before w2, T = total distinct bigram types. Every scored
-    instance exists in the model (trained on the same corpus), so
-    c12 >= 1 and the max(c12 - d, 0) clamp is identically c12 - d:
-    choosing d = 3/4 makes the whole probability ONE exact rational of
-    integers — the bigram_lm_score float discipline holds verbatim
-    (identical IEEE expression tree both engines, ln quantized to
-    integer micro-NLL via floor(x*1e6 + 0.5), half-up integer mean
-    division, one final /1e6).
-
-    Scale shape: identical to bigram_lm_score — the bigram table is the
-    one word-count-scaling aggregate; A1/c1x ride the same groupBy that
-    builds the context totals, B2 and T are two more aggregates OVER THE
-    BIGRAM TABLE (vocab-sized, not corpus-sized); the stats relation is
-    materialized once and instances equi-join it (AQE broadcasts the
-    vocab head when it fits). Law test vs a pure-Python KN reference in
-    tests/test_round13_properties.py. Reference parity: tier-2
-    text-pipeline extension (SURVEY §2b O-24)."""
+def _kn_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, nll) under the interpolated Kneser-Ney bigram
+    model — the shared plan behind kn_lm_score (which returns it as-is)
+    and perplexity_buckets (which ranks it per source). See kn_lm_score
+    for the model derivation and the float discipline."""
     docs = load_table(spark, sf_dir, "documents")
     toks_col = tokenize(F.col("text"))
 
@@ -2126,4 +2102,134 @@ def kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 1000000
             ).alias("nll"),
         )
+    )
+
+
+@query(
+    "kn_lm_score",
+    oracle=_KN_DOC_NLL_ORACLE
+    + """
+    SELECT doc_id, n_bigrams, nll FROM doc_nll
+    """,
+    tags=("tier2", "text", "pipeline"),
+)
+def kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram score (round-12 VERDICT item 7) —
+    the standard perplexity-filter upgrade over bigram_lm_score's
+    Jelinek-Mercer mixture (Kneser & Ney, ICASSP 1995; Chen & Goodman,
+    CL 1999): absolute discount d = 3/4 off every seen bigram, with the
+    reclaimed mass backing off to the CONTINUATION unigram — how many
+    distinct contexts a word FOLLOWS, not how often it occurs — which is
+    what demotes high-count-but-single-context words ("Francisco") that
+    fool the plain-frequency fallback:
+
+        p_KN(w2 | w1) = (c12 - d)/c1x + d*A1/c1x * B2/T
+                      = ((4*c12 - 3)*T + 3*A1*B2) / (4*c1x*T)
+
+    with A1 = distinct continuation types after w1, B2 = distinct
+    contexts before w2, T = total distinct bigram types. Every scored
+    instance exists in the model (trained on the same corpus), so
+    c12 >= 1 and the max(c12 - d, 0) clamp is identically c12 - d:
+    choosing d = 3/4 makes the whole probability ONE exact rational of
+    integers — the bigram_lm_score float discipline holds verbatim
+    (identical IEEE expression tree both engines, ln quantized to
+    integer micro-NLL via floor(x*1e6 + 0.5), half-up integer mean
+    division, one final /1e6).
+
+    Scale shape: identical to bigram_lm_score — the bigram table is the
+    one word-count-scaling aggregate; A1/c1x ride the same groupBy that
+    builds the context totals, B2 and T are two more aggregates OVER THE
+    BIGRAM TABLE (vocab-sized, not corpus-sized); the stats relation is
+    materialized once and instances equi-join it (AQE broadcasts the
+    vocab head when it fits). Law test vs a pure-Python KN reference in
+    tests/test_round13_properties.py. Reference parity: tier-2
+    text-pipeline extension (SURVEY §2b O-24)."""
+    return _kn_doc_nll(spark, sf_dir)
+
+
+@query(
+    "perplexity_buckets",
+    oracle=_KN_DOC_NLL_ORACLE
+    + """
+    , lab AS (
+        SELECT n.doc_id, d.source, n.nll,
+               row_number() OVER (
+                   PARTITION BY d.source ORDER BY n.nll, n.doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY d.source) AS nsrc
+        FROM doc_nll n JOIN documents d ON n.doc_id = d.doc_id
+    )
+    SELECT doc_id, source, nll,
+           CASE (3 * (rn - 1)) // nsrc
+               WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM lab
+    """,
+    tags=("tier2", "text", "pipeline"),
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (round-13 VERDICT item 3; Wenzek
+    et al., "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data", LREC 2020): per SOURCE, split documents into
+    head / middle / tail terciles of language-model perplexity — the
+    curation signal CCNet uses to keep the well-modeled head of each
+    slice and drop or down-weight the tail. The LM score is the
+    interpolated Kneser-Ney doc NLL (kn_lm_score's exact plan, shared
+    via _kn_doc_nll), ranked ascending with doc_id as the tie-break so
+    bucket populations per source differ by at most one (the terciles
+    are exact rank terciles, not value thresholds — a tie-heavy corpus
+    cannot collapse a bucket).
+
+    Scale shape (the quantile_rank_normalize discipline): the per-
+    (source, nll) value histogram compacts the corpus in one aggregate
+    pass, the cumulative count windows over HISTOGRAM rows only, and
+    ranks join back on (source, nll) — histogram-sized, AQE broadcasts
+    it. The only corpus-row window is the within-(source, nll) tie
+    row_number, whose partitions are single-value tie groups (bounded by
+    the duplicate count of one score, not by source size), so no source
+    ever funnels through one partition the way a naive per-source
+    row_number would. Docs with fewer than two tokens have no bigrams,
+    hence no perplexity, and are absent — same inner-join semantics as
+    kn_lm_score."""
+    nll = _kn_doc_nll(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = nll.join(docs, "doc_id").select("doc_id", "source", "nll")
+
+    hist = (
+        scored.groupBy("source", "nll")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    wh = (
+        Window.partitionBy("source")
+        .orderBy("nll")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # rank map under join-local names (hist derives from scored: shared
+    # column objects would trip the ambiguous-self-join analyzer)
+    rank_map = hist.withColumn("cum", F.sum("cnt").over(wh)).select(
+        F.col("source").alias("_rm_source"),
+        F.col("nll").alias("_rm_nll"),
+        (F.col("cum") - F.col("cnt")).alias("cum_before"),
+    )
+    totals = hist.groupBy("source").agg(F.sum("cnt").alias("nsrc"))
+    tie_w = Window.partitionBy("source", "nll").orderBy("doc_id")
+    return (
+        scored.withColumn("tie_rn", F.row_number().over(tie_w))
+        .join(
+            rank_map,
+            (F.col("source") == F.col("_rm_source"))
+            & (F.col("nll") == F.col("_rm_nll")),
+        )
+        .drop("_rm_source", "_rm_nll")
+        .join(F.broadcast(totals), "source")
+        .withColumn("rn", F.col("cum_before") + F.col("tie_rn"))
+        .withColumn(
+            "ppl_bucket",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.expr("CAST((3 * (rn - 1)) DIV nsrc AS INT)") + 1,
+            ),
+        )
+        .select("doc_id", "source", "nll", "ppl_bucket")
     )

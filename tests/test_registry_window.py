@@ -97,11 +97,11 @@ TRIPLE_FILLERS: set[str] = {
     "sequence_packing_chunked",
     "train_test_split",
     "bpe_pair_counts",
-    "vocab_encode",
 }
 _DISPLACEMENT_LOG = {
     # (round-14 additions pop the newest-last-green filler first — the
-    # r6 group in reverse registration order: vocab_encode, then
+    # r6 group in reverse registration order: vocab_encode (displaced by
+    # perplexity_buckets), then
     # bpe_pair_counts, train_test_split, sequence_packing_chunked,
     # tfidf_top_terms, udtf_token_positions, graph_mass_propagation,
     # scd2_intervals, merge_upsert, window_distribution,

@@ -1,0 +1,120 @@
+"""Round-14 property tests: CCNet-style perplexity bucketing laws
+(round-13 VERDICT item 3) — exact rank terciles per source over the
+Kneser-Ney doc NLL, pinned against an independent Python
+reimplementation and the population-balance law."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce__spark.plans import REGISTRY
+
+
+@pytest.fixture(scope="module")
+def ppl_corpus_sf(tmp_path_factory) -> str:
+    """Three sources exercising the tercile edge cases: 'web' has seven
+    docs with distinct perplexities, 'ties' has six IDENTICAL docs (one
+    shared nll — only the doc_id tie-break can separate them), and
+    'tiny' has two docs (fewer docs than buckets, so one bucket must
+    stay empty). Plus a one-token doc that has no bigrams and must be
+    absent from the output entirely."""
+    from tests.test_round13_advice import _write_documents
+
+    rows, doc_id = [], 0
+    corpus = [
+        ("we drove to san francisco from san francisco bay", "web"),
+        ("san francisco fog rolled over san francisco hills", "web"),
+        ("a nice day and a long day and a good day", "web"),
+        ("every day some day one day each day", "web"),
+        ("the chef cooked while the chef sang", "web"),
+        ("day after day the san francisco day began", "web"),
+        ("fog over the bay began while we sang", "web"),
+        ("solo", "web"),  # one token: no bigrams, must drop out
+        ("same text same text same text", "ties"),
+        ("same text same text same text", "ties"),
+        ("same text same text same text", "ties"),
+        ("same text same text same text", "ties"),
+        ("same text same text same text", "ties"),
+        ("same text same text same text", "ties"),
+        ("a nice day in the fog", "tiny"),
+        ("san francisco bay fog", "tiny"),
+    ]
+    for text, source in corpus:
+        doc_id += 1
+        rows.append((doc_id, text, "en", source, len(text)))
+    d = str(tmp_path_factory.mktemp("ppl_corpus"))
+    _write_documents(d, rows)
+    return d
+
+
+def _reference_buckets(spark, sf_dir: str) -> dict[int, tuple[str, str]]:
+    """Independent bucketing: the round-13 pure-Python KN scorer for the
+    nll, then a plain per-source sort by (nll, doc_id) and the exact
+    rank-tercile rule b = (3*(rank-1)) // n."""
+    import duckdb
+
+    from tests.test_round13_properties import _kn_reference
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text, source FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    nll = _kn_reference([(d, t) for d, t, _ in docs])
+    src = {d: s for d, _, s in docs}
+    by_source: dict[str, list[tuple[float, int]]] = {}
+    for doc_id, (_, score) in nll.items():
+        by_source.setdefault(src[doc_id], []).append((score, doc_id))
+    out: dict[int, tuple[str, str]] = {}
+    names = ("head", "middle", "tail")
+    for source, scored in by_source.items():
+        scored.sort()
+        n = len(scored)
+        for rank0, (_, doc_id) in enumerate(scored):
+            out[doc_id] = (source, names[(3 * rank0) // n])
+    return out
+
+
+def test_perplexity_buckets_match_pure_python_reference(spark, ppl_corpus_sf):
+    want = _reference_buckets(spark, ppl_corpus_sf)
+    got = {
+        r.doc_id: (r.source, r.ppl_bucket)
+        for r in REGISTRY["perplexity_buckets"].fn(spark, ppl_corpus_sf).collect()
+    }
+    assert got == want
+    assert 8 not in got  # the one-token doc has no perplexity
+
+
+def test_perplexity_buckets_population_and_order_laws(spark, ppl_corpus_sf):
+    """The two laws the VERDICT asked for: (1) per-source bucket
+    populations differ by at most one — even on the all-ties source,
+    where only the doc_id tie-break separates docs; (2) buckets are
+    monotone in (nll, doc_id): no head doc outranks a middle doc of the
+    same source, etc."""
+    rows = REGISTRY["perplexity_buckets"].fn(spark, ppl_corpus_sf).collect()
+    order = {"head": 0, "middle": 1, "tail": 2}
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert set(by_source) == {"web", "ties", "tiny"}
+    for source, docs in by_source.items():
+        pops = [sum(1 for r in docs if r.ppl_bucket == b) for b in order]
+        assert max(pops) - min(pops) <= 1, (source, pops)
+        ranked = sorted(docs, key=lambda r: (r.nll, r.doc_id))
+        buckets = [order[r.ppl_bucket] for r in ranked]
+        assert buckets == sorted(buckets), (source, buckets)
+    # the ties source: one nll value, six docs, still a 2/2/2 split
+    tie_nlls = {r.nll for r in by_source["ties"]}
+    assert len(tie_nlls) == 1
+    # the tiny source: two docs land in head and middle, tail stays empty
+    tiny = sorted((r.nll, r.ppl_bucket) for r in by_source["tiny"])
+    assert [b for _, b in tiny] == ["head", "middle"]
+
+
+def test_perplexity_buckets_match_oracle_on_fixture(spark, ppl_corpus_sf):
+    from tests.oracle_harness import compare_with_oracle
+
+    q = REGISTRY["perplexity_buckets"]
+    ok, msg = compare_with_oracle(q.fn(spark, ppl_corpus_sf), q.oracle, ppl_corpus_sf)
+    assert ok, msg
