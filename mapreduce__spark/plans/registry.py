@@ -116,6 +116,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 DRIVER_WINDOW: tuple[str, ...] = (
     # round-14 additions — never driver-attested (each displaced a filler)
     "perplexity_buckets",
+    "repetition_scrub",
     # round-13 additions (single-green), earning their second row
     "stream_mg_fold",
     "stream_countmin_fold",
@@ -171,10 +172,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tfidf_top_terms",
     "sequence_packing_chunked",
     "train_test_split",
-    "bpe_pair_counts",
     # (fillers displaced newest-last-green-first, r6 group in reverse
     # registration order: vocab_encode gave its slot to
-    # perplexity_buckets)
+    # perplexity_buckets, bpe_pair_counts to repetition_scrub)
 )
 
 

@@ -1997,6 +1997,82 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "repetition_scrub",
+    oracle="""
+    WITH s1 AS (
+        SELECT doc_id, string_split(text, chr(10)) AS lines
+        FROM documents
+    ), s2 AS (
+        SELECT doc_id, lines,
+               list_filter(lines, (x, i) -> i = 1 OR x <> lines[i - 1])
+                   AS lines_kept
+        FROM s1
+    ), s3 AS (
+        SELECT doc_id, lines, lines_kept,
+               string_split(array_to_string(lines_kept, chr(10)), ' ')
+                   AS toks
+        FROM s2
+    ), s4 AS (
+        SELECT doc_id, lines, lines_kept, toks,
+               list_filter(toks, (x, i) -> i <= 2 OR NOT
+                   (x = toks[i - 1] AND toks[i - 1] = toks[i - 2]))
+                   AS toks_kept
+        FROM s3
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(lines_kept) AS BIGINT) AS n_lines_kept,
+           CAST(len(toks) AS BIGINT) AS n_toks,
+           CAST(len(toks_kept) AS BIGINT) AS n_toks_kept,
+           array_to_string(toks_kept, ' ') AS text_clean
+    FROM s4
+    """,
+    tags=("tier2", "text", "pipeline"),
+)
+def repetition_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition scrub (round-13 VERDICT item 5) — the
+    Gopher/RefinedWeb repetition TRANSFORM the audit rules only measure
+    (Rae et al. 2021 §A1.1 remove docs by duplicate-line fraction;
+    Penedo et al. 2023 scrub instead of dropping). Two single-pass,
+    non-cascading rules evaluated on the ORIGINAL arrays so both engines
+    agree on every index: (1) drop a line when it equals the line
+    immediately above it (consecutive duplicate lines — the copy-paste /
+    template failure inside one page); (2) cap identical-token runs at
+    two (a third-or-later consecutive repeat of the same token is
+    dropped — the "ha ha ha ha" degeneracy). Distinct from
+    paragraph_dedup (global first-occurrence keep across docs) and
+    boilerplate_removal (cross-document line frequency): both rules here
+    look only WITHIN a document.
+
+    Scale shape: a pure scan-stage expression tree — split, two indexed
+    higher-order filters, two rejoins; no shuffle, no UDF, whole-stage
+    codegen end to end (the content_defined_chunking discipline). The
+    synthetic corpus has no newlines, so the line rule's removal branch
+    is proven by the planted-repetition fixture in
+    tests/test_round14_properties.py; the token-run cap fires on the
+    real corpus (27 triple-runs at sf0.01)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    lines_kept = F.filter(
+        lines, lambda x, i: (i == F.lit(0)) | (x != F.get(lines, i - 1))
+    )
+    toks = F.split(F.array_join(lines_kept, "\n"), " ")
+    toks_kept = F.filter(
+        toks,
+        lambda x, i: (i <= F.lit(1))
+        | ~((x == F.get(toks, i - 1)) & (F.get(toks, i - 1) == F.get(toks, i - 2))),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(lines_kept).cast("bigint").alias("n_lines_kept"),
+        F.size(toks).cast("bigint").alias("n_toks"),
+        F.size(toks_kept).cast("bigint").alias("n_toks_kept"),
+        F.array_join(toks_kept, " ").alias("text_clean"),
+    )
+
+
 # Doc-level Kneser-Ney NLL as a reusable WITH prefix: kn_lm_score selects
 # it directly and perplexity_buckets ranks over it — one SQL text, so the
 # two oracles cannot drift apart.

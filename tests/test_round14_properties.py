@@ -118,3 +118,95 @@ def test_perplexity_buckets_match_oracle_on_fixture(spark, ppl_corpus_sf):
     q = REGISTRY["perplexity_buckets"]
     ok, msg = compare_with_oracle(q.fn(spark, ppl_corpus_sf), q.oracle, ppl_corpus_sf)
     assert ok, msg
+
+
+def _scrub_reference(text: str) -> tuple[int, int, int, int, str]:
+    """Independent single-pass scrub: consecutive-duplicate-line drop,
+    then token runs capped at two — both judged on the ORIGINAL arrays
+    (non-cascading), exactly as the query declares."""
+    lines = text.split("\n")
+    lines_kept = [
+        x for i, x in enumerate(lines) if i == 0 or x != lines[i - 1]
+    ]
+    toks = "\n".join(lines_kept).split(" ")
+    toks_kept = [
+        x
+        for i, x in enumerate(toks)
+        if i <= 1 or not (x == toks[i - 1] and toks[i - 1] == toks[i - 2])
+    ]
+    return (
+        len(lines),
+        len(lines_kept),
+        len(toks),
+        len(toks_kept),
+        " ".join(toks_kept),
+    )
+
+
+@pytest.fixture(scope="module")
+def rep_corpus_sf(tmp_path_factory) -> str:
+    """Planted intra-doc repetition: consecutive duplicate lines (must
+    drop), the same line NON-consecutively (must keep), token runs of
+    exactly 2 (kept), 3 and 5 (capped at 2), a run spanning a line
+    boundary, and degenerate shapes (empty text, single token, all-same
+    doc)."""
+    from tests.test_round13_advice import _write_documents
+
+    rows, doc_id = [], 0
+    texts = [
+        "copy paste line\ncopy paste line\ncopy paste line\nfresh line",
+        "menu bar\ncontent here\nmenu bar\ncontent again",  # non-consecutive: keep
+        "ha ha ha ha ha and then ok ok done",  # run of 5 -> 2, run of 2 kept
+        "na na batman na na",  # runs of exactly 2: untouched
+        "end end\nend start start",  # run crosses a line boundary
+        "",  # empty text
+        "solo",
+        "same same same\nsame same same\nsame same same",
+    ]
+    for text in texts:
+        doc_id += 1
+        rows.append((doc_id, text, "en", "web", len(text)))
+    d = str(tmp_path_factory.mktemp("rep_corpus"))
+    _write_documents(d, rows)
+    return d
+
+
+def test_repetition_scrub_matches_reference_on_planted_corpus(spark, rep_corpus_sf):
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{rep_corpus_sf}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    want = {d: _scrub_reference(t) for d, t in docs}
+    got = {
+        r.doc_id: (r.n_lines, r.n_lines_kept, r.n_toks, r.n_toks_kept, r.text_clean)
+        for r in REGISTRY["repetition_scrub"].fn(spark, rep_corpus_sf).collect()
+    }
+    assert got == want
+    # the removal branches really fired: consecutive dup lines dropped...
+    assert got[1][:2] == (4, 2)
+    assert got[1][4] == "copy paste line\nfresh line"
+    # ...non-consecutive repeats kept...
+    assert got[2][:2] == (4, 4)
+    # ...runs capped at two, runs of two untouched
+    assert got[3][4] == "ha ha and then ok ok done"
+    assert got[4][4] == "na na batman na na"
+    # the all-same doc: line dedup first, then the token cap inside it
+    assert got[8][4] == "same same"
+
+
+def test_repetition_scrub_idempotent_and_matches_oracle(spark, rep_corpus_sf):
+    """Scrubbing a scrubbed corpus is a fixpoint (both rules only ever
+    REMOVE a repeat that the first pass would also have removed), and
+    the planted corpus passes the engine differential."""
+    from tests.oracle_harness import compare_with_oracle
+
+    rows = REGISTRY["repetition_scrub"].fn(spark, rep_corpus_sf).collect()
+    for r in rows:
+        twice = _scrub_reference(r.text_clean)
+        assert twice[4] == r.text_clean, r.doc_id
+    q = REGISTRY["repetition_scrub"]
+    ok, msg = compare_with_oracle(q.fn(spark, rep_corpus_sf), q.oracle, rep_corpus_sf)
+    assert ok, msg
