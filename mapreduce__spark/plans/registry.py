@@ -117,6 +117,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # round-14 additions — never driver-attested (each displaced a filler)
     "perplexity_buckets",
     "repetition_scrub",
+    "incremental_kn_stats",
     # round-13 additions (single-green), earning their second row
     "stream_mg_fold",
     "stream_countmin_fold",
@@ -171,10 +172,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udtf_token_positions",
     "tfidf_top_terms",
     "sequence_packing_chunked",
-    "train_test_split",
     # (fillers displaced newest-last-green-first, r6 group in reverse
     # registration order: vocab_encode gave its slot to
-    # perplexity_buckets, bpe_pair_counts to repetition_scrub)
+    # perplexity_buckets, bpe_pair_counts to repetition_scrub,
+    # train_test_split to incremental_kn_stats)
 )
 
 

@@ -2114,14 +2114,9 @@ _KN_DOC_NLL_ORACLE = """
 """
 
 
-def _kn_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_bigrams, nll) under the interpolated Kneser-Ney bigram
-    model — the shared plan behind kn_lm_score (which returns it as-is)
-    and perplexity_buckets (which ranks it per source). See kn_lm_score
-    for the model derivation and the float discipline."""
-    docs = load_table(spark, sf_dir, "documents")
+def _bigram_instances(docs: DataFrame) -> DataFrame:
+    """(doc_id, left_tok, right_tok) — one row per bigram INSTANCE."""
     toks_col = tokenize(F.col("text"))
-
     make = F.transform(
         F.sequence(F.lit(1), F.size(toks_col) - 1),
         lambda i: F.struct(
@@ -2134,21 +2129,37 @@ def _kn_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarded = F.when(F.size(toks_col) >= 2, make).otherwise(
         F.array().cast("array<struct<left_tok:string,right_tok:string>>")
     )
-    inst = docs.select("doc_id", F.explode(guarded).alias("p")).select(
+    return docs.select("doc_id", F.explode(guarded).alias("p")).select(
         "doc_id", "p.left_tok", "p.right_tok"
     )
-    big = inst.groupBy("left_tok", "right_tok").agg(
-        F.count(F.lit(1)).alias("c12")
-    )
+
+
+def _kn_stats_from_bigrams(big: DataFrame) -> DataFrame:
+    """Derive the full KN stats relation (left_tok, right_tok, c12, c1x,
+    a1, b2) from a bigram COUNT table — two vocab-sized aggregates plus
+    the row-preserving joins back, never touching the corpus. This is
+    the re-derivation half of the mergeable-stats contract
+    (incremental_kn_stats): bigram counts are the additive state, and
+    everything KN needs (context totals c1x, continuation type counts
+    a1/b2, and T = |stats|) recomputes from them alone."""
     ctx = big.groupBy("left_tok").agg(
         F.sum("c12").alias("c1x"), F.count(F.lit(1)).alias("a1")
     )
     cont = big.groupBy("right_tok").agg(F.count(F.lit(1)).alias("b2"))
-    stats = (
-        big.join(ctx, "left_tok")
-        .join(cont, "right_tok")
-        .localCheckpoint(eager=True)
+    return big.join(ctx, "left_tok").join(cont, "right_tok")
+
+
+def _kn_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, nll) under the interpolated Kneser-Ney bigram
+    model — the shared plan behind kn_lm_score (which returns it as-is)
+    and perplexity_buckets (which ranks it per source). See kn_lm_score
+    for the model derivation and the float discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    inst = _bigram_instances(docs)
+    big = inst.groupBy("left_tok", "right_tok").agg(
+        F.count(F.lit(1)).alias("c12")
     )
+    stats = _kn_stats_from_bigrams(big).localCheckpoint(eager=True)
     # T counted off the CHECKPOINTED stats relation (row-preserving inner
     # joins keep |stats| == |big| == T by construction): counting `big`
     # directly replans a second full corpus explode (seen in the round-13
@@ -2221,6 +2232,86 @@ def kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round13_properties.py. Reference parity: tier-2
     text-pipeline extension (SURVEY §2b O-24)."""
     return _kn_doc_nll(spark, sf_dir)
+
+
+@query(
+    "incremental_kn_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), inst AS (
+        SELECT doc_id, toks[i] AS left_tok, toks[i + 1] AS right_tok
+        FROM t CROSS JOIN UNNEST(range(1, len(toks))) AS r(i)
+    ), big AS (
+        SELECT left_tok, right_tok, CAST(count(*) AS BIGINT) AS c12
+        FROM inst GROUP BY 1, 2
+    ), ctx AS (
+        SELECT left_tok, CAST(sum(c12) AS BIGINT) AS c1x,
+               CAST(count(*) AS BIGINT) AS a1
+        FROM big GROUP BY 1
+    ), cont AS (
+        SELECT right_tok, CAST(count(*) AS BIGINT) AS b2 FROM big GROUP BY 1
+    ), tt AS (
+        SELECT CAST(count(*) AS BIGINT) AS t_types FROM big
+    )
+    SELECT b.left_tok, b.right_tok, b.c12, c.c1x, c.a1, k.b2, n.t_types
+    FROM big b
+    JOIN ctx c ON b.left_tok = c.left_tok
+    JOIN cont k ON b.right_tok = k.right_tok
+    CROSS JOIN tt n
+    ORDER BY b.c12 DESC, b.left_tok, b.right_tok
+    LIMIT 50
+    """,
+    tags=("tier2", "text", "pipeline"),
+)
+def incremental_kn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Kneser-Ney statistics (round-13 VERDICT item 7) — the
+    incremental-rollup story the quantile/HLL/moments families already
+    have, for the LM family: the additive state is the BIGRAM COUNT
+    table (left_tok, right_tok, c12), which merges across shards by
+    keyed addition; the derived stats (context totals c1x, continuation
+    type counts a1/b2, bigram-type total T) are NOT additive — they are
+    distinct-type counts — so they re-derive from the merged bigram
+    table with vocab-sized aggregates (_kn_stats_from_bigrams), never
+    rescanning the corpus. New data at 100 TB therefore costs: count the
+    NEW shard's bigrams, one keyed merge into the stats store, one
+    vocab-sized re-derivation — no historical re-read.
+
+    This query runs the merge path end to end: the corpus splits into
+    three doc_id-keyed shards, each shard counts its bigrams
+    independently (as three ingest batches would), the partials union
+    and merge by addition, and the full stats relation re-derives from
+    the merged table — returning the top-50 bigrams by count. The
+    ORACLE computes the same stats directly from the unsharded corpus,
+    so the driver's hash check externally attests the merge law
+    (shard-merge-rederive == direct) cross-engine; the random-split
+    merge law and the two-batch incremental scenario are pytest-pinned
+    in tests/test_round14_properties.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    partials = [
+        _bigram_instances(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == F.lit(i))
+        )
+        .groupBy("left_tok", "right_tok")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        for i in range(3)
+    ]
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.unionByName(p)
+    merged = merged.groupBy("left_tok", "right_tok").agg(
+        F.sum("c12").alias("c12")
+    )
+    # same discipline as _kn_doc_nll: materialize once, count T off the
+    # checkpointed relation so it cannot replan the three shard explodes
+    stats = _kn_stats_from_bigrams(merged).localCheckpoint(eager=True)
+    tt = stats.agg(F.count(F.lit(1)).cast("bigint").alias("t_types"))
+    return (
+        stats.crossJoin(F.broadcast(tt))
+        .orderBy(F.col("c12").desc(), "left_tok", "right_tok")
+        .limit(50)
+        .select("left_tok", "right_tok", "c12", "c1x", "a1", "b2", "t_types")
+    )
 
 
 @query(

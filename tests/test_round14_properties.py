@@ -197,6 +197,138 @@ def test_repetition_scrub_matches_reference_on_planted_corpus(spark, rep_corpus_
     assert got[8][4] == "same same"
 
 
+def _stats_rows(df) -> set[tuple]:
+    return {
+        (r.left_tok, r.right_tok, r.c12, r.c1x, r.a1, r.b2)
+        for r in df.collect()
+    }
+
+
+def _direct_stats(spark, texts: list[str]):
+    from mapreduce__spark.plans.tier2_pipeline import (
+        _bigram_instances,
+        _kn_stats_from_bigrams,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    big = (
+        _bigram_instances(docs)
+        .groupBy("left_tok", "right_tok")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    return _kn_stats_from_bigrams(big)
+
+
+def test_kn_stats_merge_law_on_random_shard_splits(spark):
+    """The mergeable-stats law: counting bigrams per shard, merging the
+    partials by keyed addition, and re-deriving (c1x, a1, b2) equals the
+    direct unsharded computation — for EVERY shard assignment. Randomized
+    splits (seeded) over a corpus built to make naive addition of the
+    type counts wrong: the same bigram appears in multiple shards, so
+    additive a1/b2/T would double-count types."""
+    import random
+
+    from mapreduce__spark.plans.tier2_pipeline import (
+        _bigram_instances,
+        _kn_stats_from_bigrams,
+    )
+    from pyspark.sql import functions as F
+
+    texts = [
+        "san francisco fog over san francisco",
+        "san francisco bay fog",
+        "a day and a day and a day",
+        "fog over the bay every day",
+        "the chef and the fog",
+        "solo",
+    ]
+    want = _stats_rows(_direct_stats(spark, texts))
+    rng = random.Random(1404)
+    for n_shards in (2, 3, 5):
+        assign = [rng.randrange(n_shards) for _ in texts]
+        docs = spark.createDataFrame(
+            [(i + 1, t, assign[i]) for i, t in enumerate(texts)],
+            "doc_id long, text string, shard int",
+        )
+        partials = [
+            _bigram_instances(docs.filter(F.col("shard") == s).drop("shard"))
+            .groupBy("left_tok", "right_tok")
+            .agg(F.count(F.lit(1)).alias("c12"))
+            for s in range(n_shards)
+        ]
+        merged = partials[0]
+        for p in partials[1:]:
+            merged = merged.unionByName(p)
+        merged = merged.groupBy("left_tok", "right_tok").agg(
+            F.sum("c12").alias("c12")
+        )
+        got = _stats_rows(_kn_stats_from_bigrams(merged))
+        assert got == want, (n_shards, assign)
+        # T re-derives as |merged|, and the shared-bigram trap is real:
+        # summing per-shard type counts over-counts whenever shards share
+        # a bigram type
+        t_direct = len({(l, r) for (l, r, *_s) in want})
+        assert merged.count() == t_direct
+        t_additive = sum(p.count() for p in partials)
+        if any(
+            assign[0] != a for a in assign
+        ):  # split is non-trivial for this corpus
+            assert t_additive >= t_direct
+
+
+def test_kn_stats_incremental_two_batch_scenario(spark):
+    """The 100 TB operating mode: stats stand on batch A; batch B
+    arrives; merging B's partial into A's stored bigram table and
+    re-deriving equals a full recompute over A+B — no historical
+    rescan. Also pins that the DERIVED columns genuinely change (B
+    introduces new continuations for old words, so a1/b2 move)."""
+    from mapreduce__spark.plans.tier2_pipeline import (
+        _bigram_instances,
+        _kn_stats_from_bigrams,
+    )
+    from pyspark.sql import functions as F
+
+    batch_a = ["the fog rolled in", "the bay was cold"]
+    batch_b = ["the chef rolled out", "fog over the chef"]
+
+    def counts(texts, start_id):
+        docs = spark.createDataFrame(
+            [(start_id + i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        return (
+            _bigram_instances(docs)
+            .groupBy("left_tok", "right_tok")
+            .agg(F.count(F.lit(1)).alias("c12"))
+        )
+
+    stored = counts(batch_a, 1)  # the persisted stats store after batch A
+    incoming = counts(batch_b, 100)
+    merged = (
+        stored.unionByName(incoming)
+        .groupBy("left_tok", "right_tok")
+        .agg(F.sum("c12").alias("c12"))
+    )
+    got = _stats_rows(_kn_stats_from_bigrams(merged))
+    want = _stats_rows(_direct_stats(spark, batch_a + batch_b))
+    assert got == want
+    # 'the' gains continuations in batch B: its a1 must exceed batch A's
+    a1_a = {r.left_tok: r.a1 for r in _kn_stats_from_bigrams(stored).collect()}
+    a1_ab = {l: a for (l, _r, _c, _cx, a, _b) in got}
+    assert a1_ab["the"] > a1_a["the"]
+
+
+def test_incremental_kn_stats_matches_oracle_on_fixture(spark, ppl_corpus_sf):
+    from tests.oracle_harness import compare_with_oracle
+
+    q = REGISTRY["incremental_kn_stats"]
+    ok, msg = compare_with_oracle(q.fn(spark, ppl_corpus_sf), q.oracle, ppl_corpus_sf)
+    assert ok, msg
+
+
 def test_repetition_scrub_idempotent_and_matches_oracle(spark, rep_corpus_sf):
     """Scrubbing a scrubbed corpus is a fixpoint (both rules only ever
     REMOVE a repeat that the first pass would also have removed), and
