@@ -118,6 +118,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "perplexity_buckets",
     "repetition_scrub",
     "incremental_kn_stats",
+    "ks_test_lengths",
     # round-13 additions (single-green), earning their second row
     "stream_mg_fold",
     "stream_countmin_fold",
@@ -171,11 +172,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_mass_propagation",
     "udtf_token_positions",
     "tfidf_top_terms",
-    "sequence_packing_chunked",
     # (fillers displaced newest-last-green-first, r6 group in reverse
     # registration order: vocab_encode gave its slot to
     # perplexity_buckets, bpe_pair_counts to repetition_scrub,
-    # train_test_split to incremental_kn_stats)
+    # train_test_split to incremental_kn_stats,
+    # sequence_packing_chunked to ks_test_lengths)
 )
 
 

@@ -460,6 +460,115 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ks_test_lengths",
+    oracle="""
+    WITH h AS (
+      SELECT source, n_chars AS val, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb, a.n AS n_a, b.n AS n_b
+      FROM tot a JOIN tot b ON a.source < b.source
+    ),
+    m AS (
+      SELECT p.sa, p.sb, p.n_a, p.n_b, h.val,
+             sum(CASE WHEN h.source = p.sa THEN h.c ELSE 0 END) AS c1,
+             sum(CASE WHEN h.source = p.sb THEN h.c ELSE 0 END) AS c2
+      FROM pairs p JOIN h ON h.source = p.sa OR h.source = p.sb
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    cum AS (
+      SELECT sa, sb, n_a, n_b,
+             sum(c1) OVER (PARTITION BY sa, sb ORDER BY val) AS f1,
+             sum(c2) OVER (PARTITION BY sa, sb ORDER BY val) AS f2
+      FROM m
+    )
+    SELECT sa AS source_a, sb AS source_b, n_a, n_b,
+           CAST(max(abs(n_b * f1 - n_a * f2)) AS BIGINT) AS d_num,
+           CAST(n_a * n_b AS BIGINT) AS d_den
+    FROM cum GROUP BY 1, 2, 3, 4
+    """,
+    tags=("tier2", "stats"),
+)
+def ks_test_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic for every source PAIR
+    over the document-length distribution — the all-pairs drift matrix
+    next to mann_whitney_u's one-vs-rest rank test: D = sup over x of
+    |F_a(x) - F_b(x)| localizes WHERE two slices' distributions diverge
+    most, with no normality or shared-shape assumption. Everything stays
+    INTEGER-exact as one deferred rational: D = d_num / d_den with
+    d_num = max over values of |n_b*cum_a - n_a*cum_b| and
+    d_den = n_a*n_b (the supremum of a right-continuous step difference
+    is attained at an observed value, so scanning the union of observed
+    values is exhaustive, not an approximation). The sqrt-based
+    significance normalization is one expression away and deliberately
+    left to the consumer — emitting it would reintroduce libm.
+
+    SCALE: the per-(source, length) histogram compacts the corpus in one
+    aggregate pass; pairs x histogram rows is the kendall/theil_sen
+    cells-squared discipline — document-count-independent (n_chars
+    cardinality x source pairs, never docs). The ECDF windows partition
+    by PAIR over histogram rows only; the corpus is never sorted or
+    shuffled. Counts ride BIGINTs (n_b*cum_a at 100 TB per-source counts
+    near 2^31 would lift these to DECIMAL — stated, not silently
+    wrong). Reference parity: tier-2 stats extension (SURVEY §2b
+    O-11)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.groupBy("source", F.col("n_chars").alias("val"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = hist.groupBy("source").agg(F.sum("c").alias("n"))
+    a = tot.select(F.col("source").alias("sa"), F.col("n").alias("n_a"))
+    b = tot.select(F.col("source").alias("sb"), F.col("n").alias("n_b"))
+    pairs = a.join(b, F.col("sa") < F.col("sb"))
+    left = pairs.join(
+        hist.select(F.col("source").alias("sa"), "val", F.col("c").alias("c1")),
+        "sa",
+    ).withColumn("c2", F.lit(0).cast("bigint"))
+    right = pairs.join(
+        hist.select(F.col("source").alias("sb"), "val", F.col("c").alias("c2")),
+        "sb",
+    ).withColumn("c1", F.lit(0).cast("bigint"))
+    merged = (
+        left.unionByName(right)
+        .groupBy("sa", "sb", "n_a", "n_b", "val")
+        .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
+    )
+    w = (
+        Window.partitionBy("sa", "sb")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = merged.select(
+        "sa",
+        "sb",
+        "n_a",
+        "n_b",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    return (
+        cum.groupBy(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "n_a",
+            "n_b",
+        )
+        .agg(
+            F.max(
+                F.abs(F.col("n_b") * F.col("f1") - F.col("n_a") * F.col("f2"))
+            )
+            .cast("bigint")
+            .alias("d_num")
+        )
+        .withColumn("d_den", (F.col("n_a") * F.col("n_b")).cast("bigint"))
+    )
+
+
+@query(
     "per_source_zscore",
     oracle="""
     WITH s AS (

@@ -94,14 +94,13 @@ TRIPLE_FILLERS: set[str] = {
     "graph_mass_propagation",
     "udtf_token_positions",
     "tfidf_top_terms",
-    "sequence_packing_chunked",
 }
 _DISPLACEMENT_LOG = {
     # (round-14 additions pop the newest-last-green filler first — the
     # r6 group in reverse registration order: vocab_encode (displaced by
     # perplexity_buckets), bpe_pair_counts (by repetition_scrub),
-    # train_test_split (by incremental_kn_stats), then
-    # sequence_packing_chunked,
+    # train_test_split (by incremental_kn_stats),
+    # sequence_packing_chunked (by ks_test_lengths), then
     # tfidf_top_terms, udtf_token_positions, graph_mass_propagation,
     # scd2_intervals, merge_upsert, window_distribution,
     # join_bloom_pruned, join_skew_salted — then the r4 group starting

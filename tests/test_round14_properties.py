@@ -329,6 +329,79 @@ def test_incremental_kn_stats_matches_oracle_on_fixture(spark, ppl_corpus_sf):
     assert ok, msg
 
 
+def _ks_reference(xs: list[int], ys: list[int]) -> tuple[int, int]:
+    """Brute-force two-sample KS as the exact rational (d_num, d_den):
+    evaluate |n_b*F_a(v) - n_a*F_b(v)| at every observed value."""
+    vals = sorted(set(xs) | set(ys))
+    na, nb = len(xs), len(ys)
+    d = 0
+    for v in vals:
+        fa = sum(1 for x in xs if x <= v)
+        fb = sum(1 for y in ys if y <= v)
+        d = max(d, abs(nb * fa - na * fb))
+    return d, na * nb
+
+
+@pytest.fixture(scope="module")
+def ks_corpus_sf(tmp_path_factory):
+    """Four sources with known relationships: 'same_a'/'same_b' have
+    IDENTICAL length distributions (D must be 0), 'low' and 'high' have
+    DISJOINT length supports (D must be n_a*n_b), and the seeded random
+    lengths pin the general case against the brute-force reference.
+    Returns (sf_dir, lengths-per-source)."""
+    import random
+
+    from tests.test_round13_advice import _write_documents
+
+    rng = random.Random(1414)
+    lengths = {
+        "same_a": [10, 20, 20, 30, 40],
+        "same_b": [10, 20, 20, 30, 40],
+        "low": [1, 2, 2, 3],
+        "high": [100, 101, 102],
+    }
+    lengths["rand_a"] = [rng.randrange(1, 25) for _ in range(37)]
+    lengths["rand_b"] = [rng.randrange(5, 40) for _ in range(23)]
+    rows, doc_id = [], 0
+    for source, ls in lengths.items():
+        for n in ls:
+            doc_id += 1
+            rows.append((doc_id, "x " * 3, "en", source, n))
+    d = str(tmp_path_factory.mktemp("ks_corpus"))
+    _write_documents(d, rows)
+    return d, lengths
+
+
+def test_ks_test_lengths_laws_and_reference(spark, ks_corpus_sf):
+    sf_dir, lengths = ks_corpus_sf
+    got = {
+        (r.source_a, r.source_b): (r.n_a, r.n_b, r.d_num, r.d_den)
+        for r in REGISTRY["ks_test_lengths"].fn(spark, sf_dir).collect()
+    }
+    names = sorted(lengths)
+    assert set(got) == {
+        (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
+    }
+    for (a, b), (n_a, n_b, d_num, d_den) in got.items():
+        assert (n_a, n_b) == (len(lengths[a]), len(lengths[b]))
+        assert d_den == n_a * n_b
+        ref = _ks_reference(lengths[a], lengths[b])
+        assert (d_num, d_den) == ref, (a, b)
+        assert 0 <= d_num <= d_den
+    # identical distributions: D = 0; disjoint supports: D = 1 exactly
+    assert got[("same_a", "same_b")][2] == 0
+    assert got[("high", "low")][2] == got[("high", "low")][3]
+
+
+def test_ks_test_lengths_matches_oracle_on_fixture(spark, ks_corpus_sf):
+    from tests.oracle_harness import compare_with_oracle
+
+    sf_dir, _ = ks_corpus_sf
+    q = REGISTRY["ks_test_lengths"]
+    ok, msg = compare_with_oracle(q.fn(spark, sf_dir), q.oracle, sf_dir)
+    assert ok, msg
+
+
 def test_repetition_scrub_idempotent_and_matches_oracle(spark, rep_corpus_sf):
     """Scrubbing a scrubbed corpus is a fixpoint (both rules only ever
     REMOVE a repeat that the first pass would also have removed), and
