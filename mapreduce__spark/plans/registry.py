@@ -119,6 +119,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "repetition_scrub",
     "incremental_kn_stats",
     "ks_test_lengths",
+    "doc_ngram_novelty",
     # round-13 additions (single-green), earning their second row
     "stream_mg_fold",
     "stream_countmin_fold",
@@ -171,12 +172,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scd2_intervals",
     "graph_mass_propagation",
     "udtf_token_positions",
-    "tfidf_top_terms",
     # (fillers displaced newest-last-green-first, r6 group in reverse
     # registration order: vocab_encode gave its slot to
     # perplexity_buckets, bpe_pair_counts to repetition_scrub,
     # train_test_split to incremental_kn_stats,
-    # sequence_packing_chunked to ks_test_lengths)
+    # sequence_packing_chunked to ks_test_lengths,
+    # tfidf_top_terms to doc_ngram_novelty)
 )
 
 

@@ -1299,3 +1299,66 @@ def hapax_legomena(spark: SparkSession, sf_dir: str) -> DataFrame:
             hapax.cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("hapax_vocab_ratio"),
     )
+
+
+@query(
+    "doc_ngram_novelty",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+      FROM t CROSS JOIN UNNEST(range(1, len(toks) - 1)) AS r(i)
+    ),
+    first_seen AS (
+      SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+    FROM g JOIN first_seen f ON g.gram = f.gram
+    GROUP BY 1
+    """,
+    tags=("tier2", "text", "quality"),
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — how many of a doc's distinct word
+    3-grams appear for the FIRST time in this doc under the doc_id
+    ingest order (gram's min doc_id is this doc). The marginal-value
+    signal a dedup-aware curation pass ranks by: a doc whose grams all
+    first appeared earlier adds nothing the corpus doesn't already have
+    (near-dup detectors find PAIRS; this prices each doc's incremental
+    contribution), and streaming ingestion keeps docs whose novelty
+    share clears a floor. Docs with fewer than 3 tokens have no grams
+    and are absent (inner-join semantics, the kn_lm_score discipline).
+    Both counts are exact BIGINTs; the novelty RATIO is one division
+    away and left to the consumer.
+
+    SCALE: one explode into distinct (doc, gram) pairs, one
+    map-side-combined min-aggregate per gram (gram-vocabulary-sized),
+    and the join back on the gram key — the word_count shuffle shape,
+    nothing corpus-quadratic. The min-per-gram table is exactly the
+    state an incremental ingest keeps (merge = keyed min — the same
+    additive-state story as incremental_kn_stats, with min for sum).
+    Reference parity: tier-2 text-quality extension (SURVEY §2b
+    O-24)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.explode(word_ngrams(tokenize(F.col("text")))).alias("gram")
+    )
+    first_seen = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )

@@ -93,15 +93,15 @@ TRIPLE_FILLERS: set[str] = {
     "scd2_intervals",
     "graph_mass_propagation",
     "udtf_token_positions",
-    "tfidf_top_terms",
 }
 _DISPLACEMENT_LOG = {
     # (round-14 additions pop the newest-last-green filler first — the
     # r6 group in reverse registration order: vocab_encode (displaced by
     # perplexity_buckets), bpe_pair_counts (by repetition_scrub),
     # train_test_split (by incremental_kn_stats),
-    # sequence_packing_chunked (by ks_test_lengths), then
-    # tfidf_top_terms, udtf_token_positions, graph_mass_propagation,
+    # sequence_packing_chunked (by ks_test_lengths),
+    # tfidf_top_terms (by doc_ngram_novelty), then
+    # udtf_token_positions, graph_mass_propagation,
     # scd2_intervals, merge_upsert, window_distribution,
     # join_bloom_pruned, join_skew_salted — then the r4 group starting
     # from rolling_user_features, then the r3 group ending at

@@ -402,6 +402,104 @@ def test_ks_test_lengths_matches_oracle_on_fixture(spark, ks_corpus_sf):
     assert ok, msg
 
 
+def _novelty_reference(docs: list[tuple[int, str]]) -> dict[int, tuple[int, int]]:
+    """Independent novelty scorer: distinct 3-grams per doc, first_doc =
+    min doc_id per gram, novel = grams whose first_doc is this doc."""
+    grams = {
+        doc_id: {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        for doc_id, toks in ((d, t.split(" ")) for d, t in docs)
+    }
+    first: dict[str, int] = {}
+    for doc_id in sorted(grams):
+        for gm in grams[doc_id]:
+            first.setdefault(gm, doc_id)
+            first[gm] = min(first[gm], doc_id)
+    return {
+        d: (len(gs), sum(1 for gm in gs if first[gm] == d))
+        for d, gs in grams.items()
+        if gs
+    }
+
+
+@pytest.fixture(scope="module")
+def novelty_corpus_sf(tmp_path_factory):
+    from tests.test_round13_advice import _write_documents
+
+    texts = [
+        "the fog rolled over the bay tonight",        # 1: all novel
+        "the fog rolled over the bay tonight",        # 2: exact dup -> 0 novel
+        "fog rolled over the hills at dawn",          # 3: partial overlap
+        "a completely different sentence entirely here",  # 4: all novel
+        "the fog rolled over the bay tonight again",  # 5: one novel gram
+        "too short",                                   # 6: no 3-grams, absent
+        "rep rep rep rep",                             # 7: ONE distinct gram
+    ]
+    rows = [
+        (i + 1, t, "en", "web", len(t)) for i, t in enumerate(texts)
+    ]
+    d = str(tmp_path_factory.mktemp("novelty_corpus"))
+    _write_documents(d, rows)
+    return d, [(i + 1, t) for i, t in enumerate(texts)]
+
+
+def test_doc_ngram_novelty_matches_reference_and_laws(spark, novelty_corpus_sf):
+    sf_dir, docs = novelty_corpus_sf
+    want = _novelty_reference(docs)
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel)
+        for r in REGISTRY["doc_ngram_novelty"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got[1] == (5, 5)          # first doc: everything is novel
+    assert got[2] == (5, 0)          # exact duplicate: nothing is novel
+    assert got[5][1] == 1            # one appended token -> one new gram
+    assert 6 not in got              # <3 tokens: no grams, absent
+    assert got[7] == (1, 1)          # within-doc repeats count ONCE
+    for n_grams, n_novel in got.values():
+        assert 0 <= n_novel <= n_grams
+
+
+def test_doc_ngram_novelty_first_seen_merges_by_min(spark, novelty_corpus_sf):
+    """The incremental state law: the gram -> first_doc table for A+B
+    equals the keyed MIN of the tables computed on A and B separately —
+    new-batch ingest never rescans history (incremental_kn_stats'
+    additive-state story, with min for sum)."""
+    from mapreduce__spark.functions.text import tokenize, word_ngrams
+    from pyspark.sql import functions as F
+
+    _, docs = novelty_corpus_sf
+
+    def first_seen(batch):
+        df = spark.createDataFrame(batch, "doc_id long, text string")
+        g = df.select(
+            "doc_id",
+            F.explode(word_ngrams(tokenize(F.col("text")))).alias("gram"),
+        )
+        return g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+
+    merged = (
+        first_seen(docs[:3])
+        .unionByName(first_seen(docs[3:]))
+        .groupBy("gram")
+        .agg(F.min("first_doc").alias("first_doc"))
+    )
+    direct = first_seen(docs)
+    assert {(r.gram, r.first_doc) for r in merged.collect()} == {
+        (r.gram, r.first_doc) for r in direct.collect()
+    }
+
+
+def test_doc_ngram_novelty_matches_oracle_on_fixture(spark, novelty_corpus_sf):
+    from tests.oracle_harness import compare_with_oracle
+
+    sf_dir, _ = novelty_corpus_sf
+    q = REGISTRY["doc_ngram_novelty"]
+    ok, msg = compare_with_oracle(q.fn(spark, sf_dir), q.oracle, sf_dir)
+    assert ok, msg
+
+
 def test_repetition_scrub_idempotent_and_matches_oracle(spark, rep_corpus_sf):
     """Scrubbing a scrubbed corpus is a fixpoint (both rules only ever
     REMOVE a repeat that the first pass would also have removed), and
