@@ -120,6 +120,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "incremental_kn_stats",
     "ks_test_lengths",
     "doc_ngram_novelty",
+    "jsd_source_divergence",
     # round-13 additions (single-green), earning their second row
     "stream_mg_fold",
     "stream_countmin_fold",
@@ -171,13 +172,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "merge_upsert",
     "scd2_intervals",
     "graph_mass_propagation",
-    "udtf_token_positions",
     # (fillers displaced newest-last-green-first, r6 group in reverse
     # registration order: vocab_encode gave its slot to
     # perplexity_buckets, bpe_pair_counts to repetition_scrub,
     # train_test_split to incremental_kn_stats,
     # sequence_packing_chunked to ks_test_lengths,
-    # tfidf_top_terms to doc_ngram_novelty)
+    # tfidf_top_terms to doc_ngram_novelty,
+    # udtf_token_positions to jsd_source_divergence)
 )
 
 

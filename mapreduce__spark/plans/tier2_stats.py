@@ -569,6 +569,120 @@ def ks_test_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jsd_source_divergence",
+    oracle="""
+    WITH h AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hc AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM h GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM hc GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb, a.n AS n_a, b.n AS n_b
+      FROM tot a JOIN tot b ON a.source < b.source
+    ),
+    m AS (
+      SELECT p.sa, p.sb, p.n_a, p.n_b, hc.tok,
+             sum(CASE WHEN hc.source = p.sa THEN hc.c ELSE 0 END) AS a_w,
+             sum(CASE WHEN hc.source = p.sb THEN hc.c ELSE 0 END) AS b_w
+      FROM pairs p JOIN hc ON hc.source = p.sa OR hc.source = p.sb
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT sa AS source_a, sb AS source_b, n_a, n_b,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN a_w > 0 THEN a_w * CAST(floor(ln(
+                    CAST(2 * a_w * n_b AS DOUBLE)
+                    / CAST(a_w * n_b + b_w * n_a AS DOUBLE))
+                * 1000000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS jsd_p_micro,
+           CAST(sum(CASE WHEN b_w > 0 THEN b_w * CAST(floor(ln(
+                    CAST(2 * b_w * n_a AS DOUBLE)
+                    / CAST(a_w * n_b + b_w * n_a AS DOUBLE))
+                * 1000000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS jsd_q_micro
+    FROM m GROUP BY 1, 2, 3, 4
+    """,
+    tags=("tier2", "stats", "quality"),
+)
+def jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every source PAIR's unigram
+    token distribution — the mixture-design signal next to
+    ks_test_lengths (lengths) and mutual_info_lang_source (labels): JSD
+    is the symmetric, bounded (ln 2) lexical distance domain-mixture
+    tuning reads before merging or re-weighting slices. Exact-arithmetic
+    form of JSD = (KL(P||M) + KL(Q||M))/2 with M the even mixture: per
+    token the log's argument is ONE rational of exact BIGINTs —
+    p_w/m_w = 2*a_w*n_b / (a_w*n_b + b_w*n_a) — a single IEEE division,
+    quantized per token to integer micro-nats (the
+    mutual_info_lang_source discipline; per-token terms are legitimately
+    negative, floor handles them) and weighted by the exact count, so
+    both emitted sums are BIGINTs. Consumers compute
+    JSD = (jsd_p_micro/n_a + jsd_q_micro/n_b) / 2e6 nats; a token absent
+    from one side contributes exactly ln 2 per occurrence on the other
+    (the 0*ln0 = 0 terms are dropped by construction, not approximated).
+
+    SCALE: the (source, token) histogram compacts the corpus in one
+    map-side-combined pass; pairs x vocabulary is the cells-squared
+    discipline — document-count-independent, though VOCABULARY-quadratic
+    in the pair count (20 sources x vocab here; a 10k-source deployment
+    would prune to the shared top-V head first — stated, not silent).
+    Reference parity: tier-2 stats/profiling extension (SURVEY §2b
+    O-11/O-24)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hc = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = hc.groupBy("source").agg(F.sum("c").alias("n"))
+    a = tot.select(F.col("source").alias("sa"), F.col("n").alias("n_a"))
+    b = tot.select(F.col("source").alias("sb"), F.col("n").alias("n_b"))
+    pairs = a.join(b, F.col("sa") < F.col("sb"))
+    left = pairs.join(
+        hc.select(F.col("source").alias("sa"), "tok", F.col("c").alias("a_w")),
+        "sa",
+    ).withColumn("b_w", F.lit(0).cast("bigint"))
+    right = pairs.join(
+        hc.select(F.col("source").alias("sb"), "tok", F.col("c").alias("b_w")),
+        "sb",
+    ).withColumn("a_w", F.lit(0).cast("bigint"))
+    m = (
+        left.unionByName(right)
+        .groupBy("sa", "sb", "n_a", "n_b", "tok")
+        .agg(F.sum("a_w").alias("a_w"), F.sum("b_w").alias("b_w"))
+    )
+
+    def _side(cnt: str, own_n: str, other_n: str):
+        micro = F.floor(
+            F.log(
+                (2 * F.col(cnt) * F.col(other_n)).cast("double")
+                / (
+                    F.col("a_w") * F.col("n_b") + F.col("b_w") * F.col("n_a")
+                ).cast("double")
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).cast("bigint")
+        return F.sum(
+            F.when(F.col(cnt) > 0, F.col(cnt) * micro).otherwise(F.lit(0))
+        ).cast("bigint")
+
+    return m.groupBy(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "n_a",
+        "n_b",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        _side("a_w", "n_a", "n_b").alias("jsd_p_micro"),
+        _side("b_w", "n_b", "n_a").alias("jsd_q_micro"),
+    )
+
+
+@query(
     "per_source_zscore",
     oracle="""
     WITH s AS (

@@ -92,7 +92,6 @@ TRIPLE_FILLERS: set[str] = {
     "merge_upsert",
     "scd2_intervals",
     "graph_mass_propagation",
-    "udtf_token_positions",
 }
 _DISPLACEMENT_LOG = {
     # (round-14 additions pop the newest-last-green filler first — the
@@ -100,8 +99,9 @@ _DISPLACEMENT_LOG = {
     # perplexity_buckets), bpe_pair_counts (by repetition_scrub),
     # train_test_split (by incremental_kn_stats),
     # sequence_packing_chunked (by ks_test_lengths),
-    # tfidf_top_terms (by doc_ngram_novelty), then
-    # udtf_token_positions, graph_mass_propagation,
+    # tfidf_top_terms (by doc_ngram_novelty),
+    # udtf_token_positions (by jsd_source_divergence), then
+    # graph_mass_propagation,
     # scd2_intervals, merge_upsert, window_distribution,
     # join_bloom_pruned, join_skew_salted — then the r4 group starting
     # from rolling_user_features, then the r3 group ending at

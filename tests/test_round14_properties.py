@@ -500,6 +500,100 @@ def test_doc_ngram_novelty_matches_oracle_on_fixture(spark, novelty_corpus_sf):
     assert ok, msg
 
 
+def _jsd_reference(
+    a: dict[str, int], b: dict[str, int]
+) -> tuple[int, int, int, int, int]:
+    """Brute-force JSD micro-nat sums exactly as declared: per token one
+    IEEE division, floor(ln(x)*1e6 + 0.5), weighted by the exact count."""
+    import math
+
+    na, nb = sum(a.values()), sum(b.values())
+    toks = set(a) | set(b)
+    jp = jq = 0
+    for w in toks:
+        aw, bw = a.get(w, 0), b.get(w, 0)
+        den = float(aw * nb + bw * na)
+        if aw > 0:
+            jp += aw * int(math.floor(math.log(2 * aw * nb / den) * 1e6 + 0.5))
+        if bw > 0:
+            jq += bw * int(math.floor(math.log(2 * bw * na / den) * 1e6 + 0.5))
+    return na, nb, len(toks), jp, jq
+
+
+@pytest.fixture(scope="module")
+def jsd_corpus_sf(tmp_path_factory):
+    """Sources with known lexical relationships: 'twin_a'/'twin_b' have
+    IDENTICAL token multisets (JSD exactly 0), 'alien' shares no token
+    with anyone (per-occurrence ln 2 against each), and 'mix' overlaps
+    partially; seeded random texts pin the general case."""
+    import random
+
+    from tests.test_round13_advice import _write_documents
+
+    rng = random.Random(1424)
+    vocab = ["fog", "bay", "chef", "day", "hill", "rolled", "over", "the"]
+    sources = {
+        "twin_a": ["fog bay fog chef", "day day over the"],
+        "twin_b": ["fog bay fog chef", "day day over the"],
+        "alien": ["zyx wvu zyx", "qqq zyx wvu"],
+        "mix": ["fog zyx day", "the chef qqq"],
+        "rand": [
+            " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 9)))
+            for _ in range(5)
+        ],
+    }
+    rows, doc_id = [], 0
+    for source, texts in sources.items():
+        for t in texts:
+            doc_id += 1
+            rows.append((doc_id, t, "en", source, len(t)))
+    d = str(tmp_path_factory.mktemp("jsd_corpus"))
+    _write_documents(d, rows)
+    counts = {
+        s: {
+            w: sum(t.split(" ").count(w) for t in texts)
+            for w in set(" ".join(texts).split(" "))
+        }
+        for s, texts in sources.items()
+    }
+    return d, counts
+
+
+def test_jsd_source_divergence_reference_and_laws(spark, jsd_corpus_sf):
+    sf_dir, counts = jsd_corpus_sf
+    got = {
+        (r.source_a, r.source_b): (r.n_a, r.n_b, r.n_types, r.jsd_p_micro, r.jsd_q_micro)
+        for r in REGISTRY["jsd_source_divergence"].fn(spark, sf_dir).collect()
+    }
+    names = sorted(counts)
+    assert set(got) == {
+        (x, y) for i, x in enumerate(names) for y in names[i + 1 :]
+    }
+    ln2_micro = 693147  # floor(ln(2)*1e6 + 0.5)
+    for (x, y), row in got.items():
+        assert row == _jsd_reference(counts[x], counts[y]), (x, y)
+        n_a, n_b, _, jp, jq = row
+        # JSD is bounded by ln 2: each side's mean micro-nat <= ln2
+        assert jp <= n_a * ln2_micro and jq <= n_b * ln2_micro
+        # KL to the mixture is non-negative (quantization slack: one
+        # half-ulp of 1e-6 nat per token occurrence)
+        assert jp >= -(n_a // 2 + 1) and jq >= -(n_b // 2 + 1)
+    # identical distributions: exactly zero on both sides
+    assert got[("twin_a", "twin_b")][3:] == (0, 0)
+    # disjoint vocabularies: exactly ln2 per occurrence on both sides
+    n_a, n_b, _, jp, jq = got[("alien", "twin_a")]
+    assert (jp, jq) == (n_a * ln2_micro, n_b * ln2_micro)
+
+
+def test_jsd_source_divergence_matches_oracle_on_fixture(spark, jsd_corpus_sf):
+    from tests.oracle_harness import compare_with_oracle
+
+    sf_dir, _ = jsd_corpus_sf
+    q = REGISTRY["jsd_source_divergence"]
+    ok, msg = compare_with_oracle(q.fn(spark, sf_dir), q.oracle, sf_dir)
+    assert ok, msg
+
+
 def test_repetition_scrub_idempotent_and_matches_oracle(spark, rep_corpus_sf):
     """Scrubbing a scrubbed corpus is a fixpoint (both rules only ever
     REMOVE a repeat that the first pass would also have removed), and
