@@ -1362,3 +1362,112 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_novel"),
         )
     )
+
+
+ZIPF_TAIL_K = 50  # order statistics in the Hill estimator
+
+
+@query(
+    "zipf_tail_index",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vc AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM t GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, c,
+             row_number() OVER (
+                 PARTITION BY source ORDER BY c DESC, tok
+             ) AS rnk,
+             count(*) OVER (PARTITION BY source) AS vocab
+      FROM vc
+    ),
+    kk AS (
+      SELECT source,
+             CAST(least({ZIPF_TAIL_K}, max(vocab) - 1) AS BIGINT) AS k
+      FROM ranked GROUP BY 1 HAVING max(vocab) >= 2
+    ),
+    pv AS (
+      SELECT r.source, r.c AS f_k1
+      FROM ranked r JOIN kk ON r.source = kk.source AND r.rnk = kk.k + 1
+    )
+    SELECT r.source, kk.k,
+           CAST(max(pv.f_k1) AS BIGINT) AS f_k1,
+           CAST(sum(CAST(floor(ln(CAST(r.c AS DOUBLE)
+                                  / CAST(pv.f_k1 AS DOUBLE))
+                              * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS hill_micro_sum
+    FROM ranked r
+    JOIN kk ON r.source = kk.source
+    JOIN pv ON r.source = pv.source
+    WHERE r.rnk <= kk.k
+    GROUP BY 1, 2
+    """,
+    tags=("tier2", "text", "quality"),
+)
+def zipf_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILL ESTIMATOR of the token-frequency power-law tail per source
+    (Hill, Annals of Statistics 1975) — the standard tail-index fit for
+    Zipfian data: over the k largest type frequencies f_1 >= ... >= f_k
+    with pivot f_{{k+1}}, alpha_hat = k / mean(ln(f_i / f_{{k+1}})).
+    Natural text sits near alpha ~ 1 (Zipf's law); a source whose tail
+    index drifts is template-dominated (too steep: a few types swamp
+    the rest) or noise-dominated (too flat: OCR junk inflates the tail)
+    — the distributional cousin of hapax_legomena's type-count signal.
+    Integer-exact emission: k and the pivot frequency are BIGINTs, and
+    the Hill sum is per-type floor(ln(f_i/f_{{k+1}})*1e6 + 0.5) — one
+    IEEE division of exact BIGINTs per term (the mutual_info
+    discipline) — so the driver hash is exact; consumers read
+    alpha_hat = k*1e6 / hill_micro_sum. Every term is >= 0 by the rank
+    order, the estimator is invariant under duplicating the corpus
+    (frequency RATIOS are what it sees — law-tested), ranks tie-break
+    on the token string, k = min({ZIPF_TAIL_K}, vocab-1), and
+    single-type sources (no pivot) are absent by construction.
+
+    SCALE: one map-side-combined (source, token) count, then every
+    window/join runs over the VOCABULARY-sized relation (per-source
+    partitions are vocab-bounded, never corpus-bounded); the corpus
+    shuffles only its token keys (the word_count shape). Reference
+    parity: tier-2 text-quality extension (SURVEY §2b O-24)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vc = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ranked = vc.select(
+        "source",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.col("c").desc(), "tok"))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("vocab"),
+    ).localCheckpoint(eager=True)
+    kk = (
+        ranked.groupBy("source")
+        .agg(F.least(F.lit(ZIPF_TAIL_K), F.max("vocab") - 1).cast("bigint").alias("k"))
+        .filter(F.col("k") >= 1)
+    )
+    pivot = (
+        ranked.join(kk, "source")
+        .filter(F.col("rnk") == F.col("k") + 1)
+        .select("source", F.col("c").alias("f_k1"))
+    )
+    term = F.floor(
+        F.log(F.col("c").cast("double") / F.col("f_k1").cast("double"))
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        ranked.join(F.broadcast(kk), "source")
+        .join(F.broadcast(pivot), "source")
+        .filter(F.col("rnk") <= F.col("k"))
+        .groupBy("source", "k")
+        .agg(
+            F.max("f_k1").cast("bigint").alias("f_k1"),
+            F.sum(term).cast("bigint").alias("hill_micro_sum"),
+        )
+    )

@@ -90,7 +90,6 @@ TRIPLE_FILLERS: set[str] = {
     "join_bloom_pruned",
     "window_distribution",
     "merge_upsert",
-    "scd2_intervals",
     "graph_mass_propagation",
 }
 _DISPLACEMENT_LOG = {
@@ -100,8 +99,11 @@ _DISPLACEMENT_LOG = {
     # train_test_split (by incremental_kn_stats),
     # sequence_packing_chunked (by ks_test_lengths),
     # tfidf_top_terms (by doc_ngram_novelty),
-    # udtf_token_positions (by jsd_source_divergence), then
-    # graph_mass_propagation,
+    # udtf_token_positions (by jsd_source_divergence),
+    # scd2_intervals (by zipf_tail_index — graph_mass_propagation is
+    # SKIPPED in the pop order: its plan was restructured this round, so
+    # its prior green rows describe old code and it keeps a seat for
+    # re-attestation), then
     # scd2_intervals, merge_upsert, window_distribution,
     # join_bloom_pruned, join_skew_salted — then the r4 group starting
     # from rolling_user_features, then the r3 group ending at

@@ -594,6 +594,116 @@ def test_jsd_source_divergence_matches_oracle_on_fixture(spark, jsd_corpus_sf):
     assert ok, msg
 
 
+def _hill_reference(counts: dict[str, int], k_cap: int = 50):
+    """Brute-force Hill emission: ranks by (count desc, token), pivot at
+    k+1, per-term floor-quantized micro-log ratio."""
+    import math
+
+    ranked = sorted(counts.items(), key=lambda t: (-t[1], t[0]))
+    if len(ranked) < 2:
+        return None
+    k = min(k_cap, len(ranked) - 1)
+    f_k1 = ranked[k][1]
+    s = sum(
+        int(math.floor(math.log(c / f_k1) * 1e6 + 0.5))
+        for _, c in ranked[:k]
+    )
+    return k, f_k1, s
+
+
+@pytest.fixture(scope="module")
+def zipf_corpus_sf(tmp_path_factory):
+    """Token frequencies planted as exact geometric series (ln ratios
+    are known multiples of ln 2), a single-type source that must be
+    ABSENT (no pivot exists), and a small-vocab source where k truncates
+    to vocab-1."""
+    from tests.test_round13_advice import _write_documents
+
+    def rep(freqs: dict[str, int]) -> str:
+        return " ".join(w for w, c in sorted(freqs.items()) for _ in range(c))
+
+    sources = {
+        "geo": {"a": 16, "b": 8, "c": 4, "d": 2, "e": 1},
+        "flat": {"u": 3, "v": 3, "w": 3, "x": 3},
+        "lone": {"only": 7},
+        "duo": {"p": 5, "q": 1},
+    }
+    rows, doc_id = [], 0
+    for source, freqs in sources.items():
+        doc_id += 1
+        text = rep(freqs)
+        rows.append((doc_id, text, "en", source, len(text)))
+    d = str(tmp_path_factory.mktemp("zipf_corpus"))
+    _write_documents(d, rows)
+    return d, sources
+
+
+def test_zipf_tail_index_reference_and_laws(spark, zipf_corpus_sf):
+    import math
+
+    sf_dir, sources = zipf_corpus_sf
+    got = {
+        r.source: (r.k, r.f_k1, r.hill_micro_sum)
+        for r in REGISTRY["zipf_tail_index"].fn(spark, sf_dir).collect()
+    }
+    assert "lone" not in got  # single type: no pivot, absent
+    for s, freqs in sources.items():
+        ref = _hill_reference(freqs)
+        if ref is None:
+            continue
+        assert got[s] == ref, s
+    # geometric series: pivot is the count-1 type, terms are exact
+    # multiples of ln 2 -> sum = (4+3+2+1) * micro-ln2 with per-term
+    # floor rounding
+    want = sum(int(math.floor(i * math.log(2) * 1e6 + 0.5)) for i in (4, 3, 2, 1))
+    assert got["geo"] == (4, 1, want)
+    # an all-equal-frequency source: every ratio is 1, the sum is 0
+    # (alpha diverges -> maximally non-Zipfian, and exactly representable)
+    assert got["flat"] == (3, 3, 0)
+    # k truncates to vocab-1 when the vocabulary is small
+    assert got["duo"][0] == 1
+
+
+def test_zipf_tail_index_scale_invariance(spark, zipf_corpus_sf, tmp_path_factory):
+    """Hill reads frequency RATIOS: writing every document 3x multiplies
+    every count by 3 and must leave (k, hill_micro_sum) unchanged (the
+    pivot count itself scales)."""
+    from tests.test_round13_advice import _write_documents
+
+    sf_dir, sources = zipf_corpus_sf
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text, lang, source, n_chars FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    rows = []
+    for i in range(3):
+        rows += [(d + 100 * i, t, l, s, n) for d, t, l, s, n in docs]
+    d3 = str(tmp_path_factory.mktemp("zipf_x3"))
+    _write_documents(d3, rows)
+    base = {
+        r.source: (r.k, r.hill_micro_sum)
+        for r in REGISTRY["zipf_tail_index"].fn(spark, sf_dir).collect()
+    }
+    tripled = {
+        r.source: (r.k, r.hill_micro_sum)
+        for r in REGISTRY["zipf_tail_index"].fn(spark, d3).collect()
+    }
+    assert tripled == base
+
+
+def test_zipf_tail_index_matches_oracle_on_fixture(spark, zipf_corpus_sf):
+    from tests.oracle_harness import compare_with_oracle
+
+    sf_dir, _ = zipf_corpus_sf
+    q = REGISTRY["zipf_tail_index"]
+    ok, msg = compare_with_oracle(q.fn(spark, sf_dir), q.oracle, sf_dir)
+    assert ok, msg
+
+
 def test_repetition_scrub_idempotent_and_matches_oracle(spark, rep_corpus_sf):
     """Scrubbing a scrubbed corpus is a fixpoint (both rules only ever
     REMOVE a repeat that the first pass would also have removed), and
