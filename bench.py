@@ -296,6 +296,12 @@ BENCH_QUERIES = [
     "dedup_edit_distance", # Pass-Join part/window equi-join +
                            # levenshtein verify: the string-similarity
                            # join path (round 13; deltas start r13)
+    "perplexity_buckets",  # CCNet terciles: KN doc-NLL + histogram
+                           # rank map join-back — the chained curation
+                           # flagship (round 14; deltas start r14)
+    "repetition_scrub",    # indexed higher-order array filters: the
+                           # shuffle-free scan-transform representative
+                           # (round 14; deltas start r14)
 ]
 
 

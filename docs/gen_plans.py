@@ -126,6 +126,19 @@ NAMES = [
     "winnowing_fingerprints",
     "funnel_conversion",
     "kendall_concordance",
+    # round 14: skeletons back the new SCALE.md entries — the CCNet
+    # tercile rank-map join-back over the (source, nll) histogram, the
+    # shuffle-free indexed-array scrub, the shard-merge bigram rollup,
+    # the two cells-squared pair matrices (KS over length ECDFs, JSD
+    # over token histograms), the gram-keyed min-aggregate novelty
+    # join-back, and the vocab-sized Hill rank windows
+    "perplexity_buckets",
+    "repetition_scrub",
+    "incremental_kn_stats",
+    "ks_test_lengths",
+    "jsd_source_divergence",
+    "doc_ngram_novelty",
+    "zipf_tail_index",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",
