@@ -26,8 +26,8 @@ JSON_PATH = os.path.join(ROOT, "docs", "SHUFFLE_AUDIT.json")
 EXPECTED_TOP5 = [
     "graph_triangles",
     "k_core_peel",
-    "graph_mass_propagation",
     "substring_dedup_windows",
+    "graph_mass_propagation",
     "inverted_index",
 ]
 
