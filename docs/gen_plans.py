@@ -139,6 +139,7 @@ NAMES = [
     "jsd_source_divergence",
     "doc_ngram_novelty",
     "zipf_tail_index",
+    "knn_graph_mutual",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",

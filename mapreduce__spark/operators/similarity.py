@@ -589,3 +589,73 @@ def embedding_near_dup_pairs_pruned(
         cand.where(s >= threshold)
         .select("id1", "id2", F.round(s, 4).alias("cosine"))
     )
+
+
+def mutual_knn_edges(
+    emb: DataFrame, k: int = 3, n_bits: int = 4, dim: int = 64
+) -> DataFrame:
+    """Mutual k-NN graph over an embedding column — the neighborhood
+    graph behind SemDeDup-style cluster pruning, kNN-classifier data
+    maps, and isolation scoring: an undirected edge (i, j) survives iff
+    j is in i's top-k AND i is in j's top-k.
+
+    Candidate generation reuses parity_bucket_signature's deterministic
+    sign-bit buckets (the attested ann_topk_buckets construction), so
+    the candidate set — and therefore the whole graph — is exactly
+    oracle-checkable: same-bucket pairs only, each vector's neighbor
+    list ranked within its bucket. Scores are quantized to integer
+    MICRO-COSINE (floor(cos*1e6 + 0.5)) BEFORE ranking, so rank
+    comparisons are bigint comparisons in both engines — strictly
+    stronger than _topk_per_query's raw-double ordering (a 1-ULP
+    cross-engine wobble cannot flip a rank unless it lands exactly on a
+    floor boundary, the same residual the micro-nat LM family accepts).
+
+    Output: (src_id, dst_id, score_micro) with src_id < dst_id.
+
+    SCALE: signatures are scan-stage expressions; the only shuffle of
+    vector payloads is the equi-join on bucket (expected bucket size
+    n/2^n_bits, so candidate pairs are n^2/2^n_bits — n_bits grows with
+    lg(n) to hold per-bucket work constant, the standard LSH-forest
+    sizing); the rank window partitions on src so no global sort. At
+    1000 executors each bucket is one shuffle partition's worth of
+    vectors, never the corpus.
+    """
+    sig = parity_bucket_signature(emb, dim=dim, n_bits=n_bits)
+    a = sig.select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("bucket"),
+    )
+    b = sig.select(
+        F.col("vec_id").alias("nid"),
+        F.col("v").alias("nv"),
+        F.col("bucket"),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.floor(
+                cosine_sim(F.col("qv"), F.col("nv")) * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("sm"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sm").desc(), F.col("nid").asc())
+    topk = pairs.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
+    rev = topk.select(
+        F.col("nid").alias("qid"), F.col("qid").alias("nid")
+    )
+    return (
+        topk.join(rev, ["qid", "nid"])
+        .where(F.col("qid") < F.col("nid"))
+        .select(
+            F.col("qid").alias("src_id"),
+            F.col("nid").alias("dst_id"),
+            F.col("sm").alias("score_micro"),
+        )
+    )

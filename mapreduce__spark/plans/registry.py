@@ -122,6 +122,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_ngram_novelty",
     "jsd_source_divergence",
     "zipf_tail_index",
+    "knn_graph_mutual",
     # round-13 additions (single-green), earning their second row
     "stream_mg_fold",
     "stream_countmin_fold",
@@ -170,7 +171,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_skew_salted",
     "join_bloom_pruned",
     "window_distribution",
-    "merge_upsert",
     "graph_mass_propagation",
     # (fillers displaced newest-last-green-first, r6 group in reverse
     # registration order: vocab_encode gave its slot to
@@ -178,11 +178,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # train_test_split to incremental_kn_stats,
     # sequence_packing_chunked to ks_test_lengths,
     # tfidf_top_terms to doc_ngram_novelty,
-    # udtf_token_positions to jsd_source_divergence, and scd2_intervals
-    # to zipf_tail_index — graph_mass_propagation is SKIPPED in the pop
-    # order: its plan was restructured this round (one-checkpoint
-    # window-degree form), so its three green rows describe the old
-    # code and it must hold a seat for re-attestation)
+    # udtf_token_positions to jsd_source_divergence, scd2_intervals
+    # to zipf_tail_index, and merge_upsert to knn_graph_mutual —
+    # graph_mass_propagation is SKIPPED in the pop order: its plan was
+    # restructured this round (one-checkpoint window-degree form), so
+    # its three green rows describe the old code and it must hold a
+    # seat for re-attestation)
 )
 
 

@@ -1148,3 +1148,87 @@ def ann_topk_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_bits=ANN_BUCKET_BITS,
     )
+
+
+KNN_GRAPH_K = 3  # mutual-kNN neighbor list size
+
+
+def _knn_graph_oracle() -> str:
+    """DuckDB twin of operators.similarity.mutual_knn_edges: the SAME
+    parity-plane bucket expression ann_topk_buckets' oracle generates
+    (bit-identical left-fold dots, integer parity signs), same-bucket
+    candidate pairs, micro-cosine quantized BEFORE the rank so rank
+    comparisons are bigint comparisons, mutual filter as a self-join of
+    the top-k relation on the reversed key."""
+    from mapreduce__spark.operators.similarity import (
+        ANN_PARITY_A,
+        ANN_PARITY_B,
+        ANN_PARITY_M,
+    )
+
+    dots = []
+    for j in range(ANN_BUCKET_BITS):
+        signed = (
+            f"list_transform(range(1, 65), i -> e[CAST(i AS INT)] * "
+            f"(CASE WHEN (i * CAST({ANN_PARITY_A} AS BIGINT) "
+            f"+ {j + 1} * CAST({ANN_PARITY_B} AS BIGINT)) "
+            f"% {ANN_PARITY_M} % 2 = 0 THEN 1.0 ELSE -1.0 END))"
+        )
+        fold = f"list_reduce(list_prepend(0.0, {signed}), (a, b) -> a + b)"
+        dots.append(f"(CASE WHEN {fold} > 0 THEN {1 << j} ELSE 0 END)")
+    bucket = " + ".join(dots)
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sg AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v),
+    pairs AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               CAST(floor(list_cosine_similarity(a.e, b.e) * 1000000.0
+                          + 0.5) AS BIGINT) AS sm
+        FROM sg a JOIN sg b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    topk AS (
+        SELECT qid, nid, sm,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY sm DESC, nid ASC) AS r
+        FROM pairs
+    )
+    SELECT a.qid AS src_id, a.nid AS dst_id, a.sm AS score_micro
+    FROM topk a
+    JOIN topk b ON a.qid = b.nid AND a.nid = b.qid AND b.r <= {KNN_GRAPH_K}
+    WHERE a.r <= {KNN_GRAPH_K} AND a.qid < a.nid
+    """
+
+
+@query(
+    "knn_graph_mutual",
+    oracle=_knn_graph_oracle(),
+    tags=("tier2", "similarity", "graph", "bench"),
+)
+def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL k-NN GRAPH over the embedding corpus — the neighborhood
+    graph LLM-curation passes build before cluster pruning (SemDeDup's
+    within-cluster neighbor lists), data-map isolation scoring, and
+    graph-based coreset selection: an undirected edge survives iff each
+    endpoint ranks the other in its top-{KNN_GRAPH_K}.
+
+    Unlike ann_topk_buckets (5 probe queries against the corpus), this
+    ranks EVERY vector's neighborhood, so the declared candidate
+    semantics — same parity-plane bucket only, no multiprobe — is also
+    the scale contract: candidate volume is n^2/2^n_bits and n_bits
+    grows with lg(n). Scores are integer micro-cosine quantized BEFORE
+    ranking (floor(cos*1e6 + 0.5)), so the rank ordering the mutual
+    filter depends on is a bigint comparison in both engines — the
+    micro-nat LM discipline applied to geometry.
+
+    SCALE: one scan computes signatures; one equi-join on bucket pairs
+    vectors (per-bucket work bounded by the n_bits sizing rule); the
+    rank window partitions on the query id; the mutual filter joins the
+    k*n-row top-k relation against its own reversal — narrow keys only.
+    Reference parity: tier-2 similarity extension (SURVEY §2b O-23)."""
+    from mapreduce__spark.operators.similarity import mutual_knn_edges
+
+    return mutual_knn_edges(
+        load_table(spark, sf_dir, "embeddings"),
+        k=KNN_GRAPH_K,
+        n_bits=ANN_BUCKET_BITS,
+    )

@@ -89,7 +89,6 @@ TRIPLE_FILLERS: set[str] = {
     "join_skew_salted",
     "join_bloom_pruned",
     "window_distribution",
-    "merge_upsert",
     "graph_mass_propagation",
 }
 _DISPLACEMENT_LOG = {
@@ -100,14 +99,13 @@ _DISPLACEMENT_LOG = {
     # sequence_packing_chunked (by ks_test_lengths),
     # tfidf_top_terms (by doc_ngram_novelty),
     # udtf_token_positions (by jsd_source_divergence),
-    # scd2_intervals (by zipf_tail_index — graph_mass_propagation is
-    # SKIPPED in the pop order: its plan was restructured this round, so
-    # its prior green rows describe old code and it keeps a seat for
-    # re-attestation), then
-    # scd2_intervals, merge_upsert, window_distribution,
-    # join_bloom_pruned, join_skew_salted — then the r4 group starting
-    # from rolling_user_features, then the r3 group ending at
-    # scalar_functions.)
+    # scd2_intervals (by zipf_tail_index), merge_upsert (by
+    # knn_graph_mutual — graph_mass_propagation is SKIPPED in the pop
+    # order: its plan was restructured this round, so its prior green
+    # rows describe old code and it keeps a seat for re-attestation),
+    # then window_distribution, join_bloom_pruned, join_skew_salted —
+    # then the r4 group starting from rolling_user_features, then the
+    # r3 group ending at scalar_functions.)
 }
 
 

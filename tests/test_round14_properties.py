@@ -717,3 +717,100 @@ def test_repetition_scrub_idempotent_and_matches_oracle(spark, rep_corpus_sf):
     q = REGISTRY["repetition_scrub"]
     ok, msg = compare_with_oracle(q.fn(spark, rep_corpus_sf), q.oracle, rep_corpus_sf)
     assert ok, msg
+
+
+# --------------------------------------------------------------------------
+# knn_graph_mutual: independent pure-Python reimplementation + graph laws
+# --------------------------------------------------------------------------
+
+
+def _mutual_knn_reference(sf_dir: str, k: int, n_bits: int):
+    """Pure-Python mutual-kNN twin of operators.similarity.
+    mutual_knn_edges, reproducing Spark's EXACT float chains: bucket
+    dots and cosine folds are sequential left-folds over IEEE doubles
+    in dimension order, so every comparison below sees the same bits
+    the engine computed."""
+    import duckdb
+    import math
+
+    from mapreduce__spark.operators.similarity import parity_plane_sign
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    vecs = {int(vid): [float(x) for x in e] for vid, e in rows}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    buckets = {}
+    for vid, v in vecs.items():
+        bucket = 0
+        for j in range(n_bits):
+            acc = 0.0
+            for i, x in enumerate(v, start=1):
+                acc = acc + x * parity_plane_sign(i, j)
+            if acc > 0:
+                bucket += 1 << j
+        buckets[vid] = bucket
+
+    def cos_micro(a, b):
+        na = math.sqrt(fold_dot(a, a))
+        nb = math.sqrt(fold_dot(b, b))
+        denom = na * nb
+        c = -1.0 if denom == 0.0 else fold_dot(a, b) / denom
+        return int(math.floor(c * 1000000.0 + 0.5))
+
+    topk = {}
+    for qid in vecs:
+        cands = [
+            (-cos_micro(vecs[qid], vecs[nid]), nid)
+            for nid in vecs
+            if nid != qid and buckets[nid] == buckets[qid]
+        ]
+        cands.sort()
+        topk[qid] = {nid: -neg for neg, nid in cands[:k]}
+
+    edges = set()
+    for qid, nbrs in topk.items():
+        for nid, sm in nbrs.items():
+            if qid < nid and qid in topk.get(nid, {}):
+                edges.add((qid, nid, sm))
+    return edges
+
+
+def test_knn_graph_mutual_matches_pure_python_reference(spark, sf_small):
+    from mapreduce__spark.plans.tier2_embedding import (
+        ANN_BUCKET_BITS,
+        KNN_GRAPH_K,
+    )
+
+    got = {
+        (int(r.src_id), int(r.dst_id), int(r.score_micro))
+        for r in REGISTRY["knn_graph_mutual"].fn(spark, sf_small).collect()
+    }
+    want = _mutual_knn_reference(sf_small, k=KNN_GRAPH_K, n_bits=ANN_BUCKET_BITS)
+    assert got == want
+    assert got, "sf0.001 graph must be non-empty for attestation to mean anything"
+
+
+def test_knn_graph_mutual_graph_laws(spark, sf_small):
+    """Canonical orientation, no duplicate pairs, and the mutual-degree
+    bound: a node can appear in at most k surviving edges."""
+    from collections import Counter
+
+    from mapreduce__spark.plans.tier2_embedding import KNN_GRAPH_K
+
+    rows = REGISTRY["knn_graph_mutual"].fn(spark, sf_small).collect()
+    pairs = [(int(r.src_id), int(r.dst_id)) for r in rows]
+    assert all(s < d for s, d in pairs)
+    assert len(pairs) == len(set(pairs))
+    deg = Counter()
+    for s, d in pairs:
+        deg[s] += 1
+        deg[d] += 1
+    assert all(c <= KNN_GRAPH_K for c in deg.values()), deg.most_common(3)
