@@ -140,6 +140,7 @@ NAMES = [
     "doc_ngram_novelty",
     "zipf_tail_index",
     "knn_graph_mutual",
+    "dsir_importance_weights",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",

@@ -2400,3 +2400,137 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "nll", "ppl_bucket")
     )
+
+
+DSIR_BUCKETS = 1024  # hashed-bigram feature space size
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               (len(string_split(text, ' ')) BETWEEN 20 AND 2000
+                AND (length(text)
+                     - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                    / nullif(length(text), 0) < 0.3) AS keep
+        FROM documents
+    ), inst AS (
+        SELECT doc_id, keep,
+               ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || '#dsir'),
+                               1, 8))::BIGINT % {DSIR_BUCKETS} AS b
+        FROM t CROSS JOIN UNNEST(range(1, len(toks))) AS r(i)
+    ), stats AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS c_r,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+        FROM inst GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+               CAST(sum(c_t) AS BIGINT) AS n_t
+        FROM stats
+    ), lr AS (
+        SELECT b,
+               CAST(floor(ln(CAST((c_t + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                             / CAST((c_r + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE))
+                          * 1000000 + 0.5) AS BIGINT) AS lr_micro
+        FROM stats CROSS JOIN tot
+    )
+    SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(lr.lr_micro) AS BIGINT) AS dsir_micro_sum
+    FROM inst i JOIN lr ON i.b = lr.b
+    GROUP BY 1
+    """,
+    tags=("tier2", "pipeline", "sampling", "bench"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023 — Data
+    Selection via Importance Resampling): score every raw document by
+    the log-likelihood ratio of a TARGET hashed-bigram unigram model
+    over the RAW model, the weight that importance-resamples a crawl
+    toward a curated target distribution. Target here is the corpus'
+    own quality-passing subset (quality_keep_expr — the C4 gate shared
+    with doc_quality_score and both pipeline flagships, constants
+    mirrored in this oracle), so the weight measures "how much more
+    does this doc look like the clean subset than the crawl at large".
+
+    Model: bigram instances hash into {DSIR_BUCKETS} buckets via the
+    portable md5 idiom (split_bucket_expr's construction, salt
+    '#dsir'); bucket probabilities are add-1 smoothed instance
+    frequencies. Integer-exact emission: the per-bucket log-ratio
+    ln(((c_t+1)*(N_r+B)) / ((c_r+1)*(N_t+B))) is ONE IEEE division of
+    exact BIGINT products (the mutual_info discipline; at 100 TB the
+    products exceed int64 — promote to DECIMAL(38,0), same plan) then
+    micro-nat quantized PER BUCKET, and each doc's weight is the exact
+    BIGINT sum of its instances' quantized ratios. Docs with fewer
+    than two tokens have no bigrams and drop out (the kn_lm_score
+    convention). Law: when every document passes the gate, target and
+    raw coincide and every weight is exactly 0 (tested).
+
+    SCALE: the bucket-stats relation is B-sized (broadcast back onto
+    the instance stream — AQE sees {DSIR_BUCKETS} rows), totals ride a
+    1-row cross-join broadcast, and the only corpus-sized shuffles are
+    the two map-side-combined aggregates (bucket keys, then doc keys).
+    New target distribution => re-aggregate c_t only; c_r, the bucket
+    layout, and the instance stream are reusable — the incremental
+    story DSIR needs when the target set is iterated on. Reference
+    parity: tier-2 pipeline extension (SURVEY §2b O-24/O-22 family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = docs.select(
+        "doc_id", quality_keep_expr(F.col("text")).alias("keep")
+    )
+    inst = (
+        _bigram_instances(docs)
+        .join(F.broadcast(keep), "doc_id")
+        .select(
+            "doc_id",
+            "keep",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("left_tok"),
+                                F.lit(" "),
+                                F.col("right_tok"),
+                                F.lit("#dsir"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % DSIR_BUCKETS
+            ).alias("b"),
+        )
+    )
+    stats = inst.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_r"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("c_t"),
+    )
+    tot = stats.agg(
+        F.sum("c_r").cast("bigint").alias("n_r"),
+        F.sum("c_t").cast("bigint").alias("n_t"),
+    )
+    lr = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            F.log(
+                ((F.col("c_t") + 1) * (F.col("n_r") + DSIR_BUCKETS)).cast("double")
+                / ((F.col("c_r") + 1) * (F.col("n_t") + DSIR_BUCKETS)).cast("double")
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lr_micro"),
+    )
+    return (
+        inst.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("lr_micro").cast("bigint").alias("dsir_micro_sum"),
+        )
+    )

@@ -814,3 +814,134 @@ def test_knn_graph_mutual_graph_laws(spark, sf_small):
         deg[s] += 1
         deg[d] += 1
     assert all(c <= KNN_GRAPH_K for c in deg.values()), deg.most_common(3)
+
+
+# --------------------------------------------------------------------------
+# dsir_importance_weights: zero-law, pure-Python reference, oracle fixture
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dsir_corpus_sf(tmp_path_factory) -> str:
+    """Mixed corpus: three gate-passing docs (20+ tokens, no digits),
+    two gate-failing ones (a 6-token short doc and a digit-heavy doc),
+    and a 1-token doc that has no bigrams and must drop out."""
+    from tests.test_round13_advice import _write_documents
+
+    passing = [
+        "the quick brown fox jumps over the lazy dog and runs back home "
+        "to rest under the old oak tree near the river",
+        "a clean well lighted place was all he wanted on a cold night "
+        "when the wind blew hard across the empty square outside",
+        "we sailed along the coast for three days and saw many small "
+        "islands covered in pine trees and white sand beaches there",
+    ]
+    failing = [
+        "short doc fails the gate",
+        "4531 9921 8402 1177 3390 5512 8876 2214 9903 4411 7788 1122 "
+        "3344 5566 7788 9900 1234 5678 9012 3456 7890 1357",
+    ]
+    rows = []
+    for i, text in enumerate(passing + failing + ["solo"], start=1):
+        rows.append((i, text, "en", "web" if i <= 3 else "crawl", len(text)))
+    d = str(tmp_path_factory.mktemp("dsir_corpus"))
+    _write_documents(d, rows)
+    return d
+
+
+@pytest.fixture(scope="module")
+def dsir_allpass_sf(tmp_path_factory) -> str:
+    """Every doc passes the quality gate => target == raw."""
+    from tests.test_round13_advice import _write_documents
+
+    base = (
+        "every document in this corpus passes the quality gate because "
+        "it has enough words and not a single digit anywhere in sight "
+    )
+    rows = [
+        (i, base + f"variant {'x' * i}", "en", "web", 1) for i in range(1, 5)
+    ]
+    d = str(tmp_path_factory.mktemp("dsir_allpass"))
+    _write_documents(d, rows)
+    return d
+
+
+def _dsir_reference(sf_dir: str, buckets: int):
+    """Pure-Python DSIR twin: hashlib md5 buckets, add-1 smoothed
+    bucket frequencies, floor(ln * 1e6 + 0.5) per bucket, exact int
+    sums per doc."""
+    import duckdb
+    import hashlib
+    import math
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    inst = []  # (doc_id, keep, bucket)
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        digits = sum(ch.isdigit() for ch in text)
+        keep = (
+            20 <= len(toks) <= 2000
+            and len(text) > 0
+            and digits / len(text) < 0.3
+        )
+        for a, b in zip(toks, toks[1:]):
+            h = hashlib.md5((a + " " + b + "#dsir").encode()).hexdigest()
+            inst.append((int(doc_id), keep, int(h[:8], 16) % buckets))
+    c_r, c_t = {}, {}
+    for _d, keep, b in inst:
+        c_r[b] = c_r.get(b, 0) + 1
+        if keep:
+            c_t[b] = c_t.get(b, 0) + 1
+    n_r = sum(c_r.values())
+    n_t = sum(c_t.values())
+    lr = {
+        b: math.floor(
+            math.log(
+                ((c_t.get(b, 0) + 1) * (n_r + buckets))
+                / ((c_r[b] + 1) * (n_t + buckets))
+            )
+            * 1000000
+            + 0.5
+        )
+        for b in c_r
+    }
+    out = {}
+    for d, _keep, b in inst:
+        n, s = out.get(d, (0, 0))
+        out[d] = (n + 1, s + lr[b])
+    return {(d, n, s) for d, (n, s) in out.items()}
+
+
+def test_dsir_matches_pure_python_reference(spark, dsir_corpus_sf):
+    from mapreduce__spark.plans.tier2_pipeline import DSIR_BUCKETS
+
+    got = {
+        (int(r.doc_id), int(r.n_grams), int(r.dsir_micro_sum))
+        for r in REGISTRY["dsir_importance_weights"].fn(spark, dsir_corpus_sf).collect()
+    }
+    want = _dsir_reference(dsir_corpus_sf, DSIR_BUCKETS)
+    assert got == want
+    # the 1-token doc must be absent; gate-passing docs must outweigh
+    # the digit-heavy crawl doc
+    ids = {d for d, _n, _s in got}
+    assert 6 not in ids
+    by_id = {d: s for d, _n, s in got}
+    assert by_id[1] > by_id[5]
+
+
+def test_dsir_all_pass_means_zero_weights(spark, dsir_allpass_sf):
+    """target == raw => (c_t+1)(N_r+B) == (c_r+1)(N_t+B) bucket-wise,
+    so every quantized log-ratio — and every doc weight — is exactly 0."""
+    rows = REGISTRY["dsir_importance_weights"].fn(spark, dsir_allpass_sf).collect()
+    assert rows
+    assert all(int(r.dsir_micro_sum) == 0 for r in rows)
+
+
+def test_dsir_matches_oracle_on_fixture(spark, dsir_corpus_sf):
+    from tests.oracle_harness import compare_with_oracle
+
+    q = REGISTRY["dsir_importance_weights"]
+    ok, msg = compare_with_oracle(q.fn(spark, dsir_corpus_sf), q.oracle, dsir_corpus_sf)
+    assert ok, msg
