@@ -141,6 +141,7 @@ NAMES = [
     "zipf_tail_index",
     "knn_graph_mutual",
     "dsir_importance_weights",
+    "readability_fk",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",

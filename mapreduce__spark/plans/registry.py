@@ -124,6 +124,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "zipf_tail_index",
     "knn_graph_mutual",
     "dsir_importance_weights",
+    "readability_fk",
     # round-13 additions (single-green), earning their second row
     "stream_mg_fold",
     "stream_countmin_fold",
@@ -170,7 +171,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stateful_dedup_first_event",
     "rolling_user_features",
     "join_skew_salted",
-    "join_bloom_pruned",
     "graph_mass_propagation",
     # (fillers displaced newest-last-green-first, r6 group in reverse
     # registration order: vocab_encode gave its slot to
@@ -179,8 +179,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sequence_packing_chunked to ks_test_lengths,
     # tfidf_top_terms to doc_ngram_novelty,
     # udtf_token_positions to jsd_source_divergence, scd2_intervals
-    # to zipf_tail_index, merge_upsert to knn_graph_mutual, and
-    # window_distribution to dsir_importance_weights —
+    # to zipf_tail_index, merge_upsert to knn_graph_mutual,
+    # window_distribution to dsir_importance_weights, and
+    # join_bloom_pruned to readability_fk —
     # graph_mass_propagation is SKIPPED in the pop order: its plan was
     # restructured this round (one-checkpoint window-degree form), so
     # its three green rows describe the old code and it must hold a

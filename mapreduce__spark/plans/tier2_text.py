@@ -1471,3 +1471,77 @@ def zipf_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term).cast("bigint").alias("hill_micro_sum"),
         )
     )
+
+
+@query(
+    "readability_fk",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                    AS BIGINT) AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    + len(list_filter(string_split(lower(text), ' '),
+                                      t -> NOT regexp_matches(t, '[aeiouy]')))
+                    AS BIGINT) AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(floor(39.0 * n_words / n_sentences
+                      + 1180.0 * n_syllables / n_words
+                      - 1559.0 + 0.5) AS BIGINT) AS fk_centi
+    FROM m
+    """,
+    tags=("tier2", "text", "quality"),
+)
+def readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH-KINCAID GRADE per document (Kincaid et al. 1975), the
+    readability rung of the quality ladder — corpus curation pipelines
+    gate or stratify on readability next to Gopher rules and LM
+    perplexity: FK = 0.39*(words/sentences) + 11.8*(syllables/word)
+    - 15.59, emitted in integer CENTI-GRADE units so the driver hash is
+    exact: fk_centi = floor(39*W/S + 1180*Syl/W - 1559 + 0.5) — each
+    term ONE IEEE division of exact BIGINTs (the mutual_info
+    discipline), summed in a fixed order both engines share.
+
+    Heuristics, declared: sentences are maximal [.!?]+ runs (floored at
+    1 so unpunctuated docs read as one sentence); syllables are maximal
+    [aeiouy]+ vowel groups, with vowel-less words (acronyms, numbers)
+    counting one syllable each — the standard dictionary-free
+    approximation (CMUdict-exact counts are a lookup-table variant of
+    the same plan). Both are single-scan regexp counts.
+
+    SCALE: pure scan-stage expressions — no join, no shuffle, no UDF;
+    the projection prunes to (doc_id, text) at the parquet reader.
+    Reference parity: tier-2 text-quality extension (SURVEY §2b O-24)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks_lower = tokenize(F.lower(F.col("text")))
+    n_words = F.size(tokenize(F.col("text"))).cast("bigint")
+    n_sentences = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0))
+    ).cast("bigint")
+    n_syllables = (
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0))
+        + F.size(F.filter(toks_lower, lambda t: ~t.rlike("[aeiouy]")))
+    ).cast("bigint")
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.floor(
+            F.lit(39.0) * F.col("n_words") / F.col("n_sentences")
+            + F.lit(1180.0) * F.col("n_syllables") / F.col("n_words")
+            - F.lit(1559.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("fk_centi"),
+    )

@@ -945,3 +945,121 @@ def test_dsir_matches_oracle_on_fixture(spark, dsir_corpus_sf):
     q = REGISTRY["dsir_importance_weights"]
     ok, msg = compare_with_oracle(q.fn(spark, dsir_corpus_sf), q.oracle, dsir_corpus_sf)
     assert ok, msg
+
+
+# --------------------------------------------------------------------------
+# readability_fk: pure-Python reference, sentence-split monotonicity law
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fk_corpus_sf(tmp_path_factory) -> str:
+    """Punctuated fixture exercising every heuristic branch: multi-
+    sentence docs, '!?' runs counting as ONE terminator, vowel-less
+    tokens (acronyms, numbers), and an unpunctuated doc floored to one
+    sentence."""
+    from tests.test_round13_advice import _write_documents
+
+    corpus = [
+        "the cat sat on the mat. it was a big fluffy cat! was it not?",
+        "reading scores depend on syllable counts. vowel groups are the proxy.",
+        "no punctuation here just a long flat run of simple words going on",
+        "the committee on information technology convened. 42 pdf xml bzz files arrived?!",
+        "a. b. c. d.",
+    ]
+    rows = [
+        (i, text, "en", "web", len(text))
+        for i, text in enumerate(corpus, start=1)
+    ]
+    d = str(tmp_path_factory.mktemp("fk_corpus"))
+    _write_documents(d, rows)
+    return d
+
+
+def _fk_reference(sf_dir: str):
+    import duckdb
+    import math
+    import re
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    out = set()
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        w = len(toks)
+        s = max(1, len(re.findall(r"[.!?]+", text)))
+        low = text.lower()
+        syl = len(re.findall(r"[aeiouy]+", low)) + sum(
+            1 for t in low.split(" ") if not re.search(r"[aeiouy]", t)
+        )
+        fk = math.floor(39.0 * w / s + 1180.0 * syl / w - 1559.0 + 0.5)
+        out.add((int(doc_id), w, s, syl, fk))
+    return out
+
+
+def test_readability_fk_matches_pure_python_reference(spark, fk_corpus_sf):
+    got = {
+        (
+            int(r.doc_id),
+            int(r.n_words),
+            int(r.n_sentences),
+            int(r.n_syllables),
+            int(r.fk_centi),
+        )
+        for r in REGISTRY["readability_fk"].fn(spark, fk_corpus_sf).collect()
+    }
+    assert got == _fk_reference(fk_corpus_sf)
+    # branch coverage: the '?!' run in doc 4 counts once; doc 3 floors
+    # to one sentence; doc 4 has vowel-less tokens (42, pdf, xml, bzz)
+    by_id = {t[0]: t for t in got}
+    assert by_id[3][2] == 1
+    assert by_id[4][2] == 2  # the '.' and the single '?!' run
+    assert by_id[1][2] == 3
+
+
+def test_readability_fk_more_sentences_never_raise_grade(
+    spark, fk_corpus_sf, tmp_path_factory
+):
+    """Splitting a doc into more sentences (same words, same syllables)
+    can only lower the words-per-sentence term, so fk_centi is
+    non-increasing — checked by replacing every token boundary after
+    the midpoint with a period-suffixed token, which leaves W and the
+    vowel structure intact and raises S."""
+    import duckdb
+
+    from tests.test_round13_advice import _write_documents
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{fk_corpus_sf}/documents.parquet')"
+    ).fetchall()
+    split_rows = []
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        mid = len(toks) // 2
+        toks[mid] = toks[mid] + "."
+        split_rows.append((int(doc_id), " ".join(toks), "en", "web", 1))
+    d = str(tmp_path_factory.mktemp("fk_split"))
+    _write_documents(d, split_rows)
+    base = {
+        int(r.doc_id): (int(r.fk_centi), int(r.n_sentences))
+        for r in REGISTRY["readability_fk"].fn(spark, fk_corpus_sf).collect()
+    }
+    split = {
+        int(r.doc_id): (int(r.fk_centi), int(r.n_sentences))
+        for r in REGISTRY["readability_fk"].fn(spark, d).collect()
+    }
+    for doc_id, (fk0, s0) in base.items():
+        fk1, s1 = split[doc_id]
+        assert s1 >= s0, doc_id
+        if s1 > s0:
+            assert fk1 <= fk0, doc_id
+
+
+def test_readability_fk_matches_oracle_on_fixture(spark, fk_corpus_sf):
+    from tests.oracle_harness import compare_with_oracle
+
+    q = REGISTRY["readability_fk"]
+    ok, msg = compare_with_oracle(q.fn(spark, fk_corpus_sf), q.oracle, fk_corpus_sf)
+    assert ok, msg
