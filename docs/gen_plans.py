@@ -142,6 +142,7 @@ NAMES = [
     "knn_graph_mutual",
     "dsir_importance_weights",
     "readability_fk",
+    "session_window_agg",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",

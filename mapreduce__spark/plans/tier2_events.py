@@ -1461,3 +1461,76 @@ def stream_quantile_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return batch_quantile_fold(ev)
+
+
+@query(
+    "session_window_agg",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, value,
+               CAST(sum(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS sid
+        FROM x
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("tier2", "streaming"),
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE session windows in batch — F.session_window() with a
+    30-minute gap, the same operator the streaming twin
+    (streaming.stream_sessionized) runs behind a watermark, here under
+    a full DuckDB oracle. Complements `sessionization` (the manual
+    lag → flag → cumsum form): the native operator reports session END
+    as last_event + gap, and its merge boundary is INCLUSIVE — an
+    event arriving EXACTLY gap after its predecessor still merges
+    (session windows coalesce when next_start <= prev_end), matching
+    the manual form's `> gap` new-session comparator. Both facts are
+    pinned by a planted exact-boundary fixture
+    (tests/test_round14_properties.py), because `>=` is precisely the
+    off-by-one a port of this operator would write — and did, in this
+    query's first draft.
+
+    The gap compares epoch MICROSECONDS (the sessionization
+    discipline); sum_value uses the 2-decimal-sum idiom. NULL
+    timestamps are filtered explicitly on both sides: session_window
+    drops them silently, the islands CTE would glue them to a
+    neighboring session — making the exclusion declared rather than
+    accidental.
+
+    SCALE: one shuffle on user_id, then per-key session assembly —
+    unlike the manual form's two window passes over the same
+    partitioning, the native operator merges sessions in the aggregate
+    itself (Spark plans updating/merging session aggregation), which is
+    also the shape that carries directly to the streaming state store.
+    Reference parity: tier-2 events extension (SURVEY §2b O-26)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -86,7 +86,6 @@ TRIPLE_FILLERS: set[str] = {
     "sessionization",
     "stateful_dedup_first_event",
     "rolling_user_features",
-    "join_skew_salted",
     "graph_mass_propagation",
 }
 _DISPLACEMENT_LOG = {
@@ -99,12 +98,12 @@ _DISPLACEMENT_LOG = {
     # udtf_token_positions (by jsd_source_divergence),
     # scd2_intervals (by zipf_tail_index), merge_upsert (by
     # knn_graph_mutual), window_distribution (by
-    # dsir_importance_weights), join_bloom_pruned (by readability_fk —
+    # dsir_importance_weights), join_bloom_pruned (by readability_fk),
+    # join_skew_salted (by session_window_agg —
     # graph_mass_propagation is SKIPPED in the pop order: its plan was
     # restructured this round, so its prior green rows describe old
-    # code and it keeps a seat for re-attestation), then
-    # join_skew_salted — then the r4 group starting from
-    # rolling_user_features, then the r3 group ending at
+    # code and it keeps a seat for re-attestation), then the r4 group
+    # starting from rolling_user_features, then the r3 group ending at
     # scalar_functions.)
 }
 

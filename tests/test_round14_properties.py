@@ -1063,3 +1063,88 @@ def test_readability_fk_matches_oracle_on_fixture(spark, fk_corpus_sf):
     q = REGISTRY["readability_fk"]
     ok, msg = compare_with_oracle(q.fn(spark, fk_corpus_sf), q.oracle, fk_corpus_sf)
     assert ok, msg
+
+
+# --------------------------------------------------------------------------
+# session_window_agg: exact-gap boundary semantics, oracle fixture
+# --------------------------------------------------------------------------
+
+
+def _write_events_ns(d: str, rows: list[tuple]) -> None:
+    """Single-file events.parquet with TIMESTAMP(NANOS) — the real
+    testdata's physical type, so the loader's nanosAsLong path is the
+    one under test — plus symlinks for every other table."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce__spark.sources.tables import TABLES
+    from tests.conftest import SF_SMALL
+
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp("ns")),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+    pq.write_table(table, f"{d}/events.parquet", store_schema=False)
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+
+
+@pytest.fixture(scope="module")
+def session_gap_sf(tmp_path_factory) -> str:
+    """User 1 fires events exactly 1800s apart (the boundary), user 2
+    at 1799s gaps (inside), user 3 at 1801s gaps (outside)."""
+    base = 1_700_000_000_000_000_000  # ns epoch
+    rows = []
+    eid = 0
+    for user, gap_s in ((1, 1800), (2, 1799), (3, 1801)):
+        for i in range(3):
+            eid += 1
+            rows.append(
+                (eid, base + i * gap_s * 10**9, user, "click", 1.25, "{}")
+            )
+    d = str(tmp_path_factory.mktemp("session_gap"))
+    _write_events_ns(d, rows)
+    return d
+
+
+def test_session_window_exact_gap_merges_inclusively(spark, session_gap_sf):
+    """The native operator's merge boundary is INCLUSIVE: an event
+    arriving EXACTLY gap after its predecessor merges (user 1, 1800s
+    gaps -> ONE session), 1801s splits (user 3), and the lag-based
+    sessionization query agrees on every session count — this fixture
+    is what falsified the first draft's `>=` oracle, so it stays as
+    the regression pin for the off-by-one a port would reintroduce."""
+    native = REGISTRY["session_window_agg"].fn(spark, session_gap_sf).collect()
+    manual = REGISTRY["sessionization"].fn(spark, session_gap_sf).collect()
+    native_counts = {}
+    for r in native:
+        native_counts[int(r.user_id)] = native_counts.get(int(r.user_id), 0) + 1
+    manual_counts = {}
+    for r in manual:
+        manual_counts[int(r.user_id)] = manual_counts.get(int(r.user_id), 0) + 1
+    assert native_counts == {1: 1, 2: 1, 3: 3}
+    assert manual_counts == native_counts
+    # native end = last event + gap; manual end = last event
+    for user, gap_s in ((1, 1800), (2, 1799)):
+        sess = [r for r in native if int(r.user_id) == user]
+        assert len(sess) == 1
+        delta = sess[0].session_end - sess[0].session_start
+        assert delta.total_seconds() == 2 * gap_s + 1800, user
+
+
+def test_session_window_agg_matches_oracle_on_fixture(spark, session_gap_sf):
+    from tests.oracle_harness import compare_with_oracle
+
+    q = REGISTRY["session_window_agg"]
+    ok, msg = compare_with_oracle(q.fn(spark, session_gap_sf), q.oracle, session_gap_sf)
+    assert ok, msg
