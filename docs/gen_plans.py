@@ -143,6 +143,7 @@ NAMES = [
     "dsir_importance_weights",
     "readability_fk",
     "session_window_agg",
+    "keyness_llr",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",

@@ -126,6 +126,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dsir_importance_weights",
     "readability_fk",
     "session_window_agg",
+    "keyness_llr",
     # round-13 additions (single-green), earning their second row
     "stream_mg_fold",
     "stream_countmin_fold",
@@ -170,7 +171,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_tumbling_window",
     "sessionization",
     "stateful_dedup_first_event",
-    "rolling_user_features",
     "graph_mass_propagation",
     # (fillers displaced newest-last-green-first, r6 group in reverse
     # registration order: vocab_encode gave its slot to
@@ -181,8 +181,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # udtf_token_positions to jsd_source_divergence, scd2_intervals
     # to zipf_tail_index, merge_upsert to knn_graph_mutual,
     # window_distribution to dsir_importance_weights,
-    # join_bloom_pruned to readability_fk, and join_skew_salted to
-    # session_window_agg —
+    # join_bloom_pruned to readability_fk, join_skew_salted to
+    # session_window_agg, and rolling_user_features to keyness_llr —
     # graph_mass_propagation is SKIPPED in the pop order: its plan was
     # restructured this round (one-checkpoint window-degree form), so
     # its three green rows describe the old code and it must hold a

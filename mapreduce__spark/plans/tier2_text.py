@@ -1545,3 +1545,151 @@ def readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fk_centi"),
     )
+
+
+KEYNESS_TOP_K = 5  # signature terms kept per source
+
+
+@query(
+    "keyness_llr",
+    oracle=f"""
+    WITH inst AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), xy AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS a
+      FROM inst GROUP BY 1, 2
+    ), rowt AS (
+      SELECT source, CAST(sum(a) AS BIGINT) AS ns FROM xy GROUP BY 1
+    ), colt AS (
+      SELECT tok, CAST(sum(a) AS BIGINT) AS ct FROM xy GROUP BY 1
+    ), nn AS (
+      SELECT CAST(sum(a) AS BIGINT) AS n FROM xy
+    ), cells AS (
+      SELECT xy.source, xy.tok, xy.a, rowt.ns, colt.ct, nn.n,
+             colt.ct - xy.a AS b, rowt.ns - xy.a AS c,
+             nn.n - rowt.ns - (colt.ct - xy.a) AS d
+      FROM xy
+      JOIN rowt ON rowt.source = xy.source
+      JOIN colt ON colt.tok = xy.tok
+      CROSS JOIN nn
+    ), g AS (
+      SELECT source, tok, a,
+             2 * (  a * (CASE WHEN a = 0 THEN 0 ELSE
+                    CAST(floor(ln(CAST(a * n AS DOUBLE)
+                                  / CAST(ns * ct AS DOUBLE))
+                               * 1000000 + 0.5) AS BIGINT) END)
+                  + b * (CASE WHEN b = 0 THEN 0 ELSE
+                    CAST(floor(ln(CAST(b * n AS DOUBLE)
+                                  / CAST((n - ns) * ct AS DOUBLE))
+                               * 1000000 + 0.5) AS BIGINT) END)
+                  + c * (CASE WHEN c = 0 THEN 0 ELSE
+                    CAST(floor(ln(CAST(c * n AS DOUBLE)
+                                  / CAST(ns * (n - ct) AS DOUBLE))
+                               * 1000000 + 0.5) AS BIGINT) END)
+                  + d * (CASE WHEN d = 0 THEN 0 ELSE
+                    CAST(floor(ln(CAST(d * n AS DOUBLE)
+                                  / CAST((n - ns) * (n - ct) AS DOUBLE))
+                               * 1000000 + 0.5) AS BIGINT) END)
+                 ) AS g2_micro
+      FROM cells WHERE a * n > ns * ct
+    )
+    SELECT source, tok, a AS n_in_source, g2_micro,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT source, tok, a, g2_micro,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY g2_micro DESC, tok ASC) AS rnk
+      FROM g
+    ) WHERE rnk <= {KEYNESS_TOP_K}
+    """,
+    tags=("tier2", "text", "quality"),
+)
+def keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYNESS by Dunning log-likelihood ratio (Dunning, CL 1993) — the
+    top-{KEYNESS_TOP_K} tokens most characteristic of each source vs
+    the rest of the corpus, the corpus-linguistics statistic behind
+    source fingerprinting, template detection, and contamination
+    triage (a source whose signature terms are boilerplate is a
+    scraper, not prose). For each (source, token) 2x2 contingency
+    (a = token in source, b = token elsewhere, c/d = other tokens),
+    G2 = 2 * sum over cells of obs * ln(obs/exp). Only OVERREPRESENTED
+    tokens rank (a*N > ns*ct — an exact integer comparison), so the
+    list reads as "what this source says more than everyone else".
+
+    Integer-exact emission (the mutual_info_lang_source discipline
+    applied cell-wise): each cell's ln argument is ONE IEEE division
+    of exact BIGINT products (obs*N over row*col — at 100 TB promote
+    the products to DECIMAL(38,0)), quantized per cell to micro-nats,
+    weighted by the exact cell count; zero cells contribute exactly 0
+    (the 0*ln(0) = 0 limit) via a CASE on the COUNT, which also
+    sidesteps every zero-denominator case (a zero denominator forces
+    the matching cell count to zero — proven in the oracle's guard
+    layout). Law: uniformly duplicating the corpus doubles every
+    g2_micro exactly while preserving ranks (tested).
+
+    SCALE: one corpus explode into a map-side-combined (source, token)
+    count; everything after is VOCABULARY-sized — marginals re-aggregate
+    the count table, the rank window partitions by source. The corpus
+    shuffles only token keys (the word_count shape). Reference parity:
+    tier-2 text-quality extension (SURVEY §2b O-24)."""
+    docs = load_table(spark, sf_dir, "documents")
+    xy = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    )
+    rowt = xy.groupBy("source").agg(F.sum("a").cast("bigint").alias("ns"))
+    colt = xy.groupBy("tok").agg(F.sum("a").cast("bigint").alias("ct"))
+    nn = xy.agg(F.sum("a").cast("bigint").alias("n"))
+    cells = (
+        xy.join(F.broadcast(rowt), "source")
+        .join(colt, "tok")
+        .crossJoin(F.broadcast(nn))
+        .withColumn("b", F.col("ct") - F.col("a"))
+        .withColumn("c", F.col("ns") - F.col("a"))
+        .withColumn("d", F.col("n") - F.col("ns") - (F.col("ct") - F.col("a")))
+    )
+
+    def cell_term(cnt, num_l, num_r, den_l, den_r):
+        q = F.floor(
+            F.log(
+                (num_l * num_r).cast("double") / (den_l * den_r).cast("double")
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).cast("bigint")
+        return F.when(cnt == 0, F.lit(0).cast("bigint")).otherwise(cnt * q)
+
+    g2 = (
+        F.lit(2)
+        * (
+            cell_term(F.col("a"), F.col("a"), F.col("n"), F.col("ns"), F.col("ct"))
+            + cell_term(
+                F.col("b"), F.col("b"), F.col("n"),
+                F.col("n") - F.col("ns"), F.col("ct"),
+            )
+            + cell_term(
+                F.col("c"), F.col("c"), F.col("n"),
+                F.col("ns"), F.col("n") - F.col("ct"),
+            )
+            + cell_term(
+                F.col("d"), F.col("d"), F.col("n"),
+                F.col("n") - F.col("ns"), F.col("n") - F.col("ct"),
+            )
+        )
+    ).cast("bigint")
+    over = cells.where(F.col("a") * F.col("n") > F.col("ns") * F.col("ct"))
+    ranked = over.select(
+        "source",
+        "tok",
+        F.col("a").alias("n_in_source"),
+        g2.alias("g2_micro"),
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("g2_micro").desc(), F.col("tok").asc()
+            )
+        ).cast("bigint"),
+    )
+    return ranked.where(F.col("rnk") <= KEYNESS_TOP_K)

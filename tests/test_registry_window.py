@@ -46,7 +46,15 @@ DEFERRED_DOUBLES: set[str] = set()
 # exclude them. Round 14: empty so far — the one planned perf touch
 # (graph_mass_propagation, round-13 VERDICT item 2) is an exactly-3
 # filler already holding a window slot by right.
-CHANGED_CODE_REATTEST: set[str] = set()
+CHANGED_CODE_REATTEST: set[str] = {
+    # propagate_mass was restructured in round 14 (one-checkpoint
+    # window-degree form), so graph_mass_propagation's three green rows
+    # describe the OLD plan: it holds its seat via the changed-code
+    # exemption — the policy's named mechanism — rather than as a
+    # filler, so the least-recently-attested filler invariant keeps
+    # binding as round-14 additions pop into the r4 filler group.
+    "graph_mass_propagation",
+}
 
 # Saturation retirement (round-10 VERDICT item 8): a query holding
 # SATURATED_AT green driver rows retires from rotation eligibility — it
@@ -85,8 +93,6 @@ TRIPLE_FILLERS: set[str] = {
     "events_tumbling_window",
     "sessionization",
     "stateful_dedup_first_event",
-    "rolling_user_features",
-    "graph_mass_propagation",
 }
 _DISPLACEMENT_LOG = {
     # (round-14 additions pop the newest-last-green filler first — the
@@ -99,12 +105,12 @@ _DISPLACEMENT_LOG = {
     # scd2_intervals (by zipf_tail_index), merge_upsert (by
     # knn_graph_mutual), window_distribution (by
     # dsir_importance_weights), join_bloom_pruned (by readability_fk),
-    # join_skew_salted (by session_window_agg —
-    # graph_mass_propagation is SKIPPED in the pop order: its plan was
-    # restructured this round, so its prior green rows describe old
-    # code and it keeps a seat for re-attestation), then the r4 group
-    # starting from rolling_user_features, then the r3 group ending at
-    # scalar_functions.)
+    # join_skew_salted (by session_window_agg), rolling_user_features
+    # (by keyness_llr — graph_mass_propagation is SKIPPED in the pop
+    # order: its plan was restructured this round, so its prior green
+    # rows describe old code and it keeps a seat for re-attestation),
+    # then the rest of the r4 group from stateful_dedup_first_event,
+    # then the r3 group ending at scalar_functions.)
 }
 
 

@@ -1148,3 +1148,133 @@ def test_session_window_agg_matches_oracle_on_fixture(spark, session_gap_sf):
     q = REGISTRY["session_window_agg"]
     ok, msg = compare_with_oracle(q.fn(spark, session_gap_sf), q.oracle, session_gap_sf)
     assert ok, msg
+
+
+# --------------------------------------------------------------------------
+# keyness_llr: pure-Python reference, duplication-doubling law
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def keyness_corpus_sf(tmp_path_factory) -> str:
+    """Two sources with planted signatures: 'legal' says 'hereby' and
+    'party' far above base rate, 'chat' says 'lol'; shared filler words
+    are near-independent and must not outrank the signatures."""
+    from tests.test_round13_advice import _write_documents
+
+    corpus = [
+        ("the party shall hereby agree that the party may hereby act", "legal"),
+        ("hereby the party notes the terms and the party signs", "legal"),
+        ("the terms are the terms and that is that", "legal"),
+        ("lol that was fun lol see you soon", "chat"),
+        ("we went out and lol it rained on us lol", "chat"),
+        ("see you at the party lol", "chat"),
+    ]
+    rows = [
+        (i, text, "en", src, len(text))
+        for i, (text, src) in enumerate(corpus, start=1)
+    ]
+    d = str(tmp_path_factory.mktemp("keyness_corpus"))
+    _write_documents(d, rows)
+    return d
+
+
+def _keyness_reference(sf_dir: str, top_k: int):
+    import duckdb
+    import math
+
+    rows = duckdb.sql(
+        f"SELECT source, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    xy, rowt, colt = {}, {}, {}
+    for source, text in rows:
+        for tok in text.split(" "):
+            xy[(source, tok)] = xy.get((source, tok), 0) + 1
+            rowt[source] = rowt.get(source, 0) + 1
+            colt[tok] = colt.get(tok, 0) + 1
+    n = sum(rowt.values())
+
+    def q(num, den):
+        return math.floor(math.log(num / den) * 1000000 + 0.5)
+
+    per_source = {}
+    for (source, tok), a in xy.items():
+        ns, ct = rowt[source], colt[tok]
+        if a * n <= ns * ct:
+            continue
+        b, c = ct - a, ns - a
+        d = n - ns - b
+        g2 = 2 * (
+            (a * q(a * n, ns * ct) if a else 0)
+            + (b * q(b * n, (n - ns) * ct) if b else 0)
+            + (c * q(c * n, ns * (n - ct)) if c else 0)
+            + (d * q(d * n, (n - ns) * (n - ct)) if d else 0)
+        )
+        per_source.setdefault(source, []).append((-g2, tok, a))
+    out = set()
+    for source, terms in per_source.items():
+        terms.sort()
+        for rnk, (neg_g2, tok, a) in enumerate(terms[:top_k], start=1):
+            out.add((source, tok, a, -neg_g2, rnk))
+    return out
+
+
+def test_keyness_llr_matches_pure_python_reference(spark, keyness_corpus_sf):
+    from mapreduce__spark.plans.tier2_text import KEYNESS_TOP_K
+
+    got = {
+        (r.source, r.tok, int(r.n_in_source), int(r.g2_micro), int(r.rnk))
+        for r in REGISTRY["keyness_llr"].fn(spark, keyness_corpus_sf).collect()
+    }
+    assert got == _keyness_reference(keyness_corpus_sf, KEYNESS_TOP_K)
+    # the planted signatures surface: 'lol' is chat's #1 and 'hereby'
+    # makes legal's list (the filler 'the' can legitimately outrank it
+    # on raw count — keyness is count-weighted)
+    top = {r[0]: r[1] for r in got if r[4] == 1}
+    assert top["chat"] == "lol"
+    legal_terms = {r[1] for r in got if r[0] == "legal"}
+    assert "hereby" in legal_terms and "party" in legal_terms
+
+
+def test_keyness_llr_duplication_doubles_g2(
+    spark, keyness_corpus_sf, tmp_path_factory
+):
+    """Uniformly duplicating the corpus doubles every contingency cell,
+    leaves every ln ratio bit-identical (the quantized per-cell terms
+    are ratio functions), and therefore exactly doubles g2_micro with
+    ranks preserved."""
+    import duckdb
+
+    from tests.test_round13_advice import _write_documents
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, lang, source FROM "
+        f"read_parquet('{keyness_corpus_sf}/documents.parquet')"
+    ).fetchall()
+    doubled = []
+    for doc_id, text, lang, source in rows:
+        doubled.append((int(doc_id), text, lang, source, 1))
+        doubled.append((int(doc_id) + 1000, text, lang, source, 1))
+    d = str(tmp_path_factory.mktemp("keyness_doubled"))
+    _write_documents(d, doubled)
+    base = {
+        (r.source, r.tok): (int(r.g2_micro), int(r.rnk))
+        for r in REGISTRY["keyness_llr"].fn(spark, keyness_corpus_sf).collect()
+    }
+    twice = {
+        (r.source, r.tok): (int(r.g2_micro), int(r.rnk))
+        for r in REGISTRY["keyness_llr"].fn(spark, d).collect()
+    }
+    assert set(base) == set(twice)
+    for key, (g2, rnk) in base.items():
+        assert twice[key] == (2 * g2, rnk), key
+
+
+def test_keyness_llr_matches_oracle_on_fixture(spark, keyness_corpus_sf):
+    from tests.oracle_harness import compare_with_oracle
+
+    q = REGISTRY["keyness_llr"]
+    ok, msg = compare_with_oracle(
+        q.fn(spark, keyness_corpus_sf), q.oracle, keyness_corpus_sf
+    )
+    assert ok, msg
