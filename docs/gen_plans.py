@@ -144,6 +144,7 @@ NAMES = [
     "readability_fk",
     "session_window_agg",
     "keyness_llr",
+    "temporal_split_events",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",

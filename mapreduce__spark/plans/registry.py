@@ -127,6 +127,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "readability_fk",
     "session_window_agg",
     "keyness_llr",
+    "temporal_split_events",
     # round-13 additions (single-green), earning their second row
     "stream_mg_fold",
     "stream_countmin_fold",
@@ -170,7 +171,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "media_header_metadata",
     "events_tumbling_window",
     "sessionization",
-    "stateful_dedup_first_event",
     "graph_mass_propagation",
     # (fillers displaced newest-last-green-first, r6 group in reverse
     # registration order: vocab_encode gave its slot to
@@ -182,7 +182,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # to zipf_tail_index, merge_upsert to knn_graph_mutual,
     # window_distribution to dsir_importance_weights,
     # join_bloom_pruned to readability_fk, join_skew_salted to
-    # session_window_agg, and rolling_user_features to keyness_llr —
+    # session_window_agg, rolling_user_features to keyness_llr, and
+    # stateful_dedup_first_event to temporal_split_events —
     # graph_mass_propagation is SKIPPED in the pop order: its plan was
     # restructured this round (one-checkpoint window-degree form), so
     # its three green rows describe the old code and it must hold a

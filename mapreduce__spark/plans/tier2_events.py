@@ -1534,3 +1534,74 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "temporal_split_events",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events WHERE ts IS NOT NULL
+    ), labeled AS (
+        SELECT user_id, ts,
+               CASE WHEN rn > n - (n // 5) THEN 'test'
+                    WHEN rn > n - 2 * (n // 5) THEN 'val'
+                    ELSE 'train' END AS split
+        FROM x
+    )
+    SELECT user_id, split,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS first_ts, max(ts) AS last_ts
+    FROM labeled GROUP BY 1, 2
+    """,
+    tags=("tier2", "pipeline", "sampling"),
+)
+def temporal_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE TEMPORAL SPLIT per user — the time-series
+    counterpart of train_test_split's content-hash buckets: each user's
+    event history is ordered by (ts, event_id) and the LAST floor(n/5)
+    events become test, the floor(n/5) before those val, the rest
+    train — the forecasting/recsys evaluation protocol where random
+    splits leak the future into training. Deterministic and exact: the
+    cut is a pure integer rule on the per-user rank, never a fraction
+    of a float; users with n < 5 keep all events in train (floor = 0),
+    declared rather than special-cased. The split-boundary law —
+    max(train.ts) <= min(val.ts) <= max(val.ts) <= min(test.ts) within
+    every user — is what the oracle attests via first_ts/last_ts and a
+    property test re-checks independently.
+
+    SCALE: one shuffle on user_id, two window functions over the same
+    partitioning (rank + count, no second exchange), then a map-side
+    combined per-(user, split) aggregate. Per-user histories are the
+    partition unit — the same layout sessionization and
+    rolling_user_features already shuffle to, so a real pipeline
+    computes all three off one exchange. Reference parity: tier-2
+    pipeline extension (SURVEY §2b O-26/O-24 family)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
+    wc = Window.partitionBy("user_id")
+    x = ev.select(
+        "user_id",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    k = F.expr("n DIV 5")
+    labeled = x.select(
+        "user_id",
+        "ts",
+        F.when(F.col("rn") > F.col("n") - k, F.lit("test"))
+        .when(F.col("rn") > F.col("n") - 2 * k, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    return labeled.groupBy("user_id", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

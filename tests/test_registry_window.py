@@ -92,7 +92,6 @@ TRIPLE_FILLERS: set[str] = {
     "media_header_metadata",
     "events_tumbling_window",
     "sessionization",
-    "stateful_dedup_first_event",
 }
 _DISPLACEMENT_LOG = {
     # (round-14 additions pop the newest-last-green filler first — the
@@ -106,11 +105,11 @@ _DISPLACEMENT_LOG = {
     # knn_graph_mutual), window_distribution (by
     # dsir_importance_weights), join_bloom_pruned (by readability_fk),
     # join_skew_salted (by session_window_agg), rolling_user_features
-    # (by keyness_llr — graph_mass_propagation is SKIPPED in the pop
-    # order: its plan was restructured this round, so its prior green
-    # rows describe old code and it keeps a seat for re-attestation),
-    # then the rest of the r4 group from stateful_dedup_first_event,
-    # then the r3 group ending at scalar_functions.)
+    # (by keyness_llr), stateful_dedup_first_event (by
+    # temporal_split_events — graph_mass_propagation holds its seat via
+    # CHANGED_CODE_REATTEST, not as a filler), then the rest of the r4
+    # group from sessionization, then the r3 group ending at
+    # scalar_functions.)
 }
 
 

@@ -1278,3 +1278,77 @@ def test_keyness_llr_matches_oracle_on_fixture(spark, keyness_corpus_sf):
         q.fn(spark, keyness_corpus_sf), q.oracle, keyness_corpus_sf
     )
     assert ok, msg
+
+
+# --------------------------------------------------------------------------
+# temporal_split_events: boundary-ordering law, exact-count law, oracle
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def temporal_split_sf(tmp_path_factory) -> str:
+    """Users with n = 1, 4 (floor(n/5)=0: all train), 5 (1/1/3), 10
+    (2/2/6), and 11 (2/2/7) — the integer-rule edge cases."""
+    base = 1_700_000_000_000_000_000
+    rows, eid = [], 0
+    for user, n in ((1, 1), (2, 4), (3, 5), (4, 10), (5, 11)):
+        for i in range(n):
+            eid += 1
+            rows.append((eid, base + i * 60 * 10**9, user, "click", 1.0, "{}"))
+    d = str(tmp_path_factory.mktemp("temporal_split"))
+    _write_events_ns(d, rows)
+    return d
+
+
+def test_temporal_split_counts_and_ordering(spark, temporal_split_sf):
+    rows = REGISTRY["temporal_split_events"].fn(spark, temporal_split_sf).collect()
+    counts = {}
+    spans = {}
+    for r in rows:
+        counts[(int(r.user_id), r.split)] = int(r.n_events)
+        spans[(int(r.user_id), r.split)] = (r.first_ts, r.last_ts)
+    assert counts == {
+        (1, "train"): 1,
+        (2, "train"): 4,
+        (3, "train"): 3, (3, "val"): 1, (3, "test"): 1,
+        (4, "train"): 6, (4, "val"): 2, (4, "test"): 2,
+        (5, "train"): 7, (5, "val"): 2, (5, "test"): 2,
+    }
+    # leakage-free boundary law within every user
+    for user in (3, 4, 5):
+        assert spans[(user, "train")][1] < spans[(user, "val")][0]
+        assert spans[(user, "val")][1] < spans[(user, "test")][0]
+
+
+def test_temporal_split_matches_oracle_on_fixture(spark, temporal_split_sf):
+    from tests.oracle_harness import compare_with_oracle
+
+    q = REGISTRY["temporal_split_events"]
+    ok, msg = compare_with_oracle(
+        q.fn(spark, temporal_split_sf), q.oracle, temporal_split_sf
+    )
+    assert ok, msg
+
+
+def test_temporal_split_boundary_law_on_real_data(spark, sf_small):
+    """On the real sf0.001 events: per user, every train ts <= every
+    val ts <= every test ts (ties across the cut are legal when equal
+    timestamps straddle it — the event_id tiebreak orders them)."""
+    rows = REGISTRY["temporal_split_events"].fn(spark, sf_small).collect()
+    spans = {}
+    for r in rows:
+        spans[(int(r.user_id), r.split)] = (r.first_ts, r.last_ts)
+    users = {u for u, _s in spans}
+    assert users
+    for u in users:
+        tr, va, te = (
+            spans.get((u, "train")),
+            spans.get((u, "val")),
+            spans.get((u, "test")),
+        )
+        if tr and va:
+            assert tr[1] <= va[0], u
+        if va and te:
+            assert va[1] <= te[0], u
+        if tr and te and not va:
+            assert tr[1] <= te[0], u
