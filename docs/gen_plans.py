@@ -145,6 +145,7 @@ NAMES = [
     "session_window_agg",
     "keyness_llr",
     "temporal_split_events",
+    "temperature_resample",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",

@@ -128,6 +128,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "session_window_agg",
     "keyness_llr",
     "temporal_split_events",
+    "temperature_resample",
     # round-13 additions (single-green), earning their second row
     "stream_mg_fold",
     "stream_countmin_fold",
@@ -170,7 +171,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "image_header_metadata",
     "media_header_metadata",
     "events_tumbling_window",
-    "sessionization",
     "graph_mass_propagation",
     # (fillers displaced newest-last-green-first, r6 group in reverse
     # registration order: vocab_encode gave its slot to
@@ -183,7 +183,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # window_distribution to dsir_importance_weights,
     # join_bloom_pruned to readability_fk, join_skew_salted to
     # session_window_agg, rolling_user_features to keyness_llr, and
-    # stateful_dedup_first_event to temporal_split_events —
+    # stateful_dedup_first_event to temporal_split_events, and
+    # sessionization to temperature_resample —
     # graph_mass_propagation is SKIPPED in the pop order: its plan was
     # restructured this round (one-checkpoint window-degree form), so
     # its three green rows describe the old code and it must hold a

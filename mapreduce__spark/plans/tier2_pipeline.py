@@ -2534,3 +2534,78 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lr_micro").cast("bigint").alias("dsir_micro_sum"),
         )
     )
+
+
+TEMP_ALPHA = 0.7  # sampling temperature exponent (UniMax/mT5 convention)
+
+
+@query(
+    "temperature_resample",
+    oracle=f"""
+    WITH c AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ), q AS (
+        SELECT source, n_docs,
+               CAST(floor(pow(CAST(n_docs AS DOUBLE), {TEMP_ALPHA})
+                          * 1000000 + 0.5) AS BIGINT) AS q_micro
+        FROM c
+    ), t AS (
+        SELECT CAST(sum(q_micro) AS BIGINT) AS qq,
+               CAST(sum(n_docs) AS BIGINT) AS total
+        FROM q
+    )
+    SELECT source, n_docs, q_micro,
+           CAST((q_micro * 1000000) // qq AS BIGINT) AS share_ppm,
+           CAST((total * q_micro) // qq AS BIGINT) AS budget_docs
+    FROM q CROSS JOIN t
+    """,
+    tags=("tier2", "pipeline", "sampling"),
+)
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-BASED SOURCE SAMPLING (the mT5/UniMax mixture rule;
+    Xue et al. 2021, Chung et al. 2023): sampling weight per source
+    proportional to count^{TEMP_ALPHA}, the standard knob that upweights
+    small sources relative to raw proportions without flattening to
+    uniform — alongside domain_mixture_weights (fixed target mix) and
+    per_source_cap (hard ceilings), this is the third mixture-design
+    rule real pretraining configs use. Emits the full resampling plan:
+    raw n_docs, the quantized temperature weight q_micro =
+    floor(n^alpha * 1e6 + 0.5) (the ONLY float op — one libm pow per
+    source, micro-quantized under the established ln/pow discipline),
+    the exact integer share in ppm (q*1e6 DIV sum_q — all-BIGINT floor
+    division, so shares are exact and sum to <= 1e6 by construction),
+    and the per-source document budget for a corpus-sized total
+    ((total*q) DIV sum_q). Laws: shares/budgets are monotone in n_docs
+    and under-allocate by less than one unit per source (tested).
+
+    SCALE: the whole query runs on the SOURCE-cardinality relation —
+    one map-side-combined count per source, a 1-row total broadcast,
+    then arithmetic; corpus rows shuffle nothing but their source key.
+    Reference parity: tier-2 pipeline extension (SURVEY §2b O-24)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    q = c.select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.pow(F.col("n_docs").cast("double"), F.lit(TEMP_ALPHA))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("q_micro"),
+    )
+    t = q.agg(
+        F.sum("q_micro").cast("bigint").alias("qq"),
+        F.sum("n_docs").cast("bigint").alias("total"),
+    )
+    return q.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "q_micro",
+        F.expr("(q_micro * 1000000) DIV qq").cast("bigint").alias("share_ppm"),
+        F.expr("(total * q_micro) DIV qq").cast("bigint").alias("budget_docs"),
+    )

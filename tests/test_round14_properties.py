@@ -1352,3 +1352,76 @@ def test_temporal_split_boundary_law_on_real_data(spark, sf_small):
             assert va[1] <= te[0], u
         if tr and te and not va:
             assert tr[1] <= te[0], u
+
+
+# --------------------------------------------------------------------------
+# temperature_resample: reference, monotonicity + allocation laws
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def temp_corpus_sf(tmp_path_factory) -> str:
+    """Skewed source sizes: 64 / 16 / 4 / 1 docs — powers so the
+    temperature compression is visible (64:1 raw becomes ~18:1 at
+    alpha 0.7)."""
+    from tests.test_round13_advice import _write_documents
+
+    rows, doc_id = [], 0
+    for source, n in (("big", 64), ("mid", 16), ("small", 4), ("tiny", 1)):
+        for _ in range(n):
+            doc_id += 1
+            rows.append((doc_id, f"doc number {doc_id} from {source}", "en", source, 1))
+    d = str(tmp_path_factory.mktemp("temp_corpus"))
+    _write_documents(d, rows)
+    return d
+
+
+def _temperature_reference(sf_dir: str, alpha: float):
+    import duckdb
+    import math
+
+    counts = dict(
+        duckdb.sql(
+            f"SELECT source, count(*) FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    q = {s: math.floor(math.pow(n, alpha) * 1000000 + 0.5) for s, n in counts.items()}
+    qq, total = sum(q.values()), sum(counts.values())
+    return {
+        s: (counts[s], q[s], q[s] * 1000000 // qq, total * q[s] // qq)
+        for s in counts
+    }
+
+
+def test_temperature_resample_matches_reference_and_laws(spark, temp_corpus_sf):
+    from mapreduce__spark.plans.tier2_pipeline import TEMP_ALPHA
+
+    rows = REGISTRY["temperature_resample"].fn(spark, temp_corpus_sf).collect()
+    got = {
+        r.source: (int(r.n_docs), int(r.q_micro), int(r.share_ppm), int(r.budget_docs))
+        for r in rows
+    }
+    assert got == _temperature_reference(temp_corpus_sf, TEMP_ALPHA)
+    # temperature compresses: tiny's share exceeds its raw proportion,
+    # big's share falls below it (the whole point of the knob)
+    total = sum(v[0] for v in got.values())
+    assert got["tiny"][2] > 1_000_000 * got["tiny"][0] // total
+    assert got["big"][2] < 1_000_000 * got["big"][0] // total
+    # monotone in n_docs; shares sum to <= 1e6 with < n_sources slack;
+    # budgets under-allocate the total by < n_sources
+    ordered = sorted(got.values())
+    for (n1, _q1, s1, b1), (n2, _q2, s2, b2) in zip(ordered, ordered[1:]):
+        assert n1 <= n2 and s1 <= s2 and b1 <= b2
+    share_sum = sum(v[2] for v in got.values())
+    assert 1_000_000 - len(got) < share_sum <= 1_000_000
+    budget_sum = sum(v[3] for v in got.values())
+    assert total - len(got) < budget_sum <= total
+
+
+def test_temperature_resample_matches_oracle_on_fixture(spark, temp_corpus_sf):
+    from tests.oracle_harness import compare_with_oracle
+
+    q = REGISTRY["temperature_resample"]
+    ok, msg = compare_with_oracle(q.fn(spark, temp_corpus_sf), q.oracle, temp_corpus_sf)
+    assert ok, msg
