@@ -146,6 +146,7 @@ NAMES = [
     "keyness_llr",
     "temporal_split_events",
     "temperature_resample",
+    "passage_chunk_overlap",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",

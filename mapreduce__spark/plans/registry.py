@@ -129,6 +129,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "keyness_llr",
     "temporal_split_events",
     "temperature_resample",
+    "passage_chunk_overlap",
     # round-13 additions (single-green), earning their second row
     "stream_mg_fold",
     "stream_countmin_fold",
@@ -170,7 +171,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_correlation",
     "image_header_metadata",
     "media_header_metadata",
-    "events_tumbling_window",
     "graph_mass_propagation",
     # (fillers displaced newest-last-green-first, r6 group in reverse
     # registration order: vocab_encode gave its slot to
@@ -184,7 +184,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # join_bloom_pruned to readability_fk, join_skew_salted to
     # session_window_agg, rolling_user_features to keyness_llr, and
     # stateful_dedup_first_event to temporal_split_events, and
-    # sessionization to temperature_resample —
+    # sessionization to temperature_resample, and
+    # events_tumbling_window to passage_chunk_overlap —
     # graph_mass_propagation is SKIPPED in the pop order: its plan was
     # restructured this round (one-checkpoint window-degree form), so
     # its three green rows describe the old code and it must hold a

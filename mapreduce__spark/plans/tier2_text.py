@@ -1693,3 +1693,78 @@ def keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint"),
     )
     return ranked.where(F.col("rnk") <= KEYNESS_TOP_K)
+
+
+CHUNK_W = 32  # passage window, tokens
+CHUNK_S = 24  # stride (overlap = CHUNK_W - CHUNK_S)
+
+
+@query(
+    "passage_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               CAST((s.start - 1) // {CHUNK_S} AS BIGINT) AS chunk_idx,
+               CAST(s.start AS BIGINT) AS start_tok,
+               CAST(least({CHUNK_W}, n - s.start + 1) AS BIGINT)
+                   AS n_chunk_toks,
+               md5(array_to_string(
+                   list_slice(toks, s.start,
+                              least(s.start + {CHUNK_W} - 1, n)), ' '))
+                   AS chunk_md5
+        FROM t CROSS JOIN UNNEST(range(1, n + 1, {CHUNK_S})) AS s(start)
+    )
+    SELECT doc_id, chunk_idx, start_tok, n_chunk_toks, chunk_md5
+    FROM chunks
+    """,
+    tags=("tier2", "text", "pipeline"),
+)
+def passage_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-WINDOW PASSAGE CHUNKING with overlap — the RAG-indexing
+    and long-context-packing primitive: each document splits into
+    {CHUNK_W}-token windows at stride {CHUNK_S} (so consecutive full
+    chunks share {CHUNK_W - CHUNK_S} tokens of context, the overlap
+    that keeps retrieval from losing sentences at chunk borders).
+    Declared semantics: window starts are 1, 1+{CHUNK_S}, ... <= n;
+    the final chunk simply truncates at the document end (a doc of
+    <= {CHUNK_W} tokens is one chunk). Emitted per chunk: its index,
+    1-based start token, exact token count, and the md5 of the
+    space-rejoined window — a compact content fingerprint that makes
+    the full chunk TEXT attestable without shipping it (the
+    dedup_exact fingerprint discipline), and doubles as the join key a
+    chunk-level dedup or embedding stage would use downstream.
+
+    SCALE: scan-stage only — sequence + slice + hash inside
+    whole-stage codegen, one explode whose fan-out is n/{CHUNK_S}
+    (~1.3x the corpus token count in chunk rows, each a constant-width
+    fingerprint, never materialized chunk text); no shuffle at all
+    until a downstream consumer aggregates. Reference parity: tier-2
+    text/pipeline extension (SURVEY §2b O-24)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    t = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n")
+    )
+    exploded = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_S))
+        ).alias("start"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.expr(f"(start - 1) DIV {CHUNK_S}").cast("bigint").alias("chunk_idx"),
+        F.col("start").cast("bigint").alias("start_tok"),
+        F.least(F.lit(CHUNK_W), F.col("n") - F.col("start") + 1)
+        .cast("bigint")
+        .alias("n_chunk_toks"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("start"), F.lit(CHUNK_W)))
+        ).alias("chunk_md5"),
+    )

@@ -1425,3 +1425,100 @@ def test_temperature_resample_matches_oracle_on_fixture(spark, temp_corpus_sf):
     q = REGISTRY["temperature_resample"]
     ok, msg = compare_with_oracle(q.fn(spark, temp_corpus_sf), q.oracle, temp_corpus_sf)
     assert ok, msg
+
+
+# --------------------------------------------------------------------------
+# passage_chunk_overlap: coverage/overlap laws, pure-Python reference
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def chunk_corpus_sf(tmp_path_factory) -> str:
+    """Docs at the windowing edge cases: shorter than one window,
+    exactly one window (32), one stride + 1 (33 -> two chunks), a
+    multiple of the stride (72 -> starts 1/25/49), and a long doc."""
+    from tests.test_round13_advice import _write_documents
+
+    def doc(n):
+        return " ".join(f"w{i}" for i in range(1, n + 1))
+
+    rows = [
+        (i, doc(n), "en", "web", n)
+        for i, n in enumerate((5, 32, 33, 72, 200), start=1)
+    ]
+    d = str(tmp_path_factory.mktemp("chunk_corpus"))
+    _write_documents(d, rows)
+    return d
+
+
+def _chunk_reference(sf_dir: str, w: int, s: int):
+    import duckdb
+    import hashlib
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    out = set()
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        n = len(toks)
+        for idx, start in enumerate(range(1, n + 1, s)):
+            chunk = toks[start - 1 : start - 1 + w]
+            out.add(
+                (
+                    int(doc_id),
+                    idx,
+                    start,
+                    min(w, n - start + 1),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+            )
+    return out
+
+
+def test_passage_chunks_match_pure_python_reference(spark, chunk_corpus_sf):
+    from mapreduce__spark.plans.tier2_text import CHUNK_S, CHUNK_W
+
+    got = {
+        (int(r.doc_id), int(r.chunk_idx), int(r.start_tok),
+         int(r.n_chunk_toks), r.chunk_md5)
+        for r in REGISTRY["passage_chunk_overlap"].fn(spark, chunk_corpus_sf).collect()
+    }
+    assert got == _chunk_reference(chunk_corpus_sf, CHUNK_W, CHUNK_S)
+    per_doc = {}
+    for doc_id, idx, _s, _n, _h in got:
+        per_doc[doc_id] = max(per_doc.get(doc_id, 0), idx + 1)
+    assert per_doc == {1: 1, 2: 2, 3: 2, 4: 3, 5: 9}
+
+
+def test_passage_chunks_cover_every_token_with_declared_overlap(
+    spark, chunk_corpus_sf
+):
+    """Coverage law: the union of [start, start + n_chunk_toks) spans
+    [1, n] with no gaps, and consecutive FULL chunks overlap by exactly
+    CHUNK_W - CHUNK_S tokens."""
+    from mapreduce__spark.plans.tier2_text import CHUNK_S, CHUNK_W
+
+    rows = REGISTRY["passage_chunk_overlap"].fn(spark, chunk_corpus_sf).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(int(r.doc_id), []).append(
+            (int(r.start_tok), int(r.n_chunk_toks))
+        )
+    for doc_id, spans in per_doc.items():
+        spans.sort()
+        covered_until = 0
+        for start, ln in spans:
+            assert start <= covered_until + 1, (doc_id, start)
+            covered_until = max(covered_until, start + ln - 1)
+        for (s1, l1), (s2, _l2) in zip(spans, spans[1:]):
+            if l1 == CHUNK_W:
+                assert s1 + l1 - s2 == CHUNK_W - CHUNK_S, doc_id
+
+
+def test_passage_chunks_match_oracle_on_fixture(spark, chunk_corpus_sf):
+    from tests.oracle_harness import compare_with_oracle
+
+    q = REGISTRY["passage_chunk_overlap"]
+    ok, msg = compare_with_oracle(q.fn(spark, chunk_corpus_sf), q.oracle, chunk_corpus_sf)
+    assert ok, msg
