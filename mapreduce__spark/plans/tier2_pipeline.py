@@ -2478,36 +2478,48 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = docs.select(
         "doc_id", quality_keep_expr(F.col("text")).alias("keep")
     )
-    inst = (
-        _bigram_instances(docs)
-        .join(F.broadcast(keep), "doc_id")
-        .select(
-            "doc_id",
-            "keep",
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.col("left_tok"),
-                                F.lit(" "),
-                                F.col("right_tok"),
-                                F.lit("#dsir"),
-                            )
-                        ),
-                        1,
-                        8,
+    # (doc_id, bucket) per bigram instance — the keep flag joins in on
+    # the STATS branch only: the final per-doc aggregate never reads it,
+    # so keeping it out of this projection saves a pointless
+    # broadcast-join on the second (scoring) pass over the instances
+    inst = _bigram_instances(docs).select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("left_tok"),
+                            F.lit(" "),
+                            F.col("right_tok"),
+                            F.lit("#dsir"),
+                        )
                     ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % DSIR_BUCKETS
-            ).alias("b"),
-        )
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % DSIR_BUCKETS
+        ).alias("b"),
     )
-    stats = inst.groupBy("b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_r"),
-        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("c_t"),
+    # B-sized; materialized ONCE (the kn_lm_score discipline) so the
+    # totals and the log-ratio table both read it — without this, the
+    # 1-row totals aggregate re-derives the whole bucket-count subtree.
+    # The instance stream itself is deliberately NOT checkpointed: like
+    # kn_lm_score, the corpus is streamed twice (count pass, score
+    # pass) rather than materializing corpus-sized state.
+    stats = (
+        inst.join(F.broadcast(keep), "doc_id")
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c_r"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_t"),
+        )
+        .localCheckpoint(eager=True)
     )
     tot = stats.agg(
         F.sum("c_r").cast("bigint").alias("n_r"),

@@ -1637,6 +1637,11 @@ def keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+        # vocabulary-sized; materialized ONCE so the three marginal
+        # re-aggregations and the cell join all read it instead of
+        # re-exploding the corpus (the kn_lm_score/zipf checkpoint
+        # discipline — the plan drops from two corpus scans to one)
+        .localCheckpoint(eager=True)
     )
     rowt = xy.groupBy("source").agg(F.sum("a").cast("bigint").alias("ns"))
     colt = xy.groupBy("tok").agg(F.sum("a").cast("bigint").alias("ct"))
