@@ -147,6 +147,7 @@ NAMES = [
     "temporal_split_events",
     "temperature_resample",
     "passage_chunk_overlap",
+    "matryoshka_overlap",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",

@@ -130,6 +130,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "temporal_split_events",
     "temperature_resample",
     "passage_chunk_overlap",
+    "matryoshka_overlap",
     # round-13 additions (single-green), earning their second row
     "stream_mg_fold",
     "stream_countmin_fold",
@@ -170,7 +171,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_topk_bruteforce",
     "embedding_correlation",
     "image_header_metadata",
-    "media_header_metadata",
     "graph_mass_propagation",
     # (fillers displaced newest-last-green-first, r6 group in reverse
     # registration order: vocab_encode gave its slot to
@@ -185,7 +185,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # session_window_agg, rolling_user_features to keyness_llr, and
     # stateful_dedup_first_event to temporal_split_events, and
     # sessionization to temperature_resample, and
-    # events_tumbling_window to passage_chunk_overlap —
+    # events_tumbling_window to passage_chunk_overlap, and
+    # media_header_metadata to matryoshka_overlap —
     # graph_mass_propagation is SKIPPED in the pop order: its plan was
     # restructured this round (one-checkpoint window-degree form), so
     # its three green rows describe the old code and it must hold a

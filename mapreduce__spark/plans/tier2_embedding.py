@@ -1232,3 +1232,134 @@ def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=KNN_GRAPH_K,
         n_bits=ANN_BUCKET_BITS,
     )
+
+
+MRL_PREFIXES = (16, 32)  # matryoshka truncation levels evaluated
+MRL_K = 5  # neighbor list size compared
+
+
+def _mrl_oracle() -> str:
+    """DuckDB twin of matryoshka_overlap: per truncation level, exact
+    micro-cosine top-k over the PREFIX dims vs the full 64 dims, then
+    the per-query overlap count via LEFT JOIN so zero-overlap queries
+    still emit a row."""
+    parts = [
+        f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v
+          WHERE vec_id IN (0, 1, 2, 3, 4)),
+    full_rank AS (
+        SELECT q.qid, v.vec_id AS nid,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY CAST(floor(list_cosine_similarity(q.qe, v.e)
+                                       * 1000000.0 + 0.5) AS BIGINT) DESC,
+                            v.vec_id ASC) AS r
+        FROM q JOIN v ON v.vec_id <> q.qid
+    ), full_top AS (
+        SELECT qid, nid FROM full_rank WHERE r <= {MRL_K}
+    )"""
+    ]
+    selects = []
+    for p in MRL_PREFIXES:
+        parts.append(
+            f""",
+    rank_{p} AS (
+        SELECT q.qid, v.vec_id AS nid,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY CAST(floor(list_cosine_similarity(
+                                list_slice(q.qe, 1, {p}),
+                                list_slice(v.e, 1, {p}))
+                                * 1000000.0 + 0.5) AS BIGINT) DESC,
+                            v.vec_id ASC) AS r
+        FROM q JOIN v ON v.vec_id <> q.qid
+    ), top_{p} AS (
+        SELECT qid, nid FROM rank_{p} WHERE r <= {MRL_K}
+    ), ov_{p} AS (
+        SELECT f.qid AS query_id, CAST({p} AS BIGINT) AS prefix_dims,
+               CAST(count(t.nid) AS BIGINT) AS n_overlap
+        FROM full_top f
+        LEFT JOIN top_{p} t ON t.qid = f.qid AND t.nid = f.nid
+        GROUP BY 1
+    )"""
+        )
+        selects.append(f"SELECT query_id, prefix_dims, n_overlap FROM ov_{p}")
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+@query(
+    "matryoshka_overlap",
+    oracle=_mrl_oracle(),
+    tags=("tier2", "similarity", "quality"),
+)
+def matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA TRUNCATION EVALUATION (Kusupati et al., NeurIPS 2022
+    — MRL embeddings): for each probe query, how many of the exact
+    top-{MRL_K} cosine neighbors under the FULL 64-dim embedding
+    survive when vectors are truncated to their first 16 / 32 dims —
+    the retention metric that decides whether a deployment can run ANN
+    on a prefix (4x less memory and bandwidth) without losing recall.
+    Scores quantize to integer micro-cosine BEFORE ranking (the
+    knn_graph_mutual discipline) so every rank both engines compare is
+    a BIGINT; overlap counts come from a LEFT join of the full-dim
+    top-k against each truncated top-k, so a query with zero retention
+    still emits its row. Output: (query_id, prefix_dims, n_overlap),
+    one row per query per truncation level.
+
+    SCALE: the probe set is broadcast (the ann_topk_bruteforce shape);
+    each truncation level re-scores the SAME single corpus scan with a
+    prefix-sliced fold — no shuffle of vectors, only k-row rank
+    windows per level. Evaluating more levels adds scan-stage
+    arithmetic, not passes. Reference parity: tier-2 similarity
+    extension (SURVEY §2b O-23)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    q = vecs.where(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    pairs = vecs.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("qid")
+    )
+
+    def topk(score_col):
+        sm = F.floor(score_col * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+        w = Window.partitionBy("qid").orderBy(
+            F.col("sm").desc(), F.col("nid").asc()
+        )
+        return (
+            pairs.select(
+                "qid", F.col("vec_id").alias("nid"), sm.alias("sm")
+            )
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= MRL_K)
+            .select("qid", "nid")
+        )
+
+    full_top = topk(cosine_sim(F.col("qv"), F.col("v")))
+    out = None
+    for p in MRL_PREFIXES:
+        trunc = topk(
+            cosine_sim(
+                F.slice(F.col("qv"), 1, p), F.slice(F.col("v"), 1, p)
+            )
+        )
+        ov = (
+            full_top.alias("f")
+            .join(
+                trunc.alias("t"),
+                (F.col("f.qid") == F.col("t.qid"))
+                & (F.col("f.nid") == F.col("t.nid")),
+                "left",
+            )
+            .groupBy(F.col("f.qid").alias("query_id"))
+            .agg(F.count(F.col("t.nid")).cast("bigint").alias("n_overlap"))
+            .select(
+                "query_id",
+                F.lit(p).cast("bigint").alias("prefix_dims"),
+                "n_overlap",
+            )
+        )
+        out = ov if out is None else out.unionByName(ov)
+    return out

@@ -1522,3 +1522,79 @@ def test_passage_chunks_match_oracle_on_fixture(spark, chunk_corpus_sf):
     q = REGISTRY["passage_chunk_overlap"]
     ok, msg = compare_with_oracle(q.fn(spark, chunk_corpus_sf), q.oracle, chunk_corpus_sf)
     assert ok, msg
+
+
+# --------------------------------------------------------------------------
+# matryoshka_overlap: reference, bounds + nesting laws
+# --------------------------------------------------------------------------
+
+
+def _mrl_reference(sf_dir: str, prefixes, k: int, query_ids):
+    """Pure-Python twin with Spark's exact left-fold float chains."""
+    import duckdb
+    import math
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    vecs = {int(vid): [float(x) for x in e] for vid, e in rows}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def topk(dim):
+        out = {}
+        for qid in query_ids:
+            qe = vecs[qid][:dim] if dim else vecs[qid]
+            scored = []
+            for nid, e in vecs.items():
+                if nid == qid:
+                    continue
+                ne = e[:dim] if dim else e
+                denom = math.sqrt(fold_dot(qe, qe)) * math.sqrt(fold_dot(ne, ne))
+                c = -1.0 if denom == 0.0 else fold_dot(qe, ne) / denom
+                scored.append((-math.floor(c * 1000000.0 + 0.5), nid))
+            scored.sort()
+            out[qid] = {nid for _s, nid in scored[:k]}
+        return out
+
+    full = topk(None)
+    want = set()
+    for p in prefixes:
+        t = topk(p)
+        for qid in query_ids:
+            want.add((qid, p, len(full[qid] & t[qid])))
+    return want
+
+
+def test_matryoshka_overlap_matches_reference_and_laws(spark, sf_small):
+    from mapreduce__spark.plans.tier2_embedding import (
+        ANN_QUERY_IDS,
+        MRL_K,
+        MRL_PREFIXES,
+    )
+
+    rows = REGISTRY["matryoshka_overlap"].fn(spark, sf_small).collect()
+    got = {
+        (int(r.query_id), int(r.prefix_dims), int(r.n_overlap)) for r in rows
+    }
+    assert got == _mrl_reference(sf_small, MRL_PREFIXES, MRL_K, ANN_QUERY_IDS)
+    # shape: one row per (query, prefix); overlaps bounded by k
+    assert len(got) == len(ANN_QUERY_IDS) * len(MRL_PREFIXES)
+    assert all(0 <= n <= MRL_K for _q, _p, n in got)
+
+
+def test_matryoshka_full_prefix_is_identity(spark, sf_small, monkeypatch):
+    """Evaluating the 'truncation' at the full 64 dims must retain all
+    k neighbors for every query — the sanity anchor that the overlap
+    join and the rank contract line up."""
+    import mapreduce__spark.plans.tier2_embedding as te
+
+    monkeypatch.setattr(te, "MRL_PREFIXES", (64,))
+    rows = REGISTRY["matryoshka_overlap"].fn(spark, sf_small).collect()
+    assert rows
+    assert all(int(r.n_overlap) == te.MRL_K for r in rows)
