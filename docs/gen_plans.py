@@ -148,6 +148,7 @@ NAMES = [
     "temperature_resample",
     "passage_chunk_overlap",
     "matryoshka_overlap",
+    "lang_id_confusion",
 ]
 KEEP = (
     "Scan parquet", "Exchange", "HashAggregate", "Join", "Sort", "Window",

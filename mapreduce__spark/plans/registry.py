@@ -131,6 +131,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "temperature_resample",
     "passage_chunk_overlap",
     "matryoshka_overlap",
+    "lang_id_confusion",
     # round-13 additions (single-green), earning their second row
     "stream_mg_fold",
     "stream_countmin_fold",
@@ -170,7 +171,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_clusters",
     "ann_topk_bruteforce",
     "embedding_correlation",
-    "image_header_metadata",
     "graph_mass_propagation",
     # (fillers displaced newest-last-green-first, r6 group in reverse
     # registration order: vocab_encode gave its slot to
@@ -186,7 +186,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # stateful_dedup_first_event to temporal_split_events, and
     # sessionization to temperature_resample, and
     # events_tumbling_window to passage_chunk_overlap, and
-    # media_header_metadata to matryoshka_overlap —
+    # media_header_metadata to matryoshka_overlap, and
+    # image_header_metadata to lang_id_confusion —
     # graph_mass_propagation is SKIPPED in the pop order: its plan was
     # restructured this round (one-checkpoint window-degree form), so
     # its three green rows describe the old code and it must hold a

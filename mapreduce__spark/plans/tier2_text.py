@@ -1773,3 +1773,84 @@ def passage_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(F.col("toks"), F.col("start"), F.lit(CHUNK_W)))
         ).alias("chunk_md5"),
     )
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH h AS (
+        SELECT lang AS labeled_lang, string_split(text, ' ') AS toks
+        FROM documents
+    ), scores AS (
+        SELECT labeled_lang,
+               len(list_filter(toks, t -> t IN {tuple(LANG_STOPWORDS["en"])!r})) AS h_en,
+               len(list_filter(toks, t -> t IN {tuple(LANG_STOPWORDS["de"])!r})) AS h_de,
+               len(list_filter(toks, t -> t IN {tuple(LANG_STOPWORDS["fr"])!r})) AS h_fr
+        FROM h
+    ), pred AS (
+        SELECT labeled_lang,
+               CASE WHEN h_en >= h_de AND h_en >= h_fr THEN 'en'
+                    WHEN h_de >= h_fr THEN 'de'
+                    ELSE 'fr' END AS predicted_lang
+        FROM scores
+    ), cells AS (
+        SELECT labeled_lang, predicted_lang,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY 1, 2
+    ), rowt AS (
+        SELECT labeled_lang, CAST(sum(n_docs) AS BIGINT) AS n_labeled
+        FROM cells GROUP BY 1
+    ), colt AS (
+        SELECT predicted_lang, CAST(sum(n_docs) AS BIGINT) AS n_predicted
+        FROM cells GROUP BY 1
+    )
+    SELECT c.labeled_lang, c.predicted_lang, c.n_docs,
+           r.n_labeled, p.n_predicted
+    FROM cells c
+    JOIN rowt r ON r.labeled_lang = c.labeled_lang
+    JOIN colt p ON p.predicted_lang = c.predicted_lang
+    """,
+    tags=("tier2", "text", "quality"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX of the stopword language-ID heuristic against
+    the labeled lang column, with both marginals attached per cell —
+    the classifier-evaluation primitive a curation pipeline runs before
+    trusting any automatic labeler: recall per label is
+    n_docs/n_labeled on the diagonal, precision is n_docs/n_predicted,
+    and every off-diagonal cell is a concrete confusion to triage. All
+    counts exact BIGINTs; consumers form the rates (the exact-rational
+    emission discipline — no floats ship). The per-doc prediction is
+    lang_id_expr, the ONE source shared with the lang_id query and its
+    oracle's CASE cascade, so the matrix attests the same argmax tie
+    order end to end.
+
+    SCALE: one map-side-combined aggregate to the label x prediction
+    contingency table (bounded by the language-domain square, never by
+    corpus size), two marginal re-aggregations OVER that table, and
+    broadcast joins back — the mutual_info_lang_source shape. The
+    corpus shuffles only its label pair per doc. Reference parity:
+    tier-2 text/evaluation extension (SURVEY §2b O-24)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        lang_id_expr(tokenize(F.col("text"))).alias("predicted_lang"),
+    )
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    rowt = cells.groupBy("labeled_lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_labeled")
+    )
+    colt = cells.groupBy("predicted_lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_predicted")
+    )
+    return cells.join(F.broadcast(rowt), "labeled_lang").join(
+        F.broadcast(colt), "predicted_lang"
+    ).select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        "n_labeled",
+        "n_predicted",
+    )

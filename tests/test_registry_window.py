@@ -88,7 +88,6 @@ TRIPLE_FILLERS: set[str] = {
     "dedup_clusters",
     "ann_topk_bruteforce",
     "embedding_correlation",
-    "image_header_metadata",
 }
 _DISPLACEMENT_LOG = {
     # (round-14 additions pop the newest-last-green filler first — the
@@ -105,10 +104,11 @@ _DISPLACEMENT_LOG = {
     # (by keyness_llr), stateful_dedup_first_event (by
     # temporal_split_events), sessionization (by temperature_resample),
     # events_tumbling_window (by passage_chunk_overlap),
-    # media_header_metadata (by matryoshka_overlap —
+    # media_header_metadata (by matryoshka_overlap),
+    # image_header_metadata (by lang_id_confusion —
     # graph_mass_propagation holds its seat via CHANGED_CODE_REATTEST,
     # not as a filler), then the rest of the r4 group from
-    # image_header_metadata, then the r3 group ending at
+    # embedding_correlation, then the r3 group ending at
     # scalar_functions.)
 }
 

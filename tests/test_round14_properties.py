@@ -1598,3 +1598,40 @@ def test_matryoshka_full_prefix_is_identity(spark, sf_small, monkeypatch):
     rows = REGISTRY["matryoshka_overlap"].fn(spark, sf_small).collect()
     assert rows
     assert all(int(r.n_overlap) == te.MRL_K for r in rows)
+
+
+# --------------------------------------------------------------------------
+# lang_id_confusion: consistency with lang_id, marginal laws
+# --------------------------------------------------------------------------
+
+
+def test_lang_id_confusion_consistent_with_per_doc_predictions(spark, sf_small):
+    """The matrix is exactly the per-doc lang_id output aggregated —
+    same argmax, same tie order — and the marginals are internally
+    consistent (row/col sums, diagonal bounded by both marginals)."""
+    from collections import Counter
+
+    per_doc = REGISTRY["lang_id"].fn(spark, sf_small).collect()
+    want_cells = Counter(
+        (r.labeled_lang, r.predicted_lang) for r in per_doc
+    )
+    rows = REGISTRY["lang_id_confusion"].fn(spark, sf_small).collect()
+    got_cells = {
+        (r.labeled_lang, r.predicted_lang): int(r.n_docs) for r in rows
+    }
+    assert got_cells == dict(want_cells)
+    row_tot, col_tot = {}, {}
+    for r in rows:
+        row_tot.setdefault(r.labeled_lang, set()).add(int(r.n_labeled))
+        col_tot.setdefault(r.predicted_lang, set()).add(int(r.n_predicted))
+        assert int(r.n_docs) <= int(r.n_labeled)
+        assert int(r.n_docs) <= int(r.n_predicted)
+    # each label/prediction carries ONE consistent marginal everywhere
+    assert all(len(v) == 1 for v in row_tot.values())
+    assert all(len(v) == 1 for v in col_tot.values())
+    # marginals really are the cell sums
+    for lang, (tot,) in ((k, tuple(v)) for k, v in row_tot.items()):
+        assert tot == sum(
+            n for (ll, _pl), n in got_cells.items() if ll == lang
+        )
+    assert sum(n for n in got_cells.values()) == len(per_doc)
