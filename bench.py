@@ -302,6 +302,14 @@ BENCH_QUERIES = [
     "repetition_scrub",    # indexed higher-order array filters: the
                            # shuffle-free scan-transform representative
                            # (round 14; deltas start r14)
+    "knn_graph_mutual",    # bucket self-join + micro-cosine ranks +
+                           # reversed-key mutual join: the all-pairs
+                           # neighborhood-graph representative (round 14
+                           # third session; deltas start r14)
+    "dsir_importance_weights",  # hashed-bigram stats broadcast back onto
+                                # the instance stream: the corpus-reweigh
+                                # scoring path (round 14 third session;
+                                # deltas start r14)
 ]
 
 
