@@ -646,7 +646,18 @@ def mutual_knn_edges(
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("sm").desc(), F.col("nid").asc())
-    topk = pairs.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
+    # MATERIALIZED once (round-14 optimization pass): the mutual filter
+    # consumes this relation twice (forward + reversed), and without the
+    # checkpoint the whole candidate subtree — the n^2/2^n_bits bucket
+    # self-join, a 64-dim cosine fold per pair, and the rank window —
+    # executed TWICE, once per side (the before-plan shows two identical
+    # 21-node subtrees). The checkpointed relation is k rows per vector
+    # (k*n total, narrow) — bounded state at any corpus size.
+    topk = (
+        pairs.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+        .localCheckpoint(eager=True)
+    )
     rev = topk.select(
         F.col("nid").alias("qid"), F.col("qid").alias("nid")
     )

@@ -933,7 +933,18 @@ def semantic_dedup_df(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
             lambda acc, x: acc + x,
         ),
     )
-    v = base.select("vec_id", "cluster_id").join(q, "vec_id")
+    # MATERIALIZED once (round-14 optimization pass): v is consumed three
+    # times (both sides of the within-cluster self-join and the final
+    # keep-flag left join); without the checkpoint each consumer re-ran
+    # the k-means final-assignment scan (k distance folds per vector)
+    # plus the quantization join. One row per vector (id, cluster, 64
+    # ints, n2) — the same corpus-proportional footprint the LSH
+    # signature materialization already accepts at scale.
+    v = (
+        base.select("vec_id", "cluster_id")
+        .join(q, "vec_id")
+        .localCheckpoint(eager=True)
+    )
     a, b = v.alias("a"), v.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.sq"), F.col("b.sq"), lambda x, y: x * y),

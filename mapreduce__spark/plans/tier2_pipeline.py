@@ -2052,24 +2052,49 @@ def repetition_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     is proven by the planted-repetition fixture in
     tests/test_round14_properties.py; the token-run cap fires on the
     real corpus (27 triple-runs at sf0.01)."""
+    # Each derived array is STAGED into its own projection so the indexed
+    # lambdas (F.get(arr, i-1)) index a materialized column: the former
+    # single-select form inlined the whole derivation chain into every
+    # lambda element access — the toks_kept filter re-split and re-joined
+    # the document PER TOKEN under interpreted HOF eval, O(len^2) per doc
+    # (measured 7x at sf0.1, hash-identical; round-14 optimization pass).
+    # CollapseProject leaves the stages alone: each alias is referenced
+    # several times downstream and split/filter are non-cheap.
     docs = load_table(spark, sf_dir, "documents")
-    lines = F.split(F.col("text"), "\n")
-    lines_kept = F.filter(
-        lines, lambda x, i: (i == F.lit(0)) | (x != F.get(lines, i - 1))
-    )
-    toks = F.split(F.array_join(lines_kept, "\n"), " ")
-    toks_kept = F.filter(
-        toks,
-        lambda x, i: (i <= F.lit(1))
-        | ~((x == F.get(toks, i - 1)) & (F.get(toks, i - 1) == F.get(toks, i - 2))),
-    )
-    return docs.select(
+    s1 = docs.select("doc_id", F.split(F.col("text"), "\n").alias("lines"))
+    lc = F.col("lines")
+    s2 = s1.select(
         "doc_id",
-        F.size(lines).cast("bigint").alias("n_lines"),
-        F.size(lines_kept).cast("bigint").alias("n_lines_kept"),
-        F.size(toks).cast("bigint").alias("n_toks"),
-        F.size(toks_kept).cast("bigint").alias("n_toks_kept"),
-        F.array_join(toks_kept, " ").alias("text_clean"),
+        "lines",
+        F.filter(
+            lc, lambda x, i: (i == F.lit(0)) | (x != F.get(lc, i - 1))
+        ).alias("lines_kept"),
+    )
+    s3 = s2.select(
+        "doc_id",
+        "lines",
+        "lines_kept",
+        F.split(F.array_join(F.col("lines_kept"), "\n"), " ").alias("toks"),
+    )
+    tc = F.col("toks")
+    s4 = s3.select(
+        "doc_id",
+        "lines",
+        "lines_kept",
+        "toks",
+        F.filter(
+            tc,
+            lambda x, i: (i <= F.lit(1))
+            | ~((x == F.get(tc, i - 1)) & (F.get(tc, i - 1) == F.get(tc, i - 2))),
+        ).alias("toks_kept"),
+    )
+    return s4.select(
+        "doc_id",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.size("lines_kept").cast("bigint").alias("n_lines_kept"),
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.size("toks_kept").cast("bigint").alias("n_toks_kept"),
+        F.array_join("toks_kept", " ").alias("text_clean"),
     )
 
 
@@ -2114,24 +2139,38 @@ _KN_DOC_NLL_ORACLE = """
 """
 
 
-def _bigram_instances(docs: DataFrame) -> DataFrame:
-    """(doc_id, left_tok, right_tok) — one row per bigram INSTANCE."""
-    toks_col = tokenize(F.col("text"))
+def _bigram_instances(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *carry, left_tok, right_tok) — one row per bigram
+    INSTANCE; ``carry`` names extra ``docs`` columns to ride along
+    (dsir_importance_weights carries its per-doc keep flag through the
+    explode instead of broadcast-joining a corpus-row-sized relation
+    back onto the instance stream).
+
+    Tokenization is STAGED into its own projection so the per-position
+    element_at inside the transform lambda indexes a materialized array
+    column: inlining tokenize(text) into the lambda re-splits the text
+    per bigram position under interpreted HOF eval — O(tokens^2) per doc
+    (measured 5.5x at sf0.1, hash-identical; the round-14 optimization
+    pass, guide §1/§4)."""
+    toks = docs.select(
+        "doc_id", *carry, tokenize(F.col("text")).alias("toks")
+    )
+    tc = F.col("toks")
     make = F.transform(
-        F.sequence(F.lit(1), F.size(toks_col) - 1),
+        F.sequence(F.lit(1), F.size(tc) - 1),
         lambda i: F.struct(
-            F.element_at(toks_col, i).alias("left_tok"),
-            F.element_at(toks_col, i + 1).alias("right_tok"),
+            F.element_at(tc, i).alias("left_tok"),
+            F.element_at(tc, i + 1).alias("right_tok"),
         ),
     )
     # sequence() counts DOWN when stop < start: 1-token docs must yield
     # no bigrams (the word_ngrams hazard)
-    guarded = F.when(F.size(toks_col) >= 2, make).otherwise(
+    guarded = F.when(F.size(tc) >= 2, make).otherwise(
         F.array().cast("array<struct<left_tok:string,right_tok:string>>")
     )
-    return docs.select("doc_id", F.explode(guarded).alias("p")).select(
-        "doc_id", "p.left_tok", "p.right_tok"
-    )
+    return toks.select(
+        "doc_id", *carry, F.explode(guarded).alias("p")
+    ).select("doc_id", *carry, "p.left_tok", "p.right_tok")
 
 
 def _kn_stats_from_bigrams(big: DataFrame) -> DataFrame:
@@ -2174,10 +2213,19 @@ def _kn_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_term_micro = F.floor(-F.log(mix) * 1000000 + F.lit(0.5)).cast(
         "bigint"
     )
+    # tm is a pure function of the per-TYPE stats columns (c12, c1x, a1,
+    # b2) and the scalar t, so it is computed ONCE per bigram type on the
+    # vocab-sized stats relation — not per corpus instance as the former
+    # plan did (ln + floor per instance, plus a per-instance 1-row cross
+    # join; round-14 optimization pass, guide §2.3: the join now carries
+    # one bigint instead of four stats columns). Same IEEE expression on
+    # the same inputs — values are bit-identical.
+    tm_rel = (
+        stats.crossJoin(F.broadcast(ttot))
+        .select("left_tok", "right_tok", per_term_micro.alias("tm"))
+    )
     return (
-        inst.join(stats, ["left_tok", "right_tok"])
-        .crossJoin(F.broadcast(ttot))
-        .withColumn("tm", per_term_micro)
+        inst.join(tm_rel, ["left_tok", "right_tok"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -2475,25 +2523,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     story DSIR needs when the target set is iterated on. Reference
     parity: tier-2 pipeline extension (SURVEY §2b O-24/O-22 family)."""
     docs = load_table(spark, sf_dir, "documents")
-    keep = docs.select(
-        "doc_id", quality_keep_expr(F.col("text")).alias("keep")
-    )
-    # (doc_id, bucket) per bigram instance — the keep flag joins in on
-    # the STATS branch only: the final per-doc aggregate never reads it,
-    # so keeping it out of this projection saves a pointless
-    # broadcast-join on the second (scoring) pass over the instances
-    inst = _bigram_instances(docs).select(
-        "doc_id",
-        (
+
+    def bucket(left: F.Column, right: F.Column) -> F.Column:
+        return (
             F.conv(
                 F.substring(
                     F.md5(
-                        F.concat(
-                            F.col("left_tok"),
-                            F.lit(" "),
-                            F.col("right_tok"),
-                            F.lit("#dsir"),
-                        )
+                        F.concat(left, F.lit(" "), right, F.lit("#dsir"))
                     ),
                     1,
                     8,
@@ -2502,20 +2538,48 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 10,
             ).cast("bigint")
             % DSIR_BUCKETS
-        ).alias("b"),
+        )
+
+    # (doc_id, bucket) per bigram instance — the keep flag never appears
+    # here: the final per-doc aggregate doesn't read it
+    inst = _bigram_instances(docs).select(
+        "doc_id", bucket(F.col("left_tok"), F.col("right_tok")).alias("b")
     )
-    # B-sized; materialized ONCE (the kn_lm_score discipline) so the
-    # totals and the log-ratio table both read it — without this, the
-    # 1-row totals aggregate re-derives the whole bucket-count subtree.
-    # The instance stream itself is deliberately NOT checkpointed: like
-    # kn_lm_score, the corpus is streamed twice (count pass, score
-    # pass) rather than materializing corpus-sized state.
+    # Stats branch (round-14 optimization pass): the keep flag RIDES the
+    # explode (carry column) instead of broadcast-joining a corpus-ROW-
+    # sized (doc_id, keep) relation back onto every instance — that
+    # broadcast would exceed the relation cap long before 100 TB and paid
+    # a per-instance hash probe here. Instances pre-aggregate to
+    # (left, right, keep) TYPE counts (map-side combined, vocab-sized
+    # out), so the md5 bucket runs once per type instead of once per
+    # instance — c_r/c_t are sums of type counts, exactly the same
+    # totals. B-sized; materialized ONCE (the kn_lm_score discipline) so
+    # the totals and the log-ratio table both read it. The instance
+    # stream itself is deliberately NOT checkpointed: like kn_lm_score,
+    # the corpus is streamed twice (count pass, score pass) rather than
+    # materializing corpus-sized state.
+    typ = (
+        _bigram_instances(
+            docs.select(
+                "doc_id",
+                "text",
+                quality_keep_expr(F.col("text")).alias("keep"),
+            ),
+            carry=("keep",),
+        )
+        .groupBy("left_tok", "right_tok", "keep")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     stats = (
-        inst.join(F.broadcast(keep), "doc_id")
+        typ.select(
+            bucket(F.col("left_tok"), F.col("right_tok")).alias("b"),
+            "keep",
+            "cnt",
+        )
         .groupBy("b")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("c_r"),
-            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            F.sum("cnt").cast("bigint").alias("c_r"),
+            F.sum(F.when(F.col("keep"), F.col("cnt")).otherwise(0))
             .cast("bigint")
             .alias("c_t"),
         )

@@ -511,28 +511,33 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     build, bigram build, scoring) and never shuffled whole — only
     token/gram keys move."""
     docs = load_table(spark, sf_dir, "documents")
-    toks_col = tokenize(F.col("text"))
 
     uni = (
-        docs.select(F.explode(toks_col).alias("tok"))
+        docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c2"))
     )
     ntot = uni.agg(F.sum("c2").cast("double").alias("n"))
 
+    # Tokenization STAGED into its own projection (the _bigram_instances
+    # fix, round-14 optimization pass): an inline tokenize(text) inside
+    # the transform lambda re-splits the text per bigram position under
+    # interpreted HOF eval — O(tokens^2) per doc.
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    tc = F.col("toks")
     make = F.transform(
-        F.sequence(F.lit(1), F.size(toks_col) - 1),
+        F.sequence(F.lit(1), F.size(tc) - 1),
         lambda i: F.struct(
-            F.element_at(toks_col, i).alias("left_tok"),
-            F.element_at(toks_col, i + 1).alias("right_tok"),
+            F.element_at(tc, i).alias("left_tok"),
+            F.element_at(tc, i + 1).alias("right_tok"),
         ),
     )
     # sequence() counts DOWN when stop < start (the word_ngrams hazard):
     # a 1-token doc must yield no bigrams, not garbage.
-    guarded = F.when(F.size(toks_col) >= 2, make).otherwise(
+    guarded = F.when(F.size(tc) >= 2, make).otherwise(
         F.array().cast("array<struct<left_tok:string,right_tok:string>>")
     )
-    inst = docs.select("doc_id", F.explode(guarded).alias("p")).select(
+    inst = toks.select("doc_id", F.explode(guarded).alias("p")).select(
         "doc_id", "p.left_tok", "p.right_tok"
     )
     big = inst.groupBy("left_tok", "right_tok").agg(
@@ -560,10 +565,18 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_term_micro = F.floor(-F.log(mix) * 1000000 + F.lit(0.5)).cast(
         "bigint"
     )
+    # tm is a pure function of the per-TYPE stats columns and the scalar
+    # n, so it is computed ONCE per bigram type on the vocab-sized stats
+    # relation instead of per corpus instance (the _kn_doc_nll fix,
+    # round-14 optimization pass) — same IEEE expression on the same
+    # inputs, bit-identical values; the scoring join now carries one
+    # bigint instead of three stats columns.
+    tm_rel = (
+        stats.crossJoin(F.broadcast(ntot))
+        .select("left_tok", "right_tok", per_term_micro.alias("tm"))
+    )
     return (
-        inst.join(stats, ["left_tok", "right_tok"])
-        .crossJoin(F.broadcast(ntot))
-        .withColumn("tm", per_term_micro)
+        inst.join(tm_rel, ["left_tok", "right_tok"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
