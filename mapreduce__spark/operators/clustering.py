@@ -25,8 +25,11 @@ Every iteration is therefore a pure function of the input bits, and the
 whole T-iteration run hash-matches an unrolled SQL twin.
 
 SCALE: the Spark shape is the canonical distributed Lloyd's — centroids
-live on the driver (k × d ints, bounded_collect-guarded) and broadcast
-into scan-stage assignment expressions (whole-stage codegen, no UDF);
+live on the driver (k × d ints, bounded_collect-guarded) and ship as a
+task-closure ndarray into an Arrow-batched NumPy assignment pass
+(mapInPandas; exact int64 arithmetic, so results stay bit-identical —
+the former scan-stage zip_with folds were interpreted per element and
+dominated every clustering query, see kmeans_fit);
 the update is ONE map-side-combinable groupBy(cluster, dim) aggregate
 per iteration. Per-iteration cost: one corpus scan + one k·d-key
 shuffle; nothing corpus-sized ever materializes or ships. Empty
@@ -109,44 +112,58 @@ def kmeans_fit(
     dims = len(centroids[0])
     assert dims <= MAX_KMEANS_DIMS
 
-    spark = embeddings.sparkSession
+    def assign(df: DataFrame, with_eq: bool = True) -> DataFrame:
+        # Arrow-batched NumPy assignment (round-14 optimization pass,
+        # guide §4.2): the former scan-stage zip_with/aggregate distance
+        # folds are higher-order functions, which run on Catalyst's
+        # INTERPRETED path — ~k*d lambda evaluations plus array
+        # allocations per row made the 3-iteration fit the dominant cost
+        # of every clustering query (A/B'd 4.05s -> 1.99s warm at sf0.1,
+        # identical assignments AND centroids; the former one-row
+        # broadcast-DataFrame centroid table — round-10 item 4 — solved
+        # plan-size growth but left the per-element interpretation).
+        # All arithmetic is int64: quantized values are <= 2^22 after
+        # the offset, so (x-y)^2 <= 2^44 and the d-term sum <=
+        # 2^44 * MAX_KMEANS_DIMS < 2^63 — NumPy int64 reproduces the JVM
+        # bigint result bit-for-bit, and the strict `<` update keeps the
+        # LOWEST centroid id on distance ties, exactly the former
+        # struct-min tie order. The centroid table is a task-closure
+        # ndarray (k*d int64s, the same payload the broadcast carried);
+        # looping over centroids bounds temp memory at one
+        # n_batch x d matrix per step (lower
+        # spark.sql.execution.arrow.maxRecordsPerBatch for very wide
+        # embeddings).
+        import numpy as np
+        import pandas as pd
 
-    def assign(df: DataFrame) -> DataFrame:
-        # The centroid table rides a ONE-ROW broadcast DataFrame column,
-        # not a plan literal: an F.lit(centroids) nested-array constant
-        # is a k*d-node expression tree that Catalyst re-analyzes and
-        # codegen recompiles EVERY iteration (the constant differs per
-        # round, so nothing caches) — at k=160, d=64 that plan overhead
-        # was ~5s/round on a 5000-row corpus, dwarfing execution
-        # (round-10 VERDICT item 4; A/B'd 25.6s -> 5.5s for the
-        # 3-iteration run, identical assignments). As a broadcast datum
-        # the expression tree is constant-SIZE — one column reference —
-        # so plan work stops growing with k, codegen is shared across
-        # iterations, and runtime arithmetic is unchanged scan-stage
-        # zip_with/aggregate. Broadcast payload = k*d int64s
-        # (k=1e4, d=1024 -> 80 MB; MAX_KMEANS_DIMS and the
-        # bounded_collect guard keep it driver-safe by construction).
-        cdf = spark.createDataFrame(
-            [(centroids,)], "cands: array<array<bigint>>"
+        cents = np.asarray(centroids, dtype=np.int64)
+
+        def fn(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                x = np.array(pdf["eq"].tolist(), dtype=np.int64)
+                best_d = ((x - cents[0]) ** 2).sum(axis=1)
+                best_c = np.zeros(n, dtype=np.int64)
+                for j in range(1, len(cents)):
+                    dj = ((x - cents[j]) ** 2).sum(axis=1)
+                    upd = dj < best_d
+                    best_d[upd] = dj[upd]
+                    best_c[upd] = j
+                out = {"vec_id": pdf["vec_id"]}
+                if with_eq:
+                    out["eq"] = pdf["eq"]
+                out["cluster_id"] = best_c
+                out["dist2"] = best_d
+                yield pd.DataFrame(out)
+
+        schema = (
+            "vec_id bigint, eq array<bigint>, cluster_id bigint, dist2 bigint"
+            if with_eq
+            else "vec_id bigint, cluster_id bigint, dist2 bigint"
         )
-        cands = F.transform(
-            F.col("cands"),
-            lambda c, j: F.struct(
-                F.aggregate(
-                    F.zip_with("eq", c, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, v: acc + v,
-                ).alias("d"),
-                j.cast("bigint").alias("cid"),
-            ),
-        )
-        best = F.array_min(cands)
-        return df.crossJoin(F.broadcast(cdf)).select(
-            "vec_id",
-            "eq",
-            best.getField("cid").alias("cluster_id"),
-            best.getField("d").alias("dist2"),
-        )
+        return df.mapInPandas(fn, schema)
 
     for _ in range(iterations):
         assigned = assign(q)
@@ -167,4 +184,7 @@ def kmeans_fit(
             nxt[r.cluster_id][r.i] = r.s // r.n
         centroids = nxt
 
-    return assign(q).select("vec_id", "cluster_id", "dist2"), centroids
+    # with_eq=False: mapInPandas is opaque to column pruning, so the
+    # final assignment pass must not ship the d-wide eq back out of the
+    # Python workers only for a select to drop it
+    return assign(q, with_eq=False), centroids

@@ -147,18 +147,22 @@ def lang_id_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang scans. Reference parity: tier-2 text-pipeline extension
     (SURVEY §2b O-24)."""
     docs = load_table(spark, sf_dir, "documents")
-    txt = F.col("text")
-    grams_arr = F.transform(
-        F.sequence(F.lit(1), F.length(txt) - 1),
-        lambda i: txt.substr(i, F.lit(2)),
-    )
-    guarded = F.when(F.length(txt) >= 2, grams_arr).otherwise(
-        F.array().cast("array<string>")
-    )
+    # Char bigrams via ONE consuming-lookahead regex pass — (?=(..))
+    # captures the 2 code points at each position, the consumed `.`
+    # advances the matcher one code POINT (so surrogate pairs never
+    # split; (?s) keeps newlines in scope). Exactly equivalent to the
+    # former per-position substr(i, 2) loop — verified on the corpus
+    # (hash-identical) and on a supplementary-plane torture row — but
+    # LINEAR per doc: substr(i, 2) rescans the string from the start at
+    # every position under interpreted HOF eval, O(chars^2) per doc
+    # (measured 4.5x at sf0.1; round-14 optimization pass). Docs shorter
+    # than 2 chars yield no matches, matching the old empty-array guard.
     inst = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        F.explode(guarded).alias("gram"),
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("(?s)(?=(..))."), 1)
+        ).alias("gram"),
     )
     # ONE corpus explode: per-doc gram counts feed BOTH the scoring join
     # and (re-aggregated) the per-lang model — the corpus is never
@@ -488,20 +492,24 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined hash-aggregate, TakeOrdered for the top slice; deterministic
     tie-break on the pair itself so the cut is stable."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
+    # tokenization STAGED into its own projection (the _bigram_instances
+    # fix): an inline tokenize(text) inside the lambda re-splits the text
+    # per pair position under interpreted HOF eval — O(tokens^2) per doc
+    tk = docs.select(tokenize(F.col("text")).alias("toks"))
+    tc = F.col("toks")
     make = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
+        F.sequence(F.lit(1), F.size(tc) - 1),
         lambda i: F.struct(
-            F.element_at(toks, i).alias("left_tok"),
-            F.element_at(toks, i + 1).alias("right_tok"),
+            F.element_at(tc, i).alias("left_tok"),
+            F.element_at(tc, i + 1).alias("right_tok"),
         ),
     )
     # sequence() COUNTS DOWN when stop < start (same hazard word_ngrams
     # guards): a 1-token doc must yield no pairs, not garbage.
-    guarded = F.when(F.size(toks) >= 2, make).otherwise(
+    guarded = F.when(F.size(tc) >= 2, make).otherwise(
         F.array().cast("array<struct<left_tok:string,right_tok:string>>")
     )
-    pairs = docs.select(F.explode(guarded).alias("p")).select(
+    pairs = tk.select(F.explode(guarded).alias("p")).select(
         "p.left_tok", "p.right_tok"
     )
     return (
@@ -560,18 +568,23 @@ def wordpiece_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered cuts the top slice without a global sort."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
+    # tokenization STAGED into its own projection (the _bigram_instances
+    # fix): an inline tokenize(text) inside the lambda re-splits the text
+    # per pair position under interpreted HOF eval — O(tokens^2) per doc
+    tk = docs.select(toks.alias("toks"))
+    tc = F.col("toks")
     make = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
+        F.sequence(F.lit(1), F.size(tc) - 1),
         lambda i: F.struct(
-            F.element_at(toks, i).alias("left_tok"),
-            F.element_at(toks, i + 1).alias("right_tok"),
+            F.element_at(tc, i).alias("left_tok"),
+            F.element_at(tc, i + 1).alias("right_tok"),
         ),
     )
-    guarded = F.when(F.size(toks) >= 2, make).otherwise(
+    guarded = F.when(F.size(tc) >= 2, make).otherwise(
         F.array().cast("array<struct<left_tok:string,right_tok:string>>")
     )
     pairs = (
-        docs.select(F.explode(guarded).alias("p"))
+        tk.select(F.explode(guarded).alias("p"))
         .select("p.left_tok", "p.right_tok")
         .groupBy("left_tok", "right_tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))

@@ -324,15 +324,19 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     share of all 3-gram occurrences per doc — high values flag boilerplate
     and degenerate generations. Non-distinct grams by design."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
+    # tokenization STAGED into its own projection (the _bigram_instances
+    # fix): an inline tokenize(text) inside the lambda re-splits the text
+    # per gram position under interpreted HOF eval — O(tokens^2) per doc
+    tk = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    tc = F.col("toks")
     grams = F.when(
-        F.size(toks) >= 3,
+        F.size(tc) >= 3,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+            F.sequence(F.lit(1), F.size(tc) - 2),
+            lambda i: F.concat_ws(" ", F.slice(tc, i, 3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    g = tk.select("doc_id", F.explode(grams).alias("gram"))
     counts = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
     return counts.groupBy("doc_id").agg(
         F.sum("c").alias("total_grams"),
