@@ -748,17 +748,26 @@ def substring_dedup_windows(
         key = "_wk"
     else:
         key = "win"
-    wdf = wins.groupBy(key).agg(F.countDistinct("doc_id").alias("ddf"))
-    dup = (F.col("ddf") >= 2).cast("long")
+    # "occurs in >= 2 DISTINCT docs" is exactly min(doc_id) != max(doc_id)
+    # within the window-key partition — ONE shuffle of the stride-1
+    # window stream and bounded per-key state, where the former
+    # distinct-count groupBy + join-back shuffled the window stream
+    # twice AND re-ran the 30x explode for the probe side (round-14
+    # optimization pass, guide §2.4; A/B'd 2.07s -> 0.91s at sf0.1,
+    # hash-identical).
+    wk = Window.partitionBy(key)
+    dup = (
+        F.min("doc_id").over(wk) != F.max("doc_id").over(wk)
+    ).cast("long")
     return (
-        wins.join(wdf, key)
+        wins.withColumn("_dup", dup)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
-            F.sum(dup).alias("n_dup_windows"),
+            F.sum("_dup").alias("n_dup_windows"),
             # raw int/int division — bit-identical cross-engine; round()
             # would sit on decimal half-ties (the events_ewma lesson)
-            (F.sum(dup) / F.count(F.lit(1))).alias("dup_ratio"),
+            (F.sum("_dup") / F.count(F.lit(1))).alias("dup_ratio"),
         )
     )
 
