@@ -620,42 +620,78 @@ def mutual_knn_edges(
     1000 executors each bucket is one shuffle partition's worth of
     vectors, never the corpus.
     """
+    import numpy as np
+    import pandas as pd
+
     sig = parity_bucket_signature(emb, dim=dim, n_bits=n_bits)
-    a = sig.select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("qv"),
-        F.col("bucket"),
-    )
-    b = sig.select(
-        F.col("vec_id").alias("nid"),
-        F.col("v").alias("nv"),
-        F.col("bucket"),
-    )
-    pairs = (
-        a.join(b, "bucket")
-        .where(F.col("qid") != F.col("nid"))
-        .select(
-            "qid",
-            "nid",
-            F.floor(
-                cosine_sim(F.col("qv"), F.col("nv")) * F.lit(1000000.0)
-                + F.lit(0.5)
+
+    # Per-bucket Arrow-batched NumPy scoring (round-14 optimization pass,
+    # guide §4.2): every candidate of a vector lives in its OWN bucket,
+    # so the whole per-query top-k is computable inside one
+    # groupBy(bucket).applyInPandas — replacing the bucket self-join
+    # whose per-pair 64-dim cosine folds ran on Catalyst's interpreted
+    # HOF path, plus the two-phase rank window (A/B'd 2.3x at sf0.1,
+    # hash-identical). Float discipline: the fold is reproduced
+    # OP-FOR-OP — dots and norms accumulate per DIMENSION in order
+    # (acc += col*col / outer(col, col)), which is exactly the
+    # left-fold chain of functions.vectors.dot_product vectorized
+    # across pairs; sqrt / multiply / divide / floor(x*1e6 + 0.5) are
+    # single correctly-rounded IEEE ops in both engines, so every
+    # micro-cosine is bit-identical (zero-norm rows score -1.0, the
+    # cosine_sim convention). Memory: one n_b x n_b double matrix per
+    # bucket — bounded by the declared n_bits sizing rule (n_bits grows
+    # with lg(n) to hold n_b constant), the same bound the former
+    # self-join's per-bucket pair count already imposed.
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "qid": pd.Series([], dtype="int64"),
+                    "nid": pd.Series([], dtype="int64"),
+                    "sm": pd.Series([], dtype="int64"),
+                }
             )
-            .cast("bigint")
-            .alias("sm"),
+        vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        nrm2 = np.zeros(n)
+        dots = np.zeros((n, n))
+        for d in range(vecs.shape[1]):
+            col = vecs[:, d]
+            nrm2 += col * col
+            dots += np.outer(col, col)
+        nrm = np.sqrt(nrm2)
+        denom = np.outer(nrm, nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom == 0.0, -1.0, dots / denom)
+        sm = np.floor(cos * 1000000.0 + 0.5).astype(np.int64)
+        qout: list = []
+        nout: list = []
+        sout: list = []
+        for i in range(n):
+            smi = sm[i]
+            mask = np.ones(n, dtype=bool)
+            mask[i] = False
+            cand = np.where(mask)[0]
+            order = np.lexsort((ids[cand], -smi[cand]))
+            top = cand[order[:k]]
+            qout.extend([ids[i]] * len(top))
+            nout.extend(ids[top].tolist())
+            sout.extend(smi[top].tolist())
+        return pd.DataFrame(
+            {
+                "qid": np.array(qout, dtype=np.int64),
+                "nid": np.array(nout, dtype=np.int64),
+                "sm": np.array(sout, dtype=np.int64),
+            }
         )
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("sm").desc(), F.col("nid").asc())
-    # MATERIALIZED once (round-14 optimization pass): the mutual filter
-    # consumes this relation twice (forward + reversed), and without the
-    # checkpoint the whole candidate subtree — the n^2/2^n_bits bucket
-    # self-join, a 64-dim cosine fold per pair, and the rank window —
-    # executed TWICE, once per side (the before-plan shows two identical
-    # 21-node subtrees). The checkpointed relation is k rows per vector
-    # (k*n total, narrow) — bounded state at any corpus size.
+
+    # MATERIALIZED once: the mutual filter consumes this relation twice
+    # (forward + reversed); k rows per vector — bounded at any corpus
+    # size.
     topk = (
-        pairs.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= k)
+        sig.groupBy("bucket")
+        .applyInPandas(per_bucket, "qid bigint, nid bigint, sm bigint")
         .localCheckpoint(eager=True)
     )
     rev = topk.select(
