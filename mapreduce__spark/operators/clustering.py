@@ -112,68 +112,83 @@ def kmeans_fit(
     dims = len(centroids[0])
     assert dims <= MAX_KMEANS_DIMS
 
-    def assign(df: DataFrame, with_eq: bool = True) -> DataFrame:
-        # Arrow-batched NumPy assignment (round-14 optimization pass,
-        # guide §4.2): the former scan-stage zip_with/aggregate distance
-        # folds are higher-order functions, which run on Catalyst's
-        # INTERPRETED path — ~k*d lambda evaluations plus array
-        # allocations per row made the 3-iteration fit the dominant cost
-        # of every clustering query (A/B'd 4.05s -> 1.99s warm at sf0.1,
-        # identical assignments AND centroids; the former one-row
-        # broadcast-DataFrame centroid table — round-10 item 4 — solved
-        # plan-size growth but left the per-element interpretation).
-        # All arithmetic is int64: quantized values are <= 2^22 after
-        # the offset, so (x-y)^2 <= 2^44 and the d-term sum <=
-        # 2^44 * MAX_KMEANS_DIMS < 2^63 — NumPy int64 reproduces the JVM
-        # bigint result bit-for-bit, and the strict `<` update keeps the
-        # LOWEST centroid id on distance ties, exactly the former
-        # struct-min tie order. The centroid table is a task-closure
-        # ndarray (k*d int64s, the same payload the broadcast carried);
-        # looping over centroids bounds temp memory at one
-        # n_batch x d matrix per step (lower
-        # spark.sql.execution.arrow.maxRecordsPerBatch for very wide
-        # embeddings).
-        import numpy as np
-        import pandas as pd
+    # Arrow-batched NumPy assignment (round-14 optimization pass, guide
+    # §4.2): the former scan-stage zip_with/aggregate distance folds are
+    # higher-order functions, which run on Catalyst's INTERPRETED path —
+    # ~k*d lambda evaluations plus array allocations per row made the
+    # 3-iteration fit the dominant cost of every clustering query (A/B'd
+    # 4.05s -> 1.99s warm at sf0.1, then 1.61s -> 1.22s again with the
+    # fused partial sums below — identical assignments AND centroids in
+    # both steps; the former one-row broadcast-DataFrame centroid table —
+    # round-10 item 4 — solved plan-size growth but left the per-element
+    # interpretation). All arithmetic is int64: quantized values are
+    # <= 2^22 after the offset, so (x-y)^2 <= 2^44 and the d-term sum
+    # <= 2^44 * MAX_KMEANS_DIMS < 2^63 — NumPy int64 reproduces the JVM
+    # bigint result bit-for-bit, and the strict `<` update keeps the
+    # LOWEST centroid id on distance ties, exactly the former struct-min
+    # tie order. The centroid table is a task-closure ndarray (k*d
+    # int64s, the same payload the broadcast carried); looping over
+    # centroids bounds temp memory at one n_batch x d matrix per step
+    # (lower spark.sql.execution.arrow.maxRecordsPerBatch for very wide
+    # embeddings).
+    import numpy as np
+    import pandas as pd
 
-        cents = np.asarray(centroids, dtype=np.int64)
-
-        def fn(batches):
-            for pdf in batches:
-                n = len(pdf)
-                if n == 0:
-                    continue
-                x = np.array(pdf["eq"].tolist(), dtype=np.int64)
-                best_d = ((x - cents[0]) ** 2).sum(axis=1)
-                best_c = np.zeros(n, dtype=np.int64)
-                for j in range(1, len(cents)):
-                    dj = ((x - cents[j]) ** 2).sum(axis=1)
-                    upd = dj < best_d
-                    best_d[upd] = dj[upd]
-                    best_c[upd] = j
-                out = {"vec_id": pdf["vec_id"]}
-                if with_eq:
-                    out["eq"] = pdf["eq"]
-                out["cluster_id"] = best_c
-                out["dist2"] = best_d
-                yield pd.DataFrame(out)
-
-        schema = (
-            "vec_id bigint, eq array<bigint>, cluster_id bigint, dist2 bigint"
-            if with_eq
-            else "vec_id bigint, cluster_id bigint, dist2 bigint"
-        )
-        return df.mapInPandas(fn, schema)
+    def _assign_np(cents: "np.ndarray", pdf: "pd.DataFrame"):
+        x = np.array(pdf["eq"].tolist(), dtype=np.int64)
+        best_d = ((x - cents[0]) ** 2).sum(axis=1)
+        best_c = np.zeros(len(pdf), dtype=np.int64)
+        for j in range(1, len(cents)):
+            dj = ((x - cents[j]) ** 2).sum(axis=1)
+            upd = dj < best_d
+            best_d[upd] = dj[upd]
+            best_c[upd] = j
+        return x, best_c, best_d
 
     for _ in range(iterations):
-        assigned = assign(q)
-        # ONE map-side-combinable aggregate: k*dims output rows
+        cents = np.asarray(centroids, dtype=np.int64)
+
+        # Fused update pass: each batch emits its own per-(cluster, dim)
+        # partial sums DIRECTLY from the Python worker — the d-wide eq
+        # column never crosses back out of Python and the former
+        # posexplode (d rows per vector) + hash-aggregate stage is gone;
+        # the shuffle carries <= batches * k * d tiny rows. Per-batch
+        # sums stay in int64 trivially (<= 2^22 * batch rows); the global
+        # groupBy re-sums exactly the same integers the old
+        # posexplode+sum produced.
+        def partials(batches, cents=cents):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x, best_c, _ = _assign_np(cents, pdf)
+                cl: list = []
+                ii: list = []
+                ss: list = []
+                nn: list = []
+                for c in np.unique(best_c):
+                    m = best_c == c
+                    s = x[m].sum(axis=0)
+                    n = int(m.sum())
+                    for i in range(x.shape[1]):
+                        cl.append(int(c))
+                        ii.append(i)
+                        ss.append(int(s[i]))
+                        nn.append(n)
+                yield pd.DataFrame(
+                    {
+                        "cluster_id": np.array(cl, dtype=np.int64),
+                        "i": np.array(ii, dtype=np.int32),
+                        "s": np.array(ss, dtype=np.int64),
+                        "n": np.array(nn, dtype=np.int64),
+                    }
+                )
+
         sums = bounded_collect(
-            assigned.select(
-                "cluster_id", F.posexplode("eq").alias("i", "v")
+            q.mapInPandas(
+                partials, "cluster_id bigint, i int, s bigint, n bigint"
             )
             .groupBy("cluster_id", "i")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")),
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n")),
             k * dims,
             "kmeans centroid sums",
         )
@@ -184,7 +199,28 @@ def kmeans_fit(
             nxt[r.cluster_id][r.i] = r.s // r.n
         centroids = nxt
 
-    # with_eq=False: mapInPandas is opaque to column pruning, so the
-    # final assignment pass must not ship the d-wide eq back out of the
-    # Python workers only for a select to drop it
-    return assign(q, with_eq=False), centroids
+    # Final assignment: emits only (vec_id, cluster_id, dist2) —
+    # mapInPandas is opaque to column pruning, so the pass must not ship
+    # the d-wide eq back out of the Python workers only for a select to
+    # drop it.
+    final_cents = np.asarray(centroids, dtype=np.int64)
+
+    def final_assign(batches, cents=final_cents):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            _, best_c, best_d = _assign_np(cents, pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster_id": best_c,
+                    "dist2": best_d,
+                }
+            )
+
+    return (
+        q.mapInPandas(
+            final_assign, "vec_id bigint, cluster_id bigint, dist2 bigint"
+        ),
+        centroids,
+    )
