@@ -340,6 +340,62 @@ def connected_components(
 # the threshold.
 KCORE_REWRITE_FRACTION = 0.05
 
+# Driver fast-path bound for k_core_layers, the connected_components
+# hybrid transferred (round 15): at or under this many edge rows the
+# peel runs as a vectorized NumPy loop on the driver (two int64 columns
+# collected via Arrow — 32 MB at the bound) instead of paying 5 rounds
+# x several AQE stage-jobs of Spark scheduling for a graph that fits in
+# one task. Above the bound the distributed loop below runs unchanged —
+# the bound is an edge-ROW count checked with limit(bound+1), so the
+# decision itself never scans more than bound+1 rows.
+KCORE_DRIVER_MAX_EDGES = 2_000_000
+
+
+def _k_core_layers_driver(spark, u, v, k: int, max_rounds: int) -> DataFrame:
+    """Driver-side peel over int64 endpoint arrays — value-identical to
+    the distributed loop (tested): per round, remove alive nodes with
+    alive-degree < k, recording (layer, degree-at-removal); alive-degrees
+    update by subtracting each newly-dead edge's endpoint counts, which
+    is exactly the alive-adjacency degree the distributed form
+    recomputes. Integer math throughout, so there is no drift channel."""
+    import numpy as np
+    import pandas as pd
+
+    ids = np.unique(np.concatenate([u, v])) if len(u) else np.empty(0, np.int64)
+    n = len(ids)
+    ui = np.searchsorted(ids, u)
+    vi = np.searchsorted(ids, v)
+    deg = (
+        np.bincount(ui, minlength=n) + np.bincount(vi, minlength=n)
+    ).astype(np.int64)
+    alive = np.ones(n, dtype=bool)
+    edge_alive = np.ones(len(ui), dtype=bool)
+    layer = np.zeros(n, dtype=np.int64)
+    resid = np.zeros(n, dtype=np.int64)
+    for r in range(1, max_rounds + 1):
+        rem = alive & (deg < k)
+        if not rem.any():
+            break
+        layer[rem] = r
+        resid[rem] = deg[rem]
+        alive &= ~rem
+        dead_e = edge_alive & (rem[ui] | rem[vi])
+        if dead_e.any():
+            deg -= np.bincount(ui[dead_e], minlength=n).astype(np.int64)
+            deg -= np.bincount(vi[dead_e], minlength=n).astype(np.int64)
+            edge_alive &= ~dead_e
+    resid[alive] = deg[alive]  # survivors: degree within the final core
+    pdf = pd.DataFrame(
+        {
+            "node": ids.astype(np.int64),
+            "layer": layer,
+            "residual_degree": resid,
+        }
+    )
+    return spark.createDataFrame(
+        pdf, schema="node bigint, layer bigint, residual_degree bigint"
+    )
+
 
 def k_core_layers(
     edges: DataFrame,
@@ -348,6 +404,7 @@ def k_core_layers(
     src: str = "u",
     dst: str = "v",
     rewrite_fraction: float = KCORE_REWRITE_FRACTION,
+    driver_threshold: int = KCORE_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Fixed-k core peeling with LAYER attribution: iteratively remove
     every node whose degree among the still-alive nodes is below ``k``,
@@ -371,14 +428,49 @@ def k_core_layers(
     "pending dead" anti-join over the stale checkpointed base instead
     of rewriting billions of edges to delete a few). Nothing
     node-proportional ever reaches the driver, only the scalar
-    removed-count that drives early exit and the compaction decision."""
+    removed-count that drives early exit and the compaction decision.
+
+    Job-count discipline (round 15): the round-14 bench showed this
+    query runs FASTER at 8 cores than 32 — per-round wall was dominated
+    by Spark job scheduling, not compute (3 driver actions per round:
+    eager removed-checkpoint, removed.count, eager nodes-checkpoint).
+    Every localCheckpoint here is now LAZY (eager=False) so the one
+    per-round ``removed.count()`` action both computes the round and
+    persists the checkpoint in the same job, and the alive-node set is
+    derived as a shallow anti-join chain over the already-materialized
+    removed sets instead of being re-checkpointed per round — 1 job per
+    round instead of 3 (29 -> ~10 jobs per query at sf0.1), identical
+    relations at every step. Small graphs skip the loop entirely: the
+    :data:`KCORE_DRIVER_MAX_EDGES` hybrid (same shape as
+    :func:`connected_components`' driver_threshold) collects the edge
+    list via Arrow and peels in vectorized NumPy — identical rows
+    (tested against the distributed path), with integral node ids
+    (every caller's) returned as bigint either way."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if driver_threshold > 0:
+        head = e.limit(driver_threshold + 1).toArrow()
+        if head.num_rows <= driver_threshold:
+            import numpy as np
+
+            u = head.column("a").to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            v = head.column("b").to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            return _k_core_layers_driver(
+                edges.sparkSession, u, v, k, max_rounds
+            )
     adj = e.unionAll(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
-    nodes = adj.select(F.col("a").alias("node")).distinct().localCheckpoint(
-        eager=True
+    ).localCheckpoint(eager=False)
+    nodes = (
+        adj.select(F.col("a").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
+    # one job: materializes the nodes checkpoint AND, because nodes
+    # derives from it, the adjacency checkpoint
     n_alive = nodes.count()
 
     def _alive_adj(base: DataFrame, dead: DataFrame | None) -> DataFrame:
@@ -411,7 +503,9 @@ def k_core_layers(
     out: DataFrame | None = None
     for r in range(1, max_rounds + 1):
         deg = _deg(nodes, _alive_adj(adj, pending))
-        removed = deg.where(F.col("d") < k).localCheckpoint(eager=True)
+        removed = deg.where(F.col("d") < k).localCheckpoint(eager=False)
+        # the round's ONLY action: computes the degree pass and persists
+        # the removed set in the same job
         n_removed = removed.count()
         if n_removed == 0:
             break
@@ -421,11 +515,11 @@ def k_core_layers(
             F.col("d").alias("residual_degree"),
         )
         out = layer_rows if out is None else out.unionAll(layer_rows)
-        nodes = nodes.join(removed, "node", "left_anti").localCheckpoint(
-            eager=True
-        )
+        # alive nodes chain anti-joins over the materialized removed
+        # sets — depth <= rounds-since-compaction, no per-round action
+        nodes = nodes.join(removed, "node", "left_anti")
         n_alive -= n_removed
-        # pending is a union of <= rounds-since-compaction eager
+        # pending is a union of <= rounds-since-compaction materialized
         # checkpoints (each tiny), so its lineage stays shallow without
         # its own checkpoint
         pending = (
@@ -435,7 +529,9 @@ def k_core_layers(
         )
         n_pending += n_removed
         if n_pending > rewrite_fraction * max(n_alive, 1):
-            adj = _alive_adj(adj, pending).localCheckpoint(eager=True)
+            # lazy: materializes inside the NEXT round's count job
+            adj = _alive_adj(adj, pending).localCheckpoint(eager=False)
+            nodes = nodes.localCheckpoint(eager=False)
             pending, n_pending = None, 0
     core = _deg(nodes, _alive_adj(adj, pending)).select(
         "node",

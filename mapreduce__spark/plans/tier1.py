@@ -2172,10 +2172,13 @@ def k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     KCORE_ROUNDS peel rounds (converged tails are identity; the pytest
     gate asserts the fixtures converge well inside the unroll) — the
     Spark loop via per-round degree aggregate + anti-join shrink with
-    checkpointed lineage (operators/graph.py k_core_layers), the oracle
-    via generated round-chained CTEs whose aliveness rides the degree
-    join instead of shrinking the adjacency. Output is one row per node:
-    (node, layer, residual_degree), layer 0 = the k-core."""
+    checkpointed lineage (operators/graph.py k_core_layers; under
+    KCORE_DRIVER_MAX_EDGES edge rows the operator peels on the driver
+    in vectorized NumPy, the connected_components hybrid — identical
+    rows, tested), the oracle via generated round-chained CTEs whose
+    aliveness rides the degree join instead of shrinking the adjacency.
+    Output is one row per node: (node, layer, residual_degree),
+    layer 0 = the k-core."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (

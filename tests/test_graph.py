@@ -199,6 +199,37 @@ def test_triangles_match_bruteforce(spark, edges):
     assert tri_dict(spark, sorted(edges)) == brute_triangles(edges)
 
 
+@given(
+    st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ).filter(lambda e: e[0] != e[1]),
+        max_size=25,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_kcore_driver_path_matches_distributed(spark, edges):
+    """The KCORE_DRIVER_MAX_EDGES fast path is a pure materialization
+    choice: on random graphs the NumPy driver peel and the distributed
+    loop return identical (node, layer, residual_degree) rows."""
+    from mapreduce__spark.operators.graph import k_core_layers
+
+    if not edges:
+        return
+    df = spark.createDataFrame(sorted(edges), "u bigint, v bigint")
+
+    def rows(threshold):
+        return {
+            (r.node, r.layer, r.residual_degree)
+            for r in k_core_layers(
+                df, 2, max_rounds=6, driver_threshold=threshold
+            ).collect()
+        }
+
+    assert rows(10**6) == rows(0)
+
+
 def test_kcore_fixtures_converge_inside_the_unroll(spark, sf_small):
     """The declared semantics are an exactly-KCORE_ROUNDS peel; this gate
     asserts the fixtures actually converge well inside it (so the query

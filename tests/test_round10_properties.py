@@ -117,9 +117,14 @@ def test_k_core_changed_fraction_guard_is_value_neutral(spark):
     df = spark.createDataFrame(edges, "u bigint, v bigint")
 
     def run(frac):
+        # driver_threshold=0 forces the distributed loop — the rewrite
+        # guard under test lives there; the driver fast path has no
+        # adjacency rewrite (its equivalence is tested in test_graph.py)
         return {
             (r.node, r.layer, r.residual_degree)
-            for r in k_core_layers(df, 3, max_rounds=6, rewrite_fraction=frac).collect()
+            for r in k_core_layers(
+                df, 3, max_rounds=6, rewrite_fraction=frac, driver_threshold=0
+            ).collect()
         }
 
     always = run(0.0)
