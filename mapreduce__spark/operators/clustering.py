@@ -16,10 +16,12 @@ the check:
   so integer floor-division semantics agree everywhere (truncation ==
   floor) — distances are translation-invariant, so the shift changes
   nothing;
-* distances are exact int64 quadratic forms (64 dims × (≤2^21)² ≤ 2^47,
-  no overflow), centroid updates are exact integer sums floor-divided
-  by counts, and argmin ties break deterministically by centroid id via
-  lexicographic struct-min — the same idiom both engines share.
+* distances are exact int64 quadratic forms — offset-shifted values
+  reach ~2^22, so (x-y)^2 ≤ 2^44 and the d-term sum is bounded by
+  2^44 × MAX_KMEANS_DIMS (4096 = 2^12) < 2^63, no overflow — centroid
+  updates are exact integer sums floor-divided by counts, and argmin
+  ties break deterministically by centroid id via lexicographic
+  struct-min — the same idiom both engines share.
 
 Every iteration is therefore a pure function of the input bits, and the
 whole T-iteration run hash-matches an unrolled SQL twin.
@@ -51,6 +53,21 @@ from mapreduce__spark.operators.staging import bounded_collect
 QUANT_SCALE = 1_000_000  # micro-units
 QUANT_OFFSET = 1 << 21  # shifts quantized values non-negative
 MAX_KMEANS_DIMS = 4096  # bound for the driver-held centroid table
+
+# Driver fast-path bounds for the FIT loop (round 15, the
+# connected_components / k_core_layers hybrid transferred): when the
+# quantized corpus fits under both bounds, the Lloyd iterations run
+# locally over one Arrow collect instead of paying (1 + iterations)
+# scheduled jobs — the round-14 scaling block showed the clustering
+# tail is job-count-bound at bench scale (sf0.01 PQ queries spend their
+# wall in per-subspace seed + per-iteration collects, not compute).
+# Every quantity in the local loop is the SAME exact int64 arithmetic
+# as the distributed partial-sum pass (integer sums are
+# order-independent), so the fitted centroids are bit-identical —
+# property-tested. The FINAL assignment stays distributed either way
+# (its output is corpus-sized). Above the bounds nothing changes.
+KMEANS_DRIVER_MAX_VECS = 131_072  # rows collected (limit bound+1 probe)
+KMEANS_DRIVER_MAX_CELLS = 16_777_216  # rows x dims cap (~128 MB int64)
 
 
 def _quantized(embeddings: DataFrame, vec_col: str) -> DataFrame:
@@ -85,6 +102,7 @@ def kmeans_fit(
     k: int,
     iterations: int,
     vec_col: str = "embedding",
+    driver_max_vecs: int = KMEANS_DRIVER_MAX_VECS,
 ) -> tuple[DataFrame, list[list[int]]]:
     """kmeans_assign plus the fitted CODEBOOK: returns (assignments,
     final centroids) where centroids[cid] is the k x d integer table the
@@ -112,6 +130,13 @@ def kmeans_fit(
     dims = len(centroids[0])
     assert dims <= MAX_KMEANS_DIMS
 
+    # Driver fast path: one Arrow collect replaces the per-iteration
+    # scan+collect jobs when the corpus is provably small. The dims are
+    # known from the seeds, so the cell cap is checked BEFORE collecting
+    # (a 4096-dim corpus never attempts a wide collect); the row cap is
+    # enforced by limit(bound + 1) so the probe itself is bounded.
+    row_bound = min(driver_max_vecs, KMEANS_DRIVER_MAX_CELLS // dims)
+
     # Arrow-batched NumPy assignment (round-14 optimization pass, guide
     # §4.2): the former scan-stage zip_with/aggregate distance folds are
     # higher-order functions, which run on Catalyst's INTERPRETED path —
@@ -134,18 +159,50 @@ def kmeans_fit(
     import numpy as np
     import pandas as pd
 
-    def _assign_np(cents: "np.ndarray", pdf: "pd.DataFrame"):
-        x = np.array(pdf["eq"].tolist(), dtype=np.int64)
+    def _assign_np(cents: "np.ndarray", x: "np.ndarray"):
         best_d = ((x - cents[0]) ** 2).sum(axis=1)
-        best_c = np.zeros(len(pdf), dtype=np.int64)
+        best_c = np.zeros(len(x), dtype=np.int64)
         for j in range(1, len(cents)):
             dj = ((x - cents[j]) ** 2).sum(axis=1)
             upd = dj < best_d
             best_d[upd] = dj[upd]
             best_c[upd] = j
-        return x, best_c, best_d
+        return best_c, best_d
 
-    for _ in range(iterations):
+    def _update_local(x: "np.ndarray", cents_list: list) -> list:
+        """One Lloyd update over an in-memory matrix — the same int64
+        assignment + per-cluster sums // counts the distributed pass
+        computes (integer sums are order-independent, so the result is
+        bit-identical to the shuffled partial-sum path)."""
+        cents = np.asarray(cents_list, dtype=np.int64)
+        best_c, _ = _assign_np(cents, x)
+        nxt = [list(c) for c in cents_list]  # empty cluster keeps centroid
+        for c in np.unique(best_c):
+            m = best_c == c
+            s = x[m].sum(axis=0)
+            n = int(m.sum())
+            nxt[int(c)] = [int(v) // n for v in s]
+        return nxt
+
+    # ---- driver fast path: one bounded Arrow collect, local iterations
+    fitted_locally = False
+    if row_bound > 0:
+        head = q.limit(row_bound + 1).toArrow()
+        if head.num_rows <= row_bound:
+            eqs = head.column("eq").combine_chunks()
+            lens = np.diff(eqs.offsets.to_numpy(zero_copy_only=False))
+            if len(lens) == 0 or (lens == dims).all():
+                flat = eqs.values.to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False
+                )
+                x_all = flat.reshape(head.num_rows, dims)
+                for _ in range(iterations):
+                    centroids = _update_local(x_all, centroids)
+                fitted_locally = True
+            # ragged dims (contract violation) fall through to the
+            # distributed loop, which fails the same way it always did
+
+    for _ in range(0 if fitted_locally else iterations):
         cents = np.asarray(centroids, dtype=np.int64)
 
         # Fused update pass: each batch emits its own per-(cluster, dim)
@@ -160,26 +217,22 @@ def kmeans_fit(
             for pdf in batches:
                 if not len(pdf):
                     continue
-                x, best_c, _ = _assign_np(cents, pdf)
-                cl: list = []
-                ii: list = []
-                ss: list = []
-                nn: list = []
-                for c in np.unique(best_c):
-                    m = best_c == c
-                    s = x[m].sum(axis=0)
-                    n = int(m.sum())
-                    for i in range(x.shape[1]):
-                        cl.append(int(c))
-                        ii.append(i)
-                        ss.append(int(s[i]))
-                        nn.append(n)
+                x = np.array(pdf["eq"].tolist(), dtype=np.int64)
+                best_c, _ = _assign_np(cents, x)
+                # vectorized row construction (round-14 ADVICE): the
+                # former per-(cluster, dim) Python append loop boxed
+                # k*d ints per batch
+                ucs, inv = np.unique(best_c, return_inverse=True)
+                d = x.shape[1]
+                sums_m = np.zeros((len(ucs), d), dtype=np.int64)
+                np.add.at(sums_m, inv, x)
+                counts = np.bincount(inv, minlength=len(ucs)).astype(np.int64)
                 yield pd.DataFrame(
                     {
-                        "cluster_id": np.array(cl, dtype=np.int64),
-                        "i": np.array(ii, dtype=np.int32),
-                        "s": np.array(ss, dtype=np.int64),
-                        "n": np.array(nn, dtype=np.int64),
+                        "cluster_id": np.repeat(ucs, d),
+                        "i": np.tile(np.arange(d, dtype=np.int32), len(ucs)),
+                        "s": sums_m.ravel(),
+                        "n": np.repeat(counts, d),
                     }
                 )
 
@@ -209,7 +262,8 @@ def kmeans_fit(
         for pdf in batches:
             if not len(pdf):
                 continue
-            _, best_c, best_d = _assign_np(cents, pdf)
+            x = np.array(pdf["eq"].tolist(), dtype=np.int64)
+            best_c, best_d = _assign_np(cents, x)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],

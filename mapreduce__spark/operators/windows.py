@@ -67,7 +67,10 @@ def _with_range_bucket(
     purpose (200): boundaries only need rough balance — accuracy 10_000
     was measured ~10x slower at 5M rows while buying nothing (correctness
     never depends on where the cuts land)."""
-    df = df.localCheckpoint(eager=True)  # callers make 3 passes over it
+    # callers make 3 passes over it; LAZY so the percentile sketch below
+    # both materializes the checkpoint and reads it in ONE job (an eager
+    # checkpoint + sketch ran two full passes of the input lineage)
+    df = df.localCheckpoint(eager=False)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     qs = df.select(
         F.percentile_approx(order_col, [i / n for i in range(1, n)], 200).alias("q")

@@ -117,6 +117,31 @@ def test_kmeans_matches_python_on_random_grids(spark, vecs, k):
     assert got == _kmeans_py(narrowed, k, 2)
 
 
+@given(_vecs, st.integers(min_value=2, max_value=3))
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_kmeans_driver_fit_matches_distributed(spark, vecs, k):
+    """The KMEANS_DRIVER_MAX_VECS fast path is a pure materialization
+    choice: forcing the distributed iteration loop (driver_max_vecs=0)
+    yields bit-identical assignments AND centroids."""
+    from mapreduce__spark.operators.clustering import kmeans_fit
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    def run(bound):
+        a, cents = kmeans_fit(df, k, 2, driver_max_vecs=bound)
+        return {
+            r.vec_id: (r.cluster_id, r.dist2) for r in a.collect()
+        }, cents
+
+    a_local, c_local = run(10**6)
+    a_dist, c_dist = run(0)
+    assert a_local == a_dist
+    assert c_local == c_dist
+
+
 # -------------------------------------------------- prefix-filter jaccard
 
 # Docs over a tiny vocabulary with lengths just past the 3-gram floor:
